@@ -1,0 +1,141 @@
+"""Text-analysis expression builders for the LLM-pipeline operators.
+
+All pure JVM-side Column builders (no Python row path): tokenization,
+n-gram shingles, quality metrics, language-ID heuristic, fingerprints.
+These feed the dedup operators (operators/dedup.py) and the text-analysis
+queries; the reference has no text surface (SURVEY.md §2.4), this is the
+mandated extension layer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# Minimal per-language stopword lists for the n-gram/stopword heuristic.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "eine", "zu", "den"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "dans", "que", "pour"],
+    "es": ["el", "la", "los", "las", "es", "un", "una", "que", "en", "por"],
+}
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def normalize(c: Column | str) -> Column:
+    """Lowercase, trim, collapse whitespace runs — canonical text form."""
+    return F.regexp_replace(F.trim(F.lower(_col(c))), r"\s+", " ")
+
+
+def tokens(c: Column | str) -> Column:
+    """Whitespace tokenization of normalized text -> array<string>."""
+    return F.split(normalize(c), " ")
+
+
+def bpe_ish_tokens(c: Column | str) -> Column:
+    """A BPE-ish regex tokenizer: words, numbers, and single punctuation
+    marks as separate tokens (GPT-2-style pre-tokenization pattern,
+    simplified to what java.util.regex supports)."""
+    toks = F.regexp_extract_all(
+        F.lower(_col(c)), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0)
+    return toks
+
+
+def token_count(c: Column | str) -> Column:
+    return F.size(tokens(c))
+
+
+def char_ngrams(c: Column | str, n: int = 3) -> Column:
+    """Character n-gram shingles of the normalized text -> array<string>.
+
+    Expressed with sequence+transform so it stays in codegen; empty/short
+    strings yield an empty array.
+    """
+    s = normalize(c)
+    ln = F.length(s)
+    return F.when(ln < n, F.array().cast("array<string>")).otherwise(
+        F.transform(F.sequence(F.lit(1), ln - (n - 1)),
+                    lambda i: F.substring(s, i, n)))
+
+
+def token_ngrams(c: Column | str, n: int = 3) -> Column:
+    """Token n-gram shingles -> array<string> (space-joined)."""
+    t = tokens(c)
+    sz = F.size(t)
+    return F.when(sz < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), sz - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+        ))
+
+
+def _isin_any(words: list[str]):
+    """Unary-lambda factory (PySpark infers HOF arity from the signature,
+    so default-arg tricks would turn this into an (element, index) lambda)."""
+    return lambda x: x.isin(*words)
+
+
+def stopword_ratio(c: Column | str, lang: str = "en") -> Column:
+    t = tokens(c)
+    matches = F.size(F.filter(t, _isin_any(STOPWORDS[lang])))
+    return F.when(F.size(t) > 0, matches / F.size(t)).otherwise(F.lit(0.0))
+
+
+def punct_ratio(c: Column | str) -> Column:
+    s = _col(c)
+    n_punct = F.length(s) - F.length(F.regexp_replace(s, r"[^\w\s]", ""))
+    return F.when(F.length(s) > 0, n_punct / F.length(s)).otherwise(F.lit(0.0))
+
+
+def mean_token_len(c: Column | str) -> Column:
+    t = tokens(c)
+    total = F.aggregate(t, F.lit(0), lambda acc, x: acc + F.length(x))
+    return F.when(F.size(t) > 0, total / F.size(t)).otherwise(F.lit(0.0))
+
+
+def quality_score(c: Column | str) -> Column:
+    """Heuristic document quality in [0,1]: balanced length, word-like
+    tokens, low punctuation noise — the standard cheap pre-filter shape
+    used in LLM data pipelines (length/punct/stopword ratios)."""
+    n_tok = token_count(c)
+    len_score = F.least(n_tok / F.lit(50.0), F.lit(1.0))
+    mtl = mean_token_len(c)
+    shape_score = F.when((mtl >= 2.0) & (mtl <= 12.0), F.lit(1.0)).otherwise(F.lit(0.3))
+    punct_score = F.lit(1.0) - F.least(punct_ratio(c) * 4, F.lit(1.0))
+    return F.round(len_score * 0.4 + shape_score * 0.4 + punct_score * 0.2, 4)
+
+
+def lang_id(c: Column | str) -> Column:
+    """Stopword-vote language ID over {en,de,fr,es}; 'und' (undetermined)
+    when nothing matches. Pure expression: per-language match counts via
+    array filters, argmax via greatest + chained whens."""
+    t = tokens(c)
+    counts = {
+        lang: F.size(F.filter(t, _isin_any(words)))
+        for lang, words in STOPWORDS.items()
+    }
+    best = F.greatest(*counts.values())
+    out = F.lit("und")
+    # reversed so earlier languages win ties (deterministic order)
+    for lang in reversed(list(counts)):
+        out = F.when((best > 0) & (counts[lang] == best), F.lit(lang)).otherwise(out)
+    return out
+
+
+def fingerprint_md5(c: Column | str) -> Column:
+    """Content fingerprint: md5 of normalized text. Deterministic and
+    portable (DuckDB md5 matches), used as the exact-dedup key."""
+    return F.md5(normalize(c))
+
+
+def fingerprint_rolling(c: Column | str, base: int = 31,
+                        mod: int = (1 << 31) - 1) -> Column:
+    """Polynomial rolling hash over tokens (Rabin-Karp style), bounded with
+    pmod so it is ANSI-overflow-safe: acc = (acc*base + xxhash64(tok)) % mod."""
+    return F.aggregate(
+        tokens(c),
+        F.lit(0).cast("long"),
+        lambda acc, x: F.pmod(acc * base + F.pmod(F.xxhash64(x), mod), mod),
+    )

