@@ -85,11 +85,16 @@ def nanos_long_to_timestamp(c: Column | str) -> Column:
 
     Spark's Parquet reader rejects TIMESTAMP(NANOS) columns; with
     ``spark.sql.legacy.parquet.nanosAsLong`` they arrive as raw int64 which
-    this converts (floor-division toward negative infinity so pre-1970
-    values truncate the same way as the reference's integer ``/ 1000``
-    rounds toward zero only for positives — fixture data is post-1970).
+    this converts. Exact integer arithmetic: subtracting ``pmod(ns, 1000)``
+    first makes the numerator an exact multiple, so the division cannot
+    round — a plain ``ns / 1000`` goes through double, whose ~128 ns
+    spacing near 1.7e18 shifts values by ±1 µs. Floor semantics (pre-1970
+    values round down, vs the reference's integer ``/ 1000`` truncation
+    toward zero — identical for post-1970 data).
     """
-    return F.timestamp_micros(F.floor(_col(c) / F.lit(1000)).cast("long"))
+    ns = _col(c)
+    exact = (ns - F.pmod(ns, F.lit(1000))).cast(T.DecimalType(25, 0))
+    return F.timestamp_micros((exact / F.lit(1000)).cast("long"))
 
 
 # --------------------------------------------------------------------------

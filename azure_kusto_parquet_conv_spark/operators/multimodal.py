@@ -1,0 +1,153 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns
+with typed metadata, processed by Arrow-batched ``mapInPandas`` kernels.
+
+The decode/feature kernels themselves are STUBS (no image/audio libraries
+in this environment — each raises NotImplementedError unless the
+deterministic fake is requested), but everything Spark-side is real and
+tested: the schema contract, the batch shape, the UDF signatures, and the
+partitioning story. Swapping the fake for Pillow/librosa is a one-function
+change that touches no plan.
+
+Scale notes baked into the design:
+- payloads stay ``binary`` end-to-end (no base64 round trips, Arrow moves
+  them zero-copy into pandas);
+- ``mapInPandas`` (not collect/loop) so decode parallelism == partition
+  count; repartition by size before heavy decodes so batches are balanced;
+- metadata travels in a sibling struct column so filters on it (codec,
+  dims, duration) prune before any decode happens.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    ArrayType, BinaryType, FloatType, IntegerType, LongType, StringType,
+    StructField, StructType,
+)
+
+#: The canonical multimodal record contract.
+MEDIA_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("kind", StringType()),          # image | audio | video
+    StructField("payload", BinaryType()),       # opaque encoded bytes
+    StructField("meta", StructType([            # typed, filterable metadata
+        StructField("format", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("duration_ms", IntegerType()),
+    ])),
+])
+
+FEATURE_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("kind", StringType()),
+    StructField("n_bytes", LongType()),
+    StructField("sha256", StringType()),
+    StructField("features", ArrayType(FloatType())),
+])
+
+
+def media_from_documents(docs: DataFrame, kind: str = "image") -> DataFrame:
+    """Deterministic fake media table derived from the documents fixture:
+    payload = utf-8 text bytes, metadata derived from lengths. Exercises
+    the full binary/struct path with reproducible content."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit(kind).alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("fake").alias("format"),
+            F.pmod(F.col("n_chars"), 640).cast("int").alias("width"),
+            F.pmod(F.col("n_chars"), 480).cast("int").alias("height"),
+            (F.col("n_chars") * 10).cast("int").alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+def _fake_features(payload: bytes, dim: int = 8) -> list[float]:
+    """Deterministic stand-in for a real decoder: dim floats derived from
+    the payload digest. Replace with a real decode when libs exist."""
+    digest = hashlib.sha256(payload).digest()
+    return [int.from_bytes(digest[4 * i:4 * i + 4], "big") / 2**32
+            for i in range(dim)]
+
+
+def extract_features(media: DataFrame, fake: bool = True,
+                     dim: int = 8) -> DataFrame:
+    """Decode + featurize each payload via mapInPandas (Arrow batches of
+    binary; one output row per input row). ``fake=False`` is the socket
+    where a real decoder (Pillow / torchaudio / pyav) plugs in."""
+    if not fake:
+        raise NotImplementedError(
+            "real media decoding requires image/audio libraries not "
+            "available in this environment; use fake=True for the "
+            "deterministic stand-in kernel")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "n_bytes": payloads.map(lambda b: 0 if b is None else len(b)),
+                "sha256": payloads.map(
+                    lambda b: hashlib.sha256(b or b"").hexdigest()),
+                "features": payloads.map(
+                    lambda b: _fake_features(b or b"", dim)),
+            })
+
+    return media.mapInPandas(kernel, FEATURE_SCHEMA)
+
+
+def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Image-resize pipeline stage: passes payloads through the same
+    mapInPandas shape a real resizer would use; the pixel kernel is a
+    stub that tags the metadata (real implementation: PIL thumbnail per
+    row inside the batch loop)."""
+    out_schema = StructType(MEDIA_SCHEMA.fields)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            meta = pdf["meta"].map(lambda m: {**(m or {}),
+                                              "width": width,
+                                              "height": height,
+                                              "format": "fake-resized"})
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "payload": pdf["payload"],
+                "meta": meta,
+            })
+
+    return media.mapInPandas(kernel, out_schema)
+
+
+def frame_sample_stub(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling stage: one output row per sampled frame
+    (row explosion inside mapInPandas — the shape that matters at scale,
+    since a 2 GB video must not become one task). Frame payloads are
+    deterministic digests standing in for decoded frames."""
+    schema = StructType([
+        StructField("media_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_ms", IntegerType()),
+        StructField("frame", BinaryType()),
+    ])
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                dur = (r["meta"] or {}).get("duration_ms") or 0
+                for i, ms in enumerate(range(0, int(dur), every_ms)):
+                    fake_frame = hashlib.sha256(
+                        (r["payload"] or b"") + ms.to_bytes(4, "big")).digest()
+                    rows.append((r["media_id"], i, ms, fake_frame))
+            yield pd.DataFrame(rows, columns=["media_id", "frame_idx",
+                                              "frame_ms", "frame"])
+
+    return media.mapInPandas(kernel, schema)

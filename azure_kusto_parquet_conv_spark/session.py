@@ -42,6 +42,9 @@ _RUNTIME_CONFS = {
     # semantics line up with the reference's UTC rendering.
     "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     "spark.sql.adaptive.enabled": "true",
+    # untruncated PushedFilters/ReadSchema in plan strings, so plan
+    # assertions (plans/explain.py) see the full metadata
+    "spark.sql.maxMetadataStringLength": "10000",
 }
 
 

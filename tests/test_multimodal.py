@@ -1,0 +1,55 @@
+"""Multimodal column plumbing: schema contract, mapInPandas batch shapes,
+deterministic fake kernels, stub gating."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from azure_kusto_parquet_conv_spark.operators import multimodal as MM
+from azure_kusto_parquet_conv_spark.sources.parquet import load_table
+
+
+@pytest.fixture(scope="module")
+def media(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    return MM.media_from_documents(docs).cache()
+
+
+def test_media_schema_contract(media):
+    def shape(schema):
+        return [(f.name, f.dataType.simpleString()) for f in schema.fields]
+    assert shape(media.schema) == shape(MM.MEDIA_SCHEMA)
+
+
+def test_extract_features_shape_and_determinism(media):
+    f1 = MM.extract_features(media)
+    assert f1.schema == MM.FEATURE_SCHEMA
+    rows = {r["media_id"]: r for r in f1.collect()}
+    assert len(rows) == media.count()
+    again = {r["media_id"]: r for r in MM.extract_features(media).collect()}
+    some_id = next(iter(rows))
+    assert rows[some_id]["sha256"] == again[some_id]["sha256"]
+    assert rows[some_id]["features"] == again[some_id]["features"]
+    assert len(rows[some_id]["features"]) == 8
+    assert rows[some_id]["n_bytes"] > 0
+
+
+def test_real_decode_is_gated(media):
+    with pytest.raises(NotImplementedError):
+        MM.extract_features(media, fake=False)
+
+
+def test_resize_stub_updates_meta_keeps_payload(media):
+    out = MM.resize_stub(media, 128, 96)
+    row = out.orderBy("media_id").first()
+    orig = media.orderBy("media_id").first()
+    assert row["meta"]["width"] == 128 and row["meta"]["height"] == 96
+    assert row["payload"] == orig["payload"]
+
+
+def test_frame_sample_explodes_rows(media):
+    frames = MM.frame_sample_stub(media, every_ms=5000)
+    n_frames = frames.count()
+    assert n_frames > media.count()  # one row per sampled frame
+    g = frames.groupBy("media_id").count().orderBy("media_id").first()
+    dur = media.orderBy("media_id").first()["meta"]["duration_ms"]
+    assert g["count"] == len(range(0, dur, 5000))

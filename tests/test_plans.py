@@ -1,0 +1,65 @@
+"""Physical-plan assertions: the scale contract. These fail if a change
+un-pushes a filter, reads unneeded columns, drops a broadcast, or
+introduces a cartesian product — regressions that only hurt at 100 TB."""
+
+from pyspark.sql import functions as F
+
+from azure_kusto_parquet_conv_spark.plans import (
+    assert_no_cartesian,
+    executed_plan,
+    has_pushed_filters,
+    join_strategies,
+    read_schema,
+)
+from azure_kusto_parquet_conv_spark.queries import QUERIES
+from azure_kusto_parquet_conv_spark.sources.parquet import load_table
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = QUERIES["q_filter_projection"](spark, sf_dir)
+    assert has_pushed_filters(df, "l_quantity"), executed_plan(df)[:1500]
+    assert has_pushed_filters(df, "l_returnflag")
+
+
+def test_q1_prunes_columns(spark, sf_dir):
+    df = QUERIES["q1_pricing_summary"](spark, sf_dir)
+    [schema] = read_schema(df)
+    # only the 7 referenced columns are read, not all 11
+    for col in ("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"):
+        assert col not in schema, f"{col} should be pruned:\n{schema}"
+    assert "l_shipdate" in schema and "l_quantity" in schema
+
+
+def test_q5_broadcasts_dimensions(spark, sf_dir):
+    df = QUERIES["q5_supplier_volume"](spark, sf_dir)
+    joins = join_strategies(df)
+    assert joins.count("BroadcastHashJoin") >= 4, joins
+    assert "CartesianProduct" not in joins
+
+
+def test_no_accidental_cartesians_across_catalog(spark, sf_dir):
+    # cross joins are intentional ONLY in the two brute-force similarity
+    # queries (broadcast NLJ over a small side)
+    allowed_nlj = {"q_knn_bruteforce", "q_embed_sim_pairs", "q_dedup_jaccard"}
+    for name, fn in QUERIES.items():
+        if name in ("q_dedup_simhash",):  # pandas UDF: plan has no joins of interest
+            continue
+        df = fn(spark, sf_dir)
+        assert_no_cartesian(df, allow_broadcast_nlj=name in allowed_nlj)
+
+
+def test_asof_join_single_shuffle_no_join(spark, sf_dir):
+    """The as-of implementation must be a window over a union — zero join
+    operators, one shuffle for the window partitioning."""
+    df = QUERIES["q_asof_join"](spark, sf_dir)
+    assert join_strategies(df) == [], executed_plan(df)[:1500]
+
+
+def test_convert_pipeline_is_shuffle_free(spark, sf_dir):
+    df = QUERIES["convert_isostr"](spark, sf_dir)
+    assert "Exchange" not in executed_plan(df)
+
+
+def test_sort_limit_uses_take_ordered(spark, sf_dir):
+    df = QUERIES["q_sort_limit"](spark, sf_dir)
+    assert "TakeOrderedAndProject" in executed_plan(df)

@@ -1,0 +1,102 @@
+"""Unit semantics for the relational operators against hand-computed
+expectations on tiny frames (the fixture-scale differential tests live in
+test_queries_oracle.py)."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from azure_kusto_parquet_conv_spark.operators import relational as R
+
+
+def ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_join_backward(spark):
+    left = spark.createDataFrame(
+        [(1, ts("2024-01-01 10:00:00"), "L1"),
+         (1, ts("2024-01-01 12:00:00"), "L2"),
+         (2, ts("2024-01-01 10:30:00"), "L3")],
+        "k long, ts timestamp, lv string")
+    right = spark.createDataFrame(
+        [(1, ts("2024-01-01 09:00:00"), 100.0),
+         (1, ts("2024-01-01 11:00:00"), 200.0),
+         (2, ts("2024-01-01 11:00:00"), 300.0)],
+        "k long, ts timestamp, rv double")
+    out = {r["lv"]: r["rv_right"]
+           for r in R.asof_join(left, right, on="k").collect()}
+    assert out == {"L1": 100.0, "L2": 200.0, "L3": None}
+
+
+def test_asof_join_exact_tie_matches(spark):
+    left = spark.createDataFrame([(1, ts("2024-01-01 10:00:00"), "L")],
+                                 "k long, ts timestamp, lv string")
+    right = spark.createDataFrame([(1, ts("2024-01-01 10:00:00"), 7.0)],
+                                  "k long, ts timestamp, rv double")
+    [row] = R.asof_join(left, right, on="k").collect()
+    assert row["rv_right"] == 7.0  # at-or-before includes equal timestamps
+
+
+def test_asof_join_forward(spark):
+    left = spark.createDataFrame([(1, ts("2024-01-01 10:00:00"), "L")],
+                                 "k long, ts timestamp, lv string")
+    right = spark.createDataFrame(
+        [(1, ts("2024-01-01 09:00:00"), 1.0),
+         (1, ts("2024-01-01 10:30:00"), 2.0),
+         (1, ts("2024-01-01 11:00:00"), 3.0)],
+        "k long, ts timestamp, rv double")
+    [row] = R.asof_join(left, right, on="k", direction="forward").collect()
+    assert row["rv_right"] == 2.0  # nearest at-or-after
+
+
+def test_sessionize_gap_rule(spark):
+    rows = [(1, ts("2024-01-01 10:00:00")),
+            (1, ts("2024-01-01 10:10:00")),   # same session (10 min)
+            (1, ts("2024-01-01 11:00:00")),   # new session (50 min gap)
+            (2, ts("2024-01-01 10:00:00"))]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = R.sessionize(df, key="user_id", ts="ts", gap="30 minutes")
+    got = sorted((r["user_id"], r["ts"].isoformat(), r["session_id"])
+                 for r in out.collect())
+    assert [g[2] for g in got] == [1, 1, 2, 1]
+
+
+def test_sessionize_exact_gap_boundary(spark):
+    # gap strictly-greater-than rule: exactly 30min stays in-session
+    rows = [(1, ts("2024-01-01 10:00:00")), (1, ts("2024-01-01 10:30:00"))]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = R.sessionize(df, key="user_id", ts="ts", gap="30 minutes")
+    assert {r["session_id"] for r in out.collect()} == {1}
+
+
+def test_range_join_bucketed_equals_plain(spark, sf_dir):
+    """The bucketed range join must produce exactly the plain join's pairs."""
+    from azure_kusto_parquet_conv_spark.sources.parquet import load_table
+    ev = load_table(spark, sf_dir, "events").limit(400)
+    p = ev.where(F.col("event_type") == "purchase") \
+          .select(F.col("event_id").alias("pid"), "user_id", "ts")
+    c = ev.where(F.col("event_type") == "click") \
+          .select(F.col("event_id").alias("cid"), "user_id", "ts")
+    hour = 3_600_000
+    plain = p.alias("p").join(
+        c.alias("c"),
+        (F.col("p.user_id") == F.col("c.user_id"))
+        & (F.unix_millis(F.col("c.ts")) >= F.unix_millis(F.col("p.ts")) - hour)
+        & (F.unix_millis(F.col("c.ts")) <= F.unix_millis(F.col("p.ts"))))
+    plain_pairs = {(r["pid"], r["cid"]) for r in
+                   plain.select("pid", "cid").collect()}
+    bucketed = R.range_join_bucketed(
+        p, c.select(F.col("cid"), F.col("user_id"), F.col("ts").alias("cts")),
+        key="user_id", left_ts="ts", right_ts="cts",
+        lower_ms=-hour, upper_ms=0)
+    got = {(r["pid"], r["cid"]) for r in bucketed.select("pid", "cid").collect()}
+    assert got == plain_pairs and len(plain_pairs) > 0
+
+
+def test_top_k_per_group(spark):
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 5), ("a", 3), ("b", 9)], "g string, v long")
+    out = R.top_k_per_group(df, ["g"], [F.col("v").desc()], 2)
+    got = sorted((r["g"], r["v"]) for r in out.collect())
+    assert got == [("a", 3), ("a", 5), ("b", 9)]

@@ -1,0 +1,64 @@
+"""Similarity search: brute-force correctness on hand vectors, LSH recall
+against the brute-force truth, plan shape (broadcast, no shuffled
+cartesian)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from azure_kusto_parquet_conv_spark.functions import vectors as V
+from azure_kusto_parquet_conv_spark.operators import similarity as S
+from azure_kusto_parquet_conv_spark.sources.parquet import load_table
+
+
+def test_vector_kernels(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [0.0, 1.0]), ([1.0, 1.0], [1.0, 1.0]),
+         ([3.0, 4.0], [3.0, 4.0])],
+        "a array<float>, b array<float>")
+    rows = df.select(V.dot("a", "b").alias("d"),
+                     V.cosine("a", "b").alias("c"),
+                     V.norm("a").alias("n"),
+                     V.l2_distance("a", "b").alias("l2")).collect()
+    assert rows[0]["d"] == 0.0 and abs(rows[0]["c"]) < 1e-12
+    assert abs(rows[1]["c"] - 1.0) < 1e-12
+    assert rows[2]["n"] == 5.0 and rows[2]["l2"] == 0.0
+
+
+def test_knn_bruteforce_hand_vectors(spark):
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0]), (4, [-1.0, 0.0])],
+        "vec_id long, embedding array<float>")
+    q = corpus.where(F.col("vec_id") == 1)
+    out = [(r["neighbor_id"], r["rank"])
+           for r in S.knn_bruteforce(q, corpus, k=2).collect()]
+    assert out == [(2, 1), (3, 2)]  # nearest first, self excluded
+
+
+def test_knn_lsh_recall(spark, sf_dir):
+    """LSH top-5 must recover most of the exact top-5 neighbor sets."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 10)
+    exact = S.knn_bruteforce(q, e, k=5).collect()
+    approx = S.knn_lsh(q, e, k=5, planes=4, tables=8).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = total = 0
+    for qid, truth in exact_sets.items():
+        hits += len(truth & approx_sets.get(qid, set()))
+        total += len(truth)
+    recall = hits / total
+    assert recall >= 0.5, f"LSH recall {recall:.2f} too low"
+
+
+def test_knn_plan_broadcasts_queries(spark, sf_dir):
+    from azure_kusto_parquet_conv_spark.plans import join_strategies
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 5)
+    plan_joins = join_strategies(S.knn_bruteforce(q, e, k=3))
+    # the query side must be broadcast (small), never a shuffled cartesian
+    assert "CartesianProduct" not in plan_joins
+    assert any("Broadcast" in j for j in plan_joins)

@@ -1,0 +1,64 @@
+"""Text-analysis function semantics on controlled inputs."""
+
+from pyspark.sql import functions as F
+
+from azure_kusto_parquet_conv_spark.functions import text as X
+
+
+def one(spark, text, col):
+    df = spark.createDataFrame([(text,)], "text string")
+    return df.select(col.alias("v")).collect()[0]["v"]
+
+
+def test_normalize_and_tokens(spark):
+    assert one(spark, "  Hello   WORLD  ",
+               X.normalize("text")) == "hello world"
+    assert one(spark, "a b  c", X.token_count("text")) == 3
+
+
+def test_bpe_ish_tokens(spark):
+    got = one(spark, "Hello, world! 42x", X.bpe_ish_tokens("text"))
+    assert got == ["hello", ",", "world", "!", "42", "x"]
+
+
+def test_char_and_token_ngrams(spark):
+    assert one(spark, "abcd", X.char_ngrams("text", 3)) == ["abc", "bcd"]
+    assert one(spark, "a b c d", X.token_ngrams("text", 3)) == ["a b c", "b c d"]
+    assert one(spark, "ab", X.char_ngrams("text", 3)) == []
+
+
+def test_lang_id_votes(spark):
+    assert one(spark, "the cat is in the house and it is big",
+               X.lang_id("text")) == "en"
+    assert one(spark, "der hund ist nicht zu klein und das ist gut",
+               X.lang_id("text")) == "de"
+    assert one(spark, "le chat est dans la maison et il est grand",
+               X.lang_id("text")) == "fr"
+    assert one(spark, "el gato es grande y los perros son una familia",
+               X.lang_id("text")) == "es"
+    assert one(spark, "xyzzy qwerty", X.lang_id("text")) == "und"
+
+
+def test_quality_score_orders_sensibly(spark):
+    good = one(spark, " ".join(["meaningful"] * 60), X.quality_score("text"))
+    short = one(spark, "tiny", X.quality_score("text"))
+    noisy = one(spark, "!!! ??? *** $$$ %%% ^^^ &&& ###",
+                X.quality_score("text"))
+    assert good > short and good > noisy
+    assert 0.0 <= noisy <= 1.0 and 0.0 <= good <= 1.0
+
+
+def test_fingerprints_deterministic_and_normalizing(spark):
+    a = one(spark, "Hello  World", X.fingerprint_md5("text"))
+    b = one(spark, "hello world", X.fingerprint_md5("text"))
+    assert a == b and len(a) == 32
+    ra = one(spark, "alpha beta gamma", X.fingerprint_rolling("text"))
+    rb = one(spark, "alpha beta gamma", X.fingerprint_rolling("text"))
+    rc = one(spark, "alpha beta delta", X.fingerprint_rolling("text"))
+    assert ra == rb != rc and 0 <= ra < (1 << 31)
+
+
+def test_stopword_and_punct_ratio(spark):
+    assert one(spark, "the a the", X.stopword_ratio("text")) == 1.0
+    assert one(spark, "wombat", X.stopword_ratio("text")) == 0.0
+    assert abs(one(spark, "ab!?", X.punct_ratio("text")) - 0.5) < 1e-12
