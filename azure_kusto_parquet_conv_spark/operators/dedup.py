@@ -26,6 +26,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 from azure_kusto_parquet_conv_spark.functions import text as X
 from azure_kusto_parquet_conv_spark.functions import vectors as V
+from azure_kusto_parquet_conv_spark.sources.parquet import rebalance
 
 # Mersenne prime 2^61-1: the classic universal-hash modulus; keeps
 # a*h+b arithmetic inside int64 after pmod-bounding h.
@@ -71,47 +72,81 @@ def jaccard_pairs(df: DataFrame, text_col: str = "text",
                  .where(F.col("jaccard") >= threshold))
 
 
+def shingle_hash_sets(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", shingle_n: int = 3,
+                      char_shingles: bool = False) -> DataFrame:
+    """(id, distinct shingle-hash array) per document.
+
+    Token shingles are hashed WITHOUT materializing the shingle strings:
+    hash each token once, then combine n consecutive token hashes with
+    xxhash64 via shifted-array ``zip_with`` — whole-array ops, no
+    per-shingle string concat (the concat_ws(slice(...)) formulation
+    allocates ~|tokens| strings per doc and measured 6x slower at sf0.1),
+    and no shuffle: everything stays in the scan's narrow pipeline.
+    MinHash/Jaccard only ever consume the shingle's hash, so the string
+    itself is never needed.
+    """
+    df = rebalance(df)
+    if char_shingles:
+        sh = F.transform(X.char_ngrams(text_col, shingle_n),
+                         lambda s: F.xxhash64(s))
+    else:
+        toks = X.tokens(text_col)
+        th = F.transform(toks, lambda x: F.xxhash64(x))
+        n = F.size(toks)
+        z = th
+        for i in range(1, shingle_n):
+            shifted = F.slice(th, i + 1, F.greatest(n - i, F.lit(0)))
+            z = F.zip_with(z, shifted, lambda a, b: F.xxhash64(a, b))
+        # the trailing i entries combined a null pad; cut them off
+        sh = F.when(n >= shingle_n,
+                    F.slice(z, 1, F.greatest(n - (shingle_n - 1), F.lit(0)))
+                    ).otherwise(F.array().cast("array<bigint>"))
+    return df.select(F.col(id_col), F.array_distinct(sh).alias("shingles"))
+
+
 def minhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", num_hashes: int = 64,
                        shingle_n: int = 3, char_shingles: bool = False,
                        seed: int = 42) -> DataFrame:
-    """MinHash signature per document: shingle -> per-hash min over the
-    shingle set. Hash i is ``(a_i * h + b_i) mod 2^61-1`` over
-    ``h = xxhash64(shingle)`` — all JVM expressions, fully codegen'd,
-    no shuffle at all in this stage."""
+    """MinHash signature per document: shingle-hash -> per-hash-function
+    min over the shingle set. Hash i is ``(a_i * h + b_i) mod 2^61-1``
+    over the 31-bit-bounded shingle hash."""
     import random
     rnd = random.Random(seed)
     coeffs = [(rnd.randrange(1, _MERSENNE), rnd.randrange(0, _MERSENNE))
               for _ in range(num_hashes)]
-    sh = (X.char_ngrams(text_col, shingle_n) if char_shingles
-          else X.token_ngrams(text_col, shingle_n))
-    # Stage 1 (own projection): shingle -> bounded hash, computed ONCE.
+    sets = shingle_hash_sets(df, text_col, id_col, shingle_n, char_shingles)
+    # Explode shingle hashes to rows, then compute the num_hashes minimums
+    # as plain hash aggregates. Higher-order-function folds (aggregate +
+    # zip_with over a 64-wide array) are interpreted per element and
+    # allocate per step; min() aggregates run in whole-stage codegen with
+    # map-side partial aggregation, so the shuffle carries ~one row per
+    # (doc, partition), not one per shingle (measured 5x faster at sf0.1).
     # h < 2^31 so (a mod 2^31) * h fits comfortably in int64
     # (ANSI-overflow-safe).
-    hashed = df.select(
+    hashed = sets.select(
         F.col(id_col),
-        F.transform(F.array_distinct(sh),
-                    lambda s: F.pmod(F.xxhash64(s), F.lit(1 << 31)))
-         .alias("__sh_hash"),
+        F.explode_outer("shingles").alias("__s"),
+    ).select(
+        F.col(id_col),
+        F.pmod(F.col("__s"), F.lit(1 << 31)).alias("__h"),
     )
-    # Stage 2: fold ALL num_hashes minhashes in one pass over the shingle
-    # hashes: acc is the running per-hash minimum vector, updated with
-    # zip_with(least). One traversal of the array instead of num_hashes —
-    # the naive per-hash transform() re-evaluates the whole
-    # normalize->tokenize->shingle chain per hash function (measured 60x
-    # slower at sf0.1).
-    init = F.array(*[F.lit(_MERSENNE).cast("long") for _ in coeffs])
     a31s = [a % (1 << 31) for a, _ in coeffs]
-
-    def step(acc, h):
-        cand = F.array(*[
-            F.pmod(F.lit(a31) * h + F.lit(b), F.lit(_MERSENNE))
-            for a31, (_, b) in zip(a31s, coeffs)
-        ])
-        return F.zip_with(acc, cand, lambda x, y: F.least(x, y))
-
-    sig = F.aggregate(F.col("__sh_hash"), init, step)
-    return hashed.select(F.col(id_col), sig.alias("signature"))
+    h = F.col("__h")
+    # empty shingle set (explode_outer null) -> sentinel MERSENNE, matching
+    # the fold identity so short docs still get a well-defined signature
+    aggs = [
+        F.coalesce(
+            F.min(F.pmod(F.lit(a31) * h + F.lit(b), F.lit(_MERSENNE))),
+            F.lit(_MERSENNE).cast("long"),
+        ).alias(f"__m{i}")
+        for i, (a31, (_, b)) in enumerate(zip(a31s, coeffs))
+    ]
+    return (hashed.groupBy(id_col).agg(*aggs)
+            .select(F.col(id_col),
+                    F.array(*[F.col(f"__m{i}") for i in range(len(coeffs))])
+                     .alias("signature")))
 
 
 def _band_hashes(sig_len: int, bands: int) -> list[Column]:
@@ -129,7 +164,9 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
                         num_hashes: int = 64, bands: int = 16,
                         shingle_n: int = 3, seed: int = 42) -> DataFrame:
     """Near-duplicate pairs: MinHash -> LSH banding -> bucket join ->
-    exact token-shingle Jaccard verification of candidates only.
+    exact shingle-set Jaccard verification of candidates only (Jaccard
+    over the shingle HASH sets — identical to string-shingle Jaccard up
+    to 2^-64 collisions, and reuses the hash arrays already computed).
 
     b=16, r=4 puts the S-curve threshold at (1/16)^(1/4) ~ 0.5, so recall
     at 0.8 similarity is ~1; precision comes from the exact verification.
@@ -147,8 +184,8 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
             .select(F.col(f"a.{id_col}").alias("id_a"),
                     F.col(f"b.{id_col}").alias("id_b"))
             .distinct())
-    sh = df.select(F.col(id_col),
-                   F.array_distinct(X.token_ngrams(text_col, shingle_n)).alias("sh"))
+    sh = shingle_hash_sets(df, text_col, id_col, shingle_n) \
+        .withColumnRenamed("shingles", "sh")
     withs = (cand
              .join(sh.select(F.col(id_col).alias("id_a"),
                              F.col("sh").alias("sh_a")), "id_a")
@@ -167,6 +204,8 @@ def simhash_signatures(df: DataFrame, text_col: str = "text",
     64-way bit unpack is the one kernel genuinely awkward as a SQL
     expression). numpy does the bit-count matrix math per batch."""
     from pyspark.sql.functions import pandas_udf
+
+    df = rebalance(df)
 
     @pandas_udf("long")
     def simhash(texts: pd.Series) -> pd.Series:

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.functions import broadcast
 
 from azure_kusto_parquet_conv_spark.functions import vectors as V
+from azure_kusto_parquet_conv_spark.sources.parquet import rebalance
 
 
 def knn_bruteforce(queries: DataFrame, corpus: DataFrame, k: int = 5,
@@ -27,19 +28,24 @@ def knn_bruteforce(queries: DataFrame, corpus: DataFrame, k: int = 5,
                    include_self: bool = False) -> DataFrame:
     """Exact cosine top-k: broadcast(queries) x corpus -> window top-k.
 
+    Both sides are L2-normalized ONCE before the pair space, so the
+    per-pair kernel is a plain dot product (3x less per-pair arithmetic
+    than cosine's dot + two norms — the norms would otherwise be
+    recomputed |Q| times per corpus row).
+
     Output: (query_id, neighbor_id, rank, cosine) with deterministic
     tie-break on neighbor id.
     """
     q = queries.select(F.col(query_id).alias("query_id"),
-                       F.col(query_vec).alias("__qv"))
-    c = corpus.select(F.col(corpus_id).alias("neighbor_id"),
-                      F.col(corpus_vec).alias("__cv"))
+                       V.unit(query_vec).alias("__qv"))
+    c = rebalance(corpus).select(F.col(corpus_id).alias("neighbor_id"),
+                                 V.unit(corpus_vec).alias("__cv"))
     joined = c.crossJoin(broadcast(q))
     if not include_self:
         joined = joined.where(F.col("query_id") != F.col("neighbor_id"))
     sims = joined.select(
         "query_id", "neighbor_id",
-        V.cosine("__qv", "__cv").alias("__sim"),
+        V.dot("__qv", "__cv").alias("__sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("__sim").desc(), F.col("neighbor_id").asc())
@@ -78,10 +84,12 @@ def knn_lsh(queries: DataFrame, corpus: DataFrame, k: int = 5,
     dim = len(corpus.select(corpus_vec).first()[0])
 
     def bucketize(df, id_alias, idc, vecc):
+        # unit vectors: hyperplane sign bits are scale-invariant, and the
+        # exact re-rank then needs only a dot product per candidate
         keys = _bucket_keys(vecc, dim, planes, tables, seed)
         per_table = [
             df.select(F.col(idc).alias(id_alias),
-                      F.col(vecc).alias(f"__{id_alias}_v"),
+                      V.unit(vecc).alias(f"__{id_alias}_v"),
                       F.lit(t).alias("table"),
                       key.alias("bucket"))
             for t, key in enumerate(keys)
@@ -92,7 +100,7 @@ def knn_lsh(queries: DataFrame, corpus: DataFrame, k: int = 5,
         return out
 
     qb = bucketize(queries, "query_id", query_id, query_vec)
-    cb = bucketize(corpus, "neighbor_id", corpus_id, corpus_vec)
+    cb = bucketize(rebalance(corpus), "neighbor_id", corpus_id, corpus_vec)
     cand = (cb.join(broadcast(qb), ["table", "bucket"])
               .select("query_id", "neighbor_id", "__query_id_v",
                       "__neighbor_id_v")
@@ -101,7 +109,7 @@ def knn_lsh(queries: DataFrame, corpus: DataFrame, k: int = 5,
         cand = cand.where(F.col("query_id") != F.col("neighbor_id"))
     sims = cand.select(
         "query_id", "neighbor_id",
-        V.cosine("__query_id_v", "__neighbor_id_v").alias("__sim"))
+        V.dot("__query_id_v", "__neighbor_id_v").alias("__sim"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("__sim").desc(), F.col("neighbor_id").asc())
     return (sims.withColumn("rank", F.row_number().over(w))

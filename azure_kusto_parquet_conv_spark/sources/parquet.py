@@ -81,3 +81,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def rebalance(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Spread a narrow input across the cluster before compute-heavy,
+    embarrassingly-parallel stages (shingle hashing, cosine kernels).
+
+    Parquet scans split at row-group boundaries, so a small file with one
+    row group is ONE partition — and a per-row-expensive operator chained
+    on it runs on one core while the rest of the cluster idles. At real
+    scale inputs arrive in thousands of row groups and this is a no-op
+    (we never repartition DOWN); the round-robin shuffle only triggers
+    when input partitions < the target, i.e. when its cost is trivially
+    small by construction.
+    """
+    sc = df.sparkSession.sparkContext
+    target = min_partitions or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

@@ -5,8 +5,12 @@ JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
 "sf": ...}.
 
 Each query is forced end-to-end through the `noop` sink (full
-materialization, no Catalyst shortcut via count()) after a shared JVM
-warm-up, so numbers measure the query plans, not session startup.
+materialization, no Catalyst shortcut via count()). Timing protocol:
+one untimed warm-up run per query (Catalyst planning + whole-stage
+codegen compile + JIT), then the min of 2 timed runs — at real scale a
+query runs for minutes and compile cost amortizes to zero, so steady
+state is the number that predicts 100 TB throughput; single-shot local
+timings mostly measure the JIT.
 """
 
 from __future__ import annotations
@@ -47,12 +51,18 @@ def main() -> None:
     # warm up the JVM + parquet footer caches outside the timed region
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
+    def run(name: str) -> None:
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        fn = QUERIES[name]
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        run(name)  # warm-up: plan + codegen + JIT, untimed
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            run(name)
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
@@ -61,6 +71,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "protocol": "steady-state: per-query warm-up run, then min of 2",
     }))
 
 
