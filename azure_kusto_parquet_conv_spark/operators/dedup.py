@@ -105,6 +105,28 @@ def shingle_hash_sets(df: DataFrame, text_col: str = "text",
     return df.select(F.col(id_col), F.array_distinct(sh).alias("shingles"))
 
 
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", n: int = 3,
+                        threshold: float = 0.6,
+                        block_col: str | None = None) -> DataFrame:
+    """Token n-gram (shingle) Jaccard >= threshold pairs over a blocked
+    pair space — the order-sensitive sibling of ``jaccard_pairs`` (token
+    SETS ignore word order; shingles catch it). String shingles here so
+    the result is SQL-oracleable; the scale path is ``minhash_dedup_pairs``
+    which never materializes either the strings or the O(n^2) pairs."""
+    t = df.select(F.col(id_col),
+                  *([F.col(block_col)] if block_col else []),
+                  F.array_distinct(X.token_ngrams(text_col, n)).alias("sh"))
+    pairs = _blocked_pairs(t, block_col, id_col)
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+    jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+    return (pairs.select(F.col(f"a.{id_col}").alias("id_a"),
+                         F.col(f"b.{id_col}").alias("id_b"),
+                         F.round(jac, 4).alias("jaccard"))
+                 .where(F.col("jaccard") >= threshold))
+
+
 def minhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", num_hashes: int = 64,
                        shingle_n: int = 3, char_shingles: bool = False,

@@ -28,10 +28,13 @@ from azure_kusto_parquet_conv_spark.functions import text as X
 from azure_kusto_parquet_conv_spark.operators import dedup as D
 from azure_kusto_parquet_conv_spark.operators import relational as R
 from azure_kusto_parquet_conv_spark.operators import similarity as S
-from azure_kusto_parquet_conv_spark.operators.convert import render_json_lines
+from azure_kusto_parquet_conv_spark.operators.convert import (
+    render_csv_cells,
+    render_json_lines,
+)
 from azure_kusto_parquet_conv_spark.session import prepare_session
 from azure_kusto_parquet_conv_spark.sources import metadata as M
-from azure_kusto_parquet_conv_spark.sources.parquet import load_table
+from azure_kusto_parquet_conv_spark.sources.parquet import load_table, read_parquet
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
@@ -121,6 +124,42 @@ def convert_jsonl_region(spark, sf_dir):
     """O4 JSONL sink rendering (converter.rs:128-143) as a queryable op."""
     r = load_table(spark, sf_dir, "region")
     return render_json_lines(r)
+
+
+@query("convert_csv_lineitem", r"""
+SELECT CAST(l_orderkey AS VARCHAR) AS l_orderkey,
+       CAST(l_linenumber AS VARCHAR) AS l_linenumber,
+       regexp_replace(regexp_replace(CAST(l_quantity AS VARCHAR),
+                                     '(\.\d*?)0+$', '\1'),
+                      '\.$', '') AS l_quantity,
+       regexp_replace(regexp_replace(CAST(l_extendedprice AS VARCHAR),
+                                     '(\.\d*?)0+$', '\1'),
+                      '\.$', '') AS l_extendedprice,
+       l_returnflag,
+       strftime(l_shipdate, '%Y-%m-%dT%H:%M:%S.%f') || 'Z' AS l_shipdate
+FROM lineitem
+""")
+def convert_csv_lineitem(spark, sf_dir):
+    """O5 CSV cell rendering (converter.rs:145-208): floats as shortest
+    trailing-zero-stripped text (ryu + truncate, :196-212), timestamps
+    ISO, everything stringly."""
+    df = read_parquet(spark, f"{sf_dir}/lineitem.parquet",
+                      ["l_orderkey", "l_linenumber", "l_quantity",
+                       "l_extendedprice", "l_returnflag", "l_shipdate"])
+    return render_csv_cells(df)
+
+
+@query("q_missing_column_fill", """
+SELECT l_orderkey, l_linenumber, CAST(NULL AS VARCHAR) AS comment_missing
+FROM lineitem
+""")
+def q_missing_column_fill(spark, sf_dir):
+    """O3 missing-column null-fill (converter.rs:46-50,74-85): projection
+    names absent from the file become null columns, never errors."""
+    df = read_parquet(spark, f"{sf_dir}/lineitem.parquet",
+                      ["l_orderkey", "l_linenumber", "comment_missing"])
+    return df.withColumn("comment_missing",
+                         F.col("comment_missing").cast("string"))
 
 
 @query("csl_schema_lineitem", """
@@ -324,6 +363,52 @@ def q_cube(spark, sf_dir):
     return (o.cube("o_orderstatus", "o_orderpriority")
              .agg(F.count("*").alias("n"),
                   F.round(F.sum("o_totalprice"), 2).alias("total")))
+
+
+@query("q_grouping_sets", """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       ROUND(SUM(l_quantity), 2) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+""")
+def q_grouping_sets(spark, sf_dir):
+    """Arbitrary grouping sets (beyond rollup/cube's fixed lattices)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("__gs_lineitem")
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+               ROUND(SUM(l_quantity), 2) AS sum_qty
+        FROM __gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """)
+
+
+@query("q_join_outer", """
+SELECT c_custkey, c_name, o_orderkey, o_orderstatus
+FROM customer FULL OUTER JOIN orders ON c_custkey = o_custkey
+WHERE o_orderkey IS NULL OR c_custkey IS NULL OR o_totalprice > 400000
+""")
+def q_join_outer(spark, sf_dir):
+    """Full-outer join shape: unmatched rows surviving from both sides."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (c.join(o, F.col("c_custkey") == F.col("o_custkey"), "full_outer")
+             .where(F.col("o_orderkey").isNull() | F.col("c_custkey").isNull()
+                    | (F.col("o_totalprice") > 400000))
+             .select("c_custkey", "c_name", "o_orderkey", "o_orderstatus"))
+
+
+@query("q_approx_distinct")  # HLL estimates are engine-specific: rows-only
+def q_approx_distinct(spark, sf_dir):
+    """approx_count_distinct (HyperLogLog++) next to the exact count; the
+    in-repo test asserts the estimate lands within 5% of exact (DuckDB's
+    HLL yields a different estimate, so no value oracle)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.countDistinct("l_orderkey").alias("exact_orders"))
 
 
 @query("q_window_rank", """
@@ -611,6 +696,65 @@ def q_text_quality(spark, sf_dir):
     return d.select("doc_id", X.quality_score("text").alias("quality"))
 
 
+@query("q_token_count", f"""
+WITH t AS (SELECT doc_id, {_NORM_SQL} AS norm, lower(text) AS lt
+           FROM documents)
+SELECT doc_id,
+       CAST(len(string_split(norm, ' ')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(lt, '[a-z]+|[0-9]+|[^a-z0-9\\s]'))
+            AS BIGINT) AS n_bpe_tokens
+FROM t
+""")
+def q_token_count(spark, sf_dir):
+    """Token counting two ways: whitespace and a BPE-ish regex
+    pre-tokenizer (words / numbers / single punctuation marks)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        X.token_count("text").cast("long").alias("n_ws_tokens"),
+        F.size(X.bpe_ish_tokens("text")).cast("long").alias("n_bpe_tokens"))
+
+
+@query("q_text_rolling_fp")  # xxhash64-based rolling hash: no SQL twin
+def q_text_rolling_fp(spark, sf_dir):
+    """Rabin-Karp-style rolling-hash document fingerprint (rows-only;
+    pytest pins determinism and normalization invariance)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", X.fingerprint_rolling("text").alias("fp"))
+
+
+# =======================================================================
+# Multimodal columns (north-star M4): binary payload + typed metadata
+# =======================================================================
+
+@query("q_multimodal_features", """
+SELECT doc_id AS media_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       sha256(text) AS sha256
+FROM documents
+""")
+def q_multimodal_features(spark, sf_dir):
+    """Binary media pipeline: documents -> (payload binary, meta struct)
+    -> mapInPandas feature kernel. Byte counts and digests are oracled;
+    the feature vector itself comes from the deterministic stand-in
+    decoder (operators/multimodal.py)."""
+    from azure_kusto_parquet_conv_spark.operators import multimodal as MM
+    docs = load_table(spark, sf_dir, "documents")
+    feats = MM.extract_features(MM.media_from_documents(docs))
+    return feats.select("media_id", "n_bytes", "sha256")
+
+
+@query("q_multimodal_frames")  # frame explosion kernel: no SQL twin
+def q_multimodal_frames(spark, sf_dir):
+    """Video frame-sampling shape: one row per sampled frame per media
+    payload (rows-only; pytest checks the per-duration frame counts)."""
+    from azure_kusto_parquet_conv_spark.operators import multimodal as MM
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.media_from_documents(docs, kind="video")
+    frames = MM.frame_sample_stub(media, every_ms=100_000)
+    return frames.select("media_id", "frame_idx", "frame_ms")
+
+
 # =======================================================================
 # Deduplication (north-star M4)
 # =======================================================================
@@ -640,6 +784,39 @@ def q_dedup_jaccard(spark, sf_dir):
     """Token-set Jaccard near-dup pairs, blocked by language."""
     d = load_table(spark, sf_dir, "documents")
     return D.jaccard_pairs(d, threshold=0.8, block_col="lang")
+
+
+@query("q_dedup_ngram_jaccard", f"""
+WITH t AS (SELECT doc_id, lang, string_split({_NORM_SQL}, ' ') AS toks
+           FROM documents),
+     s AS (SELECT doc_id, lang,
+                  list_distinct(CASE WHEN len(toks) >= 3
+                    THEN list_transform(range(1, len(toks) - 1),
+                           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                    ELSE CAST([] AS VARCHAR[]) END) AS sh
+           FROM t)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+FROM s a JOIN s b ON a.doc_id < b.doc_id AND a.lang = b.lang
+WHERE ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.sh, b.sh))), 4) >= 0.6
+""")
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """Token 3-gram (shingle) Jaccard near-dup pairs, blocked by language
+    — order-sensitive, unlike the token-set variant."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(d, n=3, threshold=0.6, block_col="lang")
+
+
+@query("q_dedup_embedding")  # hyperplane-LSH candidates: no SQL equivalent
+def q_dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup pairs via random-hyperplane LSH buckets +
+    exact verification (rows-only; pytest checks planted pairs appear).
+    Threshold 0.4 matches the fixture's similarity range (the synthetic
+    embeddings top out near 0.5 cosine)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return D.embedding_near_dup(e, threshold=0.4)
 
 
 @query("q_dedup_minhash")  # seeded xxhash64 minhashes: no SQL equivalent
