@@ -4,10 +4,15 @@
   (queries are small by construction); the corpus streams through codegen,
   and per-query top-k is a window over (query, -sim) — no corpus shuffle
   beyond the final per-query k rows.
-- ``knn_lsh``: the scale path. Random-hyperplane sign buckets on both
-  sides restrict the dot products to colliding buckets; multiple hash
-  tables trade recall for cost. At 100 TB the corpus bucketing is a
-  one-off pre-partitioning job and queries touch only their buckets.
+- ``knn_lsh``: random-hyperplane sign buckets on both sides restrict the
+  dot products to colliding buckets; multiple hash tables trade recall
+  for cost.
+- ``knn_ivf``: the other classic scale path — spherical k-means centroids
+  (trained driver-side on a sample, the standard IVF recipe) partition
+  the corpus into inverted lists; each query probes only its ``n_probe``
+  closest lists. At 100 TB the list assignment is a one-off job whose
+  output is written partitioned by list id, so a query's scan prunes to
+  n_probe/n_lists of the corpus.
 
 The reference has no similarity surface (SURVEY.md §2.4).
 """
@@ -47,6 +52,89 @@ def knn_bruteforce(queries: DataFrame, corpus: DataFrame, k: int = 5,
         "query_id", "neighbor_id",
         V.dot("__qv", "__cv").alias("__sim"),
     )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__sim").desc(), F.col("neighbor_id").asc())
+    return (sims.withColumn("rank", F.row_number().over(w))
+                .where(F.col("rank") <= k)
+                .select("query_id", "neighbor_id", "rank",
+                        F.round("__sim", 4).alias("cosine")))
+
+
+def train_ivf_centroids(corpus: DataFrame, vec_col: str = "embedding",
+                        n_lists: int = 16, sample_size: int = 10_000,
+                        iters: int = 10, seed: int = 42) -> list[list[float]]:
+    """Spherical k-means centroids from a corpus sample (driver-side
+    numpy — IVF training is a tiny-sample problem even for a 100 TB
+    corpus; only the ASSIGNMENT must be distributed)."""
+    import numpy as np
+
+    rows = (corpus.select(vec_col).limit(sample_size).collect())
+    X = np.array([r[0] for r in rows], dtype=np.float64)
+    X /= np.linalg.norm(X, axis=1, keepdims=True) + 1e-12
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=min(n_lists, len(X)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for j in range(len(C)):
+            members = X[assign == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+        C /= np.linalg.norm(C, axis=1, keepdims=True) + 1e-12
+    return [[float(v) for v in c] for c in C]
+
+
+def assign_ivf_list(df: DataFrame, centroids: list[list[float]],
+                    vec_col: str = "__v") -> DataFrame:
+    """Add ``list_id`` = argmax centroid dot product. Centroid literals
+    compile into the expression tree, so assignment runs next to the scan
+    with no shuffle; write the result partitioned by ``list_id`` to make
+    probe-time pruning a partition-pruned scan."""
+    cents = [F.array(*[F.lit(x) for x in c]) for c in centroids]
+    dots = F.array(*[V.dot(F.col(vec_col), c) for c in cents])
+    return df.withColumn(
+        "list_id", F.array_position(dots, F.array_max(dots)).cast("int"))
+
+
+def _probe_lists(vec_col: str, centroids: list[list[float]],
+                 n_probe: int):
+    """array<int> of the n_probe list ids nearest to the vector: sort
+    (−dot, id) structs ascending, slice, project the id."""
+    cents = [F.array(*[F.lit(x) for x in c]) for c in centroids]
+    pairs = F.array(*[
+        F.struct((-V.dot(F.col(vec_col), c)).alias("neg"),
+                 F.lit(i + 1).alias("lid"))
+        for i, c in enumerate(cents)
+    ])
+    top = F.slice(F.array_sort(pairs), 1, n_probe)
+    return F.transform(top, lambda s: s["lid"])
+
+
+def knn_ivf(queries: DataFrame, corpus: DataFrame, k: int = 5,
+            query_id: str = "vec_id", corpus_id: str = "vec_id",
+            query_vec: str = "embedding", corpus_vec: str = "embedding",
+            n_lists: int = 16, n_probe: int = 4, seed: int = 42,
+            centroids: list[list[float]] | None = None,
+            include_self: bool = False) -> DataFrame:
+    """IVF approximate top-k: corpus partitioned into ``n_lists`` inverted
+    lists by nearest spherical-k-means centroid; each query scans only its
+    ``n_probe`` nearest lists. Recall rises with n_probe (n_probe=n_lists
+    is exact brute force, so the knob trades cost for recall smoothly)."""
+    if centroids is None:
+        centroids = train_ivf_centroids(corpus, corpus_vec, n_lists,
+                                        seed=seed)
+    c = assign_ivf_list(
+        rebalance(corpus).select(F.col(corpus_id).alias("neighbor_id"),
+                                 V.unit(corpus_vec).alias("__v")),
+        centroids)
+    q = (queries.select(F.col(query_id).alias("query_id"),
+                        V.unit(query_vec).alias("__qv"))
+         .withColumn("list_id",
+                     F.explode(_probe_lists("__qv", centroids, n_probe))))
+    cand = c.join(broadcast(q), "list_id")
+    if not include_self:
+        cand = cand.where(F.col("query_id") != F.col("neighbor_id"))
+    sims = cand.select("query_id", "neighbor_id",
+                       V.dot("__qv", "__v").alias("__sim"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("__sim").desc(), F.col("neighbor_id").asc())
     return (sims.withColumn("rank", F.row_number().over(w))

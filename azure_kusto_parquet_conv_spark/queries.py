@@ -405,9 +405,9 @@ def q_approx_distinct(spark, sf_dir):
     HLL yields a different estimate, so no value oracle)."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
         F.countDistinct("l_partkey").alias("exact_parts"),
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
         F.countDistinct("l_orderkey").alias("exact_orders"))
 
 
@@ -862,6 +862,15 @@ def q_knn_bruteforce(spark, sf_dir):
         F.col("cosine").desc(), F.col("neighbor_id"))
     return (out.withColumn("rank", F.row_number().over(w).cast("long"))
                .select("query_id", "neighbor_id", "rank", "cosine"))
+
+
+@query("q_knn_ivf")  # sampled k-means centroids: no SQL equivalent
+def q_knn_ivf(spark, sf_dir):
+    """IVF-partitioned approximate top-5 (rows-only; pytest measures
+    recall against the brute-force truth)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 20)
+    return S.knn_ivf(q, e, k=5, n_lists=16, n_probe=6)
 
 
 @query("q_knn_lsh")  # seeded random hyperplanes: no SQL equivalent

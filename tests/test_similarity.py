@@ -54,6 +54,40 @@ def test_knn_lsh_recall(spark, sf_dir):
     assert recall >= 0.5, f"LSH recall {recall:.2f} too low"
 
 
+def test_knn_ivf_recall(spark, sf_dir):
+    """IVF top-5 with n_probe=6/16 must recover most of the exact top-5,
+    and n_probe=n_lists must be exactly the brute-force result."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 10)
+    exact = S.knn_bruteforce(q, e, k=5).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    approx = S.knn_ivf(q, e, k=5, n_lists=16, n_probe=6).collect()
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(len(truth & approx_sets.get(qid, set()))
+               for qid, truth in exact_sets.items())
+    total = sum(len(t) for t in exact_sets.values())
+    assert hits / total >= 0.6, f"IVF recall {hits/total:.2f} too low"
+
+    full = S.knn_ivf(q, e, k=5, n_lists=8, n_probe=8).collect()
+    full_pairs = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in full}
+    exact_pairs = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in exact}
+    assert full_pairs == exact_pairs, "n_probe=n_lists must equal brute force"
+
+
+def test_approx_distinct_within_5pct(spark, sf_dir):
+    from azure_kusto_parquet_conv_spark.queries import QUERIES
+    row = QUERIES["q_approx_distinct"](spark, sf_dir).collect()[0]
+    for a, x in (("approx_parts", "exact_parts"),
+                 ("approx_orders", "exact_orders")):
+        rel = abs(row[a] - row[x]) / row[x]
+        assert rel <= 0.05, f"{a}={row[a]} vs {x}={row[x]} ({rel:.1%})"
+
+
 def test_knn_plan_broadcasts_queries(spark, sf_dir):
     from azure_kusto_parquet_conv_spark.plans import join_strategies
     e = load_table(spark, sf_dir, "embeddings")
