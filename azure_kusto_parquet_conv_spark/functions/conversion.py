@@ -129,11 +129,13 @@ def real_text(c: Column | str) -> Column:
     unmodified, matching ryu's shortest-representation behavior.
     """
     s = nan_inf_to_null(c).cast("string")
-    stripped = F.regexp_replace(s, r"(\.\d*?)0+$", r"$1")
-    return F.when(
-        s.contains("E") | s.contains("e"),
-        s,
-    ).otherwise(F.regexp_replace(stripped, r"\.$", ""))
+    # Spark's double->string (Java Double.toString) is already the
+    # shortest round-trip form, so the only trailing-zero case it emits
+    # is the integral "X.0" — a cheap endswith branch, not a regex (the
+    # lazy-quantifier regex cost ~2x on a 600k-row CSV render).
+    # Scientific-notation outputs pass through, matching ryu's behavior.
+    return F.when(s.endswith(".0") & ~s.contains("E"),
+                  s.substr(F.lit(1), F.length(s) - 2)).otherwise(s)
 
 
 # --------------------------------------------------------------------------

@@ -192,9 +192,16 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
 
     b=16, r=4 puts the S-curve threshold at (1/16)^(1/4) ~ 0.5, so recall
     at 0.8 similarity is ~1; precision comes from the exact verification.
+
+    Signatures are persisted (memory-and-disk): the LSH self-join scans
+    them once per side and exchange reuse does not fire across the join
+    aliases, so without the persist the whole scan->shingle->agg chain
+    runs twice. At scale this is the step a real pipeline materializes
+    to storage anyway (signatures are ~num_hashes longs per doc, tiny
+    next to the text).
     """
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n,
-                              seed=seed)
+                              seed=seed).persist()
     banded = sigs.select(
         F.col(id_col),
         F.explode(F.array(*_band_hashes(num_hashes, bands))).alias("band_hash"),

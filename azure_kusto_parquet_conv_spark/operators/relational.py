@@ -125,6 +125,29 @@ def sessionize(df: DataFrame, key: str, ts: str = "ts",
               .drop("__new"))
 
 
+def salted_count_distinct(df: DataFrame, key: str, value: str,
+                          buckets: int = 32,
+                          out_col: str = "n_distinct") -> DataFrame:
+    """Exact COUNT(DISTINCT value) per key, skew-proof.
+
+    A plain count-distinct shuffles every (key, value) row of a hot key
+    into ONE reducer partition. Salting by ``hash(value) % buckets``
+    splits each key's values across ``buckets`` partitions; distinct
+    values land in exactly one bucket, so summing per-bucket distinct
+    counts is exact. Two bounded shuffles replace one unbounded hot one —
+    the property that survives a key holding 10% of 100 TB. (For merely
+    *large* but unskewed keys, Spark's partial aggregation is already
+    enough; use this when one key dominates.)
+    """
+    salted = df.select(
+        F.col(key), F.col(value),
+        F.pmod(F.xxhash64(F.col(value)), F.lit(buckets)).alias("__salt"))
+    per_bucket = (salted.groupBy(key, "__salt")
+                  .agg(F.countDistinct(value).alias("__c")))
+    return (per_bucket.groupBy(key)
+            .agg(F.sum("__c").cast("long").alias(out_col)))
+
+
 def top_k_per_group(df: DataFrame, group_cols: list[str],
                     order_by: list[Column], k: int,
                     rank_col: str = "rn") -> DataFrame:

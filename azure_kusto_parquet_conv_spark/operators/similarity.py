@@ -19,6 +19,7 @@ The reference has no similarity surface (SURVEY.md §2.4).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.functions import broadcast
 
@@ -83,30 +84,56 @@ def train_ivf_centroids(corpus: DataFrame, vec_col: str = "embedding",
     return [[float(v) for v in c] for c in C]
 
 
+def _stack(series) -> "object":
+    """pandas Series of array<double> -> (rows, dim) float64 matrix;
+    null vectors become zero rows (they dot to 0 with every centroid)."""
+    import numpy as np
+    vals = series.to_numpy()
+    dim = next((len(v) for v in vals if v is not None), 0)
+    return np.vstack([np.zeros(dim) if v is None else np.asarray(v)
+                      for v in vals])
+
+
 def assign_ivf_list(df: DataFrame, centroids: list[list[float]],
                     vec_col: str = "__v") -> DataFrame:
-    """Add ``list_id`` = argmax centroid dot product. Centroid literals
-    compile into the expression tree, so assignment runs next to the scan
-    with no shuffle; write the result partitioned by ``list_id`` to make
-    probe-time pruning a partition-pruned scan."""
-    cents = [F.array(*[F.lit(x) for x in c]) for c in centroids]
-    dots = F.array(*[V.dot(F.col(vec_col), c) for c in cents])
-    return df.withColumn(
-        "list_id", F.array_position(dots, F.array_max(dots)).cast("int"))
+    """Add ``list_id`` = (1-based) argmax centroid dot product.
+
+    Arrow-batched pandas UDF with the centroid matrix captured in the
+    closure: one (batch x dim) @ (dim x n_lists) matmul per batch.
+    (Catalyst-literal centroids were tried first: a 16x64-literal
+    expression tree per row optimizes/compiles for seconds and still
+    evaluates interpreted — dense linear algebra is the declared
+    pandas-UDF case.) Assignment is narrow (no shuffle); at scale, write
+    the output partitioned by ``list_id`` so probing prunes partitions.
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.float64).T  # dim x n_lists
+
+    @pandas_udf("int")
+    def nearest(v: pd.Series) -> pd.Series:
+        dots = _stack(v) @ C
+        return pd.Series(np.argmax(dots, axis=1) + 1).astype("int32")
+
+    return df.withColumn("list_id", nearest(F.col(vec_col)))
 
 
-def _probe_lists(vec_col: str, centroids: list[list[float]],
-                 n_probe: int):
-    """array<int> of the n_probe list ids nearest to the vector: sort
-    (−dot, id) structs ascending, slice, project the id."""
-    cents = [F.array(*[F.lit(x) for x in c]) for c in centroids]
-    pairs = F.array(*[
-        F.struct((-V.dot(F.col(vec_col), c)).alias("neg"),
-                 F.lit(i + 1).alias("lid"))
-        for i, c in enumerate(cents)
-    ])
-    top = F.slice(F.array_sort(pairs), 1, n_probe)
-    return F.transform(top, lambda s: s["lid"])
+def _probe_lists_udf(centroids: list[list[float]], n_probe: int):
+    """pandas UDF: vector -> array<int> of its n_probe nearest list ids
+    (stable argsort on -dot, ties to the lower id, matching assignment)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.float64).T
+
+    @pandas_udf("array<int>")
+    def probes(v: pd.Series) -> pd.Series:
+        dots = _stack(v) @ C
+        order = np.argsort(-dots, axis=1, kind="stable")[:, :n_probe] + 1
+        return pd.Series([row.astype("int32").tolist() for row in order])
+
+    return probes
 
 
 def knn_ivf(queries: DataFrame, corpus: DataFrame, k: int = 5,
@@ -126,10 +153,10 @@ def knn_ivf(queries: DataFrame, corpus: DataFrame, k: int = 5,
         rebalance(corpus).select(F.col(corpus_id).alias("neighbor_id"),
                                  V.unit(corpus_vec).alias("__v")),
         centroids)
+    probes = _probe_lists_udf(centroids, n_probe)
     q = (queries.select(F.col(query_id).alias("query_id"),
                         V.unit(query_vec).alias("__qv"))
-         .withColumn("list_id",
-                     F.explode(_probe_lists("__qv", centroids, n_probe))))
+         .withColumn("list_id", F.explode(probes(F.col("__qv")))))
     cand = c.join(broadcast(q), "list_id")
     if not include_self:
         cand = cand.where(F.col("query_id") != F.col("neighbor_id"))

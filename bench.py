@@ -31,10 +31,14 @@ HEADLINE = [
     "q_tumbling_window",
     "convert_isostr",
     "convert_jsonl_region",
+    "convert_csv_lineitem",
     "q_text_quality",
     "q_dedup_exact",
     "q_dedup_minhash",
     "q_knn_bruteforce",
+    "q_knn_ivf",
+    "q_salted_distinct",
+    "q_multimodal_features",
 ]
 
 
