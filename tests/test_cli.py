@@ -1,0 +1,78 @@
+"""CLI parity: flag surface, dispatch order, output bytes
+(pq2json/src/main.rs:10-157 behavior through the Spark engine)."""
+
+import json
+
+import pytest
+
+from azure_kusto_parquet_conv_spark.cli import main
+
+
+@pytest.fixture(autouse=True)
+def _reuse_session(spark):
+    """get_spark().getOrCreate() inside the CLI reuses the test session."""
+    yield
+
+
+def test_cli_jsonl_stdout(sf_dir, capsysbinary):
+    rc = main([f"{sf_dir}/region.parquet"])
+    assert rc == 0
+    lines = capsysbinary.readouterr().out.decode().strip().split("\n")
+    assert len(lines) == 5
+    row = json.loads(lines[0])
+    assert set(row) == {"r_regionkey", "r_name"}
+
+
+def test_cli_csv_to_file(sf_dir, tmp_path):
+    out = tmp_path / "region.csv"
+    rc = main(["--csv", "-o", str(out), f"{sf_dir}/region.parquet"])
+    assert rc == 0
+    data = out.read_bytes()
+    assert b"\r" in data and b"\n" not in data  # \r-only terminator
+    assert b"AFRICA" in data
+
+
+def test_cli_columns_projection_and_missing(sf_dir, capsysbinary):
+    rc = main(["--columns", '["r_name","nope"]', f"{sf_dir}/region.parquet"])
+    assert rc == 0
+    row = json.loads(capsysbinary.readouterr().out.decode().split("\n")[0])
+    assert row == {"r_name": "AFRICA", "nope": None}
+
+
+def test_cli_malformed_columns_errors(sf_dir, capsysbinary):
+    rc = main(["--columns", "not json", f"{sf_dir}/region.parquet"])
+    assert rc == 255  # reference exits -1 on the parse panic
+
+
+def test_cli_cslschema(sf_dir, capsysbinary):
+    rc = main(["--cslschema", f"{sf_dir}/lineitem.parquet"])
+    assert rc == 0
+    out = json.loads(capsysbinary.readouterr().out.decode())
+    by_name = {d["name"]: d["type"] for d in out}
+    assert by_name["l_orderkey"] == "long"
+    assert by_name["l_quantity"] == "real"
+    assert by_name["l_returnflag"] == "string"
+    assert by_name["l_shipdate"] == "datetime"
+
+
+def test_cli_rowgroups(sf_dir, capsysbinary):
+    rc = main(["--rowgroups", f"{sf_dir}/lineitem.parquet"])
+    assert rc == 0
+    out = json.loads(capsysbinary.readouterr().out.decode())
+    assert out and set(out[0]) == {"numberOfRows", "totalByteSize"}
+    assert all(isinstance(v, str) for v in out[0].values())  # strings, as ref
+
+
+def test_cli_schema_priority_over_convert(sf_dir, capsysbinary):
+    """--schema wins over conversion flags (dispatch order main.rs:149-157)."""
+    rc = main(["--schema", "--csv", f"{sf_dir}/region.parquet"])
+    assert rc == 0
+    out = capsysbinary.readouterr().out.decode()
+    assert "num_rows" in out and "Schema:" in out
+
+
+def test_cli_timestamp_modes(sf_dir, capsysbinary):
+    rc = main(["--timestamp", "unixms", f"{sf_dir}/events.parquet"])
+    assert rc == 0
+    row = json.loads(capsysbinary.readouterr().out.decode().split("\n")[0])
+    assert isinstance(row["ts"], int)  # raw ms, not ISO text
