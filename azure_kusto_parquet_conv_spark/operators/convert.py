@@ -84,13 +84,16 @@ def _rendered_columns(df: DataFrame, opts: ConvertOptions) -> list[Column]:
     ]
 
 
-def render_json_lines(df: DataFrame, opts: ConvertOptions | None = None) -> DataFrame:
+def render_json_lines(df: DataFrame, opts: ConvertOptions | None = None,
+                      keep: tuple[str, ...] = ()) -> DataFrame:
     """DataFrame -> single-column ``line`` DataFrame of JSON-Lines text.
 
     - one JSON object per row (converter.rs:128-143)
     - ``omit_nulls`` -> serializer drops null fields (converter.rs:220,271)
     - a row that renders to JSON null normalizes to ``{}``
       (converter.rs:135-139)
+    - ``keep`` carries named source columns alongside ``line`` (for a
+      partitioned sink's keys)
     """
     opts = opts or ConvertOptions()
     row = F.struct(*_rendered_columns(df, opts))
@@ -102,7 +105,8 @@ def render_json_lines(df: DataFrame, opts: ConvertOptions | None = None) -> Data
                 all_null = all_null & cond
             row = F.when(~all_null, row)
     line = F.to_json(row, {"ignoreNullFields": "true" if opts.omit_nulls else "false"})
-    return df.select(F.coalesce(line, F.lit("{}")).alias("line"))
+    return df.select(F.coalesce(line, F.lit("{}")).alias("line"),
+                     *[F.col(k) for k in keep])
 
 
 def render_csv_cells(df: DataFrame, opts: ConvertOptions | None = None) -> DataFrame:
@@ -131,25 +135,41 @@ def render_csv_cells(df: DataFrame, opts: ConvertOptions | None = None) -> DataF
 
 def convert(spark: SparkSession, src: str, out_path: str | None = None,
             options: ConvertOptions | None = None,
-            single_file: bool = False) -> DataFrame:
+            single_file: bool = False,
+            partition_by: list[str] | None = None) -> DataFrame:
     """End-to-end convert: Parquet scan -> rendered lines/cells [-> sink].
 
     Equivalent of ``pq2json [flags] <file> [-o out]`` (main.rs:112-147).
     Returns the rendered DataFrame either way (lazy; nothing runs until the
     sink or the caller acts on it).
+
+    ``partition_by`` (extension; the reference writes one stream) emits a
+    hive-partitioned directory keyed on the named INPUT columns — the
+    at-scale output layout, one file per (partition, task), so downstream
+    scans prune. Mutually exclusive with ``single_file``, which exists
+    only for byte-exact stdout-style output at small scale.
     """
     options = options or ConvertOptions()
+    if partition_by and single_file:
+        raise ValueError("partition_by and single_file are mutually exclusive")
     df = read_parquet(spark, src, options.columns)
     if options.csv:
         rendered = render_csv_cells(df, options)
-        if out_path:
-            w = rendered.coalesce(1) if single_file else rendered
-            (w.write.mode("overwrite")
-              .options(lineSep="\r", nullValue="", emptyValue="\"\"")
-              .csv(out_path))
+        sink_opts = {"lineSep": "\r", "nullValue": "", "emptyValue": "\"\""}
+        fmt = "csv"
     else:
         rendered = render_json_lines(df, options)
-        if out_path:
+        sink_opts = {}
+        fmt = "text"
+    if out_path:
+        if partition_by:
+            # text sink: re-render with the partition keys carried beside
+            # the line; CSV cells already contain them as text
+            out = (render_json_lines(df, options, keep=tuple(partition_by))
+                   if fmt == "text" else rendered)
+            (out.write.mode("overwrite").options(**sink_opts)
+                .partitionBy(*partition_by).format(fmt).save(out_path))
+        else:
             w = rendered.coalesce(1) if single_file else rendered
-            w.write.mode("overwrite").text(out_path)
+            w.write.mode("overwrite").options(**sink_opts).format(fmt).save(out_path)
     return rendered

@@ -178,6 +178,29 @@ def csl_schema_lineitem(spark, sf_dir):
                                  "name string, type string")
 
 
+@query("q_schema_lineitem")  # footer text dump: no SQL equivalent
+def q_schema_lineitem(spark, sf_dir):
+    """O7 schema print (schema.rs:18-35): file metadata + schema text as
+    one row per line (rows-only; golden text pinned in test_metadata)."""
+    text = M.schema_text(f"{sf_dir}/lineitem.parquet")
+    return spark.createDataFrame([(i, l) for i, l in enumerate(text.split("\n"))],
+                                 "line_no int, line string")
+
+
+@query("q_convert_binary")  # byte-array rendering: no portable SQL twin
+def q_convert_binary(spark, sf_dir):
+    """F7 binary -> JSON array of byte numbers (converter.rs:283-289),
+    exercised over the multimodal payload column (rows-only; exact bytes
+    pinned by the golden test on the t_binary fixture)."""
+    from azure_kusto_parquet_conv_spark.functions.conversion import bytes_to_int_array
+    from azure_kusto_parquet_conv_spark.operators import multimodal as MM
+    docs = load_table(spark, sf_dir, "documents").limit(100)
+    media = MM.media_from_documents(docs)
+    return media.select("media_id",
+                        F.size(bytes_to_int_array("payload")).alias("n_bytes"),
+                        F.slice(bytes_to_int_array("payload"), 1, 8).alias("head"))
+
+
 @query("rowgroups_lineitem")  # footer introspection: no SQL equivalent
 def rowgroups_lineitem(spark, sf_dir):
     """O9 row-group metadata (schema.rs:118-143); rows-only check — the

@@ -56,6 +56,20 @@ def test_multi_file_directory_scan(spark, tmp_path):
     assert df.count() == 6
 
 
+def test_partitioned_write(spark, sf_dir, tmp_path):
+    """convert(partition_by=...) emits a hive-partitioned JSONL layout."""
+    from azure_kusto_parquet_conv_spark.operators.convert import convert
+    out = str(tmp_path / "by_region")
+    convert(spark, f"{sf_dir}/region.parquet", out,
+            partition_by=["r_regionkey"])
+    dirs = sorted(p.name for p in (tmp_path / "by_region").iterdir()
+                  if p.name.startswith("r_regionkey="))
+    assert dirs == [f"r_regionkey={i}" for i in range(5)]
+    # each partition's lines still carry the full JSON object
+    f = next((tmp_path / "by_region" / "r_regionkey=0").glob("part-*.txt"))
+    assert json.loads(f.read_text().strip())["r_regionkey"] == 0
+
+
 def test_partitioned_directory_scan(spark, tmp_path):
     d = tmp_path / "parts"
     for k in ("p1", "p2"):
