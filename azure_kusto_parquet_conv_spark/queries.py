@@ -400,6 +400,87 @@ def q_cube(spark, sf_dir):
                   F.round(F.sum("o_totalprice"), 2).alias("total")))
 
 
+@query("q_scalar_subquery", """
+SELECT l_partkey,
+       ROUND(SUM(l_extendedprice), 2) AS small_order_revenue,
+       COUNT(*) AS n
+FROM lineitem
+WHERE l_quantity < (SELECT 0.5 * AVG(l_quantity) FROM lineitem li2
+                    WHERE li2.l_partkey = lineitem.l_partkey)
+GROUP BY l_partkey
+""")
+def q_scalar_subquery(spark, sf_dir):
+    """Correlated scalar subquery (TPC-H Q17 shape), decorrelated by hand
+    the way Catalyst would: per-key avg once, broadcast back onto the
+    fact — one scan pays the aggregate, not one subquery per row."""
+    li = load_table(spark, sf_dir, "lineitem")
+    avg_qty = (li.groupBy("l_partkey")
+                 .agg((F.avg("l_quantity") * 0.5).alias("__half_avg")))
+    return (li.join(F.broadcast(avg_qty), "l_partkey")
+              .where(F.col("l_quantity") < F.col("__half_avg"))
+              .groupBy("l_partkey")
+              .agg(F.round(F.sum("l_extendedprice"), 2)
+                    .alias("small_order_revenue"),
+                   F.count("*").alias("n")))
+
+
+@query("q_conditional_agg", """
+SELECT o_orderpriority,
+       COUNT(*) AS n,
+       SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_fulfilled,
+       ROUND(SUM(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2)
+         AS open_value
+FROM orders GROUP BY o_orderpriority
+""")
+def q_conditional_agg(spark, sf_dir):
+    """Conditional aggregation (CASE-pivot) — one pass, no joins."""
+    o = load_table(spark, sf_dir, "orders")
+    return (o.groupBy("o_orderpriority")
+             .agg(F.count("*").alias("n"),
+                  F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+                   .alias("n_fulfilled"),
+                  F.round(F.sum(F.when(F.col("o_orderstatus") == "O",
+                                       F.col("o_totalprice"))), 2)
+                   .alias("open_value")))
+
+
+@query("q_string_predicates", """
+SELECT p_partkey, upper(p_name) AS name_upper,
+       substring(p_type, 1, 5) AS type_head,
+       p_name || '/' || p_type AS tagged
+FROM part
+WHERE p_name LIKE '%ol%' AND p_type NOT LIKE 'SMALL%'
+""")
+def q_string_predicates(spark, sf_dir):
+    """String scalar functions + LIKE predicates (the startswith NOT LIKE
+    pushes to the scan as a filter)."""
+    p = load_table(spark, sf_dir, "part")
+    return (p.where(F.col("p_name").like("%ol%")
+                    & ~F.col("p_type").like("SMALL%"))
+             .select("p_partkey",
+                     F.upper("p_name").alias("name_upper"),
+                     F.substring("p_type", 1, 5).alias("type_head"),
+                     F.concat_ws("/", "p_name", "p_type").alias("tagged")))
+
+
+@query("q_min_max_by", """
+SELECT l_returnflag,
+       arg_min(l_orderkey, l_extendedprice) AS cheapest_order,
+       arg_max(l_orderkey, l_extendedprice) AS priciest_order,
+       ROUND(MIN(l_extendedprice), 2) AS min_price,
+       ROUND(MAX(l_extendedprice), 2) AS max_price
+FROM lineitem GROUP BY l_returnflag
+""")
+def q_min_max_by(spark, sf_dir):
+    """min_by/max_by: the argmin/argmax aggregates."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+              .agg(F.min_by("l_orderkey", "l_extendedprice").alias("cheapest_order"),
+                   F.max_by("l_orderkey", "l_extendedprice").alias("priciest_order"),
+                   F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+                   F.round(F.max("l_extendedprice"), 2).alias("max_price")))
+
+
 @query("q_grouping_sets", """
 SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
        ROUND(SUM(l_quantity), 2) AS sum_qty

@@ -1,0 +1,77 @@
+"""Property-based round-trip tests (SURVEY.md §5): Hypothesis generates
+edge values, one Spark job per example batch, and the engine's rendered
+output must match an independently-computed reference semantic
+(converter.rs branches cited per property)."""
+
+import datetime as dt
+import math
+import struct
+
+from hypothesis import given, settings, strategies as st
+
+from azure_kusto_parquet_conv_spark.functions import conversion as C
+from azure_kusto_parquet_conv_spark.settings import (
+    I64_MAX,
+    TICKS_AT_UNIX_EPOCH,
+    TICKS_PER_MS,
+)
+
+_SETTINGS = dict(max_examples=10, deadline=None)
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.floats(allow_nan=True, allow_infinity=True,
+                          allow_subnormal=False), min_size=1, max_size=40))
+def test_float_null_and_text_roundtrip(spark, xs):
+    """NaN/Inf -> null (converter.rs:291-295); finite values' CSV text
+    parses back to the exact same double (shortest-round-trip contract,
+    converter.rs:196-212)."""
+    df = spark.createDataFrame([(x,) for x in xs], "x double")
+    rows = df.select(C.nan_inf_to_null("x").alias("n"),
+                     C.real_text("x").alias("t")).collect()
+    for x, r in zip(xs, rows):
+        if math.isnan(x) or math.isinf(x):
+            assert r["n"] is None and r["t"] is None
+        else:
+            assert r["n"] == x
+            assert float(r["t"]) == x          # round-trips exactly
+            if "E" not in r["t"]:
+                assert not r["t"].endswith(".0")   # trailing-zero strip
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.integers(min_value=0, max_value=2**64 - 1),
+                min_size=1, max_size=40))
+def test_uint64_twos_complement(spark, us):
+    """u64 -> i64 bit-reinterpretation under convert_types
+    (converter.rs:297-303): must equal struct-unpack of the same bits."""
+    df = spark.createDataFrame([(str(u),) for u in us], "s string") \
+              .selectExpr("CAST(s AS DECIMAL(20,0)) AS u")
+    rows = df.select(C.uint64_to_long("u").alias("v")).collect()
+    for u, r in zip(us, rows):
+        expect = struct.unpack("<q", struct.pack("<Q", u))[0]
+        assert r["v"] == expect, f"{u}: {r['v']} != {expect}"
+
+
+@settings(**_SETTINGS)
+@given(st.lists(
+    st.datetimes(min_value=dt.datetime(1, 1, 1, 1, 0, 0),
+                 max_value=dt.datetime(9999, 12, 31, 22, 59, 59),
+                 timezones=st.none()),
+    min_size=1, max_size=30))
+def test_ticks_and_unixms_formulas(spark, ts):
+    """ticks = ms*10000 + .NET epoch offset, overflow -> null
+    (converter.rs:305-317); unixms is the raw ms (converter.rs:330).
+    Reference values computed with pure-Python datetime arithmetic."""
+    df = spark.createDataFrame([(t,) for t in ts], "t timestamp")
+    rows = df.select(C.ticks("t").alias("ticks"),
+                     C.unix_ms("t").alias("ms")).collect()
+    epoch = dt.datetime(1970, 1, 1)
+    for t, r in zip(ts, rows):
+        ms = (t - epoch) // dt.timedelta(microseconds=1) // 1000
+        assert r["ms"] == ms
+        expected_ticks = ms * TICKS_PER_MS + TICKS_AT_UNIX_EPOCH
+        if -I64_MAX <= expected_ticks <= I64_MAX:
+            assert r["ticks"] == expected_ticks
+        else:
+            assert r["ticks"] is None
