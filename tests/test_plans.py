@@ -63,3 +63,29 @@ def test_convert_pipeline_is_shuffle_free(spark, sf_dir):
 def test_sort_limit_uses_take_ordered(spark, sf_dir):
     df = QUERIES["q_sort_limit"](spark, sf_dir)
     assert "TakeOrderedAndProject" in executed_plan(df)
+
+
+def test_salted_distinct_is_two_stage(spark, sf_dir):
+    """Both aggregation stages must survive in the plan: per-(key,salt)
+    distinct then per-key sum — the shape that bounds a hot key."""
+    plan = executed_plan(QUERIES["q_salted_distinct"](spark, sf_dir))
+    assert plan.count("HashAggregate") >= 4, plan[:1500]  # partial+final x2
+
+
+def test_scalar_subquery_broadcasts_aggregate(spark, sf_dir):
+    """The decorrelated per-key average must come back via broadcast, not
+    a fact-sized shuffle join."""
+    joins = join_strategies(QUERIES["q_scalar_subquery"](spark, sf_dir))
+    assert "BroadcastHashJoin" in joins, joins
+
+
+def test_string_not_like_pushes_to_scan(spark, sf_dir):
+    df = QUERIES["q_string_predicates"](spark, sf_dir)
+    assert has_pushed_filters(df, "p_name"), executed_plan(df)[:1500]
+
+
+def test_minhash_persists_signatures(spark, sf_dir):
+    """The LSH self-join must scan the cached signatures, not recompute
+    the shingle->aggregate chain per side."""
+    plan = executed_plan(QUERIES["q_dedup_minhash"](spark, sf_dir))
+    assert "InMemoryTableScan" in plan, plan[:1500]
