@@ -56,6 +56,43 @@ def test_multi_file_directory_scan(spark, tmp_path):
     assert df.count() == 6
 
 
+def test_jsonl_roundtrip_to_parquet(spark, sf_dir, tmp_path):
+    """parquet -> JSONL (engine sink) -> JSONL source -> parquet -> scan:
+    values survive the full round trip."""
+    from azure_kusto_parquet_conv_spark.operators.convert import convert
+    from azure_kusto_parquet_conv_spark.sources.text import read_jsonl, write_parquet
+
+    jdir = str(tmp_path / "jsonl")
+    convert(spark, f"{sf_dir}/nation.parquet", jdir)
+    back = read_jsonl(spark, jdir,
+                      "n_nationkey int, n_name string, n_regionkey int")
+    pdir = str(tmp_path / "round.parquet")
+    write_parquet(back, pdir)
+    orig = {(r["n_nationkey"], r["n_name"], r["n_regionkey"])
+            for r in read_parquet(spark, f"{sf_dir}/nation.parquet").collect()}
+    got = {(r["n_nationkey"], r["n_name"], r["n_regionkey"])
+           for r in read_parquet(spark, pdir).collect()}
+    assert got == orig
+
+
+def test_csv_roundtrip(spark, sf_dir, tmp_path):
+    """\\r-terminated CSV written by the engine loads back with the same
+    values under an explicit schema."""
+    from azure_kusto_parquet_conv_spark.operators.convert import convert
+    from azure_kusto_parquet_conv_spark.settings import ConvertOptions
+    from azure_kusto_parquet_conv_spark.sources.text import read_csv
+
+    cdir = str(tmp_path / "csv")
+    convert(spark, f"{sf_dir}/region.parquet", cdir,
+            options=ConvertOptions(csv=True))
+    back = read_csv(spark, cdir, "r_regionkey int, r_name string",
+                    line_sep="\r")
+    got = {(r["r_regionkey"], r["r_name"]) for r in back.collect()}
+    orig = {(r["r_regionkey"], r["r_name"])
+            for r in read_parquet(spark, f"{sf_dir}/region.parquet").collect()}
+    assert got == orig
+
+
 def test_partitioned_write(spark, sf_dir, tmp_path):
     """convert(partition_by=...) emits a hive-partitioned JSONL layout."""
     from azure_kusto_parquet_conv_spark.operators.convert import convert
