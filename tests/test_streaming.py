@@ -45,6 +45,64 @@ def test_windowed_counts_matches_batch(spark, sf_dir, stream_dir):
     assert len(got) >= len(want) * 0.8
 
 
+def test_windowed_counts_drops_late_data(spark, tmp_path):
+    """An event older than the watermark arriving in a later micro-batch
+    must be dropped: its (already finalized) window keeps the on-time
+    count, and no window is emitted twice."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    hour = 3_600_000_000_000  # ns
+    base = 472_223 * hour  # hour-aligned so windows start at base + k*hour
+
+    def table(rows):
+        return pa.table({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([base + r[1] for r in rows],
+                           pa.timestamp("ns")),
+            "user_id": pa.array([1] * len(rows), pa.int64()),
+            "event_type": pa.array(["click"] * len(rows)),
+            "value": pa.array([1.0] * len(rows)),
+            "props": pa.array(["{}"] * len(rows)),
+        })
+
+    d = tmp_path / "late"
+    d.mkdir()
+    # batch A: one event per hour 0..10 -> watermark advances to 8h
+    pq.write_table(table([(i, i * hour) for i in range(11)]),
+                   str(d / "a_ontime.parquet"))
+    # batch B: on-time 11h (watermark propagation lags one batch)
+    pq.write_table(table([(50, 11 * hour)]), str(d / "b_ontime.parquet"))
+    # batch C: a LATE event back in hour 1, far below the watermark now in
+    # force, plus an on-time one at 12h
+    pq.write_table(table([(100, 1 * hour + 60_000_000_000),
+                          (101, 12 * hour)]),
+                   str(d / "c_late.parquet"))
+
+    from azure_kusto_parquet_conv_spark.streaming.events import (
+        EVENTS_RAW_SCHEMA, windowed_counts)
+    from pyspark.sql import functions as F
+
+    raw = (spark.readStream.schema(EVENTS_RAW_SCHEMA)
+           .option("maxFilesPerTrigger", 1).parquet(str(d)))
+    ev = raw.withColumnRenamed("ts", "ts_ns").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts_ns div 1000")))
+    q = (windowed_counts(ev, window="1 hour", watermark="2 hours")
+         .writeStream.format("memory").queryName("late_counts")
+         .outputMode("append").start())
+    drain(q)
+    rows = spark.sql("select * from late_counts").collect()
+    by_window = {}
+    for r in rows:
+        assert r["window_start_ms"] not in by_window, "window emitted twice"
+        by_window[r["window_start_ms"]] = r["n"]
+    hour_ms = 3_600_000
+    base_ms = base // 1_000_000
+    w1 = base_ms + hour_ms
+    assert by_window.get(w1) == 1, \
+        f"late event leaked into finalized window: {by_window.get(w1)}"
+
+
 def test_sessionize_multi_batch_state(spark, sf_dir, tmp_path):
     """Two time-ordered files + maxFilesPerTrigger=1 force two
     micro-batches; open sessions must carry across the batch boundary and
