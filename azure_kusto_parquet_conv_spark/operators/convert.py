@@ -62,6 +62,14 @@ def _rendered(c: Column, dtype: T.DataType, opts: ConvertOptions) -> Column:
             rendered = F.when(F.size(c) != 0, rendered)
         return F.when(c.isNotNull(), rendered)
     if isinstance(dtype, T.MapType):
+        if isinstance(dtype.keyType, (T.StructType, T.ArrayType, T.MapType)):
+            # the reference PANICS on non-primitive map keys
+            # (converter.rs:266); fail the plan build with a clear error
+            # instead of a worker crash mid-job
+            raise ValueError(
+                f"map keys must be primitive to render as JSON objects; "
+                f"got {dtype.keyType.simpleString()} (reference behavior: "
+                f"panic at converter.rs:266)")
         m = c
         if opts.omit_nulls:
             m = F.map_filter(m, lambda k, v: v.isNotNull())

@@ -227,6 +227,44 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
                  .where(F.col("jaccard") >= threshold))
 
 
+def dedup_clusters(ids: DataFrame, pairs: DataFrame,
+                   id_col: str = "doc_id", max_iter: int = 20) -> DataFrame:
+    """Connected components over near-dup pairs: every document gets
+    ``cluster_id`` = the min id reachable through dup edges (the cluster's
+    canonical representative; keep rows where id == cluster_id to dedup).
+
+    Iterative min-label propagation: each round joins labels across
+    edges and keeps the smaller label, converging in O(component
+    diameter) rounds — dup clusters are near-cliques, so 2-3 rounds in
+    practice. ``localCheckpoint`` truncates the growing lineage each
+    round (the standard Spark iterative-algorithm pattern); the
+    convergence check is the per-round action that would otherwise be a
+    wasted extra job.
+    """
+    labels = ids.select(F.col(id_col).alias("__id"),
+                        F.col(id_col).alias("__label"))
+    e = pairs.select(F.col("id_a").alias("__src"), F.col("id_b").alias("__dst"))
+    edges = (e.unionByName(e.select(F.col("__dst").alias("__src"),
+                                    F.col("__src").alias("__dst")))
+             .distinct().localCheckpoint())
+    for _ in range(max_iter):
+        nbr = (edges.join(labels, edges["__src"] == labels["__id"])
+               .groupBy("__dst").agg(F.min("__label").alias("__nbr")))
+        merged = (labels.join(nbr, labels["__id"] == nbr["__dst"], "left")
+                  .select(F.col("__id"),
+                          F.col("__label").alias("__old"),
+                          F.least(F.col("__label"),
+                                  F.coalesce(F.col("__nbr"), F.col("__label")))
+                           .alias("__label")))
+        merged = merged.localCheckpoint()
+        changed = merged.where(F.col("__label") != F.col("__old")).count()
+        labels = merged.drop("__old")
+        if changed == 0:
+            break
+    return labels.select(F.col("__id").alias(id_col),
+                         F.col("__label").alias("cluster_id"))
+
+
 def simhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash per document via an Arrow-batched pandas UDF (the

@@ -463,6 +463,23 @@ def q_string_predicates(spark, sf_dir):
                      F.concat_ws("/", "p_name", "p_type").alias("tagged")))
 
 
+@query("q_percentiles", """
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
+       ROUND(quantile_cont(l_extendedprice, 0.9), 2) AS p90,
+       ROUND(quantile_cont(l_discount, 0.95), 4) AS p95_disc
+FROM lineitem GROUP BY l_returnflag
+""")
+def q_percentiles(spark, sf_dir):
+    """Exact percentiles (continuous interpolation — matches DuckDB's
+    quantile_cont; percentile_approx would not oracle)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+              .agg(F.round(F.percentile("l_extendedprice", F.lit(0.5)), 2).alias("p50"),
+                   F.round(F.percentile("l_extendedprice", F.lit(0.9)), 2).alias("p90"),
+                   F.round(F.percentile("l_discount", F.lit(0.95)), 4).alias("p95_disc")))
+
+
 @query("q_min_max_by", """
 SELECT l_returnflag,
        arg_min(l_orderkey, l_extendedprice) AS cheapest_order,
@@ -948,6 +965,16 @@ def q_dedup_simhash(spark, sf_dir):
     """SimHash near-dup pairs via pigeonhole-blocked Hamming join."""
     d = load_table(spark, sf_dir, "documents")
     return D.simhash_pairs(d, max_hamming=3)
+
+
+@query("q_dedup_clusters")  # iterative label propagation: no SQL twin
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERS from MinHash pairs via connected components;
+    keep-set = rows where doc_id == cluster_id (rows-only; pytest pins
+    planted chains)."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_dedup_pairs(d, threshold=0.8)
+    return D.dedup_clusters(d.select("doc_id"), pairs)
 
 
 # =======================================================================

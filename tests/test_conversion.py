@@ -19,6 +19,21 @@ def read(spark, path, **kw):
     return spark.read.parquet(path)
 
 
+def test_non_primitive_map_key_raises(spark, tmp_path):
+    """Reference panics on non-primitive map keys (converter.rs:266); the
+    engine fails the plan build with a clear error instead."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    p = str(tmp_path / "badmap.parquet")
+    key_t = pa.struct([("k", pa.int64())])
+    t = pa.table({"m": pa.array([[({"k": 1}, 2)]],
+                                type=pa.map_(key_t, pa.int64()))})
+    pq.write_table(t, p)
+    with pytest.raises(ValueError, match="primitive"):
+        render_json_lines(spark.read.parquet(p))
+
+
 class TestFloats:
     def test_nan_inf_null(self, spark, edge_dir):
         # converter.rs:291-295

@@ -88,3 +88,14 @@ def test_embedding_near_dup_finds_planted_pair(spark):
            for r in D.embedding_near_dup(df, threshold=0.99).collect()}
     assert (1, 2) in out and out[(1, 2)] >= 0.99
     assert all(k == (1, 2) for k in out)
+
+
+def test_dedup_clusters_transitive_chain(spark):
+    """a-b and b-c edges must put a,b,c in ONE cluster labeled min(id),
+    even though a-c was never a pair; singletons label themselves."""
+    ids = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(1, 3), (3, 5), (0, 4)], "id_a long, id_b long")
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in D.dedup_clusters(ids, pairs).collect()}
+    assert got == {0: 0, 4: 0, 1: 1, 3: 1, 5: 1, 2: 2}
