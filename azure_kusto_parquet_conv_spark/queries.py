@@ -39,6 +39,9 @@ from azure_kusto_parquet_conv_spark.sources.parquet import load_table, read_parq
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
+#: DuckDB-side text normalization, kept in lockstep with functions.text.normalize
+_NORM_SQL = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+
 
 def query(name: str, oracle: str | None = None):
     def deco(fn):
@@ -746,11 +749,99 @@ def q_tumbling_window(spark, sf_dir):
                       "event_type", "n", "sum_value"))
 
 
+@query("q_explode_tokens", f"""
+WITH ex AS (
+  SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok
+  FROM documents WHERE doc_id < 50)
+SELECT doc_id, tok, CAST(n AS BIGINT) AS n FROM (
+  SELECT doc_id, tok, COUNT(*) OVER (PARTITION BY doc_id) AS n FROM ex)
+WHERE length(tok) >= 7
+""")
+def q_explode_tokens(spark, sf_dir):
+    """Generator/explode operator: one row per token, with a per-doc
+    window count riding along."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    ex = d.select("doc_id", F.explode(X.tokens("text")).alias("tok"))
+    w = Window.partitionBy("doc_id")
+    return (ex.select("doc_id", "tok",
+                      F.count("*").over(w).cast("long").alias("n"))
+              .where(F.length("tok") >= 7))
+
+
+@query("q_dedup_keep_latest", """
+SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM (
+  SELECT user_id, event_id, ts,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC,
+                            event_id DESC) AS rn
+  FROM events)
+WHERE rn = 1
+""")
+def q_dedup_keep_latest(spark, sf_dir):
+    """Keep-latest-record-per-key dedup (CDC/ingestion compaction): one
+    shuffle on the key, window top-1."""
+    ev = load_table(spark, sf_dir, "events")
+    latest = R.top_k_per_group(
+        ev, ["user_id"], [F.col("ts").desc(), F.col("event_id").desc()], 1)
+    return latest.select("user_id", "event_id",
+                         F.expr("ts_ns div 1000").alias("ts_us"))
+
+
+@query("q_resample_gaps", """
+WITH bounds AS (
+  SELECT user_id,
+         (epoch_ms(CAST(min(ts) AS TIMESTAMP)) // 3600000) AS h0,
+         (epoch_ms(CAST(max(ts) AS TIMESTAMP)) // 3600000) AS h1
+  FROM events WHERE user_id < 5 GROUP BY user_id
+), grid AS (
+  SELECT user_id, unnest(range(h0, h1 + 1)) * 3600000 AS hour_ms
+  FROM bounds
+), agg AS (
+  SELECT user_id,
+         (epoch_ms(CAST(ts AS TIMESTAMP)) // 3600000) * 3600000 AS hour_ms,
+         ROUND(SUM(value), 2) AS v
+  FROM events WHERE user_id < 5 GROUP BY 1, 2
+)
+SELECT g.user_id, g.hour_ms, COALESCE(a.v, 0.0) AS v
+FROM grid g LEFT JOIN agg a
+  ON a.user_id = g.user_id AND a.hour_ms = g.hour_ms
+""")
+def q_resample_gaps(spark, sf_dir):
+    """Time-series resampling with gap fill: per-user hourly grid from
+    min..max (sequence + explode), left-joined onto the hourly aggregate,
+    missing hours as 0. The grid generation is per-key narrow work; the
+    join is equi-(key, hour)."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 5)
+    hour_ms = F.unix_millis("ts") - F.pmod(F.unix_millis("ts"), 3_600_000)
+    agg = (ev.groupBy("user_id", hour_ms.alias("hour_ms"))
+             .agg(F.round(F.sum("value"), 2).alias("v")))
+    bounds = ev.groupBy("user_id").agg(
+        F.min(hour_ms).alias("h0"), F.max(hour_ms).alias("h1"))
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.sequence("h0", "h1", F.lit(3_600_000))).alias("hour_ms"))
+    return (grid.join(agg, ["user_id", "hour_ms"], "left")
+                .select("user_id", "hour_ms",
+                        F.coalesce("v", F.lit(0.0)).alias("v")))
+
+
+@query("q_pivot", """
+SELECT l_returnflag,
+       ROUND(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS F,
+       ROUND(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS O
+FROM lineitem GROUP BY l_returnflag
+""")
+def q_pivot(spark, sf_dir):
+    """Pivot: rows to columns on the linestatus dimension (Catalyst
+    rewrites pivot to the same conditional aggregate as the oracle)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+              .pivot("l_linestatus", ["F", "O"])
+              .agg(F.round(F.sum("l_quantity"), 2)))
+
+
 # =======================================================================
 # Text analysis (north-star M4)
 # =======================================================================
-
-_NORM_SQL = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
 
 @query("q_text_stats", f"""
 WITH t AS (SELECT doc_id, {_NORM_SQL} AS norm FROM documents),

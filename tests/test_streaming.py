@@ -78,6 +78,12 @@ def test_windowed_counts_drops_late_data(spark, tmp_path):
     pq.write_table(table([(100, 1 * hour + 60_000_000_000),
                           (101, 12 * hour)]),
                    str(d / "c_late.parquet"))
+    # FileStreamSource batches by modification time; pin strictly
+    # increasing mtimes so a/b/c really arrive as three ordered batches.
+    import os
+    for i, name in enumerate(["a_ontime.parquet", "b_ontime.parquet",
+                              "c_late.parquet"]):
+        os.utime(d / name, (1_000_000_000 + 100 * i,) * 2)
 
     from azure_kusto_parquet_conv_spark.streaming.events import (
         EVENTS_RAW_SCHEMA, windowed_counts)
