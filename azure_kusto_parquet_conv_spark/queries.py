@@ -1142,3 +1142,121 @@ def q_embed_sim_pairs(spark, sf_dir):
     return (pairs.select("id_a", "id_b",
                          F.round(V.cosine("va", "vb"), 4).alias("cosine"))
                  .where(F.col("cosine") >= 0.4))
+
+
+# =======================================================================
+# Navigation windows, stats aggregates, unpivot, higher-order arrays,
+# deterministic train/test split
+# =======================================================================
+
+@query("q_window_lag_lead", """
+WITH e AS (
+  SELECT user_id, event_id, event_type,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+  FROM events WHERE user_id < 20)
+SELECT user_id, event_id,
+       CAST(ts_us - lag(ts_us) OVER w AS BIGINT) AS gap_us,
+       lead(event_type) OVER w AS next_type
+FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+""")
+def q_window_lag_lead(spark, sf_dir):
+    """lag/lead navigation: inter-event gap and next event type per user.
+    One shuffle on user_id, sort within partition; gaps stay exact
+    integer microseconds so the hash can't drift."""
+    ev = (load_table(spark, sf_dir, "events")
+          .where(F.col("user_id") < 20)
+          .select("user_id", "event_id", "event_type",
+                  F.expr("ts_ns div 1000").alias("ts_us")))
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    return ev.select(
+        "user_id", "event_id",
+        (F.col("ts_us") - F.lag("ts_us").over(w)).cast("long").alias("gap_us"),
+        F.lead("event_type").over(w).alias("next_type"))
+
+
+@query("q_stats_agg", """
+SELECT l_returnflag,
+       ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+       ROUND(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price,
+       ROUND(stddev_samp(l_extendedprice), 2) AS sd_price,
+       ROUND(var_samp(l_quantity), 4) AS var_qty
+FROM lineitem GROUP BY l_returnflag
+""")
+def q_stats_agg(spark, sf_dir):
+    """Statistical aggregates (correlation, covariance, stddev,
+    variance): single-pass co-moment accumulators with map-side partials,
+    merged associatively -- no second scan at any scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4)
+         .alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2)
+         .alias("covar_qty_price"),
+        F.round(F.stddev_samp("l_extendedprice"), 2).alias("sd_price"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty")))
+
+
+@query("q_unpivot", """
+WITH agg AS (
+  SELECT n_name, ROUND(SUM(c_acctbal), 2) AS acctbal_total,
+         ROUND(AVG(c_acctbal), 4) AS acctbal_avg
+  FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name)
+SELECT n_name, 'acctbal_total' AS measure, acctbal_total AS value FROM agg
+UNION ALL
+SELECT n_name, 'acctbal_avg' AS measure, acctbal_avg AS value FROM agg
+""")
+def q_unpivot(spark, sf_dir):
+    """Unpivot/melt: wide per-nation measures back to long (nation,
+    measure, value) rows. The melt itself is narrow (no shuffle); only
+    the feeding aggregate shuffles, and the nation dim is broadcast."""
+    cu = load_table(spark, sf_dir, "customer")
+    na = load_table(spark, sf_dir, "nation")
+    agg = (cu.join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+             .groupBy("n_name")
+             .agg(F.round(F.sum("c_acctbal"), 2).alias("acctbal_total"),
+                  F.round(F.avg("c_acctbal"), 4).alias("acctbal_avg")))
+    return agg.unpivot("n_name", ["acctbal_total", "acctbal_avg"],
+                       "measure", "value")
+
+
+@query("q_array_higher_order", """
+SELECT vec_id,
+       ROUND(sqrt(list_sum(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm,
+       CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+       ROUND(CAST(list_aggregate(embedding, 'max') AS DOUBLE), 4) AS max_c
+FROM embeddings WHERE vec_id < 200
+""")
+def q_array_higher_order(spark, sf_dir):
+    """Higher-order array functions (transform/filter/aggregate) over the
+    embedding column -- all JVM-side codegen, no Python round trip.
+    Elements are cast to double before squaring so both engines accumulate
+    identically left-to-right."""
+    e = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+    sq = F.transform("embedding",
+                     lambda x: x.cast("double") * x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.round(F.sqrt(F.aggregate(sq, F.lit(0.0), lambda a, x: a + x)), 4)
+         .alias("l2_norm"),
+        F.size(F.filter("embedding", lambda x: x > 0)).cast("long")
+         .alias("n_pos"),
+        F.round(F.array_max("embedding").cast("double"), 4).alias("max_c"))
+
+
+@query("q_train_test_split", """
+SELECT doc_id,
+       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 32, 1) < 'c'
+            THEN 'train' ELSE 'test' END AS split
+FROM documents
+""")
+def q_train_test_split(spark, sf_dir):
+    """Deterministic hash-based train/test split (75/25 by the last md5
+    nibble): stable across runs, engines, partitionings, and data order --
+    the reproducibility property a training pipeline needs, unlike
+    rand()-based sampling."""
+    d = load_table(spark, sf_dir, "documents")
+    nib = F.substring(F.md5(F.col("doc_id").cast("string")), 32, 1)
+    return d.select(
+        "doc_id",
+        F.when(nib < "c", "train").otherwise("test").alias("split"))
