@@ -89,3 +89,42 @@ def test_minhash_persists_signatures(spark, sf_dir):
     the shingle->aggregate chain per side."""
     plan = executed_plan(QUERIES["q_dedup_minhash"](spark, sf_dir))
     assert "InMemoryTableScan" in plan, plan[:1500]
+
+
+def test_train_test_split_is_shuffle_free(spark, sf_dir):
+    """Hash-based split assignment is a pure map — any Exchange here
+    would be pointless data movement at 100 TB."""
+    df = QUERIES["q_train_test_split"](spark, sf_dir)
+    assert "Exchange" not in executed_plan(df)
+
+
+def test_lag_lead_single_shuffle(spark, sf_dir):
+    """Navigation window must shuffle once on user_id and sort within
+    partitions — a second Exchange would double the network cost."""
+    plan = executed_plan(QUERIES["q_window_lag_lead"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:1500]
+
+
+def test_stats_agg_two_stage(spark, sf_dir):
+    """Co-moment aggregates must keep map-side partials: partial+final
+    HashAggregate around exactly one Exchange."""
+    plan = executed_plan(QUERIES["q_stats_agg"](spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2, plan[:1500]
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:1500]
+
+
+def test_unpivot_feed_broadcasts_dimension(spark, sf_dir):
+    """The nation dim join under the unpivot must broadcast; the melt
+    itself adds no Exchange beyond the aggregate's."""
+    df = QUERIES["q_unpivot"](spark, sf_dir)
+    assert "BroadcastHashJoin" in join_strategies(df)
+    assert executed_plan(df).count("Exchange hashpartitioning") == 1
+
+
+def test_pivot_bounded_shuffles(spark, sf_dir):
+    """Catalyst lowers pivot to pre-aggregate on (key, pivot col) then a
+    pivotfirst aggregate on key — two Exchanges total regardless of how
+    many values are pivoted, each fed by a map-side partial."""
+    plan = executed_plan(QUERIES["q_pivot"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 2, plan[:1500]
+    assert "partial_pivotfirst" in plan, plan[:1500]
