@@ -142,3 +142,19 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30,
                 stateStructType=SESSION_STATE_SCHEMA,
                 outputMode="append",
                 timeoutConf=GroupStateTimeout.EventTimeTimeout))
+
+
+def dedup_stream(events: DataFrame, keys: list[str] | None = None,
+                 watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup for at-least-once sources (the streaming
+    twin of operators.dedup.exact_dedup): keep the first arrival of each
+    key, drop re-deliveries that arrive within ``watermark`` of it.
+
+    ``dropDuplicatesWithinWatermark`` evicts each key's state once the
+    event-time watermark passes it — state stays bounded by (key arrival
+    rate x watermark), which is what makes this runnable forever on an
+    unbounded stream; a plain ``dropDuplicates`` would grow state without
+    bound."""
+    return (events
+            .withWatermark("ts", watermark)
+            .dropDuplicatesWithinWatermark(keys or ["event_id"]))

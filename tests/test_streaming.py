@@ -163,3 +163,71 @@ def test_sessionize_stream_counts(spark, sf_dir, stream_dir):
     for r in got:
         key = (r["user_id"], r["session_start_us"])
         assert batch.get(key) == r["n_events"], f"session {key} mismatch"
+
+
+def test_convert_stream_matches_batch(spark, sf_dir, tmp_path):
+    """The streaming converter must emit byte-identical JSONL to the
+    batch converter — same render expressions, two files arriving as two
+    micro-batches (exercises the ns-timestamp ISO path end to end)."""
+    import os
+    import pyarrow.parquet as pq
+
+    from azure_kusto_parquet_conv_spark.operators.convert import convert
+    from azure_kusto_parquet_conv_spark.streaming.convert import convert_stream
+
+    t = pq.read_table(f"{sf_dir}/events.parquet")
+    half = t.num_rows // 2
+    src = tmp_path / "landing"
+    src.mkdir()
+    pq.write_table(t.slice(0, half), str(src / "a.parquet"))
+    pq.write_table(t.slice(half), str(src / "b.parquet"))
+    os.utime(src / "a.parquet", (1_000_000_000,) * 2)
+    os.utime(src / "b.parquet", (1_000_000_100,) * 2)
+
+    q = convert_stream(spark, str(src), str(tmp_path / "out"),
+                       str(tmp_path / "ckpt"), max_files_per_trigger=1)
+    drain(q)
+
+    got = []
+    for root, _, files in os.walk(tmp_path / "out"):
+        for f in files:
+            if f.startswith("part-") and f.endswith(".txt"):
+                got.extend(open(os.path.join(root, f)).read().splitlines())
+    want = [r["line"] for r in
+            convert(spark, f"{sf_dir}/events.parquet").collect()]
+    assert sorted(got) == sorted(want)
+
+
+def test_dedup_stream_drops_redelivered_events(spark, sf_dir, tmp_path):
+    """At-least-once redelivery: batch B re-sends half of batch A's
+    events inside the watermark; the output must contain each event_id
+    exactly once — the batch-distinct truth."""
+    import os
+    import pyarrow.parquet as pq
+
+    from azure_kusto_parquet_conv_spark.streaming.events import (
+        EVENTS_RAW_SCHEMA, dedup_stream)
+
+    t = pq.read_table(f"{sf_dir}/events.parquet").sort_by("ts")
+    n = min(t.num_rows, 2000)
+    t = t.slice(0, n)
+    d = tmp_path / "redelivered"
+    d.mkdir()
+    pq.write_table(t, str(d / "a_all.parquet"))
+    pq.write_table(t.slice(n // 4, n // 2), str(d / "b_redelivery.parquet"))
+    os.utime(d / "a_all.parquet", (1_000_000_000,) * 2)
+    os.utime(d / "b_redelivery.parquet", (1_000_000_100,) * 2)
+
+    raw = (spark.readStream.schema(EVENTS_RAW_SCHEMA)
+           .option("maxFilesPerTrigger", 1).parquet(str(d)))
+    ev = raw.withColumnRenamed("ts", "ts_ns").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts_ns div 1000")))
+    q = (dedup_stream(ev, watermark="30 days")
+         .writeStream.format("memory").queryName("dedup_stream")
+         .outputMode("append").start())
+    drain(q)
+    got = [r["event_id"] for r in
+           spark.sql("select event_id from dedup_stream").collect()]
+    assert len(got) == len(set(got)), "duplicate event_id in output"
+    want = [r["event_id"] for r in t.to_pylist()]
+    assert sorted(got) == sorted(want)
