@@ -1260,3 +1260,212 @@ def q_train_test_split(spark, sf_dir):
     return d.select(
         "doc_id",
         F.when(nib < "c", "train").otherwise("test").alias("split"))
+
+
+# =======================================================================
+# Correlated subqueries, distribution windows, binning, ordered
+# aggregation, cross join, reporting joins, TF-IDF, inverted index
+# =======================================================================
+
+@query("q_exists_subquery", """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+GROUP BY o_orderpriority
+""")
+def q_exists_subquery(spark, sf_dir):
+    """Correlated EXISTS (TPC-H Q4 shape): Catalyst decorrelates it into
+    a left-semi hash join on the correlation key — one shuffle, and the
+    filter on the inner side is pushed to its scan, so at 100 TB the semi
+    join probes only the 'R' fraction of lineitem."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    returned = li.where(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (o.join(returned, o.o_orderkey == returned.l_orderkey, "left_semi")
+             .groupBy("o_orderpriority")
+             .agg(F.count("*").cast("long").alias("n_orders")))
+
+
+@query("q_window_distribution", """
+SELECT o_orderkey, o_orderpriority,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+       ROUND(percent_rank() OVER w, 6) AS pct_rank,
+       ROUND(cume_dist() OVER w, 6) AS cume,
+       first_value(o_orderkey) OVER w AS cheapest_in_prio
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+""")
+def q_window_distribution(spark, sf_dir):
+    """Distribution window functions (ntile / percent_rank / cume_dist /
+    first_value). The sort key includes o_orderkey so every rank is
+    deterministic across engines and partitionings."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice",
+                                                     "o_orderkey")
+    return o.select(
+        "o_orderkey", "o_orderpriority",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.first("o_orderkey").over(w).alias("cheapest_in_prio"))
+
+
+@query("q_histogram", """
+SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(MIN(o_totalprice), 2) AS lo,
+       ROUND(MAX(o_totalprice), 2) AS hi
+FROM orders GROUP BY 1
+""")
+def q_histogram(spark, sf_dir):
+    """Fixed-width histogram binning: a numeric-derived group key, the
+    building block for distribution profiling of a 100 TB column (the
+    bucket count, not the row count, bounds shuffle output)."""
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / 50000).cast("long")
+    return (o.groupBy(bucket.alias("bucket"))
+             .agg(F.count("*").cast("long").alias("n"),
+                  F.round(F.min("o_totalprice"), 2).alias("lo"),
+                  F.round(F.max("o_totalprice"), 2).alias("hi")))
+
+
+@query("q_group_concat", """
+SELECT n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_sampled,
+       string_agg(c_name, ',' ORDER BY c_name) AS names
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE c_custkey % 97 = 0
+GROUP BY n_name
+""")
+def q_group_concat(spark, sf_dir):
+    """Ordered string aggregation (group_concat). collect_list has no
+    cross-partition order, so the list is sorted explicitly before the
+    join — the only way an ordered concat is deterministic on a
+    distributed engine."""
+    cu = load_table(spark, sf_dir, "customer")
+    na = load_table(spark, sf_dir, "nation")
+    return (cu.where(F.col("c_custkey") % 97 == 0)
+              .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+              .groupBy("n_name")
+              .agg(F.count("*").cast("long").alias("n_sampled"),
+                   F.array_join(F.array_sort(F.collect_list("c_name")), ",")
+                    .alias("names")))
+
+
+@query("q_cross_join", """
+SELECT r_name, n_name, (r_regionkey * 100 + n_nationkey) AS pair_code
+FROM region CROSS JOIN nation
+""")
+def q_cross_join(spark, sf_dir):
+    """Explicit cartesian product of two small dims (the one join shape
+    where a cartesian is legitimate); Spark broadcasts the smaller side
+    into BroadcastNestedLoopJoin — never a shuffled cartesian."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return (r.crossJoin(F.broadcast(n))
+             .select("r_name", "n_name",
+                     (F.col("r_regionkey") * 100 + F.col("n_nationkey"))
+                      .alias("pair_code")))
+
+
+@query("q10_returned_items", """
+WITH rev AS (
+  SELECT c_custkey, c_name, n_name,
+         ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+  FROM customer
+  JOIN orders   ON c_custkey = o_custkey
+  JOIN lineitem ON l_orderkey = o_orderkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  WHERE l_returnflag = 'R'
+  GROUP BY c_custkey, c_name, n_name)
+SELECT c_custkey, c_name, n_name, revenue, CAST(rn AS BIGINT) AS rn
+FROM (SELECT *, row_number() OVER (ORDER BY revenue DESC, c_custkey) AS rn
+      FROM rev)
+WHERE rn <= 20
+""")
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: fact-fact shuffle join (orders⋈lineitem) with the
+    returnflag filter pushed below the join, customer join keyed on the
+    already-shuffled custkey, broadcast nation, then global top-20 by
+    revenue. Ranking uses the ROUNDED revenue so summation-order ulp
+    drift cannot reorder the cut."""
+    cu = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag") == "R")
+    na = load_table(spark, sf_dir, "nation")
+    rev = (cu.join(o, cu.c_custkey == o.o_custkey)
+             .join(li, o.o_orderkey == li.l_orderkey)
+             .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+             .groupBy("c_custkey", "c_name", "n_name")
+             .agg(F.round(F.sum(F.col("l_extendedprice")
+                                * (1 - F.col("l_discount"))), 2)
+                   .alias("revenue")))
+    w = Window.orderBy(F.col("revenue").desc(), "c_custkey")
+    return (rev.withColumn("rn", F.row_number().over(w).cast("long"))
+               .where(F.col("rn") <= 20))
+
+
+@query("q_tfidf", f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok
+  FROM documents WHERE doc_id < 100),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok),
+df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY tok),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM toks),
+scored AS (
+  SELECT doc_id, tok,
+         ROUND(tf * ln(CAST(n_docs AS DOUBLE) / df), 4) AS tfidf
+  FROM tf JOIN df USING (tok) CROSS JOIN n)
+SELECT doc_id, tok, tfidf, CAST(rn AS BIGINT) AS rn FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, tok) AS rn
+  FROM scored)
+WHERE rn <= 3
+""")
+def q_tfidf(spark, sf_dir):
+    """Top-3 TF-IDF terms per document: tokenize → per-doc term counts →
+    corpus document frequencies → score → per-doc top-k. The df table is
+    tiny relative to the corpus (vocabulary-sized) so the scoring join
+    broadcasts; scores are rounded BEFORE ranking so both engines cut the
+    same top-3."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    toks = d.select("doc_id", F.explode(X.tokens("text")).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    dfreq = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    n = toks.agg(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (tf.join(F.broadcast(dfreq), "tok")
+                .crossJoin(F.broadcast(n))
+                .select("doc_id", "tok",
+                        F.round(F.col("tf")
+                                * F.log(F.col("n_docs").cast("double")
+                                        / F.col("df")), 4).alias("tfidf")))
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "tok")
+    return (scored.withColumn("rn", F.row_number().over(w).cast("long"))
+                  .where(F.col("rn") <= 3))
+
+
+@query("q_inverted_index", f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok
+  FROM documents WHERE doc_id < 100)
+SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       list_sort(list(doc_id)) AS postings
+FROM toks WHERE length(tok) >= 3
+GROUP BY tok
+""")
+def q_inverted_index(spark, sf_dir):
+    """Inverted index build (term → sorted posting list): the core of
+    corpus search / contamination checks. Postings are array_sort'ed so
+    list equality is engine-independent. Scoped to a bounded doc subset
+    here because the synthetic corpus has a ~31-word vocabulary (every
+    term is a stopword); at real scale hot terms get posting-list
+    sharding (term, shard) instead of one giant row."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    toks = (d.select("doc_id", F.explode(X.tokens("text")).alias("tok"))
+             .where(F.length("tok") >= 3)
+             .distinct())
+    return (toks.groupBy("tok")
+                .agg(F.count("*").cast("long").alias("n_docs"),
+                     F.array_sort(F.collect_list("doc_id")).alias("postings")))
