@@ -1469,3 +1469,147 @@ def q_inverted_index(spark, sf_dir):
     return (toks.groupBy("tok")
                 .agg(F.count("*").cast("long").alias("n_docs"),
                      F.array_sort(F.collect_list("doc_id")).alias("postings")))
+
+
+# =======================================================================
+# Funnel analysis, single-pass profiling, stratified sampling, calendar
+# aggregation
+# =======================================================================
+
+@query("q_funnel", """
+WITH e AS (SELECT user_id, event_type,
+                  epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+v AS (SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN ts_us END)
+             AS t_view FROM e GROUP BY user_id),
+c AS (SELECT e.user_id, MIN(ts_us) AS t_click
+      FROM e JOIN v USING (user_id)
+      WHERE event_type = 'click' AND ts_us > t_view GROUP BY e.user_id),
+p AS (SELECT e.user_id, MIN(ts_us) AS t_purchase
+      FROM e JOIN c USING (user_id)
+      WHERE event_type = 'purchase' AND ts_us > t_click GROUP BY e.user_id)
+SELECT v.user_id, t_view, t_click, t_purchase,
+       CAST(CASE WHEN t_purchase IS NOT NULL THEN 3
+                 WHEN t_click IS NOT NULL THEN 2
+                 WHEN t_view IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS depth
+FROM v LEFT JOIN c ON v.user_id = c.user_id
+       LEFT JOIN p ON v.user_id = p.user_id
+WHERE t_view IS NOT NULL
+""")
+def q_funnel(spark, sf_dir):
+    """Ordered funnel (view → later click → later purchase) per user.
+    Every stage aggregates and joins on user_id, so all five operators
+    share ONE hash partitioning — Catalyst reuses the exchange instead of
+    re-shuffling per stage; timestamps stay exact integer microseconds."""
+    ev = (load_table(spark, sf_dir, "events")
+          .select("user_id", "event_type",
+                  F.expr("ts_ns div 1000").alias("ts_us")))
+    v = (ev.groupBy("user_id")
+           .agg(F.min(F.when(F.col("event_type") == "view", F.col("ts_us")))
+                 .alias("t_view"))
+           .where(F.col("t_view").isNotNull()))
+    c = (ev.where(F.col("event_type") == "click")
+           .join(v, "user_id")
+           .where(F.col("ts_us") > F.col("t_view"))
+           .groupBy("user_id").agg(F.min("ts_us").alias("t_click")))
+    p = (ev.where(F.col("event_type") == "purchase")
+           .join(c, "user_id")
+           .where(F.col("ts_us") > F.col("t_click"))
+           .groupBy("user_id").agg(F.min("ts_us").alias("t_purchase")))
+    depth = (F.when(F.col("t_purchase").isNotNull(), 3)
+              .when(F.col("t_click").isNotNull(), 2)
+              .otherwise(1)).cast("long")
+    return (v.join(c, "user_id", "left").join(p, "user_id", "left")
+             .select("user_id", "t_view", "t_click", "t_purchase",
+                     depth.alias("depth")))
+
+
+@query("q_profile", """
+WITH a AS (SELECT
+  COUNT(*) AS n,
+  COUNT(l_quantity) AS qty_nn, COUNT(DISTINCT l_quantity) AS qty_nd,
+  ROUND(MIN(l_quantity), 4) AS qty_min, ROUND(MAX(l_quantity), 4) AS qty_max,
+  COUNT(l_discount) AS dis_nn, COUNT(DISTINCT l_discount) AS dis_nd,
+  ROUND(MIN(l_discount), 4) AS dis_min, ROUND(MAX(l_discount), 4) AS dis_max,
+  COUNT(l_tax) AS tax_nn, COUNT(DISTINCT l_tax) AS tax_nd,
+  ROUND(MIN(l_tax), 4) AS tax_min, ROUND(MAX(l_tax), 4) AS tax_max
+  FROM lineitem)
+SELECT 'l_quantity' AS col, CAST(n - qty_nn AS BIGINT) AS n_nulls,
+       CAST(qty_nd AS BIGINT) AS n_distinct, qty_min AS min_v, qty_max AS max_v
+FROM a
+UNION ALL
+SELECT 'l_discount', CAST(n - dis_nn AS BIGINT), CAST(dis_nd AS BIGINT),
+       dis_min, dis_max FROM a
+UNION ALL
+SELECT 'l_tax', CAST(n - tax_nn AS BIGINT), CAST(tax_nd AS BIGINT),
+       tax_min, tax_max FROM a
+""")
+def q_profile(spark, sf_dir):
+    """Single-pass column profiling (null count / distinct / min / max for
+    three columns at once): ONE scan and one aggregate produce the whole
+    profile row, then an explode melts it to long form — at 100 TB the
+    alternative (one pass per column) multiplies the scan cost by the
+    column count."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.agg(
+        F.count("*").alias("n"),
+        *[x for c, tag in (("l_quantity", "qty"), ("l_discount", "dis"),
+                           ("l_tax", "tax"))
+          for x in (F.count(c).alias(f"{tag}_nn"),
+                    F.countDistinct(c).alias(f"{tag}_nd"),
+                    F.round(F.min(c), 4).alias(f"{tag}_min"),
+                    F.round(F.max(c), 4).alias(f"{tag}_max"))])
+    rows = F.array(*[
+        F.struct(F.lit(c).alias("col"),
+                 (F.col("n") - F.col(f"{tag}_nn")).cast("long")
+                  .alias("n_nulls"),
+                 F.col(f"{tag}_nd").cast("long").alias("n_distinct"),
+                 F.col(f"{tag}_min").alias("min_v"),
+                 F.col(f"{tag}_max").alias("max_v"))
+        for c, tag in (("l_quantity", "qty"), ("l_discount", "dis"),
+                       ("l_tax", "tax"))])
+    return a.select(F.explode(rows).alias("p")).select("p.*")
+
+
+@query("q_stratified_sample", """
+SELECT l_returnflag, l_orderkey, l_linenumber, CAST(rn AS BIGINT) AS rn
+FROM (SELECT l_returnflag, l_orderkey, l_linenumber,
+             row_number() OVER (
+               PARTITION BY l_returnflag
+               ORDER BY md5(CAST(l_orderkey AS VARCHAR) || ':' ||
+                            CAST(l_linenumber AS VARCHAR)),
+                        l_orderkey, l_linenumber) AS rn
+      FROM lineitem)
+WHERE rn <= 100
+""")
+def q_stratified_sample(spark, sf_dir):
+    """Stratified fixed-size sampling: exactly 100 rows per stratum,
+    chosen by ranking on a content hash — deterministic across runs,
+    engines, partitionings, and input order (rand() is none of those).
+    One shuffle on the stratum key; the per-partition top-k heap bounds
+    memory."""
+    li = load_table(spark, sf_dir, "lineitem")
+    h = F.md5(F.concat_ws(":", F.col("l_orderkey").cast("string"),
+                          F.col("l_linenumber").cast("string")))
+    w = Window.partitionBy("l_returnflag").orderBy(
+        h, "l_orderkey", "l_linenumber")
+    return (li.select("l_returnflag", "l_orderkey", "l_linenumber",
+                      F.row_number().over(w).cast("long").alias("rn"))
+              .where(F.col("rn") <= 100))
+
+
+@query("q_date_parts", """
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS y,
+       CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS m,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS revenue
+FROM orders GROUP BY 1, 2
+""")
+def q_date_parts(spark, sf_dir):
+    """Calendar rollup by (year, month) extracted from the order date —
+    the group key count is bounded by the calendar, so the shuffle output
+    is tiny regardless of input scale."""
+    o = load_table(spark, sf_dir, "orders")
+    return (o.groupBy(F.year("o_orderdate").cast("long").alias("y"),
+                      F.month("o_orderdate").cast("long").alias("m"))
+             .agg(F.count("*").cast("long").alias("n_orders"),
+                  F.round(F.sum("o_totalprice"), 2).alias("revenue")))

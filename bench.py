@@ -39,6 +39,8 @@ HEADLINE = [
     "q_knn_ivf",
     "q_salted_distinct",
     "q_multimodal_features",
+    "q10_returned_items",
+    "q_tfidf",
 ]
 
 

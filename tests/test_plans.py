@@ -40,7 +40,8 @@ def test_q5_broadcasts_dimensions(spark, sf_dir):
 def test_no_accidental_cartesians_across_catalog(spark, sf_dir):
     # cross joins are intentional ONLY in the two brute-force similarity
     # queries (broadcast NLJ over a small side)
-    allowed_nlj = {"q_knn_bruteforce", "q_embed_sim_pairs", "q_dedup_jaccard"}
+    allowed_nlj = {"q_knn_bruteforce", "q_embed_sim_pairs", "q_dedup_jaccard",
+                   "q_cross_join", "q_tfidf"}
     for name, fn in QUERIES.items():
         if name in ("q_dedup_simhash",):  # pandas UDF: plan has no joins of interest
             continue
@@ -119,6 +120,44 @@ def test_unpivot_feed_broadcasts_dimension(spark, sf_dir):
     df = QUERIES["q_unpivot"](spark, sf_dir)
     assert "BroadcastHashJoin" in join_strategies(df)
     assert executed_plan(df).count("Exchange hashpartitioning") == 1
+
+
+def test_exists_decorrelates_to_semi_join(spark, sf_dir):
+    """Correlated EXISTS must become a single hash semi join with the
+    'R' filter pushed into the lineitem scan — the probe side shrinks
+    before the shuffle, not after."""
+    df = QUERIES["q_exists_subquery"](spark, sf_dir)
+    plan = executed_plan(df)
+    assert "LeftSemi" in plan, plan[:1500]
+    assert has_pushed_filters(df, "l_returnflag"), plan[:1500]
+
+
+def test_q10_broadcasts_nation_only(spark, sf_dir):
+    """Q10: nation broadcasts; the fact-fact joins may be broadcast at
+    test scale, but no cartesian ever."""
+    joins = join_strategies(QUERIES["q10_returned_items"](spark, sf_dir))
+    assert "BroadcastHashJoin" in joins, joins
+    assert "CartesianProduct" not in joins
+
+
+def test_tfidf_broadcasts_vocab(spark, sf_dir):
+    """TF-IDF scoring join (term counts x document frequencies) must
+    broadcast the vocabulary-sized df side, never shuffle the corpus."""
+    joins = join_strategies(QUERIES["q_tfidf"](spark, sf_dir))
+    assert "BroadcastHashJoin" in joins, joins
+
+
+def test_group_concat_broadcasts_dim(spark, sf_dir):
+    joins = join_strategies(QUERIES["q_group_concat"](spark, sf_dir))
+    assert joins == ["BroadcastHashJoin"], joins
+
+
+def test_histogram_two_stage_agg(spark, sf_dir):
+    """Histogram must keep map-side partials: shuffle carries one row
+    per (partition, bucket), not per input row."""
+    plan = executed_plan(QUERIES["q_histogram"](spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2, plan[:1500]
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:1500]
 
 
 def test_pivot_bounded_shuffles(spark, sf_dir):
