@@ -1613,3 +1613,87 @@ def q_date_parts(spark, sf_dir):
                       F.month("o_orderdate").cast("long").alias("m"))
              .agg(F.count("*").cast("long").alias("n_orders"),
                   F.round(F.sum("o_totalprice"), 2).alias("revenue")))
+
+
+@query("q_window_time_range", """
+WITH e AS (SELECT event_id, user_id, value,
+                  epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+           FROM events WHERE user_id < 20)
+SELECT event_id, user_id,
+       ROUND(SUM(value) OVER w, 2) AS sum_1h,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_1h
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+""")
+def q_window_time_range(spark, sf_dir):
+    """Time-based sliding window (sum/count over the trailing hour per
+    user) via a RANGE frame on exact integer microseconds — no
+    self-join, no grid explode; one shuffle on user_id and a single
+    ordered pass maintains the sliding frame incrementally."""
+    ev = (load_table(spark, sf_dir, "events")
+          .where(F.col("user_id") < 20)
+          .select("event_id", "user_id", "value",
+                  F.expr("ts_ns div 1000").alias("ts_us")))
+    w = (Window.partitionBy("user_id").orderBy("ts_us")
+               .rangeBetween(-3_600_000_000, 0))
+    return ev.select(
+        "event_id", "user_id",
+        F.round(F.sum("value").over(w), 2).alias("sum_1h"),
+        F.count("*").over(w).cast("long").alias("n_1h"))
+
+
+@query("q_mode", """
+SELECT l_returnflag, l_quantity AS modal_qty, CAST(cnt AS BIGINT) AS cnt
+FROM (SELECT l_returnflag, l_quantity, COUNT(*) AS cnt,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY COUNT(*) DESC, l_quantity) AS rn
+      FROM lineitem GROUP BY l_returnflag, l_quantity)
+WHERE rn = 1
+""")
+def q_mode(spark, sf_dir):
+    """Deterministic mode (most frequent value, smallest wins ties) per
+    group: count-then-rank instead of the built-in mode() whose
+    tie-breaking is engine-specific. Two bounded aggregations — the
+    (group, value) pre-aggregate caps the rank input at the distinct
+    pair count."""
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = (li.groupBy("l_returnflag", "l_quantity")
+                .agg(F.count("*").alias("cnt")))
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("cnt").desc(), "l_quantity")
+    return (counts.withColumn("rn", F.row_number().over(w))
+                  .where(F.col("rn") == 1)
+                  .select("l_returnflag",
+                          F.col("l_quantity").alias("modal_qty"),
+                          F.col("cnt").cast("long").alias("cnt")))
+
+
+@query("q_null_safe_join", """
+WITH l AS (SELECT o_orderkey,
+                  CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                       ELSE o_orderpriority END AS prio
+           FROM orders WHERE o_orderkey < 2000),
+r AS (SELECT DISTINCT CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                           ELSE o_orderpriority END AS prio
+      FROM orders WHERE o_orderkey < 1000)
+SELECT l.o_orderkey, l.prio, CAST(COUNT(*) AS BIGINT) AS n_matches
+FROM l JOIN r ON l.prio IS NOT DISTINCT FROM r.prio
+GROUP BY l.o_orderkey, l.prio
+""")
+def q_null_safe_join(spark, sf_dir):
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of dropping out — still a hash join (the
+    null bucket is an ordinary key), not a cross product."""
+    o = load_table(spark, sf_dir, "orders")
+    mk = lambda mod, limit: (
+        o.where(F.col("o_orderkey") < limit)
+         .select("o_orderkey",
+                 F.when(F.col("o_orderkey") % mod == 0, None)
+                  .otherwise(F.col("o_orderpriority")).alias("prio")))
+    left = mk(7, 2000)
+    right = mk(3, 1000).select("prio").distinct()
+    return (left.join(right, left.prio.eqNullSafe(right.prio))
+                .groupBy(left.o_orderkey, left.prio)
+                .agg(F.count("*").cast("long").alias("n_matches"))
+                .select(F.col("o_orderkey"), F.col("prio"), F.col("n_matches")))

@@ -144,6 +144,21 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30,
                 timeoutConf=GroupStateTimeout.EventTimeTimeout))
 
 
+def enrich_stream(events: DataFrame, dim: DataFrame, on: str | list[str],
+                  how: str = "left") -> DataFrame:
+    """Stream-static enrichment join: each micro-batch of the unbounded
+    stream joins against a bounded dimension table (user profile, device
+    registry, geo lookup).
+
+    The static side is broadcast-hinted: a stream-static join must not
+    shuffle the stream (there is no 'other side' to co-partition with —
+    every micro-batch would pay a full exchange), and the dimension is
+    re-read per micro-batch so external updates to it are picked up
+    between batches. Stateless, so any output mode works and state size
+    is zero regardless of stream length."""
+    return events.join(F.broadcast(dim), on, how)
+
+
 def dedup_stream(events: DataFrame, keys: list[str] | None = None,
                  watermark: str = "2 hours") -> DataFrame:
     """Streaming exact dedup for at-least-once sources (the streaming

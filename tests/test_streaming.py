@@ -231,3 +231,32 @@ def test_dedup_stream_drops_redelivered_events(spark, sf_dir, tmp_path):
     assert len(got) == len(set(got)), "duplicate event_id in output"
     want = [r["event_id"] for r in t.to_pylist()]
     assert sorted(got) == sorted(want)
+
+
+def test_enrich_stream_matches_batch_join(spark, sf_dir, stream_dir):
+    """Stream-static enrichment: every streamed event carries its user's
+    static profile row, identical to the batch join; users absent from
+    the dim survive with nulls (left join)."""
+    from azure_kusto_parquet_conv_spark.sources.parquet import load_table
+    from azure_kusto_parquet_conv_spark.streaming.events import (
+        enrich_stream, read_events_stream)
+
+    batch = load_table(spark, sf_dir, "events")
+    dim = (batch.where(F.col("user_id") % 2 == 0)  # hole: odd users unmatched
+                .groupBy("user_id")
+                .agg(F.min("ts_ns").alias("first_seen_ns"),
+                     F.count("*").alias("n_hist")))
+    ev = read_events_stream(spark, stream_dir)
+    q = (enrich_stream(ev, dim, "user_id")
+         .select("event_id", "user_id", "first_seen_ns", "n_hist")
+         .writeStream.format("memory").queryName("enriched")
+         .outputMode("append").start())
+    drain(q)
+    got = {r["event_id"]: (r["user_id"], r["first_seen_ns"], r["n_hist"])
+           for r in spark.sql("select * from enriched").collect()}
+    want = {r["event_id"]: (r["user_id"], r["first_seen_ns"], r["n_hist"])
+            for r in batch.join(F.broadcast(dim), "user_id", "left")
+                          .select("event_id", "user_id",
+                                  "first_seen_ns", "n_hist").collect()}
+    assert got == want
+    assert any(v[1] is None for v in got.values()), "expected unmatched users"
