@@ -41,6 +41,8 @@ HEADLINE = [
     "q_multimodal_features",
     "q10_returned_items",
     "q_tfidf",
+    "q_funnel",
+    "q_window_time_range",
 ]
 
 

@@ -167,3 +167,20 @@ def test_pivot_bounded_shuffles(spark, sf_dir):
     plan = executed_plan(QUERIES["q_pivot"](spark, sf_dir))
     assert plan.count("Exchange hashpartitioning") == 2, plan[:1500]
     assert "partial_pivotfirst" in plan, plan[:1500]
+
+
+def test_partition_pruning_skips_directories(spark, sf_dir, tmp_path):
+    """A filter on a hive partition column must become PartitionFilters
+    (directory pruning before any IO) — at 100 TB this is the difference
+    between scanning one partition and scanning the lake."""
+    src = load_table(spark, sf_dir, "orders")
+    out = str(tmp_path / "orders_parted")
+    (src.withColumn("prio", F.col("o_orderpriority"))
+        .write.partitionBy("prio").parquet(out))
+    df = (spark.read.parquet(out)
+          .where(F.col("prio") == "1-URGENT")
+          .select("o_orderkey", "o_totalprice"))
+    plan = executed_plan(df)
+    assert "PartitionFilters" in plan and "1-URGENT" in plan, plan[:1500]
+    [schema] = read_schema(df)
+    assert "o_custkey" not in schema  # pruned columns stay pruned
