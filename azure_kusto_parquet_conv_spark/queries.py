@@ -1697,3 +1697,28 @@ def q_null_safe_join(spark, sf_dir):
                 .groupBy(left.o_orderkey, left.prio)
                 .agg(F.count("*").cast("long").alias("n_matches"))
                 .select(F.col("o_orderkey"), F.col("prio"), F.col("n_matches")))
+
+
+@query("q_hopping_window", """
+WITH e AS (SELECT event_type, value,
+                  epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+x AS (SELECT event_type, value,
+             ((ts_us // 1800000000) - k) * 1800000000 AS win_start_us
+      FROM e CROSS JOIN (SELECT unnest([0, 1]) AS k))
+SELECT win_start_us, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 2) AS sum_value
+FROM x GROUP BY win_start_us, event_type
+""")
+def q_hopping_window(spark, sf_dir):
+    """Hopping (sliding) event-time windows: 1-hour windows every 30
+    minutes, so each event lands in exactly 2 overlapping windows.
+    `F.window` expands the assignment JVM-side before the aggregate —
+    shuffle output is (windows x types), bounded by the clock not the
+    data. The oracle derives the same window starts arithmetically."""
+    ev = load_table(spark, sf_dir, "events")
+    return (ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"),
+                       "event_type")
+              .agg(F.count("*").cast("long").alias("n"),
+                   F.round(F.sum("value"), 2).alias("sum_value"))
+              .select(F.unix_micros("w.start").alias("win_start_us"),
+                      "event_type", "n", "sum_value"))
