@@ -1722,3 +1722,139 @@ def q_hopping_window(spark, sf_dir):
                    F.round(F.sum("value"), 2).alias("sum_value"))
               .select(F.unix_micros("w.start").alias("win_start_us"),
                       "event_type", "n", "sum_value"))
+
+
+@query("q7_nation_trade", """
+SELECT supp_nation, cust_nation, ship_year,
+       ROUND(SUM(volume), 2) AS revenue
+FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+GROUP BY supp_nation, cust_nation, ship_year
+""")
+def q7_nation_trade(spark, sf_dir):
+    """TPC-H Q7 shape: bilateral trade volume between two nations by ship
+    year. Scale design: the two single-nation dims are broadcast onto
+    supplier and customer FIRST, shrinking both inputs to ~2/25 of rows
+    before they touch the fact-fact shuffle joins; the pair predicate then
+    only removes same-nation pairs. At 100 TB the orders⋈lineitem shuffle
+    dominates and both sides arrive pre-filtered."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    na = load_table(spark, sf_dir, "nation").where(
+        F.col("n_name").isin("NATION_1", "NATION_2"))
+    su = (load_table(spark, sf_dir, "supplier")
+          .join(F.broadcast(na.select(F.col("n_nationkey").alias("sn_key"),
+                                      F.col("n_name").alias("supp_nation"))),
+                F.col("s_nationkey") == F.col("sn_key")))
+    cu = (load_table(spark, sf_dir, "customer")
+          .join(F.broadcast(na.select(F.col("n_nationkey").alias("cn_key"),
+                                      F.col("n_name").alias("cust_nation"))),
+                F.col("c_nationkey") == F.col("cn_key")))
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+              .join(cu, o.o_custkey == cu.c_custkey)
+              .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+              .where(F.col("supp_nation") != F.col("cust_nation"))
+              .groupBy("supp_nation", "cust_nation",
+                       F.year("l_shipdate").cast("long").alias("ship_year"))
+              .agg(F.round(F.sum(F.col("l_extendedprice")
+                                 * (1 - F.col("l_discount"))), 2)
+                    .alias("revenue")))
+
+
+@query("q2_min_cost_supplier", """
+WITH eligible AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'),
+pairs AS (
+  SELECT l_partkey, l_suppkey,
+         MIN(ROUND(l_extendedprice / l_quantity, 4)) AS cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey),
+best AS (
+  SELECT p.l_partkey, p.l_suppkey, p.cost, e.s_name, e.s_acctbal, e.n_name,
+         MIN(p.cost) OVER (PARTITION BY p.l_partkey) AS min_cost
+  FROM pairs p JOIN eligible e ON p.l_suppkey = e.s_suppkey)
+SELECT l_partkey AS p_partkey, s_name, ROUND(s_acctbal, 2) AS acctbal,
+       n_name, cost, CAST(rn AS BIGINT) AS rn
+FROM (SELECT *, row_number() OVER (
+        ORDER BY s_acctbal DESC, l_partkey, l_suppkey) AS rn
+      FROM best WHERE cost = min_cost
+      AND l_partkey IN (SELECT p_partkey FROM part WHERE p_size = 10))
+WHERE rn <= 20
+""")
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape (adapted: no partsupp fixture, so the part-supplier
+    cost relation derives from lineitem): cheapest EUROPE supplier per
+    size-10 part. The correlated min-cost subquery becomes a window MIN
+    over the part key — one shuffle instead of a self-join. Supplier,
+    nation, region, and the filtered part list all broadcast. Per-row
+    cost is ROUNDed before MIN on both sides so the equality match on the
+    minimum cannot drift."""
+    li = load_table(spark, sf_dir, "lineitem")
+    su = load_table(spark, sf_dir, "supplier")
+    na = load_table(spark, sf_dir, "nation")
+    re = load_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    pa = load_table(spark, sf_dir, "part").where(F.col("p_size") == 10)
+    eligible = (su.join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+                  .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
+                  .select("s_suppkey", "s_name", "s_acctbal", "n_name"))
+    pairs = (li.groupBy("l_partkey", "l_suppkey")
+               .agg(F.min(F.round(F.col("l_extendedprice")
+                                  / F.col("l_quantity"), 4)).alias("cost")))
+    best = (pairs.join(F.broadcast(eligible),
+                       pairs.l_suppkey == eligible.s_suppkey)
+                 .withColumn("min_cost", F.min("cost").over(
+                     Window.partitionBy("l_partkey"))))
+    hit = (best.where(F.col("cost") == F.col("min_cost"))
+               .join(F.broadcast(pa.select("p_partkey")),
+                     F.col("l_partkey") == F.col("p_partkey"), "left_semi"))
+    w = Window.orderBy(F.col("s_acctbal").desc(), "l_partkey", "l_suppkey")
+    return (hit.withColumn("rn", F.row_number().over(w).cast("long"))
+               .where(F.col("rn") <= 20)
+               .select(F.col("l_partkey").alias("p_partkey"), "s_name",
+                       F.round("s_acctbal", 2).alias("acctbal"),
+                       "n_name", "cost", "rn"))
+
+
+@query("q16_supplier_count", """
+SELECT p_brand, p_type, p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1' AND p_type NOT LIKE 'PROMO%'
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+""")
+def q16_supplier_count(spark, sf_dir):
+    """TPC-H Q16 shape (adapted: the part-supplier relation derives from
+    lineitem; negative-balance suppliers stand in for the complaints
+    anti-join): distinct suppliers per (brand, type, size) excluding one
+    brand, one type prefix, and flagged suppliers. Scale design: the
+    distinct on (partkey, suppkey) is the only fact shuffle; the flagged
+    suppliers broadcast into an anti-join and the filtered part dim
+    broadcasts into the probe side; countDistinct re-uses the partkey
+    shuffle partitioning where possible."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pa = (load_table(spark, sf_dir, "part")
+          .where((F.col("p_brand") != "Brand#1")
+                 & ~F.col("p_type").startswith("PROMO")))
+    bad = (load_table(spark, sf_dir, "supplier")
+           .where(F.col("s_acctbal") < 0).select("s_suppkey"))
+    ps = (li.select("l_partkey", "l_suppkey").distinct()
+            .join(F.broadcast(bad),
+                  F.col("l_suppkey") == F.col("s_suppkey"), "left_anti"))
+    return (ps.join(F.broadcast(pa), ps.l_partkey == pa.p_partkey)
+              .groupBy("p_brand", "p_type", "p_size")
+              .agg(F.count_distinct("l_suppkey").cast("long")
+                    .alias("supplier_cnt")))

@@ -184,3 +184,30 @@ def test_partition_pruning_skips_directories(spark, sf_dir, tmp_path):
     assert "PartitionFilters" in plan and "1-URGENT" in plan, plan[:1500]
     [schema] = read_schema(df)
     assert "o_custkey" not in schema  # pruned columns stay pruned
+
+
+def test_q7_single_fact_shuffle_join(spark, sf_dir):
+    """Q7's only non-broadcast join should be the fact-fact pair; every
+    dimension (nation-filtered supplier/customer subsets) broadcasts."""
+    df = QUERIES["q7_nation_trade"](spark, sf_dir)
+    strategies = join_strategies(df)
+    assert strategies.count("SortMergeJoin") + strategies.count(
+        "ShuffledHashJoin") <= 1, strategies
+    assert strategies.count("BroadcastHashJoin") >= 3, strategies
+
+
+def test_q2_all_dims_broadcast(spark, sf_dir):
+    """Adapted Q2: the correlated min becomes a window over the pairs
+    aggregate — no shuffle join anywhere, dims all broadcast."""
+    df = QUERIES["q2_min_cost_supplier"](spark, sf_dir)
+    strategies = join_strategies(df)
+    assert "SortMergeJoin" not in strategies, strategies
+    assert "ShuffledHashJoin" not in strategies, strategies
+
+
+def test_q16_anti_join_broadcasts(spark, sf_dir):
+    """Adapted Q16: flagged-supplier anti-join and part probe both
+    broadcast; the distinct is the only fact shuffle."""
+    df = QUERIES["q16_supplier_count"](spark, sf_dir)
+    strategies = join_strategies(df)
+    assert strategies == ["BroadcastHashJoin", "BroadcastHashJoin"], strategies
