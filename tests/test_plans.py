@@ -211,3 +211,66 @@ def test_q16_anti_join_broadcasts(spark, sf_dir):
     df = QUERIES["q16_supplier_count"](spark, sf_dir)
     strategies = join_strategies(df)
     assert strategies == ["BroadcastHashJoin", "BroadcastHashJoin"], strategies
+
+
+def test_bucketed_join_is_colocated(spark, sf_dir, tmp_path):
+    """Both sides bucketed on the join key into the same bucket count →
+    SortMergeJoin with ZERO exchanges (the write-time shuffle is reused).
+    This is the repeated-fact-join answer at 100 TB: pay the shuffle once."""
+    from azure_kusto_parquet_conv_spark.plans.tuning import scoped_confs
+    from azure_kusto_parquet_conv_spark.sources.bucketed import (
+        colocated_join,
+        write_bucketed,
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    write_bucketed(li, "t_li_bucketed", ["l_orderkey"], 8,
+                   path=str(tmp_path / "li"))
+    write_bucketed(o, "t_o_bucketed", ["o_orderkey"], 8,
+                   path=str(tmp_path / "o"))
+    try:
+        with scoped_confs(spark, {"spark.sql.autoBroadcastJoinThreshold": "-1"}):
+            j = colocated_join(spark, "t_li_bucketed", "t_o_bucketed",
+                               F.col("l_orderkey") == F.col("o_orderkey"))
+            plan = executed_plan(j)
+            assert "SortMergeJoin" in plan, plan[:1500]
+            assert "Exchange" not in plan, plan[:1500]
+            # and it still computes the right thing
+            n_bucketed = j.count()
+        n_plain = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).count()
+        assert n_bucketed == n_plain
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_li_bucketed")
+        spark.sql("DROP TABLE IF EXISTS t_o_bucketed")
+
+
+def test_runtime_bloom_filter_injects(spark, sf_dir):
+    """With thresholds lowered (test scale), a selective non-broadcast dim
+    side grows a bloom_filter_agg and the fact scan a might_contain probe
+    — the shuffle then moves only ~matching fact rows. Results must be
+    identical with and without the filter."""
+    from azure_kusto_parquet_conv_spark.plans.explain import optimized_plan
+    from azure_kusto_parquet_conv_spark.plans.tuning import (
+        bloom_join_confs,
+        scoped_confs,
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    sel = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT")
+
+    def shape(df):
+        return (df.join(sel, df.l_orderkey == sel.o_orderkey)
+                  .groupBy("l_returnflag").count())
+
+    confs = dict(bloom_join_confs())
+    confs["spark.sql.autoBroadcastJoinThreshold"] = "-1"
+    with scoped_confs(spark, confs):
+        plan = optimized_plan(shape(li))
+        assert "bloom_filter_agg" in plan, plan[:2000]
+        assert "might_contain" in plan, plan[:2000]
+        rows_bloom = sorted(map(tuple, shape(li).collect()))
+    # restored session: rule must no longer fire, results identical
+    plan_after = optimized_plan(shape(li))
+    assert "bloom_filter_agg" not in plan_after
+    rows_plain = sorted(map(tuple, shape(li).collect()))
+    assert rows_bloom == rows_plain
