@@ -159,6 +159,42 @@ def enrich_stream(events: DataFrame, dim: DataFrame, on: str | list[str],
     return events.join(F.broadcast(dim), on, how)
 
 
+def interval_join_streams(left: DataFrame, right: DataFrame,
+                          key: str = "user_id",
+                          within: str = "30 minutes",
+                          watermark: str = "2 hours") -> DataFrame:
+    """Stream-stream interval join: pair each left event with the right
+    events of the same ``key`` whose event time falls in
+    ``[left_ts, left_ts + within]`` (click→purchase attribution, request→
+    response correlation).
+
+    Both sides carry a watermark AND the join condition bounds the two
+    event times against each other — that pair is what lets the state
+    store evict buffered rows: a left row can be dropped once the right
+    watermark passes ``left_ts + within``, a right row once the left
+    watermark passes ``right_ts``. Without the time bound the join would
+    buffer both streams forever (unbounded state on an unbounded stream).
+    State is therefore O(arrival rate x (watermark + within)) regardless
+    of stream length — the scale property; the shuffle is keyed on the
+    join key like a batch hash join, micro-batch by micro-batch."""
+    lhs = (left.select(F.col(key).alias(key),
+                       F.col("event_id").alias("left_event_id"),
+                       F.col("ts").alias("left_ts"))
+               .withWatermark("left_ts", watermark))
+    rhs = (right.select(F.col(key).alias(f"right_{key}"),
+                        F.col("event_id").alias("right_event_id"),
+                        F.col("ts").alias("right_ts"))
+                .withWatermark("right_ts", watermark))
+    cond = ((F.col(key) == F.col(f"right_{key}"))
+            & (F.col("right_ts") >= F.col("left_ts"))
+            & (F.col("right_ts") <= F.col("left_ts")
+               + F.expr(f"INTERVAL {within}")))
+    return (lhs.join(rhs, cond, "inner")
+               .select(key, "left_event_id", "right_event_id",
+                       F.unix_micros("left_ts").alias("left_ts_us"),
+                       F.unix_micros("right_ts").alias("right_ts_us")))
+
+
 def dedup_stream(events: DataFrame, keys: list[str] | None = None,
                  watermark: str = "2 hours") -> DataFrame:
     """Streaming exact dedup for at-least-once sources (the streaming

@@ -260,3 +260,39 @@ def test_enrich_stream_matches_batch_join(spark, sf_dir, stream_dir):
                                   "first_seen_ns", "n_hist").collect()}
     assert got == want
     assert any(v[1] is None for v in got.values()), "expected unmatched users"
+
+
+def test_interval_join_streams_matches_batch(spark, sf_dir, stream_dir):
+    """Stream-stream interval join (click -> purchase within 30 min per
+    user) must produce exactly the pairs the equivalent batch join does
+    once both streams drain."""
+    from azure_kusto_parquet_conv_spark.streaming.events import (
+        interval_join_streams,
+    )
+    clicks = read_events_stream(spark, stream_dir).where(
+        F.col("event_type") == "click")
+    buys = read_events_stream(spark, stream_dir).where(
+        F.col("event_type") == "purchase")
+    q = (interval_join_streams(clicks, buys)
+         .writeStream.format("memory").queryName("attribution")
+         .outputMode("append").start())
+    drain(q)
+    got = {tuple(r) for r in spark.sql(
+        "select user_id, left_event_id, right_event_id from attribution"
+    ).collect()}
+
+    from azure_kusto_parquet_conv_spark.sources.parquet import load_table
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("l_id"), F.col("ts").alias("l_ts"))
+    b = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("r_uid"), F.col("event_id").alias("r_id"),
+        F.col("ts").alias("r_ts"))
+    want = {tuple(r) for r in
+            c.join(b, (F.col("user_id") == F.col("r_uid"))
+                   & (F.col("r_ts") >= F.col("l_ts"))
+                   & (F.col("r_ts") <= F.col("l_ts")
+                      + F.expr("INTERVAL 30 minutes")))
+             .select("user_id", "l_id", "r_id").collect()}
+    assert want, "batch twin found no pairs — fixture too sparse"
+    assert got == want
