@@ -1,0 +1,570 @@
+"""KQL-flavored pipeline DSL compiled to PySpark DataFrames.
+
+The reference feeds Azure Data Explorer, whose query language is KQL —
+but the reference itself contains no query language at all (SURVEY.md
+§2.4: no filters, no expressions beyond type rendering). This module is
+the extension that closes that loop: a tabular subset of KQL
+(`T | where .. | extend .. | summarize .. by .. | join .. | sort | take`)
+parsed here and compiled to DataFrame operations, so every pipeline
+stays inside Catalyst (whole-stage codegen, pushdown, broadcast — no
+Python in the row path).
+
+Design: the expression grammar is parsed with a Pratt parser into an AST
+rendered as a Spark SQL expression string (`F.expr`), i.e. KQL
+expressions become Catalyst expressions 1:1; tabular operators map to
+DataFrame verbs (`where`→filter, `summarize`→groupBy.agg, `join`→join
+with an optional broadcast hint, `top/sort/take`→orderBy/limit, which
+Spark collapses to TakeOrderedAndProject).
+
+Supported surface (each line maps to one DataFrame verb):
+  T | where <pred>
+    | project c1, alias=expr, ...
+    | project-away c1, c2
+    | extend alias=expr, ...
+    | summarize a=agg(x), ... by k1, name=expr, bin(ts, 1h)
+    | distinct c1, c2
+    | sort by c1 desc, c2 asc
+    | top N by expr [asc|desc]
+    | take N  /  limit N
+    | count
+    | join kind=inner|left|right|fullouter|leftsemi|leftanti [hint.broadcast]
+        (subpipeline) on key / on $left.a == $right.b
+Scalar fns: strlen, tolower, toupper, substring (0-based, KQL-style),
+strcat, iff/iif, toint/tolong/todouble/tostring, bin, contains/
+startswith/endswith/has (term match), in/!in, ==/!=/=~, arithmetic.
+Aggregates: count, countif, sum, avg, min, max, dcount (exact
+count-distinct here; KQL's is approximate — documented deviation),
+make_list, make_set.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from azure_kusto_parquet_conv_spark.session import prepare_session
+from azure_kusto_parquet_conv_spark.sources.parquet import load_table
+
+# ----------------------------------------------------------------------
+# Tokenizer
+# ----------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(r"""
+    (?P<ws>\s+)
+  | (?P<timespan>\b\d+(?:\.\d+)?(?:ms|s|m|h|d)\b)
+  | (?P<num>\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
+  | (?P<str>'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
+  | (?P<ident>\$?[A-Za-z_][A-Za-z0-9_.]*)
+  | (?P<op>==|!=|=~|<=|>=|!in\b|<|>|\(|\)|\[|\]|,|\+|-|\*|/|%|=|\.)
+""", re.VERBOSE)
+
+
+@dataclass
+class Tok:
+    kind: str
+    text: str
+
+
+def _tokenize(s: str) -> list[Tok]:
+    out, i = [], 0
+    while i < len(s):
+        m = _TOKEN_RE.match(s, i)
+        if not m:
+            raise ValueError(f"KQL: cannot tokenize at ...{s[i:i+30]!r}")
+        i = m.end()
+        kind = m.lastgroup
+        if kind == "ws":
+            continue
+        out.append(Tok(kind, m.group()))
+    return out
+
+
+# timespan literal → microseconds (for bin() over timestamps)
+_TIMESPAN_US = {"ms": 1_000, "s": 1_000_000, "m": 60_000_000,
+                "h": 3_600_000_000, "d": 86_400_000_000}
+
+
+def _timespan_to_us(text: str) -> int:
+    m = re.fullmatch(r"(\d+(?:\.\d+)?)(ms|s|m|h|d)", text)
+    if not m:
+        raise ValueError(f"KQL: bad timespan {text!r}")
+    return int(float(m.group(1)) * _TIMESPAN_US[m.group(2)])
+
+
+# ----------------------------------------------------------------------
+# Pratt expression parser → Spark SQL text
+# ----------------------------------------------------------------------
+
+_FN_RENAME = {
+    "strlen": "length",
+    "tolower": "lower",
+    "toupper": "upper",
+    "strcat": "concat",
+    "tostring": "string",
+    "abs": "abs",
+    "round": "round",
+    "floor": "floor",
+    "ceiling": "ceil",
+    "coalesce": "coalesce",
+    "isnull": "isnull",
+    "isnotnull": "isnotnull",
+    "min_of": "least",
+    "max_of": "greatest",
+}
+
+_AGG_FNS = {"count", "countif", "sum", "avg", "min", "max", "dcount",
+            "make_list", "make_set"}
+
+_CMP = {"==": "=", "!=": "<>", "<": "<", "<=": "<=", ">": ">", ">=": ">="}
+
+
+class _ExprParser:
+    """Pratt parser over the token list; emits a Spark SQL string."""
+
+    def __init__(self, toks: list[Tok]):
+        self.toks = toks
+        self.i = 0
+
+    def peek(self) -> Tok | None:
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def next(self) -> Tok:
+        t = self.peek()
+        if t is None:
+            raise ValueError("KQL: unexpected end of expression")
+        self.i += 1
+        return t
+
+    def expect(self, text: str) -> None:
+        t = self.next()
+        if t.text != text:
+            raise ValueError(f"KQL: expected {text!r}, got {t.text!r}")
+
+    # precedence climbing ------------------------------------------------
+    def parse(self, min_bp: int = 0) -> str:
+        lhs = self._prefix()
+        while True:
+            t = self.peek()
+            if t is None:
+                return lhs
+            bp = self._infix_bp(t)
+            if bp is None or bp < min_bp:
+                return lhs
+            lhs = self._infix(lhs, self.next(), bp)
+
+    def _infix_bp(self, t: Tok) -> int | None:
+        text = t.text.lower()
+        if text in ("or",):
+            return 1
+        if text in ("and",):
+            return 2
+        if t.text in _CMP or text in ("in", "!in", "=~", "contains",
+                                      "startswith", "endswith", "has",
+                                      "between"):
+            return 3
+        if t.text in ("+", "-"):
+            return 4
+        if t.text in ("*", "/", "%"):
+            return 5
+        return None
+
+    def _prefix(self) -> str:
+        t = self.next()
+        text = t.text
+        low = text.lower()
+        if low == "not":
+            return f"(NOT {self.parse(3)})"
+        if text == "-":
+            return f"(- {self.parse(6)})"
+        if text == "(":
+            inner = self.parse(0)
+            self.expect(")")
+            return f"({inner})"
+        if t.kind == "num":
+            return text
+        if t.kind == "timespan":
+            return str(_timespan_to_us(text))
+        if t.kind == "str":
+            body = text[1:-1]
+            return "'" + body.replace("\\'", "'").replace("'", "''") + "'"
+        if t.kind == "ident":
+            nxt = self.peek()
+            if nxt is not None and nxt.text == "(":
+                return self._call(low)
+            if low in ("true", "false", "null"):
+                return low.upper()
+            if text.startswith("$"):
+                # $left.x / $right.x join-key references keep the prefix;
+                # the join compiler strips it.
+                return text
+            return f"`{text}`" if "." not in text else text
+        raise ValueError(f"KQL: unexpected token {text!r}")
+
+    def _call(self, fname: str) -> str:
+        self.expect("(")
+        args: list[str] = []
+        if self.peek() is not None and self.peek().text != ")":
+            # special-case: count(*) and count()
+            while True:
+                if self.peek().text == "*":
+                    self.next()
+                    args.append("*")
+                else:
+                    args.append(self.parse(0))
+                if self.peek() is not None and self.peek().text == ",":
+                    self.next()
+                    continue
+                break
+        self.expect(")")
+        return self._render_call(fname, args)
+
+    def _render_call(self, fname: str, args: list[str]) -> str:
+        if fname == "bin":
+            # bin() is intercepted token-level (schema-aware timespan
+            # handling) before parsing ever reaches here.
+            raise ValueError("KQL: bin(expr, literal_size) expected")
+        if fname in ("iff", "iif"):
+            if len(args) != 3:
+                raise ValueError("KQL: iff(cond, a, b) takes 3 args")
+            return f"(CASE WHEN {args[0]} THEN {args[1]} ELSE {args[2]} END)"
+        if fname == "substring":
+            if len(args) not in (2, 3):
+                raise ValueError("KQL: substring(s, start[, len])")
+            s, start = args[0], args[1]
+            if len(args) == 3:
+                return f"substr({s}, ({start}) + 1, {args[2]})"
+            return f"substr({s}, ({start}) + 1)"
+        if fname == "toint":
+            return f"CAST({args[0]} AS INT)"
+        if fname == "tolong":
+            return f"CAST({args[0]} AS BIGINT)"
+        if fname == "todouble":
+            return f"CAST({args[0]} AS DOUBLE)"
+        if fname == "tostring":
+            return f"CAST({args[0]} AS STRING)"
+        if fname == "count":
+            return "count(*)" if not args or args == ["*"] else \
+                f"count({args[0]})"
+        if fname == "countif":
+            return f"sum(CASE WHEN {args[0]} THEN 1 ELSE 0 END)"
+        if fname == "dcount":
+            return f"count(DISTINCT {args[0]})"
+        if fname == "make_list":
+            return f"collect_list({args[0]})"
+        if fname == "make_set":
+            return f"collect_set({args[0]})"
+        mapped = _FN_RENAME.get(fname, fname)
+        return f"{mapped}({', '.join(args)})"
+
+    def _infix(self, lhs: str, t: Tok, bp: int) -> str:
+        low = t.text.lower()
+        if low == "and":
+            return f"({lhs} AND {self.parse(bp + 1)})"
+        if low == "or":
+            return f"({lhs} OR {self.parse(bp + 1)})"
+        if t.text in _CMP:
+            return f"({lhs} {_CMP[t.text]} {self.parse(bp + 1)})"
+        if low == "=~":
+            return f"(lower({lhs}) = lower({self.parse(bp + 1)}))"
+        if low in ("in", "!in"):
+            self.expect("(")
+            items = [self.parse(0)]
+            while self.peek() is not None and self.peek().text == ",":
+                self.next()
+                items.append(self.parse(0))
+            self.expect(")")
+            neg = "NOT " if low == "!in" else ""
+            return f"({lhs} {neg}IN ({', '.join(items)}))"
+        if low == "contains":
+            return f"(contains(lower({lhs}), lower({self.parse(bp + 1)})))"
+        if low == "startswith":
+            return f"(startswith(lower({lhs}), lower({self.parse(bp + 1)})))"
+        if low == "endswith":
+            return f"(endswith(lower({lhs}), lower({self.parse(bp + 1)})))"
+        if low == "has":
+            # KQL 'has' is a whole-term match, not substring
+            rhs = self.parse(bp + 1)
+            return (f"(array_contains(split(lower({lhs}), "
+                    f"'[^a-z0-9]+'), lower({rhs})))")
+        if t.text in ("+", "-", "*", "/", "%"):
+            return f"({lhs} {t.text} {self.parse(bp + 1)})"
+        raise ValueError(f"KQL: unexpected operator {t.text!r}")
+
+
+def _parse_expr(toks: list[Tok]) -> str:
+    p = _ExprParser(toks)
+    out = p.parse(0)
+    if p.peek() is not None:
+        raise ValueError(f"KQL: trailing tokens from {p.peek().text!r}")
+    return out
+
+
+# bin() needs to know whether its argument is a timestamp; that is a
+# DataFrame-schema question, so it is resolved by the pipeline compiler,
+# not the pure-text expression parser. We intercept bin() calls at the
+# token level inside `summarize by` / `extend` instead.
+def _render_bin(df: DataFrame, arg_sql: str, size_tok: Tok) -> str:
+    if size_tok.kind == "timespan":
+        us = _timespan_to_us(size_tok.text)
+        return (f"timestamp_micros((unix_micros({arg_sql}) div {us}) "
+                f"* {us})")
+    size = size_tok.text
+    return f"(floor(({arg_sql}) / {size}) * {size})"
+
+
+# ----------------------------------------------------------------------
+# Pipeline splitter / compiler
+# ----------------------------------------------------------------------
+
+def _split_pipes(q: str) -> list[str]:
+    """Split on top-level '|' (not inside parens/brackets/strings)."""
+    parts, depth, start, i, n = [], 0, 0, 0, len(q)
+    while i < n:
+        c = q[i]
+        if c in "([":
+            depth += 1
+        elif c in ")]":
+            depth -= 1
+        elif c in "'\"":
+            quote = c
+            i += 1
+            while i < n and q[i] != quote:
+                i += 2 if q[i] == "\\" else 1
+        elif c == "|" and depth == 0:
+            parts.append(q[start:i].strip())
+            start = i + 1
+        i += 1
+    parts.append(q[start:].strip())
+    return [p for p in parts if p]
+
+
+def _split_top_commas(toks: list[Tok]) -> list[list[Tok]]:
+    groups, cur, depth = [], [], 0
+    for t in toks:
+        if t.text in ("(", "["):
+            depth += 1
+        elif t.text in (")", "]"):
+            depth -= 1
+        if t.text == "," and depth == 0:
+            groups.append(cur)
+            cur = []
+        else:
+            cur.append(t)
+    if cur:
+        groups.append(cur)
+    return groups
+
+
+def _named_expr(toks: list[Tok], df: DataFrame,
+                auto: str) -> tuple[str, str]:
+    """Parse `name = expr` or bare `expr`; returns (alias, sql)."""
+    if len(toks) >= 2 and toks[0].kind == "ident" and toks[1].text == "=":
+        name, body = toks[0].text, toks[2:]
+    else:
+        name, body = None, toks
+    sql = _compile_expr_tokens(body, df)
+    if name is None:
+        name = body[0].text if len(body) == 1 and body[0].kind == "ident" \
+            else auto
+    return name, sql
+
+
+def _compile_expr_tokens(toks: list[Tok], df: DataFrame) -> str:
+    """Expression compile with schema-aware bin() interception."""
+    out: list[Tok] = []
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if (t.kind == "ident" and t.text.lower() == "bin"
+                and i + 1 < len(toks) and toks[i + 1].text == "("):
+            # find matching close paren
+            depth, j = 0, i + 1
+            while j < len(toks):
+                if toks[j].text == "(":
+                    depth += 1
+                elif toks[j].text == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j += 1
+            inner = toks[i + 2:j]
+            groups = _split_top_commas(inner)
+            if len(groups) != 2 or len(groups[1]) != 1:
+                raise ValueError("KQL: bin(expr, literal_size)")
+            arg_sql = _compile_expr_tokens(groups[0], df)
+            rendered = _render_bin(df, arg_sql, groups[1][0])
+            out.append(Tok("rendered", rendered))
+            i = j + 1
+            continue
+        out.append(t)
+        i += 1
+    # re-parse with rendered fragments treated as atoms
+    return _parse_expr_with_atoms(out)
+
+
+def _parse_expr_with_atoms(toks: list[Tok]) -> str:
+    """Like _parse_expr but 'rendered' tokens pass through as atoms."""
+    class P(_ExprParser):
+        def _prefix(self):
+            t = self.peek()
+            if t is not None and t.kind == "rendered":
+                self.next()
+                return t.text
+            return super()._prefix()
+    p = P(toks)
+    res = p.parse(0)
+    if p.peek() is not None:
+        raise ValueError(f"KQL: trailing tokens from {p.peek().text!r}")
+    return res
+
+
+_JOIN_KINDS = {
+    "inner": "inner", "left": "left", "leftouter": "left",
+    "right": "right", "rightouter": "right", "fullouter": "outer",
+    "leftsemi": "left_semi", "leftanti": "left_anti",
+}
+
+
+class KqlCompiler:
+    """Compiles one KQL tabular pipeline against a table resolver."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        self.spark = spark
+        self.sf_dir = sf_dir
+        prepare_session(spark)
+
+    def table(self, name: str) -> DataFrame:
+        return load_table(self.spark, self.sf_dir, name)
+
+    def compile(self, query: str) -> DataFrame:
+        stages = _split_pipes(query)
+        if not stages:
+            raise ValueError("KQL: empty query")
+        df = self.table(stages[0].strip())
+        for stage in stages[1:]:
+            df = self._apply(df, stage)
+        return df
+
+    # ------------------------------------------------------------------
+    def _apply(self, df: DataFrame, stage: str) -> DataFrame:
+        m = re.match(r"([A-Za-z_-]+)\s*(.*)", stage, re.DOTALL)
+        if not m:
+            raise ValueError(f"KQL: bad stage {stage!r}")
+        op, rest = m.group(1).lower(), m.group(2).strip()
+        if op == "where":
+            return df.where(F.expr(_compile_expr_tokens(_tokenize(rest), df)))
+        if op == "project":
+            cols = []
+            for i, g in enumerate(_split_top_commas(_tokenize(rest))):
+                name, sql = _named_expr(g, df, f"col{i}")
+                cols.append(F.expr(sql).alias(name))
+            return df.select(*cols)
+        if op == "project-away":
+            names = [g[0].text for g in _split_top_commas(_tokenize(rest))]
+            return df.drop(*names)
+        if op == "extend":
+            for i, g in enumerate(_split_top_commas(_tokenize(rest))):
+                name, sql = _named_expr(g, df, f"col{i}")
+                df = df.withColumn(name, F.expr(sql))
+            return df
+        if op == "summarize":
+            return self._summarize(df, rest)
+        if op == "distinct":
+            if rest == "*":
+                return df.distinct()
+            names = [g[0].text for g in _split_top_commas(_tokenize(rest))]
+            return df.select(*names).distinct()
+        if op == "sort" or op == "order":
+            rest = re.sub(r"^by\s+", "", rest)
+            return df.orderBy(*self._sort_cols(df, rest))
+        if op == "top":
+            m2 = re.match(r"(\d+)\s+by\s+(.*)", rest, re.DOTALL)
+            if not m2:
+                raise ValueError("KQL: top N by expr")
+            n = int(m2.group(1))
+            return df.orderBy(*self._sort_cols(df, m2.group(2))).limit(n)
+        if op in ("take", "limit"):
+            return df.limit(int(rest))
+        if op == "count":
+            return df.agg(F.count("*").alias("count_"))
+        if op == "join":
+            return self._join(df, rest)
+        raise ValueError(f"KQL: unsupported operator {op!r}")
+
+    def _sort_cols(self, df: DataFrame, rest: str):
+        cols = []
+        for g in _split_top_commas(_tokenize(rest)):
+            desc = False
+            if g and g[-1].kind == "ident" and g[-1].text.lower() in (
+                    "asc", "desc"):
+                desc = g[-1].text.lower() == "desc"
+                g = g[:-1]
+            c = F.expr(_compile_expr_tokens(g, df))
+            cols.append(c.desc() if desc else c.asc())
+        return cols
+
+    def _summarize(self, df: DataFrame, rest: str):
+        # split on top-level ' by '
+        toks = _tokenize(rest)
+        by_idx = None
+        depth = 0
+        for i, t in enumerate(toks):
+            if t.text in ("(", "["):
+                depth += 1
+            elif t.text in (")", "]"):
+                depth -= 1
+            elif depth == 0 and t.kind == "ident" and t.text.lower() == "by":
+                by_idx = i
+                break
+        agg_toks = toks[:by_idx] if by_idx is not None else toks
+        key_toks = toks[by_idx + 1:] if by_idx is not None else []
+        aggs = []
+        for i, g in enumerate(_split_top_commas(agg_toks)):
+            name, sql = _named_expr(g, df, f"agg{i}")
+            aggs.append(F.expr(sql).alias(name))
+        if not aggs:
+            raise ValueError("KQL: summarize needs at least one aggregate")
+        if not key_toks:
+            return df.agg(*aggs)
+        keys = []
+        for i, g in enumerate(_split_top_commas(key_toks)):
+            name, sql = _named_expr(g, df, f"key{i}")
+            keys.append(F.expr(sql).alias(name))
+        return df.groupBy(*keys).agg(*aggs)
+
+    def _join(self, df: DataFrame, rest: str):
+        m = re.match(
+            r"(?:kind\s*=\s*(\w+)\s+)?(hint\.broadcast\s+)?"
+            r"\((?P<sub>.*)\)\s+on\s+(?P<on>.*)$",
+            rest, re.DOTALL)
+        if not m:
+            raise ValueError(f"KQL: bad join syntax {rest!r}")
+        kind = _JOIN_KINDS.get((m.group(1) or "inner").lower())
+        if kind is None:
+            raise ValueError(f"KQL: unsupported join kind {m.group(1)!r}")
+        right = self.compile(m.group("sub").strip())
+        if m.group(2):
+            right = F.broadcast(right)
+        on_text = m.group("on").strip()
+        # form 1: bare column name list
+        if re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*(\s*,\s*"
+                        r"[A-Za-z_][A-Za-z0-9_]*)*", on_text):
+            keys = [k.strip() for k in on_text.split(",")]
+            return df.join(right, keys, kind)
+        # form 2: $left.a == $right.b [and ...]
+        conds = None
+        for part in re.split(r"\band\b", on_text, flags=re.IGNORECASE):
+            m2 = re.fullmatch(
+                r"\s*\$left\.(\w+)\s*==\s*\$right\.(\w+)\s*", part)
+            if not m2:
+                raise ValueError(f"KQL: bad join condition {part!r}")
+            c = df[m2.group(1)] == right[m2.group(2)]
+            conds = c if conds is None else (conds & c)
+        return df.join(right, conds, kind)
+
+
+def kql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
+    """Compile and return a KQL tabular pipeline as a DataFrame."""
+    return KqlCompiler(spark, sf_dir).compile(query)

@@ -1858,3 +1858,102 @@ def q16_supplier_count(spark, sf_dir):
               .groupBy("p_brand", "p_type", "p_size")
               .agg(F.count_distinct("l_suppkey").cast("long")
                     .alias("supplier_cnt")))
+
+
+# =======================================================================
+# KQL pipeline DSL (kql.py) — each entry runs THROUGH the DSL compiler,
+# so the oracle gate checks parser + compiler + Catalyst end-to-end.
+# =======================================================================
+
+@query("q_kql_summarize", """
+SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(l_quantity), 2) AS qty
+FROM lineitem WHERE l_quantity > 30
+GROUP BY l_returnflag, l_linestatus
+""")
+def q_kql_summarize(spark, sf_dir):
+    """KQL filter + grouped aggregate; compiles to the same
+    filter→partial-agg→final-agg plan as the native q1 shape."""
+    from azure_kusto_parquet_conv_spark.kql import kql
+    return kql(spark, sf_dir, """
+      lineitem
+        | where l_quantity > 30
+        | summarize n=count(), qty=round(sum(l_quantity), 2)
+            by l_returnflag, l_linestatus
+    """)
+
+
+@query("q_kql_top_orders", """
+SELECT o_orderkey, o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+""")
+def q_kql_top_orders(spark, sf_dir):
+    """KQL sort+take compiles to orderBy+limit, which Spark collapses to
+    TakeOrderedAndProject (no global sort materialization)."""
+    from azure_kusto_parquet_conv_spark.kql import kql
+    return kql(spark, sf_dir, """
+      orders
+        | sort by o_totalprice desc, o_orderkey asc
+        | take 10
+        | project o_orderkey, o_totalprice
+    """)
+
+
+@query("q_kql_join_revenue", """
+SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY c_nationkey
+""")
+def q_kql_join_revenue(spark, sf_dir):
+    """KQL join with an explicit broadcast hint — the DSL's `hint.
+    broadcast` maps to F.broadcast, keeping the dim off the shuffle."""
+    from azure_kusto_parquet_conv_spark.kql import kql
+    return kql(spark, sf_dir, """
+      orders
+        | join kind=inner hint.broadcast
+            (customer | where c_mktsegment == 'BUILDING')
+            on $left.o_custkey == $right.c_custkey
+        | summarize n_orders=count(), revenue=round(sum(o_totalprice), 2)
+            by c_nationkey
+    """)
+
+
+@query("q_kql_bin_events", """
+SELECT ((epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) * 3600000000)
+         AS win_us,
+       event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(value), 2) AS v
+FROM events GROUP BY win_us, event_type
+""")
+def q_kql_bin_events(spark, sf_dir):
+    """KQL bin() over an event-time column: the timespan literal renders
+    as integer µs arithmetic (schema-aware at compile time), identical to
+    the tumbling-window shape."""
+    from azure_kusto_parquet_conv_spark.kql import kql
+    return kql(spark, sf_dir, """
+      events
+        | summarize n=count(), v=round(sum(value), 2)
+            by win=bin(ts, 1h), event_type
+        | project win_us=unix_micros(win), event_type, n, v
+    """)
+
+
+@query("q_kql_text_stats", """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN length(text) > 200 THEN 1 ELSE 0 END)
+            AS BIGINT) AS long_docs,
+       ROUND(AVG(length(text)), 4) AS avg_len
+FROM documents
+""")
+def q_kql_text_stats(spark, sf_dir):
+    """KQL scalar fns (strlen) + conditional aggregate (countif) over the
+    documents corpus, all staying in whole-stage codegen."""
+    from azure_kusto_parquet_conv_spark.kql import kql
+    return kql(spark, sf_dir, """
+      documents
+        | extend l=strlen(text)
+        | summarize n_docs=count(), long_docs=tolong(countif(l > 200)),
+            avg_len=round(avg(l), 4)
+    """)

@@ -1,0 +1,124 @@
+"""KQL DSL: expression-parser units, compiler equivalences against
+hand-built DataFrames, plan shape, and error handling."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from azure_kusto_parquet_conv_spark.kql import (
+    KqlCompiler,
+    _parse_expr,
+    _tokenize,
+    kql,
+)
+from azure_kusto_parquet_conv_spark.sources.parquet import load_table
+
+
+# ---------------------------------------------------------------- parser
+
+@pytest.mark.parametrize("src,expected", [
+    ("a == 1", "(`a` = 1)"),
+    ("a != 'x'", "(`a` <> 'x')"),
+    ("a > 1 and b < 2 or not c", "(((`a` > 1) AND (`b` < 2)) OR (NOT `c`))"),
+    ("strlen(s) + 1", "(length(`s`) + 1)"),
+    ("substring(s, 0, 3)", "substr(`s`, (0) + 1, 3)"),
+    ("iff(x > 0, 'p', 'n')", "(CASE WHEN (`x` > 0) THEN 'p' ELSE 'n' END)"),
+    ("x in (1, 2, 3)", "(`x` IN (1, 2, 3))"),
+    ("x !in ('a', 'b')", "(`x` NOT IN ('a', 'b'))"),
+    ("countif(x > 2)", "sum(CASE WHEN (`x` > 2) THEN 1 ELSE 0 END)"),
+    ("dcount(x)", "count(DISTINCT `x`)"),
+    ("a =~ 'ASIA'", "(lower(`a`) = lower('ASIA'))"),
+    ("count()", "count(*)"),
+    ("tolong(x)", "CAST(`x` AS BIGINT)"),
+])
+def test_expr_rendering(src, expected):
+    assert _parse_expr(_tokenize(src)) == expected
+
+
+def test_string_escaping_roundtrip():
+    assert _parse_expr(_tokenize("x == 'it\\'s'")) == "(`x` = 'it''s')"
+
+
+@pytest.mark.parametrize("bad", [
+    "a ==", "iff(a, b)", "x in 1", "bin(ts)", "a @@ b",
+])
+def test_expr_errors(bad):
+    with pytest.raises(ValueError):
+        _parse_expr(_tokenize(bad))
+
+
+def test_unsupported_stage_raises(spark, sf_dir):
+    with pytest.raises(ValueError, match="unsupported operator"):
+        kql(spark, sf_dir, "nation | mv-expand x")
+
+
+# -------------------------------------------------------------- compiler
+
+def test_where_project_matches_dataframe(spark, sf_dir):
+    got = kql(spark, sf_dir, """
+      customer | where c_acctbal > 1000
+                | project c_custkey, seg=tolower(c_mktsegment)
+    """)
+    cu = load_table(spark, sf_dir, "customer")
+    want = (cu.where(F.col("c_acctbal") > 1000)
+              .select("c_custkey", F.lower("c_mktsegment").alias("seg")))
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect()))
+
+
+def test_summarize_no_by_is_global_agg(spark, sf_dir):
+    row = kql(spark, sf_dir,
+              "orders | summarize n=count(), m=max(o_totalprice)").collect()
+    o = load_table(spark, sf_dir, "orders")
+    assert row[0]["n"] == o.count()
+    assert row[0]["m"] == o.agg(F.max("o_totalprice")).collect()[0][0]
+
+
+def test_join_semi_anti(spark, sf_dir):
+    semi = kql(spark, sf_dir, """
+      customer | join kind=leftsemi (orders) on
+        $left.c_custkey == $right.o_custkey | count
+    """).collect()[0]["count_"]
+    anti = kql(spark, sf_dir, """
+      customer | join kind=leftanti (orders) on
+        $left.c_custkey == $right.o_custkey | count
+    """).collect()[0]["count_"]
+    cu = load_table(spark, sf_dir, "customer")
+    assert semi + anti == cu.count()
+    o = load_table(spark, sf_dir, "orders")
+    assert semi == (cu.join(o, cu.c_custkey == o.o_custkey, "left_semi")
+                      .count())
+
+
+def test_distinct_and_take(spark, sf_dir):
+    rows = kql(spark, sf_dir,
+               "lineitem | distinct l_returnflag | sort by l_returnflag asc"
+               " | take 2").collect()
+    assert [r["l_returnflag"] for r in rows] == ["A", "N"]
+
+
+def test_has_is_term_match_not_substring(spark, sf_dir):
+    """'has' must match whole terms: 'part' the token, not 'partial'."""
+    df = spark.createDataFrame(
+        [("the part is here",), ("partial match only",)], ["text"])
+    comp = KqlCompiler(spark, sf_dir)
+    out = comp._apply(df, "where text has 'part'").collect()
+    assert [r["text"] for r in out] == ["the part is here"]
+
+
+# ------------------------------------------------------------------ plan
+
+def test_broadcast_hint_reaches_plan(spark, sf_dir):
+    from azure_kusto_parquet_conv_spark.plans import join_strategies
+    df = kql(spark, sf_dir, """
+      orders | join kind=inner hint.broadcast
+        (customer | where c_mktsegment == 'BUILDING')
+        on $left.o_custkey == $right.c_custkey
+    """)
+    assert "BroadcastHashJoin" in join_strategies(df)
+
+
+def test_top_compiles_to_take_ordered(spark, sf_dir):
+    from azure_kusto_parquet_conv_spark.plans import executed_plan
+    df = kql(spark, sf_dir,
+             "orders | top 5 by o_totalprice desc | project o_orderkey")
+    assert "TakeOrderedAndProject" in executed_plan(df)
