@@ -1957,3 +1957,72 @@ def q_kql_text_stats(spark, sf_dir):
         | summarize n_docs=count(), long_docs=tolong(countif(l > 200)),
             avg_len=round(avg(l), 4)
     """)
+
+
+@query("q_session_window", """
+WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+           FROM events),
+d AS (SELECT user_id, us,
+             CASE WHEN lag(us) OVER w IS NULL
+                       OR us - lag(us) OVER w >= 1200000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+s AS (SELECT user_id, us,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM d)
+SELECT user_id, MIN(us) AS session_start_us,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id, sid
+""")
+def q_session_window(spark, sf_dir):
+    """Spark's NATIVE session-window aggregate (F.session_window): gap-
+    merged sessions computed inside the aggregation operator itself — one
+    shuffle on the user key, no self-join and no two-pass lag+cumsum (the
+    q_sessionize twin shows that manual plan; this is the built-in).
+    An event exactly gap after the previous one starts a new session
+    ([start, start+gap) windows), mirrored by `>= gap` in the oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    return (ev.groupBy("user_id",
+                       F.session_window("ts", "20 minutes").alias("sw"))
+              .agg(F.count("*").cast("long").alias("n_events"))
+              .select("user_id",
+                      F.unix_micros("sw.start").alias("session_start_us"),
+                      "n_events"))
+
+
+@query("q_embed_quantize", """
+WITH b AS (SELECT vec_id,
+                  list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
+           FROM embeddings),
+s AS (SELECT vec_id, x,
+             list_max(list_transform(x, v -> abs(v))) AS scale
+      FROM b)
+SELECT vec_id, ROUND(scale, 6) AS scale,
+       CAST(list_sum(list_transform(
+            x, v -> CAST(floor(v * 127 / scale) AS BIGINT)))
+            AS BIGINT) AS q_sum,
+       CAST(len(x) AS BIGINT) AS dim
+FROM s WHERE scale > 0
+""")
+def q_embed_quantize(spark, sf_dir):
+    """Symmetric int8 scalar quantization of the embedding column — the
+    4x-compression step before a 100 TB ANN index build. All JVM-side
+    higher-order array functions (transform/aggregate), no Python in the
+    row path; per-vector scale = max|x|/127. floor() (not round) on both
+    engines so half-way ties cannot diverge; checksum + dim as scalars."""
+    em = load_table(spark, sf_dir, "embeddings")
+    xd = F.transform(F.col("embedding"), lambda v: v.cast("double"))
+    scale = F.array_max(F.transform(xd, F.abs))
+    # NB: the raw scale is aliased raw_scale so the output's rounded
+    # `scale` alias cannot lateral-bind into the quantization lambda
+    # (Spark 4 resolves same-select aliases laterally; DuckDB does not).
+    q = F.transform(F.col("x"),
+                    lambda v: F.floor(v * 127 / F.col("raw_scale"))
+                    .cast("long"))
+    return (em.select("vec_id", xd.alias("x"), scale.alias("raw_scale"))
+              .where(F.col("raw_scale") > 0)
+              .select("vec_id", F.round("raw_scale", 6).alias("scale"),
+                      F.aggregate(q, F.lit(0).cast("long"),
+                                  lambda acc, v: acc + v).alias("q_sum"),
+                      F.size("x").cast("long").alias("dim")))
