@@ -1,0 +1,85 @@
+"""Data-layout clustering: Z-order (Morton) sort for multi-dimensional
+scan pruning.
+
+Parquet scans prune at two granularities — partition directories and
+row-group/file min-max statistics. A single-column sort gives tight
+min-max ranges on that column only; filters on a second column still
+read everything. Z-ordering interleaves the bits of several columns into
+one sort key, so every file covers a small HYPER-RECTANGLE of the key
+space and the footer stats stay tight on ALL participating columns —
+multi-dimensional data skipping with zero read-path changes (the pruning
+is the stock min-max logic the reference delegates to its caller via
+--rowgroups, schema.rs:118-143).
+
+Everything here is JVM-side integer bit arithmetic (shiftleft/and/or
+Column expressions) — no UDFs — and the final layout step is
+repartitionByRange + sortWithinPartitions, i.e. one range shuffle at
+write time, amortized over every subsequent scan.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def zorder_key(cols: Sequence[Column | str], bits: int = 12) -> Column:
+    """Interleave the low ``bits`` bits of each (non-negative integer)
+    column into one Morton key: bit j of column i lands at position
+    ``j * n_cols + i``. Columns must already be range-normalized (see
+    ``zorder_sort`` for the min-max normalizing wrapper)."""
+    n = len(cols)
+    if n < 2:
+        raise ValueError("zorder needs >= 2 columns")
+    if bits * n > 63:
+        raise ValueError(f"{n} cols x {bits} bits exceeds a signed long")
+    cs = [F.col(c) if isinstance(c, str) else c for c in cols]
+    z = F.lit(0).cast("long")
+    for i, c in enumerate(cs):
+        cl = c.cast("long")
+        for j in range(bits):
+            z = z.bitwiseOR(
+                F.shiftleft(F.shiftright(cl, j).bitwiseAND(F.lit(1)),
+                            j * n + i))
+    return z
+
+
+def zorder_sql(cols: Sequence[str], bits: int = 12) -> str:
+    """The same Morton key as ``zorder_key`` rendered as ANSI SQL text
+    (`>>`, `&`, `|`, `<<`) — runnable by DuckDB for differential checks,
+    kept in lockstep with the Column builder above."""
+    n = len(cols)
+    terms = []
+    for i, c in enumerate(cols):
+        for j in range(bits):
+            terms.append(f"((({c} >> {j}) & 1) << {j * n + i})")
+    return "(" + " | ".join(terms) + ")"
+
+
+def zorder_sort(df: DataFrame, cols: Sequence[str], bits: int = 12,
+                num_files: int | None = None) -> DataFrame:
+    """Range-normalize ``cols`` to ``[0, 2^bits)``, build the Morton key,
+    and lay the rows out so each output file covers a narrow key range.
+
+    Normalization bounds come from one tiny agg job (driver-collected
+    scalars folded into the expression as literals — at 100 TB this is a
+    metadata-cheap full-scan agg, or can be fed from known domain bounds).
+    The layout step is ``repartitionByRange`` on the key (range shuffle,
+    balanced output files) + ``sortWithinPartitions`` so min-max stats
+    are tight inside each file too."""
+    bounds = df.agg(*[f for c in cols
+                      for f in (F.min(c).alias(f"min_{c}"),
+                                F.max(c).alias(f"max_{c}"))]).collect()[0]
+    top = (1 << bits) - 1
+    normed = []
+    for c in cols:
+        lo, hi = bounds[f"min_{c}"], bounds[f"max_{c}"]
+        span = max(int(hi) - int(lo), 1)
+        normed.append(((F.col(c).cast("long") - F.lit(int(lo)))
+                       * F.lit(top) / F.lit(span)).cast("long"))
+    keyed = df.withColumn("__z", zorder_key(normed, bits))
+    parts = num_files or df.sparkSession.sparkContext.defaultParallelism
+    return (keyed.repartitionByRange(parts, "__z")
+                 .sortWithinPartitions("__z")
+                 .drop("__z"))

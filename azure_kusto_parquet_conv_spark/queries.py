@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from azure_kusto_parquet_conv_spark.functions import conversion as C
 from azure_kusto_parquet_conv_spark.functions import text as X
 from azure_kusto_parquet_conv_spark.operators import dedup as D
+from azure_kusto_parquet_conv_spark.operators import layout as L
 from azure_kusto_parquet_conv_spark.operators import relational as R
 from azure_kusto_parquet_conv_spark.operators import similarity as S
 from azure_kusto_parquet_conv_spark.operators.convert import (
@@ -2026,3 +2027,23 @@ def q_embed_quantize(spark, sf_dir):
                       F.aggregate(q, F.lit(0).cast("long"),
                                   lambda acc, v: acc + v).alias("q_sum"),
                       F.size("x").cast("long").alias("dim")))
+
+
+_ZORDER_ORACLE = ("SELECT p_partkey, p_size, "
+                  + L.zorder_sql(["(p_size & 255)", "(p_partkey & 255)"], 8)
+                  + " AS z FROM part")
+
+
+@query("q_zorder_key", _ZORDER_ORACLE)
+def q_zorder_key(spark, sf_dir):
+    """Morton (Z-order) key over two part attributes — the clustering key
+    behind multi-dimensional data skipping (operators/layout.py). The
+    oracle SQL is GENERATED from the same bit-layout description as the
+    Column builder, so the two engines compute the interleave in lockstep
+    by construction. Pure shift/and/or integer arithmetic, whole-stage
+    codegen'd, no shuffle at all."""
+    pa = load_table(spark, sf_dir, "part")
+    a = F.col("p_size").cast("long").bitwiseAND(F.lit(255))
+    b = F.col("p_partkey").cast("long").bitwiseAND(F.lit(255))
+    return pa.select("p_partkey", "p_size",
+                     L.zorder_key([a, b], 8).alias("z"))

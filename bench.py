@@ -43,6 +43,11 @@ HEADLINE = [
     "q_tfidf",
     "q_funnel",
     "q_window_time_range",
+    "q7_nation_trade",
+    "q16_supplier_count",
+    "q_session_window",
+    "q_embed_quantize",
+    "q_kql_join_revenue",
 ]
 
 
