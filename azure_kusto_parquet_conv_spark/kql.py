@@ -255,6 +255,23 @@ class _ExprParser:
             return f"collect_list({args[0]})"
         if fname == "make_set":
             return f"collect_set({args[0]})"
+        if fname == "arg_max":
+            if len(args) != 2:
+                raise ValueError("KQL: arg_max(rank_expr, return_expr)")
+            return f"max_by({args[1]}, {args[0]})"
+        if fname == "arg_min":
+            if len(args) != 2:
+                raise ValueError("KQL: arg_min(rank_expr, return_expr)")
+            return f"min_by({args[1]}, {args[0]})"
+        if fname == "case":
+            if len(args) < 3 or len(args) % 2 == 0:
+                raise ValueError(
+                    "KQL: case(pred1, val1, ..., default) needs an odd "
+                    "number of args >= 3")
+            whens = "".join(
+                f" WHEN {args[i]} THEN {args[i + 1]}"
+                for i in range(0, len(args) - 1, 2))
+            return f"(CASE{whens} ELSE {args[-1]} END)"
         mapped = _FN_RENAME.get(fname, fname)
         return f"{mapped}({', '.join(args)})"
 
@@ -489,6 +506,14 @@ class KqlCompiler:
             return df.limit(int(rest))
         if op == "count":
             return df.agg(F.count("*").alias("count_"))
+        if op == "mv-expand":
+            # mv-expand col  /  mv-expand alias=expr : one output row per
+            # array element (explode, codegen'd Generate — no Python)
+            g = _split_top_commas(_tokenize(rest))
+            if len(g) != 1:
+                raise ValueError("KQL: mv-expand takes one column/expr")
+            name, sql = _named_expr(g[0], df, "value")
+            return df.withColumn(name, F.explode(F.expr(sql)))
         if op == "join":
             return self._join(df, rest)
         raise ValueError(f"KQL: unsupported operator {op!r}")

@@ -2047,3 +2047,40 @@ def q_zorder_key(spark, sf_dir):
     b = F.col("p_partkey").cast("long").bitwiseAND(F.lit(255))
     return pa.select("p_partkey", "p_size",
                      L.zorder_key([a, b], 8).alias("z"))
+
+
+@query("q_kql_arg_max", """
+SELECT c_nationkey, arg_max(c_name, c_acctbal) AS top_cust,
+       ROUND(MAX(c_acctbal), 2) AS bal
+FROM customer GROUP BY c_nationkey
+""")
+def q_kql_arg_max(spark, sf_dir):
+    """KQL arg_max -> Spark max_by: the per-group argmax without a
+    rank-window self-join (one aggregate, map-side combinable). Verified
+    tie-free at the gate scale factor (ties would be engine-arbitrary)."""
+    from azure_kusto_parquet_conv_spark.kql import kql
+    return kql(spark, sf_dir, """
+      customer
+        | summarize top_cust=arg_max(c_acctbal, c_name),
+            bal=round(max(c_acctbal), 2) by c_nationkey
+    """)
+
+
+@query("q_kql_case_tiers", """
+SELECT CASE WHEN o_totalprice >= 300000 THEN 'high'
+            WHEN o_totalprice >= 150000 THEN 'mid'
+            ELSE 'low' END AS tier,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(o_totalprice), 2) AS rev
+FROM orders GROUP BY tier
+""")
+def q_kql_case_tiers(spark, sf_dir):
+    """KQL case() -> searched CASE expression; classification + grouped
+    rollup in one codegen'd aggregate."""
+    from azure_kusto_parquet_conv_spark.kql import kql
+    return kql(spark, sf_dir, """
+      orders
+        | extend tier=case(o_totalprice >= 300000, 'high',
+                           o_totalprice >= 150000, 'mid', 'low')
+        | summarize n=count(), rev=round(sum(o_totalprice), 2) by tier
+    """)

@@ -48,7 +48,7 @@ def test_expr_errors(bad):
 
 def test_unsupported_stage_raises(spark, sf_dir):
     with pytest.raises(ValueError, match="unsupported operator"):
-        kql(spark, sf_dir, "nation | mv-expand x")
+        kql(spark, sf_dir, "nation | facet by n_name")
 
 
 # -------------------------------------------------------------- compiler
@@ -122,3 +122,20 @@ def test_top_compiles_to_take_ordered(spark, sf_dir):
     df = kql(spark, sf_dir,
              "orders | top 5 by o_totalprice desc | project o_orderkey")
     assert "TakeOrderedAndProject" in executed_plan(df)
+
+
+def test_mv_expand_is_explode(spark, sf_dir):
+    df = spark.createDataFrame([(1, [10, 20]), (2, [30])], ["k", "xs"])
+    comp = KqlCompiler(spark, sf_dir)
+    out = comp._apply(df, "mv-expand x=xs").select("k", "x").collect()
+    assert sorted(map(tuple, out)) == [(1, 10), (1, 20), (2, 30)]
+
+
+def test_case_requires_odd_args():
+    with pytest.raises(ValueError, match="odd"):
+        _parse_expr(_tokenize("case(a > 1, 'x', 'y', 'z')"))
+
+
+def test_arg_max_renders_max_by():
+    assert _parse_expr(_tokenize("arg_max(rank, ret)")) == \
+        "max_by(`ret`, `rank`)"
