@@ -2084,3 +2084,61 @@ def q_kql_case_tiers(spark, sf_dir):
                            o_totalprice >= 150000, 'mid', 'low')
         | summarize n=count(), rev=round(sum(o_totalprice), 2) by tier
     """)
+
+
+@query("q14_promo_revenue", """
+WITH j AS (
+  SELECT p_type, l_extendedprice * (1 - l_discount) AS rev
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= DATE '1995-09-01' AND l_shipdate < DATE '1995-12-01')
+SELECT ROUND(100 * ROUND(SUM(CASE WHEN p_type = 'PROMO' THEN rev
+                                  ELSE 0 END), 2)
+             / ROUND(SUM(rev), 2), 4) AS promo_pct
+FROM j
+""")
+def q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape: promo revenue share over a ship-date slice. The
+    date filter pushes to the lineitem scan, part broadcasts, and the
+    conditional sum folds into one aggregate pass. Both sums are rounded
+    BEFORE the ratio so summation-order ulp drift cannot move the 4-digit
+    rounding."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1995-09-01")
+        & (F.col("l_shipdate") < "1995-12-01"))
+    pa = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+              .agg(F.round(
+                  100 * F.round(F.sum(F.when(F.col("p_type") == "PROMO", rev)
+                                       .otherwise(0.0)), 2)
+                  / F.round(F.sum(rev), 2), 4).alias("promo_pct")))
+
+
+@query("q19_disjunctive_join", """
+SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+       AND l_quantity BETWEEN 20 AND 40)
+""")
+def q19_disjunctive_join(spark, sf_dir):
+    """TPC-H Q19 shape: a disjunction mixing build-side (brand/size) and
+    probe-side (quantity) predicates. The single-side prefilters Catalyst
+    CAN extract (brand∈set, size<=35, quantity<=40) push below the join;
+    the cross-side residual evaluates post-join. Part broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pa = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+    b = F.col("p_brand")
+    s = F.col("p_size")
+    q = F.col("l_quantity")
+    cond = (((b == "Brand#12") & s.between(1, 15) & q.between(1, 20))
+            | ((b == "Brand#23") & s.between(1, 25) & q.between(10, 30))
+            | ((b == "Brand#34") & s.between(1, 35) & q.between(20, 40)))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return j.where(cond).agg(F.round(F.sum(rev), 2).alias("revenue"),
+                             F.count("*").cast("long").alias("n"))
