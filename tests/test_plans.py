@@ -274,3 +274,19 @@ def test_runtime_bloom_filter_injects(spark, sf_dir):
     assert "bloom_filter_agg" not in plan_after
     rows_plain = sorted(map(tuple, shape(li).collect()))
     assert rows_bloom == rows_plain
+
+
+def test_q14_date_filter_pushed_and_part_broadcast(spark, sf_dir):
+    df = QUERIES["q14_promo_revenue"](spark, sf_dir)
+    assert has_pushed_filters(df, "l_shipdate"), executed_plan(df)[:1500]
+    assert "SortMergeJoin" not in join_strategies(df)
+
+
+def test_q19_extracts_single_side_prefilters(spark, sf_dir):
+    """Catalyst must extract the disjunction's single-side implications
+    (brand IN set on the build side) below the broadcast join."""
+    df = QUERIES["q19_disjunctive_join"](spark, sf_dir)
+    plan = executed_plan(df)
+    assert "BroadcastHashJoin" in join_strategies(df)
+    assert "Brand#12" in plan.split("BroadcastHashJoin")[-1] or \
+           "p_brand" in plan.split("BroadcastHashJoin")[-1], plan[:2000]
