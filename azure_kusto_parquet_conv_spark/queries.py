@@ -2142,3 +2142,35 @@ def q19_disjunctive_join(spark, sf_dir):
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return j.where(cond).agg(F.round(F.sum(rev), 2).alias("revenue"),
                              F.count("*").cast("long").alias("n"))
+
+
+@query("q_key_skew", """
+WITH counts AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total,
+               CAST(COUNT(*) AS BIGINT) AS n_keys FROM counts)
+SELECT event_type, n,
+       CAST((n * 1000000) // total AS BIGINT) AS share_ppm,
+       CAST((n * n_keys * 10000) // total AS BIGINT) AS skew_ratio_bp
+FROM (SELECT * FROM counts ORDER BY n DESC, event_type LIMIT 5), tot
+""")
+def q_key_skew(spark, sf_dir):
+    """Hot-key skew report (plans/diagnose.py shape): per-key counts in
+    one shuffle, the 2-scalar global aggregate broadcast back onto the
+    top keys — the measurement that decides when a 100 TB shuffle key
+    needs salting. Ratios reported in exact integer ppm / basis points
+    (floor division) so the two engines cannot diverge on float
+    rounding."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"))
+    tot = counts.agg(F.sum("n").cast("long").alias("total"),
+                     F.count("*").cast("long").alias("n_keys"))
+    return (counts.orderBy(F.col("n").desc(), "event_type").limit(5)
+                  .crossJoin(F.broadcast(tot))
+                  .select("event_type", "n",
+                          F.expr("(n * 1000000) div total").cast("long")
+                           .alias("share_ppm"),
+                          F.expr("(n * n_keys * 10000) div total")
+                           .cast("long").alias("skew_ratio_bp")))

@@ -41,7 +41,9 @@ def test_no_accidental_cartesians_across_catalog(spark, sf_dir):
     # cross joins are intentional ONLY in the two brute-force similarity
     # queries (broadcast NLJ over a small side)
     allowed_nlj = {"q_knn_bruteforce", "q_embed_sim_pairs", "q_dedup_jaccard",
-                   "q_cross_join", "q_tfidf"}
+                   "q_cross_join", "q_tfidf",
+                   # 1-row global-total broadcast onto the hot-key list
+                   "q_key_skew"}
     for name, fn in QUERIES.items():
         if name in ("q_dedup_simhash",):  # pandas UDF: plan has no joins of interest
             continue
@@ -290,3 +292,22 @@ def test_q19_extracts_single_side_prefilters(spark, sf_dir):
     assert "BroadcastHashJoin" in join_strategies(df)
     assert "Brand#12" in plan.split("BroadcastHashJoin")[-1] or \
            "p_brand" in plan.split("BroadcastHashJoin")[-1], plan[:2000]
+
+
+def test_partition_stats_balanced_after_repartition(spark, sf_dir):
+    from azure_kusto_parquet_conv_spark.plans.diagnose import partition_stats
+    ev = load_table(spark, sf_dir, "events").repartition(4, "event_id")
+    rows = partition_stats(ev).collect()
+    total = sum(r["n_rows"] for r in rows)
+    assert total == load_table(spark, sf_dir, "events").count()
+    assert len(rows) == 4
+    assert max(r["n_rows"] for r in rows) < 2 * total / len(rows)
+
+
+def test_key_skew_report(spark, sf_dir):
+    from azure_kusto_parquet_conv_spark.plans.diagnose import key_skew
+    rep = key_skew(load_table(spark, sf_dir, "events"), "event_type",
+                   top=3).collect()
+    assert len(rep) == 3
+    assert rep[0]["n"] >= rep[1]["n"] >= rep[2]["n"]
+    assert all(0 < r["share"] < 1 and r["skew_ratio"] > 0 for r in rep)
