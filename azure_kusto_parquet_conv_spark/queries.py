@@ -2174,3 +2174,19 @@ def q_key_skew(spark, sf_dir):
                            .alias("share_ppm"),
                           F.expr("(n * n_keys * 10000) div total")
                            .cast("long").alias("skew_ratio_bp")))
+
+
+@query("q_approx_percentiles")  # engine-specific sketch: rows-only check;
+# tests/test_relational.py bounds it against the exact percentiles
+def q_approx_percentiles(spark, sf_dir):
+    """Mergeable approximate percentiles (percentile_approx): each
+    partition builds a bounded-memory quantile sketch, sketches merge at
+    the driver side of the aggregate — the only way percentiles scale to
+    100 TB (exact percentile_cont needs a full sort per group). Accuracy
+    knob: the last argument trades memory for rank error."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+              .agg(F.percentile_approx("l_extendedprice",
+                                       [0.5, 0.95, 0.99], 10000)
+                    .alias("pcts"),
+                   F.count("*").cast("long").alias("n")))

@@ -100,3 +100,22 @@ def test_top_k_per_group(spark):
     out = R.top_k_per_group(df, ["g"], [F.col("v").desc()], 2)
     got = sorted((r["g"], r["v"]) for r in out.collect())
     assert got == [("a", 3), ("a", 5), ("b", 9)]
+
+
+def test_approx_percentiles_near_exact(spark, sf_dir):
+    """The sketch must land within 1% relative error of the exact
+    percentiles at test scale (accuracy=10000 => rank error <= n/10000)."""
+    from azure_kusto_parquet_conv_spark.queries import QUERIES
+    approx = {r["l_returnflag"]: r["pcts"]
+              for r in QUERIES["q_approx_percentiles"](spark, sf_dir)
+              .collect()}
+    from azure_kusto_parquet_conv_spark.sources.parquet import load_table
+    exact = {r["l_returnflag"]: r["pcts"] for r in
+             load_table(spark, sf_dir, "lineitem")
+             .groupBy("l_returnflag")
+             .agg(F.expr("percentile(l_extendedprice, array(0.5, 0.95, "
+                         "0.99))").alias("pcts")).collect()}
+    assert set(approx) == set(exact)
+    for flag, pcts in approx.items():
+        for a, e in zip(pcts, exact[flag]):
+            assert abs(a - e) / e < 0.01, (flag, a, e)
