@@ -2190,3 +2190,41 @@ def q_approx_percentiles(spark, sf_dir):
                                        [0.5, 0.95, 0.99], 10000)
                     .alias("pcts"),
                    F.count("*").cast("long").alias("n")))
+
+
+@query("q_corr_price_qty", """
+WITH s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         ROUND(SUM(l_quantity), 2) AS sx,
+         ROUND(SUM(l_extendedprice), 2) AS sy,
+         ROUND(SUM(l_quantity * l_quantity), 2) AS sxx,
+         ROUND(SUM(l_extendedprice * l_extendedprice), 2) AS syy,
+         ROUND(SUM(l_quantity * l_extendedprice), 2) AS sxy
+  FROM lineitem)
+SELECT n, ROUND((n * sxy - sx * sy)
+                / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+                6) AS corr
+FROM s
+""")
+def q_corr_price_qty(spark, sf_dir):
+    """Pearson correlation composed from five map-side-combinable sums
+    (one aggregate pass, no second scan). Spark's built-in F.corr merges
+    partial (co)moments in partition order — not bit-stable across
+    engines — so the catalog entry uses the sum formula with each raw
+    sum ROUNDed before the final arithmetic, making the result exactly
+    reproducible on both engines while keeping the same single-pass
+    distributed shape."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    s = li.agg(F.count("*").cast("long").alias("n"),
+               F.round(F.sum(x), 2).alias("sx"),
+               F.round(F.sum(y), 2).alias("sy"),
+               F.round(F.sum(x * x), 2).alias("sxx"),
+               F.round(F.sum(y * y), 2).alias("syy"),
+               F.round(F.sum(x * y), 2).alias("sxy"))
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return s.select("n", F.round(
+        (n * sxy - sx * sy)
+        / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+        .alias("corr"))
