@@ -2228,3 +2228,33 @@ def q_corr_price_qty(spark, sf_dir):
         (n * sxy - sx * sy)
         / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
         .alias("corr"))
+
+
+@query("q18_large_orders", """
+WITH big AS (
+  SELECT l_orderkey, ROUND(SUM(l_quantity), 2) AS qty
+  FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 320)
+SELECT c_custkey, c_name, o_orderkey,
+       ROUND(o_totalprice, 2) AS totalprice, qty
+FROM big
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+""")
+def q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape: HAVING-filtered per-order quantity rollup joined
+    back to orders and customers. Scale design: the aggregate and the
+    orders join share the orderkey partitioning (no second fact shuffle
+    — the HAVING filter also shrinks the probe side to the tail), and
+    customer broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    big = (li.groupBy("l_orderkey")
+             .agg(F.round(F.sum("l_quantity"), 2).alias("qty"),
+                  F.sum("l_quantity").alias("_raw"))
+             .where(F.col("_raw") > 320).drop("_raw"))
+    return (big.join(o, big.l_orderkey == o.o_orderkey)
+               .join(F.broadcast(cu), o.o_custkey == cu.c_custkey)
+               .select("c_custkey", "c_name", "o_orderkey",
+                       F.round("o_totalprice", 2).alias("totalprice"),
+                       "qty"))
