@@ -2258,3 +2258,35 @@ def q18_large_orders(spark, sf_dir):
                .select("c_custkey", "c_name", "o_orderkey",
                        F.round("o_totalprice", 2).alias("totalprice"),
                        "qty"))
+
+
+@query("q_cohort_retention", """
+WITH wks AS (
+  SELECT user_id,
+         epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000 AS wk
+  FROM events),
+firsts AS (
+  SELECT user_id, MIN(wk) AS cohort_wk FROM wks GROUP BY user_id)
+SELECT CAST(cohort_wk AS BIGINT) AS cohort_wk,
+       CAST(wk - cohort_wk AS BIGINT) AS age_wk,
+       CAST(COUNT(DISTINCT w.user_id) AS BIGINT) AS active_users
+FROM wks w JOIN firsts f ON w.user_id = f.user_id
+GROUP BY cohort_wk, age_wk
+""")
+def q_cohort_retention(spark, sf_dir):
+    """Cohort retention matrix: users bucketed by first-seen week, then
+    distinct-active counts per (cohort, age) cell. Scale design: the
+    first-seen aggregate, the self-join, and the distinct all key on
+    user_id, so one hash partitioning serves all three stages before the
+    small final (cohort, age) rollup; week ids are exact integer µs
+    division (no calendar functions to disagree on)."""
+    ev = load_table(spark, sf_dir, "events")
+    wks = ev.select("user_id",
+                    F.expr("ts_ns div 1000 div 604800000000").alias("wk"))
+    firsts = wks.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    return (wks.join(firsts, "user_id")
+               .groupBy(F.col("cohort_wk").cast("long").alias("cohort_wk"),
+                        (F.col("wk") - F.col("cohort_wk")).cast("long")
+                        .alias("age_wk"))
+               .agg(F.count_distinct("user_id").cast("long")
+                     .alias("active_users")))

@@ -311,3 +311,13 @@ def test_key_skew_report(spark, sf_dir):
     assert len(rep) == 3
     assert rep[0]["n"] >= rep[1]["n"] >= rep[2]["n"]
     assert all(0 < r["share"] < 1 and r["skew_ratio"] > 0 for r in rep)
+
+
+def test_cohort_retention_bounded_shuffles(spark, sf_dir):
+    """first-seen agg, self-join, and distinct all key on user_id — the
+    plan must not exceed 4 exchanges (scan-side agg, join alignment,
+    distinct, final rollup); a regression that re-keys mid-pipeline shows
+    up as a 5th."""
+    from azure_kusto_parquet_conv_spark.plans.explain import shuffle_count
+    df = QUERIES["q_cohort_retention"](spark, sf_dir)
+    assert shuffle_count(df) <= 4, executed_plan(df)[:2000]
