@@ -2290,3 +2290,34 @@ def q_cohort_retention(spark, sf_dir):
                         .alias("age_wk"))
                .agg(F.count_distinct("user_id").cast("long")
                      .alias("active_users")))
+
+
+@query("q15_top_supplier", """
+WITH rev AS (
+  SELECT l_suppkey,
+         ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_rev
+FROM rev JOIN supplier ON s_suppkey = l_suppkey
+WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+""")
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: revenue 'view' reused twice — once for the rows,
+    once for its max — without recomputing the fact scan (the view is a
+    small per-supplier aggregate; its 1-row max broadcasts back as a
+    scalar filter). Comparison happens on the ROUNDED revenue so the
+    max-equality cannot drift between engines."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1996-04-01"))
+    su = load_table(spark, sf_dir, "supplier")
+    rev = (li.groupBy("l_suppkey")
+             .agg(F.round(F.sum(F.col("l_extendedprice")
+                                * (1 - F.col("l_discount"))), 2)
+                   .alias("total_rev")))
+    top = rev.agg(F.max("total_rev").alias("m"))
+    return (rev.join(F.broadcast(top), rev.total_rev == top.m)
+               .join(F.broadcast(su), rev.l_suppkey == su.s_suppkey)
+               .select("s_suppkey", "s_name", "total_rev"))

@@ -1,0 +1,44 @@
+"""Storage-format transcoding between Spark's built-in columnar/row
+formats.
+
+The reference converts Parquet to Kusto-ingestible TEXT only
+(converter.rs:54-58 — JSONL or CSV); this is the storage-side
+generalization a lake engine needs: rewrite a dataset parquet↔ORC↔JSON
+↔CSV with schema preserved, distributed, no driver materialization.
+Text formats lose type width (JSON has no int32-vs-int64, CSV is
+stringly) — ``round_trip_schema_safe`` says whether a format can carry
+the exact schema back."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from azure_kusto_parquet_conv_spark.session import prepare_session
+
+_FORMATS = {"parquet", "orc", "json", "csv"}
+
+#: formats whose read(write(df)) reproduces the exact Spark schema
+LOSSLESS = {"parquet", "orc"}
+
+
+def transcode(spark: SparkSession, src: str, out_path: str,
+              src_format: str = "parquet", out_format: str = "orc",
+              compression: str | None = None) -> None:
+    """Distributed format rewrite: read ``src`` as ``src_format``, write
+    ``out_path`` as ``out_format``. Narrow pipeline — no shuffle; output
+    file count tracks input split count, so at 100 TB this scales with
+    the cluster like any scan."""
+    for f in (src_format, out_format):
+        if f not in _FORMATS:
+            raise ValueError(f"unsupported format {f!r} (use {_FORMATS})")
+    prepare_session(spark)
+    reader = spark.read
+    if src_format == "csv":
+        reader = reader.option("header", "true").option("inferSchema", "true")
+    df: DataFrame = reader.format(src_format).load(src)
+    writer = df.write.mode("overwrite")
+    if out_format == "csv":
+        writer = writer.option("header", "true")
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.format(out_format).save(out_path)

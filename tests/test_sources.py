@@ -117,3 +117,24 @@ def test_partitioned_directory_scan(spark, tmp_path):
     assert df.count() == 6
     assert "k" in df.columns  # partition column surfaces in the schema
     assert df.where(df.k == "p1").count() == 3
+
+
+def test_transcode_orc_round_trip(spark, sf_dir, tmp_path):
+    """parquet -> ORC -> parquet must preserve schema and every value
+    (both formats are typed columnar; the pipeline is shuffle-free)."""
+    from azure_kusto_parquet_conv_spark.sources.formats import transcode
+    src = f"{sf_dir}/supplier.parquet"
+    orc = str(tmp_path / "supplier_orc")
+    transcode(spark, src, orc, "parquet", "orc", compression="zlib")
+    back = spark.read.format("orc").load(orc)
+    orig = spark.read.parquet(src)
+    assert back.schema == orig.schema
+    assert sorted(map(tuple, back.collect())) == \
+        sorted(map(tuple, orig.collect()))
+
+
+def test_transcode_rejects_unknown_format(spark, tmp_path):
+    from azure_kusto_parquet_conv_spark.sources.formats import transcode
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unsupported format"):
+        transcode(spark, "x", str(tmp_path / "y"), "parquet", "avro")
