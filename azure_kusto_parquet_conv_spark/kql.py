@@ -450,6 +450,11 @@ class KqlCompiler:
     def __init__(self, spark: SparkSession, sf_dir: str):
         self.spark = spark
         self.sf_dir = sf_dir
+        # `sort by` records its keys here; row_number() requires them
+        # (KQL's serialized-order semantics made explicit and
+        # deterministic — a window over an unordered table would be both
+        # nondeterministic and a single-partition bottleneck at scale).
+        self._order: list | None = None
         prepare_session(spark)
 
     def table(self, name: str) -> DataFrame:
@@ -484,6 +489,17 @@ class KqlCompiler:
         if op == "extend":
             for i, g in enumerate(_split_top_commas(_tokenize(rest))):
                 name, sql = _named_expr(g, df, f"col{i}")
+                if sql.strip() == "row_number()":
+                    if self._order is None:
+                        raise ValueError(
+                            "KQL: row_number() needs a preceding "
+                            "'sort by' (serialized order)")
+                    from pyspark.sql import Window
+                    df = df.withColumn(
+                        name,
+                        F.row_number().over(Window.orderBy(*self._order))
+                         .cast("long"))
+                    continue
                 df = df.withColumn(name, F.expr(sql))
             return df
         if op == "summarize":
@@ -495,7 +511,9 @@ class KqlCompiler:
             return df.select(*names).distinct()
         if op == "sort" or op == "order":
             rest = re.sub(r"^by\s+", "", rest)
-            return df.orderBy(*self._sort_cols(df, rest))
+            cols = self._sort_cols(df, rest)
+            self._order = cols
+            return df.orderBy(*cols)
         if op == "top":
             m2 = re.match(r"(\d+)\s+by\s+(.*)", rest, re.DOTALL)
             if not m2:

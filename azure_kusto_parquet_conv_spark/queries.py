@@ -2321,3 +2321,24 @@ def q15_top_supplier(spark, sf_dir):
     return (rev.join(F.broadcast(top), rev.total_rev == top.m)
                .join(F.broadcast(su), rev.l_suppkey == su.s_suppkey)
                .select("s_suppkey", "s_name", "total_rev"))
+
+
+@query("q_kql_row_number", """
+SELECT o_orderkey, o_totalprice,
+       CAST(row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey)
+            AS BIGINT) AS rn
+FROM orders QUALIFY rn <= 15
+""")
+def q_kql_row_number(spark, sf_dir):
+    """KQL serialized-order row_number(): the compiler requires a
+    preceding `sort by` and reuses its keys as the window order, making
+    the Kusto semantics explicit and deterministic (global top slice —
+    bounded output, TakeOrdered-friendly)."""
+    from azure_kusto_parquet_conv_spark.kql import kql
+    return kql(spark, sf_dir, """
+      orders
+        | sort by o_totalprice desc, o_orderkey asc
+        | extend rn=row_number()
+        | where rn <= 15
+        | project o_orderkey, o_totalprice, rn
+    """)

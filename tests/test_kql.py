@@ -139,3 +139,8 @@ def test_case_requires_odd_args():
 def test_arg_max_renders_max_by():
     assert _parse_expr(_tokenize("arg_max(rank, ret)")) == \
         "max_by(`ret`, `rank`)"
+
+
+def test_row_number_requires_sort(spark, sf_dir):
+    with pytest.raises(ValueError, match="row_number"):
+        kql(spark, sf_dir, "orders | extend rn=row_number()")
