@@ -255,6 +255,11 @@ class _ExprParser:
             return f"collect_list({args[0]})"
         if fname == "make_set":
             return f"collect_set({args[0]})"
+        if fname == "extract":
+            # extract(regex, capture_group, text) -> regexp_extract
+            if len(args) != 3:
+                raise ValueError("KQL: extract(regex, group, text)")
+            return f"regexp_extract({args[2]}, {args[0]}, {args[1]})"
         if fname == "arg_max":
             if len(args) != 2:
                 raise ValueError("KQL: arg_max(rank_expr, return_expr)")

@@ -144,3 +144,38 @@ def test_arg_max_renders_max_by():
 def test_row_number_requires_sort(spark, sf_dir):
     with pytest.raises(ValueError, match="row_number"):
         kql(spark, sf_dir, "orders | extend rn=row_number()")
+
+
+def test_extract_renders_regexp_extract():
+    assert _parse_expr(_tokenize("extract('(\\\\d+)', 1, s)")) == \
+        "regexp_extract(`s`, '(\\\\d+)', 1)"
+
+
+def test_numeric_bin(spark, sf_dir):
+    """bin() over a plain number floors to the bucket width."""
+    got = kql(spark, sf_dir, """
+      orders | summarize n=count() by b=bin(o_totalprice, 100000)
+             | sort by b asc
+    """).collect()
+    o = load_table(spark, sf_dir, "orders")
+    want = (o.groupBy((F.floor(F.col("o_totalprice") / 100000) * 100000)
+                      .alias("b"))
+             .agg(F.count("*").alias("n")).orderBy("b").collect())
+    assert [(r["b"], r["n"]) for r in got] == \
+        [(r["b"], r["n"]) for r in want]
+
+
+def test_tokenizer_never_hangs_on_junk():
+    """Fuzz: arbitrary strings either tokenize+parse or raise ValueError —
+    no hangs, no other exception types escape the parser."""
+    import hypothesis.strategies as st
+    from hypothesis import given, settings
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(alphabet="ab01+*()=!<>,.'\"| _", max_size=40))
+    def run(s):
+        try:
+            _parse_expr(_tokenize(s))
+        except ValueError:
+            pass
+    run()
