@@ -42,3 +42,29 @@ def transcode(spark: SparkSession, src: str, out_path: str,
     if compression:
         writer = writer.option("compression", compression)
     writer.format(out_format).save(out_path)
+
+
+def compact(spark: SparkSession, src: str, out_path: str,
+            target_file_bytes: int = 128 * 1024 * 1024,
+            data_format: str = "parquet") -> int:
+    """Small-file compaction: rewrite a directory of many small files
+    into ceil(total_bytes / target) files. The operational fix for the
+    100 TB small-file problem — streaming/micro-batch sinks and
+    fine-grained partitions accrete thousands of KB-sized files whose
+    per-file open/footer cost dominates scans; compaction restores
+    scan-sized objects. Uses one repartition (round-robin, balanced
+    output) and returns the file count written."""
+    import math
+
+    prepare_session(spark)
+    df = spark.read.format(data_format).load(src)
+    # logical bytes from the source listing (driver-only)
+    from pyspark.sql.functions import input_file_name
+    files = [r[0] for r in
+             df.select(input_file_name().alias("f")).distinct().collect()]
+    import os
+    total = sum(os.path.getsize(f.removeprefix("file://")) for f in files)
+    n = max(1, math.ceil(total / target_file_bytes))
+    df.repartition(n).write.mode("overwrite").format(data_format) \
+      .save(out_path)
+    return n

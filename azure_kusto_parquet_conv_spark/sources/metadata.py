@@ -113,3 +113,32 @@ def row_groups_metadata(path: str) -> list[dict[str, str]]:
             "totalByteSize": str(rg.total_byte_size),
         })
     return out
+
+
+def pruning_report(paths: list[str], column: str,
+                   lo, hi) -> dict[str, int]:
+    """Zone-map effectiveness: using only footer min/max statistics (the
+    same metadata the reference exports via --rowgroups,
+    schema.rs:118-143, for its caller to plan splits), count how many row
+    groups a scan with predicate ``lo <= column <= hi`` could skip.
+    This is exactly the skipping Spark/any engine performs from parquet
+    stats — the report quantifies what a layout (sort, Z-order,
+    partitioning) buys BEFORE running a query. Driver-only metadata walk;
+    no data pages are read."""
+    total = kept = 0
+    for p in paths:
+        md = pq.ParquetFile(p).metadata
+        for rg in range(md.num_row_groups):
+            total += 1
+            g = md.row_group(rg)
+            stat = None
+            for ci in range(md.num_columns):
+                c = g.column(ci)
+                if c.path_in_schema == column and c.statistics is not None:
+                    stat = c.statistics
+                    break
+            # no stats -> must read (cannot prove it's prunable)
+            if stat is None or (stat.max >= lo and stat.min <= hi):
+                kept += 1
+    return {"row_groups_total": total, "row_groups_read": kept,
+            "row_groups_skipped": total - kept}

@@ -138,3 +138,41 @@ def test_transcode_rejects_unknown_format(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="unsupported format"):
         transcode(spark, "x", str(tmp_path / "y"), "parquet", "avro")
+
+
+def test_compact_reduces_file_count(spark, sf_dir, tmp_path):
+    from azure_kusto_parquet_conv_spark.sources.formats import compact
+    import glob as _glob
+    small = str(tmp_path / "small")
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet") \
+         .repartition(32).write.parquet(small)
+    assert len(_glob.glob(f"{small}/part-*.parquet")) == 32
+    out = str(tmp_path / "compacted")
+    n = compact(spark, small, out, target_file_bytes=64 * 1024 * 1024)
+    got = _glob.glob(f"{out}/part-*.parquet")
+    assert len(got) == n <= 4
+    assert spark.read.parquet(out).count() == \
+        spark.read.parquet(small).count()
+
+
+def test_pruning_report_quantifies_sort_benefit(spark, sf_dir, tmp_path):
+    """Sorted layout -> most row groups prunable for a narrow range;
+    the same data unsorted -> nearly all row groups must be read."""
+    import glob as _glob
+    from azure_kusto_parquet_conv_spark.sources.metadata import (
+        pruning_report,
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    lo, hi = 100, 200  # narrow l_orderkey slice
+    srt = str(tmp_path / "sorted")
+    (li.repartitionByRange(8, "l_orderkey")
+       .sortWithinPartitions("l_orderkey").write.parquet(srt))
+    rnd = str(tmp_path / "random")
+    li.repartition(8).write.parquet(rnd)
+    rep_s = pruning_report(
+        sorted(_glob.glob(f"{srt}/part-*.parquet")), "l_orderkey", lo, hi)
+    rep_r = pruning_report(
+        sorted(_glob.glob(f"{rnd}/part-*.parquet")), "l_orderkey", lo, hi)
+    assert rep_s["row_groups_skipped"] > 0
+    assert rep_r["row_groups_skipped"] == 0
+    assert rep_s["row_groups_read"] < rep_r["row_groups_read"]
