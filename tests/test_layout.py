@@ -90,3 +90,28 @@ def test_zorder_sort_tightens_file_stats_on_both_dims(spark, sf_dir,
     assert span_pk < 0.8, f"l_partkey avg span {span_pk}"
     # and the layout is a pure reorder: same multiset of rows
     assert spark.read.parquet(out).count() == li.count()
+
+
+def test_zorder_beats_single_sort_for_second_dim(spark, sf_dir, tmp_path):
+    """The quantified payoff: for a predicate on the SECOND dimension,
+    a single-column sort prunes nothing (every file spans the full
+    l_partkey range) while the Z-ordered layout skips row groups."""
+    import glob as _glob
+    from azure_kusto_parquet_conv_spark.sources.metadata import (
+        pruning_report,
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity")
+    lo, hi = 10, 60  # narrow l_partkey slice
+    single = str(tmp_path / "single_sort")
+    (li.repartitionByRange(8, "l_orderkey")
+       .sortWithinPartitions("l_orderkey").write.parquet(single))
+    zord = str(tmp_path / "zorder")
+    zorder_sort(li, ["l_orderkey", "l_partkey"], bits=10,
+                num_files=8).write.parquet(zord)
+    rep_single = pruning_report(
+        sorted(_glob.glob(f"{single}/part-*.parquet")), "l_partkey", lo, hi)
+    rep_z = pruning_report(
+        sorted(_glob.glob(f"{zord}/part-*.parquet")), "l_partkey", lo, hi)
+    assert rep_single["row_groups_skipped"] == 0, rep_single
+    assert rep_z["row_groups_skipped"] > 0, rep_z

@@ -10,6 +10,8 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
+from pyspark.sql import functions as F
+
 from azure_kusto_parquet_conv_spark.operators.convert import render_json_lines
 from azure_kusto_parquet_conv_spark.sources import metadata as M
 from azure_kusto_parquet_conv_spark.sources.parquet import read_parquet
@@ -176,3 +178,32 @@ def test_pruning_report_quantifies_sort_benefit(spark, sf_dir, tmp_path):
     assert rep_s["row_groups_skipped"] > 0
     assert rep_r["row_groups_skipped"] == 0
     assert rep_s["row_groups_read"] < rep_r["row_groups_read"]
+
+
+def test_file_index_point_lookup_scans_subset(spark, sf_dir, tmp_path):
+    """The lookup plan must read ONLY the files the index names — far
+    fewer than the dataset's file count for a scattered key — and return
+    exactly the rows a full scan with the same predicate returns."""
+    from azure_kusto_parquet_conv_spark.sources.file_index import (
+        build_file_index,
+        lookup,
+    )
+    data = str(tmp_path / "events_many_files")
+    spark.read.parquet(f"{sf_dir}/events.parquet") \
+         .repartition(16).write.parquet(data)
+    idx = str(tmp_path / "uid_index")
+    build_file_index(spark, data, "user_id", idx)
+
+    uid = spark.read.parquet(data).select("user_id").first()["user_id"]
+    got = lookup(spark, idx, data, "user_id", uid)
+    want = spark.read.parquet(data).where(F.col("user_id") == uid)
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, want.collect()))
+    # files actually scanned by the pruned plan
+    scanned = {r[0] for r in
+               got.select(F.input_file_name()).distinct().collect()}
+    assert 0 < len(scanned) < 16
+    # a key that exists nowhere: empty, schema preserved, no explosion
+    miss = lookup(spark, idx, data, "user_id", -999999)
+    assert miss.count() == 0
+    assert miss.schema == want.schema
