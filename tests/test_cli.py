@@ -76,3 +76,22 @@ def test_cli_timestamp_modes(sf_dir, capsysbinary):
     assert rc == 0
     row = json.loads(capsysbinary.readouterr().out.decode().split("\n")[0])
     assert isinstance(row["ts"], int)  # raw ms, not ISO text
+
+
+def test_kql_cli_jsonl(spark, sf_dir, capsys):
+    from azure_kusto_parquet_conv_spark.kql_cli import main as kql_main
+    rc = kql_main(["nation | where n_regionkey == 0 "
+                   "| project n_name | sort by n_name asc",
+                   "--sf-dir", sf_dir])
+    assert rc == 0
+    import json as _json
+    lines_out = [l for l in capsys.readouterr().out.splitlines() if l]
+    names = [_json.loads(l)["n_name"] for l in lines_out]
+    assert names == sorted(names) and len(names) == 5
+
+
+def test_kql_cli_error_exit(spark, sf_dir, capsys):
+    from azure_kusto_parquet_conv_spark.kql_cli import main as kql_main
+    rc = kql_main(["nation | facet by x", "--sf-dir", sf_dir])
+    assert rc == 255
+    assert "ERROR" in capsys.readouterr().err
