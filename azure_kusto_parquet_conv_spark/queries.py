@@ -2342,3 +2342,27 @@ def q_kql_row_number(spark, sf_dir):
         | where rn <= 15
         | project o_orderkey, o_totalprice, rn
     """)
+
+
+@query("q_mad_robust_stats", """
+WITH m AS (SELECT quantile_cont(l_extendedprice, 0.5) AS med
+           FROM lineitem),
+d AS (SELECT abs(l_extendedprice - med) AS dev FROM lineitem, m)
+SELECT ROUND((SELECT med FROM m), 4) AS median_price,
+       ROUND(quantile_cont(dev, 0.5), 4) AS mad
+FROM d
+""")
+def q_mad_robust_stats(spark, sf_dir):
+    """Median absolute deviation — the robust spread statistic outlier
+    filtering pipelines use where stddev is poisoned by the outliers
+    themselves. Two exact interpolated percentiles; the 1-row median
+    broadcasts back onto the scan (same two-pass shape any exact-median
+    algorithm needs). Both engines interpolate linearly over identical
+    doubles, so ROUND(…, 4) is stable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    med = li.agg(F.expr("percentile(l_extendedprice, 0.5)").alias("med"))
+    return (li.crossJoin(F.broadcast(med))
+              .select((F.abs(F.col("l_extendedprice") - F.col("med")))
+                      .alias("dev"), "med")
+              .agg(F.round(F.first("med"), 4).alias("median_price"),
+                   F.round(F.expr("percentile(dev, 0.5)"), 4).alias("mad")))
