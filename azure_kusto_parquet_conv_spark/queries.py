@@ -2366,3 +2366,26 @@ def q_mad_robust_stats(spark, sf_dir):
                       .alias("dev"), "med")
               .agg(F.round(F.first("med"), 4).alias("median_price"),
                    F.round(F.expr("percentile(dev, 0.5)"), 4).alias("mad")))
+
+
+@query("q6_forecast_revenue", """
+SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem
+WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+""")
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6: the canonical predicate-pushdown probe — three
+    conjunctive range filters that must ALL reach the parquet scan
+    (PushedFilters), one short aggregate after. At 100 TB this query is
+    pure scan bandwidth x selectivity; anything materializing between
+    scan and agg is a bug (pinned in test_plans.py)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (li.where((F.col("l_shipdate") >= "1996-01-01")
+                     & (F.col("l_shipdate") < "1997-01-01")
+                     & F.col("l_discount").between(0.05, 0.07)
+                     & (F.col("l_quantity") < 24))
+              .agg(F.round(F.sum(F.col("l_extendedprice")
+                                 * F.col("l_discount")), 2).alias("revenue"),
+                   F.count("*").cast("long").alias("n")))

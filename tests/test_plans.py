@@ -321,3 +321,10 @@ def test_cohort_retention_bounded_shuffles(spark, sf_dir):
     from azure_kusto_parquet_conv_spark.plans.explain import shuffle_count
     df = QUERIES["q_cohort_retention"](spark, sf_dir)
     assert shuffle_count(df) <= 4, executed_plan(df)[:2000]
+
+
+def test_q6_all_filters_pushed_no_shuffle_join(spark, sf_dir):
+    df = QUERIES["q6_forecast_revenue"](spark, sf_dir)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert has_pushed_filters(df, col), executed_plan(df)[:1500]
+    assert join_strategies(df) == []
