@@ -2389,3 +2389,35 @@ def q6_forecast_revenue(spark, sf_dir):
               .agg(F.round(F.sum(F.col("l_extendedprice")
                                  * F.col("l_discount")), 2).alias("revenue"),
                    F.count("*").cast("long").alias("n")))
+
+
+@query("q11_value_concentration", """
+WITH sp AS (
+  SELECT l_partkey, ROUND(SUM(l_extendedprice), 2) AS val
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_3'
+  GROUP BY l_partkey)
+SELECT l_partkey, val
+FROM sp WHERE val > (SELECT SUM(val) * 0.002 FROM sp)
+""")
+def q11_value_concentration(spark, sf_dir):
+    """TPC-H Q11 shape (adapted: part-supplier value derives from
+    lineitem): keep the parts whose value exceeds a fraction of the
+    national total — the aggregate is computed once and reused both as
+    the rows and as the scalar threshold (1-row broadcast), exactly the
+    Q15 'view reuse' pattern but with an inequality. Nation filter
+    broadcasts into supplier before the fact shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    su = load_table(spark, sf_dir, "supplier")
+    na = load_table(spark, sf_dir, "nation").where(
+        F.col("n_name") == "NATION_3")
+    s3 = su.join(F.broadcast(na), su.s_nationkey == na.n_nationkey) \
+           .select("s_suppkey")
+    sp = (li.join(F.broadcast(s3), li.l_suppkey == s3.s_suppkey)
+            .groupBy("l_partkey")
+            .agg(F.round(F.sum("l_extendedprice"), 2).alias("val")))
+    thresh = sp.agg((F.sum("val") * 0.002).alias("t"))
+    return (sp.join(F.broadcast(thresh), sp.val > thresh.t)
+              .select("l_partkey", "val"))

@@ -42,8 +42,10 @@ def test_no_accidental_cartesians_across_catalog(spark, sf_dir):
     # queries (broadcast NLJ over a small side)
     allowed_nlj = {"q_knn_bruteforce", "q_embed_sim_pairs", "q_dedup_jaccard",
                    "q_cross_join", "q_tfidf",
-                   # 1-row global-scalar broadcasts (total / median)
-                   "q_key_skew", "q_mad_robust_stats"}
+                   # 1-row global-scalar broadcasts (total / median /
+                   # concentration threshold)
+                   "q_key_skew", "q_mad_robust_stats",
+                   "q11_value_concentration"}
     for name, fn in QUERIES.items():
         if name in ("q_dedup_simhash",):  # pandas UDF: plan has no joins of interest
             continue
