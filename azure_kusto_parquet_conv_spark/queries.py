@@ -2421,3 +2421,43 @@ def q11_value_concentration(spark, sf_dir):
     thresh = sp.agg((F.sum("val") * 0.002).alias("t"))
     return (sp.join(F.broadcast(thresh), sp.val > thresh.t)
               .select("l_partkey", "val"))
+
+
+@query("q8_market_share", """
+WITH vol AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+         l_extendedprice * (1 - l_discount) AS v,
+         n_name = 'NATION_7' AS is_target
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA')
+SELECT yr,
+       ROUND(ROUND(SUM(CASE WHEN is_target THEN v ELSE 0 END), 2)
+             / ROUND(SUM(v), 2), 6) AS mkt_share
+FROM vol GROUP BY yr
+""")
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: one nation's share of a region's supply revenue
+    per year — numerator and denominator from ONE pass (conditional sum),
+    not two scans. Region filter broadcasts into supplier ahead of the
+    fact joins; both sums rounded before the ratio (ulp-stable)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    na = load_table(spark, sf_dir, "nation")
+    re = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    su = (load_table(spark, sf_dir, "supplier")
+          .join(F.broadcast(na), F.col("s_nationkey") == na.n_nationkey)
+          .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
+          .select("s_suppkey", (F.col("n_name") == "NATION_7")
+                  .alias("is_target")))
+    v = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+              .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+              .groupBy(F.year("o_orderdate").cast("long").alias("yr"))
+              .agg(F.round(
+                  F.round(F.sum(F.when(F.col("is_target"), v)
+                                .otherwise(0.0)), 2)
+                  / F.round(F.sum(v), 2), 6).alias("mkt_share")))
