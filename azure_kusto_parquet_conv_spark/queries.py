@@ -2461,3 +2461,58 @@ def q8_market_share(spark, sf_dir):
                   F.round(F.sum(F.when(F.col("is_target"), v)
                                 .otherwise(0.0)), 2)
                   / F.round(F.sum(v), 2), 6).alias("mkt_share")))
+
+
+@query("q13_order_count_distribution", """
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey)
+GROUP BY c_count
+""")
+def q13_order_count_distribution(spark, sf_dir):
+    """TPC-H Q13: distribution of per-customer order counts, keeping
+    zero-order customers via the LEFT join (COUNT(col) skips the null
+    rows the outer join manufactures). The priority predicate lives in
+    the JOIN CONDITION, not a WHERE — on an outer join those are not
+    equivalent and Catalyst must not pull it up. Integer-only output:
+    hash-safe with no rounding at all."""
+    cu = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (cu.join(o, (cu.c_custkey == o.o_custkey)
+                        & (o.o_orderpriority != "1-URGENT"), "left")
+                  .groupBy("c_custkey")
+                  .agg(F.count("o_orderkey").cast("long").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+                    .agg(F.count("*").cast("long").alias("custdist")))
+
+
+@query("q22_dormant_rich_customers", """
+WITH t AS (SELECT AVG(c_acctbal) AS a FROM customer WHERE c_acctbal > 0)
+SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS numcust,
+       ROUND(SUM(c_acctbal), 2) AS totacctbal
+FROM customer, t
+WHERE c_acctbal > a
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderpriority = '1-URGENT')
+GROUP BY c_nationkey
+""")
+def q22_dormant_rich_customers(spark, sf_dir):
+    """TPC-H Q22 shape: above-average-balance customers with no URGENT
+    order (the fixture has no fully order-less customers at any SF, so
+    the anti-join side is the urgent subset — same plan shape, non-empty
+    result). The positive-balance average broadcasts as a 1-row scalar,
+    the anti join reads only the filtered key column of orders (column
+    pruning + pushed filter), then a small per-nation rollup."""
+    cu = load_table(spark, sf_dir, "customer")
+    o = (load_table(spark, sf_dir, "orders")
+         .where(F.col("o_orderpriority") == "1-URGENT")
+         .select("o_custkey"))
+    t = cu.where(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("a"))
+    return (cu.join(F.broadcast(t), cu.c_acctbal > t.a)
+              .join(o, cu.c_custkey == o.o_custkey, "left_anti")
+              .groupBy("c_nationkey")
+              .agg(F.count("*").cast("long").alias("numcust"),
+                   F.round(F.sum("c_acctbal"), 2).alias("totacctbal")))
