@@ -2516,3 +2516,35 @@ def q22_dormant_rich_customers(spark, sf_dir):
               .groupBy("c_nationkey")
               .agg(F.count("*").cast("long").alias("numcust"),
                    F.round(F.sum("c_acctbal"), 2).alias("totacctbal")))
+
+
+@query("q17_small_quantity_revenue", """
+WITH pk AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#23'),
+li_b AS (SELECT l_partkey, l_quantity, l_extendedprice
+         FROM lineitem JOIN pk ON l_partkey = p_partkey),
+lim AS (SELECT l_partkey AS lp, 0.2 * AVG(l_quantity) AS qlim
+        FROM li_b GROUP BY l_partkey)
+SELECT ROUND(ROUND(SUM(l_extendedprice), 2) / 7.0, 4) AS avg_yearly,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM li_b JOIN lim ON l_partkey = lp
+WHERE l_quantity < qlim
+""")
+def q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: revenue from orders below 20% of the part's own
+    average quantity. The correlated scalar subquery becomes a per-part
+    aggregate joined back — and because brand determines the part set,
+    the brand filter (broadcast semi join) shrinks the fact input BEFORE
+    the per-part average without changing it. Sum rounded before the /7
+    so the 4-digit result is ulp-stable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pk = (load_table(spark, sf_dir, "part")
+          .where(F.col("p_brand") == "Brand#23").select("p_partkey"))
+    li_b = li.join(F.broadcast(pk), li.l_partkey == pk.p_partkey) \
+             .select("l_partkey", "l_quantity", "l_extendedprice")
+    lim = (li_b.groupBy(F.col("l_partkey").alias("lp"))
+               .agg((F.avg("l_quantity") * 0.2).alias("qlim")))
+    return (li_b.join(F.broadcast(lim), li_b.l_partkey == lim.lp)
+                .where(F.col("l_quantity") < F.col("qlim"))
+                .agg(F.round(F.round(F.sum("l_extendedprice"), 2) / 7.0, 4)
+                      .alias("avg_yearly"),
+                     F.count("*").cast("long").alias("n")))
