@@ -48,6 +48,11 @@ HEADLINE = [
     "q_session_window",
     "q_embed_quantize",
     "q_kql_join_revenue",
+    "q8_market_share",
+    "q13_order_count_distribution",
+    "q17_small_quantity_revenue",
+    "q_cohort_retention",
+    "q_zorder_key",
 ]
 
 
