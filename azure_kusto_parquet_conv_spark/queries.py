@@ -2548,3 +2548,20 @@ def q17_small_quantity_revenue(spark, sf_dir):
                 .agg(F.round(F.round(F.sum("l_extendedprice"), 2) / 7.0, 4)
                       .alias("avg_yearly"),
                      F.count("*").cast("long").alias("n")))
+
+
+@query("q_kql_dcount_users", """
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY event_type
+""")
+def q_kql_dcount_users(spark, sf_dir):
+    """KQL dcount() -> exact COUNT(DISTINCT) (documented deviation: real
+    Kusto dcount is an HLL estimate; the exact form is what can face a
+    hash-matching oracle, and q_approx_distinct covers the sketch side).
+    Two-stage distinct aggregate: partial per-partition dedup before the
+    shuffle."""
+    from azure_kusto_parquet_conv_spark.kql import kql
+    return kql(spark, sf_dir, """
+      events | summarize users=dcount(user_id), n=count() by event_type
+    """)
