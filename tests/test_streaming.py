@@ -296,3 +296,30 @@ def test_interval_join_streams_matches_batch(spark, sf_dir, stream_dir):
              .select("user_id", "l_id", "r_id").collect()}
     assert want, "batch twin found no pairs — fixture too sparse"
     assert got == want
+
+
+def test_upsert_stream_snapshot_is_keep_latest(spark, sf_dir, tmp_path):
+    """After draining, the snapshot must hold exactly one row per user —
+    the latest event — identical to the batch keep-latest result."""
+    from azure_kusto_parquet_conv_spark.streaming.upsert import (
+        upsert_stream,
+    )
+    snap = str(tmp_path / "user_latest")
+    import shutil as _sh
+    (tmp_path / "in").mkdir()
+    _sh.copy(f"{sf_dir}/events.parquet", tmp_path / "in" / "events.parquet")
+    ev = read_events_stream(spark, str(tmp_path / "in"))
+    q = (upsert_stream(ev, snap, keys=["user_id"], ts="ts_ns")
+         .option("checkpointLocation", str(tmp_path / "ckpt")).start())
+    drain(q)
+    got = spark.read.parquet(snap)
+    from azure_kusto_parquet_conv_spark.sources.parquet import load_table
+    batch = load_table(spark, sf_dir, "events")
+    n_users = batch.select("user_id").distinct().count()
+    assert got.count() == n_users
+    # per-user max ts must match the batch answer
+    want = {r["user_id"]: r["m"] for r in
+            batch.groupBy("user_id").agg(F.max("ts_ns").alias("m"))
+            .collect()}
+    for r in got.select("user_id", "ts_ns").collect():
+        assert r["ts_ns"] == want[r["user_id"]], r
