@@ -2565,3 +2565,33 @@ def q_kql_dcount_users(spark, sf_dir):
     return kql(spark, sf_dir, """
       events | summarize users=dcount(user_id), n=count() by event_type
     """)
+
+
+@query("q_anomaly_outliers", """
+WITH s AS (
+  SELECT event_type, ROUND(AVG(value), 6) AS mu,
+         ROUND(STDDEV_SAMP(value), 6) AS sd
+  FROM events GROUP BY event_type)
+SELECT e.event_type,
+       CAST(SUM(CASE WHEN abs(value - mu) > 3 * sd THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events e JOIN s ON e.event_type = s.event_type
+GROUP BY e.event_type
+""")
+def q_anomaly_outliers(spark, sf_dir):
+    """3-sigma outlier screen per event type — the metric-anomaly triage
+    pass a telemetry pipeline runs before alerting. Two-pass shape: tiny
+    per-type stats broadcast back onto the stream of values (same scalar
+    re-join pattern as MAD). mu and sd are ROUNDed before the threshold
+    compare so float merge order cannot flip a borderline count."""
+    ev = load_table(spark, sf_dir, "events")
+    s = (ev.groupBy(F.col("event_type").alias("et"))
+           .agg(F.round(F.avg("value"), 6).alias("mu"),
+                F.round(F.stddev_samp("value"), 6).alias("sd")))
+    return (ev.join(F.broadcast(s), ev.event_type == s.et)
+              .groupBy("event_type")
+              .agg(F.sum(F.when(F.abs(F.col("value") - F.col("mu"))
+                                > 3 * F.col("sd"), 1).otherwise(0))
+                    .cast("long").alias("n_outliers"),
+                   F.count("*").cast("long").alias("n")))
