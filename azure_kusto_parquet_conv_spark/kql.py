@@ -299,6 +299,15 @@ class _ExprParser:
             self.expect(")")
             neg = "NOT " if low == "!in" else ""
             return f"({lhs} {neg}IN ({', '.join(items)}))"
+        if low == "between":
+            # KQL range: x between (lo .. hi), inclusive both ends
+            self.expect("(")
+            lo = self.parse(0)
+            self.expect(".")
+            self.expect(".")
+            hi = self.parse(0)
+            self.expect(")")
+            return f"({lhs} BETWEEN {lo} AND {hi})"
         if low == "contains":
             return f"(contains(lower({lhs}), lower({self.parse(bp + 1)})))"
         if low == "startswith":

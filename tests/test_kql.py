@@ -179,3 +179,22 @@ def test_tokenizer_never_hangs_on_junk():
         except ValueError:
             pass
     run()
+
+
+def test_between_renders_inclusive_range():
+    assert _parse_expr(_tokenize("x between (1 .. 10)")) == \
+        "(`x` BETWEEN 1 AND 10)"
+
+
+def test_between_in_pipeline(spark, sf_dir):
+    got = kql(spark, sf_dir,
+              "orders | where o_totalprice between (100000 .. 200000)"
+              " | count").collect()[0]["count_"]
+    o = load_table(spark, sf_dir, "orders")
+    want = o.where(F.col("o_totalprice").between(100000, 200000)).count()
+    assert got == want
+
+
+def test_project_away_drops_columns(spark, sf_dir):
+    df = kql(spark, sf_dir, "nation | project-away n_regionkey")
+    assert df.columns == ["n_nationkey", "n_name"]
