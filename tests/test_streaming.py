@@ -323,3 +323,28 @@ def test_upsert_stream_snapshot_is_keep_latest(spark, sf_dir, tmp_path):
             .collect()}
     for r in got.select("user_id", "ts_ns").collect():
         assert r["ts_ns"] == want[r["user_id"]], r
+
+
+def test_upsert_stream_replay_is_idempotent(spark, sf_dir, tmp_path):
+    """Replaying the same input (fresh checkpoint — simulates source
+    redelivery) must converge to the identical snapshot: the keep-latest
+    merge is idempotent, which is what makes the sink exactly-once from
+    an at-least-once source."""
+    from azure_kusto_parquet_conv_spark.streaming.upsert import (
+        upsert_stream,
+    )
+    import shutil as _sh
+    (tmp_path / "in").mkdir()
+    _sh.copy(f"{sf_dir}/events.parquet", tmp_path / "in" / "events.parquet")
+    snap = str(tmp_path / "snap")
+
+    def run(ckpt):
+        ev = read_events_stream(spark, str(tmp_path / "in"))
+        q = (upsert_stream(ev, snap, keys=["user_id"], ts="ts_ns")
+             .option("checkpointLocation", str(tmp_path / ckpt)).start())
+        drain(q)
+        return sorted(map(tuple, spark.read.parquet(snap).collect()))
+
+    first = run("ckpt1")
+    second = run("ckpt2")  # full replay on top of the existing snapshot
+    assert first == second
