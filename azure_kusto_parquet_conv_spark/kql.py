@@ -162,7 +162,7 @@ class _ExprParser:
             return 2
         if t.text in _CMP or text in ("in", "!in", "=~", "contains",
                                       "startswith", "endswith", "has",
-                                      "between"):
+                                      "has_any", "between"):
             return 3
         if t.text in ("+", "-"):
             return 4
@@ -255,6 +255,14 @@ class _ExprParser:
             return f"collect_list({args[0]})"
         if fname == "make_set":
             return f"collect_set({args[0]})"
+        if fname in ("percentile", "percentiles"):
+            # KQL percentile(col, P) uses a 0-100 scale; Spark/ANSI use
+            # a 0-1 fraction. Exact interpolated percentile here (real
+            # Kusto estimates via T-digest; same documented deviation as
+            # dcount).
+            if len(args) != 2:
+                raise ValueError("KQL: percentile(col, P) takes 2 args")
+            return f"percentile({args[0]}, ({args[1]}) / 100.0)"
         if fname == "extract":
             # extract(regex, capture_group, text) -> regexp_extract
             if len(args) != 3:
@@ -319,6 +327,17 @@ class _ExprParser:
             rhs = self.parse(bp + 1)
             return (f"(array_contains(split(lower({lhs}), "
                     f"'[^a-z0-9]+'), lower({rhs})))")
+        if low == "has_any":
+            self.expect("(")
+            terms = [self.parse(0)]
+            while self.peek() is not None and self.peek().text == ",":
+                self.next()
+                terms.append(self.parse(0))
+            self.expect(")")
+            toks = f"split(lower({lhs}), '[^a-z0-9]+')"
+            ors = " OR ".join(f"array_contains({toks}, lower({t}))"
+                              for t in terms)
+            return f"({ors})"
         if t.text in ("+", "-", "*", "/", "%"):
             return f"({lhs} {t.text} {self.parse(bp + 1)})"
         raise ValueError(f"KQL: unexpected operator {t.text!r}")

@@ -2595,3 +2595,21 @@ def q_anomaly_outliers(spark, sf_dir):
                                 > 3 * F.col("sd"), 1).otherwise(0))
                     .cast("long").alias("n_outliers"),
                    F.count("*").cast("long").alias("n")))
+
+
+@query("q_kql_percentiles", """
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+       ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS p95
+FROM lineitem GROUP BY l_returnflag
+""")
+def q_kql_percentiles(spark, sf_dir):
+    """KQL percentile(col, P) on the 0-100 scale -> exact interpolated
+    percentile (documented deviation from Kusto's T-digest estimate,
+    matching q_kql_dcount_users' exactness policy)."""
+    from azure_kusto_parquet_conv_spark.kql import kql
+    return kql(spark, sf_dir, """
+      lineitem
+        | summarize p50=round(percentile(l_extendedprice, 50), 4),
+            p95=round(percentile(l_extendedprice, 95), 4) by l_returnflag
+    """)

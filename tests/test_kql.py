@@ -198,3 +198,11 @@ def test_between_in_pipeline(spark, sf_dir):
 def test_project_away_drops_columns(spark, sf_dir):
     df = kql(spark, sf_dir, "nation | project-away n_regionkey")
     assert df.columns == ["n_nationkey", "n_name"]
+
+
+def test_has_any_matches_any_term(spark, sf_dir):
+    df = spark.createDataFrame(
+        [("alpha beta",), ("gamma delta",), ("epsilon",)], ["text"])
+    comp = KqlCompiler(spark, sf_dir)
+    out = comp._apply(df, "where text has_any ('beta', 'gamma')").collect()
+    assert sorted(r["text"] for r in out) == ["alpha beta", "gamma delta"]
