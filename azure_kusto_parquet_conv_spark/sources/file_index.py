@@ -52,3 +52,59 @@ def lookup(spark: SparkSession, index_path: str, data_dir: str, key: str,
     files = list(hit[0]["files"])
     return (spark.read.format(data_format).load(files)
             .where(F.col(key) == value))
+
+
+def delete_keys(spark: SparkSession, data_dir: str, key: str, values,
+                index_path: str | None = None,
+                data_format: str = "parquet") -> dict[str, int]:
+    """Targeted row deletion (right-to-be-forgotten): remove every row
+    whose ``key`` is in ``values``, rewriting ONLY the files that contain
+    those keys — resolved from the secondary index when given, else from
+    one scan. Untouched files are left byte-identical, so at 100 TB the
+    cost is O(affected files), not a full-dataset rewrite (the same
+    copy-on-write granularity table formats use for DELETE).
+
+    Each affected file is rewritten alone (one task's worth of data) via
+    a temp file then swapped; returns counts for reporting."""
+    import glob as _glob
+    import os
+    import uuid
+
+    prepare_session(spark)
+    vals = list(values)
+    if index_path is not None:
+        rows = (spark.read.parquet(index_path)
+                .where(F.col("k").isin(vals)).select("files").collect())
+        affected = sorted({f.removeprefix("file://")
+                           for r in rows for f in r["files"]})
+    else:
+        rows = (spark.read.format(data_format).load(data_dir)
+                .where(F.col(key).isin(vals))
+                .select(F.input_file_name().alias("f")).distinct().collect())
+        affected = sorted({r["f"].removeprefix("file://") for r in rows})
+    deleted = 0
+    for path in affected:
+        df = spark.read.format(data_format).load(path)
+        keep = df.where(~F.col(key).isin(vals))
+        n_before = df.count()
+        n_after = keep.count()
+        deleted += n_before - n_after
+        tmp_dir = os.path.join(os.path.dirname(path),
+                               f".rewrite-{uuid.uuid4().hex}")
+        keep.coalesce(1).write.format(data_format).save(tmp_dir)
+        part = _glob.glob(os.path.join(tmp_dir, "part-*"))[0]
+        os.replace(part, path)
+        # Hadoop's ChecksumFileSystem keeps a sidecar .<name>.crc; the
+        # replaced bytes no longer match it, so drop it (reads would
+        # fail checksum verification otherwise)
+        crc = os.path.join(os.path.dirname(path),
+                           "." + os.path.basename(path) + ".crc")
+        if os.path.exists(crc):
+            os.remove(crc)
+        import shutil as _sh
+        _sh.rmtree(tmp_dir, ignore_errors=True)
+    # rewritten files changed length in place: drop the session's cached
+    # FileStatus entries for this path or later scans read stale sizes
+    spark.catalog.refreshByPath(data_dir)
+    return {"files_total": len(_glob.glob(os.path.join(data_dir, "part-*"))),
+            "files_rewritten": len(affected), "rows_deleted": deleted}

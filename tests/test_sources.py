@@ -207,3 +207,37 @@ def test_file_index_point_lookup_scans_subset(spark, sf_dir, tmp_path):
     miss = lookup(spark, idx, data, "user_id", -999999)
     assert miss.count() == 0
     assert miss.schema == want.schema
+
+
+def test_delete_keys_rewrites_only_affected_files(spark, sf_dir, tmp_path):
+    import glob as _glob
+    import hashlib
+    from azure_kusto_parquet_conv_spark.sources.file_index import (
+        build_file_index,
+        delete_keys,
+    )
+    data = str(tmp_path / "events")
+    spark.read.parquet(f"{sf_dir}/events.parquet") \
+         .repartition(16, "user_id").write.parquet(data)
+    idx = str(tmp_path / "idx")
+    build_file_index(spark, data, "user_id", idx)
+    before = spark.read.parquet(data)
+    uids = [r["user_id"] for r in
+            before.select("user_id").distinct().limit(2).collect()]
+    n_victims = before.where(F.col("user_id").isin(uids)).count()
+    n_total = before.count()
+    hashes_before = {f: hashlib.md5(open(f, "rb").read()).hexdigest()
+                     for f in _glob.glob(f"{data}/part-*.parquet")}
+
+    n_files = len(hashes_before)
+    rep = delete_keys(spark, data, "user_id", uids, index_path=idx)
+    assert rep["rows_deleted"] == n_victims
+    assert 0 < rep["files_rewritten"] < n_files
+    after = spark.read.parquet(data)
+    assert after.count() == n_total - n_victims
+    assert after.where(F.col("user_id").isin(uids)).count() == 0
+    # untouched files byte-identical
+    untouched_same = sum(
+        1 for f, h in hashes_before.items()
+        if hashlib.md5(open(f, "rb").read()).hexdigest() == h)
+    assert untouched_same == n_files - rep["files_rewritten"]
