@@ -2613,3 +2613,26 @@ def q_kql_percentiles(spark, sf_dir):
         | summarize p50=round(percentile(l_extendedprice, 50), 4),
             p95=round(percentile(l_extendedprice, 95), 4) by l_returnflag
     """)
+
+
+@query("q_kql_has_any", """
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
+FROM documents
+WHERE list_contains(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                    'join')
+   OR list_contains(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                    'scan')
+GROUP BY lang
+""")
+def q_kql_has_any(spark, sf_dir):
+    """KQL has_any term search over the document corpus: whole-term
+    matching (split on non-alphanumerics), not substring — the operator
+    a corpus-filtering pipeline actually wants ('join' must not match
+    'joined'). Tokenization is kept in lockstep with the DuckDB oracle's
+    regexp split."""
+    from azure_kusto_parquet_conv_spark.kql import kql
+    return kql(spark, sf_dir, """
+      documents
+        | where text has_any ('join', 'scan')
+        | summarize n=count() by lang
+    """)
