@@ -46,14 +46,20 @@ def transcode(spark: SparkSession, src: str, out_path: str,
 
 def compact(spark: SparkSession, src: str, out_path: str,
             target_file_bytes: int = 128 * 1024 * 1024,
-            data_format: str = "parquet") -> int:
+            data_format: str = "parquet",
+            sort_by: list[str] | None = None) -> int:
     """Small-file compaction: rewrite a directory of many small files
     into ceil(total_bytes / target) files. The operational fix for the
     100 TB small-file problem — streaming/micro-batch sinks and
     fine-grained partitions accrete thousands of KB-sized files whose
     per-file open/footer cost dominates scans; compaction restores
-    scan-sized objects. Uses one repartition (round-robin, balanced
-    output) and returns the file count written."""
+    scan-sized objects. Returns the file count written.
+
+    Plain compaction is a round-robin repartition (balanced output, one
+    shuffle) — which DESTROYS any sort/cluster layout the files had.
+    Pass ``sort_by`` to compact with a range repartition + in-file sort
+    instead, so zone-map pruning on those columns survives compaction
+    (verify with metadata.pruning_report)."""
     import math
 
     prepare_session(spark)
@@ -65,6 +71,10 @@ def compact(spark: SparkSession, src: str, out_path: str,
     import os
     total = sum(os.path.getsize(f.removeprefix("file://")) for f in files)
     n = max(1, math.ceil(total / target_file_bytes))
-    df.repartition(n).write.mode("overwrite").format(data_format) \
-      .save(out_path)
+    if sort_by:
+        out = (df.repartitionByRange(n, *sort_by)
+                 .sortWithinPartitions(*sort_by))
+    else:
+        out = df.repartition(n)
+    out.write.mode("overwrite").format(data_format).save(out_path)
     return n

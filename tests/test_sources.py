@@ -241,3 +241,28 @@ def test_delete_keys_rewrites_only_affected_files(spark, sf_dir, tmp_path):
         1 for f, h in hashes_before.items()
         if hashlib.md5(open(f, "rb").read()).hexdigest() == h)
     assert untouched_same == n_files - rep["files_rewritten"]
+
+
+def test_compact_sort_by_preserves_pruning(spark, sf_dir, tmp_path):
+    """Compacting WITH sort_by must leave the layout zone-map-prunable;
+    plain compaction of sorted input destroys it."""
+    import glob as _glob
+    from azure_kusto_parquet_conv_spark.sources.formats import compact
+    from azure_kusto_parquet_conv_spark.sources.metadata import (
+        pruning_report,
+    )
+    small = str(tmp_path / "small")
+    (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+     .repartitionByRange(32, "l_orderkey")
+     .sortWithinPartitions("l_orderkey").write.parquet(small))
+    kept = str(tmp_path / "kept")
+    compact(spark, small, kept, target_file_bytes=64 * 1024,
+            sort_by=["l_orderkey"])
+    lost = str(tmp_path / "lost")
+    compact(spark, small, lost, target_file_bytes=64 * 1024)
+    rep_kept = pruning_report(
+        sorted(_glob.glob(f"{kept}/part-*.parquet")), "l_orderkey", 100, 200)
+    rep_lost = pruning_report(
+        sorted(_glob.glob(f"{lost}/part-*.parquet")), "l_orderkey", 100, 200)
+    assert rep_kept["row_groups_skipped"] > 0, rep_kept
+    assert rep_kept["row_groups_skipped"] > rep_lost["row_groups_skipped"]
