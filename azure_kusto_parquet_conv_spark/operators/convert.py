@@ -144,7 +144,8 @@ def render_csv_cells(df: DataFrame, opts: ConvertOptions | None = None) -> DataF
 def convert(spark: SparkSession, src: str, out_path: str | None = None,
             options: ConvertOptions | None = None,
             single_file: bool = False,
-            partition_by: list[str] | None = None) -> DataFrame:
+            partition_by: list[str] | None = None,
+            compression: str | None = None) -> DataFrame:
     """End-to-end convert: Parquet scan -> rendered lines/cells [-> sink].
 
     Equivalent of ``pq2json [flags] <file> [-o out]`` (main.rs:112-147).
@@ -156,6 +157,13 @@ def convert(spark: SparkSession, src: str, out_path: str | None = None,
     at-scale output layout, one file per (partition, task), so downstream
     scans prune. Mutually exclusive with ``single_file``, which exists
     only for byte-exact stdout-style output at small scale.
+
+    ``compression`` (extension): codec for the text/CSV sink ("gzip",
+    "bzip2", "lz4", ...). Ingestion at scale ships compressed lines —
+    Kusto accepts .gz natively — and the splittable-scan loss doesn't
+    matter for a write-once hand-off. Line BYTES are identical to the
+    uncompressed sink (same render expressions), just wrapped in the
+    codec.
     """
     options = options or ConvertOptions()
     if partition_by and single_file:
@@ -169,6 +177,8 @@ def convert(spark: SparkSession, src: str, out_path: str | None = None,
         rendered = render_json_lines(df, options)
         sink_opts = {}
         fmt = "text"
+    if compression:
+        sink_opts["compression"] = compression
     if out_path:
         if partition_by:
             # text sink: re-render with the partition keys carried beside

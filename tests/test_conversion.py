@@ -214,3 +214,22 @@ class TestCsv:
         import glob
         data = open(glob.glob(out + "/part-*.csv")[0], "rb").read()
         assert b"\r" in data and b"\n" not in data
+
+
+def test_convert_gzip_output_lines_identical(spark, sf_dir, tmp_path):
+    """compression='gzip' wraps the identical rendered bytes in gzip:
+    decompressed lines match the plain sink exactly."""
+    import glob
+    import gzip as _gzip
+
+    from azure_kusto_parquet_conv_spark.operators.convert import convert
+
+    plain = str(tmp_path / "plain")
+    gz = str(tmp_path / "gz")
+    convert(spark, f"{sf_dir}/nation.parquet", plain, single_file=True)
+    convert(spark, f"{sf_dir}/nation.parquet", gz, single_file=True,
+            compression="gzip")
+    p = glob.glob(f"{plain}/part-*.txt")[0]
+    g = glob.glob(f"{gz}/part-*.txt.gz")[0]
+    assert sorted(open(p, "rb").read().splitlines()) == \
+        sorted(_gzip.open(g, "rb").read().splitlines())
