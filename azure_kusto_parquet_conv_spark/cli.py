@@ -47,6 +47,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--columns", metavar="JSON",
                    help='projection as a JSON array of names, e.g. \'["a","b"]\'')
     p.add_argument("--csv", action="store_true", help="CSV output instead of JSONL")
+    p.add_argument("--compression", metavar="CODEC",
+                   help="compress sink output (extension; e.g. gzip)")
     p.add_argument("-o", "--out-file", metavar="FILE",
                    help="output file (default stdout)")
     # introspection commands (main.rs:92-111)
@@ -111,8 +113,11 @@ def run(args: argparse.Namespace) -> int:
     spark = get_spark("pq2json-spark")
     tmp = tempfile.mkdtemp(prefix="pq2json_spark_")
     try:
-        convert(spark, args.file, tmp, options, single_file=True)
+        convert(spark, args.file, tmp, options, single_file=True,
+                compression=args.compression)
         ext = "csv" if args.csv else "txt"
+        if args.compression:
+            ext += ".gz" if args.compression == "gzip" else ".*"
         parts = sorted(glob.glob(f"{tmp}/part-*.{ext}"))
         if args.out_file:
             with open(args.out_file, "wb") as dst:

@@ -95,3 +95,17 @@ def test_kql_cli_error_exit(spark, sf_dir, capsys):
     rc = kql_main(["nation | facet by x", "--sf-dir", sf_dir])
     assert rc == 255
     assert "ERROR" in capsys.readouterr().err
+
+
+def test_cli_gzip_output(spark, sf_dir, tmp_path, capsys):
+    import gzip as _gzip
+    import json as _json
+
+    from azure_kusto_parquet_conv_spark.cli import main as cli_main
+    out = str(tmp_path / "r.jsonl.gz")
+    rc = cli_main([f"{sf_dir}/region.parquet", "--compression", "gzip",
+                   "-o", out])
+    assert rc == 0
+    lines_out = _gzip.open(out, "rb").read().splitlines()
+    assert len(lines_out) == 5
+    assert _json.loads(lines_out[0])["r_regionkey"] in range(5)

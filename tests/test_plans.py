@@ -330,3 +330,14 @@ def test_q6_all_filters_pushed_no_shuffle_join(spark, sf_dir):
     for col in ("l_shipdate", "l_discount", "l_quantity"):
         assert has_pushed_filters(df, col), executed_plan(df)[:1500]
     assert join_strategies(df) == []
+
+
+def test_q8_q17_dims_broadcast(spark, sf_dir):
+    """Q8: only the orders⋈lineitem join may shuffle; Q17: no shuffle
+    join at all (brand list and per-part limits both broadcast)."""
+    q8 = QUERIES["q8_market_share"](spark, sf_dir)
+    s8 = join_strategies(q8)
+    assert s8.count("SortMergeJoin") + s8.count("ShuffledHashJoin") <= 1, s8
+    q17 = QUERIES["q17_small_quantity_revenue"](spark, sf_dir)
+    s17 = join_strategies(q17)
+    assert "SortMergeJoin" not in s17 and "ShuffledHashJoin" not in s17, s17
