@@ -108,3 +108,24 @@ def delete_keys(spark: SparkSession, data_dir: str, key: str, values,
     spark.catalog.refreshByPath(data_dir)
     return {"files_total": len(_glob.glob(os.path.join(data_dir, "part-*"))),
             "files_rewritten": len(affected), "rows_deleted": deleted}
+
+
+def lookup_many(spark: SparkSession, index_path: str, data_dir: str,
+                key: str, values,
+                data_format: str = "parquet") -> DataFrame:
+    """Batch point lookup: resolve the UNION of file lists for all
+    ``values`` from one index read, then scan that file subset once with
+    an IN predicate (pushed down). N separate lookups would open shared
+    files N times; the union scan opens each file once — the batch-get
+    shape a feature-store or sample-debugging workflow needs."""
+    prepare_session(spark)
+    vals = list(values)
+    rows = (spark.read.parquet(index_path)
+            .where(F.col("k").isin(vals))
+            .select(F.explode("files").alias("f")).distinct().collect())
+    files = sorted(r["f"] for r in rows)
+    if not files:
+        return (spark.read.format(data_format).load(data_dir)
+                .where(F.lit(False)))
+    return (spark.read.format(data_format).load(files)
+            .where(F.col(key).isin(vals)))

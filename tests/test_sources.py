@@ -266,3 +266,23 @@ def test_compact_sort_by_preserves_pruning(spark, sf_dir, tmp_path):
         sorted(_glob.glob(f"{lost}/part-*.parquet")), "l_orderkey", 100, 200)
     assert rep_kept["row_groups_skipped"] > 0, rep_kept
     assert rep_kept["row_groups_skipped"] > rep_lost["row_groups_skipped"]
+
+
+def test_lookup_many_matches_full_scan(spark, sf_dir, tmp_path):
+    from azure_kusto_parquet_conv_spark.sources.file_index import (
+        build_file_index,
+        lookup_many,
+    )
+    data = str(tmp_path / "ev")
+    spark.read.parquet(f"{sf_dir}/events.parquet") \
+         .repartition(16).write.parquet(data)
+    idx = str(tmp_path / "ix")
+    build_file_index(spark, data, "user_id", idx)
+    uids = [r["user_id"] for r in spark.read.parquet(data)
+            .select("user_id").distinct().limit(3).collect()]
+    got = lookup_many(spark, idx, data, "user_id", uids)
+    want = spark.read.parquet(data).where(F.col("user_id").isin(uids))
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, want.collect()))
+    empty = lookup_many(spark, idx, data, "user_id", [-1, -2])
+    assert empty.count() == 0 and empty.schema == want.schema
