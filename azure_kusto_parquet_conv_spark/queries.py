@@ -2636,3 +2636,20 @@ def q_kql_has_any(spark, sf_dir):
         | where text has_any ('join', 'scan')
         | summarize n=count() by lang
     """)
+
+
+@query("q_kql_extract_first_word", """
+SELECT regexp_extract(lower(text), '^([a-z0-9]+)', 1) AS w,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM documents GROUP BY w
+""")
+def q_kql_extract_first_word(spark, sf_dir):
+    """KQL extract() -> regexp_extract: leading token of each document
+    (both engines use RE2-compatible syntax and the same
+    (string, pattern, group) argument order)."""
+    from azure_kusto_parquet_conv_spark.kql import kql
+    return kql(spark, sf_dir, """
+      documents
+        | extend w=extract('^([a-z0-9]+)', 1, tolower(text))
+        | summarize n=count() by w
+    """)

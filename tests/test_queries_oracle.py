@@ -68,3 +68,13 @@ def test_oracle_match(name, spark, sf_dir, ddb):
 def test_unoracled_queries_run(name, spark, sf_dir):
     df = QUERIES[name](spark, sf_dir)
     assert df.count() >= 0
+
+
+def test_bench_headline_entries_exist():
+    """Every bench.py headline name must be a real catalog entry —
+    a rename that orphans the bench would otherwise only fail at
+    driver-bench time."""
+    import bench
+
+    for name in bench.HEADLINE:
+        assert name in QUERIES, name
