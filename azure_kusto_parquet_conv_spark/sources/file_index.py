@@ -129,3 +129,33 @@ def lookup_many(spark: SparkSession, index_path: str, data_dir: str,
                 .where(F.lit(False)))
     return (spark.read.format(data_format).load(files)
             .where(F.col(key).isin(vals)))
+
+
+def update_file_index(spark: SparkSession, index_path: str, key: str,
+                      new_files: list[str],
+                      data_format: str = "parquet") -> None:
+    """Incremental index maintenance: fold newly-landed files into an
+    existing index WITHOUT rescanning the whole dataset — cost is
+    O(new data) + O(index), the property that keeps a record-level index
+    affordable on a lake receiving continuous drops. One outer merge on
+    the key: existing file lists union the new files' lists, new keys
+    appear, untouched keys pass through."""
+    prepare_session(spark)
+    fresh = (spark.read.format(data_format).load(new_files)
+             .select(F.col(key).alias("k"),
+                     F.input_file_name().alias("f"))
+             .distinct()
+             .groupBy("k")
+             .agg(F.collect_set("f").alias("new_files")))
+    old = spark.read.parquet(index_path)
+    merged = (old.join(fresh, "k", "full")
+                 .select("k", F.array_sort(F.array_distinct(F.concat(
+                     F.coalesce(F.col("files"), F.array()),
+                     F.coalesce(F.col("new_files"), F.array()))))
+                     .alias("files")))
+    tmp = index_path + ".new"
+    merged.write.mode("overwrite").parquet(tmp)
+    import shutil as _sh
+    _sh.rmtree(index_path, ignore_errors=True)
+    _sh.move(tmp, index_path)
+    spark.catalog.refreshByPath(index_path)

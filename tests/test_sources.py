@@ -286,3 +286,34 @@ def test_lookup_many_matches_full_scan(spark, sf_dir, tmp_path):
         sorted(map(tuple, want.collect()))
     empty = lookup_many(spark, idx, data, "user_id", [-1, -2])
     assert empty.count() == 0 and empty.schema == want.schema
+
+
+def test_update_file_index_incremental_equals_rebuild(spark, sf_dir,
+                                                      tmp_path):
+    """Index built on half the files then incrementally updated with the
+    other half must equal a from-scratch rebuild over everything."""
+    import glob as _glob
+    from azure_kusto_parquet_conv_spark.sources.file_index import (
+        build_file_index,
+        update_file_index,
+    )
+    data = str(tmp_path / "ev")
+    spark.read.parquet(f"{sf_dir}/events.parquet") \
+         .repartition(8).write.parquet(data)
+    files = sorted(_glob.glob(f"{data}/part-*.parquet"))
+    first, rest = files[:4], files[4:]
+
+    inc = str(tmp_path / "inc")
+    (spark.read.parquet(*first)
+     .select(F.col("user_id").alias("k"),
+             F.input_file_name().alias("f")).distinct()
+     .groupBy("k").agg(F.array_sort(F.collect_set("f")).alias("files"))
+     .write.parquet(inc))
+    update_file_index(spark, inc, "user_id", rest)
+
+    full = str(tmp_path / "full")
+    build_file_index(spark, data, "user_id", full)
+
+    a = {r["k"]: list(r["files"]) for r in spark.read.parquet(inc).collect()}
+    b = {r["k"]: list(r["files"]) for r in spark.read.parquet(full).collect()}
+    assert a == b
