@@ -2653,3 +2653,19 @@ def q_kql_extract_first_word(spark, sf_dir):
         | extend w=extract('^([a-z0-9]+)', 1, tolower(text))
         | summarize n=count() by w
     """)
+
+
+@query("q_freq_items")  # sketch with a superset guarantee, not an exact
+# result: rows-only check; the tolerance test pins the guarantee
+def q_freq_items(spark, sf_dir):
+    """Misra-Gries-style frequent-items sketch (df.stat.freqItems): one
+    pass, fixed memory, guaranteed to CONTAIN every value with frequency
+    above the support threshold (may include false positives — the
+    standard heavy-hitters contract). The 100 TB shape for 'what are the
+    hot keys' when exact per-key counts (q_key_skew) are too wide."""
+    ev = load_table(spark, sf_dir, "events")
+    out = ev.select("event_type", "user_id").stat.freqItems(
+        ["event_type", "user_id"], support=0.15)
+    return out.select(
+        F.array_sort(F.col("event_type_freqItems")).alias("hot_types"),
+        F.size(F.col("user_id_freqItems")).cast("long").alias("n_hot_users"))

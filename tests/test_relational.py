@@ -119,3 +119,17 @@ def test_approx_percentiles_near_exact(spark, sf_dir):
     for flag, pcts in approx.items():
         for a, e in zip(pcts, exact[flag]):
             assert abs(a - e) / e < 0.01, (flag, a, e)
+
+
+def test_freq_items_superset_guarantee(spark, sf_dir):
+    """freqItems(support=s) must return every value whose true frequency
+    exceeds s — verified against exact counts."""
+    from azure_kusto_parquet_conv_spark.sources.parquet import load_table
+    ev = load_table(spark, sf_dir, "events")
+    total = ev.count()
+    exact_hot = {r["event_type"] for r in
+                 ev.groupBy("event_type").count()
+                 .where(F.col("count") > 0.15 * total).collect()}
+    got = set(ev.stat.freqItems(["event_type"], support=0.15)
+              .collect()[0]["event_type_freqItems"])
+    assert exact_hot <= got, (exact_hot, got)
