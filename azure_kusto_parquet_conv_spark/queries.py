@@ -2669,3 +2669,20 @@ def q_freq_items(spark, sf_dir):
     return out.select(
         F.array_sort(F.col("event_type_freqItems")).alias("hot_types"),
         F.size(F.col("user_id_freqItems")).cast("long").alias("n_hot_users"))
+
+
+@query("q_sample_by")  # seeded RNG: deterministic within Spark but not
+# SQL-expressible; rows-only + tolerance test pin the semantics
+def q_sample_by(spark, sf_dir):
+    """Stratified fraction sampling (df.stat.sampleBy): per-stratum
+    Bernoulli with a fixed seed — the class-rebalancing step of a
+    training-data pipeline (downsample the dominant class, keep the rare
+    ones). Deterministic for a given seed and partitioning; scales as a
+    pure map-side filter, no shuffle. q_stratified_sample is the exact
+    fixed-K twin; this is the probabilistic fixed-FRACTION one."""
+    ev = load_table(spark, sf_dir, "events")
+    fractions = {"click": 0.2, "view": 0.2, "purchase": 1.0,
+                 "signup": 1.0, "error": 0.5}
+    s = ev.stat.sampleBy("event_type", fractions, seed=42)
+    return (s.groupBy("event_type")
+             .agg(F.count("*").cast("long").alias("n_sampled")))

@@ -133,3 +133,28 @@ def test_freq_items_superset_guarantee(spark, sf_dir):
     got = set(ev.stat.freqItems(["event_type"], support=0.15)
               .collect()[0]["event_type_freqItems"])
     assert exact_hot <= got, (exact_hot, got)
+
+
+def test_sample_by_fractions_and_determinism(spark, sf_dir):
+    """Per-stratum sample sizes must track the requested fractions
+    (binomial tolerance), rare strata kept whole, and the same seed must
+    reproduce the identical sample."""
+    from azure_kusto_parquet_conv_spark.queries import QUERIES
+    from azure_kusto_parquet_conv_spark.sources.parquet import load_table
+    ev = load_table(spark, sf_dir, "events")
+    totals = {r["event_type"]: r["count"]
+              for r in ev.groupBy("event_type").count().collect()}
+    fractions = {"click": 0.2, "view": 0.2, "purchase": 1.0,
+                 "signup": 1.0, "error": 0.5}
+    got = {r["event_type"]: r["n_sampled"]
+           for r in QUERIES["q_sample_by"](spark, sf_dir).collect()}
+    for k, frac in fractions.items():
+        expect = totals[k] * frac
+        if frac == 1.0:
+            assert got[k] == totals[k], (k, got[k], totals[k])
+        else:
+            sd = (totals[k] * frac * (1 - frac)) ** 0.5
+            assert abs(got[k] - expect) <= 5 * sd + 1, (k, got[k], expect)
+    again = {r["event_type"]: r["n_sampled"]
+             for r in QUERIES["q_sample_by"](spark, sf_dir).collect()}
+    assert got == again
