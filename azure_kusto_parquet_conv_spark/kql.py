@@ -268,6 +268,11 @@ class _ExprParser:
             if len(args) != 3:
                 raise ValueError("KQL: extract(regex, group, text)")
             return f"regexp_extract({args[2]}, {args[0]}, {args[1]})"
+        if fname == "extract_all":
+            # extract_all(regex, text) -> array of all matches
+            if len(args) != 2:
+                raise ValueError("KQL: extract_all(regex, text)")
+            return f"regexp_extract_all({args[1]}, {args[0]}, 1)"
         if fname == "arg_max":
             if len(args) != 2:
                 raise ValueError("KQL: arg_max(rank_expr, return_expr)")

@@ -2686,3 +2686,22 @@ def q_sample_by(spark, sf_dir):
     s = ev.stat.sampleBy("event_type", fractions, seed=42)
     return (s.groupBy("event_type")
              .agg(F.count("*").cast("long").alias("n_sampled")))
+
+
+@query("q_kql_mv_expand_terms", """
+SELECT w, CAST(COUNT(*) AS BIGINT) AS n
+FROM (SELECT unnest(regexp_extract_all(lower(text), '([a-z0-9]+)', 1))
+        AS w FROM documents)
+GROUP BY w
+""")
+def q_kql_mv_expand_terms(spark, sf_dir):
+    """KQL extract_all + mv-expand: term frequencies over the corpus —
+    extract_all's match array explodes to one row per term (codegen'd
+    Generate, the same shape as the native inverted-index build)."""
+    from azure_kusto_parquet_conv_spark.kql import kql
+    return kql(spark, sf_dir, """
+      documents
+        | extend ws=extract_all('([a-z0-9]+)', tolower(text))
+        | mv-expand w=ws
+        | summarize n=count() by w
+    """)
