@@ -273,6 +273,11 @@ class _ExprParser:
             if len(args) != 2:
                 raise ValueError("KQL: extract_all(regex, text)")
             return f"regexp_extract_all({args[1]}, {args[0]}, 1)"
+        if fname == "extractjson":
+            # extractjson(jsonPath, text) -> get_json_object
+            if len(args) != 2:
+                raise ValueError("KQL: extractjson(jsonPath, text)")
+            return f"get_json_object({args[1]}, {args[0]})"
         if fname == "arg_max":
             if len(args) != 2:
                 raise ValueError("KQL: arg_max(rank_expr, return_expr)")

@@ -2705,3 +2705,25 @@ def q_kql_mv_expand_terms(spark, sf_dir):
         | mv-expand w=ws
         | summarize n=count() by w
     """)
+
+
+@query("q_kql_extractjson", """
+SELECT event_type,
+       ROUND(AVG(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 4)
+         AS avg_k,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
+GROUP BY event_type
+""")
+def q_kql_extractjson(spark, sf_dir):
+    """KQL extractjson() over the dynamic props column -> JVM-side
+    get_json_object (no from_json schema needed for one path) feeding a
+    numeric aggregate — the 'pull one field out of a property bag'
+    pattern Kusto ingestion queries live on."""
+    from azure_kusto_parquet_conv_spark.kql import kql
+    return kql(spark, sf_dir, """
+      events
+        | extend k=todouble(extractjson('$.k', props))
+        | where isnotnull(k)
+        | summarize avg_k=round(avg(k), 4), n=count() by event_type
+    """)
