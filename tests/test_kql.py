@@ -206,3 +206,22 @@ def test_has_any_matches_any_term(spark, sf_dir):
     comp = KqlCompiler(spark, sf_dir)
     out = comp._apply(df, "where text has_any ('beta', 'gamma')").collect()
     assert sorted(r["text"] for r in out) == ["alpha beta", "gamma delta"]
+
+
+def test_kql_where_pushes_filter_to_scan(spark, sf_dir):
+    """A DSL-compiled `where` must reach the parquet scan as a
+    PushedFilter — the KQL layer adds zero optimization barriers."""
+    from azure_kusto_parquet_conv_spark.plans import has_pushed_filters
+    df = kql(spark, sf_dir,
+             "lineitem | where l_quantity > 30 | project l_orderkey")
+    assert has_pushed_filters(df, "l_quantity")
+
+
+def test_kql_projection_prunes_scan_columns(spark, sf_dir):
+    """`project` must shrink the scan's ReadSchema, not post-filter."""
+    from azure_kusto_parquet_conv_spark.plans import read_schema
+    df = kql(spark, sf_dir, "lineitem | project l_orderkey, l_quantity")
+    schemas = read_schema(df)
+    assert len(schemas) == 1, schemas
+    assert schemas[0].startswith(
+        "struct<l_orderkey:bigint,l_quantity:double>"), schemas
