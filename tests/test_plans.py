@@ -341,3 +341,22 @@ def test_q8_q17_dims_broadcast(spark, sf_dir):
     q17 = QUERIES["q17_small_quantity_revenue"](spark, sf_dir)
     s17 = join_strategies(q17)
     assert "SortMergeJoin" not in s17 and "ShuffledHashJoin" not in s17, s17
+
+
+def test_join_strategy_hints_respected(spark, sf_dir):
+    """With broadcast off, the engine can still steer the physical join:
+    shuffle_hash keeps the small side as an in-memory build (no sort),
+    merge forces SMJ — the knob that matters when one side is modest but
+    the other is 100 TB (sorting the huge side is the cost to avoid)."""
+    from azure_kusto_parquet_conv_spark.plans.tuning import scoped_confs
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    with scoped_confs(spark, {"spark.sql.autoBroadcastJoinThreshold": "-1"}):
+        shj = li.join(o.hint("shuffle_hash"),
+                      li.l_orderkey == o.o_orderkey).groupBy(
+            "o_orderpriority").count()
+        assert "ShuffledHashJoin" in join_strategies(shj)
+        smj = li.join(o.hint("merge"),
+                      li.l_orderkey == o.o_orderkey).groupBy(
+            "o_orderpriority").count()
+        assert "SortMergeJoin" in join_strategies(smj)
