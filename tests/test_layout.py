@@ -115,3 +115,24 @@ def test_zorder_beats_single_sort_for_second_dim(spark, sf_dir, tmp_path):
         sorted(_glob.glob(f"{zord}/part-*.parquet")), "l_partkey", lo, hi)
     assert rep_single["row_groups_skipped"] == 0, rep_single
     assert rep_z["row_groups_skipped"] > 0, rep_z
+
+
+def test_zorder_key_three_columns(spark):
+    """n=3 interleave: bit j of column i lands at j*3+i (same layout the
+    SQL renderer emits), and the 63-bit budget guard still applies."""
+    rows = [(1, 2, 3), (255, 0, 128), (7, 7, 7)]
+    df = spark.createDataFrame(rows, ["a", "b", "c"])
+    got = {(r["a"], r["b"], r["c"]): r["z"] for r in
+           df.select("a", "b", "c",
+                     zorder_key(["a", "b", "c"], 8).alias("z")).collect()}
+    for t in rows:
+        assert got[t] == _morton_ref(list(t), 8), t
+    import duckdb
+    expr = zorder_sql(["a", "b", "c"], 8)
+    con = duckdb.connect()
+    for t in rows:
+        v = con.execute(f"SELECT {expr} FROM (SELECT {t[0]} AS a, "
+                        f"{t[1]} AS b, {t[2]} AS c)").fetchone()[0]
+        assert v == _morton_ref(list(t), 8), t
+    with pytest.raises(ValueError):
+        zorder_key(["a", "b", "c"], 22)  # 66 bits > signed long
