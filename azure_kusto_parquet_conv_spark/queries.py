@@ -2727,3 +2727,42 @@ def q_kql_extractjson(spark, sf_dir):
         | where isnotnull(k)
         | summarize avg_k=round(avg(k), 4), n=count() by event_type
     """)
+
+
+@query("q_training_mix", f"""
+WITH t AS (
+  SELECT doc_id, text, string_split({_NORM_SQL}, ' ') AS toks FROM documents
+), m AS (
+  SELECT doc_id,
+         len(toks) AS n_tok,
+         CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum')
+              AS DOUBLE) / len(toks) AS mtl,
+         CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+              AS DOUBLE) / length(text) AS punct
+  FROM t), q AS (
+  SELECT doc_id,
+         ROUND(least(n_tok / 50.0, 1.0) * 0.4
+               + (CASE WHEN mtl >= 2.0 AND mtl <= 12.0
+                       THEN 1.0 ELSE 0.3 END) * 0.4
+               + (1.0 - least(punct * 4, 1.0)) * 0.2, 4) AS quality
+  FROM m)
+SELECT lang, doc_id, quality, CAST(rn AS BIGINT) AS rn
+FROM (SELECT d.lang, q.doc_id, q.quality,
+             row_number() OVER (PARTITION BY d.lang
+                                ORDER BY q.quality DESC, q.doc_id) AS rn
+      FROM q JOIN documents d ON q.doc_id = d.doc_id)
+WHERE rn <= 40
+""")
+def q_training_mix(spark, sf_dir):
+    """Training-data curation: per-language quality quota — score every
+    document (same JVM expression as q_text_quality), keep the top-40
+    per language. The per-stratum rank is one shuffle on lang; ranking
+    on the ROUNDED score with doc_id tie-break keeps the cut
+    deterministic. This is the 'mix recipe' step between filtering and
+    tokenization in an LLM data pipeline."""
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select("doc_id", "lang",
+                      X.quality_score("text").alias("quality"))
+    w = Window.partitionBy("lang").orderBy(F.col("quality").desc(), "doc_id")
+    return (scored.withColumn("rn", F.row_number().over(w).cast("long"))
+                  .where(F.col("rn") <= 40))
