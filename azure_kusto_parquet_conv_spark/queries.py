@@ -2766,3 +2766,41 @@ def q_training_mix(spark, sf_dir):
     w = Window.partitionBy("lang").orderBy(F.col("quality").desc(), "doc_id")
     return (scored.withColumn("rn", F.row_number().over(w).cast("long"))
                   .where(F.col("rn") <= 40))
+
+
+@query("q_decontaminate", f"""
+WITH t AS (SELECT doc_id, lang, string_split({_NORM_SQL}, ' ') AS toks
+           FROM documents),
+s AS (SELECT doc_id, lang,
+             list_distinct(CASE WHEN len(toks) >= 5
+               THEN list_transform(range(1, len(toks) - 3),
+                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                           || ' ' || toks[i+3] || ' ' || toks[i+4])
+               ELSE CAST([] AS VARCHAR[]) END) AS sh
+      FROM t),
+g AS (SELECT doc_id, lang, unnest(sh) AS gram FROM s),
+bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0),
+hits AS (SELECT DISTINCT g.doc_id, g.lang
+         FROM g JOIN bench USING (gram) WHERE g.doc_id % 20 <> 0)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_contaminated
+FROM hits GROUP BY lang
+""")
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: flag corpus documents sharing any
+    5-gram with the benchmark set (here: every 20th doc stands in for
+    the eval benchmark). The benchmark's distinct shingle set broadcasts
+    — at 100 TB the corpus explodes its shingles map-side and semi-joins
+    against that in-memory set, no corpus-sized shuffle. The real
+    pipeline step before training-mix assembly; 5-gram granularity
+    mirrors common published decontamination setups."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select("doc_id", "lang",
+                  F.explode(F.array_distinct(X.token_ngrams("text", 5)))
+                   .alias("gram"))
+    bench = (sh.where(F.col("doc_id") % 20 == 0)
+               .select("gram").distinct())
+    hits = (sh.where(F.col("doc_id") % 20 != 0)
+              .join(F.broadcast(bench), "gram", "left_semi")
+              .select("doc_id", "lang").distinct())
+    return hits.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_contaminated"))
