@@ -2804,3 +2804,33 @@ def q_decontaminate(spark, sf_dir):
               .select("doc_id", "lang").distinct())
     return hits.groupBy("lang").agg(
         F.count("*").cast("long").alias("n_contaminated"))
+
+
+@query("q_unigram_logprob", f"""
+WITH tok AS (SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS w
+             FROM documents),
+freq AS (SELECT w, CAST(COUNT(*) AS DOUBLE) AS n FROM tok GROUP BY w),
+tot AS (SELECT SUM(n) AS t FROM freq),
+sc AS (SELECT tok.doc_id, ln(freq.n / tot.t) AS lp
+       FROM tok JOIN freq USING (w), tot)
+SELECT doc_id, ROUND(AVG(lp), 4) AS avg_logprob,
+       CAST(COUNT(*) AS BIGINT) AS n_tok
+FROM sc GROUP BY doc_id
+""")
+def q_unigram_logprob(spark, sf_dir):
+    """Perplexity-proxy quality score: average unigram log-probability of
+    each document under the corpus's own unigram distribution (the
+    cheap stand-in for a KenLM filter — surprising/garbled docs score
+    low). Scale shape: the unigram table is vocabulary-sized and
+    BROADCASTS onto the exploded token stream, so the only corpus-wide
+    shuffles are the frequency count and the per-doc average."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(X.tokens("text")).alias("w"))
+    freq = tok.groupBy("w").agg(F.count("*").cast("double").alias("n"))
+    tot = freq.agg(F.sum("n").alias("t"))
+    freq_p = freq.crossJoin(F.broadcast(tot)).select(
+        "w", F.log(F.col("n") / F.col("t")).alias("lp"))
+    return (tok.join(F.broadcast(freq_p), "w")
+               .groupBy("doc_id")
+               .agg(F.round(F.avg("lp"), 4).alias("avg_logprob"),
+                    F.count("*").cast("long").alias("n_tok")))

@@ -45,7 +45,8 @@ def test_no_accidental_cartesians_across_catalog(spark, sf_dir):
                    # 1-row global-scalar broadcasts (total / median /
                    # concentration threshold)
                    "q_key_skew", "q_mad_robust_stats",
-                   "q11_value_concentration", "q22_dormant_rich_customers"}
+                   "q11_value_concentration", "q22_dormant_rich_customers",
+                   "q_unigram_logprob"}
     for name, fn in QUERIES.items():
         if name in ("q_dedup_simhash",):  # pandas UDF: plan has no joins of interest
             continue
