@@ -78,3 +78,15 @@ def test_bench_headline_entries_exist():
 
     for name in bench.HEADLINE:
         assert name in QUERIES, name
+
+
+def test_catalog_queries_stay_distributed():
+    """No catalog query may materialize data on the driver: a .collect()
+    / .toPandas() / .toLocalIterator() inside queries.py means the
+    operator stops scaling past driver memory."""
+    import os
+
+    import azure_kusto_parquet_conv_spark.queries as qmod
+    src = open(os.path.abspath(qmod.__file__)).read()
+    for banned in (".collect()", ".toPandas()", ".toLocalIterator()"):
+        assert banned not in src, banned
