@@ -2834,3 +2834,22 @@ def q_unigram_logprob(spark, sf_dir):
                .groupBy("doc_id")
                .agg(F.round(F.avg("lp"), 4).alias("avg_logprob"),
                     F.count("*").cast("long").alias("n_tok")))
+
+
+@query("q_events_heatmap", """
+SELECT CAST(dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS BIGINT) AS dow,
+       CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS hr,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(value), 2) AS v
+FROM events GROUP BY dow, hr
+""")
+def q_events_heatmap(spark, sf_dir):
+    """Day-of-week x hour activity matrix (the ops-dashboard heatmap):
+    two calendar part keys, one aggregate, output bounded at 7x24 cells
+    regardless of input size. DuckDB numbers Sunday as 0 where Spark
+    uses 1 — the oracle shifts by one to align."""
+    ev = load_table(spark, sf_dir, "events")
+    return (ev.groupBy(F.dayofweek("ts").cast("long").alias("dow"),
+                       F.hour("ts").cast("long").alias("hr"))
+              .agg(F.count("*").cast("long").alias("n"),
+                   F.round(F.sum("value"), 2).alias("v")))
