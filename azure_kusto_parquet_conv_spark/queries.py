@@ -2853,3 +2853,31 @@ def q_events_heatmap(spark, sf_dir):
                        F.hour("ts").cast("long").alias("hr"))
               .agg(F.count("*").cast("long").alias("n"),
                    F.round(F.sum("value"), 2).alias("v")))
+
+
+@query("q_basket_pairs", """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM li a JOIN li b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY part_a, part_b
+HAVING COUNT(*) >= 2
+""")
+def q_basket_pairs(spark, sf_dir):
+    """Market-basket co-occurrence: part pairs appearing in the same
+    order at least twice. The self-join is keyed on the order — ONE
+    shuffle, both sides co-partitioned, and the per-key fanout is
+    bounded by lines-per-order squared (~tens), so the pair space is
+    O(orders x k²), never O(parts²). The same bounded-fanout argument
+    that makes LSH-bucketed dedup safe at 100 TB."""
+    li = (load_table(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_partkey").distinct())
+    a = li.alias("a")
+    b = li.alias("b")
+    return (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                   & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+             .groupBy(F.col("a.l_partkey").alias("part_a"),
+                      F.col("b.l_partkey").alias("part_b"))
+             .agg(F.count("*").cast("long").alias("n_orders"))
+             .where(F.col("n_orders") >= 2))
