@@ -18,8 +18,12 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="kql-spark",
         description="Run a KQL tabular pipeline on the table directory")
-    p.add_argument("query", help="KQL pipeline, e.g. "
+    p.add_argument("query", nargs="?", default=None,
+                   help="KQL pipeline, e.g. "
                    "'lineitem | where l_quantity > 30 | count'")
+    p.add_argument("--list-queries", action="store_true",
+                   help="print the engine's query-catalog inventory "
+                        "(name, oracled, summary) and exit")
     p.add_argument("--sf-dir", default="/root/testdata/sf0.001",
                    help="directory holding <table>.parquet files")
     p.add_argument("--csv", action="store_true",
@@ -30,6 +34,15 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def run(args: argparse.Namespace) -> int:
+    if args.list_queries:
+        from azure_kusto_parquet_conv_spark.queries import catalog
+        for row in catalog():
+            sys.stdout.write(json.dumps(row) + "\n")
+        return 0
+    if args.query is None:
+        print("ERROR: provide a KQL query or --list-queries",
+              file=sys.stderr)
+        return 2
     from azure_kusto_parquet_conv_spark.kql import kql
     from azure_kusto_parquet_conv_spark.session import get_spark
 

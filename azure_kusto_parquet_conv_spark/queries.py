@@ -49,6 +49,8 @@ def query(name: str, oracle: str | None = None):
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
             prepare_session(spark)
             return fn(spark, sf_dir)
+        wrapped.__wrapped__ = fn
+        wrapped.__doc__ = fn.__doc__
         QUERIES[name] = wrapped
         if oracle is not None:
             ORACLES[name] = oracle
@@ -2914,3 +2916,22 @@ def q_fuzzy_prefix_pairs(spark, sf_dir):
              .select(F.col("a.doc_id").alias("id_a"),
                      F.col("b.doc_id").alias("id_b"),
                      dist.cast("long").alias("dist")))
+
+
+def catalog() -> list[dict[str, object]]:
+    """Self-description of the query catalog: one dict per entry with its
+    name, whether it carries a DuckDB oracle (vs the weaker rows-only
+    check), and the first line of its docstring. Drives `kql-spark
+    --list-queries` and gives integrators a programmatic inventory of
+    SURVEY.md §2 coverage."""
+    out = []
+    for name, fn in QUERIES.items():
+        doc = ""
+        inner = getattr(fn, "__wrapped__", fn)
+        for f in (inner, fn):
+            if f.__doc__:
+                doc = f.__doc__.strip().splitlines()[0]
+                break
+        out.append({"name": name, "oracled": name in ORACLES,
+                    "summary": doc})
+    return out

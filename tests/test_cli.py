@@ -109,3 +109,17 @@ def test_cli_gzip_output(spark, sf_dir, tmp_path, capsys):
     lines_out = _gzip.open(out, "rb").read().splitlines()
     assert len(lines_out) == 5
     assert _json.loads(lines_out[0])["r_regionkey"] in range(5)
+
+
+def test_kql_cli_list_queries(capsys):
+    import json as _json
+
+    from azure_kusto_parquet_conv_spark.kql_cli import main as kql_main
+    rc = kql_main(["--list-queries"])
+    assert rc == 0
+    rows = [_json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert len(rows) > 120
+    byname = {r["name"]: r for r in rows}
+    assert byname["q1_pricing_summary"]["oracled"] is True
+    assert byname["q_freq_items"]["oracled"] is False
+    assert all(set(r) == {"name", "oracled", "summary"} for r in rows)
