@@ -2935,3 +2935,31 @@ def catalog() -> list[dict[str, object]]:
         out.append({"name": name, "oracled": name in ORACLES,
                     "summary": doc})
     return out
+
+
+@query("q_interarrival_dist", """
+WITH e AS (SELECT user_id, event_id,
+                  epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+d AS (SELECT us - lag(us) OVER (PARTITION BY user_id
+                                ORDER BY us, event_id) AS gap
+      FROM e)
+SELECT CAST(least(gap // 60000000, 60) AS BIGINT) AS gap_min_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM d WHERE gap IS NOT NULL
+GROUP BY gap_min_bucket
+""")
+def q_interarrival_dist(spark, sf_dir):
+    """Inter-arrival-time distribution per user, bucketed to minutes and
+    capped at 60 (the tail bucket): the first diagnostic for choosing a
+    sessionization gap or a streaming watermark. One keyed window pass
+    (lag over the user partition, unique event_id tie-break) feeding a
+    61-bucket aggregate — output size is fixed no matter the input."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.expr("ts_ns div 1000")
+    w = Window.partitionBy("user_id").orderBy(us, "event_id")
+    gap = (us - F.lag(us).over(w))
+    return (ev.select(gap.alias("gap"))
+              .where(F.col("gap").isNotNull())
+              .groupBy(F.least(F.expr("gap div 60000000"), F.lit(60))
+                        .cast("long").alias("gap_min_bucket"))
+              .agg(F.count("*").cast("long").alias("n")))
