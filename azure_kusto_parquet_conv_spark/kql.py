@@ -255,6 +255,10 @@ class _ExprParser:
             return f"collect_list({args[0]})"
         if fname == "make_set":
             return f"collect_set({args[0]})"
+        if fname in ("prev", "next"):
+            raise ValueError(
+                "KQL: prev()/next() need a preceding 'sort by' "
+                "(serialized order)")
         if fname in ("percentile", "percentiles"):
             # KQL percentile(col, P) uses a 0-100 scale; Spark/ANSI use
             # a 0-1 fraction. Exact interpolated percentile here (real
@@ -431,12 +435,33 @@ def _named_expr(toks: list[Tok], df: DataFrame,
     return name, sql
 
 
-def _compile_expr_tokens(toks: list[Tok], df: DataFrame) -> str:
-    """Expression compile with schema-aware bin() interception."""
+def _compile_expr_tokens(toks: list[Tok], df: DataFrame,
+                         order_sql: list[str] | None = None) -> str:
+    """Expression compile with schema-aware bin() and serialized-order
+    prev()/next() interception."""
     out: list[Tok] = []
     i = 0
     while i < len(toks):
         t = toks[i]
+        if (t.kind == "ident" and t.text.lower() in ("prev", "next")
+                and order_sql and i + 1 < len(toks)
+                and toks[i + 1].text == "("):
+            depth, j = 0, i + 1
+            while j < len(toks):
+                if toks[j].text == "(":
+                    depth += 1
+                elif toks[j].text == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j += 1
+            inner = _compile_expr_tokens(toks[i + 2:j], df, order_sql)
+            fn = "lag" if t.text.lower() == "prev" else "lead"
+            out.append(Tok("rendered",
+                           f"{fn}({inner}, 1) OVER (ORDER BY "
+                           f"{', '.join(order_sql)})"))
+            i = j + 1
+            continue
         if (t.kind == "ident" and t.text.lower() == "bin"
                 and i + 1 < len(toks) and toks[i + 1].text == "("):
             # find matching close paren
@@ -498,6 +523,7 @@ class KqlCompiler:
         # deterministic — a window over an unordered table would be both
         # nondeterministic and a single-partition bottleneck at scale).
         self._order: list | None = None
+        self._order_sql: list[str] | None = None
         prepare_session(spark)
 
     def table(self, name: str) -> DataFrame:
@@ -531,7 +557,12 @@ class KqlCompiler:
             return df.drop(*names)
         if op == "extend":
             for i, g in enumerate(_split_top_commas(_tokenize(rest))):
-                name, sql = _named_expr(g, df, f"col{i}")
+                if len(g) >= 2 and g[0].kind == "ident" \
+                        and g[1].text == "=":
+                    name, body = g[0].text, g[2:]
+                else:
+                    name, body = f"col{i}", g
+                sql = _compile_expr_tokens(body, df, self._order_sql)
                 if sql.strip() == "row_number()":
                     if self._order is None:
                         raise ValueError(
@@ -581,14 +612,18 @@ class KqlCompiler:
 
     def _sort_cols(self, df: DataFrame, rest: str):
         cols = []
+        sqls = []
         for g in _split_top_commas(_tokenize(rest)):
             desc = False
             if g and g[-1].kind == "ident" and g[-1].text.lower() in (
                     "asc", "desc"):
                 desc = g[-1].text.lower() == "desc"
                 g = g[:-1]
-            c = F.expr(_compile_expr_tokens(g, df))
+            sql = _compile_expr_tokens(g, df)
+            sqls.append(sql + (" DESC" if desc else " ASC"))
+            c = F.expr(sql)
             cols.append(c.desc() if desc else c.asc())
+        self._order_sql = sqls
         return cols
 
     def _summarize(self, df: DataFrame, rest: str):

@@ -225,3 +225,31 @@ def test_kql_projection_prunes_scan_columns(spark, sf_dir):
     assert len(schemas) == 1, schemas
     assert schemas[0].startswith(
         "struct<l_orderkey:bigint,l_quantity:double>"), schemas
+
+
+def test_prev_next_follow_sort_order(spark, sf_dir):
+    rows = kql(spark, sf_dir, """
+      nation | where n_nationkey < 4
+        | sort by n_nationkey asc
+        | extend p=prev(n_nationkey), nx=next(n_nationkey)
+        | project n_nationkey, p, nx
+        | sort by n_nationkey asc
+    """).collect()
+    assert [(r["n_nationkey"], r["p"], r["nx"]) for r in rows] == [
+        (0, None, 1), (1, 0, 2), (2, 1, 3), (3, 2, None)]
+
+
+def test_prev_requires_sort(spark, sf_dir):
+    with pytest.raises(ValueError, match="serialized order"):
+        kql(spark, sf_dir, "orders | extend p=prev(o_totalprice)")
+
+
+def test_prev_composes_inside_arithmetic(spark, sf_dir):
+    """prev() must rewrite to a windowed lag even when embedded in a
+    larger expression, not only as the whole right-hand side."""
+    row = kql(spark, sf_dir, """
+      nation | sort by n_nationkey asc
+        | extend d=n_nationkey - prev(n_nationkey)
+        | where isnotnull(d) | summarize s=tolong(sum(d))
+    """).collect()[0]
+    assert row["s"] == 24  # 24 consecutive unit steps over 25 nations
