@@ -2963,3 +2963,28 @@ def q_interarrival_dist(spark, sf_dir):
               .groupBy(F.least(F.expr("gap div 60000000"), F.lit(60))
                         .cast("long").alias("gap_min_bucket"))
               .agg(F.count("*").cast("long").alias("n")))
+
+
+@query("q_kql_prev_diff", """
+WITH s AS (SELECT event_id FROM events WHERE event_id % 97 = 0),
+d AS (SELECT event_id - lag(event_id) OVER (ORDER BY event_id) AS d
+      FROM s)
+SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(MAX(d) AS BIGINT) AS mx,
+       CAST(SUM(d) AS BIGINT) AS s
+FROM d WHERE d IS NOT NULL
+""")
+def q_kql_prev_diff(spark, sf_dir):
+    """KQL serialized-order prev() embedded in arithmetic, through the
+    driver gate: consecutive differences over a filtered id slice.
+    Serialized order means a global sort — correct KQL semantics, and
+    safe here because the filter bounds the slice first (the DSL makes
+    the single-partition cost explicit rather than hiding it)."""
+    from azure_kusto_parquet_conv_spark.kql import kql
+    return kql(spark, sf_dir, """
+      events
+        | where event_id % 97 == 0
+        | sort by event_id asc
+        | extend d=event_id - prev(event_id)
+        | where isnotnull(d)
+        | summarize n=count(), mx=tolong(max(d)), s=tolong(sum(d))
+    """)
