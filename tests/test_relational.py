@@ -158,3 +158,39 @@ def test_sample_by_fractions_and_determinism(spark, sf_dir):
     again = {r["event_type"]: r["n_sampled"]
              for r in QUERIES["q_sample_by"](spark, sf_dir).collect()}
     assert got == again
+
+
+def test_validate_single_pass_counts(spark, sf_dir):
+    from azure_kusto_parquet_conv_spark.operators import validate as V
+    from azure_kusto_parquet_conv_spark.sources.parquet import load_table
+    li = load_table(spark, sf_dir, "lineitem")
+    rep = {r["check"]: r["n_violations"] for r in V.validate(
+        li,
+        [V.not_null("l_orderkey"),
+         V.in_range("l_discount", 0.0, 0.1),
+         V.accepted_values("l_returnflag", ["A", "N", "R"]),
+         V.in_range("l_quantity", 1, 10)],
+        unique=["l_orderkey", "l_linenumber"]).collect()}
+    assert rep["not_null(l_orderkey)"] == 0
+    assert rep["in_range(l_discount,0.0,0.1)"] == 0
+    assert rep["accepted_values(l_returnflag)"] == 0
+    # the synthetic fixture does NOT enforce TPC-H key uniqueness — the
+    # check must report exactly the surplus rows beyond one per key
+    surplus = (li.groupBy("l_orderkey", "l_linenumber").count()
+                 .where(F.col("count") > 1)
+                 .agg(F.sum(F.col("count") - 1)).collect()[0][0])
+    assert rep["unique(l_orderkey,l_linenumber)"] == surplus > 0
+    # quantity runs 1..50, so the tight range must flag most rows
+    n = li.count()
+    exact = li.where(~F.col("l_quantity").between(1, 10)).count()
+    assert rep["in_range(l_quantity,1,10)"] == exact > 0.5 * n
+
+
+def test_expect_raises_with_failed_checks(spark, sf_dir):
+    import pytest as _pytest
+    from azure_kusto_parquet_conv_spark.operators import validate as V
+    from azure_kusto_parquet_conv_spark.sources.parquet import load_table
+    li = load_table(spark, sf_dir, "lineitem")
+    with _pytest.raises(V.ValidationError, match="in_range"):
+        V.expect(li, [V.in_range("l_quantity", 1, 10)])
+    V.expect(li, [V.not_null("l_orderkey")])  # passing gate: no raise
