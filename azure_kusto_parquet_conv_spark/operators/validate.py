@@ -80,3 +80,51 @@ def expect(df: DataFrame, checks: Sequence[tuple[str, Column]],
     if failed:
         raise ValidationError(
             "; ".join(f"{c}: {n} violations" for c, n in failed))
+
+
+def drift_report(old: DataFrame, new: DataFrame,
+                 columns: Sequence[str] | None = None) -> DataFrame:
+    """Snapshot-to-snapshot drift: per-column (count, null-rate, min,
+    max, mean for numerics) for two versions of a table, joined into one
+    row per column with both sides — the check before promoting a new
+    data drop ("did the distribution move?"). One aggregate pass PER
+    SNAPSHOT regardless of column count; schema-only columns (added /
+    removed) appear with nulls on the missing side."""
+    def profile(df: DataFrame, side: str) -> DataFrame:
+        cols = [c for c in (columns or df.columns)]
+        rows = []
+        aggs = []
+        for i, c in enumerate(cols):
+            dt = dict(df.dtypes)[c]
+            numeric = dt in ("int", "bigint", "double", "float",
+                             "smallint", "tinyint") or dt.startswith(
+                                 "decimal")
+            aggs += [F.count("*").cast("long").alias(f"_n{i}"),
+                     F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+                      .cast("long").alias(f"_z{i}")]
+            if numeric:
+                aggs += [F.min(c).cast("double").alias(f"_lo{i}"),
+                         F.max(c).cast("double").alias(f"_hi{i}"),
+                         F.round(F.avg(F.col(c).cast("double")), 6)
+                          .alias(f"_mu{i}")]
+        wide = df.agg(*aggs)
+        for i, c in enumerate(cols):
+            dt = dict(df.dtypes)[c]
+            numeric = dt in ("int", "bigint", "double", "float",
+                             "smallint", "tinyint") or dt.startswith(
+                                 "decimal")
+            rows.append(F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"_n{i}").alias(f"{side}_count"),
+                F.round(F.col(f"_z{i}") / F.col(f"_n{i}"), 6)
+                 .alias(f"{side}_null_rate"),
+                (F.col(f"_lo{i}") if numeric else F.lit(None)
+                 .cast("double")).alias(f"{side}_min"),
+                (F.col(f"_hi{i}") if numeric else F.lit(None)
+                 .cast("double")).alias(f"{side}_max"),
+                (F.col(f"_mu{i}") if numeric else F.lit(None)
+                 .cast("double")).alias(f"{side}_mean")))
+        return (wide.select(F.explode(F.array(*rows)).alias("r"))
+                    .select("r.*"))
+
+    return profile(old, "old").join(profile(new, "new"), "column", "full")

@@ -194,3 +194,22 @@ def test_expect_raises_with_failed_checks(spark, sf_dir):
     with _pytest.raises(V.ValidationError, match="in_range"):
         V.expect(li, [V.in_range("l_quantity", 1, 10)])
     V.expect(li, [V.not_null("l_orderkey")])  # passing gate: no raise
+
+
+def test_drift_report_detects_shift(spark, sf_dir):
+    from azure_kusto_parquet_conv_spark.operators.validate import (
+        drift_report,
+    )
+    from azure_kusto_parquet_conv_spark.sources.parquet import load_table
+    old = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority")
+    new = old.withColumn("o_totalprice", F.col("o_totalprice") * 2)
+    rep = {r["column"]: r for r in drift_report(old, new).collect()}
+    tp = rep["o_totalprice"]
+    assert tp["new_mean"] == round(tp["old_mean"] * 2, 4) or \
+        abs(tp["new_mean"] - 2 * tp["old_mean"]) < 1e-3
+    assert tp["old_count"] == tp["new_count"]
+    ok = rep["o_orderkey"]
+    assert ok["old_min"] == ok["new_min"] and ok["old_max"] == ok["new_max"]
+    pr = rep["o_orderpriority"]
+    assert pr["old_mean"] is None and pr["old_null_rate"] == 0.0
