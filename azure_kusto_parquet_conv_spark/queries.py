@@ -2988,3 +2988,33 @@ def q_kql_prev_diff(spark, sf_dir):
         | where isnotnull(d)
         | summarize n=count(), mx=tolong(max(d)), s=tolong(sum(d))
     """)
+
+
+@query("q_weighted_sample", """
+WITH w AS (
+  SELECT doc_id, lang,
+         least(n_chars / 1000.0, 1.0) AS wt,
+         (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT)
+           / 16777216.0 AS u
+  FROM documents)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept,
+       ROUND(SUM(wt), 4) AS kept_weight
+FROM w WHERE u < wt GROUP BY lang
+""")
+def q_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sampling: keep each document with
+    probability proportional to its weight (here length-capped), decided
+    by a CONTENT-HASH uniform, not rand() — the same row is kept on
+    every engine, run, and partitioning, so a training mix is exactly
+    reproducible. u is an exact 24-bit dyadic rational on both engines;
+    the weight arithmetic is identical IEEE ops, so the u<wt cut cannot
+    drift."""
+    d = load_table(spark, sf_dir, "documents")
+    u = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6),
+                16, 10).cast("long") / F.lit(16777216.0))
+    wt = F.least(F.col("n_chars") / 1000.0, F.lit(1.0))
+    return (d.select("lang", wt.alias("wt"), u.alias("u"))
+             .where(F.col("u") < F.col("wt"))
+             .groupBy("lang")
+             .agg(F.count("*").cast("long").alias("n_kept"),
+                  F.round(F.sum("wt"), 4).alias("kept_weight")))
