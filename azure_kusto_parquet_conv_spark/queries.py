@@ -337,6 +337,7 @@ WHERE EXISTS (SELECT 1 FROM lineitem
               WHERE l_orderkey = o_orderkey AND l_quantity > 49)
 """)
 def q_join_semi(spark, sf_dir):
+    """Left-semi join: customers with at least one urgent order."""
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     return (o.join(li.where(F.col("l_quantity") > 49),
@@ -349,6 +350,7 @@ SELECT c_custkey, c_name FROM customer
 WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 """)
 def q_join_anti(spark, sf_dir):
+    """Left-anti join: customers with no urgent order."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     return (c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
@@ -363,6 +365,7 @@ SELECT l_returnflag,
 FROM lineitem GROUP BY l_returnflag
 """)
 def q_agg_distinct(spark, sf_dir):
+    """Hash aggregate with COUNT(DISTINCT) per group."""
     li = load_table(spark, sf_dir, "lineitem")
     return (li.groupBy("l_returnflag")
               .agg(F.countDistinct("l_suppkey").alias("n_supp"),
@@ -388,6 +391,7 @@ SELECT l_returnflag, l_linestatus,
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """)
 def q_rollup(spark, sf_dir):
+    """ROLLUP hierarchy: subtotals per level plus grand total."""
     li = load_table(spark, sf_dir, "lineitem")
     return (li.rollup("l_returnflag", "l_linestatus")
               .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
@@ -400,6 +404,7 @@ SELECT o_orderstatus, o_orderpriority,
 FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """)
 def q_cube(spark, sf_dir):
+    """CUBE: aggregates over every grouping-key combination."""
     o = load_table(spark, sf_dir, "orders")
     return (o.cube("o_orderstatus", "o_orderpriority")
              .agg(F.count("*").alias("n"),
@@ -559,6 +564,7 @@ FROM (SELECT *, row_number() OVER (PARTITION BY o_orderpriority
 WHERE rn <= 3
 """)
 def q_window_rank(spark, sf_dir):
+    """rank() per partition: top rows by price within each group."""
     o = load_table(spark, sf_dir, "orders")
     ranked = R.top_k_per_group(
         o, ["o_orderpriority"],
@@ -625,6 +631,7 @@ SELECT c_custkey, 'except' AS op FROM (
   EXCEPT SELECT o_custkey FROM orders)
 """)
 def q_set_ops(spark, sf_dir):
+    """UNION / INTERSECT / EXCEPT over customer key sets."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     machinery = (c.where(F.col("c_mktsegment") == "MACHINERY")
@@ -858,6 +865,7 @@ SELECT doc_id,
 FROM s
 """)
 def q_text_stats(spark, sf_dir):
+    """Per-document char/token counts via JVM text builders."""
     d = load_table(spark, sf_dir, "documents")
     toks = X.tokens("text")
     return d.select(
@@ -874,6 +882,7 @@ def q_text_stats(spark, sf_dir):
 SELECT doc_id, md5({_NORM_SQL}) AS fingerprint FROM documents
 """)
 def q_text_fingerprint(spark, sf_dir):
+    """md5 content fingerprint per document."""
     d = load_table(spark, sf_dir, "documents")
     return d.select("doc_id", X.fingerprint_md5("text").alias("fingerprint"))
 
@@ -919,6 +928,7 @@ SELECT doc_id,
 FROM m
 """)
 def q_text_quality(spark, sf_dir):
+    """Length/structure-based document quality score."""
     d = load_table(spark, sf_dir, "documents")
     return d.select("doc_id", X.quality_score("text").alias("quality"))
 
@@ -992,6 +1002,7 @@ SELECT md5({_NORM_SQL}) AS fingerprint,
 FROM documents GROUP BY 1
 """)
 def q_dedup_exact(spark, sf_dir):
+    """Exact duplicate groups by content fingerprint."""
     d = load_table(spark, sf_dir, "documents")
     return D.exact_dedup(d)
 

@@ -90,3 +90,10 @@ def test_catalog_queries_stay_distributed():
     src = open(os.path.abspath(qmod.__file__)).read()
     for banned in (".collect()", ".toPandas()", ".toLocalIterator()"):
         assert banned not in src, banned
+
+
+def test_catalog_every_entry_has_summary():
+    from azure_kusto_parquet_conv_spark.queries import catalog
+
+    assert all(r["summary"] for r in catalog()), [
+        r["name"] for r in catalog() if not r["summary"]]
