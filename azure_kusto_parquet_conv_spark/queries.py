@@ -2807,14 +2807,28 @@ def q_decontaminate(spark, sf_dir):
     pipeline step before training-mix assembly; 5-gram granularity
     mirrors common published decontamination setups."""
     d = load_table(spark, sf_dir, "documents")
-    sh = d.select("doc_id", "lang",
-                  F.explode(F.array_distinct(X.token_ngrams("text", 5)))
-                   .alias("gram"))
-    bench = (sh.where(F.col("doc_id") % 20 == 0)
-               .select("gram").distinct())
-    hits = (sh.where(F.col("doc_id") % 20 != 0)
-              .join(F.broadcast(bench), "gram", "left_semi")
-              .select("doc_id", "lang").distinct())
+
+    def shingles(df):
+        # materialize the token array BEFORE the gram lambda: inlining
+        # tokens() into the transform() would re-run the normalize+split
+        # regex once per gram position (a ~50x blowup measured at sf0.1)
+        toks = df.select("doc_id", "lang", X.tokens("text").alias("t"))
+        sz = F.size("t")
+        grams = F.transform(
+            F.sequence(F.lit(1), sz - 4),
+            lambda i: F.concat_ws(" ", F.slice("t", i, 5)))
+        return (toks.where(sz >= 5)
+                    .select("doc_id", "lang",
+                            F.explode(F.array_distinct(grams))
+                             .alias("gram")))
+
+    # filter BEFORE shingling: the benchmark side explodes only ~5% of
+    # docs, the corpus side exactly once (not twice through one plan)
+    bench = (shingles(d.where(F.col("doc_id") % 20 == 0))
+             .select("gram").distinct())
+    hits = (shingles(d.where(F.col("doc_id") % 20 != 0))
+            .join(F.broadcast(bench), "gram", "left_semi")
+            .select("doc_id", "lang").distinct())
     return hits.groupBy("lang").agg(
         F.count("*").cast("long").alias("n_contaminated"))
 

@@ -53,6 +53,9 @@ HEADLINE = [
     "q17_small_quantity_revenue",
     "q_cohort_retention",
     "q_zorder_key",
+    "q_training_mix",
+    "q_decontaminate",
+    "q_weighted_sample",
 ]
 
 
