@@ -61,14 +61,20 @@ def char_ngrams(c: Column | str, n: int = 3) -> Column:
 
 
 def token_ngrams(c: Column | str, n: int = 3) -> Column:
-    """Token n-gram shingles -> array<string> (space-joined)."""
-    t = tokens(c)
-    sz = F.size(t)
-    return F.when(sz < n, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), sz - (n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(t, i, n)),
-        ))
+    """Token n-gram shingles -> array<string> (space-joined).
+
+    The token array is BOUND ONCE as a lambda variable (outer transform
+    over a 1-element array): inlining ``tokens(c)`` directly into the
+    per-position lambda would re-run the normalize+split regex for every
+    gram position — measured ~50x slower at corpus scale."""
+    def grams(t: Column) -> Column:
+        sz = F.size(t)
+        return F.when(sz < n, F.array().cast("array<string>")).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), sz - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+            ))
+    return F.get(F.transform(F.array(tokens(c)), grams), 0)
 
 
 def _isin_any(words: list[str]):
