@@ -53,11 +53,14 @@ def char_ngrams(c: Column | str, n: int = 3) -> Column:
     Expressed with sequence+transform so it stays in codegen; empty/short
     strings yield an empty array.
     """
-    s = normalize(c)
-    ln = F.length(s)
-    return F.when(ln < n, F.array().cast("array<string>")).otherwise(
-        F.transform(F.sequence(F.lit(1), ln - (n - 1)),
-                    lambda i: F.substring(s, i, n)))
+    def grams(s: Column) -> Column:
+        ln = F.length(s)
+        return F.when(ln < n, F.array().cast("array<string>")).otherwise(
+            F.transform(F.sequence(F.lit(1), ln - (n - 1)),
+                        lambda i: F.substring(s, i, n)))
+    # bind the normalized string once (same rationale as token_ngrams:
+    # inlining normalize() would re-run its regexes per gram position)
+    return F.get(F.transform(F.array(normalize(c)), grams), 0)
 
 
 def token_ngrams(c: Column | str, n: int = 3) -> Column:
