@@ -3043,3 +3043,32 @@ def q_weighted_sample(spark, sf_dir):
              .groupBy("lang")
              .agg(F.count("*").cast("long").alias("n_kept"),
                   F.round(F.sum("wt"), 4).alias("kept_weight")))
+
+
+@query("q_trailing_wau", """
+WITH du AS (SELECT DISTINCT
+              epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+              user_id
+            FROM events),
+days AS (SELECT DISTINCT day FROM du)
+SELECT CAST(d.day AS BIGINT) AS day,
+       CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS wau
+FROM days d JOIN du u ON u.day BETWEEN d.day - 6 AND d.day
+GROUP BY d.day
+""")
+def q_trailing_wau(spark, sf_dir):
+    """Trailing 7-day active users per day (WAU): rolling DISTINCT is
+    not frame-expressible, so the standard exact shape is dedup to
+    (day, user) pairs — the only corpus-sized shuffle — then a range
+    join against the DAY dimension, which is calendar-bounded and
+    BROADCASTS (each pair lands in ≤7 day buckets: bounded fanout, same
+    argument as the interval-join family)."""
+    ev = load_table(spark, sf_dir, "events")
+    du = (ev.select(F.expr("ts_ns div 1000 div 86400000000").alias("day"),
+                    "user_id").distinct())
+    days = du.select(F.col("day").alias("d")).distinct()
+    return (du.join(F.broadcast(days),
+                    (F.col("day") >= F.col("d") - 6)
+                    & (F.col("day") <= F.col("d")))
+              .groupBy(F.col("d").cast("long").alias("day"))
+              .agg(F.count_distinct("user_id").cast("long").alias("wau")))
