@@ -123,3 +123,14 @@ def test_kql_cli_list_queries(capsys):
     assert byname["q1_pricing_summary"]["oracled"] is True
     assert byname["q_freq_items"]["oracled"] is False
     assert all(set(r) == {"name", "oracled", "summary"} for r in rows)
+
+
+def test_kql_cli_csv_and_limit(spark, sf_dir, capsys):
+    from azure_kusto_parquet_conv_spark.kql_cli import main as kql_main
+    rc = kql_main(["nation | sort by n_nationkey asc "
+                   "| project n_nationkey, n_name",
+                   "--sf-dir", sf_dir, "--csv", "--limit", "2"])
+    assert rc == 0
+    out = capsys.readouterr().out.splitlines()
+    assert out[0] == "n_nationkey,n_name"
+    assert out[1].startswith("0,") and len(out) == 3
