@@ -3072,3 +3072,41 @@ def q_trailing_wau(spark, sf_dir):
                     & (F.col("day") <= F.col("d")))
               .groupBy(F.col("d").cast("long").alias("day"))
               .agg(F.count_distinct("user_id").cast("long").alias("wau")))
+
+
+@query("q_make_series", """
+WITH du AS (SELECT user_id % 10 AS b,
+                   epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+                   COUNT(*) AS n
+            FROM events GROUP BY b, day),
+days AS (SELECT DISTINCT day FROM du),
+bs AS (SELECT DISTINCT b FROM du),
+grid AS (SELECT b, day FROM bs CROSS JOIN days),
+g AS (SELECT grid.b, grid.day, COALESCE(du.n, 0) AS n
+      FROM grid LEFT JOIN du USING (b, day))
+SELECT CAST(b AS BIGINT) AS b,
+       string_agg(CAST(n AS VARCHAR), ',' ORDER BY day) AS series
+FROM g GROUP BY b
+""")
+def q_make_series(spark, sf_dir):
+    """Kusto make-series semantics: per-group DENSE daily count series
+    over the full observed day grid, missing days zero-filled — the
+    array input every time-series step (anomaly, forecast, smoothing)
+    expects. The grid is (groups x days): both dims tiny and broadcast;
+    the only corpus shuffle is the (group, day) pre-aggregate. Series
+    rendered as a comma string ordered by day so the hash compare is
+    list-representation-proof."""
+    ev = load_table(spark, sf_dir, "events")
+    du = (ev.groupBy((F.col("user_id") % 10).alias("b"),
+                     F.expr("ts_ns div 1000 div 86400000000").alias("day"))
+            .agg(F.count("*").alias("n")))
+    days = du.select("day").distinct()
+    bs = du.select("b").distinct()
+    grid = bs.crossJoin(F.broadcast(days))
+    g = (grid.join(du, ["b", "day"], "left")
+             .select("b", "day", F.coalesce("n", F.lit(0)).alias("n")))
+    series = F.concat_ws(",", F.transform(
+        F.array_sort(F.collect_list(F.struct("day", "n"))),
+        lambda s: s["n"].cast("string")))
+    return (g.groupBy(F.col("b").cast("long").alias("b"))
+             .agg(series.alias("series")))
