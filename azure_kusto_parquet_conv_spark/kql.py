@@ -608,7 +608,44 @@ class KqlCompiler:
             return df.withColumn(name, F.explode(F.expr(sql)))
         if op == "join":
             return self._join(df, rest)
+        if op == "make-series":
+            return self._make_series(df, rest)
         raise ValueError(f"KQL: unsupported operator {op!r}")
+
+    def _make_series(self, df: DataFrame, rest: str) -> DataFrame:
+        """make-series a=agg(x) on ts step 1d [by k1, k2]: dense
+        zero-filled series over the observed bin range per group. The
+        bin/group grid is calendar-x-keys sized and broadcasts; the only
+        input-sized shuffle is the per-bin pre-aggregate."""
+        m = re.match(r"(?P<agg>.+?)\s+on\s+(?P<ts>\w+)\s+step\s+"
+                     r"(?P<step>\S+)(?:\s+by\s+(?P<by>.+))?$",
+                     rest, re.DOTALL)
+        if not m:
+            raise ValueError(
+                "KQL: make-series a=agg(x) on ts step 1d [by keys]")
+        name, agg_sql = _named_expr(_tokenize(m.group("agg")), df, "series")
+        step_us = _timespan_to_us(m.group("step"))
+        bin_col = F.expr(f"timestamp_micros((unix_micros(`{m.group('ts')}`)"
+                         f" div {step_us}) * {step_us})")
+        keys = []
+        if m.group("by"):
+            keys = [g[0].text
+                    for g in _split_top_commas(_tokenize(m.group("by")))]
+        pre = (df.withColumn("__bin", bin_col)
+                 .groupBy(*keys, "__bin")
+                 .agg(F.expr(agg_sql).alias("__v")))
+        bins = pre.select("__bin").distinct()
+        grid = (pre.select(*keys).distinct().crossJoin(F.broadcast(bins))
+                if keys else bins)
+        filled = (grid.join(pre, [*keys, "__bin"], "left")
+                      .select(*keys, "__bin",
+                              F.coalesce("__v", F.lit(0)).alias("__v")))
+        series = F.transform(
+            F.array_sort(F.collect_list(F.struct("__bin", "__v"))),
+            lambda s: s["__v"])
+        out = (filled.groupBy(*keys) if keys else filled.groupBy())
+        return out.agg(series.alias(name),
+                       F.array_sort(F.collect_set("__bin")).alias("bins"))
 
     def _sort_cols(self, df: DataFrame, rest: str):
         cols = []

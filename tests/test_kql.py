@@ -253,3 +253,25 @@ def test_prev_composes_inside_arithmetic(spark, sf_dir):
         | where isnotnull(d) | summarize s=tolong(sum(d))
     """).collect()[0]
     assert row["s"] == 24  # 24 consecutive unit steps over 25 nations
+
+
+def test_make_series_dense_and_zero_filled(spark, sf_dir):
+    """DSL make-series must equal the native dense-series query: same
+    groups, same per-day values in bin order, zeros where a group has no
+    events that day."""
+    got = kql(spark, sf_dir, """
+      events | extend b=tolong(user_id % 10)
+             | make-series n=count() on ts step 1d by b
+    """).collect()
+    from azure_kusto_parquet_conv_spark.queries import QUERIES
+    want = {r["b"]: r["series"] for r in
+            QUERIES["q_make_series"](spark, sf_dir).collect()}
+    assert len(got) == len(want)
+    for r in got:
+        assert ",".join(str(v) for v in r["n"]) == want[r["b"]], r["b"]
+        assert len(r["bins"]) == len(r["n"])
+
+
+def test_make_series_requires_step(spark, sf_dir):
+    with pytest.raises(ValueError, match="make-series"):
+        kql(spark, sf_dir, "events | make-series n=count() on ts")
