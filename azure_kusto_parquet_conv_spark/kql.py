@@ -277,6 +277,20 @@ class _ExprParser:
             if len(args) != 2:
                 raise ValueError("KQL: extract_all(regex, text)")
             return f"regexp_extract_all({args[1]}, {args[0]}, 1)"
+        if fname in ("series_sum", "series_avg", "series_max",
+                     "series_min"):
+            # fold over the make-series value array, JVM-side
+            if len(args) != 1:
+                raise ValueError(f"KQL: {fname}(series) takes 1 arg")
+            arr = args[0]
+            total = (f"aggregate({arr}, CAST(0 AS DOUBLE), "
+                     f"(a, v) -> a + CAST(v AS DOUBLE))")
+            if fname == "series_sum":
+                return total
+            if fname == "series_avg":
+                return f"({total} / size({arr}))"
+            fn = "array_max" if fname == "series_max" else "array_min"
+            return f"CAST({fn}({arr}) AS DOUBLE)"
         if fname == "extractjson":
             # extractjson(jsonPath, text) -> get_json_object
             if len(args) != 2:

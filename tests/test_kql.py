@@ -275,3 +275,21 @@ def test_make_series_dense_and_zero_filled(spark, sf_dir):
 def test_make_series_requires_step(spark, sf_dir):
     with pytest.raises(ValueError, match="make-series"):
         kql(spark, sf_dir, "events | make-series n=count() on ts")
+
+
+def test_series_fold_functions(spark, sf_dir):
+    rows = kql(spark, sf_dir, """
+      events | extend b=tolong(user_id % 10)
+             | make-series n=count() on ts step 1d by b
+             | extend total=series_sum(n), mean=round(series_avg(n), 4),
+                      peak=series_max(n)
+             | project b, total, mean, peak
+    """).collect()
+    from azure_kusto_parquet_conv_spark.sources.parquet import load_table
+    ev = load_table(spark, sf_dir, "events")
+    want = {r["b"]: r["n"] for r in
+            ev.groupBy((F.col("user_id") % 10).cast("long").alias("b"))
+              .agg(F.count("*").alias("n")).collect()}
+    for r in rows:
+        assert r["total"] == float(want[r["b"]]), r["b"]
+        assert r["peak"] >= r["mean"] > 0
