@@ -291,6 +291,17 @@ class _ExprParser:
                 return f"({total} / size({arr}))"
             fn = "array_max" if fname == "series_max" else "array_min"
             return f"CAST({fn}({arr}) AS DOUBLE)"
+        if fname == "series_fir":
+            # trailing moving average of width k over the series array;
+            # index-aware transform + slice keep it JVM-side
+            if len(args) != 2:
+                raise ValueError("KQL: series_fir(series, k)")
+            arr, k = args
+            return (f"transform({arr}, (v, i) -> "
+                    f"aggregate(slice({arr}, greatest(i + 2 - {k}, 1), "
+                    f"least(i + 1, {k})), CAST(0 AS DOUBLE), "
+                    f"(a, x) -> a + CAST(x AS DOUBLE)) "
+                    f"/ least(i + 1, {k}))")
         if fname == "extractjson":
             # extractjson(jsonPath, text) -> get_json_object
             if len(args) != 2:

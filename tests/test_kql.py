@@ -293,3 +293,10 @@ def test_series_fold_functions(spark, sf_dir):
     for r in rows:
         assert r["total"] == float(want[r["b"]]), r["b"]
         assert r["peak"] >= r["mean"] > 0
+
+
+def test_series_fir_trailing_moving_average(spark, sf_dir):
+    df = spark.createDataFrame([(1, [2.0, 4.0, 6.0, 8.0])], ["k", "s"])
+    comp = KqlCompiler(spark, sf_dir)
+    out = comp._apply(df, "extend ma=series_fir(s, 2)").collect()[0]["ma"]
+    assert out == [2.0, 3.0, 5.0, 7.0]  # first element: width-1 window
