@@ -20,8 +20,10 @@ Supported surface (each line maps to one DataFrame verb):
   T | where <pred>
     | project c1, alias=expr, ...
     | project-away c1, c2
-    | extend alias=expr, ...
+    | extend alias=expr, ...   (row_number()/prev(x)/next(x) after sort)
     | summarize a=agg(x), ... by k1, name=expr, bin(ts, 1h)
+    | make-series a=agg(x) on ts step 1d [by keys]  (dense, zero-filled)
+    | mv-expand alias=array_expr
     | distinct c1, c2
     | sort by c1 desc, c2 asc
     | top N by expr [asc|desc]
@@ -30,11 +32,13 @@ Supported surface (each line maps to one DataFrame verb):
     | join kind=inner|left|right|fullouter|leftsemi|leftanti [hint.broadcast]
         (subpipeline) on key / on $left.a == $right.b
 Scalar fns: strlen, tolower, toupper, substring (0-based, KQL-style),
-strcat, iff/iif, toint/tolong/todouble/tostring, bin, contains/
-startswith/endswith/has (term match), in/!in, ==/!=/=~, arithmetic.
-Aggregates: count, countif, sum, avg, min, max, dcount (exact
-count-distinct here; KQL's is approximate — documented deviation),
-make_list, make_set.
+strcat, iff/iif, case, toint/tolong/todouble/tostring, bin, extract,
+extract_all, extractjson, series_sum/series_avg/series_max/series_min,
+series_fir (trailing moving average), contains/startswith/endswith/has/
+has_any (term match), in/!in, between (lo .. hi), ==/!=/=~, arithmetic.
+Aggregates: count, countif, sum, avg, min, max, arg_max/arg_min,
+percentile (0-100 scale, exact), dcount (exact count-distinct; real
+Kusto estimates both — documented deviation), make_list, make_set.
 """
 
 from __future__ import annotations
