@@ -295,6 +295,11 @@ class _ExprParser:
                 return f"({total} / size({arr}))"
             fn = "array_max" if fname == "series_max" else "array_min"
             return f"CAST({fn}({arr}) AS DOUBLE)"
+        if fname == "strcat_array":
+            if len(args) != 2:
+                raise ValueError("KQL: strcat_array(array, sep)")
+            return (f"array_join(transform({args[0]}, "
+                    f"v -> CAST(v AS STRING)), {args[1]})")
         if fname == "series_fir":
             # trailing moving average of width k over the series array;
             # index-aware transform + slice keep it JVM-side

@@ -3110,3 +3110,31 @@ def q_make_series(spark, sf_dir):
         lambda s: s["n"].cast("string")))
     return (g.groupBy(F.col("b").cast("long").alias("b"))
              .agg(series.alias("series")))
+
+
+@query("q_kql_make_series", """
+WITH du AS (SELECT user_id % 10 AS b,
+                   epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+                   COUNT(*) AS n
+            FROM events GROUP BY b, day),
+days AS (SELECT DISTINCT day FROM du),
+bs AS (SELECT DISTINCT b FROM du),
+grid AS (SELECT b, day FROM bs CROSS JOIN days),
+g AS (SELECT grid.b, grid.day, COALESCE(du.n, 0) AS n
+      FROM grid LEFT JOIN du USING (b, day))
+SELECT CAST(b AS BIGINT) AS b,
+       string_agg(CAST(n AS VARCHAR), ',' ORDER BY day) AS series
+FROM g GROUP BY b
+""")
+def q_kql_make_series(spark, sf_dir):
+    """The DSL's make-series through the driver gate: same dense
+    zero-filled grid as the native q_make_series, compiled from KQL
+    text, series rendered to an ordered comma string (strcat_array) so
+    the hash compare is representation-proof."""
+    from azure_kusto_parquet_conv_spark.kql import kql
+    return kql(spark, sf_dir, """
+      events
+        | extend b=tolong(user_id % 10)
+        | make-series n=count() on ts step 1d by b
+        | project b, series=strcat_array(n, ',')
+    """)
