@@ -65,17 +65,24 @@ def read_parquet(spark: SparkSession, path: str,
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one fixture table, normalizing physical quirks:
+    """Load one fixture table, normalizing physical quirks.
 
-    - ``events.ts`` is timestamp[ns]; Spark's reader rejects TIMESTAMP(NANOS),
-      so it is scanned as int64 (legacy.parquet.nanosAsLong) and converted to
-      a microsecond TimestampType here. The raw value is kept as ``ts_ns``.
+    ``events.ts`` has shipped in two physical encodings across fixture
+    generations: timestamp[ns] (which Spark's reader only accepts as raw
+    int64 via legacy.parquet.nanosAsLong) and plain timestamp[us]. Both
+    normalize to the same logical surface: a microsecond TimestampType
+    ``ts`` plus the integer epoch-nanosecond view ``ts_ns`` (bigint), so
+    downstream integer time arithmetic is encoding-independent.
     """
     prepare_session(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = (df.withColumnRenamed("ts", "ts_ns")
-                .withColumn("ts", nanos_long_to_timestamp("ts_ns")))
+    if name == "events":
+        dt = dict(df.dtypes).get("ts")
+        if dt == "bigint":
+            df = (df.withColumnRenamed("ts", "ts_ns")
+                    .withColumn("ts", nanos_long_to_timestamp("ts_ns")))
+        elif dt is not None and dt.startswith("timestamp"):
+            df = df.withColumn("ts_ns", F.unix_micros("ts") * F.lit(1000))
     return df
 
 

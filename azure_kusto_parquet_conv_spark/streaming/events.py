@@ -19,13 +19,25 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import (
-    DoubleType, LongType, StringType, StructField, StructType,
+    DoubleType, LongType, StringType, StructField, StructType, TimestampType,
 )
 
 from azure_kusto_parquet_conv_spark.session import prepare_session
 
-# events schema as Spark reads it with nanosAsLong (ts arrives as int64 ns)
+# events schema as stored (ts is timestamp[us]); streams must declare the
+# schema up front — no inference on a file source.
 EVENTS_RAW_SCHEMA = StructType([
+    StructField("event_id", LongType()),
+    StructField("ts", TimestampType()),
+    StructField("user_id", LongType()),
+    StructField("event_type", StringType()),
+    StructField("value", DoubleType()),
+    StructField("props", StringType()),
+])
+
+# Legacy encoding: ts stored as timestamp[ns], which Spark scans as raw
+# int64 under legacy.parquet.nanosAsLong.
+EVENTS_RAW_SCHEMA_NS = StructType([
     StructField("event_id", LongType()),
     StructField("ts", LongType()),
     StructField("user_id", LongType()),
@@ -35,15 +47,24 @@ EVENTS_RAW_SCHEMA = StructType([
 ])
 
 
+def normalize_events(raw: DataFrame) -> DataFrame:
+    """Normalize either physical ``ts`` encoding (int64 epoch-ns or
+    timestamp) to the logical surface every operator uses: microsecond
+    TimestampType ``ts`` + integer epoch-ns ``ts_ns``. Pure column
+    expressions — works identically on batch and streaming DataFrames."""
+    if dict(raw.dtypes).get("ts") == "bigint":
+        return raw.withColumnRenamed("ts", "ts_ns").withColumn(
+            "ts", F.timestamp_micros(F.expr("ts_ns div 1000")))
+    return raw.withColumn("ts_ns", F.unix_micros("ts") * F.lit(1000))
+
+
 def read_events_stream(spark: SparkSession, dir_path: str) -> DataFrame:
-    """File-source stream of events parquet files landing in ``dir_path``;
-    normalizes the int64-ns ``ts`` to a microsecond timestamp column."""
+    """File-source stream of events parquet files landing in ``dir_path``."""
     prepare_session(spark)
     raw = (spark.readStream
            .schema(EVENTS_RAW_SCHEMA)
            .parquet(dir_path))
-    return raw.withColumnRenamed("ts", "ts_ns").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts_ns div 1000")))
+    return normalize_events(raw)
 
 
 def windowed_counts(events: DataFrame, window: str = "1 hour",

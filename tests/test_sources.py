@@ -182,15 +182,15 @@ def test_pruning_report_quantifies_sort_benefit(spark, sf_dir, tmp_path):
 
 def test_file_index_point_lookup_scans_subset(spark, sf_dir, tmp_path):
     """The lookup plan must read ONLY the files the index names — far
-    fewer than the dataset's file count for a scattered key — and return
-    exactly the rows a full scan with the same predicate returns."""
+    fewer than the dataset's file count for a key-clustered layout — and
+    return exactly the rows a full scan with the same predicate returns."""
     from azure_kusto_parquet_conv_spark.sources.file_index import (
         build_file_index,
         lookup,
     )
     data = str(tmp_path / "events_many_files")
     spark.read.parquet(f"{sf_dir}/events.parquet") \
-         .repartition(16).write.parquet(data)
+         .repartition(16, F.col("user_id")).write.parquet(data)
     idx = str(tmp_path / "uid_index")
     build_file_index(spark, data, "user_id", idx)
 

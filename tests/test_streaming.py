@@ -86,13 +86,11 @@ def test_windowed_counts_drops_late_data(spark, tmp_path):
         os.utime(d / name, (1_000_000_000 + 100 * i,) * 2)
 
     from azure_kusto_parquet_conv_spark.streaming.events import (
-        EVENTS_RAW_SCHEMA, windowed_counts)
-    from pyspark.sql import functions as F
+        EVENTS_RAW_SCHEMA_NS, normalize_events, windowed_counts)
 
-    raw = (spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    raw = (spark.readStream.schema(EVENTS_RAW_SCHEMA_NS)
            .option("maxFilesPerTrigger", 1).parquet(str(d)))
-    ev = raw.withColumnRenamed("ts", "ts_ns").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts_ns div 1000")))
+    ev = normalize_events(raw)
     q = (windowed_counts(ev, window="1 hour", watermark="2 hours")
          .writeStream.format("memory").queryName("late_counts")
          .outputMode("append").start())
@@ -124,14 +122,13 @@ def test_sessionize_multi_batch_state(spark, sf_dir, tmp_path):
     pq.write_table(t.slice(half), str(d / "b_second.parquet"))
 
     from azure_kusto_parquet_conv_spark.session import prepare_session
-    from azure_kusto_parquet_conv_spark.streaming.events import EVENTS_RAW_SCHEMA
-    from pyspark.sql import functions as F
+    from azure_kusto_parquet_conv_spark.streaming.events import (
+        EVENTS_RAW_SCHEMA, normalize_events)
 
     prepare_session(spark)
     raw = (spark.readStream.schema(EVENTS_RAW_SCHEMA)
            .option("maxFilesPerTrigger", 1).parquet(str(d)))
-    ev = raw.withColumnRenamed("ts", "ts_ns").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts_ns div 1000")))
+    ev = normalize_events(raw)
     q = (sessionize_stream(ev, gap_minutes=30)
          .writeStream.format("memory").queryName("sessions_mb")
          .outputMode("append").start())
@@ -206,7 +203,7 @@ def test_dedup_stream_drops_redelivered_events(spark, sf_dir, tmp_path):
     import pyarrow.parquet as pq
 
     from azure_kusto_parquet_conv_spark.streaming.events import (
-        EVENTS_RAW_SCHEMA, dedup_stream)
+        EVENTS_RAW_SCHEMA, dedup_stream, normalize_events)
 
     t = pq.read_table(f"{sf_dir}/events.parquet").sort_by("ts")
     n = min(t.num_rows, 2000)
@@ -220,8 +217,7 @@ def test_dedup_stream_drops_redelivered_events(spark, sf_dir, tmp_path):
 
     raw = (spark.readStream.schema(EVENTS_RAW_SCHEMA)
            .option("maxFilesPerTrigger", 1).parquet(str(d)))
-    ev = raw.withColumnRenamed("ts", "ts_ns").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts_ns div 1000")))
+    ev = normalize_events(raw)
     q = (dedup_stream(ev, watermark="30 days")
          .writeStream.format("memory").queryName("dedup_stream")
          .outputMode("append").start())
