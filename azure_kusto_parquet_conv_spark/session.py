@@ -48,6 +48,46 @@ _RUNTIME_CONFS = {
 }
 
 
+_PYFILES_SHIPPED: set[int] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make this package importable on executor Python workers.
+
+    pandas-UDF / mapInPandas closures reference module-level functions,
+    which cloudpickle serializes BY REFERENCE — the worker then imports
+    the module. A driver that launched Spark from elsewhere (different
+    cwd, no PYTHONPATH) would fail with ModuleNotFoundError, so ship a
+    zip of the package via addPyFile once per SparkContext. On a real
+    cluster this is exactly how the job would be deployed (--py-files).
+    """
+    sc = spark.sparkContext
+    if id(sc) in _PYFILES_SHIPPED:
+        return
+    try:
+        import tempfile
+        import zipfile
+
+        pkg_dir = os.path.dirname(os.path.abspath(__file__))
+        pkg_name = os.path.basename(pkg_dir)
+        fd, zpath = tempfile.mkstemp(suffix=".zip", prefix="akpcs_pyfiles_")
+        os.close(fd)
+        with zipfile.ZipFile(zpath, "w") as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                if "__pycache__" in root:
+                    continue
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        rel = os.path.join(
+                            pkg_name, os.path.relpath(full, pkg_dir))
+                        zf.write(full, rel)
+        sc.addPyFile(zpath)
+        _PYFILES_SHIPPED.add(id(sc))
+    except Exception:
+        pass  # already importable everywhere, or a session we can't touch
+
+
 def prepare_session(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable normalization confs; idempotent."""
     for k, v in _RUNTIME_CONFS.items():
@@ -55,6 +95,7 @@ def prepare_session(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:
             pass  # conf not settable on this session build; keep going
+    _ship_package(spark)
     return spark
 
 

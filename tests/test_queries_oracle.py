@@ -8,9 +8,12 @@ from __future__ import annotations
 import math
 
 import duckdb
+import pandas as pd
 import pytest
 
-from azure_kusto_parquet_conv_spark.queries import ORACLES, QUERIES
+from azure_kusto_parquet_conv_spark.queries import (
+    DRIVER_WINDOW, ORACLES, QUERIES,
+)
 from azure_kusto_parquet_conv_spark.sources.parquet import TABLES
 
 
@@ -24,39 +27,51 @@ def ddb(sf_dir):
 
 
 def canon(v):
-    if isinstance(v, float):
+    """Driver-faithful cell canonicalization: the driver hashes pandas
+    frames WITHOUT dtype coercion, so an integer-valued float64 (what
+    pandas makes of DuckDB HUGEINT / nullable BIGINT) must NOT equal a
+    true int64 — the type is part of the value. Round-1 lesson: the old
+    lenient canon collapsed 1000.0 == 1000 and passed locally where the
+    driver's hash failed."""
+    import numpy as np
+
+    if isinstance(v, (float, np.floating)):
         if math.isnan(v):
             return "NaN"
-        # collapse -0.0/0.0 and fix float repr drift
-        return f"{v + 0.0:.6g}"
-    if isinstance(v, list):
+        # collapse -0.0/0.0 and fix float repr drift, keep the float-ness
+        return f"f:{v + 0.0:.6g}"
+    if isinstance(v, (bool, np.bool_)):
+        return f"b:{bool(v)}"
+    if isinstance(v, (int, np.integer)):
+        return f"i:{int(v)}"
+    if isinstance(v, (list, tuple, np.ndarray)):
         return "[" + ",".join(canon(x) for x in v) + "]"
     if isinstance(v, dict):
         return "{" + ",".join(f"{k}:{canon(x)}" for k, x in sorted(v.items())) + "}"
+    if v is None or v is pd.NaT or v != v:
+        return "NULL"
     return repr(v)
 
 
-def multiset(rows, cols):
+def multiset(pdf):
     out = {}
-    for r in rows:
-        d = dict(zip(cols, r))
-        key = "|".join(canon(d[c]) for c in sorted(cols))
+    cols = sorted(pdf.columns)
+    for _, row in pdf.iterrows():
+        key = "|".join(canon(row[c]) for c in cols)
         out[key] = out.get(key, 0) + 1
     return out
 
 
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_oracle_match(name, spark, sf_dir, ddb):
-    sdf = QUERIES[name](spark, sf_dir)
-    scols = sdf.columns
-    srows = [tuple(r) for r in sdf.collect()]
-    rel = ddb.execute(ORACLES[name])
-    ocols = [d[0] for d in rel.description]
-    orows = rel.fetchall()
+    sdf = QUERIES[name](spark, sf_dir).toPandas()
+    scols = list(sdf.columns)
+    odf = ddb.execute(ORACLES[name]).df()
+    ocols = list(odf.columns)
     assert sorted(scols) == sorted(ocols), f"{name}: column names differ"
-    assert len(srows) == len(orows), (
-        f"{name}: row count {len(srows)} vs oracle {len(orows)}")
-    sm, om = multiset(srows, scols), multiset(orows, ocols)
+    assert len(sdf) == len(odf), (
+        f"{name}: row count {len(sdf)} vs oracle {len(odf)}")
+    sm, om = multiset(sdf), multiset(odf)
     if sm != om:
         only_s = [k for k in sm if sm[k] != om.get(k)][:5]
         only_o = [k for k in om if om[k] != sm.get(k)][:5]
@@ -97,3 +112,42 @@ def test_catalog_every_entry_has_summary():
 
     assert all(r["summary"] for r in catalog()), [
         r["name"] for r in catalog() if not r["summary"]]
+
+
+def test_driver_window_is_first_and_covers_families():
+    """The correctness driver hash-checks only the first 50 catalog
+    entries; that window must stay exactly DRIVER_WINDOW (one slot per
+    SURVEY §2 row / extension family) and nearly all of it must carry a
+    hard SQL oracle."""
+    assert len(DRIVER_WINDOW) == 50
+    assert list(QUERIES)[:50] == DRIVER_WINDOW
+    rows_only = [n for n in DRIVER_WINDOW if n not in ORACLES]
+    # only footer/sketch introspection entries may lack an oracle
+    assert set(rows_only) <= {"q_schema_lineitem", "q_convert_binary",
+                              "rowgroups_lineitem", "q_dedup_minhash"}, rows_only
+    for family_rep in ("convert_isostr", "q_asof_join", "q_grouping_sets",
+                       "q_window_running", "q_sessionize", "q_text_stats",
+                       "q_dedup_exact", "q_dedup_minhash",
+                       "q_knn_bruteforce", "q_kql_summarize",
+                       "q_multimodal_features", "q_decontaminate"):
+        assert family_rep in DRIVER_WINDOW, family_rep
+
+
+ATOMIC = {"string", "long", "integer", "short", "byte", "double", "float",
+          "boolean", "date", "timestamp", "timestamp_ntz", "binary",
+          "decimal"}
+
+
+def test_catalog_outputs_are_hashable(spark, sf_dir):
+    """Every catalog entry must yield only atomic column types: the
+    driver's canonicalizer row-sorts a pandas frame and crashes on
+    array/map cells (round-2 q_convert_binary lesson). Schema-only —
+    nothing executes."""
+    bad = {}
+    for name, fn in QUERIES.items():
+        types = {f.name: f.dataType.typeName()
+                 for f in fn(spark, sf_dir).schema.fields}
+        nonatomic = {c: t for c, t in types.items() if t not in ATOMIC}
+        if nonatomic:
+            bad[name] = nonatomic
+    assert not bad, bad

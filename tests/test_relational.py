@@ -106,7 +106,7 @@ def test_approx_percentiles_near_exact(spark, sf_dir):
     """The sketch must land within 1% relative error of the exact
     percentiles at test scale (accuracy=10000 => rank error <= n/10000)."""
     from azure_kusto_parquet_conv_spark.queries import QUERIES
-    approx = {r["l_returnflag"]: r["pcts"]
+    approx = {r["l_returnflag"]: (r["p50"], r["p95"], r["p99"])
               for r in QUERIES["q_approx_percentiles"](spark, sf_dir)
               .collect()}
     from azure_kusto_parquet_conv_spark.sources.parquet import load_table
