@@ -642,9 +642,78 @@ class KqlCompiler:
             return df.withColumn(name, F.explode(F.expr(sql)))
         if op == "join":
             return self._join(df, rest)
+        if op == "union":
+            return self._union(df, rest)
+        if op == "lookup":
+            return self._lookup(df, rest)
         if op == "make-series":
             return self._make_series(df, rest)
         raise ValueError(f"KQL: unsupported operator {op!r}")
+
+    def _operand(self, text: str) -> DataFrame:
+        """A tabular operand: either ``(sub-pipeline)`` or a bare table."""
+        text = text.strip()
+        if text.startswith("(") and text.endswith(")"):
+            return self.compile(text[1:-1].strip())
+        if re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", text):
+            return self.table(text)
+        raise ValueError(f"KQL: bad tabular operand {text!r}")
+
+    def _union(self, df: DataFrame, rest: str) -> DataFrame:
+        """union [kind=outer|inner] operand[, operand...]
+
+        kind=outer (Kusto default): column superset, absent columns null
+        — unionByName(allowMissingColumns). kind=inner: columns common to
+        all operands. Pure concatenation — no shuffle; each source keeps
+        its own partitioning and scan pushdowns."""
+        m = re.match(r"(?:kind\s*=\s*(\w+)\s+)?(.*)$", rest, re.DOTALL)
+        kind = (m.group(1) or "outer").lower()
+        if kind not in ("outer", "inner"):
+            raise ValueError(f"KQL: union kind must be inner/outer, got {kind!r}")
+        # split operands on top-level commas (parens may contain commas)
+        parts, depth, cur = [], 0, []
+        for ch in m.group(2):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            if ch == "," and depth == 0:
+                parts.append("".join(cur)); cur = []
+            else:
+                cur.append(ch)
+        parts.append("".join(cur))
+        others = [self._operand(p) for p in parts if p.strip()]
+        if not others:
+            raise ValueError("KQL: union needs at least one operand")
+        if kind == "inner":
+            common = [c for c in df.columns
+                      if all(c in o.columns for o in others)]
+            out = df.select(*common)
+            for o in others:
+                out = out.unionByName(o.select(*common))
+            return out
+        out = df
+        for o in others:
+            out = out.unionByName(o, allowMissingColumns=True)
+        return out
+
+    def _lookup(self, df: DataFrame, rest: str) -> DataFrame:
+        """lookup [kind=leftouter|inner] (dimension) on key[, key...]
+
+        Kusto's lookup is an equi-join against a SMALL dimension — the
+        contract is dimension-sized right side, so it always broadcasts
+        (map-side hash join, no fact-table shuffle)."""
+        m = re.match(r"(?:kind\s*=\s*(\w+)\s+)?\((?P<sub>.*)\)\s+on\s+"
+                     r"(?P<on>.*)$", rest, re.DOTALL)
+        if not m:
+            raise ValueError(f"KQL: bad lookup syntax {rest!r}")
+        kind = {"leftouter": "left", "inner": "inner", None: "left"}.get(
+            (m.group(1) or None) and m.group(1).lower() or None)
+        if kind is None:
+            raise ValueError(f"KQL: unsupported lookup kind {m.group(1)!r}")
+        right = self.compile(m.group("sub").strip())
+        keys = [k.strip() for k in m.group("on").split(",")]
+        return df.join(F.broadcast(right), keys, kind)
 
     def _make_series(self, df: DataFrame, rest: str) -> DataFrame:
         """make-series a=agg(x) on ts step 1d [by k1, k2]: dense
@@ -760,3 +829,94 @@ class KqlCompiler:
 def kql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
     """Compile and return a KQL tabular pipeline as a DataFrame."""
     return KqlCompiler(spark, sf_dir).compile(query)
+
+
+def kql_stream(df: DataFrame, query: str,
+               watermark: str = "2 hours") -> DataFrame:
+    """Compile a KQL pipeline onto an UNBOUNDED (streaming) DataFrame.
+
+    The stream IS the source, so ``query`` starts at the first stage
+    (optionally with a leading ``|``), e.g.::
+
+        where event_type == 'click'
+          | summarize n=count() by b=bin(ts, 1h), event_type
+
+    Stateless stages (where / extend / project / project-away /
+    mv-expand) compile exactly as in batch — same expression compiler,
+    so stream and batch cannot drift. A ``summarize ... by bin(ts,
+    step)[, keys]`` stage becomes a WATERMARKED tumbling-window
+    aggregate: Spark's epoch-aligned window() is bin()'s streaming twin
+    (identical bucket boundaries), the watermark bounds state, and
+    append-mode emits each window once, finalized — the only shape that
+    survives an unbounded 100 TB/day stream. The window start is
+    projected under the bin key's alias so the output schema matches the
+    batch pipeline column-for-column."""
+    comp = KqlCompiler.__new__(KqlCompiler)
+    comp.spark = df.sparkSession
+    comp.sf_dir = None
+    comp._order = None
+    comp._order_sql = None
+    for stage in _split_pipes(query.lstrip().lstrip("|")):
+        m = re.match(r"([A-Za-z_-]+)\s*(.*)", stage, re.DOTALL)
+        op, rest = m.group(1).lower(), m.group(2).strip()
+        if op == "summarize" and df.isStreaming:
+            df = _stream_summarize(df, rest, watermark)
+        else:
+            df = comp._apply(df, stage)
+    return df
+
+
+def _stream_summarize(df: DataFrame, rest: str,
+                      watermark: str) -> DataFrame:
+    """summarize aggs by bin(ts, step)[, keys] on a streaming input."""
+    toks = _tokenize(rest)
+    by_idx, depth = None, 0
+    for i, t in enumerate(toks):
+        if t.text in ("(", "["):
+            depth += 1
+        elif t.text in (")", "]"):
+            depth -= 1
+        elif depth == 0 and t.kind == "ident" and t.text.lower() == "by":
+            by_idx = i
+            break
+    if by_idx is None:
+        raise ValueError(
+            "KQL stream: summarize needs 'by bin(<ts>, <step>)' — an "
+            "unwindowed global aggregate never finalizes on a stream")
+    aggs, agg_names = [], []
+    for i, g in enumerate(_split_top_commas(toks[:by_idx])):
+        name, sql = _named_expr(g, df, f"agg{i}")
+        aggs.append(F.expr(sql).alias(name))
+        agg_names.append(name)
+    bin_alias, ts_col, step_us = None, None, None
+    other_keys, key_order = [], []
+    for i, g in enumerate(_split_top_commas(toks[by_idx + 1:])):
+        texts = [t.text.lower() for t in g]
+        # [name =] bin ( col , step )
+        if "bin" in texts:
+            if len(g) >= 2 and g[1].text == "=":
+                bin_alias, g = g[0].text, g[2:]
+            if not (len(g) == 6 and g[0].text.lower() == "bin"
+                    and g[1].text == "(" and g[3].text == ","
+                    and g[5].text == ")"):
+                raise ValueError("KQL stream: bin key must be "
+                                 "[name=]bin(<col>, <step>)")
+            ts_col = g[2].text
+            step_us = _timespan_to_us(g[4].text)
+            if bin_alias is None:
+                bin_alias = f"key{i}"
+            key_order.append(bin_alias)
+        else:
+            name, sql = _named_expr(g, df, f"key{i}")
+            other_keys.append((name, sql))
+            key_order.append(name)
+    if ts_col is None:
+        raise ValueError("KQL stream: summarize keys must include "
+                         "bin(<ts>, <step>) for a finalizable window")
+    win = F.window(F.col(ts_col), f"{step_us} microseconds")
+    key_cols = [F.expr(sql).alias(name) for name, sql in other_keys]
+    out = (df.withWatermark(ts_col, watermark)
+             .groupBy(win.alias("__w"), *key_cols)
+             .agg(*aggs)
+             .withColumn(bin_alias, F.col("__w.start")))
+    return out.select(*key_order, *agg_names)

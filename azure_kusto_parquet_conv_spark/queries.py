@@ -1960,6 +1960,50 @@ def q_kql_join_revenue(spark, sf_dir):
     """)
 
 
+@query("q_kql_union_sources", """
+WITH u AS (
+  SELECT o_orderkey AS k, o_totalprice AS v, 'orders' AS src FROM orders
+  UNION ALL
+  SELECT l_orderkey AS k, l_extendedprice AS v, 'lineitem' AS src
+  FROM lineitem)
+SELECT src, CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(v), 2) AS total
+FROM u GROUP BY src
+""")
+def q_kql_union_sources(spark, sf_dir):
+    """KQL union: pure concatenation of two projected sources — no
+    shuffle; each side keeps its own scan pushdown. The summarize after
+    it is the only exchange."""
+    from azure_kusto_parquet_conv_spark.kql import kql
+    return kql(spark, sf_dir, """
+      orders
+        | project k=o_orderkey, v=o_totalprice, src='orders'
+        | union (lineitem
+                   | project k=l_orderkey, v=l_extendedprice,
+                             src='lineitem')
+        | summarize n=count(), total=round(sum(v), 2) by src
+    """)
+
+
+@query("q_kql_lookup", """
+SELECT c.c_mktsegment AS segment, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(o.o_totalprice), 2) AS value
+FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1
+""")
+def q_kql_lookup(spark, sf_dir):
+    """KQL lookup: dimension-enrichment equi-join. The operator's
+    contract is a SMALL right side, so the compiler always broadcasts it
+    — map-side hash join, the fact table never shuffles for the join."""
+    from azure_kusto_parquet_conv_spark.kql import kql
+    return kql(spark, sf_dir, """
+      orders
+        | lookup (customer | project o_custkey=c_custkey,
+                             segment=c_mktsegment) on o_custkey
+        | summarize n=count(), value=round(sum(o_totalprice), 2)
+            by segment
+    """)
+
+
 @query("q_kql_bin_events", """
 SELECT ((epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) * 3600000000)
          AS win_us,

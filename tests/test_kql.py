@@ -300,3 +300,59 @@ def test_series_fir_trailing_moving_average(spark, sf_dir):
     comp = KqlCompiler(spark, sf_dir)
     out = comp._apply(df, "extend ma=series_fir(s, 2)").collect()[0]["ma"]
     assert out == [2.0, 3.0, 5.0, 7.0]  # first element: width-1 window
+
+
+# ------------------------------------------------------- union / lookup
+
+def test_union_outer_fills_missing_columns(spark, sf_dir):
+    out = kql(spark, sf_dir, """
+      region
+        | project rk=r_regionkey, r_name
+        | union (nation | project rk=n_regionkey, n_name)
+    """)
+    assert sorted(out.columns) == ["n_name", "r_name", "rk"]
+    r = load_table(spark, sf_dir, "region").count()
+    n = load_table(spark, sf_dir, "nation").count()
+    assert out.count() == r + n
+    # rows from each source carry nulls in the other's columns
+    assert out.where(F.col("r_name").isNull()).count() == n
+    assert out.where(F.col("n_name").isNull()).count() == r
+
+
+def test_union_inner_keeps_common_columns(spark, sf_dir):
+    out = kql(spark, sf_dir, """
+      region
+        | project rk=r_regionkey, r_name
+        | union kind=inner (nation | project rk=n_regionkey, n_name)
+    """)
+    assert out.columns == ["rk"]
+    r = load_table(spark, sf_dir, "region").count()
+    n = load_table(spark, sf_dir, "nation").count()
+    assert out.count() == r + n
+
+
+def test_union_bare_table_operand(spark, sf_dir):
+    out = kql(spark, sf_dir, "region | union region")
+    assert out.count() == 2 * load_table(spark, sf_dir, "region").count()
+
+
+def test_lookup_enriches_and_broadcasts(spark, sf_dir):
+    from azure_kusto_parquet_conv_spark.plans import join_strategies
+    out = kql(spark, sf_dir, """
+      orders
+        | lookup (customer | project o_custkey=c_custkey,
+                             seg=c_mktsegment) on o_custkey
+    """)
+    # every order keeps its row (left join); the dim goes broadcast
+    assert out.count() == load_table(spark, sf_dir, "orders").count()
+    assert "BroadcastHashJoin" in join_strategies(out)
+    want = dict(load_table(spark, sf_dir, "customer")
+                .select("c_custkey", "c_mktsegment").collect())
+    got = out.select("o_custkey", "seg").limit(50).collect()
+    for row in got:
+        assert row["seg"] == want[row["o_custkey"]]
+
+
+def test_lookup_requires_on_clause(spark, sf_dir):
+    with pytest.raises(ValueError, match="lookup"):
+        kql(spark, sf_dir, "orders | lookup (customer)")

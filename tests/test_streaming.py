@@ -344,3 +344,32 @@ def test_upsert_stream_replay_is_idempotent(spark, sf_dir, tmp_path):
     first = run("ckpt1")
     second = run("ckpt2")  # full replay on top of the existing snapshot
     assert first == second
+
+
+def test_kql_stream_matches_batch_pipeline(spark, sf_dir, stream_dir):
+    """The SAME KQL text must produce identical results compiled against
+    a stream (watermarked window aggregate) and against the batch table
+    (bin()-keyed summarize) for all watermark-finalized windows."""
+    from azure_kusto_parquet_conv_spark.kql import kql, kql_stream
+    from azure_kusto_parquet_conv_spark.streaming.events import (
+        read_events_stream)
+
+    pipeline = """
+      where event_type != 'error'
+        | extend v2 = value * 2
+        | summarize n=count(), s=round(sum(v2), 2)
+            by b=bin(ts, 1h), event_type
+    """
+    ev = read_events_stream(spark, stream_dir)
+    q = (kql_stream(ev, pipeline)
+         .writeStream.format("memory").queryName("kql_stream_win")
+         .outputMode("append").start())
+    drain(q)
+    got = {(r["b"], r["event_type"]): (r["n"], r["s"])
+           for r in spark.sql("select * from kql_stream_win").collect()}
+    assert got, "stream emitted no windows"
+    want = {(r["b"], r["event_type"]): (r["n"], r["s"])
+            for r in kql(spark, sf_dir, "events | " + pipeline).collect()}
+    for k, v in got.items():
+        assert want.get(k) == v, f"window {k}: stream {v} != batch {want.get(k)}"
+    assert len(got) >= len(want) * 0.8
