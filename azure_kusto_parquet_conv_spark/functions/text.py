@@ -104,6 +104,28 @@ def mean_token_len(c: Column | str) -> Column:
     return F.when(F.size(t) > 0, total / F.size(t)).otherwise(F.lit(0.0))
 
 
+def dup_token_frac(c: Column | str) -> Column:
+    """Fraction of tokens that are repeats of an earlier token
+    (1 - type/token ratio) — the cheapest repetition signal in the
+    Gopher-style quality battery. 0.0 for empty docs."""
+    t = tokens(c)
+    return F.when(
+        F.size(t) > 0,
+        F.round(1.0 - F.size(F.array_distinct(t)) / F.size(t), 4),
+    ).otherwise(F.lit(0.0))
+
+
+def dup_ngram_frac(c: Column | str, n: int = 3) -> Column:
+    """Fraction of token n-grams that are duplicates of an earlier
+    n-gram: catches templated / looping text that token-level
+    repetition misses. 0.0 when the doc has fewer than ``n`` tokens."""
+    g = token_ngrams(c, n)
+    return F.when(
+        F.size(g) > 0,
+        F.round(1.0 - F.size(F.array_distinct(g)) / F.size(g), 4),
+    ).otherwise(F.lit(0.0))
+
+
 def quality_score(c: Column | str) -> Column:
     """Heuristic document quality in [0,1]: balanced length, word-like
     tokens, low punctuation noise — the standard cheap pre-filter shape

@@ -957,6 +957,77 @@ def q_token_count(spark, sf_dir):
         F.size(X.bpe_ish_tokens("text")).cast("long").alias("n_bpe_tokens"))
 
 
+@query("q_doc_repetition", f"""
+WITH t AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks
+           FROM documents)
+SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+       CASE WHEN len(toks) > 0 THEN
+         ROUND(1 - len(list_distinct(toks))::DOUBLE / len(toks), 4)
+       ELSE 0.0 END AS dup_token_frac,
+       CASE WHEN len(toks) >= 3 THEN
+         ROUND(1 - len(list_distinct(list_transform(
+                   range(1, len(toks) - 1),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+               )))::DOUBLE / (len(toks) - 2), 4)
+       ELSE 0.0 END AS dup_3gram_frac
+FROM t
+""")
+def q_doc_repetition(spark, sf_dir):
+    """Gopher-style repetition signals per document: duplicate-token
+    fraction (1 - type/token ratio) and duplicate token-3-gram fraction
+    (templated / looping text). Pure whole-stage-codegen column
+    expressions — one scan, no shuffle, trivially data-parallel at any
+    corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        X.token_count("text").cast("long").alias("n_tokens"),
+        X.dup_token_frac("text").alias("dup_token_frac"),
+        X.dup_ngram_frac("text", 3).alias("dup_3gram_frac"))
+
+
+@query("q_quality_filter", f"""
+WITH t AS (SELECT doc_id, lang, string_split({_NORM_SQL}, ' ') AS toks
+           FROM documents),
+s AS (SELECT doc_id, lang, len(toks) AS n,
+             CASE WHEN len(toks) > 0 THEN
+               ROUND(1 - len(list_distinct(toks))::DOUBLE / len(toks), 4)
+             ELSE 0 END AS dup_tok,
+             CASE WHEN len(toks) >= 3 THEN
+               ROUND(1 - len(list_distinct(list_transform(
+                     range(1, len(toks) - 1),
+                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                 )))::DOUBLE / (len(toks) - 2), 4)
+             ELSE 0 END AS dup3
+      FROM t),
+r AS (SELECT lang,
+             CASE WHEN n < 25 THEN 'too_short'
+                  WHEN dup3 > 0.05 THEN 'repetitive'
+                  WHEN dup_tok > 0.6 THEN 'low_diversity'
+                  ELSE 'pass' END AS verdict
+      FROM s)
+SELECT lang, verdict, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM r GROUP BY lang, verdict
+""")
+def q_quality_filter(spark, sf_dir):
+    """Rule-battery document filter (first failing rule wins — the
+    standard pre-training curation gate): minimum length, n-gram
+    repetition, token diversity. Output is the per-language acceptance
+    report a pipeline operator would emit before dropping rejects. Map
+    side only until the tiny (lang, verdict) rollup."""
+    d = load_table(spark, sf_dir, "documents")
+    n = X.token_count("text")
+    dup_tok = X.dup_token_frac("text")
+    dup3 = X.dup_ngram_frac("text", 3)
+    verdict = (F.when(n < 25, "too_short")
+                .when(dup3 > 0.05, "repetitive")
+                .when(dup_tok > 0.6, "low_diversity")
+                .otherwise("pass"))
+    return (d.select("lang", verdict.alias("verdict"))
+             .groupBy("lang", "verdict")
+             .agg(F.count("*").cast("long").alias("n_docs")))
+
+
 @query("q_text_rolling_fp")  # xxhash64-based rolling hash: no SQL twin
 def q_text_rolling_fp(spark, sf_dir):
     """Rabin-Karp-style rolling-hash document fingerprint (rows-only;

@@ -62,3 +62,20 @@ def test_stopword_and_punct_ratio(spark):
     assert one(spark, "the a the", X.stopword_ratio("text")) == 1.0
     assert one(spark, "wombat", X.stopword_ratio("text")) == 0.0
     assert abs(one(spark, "ab!?", X.punct_ratio("text")) - 0.5) < 1e-12
+
+
+def test_repetition_fractions(spark):
+    # all-unique tokens: no repetition at either granularity
+    assert one(spark, "alpha beta gamma delta", X.dup_token_frac("text")) == 0.0
+    assert one(spark, "alpha beta gamma delta", X.dup_ngram_frac("text")) == 0.0
+    # "a a a": 1 distinct of 3 tokens -> 2/3 duplicated
+    assert abs(one(spark, "a a a", X.dup_token_frac("text")) - 0.6667) < 1e-9
+    # "a a a a": grams [aaa, aaa] -> half duplicated
+    assert abs(one(spark, "a a a a", X.dup_ngram_frac("text")) - 0.5) < 1e-9
+    # below n tokens: no grams, defined as 0
+    assert one(spark, "a b", X.dup_ngram_frac("text")) == 0.0
+    # looping text maximizes the 3-gram signal vs a diverse doc
+    loop = one(spark, "spam ham " * 30, X.dup_ngram_frac("text"))
+    diverse = one(spark, " ".join(f"w{i}" for i in range(60)),
+                  X.dup_ngram_frac("text"))
+    assert loop > 0.9 and diverse == 0.0
