@@ -644,6 +644,8 @@ class KqlCompiler:
             return self._join(df, rest)
         if op == "union":
             return self._union(df, rest)
+        if op == "parse":
+            return self._parse(df, rest)
         if op == "lookup":
             return self._lookup(df, rest)
         if op == "make-series":
@@ -658,6 +660,59 @@ class KqlCompiler:
         if re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", text):
             return self.table(text)
         raise ValueError(f"KQL: bad tabular operand {text!r}")
+
+    _PARSE_PART = re.compile(
+        r"""\s*(?:'(?P<sq>(?:[^'\\]|\\.)*)'
+              |"(?P<dq>(?:[^"\\]|\\.)*)"
+              |(?P<star>\*)
+              |(?P<name>[A-Za-z_][A-Za-z0-9_]*)(?::(?P<type>[a-z]+))?)""",
+        re.VERBOSE)
+    _PARSE_TYPES = {"long": "bigint", "int": "int", "real": "double",
+                    "double": "double", "string": None, None: None}
+
+    def _parse(self, df: DataFrame, rest: str) -> DataFrame:
+        """parse <col> with ['literal' | name[:type] | *]+
+
+        Kusto's pattern-extraction operator: the literal/column sequence
+        compiles to ONE anchored regex; each named column is a
+        regexp_extract of its capture group (codegen, single scan — no
+        Python). Columns between literals capture lazily, a trailing
+        column captures to end-of-string; non-matching rows yield null
+        (try_cast keeps Kusto's null-on-miss under ANSI mode)."""
+        m = re.match(r"(\w+)\s+with\s+(.*)$", rest, re.DOTALL)
+        if not m:
+            raise ValueError("KQL: parse <column> with <pattern...>")
+        src, spec = m.group(1), m.group(2).strip()
+        pieces, cols, i, group = ["^"], [], 0, 0
+        while i < len(spec):
+            pm = self._PARSE_PART.match(spec, i)
+            if not pm or pm.end() == i:
+                raise ValueError(f"KQL: bad parse pattern at {spec[i:]!r}")
+            i = pm.end()
+            if pm.group("sq") is not None or pm.group("dq") is not None:
+                lit = pm.group("sq") or pm.group("dq") or ""
+                lit = re.sub(r"\\(.)", r"\1", lit)  # unescape \' \" \\
+                pieces.append(re.escape(lit))
+            elif pm.group("star"):
+                pieces.append(".*?")
+            else:
+                typ = pm.group("type")
+                if typ not in self._PARSE_TYPES:
+                    raise ValueError(f"KQL: parse type {typ!r} not supported")
+                group += 1
+                pieces.append(None)  # placeholder; greediness set below
+                cols.append((pm.group("name"), typ, group, len(pieces) - 1))
+        for name, typ, gi, pos in cols:
+            # lazy between literals, greedy to end-of-string when last
+            pieces[pos] = "(.*)" if pos == len(pieces) - 1 else "(.*?)"
+        pattern = "".join(pieces)
+        for name, typ, gi, _pos in cols:
+            c = F.nullif(F.regexp_extract(F.col(src), pattern, gi), F.lit(""))
+            sql_type = self._PARSE_TYPES[typ]
+            if sql_type:
+                c = c.try_cast(sql_type)
+            df = df.withColumn(name, c)
+        return df
 
     def _union(self, df: DataFrame, rest: str) -> DataFrame:
         """union [kind=outer|inner] operand[, operand...]

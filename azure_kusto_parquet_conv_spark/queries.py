@@ -2031,6 +2031,28 @@ def q_kql_join_revenue(spark, sf_dir):
     """)
 
 
+@query("q_kql_parse", r"""
+WITH p AS (
+  SELECT event_type,
+         TRY_CAST(nullif(regexp_extract(props, '^\{"k": (.*?)\}', 1), '')
+                  AS BIGINT) AS k
+  FROM events)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(k) AS BIGINT) AS k_sum, MAX(k) AS k_max
+FROM p GROUP BY event_type
+""")
+def q_kql_parse(spark, sf_dir):
+    """KQL parse operator: the literal/column pattern compiles to one
+    anchored regex, extraction stays in codegen (no per-row Python), and
+    non-matching rows surface as Kusto-style nulls."""
+    from azure_kusto_parquet_conv_spark.kql import kql
+    return kql(spark, sf_dir, """
+      events
+        | parse props with '{"k": ' k:long '}'
+        | summarize n=count(), k_sum=sum(k), k_max=max(k) by event_type
+    """)
+
+
 @query("q_kql_union_sources", """
 WITH u AS (
   SELECT o_orderkey AS k, o_totalprice AS v, 'orders' AS src FROM orders

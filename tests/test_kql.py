@@ -356,3 +356,44 @@ def test_lookup_enriches_and_broadcasts(spark, sf_dir):
 def test_lookup_requires_on_clause(spark, sf_dir):
     with pytest.raises(ValueError, match="lookup"):
         kql(spark, sf_dir, "orders | lookup (customer)")
+
+
+# --------------------------------------------------------------- parse
+
+def test_parse_extracts_typed_columns(spark, sf_dir):
+    out = kql(spark, sf_dir, """
+      events
+        | parse props with '{"k": ' k:long '}'
+        | project event_id, k
+    """)
+    assert dict(out.dtypes)["k"] == "bigint"
+    want = (load_table(spark, sf_dir, "events")
+            .select("event_id",
+                    F.get_json_object("props", "$.k").cast("long").alias("k")))
+    got = {r["event_id"]: r["k"] for r in out.collect()}
+    for r in want.collect():
+        assert got[r["event_id"]] == r["k"]
+
+
+def test_parse_non_matching_rows_are_null(spark, sf_dir):
+    out = kql(spark, sf_dir, """
+      events
+        | parse props with 'nonexistent-prefix ' v:long
+        | project event_id, v
+    """)
+    assert out.where(F.col("v").isNotNull()).count() == 0
+
+
+def test_parse_star_skips_and_trailing_capture(spark, sf_dir):
+    out = kql(spark, sf_dir, """
+      events
+        | parse props with '{"' * ': ' tail
+        | take 5
+    """)
+    for r in out.select("tail").collect():
+        assert r["tail"].endswith("}")
+
+
+def test_parse_rejects_unknown_type(spark, sf_dir):
+    with pytest.raises(ValueError, match="parse type"):
+        kql(spark, sf_dir, "events | parse props with 'x' v:datetime")
