@@ -2,6 +2,7 @@
 un-pushes a filter, reads unneeded columns, drops a broadcast, or
 introduces a cartesian product — regressions that only hurt at 100 TB."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from azure_kusto_parquet_conv_spark.plans import (
@@ -13,6 +14,15 @@ from azure_kusto_parquet_conv_spark.plans import (
 )
 from azure_kusto_parquet_conv_spark.queries import QUERIES
 from azure_kusto_parquet_conv_spark.sources.parquet import load_table
+
+
+@pytest.fixture(autouse=True)
+def _cold_cache(spark):
+    """Plan-shape assertions need a cold cache: a persisted fragment left
+    by another test (e.g. MinHash signatures) would substitute an
+    InMemoryTableScan for the parquet scan and hide PushedFilters."""
+    spark.catalog.clearCache()
+    yield
 
 
 def test_filter_pushdown_reaches_scan(spark, sf_dir):
