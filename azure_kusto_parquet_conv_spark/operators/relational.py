@@ -156,3 +156,41 @@ def top_k_per_group(df: DataFrame, group_cols: list[str],
     w = Window.partitionBy(*group_cols).orderBy(*order_by)
     return (df.withColumn(rank_col, F.row_number().over(w))
               .where(F.col(rank_col) <= k))
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, keys: list[str],
+                  compare_cols: list[str] | None = None) -> DataFrame:
+    """CDC between two table snapshots: classify every key as
+    ``insert`` (new only), ``delete`` (old only), ``update`` (present in
+    both, any compared column differs, null-safe) or ``unchanged``.
+
+    One full-outer equi-join on the key — the minimal work any diff
+    needs. At lake scale both snapshots live bucketed on the key
+    (sources/bucketed.py), which makes this join co-located and
+    shuffle-free; value comparison is a null-safe column conjunction in
+    codegen, no hashing round-trip through strings. Output carries the
+    key plus each compared column's old/new pair.
+    """
+    compare_cols = compare_cols or [
+        c for c in old.columns if c not in keys and c in new.columns]
+    o = old.select(*keys, F.lit(True).alias("__old_present"),
+                   *[F.col(c).alias(f"__old_{c}") for c in compare_cols])
+    n = new.select(*keys, F.lit(True).alias("__new_present"),
+                   *[F.col(c).alias(f"__new_{c}") for c in compare_cols])
+    j = o.join(n, keys, "full_outer")
+    # explicit presence markers: a present row with all-null compared
+    # values must not read as absent
+    old_present = F.col("__old_present").isNotNull()
+    new_present = F.col("__new_present").isNotNull()
+    same = F.lit(True)
+    for c in compare_cols:
+        same = same & F.col(f"__old_{c}").eqNullSafe(F.col(f"__new_{c}"))
+    change = (F.when(~old_present, F.lit("insert"))
+               .when(~new_present, F.lit("delete"))
+               .when(same, F.lit("unchanged"))
+               .otherwise(F.lit("update")))
+    out_cols = [*keys, change.alias("change_type")]
+    for c in compare_cols:
+        out_cols += [F.col(f"__old_{c}").alias(f"old_{c}"),
+                     F.col(f"__new_{c}").alias(f"new_{c}")]
+    return j.select(*out_cols)

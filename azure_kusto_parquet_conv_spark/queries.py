@@ -1129,6 +1129,74 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     return D.ngram_jaccard_pairs(d, n=3, threshold=0.6, block_col="lang")
 
 
+@query("q_dedup_canonical", f"""
+WITH f AS (SELECT doc_id, n_chars, md5({_NORM_SQL}) AS fp FROM documents),
+r AS (SELECT doc_id, n_chars, fp,
+             row_number() OVER (PARTITION BY fp
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM f)
+SELECT fp, doc_id AS canonical_doc, n_chars
+FROM r WHERE rn = 1
+""")
+def q_dedup_canonical(spark, sf_dir):
+    """Canonical-representative selection after dedup grouping: keep the
+    BEST duplicate (longest content, deterministic doc_id tiebreak), not
+    an arbitrary first — the step between 'find duplicate groups' and
+    'emit the training corpus'. One shuffle on the fingerprint; the
+    window's sort pushes a partial top-1 map-side."""
+    d = load_table(spark, sf_dir, "documents")
+    f = d.select("doc_id", "n_chars",
+                 X.fingerprint_md5("text").alias("fp"))
+    best = R.top_k_per_group(
+        f, ["fp"], [F.col("n_chars").desc(), F.col("doc_id").asc()], 1)
+    return best.select("fp", F.col("doc_id").alias("canonical_doc"),
+                       "n_chars")
+
+
+@query("q_snapshot_diff", """
+WITH old AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 7 != 0),
+new AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 3 = 0
+              THEN ROUND(o_totalprice * 1.1, 2)
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderkey % 5 != 0),
+d AS (
+  SELECT COALESCE(old.o_orderkey, new.o_orderkey) AS o_orderkey,
+         CASE WHEN old.o_orderkey IS NULL THEN 'insert'
+              WHEN new.o_orderkey IS NULL THEN 'delete'
+              WHEN old.o_orderstatus IS NOT DISTINCT FROM new.o_orderstatus
+               AND old.o_totalprice IS NOT DISTINCT FROM new.o_totalprice
+              THEN 'unchanged' ELSE 'update' END AS change_type
+  FROM old FULL OUTER JOIN new USING (o_orderkey))
+SELECT change_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM d GROUP BY change_type
+""")
+def q_snapshot_diff(spark, sf_dir):
+    """CDC diff between two table snapshots (operators.relational.
+    snapshot_diff): one full-outer equi-join classifies every key as
+    insert / delete / update / unchanged with null-safe value compare.
+    The two snapshots here are deterministic slices of orders (rows
+    dropped on each side, a price bump on every third key). At lake
+    scale both snapshots are bucketed on the key, making the join
+    co-located and shuffle-free."""
+    o = load_table(spark, sf_dir, "orders")
+    old = (o.where(F.col("o_orderkey") % 7 != 0)
+             .select("o_orderkey", "o_orderstatus", "o_totalprice"))
+    new = (o.where(F.col("o_orderkey") % 5 != 0)
+             .select("o_orderkey", "o_orderstatus",
+                     F.when(F.col("o_orderkey") % 3 == 0,
+                            F.round(F.col("o_totalprice") * 1.1, 2))
+                      .otherwise(F.col("o_totalprice"))
+                      .alias("o_totalprice")))
+    diff = R.snapshot_diff(old, new, keys=["o_orderkey"],
+                           compare_cols=["o_orderstatus", "o_totalprice"])
+    return (diff.groupBy("change_type")
+                .agg(F.count("*").cast("long").alias("n")))
+
+
 @query("q_dedup_embedding")  # hyperplane-LSH candidates: no SQL equivalent
 def q_dedup_embedding(spark, sf_dir):
     """Embedding-cosine near-dup pairs via random-hyperplane LSH buckets +

@@ -213,3 +213,29 @@ def test_drift_report_detects_shift(spark, sf_dir):
     assert ok["old_min"] == ok["new_min"] and ok["old_max"] == ok["new_max"]
     pr = rep["o_orderpriority"]
     assert pr["old_mean"] is None and pr["old_null_rate"] == 0.0
+
+
+def test_snapshot_diff_classification(spark):
+    """Hand-built snapshots: every change class, including a present row
+    whose compared values are all null (must NOT read as absent)."""
+    from azure_kusto_parquet_conv_spark.operators.relational import (
+        snapshot_diff)
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, None, None)],
+        "k int, s string, v double")
+    new = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 25.0), (5, "e", 50.0), (4, None, None)],
+        "k int, s string, v double")
+    got = {r["k"]: r["change_type"]
+           for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert got == {1: "unchanged", 2: "update", 3: "delete",
+                   5: "insert", 4: "unchanged"}
+
+
+def test_snapshot_diff_carries_old_new_values(spark):
+    from azure_kusto_parquet_conv_spark.operators.relational import (
+        snapshot_diff)
+    old = spark.createDataFrame([(1, 10.0)], "k int, v double")
+    new = spark.createDataFrame([(1, 11.0)], "k int, v double")
+    [r] = snapshot_diff(old, new, ["k"], ["v"]).collect()
+    assert (r["change_type"], r["old_v"], r["new_v"]) == ("update", 10.0, 11.0)
