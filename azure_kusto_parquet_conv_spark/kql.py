@@ -646,6 +646,8 @@ class KqlCompiler:
             return self._union(df, rest)
         if op == "parse":
             return self._parse(df, rest)
+        if op == "top-nested":
+            return self._top_nested(df, rest)
         if op == "lookup":
             return self._lookup(df, rest)
         if op == "make-series":
@@ -660,6 +662,41 @@ class KqlCompiler:
         if re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", text):
             return self.table(text)
         raise ValueError(f"KQL: bad tabular operand {text!r}")
+
+    def _top_nested(self, df: DataFrame, rest: str) -> DataFrame:
+        """top-nested N1 of col1 by agg1, top-nested N2 of col2 by agg2...
+
+        Hierarchical top-k: top N1 col1 groups by agg1; within each,
+        top N2 col2 groups by agg2; and so on. Each level is ONE
+        aggregation shuffle over the input plus a broadcast semi-join
+        against the (tiny, <=prod(Ni)-row) parent winner set — never a
+        nested loop. Ties break deterministically on the key column."""
+        from pyspark.sql import Window
+
+        levels = []
+        for part in re.split(r",\s*top-nested\s+", rest.strip()):
+            m = re.match(r"(\d+)\s+of\s+([A-Za-z_]\w*)\s+by\s+(.*)$",
+                         part, re.DOTALL)
+            if not m:
+                raise ValueError(
+                    "KQL: top-nested N of <col> by <agg> [, top-nested ...]")
+            name, sql = _named_expr(_tokenize(m.group(3)), df,
+                                    f"aggregated_{m.group(2)}")
+            levels.append((int(m.group(1)), m.group(2), name, sql))
+        winners = None
+        carried: list[str] = []  # parent key + agg columns carried along
+        for n, col, name, sql in levels:
+            prev_keys = [c for c, is_key in carried if is_key]
+            agg = df.groupBy(*prev_keys, col).agg(F.expr(sql).alias(name))
+            if winners is not None:
+                agg = agg.join(F.broadcast(winners), prev_keys)
+            w = Window.partitionBy(*prev_keys).orderBy(
+                F.col(name).desc(), F.col(col).asc())
+            top = (agg.withColumn("__rn", F.row_number().over(w))
+                      .where(F.col("__rn") <= n).drop("__rn"))
+            carried = [*carried, (col, True), (name, False)]
+            winners = top.select(*[c for c, _ in carried])
+        return winners
 
     _PARSE_PART = re.compile(
         r"""\s*(?:'(?P<sq>(?:[^'\\]|\\.)*)'

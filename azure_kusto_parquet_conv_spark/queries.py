@@ -1197,6 +1197,45 @@ def q_snapshot_diff(spark, sf_dir):
                 .agg(F.count("*").cast("long").alias("n")))
 
 
+@query("q_doc_chunks", f"""
+WITH t AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks
+           FROM documents),
+c AS (SELECT doc_id, toks,
+             unnest(range(0, GREATEST(CAST(ceil(len(toks) / 32.0) AS INT),
+                                      1))) AS chunk_id
+      FROM t)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(len(list_slice(toks, chunk_id * 32 + 1, chunk_id * 32 + 32))
+            AS BIGINT) AS n_tokens,
+       array_to_string(list_slice(toks, chunk_id * 32 + 1,
+                                  chunk_id * 32 + 32), ' ') AS chunk
+FROM c
+""")
+def q_doc_chunks(spark, sf_dir):
+    """Fixed-token-budget document chunking (training-sequence prep):
+    each doc explodes into ceil(n/32) chunks of <=32 tokens, rendered
+    back to text. Tokenize once, slice per chunk — all inside codegen
+    (sequence + explode + slice), no Python, no shuffle; a pure map-side
+    transform that scales linearly with corpus bytes."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.array(X.tokens("text"))  # bind once; see token_ngrams note
+    per_doc = d.select(
+        "doc_id",
+        F.get(toks, 0).alias("__toks"))
+    # greatest(...,1): an empty token array must yield ONE empty chunk,
+    # not a descending sequence(0,-1)
+    n_chunks = F.greatest(F.ceil(F.size("__toks") / F.lit(32.0)).cast("int"),
+                          F.lit(1))
+    chunks = per_doc.select(
+        "doc_id", "__toks",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"))
+    piece = F.slice("__toks", F.col("chunk_id") * 32 + 1, 32)
+    return chunks.select(
+        "doc_id", F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size(piece).cast("long").alias("n_tokens"),
+        F.array_join(piece, " ").alias("chunk"))
+
+
 @query("q_dedup_embedding")  # hyperplane-LSH candidates: no SQL equivalent
 def q_dedup_embedding(spark, sf_dir):
     """Embedding-cosine near-dup pairs via random-hyperplane LSH buckets +
@@ -2118,6 +2157,32 @@ def q_kql_parse(spark, sf_dir):
       events
         | parse props with '{"k": ' k:long '}'
         | summarize n=count(), k_sum=sum(k), k_max=max(k) by event_type
+    """)
+
+
+@query("q_kql_top_nested", """
+WITH l1 AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1),
+t1 AS (SELECT event_type, n FROM (
+         SELECT *, row_number() OVER (ORDER BY n DESC, event_type) AS rn
+         FROM l1) WHERE rn <= 3),
+l2 AS (SELECT event_type, user_id, ROUND(SUM(value), 2) AS s
+       FROM events GROUP BY 1, 2),
+t2 AS (SELECT l2.event_type, l2.user_id, l2.s, t1.n,
+              row_number() OVER (PARTITION BY l2.event_type
+                                 ORDER BY s DESC, user_id) AS rn
+       FROM l2 JOIN t1 USING (event_type))
+SELECT event_type, n, user_id, s FROM t2 WHERE rn <= 2
+""")
+def q_kql_top_nested(spark, sf_dir):
+    """KQL top-nested: hierarchical top-k (top 3 event types by count,
+    top 2 users by spend within each). One aggregation shuffle per level
+    plus a broadcast join against the tiny parent winner set."""
+    from azure_kusto_parquet_conv_spark.kql import kql
+    return kql(spark, sf_dir, """
+      events
+        | top-nested 3 of event_type by n=count(),
+          top-nested 2 of user_id by s=round(sum(value), 2)
     """)
 
 

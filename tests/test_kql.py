@@ -397,3 +397,35 @@ def test_parse_star_skips_and_trailing_capture(spark, sf_dir):
 def test_parse_rejects_unknown_type(spark, sf_dir):
     with pytest.raises(ValueError, match="parse type"):
         kql(spark, sf_dir, "events | parse props with 'x' v:datetime")
+
+
+def test_top_nested_two_levels(spark, sf_dir):
+    out = kql(spark, sf_dir, """
+      events
+        | top-nested 2 of event_type by n=count(),
+          top-nested 3 of user_id by s=round(sum(value), 2)
+    """)
+    rows = out.collect()
+    assert out.columns == ["event_type", "n", "user_id", "s"]
+    # exactly the top-2 types by count
+    ev = load_table(spark, sf_dir, "events")
+    counts = {r["event_type"]: r["count"]
+              for r in ev.groupBy("event_type").count().collect()}
+    top2 = set(sorted(counts, key=lambda t: (-counts[t], t))[:2])
+    assert {r["event_type"] for r in rows} == top2
+    # at most 3 users within each type, ranked by per-type spend
+    for t in top2:
+        users = [r for r in rows if r["event_type"] == t]
+        assert 1 <= len(users) <= 3
+        spend = {r["user_id"]: r["s"] for r in
+                 ev.where(F.col("event_type") == t).groupBy("user_id")
+                   .agg(F.round(F.sum("value"), 2).alias("s")).collect()}
+        want = sorted(spend, key=lambda u: (-spend[u], u))[:len(users)]
+        assert [r["user_id"] for r in users
+                if True] and {r["user_id"] for r in users} == set(want)
+
+
+def test_top_nested_single_level(spark, sf_dir):
+    out = kql(spark, sf_dir,
+              "events | top-nested 1 of event_type by n=count()")
+    assert out.count() == 1
