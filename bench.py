@@ -7,10 +7,11 @@ JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
 Each query is forced end-to-end through the `noop` sink (full
 materialization, no Catalyst shortcut via count()). Timing protocol:
 one untimed warm-up run per query (Catalyst planning + whole-stage
-codegen compile + JIT), then the min of 2 timed runs — at real scale a
+codegen compile + JIT), then the min of 3 timed runs — at real scale a
 query runs for minutes and compile cost amortizes to zero, so steady
 state is the number that predicts 100 TB throughput; single-shot local
-timings mostly measure the JIT.
+timings mostly measure the JIT, and the min over repeats rejects
+co-tenant CPU contention on the shared harness machine.
 """
 
 from __future__ import annotations
@@ -79,7 +80,7 @@ def main() -> None:
     for name in HEADLINE:
         run(name)  # warm-up: plan + codegen + JIT, untimed
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             run(name)
             best = min(best, time.perf_counter() - t0)
@@ -92,7 +93,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-        "protocol": "steady-state: per-query warm-up run, then min of 2",
+        "protocol": "steady-state: per-query warm-up run, then min of 3",
     }))
 
 
