@@ -39,6 +39,67 @@ def _nanos_columns(path: str) -> set[str]:
         return set()
 
 
+def _jvm_unreadable_codecs(path: str) -> set[str]:
+    """Codecs present in the footer that Spark's JVM reader cannot decode
+    without an extra classpath jar (brotli needs brotli-codec)."""
+    try:
+        import pyarrow.parquet as pq
+        md = pq.ParquetFile(path).metadata
+        codecs = {md.row_group(i).column(j).compression
+                  for i in range(md.num_row_groups)
+                  for j in range(md.row_group(i).num_columns)}
+        return {c for c in codecs if c and c.upper() == "BROTLI"}
+    except Exception:
+        return set()
+
+
+def read_parquet_arrow(spark: SparkSession, path: str,
+                       columns: list[str] | None = None) -> DataFrame:
+    """Distributed pyarrow-based parquet scan: one Spark task per row
+    group, each decoding with pyarrow (which bundles brotli) and handing
+    Arrow batches back through mapInPandas.
+
+    This is the fallback for codecs the JVM reader lacks — it keeps the
+    scan DISTRIBUTED (row-group-parallel, the same split unit Spark's
+    native reader uses) and Arrow-vectorized, at the cost of the Python
+    worker hop. The reference compiles brotli in (pq2json/Cargo.toml:9);
+    this preserves that capability on any cluster without classpath
+    surgery. Column projection is honored inside pyarrow (only requested
+    columns are decoded)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    f = pq.ParquetFile(path)
+    n_groups = f.metadata.num_row_groups
+    schema_arrow = f.schema_arrow
+    file_cols = set(schema_arrow.names)
+    read_cols = ([c for c in columns if c in file_cols]
+                 if columns is not None else list(schema_arrow.names))
+    out_arrow = schema_arrow if columns is None else \
+        pa.schema([schema_arrow.field(c) for c in read_cols])
+    spark_schema = from_arrow_schema(out_arrow)
+
+    def scan(iterator):
+        import pyarrow.parquet as pq  # executor-side
+        for pdf in iterator:
+            pf = pq.ParquetFile(path)
+            for rg in pdf["rg"].tolist():
+                yield pf.read_row_group(
+                    int(rg), columns=read_cols).to_pandas()
+
+    groups = spark.createDataFrame(
+        [(i,) for i in range(n_groups)], "rg int") \
+        .repartition(max(n_groups, 1))
+    df = groups.mapInPandas(scan, schema=spark_schema)
+    if columns is None:
+        return df
+    present = set(df.columns)
+    return df.select(*[
+        F.col(c) if c in present else F.lit(None).alias(c) for c in columns
+    ])
+
+
 def read_parquet(spark: SparkSession, path: str,
                  columns: list[str] | None = None) -> DataFrame:
     """Scan with optional projection and missing-column reconciliation.
@@ -48,9 +109,13 @@ def read_parquet(spark: SparkSession, path: str,
     never an error — the reference treats the projection list as a superset
     contract with the file. TIMESTAMP(NANOS) columns (which Spark's reader
     only accepts as raw int64) are converted back to timestamps so the
-    conversion semantics (ms truncation etc.) apply uniformly.
+    conversion semantics (ms truncation etc.) apply uniformly. Files whose
+    codec the JVM reader cannot decode (brotli) route through the
+    distributed pyarrow scan (read_parquet_arrow) transparently.
     """
     prepare_session(spark)
+    if _jvm_unreadable_codecs(path):
+        return read_parquet_arrow(spark, path, columns)
     df = spark.read.parquet(path)
     dtypes = dict(df.dtypes)
     for c in _nanos_columns(path):

@@ -23,17 +23,55 @@ _TABLE = pa.table({"a": pa.array([1, 2, 3], type=pa.int64()),
 
 
 @pytest.mark.parametrize("codec", [
-    "snappy", "gzip", "lz4", "zstd",
-    pytest.param("brotli", marks=pytest.mark.xfail(
-        reason="Spark ships no Brotli codec class; deployments that need "
-               "the reference's brotli support add the brotli-codec jar "
-               "(e.g. com.github.rdblue:brotli-codec) to the classpath",
-        raises=Exception)),
+    "snappy", "gzip", "lz4", "zstd", "brotli",
 ])
-def test_codecs_read(spark, tmp_path, codec):
-    p = str(tmp_path / f"c_{codec}.parquet")
+def test_codecs_read_all(spark, tmp_path, codec):
+    """Every codec the reference compiles in (pq2json/Cargo.toml) must
+    read. Brotli has no JVM codec on a stock classpath, so read_parquet
+    routes it through the distributed pyarrow scan transparently."""
+    p = str(tmp_path / f"cc_{codec}.parquet")
     pq.write_table(_TABLE, p, compression=codec)
     df = read_parquet(spark, p)
+    assert sorted(r["a"] for r in df.collect()) == [1, 2, 3]
+    assert sorted(df.columns) == ["a", "b"]
+
+
+def test_brotli_projection_and_missing_columns(spark, tmp_path):
+    """The superset-projection contract (missing name -> null column)
+    must hold on the pyarrow fallback path too."""
+    p = str(tmp_path / "cc_brotli_proj.parquet")
+    pq.write_table(_TABLE, p, compression="brotli")
+    df = read_parquet(spark, p, columns=["b", "nope"])
+    assert df.columns == ["b", "nope"]
+    rows = df.collect()
+    assert sorted(r["b"] for r in rows) == ["x", "y", "z"]
+    assert all(r["nope"] is None for r in rows)
+
+
+def test_brotli_scan_is_row_group_parallel(spark, tmp_path):
+    """One task per row group: the fallback must distribute, not funnel
+    the file through the driver."""
+    import pyarrow as pa
+    big = pa.table({"a": pa.array(range(4000), type=pa.int64())})
+    p = str(tmp_path / "cc_brotli_rg.parquet")
+    pq.write_table(big, p, compression="brotli", row_group_size=1000)
+    from azure_kusto_parquet_conv_spark.sources.parquet import (
+        read_parquet_arrow)
+    df = read_parquet_arrow(spark, p)
+    assert df.rdd.getNumPartitions() == 4
+    assert df.count() == 4000
+
+
+@pytest.mark.xfail(
+    reason="Spark's NATIVE reader ships no Brotli codec class; deployments "
+           "can add the brotli-codec jar (e.g. com.github.rdblue:"
+           "brotli-codec), but read_parquet's pyarrow fallback already "
+           "covers the capability without classpath surgery",
+    raises=Exception)
+def test_brotli_native_jvm_reader(spark, tmp_path):
+    p = str(tmp_path / "c_brotli_native.parquet")
+    pq.write_table(_TABLE, p, compression="brotli")
+    df = spark.read.parquet(p)  # bypass the fallback on purpose
     assert sorted(r["a"] for r in df.collect()) == [1, 2, 3]
 
 
@@ -317,3 +355,13 @@ def test_update_file_index_incremental_equals_rebuild(spark, sf_dir,
     a = {r["k"]: list(r["files"]) for r in spark.read.parquet(inc).collect()}
     b = {r["k"]: list(r["files"]) for r in spark.read.parquet(full).collect()}
     assert a == b
+
+
+def test_brotli_converts_end_to_end(spark, tmp_path):
+    """The reference's headline capability (convert a brotli-compressed
+    parquet to JSONL, pq2json/Cargo.toml:9) must work end to end through
+    the fallback scan."""
+    p = str(tmp_path / "cc_brotli_conv.parquet")
+    pq.write_table(_TABLE, p, compression="brotli")
+    out = lines(render_json_lines(read_parquet(spark, p)))
+    assert json.loads(out[0]) == {"a": 1, "b": "x"}
