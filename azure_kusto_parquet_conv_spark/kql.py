@@ -311,6 +311,18 @@ class _ExprParser:
                     f"least(i + 1, {k})), CAST(0 AS DOUBLE), "
                     f"(a, x) -> a + CAST(x AS DOUBLE)) "
                     f"/ least(i + 1, {k}))")
+        if fname in ("startofday", "startofweek", "startofmonth",
+                     "startofyear"):
+            if len(args) != 1:
+                raise ValueError(f"KQL: {fname}(ts) takes 1 arg")
+            if fname == "startofweek":
+                # Kusto weeks start SUNDAY; Spark's WEEK truncation is
+                # Monday-based. Shift by one day around the truncation.
+                return (f"(date_trunc('WEEK', {args[0]} + INTERVAL 1 DAY)"
+                        f" - INTERVAL 1 DAY)")
+            unit = {"startofday": "DAY", "startofmonth": "MONTH",
+                    "startofyear": "YEAR"}[fname]
+            return f"date_trunc('{unit}', {args[0]})"
         if fname == "extractjson":
             # extractjson(jsonPath, text) -> get_json_object
             if len(args) != 2:

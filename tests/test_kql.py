@@ -429,3 +429,24 @@ def test_top_nested_single_level(spark, sf_dir):
     out = kql(spark, sf_dir,
               "events | top-nested 1 of event_type by n=count()")
     assert out.count() == 1
+
+
+def test_startof_scalars(spark, sf_dir):
+    out = kql(spark, sf_dir, """
+      events
+        | extend d=startofday(ts), w=startofweek(ts), m=startofmonth(ts),
+                 y=startofyear(ts)
+        | project ts, d, w, m, y
+        | take 200
+    """).collect()
+    import datetime as dt
+    for r in out:
+        t = r["ts"]
+        assert r["d"] == t.replace(hour=0, minute=0, second=0, microsecond=0)
+        assert r["m"] == t.replace(day=1, hour=0, minute=0, second=0,
+                                   microsecond=0)
+        assert r["y"] == t.replace(month=1, day=1, hour=0, minute=0,
+                                   second=0, microsecond=0)
+        # Kusto weeks start Sunday: w is the latest Sunday <= ts
+        assert r["w"].weekday() == 6 and r["w"] <= t \
+            and t - r["w"] < dt.timedelta(days=7)
