@@ -88,16 +88,36 @@ def extract_features(media: DataFrame, fake: bool = True,
             "deterministic stand-in kernel")
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        need = 4 * dim
         for pdf in batches:
-            payloads = pdf["payload"]
+            # One pass, one sha256 per payload: hex digest AND the fake
+            # feature vector both derive from the same digest (the old
+            # three-.map version hashed every payload twice and paid
+            # lambda dispatch 3x per row — the r3 bench regression).
+            payloads = pdf["payload"].to_numpy()
+            n = len(payloads)
+            n_bytes = np.empty(n, dtype=np.int64)
+            hexes: list[str] = [""] * n
+            feats: list[list[float]] = [[]] * n
+            for i, b in enumerate(payloads):
+                if b is None:
+                    b = b""
+                n_bytes[i] = len(b)
+                d = hashlib.sha256(b).digest()
+                hexes[i] = d.hex()
+                # dim > 8 pads with zeros, matching _fake_features'
+                # out-of-range int.from_bytes(b"") == 0 behavior
+                buf = d[:need] if need <= 32 else d + b"\0" * (need - 32)
+                feats[i] = (np.frombuffer(buf, dtype=">u4")
+                            / np.float64(2**32)).tolist()
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "kind": pdf["kind"],
-                "n_bytes": payloads.map(lambda b: 0 if b is None else len(b)),
-                "sha256": payloads.map(
-                    lambda b: hashlib.sha256(b or b"").hexdigest()),
-                "features": payloads.map(
-                    lambda b: _fake_features(b or b"", dim)),
+                "n_bytes": n_bytes,
+                "sha256": hexes,
+                "features": feats,
             })
 
     return media.mapInPandas(kernel, FEATURE_SCHEMA)

@@ -3456,40 +3456,40 @@ def q_kql_make_series(spark, sf_dir):
 
 DRIVER_WINDOW = [
     # reference parity: conversion fns, sinks, schema introspection
+    # (permanent slots — SURVEY.md §2.1-2.2; never rotated out)
     "convert_isostr", "convert_ticks", "convert_unixms",
     "convert_date_string", "convert_events_ns_unixms",
     "convert_jsonl_region", "convert_csv_lineitem",
     "q_missing_column_fill", "csl_schema_lineitem", "q_schema_lineitem",
     "q_convert_binary", "rowgroups_lineitem", "q_filter_projection",
-    # TPC-H shapes (broad join/agg plans)
-    "q1_pricing_summary", "q16_supplier_count", "q8_market_share",
-    # join family
-    "q_join_semi", "q_join_anti", "q_join_outer", "q_null_safe_join",
-    "q_asof_join", "q_range_join",
-    # aggregation family
-    "q_salted_distinct", "q_grouping_sets", "q_conditional_agg",
-    "q_percentiles", "q_min_max_by",
-    # window functions
-    "q_window_rank", "q_window_running",
-    # sort / set ops
-    "q_sort_limit", "q_set_ops",
-    # scalar functions (JSON, higher-order arrays)
-    "q_json_extract", "q_array_higher_order",
-    # event-time operators
-    "q_sessionize", "q_tumbling_window", "q_dedup_keep_latest",
-    # text analysis
-    "q_text_stats", "q_lang_id",
-    # deduplication family
-    "q_dedup_exact", "q_dedup_minhash", "q_dedup_ngram_jaccard",
-    "q_embed_sim_pairs",
-    # similarity search
-    "q_knn_bruteforce", "q_embed_quantize",
-    # KQL DSL
-    "q_kql_summarize", "q_kql_join_revenue",
-    # multimodal (pandas-UDF surface)
-    "q_multimodal_features",
-    # LLM-pipeline curation
-    "q_decontaminate", "q_training_mix", "q_tfidf",
+    # permanent family representatives (one per extension family;
+    # all driver-green in CORRECTNESS_r03)
+    "q_asof_join", "q_grouping_sets", "q_window_running",
+    "q_sessionize", "q_text_stats", "q_dedup_exact", "q_dedup_minhash",
+    "q_knn_bruteforce", "q_kql_summarize", "q_multimodal_features",
+    "q_decontaminate",
+    # ---- round-4 rotation: entries that had never had a driver row ----
+    # (everything below was replica-verified only through r3; rotating
+    # them in converts builder-attested correctness into driver signal.
+    # Entries rotated OUT — q1/q8/q16, join/agg/window/set-op/scalar
+    # variants, q_tumbling_window, q_lang_id, ngram-jaccard,
+    # sim-pairs/quantize, kql_join, training_mix/tfidf — all went
+    # driver-green in r1-r3 and stay covered by the in-repo replica.)
+    # KQL DSL breadth
+    "q_kql_bin_events", "q_kql_arg_max", "q_kql_percentiles",
+    "q_kql_mv_expand_terms", "q_kql_parse", "q_kql_make_series",
+    "q_kql_dcount_users", "q_kql_top_nested", "q_kql_union_sources",
+    "q_kql_lookup",
+    # TPC-H shapes previously outside the window
+    "q2_min_cost_supplier", "q7_nation_trade", "q10_returned_items",
+    "q13_order_count_distribution", "q14_promo_revenue",
+    "q17_small_quantity_revenue", "q18_large_orders",
+    "q19_disjunctive_join",
+    # dedup / CDC
+    "q_dedup_jaccard", "q_snapshot_diff",
+    # stats, reshaping, event-time, sampling
+    "q_window_lag_lead", "q_stats_agg", "q_unpivot",
+    "q_hopping_window", "q_stratified_sample", "q_histogram",
 ]
 
 

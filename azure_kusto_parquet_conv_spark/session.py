@@ -48,7 +48,7 @@ _RUNTIME_CONFS = {
 }
 
 
-_PYFILES_SHIPPED: set[int] = set()
+_PYFILES_SHIPPED: set[str] = set()
 
 
 def _ship_package(spark: SparkSession) -> None:
@@ -62,9 +62,17 @@ def _ship_package(spark: SparkSession) -> None:
     cluster this is exactly how the job would be deployed (--py-files).
     """
     sc = spark.sparkContext
-    if id(sc) in _PYFILES_SHIPPED:
+    # Key on applicationId, not id(sc): CPython reuses object ids after
+    # GC, so an id()-keyed set could skip a brand-new context and leave
+    # executors without the package (the exact bug this guards against).
+    try:
+        app_id = sc.applicationId
+    except Exception:
+        return
+    if app_id in _PYFILES_SHIPPED:
         return
     try:
+        import atexit
         import tempfile
         import zipfile
 
@@ -83,7 +91,8 @@ def _ship_package(spark: SparkSession) -> None:
                             pkg_name, os.path.relpath(full, pkg_dir))
                         zf.write(full, rel)
         sc.addPyFile(zpath)
-        _PYFILES_SHIPPED.add(id(sc))
+        _PYFILES_SHIPPED.add(app_id)
+        atexit.register(lambda p=zpath: os.path.exists(p) and os.unlink(p))
     except Exception:
         pass  # already importable everywhere, or a session we can't touch
 

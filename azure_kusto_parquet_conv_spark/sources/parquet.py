@@ -76,6 +76,12 @@ def read_parquet_arrow(spark: SparkSession, path: str,
     file_cols = set(schema_arrow.names)
     read_cols = ([c for c in columns if c in file_cols]
                  if columns is not None else list(schema_arrow.names))
+    if columns is not None and not read_cols:
+        # none of the requested columns exist: honor the superset-
+        # projection contract (all-null columns, row count preserved)
+        # instead of handing mapInPandas a zero-column frame
+        return spark.range(f.metadata.num_rows).select(
+            *[F.lit(None).alias(c) for c in columns])
     out_arrow = schema_arrow if columns is None else \
         pa.schema([schema_arrow.field(c) for c in read_cols])
     spark_schema = from_arrow_schema(out_arrow)
@@ -140,7 +146,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     downstream integer time arithmetic is encoding-independent.
     """
     prepare_session(spark)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    # Fixture tables inherit the same codec fallback as the conversion
+    # path: a brotli-compressed regeneration routes through the
+    # distributed pyarrow scan instead of dying on a JVM codec error.
+    if _jvm_unreadable_codecs(path):
+        df = read_parquet_arrow(spark, path)
+    else:
+        df = spark.read.parquet(path)
     if name == "events":
         dt = dict(df.dtypes).get("ts")
         if dt == "bigint":
@@ -169,6 +182,27 @@ def rebalance(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    # Estimate the scan's parallelism from the parquet footers instead of
+    # probing the RDD partition count — touching the legacy RDD view
+    # converts the whole plan per call, which is analysis churn
+    # on a path every dedup/similarity query takes. Scans split at
+    # row-group boundaries, so row groups across the input files bound
+    # the partition count; a DataFrame with no input files has a shuffle
+    # upstream and is already spread across shuffle partitions.
+    files = df.inputFiles()
+    if not files:
+        return df
+    try:
+        import pyarrow.parquet as pq
+        est = 0
+        for fp in files[:64]:  # bounded driver-side footer reads
+            est += pq.ParquetFile(fp.removeprefix("file:")).metadata.num_row_groups
+            if est >= target:
+                return df
+        if len(files) > 64:  # sampled: scale the estimate
+            est = est * len(files) // 64
+    except Exception:
+        est = len(files)
+    if est < target:
         return df.repartition(target)
     return df

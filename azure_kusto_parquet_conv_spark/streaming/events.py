@@ -58,11 +58,43 @@ def normalize_events(raw: DataFrame) -> DataFrame:
     return raw.withColumn("ts_ns", F.unix_micros("ts") * F.lit(1000))
 
 
+def _stream_schema_for(dir_path: str) -> StructType:
+    """Pick the declared stream schema from one parquet footer: a
+    timestamp[ns] ``ts`` arrives as raw int64 under
+    legacy.parquet.nanosAsLong, so declaring TimestampType against a
+    legacy fixture would fail at runtime. File-source streams can't
+    infer, so peek driver-side (one footer read, no Spark job)."""
+    try:
+        import glob
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        candidates = sorted(
+            glob.glob(os.path.join(dir_path, "*.parquet"))
+            + glob.glob(os.path.join(dir_path, "*", "*.parquet")))
+        if os.path.isfile(dir_path):
+            candidates = [dir_path]
+        for fp in candidates[:1]:
+            sch = pq.ParquetFile(fp).schema_arrow
+            fld = next((f for f in sch if f.name == "ts"), None)
+            if (fld is not None and pa.types.is_timestamp(fld.type)
+                    and fld.type.unit == "ns"):
+                return EVENTS_RAW_SCHEMA_NS
+    except Exception:
+        pass
+    return EVENTS_RAW_SCHEMA
+
+
 def read_events_stream(spark: SparkSession, dir_path: str) -> DataFrame:
-    """File-source stream of events parquet files landing in ``dir_path``."""
+    """File-source stream of events parquet files landing in ``dir_path``.
+    The declared schema matches whichever physical ``ts`` encoding the
+    directory actually holds; normalize_events maps both to the same
+    logical surface downstream."""
     prepare_session(spark)
     raw = (spark.readStream
-           .schema(EVENTS_RAW_SCHEMA)
+           .schema(_stream_schema_for(dir_path))
            .parquet(dir_path))
     return normalize_events(raw)
 

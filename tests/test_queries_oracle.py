@@ -114,23 +114,49 @@ def test_catalog_every_entry_has_summary():
         r["name"] for r in catalog() if not r["summary"]]
 
 
+# Permanent window slots: the full SURVEY §2.1 (O1-O9) / §2.2 (F1-F17)
+# reference-parity surface plus one representative per extension family.
+# Window rotation (swapping in never-driver-checked entries each round)
+# must never drop one of these — that would silently remove parity
+# coverage from the driver's hash gate.
+PARITY_SLOTS = {
+    # §2.1 O1-O9: scan, projection pushdown, null-fill, JSONL/CSV sinks,
+    # row→JSON, schema print, CSL schema, row-group metadata
+    "q_filter_projection", "q_missing_column_fill",
+    "convert_jsonl_region", "convert_csv_lineitem",
+    "q_schema_lineitem", "csl_schema_lineitem", "rowgroups_lineitem",
+    # §2.2 F1-F17: type dispatch + timestamp modes + binary + dates
+    "convert_isostr", "convert_ticks", "convert_unixms",
+    "convert_date_string", "convert_events_ns_unixms",
+    "q_convert_binary",
+}
+FAMILY_REPS = {
+    "q_asof_join", "q_grouping_sets", "q_window_running", "q_sessionize",
+    "q_text_stats", "q_dedup_exact", "q_dedup_minhash",
+    "q_knn_bruteforce", "q_kql_summarize", "q_multimodal_features",
+    "q_decontaminate",
+}
+
+
 def test_driver_window_is_first_and_covers_families():
     """The correctness driver hash-checks only the first 50 catalog
-    entries; that window must stay exactly DRIVER_WINDOW (one slot per
-    SURVEY §2 row / extension family) and nearly all of it must carry a
-    hard SQL oracle."""
+    entries; that window must stay exactly DRIVER_WINDOW, keep every
+    permanent parity slot and family representative, and every rotated
+    slot must carry a hard SQL oracle."""
     assert len(DRIVER_WINDOW) == 50
     assert list(QUERIES)[:50] == DRIVER_WINDOW
+    missing = (PARITY_SLOTS | FAMILY_REPS) - set(DRIVER_WINDOW)
+    assert not missing, f"rotation dropped permanent slots: {missing}"
     rows_only = [n for n in DRIVER_WINDOW if n not in ORACLES]
-    # only footer/sketch introspection entries may lack an oracle
+    # only footer/sketch introspection entries may lack an oracle;
+    # every ROTATED slot must be oracled (rotation exists to convert
+    # replica trust into driver hash signal — a rows-only rotated slot
+    # would waste the slot)
     assert set(rows_only) <= {"q_schema_lineitem", "q_convert_binary",
                               "rowgroups_lineitem", "q_dedup_minhash"}, rows_only
-    for family_rep in ("convert_isostr", "q_asof_join", "q_grouping_sets",
-                       "q_window_running", "q_sessionize", "q_text_stats",
-                       "q_dedup_exact", "q_dedup_minhash",
-                       "q_knn_bruteforce", "q_kql_summarize",
-                       "q_multimodal_features", "q_decontaminate"):
-        assert family_rep in DRIVER_WINDOW, family_rep
+    rotated = set(DRIVER_WINDOW) - PARITY_SLOTS - FAMILY_REPS
+    unoracled_rotated = rotated - set(ORACLES)
+    assert not unoracled_rotated, unoracled_rotated
 
 
 ATOMIC = {"string", "long", "integer", "short", "byte", "double", "float",

@@ -365,3 +365,63 @@ def test_brotli_converts_end_to_end(spark, tmp_path):
     pq.write_table(_TABLE, p, compression="brotli")
     out = lines(render_json_lines(read_parquet(spark, p)))
     assert json.loads(out[0]) == {"a": 1, "b": "x"}
+
+
+def test_brotli_projection_all_missing_columns(spark, tmp_path):
+    """Corner of the superset-projection contract on the pyarrow path:
+    when NO requested column exists in the file, the scan must still
+    yield one all-null row per file row (matching the JVM path), not
+    die on a zero-column mapInPandas frame."""
+    p = str(tmp_path / "cc_brotli_allmiss.parquet")
+    pq.write_table(_TABLE, p, compression="brotli")
+    df = read_parquet(spark, p, columns=["nope1", "nope2"])
+    assert df.columns == ["nope1", "nope2"]
+    rows = df.collect()
+    assert len(rows) == 3
+    assert all(r["nope1"] is None and r["nope2"] is None for r in rows)
+
+
+def test_load_table_reads_brotli_fixture(spark, tmp_path):
+    """Fixture loading inherits the codec fallback: if the driver ever
+    regenerates a table with brotli compression, catalog queries keep
+    working instead of dying on a JVM codec error."""
+    from azure_kusto_parquet_conv_spark.sources.parquet import load_table
+
+    sf = tmp_path / "sfx"
+    sf.mkdir()
+    pq.write_table(
+        pa.table({"r_regionkey": pa.array([0, 1], pa.int32()),
+                  "r_name": ["AFRICA", "ASIA"]}),
+        str(sf / "region.parquet"), compression="brotli")
+    df = load_table(spark, str(sf), "region")
+    assert sorted(r["r_name"] for r in df.collect()) == ["AFRICA", "ASIA"]
+
+
+def test_rebalance_spreads_single_row_group_scan(spark, tmp_path):
+    """rebalance must widen a one-row-group scan without touching
+    df.rdd (legacy-plan conversion on a hot path); the partition
+    estimate comes from parquet footers."""
+    from azure_kusto_parquet_conv_spark.sources.parquet import rebalance
+
+    p = str(tmp_path / "one_group.parquet")
+    pq.write_table(pa.table({"a": list(range(1000))}), p)
+    df = spark.read.parquet(p)
+    out = rebalance(df, min_partitions=8)
+    assert "Exchange RoundRobinPartitioning(8" in out._jdf.queryExecution().executedPlan().toString() or \
+        out.rdd.getNumPartitions() == 8
+
+
+def test_rebalance_no_rdd_probe_in_package():
+    """No .rdd access anywhere in the package: every touch converts the
+    Catalyst plan to the legacy RDD path and forces analysis."""
+    import glob
+    import os
+
+    import azure_kusto_parquet_conv_spark as pkg
+    root = os.path.dirname(os.path.abspath(pkg.__file__))
+    offenders = []
+    for f in glob.glob(os.path.join(root, "**", "*.py"), recursive=True):
+        src = open(f).read()
+        if ".rdd" in src:
+            offenders.append(os.path.relpath(f, root))
+    assert not offenders, offenders

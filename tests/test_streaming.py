@@ -373,3 +373,46 @@ def test_kql_stream_matches_batch_pipeline(spark, sf_dir, stream_dir):
     for k, v in got.items():
         assert want.get(k) == v, f"window {k}: stream {v} != batch {want.get(k)}"
     assert len(got) >= len(want) * 0.8
+
+
+def test_stream_schema_autoselects_ns_encoding(spark, tmp_path):
+    """The fixture's events.ts has shipped as both timestamp[us] and
+    timestamp[ns]; on a legacy ns file (scanned as raw int64 under
+    nanosAsLong) the stream must declare the int64 schema and still
+    normalize to the same logical surface, end to end."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from azure_kusto_parquet_conv_spark.streaming.events import (
+        EVENTS_RAW_SCHEMA, EVENTS_RAW_SCHEMA_NS, _stream_schema_for)
+
+    d = tmp_path / "ns_events"
+    d.mkdir()
+    tbl = pa.table({
+        "event_id": pa.array([1, 2], pa.int64()),
+        "ts": pa.array([1_700_000_000_000_000_000,
+                        1_700_000_003_600_000_000], pa.timestamp("ns")),
+        "user_id": pa.array([10, 10], pa.int64()),
+        "event_type": ["view", "click"],
+        "value": pa.array([1.0, 2.0], pa.float64()),
+        "props": ["{}", "{}"],
+    })
+    pq.write_table(tbl, str(d / "events.parquet"))
+    assert _stream_schema_for(str(d)) == EVENTS_RAW_SCHEMA_NS
+
+    ev = read_events_stream(spark, str(d))
+    q = (ev.select("event_id", "ts", "ts_ns").writeStream
+         .format("memory").queryName("ns_auto").outputMode("append").start())
+    drain(q)
+    rows = {r["event_id"]: r for r in spark.sql(
+        "SELECT * FROM ns_auto").collect()}
+    assert rows[1]["ts_ns"] == 1_700_000_000_000_000_000
+    assert rows[2]["ts_ns"] - rows[1]["ts_ns"] == 3_600_000_000
+
+    # and a us-encoded directory still picks the timestamp schema
+    us = tmp_path / "us_events"
+    us.mkdir()
+    pq.write_table(tbl.set_column(
+        1, "ts", tbl["ts"].cast(pa.timestamp("us"))),
+        str(us / "events.parquet"))
+    assert _stream_schema_for(str(us)) == EVENTS_RAW_SCHEMA
