@@ -740,7 +740,15 @@ class KqlCompiler:
             i = pm.end()
             if pm.group("sq") is not None or pm.group("dq") is not None:
                 lit = pm.group("sq") or pm.group("dq") or ""
-                lit = re.sub(r"\\(.)", r"\1", lit)  # unescape \' \" \\
+                # Kusto string-literal escapes: \n/\t/... decode to their
+                # control characters (not the bare letter); quotes and
+                # backslash unescape; unknown escapes keep the backslash
+                esc = {"n": "\n", "t": "\t", "r": "\r", "\\": "\\",
+                       "'": "'", '"': '"', "0": "\0", "a": "\a",
+                       "b": "\b", "f": "\f", "v": "\v"}
+                lit = re.sub(r"\\(.)",
+                             lambda em: esc.get(em.group(1),
+                                                "\\" + em.group(1)), lit)
                 pieces.append(re.escape(lit))
             elif pm.group("star"):
                 pieces.append(".*?")
@@ -755,11 +763,18 @@ class KqlCompiler:
             # lazy between literals, greedy to end-of-string when last
             pieces[pos] = "(.*)" if pos == len(pieces) - 1 else "(.*?)"
         pattern = "".join(pieces)
+        # Kusto null semantics: null only on pattern NON-match. A string
+        # column that matches with an empty capture is an empty string
+        # (the old nullif() folded it to null); typed columns get null
+        # either way since try_cast('') is null.
+        matched = F.col(src).rlike(pattern)
         for name, typ, gi, _pos in cols:
-            c = F.nullif(F.regexp_extract(F.col(src), pattern, gi), F.lit(""))
+            c = F.regexp_extract(F.col(src), pattern, gi)
             sql_type = self._PARSE_TYPES[typ]
             if sql_type:
                 c = c.try_cast(sql_type)
+            else:
+                c = F.when(matched, c)
             df = df.withColumn(name, c)
         return df
 

@@ -336,16 +336,37 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
                 .where(F.col("hamming") <= max_hamming))
 
 
+def _peek_vector_dim(df: DataFrame, vec_col: str) -> int:
+    """Vector width from the source parquet footer (one driver-side
+    record batch, no Spark job). Falls back to a LIMIT-1 job only for
+    DataFrames with no file lineage (e.g. built from memory)."""
+    try:
+        import pyarrow.parquet as pq
+        fp = df.inputFiles()[0].removeprefix("file:")
+        first = next(pq.ParquetFile(fp).iter_batches(
+            batch_size=1, columns=[vec_col]))
+        return len(first.column(vec_col)[0].as_py())
+    except Exception:
+        return len(df.select(vec_col).first()[0])
+
+
 def embedding_near_dup(df: DataFrame, vec_col: str = "embedding",
                        id_col: str = "vec_id", threshold: float = 0.9,
-                       planes: int = 8, seed: int = 42) -> DataFrame:
+                       planes: int = 8, seed: int = 42,
+                       dim: int | None = None) -> DataFrame:
     """Cosine >= threshold pairs via random-hyperplane LSH buckets + exact
     verification. ``planes`` sign bits form the bucket key; at high
     thresholds near-dup pairs collide in at least one of the two
-    complementary-rotation bucket sets with high probability."""
+    complementary-rotation bucket sets with high probability.
+
+    ``dim`` (the vector width, needed to materialize hyperplane literals)
+    should be passed by callers that know it; when omitted it comes from
+    the source parquet footer via a driver-side one-batch peek — NOT a
+    Spark LIMIT-1 job (mirrors knn_lsh)."""
     import random
     rnd = random.Random(seed)
-    dim = len(df.select(vec_col).first()[0])
+    if dim is None:
+        dim = _peek_vector_dim(df, vec_col)
     tables = []
     for t in range(2):
         plane_lits = [F.array(*[F.lit(rnd.gauss(0, 1)) for _ in range(dim)])

@@ -71,6 +71,21 @@ class TestUint64:
         out = [r[0] for r in df.select(C.uint64_to_long("u")).collect()]
         assert out == [0, 1, -(2 ** 63), -1, None]
 
+    def test_default_mode_jsonl_bytes_exact(self, spark, edge_dir):
+        # byte-for-byte pq2json default-mode parity: an unsigned JSON
+        # NUMBER (no quotes, no sign wrap) — converter.rs:297-303
+        df = read(spark, edge_dir["t_uint64"])
+        out = lines(render_json_lines(df))
+        assert out[2] == '{"u":9223372036854775808}'
+        assert out[3] == '{"u":18446744073709551615}'
+
+    def test_default_mode_csv_cell_unsigned(self, spark, edge_dir):
+        # CSV default mode: plain unsigned digits (converter.rs:175-186
+        # routes the same element_to_value dispatch into cells)
+        df = read(spark, edge_dir["t_uint64"])
+        cells = [r["u"] for r in render_csv_cells(df).collect()]
+        assert cells[3] == "18446744073709551615"
+
 
 class TestDecimal:
     def test_plain_notation_string(self, spark, edge_dir):

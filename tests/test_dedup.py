@@ -99,3 +99,18 @@ def test_dedup_clusters_transitive_chain(spark):
     got = {r["doc_id"]: r["cluster_id"]
            for r in D.dedup_clusters(ids, pairs).collect()}
     assert got == {0: 0, 4: 0, 1: 1, 3: 1, 5: 1, 2: 2}
+
+
+def test_embedding_near_dup_dim_from_footer_not_limit1(spark, sf_dir):
+    """For a parquet-backed input, the hyperplane dim must come from a
+    driver-side footer peek — building the plan must not launch a
+    LIMIT-1 Spark job (r3 advice; mirrors knn_lsh)."""
+    from unittest.mock import patch
+
+    from azure_kusto_parquet_conv_spark.sources.parquet import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    with patch.object(type(e), "first",
+                      side_effect=AssertionError("LIMIT-1 job launched")):
+        plan = D.embedding_near_dup(e, threshold=0.4)
+    assert "cosine" in plan.columns  # plan built without touching first()

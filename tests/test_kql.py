@@ -399,6 +399,34 @@ def test_parse_rejects_unknown_type(spark, sf_dir):
         kql(spark, sf_dir, "events | parse props with 'x' v:datetime")
 
 
+def test_parse_decodes_literal_escapes(spark):
+    """'\\n' in a parse literal is a newline, not the letter n
+    (Kusto string-literal semantics)."""
+    from azure_kusto_parquet_conv_spark.kql import KqlCompiler
+
+    spark_df = spark.createDataFrame(
+        [("a\nb=7",), ("anb=9",)], "s string")
+    out = KqlCompiler(spark, ".")._parse(
+        spark_df, "s with 'a\\nb=' v:long")
+    got = {r["s"]: r["v"] for r in out.collect()}
+    assert got["a\nb=7"] == 7
+    assert got["anb=9"] is None
+
+
+def test_parse_matched_empty_string_capture_is_empty_not_null(spark):
+    """A row that MATCHES with an empty capture yields '' for a string
+    column (null is reserved for non-match)."""
+    from azure_kusto_parquet_conv_spark.kql import KqlCompiler
+
+    spark_df = spark.createDataFrame(
+        [("k=:",), ("k=x:",), ("nomatch",)], "s string")
+    out = KqlCompiler(spark, ".")._parse(spark_df, "s with 'k=' v ':'")
+    got = {r["s"]: r["v"] for r in out.collect()}
+    assert got["k=:"] == ""
+    assert got["k=x:"] == "x"
+    assert got["nomatch"] is None
+
+
 def test_top_nested_two_levels(spark, sf_dir):
     out = kql(spark, sf_dir, """
       events
