@@ -2058,18 +2058,21 @@ def q16_supplier_count(spark, sf_dir):
     """TPC-H Q16 shape (adapted: the part-supplier relation derives from
     lineitem; negative-balance suppliers stand in for the complaints
     anti-join): distinct suppliers per (brand, type, size) excluding one
-    brand, one type prefix, and flagged suppliers. Scale design: the
-    distinct on (partkey, suppkey) is the only fact shuffle; the flagged
-    suppliers broadcast into an anti-join and the filtered part dim
-    broadcasts into the probe side; countDistinct re-uses the partkey
-    shuffle partitioning where possible."""
+    brand, one type prefix, and flagged suppliers. Scale design: NO
+    pre-distinct on the fact — count_distinct's partial aggregate
+    already dedups (partkey,suppkey) pairs map-side before its shuffle,
+    so an explicit distinct would add a full fact exchange for nothing
+    (verified equal output, r4); the flagged suppliers broadcast into an
+    anti-join and the filtered part dim broadcasts into the probe side.
+    The only shuffles are the two count_distinct phases, both after the
+    broadcast filters have shrunk the fact."""
     li = load_table(spark, sf_dir, "lineitem")
     pa = (load_table(spark, sf_dir, "part")
           .where((F.col("p_brand") != "Brand#1")
                  & ~F.col("p_type").startswith("PROMO")))
     bad = (load_table(spark, sf_dir, "supplier")
            .where(F.col("s_acctbal") < 0).select("s_suppkey"))
-    ps = (li.select("l_partkey", "l_suppkey").distinct()
+    ps = (li.select("l_partkey", "l_suppkey")
             .join(F.broadcast(bad),
                   F.col("l_suppkey") == F.col("s_suppkey"), "left_anti"))
     return (ps.join(F.broadcast(pa), ps.l_partkey == pa.p_partkey)
