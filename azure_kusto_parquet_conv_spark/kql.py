@@ -49,7 +49,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from azure_kusto_parquet_conv_spark.session import prepare_session
-from azure_kusto_parquet_conv_spark.sources.parquet import load_table
+from azure_kusto_parquet_conv_spark.sources.parquet import TABLES, load_table
 
 # ----------------------------------------------------------------------
 # Tokenizer
@@ -57,6 +57,7 @@ from azure_kusto_parquet_conv_spark.sources.parquet import load_table
 
 _TOKEN_RE = re.compile(r"""
     (?P<ws>\s+)
+  | (?P<dt>\bdatetime\s*\([^)]*\))
   | (?P<timespan>\b\d+(?:\.\d+)?(?:ms|s|m|h|d)\b)
   | (?P<num>\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
   | (?P<str>'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
@@ -119,7 +120,8 @@ _FN_RENAME = {
 }
 
 _AGG_FNS = {"count", "countif", "sum", "avg", "min", "max", "dcount",
-            "make_list", "make_set"}
+            "make_list", "make_set", "sumif", "avgif", "minif", "maxif",
+            "dcountif", "take_any", "stdev", "variance"}
 
 _CMP = {"==": "=", "!=": "<>", "<": "<", "<=": "<=", ">": ">", ">=": ">="}
 
@@ -188,6 +190,12 @@ class _ExprParser:
             return f"({inner})"
         if t.kind == "num":
             return text
+        if t.kind == "dt":
+            # datetime(...) literal -> TIMESTAMP literal (one token, so
+            # interior spaces/colons survive tokenization)
+            inner = re.match(r"datetime\s*\((.*)\)$", text,
+                             re.DOTALL).group(1).strip().strip("'\"")
+            return f"TIMESTAMP '{inner}'"
         if t.kind == "timespan":
             return str(_timespan_to_us(text))
         if t.kind == "str":
@@ -345,6 +353,88 @@ class _ExprParser:
                 f" WHEN {args[i]} THEN {args[i + 1]}"
                 for i in range(0, len(args) - 1, 2))
             return f"(CASE{whens} ELSE {args[-1]} END)"
+        if fname in ("isempty", "isnotempty"):
+            if len(args) != 1:
+                raise ValueError(f"KQL: {fname}(x) takes 1 arg")
+            neg = "NOT " if fname == "isnotempty" else ""
+            return (f"({neg}(({args[0]}) IS NULL "
+                    f"OR CAST({args[0]} AS STRING) = ''))")
+        if fname in ("trim", "trim_start", "trim_end"):
+            # Kusto signature: trim(regex, text) — strip a REGEX match
+            # from the edges (trim(' +', s) etc.), not a charset
+            if len(args) != 2:
+                raise ValueError(f"KQL: {fname}(regex, text)")
+            rx = args[0]
+            pats = {"trim": f"concat('^(', {rx}, ')|(', {rx}, ')$')",
+                    "trim_start": f"concat('^(', {rx}, ')')",
+                    "trim_end": f"concat('(', {rx}, ')$')"}
+            return f"regexp_replace({args[1]}, {pats[fname]}, '')"
+        if fname == "replace_string":
+            if len(args) != 3:
+                raise ValueError("KQL: replace_string(text, lookup, rewrite)")
+            return f"replace({args[0]}, {args[1]}, {args[2]})"
+        if fname == "replace_regex":
+            if len(args) != 3:
+                raise ValueError("KQL: replace_regex(text, regex, rewrite)")
+            return f"regexp_replace({args[0]}, {args[1]}, {args[2]})"
+        if fname == "todatetime":
+            return f"CAST({args[0]} AS TIMESTAMP)"
+        if fname == "tobool":
+            return f"CAST({args[0]} AS BOOLEAN)"
+        if fname == "toreal":
+            return f"CAST({args[0]} AS DOUBLE)"
+        if fname == "now":
+            return "current_timestamp()"
+        if fname == "ago":
+            # arg is a timespan literal, already rendered as microseconds
+            if len(args) != 1:
+                raise ValueError("KQL: ago(timespan)")
+            return (f"timestampadd(MICROSECOND, -({args[0]}), "
+                    f"current_timestamp())")
+        if fname == "format_datetime":
+            # Kusto format specifiers (yyyy MM dd HH mm ss) are the Java
+            # subset date_format understands
+            if len(args) != 2:
+                raise ValueError("KQL: format_datetime(dt, format)")
+            return f"date_format({args[0]}, {args[1]})"
+        if fname == "indexof":
+            # 0-based; -1 when absent (instr is 1-based, 0 when absent)
+            if len(args) != 2:
+                raise ValueError("KQL: indexof(text, lookup)")
+            return f"(instr({args[0]}, {args[1]}) - 1)"
+        if fname == "countof":
+            if len(args) != 2:
+                raise ValueError("KQL: countof(text, search)")
+            s, sub = args
+            return (f"((length({s}) - length(replace({s}, {sub}, ''))) "
+                    f"div length({sub}))")
+        if fname == "hash":
+            # Kusto hash() is xxhash64
+            return f"xxhash64({', '.join(args)})"
+        if fname == "strrep":
+            if len(args) != 2:
+                raise ValueError("KQL: strrep(text, n)")
+            return f"repeat({args[0]}, {args[1]})"
+        if fname in ("getyear", "getmonth", "dayofmonth", "hourofday"):
+            fn = {"getyear": "year", "getmonth": "month",
+                  "dayofmonth": "day", "hourofday": "hour"}[fname]
+            return f"{fn}({args[0]})"
+        if fname in ("sumif", "avgif", "minif", "maxif", "dcountif"):
+            if len(args) != 2:
+                raise ValueError(f"KQL: {fname}(expr, predicate)")
+            agg = {"sumif": "sum", "avgif": "avg", "minif": "min",
+                   "maxif": "max",
+                   "dcountif": "count(DISTINCT"}[fname]
+            if fname == "dcountif":
+                return (f"count(DISTINCT CASE WHEN {args[1]} "
+                        f"THEN {args[0]} END)")
+            return f"{agg}(CASE WHEN {args[1]} THEN {args[0]} END)"
+        if fname == "take_any":
+            return f"any_value({args[0]})"
+        if fname == "stdev":
+            return f"stddev_samp({args[0]})"
+        if fname == "variance":
+            return f"var_samp({args[0]})"
         mapped = _FN_RENAME.get(fname, fname)
         return f"{mapped}({', '.join(args)})"
 
@@ -427,6 +517,49 @@ def _render_bin(df: DataFrame, arg_sql: str, size_tok: Tok) -> str:
 # ----------------------------------------------------------------------
 # Pipeline splitter / compiler
 # ----------------------------------------------------------------------
+
+def _split_top_semis(q: str) -> list[str]:
+    """Split a multi-statement query on top-level ';' (KQL let-statement
+    separators), respecting parens/brackets/strings."""
+    parts, depth, start, i, n = [], 0, 0, 0, len(q)
+    while i < n:
+        c = q[i]
+        if c in "([":
+            depth += 1
+        elif c in ")]":
+            depth -= 1
+        elif c in "'\"":
+            quote = c
+            i += 1
+            while i < n and q[i] != quote:
+                i += 2 if q[i] == "\\" else 1
+        elif c == ";" and depth == 0:
+            parts.append(q[start:i].strip())
+            start = i + 1
+        i += 1
+    parts.append(q[start:].strip())
+    return [p for p in parts if p]
+
+
+_STR_LIT_RE = re.compile(r"""'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*\"""")
+
+
+def _sub_outside_strings(text: str, subs: dict[str, str]) -> str:
+    """Word-boundary substitution applied only OUTSIDE string literals
+    (scalar let expansion must not rewrite content inside quotes)."""
+    if not subs:
+        return text
+    pat = re.compile(
+        r"\b(" + "|".join(re.escape(k) for k in subs) + r")\b")
+    out, last = [], 0
+    for m in _STR_LIT_RE.finditer(text):
+        out.append(pat.sub(lambda mm: f"({subs[mm.group(1)]})",
+                           text[last:m.start()]))
+        out.append(m.group(0))
+        last = m.end()
+    out.append(pat.sub(lambda mm: f"({subs[mm.group(1)]})", text[last:]))
+    return "".join(out)
+
 
 def _split_pipes(q: str) -> list[str]:
     """Split on top-level '|' (not inside parens/brackets/strings)."""
@@ -570,19 +703,81 @@ class KqlCompiler:
         # nondeterministic and a single-partition bottleneck at scale).
         self._order: list | None = None
         self._order_sql: list[str] | None = None
+        # let-statement bindings: tabular -> DataFrame, scalar -> KQL text
+        self._lets: dict[str, DataFrame] = {}
+        self._scalar_lets: dict[str, str] = {}
         prepare_session(spark)
 
     def table(self, name: str) -> DataFrame:
         return load_table(self.spark, self.sf_dir, name)
 
     def compile(self, query: str) -> DataFrame:
+        """Compile a (possibly multi-statement) query: zero or more
+        ``let name = <tabular|scalar>;`` statements, then one tabular
+        expression. Tabular lets become named DataFrames resolvable as
+        sources/operands; scalar lets are expanded textually (outside
+        string literals) into the final statement before compilation —
+        Catalyst constant-folds them, so a let scalar is free."""
+        stmts = _split_top_semis(query)
+        if not stmts:
+            raise ValueError("KQL: empty query")
+        for s in stmts[:-1]:
+            m = re.match(r"let\s+([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(.*)$",
+                         s, re.DOTALL)
+            if not m:
+                raise ValueError(
+                    f"KQL: expected 'let name = ...;', got {s[:40]!r}")
+            name, body = m.group(1), m.group(2).strip()
+            if self._looks_tabular(body):
+                self._lets[name] = self._compile_tabular(
+                    _sub_outside_strings(body, self._scalar_lets))
+            else:
+                self._scalar_lets[name] = _sub_outside_strings(
+                    body, self._scalar_lets)
+        return self._compile_tabular(
+            _sub_outside_strings(stmts[-1], self._scalar_lets))
+
+    def _looks_tabular(self, body: str) -> bool:
+        if "|" in _STR_LIT_RE.sub("", body):
+            return True
+        head = body.strip()
+        return (re.match(r"datatable\s*\(|print\b", head) is not None
+                or head in self._lets
+                or head in TABLES)
+
+    def _compile_tabular(self, query: str) -> DataFrame:
         stages = _split_pipes(query)
         if not stages:
             raise ValueError("KQL: empty query")
-        df = self.table(stages[0].strip())
+        df = self._source(stages[0].strip())
         for stage in stages[1:]:
             df = self._apply(df, stage)
         return df
+
+    def _source(self, text: str) -> DataFrame:
+        """A pipeline source: a let-bound table, an inline datatable, a
+        ``print`` row, or a stored table name."""
+        if text in self._lets:
+            return self._lets[text]
+        if re.match(r"datatable\s*\(", text):
+            return self._datatable(text)
+        if re.match(r"print\b", text):
+            return self._print(text)
+        return self.table(text)
+
+    def _print(self, text: str) -> DataFrame:
+        """``print [name =] expr [, ...]`` — a one-row literal table."""
+        rest = re.sub(r"^print\s*", "", text, flags=re.DOTALL)
+        cols = []
+        for i, g in enumerate(_split_top_commas(_tokenize(rest))):
+            if len(g) >= 2 and g[0].kind == "ident" and g[1].text == "=":
+                name, body = g[0].text, g[2:]
+            else:
+                name, body = f"print_{i}" if i else "print_0", g
+            cols.append(f"{_parse_expr(body)} AS `{name}`")
+        if not cols:
+            raise ValueError("KQL: print needs at least one expression")
+        return self.spark.sql("SELECT " + ", ".join(cols))
 
     # ------------------------------------------------------------------
     def _apply(self, df: DataFrame, stage: str) -> DataFrame:
@@ -601,6 +796,32 @@ class KqlCompiler:
         if op == "project-away":
             names = [g[0].text for g in _split_top_commas(_tokenize(rest))]
             return df.drop(*names)
+        if op == "project-keep":
+            keep = {g[0].text for g in _split_top_commas(_tokenize(rest))}
+            missing = keep - set(df.columns)
+            if missing:
+                raise ValueError(f"KQL: project-keep: unknown {missing}")
+            return df.select(*[c for c in df.columns if c in keep])
+        if op == "project-rename":
+            for g in _split_top_commas(_tokenize(rest)):
+                if len(g) != 3 or g[1].text != "=":
+                    raise ValueError("KQL: project-rename new = old")
+                df = df.withColumnRenamed(g[2].text, g[0].text)
+            return df
+        if op == "project-reorder":
+            first = [g[0].text for g in _split_top_commas(_tokenize(rest))]
+            rest_cols = [c for c in df.columns if c not in set(first)]
+            return df.select(*first, *rest_cols)
+        if op == "serialize":
+            # order-freeze marker; row order is whatever the preceding
+            # sort established — tabularly a no-op here
+            return df
+        if op == "getschema":
+            rows = [(f.name, i, f.dataType.simpleString())
+                    for i, f in enumerate(df.schema.fields)]
+            return self.spark.createDataFrame(
+                rows, "ColumnName string, ColumnOrdinal long, "
+                      "DataType string")
         if op == "extend":
             for i, g in enumerate(_split_top_commas(_tokenize(rest))):
                 if len(g) >= 2 and g[0].kind == "ident" \
@@ -658,6 +879,12 @@ class KqlCompiler:
             return self._union(df, rest)
         if op == "parse":
             return self._parse(df, rest)
+        if op == "parse-where":
+            return self._parse(df, rest, where=True)
+        if op == "mv-apply":
+            return self._mv_apply(df, rest)
+        if op == "render":
+            return self._render(df, rest)
         if op == "top-nested":
             return self._top_nested(df, rest)
         if op == "lookup":
@@ -667,13 +894,147 @@ class KqlCompiler:
         raise ValueError(f"KQL: unsupported operator {op!r}")
 
     def _operand(self, text: str) -> DataFrame:
-        """A tabular operand: either ``(sub-pipeline)`` or a bare table."""
+        """A tabular operand: ``(sub-pipeline)``, an inline datatable,
+        or a bare table."""
         text = text.strip()
         if text.startswith("(") and text.endswith(")"):
             return self.compile(text[1:-1].strip())
+        if re.match(r"datatable\s*\(", text):
+            return self._datatable(text)
         if re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", text):
             return self.table(text)
         raise ValueError(f"KQL: bad tabular operand {text!r}")
+
+    _DT_TYPES = {"long": "long", "int": "int", "real": "double",
+                 "double": "double", "string": "string",
+                 "bool": "boolean", "boolean": "boolean",
+                 "datetime": "timestamp"}
+
+    def _datatable(self, text: str) -> DataFrame:
+        """``datatable (col:type, ...) [v1, v2, ...]`` — an inline
+        literal table (the standard Kusto idiom for small lookup/test
+        inputs). Values are scalar literal expressions laid out row-major;
+        the whole thing compiles to one local relation on the driver —
+        Catalyst folds it, and joins against it broadcast by size."""
+        m = re.match(r"datatable\s*\(([^)]*)\)\s*\[(.*)\]\s*$",
+                     text, re.DOTALL)
+        if not m:
+            raise ValueError("KQL: datatable (name:type, ...) [values]")
+        cols = []
+        for part in m.group(1).split(","):
+            bits = [b.strip() for b in part.split(":")]
+            if len(bits) != 2 or bits[1] not in self._DT_TYPES:
+                raise ValueError(f"KQL: bad datatable column {part!r}")
+            cols.append((bits[0], self._DT_TYPES[bits[1]]))
+        body = m.group(2).strip()
+        schema = ", ".join(f"`{n}` {t}" for n, t in cols)
+        if not body:
+            return self.spark.createDataFrame([], schema)
+        cells = [_parse_expr(g) for g in _split_top_commas(_tokenize(body))]
+        if len(cells) % len(cols):
+            raise ValueError(
+                f"KQL: datatable has {len(cells)} values for "
+                f"{len(cols)} columns (must be a multiple)")
+        row_sqls = []
+        for r in range(0, len(cells), len(cols)):
+            row_sqls.append("SELECT " + ", ".join(
+                f"CAST({cells[r + i]} AS {t}) AS `{n}`"
+                for i, (n, t) in enumerate(cols)))
+        return self.spark.sql(" UNION ALL ".join(row_sqls))
+
+    def _render(self, df: DataFrame, rest: str) -> DataFrame:
+        """``render <charttype> [with (...)]`` — a presentation hint with
+        no tabular effect; validated and discarded (this engine has no
+        chart surface; ADX renders client-side)."""
+        m = re.match(r"([a-z]+chart|table|card|timeline|areachart)"
+                     r"\s*(with\s*\(.*\))?\s*$", rest.strip(), re.DOTALL)
+        if not m:
+            raise ValueError(f"KQL: render: unknown chart type {rest!r}")
+        return df
+
+    def _mv_apply(self, df: DataFrame, rest: str) -> DataFrame:
+        """``mv-apply elem = arrayExpr on ( subquery )``: expand the
+        array per record, run the subquery over each record's expanded
+        rows, append its output to the record.
+
+        Spark-first shape: ONE lineage, no self-join — a synthetic
+        record id (monotonically_increasing_id, unique within the plan)
+        keys the per-record scope; a ``summarize`` inside the subquery
+        becomes groupBy(record_id [+ by-keys]) carrying the original
+        columns through with first() (all rows in a group share them);
+        ``top N by`` becomes a record-partitioned window. Everything
+        stays in codegen — no Python, one shuffle iff the subquery
+        aggregates."""
+        from pyspark.sql import Window
+
+        m = re.match(r"(?P<head>.+?)\s+on\s*\((?P<sub>.*)\)\s*$",
+                     rest, re.DOTALL)
+        if not m:
+            raise ValueError("KQL: mv-apply col = expr on ( ... )")
+        groups = _split_top_commas(_tokenize(m.group("head")))
+        if len(groups) != 1:
+            raise ValueError("KQL: mv-apply supports one applied column")
+        rid = "__mv_rid"
+        orig_cols = df.columns
+        name, sql = _named_expr(groups[0], df, "value")
+        out = (df.withColumn(rid, F.monotonically_increasing_id())
+                 .withColumn(name, F.explode(F.expr(sql))))
+        for stage in _split_pipes(m.group("sub")):
+            sm = re.match(r"([A-Za-z_-]+)\s*(.*)", stage, re.DOTALL)
+            sop, srest = sm.group(1).lower(), sm.group(2).strip()
+            if sop in ("where", "extend"):
+                out = self._apply(out, stage)
+            elif sop == "top":
+                m2 = re.match(r"(\d+)\s+by\s+(.*)", srest, re.DOTALL)
+                if not m2:
+                    raise ValueError("KQL: top N by expr")
+                w = Window.partitionBy(rid).orderBy(
+                    *self._sort_cols(out, m2.group(2)))
+                out = (out.withColumn("__mv_rn", F.row_number().over(w))
+                          .where(F.col("__mv_rn") <= int(m2.group(1)))
+                          .drop("__mv_rn"))
+            elif sop == "summarize":
+                out = self._mv_summarize(out, srest, rid, orig_cols)
+            else:
+                raise ValueError(
+                    f"KQL: mv-apply subquery operator {sop!r} not "
+                    f"supported (where/extend/top/summarize are)")
+        return out.drop(rid)
+
+    def _mv_summarize(self, df: DataFrame, rest: str, rid: str,
+                      orig_cols: list[str]) -> DataFrame:
+        """summarize inside mv-apply: per-record aggregation — group on
+        the record id (+ any explicit by-keys), carry original columns
+        with first() (constant within a record's group)."""
+        toks = _tokenize(rest)
+        by_idx, depth = None, 0
+        for i, t in enumerate(toks):
+            if t.text in ("(", "["):
+                depth += 1
+            elif t.text in (")", "]"):
+                depth -= 1
+            elif depth == 0 and t.kind == "ident" and t.text.lower() == "by":
+                by_idx = i
+                break
+        agg_toks = toks[:by_idx] if by_idx is not None else toks
+        key_toks = toks[by_idx + 1:] if by_idx is not None else []
+        aggs, agg_names = [], []
+        for i, g in enumerate(_split_top_commas(agg_toks)):
+            name, sql = _named_expr(g, df, f"agg{i}")
+            aggs.append(F.expr(sql).alias(name))
+            agg_names.append(name)
+        keys, key_names = [F.col(rid)], []
+        for i, g in enumerate(_split_top_commas(key_toks)):
+            name, sql = _named_expr(g, df, f"key{i}")
+            keys.append(F.expr(sql).alias(name))
+            key_names.append(name)
+        carry = [F.first(c).alias(c) for c in orig_cols
+                 if c not in agg_names and c not in key_names]
+        out = df.groupBy(*keys).agg(*carry, *aggs)
+        ordered = ([c for c in orig_cols
+                    if c not in agg_names and c not in key_names]
+                   + key_names + agg_names)
+        return out.select(rid, *ordered)
 
     def _top_nested(self, df: DataFrame, rest: str) -> DataFrame:
         """top-nested N1 of col1 by agg1, top-nested N2 of col2 by agg2...
@@ -719,8 +1080,11 @@ class KqlCompiler:
     _PARSE_TYPES = {"long": "bigint", "int": "int", "real": "double",
                     "double": "double", "string": None, None: None}
 
-    def _parse(self, df: DataFrame, rest: str) -> DataFrame:
+    def _parse(self, df: DataFrame, rest: str,
+               where: bool = False) -> DataFrame:
         """parse <col> with ['literal' | name[:type] | *]+
+        (``where=True`` = the parse-where operator: rows that do not
+        match the pattern are dropped instead of yielding nulls)
 
         Kusto's pattern-extraction operator: the literal/column sequence
         compiles to ONE anchored regex; each named column is a
@@ -768,6 +1132,8 @@ class KqlCompiler:
         # (the old nullif() folded it to null); typed columns get null
         # either way since try_cast('') is null.
         matched = F.col(src).rlike(pattern)
+        if where:
+            df = df.where(matched)
         for name, typ, gi, _pos in cols:
             c = F.regexp_extract(F.col(src), pattern, gi)
             sql_type = self._PARSE_TYPES[typ]
@@ -873,7 +1239,8 @@ class KqlCompiler:
         cols = []
         sqls = []
         for g in _split_top_commas(_tokenize(rest)):
-            desc = False
+            # Kusto default sort direction is DESCENDING (sort by / top)
+            desc = True
             if g and g[-1].kind == "ident" and g[-1].text.lower() in (
                     "asc", "desc"):
                 desc = g[-1].text.lower() == "desc"
@@ -975,6 +1342,8 @@ def kql_stream(df: DataFrame, query: str,
     comp.sf_dir = None
     comp._order = None
     comp._order_sql = None
+    comp._lets = {}
+    comp._scalar_lets = {}
     for stage in _split_pipes(query.lstrip().lstrip("|")):
         m = re.match(r"([A-Za-z_-]+)\s*(.*)", stage, re.DOTALL)
         op, rest = m.group(1).lower(), m.group(2).strip()

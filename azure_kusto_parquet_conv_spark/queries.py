@@ -3445,6 +3445,127 @@ def q_kql_make_series(spark, sf_dir):
     """)
 
 
+@query("q_kql_parse_where", r"""
+WITH p AS (
+  SELECT event_type,
+         TRY_CAST(regexp_extract(props, '^\{"k": (.*?)\}', 1)
+                  AS BIGINT) AS k
+  FROM events
+  WHERE regexp_matches(props, '^\{"k": (.*?)\}'))
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(k) AS BIGINT) AS k_sum
+FROM p GROUP BY event_type
+""")
+def q_kql_parse_where(spark, sf_dir):
+    """KQL parse-where: parse + drop non-matching rows. The match
+    predicate and the extractions compile into the same single-scan
+    regex (one rlike + regexp_extract per column, all codegen)."""
+    from azure_kusto_parquet_conv_spark.kql import kql
+    return kql(spark, sf_dir, """
+      events
+        | parse-where props with '{"k": ' k:long '}'
+        | summarize n=count(), k_sum=sum(k) by event_type
+    """)
+
+
+@query("q_kql_mv_apply", """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+       CAST(list_max(list_transform(string_split(text, ' '),
+                                    x -> length(x))) AS BIGINT) AS max_len
+FROM documents WHERE doc_id < 500
+""")
+def q_kql_mv_apply(spark, sf_dir):
+    """KQL mv-apply: per-record subquery over an expanded array. The
+    summarize inside the subquery groups on a synthetic record id (one
+    lineage, no self-join) and carries the record's columns via first();
+    the whole thing is explode -> one aggregation shuffle, all codegen."""
+    from azure_kusto_parquet_conv_spark.kql import kql
+    return kql(spark, sf_dir, """
+      documents
+        | where doc_id < 500
+        | extend toks = split(text, ' ')
+        | mv-apply t = toks on (
+            summarize n_toks = count(), max_len = tolong(max(strlen(t))) )
+        | project doc_id, n_toks, max_len
+    """)
+
+
+@query("q_kql_datatable_join", """
+SELECT n_nationkey, n_name, CAST(bonus AS DOUBLE) AS bonus
+FROM nation JOIN (VALUES (0, 1.5), (1, 2.5), (2, 3.5), (3, 4.5),
+                         (4, 5.5)) AS t(n_regionkey, bonus)
+     USING (n_regionkey)
+""")
+def q_kql_datatable_join(spark, sf_dir):
+    """KQL datatable: an inline literal table as a lookup dimension.
+    Compiles to a driver-local relation that Catalyst constant-folds and
+    broadcasts — the canonical small-dim enrichment at any scale."""
+    from azure_kusto_parquet_conv_spark.kql import kql
+    return kql(spark, sf_dir, """
+      nation
+        | lookup kind=inner (datatable (n_regionkey:int, bonus:real) [
+            0, 1.5,  1, 2.5,  2, 3.5,  3, 4.5,  4, 5.5
+          ]) on n_regionkey
+        | project n_nationkey, n_name, bonus
+    """)
+
+
+@query("q_kql_let_pipeline", """
+SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(l_quantity), 2) AS qty
+FROM lineitem WHERE l_quantity > 30
+GROUP BY l_returnflag
+""")
+def q_kql_let_pipeline(spark, sf_dir):
+    """KQL let statements: a scalar let (textually folded, so Catalyst
+    sees a constant) and a tabular let (a named DataFrame reused as a
+    source) feeding the final pipeline."""
+    from azure_kusto_parquet_conv_spark.kql import kql
+    return kql(spark, sf_dir, """
+      let cutoff = 30;
+      let big = lineitem | where l_quantity > cutoff;
+      big | summarize n = count(), qty = round(sum(l_quantity), 2)
+            by l_returnflag
+    """)
+
+
+@query("q_kql_cond_aggs", """
+SELECT l_linestatus,
+       ROUND(SUM(CASE WHEN l_discount > 0.05 THEN l_quantity END), 2)
+         AS hi_qty,
+       CAST(COUNT(DISTINCT CASE WHEN l_discount > 0.05
+                   THEN l_orderkey END) AS BIGINT) AS hi_orders,
+       ROUND(stddev_samp(l_quantity), 4) AS sd
+FROM lineitem GROUP BY l_linestatus
+""")
+def q_kql_cond_aggs(spark, sf_dir):
+    """KQL conditional aggregates (sumif/dcountif) + stdev: all compile
+    to CASE-gated JVM aggregates — one shuffle, map-side partials."""
+    from azure_kusto_parquet_conv_spark.kql import kql
+    return kql(spark, sf_dir, """
+      lineitem
+        | summarize hi_qty = round(sumif(l_quantity, l_discount > 0.05), 2),
+                    hi_orders = dcountif(l_orderkey, l_discount > 0.05),
+                    sd = round(stdev(l_quantity), 4)
+          by l_linestatus
+    """)
+
+
+@query("q_kql_render", """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY event_type
+""")
+def q_kql_render(spark, sf_dir):
+    """KQL render: a client-side presentation hint — validated, then a
+    tabular no-op (ADX renders charts client-side; the engine's job is
+    the tabular result)."""
+    from azure_kusto_parquet_conv_spark.kql import kql
+    return kql(spark, sf_dir, """
+      events | summarize n=count() by event_type | render barchart
+    """)
+
+
 # =======================================================================
 # Catalog ordering: the correctness driver hash-compares the FIRST 50
 # insertion-ordered entries against their oracles. Registration above is

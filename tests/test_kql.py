@@ -478,3 +478,161 @@ def test_startof_scalars(spark, sf_dir):
         # Kusto weeks start Sunday: w is the latest Sunday <= ts
         assert r["w"].weekday() == 6 and r["w"] <= t \
             and t - r["w"] < dt.timedelta(days=7)
+
+
+def test_datatable_inline_literal_table(spark, sf_dir):
+    out = kql(spark, sf_dir, """
+      datatable (k:long, name:string, when:datetime) [
+        1, 'one', datetime(2024-01-01),
+        2, 'two', datetime(2024-06-15T12:30:00)
+      ]
+    """).orderBy("k").collect()
+    assert [r["name"] for r in out] == ["one", "two"]
+    assert out[1]["when"].hour == 12 and out[1]["when"].minute == 30
+    got = kql(spark, sf_dir, "datatable (x:long) []")
+    assert got.count() == 0 and dict(got.dtypes)["x"] == "bigint"
+
+
+def test_datatable_value_count_mismatch_rejected(spark, sf_dir):
+    with pytest.raises(ValueError, match="multiple"):
+        kql(spark, sf_dir, "datatable (a:long, b:long) [1, 2, 3]")
+
+
+def test_render_is_tabular_noop(spark, sf_dir):
+    base = kql(spark, sf_dir, "region | sort by r_regionkey asc")
+    rendered = kql(spark, sf_dir,
+                   "region | sort by r_regionkey asc | render barchart")
+    assert rendered.collect() == base.collect()
+    with pytest.raises(ValueError, match="chart"):
+        kql(spark, sf_dir, "region | render hologram3d")
+
+
+def test_parse_where_drops_non_matching_rows(spark, sf_dir):
+    kept = kql(spark, sf_dir, """
+      events | parse-where props with 'nonexistent-prefix ' v:long
+    """)
+    assert kept.count() == 0
+    matched = kql(spark, sf_dir, """
+      events | parse-where props with '{"k": ' k:long '}'
+    """)
+    assert matched.where(F.col("k").isNull()).count() == 0 or \
+        matched.count() > 0  # all kept rows matched the pattern
+
+
+def test_mv_apply_summarize_per_record(spark, sf_dir):
+    out = kql(spark, sf_dir, """
+      datatable (id:long, s:string) [ 1, 'a bb ccc', 2, 'x y' ]
+        | extend toks = split(s, ' ')
+        | mv-apply t = toks on (
+            summarize n = count(), mx = tolong(max(strlen(t))) )
+        | project id, n, mx
+    """)
+    got = {r["id"]: (r["n"], r["mx"]) for r in out.collect()}
+    assert got == {1: (3, 3), 2: (2, 1)}
+
+
+def test_mv_apply_where_and_top(spark, sf_dir):
+    # Kusto default sort direction is desc: top 1 by strlen = longest
+    out = kql(spark, sf_dir, """
+      datatable (id:long, s:string) [ 1, 'bb a ccc', 2, 'x yy' ]
+        | extend toks = split(s, ' ')
+        | mv-apply t = toks on ( where strlen(t) > 1 | top 1 by strlen(t) )
+        | project id, t
+    """)
+    got = {r["id"]: r["t"] for r in out.collect()}
+    assert got == {1: "ccc", 2: "yy"}
+
+
+def test_mv_apply_rejects_unsupported_subop(spark, sf_dir):
+    with pytest.raises(ValueError, match="mv-apply subquery"):
+        kql(spark, sf_dir, """
+          datatable (id:long) [1] | extend a = split('x y', ' ')
+            | mv-apply t = a on ( distinct t )
+        """)
+
+
+def test_top_defaults_to_descending(spark, sf_dir):
+    # Kusto: `top N by x` means the N LARGEST by default
+    out = kql(spark, sf_dir, "orders | top 3 by o_totalprice").collect()
+    prices = [r["o_totalprice"] for r in out]
+    assert prices == sorted(prices, reverse=True)
+    mx = kql(spark, sf_dir,
+             "orders | summarize m = max(o_totalprice)").collect()[0]["m"]
+    assert prices[0] == mx
+
+
+def test_let_scalar_and_tabular(spark, sf_dir):
+    out = kql(spark, sf_dir, """
+      let cutoff = 30;
+      let big = lineitem | where l_quantity > cutoff;
+      big | summarize n = count() by l_returnflag
+    """)
+    want = kql(spark, sf_dir, """
+      lineitem | where l_quantity > 30 | summarize n = count() by l_returnflag
+    """)
+    assert sorted(map(tuple, out.collect())) == \
+        sorted(map(tuple, want.collect()))
+
+
+def test_let_scalar_not_substituted_inside_strings(spark, sf_dir):
+    out = kql(spark, sf_dir, """
+      let x = 7;
+      print lit = 'x marks', v = x
+    """).collect()[0]
+    assert out["lit"] == "x marks" and out["v"] == 7
+
+
+def test_print_one_row_table(spark, sf_dir):
+    r = kql(spark, sf_dir,
+            "print x = 1 + 2, s = strcat('a', 'b')").collect()
+    assert len(r) == 1 and r[0]["x"] == 3 and r[0]["s"] == "ab"
+
+
+def test_project_rename_keep_reorder(spark, sf_dir):
+    df = kql(spark, sf_dir, """
+      nation | project-rename key = n_nationkey
+             | project-keep key, n_name
+    """)
+    assert df.columns == ["key", "n_name"]
+    df2 = kql(spark, sf_dir, "nation | project-reorder n_name")
+    assert df2.columns[0] == "n_name" and set(df2.columns) == \
+        {"n_name", "n_nationkey", "n_regionkey"}
+
+
+def test_getschema_and_serialize(spark, sf_dir):
+    rows = kql(spark, sf_dir, "region | serialize | getschema").collect()
+    assert [(r["ColumnName"], r["ColumnOrdinal"]) for r in rows] == \
+        [("r_regionkey", 0), ("r_name", 1)]
+
+
+def test_scalar_function_battery(spark, sf_dir):
+    r = kql(spark, sf_dir, """
+      print a = isempty(''), b = isnotempty('x'),
+            c = indexof('hello', 'll'), miss = indexof('hello', 'zz'),
+            d = countof('aXbXc', 'X'),
+            e = replace_string('a-b', '-', '+'),
+            f = trim('x+', 'xxhixx'), fs = trim_start('x+', 'xxhix'),
+            g = strrep('ab', 3),
+            h = format_datetime(datetime(2024-03-05T07:09:11), 'yyyy-MM-dd'),
+            i = getyear(datetime(2024-03-05)),
+            j = todatetime('2024-03-05 00:00:00')
+    """).collect()[0]
+    assert r["a"] is True and r["b"] is True
+    assert r["c"] == 2 and r["miss"] == -1 and r["d"] == 2
+    assert r["e"] == "a+b" and r["f"] == "hi" and r["fs"] == "hix"
+    assert r["g"] == "ababab" and r["h"] == "2024-03-05"
+    assert r["i"] == 2024 and r["j"].year == 2024
+
+
+def test_conditional_aggregates_match_manual(spark, sf_dir):
+    got = kql(spark, sf_dir, """
+      lineitem | summarize hi = round(sumif(l_quantity, l_discount > 0.05), 2),
+                           n_hi = dcountif(l_orderkey, l_discount > 0.05)
+    """).collect()[0]
+    want = (load_table(spark, sf_dir, "lineitem")
+            .agg(F.round(F.sum(F.when(F.col("l_discount") > 0.05,
+                                      F.col("l_quantity"))), 2).alias("hi"),
+                 F.count_distinct(F.when(F.col("l_discount") > 0.05,
+                                         F.col("l_orderkey"))).alias("n_hi"))
+            ).collect()[0]
+    assert got["hi"] == want["hi"] and got["n_hi"] == want["n_hi"]
