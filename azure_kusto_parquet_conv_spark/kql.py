@@ -126,6 +126,32 @@ _AGG_FNS = {"count", "countif", "sum", "avg", "min", "max", "dcount",
 _CMP = {"==": "=", "!=": "<>", "<": "<", "<=": "<=", ">": ">", ">=": ">="}
 
 
+_NUM_LIT_RE = re.compile(r"-?\s*\d+(?:\.\d+)?(?:[eE][+-]?\d+)?$")
+
+
+def _coerce_variant_cmp(lhs: str, rhs: str) -> tuple[str, str]:
+    """Kusto compares dynamics loosely; Spark VARIANT needs an explicit
+    cast. When one comparison side is a variant path and the other is a
+    typed literal, cast the variant side to the literal's type (double
+    for numbers — Kusto dynamic numerics compare as real; string for
+    string literals)."""
+    def fix(var_side: str, other: str) -> str:
+        o = other.strip("() ")
+        if _NUM_LIT_RE.fullmatch(o):
+            return f"CAST({var_side} AS DOUBLE)"
+        if o.startswith("'") and o.endswith("'"):
+            return f"CAST({var_side} AS STRING)"
+        return var_side
+
+    is_l = lhs.lstrip("(").startswith("variant_get(")
+    is_r = rhs.lstrip("(").startswith("variant_get(")
+    if is_l and not is_r:
+        lhs = fix(lhs, rhs)
+    elif is_r and not is_l:
+        rhs = fix(rhs, lhs)
+    return lhs, rhs
+
+
 class _ExprParser:
     """Pratt parser over the token list; emits a Spark SQL string."""
 
@@ -377,6 +403,13 @@ class _ExprParser:
             if len(args) != 3:
                 raise ValueError("KQL: replace_regex(text, regex, rewrite)")
             return f"regexp_replace({args[0]}, {args[1]}, {args[2]})"
+        if fname in ("parse_json", "todynamic"):
+            # Kusto dynamic == Spark 4 VARIANT: binary-encoded
+            # semi-structured values, predicate/path evaluation without
+            # re-parsing JSON text per access
+            if len(args) != 1:
+                raise ValueError(f"KQL: {fname}(text) takes 1 arg")
+            return f"parse_json(CAST({args[0]} AS STRING))"
         if fname == "todatetime":
             return f"CAST({args[0]} AS TIMESTAMP)"
         if fname == "tobool":
@@ -445,7 +478,9 @@ class _ExprParser:
         if low == "or":
             return f"({lhs} OR {self.parse(bp + 1)})"
         if t.text in _CMP:
-            return f"({lhs} {_CMP[t.text]} {self.parse(bp + 1)})"
+            rhs = self.parse(bp + 1)
+            lhs, rhs = _coerce_variant_cmp(lhs, rhs)
+            return f"({lhs} {_CMP[t.text]} {rhs})"
         if low == "=~":
             return f"(lower({lhs}) = lower({self.parse(bp + 1)}))"
         if low in ("in", "!in"):
@@ -517,6 +552,20 @@ def _render_bin(df: DataFrame, arg_sql: str, size_tok: Tok) -> str:
 # ----------------------------------------------------------------------
 # Pipeline splitter / compiler
 # ----------------------------------------------------------------------
+
+def _explodable(df: DataFrame, sql: str):
+    """Column for explode(): a dynamic (VARIANT) array casts to
+    array<variant> first — Kusto's mv-expand over dynamic — while native
+    arrays pass through untouched. Schema probe only, no job."""
+    c = F.expr(sql)
+    try:
+        dtype = df.select(c).schema.fields[0].dataType.typeName()
+    except Exception:
+        return c
+    if dtype == "variant":
+        return F.expr(f"CAST(({sql}) AS ARRAY<VARIANT>)")
+    return c
+
 
 def _split_top_semis(q: str) -> list[str]:
     """Split a multi-statement query on top-level ';' (KQL let-statement
@@ -662,6 +711,25 @@ def _compile_expr_tokens(toks: list[Tok], df: DataFrame,
             out.append(Tok("rendered", rendered))
             i = j + 1
             continue
+        if (t.kind == "ident" and "." in t.text
+                and not t.text.startswith("$")):
+            # dynamic member access: d.k.j on a VARIANT column compiles
+            # to a variant_get path (binary path walk, no JSON re-parse);
+            # struct columns keep native dot access
+            base = t.text.split(".", 1)[0]
+            try:
+                is_variant = any(
+                    f.name == base
+                    and f.dataType.typeName() == "variant"
+                    for f in df.schema.fields)
+            except Exception:
+                is_variant = False
+            if is_variant:
+                path = t.text.split(".", 1)[1]
+                out.append(Tok(
+                    "rendered", f"variant_get(`{base}`, '$.{path}')"))
+                i += 1
+                continue
         out.append(t)
         i += 1
     # re-parse with rendered fragments treated as atoms
@@ -872,7 +940,7 @@ class KqlCompiler:
             if len(g) != 1:
                 raise ValueError("KQL: mv-expand takes one column/expr")
             name, sql = _named_expr(g[0], df, "value")
-            return df.withColumn(name, F.explode(F.expr(sql)))
+            return df.withColumn(name, F.explode(_explodable(df, sql)))
         if op == "join":
             return self._join(df, rest)
         if op == "union":
@@ -978,7 +1046,7 @@ class KqlCompiler:
         orig_cols = df.columns
         name, sql = _named_expr(groups[0], df, "value")
         out = (df.withColumn(rid, F.monotonically_increasing_id())
-                 .withColumn(name, F.explode(F.expr(sql))))
+                 .withColumn(name, F.explode(_explodable(df, sql))))
         for stage in _split_pipes(m.group("sub")):
             sm = re.match(r"([A-Za-z_-]+)\s*(.*)", stage, re.DOTALL)
             sop, srest = sm.group(1).lower(), sm.group(2).strip()

@@ -3552,6 +3552,30 @@ def q_kql_cond_aggs(spark, sf_dir):
     """)
 
 
+@query("q_kql_dynamic", """
+WITH p AS (
+  SELECT event_type,
+         TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(k) AS BIGINT) AS k_sum
+FROM p WHERE k > 50 GROUP BY event_type
+""")
+def q_kql_dynamic(spark, sf_dir):
+    """Kusto dynamic over Spark 4 VARIANT: parse_json materializes the
+    binary-encoded value ONCE, then every d.path access is a
+    variant_get path walk — no per-access JSON re-parse, unlike chained
+    get_json_object calls. Typed comparisons cast variant-side per the
+    literal's type (Kusto loose-compare semantics)."""
+    from azure_kusto_parquet_conv_spark.kql import kql
+    return kql(spark, sf_dir, """
+      events
+        | extend d = parse_json(props)
+        | where d.k > 50
+        | summarize n = count(), k_sum = sum(tolong(d.k)) by event_type
+    """)
+
+
 @query("q_kql_render", """
 SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
 FROM events GROUP BY event_type

@@ -636,3 +636,57 @@ def test_conditional_aggregates_match_manual(spark, sf_dir):
                                          F.col("l_orderkey"))).alias("n_hi"))
             ).collect()[0]
     assert got["hi"] == want["hi"] and got["n_hi"] == want["n_hi"]
+
+
+def test_dynamic_parse_json_path_access(spark, sf_dir):
+    out = kql(spark, sf_dir, """
+      events
+        | extend d = parse_json(props)
+        | where d.k > 50
+        | summarize n = count(), ksum = sum(tolong(d.k)) by event_type
+    """)
+    want = (load_table(spark, sf_dir, "events")
+            .withColumn("k", F.get_json_object("props", "$.k").cast("long"))
+            .where(F.col("k") > 50)
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"), F.sum("k").alias("ksum")))
+    assert sorted(map(tuple, out.collect())) == \
+        sorted(map(tuple, want.collect()))
+
+
+def test_dynamic_string_compare_and_tostring(spark, sf_dir):
+    r = kql(spark, sf_dir, """
+      print j = '{"name": "ada"}'
+        | extend d = todynamic(j)
+        | where d.name == 'ada'
+        | project who = tostring(d.name)
+    """).collect()
+    assert len(r) == 1 and r[0]["who"] == "ada"
+
+
+def test_dynamic_nested_path(spark, sf_dir):
+    r = kql(spark, sf_dir, """
+      print j = '{"a": {"b": {"c": 7}}}'
+        | extend d = parse_json(j)
+        | project v = tolong(d.a.b.c)
+    """).collect()[0]
+    assert r["v"] == 7
+
+
+def test_mv_expand_dynamic_array(spark, sf_dir):
+    out = kql(spark, sf_dir, """
+      print j = '{"xs": [1,2,3]}'
+        | extend d = parse_json(j)
+        | mv-expand x = d.xs
+        | project v = tolong(x)
+    """).collect()
+    assert sorted(r["v"] for r in out) == [1, 2, 3]
+
+
+def test_dynamic_missing_key_is_null(spark, sf_dir):
+    r = kql(spark, sf_dir, """
+      print j = '{"k": 1}'
+        | extend d = parse_json(j)
+        | project miss = tostring(d.nope)
+    """).collect()[0]
+    assert r["miss"] is None
