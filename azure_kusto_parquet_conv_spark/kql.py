@@ -452,6 +452,65 @@ class _ExprParser:
             fn = {"getyear": "year", "getmonth": "month",
                   "dayofmonth": "day", "hourofday": "hour"}[fname]
             return f"{fn}({args[0]})"
+        if fname in ("endofday", "endofweek", "endofmonth", "endofyear"):
+            if len(args) != 1:
+                raise ValueError(f"KQL: {fname}(ts) takes 1 arg")
+            if fname == "endofweek":
+                # Sunday-based weeks (see startofweek): next week start - 1µs
+                return (f"(date_trunc('WEEK', {args[0]} + INTERVAL 8 DAY)"
+                        f" - INTERVAL 1 DAY - INTERVAL 1 MICROSECOND)")
+            unit = {"endofday": "DAY", "endofmonth": "MONTH",
+                    "endofyear": "YEAR"}[fname]
+            step = {"endofday": "INTERVAL 1 DAY",
+                    "endofmonth": "INTERVAL 1 MONTH",
+                    "endofyear": "INTERVAL 12 MONTH"}[fname]
+            return (f"(date_trunc('{unit}', {args[0]}) + {step} "
+                    f"- INTERVAL 1 MICROSECOND)")
+        if fname == "dayofweek":
+            # Kusto returns a TIMESPAN (days since Sunday); timespans in
+            # this compiler are microseconds, so 'dayofweek(t) == 1d'
+            # compares correctly (Spark dayofweek: 1=Sunday)
+            return f"(CAST(dayofweek({args[0]}) - 1 AS BIGINT) * 86400000000)"
+        if fname == "pack_array":
+            return f"array({', '.join(args)})"
+        if fname == "array_length":
+            return f"CAST(size({args[0]}) AS BIGINT)"
+        if fname == "array_concat":
+            return f"concat({', '.join(args)})"
+        if fname == "array_index_of":
+            # 0-based; -1 when absent (array_position is 1-based/0)
+            if len(args) != 2:
+                raise ValueError("KQL: array_index_of(arr, value)")
+            return f"(CAST(array_position({args[0]}, {args[1]}) AS BIGINT) - 1)"
+        if fname == "array_slice":
+            # Kusto: 0-based inclusive [start, end]
+            if len(args) != 3:
+                raise ValueError("KQL: array_slice(arr, start, end)")
+            a, s, e = args
+            return f"slice({a}, ({s}) + 1, ({e}) - ({s}) + 1)"
+        if fname == "array_sort_asc":
+            return f"array_sort({args[0]})"
+        if fname == "array_sort_desc":
+            return f"reverse(array_sort({args[0]}))"
+        if fname == "set_union":
+            out = args[0]
+            for a in args[1:]:
+                out = f"array_union({out}, {a})"
+            return out
+        if fname == "set_intersect":
+            out = args[0]
+            for a in args[1:]:
+                out = f"array_intersect({out}, {a})"
+            return out
+        if fname == "set_difference":
+            out = args[0]
+            for a in args[1:]:
+                out = f"array_except({out}, {a})"
+            return out
+        if fname == "strcat_delim":
+            if len(args) < 2:
+                raise ValueError("KQL: strcat_delim(delim, arg1, ...)")
+            return f"concat_ws({', '.join(args)})"
         if fname in ("sumif", "avgif", "minif", "maxif", "dcountif"):
             if len(args) != 2:
                 raise ValueError(f"KQL: {fname}(expr, predicate)")
@@ -690,8 +749,9 @@ def _compile_expr_tokens(toks: list[Tok], df: DataFrame,
                            f"{', '.join(order_sql)})"))
             i = j + 1
             continue
-        if (t.kind == "ident" and t.text.lower() == "bin"
+        if (t.kind == "ident" and t.text.lower() in ("bin", "bin_at")
                 and i + 1 < len(toks) and toks[i + 1].text == "("):
+            fn = t.text.lower()
             # find matching close paren
             depth, j = 0, i + 1
             while j < len(toks):
@@ -704,10 +764,30 @@ def _compile_expr_tokens(toks: list[Tok], df: DataFrame,
                 j += 1
             inner = toks[i + 2:j]
             groups = _split_top_commas(inner)
-            if len(groups) != 2 or len(groups[1]) != 1:
-                raise ValueError("KQL: bin(expr, literal_size)")
-            arg_sql = _compile_expr_tokens(groups[0], df)
-            rendered = _render_bin(df, arg_sql, groups[1][0])
+            if fn == "bin":
+                if len(groups) != 2 or len(groups[1]) != 1:
+                    raise ValueError("KQL: bin(expr, literal_size)")
+                arg_sql = _compile_expr_tokens(groups[0], df)
+                rendered = _render_bin(df, arg_sql, groups[1][0])
+            else:
+                if len(groups) != 3 or len(groups[1]) != 1:
+                    raise ValueError(
+                        "KQL: bin_at(expr, literal_size, fixedPoint)")
+                arg_sql = _compile_expr_tokens(groups[0], df)
+                fp_sql = _compile_expr_tokens(groups[2], df)
+                size_tok = groups[1][0]
+                # floored alignment via pmod, so buckets BELOW the fixed
+                # point land correctly (integer div truncates toward 0)
+                if size_tok.kind == "timespan":
+                    us = _timespan_to_us(size_tok.text)
+                    rendered = (
+                        f"timestamp_micros(unix_micros({arg_sql}) - "
+                        f"pmod(unix_micros({arg_sql}) - "
+                        f"unix_micros({fp_sql}), {us}))")
+                else:
+                    size = size_tok.text
+                    rendered = (f"(({arg_sql}) - pmod(({arg_sql}) - "
+                                f"({fp_sql}), {size}))")
             out.append(Tok("rendered", rendered))
             i = j + 1
             continue
@@ -831,7 +911,26 @@ class KqlCompiler:
             return self._datatable(text)
         if re.match(r"print\b", text):
             return self._print(text)
+        if re.match(r"range\b", text):
+            return self._range(text)
         return self.table(text)
+
+    def _range(self, text: str) -> DataFrame:
+        """``range x from a to b step s`` — a generated numeric source
+        (spark.range: no input, splits across the cluster; Kusto's
+        inclusive upper bound preserved)."""
+        m = re.match(r"range\s+(\w+)\s+from\s+(-?\d+)\s+to\s+(-?\d+)"
+                     r"\s+step\s+(-?\d+)\s*$", text)
+        if not m:
+            raise ValueError("KQL: range name from a to b step s "
+                             "(integer bounds)")
+        name, a, b, s = (m.group(1), int(m.group(2)), int(m.group(3)),
+                         int(m.group(4)))
+        if s == 0:
+            raise ValueError("KQL: range step must be nonzero")
+        end = b + (1 if s > 0 else -1)  # Kusto's bound is inclusive
+        return self.spark.range(a, end, s).select(
+            F.col("id").alias(name))
 
     def _print(self, text: str) -> DataFrame:
         """``print [name =] expr [, ...]`` — a one-row literal table."""
@@ -953,6 +1052,48 @@ class KqlCompiler:
             return self._mv_apply(df, rest)
         if op == "render":
             return self._render(df, rest)
+        if op == "as":
+            # names the intermediate result for later operands
+            name = rest.strip()
+            if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+                raise ValueError(f"KQL: as needs a plain name, got {name!r}")
+            self._lets[name] = df
+            return df
+        if op == "top-hitters":
+            # top-hitters N of col [by sumExpr]: heavy-hitter summary.
+            # Exact here (Kusto's is approximate): one partial-agg
+            # shuffle + TakeOrdered — no global sort materialization.
+            m2 = re.match(r"(\d+)\s+of\s+(\w+)(?:\s+by\s+(.*))?$",
+                          rest, re.DOTALL)
+            if not m2:
+                raise ValueError("KQL: top-hitters N of col [by expr]")
+            n, col, by = int(m2.group(1)), m2.group(2), m2.group(3)
+            if by:
+                sql = _compile_expr_tokens(_tokenize(by), df)
+                out_name = f"approximate_sum_{col}"
+                agg = F.expr(f"sum({sql})").alias(out_name)
+            else:
+                out_name = f"approximate_count_{col}"
+                agg = F.count("*").cast("long").alias(out_name)
+            return (df.groupBy(col).agg(agg)
+                      .orderBy(F.col(out_name).desc(), F.col(col))
+                      .limit(n))
+        if op in ("sample", "sample-distinct"):
+            # Kusto's sample is nondeterministic; here it is a SEEDED
+            # hash-order sample (documented): deterministic across runs
+            # and executors, compiles to TakeOrderedAndProject
+            if op == "sample":
+                n = int(rest)
+                key = F.xxhash64(F.struct(*[F.col(c) for c in df.columns]))
+                return df.orderBy(key).limit(n)
+            m2 = re.match(r"(\d+)\s+of\s+(\w+)\s*$", rest)
+            if not m2:
+                raise ValueError("KQL: sample-distinct N of col")
+            n, col = int(m2.group(1)), m2.group(2)
+            return (df.select(col).distinct()
+                      .orderBy(F.xxhash64(F.col(col))).limit(n))
+        if op == "evaluate":
+            return self._evaluate(df, rest)
         if op == "top-nested":
             return self._top_nested(df, rest)
         if op == "lookup":
@@ -1009,6 +1150,60 @@ class KqlCompiler:
                 f"CAST({cells[r + i]} AS {t}) AS `{n}`"
                 for i, (n, t) in enumerate(cols)))
         return self.spark.sql(" UNION ALL ".join(row_sqls))
+
+    _VARIANT_SCALARS = {"BIGINT", "INT", "SMALLINT", "TINYINT", "STRING",
+                        "DOUBLE", "FLOAT", "BOOLEAN", "DATE", "TIMESTAMP"}
+
+    def _evaluate(self, df: DataFrame, rest: str) -> DataFrame:
+        """``evaluate bag_unpack(col)``: expand a dynamic (VARIANT)
+        property bag into typed top-level columns.
+
+        Two phases, like Kusto's own plugin: (1) one aggregation job
+        computes the merged bag schema (schema_of_variant_agg — partial
+        merge, tiny result), (2) the projection adds one variant_get per
+        discovered key, typed when the merged schema gives a scalar type
+        and left dynamic otherwise."""
+        m = re.match(r"(\w+)\s*\((.*)\)\s*$", rest, re.DOTALL)
+        if not m:
+            raise ValueError("KQL: evaluate plugin(args)")
+        plugin, argtext = m.group(1).lower(), m.group(2).strip()
+        if plugin != "bag_unpack":
+            raise ValueError(f"KQL: evaluate plugin {plugin!r} not "
+                             f"supported (bag_unpack is)")
+        col = argtext.strip("` ")
+        if dict(df.dtypes).get(col) != "variant":
+            raise ValueError(f"KQL: bag_unpack needs a dynamic column, "
+                             f"{col!r} is {dict(df.dtypes).get(col)!r}")
+        schema_str = df.agg(
+            F.expr(f"schema_of_variant_agg(`{col}`)")).first()[0]
+        if not (schema_str or "").startswith("OBJECT<"):
+            raise ValueError(
+                f"KQL: bag_unpack: {col!r} holds {schema_str!r}, "
+                f"not an object bag")
+        inner = schema_str[len("OBJECT<"):-1]
+        fields, depth, cur = [], 0, []
+        for ch in inner:
+            if ch in "<(":
+                depth += 1
+            elif ch in ">)":
+                depth -= 1
+            if ch == "," and depth == 0:
+                fields.append("".join(cur)); cur = []
+            else:
+                cur.append(ch)
+        if cur:
+            fields.append("".join(cur))
+        news = []
+        for fld in fields:
+            name, typ = fld.split(":", 1)
+            name, typ = name.strip(), typ.strip()
+            if typ in self._VARIANT_SCALARS or typ.startswith("DECIMAL("):
+                c = F.expr(f"variant_get(`{col}`, '$.{name}', '{typ}')")
+            else:  # nested object/array stays dynamic
+                c = F.expr(f"variant_get(`{col}`, '$.{name}')")
+            news.append(c.alias(name))
+        keep = [F.col(c) for c in df.columns if c != col]
+        return df.select(*keep, *news)
 
     def _render(self, df: DataFrame, rest: str) -> DataFrame:
         """``render <charttype> [with (...)]`` — a presentation hint with
@@ -1321,6 +1516,12 @@ class KqlCompiler:
         return cols
 
     def _summarize(self, df: DataFrame, rest: str):
+        # hint.shufflekey=col: pre-partition on the hinted key so the
+        # aggregation exchange reuses it (Kusto's shuffle strategy hint)
+        mh = re.match(r"hint\.shufflekey\s*=\s*(\w+)\s+(.*)$",
+                      rest, re.DOTALL)
+        if mh:
+            df, rest = df.repartition(F.col(mh.group(1))), mh.group(2)
         # split on top-level ' by '
         toks = _tokenize(rest)
         by_idx = None

@@ -3576,6 +3576,78 @@ def q_kql_dynamic(spark, sf_dir):
     """)
 
 
+@query("q_kql_range_sum", """
+SELECT CAST(SUM(x) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MAX(x) AS BIGINT) AS mx
+FROM generate_series(1, 100, 3) t(x)
+""")
+def q_kql_range_sum(spark, sf_dir):
+    """KQL range source: a generated numeric table (spark.range — no
+    scan, partitions split across the cluster), inclusive upper bound
+    per Kusto."""
+    from azure_kusto_parquet_conv_spark.kql import kql
+    return kql(spark, sf_dir, """
+      range x from 1 to 100 step 3
+        | summarize s = sum(x), n = count(), mx = max(x)
+    """)
+
+
+@query("q_kql_top_hitters", """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS approximate_count_event_type
+FROM events GROUP BY event_type
+ORDER BY approximate_count_event_type DESC, event_type LIMIT 3
+""")
+def q_kql_top_hitters(spark, sf_dir):
+    """KQL top-hitters: heavy-hitter summary (exact here where Kusto
+    approximates — strictly stronger). Partial-agg shuffle + TakeOrdered;
+    no global sort materialization."""
+    from azure_kusto_parquet_conv_spark.kql import kql
+    return kql(spark, sf_dir, "events | top-hitters 3 of event_type")
+
+
+@query("q_kql_bin_at", """
+SELECT (epoch_us(CAST(ts AS TIMESTAMP)) -
+        ((epoch_us(CAST(ts AS TIMESTAMP)) - 21600000000) % 86400000000
+         + 86400000000) % 86400000000) AS win_us,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY win_us
+""")
+def q_kql_bin_at(spark, sf_dir):
+    """KQL bin_at: fixed-point-aligned daily buckets (6:00-anchored).
+    Floored alignment via pmod so pre-anchor rows bucket correctly."""
+    from azure_kusto_parquet_conv_spark.kql import kql
+    return kql(spark, sf_dir, """
+      events
+        | summarize n = count()
+            by w = bin_at(ts, 1d, datetime(1970-01-01T06:00:00))
+        | project win_us = unix_micros(w), n
+    """)
+
+
+@query("q_kql_bag_unpack", """
+WITH p AS (SELECT event_type,
+                  TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+           FROM events)
+SELECT event_type, CAST(SUM(k) AS BIGINT) AS k_sum,
+       CAST(COUNT(k) AS BIGINT) AS k_present
+FROM p GROUP BY event_type
+""")
+def q_kql_bag_unpack(spark, sf_dir):
+    """KQL evaluate bag_unpack: dynamic property bag -> typed columns.
+    Two phases like Kusto's plugin: a tiny schema_of_variant_agg merge
+    job discovers the union schema, then one typed variant_get per key."""
+    from azure_kusto_parquet_conv_spark.kql import kql
+    return kql(spark, sf_dir, """
+      events
+        | extend d = parse_json(props)
+        | project event_type, d
+        | evaluate bag_unpack(d)
+        | summarize k_sum = sum(k), k_present = countif(isnotnull(k))
+            by event_type
+    """)
+
+
 @query("q_kql_render", """
 SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
 FROM events GROUP BY event_type

@@ -690,3 +690,111 @@ def test_dynamic_missing_key_is_null(spark, sf_dir):
         | project miss = tostring(d.nope)
     """).collect()[0]
     assert r["miss"] is None
+
+
+def test_range_source_inclusive_bounds(spark, sf_dir):
+    xs = [r["x"] for r in kql(
+        spark, sf_dir, "range x from 1 to 10 step 3").collect()]
+    assert sorted(xs) == [1, 4, 7, 10]
+    neg = [r["v"] for r in kql(
+        spark, sf_dir, "range v from 5 to 1 step -2").collect()]
+    assert sorted(neg) == [1, 3, 5]
+
+
+def test_as_names_intermediate_result(spark, sf_dir):
+    out = kql(spark, sf_dir, """
+      nation | where n_regionkey == 0 | as af
+        | union (af)
+        | count
+    """).collect()[0]["count_"]
+    single = kql(spark, sf_dir,
+                 "nation | where n_regionkey == 0 | count"
+                 ).collect()[0]["count_"]
+    assert out == 2 * single
+
+
+def test_top_hitters_exact_counts(spark, sf_dir):
+    rows = kql(spark, sf_dir,
+               "events | top-hitters 2 of event_type").collect()
+    want = (load_table(spark, sf_dir, "events")
+            .groupBy("event_type").count()
+            .orderBy(F.col("count").desc(), "event_type").limit(2)
+            .collect())
+    assert [(r["event_type"], r["approximate_count_event_type"])
+            for r in rows] == [(r["event_type"], r["count"]) for r in want]
+
+
+def test_sample_is_deterministic_and_sized(spark, sf_dir):
+    a = kql(spark, sf_dir, "orders | sample 7").collect()
+    b = kql(spark, sf_dir, "orders | sample 7").collect()
+    assert len(a) == 7 and sorted(map(tuple, a)) == sorted(map(tuple, b))
+    d = kql(spark, sf_dir,
+            "orders | sample-distinct 2 of o_orderstatus").collect()
+    assert len(d) == 2 and len({r[0] for r in d}) == 2
+
+
+def test_bin_at_aligns_to_fixed_point(spark, sf_dir):
+    r = kql(spark, sf_dir, """
+      print v = 23
+        | extend b = bin_at(v, 10, 5), below = bin_at(-7, 10, 5),
+                 t = bin_at(datetime(2024-03-05T07:09:11), 1d,
+                            datetime(1970-01-01T06:00:00))
+    """).collect()[0]
+    assert r["b"] == 15 and r["below"] == -15
+    assert r["t"].hour == 6 and r["t"].day == 5
+
+
+def test_endof_and_dayofweek(spark, sf_dir):
+    r = kql(spark, sf_dir, """
+      print t = datetime(2024-03-05T07:09:11)
+        | extend dow_days = dayofweek(t) / 1d, eod = endofday(t),
+                 eow = endofweek(t), eom = endofmonth(t)
+    """).collect()[0]
+    assert r["dow_days"] == 2.0                      # Tuesday
+    assert r["eod"].hour == 23 and r["eod"].minute == 59
+    assert r["eow"].day == 9                         # Sat (Sun-based week)
+    assert r["eom"].day == 31
+
+
+def test_array_function_family(spark, sf_dir):
+    r = kql(spark, sf_dir, """
+      print a = pack_array(3, 1, 2)
+        | extend n = array_length(a), i = array_index_of(a, 2),
+                 miss = array_index_of(a, 99),
+                 s = array_slice(a, 1, 2), srt = array_sort_asc(a),
+                 u = set_union(a, pack_array(9, 1)),
+                 x = set_intersect(a, pack_array(1, 2, 8)),
+                 d = set_difference(a, pack_array(1)),
+                 j = strcat_delim('-', 'a', 'b', 'c')
+    """).collect()[0]
+    assert r["n"] == 3 and r["i"] == 2 and r["miss"] == -1
+    assert r["s"] == [1, 2] and r["srt"] == [1, 2, 3]
+    assert sorted(r["u"]) == [1, 2, 3, 9] and sorted(r["x"]) == [1, 2]
+    assert sorted(r["d"]) == [2, 3] and r["j"] == "a-b-c"
+
+
+def test_bag_unpack_types_and_missing(spark, sf_dir):
+    out = kql(spark, sf_dir, """
+      datatable (id:long, j:string) [
+        1, '{"a": 5, "b": "x"}',
+        2, '{"a": 7}'
+      ]
+        | extend d = parse_json(j)
+        | project id, d
+        | evaluate bag_unpack(d)
+    """)
+    assert set(out.columns) == {"id", "a", "b"}
+    assert dict(out.dtypes)["a"] == "bigint"
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[1]["a"] == 5 and rows[1]["b"] == "x"
+    assert rows[2]["a"] == 7 and rows[2]["b"] is None
+
+
+def test_summarize_shufflekey_hint(spark, sf_dir):
+    got = kql(spark, sf_dir, """
+      lineitem | summarize hint.shufflekey = l_returnflag
+                 n = count() by l_returnflag
+    """).collect()
+    want = kql(spark, sf_dir,
+               "lineitem | summarize n = count() by l_returnflag").collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
