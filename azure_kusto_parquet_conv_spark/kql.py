@@ -876,7 +876,15 @@ class KqlCompiler:
                 raise ValueError(
                     f"KQL: expected 'let name = ...;', got {s[:40]!r}")
             name, body = m.group(1), m.group(2).strip()
-            if self._looks_tabular(body):
+            mm = re.match(r"materialize\s*\((.*)\)\s*$", body, re.DOTALL)
+            if mm:
+                # Kusto materialize(): evaluate once, reuse — Spark's
+                # persist() is the exact analogue (first action fills the
+                # cache; later references read it instead of recomputing)
+                self._lets[name] = self._compile_tabular(
+                    _sub_outside_strings(mm.group(1).strip(),
+                                         self._scalar_lets)).persist()
+            elif self._looks_tabular(body):
                 self._lets[name] = self._compile_tabular(
                     _sub_outside_strings(body, self._scalar_lets))
             else:
@@ -889,7 +897,8 @@ class KqlCompiler:
         if "|" in _STR_LIT_RE.sub("", body):
             return True
         head = body.strip()
-        return (re.match(r"datatable\s*\(|print\b", head) is not None
+        return (re.match(r"datatable\s*\(|print\b|range\b|"
+                         r"externaldata\s*\(", head) is not None
                 or head in self._lets
                 or head in TABLES)
 
@@ -913,7 +922,46 @@ class KqlCompiler:
             return self._print(text)
         if re.match(r"range\b", text):
             return self._range(text)
+        if re.match(r"externaldata\s*\(", text):
+            return self._externaldata(text)
         return self.table(text)
+
+    def _externaldata(self, text: str) -> DataFrame:
+        """``externaldata (col:type, ...) ['uri', ...] with
+        (format='csv', ignoreFirstRecord=true)`` — read external files
+        with a declared schema (csv default; json/parquet/txt too). The
+        declared schema skips inference (no extra pass over the data)."""
+        m = re.match(r"externaldata\s*\(([^)]*)\)\s*\[(.*?)\]"
+                     r"\s*(?:with\s*\((.*)\))?\s*$", text, re.DOTALL)
+        if not m:
+            raise ValueError(
+                "KQL: externaldata (name:type, ...) ['uri'] with (...)")
+        cols = []
+        for part in m.group(1).split(","):
+            bits = [b.strip() for b in part.split(":")]
+            if len(bits) != 2 or bits[1] not in self._DT_TYPES:
+                raise ValueError(f"KQL: bad externaldata column {part!r}")
+            cols.append((bits[0], self._DT_TYPES[bits[1]]))
+        uris = [t.text[1:-1] for t in _tokenize(m.group(2))
+                if t.kind == "str"]
+        if not uris:
+            raise ValueError("KQL: externaldata needs at least one uri")
+        opts = dict(re.findall(r"(\w+)\s*=\s*'?([^,')]+)'?",
+                               m.group(3) or ""))
+        fmt = opts.get("format", "csv").lower()
+        schema = ", ".join(f"`{n}` {t}" for n, t in cols)
+        reader = self.spark.read.schema(schema)
+        if fmt == "csv":
+            header = opts.get("ignoreFirstRecord", "false").lower() == "true"
+            return reader.option("header", header).csv(uris)
+        if fmt in ("json", "multijson"):
+            return reader.json(uris)
+        if fmt == "parquet":
+            return reader.parquet(*uris)
+        if fmt in ("txt", "raw"):
+            return self.spark.read.text(uris).withColumnRenamed(
+                "value", cols[0][0])
+        raise ValueError(f"KQL: externaldata format {fmt!r} not supported")
 
     def _range(self, text: str) -> DataFrame:
         """``range x from a to b step s`` — a generated numeric source
@@ -1557,26 +1605,48 @@ class KqlCompiler:
             rest, re.DOTALL)
         if not m:
             raise ValueError(f"KQL: bad join syntax {rest!r}")
-        kind = _JOIN_KINDS.get((m.group(1) or "inner").lower())
-        if kind is None:
-            raise ValueError(f"KQL: unsupported join kind {m.group(1)!r}")
+        kindraw = (m.group(1) or "innerunique").lower()
         right = self.compile(m.group("sub").strip())
         if m.group(2):
             right = F.broadcast(right)
         on_text = m.group("on").strip()
-        # form 1: bare column name list
+        # parse the on-clause into (left_key, right_key) pairs
         if re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*(\s*,\s*"
                         r"[A-Za-z_][A-Za-z0-9_]*)*", on_text):
-            keys = [k.strip() for k in on_text.split(",")]
-            return df.join(right, keys, kind)
-        # form 2: $left.a == $right.b [and ...]
+            pairs = [(k.strip(), k.strip()) for k in on_text.split(",")]
+            bare = True
+        else:
+            pairs, bare = [], False
+            for part in re.split(r"\band\b", on_text, flags=re.IGNORECASE):
+                m2 = re.fullmatch(
+                    r"\s*\$left\.(\w+)\s*==\s*\$right\.(\w+)\s*", part)
+                if not m2:
+                    raise ValueError(f"KQL: bad join condition {part!r}")
+                pairs.append((m2.group(1), m2.group(2)))
+        if kindraw == "innerunique":
+            # Kusto's DEFAULT kind: the LEFT side is deduplicated on the
+            # join keys (one arbitrary row per key) before an inner join
+            df = df.dropDuplicates([lk for lk, _ in pairs])
+            kindraw = "inner"
+        if kindraw in ("rightsemi", "rightanti"):
+            # Spark only has left-side semi/anti: swap sides (output
+            # columns are the right operand's, per Kusto)
+            swapped = "left_semi" if kindraw == "rightsemi" else "left_anti"
+            if bare:
+                return right.join(df, [lk for lk, _ in pairs], swapped)
+            conds = None
+            for lk, rk in pairs:
+                c = right[rk] == df[lk]
+                conds = c if conds is None else (conds & c)
+            return right.join(df, conds, swapped)
+        kind = _JOIN_KINDS.get(kindraw)
+        if kind is None:
+            raise ValueError(f"KQL: unsupported join kind {m.group(1)!r}")
+        if bare:
+            return df.join(right, [lk for lk, _ in pairs], kind)
         conds = None
-        for part in re.split(r"\band\b", on_text, flags=re.IGNORECASE):
-            m2 = re.fullmatch(
-                r"\s*\$left\.(\w+)\s*==\s*\$right\.(\w+)\s*", part)
-            if not m2:
-                raise ValueError(f"KQL: bad join condition {part!r}")
-            c = df[m2.group(1)] == right[m2.group(2)]
+        for lk, rk in pairs:
+            c = df[lk] == right[rk]
             conds = c if conds is None else (conds & c)
         return df.join(right, conds, kind)
 

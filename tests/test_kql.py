@@ -798,3 +798,53 @@ def test_summarize_shufflekey_hint(spark, sf_dir):
     want = kql(spark, sf_dir,
                "lineitem | summarize n = count() by l_returnflag").collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_externaldata_csv_with_header(spark, sf_dir, tmp_path):
+    p = tmp_path / "ext.csv"
+    p.write_text("a,b\n1,x\n2,y\n")
+    out = kql(spark, sf_dir, f"""
+      externaldata (a:long, b:string) ['{p}']
+        with (format='csv', ignoreFirstRecord=true)
+        | sort by a asc
+    """).collect()
+    assert [(r["a"], r["b"]) for r in out] == [(1, "x"), (2, "y")]
+
+
+def test_join_default_is_innerunique(spark, sf_dir):
+    """Kusto's default join kind dedups the LEFT side on the join key
+    before the inner join — one output row per (left key, right row)."""
+    out = kql(spark, sf_dir, """
+      datatable (k:long, v:string) [1, 'a1', 1, 'a2', 2, 'b']
+        | join (datatable (k:long, w:long) [1, 10, 2, 20]) on k
+    """).collect()
+    assert len(out) == 2
+    assert {r["k"] for r in out} == {1, 2}
+
+
+def test_join_rightsemi_rightanti(spark, sf_dir):
+    semi = kql(spark, sf_dir, """
+      datatable (r_regionkey:int) [0, 2]
+        | join kind=rightsemi (region) on r_regionkey
+    """)
+    assert set(semi.columns) == {"r_regionkey", "r_name"}
+    assert sorted(r["r_regionkey"] for r in semi.collect()) == [0, 2]
+    anti = kql(spark, sf_dir, """
+      datatable (r_regionkey:int) [0, 2]
+        | join kind=rightanti (region) on r_regionkey
+    """)
+    assert sorted(r["r_regionkey"] for r in anti.collect()) == [1, 3, 4]
+
+
+def test_let_materialize_caches(spark, sf_dir):
+    out = kql(spark, sf_dir, """
+      let base = materialize(lineitem
+        | summarize q = sum(l_quantity) by l_returnflag);
+      base | join kind=inner (base | project l_returnflag, q2 = q)
+        on l_returnflag
+    """)
+    rows = out.collect()
+    assert len(rows) == 3 and all(r["q"] == r["q2"] for r in rows)
+    # the let body is marked for reuse
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "InMemoryRelation" in plan
