@@ -17,28 +17,48 @@ with an optional broadcast hint, `top/sort/take`→orderBy/limit, which
 Spark collapses to TakeOrderedAndProject).
 
 Supported surface (each line maps to one DataFrame verb):
-  T | where <pred>
+  [let name = scalar|tabular|materialize(tabular); ...]
+  T / datatable(...)[...] / print e / range x from a to b step s /
+  externaldata (schema) ['uri'] with (format=...)
+    | where <pred>  /  parse-where col with pattern
     | project c1, alias=expr, ...
-    | project-away c1, c2
+    | project-away | project-keep | project-rename | project-reorder
     | extend alias=expr, ...   (row_number()/prev(x)/next(x) after sort)
-    | summarize a=agg(x), ... by k1, name=expr, bin(ts, 1h)
+    | summarize [hint.shufflekey=k] a=agg(x), ...
+        by k1, name=expr, bin(ts, 1h), bin_at(x, size, anchor)
     | make-series a=agg(x) on ts step 1d [by keys]  (dense, zero-filled)
-    | mv-expand alias=array_expr
+    | mv-expand alias=array_expr      (dynamic arrays too)
+    | mv-apply x = arr on ( where .. | extend .. | top .. | summarize .. )
+    | parse col with 'lit' name:type ...
+    | evaluate bag_unpack(dynamic_col)
     | distinct c1, c2
-    | sort by c1 desc, c2 asc
-    | top N by expr [asc|desc]
-    | take N  /  limit N
-    | count
-    | join kind=inner|left|right|fullouter|leftsemi|leftanti [hint.broadcast]
+    | sort by c1 desc, c2 asc     (Kusto default direction: desc)
+    | top N by expr  /  top-hitters N of col [by expr]
+    | top-nested N of col by agg, ...
+    | sample N  /  sample-distinct N of col   (seeded, deterministic)
+    | take N  /  limit N  /  count  /  getschema  /  serialize
+    | join kind=innerunique(default)|inner|left|right|fullouter|leftsemi|
+        leftanti|rightsemi|rightanti [hint.broadcast]
         (subpipeline) on key / on $left.a == $right.b
+    | lookup [kind=...] (dim) on key   /   union [kind=...] T2, ...
+    | as name   /   render <charttype>
 Scalar fns: strlen, tolower, toupper, substring (0-based, KQL-style),
-strcat, iff/iif, case, toint/tolong/todouble/tostring, bin, extract,
-extract_all, extractjson, series_sum/series_avg/series_max/series_min,
-series_fir (trailing moving average), contains/startswith/endswith/has/
-has_any (term match), in/!in, between (lo .. hi), ==/!=/=~, arithmetic.
-Aggregates: count, countif, sum, avg, min, max, arg_max/arg_min,
-percentile (0-100 scale, exact), dcount (exact count-distinct; real
-Kusto estimates both — documented deviation), make_list, make_set.
+strcat, strcat_delim, iff/iif, case, toint/tolong/todouble/tostring/
+tobool/todatetime, bin, bin_at, extract, extract_all, extractjson,
+parse_json/todynamic (dynamic on Spark VARIANT; d.path compiles to
+variant_get), series_* (fold/smoothing), contains/startswith/endswith/
+has/has_any (term match), in/!in, between (lo .. hi), ==/!=/=~,
+arithmetic, datetime(...) literals, now/ago, format_datetime,
+startof/endof day|week|month|year (Sunday weeks), dayofweek (timespan),
+getyear/getmonth/dayofmonth/hourofday, indexof, countof, trim/
+trim_start/trim_end (regex per Kusto), replace_string/replace_regex,
+strrep, hash (xxhash64), isempty/isnotempty, pack_array, array_length/
+array_index_of/array_slice/array_sort_asc|desc/array_concat,
+set_union/set_intersect/set_difference.
+Aggregates: count, countif, sum/avg/min/max (+ sumif/avgif/minif/maxif),
+arg_max/arg_min, percentile (0-100 scale, exact), dcount/dcountif
+(exact; real Kusto estimates — documented deviation), stdev, variance,
+take_any, make_list, make_set.
 """
 
 from __future__ import annotations
