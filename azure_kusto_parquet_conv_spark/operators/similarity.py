@@ -235,3 +235,138 @@ def knn_lsh(queries: DataFrame, corpus: DataFrame, k: int = 5,
                 .where(F.col("rank") <= k)
                 .select("query_id", "neighbor_id", "rank",
                         F.round("__sim", 4).alias("cosine")))
+
+
+def train_pq_codebooks(corpus: DataFrame, vec_col: str = "embedding",
+                       m: int = 16, ks: int = 16,
+                       sample_size: int = 10_000, iters: int = 10,
+                       seed: int = 42) -> list[list[list[float]]]:
+    """Product-quantization codebooks: per-subspace k-means on a bounded
+    UNIT-NORMALIZED sample (driver-side numpy — like IVF training, a
+    tiny-sample problem; only encoding/scoring must be distributed).
+    Returns m codebooks of ks centroids each over dim/m-wide slices."""
+    import numpy as np
+
+    rows = corpus.select(V.unit(vec_col).alias("v")).limit(
+        sample_size).collect()
+    X = np.array([r["v"] for r in rows], dtype=np.float64)
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"PQ: dim {dim} not divisible by m={m}")
+    sub = dim // m
+    rng = np.random.default_rng(seed)
+    books = []
+    for j in range(m):
+        S = X[:, j * sub:(j + 1) * sub]
+        C = S[rng.choice(len(S), size=min(ks, len(S)), replace=False)].copy()
+        for _ in range(iters):
+            d = ((S[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            assign = d.argmin(1)
+            for c in range(len(C)):
+                pts = S[assign == c]
+                if len(pts):
+                    C[c] = pts.mean(0)
+        books.append(C.tolist())
+    return books
+
+
+def pq_encode(corpus: DataFrame, codebooks: list[list[list[float]]],
+              vec_col: str = "embedding",
+              id_col: str = "vec_id") -> DataFrame:
+    """Encode each vector to m uint8-sized codes (nearest centroid per
+    subspace) — a 64-float vector becomes 8 small ints, a 32x memory
+    compression that lets a 100 TB corpus's index fit hot. Arrow-batched
+    pandas UDF (vectorized argmin per batch, no per-row Python)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    B = [np.array(b, dtype=np.float64) for b in codebooks]
+    m, sub = len(B), B[0].shape[1]
+
+    @pandas_udf("array<int>")
+    def enc(vs: pd.Series) -> pd.Series:
+        X = np.stack(vs.to_numpy()).astype(np.float64)
+        X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        out = np.empty((len(X), m), dtype=np.int32)
+        for j in range(m):
+            S = X[:, j * sub:(j + 1) * sub]
+            d = ((S[:, None, :] - B[j][None, :, :]) ** 2).sum(-1)
+            out[:, j] = d.argmin(1)
+        return pd.Series([row.tolist() for row in out])
+
+    return rebalance(corpus).select(
+        F.col(id_col).alias("neighbor_id"),
+        enc(F.col(vec_col)).alias("codes"))
+
+
+def knn_pq(queries: DataFrame, corpus: DataFrame, k: int = 5,
+           query_id: str = "vec_id", corpus_id: str = "vec_id",
+           query_vec: str = "embedding", corpus_vec: str = "embedding",
+           m: int = 16, ks: int = 16, seed: int = 42,
+           codebooks: list[list[list[float]]] | None = None,
+           codes: DataFrame | None = None, rerank: int = 10,
+           include_self: bool = False) -> DataFrame:
+    """PQ approximate top-k via asymmetric distance computation (ADC):
+
+    - each query precomputes an (m x ks) table of squared distances from
+      its subvectors to every centroid (pandas UDF, tiny output);
+    - the corpus side carries only its codes; the approximate distance
+      is a pure-SQL table lookup-sum (codegen, no Python per pair);
+    - the top ``rerank*k`` ADC candidates per query are re-ranked with
+      the EXACT dot product (the standard ADC+rerank recipe), so
+      returned cosines are exact and recall depends only on whether the
+      true neighbor survives the ADC cut.
+
+    Unit-normalizing both sides first makes squared-L2 ranking identical
+    to cosine ranking, so ADC approximates the same ordering
+    knn_bruteforce produces. Scale story: codes are 32x smaller than the
+    vectors; at 100 TB the encode is a one-off narrow job and every
+    query scans the compact code table with a broadcast distance table."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    if codebooks is None:
+        codebooks = train_pq_codebooks(
+            corpus, corpus_vec, m=m, ks=ks, seed=seed)
+    if codes is None:
+        codes = pq_encode(corpus, codebooks, corpus_vec, corpus_id)
+    B = [np.array(b, dtype=np.float64) for b in codebooks]
+    m_, sub = len(B), B[0].shape[1]
+
+    @pandas_udf("array<array<double>>")
+    def dtables(vs: pd.Series) -> pd.Series:
+        X = np.stack(vs.to_numpy()).astype(np.float64)
+        X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        out = []
+        for row in X:
+            t = [(((row[j * sub:(j + 1) * sub][None, :] - B[j]) ** 2)
+                  .sum(-1)).tolist() for j in range(m_)]
+            out.append(t)
+        return pd.Series(out)
+
+    q = queries.select(F.col(query_id).alias("query_id"),
+                       V.unit(query_vec).alias("__qv"),
+                       dtables(F.col(query_vec)).alias("__tables"))
+    pairs = codes.crossJoin(broadcast(q))
+    if not include_self:
+        pairs = pairs.where(F.col("query_id") != F.col("neighbor_id"))
+    adc = pairs.withColumn(
+        "__adc",
+        F.expr(f"aggregate(sequence(0, {m_ - 1}), CAST(0 AS DOUBLE), "
+               f"(acc, j) -> acc + __tables[j][codes[j]])"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__adc").asc(), F.col("neighbor_id").asc())
+    cand = (adc.withColumn("__rn", F.row_number().over(w))
+               .where(F.col("__rn") <= k * rerank)
+               .select("query_id", "neighbor_id", "__qv"))
+    vecs = corpus.select(F.col(corpus_id).alias("neighbor_id"),
+                         V.unit(corpus_vec).alias("__cv"))
+    exact = (cand.join(vecs, "neighbor_id")
+                 .select("query_id", "neighbor_id",
+                         V.dot("__qv", "__cv").alias("__sim")))
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("__sim").desc(), F.col("neighbor_id").asc())
+    return (exact.withColumn("rank", F.row_number().over(w2))
+                 .where(F.col("rank") <= k)
+                 .select("query_id", "neighbor_id", "rank",
+                         F.round("__sim", 4).alias("cosine")))

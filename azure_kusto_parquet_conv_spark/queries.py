@@ -1319,6 +1319,24 @@ def q_knn_ivf(spark, sf_dir):
     return S.knn_ivf(q, e, k=5, n_lists=16, n_probe=6, centroids=cents)
 
 
+_PQ_CODEBOOKS: dict[str, list] = {}
+
+
+@query("q_knn_pq")  # sampled per-subspace k-means: no SQL equivalent
+def q_knn_pq(spark, sf_dir):
+    """Product-quantization approximate top-5 (rows-only; pytest pins
+    recall vs brute force). Codebooks are memoized per dataset like the
+    IVF centroids — PQ training is an index-build step. The returned
+    cosines are EXACT (ADC candidates re-ranked with the true dot
+    product); only recall is approximate."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 20)
+    books = _PQ_CODEBOOKS.get(sf_dir)
+    if books is None:
+        books = _PQ_CODEBOOKS[sf_dir] = S.train_pq_codebooks(e, seed=42)
+    return S.knn_pq(q, e, k=5, codebooks=books)
+
+
 @query("q_knn_lsh")  # seeded random hyperplanes: no SQL equivalent
 def q_knn_lsh(spark, sf_dir):
     """LSH-bucketed approximate top-5 (rows-only; pytest measures recall
@@ -3803,6 +3821,18 @@ DRIVER_WINDOW = [
     "q_window_lag_lead", "q_stats_agg", "q_unpivot",
     "q_hopping_window", "q_stratified_sample", "q_histogram",
 ]
+
+# Round-5 rotation candidates (oracled entries with no driver row after
+# r4; swap these into the 26 rotating slots next round, prioritizing
+# the round-4 additions): q_kql_dynamic, q_kql_mv_apply,
+# q_kql_parse_where, q_kql_let_pipeline, q_kql_cond_aggs,
+# q_kql_datatable_join, q_kql_bag_unpack, q_kql_bin_at,
+# q_kql_range_sum, q_kql_top_hitters, q_kql_render, q_redact_pii,
+# q_sequence_pack, q6_forecast_revenue, q11_value_concentration,
+# q15_top_supplier, q22_dormant_rich_customers, q_exists_subquery,
+# q_cross_join, q_funnel, q_cohort_retention, q_session_window,
+# q_weighted_sample, q_train_test_split, q_inverted_index,
+# q_unigram_logprob.
 
 
 def _window_order(d: dict) -> dict:

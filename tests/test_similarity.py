@@ -96,3 +96,27 @@ def test_knn_plan_broadcasts_queries(spark, sf_dir):
     # the query side must be broadcast (small), never a shuffled cartesian
     assert "CartesianProduct" not in plan_joins
     assert any("Broadcast" in j for j in plan_joins)
+
+
+def test_pq_recall_and_exact_scores(spark, sf_dir):
+    """ADC+rerank PQ: recall@5 vs brute force stays high, returned
+    cosines are exact (re-ranked), codes are m small ints."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 20)
+    truth = {(r["query_id"], r["neighbor_id"])
+             for r in S.knn_bruteforce(q, e, k=5).collect()}
+    books = S.train_pq_codebooks(e, seed=42)
+    got_rows = S.knn_pq(q, e, k=5, codebooks=books).collect()
+    got = {(r["query_id"], r["neighbor_id"]) for r in got_rows}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.8, recall
+    # exact re-rank: any overlapping pair carries the same cosine as truth
+    exact = {(r["query_id"], r["neighbor_id"]): r["cosine"]
+             for r in S.knn_bruteforce(q, e, k=5).collect()}
+    for r in got_rows:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact:
+            assert abs(r["cosine"] - exact[key]) < 1e-6
+    # compact codes
+    codes = S.pq_encode(e, books).first()["codes"]
+    assert len(codes) == 16 and all(0 <= c < 16 for c in codes)
