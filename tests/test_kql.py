@@ -848,3 +848,14 @@ def test_let_materialize_caches(spark, sf_dir):
     # the let body is marked for reuse
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert "InMemoryRelation" in plan
+
+
+def test_datatable_lookup_broadcasts(spark, sf_dir):
+    from azure_kusto_parquet_conv_spark.plans import join_strategies
+    df = kql(spark, sf_dir, """
+      nation
+        | lookup kind=inner (datatable (n_regionkey:int, bonus:real) [
+            0, 1.5,  1, 2.5
+          ]) on n_regionkey
+    """)
+    assert "BroadcastHashJoin" in join_strategies(df)

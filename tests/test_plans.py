@@ -52,6 +52,9 @@ def test_no_accidental_cartesians_across_catalog(spark, sf_dir):
     # queries (broadcast NLJ over a small side)
     allowed_nlj = {"q_knn_bruteforce", "q_embed_sim_pairs", "q_dedup_jaccard",
                    "q_cross_join", "q_tfidf",
+                   # PQ ADC: 20 broadcast query distance-tables x the
+                   # compact code table — the intended probe shape
+                   "q_knn_pq",
                    # 1-row global-scalar broadcasts (total / median /
                    # concentration threshold)
                    "q_key_skew", "q_mad_robust_stats",

@@ -416,3 +416,28 @@ def test_stream_schema_autoselects_ns_encoding(spark, tmp_path):
         1, "ts", tbl["ts"].cast(pa.timestamp("us"))),
         str(us / "events.parquet"))
     assert _stream_schema_for(str(us)) == EVENTS_RAW_SCHEMA
+
+
+def test_kql_stream_parse_where_matches_batch(spark, sf_dir, stream_dir):
+    """New stateless KQL stages (parse-where) compile identically on a
+    stream: same pipeline text, same rows as the batch twin."""
+    from azure_kusto_parquet_conv_spark.kql import kql, kql_stream
+    from azure_kusto_parquet_conv_spark.streaming.events import (
+        read_events_stream)
+
+    pipe = """
+      parse-where props with '{"k": ' k:long '}'
+        | summarize n = count(), ksum = sum(k) by b=bin(ts, 1h), event_type
+    """
+    ev = read_events_stream(spark, stream_dir)
+    q = (kql_stream(ev, pipe).writeStream.format("memory")
+         .queryName("kql_pw").outputMode("append").start())
+    drain(q)
+    got = {(r["b"], r["event_type"]): (r["n"], r["ksum"])
+           for r in spark.sql("SELECT * FROM kql_pw").collect()}
+    assert got, "stream emitted no windows"
+    want = {(r["b"], r["event_type"]): (r["n"], r["ksum"])
+            for r in kql(spark, sf_dir, "events | " + pipe).collect()}
+    for key, v in got.items():
+        assert want.get(key) == v, f"{key}: stream {v} != batch {want.get(key)}"
+    assert len(got) >= len(want) * 0.8
