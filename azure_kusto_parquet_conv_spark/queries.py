@@ -3792,47 +3792,39 @@ DRIVER_WINDOW = [
     "convert_jsonl_region", "convert_csv_lineitem",
     "q_missing_column_fill", "csl_schema_lineitem", "q_schema_lineitem",
     "q_convert_binary", "rowgroups_lineitem", "q_filter_projection",
-    # permanent family representatives (one per extension family;
-    # all driver-green in CORRECTNESS_r03)
-    "q_asof_join", "q_grouping_sets", "q_window_running",
-    "q_sessionize", "q_text_stats", "q_dedup_exact", "q_dedup_minhash",
-    "q_knn_bruteforce", "q_kql_summarize", "q_multimodal_features",
-    "q_decontaminate",
-    # ---- round-4 rotation: entries that had never had a driver row ----
-    # (everything below was replica-verified only through r3; rotating
-    # them in converts builder-attested correctness into driver signal.
-    # Entries rotated OUT — q1/q8/q16, join/agg/window/set-op/scalar
-    # variants, q_tumbling_window, q_lang_id, ngram-jaccard,
-    # sim-pairs/quantize, kql_join, training_mix/tfidf — all went
-    # driver-green in r1-r3 and stay covered by the in-repo replica.)
-    # KQL DSL breadth
-    "q_kql_bin_events", "q_kql_arg_max", "q_kql_percentiles",
-    "q_kql_mv_expand_terms", "q_kql_parse", "q_kql_make_series",
-    "q_kql_dcount_users", "q_kql_top_nested", "q_kql_union_sources",
-    "q_kql_lookup",
+    # ---- round-5 rotation: 37 oracled entries that have never had a
+    # driver row (r1-r4 union). The r3/r4 family representatives and the
+    # r4 rotation are banked driver-green and fall back to the in-repo
+    # replica gate (tests/test_queries_oracle.py). ----
+    # KQL DSL breadth (round-4 additions + earlier never-checked ops)
+    "q_kql_parse_where", "q_kql_mv_apply", "q_kql_datatable_join",
+    "q_kql_dynamic", "q_kql_bag_unpack", "q_kql_range_sum",
+    "q_kql_top_hitters", "q_kql_bin_at", "q_kql_let_pipeline",
+    "q_kql_cond_aggs", "q_kql_render", "q_kql_prev_diff",
+    "q_kql_row_number", "q_kql_top_orders", "q_kql_text_stats",
+    "q_kql_case_tiers", "q_kql_has_any", "q_kql_extract_first_word",
+    "q_kql_extractjson",
+    # LLM-pipeline ops
+    "q_redact_pii", "q_sequence_pack", "q_fuzzy_prefix_pairs",
+    "q_inverted_index", "q_train_test_split", "q_weighted_sample",
     # TPC-H shapes previously outside the window
-    "q2_min_cost_supplier", "q7_nation_trade", "q10_returned_items",
-    "q13_order_count_distribution", "q14_promo_revenue",
-    "q17_small_quantity_revenue", "q18_large_orders",
-    "q19_disjunctive_join",
-    # dedup / CDC
-    "q_dedup_jaccard", "q_snapshot_diff",
-    # stats, reshaping, event-time, sampling
-    "q_window_lag_lead", "q_stats_agg", "q_unpivot",
-    "q_hopping_window", "q_stratified_sample", "q_histogram",
+    "q6_forecast_revenue", "q11_value_concentration", "q15_top_supplier",
+    "q22_dormant_rich_customers", "q_exists_subquery", "q_cross_join",
+    # event-time / behavioral analytics
+    "q_funnel", "q_cohort_retention", "q_basket_pairs",
+    "q_make_series", "q_trailing_wau", "q_session_window",
 ]
 
-# Round-5 rotation candidates (oracled entries with no driver row after
-# r4; swap these into the 26 rotating slots next round, prioritizing
-# the round-4 additions): q_kql_dynamic, q_kql_mv_apply,
-# q_kql_parse_where, q_kql_let_pipeline, q_kql_cond_aggs,
-# q_kql_datatable_join, q_kql_bag_unpack, q_kql_bin_at,
-# q_kql_range_sum, q_kql_top_hitters, q_kql_render, q_redact_pii,
-# q_sequence_pack, q6_forecast_revenue, q11_value_concentration,
-# q15_top_supplier, q22_dormant_rich_customers, q_exists_subquery,
-# q_cross_join, q_funnel, q_cohort_retention, q_session_window,
-# q_weighted_sample, q_train_test_split, q_inverted_index,
-# q_unigram_logprob.
+# Round-6 rotation candidates (oracled entries with no driver row after
+# r5 — the final residue; ~18 fit alongside new-in-r5 entries):
+# q_doc_repetition, q_quality_filter, q_dedup_canonical, q_doc_chunks,
+# q_window_distribution, q_group_concat, q_profile, q_date_parts,
+# q_window_time_range, q_mode, q_zorder_key, q_key_skew,
+# q_corr_price_qty, q_mad_robust_stats, q_anomaly_outliers,
+# q_unigram_logprob, q_events_heatmap, q_interarrival_dist; plus the
+# rows-only family (q_knn_ivf/pq/lsh, q_dedup_simhash/embedding/
+# clusters, q_multimodal_frames, q_approx_percentiles, q_freq_items,
+# q_sample_by) for the weaker rows-only driver check.
 
 
 def _window_order(d: dict) -> dict:

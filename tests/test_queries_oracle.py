@@ -130,22 +130,16 @@ PARITY_SLOTS = {
     "convert_date_string", "convert_events_ns_unixms",
     "q_convert_binary",
 }
-FAMILY_REPS = {
-    "q_asof_join", "q_grouping_sets", "q_window_running", "q_sessionize",
-    "q_text_stats", "q_dedup_exact", "q_dedup_minhash",
-    "q_knn_bruteforce", "q_kql_summarize", "q_multimodal_features",
-    "q_decontaminate",
-}
-
-
 def test_driver_window_is_first_and_covers_families():
     """The correctness driver hash-checks only the first 50 catalog
     entries; that window must stay exactly DRIVER_WINDOW, keep every
-    permanent parity slot and family representative, and every rotated
-    slot must carry a hard SQL oracle."""
+    permanent parity slot, and every rotated slot must carry a hard SQL
+    oracle. (The 11 r3/r4 family-representative slots were released to
+    rotation in r5 per the round-4 verdict — banked driver-green in
+    r1-r4, now replica-covered like the rest of the catalog.)"""
     assert len(DRIVER_WINDOW) == 50
     assert list(QUERIES)[:50] == DRIVER_WINDOW
-    missing = (PARITY_SLOTS | FAMILY_REPS) - set(DRIVER_WINDOW)
+    missing = PARITY_SLOTS - set(DRIVER_WINDOW)
     assert not missing, f"rotation dropped permanent slots: {missing}"
     rows_only = [n for n in DRIVER_WINDOW if n not in ORACLES]
     # only footer/sketch introspection entries may lack an oracle;
@@ -153,8 +147,8 @@ def test_driver_window_is_first_and_covers_families():
     # replica trust into driver hash signal — a rows-only rotated slot
     # would waste the slot)
     assert set(rows_only) <= {"q_schema_lineitem", "q_convert_binary",
-                              "rowgroups_lineitem", "q_dedup_minhash"}, rows_only
-    rotated = set(DRIVER_WINDOW) - PARITY_SLOTS - FAMILY_REPS
+                              "rowgroups_lineitem"}, rows_only
+    rotated = set(DRIVER_WINDOW) - PARITY_SLOTS
     unoracled_rotated = rotated - set(ORACLES)
     assert not unoracled_rotated, unoracled_rotated
 
