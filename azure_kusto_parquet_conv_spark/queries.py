@@ -193,20 +193,35 @@ def q_schema_lineitem(spark, sf_dir):
                                  "line_no int, line string")
 
 
-@query("q_convert_binary")  # byte-array rendering: no portable SQL twin
+@query("q_convert_binary", """
+WITH d AS (SELECT doc_id, encode(text) AS payload
+           FROM documents ORDER BY doc_id LIMIT 100),
+h AS (SELECT doc_id, CAST(octet_length(payload) AS BIGINT) AS n_bytes,
+             substr(hex(payload), 1, 16) AS hx FROM d)
+SELECT doc_id AS media_id, n_bytes,
+  array_to_string(
+    list_transform(range(1, CAST(least(n_bytes, 8) AS INT) + 1),
+      i -> CAST((strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1)) - 1) * 16
+              + (strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1)
+          AS VARCHAR)),
+    ',') AS head
+FROM h
+""")
 def q_convert_binary(spark, sf_dir):
     """F7 binary -> JSON array of byte numbers (converter.rs:283-289),
-    exercised over the multimodal payload column (rows-only; exact bytes
-    pinned by the golden test on the t_binary fixture). The head is
-    rendered as a comma-joined string so the result is hashable by a
-    row-sorting canonicalizer (array cells are not)."""
+    exercised over the multimodal payload column (exact bytes also pinned
+    by the golden test on the t_binary fixture). The head is rendered as
+    a comma-joined string so the result is hashable by a row-sorting
+    canonicalizer (array cells are not). The DuckDB twin re-derives the
+    byte values from hex-pair arithmetic (no blob substring in DuckDB);
+    orderBy before limit keeps both engines on the same 100 docs."""
     from azure_kusto_parquet_conv_spark.functions.conversion import bytes_to_int_array
     from azure_kusto_parquet_conv_spark.operators import multimodal as MM
-    docs = load_table(spark, sf_dir, "documents").limit(100)
+    docs = load_table(spark, sf_dir, "documents").orderBy("doc_id").limit(100)
     media = MM.media_from_documents(docs)
     return media.select(
         "media_id",
-        F.size(bytes_to_int_array("payload")).alias("n_bytes"),
+        F.size(bytes_to_int_array("payload")).cast("long").alias("n_bytes"),
         F.array_join(F.slice(bytes_to_int_array("payload"), 1, 8), ",")
          .alias("head"))
 

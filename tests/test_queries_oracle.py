@@ -146,7 +146,7 @@ def test_driver_window_is_first_and_covers_families():
     # every ROTATED slot must be oracled (rotation exists to convert
     # replica trust into driver hash signal — a rows-only rotated slot
     # would waste the slot)
-    assert set(rows_only) <= {"q_schema_lineitem", "q_convert_binary",
+    assert set(rows_only) <= {"q_schema_lineitem",
                               "rowgroups_lineitem"}, rows_only
     rotated = set(DRIVER_WINDOW) - PARITY_SLOTS
     unoracled_rotated = rotated - set(ORACLES)
