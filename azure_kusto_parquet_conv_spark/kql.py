@@ -149,19 +149,31 @@ _CMP = {"==": "=", "!=": "<>", "<": "<", "<=": "<=", ">": ">", ">=": ">="}
 _NUM_LIT_RE = re.compile(r"-?\s*\d+(?:\.\d+)?(?:[eE][+-]?\d+)?$")
 
 
+_STRINGY_FN_RE = re.compile(
+    r"\b(strcat|substring|substr|tostring|toupper|tolower|trim|trim_start"
+    r"|trim_end|replace_string|extract|concat)\s*\(", re.IGNORECASE)
+
+
 def _coerce_variant_cmp(lhs: str, rhs: str) -> tuple[str, str]:
     """Kusto compares dynamics loosely; Spark VARIANT needs an explicit
-    cast. When one comparison side is a variant path and the other is a
-    typed literal, cast the variant side to the literal's type (double
-    for numbers — Kusto dynamic numerics compare as real; string for
-    string literals)."""
+    cast. When one comparison side is a variant path, cast it to the
+    other side's type: the literal's type when the other side is a bare
+    literal (double for numbers — Kusto dynamic numerics compare as
+    real; string for string literals), else a surface-form guess for
+    compound expressions — STRING if the expression contains a string
+    literal or a string-producing function, DOUBLE otherwise (the
+    common ``d.k > cutoff + 1`` shape). Without the fallback a raw
+    VARIANT comparison fails Spark analysis where Kusto would loosely
+    compare."""
     def fix(var_side: str, other: str) -> str:
         o = other.strip("() ")
         if _NUM_LIT_RE.fullmatch(o):
             return f"CAST({var_side} AS DOUBLE)"
         if o.startswith("'") and o.endswith("'"):
             return f"CAST({var_side} AS STRING)"
-        return var_side
+        if "'" in o or _STRINGY_FN_RE.search(o):
+            return f"CAST({var_side} AS STRING)"
+        return f"CAST({var_side} AS DOUBLE)"
 
     is_l = lhs.lstrip("(").startswith("variant_get(")
     is_r = rhs.lstrip("(").startswith("variant_get(")
@@ -1179,6 +1191,11 @@ class KqlCompiler:
         if re.match(r"datatable\s*\(", text):
             return self._datatable(text)
         if re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", text):
+            # let-bound / `as`-named results shadow on-disk tables,
+            # mirroring _source (a bare name as a join/union/lookup
+            # operand must see the same binding environment)
+            if text in self._lets:
+                return self._lets[text]
             return self.table(text)
         raise ValueError(f"KQL: bad tabular operand {text!r}")
 
@@ -1295,7 +1312,16 @@ class KqlCompiler:
         columns through with first() (all rows in a group share them);
         ``top N by`` becomes a record-partitioned window. Everything
         stays in codegen — no Python, one shuffle iff the subquery
-        aggregates."""
+        aggregates.
+
+        Determinism constraint: the record id is assigned by partition
+        layout, so the INPUT to mv-apply must be deterministic up to
+        partitioning (a scan + narrow ops — every pipeline this
+        compiler emits, since mv-apply consumes the raw source). If
+        mv-apply is ever fed post-shuffle data, a task retry can
+        reassign ids between the explode and the groupBy
+        (SPARK-23207-class hazard); the fix then is to localCheckpoint
+        the input or key the scope on a real unique column instead."""
         from pyspark.sql import Window
 
         m = re.match(r"(?P<head>.+?)\s+on\s*\((?P<sub>.*)\)\s*$",
@@ -1621,12 +1647,17 @@ class KqlCompiler:
     def _join(self, df: DataFrame, rest: str):
         m = re.match(
             r"(?:kind\s*=\s*(\w+)\s+)?(hint\.broadcast\s+)?"
-            r"\((?P<sub>.*)\)\s+on\s+(?P<on>.*)$",
+            r"(?:\((?P<sub>.*)\)|(?P<name>[A-Za-z_][A-Za-z0-9_]*))"
+            r"\s+on\s+(?P<on>.*)$",
             rest, re.DOTALL)
         if not m:
             raise ValueError(f"KQL: bad join syntax {rest!r}")
         kindraw = (m.group(1) or "innerunique").lower()
-        right = self.compile(m.group("sub").strip())
+        if m.group("sub") is not None:
+            right = self.compile(m.group("sub").strip())
+        else:
+            # bare-name operand: a let-bound/`as`-named result or table
+            right = self._operand(m.group("name"))
         if m.group(2):
             right = F.broadcast(right)
         on_text = m.group("on").strip()

@@ -338,16 +338,27 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
 
 def _peek_vector_dim(df: DataFrame, vec_col: str) -> int:
     """Vector width from the source parquet footer (one driver-side
-    record batch, no Spark job). Falls back to a LIMIT-1 job only for
-    DataFrames with no file lineage (e.g. built from memory)."""
+    record batch, no Spark job). The footer is only trusted when the
+    DataFrame's ``vec_col`` is plan-transparent — i.e. the analyzed plan
+    never aliases something else AS vec_col — otherwise the on-disk
+    column of the same name could have a different width and the peek
+    would silently build wrong-length hyperplane literals. Aliased /
+    file-less inputs fall back to a LIMIT-1 job."""
     try:
-        import pyarrow.parquet as pq
-        fp = df.inputFiles()[0].removeprefix("file:")
-        first = next(pq.ParquetFile(fp).iter_batches(
-            batch_size=1, columns=[vec_col]))
-        return len(first.column(vec_col)[0].as_py())
+        plan = df._jdf.queryExecution().analyzed().toString()
+        aliased = f"AS {vec_col}#" in plan
     except Exception:
-        return len(df.select(vec_col).first()[0])
+        aliased = True
+    if not aliased:
+        try:
+            import pyarrow.parquet as pq
+            fp = df.inputFiles()[0].removeprefix("file:")
+            first = next(pq.ParquetFile(fp).iter_batches(
+                batch_size=1, columns=[vec_col]))
+            return len(first.column(vec_col)[0].as_py())
+        except Exception:
+            pass
+    return len(df.select(vec_col).first()[0])
 
 
 def embedding_near_dup(df: DataFrame, vec_col: str = "embedding",

@@ -185,24 +185,57 @@ def rebalance(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     # Estimate the scan's parallelism from the parquet footers instead of
     # probing the RDD partition count — touching the legacy RDD view
     # converts the whole plan per call, which is analysis churn
-    # on a path every dedup/similarity query takes. Scans split at
-    # row-group boundaries, so row groups across the input files bound
-    # the partition count; a DataFrame with no input files has a shuffle
-    # upstream and is already spread across shuffle partitions.
+    # on a path every dedup/similarity query takes. Two bounds apply:
+    # scans split at row-group boundaries (row groups cap the partition
+    # count from above), but Spark also BIN-PACKS small files/row-groups
+    # into shared partitions (maxPartitionBytes + openCostInBytes), so
+    # many tiny row groups do NOT mean many partitions — the byte-based
+    # packing estimate caps the row-group count. A DataFrame with no
+    # input files has a shuffle upstream and is already spread across
+    # shuffle partitions.
     files = df.inputFiles()
     if not files:
         return df
     try:
+        import os
+
         import pyarrow.parquet as pq
-        est = 0
-        for fp in files[:64]:  # bounded driver-side footer reads
-            est += pq.ParquetFile(fp.removeprefix("file:")).metadata.num_row_groups
-            if est >= target:
-                return df
-        if len(files) > 64:  # sampled: scale the estimate
-            est = est * len(files) // 64
+        sample = files[:64]  # bounded driver-side footer reads
+        row_groups = n_bytes = 0
+        for fp in sample:
+            p = fp.removeprefix("file:")
+            row_groups += pq.ParquetFile(p).metadata.num_row_groups
+            n_bytes += os.path.getsize(p)
+        if len(files) > 64:  # sampled: scale the estimates
+            row_groups = row_groups * len(files) // 64
+            n_bytes = n_bytes * len(files) // 64
+        conf = df.sparkSession.conf
+        open_cost = _conf_bytes(conf, "spark.sql.files.openCostInBytes",
+                                4 << 20)
+        max_pb = _conf_bytes(conf, "spark.sql.files.maxPartitionBytes",
+                             128 << 20)
+        packed = -(-(n_bytes + open_cost * len(files)) // max_pb)  # ceil
+        est = min(row_groups, packed)
     except Exception:
         est = len(files)
     if est < target:
         return df.repartition(target)
     return df
+
+
+_SIZE_SUFFIX = {"": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30,
+                "t": 1 << 40}
+
+
+def _conf_bytes(conf, key: str, default: int) -> int:
+    """Parse a Spark byte-size conf value ('134217728', '128m',
+    '128MB') to an int; missing/unparsable -> default."""
+    import re
+    try:
+        v = str(conf.get(key)).strip().lower()
+    except Exception:
+        return default
+    m = re.fullmatch(r"(\d+)\s*([kmgt]?)b?", v)
+    if not m:
+        return default
+    return int(m.group(1)) * _SIZE_SUFFIX[m.group(2)]

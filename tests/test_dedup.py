@@ -101,6 +101,23 @@ def test_dedup_clusters_transitive_chain(spark):
     assert got == {0: 0, 4: 0, 1: 1, 3: 1, 5: 1, 2: 2}
 
 
+def test_peek_dim_distrusts_footer_for_aliased_column(spark, sf_dir):
+    """If vec_col was ALIASED from a different expression, the on-disk
+    column of the same name may have another width — the peek must fall
+    back to the LIMIT-1 job instead of silently returning the footer
+    width (r4 advice)."""
+    from azure_kusto_parquet_conv_spark.operators.dedup import _peek_vector_dim
+    from azure_kusto_parquet_conv_spark.sources.parquet import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    true_dim = len(e.select("embedding").first()[0])
+    truncated = e.select(
+        "vec_id", F.slice("embedding", 1, 4).alias("embedding"))
+    assert _peek_vector_dim(truncated, "embedding") == 4 != true_dim
+    # plan-transparent column still uses the footer (no regression)
+    assert _peek_vector_dim(e, "embedding") == true_dim
+
+
 def test_embedding_near_dup_dim_from_footer_not_limit1(spark, sf_dir):
     """For a parquet-backed input, the hyperplane dim must come from a
     driver-side footer peek — building the plan must not launch a

@@ -850,6 +850,66 @@ def test_let_materialize_caches(spark, sf_dir):
     assert "InMemoryRelation" in plan
 
 
+def test_let_bound_name_as_bare_join_operand(spark, sf_dir):
+    """A let-bound result used as an UNPARENTHESIZED join operand must
+    resolve from the binding environment, not the table directory
+    (r4 advice: _operand fell through to load_table and raised)."""
+    out = kql(spark, sf_dir, """
+      let asia = nation | where n_regionkey == 2
+                        | project n_regionkey, n_name;
+      region | join kind=inner asia
+          on $left.r_regionkey == $right.n_regionkey
+    """)
+    want = kql(spark, sf_dir, """
+      region | join kind=inner (nation | where n_regionkey == 2
+                                       | project n_regionkey, n_name)
+          on $left.r_regionkey == $right.n_regionkey
+    """)
+    assert sorted(map(tuple, out.collect())) == \
+        sorted(map(tuple, want.collect()))
+    assert out.count() > 0
+
+
+def test_as_named_result_as_bare_union_operand(spark, sf_dir):
+    """`as` names the intermediate result; later bare-name operands
+    must see it (shadowing any same-named on-disk table)."""
+    out = kql(spark, sf_dir, """
+      region | project r_name | as snap | union snap
+    """)
+    assert out.count() == 2 * load_table(spark, sf_dir, "region").count()
+
+
+def test_variant_compare_with_compound_expression(spark, sf_dir):
+    """Comparing a dynamic path to a NON-literal expression (r4 advice:
+    only bare literals got the variant cast; `d.k > cutoff + 1` left a
+    raw VARIANT comparison that failed analysis)."""
+    out = kql(spark, sf_dir, """
+      events
+        | extend d = parse_json(props)
+        | where d.k > (40 + 10)
+        | summarize n = count()
+    """).collect()[0]
+    want = kql(spark, sf_dir, """
+      events
+        | extend d = parse_json(props)
+        | where d.k > 50
+        | summarize n = count()
+    """).collect()[0]
+    assert out["n"] == want["n"] and out["n"] > 0
+
+
+def test_variant_compare_with_string_function(spark, sf_dir):
+    """String-producing compound expression on the other side coerces
+    the variant to STRING (surface-form fallback)."""
+    r = kql(spark, sf_dir, """
+      print j = '{"name": "ada"}'
+        | extend d = todynamic(j)
+        | where d.name == strcat('a', 'da')
+        | project who = tostring(d.name)
+    """).collect()
+    assert len(r) == 1 and r[0]["who"] == "ada"
+
+
 def test_datatable_lookup_broadcasts(spark, sf_dir):
     from azure_kusto_parquet_conv_spark.plans import join_strategies
     df = kql(spark, sf_dir, """

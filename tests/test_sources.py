@@ -411,6 +411,43 @@ def test_rebalance_spreads_single_row_group_scan(spark, tmp_path):
         out.rdd.getNumPartitions() == 8
 
 
+def test_rebalance_bin_packing_bounds_row_group_estimate(spark, tmp_path):
+    """Many tiny files have many row groups but Spark BIN-PACKS them
+    into few scan partitions (openCostInBytes/maxPartitionBytes); the
+    estimate must use the byte-packing bound so the repartition still
+    fires (r4 advice: row-group count alone skipped it)."""
+    from azure_kusto_parquet_conv_spark.sources.parquet import rebalance
+
+    d = tmp_path / "tiny"
+    d.mkdir()
+    for i in range(40):  # 40 row groups, a few KB total
+        pq.write_table(pa.table({"a": [i]}), str(d / f"f{i}.parquet"))
+    df = spark.read.parquet(str(d))
+    out = rebalance(df, min_partitions=32)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange RoundRobinPartitioning(32" in plan
+
+
+def test_conf_bytes_parses_spark_size_strings():
+    from azure_kusto_parquet_conv_spark.sources.parquet import _conf_bytes
+
+    class C:
+        def __init__(self, v):
+            self.v = v
+
+        def get(self, key):
+            if self.v is None:
+                raise Exception("missing")
+            return self.v
+
+    assert _conf_bytes(C("134217728"), "k", 0) == 128 << 20
+    assert _conf_bytes(C("128m"), "k", 0) == 128 << 20
+    assert _conf_bytes(C("128MB"), "k", 0) == 128 << 20
+    assert _conf_bytes(C("4194304b"), "k", 0) == 4 << 20
+    assert _conf_bytes(C(None), "k", 7) == 7
+    assert _conf_bytes(C("garbage"), "k", 7) == 7
+
+
 def test_rebalance_no_rdd_probe_in_package():
     """No .rdd access anywhere in the package: every touch converts the
     Catalyst plan to the legacy RDD path and forces analysis."""
