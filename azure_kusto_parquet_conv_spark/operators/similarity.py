@@ -61,15 +61,30 @@ def knn_bruteforce(queries: DataFrame, corpus: DataFrame, k: int = 5,
                         F.round("__sim", 4).alias("cosine")))
 
 
+def _det_sample(df: DataFrame, cols: list[str], n: int,
+                seed: int) -> DataFrame:
+    """Order-independent bounded sample: seeded-hash-order top-n.
+    ``limit(n)`` alone is partition-order dependent (which rows arrive
+    first depends on the cluster layout), so index builds trained on it
+    drift across layouts; ordering by a seeded xxhash64 of the row makes
+    the SAME n rows win on any partitioning, and it compiles to
+    TakeOrderedAndProject (distributed partial top-n, no full sort)."""
+    key = F.xxhash64(*[F.col(c) for c in cols], F.lit(seed))
+    return df.orderBy(key).limit(n)
+
+
 def train_ivf_centroids(corpus: DataFrame, vec_col: str = "embedding",
                         n_lists: int = 16, sample_size: int = 10_000,
                         iters: int = 10, seed: int = 42) -> list[list[float]]:
     """Spherical k-means centroids from a corpus sample (driver-side
     numpy — IVF training is a tiny-sample problem even for a 100 TB
-    corpus; only the ASSIGNMENT must be distributed)."""
+    corpus; only the ASSIGNMENT must be distributed). The sample is
+    seeded-hash-ordered (_det_sample) so the trained index is identical
+    across partition layouts."""
     import numpy as np
 
-    rows = (corpus.select(vec_col).limit(sample_size).collect())
+    rows = _det_sample(corpus.select(vec_col), [vec_col],
+                       sample_size, seed).collect()
     X = np.array([r[0] for r in rows], dtype=np.float64)
     X /= np.linalg.norm(X, axis=1, keepdims=True) + 1e-12
     rng = np.random.default_rng(seed)
@@ -244,11 +259,13 @@ def train_pq_codebooks(corpus: DataFrame, vec_col: str = "embedding",
     """Product-quantization codebooks: per-subspace k-means on a bounded
     UNIT-NORMALIZED sample (driver-side numpy — like IVF training, a
     tiny-sample problem; only encoding/scoring must be distributed).
-    Returns m codebooks of ks centroids each over dim/m-wide slices."""
+    Returns m codebooks of ks centroids each over dim/m-wide slices.
+    Seeded-hash-ordered sample (_det_sample): identical codebooks on
+    any partition layout."""
     import numpy as np
 
-    rows = corpus.select(V.unit(vec_col).alias("v")).limit(
-        sample_size).collect()
+    rows = _det_sample(corpus.select(V.unit(vec_col).alias("v")),
+                       ["v"], sample_size, seed).collect()
     X = np.array([r["v"] for r in rows], dtype=np.float64)
     dim = X.shape[1]
     if dim % m:
@@ -270,13 +287,9 @@ def train_pq_codebooks(corpus: DataFrame, vec_col: str = "embedding",
     return books
 
 
-def pq_encode(corpus: DataFrame, codebooks: list[list[list[float]]],
-              vec_col: str = "embedding",
-              id_col: str = "vec_id") -> DataFrame:
-    """Encode each vector to m uint8-sized codes (nearest centroid per
-    subspace) — a 64-float vector becomes 8 small ints, a 32x memory
-    compression that lets a 100 TB corpus's index fit hot. Arrow-batched
-    pandas UDF (vectorized argmin per batch, no per-row Python)."""
+def _pq_encode_udf(codebooks: list[list[list[float]]]):
+    """pandas UDF factory: vector -> m nearest-centroid codes
+    (vectorized argmin per Arrow batch, no per-row Python)."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
@@ -294,9 +307,74 @@ def pq_encode(corpus: DataFrame, codebooks: list[list[list[float]]],
             out[:, j] = d.argmin(1)
         return pd.Series([row.tolist() for row in out])
 
+    return enc
+
+
+def pq_encode(corpus: DataFrame, codebooks: list[list[list[float]]],
+              vec_col: str = "embedding",
+              id_col: str = "vec_id") -> DataFrame:
+    """Encode each vector to m uint8-sized codes (nearest centroid per
+    subspace) — a 64-float vector becomes 8 small ints, a 32x memory
+    compression that lets a 100 TB corpus's index fit hot. Arrow-batched
+    pandas UDF (vectorized argmin per batch, no per-row Python)."""
+    enc = _pq_encode_udf(codebooks)
     return rebalance(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         enc(F.col(vec_col)).alias("codes"))
+
+
+def _adc_tables_udf(codebooks: list[list[list[float]]]):
+    """pandas UDF factory: query vector -> (m x ks) squared-distance
+    table from its unit-normalized subvectors to every centroid."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    B = [np.array(b, dtype=np.float64) for b in codebooks]
+    m, sub = len(B), B[0].shape[1]
+
+    @pandas_udf("array<array<double>>")
+    def dtables(vs: pd.Series) -> pd.Series:
+        X = np.stack(vs.to_numpy()).astype(np.float64)
+        X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        out = []
+        for row in X:
+            t = [(((row[j * sub:(j + 1) * sub][None, :] - B[j]) ** 2)
+                  .sum(-1)).tolist() for j in range(m)]
+            out.append(t)
+        return pd.Series(out)
+
+    return dtables
+
+
+_ADC_EXPR_TEMPLATE = ("aggregate(sequence(0, {last}), CAST(0 AS DOUBLE), "
+                      "(acc, j) -> acc + __tables[j][codes[j]])")
+
+
+def _adc_rerank(pairs: DataFrame, corpus: DataFrame, m: int, k: int,
+                rerank: int, corpus_id: str, corpus_vec: str,
+                include_self: bool) -> DataFrame:
+    """Shared ADC tail: pure-SQL lookup-sum distance, per-query top
+    ``rerank*k`` cut, exact-dot re-rank of the survivors."""
+    if not include_self:
+        pairs = pairs.where(F.col("query_id") != F.col("neighbor_id"))
+    adc = pairs.withColumn(
+        "__adc", F.expr(_ADC_EXPR_TEMPLATE.format(last=m - 1)))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__adc").asc(), F.col("neighbor_id").asc())
+    cand = (adc.withColumn("__rn", F.row_number().over(w))
+               .where(F.col("__rn") <= k * rerank)
+               .select("query_id", "neighbor_id", "__qv"))
+    vecs = corpus.select(F.col(corpus_id).alias("neighbor_id"),
+                         V.unit(corpus_vec).alias("__cv"))
+    exact = (cand.join(vecs, "neighbor_id")
+                 .select("query_id", "neighbor_id",
+                         V.dot("__qv", "__cv").alias("__sim")))
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("__sim").desc(), F.col("neighbor_id").asc())
+    return (exact.withColumn("rank", F.row_number().over(w2))
+                 .where(F.col("rank") <= k)
+                 .select("query_id", "neighbor_id", "rank",
+                         F.round("__sim", 4).alias("cosine")))
 
 
 def knn_pq(queries: DataFrame, corpus: DataFrame, k: int = 5,
@@ -319,54 +397,80 @@ def knn_pq(queries: DataFrame, corpus: DataFrame, k: int = 5,
 
     Unit-normalizing both sides first makes squared-L2 ranking identical
     to cosine ranking, so ADC approximates the same ordering
-    knn_bruteforce produces. Scale story: codes are 32x smaller than the
-    vectors; at 100 TB the encode is a one-off narrow job and every
-    query scans the compact code table with a broadcast distance table."""
-    import numpy as np
-    from pyspark.sql.functions import pandas_udf
-
+    knn_bruteforce produces. Scale note: this is the textbook FLAT-ADC
+    baseline — every query batch still scans the full (compact) code
+    table. ``knn_ivfpq`` is the production 100 TB path: it routes the
+    same ADC scoring through IVF list pruning so each query touches only
+    n_probe/n_lists of the codes."""
     if codebooks is None:
         codebooks = train_pq_codebooks(
             corpus, corpus_vec, m=m, ks=ks, seed=seed)
     if codes is None:
         codes = pq_encode(corpus, codebooks, corpus_vec, corpus_id)
-    B = [np.array(b, dtype=np.float64) for b in codebooks]
-    m_, sub = len(B), B[0].shape[1]
-
-    @pandas_udf("array<array<double>>")
-    def dtables(vs: pd.Series) -> pd.Series:
-        X = np.stack(vs.to_numpy()).astype(np.float64)
-        X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-        out = []
-        for row in X:
-            t = [(((row[j * sub:(j + 1) * sub][None, :] - B[j]) ** 2)
-                  .sum(-1)).tolist() for j in range(m_)]
-            out.append(t)
-        return pd.Series(out)
-
+    dtables = _adc_tables_udf(codebooks)
     q = queries.select(F.col(query_id).alias("query_id"),
                        V.unit(query_vec).alias("__qv"),
                        dtables(F.col(query_vec)).alias("__tables"))
     pairs = codes.crossJoin(broadcast(q))
-    if not include_self:
-        pairs = pairs.where(F.col("query_id") != F.col("neighbor_id"))
-    adc = pairs.withColumn(
-        "__adc",
-        F.expr(f"aggregate(sequence(0, {m_ - 1}), CAST(0 AS DOUBLE), "
-               f"(acc, j) -> acc + __tables[j][codes[j]])"))
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("__adc").asc(), F.col("neighbor_id").asc())
-    cand = (adc.withColumn("__rn", F.row_number().over(w))
-               .where(F.col("__rn") <= k * rerank)
-               .select("query_id", "neighbor_id", "__qv"))
-    vecs = corpus.select(F.col(corpus_id).alias("neighbor_id"),
-                         V.unit(corpus_vec).alias("__cv"))
-    exact = (cand.join(vecs, "neighbor_id")
-                 .select("query_id", "neighbor_id",
-                         V.dot("__qv", "__cv").alias("__sim")))
-    w2 = Window.partitionBy("query_id").orderBy(
-        F.col("__sim").desc(), F.col("neighbor_id").asc())
-    return (exact.withColumn("rank", F.row_number().over(w2))
-                 .where(F.col("rank") <= k)
-                 .select("query_id", "neighbor_id", "rank",
-                         F.round("__sim", 4).alias("cosine")))
+    return _adc_rerank(pairs, corpus, len(codebooks), k, rerank,
+                       corpus_id, corpus_vec, include_self)
+
+
+def knn_ivfpq(queries: DataFrame, corpus: DataFrame, k: int = 5,
+              query_id: str = "vec_id", corpus_id: str = "vec_id",
+              query_vec: str = "embedding", corpus_vec: str = "embedding",
+              n_lists: int = 16, n_probe: int = 4, m: int = 16,
+              ks: int = 16, seed: int = 42, rerank: int = 10,
+              centroids: list[list[float]] | None = None,
+              codebooks: list[list[list[float]]] | None = None,
+              index: DataFrame | None = None,
+              include_self: bool = False) -> DataFrame:
+    """IVF-PQ: the composed 100 TB ANN recipe — IVF list pruning routes
+    each query to its ``n_probe`` nearest inverted lists, and within
+    those lists the PQ/ADC lookup-sum scores the (32x compressed) codes;
+    the top ``rerank*k`` survivors are re-ranked with the exact dot
+    product, so returned cosines are exact and only recall is
+    approximate.
+
+    The corpus index (one row per vector: list_id + PQ codes) is built
+    in ONE narrow pass — both assignments come from the same Arrow batch
+    stream, no self-join. At 100 TB the index is written once,
+    partitioned by ``list_id``, so a query's scan prunes to
+    n_probe/n_lists of the code table (the piece flat ADC lacks); pass
+    it back via ``index`` to amortize across query batches. The probe
+    itself is an equi-join on list_id against the broadcast query side —
+    never a full code-table cross join."""
+    if centroids is None:
+        centroids = train_ivf_centroids(corpus, corpus_vec, n_lists,
+                                        seed=seed)
+    if codebooks is None:
+        codebooks = train_pq_codebooks(
+            corpus, corpus_vec, m=m, ks=ks, seed=seed)
+    if index is None:
+        index = ivfpq_index(corpus, centroids, codebooks,
+                            vec_col=corpus_vec, id_col=corpus_id)
+    dtables = _adc_tables_udf(codebooks)
+    probes = _probe_lists_udf(centroids, n_probe)
+    q = (queries.select(F.col(query_id).alias("query_id"),
+                        V.unit(query_vec).alias("__qv"),
+                        dtables(F.col(query_vec)).alias("__tables"))
+         .withColumn("list_id", F.explode(probes(F.col("__qv")))))
+    pairs = index.join(broadcast(q), "list_id")
+    return _adc_rerank(pairs, corpus, len(codebooks), k, rerank,
+                       corpus_id, corpus_vec, include_self)
+
+
+def ivfpq_index(corpus: DataFrame, centroids: list[list[float]],
+                codebooks: list[list[list[float]]],
+                vec_col: str = "embedding",
+                id_col: str = "vec_id") -> DataFrame:
+    """The IVF-PQ corpus index: (neighbor_id, list_id, codes) in one
+    narrow pass over the vectors. At scale, persist this partitioned by
+    list_id (``.write.partitionBy('list_id')``) and hand the scan back
+    to knn_ivfpq via ``index`` — probes then prune at the source."""
+    enc = _pq_encode_udf(codebooks)
+    base = rebalance(corpus).select(F.col(id_col).alias("neighbor_id"),
+                                    F.col(vec_col).alias("__cvec"))
+    return (assign_ivf_list(base, centroids, vec_col="__cvec")
+            .select("neighbor_id", "list_id",
+                    enc(F.col("__cvec")).alias("codes")))

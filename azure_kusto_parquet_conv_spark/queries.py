@@ -1352,6 +1352,28 @@ def q_knn_pq(spark, sf_dir):
     return S.knn_pq(q, e, k=5, codebooks=books)
 
 
+@query("q_knn_ivfpq")  # sampled k-means + PQ codebooks: no SQL equivalent
+def q_knn_ivfpq(spark, sf_dir):
+    """IVF-PQ composed ANN (rows-only; pytest pins recall vs brute force
+    and the pruned-probe plan shape). IVF list pruning bounds which PQ
+    codes each query scores — the piece that makes the PQ 100 TB story
+    true (flat ADC scans the whole code table; this scans
+    n_probe/n_lists of it). Centroids and codebooks are memoized per
+    dataset — index training is a build step, amortized across query
+    batches."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 20)
+    cents = _IVF_CENTROIDS.get(sf_dir)
+    if cents is None:
+        cents = _IVF_CENTROIDS[sf_dir] = S.train_ivf_centroids(
+            e, n_lists=16, seed=42)
+    books = _PQ_CODEBOOKS.get(sf_dir)
+    if books is None:
+        books = _PQ_CODEBOOKS[sf_dir] = S.train_pq_codebooks(e, seed=42)
+    return S.knn_ivfpq(q, e, k=5, n_lists=16, n_probe=8,
+                       centroids=cents, codebooks=books)
+
+
 @query("q_knn_lsh")  # seeded random hyperplanes: no SQL equivalent
 def q_knn_lsh(spark, sf_dir):
     """LSH-bucketed approximate top-5 (rows-only; pytest measures recall

@@ -98,6 +98,50 @@ def test_knn_plan_broadcasts_queries(spark, sf_dir):
     assert any("Broadcast" in j for j in plan_joins)
 
 
+def test_ivfpq_recall_and_pruned_probe_plan(spark, sf_dir):
+    """IVF-PQ composition (r4 verdict item 3): recall@5 vs brute force
+    >= 0.8, returned cosines exact on overlap, and the probe is an
+    equi-join on list_id — NO cross/nested-loop join over the code
+    table (the pruning that makes the 100 TB PQ story true)."""
+    from azure_kusto_parquet_conv_spark.plans import join_strategies
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 20)
+    truth = {(r["query_id"], r["neighbor_id"])
+             for r in S.knn_bruteforce(q, e, k=5).collect()}
+    cents = S.train_ivf_centroids(e, n_lists=16, seed=42)
+    books = S.train_pq_codebooks(e, seed=42)
+    out = S.knn_ivfpq(q, e, k=5, n_lists=16, n_probe=8,
+                      centroids=cents, codebooks=books)
+    got_rows = out.collect()
+    got = {(r["query_id"], r["neighbor_id"]) for r in got_rows}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.8, recall
+    exact = {(r["query_id"], r["neighbor_id"]): r["cosine"]
+             for r in S.knn_bruteforce(q, e, k=5).collect()}
+    for r in got_rows:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact:
+            assert abs(r["cosine"] - exact[key]) < 1e-6
+    # pruned probe: list_id equi-join, no cartesian over the codes
+    plan_joins = join_strategies(out)
+    assert "CartesianProduct" not in plan_joins
+    assert "BroadcastNestedLoopJoin" not in plan_joins
+    phys = out._jdf.queryExecution().executedPlan().toString()
+    assert "list_id" in phys
+
+
+def test_index_training_is_partition_order_independent(spark, sf_dir):
+    """Seeded-hash-order sampling (r4 verdict item 5): centroids and
+    codebooks must be identical after an arbitrary repartition —
+    limit(n) without order was partition-order dependent."""
+    e = load_table(spark, sf_dir, "embeddings")
+    shuffled = e.repartition(7)
+    assert S.train_ivf_centroids(e, n_lists=8, seed=1) == \
+        S.train_ivf_centroids(shuffled, n_lists=8, seed=1)
+    assert S.train_pq_codebooks(e, m=8, ks=8, seed=1) == \
+        S.train_pq_codebooks(shuffled, m=8, ks=8, seed=1)
+
+
 def test_pq_recall_and_exact_scores(spark, sf_dir):
     """ADC+rerank PQ: recall@5 vs brute force stays high, returned
     cosines are exact (re-ranked), codes are m small ints."""
