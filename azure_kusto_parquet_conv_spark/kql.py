@@ -37,6 +37,9 @@ Supported surface (each line maps to one DataFrame verb):
     | top-nested N of col by agg, ...
     | sample N  /  sample-distinct N of col   (seeded, deterministic)
     | take N  /  limit N  /  count  /  getschema  /  serialize
+    | partition by key ( where .. | sort .. | extend .. | top .. |
+        take .. | summarize .. )   (per-key scope; serialized ops
+        compile to key-partitioned windows — the scale-safe form)
     | join kind=innerunique(default)|inner|left|right|fullouter|leftsemi|
         leftanti|rightsemi|rightanti [hint.broadcast]
         (subpipeline) on key / on $left.a == $right.b
@@ -754,10 +757,28 @@ def _named_expr(toks: list[Tok], df: DataFrame,
     return name, sql
 
 
+def _warn_global_serialize(what: str) -> None:
+    """Serialized-order op compiling to a GLOBAL window: correct KQL
+    semantics, but the sort collapses to one partition — a scale killer
+    on unbounded input. Kusto's own scoping answer is
+    ``partition by key ( ... )``, which this compiler supports."""
+    import warnings
+    warnings.warn(
+        f"KQL: {what} compiles to a single-partition global sort; "
+        f"bound the input first (where/take) or scope it with "
+        f"'partition by <key> ( ... )' to get a key-partitioned window",
+        stacklevel=2)
+
+
 def _compile_expr_tokens(toks: list[Tok], df: DataFrame,
-                         order_sql: list[str] | None = None) -> str:
+                         order_sql: list[str] | None = None,
+                         partition_sql: list[str] | None = None) -> str:
     """Expression compile with schema-aware bin() and serialized-order
-    prev()/next() interception."""
+    prev()/next() interception. Inside ``partition by key ( ... )``
+    scope the window partitions on the key; otherwise it is a GLOBAL
+    (single-partition) window — correct KQL serialized semantics, but a
+    scale hazard, so a loud warning fires unless the input was bounded
+    first (Kusto's own answer is `partition by` scoping)."""
     out: list[Tok] = []
     i = 0
     while i < len(toks):
@@ -774,11 +795,17 @@ def _compile_expr_tokens(toks: list[Tok], df: DataFrame,
                     if depth == 0:
                         break
                 j += 1
-            inner = _compile_expr_tokens(toks[i + 2:j], df, order_sql)
+            inner = _compile_expr_tokens(toks[i + 2:j], df, order_sql,
+                                         partition_sql)
             fn = "lag" if t.text.lower() == "prev" else "lead"
+            if partition_sql:
+                over = (f"PARTITION BY {', '.join(partition_sql)} "
+                        f"ORDER BY {', '.join(order_sql)}")
+            else:
+                _warn_global_serialize(t.text.lower() + "()")
+                over = f"ORDER BY {', '.join(order_sql)}"
             out.append(Tok("rendered",
-                           f"{fn}({inner}, 1) OVER (ORDER BY "
-                           f"{', '.join(order_sql)})"))
+                           f"{fn}({inner}, 1) OVER ({over})"))
             i = j + 1
             continue
         if (t.kind == "ident" and t.text.lower() in ("bin", "bin_at")
@@ -883,6 +910,11 @@ class KqlCompiler:
         # nondeterministic and a single-partition bottleneck at scale).
         self._order: list | None = None
         self._order_sql: list[str] | None = None
+        # `partition by key ( ... )` sets these for the subquery scope:
+        # serialized ops (prev/next/row_number, sort, take) then compile
+        # to key-partitioned windows instead of a global sort.
+        self._partition: list | None = None
+        self._partition_sql: list[str] | None = None
         # let-statement bindings: tabular -> DataFrame, scalar -> KQL text
         self._lets: dict[str, DataFrame] = {}
         self._scalar_lets: dict[str, str] = {}
@@ -1063,6 +1095,8 @@ class KqlCompiler:
             # order-freeze marker; row order is whatever the preceding
             # sort established — tabularly a no-op here
             return df
+        if op == "partition":
+            return self._partition_by(df, rest)
         if op == "getschema":
             rows = [(f.name, i, f.dataType.simpleString())
                     for i, f in enumerate(df.schema.fields)]
@@ -1076,17 +1110,22 @@ class KqlCompiler:
                     name, body = g[0].text, g[2:]
                 else:
                     name, body = f"col{i}", g
-                sql = _compile_expr_tokens(body, df, self._order_sql)
+                sql = _compile_expr_tokens(body, df, self._order_sql,
+                                           self._partition_sql)
                 if sql.strip() == "row_number()":
                     if self._order is None:
                         raise ValueError(
                             "KQL: row_number() needs a preceding "
                             "'sort by' (serialized order)")
                     from pyspark.sql import Window
+                    if self._partition:
+                        w = Window.partitionBy(*self._partition) \
+                                  .orderBy(*self._order)
+                    else:
+                        _warn_global_serialize("row_number()")
+                        w = Window.orderBy(*self._order)
                     df = df.withColumn(
-                        name,
-                        F.row_number().over(Window.orderBy(*self._order))
-                         .cast("long"))
+                        name, F.row_number().over(w).cast("long"))
                     continue
                 df = df.withColumn(name, F.expr(sql))
             return df
@@ -1643,6 +1682,91 @@ class KqlCompiler:
             name, sql = _named_expr(g, df, f"key{i}")
             keys.append(F.expr(sql).alias(name))
         return df.groupBy(*keys).agg(*aggs)
+
+    def _partition_by(self, df: DataFrame, rest: str):
+        """``partition by key ( subquery )`` — Kusto's scoping operator:
+        the subquery runs per key value, and its results union. This is
+        THE scale-safe home for serialized ops: inside the scope,
+        prev()/next()/row_number() compile to windows PARTITIONED on the
+        key (one shuffle, every partition independent), `sort by`
+        becomes repartition(key) + sortWithinPartitions (no global
+        sort), `take`/`top` become per-key window cuts, and `summarize`
+        gains the key as an extra grouping column. Supported subquery
+        operators: where / extend / project* / sort / top / take /
+        summarize (matching the serialized-pipeline use cases; Kusto's
+        legacy strategy caps at 64 partitions, the native strategy —
+        modeled here — does not)."""
+        from pyspark.sql import Window
+
+        m = re.match(r"(?:hint\.\S+\s+)*by\s+([A-Za-z_][A-Za-z0-9_]*)"
+                     r"\s*\((?P<sub>.*)\)\s*$", rest, re.DOTALL)
+        if not m:
+            raise ValueError("KQL: partition [hint...] by col ( subquery )")
+        key, sub = m.group(1), m.group("sub").strip()
+        if key not in df.columns:
+            raise ValueError(f"KQL: partition key {key!r} not in input")
+        saved = (self._partition, self._partition_sql,
+                 self._order, self._order_sql)
+        self._partition = [F.col(key)]
+        self._partition_sql = [f"`{key}`"]
+        self._order = self._order_sql = None
+        try:
+            out = df
+            for stage in _split_pipes(sub):
+                sm = re.match(r"([A-Za-z_-]+)\s*(.*)", stage.strip(),
+                              re.DOTALL)
+                sop, srest = sm.group(1).lower(), sm.group(2).strip()
+                if sop in ("where", "extend", "project", "project-away",
+                           "project-keep", "project-rename",
+                           "project-reorder", "distinct", "serialize",
+                           "parse", "parse-where", "mv-expand"):
+                    out = self._apply(out, stage)
+                elif sop in ("sort", "order"):
+                    cols = self._sort_cols(
+                        out, re.sub(r"^by\s+", "", srest))
+                    self._order = cols
+                    # per-key serialized order, never a global sort
+                    out = (out.repartition(F.col(key))
+                              .sortWithinPartitions(F.col(key), *cols))
+                elif sop in ("take", "limit"):
+                    n = int(srest)
+                    order = self._order or [F.monotonically_increasing_id()]
+                    w = Window.partitionBy(F.col(key)).orderBy(*order)
+                    out = (out.withColumn("__p_rn",
+                                          F.row_number().over(w))
+                              .where(F.col("__p_rn") <= n)
+                              .drop("__p_rn"))
+                elif sop == "top":
+                    m2 = re.match(r"(\d+)\s+by\s+(.*)", srest, re.DOTALL)
+                    if not m2:
+                        raise ValueError("KQL: top N by expr")
+                    cols = self._sort_cols(out, m2.group(2))
+                    self._order = cols
+                    w = Window.partitionBy(F.col(key)).orderBy(*cols)
+                    out = (out.withColumn("__p_rn",
+                                          F.row_number().over(w))
+                              .where(F.col("__p_rn") <= int(m2.group(1)))
+                              .drop("__p_rn"))
+                elif sop == "summarize":
+                    # the key is implicitly a grouping column
+                    stripped = _STR_LIT_RE.sub("", srest)
+                    if re.search(r"\bby\b", stripped):
+                        by_part = stripped.split("by", 1)[1]
+                        if re.search(rf"\b{re.escape(key)}\b", by_part):
+                            out = self._summarize(out, srest)
+                        else:
+                            out = self._summarize(out, f"{srest}, {key}")
+                    else:
+                        out = self._summarize(out, f"{srest} by {key}")
+                else:
+                    raise ValueError(
+                        f"KQL: partition subquery operator {sop!r} not "
+                        f"supported (where/extend/project*/sort/top/"
+                        f"take/summarize are)")
+            return out
+        finally:
+            (self._partition, self._partition_sql,
+             self._order, self._order_sql) = saved
 
     def _join(self, df: DataFrame, rest: str):
         m = re.match(

@@ -3375,6 +3375,36 @@ def q_kql_prev_diff(spark, sf_dir):
     """)
 
 
+@query("q_kql_partition_prev", """
+WITH w AS (
+  SELECT user_id, event_id, value,
+         value - lag(value) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS dv,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events)
+SELECT user_id, event_id, CAST(rn AS BIGINT) AS rn,
+       ROUND(dv, 4) AS dv
+FROM w WHERE rn <= 3
+""")
+def q_kql_partition_prev(spark, sf_dir):
+    """KQL `partition by` scoping — Kusto's scale-safe home for
+    serialized ops: prev()/row_number() inside the scope compile to
+    windows PARTITIONED on user_id (one hash shuffle, every partition
+    independent; plan-pinned: no single-partition global sort, unlike
+    the unscoped q_kql_prev_diff)."""
+    from azure_kusto_parquet_conv_spark.kql import kql
+    return kql(spark, sf_dir, """
+      events
+        | partition by user_id (
+            sort by ts asc, event_id asc
+            | extend dv = value - prev(value), rn = row_number()
+            | where rn <= 3
+          )
+        | project user_id, event_id, rn, dv = round(dv, 4)
+    """)
+
+
 @query("q_weighted_sample", """
 WITH w AS (
   SELECT doc_id, lang,
@@ -3858,7 +3888,8 @@ DRIVER_WINDOW = [
 # q_window_distribution, q_group_concat, q_profile, q_date_parts,
 # q_window_time_range, q_mode, q_zorder_key, q_key_skew,
 # q_corr_price_qty, q_mad_robust_stats, q_anomaly_outliers,
-# q_unigram_logprob, q_events_heatmap, q_interarrival_dist; plus the
+# q_unigram_logprob, q_events_heatmap, q_interarrival_dist,
+# q_kql_partition_prev (new r5); plus the
 # rows-only family (q_knn_ivf/pq/lsh, q_dedup_simhash/embedding/
 # clusters, q_multimodal_frames, q_approx_percentiles, q_freq_items,
 # q_sample_by) for the weaker rows-only driver check.

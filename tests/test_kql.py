@@ -910,6 +910,91 @@ def test_variant_compare_with_string_function(spark, sf_dir):
     assert len(r) == 1 and r[0]["who"] == "ada"
 
 
+def test_partition_by_prev_rownumber_parity(spark, sf_dir):
+    """`partition by key ( sort | extend prev/row_number )` must equal
+    the hand-built key-partitioned window, with exact Kusto ordering
+    (sort keys become the window order, partitioned on the key)."""
+    from pyspark.sql import Window
+    out = kql(spark, sf_dir, """
+      events
+        | partition by user_id (
+            sort by ts asc, event_id asc
+            | extend dv = value - prev(value), rn = row_number()
+            | where rn <= 3
+          )
+        | project user_id, event_id, rn, dv
+    """)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc())
+    want = (load_table(spark, sf_dir, "events")
+            .withColumn("dv", F.col("value") - F.lag("value", 1).over(w))
+            .withColumn("rn", F.row_number().over(w).cast("long"))
+            .where(F.col("rn") <= 3)
+            .select("user_id", "event_id", "rn", "dv"))
+    assert sorted(map(tuple, out.collect())) == \
+        sorted(map(tuple, want.collect()))
+
+
+def test_partition_by_plan_has_no_global_sort(spark, sf_dir):
+    """Inside `partition by` the serialized ops must never collapse to
+    a single partition: no SinglePartition exchange, no global Sort."""
+    out = kql(spark, sf_dir, """
+      events
+        | partition by user_id (
+            sort by ts asc, event_id asc
+            | extend rn = row_number()
+            | where rn <= 2
+          )
+    """)
+    phys = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in phys
+    assert "hashpartitioning(user_id" in phys
+
+
+def test_partition_by_take_top_summarize(spark, sf_dir):
+    """take/top become per-key window cuts; summarize gains the key as
+    a grouping column."""
+    per_key = kql(spark, sf_dir, """
+      events
+        | partition by event_type (
+            top 2 by value
+          )
+    """)
+    counts = {r["event_type"]: r["n"] for r in
+              per_key.groupBy("event_type").agg(F.count("*").alias("n"))
+              .collect()}
+    assert counts and all(v == 2 for v in counts.values())
+    agg = kql(spark, sf_dir, """
+      events
+        | partition by event_type ( summarize n = count() )
+    """)
+    want = (load_table(spark, sf_dir, "events")
+            .groupBy("event_type").agg(F.count("*").alias("n")))
+    assert sorted(map(tuple, agg.collect())) == \
+        sorted(map(tuple, want.collect()))
+
+
+def test_unscoped_serialize_warns_global_sort(spark, sf_dir):
+    """prev()/row_number() OUTSIDE a partition scope stay correct but
+    must emit the loud scale warning (single-partition global sort)."""
+    import warnings
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        kql(spark, sf_dir, """
+          events | take 100 | sort by event_id asc
+                 | extend rn = row_number()
+        """)
+    assert any("single-partition" in str(w.message) for w in rec)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        kql(spark, sf_dir, """
+          events
+            | partition by user_id (
+                sort by event_id asc | extend rn = row_number() )
+        """)
+    assert not any("single-partition" in str(w.message) for w in rec)
+
+
 def test_datatable_lookup_broadcasts(spark, sf_dir):
     from azure_kusto_parquet_conv_spark.plans import join_strategies
     df = kql(spark, sf_dir, """
