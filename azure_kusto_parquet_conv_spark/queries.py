@@ -3272,30 +3272,41 @@ def q_basket_pairs(spark, sf_dir):
 
 @query("q_fuzzy_prefix_pairs", f"""
 WITH d AS (SELECT doc_id, lang, n_chars,
-                  substr({_NORM_SQL}, 1, 24) AS head
+                  substr({_NORM_SQL}, 1, 24) AS head,
+                  split_part({_NORM_SQL}, ' ', 1) AS tok
            FROM documents)
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        CAST(levenshtein(a.head, b.head) AS BIGINT) AS dist
 FROM d a JOIN d b
   ON a.lang = b.lang AND (a.n_chars // 64) = (b.n_chars // 64)
+ AND a.tok = b.tok
  AND a.doc_id < b.doc_id
 WHERE levenshtein(a.head, b.head) <= 4
 """)
 def q_fuzzy_prefix_pairs(spark, sf_dir):
     """Edit-distance fuzzy matching (entity-resolution shape): document
     pairs whose normalized 24-char prefixes are within Levenshtein 4,
-    blocked on (lang, length bucket) so the pair space is per-block
-    quadratic, never corpus-quadratic — the same blocking discipline as
-    the LSH dedup family, with an exact edit-distance verifier instead
-    of a similarity estimate. Levenshtein is unit-cost in both engines."""
+    blocked on (lang, length bucket, first token) so the pair space is
+    per-block quadratic, never corpus-quadratic — the same blocking
+    discipline as the LSH dedup family, with an exact edit-distance
+    verifier instead of a similarity estimate. The first-token
+    component is the secondary blocking key (r4 verdict item 6): a
+    100 TB web corpus puts most English docs in a few hot
+    (lang, length) buckets, and the token key keeps those bounded —
+    standard multi-key blocking; candidates whose first token differs
+    are sacrificed by design, as in any blocked matcher. Levenshtein is
+    unit-cost in both engines."""
     d = (load_table(spark, sf_dir, "documents")
          .select("doc_id", "lang", "n_chars",
                  F.substring(X.normalize("text"), 1, 24).alias("head"),
+                 F.substring_index(X.normalize("text"), " ", 1)
+                  .alias("tok"),
                  (F.col("n_chars") / 64).cast("long").alias("blk")))
     a, b = d.alias("a"), d.alias("b")
     dist = F.levenshtein(F.col("a.head"), F.col("b.head"))
     return (a.join(b, (F.col("a.lang") == F.col("b.lang"))
                    & (F.col("a.blk") == F.col("b.blk"))
+                   & (F.col("a.tok") == F.col("b.tok"))
                    & (F.col("a.doc_id") < F.col("b.doc_id")))
              .where(dist <= 4)
              .select(F.col("a.doc_id").alias("id_a"),

@@ -89,6 +89,19 @@ def test_embed_sim_pairs_probe_is_bounded_broadcast(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in join_strategies(df)
 
 
+def test_fuzzy_pairs_block_key_includes_first_token(spark, sf_dir):
+    """The fuzzy-match self-join must block on (lang, length bucket,
+    first token): without the token component hot (lang, length)
+    buckets go quadratic on a web corpus (r4 verdict item 6). The
+    assert reads the physical join keys, not the code."""
+    df = QUERIES["q_fuzzy_prefix_pairs"](spark, sf_dir)
+    plan = executed_plan(df)
+    join_line = next(l for l in plan.splitlines() if "HashJoin" in l)
+    for key in ("lang", "blk", "tok"):
+        assert key in join_line, f"{key} missing from join keys:\n{join_line}"
+    assert_no_cartesian(df)
+
+
 def test_asof_join_single_shuffle_no_join(spark, sf_dir):
     """The as-of implementation must be a window over a union — zero join
     operators, one shuffle for the window partitioning."""
