@@ -1,12 +1,13 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed by Arrow-batched ``mapInPandas`` kernels.
 
-The decode/feature kernels themselves are STUBS (no image/audio libraries
-in this environment — each raises NotImplementedError unless the
-deterministic fake is requested), but everything Spark-side is real and
-tested: the schema contract, the batch shape, the UDF signatures, and the
-partitioning story. Swapping the fake for Pillow/librosa is a one-function
-change that touches no plan.
+The decode/feature kernels are gated on the environment: with Pillow
+importable, ``fake=False`` decodes for real (_extract_features_pil);
+without it, the socket raises NotImplementedError(NO_DECODER_MSG) at
+plan-build time and the deterministic fake kernel stands in. Everything
+Spark-side is identical between the two branches and tested: the schema
+contract, the batch shape, the UDF signatures, and the partitioning
+story — swapping kernels touches no plan.
 
 Scale notes baked into the design:
 - payloads stay ``binary`` end-to-end (no base64 round trips, Arrow moves
@@ -76,16 +77,26 @@ def _fake_features(payload: bytes, dim: int = 8) -> list[float]:
             for i in range(dim)]
 
 
+NO_DECODER_MSG = (
+    "real media decoding requires image/audio libraries (Pillow) not "
+    "available in this environment; use fake=True for the "
+    "deterministic stand-in kernel")
+
+
 def extract_features(media: DataFrame, fake: bool = True,
                      dim: int = 8) -> DataFrame:
     """Decode + featurize each payload via mapInPandas (Arrow batches of
     binary; one output row per input row). ``fake=False`` is the socket
-    where a real decoder (Pillow / torchaudio / pyav) plugs in."""
+    where a real decoder plugs in: when Pillow is importable it decodes
+    each payload as an image and emits mean-pixel features from a
+    ``dim``-cell grayscale thumbnail (same FEATURE_SCHEMA, same batch
+    shape); without Pillow it raises NotImplementedError(NO_DECODER_MSG)
+    at plan-build time, before any job runs."""
     if not fake:
-        raise NotImplementedError(
-            "real media decoding requires image/audio libraries not "
-            "available in this environment; use fake=True for the "
-            "deterministic stand-in kernel")
+        import importlib.util
+        if importlib.util.find_spec("PIL") is None:
+            raise NotImplementedError(NO_DECODER_MSG)
+        return _extract_features_pil(media, dim)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -116,6 +127,45 @@ def extract_features(media: DataFrame, fake: bool = True,
                 "media_id": pdf["media_id"],
                 "kind": pdf["kind"],
                 "n_bytes": n_bytes,
+                "sha256": hexes,
+                "features": feats,
+            })
+
+    return media.mapInPandas(kernel, FEATURE_SCHEMA)
+
+
+def _extract_features_pil(media: DataFrame, dim: int = 8) -> DataFrame:
+    """The real-decoder branch of the socket (only reachable when
+    Pillow is importable): decode each payload with PIL, thumbnail to a
+    1 x dim grayscale strip, features = per-cell mean pixel / 255.
+    Undecodable payloads yield null features (schema intact, no task
+    failure) — a real pipeline filters them by meta before decode."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        import numpy as np
+        from PIL import Image
+
+        for pdf in batches:
+            n_bytes, hexes, feats = [], [], []
+            for b in pdf["payload"].to_numpy():
+                if b is None:
+                    b = b""
+                n_bytes.append(len(b))
+                hexes.append(hashlib.sha256(b).hexdigest())
+                try:
+                    img = Image.open(io.BytesIO(b)).convert("L")
+                    img = img.resize((dim, 1))
+                    feats.append(
+                        (np.asarray(img, dtype=np.float64).ravel()
+                         / 255.0).tolist())
+                except Exception:
+                    feats.append(None)
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "n_bytes": pd.Series(n_bytes, dtype="int64"),
                 "sha256": hexes,
                 "features": feats,
             })
