@@ -26,7 +26,10 @@ Supported surface (each line maps to one DataFrame verb):
     | extend alias=expr, ...   (row_number()/prev(x)/next(x) after sort)
     | summarize [hint.shufflekey=k] a=agg(x), ...
         by k1, name=expr, bin(ts, 1h), bin_at(x, size, anchor)
-    | make-series a=agg(x) on ts step 1d [by keys]  (dense, zero-filled)
+    | make-series a=agg(x), b=agg2(y), ... [default=v|null]
+        on ts step 1d [by keys]   (dense over the FULL min..max step
+        range; empty bins take default — 0 when omitted, per Kusto)
+    | search [kind=case_(in)sensitive] 'term'  (any-string-column match)
     | mv-expand alias=array_expr      (dynamic arrays too)
     | mv-apply x = arr on ( where .. | extend .. | top .. | summarize .. )
     | parse col with 'lit' name:type ...
@@ -49,7 +52,9 @@ Scalar fns: strlen, tolower, toupper, substring (0-based, KQL-style),
 strcat, strcat_delim, iff/iif, case, toint/tolong/todouble/tostring/
 tobool/todatetime, bin, bin_at, extract, extract_all, extractjson,
 parse_json/todynamic (dynamic on Spark VARIANT; d.path compiles to
-variant_get), series_* (fold/smoothing), contains/startswith/endswith/
+variant_get), series_sum/avg/min/max, series_fir, series_fill_const/
+forward/backward/linear, series_outliers (Tukey fences), series_add/
+subtract/multiply/divide, contains/startswith/endswith/
 has/has_any (term match), in/!in, between (lo .. hi), ==/!=/=~,
 arithmetic, datetime(...) literals, now/ago, format_datetime,
 startof/endof day|week|month|year (Sunday weeks), dayofweek (timespan),
@@ -375,11 +380,104 @@ class _ExprParser:
             if len(args) != 2:
                 raise ValueError("KQL: series_fir(series, k)")
             arr, k = args
-            return (f"transform({arr}, (v, i) -> "
-                    f"aggregate(slice({arr}, greatest(i + 2 - {k}, 1), "
-                    f"least(i + 1, {k})), CAST(0 AS DOUBLE), "
-                    f"(a, x) -> a + CAST(x AS DOUBLE)) "
-                    f"/ least(i + 1, {k}))")
+            return (f"transform({arr}, (__fir_v, __fir_i) -> "
+                    f"aggregate(slice({arr}, "
+                    f"greatest(__fir_i + 2 - {k}, 1), "
+                    f"least(__fir_i + 1, {k})), CAST(0 AS DOUBLE), "
+                    f"(__fir_a, __fir_x) -> "
+                    f"__fir_a + CAST(__fir_x AS DOUBLE)) "
+                    f"/ least(__fir_i + 1, {k}))")
+        if fname == "series_fill_const":
+            if len(args) != 2:
+                raise ValueError("KQL: series_fill_const(series, value)")
+            return (f"transform({args[0]}, v -> coalesce("
+                    f"CAST(v AS DOUBLE), CAST({args[1]} AS DOUBLE)))")
+        if fname in ("series_fill_forward", "series_fill_backward"):
+            # O(n) fold building the filled array; try_element_at(acc, -1)
+            # is null on the empty accumulator, so leading (resp.
+            # trailing) nulls stay null — Kusto's edge behavior
+            if len(args) != 1:
+                raise ValueError(f"KQL: {fname}(series) takes 1 arg")
+            arr = args[0]
+            if fname == "series_fill_backward":
+                arr = f"reverse({arr})"
+            ff = (f"aggregate({arr}, CAST(array() AS ARRAY<DOUBLE>), "
+                  f"(a, v) -> array_append(a, coalesce(CAST(v AS DOUBLE), "
+                  f"try_element_at(a, -1))))")
+            return ff if fname == "series_fill_forward" else f"reverse({ff})"
+        if fname == "series_fill_linear":
+            # linear interpolation between the nearest non-null anchors;
+            # edges take the nearest anchor (Kusto series_fill_linear).
+            # Pure higher-order SQL: per position, the prev/next anchor
+            # is found by filtering the (value, index) pairs — O(n²) in
+            # the SERIES length (calendar-bounded), zero Python.
+            if len(args) != 1:
+                raise ValueError("KQL: series_fill_linear(series) takes 1 arg")
+            arr = args[0]
+            # lambda vars carry a __sfl_ prefix so they can never shadow
+            # a user column referenced from the inlined array expression
+            wi = (f"zip_with({arr}, sequence(1, size({arr})), "
+                  f"(__sfl_v, __sfl_i) -> struct(CAST(__sfl_v AS DOUBLE) "
+                  f"AS v, __sfl_i AS i))")
+            nn = f"filter({wi}, __sfl_q -> __sfl_q.v IS NOT NULL)"
+            prev = (f"try_element_at(filter({nn}, "
+                    f"__sfl_p -> __sfl_p.i < __sfl_s.i), -1)")
+            nxt = (f"try_element_at(filter({nn}, "
+                   f"__sfl_p -> __sfl_p.i > __sfl_s.i), 1)")
+            return (
+                f"transform({wi}, __sfl_s -> "
+                f"CASE WHEN __sfl_s.v IS NOT NULL THEN __sfl_s.v "
+                f"WHEN {prev} IS NULL AND {nxt} IS NULL THEN NULL "
+                f"WHEN {prev} IS NULL THEN {nxt}.v "
+                f"WHEN {nxt} IS NULL THEN {prev}.v "
+                f"ELSE {prev}.v + ({nxt}.v - {prev}.v) "
+                f"* (__sfl_s.i - {prev}.i) / ({nxt}.i - {prev}.i) END)")
+        if fname == "series_outliers":
+            # Tukey-fence anomaly score (series_outliers semantics):
+            # 0 inside [q1-1.5·iqr, q3+1.5·iqr], else signed distance
+            # past the fence in IQR units. Quartiles use the nearest-rank
+            # (ceil) method over the sorted non-null values so the DuckDB
+            # oracle can reproduce them bit-for-bit.
+            if len(args) != 1:
+                raise ValueError("KQL: series_outliers(series) takes 1 arg")
+            arr = args[0]
+            # __so_ lambda-var prefix: the series expression is inlined
+            # INSIDE the outer lambda body, so plain names could shadow
+            # the user's column
+            srt = (f"array_sort(filter(transform({arr}, "
+                   f"__so_x -> CAST(__so_x AS DOUBLE)), "
+                   f"__so_x -> __so_x IS NOT NULL))")
+            q1 = (f"element_at({srt}, greatest(CAST(ceil("
+                  f"size({srt}) * 0.25) AS INT), 1))")
+            q3 = (f"element_at({srt}, greatest(CAST(ceil("
+                  f"size({srt}) * 0.75) AS INT), 1))")
+            iqr = f"({q3} - {q1})"
+            hi = f"({q3} + 1.5 * {iqr})"
+            lo = f"({q1} - 1.5 * {iqr})"
+            return (
+                f"transform({arr}, __so_v -> "
+                f"CASE WHEN __so_v IS NULL THEN NULL "
+                f"WHEN size({srt}) = 0 OR {iqr} <= 0 THEN 0.0 "
+                f"WHEN CAST(__so_v AS DOUBLE) > {hi} "
+                f"THEN (CAST(__so_v AS DOUBLE) - {hi}) / {iqr} "
+                f"WHEN CAST(__so_v AS DOUBLE) < {lo} "
+                f"THEN (CAST(__so_v AS DOUBLE) - {lo}) / {iqr} "
+                f"ELSE 0.0 END)")
+        if fname in ("series_add", "series_subtract", "series_multiply",
+                     "series_divide"):
+            # element-wise arithmetic over two parallel series (zip_with,
+            # codegen); divide-by-zero yields null (Kusto real null)
+            if len(args) != 2:
+                raise ValueError(f"KQL: {fname}(series1, series2)")
+            a, b = args
+            op_sym = {"series_add": "+", "series_subtract": "-",
+                      "series_multiply": "*"}.get(fname)
+            if op_sym:
+                return (f"zip_with({a}, {b}, (x, y) -> "
+                        f"CAST(x AS DOUBLE) {op_sym} CAST(y AS DOUBLE))")
+            return (f"zip_with({a}, {b}, (x, y) -> CASE "
+                    f"WHEN CAST(y AS DOUBLE) = 0.0 THEN NULL "
+                    f"ELSE CAST(x AS DOUBLE) / CAST(y AS DOUBLE) END)")
         if fname in ("startofday", "startofweek", "startofmonth",
                      "startofyear"):
             if len(args) != 1:
@@ -1219,6 +1317,34 @@ class KqlCompiler:
             return self._lookup(df, rest)
         if op == "make-series":
             return self._make_series(df, rest)
+        if op == "search":
+            # search [kind=case_insensitive|case_sensitive] 'term':
+            # filter rows where ANY string column contains the term
+            # (Kusto's cross-column text search, scoped to the piped
+            # table). Compiles to one OR-of-Contains predicate — fully
+            # codegen, pushdown-eligible, no shuffle. Non-string columns
+            # are not searched (documented narrowing of Kusto, which
+            # also matches rendered dynamics).
+            m2 = re.match(r"(?:kind\s*=\s*(?P<kind>case_sensitive|"
+                          r"case_insensitive)\s+)?"
+                          r"(?P<lit>'(?:[^'\\]|\\.)*'|\"(?:[^\"\\]|\\.)*\")"
+                          r"\s*$", rest)
+            if not m2:
+                raise ValueError("KQL: search [kind=...] 'term'")
+            term = m2.group("lit")[1:-1]
+            term = re.sub(r"\\(.)", r"\1", term)
+            sensitive = m2.group("kind") == "case_sensitive"
+            pred = None
+            for f in df.schema.fields:
+                if f.dataType.typeName() != "string":
+                    continue
+                c = F.col(f.name)
+                hit = (c.contains(term) if sensitive
+                       else F.lower(c).contains(term.lower()))
+                pred = hit if pred is None else (pred | hit)
+            if pred is None:
+                raise ValueError("KQL: search found no string columns")
+            return df.where(pred)
         raise ValueError(f"KQL: unsupported operator {op!r}")
 
     def _operand(self, text: str) -> DataFrame:
@@ -1597,17 +1723,30 @@ class KqlCompiler:
         return df.join(F.broadcast(right), keys, kind)
 
     def _make_series(self, df: DataFrame, rest: str) -> DataFrame:
-        """make-series a=agg(x) on ts step 1d [by k1, k2]: dense
-        zero-filled series over the observed bin range per group. The
-        bin/group grid is calendar-x-keys sized and broadcasts; the only
-        input-sized shuffle is the per-bin pre-aggregate."""
-        m = re.match(r"(?P<agg>.+?)\s+on\s+(?P<ts>\w+)\s+step\s+"
+        """make-series a=agg(x) [default=v] on ts step 1d [by k1, k2]:
+        dense series over the observed bin range per group; empty bins
+        take ``default`` (0 when omitted, Kusto's default; ``default=
+        real(null)``/``default=null`` keeps them null for the
+        series_fill_* family). The bin/group grid is calendar-x-keys
+        sized and broadcasts; the only input-sized shuffle is the
+        per-bin pre-aggregate."""
+        m = re.match(r"(?P<agg>.+?)"
+                     r"(?:\s+default\s*=\s*(?P<dflt>real\s*\(\s*null\s*\)"
+                     r"|null|-?\d+(?:\.\d+)?))?"
+                     r"\s+on\s+(?P<ts>\w+)\s+step\s+"
                      r"(?P<step>\S+)(?:\s+by\s+(?P<by>.+))?$",
                      rest, re.DOTALL)
         if not m:
             raise ValueError(
-                "KQL: make-series a=agg(x) on ts step 1d [by keys]")
-        name, agg_sql = _named_expr(_tokenize(m.group("agg")), df, "series")
+                "KQL: make-series a=agg(x) [default=v] on ts step 1d "
+                "[by keys]")
+        dflt = (m.group("dflt") or "0").strip()
+        fill_null = dflt == "null" or dflt.startswith("real")
+        aggs = []  # multiple comma-separated aggregates, Kusto-style
+        for i, g in enumerate(_split_top_commas(_tokenize(m.group("agg")))):
+            name, agg_sql = _named_expr(
+                g, df, "series" if i == 0 else f"series{i}")
+            aggs.append((name, agg_sql))
         step_us = _timespan_to_us(m.group("step"))
         bin_col = F.expr(f"timestamp_micros((unix_micros(`{m.group('ts')}`)"
                          f" div {step_us}) * {step_us})")
@@ -1617,19 +1756,47 @@ class KqlCompiler:
                     for g in _split_top_commas(_tokenize(m.group("by")))]
         pre = (df.withColumn("__bin", bin_col)
                  .groupBy(*keys, "__bin")
-                 .agg(F.expr(agg_sql).alias("__v")))
-        bins = pre.select("__bin").distinct()
+                 .agg(*[F.expr(sql).alias(f"__v{i}")
+                        for i, (_, sql) in enumerate(aggs)]))
+        # full calendar grid min..max (Kusto fills EVERY step in the
+        # range, not just observed bins — required for the
+        # series_fill_* interpolation family); the range row is a
+        # single-row agg, the exploded grid is calendar-sized
+        bins = (pre.agg(F.min("__bin").alias("__mn"),
+                        F.max("__bin").alias("__mx"))
+                   .where(F.col("__mn").isNotNull())
+                   .select(F.explode(F.expr(
+                       f"sequence(__mn, __mx, interval {step_us} "
+                       f"microsecond)")).alias("__bin")))
         grid = (pre.select(*keys).distinct().crossJoin(F.broadcast(bins))
                 if keys else bins)
+        # fill literal cast to each aggregate's own type so count()
+        # series stay long and avg() series stay double
+        def fill_for(col):
+            v_type = pre.schema[col].dataType
+            lit = F.lit(None) if fill_null else F.lit(float(dflt))
+            return lit.cast(v_type)
         filled = (grid.join(pre, [*keys, "__bin"], "left")
                       .select(*keys, "__bin",
-                              F.coalesce("__v", F.lit(0)).alias("__v")))
-        series = F.transform(
-            F.array_sort(F.collect_list(F.struct("__bin", "__v"))),
-            lambda s: s["__v"])
+                              *[F.coalesce(f"__v{i}", fill_for(f"__v{i}"))
+                                 .alias(f"__v{i}")
+                                for i in range(len(aggs))]))
+        # ONE sorted collect of (bin, v0, v1, ...) structs feeds every
+        # series array — adding aggregates costs no extra shuffle
+        packed = F.array_sort(F.collect_list(
+            F.struct("__bin", *[f"__v{i}" for i in range(len(aggs))])))
         out = (filled.groupBy(*keys) if keys else filled.groupBy())
-        return out.agg(series.alias(name),
-                       F.array_sort(F.collect_set("__bin")).alias("bins"))
+        out = out.agg(packed.alias("__packed"),
+                      F.array_sort(F.collect_set("__bin")).alias("bins"))
+        def extract(field):
+            # factory, not a default-arg lambda: F.transform reads lambda
+            # arity, and a second (defaulted) param would make it pass
+            # the element index as that argument
+            return lambda s: s[field]
+        for i, (name, _) in enumerate(aggs):
+            out = out.withColumn(
+                name, F.transform("__packed", extract(f"__v{i}")))
+        return out.select(*keys, *[n for n, _ in aggs], "bins")
 
     def _sort_cols(self, df: DataFrame, rest: str):
         cols = []
@@ -1851,13 +2018,9 @@ def kql_stream(df: DataFrame, query: str,
     survives an unbounded 100 TB/day stream. The window start is
     projected under the bin key's alias so the output schema matches the
     batch pipeline column-for-column."""
-    comp = KqlCompiler.__new__(KqlCompiler)
-    comp.spark = df.sparkSession
-    comp.sf_dir = None
-    comp._order = None
-    comp._order_sql = None
-    comp._lets = {}
-    comp._scalar_lets = {}
+    # real constructor (not a hand-rolled field list, which drifted once
+    # when new compiler state was added): the stream has no table dir
+    comp = KqlCompiler(df.sparkSession, sf_dir=None)
     for stage in _split_pipes(query.lstrip().lstrip("|")):
         m = re.match(r"([A-Za-z_-]+)\s*(.*)", stage, re.DOTALL)
         op, rest = m.group(1).lower(), m.group(2).strip()

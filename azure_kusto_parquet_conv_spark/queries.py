@@ -3851,6 +3851,330 @@ def q_sequence_pack(spark, sf_dir):
 
 
 # =======================================================================
+# Time-series (KQL series_* family) and round-5 curation additions
+# =======================================================================
+
+@query("q_kql_series_fill", """
+WITH e AS (SELECT user_id % 5 AS b,
+                  epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+                  value
+           FROM events WHERE event_type = 'error' AND value > 90),
+du AS (SELECT b, day, AVG(value) AS v FROM e GROUP BY b, day),
+days AS (SELECT unnest(range((SELECT MIN(day) FROM du),
+                             (SELECT MAX(day) FROM du) + 1)) AS day),
+bs AS (SELECT DISTINCT b FROM du),
+g AS (SELECT bs.b, days.day, du.v
+      FROM bs CROSS JOIN days
+      LEFT JOIN du ON du.b = bs.b AND du.day = days.day),
+f AS (SELECT b, day, v,
+        last_value(v IGNORE NULLS) OVER (
+          PARTITION BY b ORDER BY day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+          OVER (PARTITION BY b ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pi,
+        first_value(v IGNORE NULLS) OVER (
+          PARTITION BY b ORDER BY day
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+          OVER (PARTITION BY b ORDER BY day
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ni
+      FROM g)
+SELECT CAST(b AS BIGINT) AS b, CAST(day AS BIGINT) AS day,
+       ROUND(pv, 4) AS v_ff,
+       ROUND(CASE WHEN v IS NOT NULL THEN v
+                  WHEN pv IS NULL AND nv IS NULL THEN NULL
+                  WHEN pv IS NULL THEN nv
+                  WHEN nv IS NULL THEN pv
+                  ELSE pv + (nv - pv) * (day - pi) / (ni - pi) END,
+             4) AS v_lin
+FROM f
+""")
+def q_kql_series_fill(spark, sf_dir):
+    """KQL series_fill_forward / series_fill_linear over a make-series
+    with default=null: the sparse (error, value>90) event slice leaves
+    empty daily bins, forward fill carries the last anchor, linear fill
+    interpolates between anchors (nearest anchor at the edges — Kusto's
+    rule). Everything is higher-order array SQL inside one row per
+    group: no shuffle beyond make-series' own pre-aggregate. Exploded
+    back to (b, day) rows so the driver can hash-compare against a
+    DuckDB window-function twin."""
+    from azure_kusto_parquet_conv_spark.kql import kql
+    df = kql(spark, sf_dir, """
+      events
+        | where event_type == 'error' and value > 90
+        | extend b = tolong(user_id % 5)
+        | make-series s=avg(value) default=null on ts step 1d by b
+        | extend ff = series_fill_forward(s), lin = series_fill_linear(s)
+    """)
+    z = df.select("b", F.explode(F.arrays_zip("bins", "s", "ff", "lin"))
+                       .alias("z"))
+    return z.select(
+        "b",
+        (F.unix_micros(F.col("z.bins")) / F.lit(86400000000))
+        .cast("long").alias("day"),
+        F.round(F.col("z.ff"), 4).alias("v_ff"),
+        F.round(F.col("z.lin"), 4).alias("v_lin"))
+
+
+@query("q_kql_series_outliers", """
+WITH e AS (SELECT user_id % 5 AS b,
+                  epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+           FROM events),
+du AS (SELECT b, day, COUNT(*) AS n FROM e GROUP BY b, day),
+days AS (SELECT unnest(range((SELECT MIN(day) FROM du),
+                             (SELECT MAX(day) FROM du) + 1)) AS day),
+bs AS (SELECT DISTINCT b FROM du),
+g AS (SELECT bs.b, days.day, COALESCE(du.n, 0) AS n
+      FROM bs CROSS JOIN days
+      LEFT JOIN du ON du.b = bs.b AND du.day = days.day),
+st AS (SELECT b, list(CAST(n AS DOUBLE) ORDER BY n) AS l, COUNT(*) AS c
+       FROM g GROUP BY b),
+qs AS (SELECT b,
+              l[greatest(CAST(ceil(c * 0.25) AS INT), 1)] AS q1,
+              l[greatest(CAST(ceil(c * 0.75) AS INT), 1)] AS q3
+       FROM st)
+SELECT CAST(g.b AS BIGINT) AS b, CAST(g.day AS BIGINT) AS day,
+       CAST(g.n AS BIGINT) AS n,
+       ROUND(CASE WHEN q3 - q1 <= 0 THEN 0.0
+                  WHEN g.n > q3 + 1.5 * (q3 - q1)
+                  THEN (g.n - (q3 + 1.5 * (q3 - q1))) / (q3 - q1)
+                  WHEN g.n < q1 - 1.5 * (q3 - q1)
+                  THEN (g.n - (q1 - 1.5 * (q3 - q1))) / (q3 - q1)
+                  ELSE 0.0 END, 4) AS score
+FROM g JOIN qs ON g.b = qs.b
+""")
+def q_kql_series_outliers(spark, sf_dir):
+    """KQL series_outliers: Tukey-fence anomaly score over each group's
+    daily count series (0 inside [q1-1.5·IQR, q3+1.5·IQR], signed
+    IQR-unit distance outside). Quartiles use the nearest-rank (ceil)
+    method so the DuckDB list-indexing twin reproduces them exactly.
+    The score is computed inside the series array — per group, one row,
+    no extra shuffle — then exploded for the hash compare."""
+    from azure_kusto_parquet_conv_spark.kql import kql
+    df = kql(spark, sf_dir, """
+      events
+        | extend b = tolong(user_id % 5)
+        | make-series n=count() on ts step 1d by b
+        | extend o = series_outliers(n)
+    """)
+    z = df.select("b", F.explode(F.arrays_zip("bins", "n", "o")).alias("z"))
+    return z.select(
+        "b",
+        (F.unix_micros(F.col("z.bins")) / F.lit(86400000000))
+        .cast("long").alias("day"),
+        F.col("z.n").cast("long").alias("n"),
+        F.round(F.col("z.o"), 4).alias("score"))
+
+
+@query("q_kql_series_smooth", """
+WITH e AS (SELECT user_id % 5 AS b,
+                  epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+                  value
+           FROM events),
+du AS (SELECT b, day, AVG(value) AS v FROM e GROUP BY b, day),
+days AS (SELECT unnest(range((SELECT MIN(day) FROM du),
+                             (SELECT MAX(day) FROM du) + 1)) AS day),
+bs AS (SELECT DISTINCT b FROM du),
+g AS (SELECT bs.b, days.day, COALESCE(du.v, 0) AS v
+      FROM bs CROSS JOIN days
+      LEFT JOIN du ON du.b = bs.b AND du.day = days.day),
+s AS (SELECT b, day, v,
+             AVG(v) OVER (PARTITION BY b ORDER BY day
+                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS sm
+      FROM g)
+SELECT CAST(b AS BIGINT) AS b, CAST(day AS BIGINT) AS day,
+       ROUND(sm, 4) AS smooth, ROUND(v - sm, 4) AS resid
+FROM s
+""")
+def q_kql_series_smooth(spark, sf_dir):
+    """KQL series_fir (trailing moving average, width 3) and
+    series_subtract (element-wise residual): the classic
+    smooth-and-residual decomposition step before thresholding
+    anomalies. The FIR window shrinks at the left edge (divisor
+    least(i+1, k)) — exactly a ROWS 2 PRECEDING window average, which
+    is the DuckDB twin."""
+    from azure_kusto_parquet_conv_spark.kql import kql
+    df = kql(spark, sf_dir, """
+      events
+        | extend b = tolong(user_id % 5)
+        | make-series s=avg(value) on ts step 1d by b
+        | extend sm = series_fir(s, 3),
+                 resid = series_subtract(s, series_fir(s, 3))
+    """)
+    z = df.select("b", F.explode(F.arrays_zip("bins", "sm", "resid"))
+                       .alias("z"))
+    return z.select(
+        "b",
+        (F.unix_micros(F.col("z.bins")) / F.lit(86400000000))
+        .cast("long").alias("day"),
+        F.round(F.col("z.sm"), 4).alias("smooth"),
+        F.round(F.col("z.resid"), 4).alias("resid"))
+
+
+@query("q_kql_search", """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM events
+WHERE strpos(lower(event_type), 'err') > 0
+   OR strpos(lower(props), 'err') > 0
+GROUP BY event_type
+""")
+def q_kql_search(spark, sf_dir):
+    """KQL search operator: cross-column text filter — keep rows where
+    ANY string column contains the term (case-insensitive). Compiles to
+    one OR-of-Contains predicate over the table's string columns: fully
+    codegen, pushdown-eligible, no shuffle before the summarize."""
+    from azure_kusto_parquet_conv_spark.kql import kql
+    return kql(spark, sf_dir, """
+      events
+        | search 'err'
+        | summarize n = count() by event_type
+    """)
+
+
+@query("q_domain_cap", """
+SELECT source, doc_id, rn FROM (
+  SELECT source, doc_id,
+         CAST(row_number() OVER (
+            PARTITION BY source
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rn
+  FROM documents)
+WHERE rn <= 30
+""")
+def q_domain_cap(spark, sf_dir):
+    """Per-domain cap: keep at most 30 docs per source, chosen by a
+    deterministic hash order (md5 of doc_id — reproducible across runs
+    and engines, unlike a random sample). The anti-single-domain-
+    dominance step of web-corpus curation. Scale shape: a salted
+    PRE-CAP window first bounds every (source, salt) partition to the
+    cap, so a 100 TB hot domain never lands in one window partition;
+    the exact global cap then ranks only <= 8x cap survivors per
+    source."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    salt = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(8))
+    pre_w = (Window.partitionBy("source", salt)
+             .orderBy(h.asc(), F.col("doc_id").asc()))
+    pre = (d.select("source", "doc_id")
+             .withColumn("__prn", F.row_number().over(pre_w))
+             .where(F.col("__prn") <= 30).drop("__prn"))
+    w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+    return (pre.withColumn("rn", F.row_number().over(w).cast("long"))
+               .where(F.col("rn") <= 30))
+
+
+@query("q_gopher_rules", f"""
+WITH t AS (SELECT doc_id, lang, text, string_split({_NORM_SQL}, ' ') AS toks
+           FROM documents),
+m AS (SELECT doc_id, lang,
+             len(toks) AS n_tok,
+             CAST(list_aggregate(list_transform(toks, x -> length(x)),
+                                 'sum') AS DOUBLE) / len(toks) AS mtl,
+             CAST(len(list_filter(toks,
+                  x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+               / len(toks) AS alpha_frac,
+             CAST(length(text) - length(regexp_replace(text,
+                  '[^\\w\\s]', '', 'g')) AS DOUBLE) / length(text) AS punct
+      FROM t),
+r AS (SELECT lang,
+             (n_tok BETWEEN 5 AND 10000) AS wc_ok,
+             (mtl BETWEEN 3.0 AND 10.0) AS wl_ok,
+             (alpha_frac >= 0.8) AS alpha_ok,
+             (punct < 0.25) AS punct_ok
+      FROM m)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN NOT wc_ok THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_wc_fail,
+       CAST(SUM(CASE WHEN NOT wl_ok THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_wl_fail,
+       CAST(SUM(CASE WHEN NOT alpha_ok THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_alpha_fail,
+       CAST(SUM(CASE WHEN NOT punct_ok THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_punct_fail,
+       CAST(SUM(CASE WHEN wc_ok AND wl_ok AND alpha_ok AND punct_ok
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+FROM r GROUP BY lang
+""")
+def q_gopher_rules(spark, sf_dir):
+    """Gopher-style composite quality rules: word count bounds, mean
+    word length bounds, alphabetic-word fraction, punctuation-noise
+    ceiling — each doc gets pass/fail flags, reported as per-language
+    failure counts (the triage view a curation run starts from). All
+    four rules are single-pass codegen expressions over the token
+    array; the only shuffle is the per-lang rollup."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = X.tokens("text")
+    n_tok = F.size(toks)
+    mtl = (F.aggregate(toks, F.lit(0.0),
+                       lambda a, x: a + F.length(x)) / n_tok)
+    alpha = (F.size(F.filter(toks, lambda x: x.rlike("[a-z]")))
+             .cast("double") / n_tok)
+    punct = X.punct_ratio("text")
+    flags = d.select(
+        "lang",
+        ((n_tok >= 5) & (n_tok <= 10000)).alias("wc_ok"),
+        ((mtl >= 3.0) & (mtl <= 10.0)).alias("wl_ok"),
+        (alpha >= 0.8).alias("alpha_ok"),
+        (punct < 0.25).alias("punct_ok"))
+    cnt = lambda c: F.sum(F.when(~F.col(c), 1).otherwise(0)).cast("long")
+    return flags.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        cnt("wc_ok").alias("n_wc_fail"),
+        cnt("wl_ok").alias("n_wl_fail"),
+        cnt("alpha_ok").alias("n_alpha_fail"),
+        cnt("punct_ok").alias("n_punct_fail"),
+        F.sum(F.when(F.col("wc_ok") & F.col("wl_ok") & F.col("alpha_ok")
+                     & F.col("punct_ok"), 1).otherwise(0))
+         .cast("long").alias("n_pass"))
+
+
+@query("q_bigram_logprob", f"""
+WITH t AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks
+           FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS w,
+               unnest(range(1, len(toks) + 1)) AS pos
+        FROM t),
+big AS (SELECT doc_id, w, w2 FROM (
+          SELECT doc_id, w,
+                 lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+          FROM tok) WHERE w2 IS NOT NULL),
+c2 AS (SELECT w, w2, CAST(COUNT(*) AS DOUBLE) AS n2
+       FROM big GROUP BY w, w2),
+c1 AS (SELECT w, CAST(COUNT(*) AS DOUBLE) AS n1 FROM big GROUP BY w),
+sc AS (SELECT big.doc_id, ln(c2.n2 / c1.n1) AS lp
+       FROM big JOIN c2 USING (w, w2) JOIN c1 USING (w))
+SELECT doc_id, ROUND(AVG(lp), 4) AS avg_logprob,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams
+FROM sc GROUP BY doc_id
+""")
+def q_bigram_logprob(spark, sf_dir):
+    """Bigram LM perplexity proxy: average conditional log-probability
+    ln(C(w1,w2)/C(w1·)) of each document's bigrams under the corpus's
+    own bigram model — one step up from q_unigram_logprob, catching
+    scrambled word ORDER that unigram stats cannot. Scale shape: the
+    bigram/context tables are vocabulary-bounded aggregates joined back
+    onto the bigram stream (Catalyst picks broadcast vs shuffle by
+    size); the per-doc average is the only corpus-wide shuffle keyed on
+    doc_id."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", X.tokens("text").alias("t"))
+    tok = toks.select("doc_id", F.posexplode("t").alias("pos", "w"))
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    big = (tok.withColumn("w2", F.lead("w").over(wdoc))
+              .where(F.col("w2").isNotNull())
+              .select("doc_id", "w", "w2"))
+    c2 = big.groupBy("w", "w2").agg(
+        F.count("*").cast("double").alias("n2"))
+    c1 = big.groupBy("w").agg(F.count("*").cast("double").alias("n1"))
+    sc = (big.join(c2, ["w", "w2"]).join(c1, "w")
+             .select("doc_id", F.log(F.col("n2") / F.col("n1")).alias("lp")))
+    return sc.groupBy("doc_id").agg(
+        F.round(F.avg("lp"), 4).alias("avg_logprob"),
+        F.count("*").cast("long").alias("n_bigrams"))
+
+
+# =======================================================================
 # Catalog ordering: the correctness driver hash-compares the FIRST 50
 # insertion-ordered entries against their oracles. Registration above is
 # grouped by subsystem for readability; this window re-orders the dict so
@@ -3900,7 +4224,9 @@ DRIVER_WINDOW = [
 # q_window_time_range, q_mode, q_zorder_key, q_key_skew,
 # q_corr_price_qty, q_mad_robust_stats, q_anomaly_outliers,
 # q_unigram_logprob, q_events_heatmap, q_interarrival_dist,
-# q_kql_partition_prev (new r5); plus the
+# q_kql_partition_prev, q_kql_series_fill, q_kql_series_outliers,
+# q_kql_series_smooth, q_kql_search, q_domain_cap, q_gopher_rules,
+# q_bigram_logprob (new r5); plus the
 # rows-only family (q_knn_ivf/pq/lsh, q_dedup_simhash/embedding/
 # clusters, q_multimodal_frames, q_approx_percentiles, q_freq_items,
 # q_sample_by) for the weaker rows-only driver check.

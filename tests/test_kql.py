@@ -1004,3 +1004,148 @@ def test_datatable_lookup_broadcasts(spark, sf_dir):
           ]) on n_regionkey
     """)
     assert "BroadcastHashJoin" in join_strategies(df)
+
+
+def test_make_series_full_range_grid_and_default(spark, sf_dir):
+    """make-series fills EVERY step between min and max bin (not just
+    observed bins), with `default=` controlling the fill value: omitted
+    -> 0 (Kusto default), `default=null`/`real(null)` -> null."""
+    src = """
+      datatable (ts:datetime, v:real) [
+        datetime(2024-01-01), 1.0,
+        datetime(2024-01-01), 3.0,
+        datetime(2024-01-03), 5.0,
+        datetime(2024-01-04), 100.0,
+        datetime(2024-01-06), 4.0
+      ]
+    """
+    zero = kql(spark, sf_dir,
+               src + "| make-series s=avg(v) on ts step 1d").collect()[0]
+    assert len(zero["bins"]) == 6  # 01..06 inclusive, gaps 02 and 05
+    assert zero["s"] == [2.0, 0.0, 5.0, 100.0, 0.0, 4.0]
+    nul = kql(spark, sf_dir,
+              src + "| make-series s=avg(v) default=null on ts step 1d"
+              ).collect()[0]
+    assert nul["s"] == [2.0, None, 5.0, 100.0, None, 4.0]
+    # count() series with a gap stays LONG-typed
+    cnt = kql(spark, sf_dir,
+              src + "| make-series n=count() on ts step 1d").collect()[0]
+    assert cnt["n"] == [2, 0, 1, 1, 0, 1]
+    assert all(isinstance(v, int) for v in cnt["n"])
+
+
+def test_series_fill_family(spark, sf_dir):
+    """series_fill_const/forward/backward/linear over a null-gapped
+    series; linear interpolates interior gaps and takes the nearest
+    anchor at the edges (Kusto series_fill_linear edge rule)."""
+    row = kql(spark, sf_dir, """
+      datatable (ts:datetime, v:real) [
+        datetime(2024-01-02), 2.0,
+        datetime(2024-01-04), 8.0,
+        datetime(2024-01-07), 5.0
+      ]
+      | make-series s=avg(v) default=null on ts step 1d
+      | extend cst=series_fill_const(s, -1.0),
+               ff=series_fill_forward(s),
+               bf=series_fill_backward(s),
+               lin=series_fill_linear(s)
+    """).collect()[0]
+    assert row["s"] == [2.0, None, 8.0, None, None, 5.0]
+    assert row["cst"] == [2.0, -1.0, 8.0, -1.0, -1.0, 5.0]
+    assert row["ff"] == [2.0, 2.0, 8.0, 8.0, 8.0, 5.0]
+    assert row["bf"] == [2.0, 8.0, 8.0, 5.0, 5.0, 5.0]
+    assert row["lin"] == [2.0, 5.0, 8.0, 7.0, 6.0, 5.0]
+
+
+def test_series_fill_edges_stay_null_for_directional_fills(spark, sf_dir):
+    """Leading nulls stay null under forward fill, trailing under
+    backward fill; linear fills both edges with the nearest anchor."""
+    row = kql(spark, sf_dir, """
+      datatable (ts:datetime, v:real) [
+        datetime(2024-01-02), 6.0,
+        datetime(2024-01-03), 4.0
+      ]
+      | make-series s=avg(v) default=null on ts step 1d
+      | extend ff=series_fill_forward(s), bf=series_fill_backward(s),
+               lin=series_fill_linear(s)
+    """, )
+    # widen the range with an empty-bin day on each side
+    row = kql(spark, sf_dir, """
+      datatable (ts:datetime, v:real) [
+        datetime(2024-01-01), 999.0,
+        datetime(2024-01-03), 6.0,
+        datetime(2024-01-05), 999.0
+      ]
+      | where v != 999.0
+      | union (datatable (ts:datetime, v:real) [
+          datetime(2024-01-01), 1.0, datetime(2024-01-05), 9.0 ])
+      | make-series s=avg(v) default=null on ts step 1d
+      | extend lin=series_fill_linear(s)
+    """).collect()[0]
+    assert row["s"] == [1.0, None, 6.0, None, 9.0]
+    assert row["lin"] == [1.0, 3.5, 6.0, 7.5, 9.0]
+
+
+def test_series_outliers_tukey(spark, sf_dir):
+    """Tukey-fence score: 0 inside the fences, signed IQR-units past
+    them, null passthrough for null points."""
+    row = kql(spark, sf_dir, """
+      datatable (ts:datetime, v:real) [
+        datetime(2024-01-01), 2.0,
+        datetime(2024-01-02), 4.0,
+        datetime(2024-01-03), 5.0,
+        datetime(2024-01-04), 100.0,
+        datetime(2024-01-06), 3.0
+      ]
+      | make-series s=avg(v) default=null on ts step 1d
+      | extend o=series_outliers(s)
+    """).collect()[0]
+    # sorted non-null = [2,3,4,5,100]; nearest-rank q1=ceil(1.25)=2 -> 3,
+    # q3=ceil(3.75)=4 -> 5; iqr=2; fences [0, 8]; 100 -> (100-8)/2 = 46
+    assert row["o"][:4] == [0.0, 0.0, 0.0, 46.0]
+    assert row["o"][4] is None  # the empty 01-05 bin (default=null)
+    assert row["o"][5] == 0.0
+
+
+def test_series_arithmetic_zip(spark, sf_dir):
+    """series_add/subtract/multiply/divide are element-wise; divide by
+    zero yields null (not an ANSI error)."""
+    row = kql(spark, sf_dir, """
+      datatable (ts:datetime, a:real, b:real) [
+        datetime(2024-01-01), 10.0, 2.0,
+        datetime(2024-01-02), 9.0, 0.0
+      ]
+      | make-series x=avg(a), y=avg(b) on ts step 1d
+      | extend s=series_add(x, y), d=series_subtract(x, y),
+               m=series_multiply(x, y), q=series_divide(x, y)
+    """).collect()[0]
+    assert row["s"] == [12.0, 9.0]
+    assert row["d"] == [8.0, 9.0]
+    assert row["m"] == [20.0, 0.0]
+    assert row["q"] == [5.0, None]
+
+
+def test_search_operator(spark, sf_dir):
+    """search 'term' filters on ANY string column, case-insensitively by
+    default; kind=case_sensitive restores exact matching."""
+    got = kql(spark, sf_dir, """
+      datatable (a:string, b:string, n:long) [
+        'Alpha', 'x', 1,
+        'beta', 'holds QUERY text', 2,
+        'gamma', 'z', 3
+      ]
+      | search 'query'
+    """).collect()
+    assert [r["n"] for r in got] == [2]
+    cs = kql(spark, sf_dir, """
+      datatable (a:string) ['Alpha', 'alpha']
+      | search kind=case_sensitive 'Alp'
+    """).collect()
+    assert [r["a"] for r in cs] == ["Alpha"]
+    # a real table source: term match anywhere in events' string columns
+    ev = kql(spark, sf_dir, "events | search 'click' | count")
+    want = (load_table(spark, sf_dir, "events")
+            .where(F.lower(F.col("event_type")).contains("click")
+                   | F.lower(F.col("props")).contains("click"))
+            .count())
+    assert ev.collect()[0][0] == want
