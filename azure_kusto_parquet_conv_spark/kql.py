@@ -23,14 +23,21 @@ Supported surface (each line maps to one DataFrame verb):
     | where <pred>  /  parse-where col with pattern
     | project c1, alias=expr, ...
     | project-away | project-keep | project-rename | project-reorder
-    | extend alias=expr, ...   (row_number()/prev(x)/next(x) after sort)
+    | extend alias=expr, ...   (row_number()/row_cumsum(x)/prev(x)/
+        next(x) after sort — key-partitioned inside `partition by`)
     | summarize [hint.shufflekey=k] a=agg(x), ...
         by k1, name=expr, bin(ts, 1h), bin_at(x, size, anchor)
     | make-series a=agg(x), b=agg2(y), ... [default=v|null]
         on ts step 1d [by keys]   (dense over the FULL min..max step
         range; empty bins take default — 0 when omitted, per Kusto)
     | search [kind=case_(in)sensitive] 'term'  (any-string-column match)
-    | mv-expand alias=array_expr      (dynamic arrays too)
+    | mv-expand alias=array_expr [, b, ...]  (dynamic arrays too;
+        multiple arrays expand zipped, short ones null-padded)
+    | scan [with_match_id=m] with (step s1: p1; step s2: p2; ...)
+        (ordered sequence matching — greedy single active sequence,
+        emit-on-match; predicates pre-computed as Catalyst boolean
+        columns, stateful pass is an Arrow-batched applyInPandas per
+        partition key)
     | mv-apply x = arr on ( where .. | extend .. | top .. | summarize .. )
     | parse col with 'lit' name:type ...
     | evaluate bag_unpack(dynamic_col)
@@ -1195,6 +1202,8 @@ class KqlCompiler:
             return df
         if op == "partition":
             return self._partition_by(df, rest)
+        if op == "scan":
+            return self._scan(df, rest)
         if op == "getschema":
             rows = [(f.name, i, f.dataType.simpleString())
                     for i, f in enumerate(df.schema.fields)]
@@ -1210,20 +1219,32 @@ class KqlCompiler:
                     name, body = f"col{i}", g
                 sql = _compile_expr_tokens(body, df, self._order_sql,
                                            self._partition_sql)
-                if sql.strip() == "row_number()":
+                mcs = re.match(r"row_cumsum\s*\((.*)\)\s*$", sql.strip(),
+                               re.DOTALL)
+                if sql.strip() == "row_number()" or mcs:
+                    what = "row_cumsum()" if mcs else "row_number()"
                     if self._order is None:
                         raise ValueError(
-                            "KQL: row_number() needs a preceding "
+                            f"KQL: {what} needs a preceding "
                             "'sort by' (serialized order)")
                     from pyspark.sql import Window
                     if self._partition:
                         w = Window.partitionBy(*self._partition) \
                                   .orderBy(*self._order)
                     else:
-                        _warn_global_serialize("row_number()")
+                        _warn_global_serialize(what)
                         w = Window.orderBy(*self._order)
-                    df = df.withColumn(
-                        name, F.row_number().over(w).cast("long"))
+                    if mcs:
+                        # running sum over the serialized order (KQL
+                        # row_cumsum; the restart-arg form is not
+                        # supported — use `partition by` scoping)
+                        w = w.rowsBetween(Window.unboundedPreceding,
+                                          Window.currentRow)
+                        df = df.withColumn(
+                            name, F.sum(F.expr(mcs.group(1))).over(w))
+                    else:
+                        df = df.withColumn(
+                            name, F.row_number().over(w).cast("long"))
                     continue
                 df = df.withColumn(name, F.expr(sql))
             return df
@@ -1250,13 +1271,25 @@ class KqlCompiler:
         if op == "count":
             return df.agg(F.count("*").alias("count_"))
         if op == "mv-expand":
-            # mv-expand col  /  mv-expand alias=expr : one output row per
-            # array element (explode, codegen'd Generate — no Python)
+            # mv-expand col  /  mv-expand alias=expr [, b, ...] : one
+            # output row per array element (explode, codegen'd Generate
+            # — no Python). Multiple arrays expand ZIPPED (Kusto):
+            # positions beyond a shorter array yield null.
             g = _split_top_commas(_tokenize(rest))
-            if len(g) != 1:
-                raise ValueError("KQL: mv-expand takes one column/expr")
-            name, sql = _named_expr(g[0], df, "value")
-            return df.withColumn(name, F.explode(_explodable(df, sql)))
+            if len(g) == 1:
+                name, sql = _named_expr(g[0], df, "value")
+                return df.withColumn(name, F.explode(_explodable(df, sql)))
+            pairs = [_named_expr(gi, df, f"value{i}")
+                     for i, gi in enumerate(g)]
+            arrs = [_explodable(df, sql) for _, sql in pairs]
+            longest = F.greatest(*[F.size(a) for a in arrs]) \
+                if len(arrs) > 1 else F.size(arrs[0])
+            out = df.withColumn(
+                "__mv_pos", F.explode(F.sequence(F.lit(1), longest)))
+            for (name, _), a in zip(pairs, arrs):
+                out = out.withColumn(
+                    name, F.try_element_at(a, F.col("__mv_pos")))
+            return out.drop("__mv_pos")
         if op == "join":
             return self._join(df, rest)
         if op == "union":
@@ -1886,7 +1919,7 @@ class KqlCompiler:
                 if sop in ("where", "extend", "project", "project-away",
                            "project-keep", "project-rename",
                            "project-reorder", "distinct", "serialize",
-                           "parse", "parse-where", "mv-expand"):
+                           "parse", "parse-where", "mv-expand", "scan"):
                     out = self._apply(out, stage)
                 elif sop in ("sort", "order"):
                     cols = self._sort_cols(
@@ -1934,6 +1967,103 @@ class KqlCompiler:
         finally:
             (self._partition, self._partition_sql,
              self._order, self._order_sql) = saved
+
+    def _scan(self, df: DataFrame, rest: str) -> DataFrame:
+        """``scan [with_match_id=name] with (step s1: p1; step s2: p2;
+        ...)`` — ordered sequence matching (the funnel generalization;
+        Kusto's process-mining operator; SQL MATCH_RECOGNIZE's cousin,
+        which Spark lacks).
+
+        Supported subset of Kusto semantics (documented; no declare
+        clause, no per-step assignments): rows are scanned in serialized
+        order; ONE active sequence per scan scope advances greedily —
+        a row is emitted (with its step name and a 0-based sequence
+        ``match_id``) iff it satisfies the NEXT expected step's
+        predicate; when the final step fires the sequence completes and
+        the next match begins. Rows of incomplete trailing sequences
+        are still emitted (Kusto emits on match, not on completion).
+
+        Spark-first shape: each step predicate is pre-computed as a
+        BOOLEAN COLUMN by Catalyst (codegen, pushdown-eligible) before
+        the stateful pass, so the Python kernel — an Arrow-batched
+        applyInPandas over the partition key — only walks a bool matrix
+        and never evaluates expressions. Inside ``partition by key
+        (...)`` each key scans independently (the 100 TB shape); an
+        unscoped scan is a single serialized group and emits the same
+        loud warning as the other serialized ops."""
+        import pandas as pd
+
+        m = re.match(r"(?:with_match_id\s*=\s*(?P<mid>\w+)\s+)?"
+                     r"with\s*\((?P<body>.*)\)\s*$", rest, re.DOTALL)
+        if not m:
+            raise ValueError(
+                "KQL: scan [with_match_id=name] with (step s: pred; ...)")
+        steps = []
+        for part in _split_top_semis(m.group("body")):
+            part = part.strip()
+            if not part:
+                continue
+            sm = re.match(r"step\s+([A-Za-z_]\w*)\s*:\s*(.*)$",
+                          part, re.DOTALL)
+            if not sm:
+                raise ValueError(f"KQL: bad scan step {part!r}")
+            steps.append((sm.group(1),
+                          _compile_expr_tokens(_tokenize(sm.group(2)), df,
+                                               self._order_sql,
+                                               self._partition_sql)))
+        if not steps:
+            raise ValueError("KQL: scan needs at least one step")
+        if not self._order_sql:
+            raise ValueError(
+                "KQL: scan needs a preceding 'sort by' (serialized order)")
+        mid_name = m.group("mid") or "match_id"
+        # order keys -> materialized columns + ascending flags (pandas
+        # sorts inside each group; Spark does not guarantee group order)
+        order_names, asc_flags = [], []
+        work = df
+        for i, osql in enumerate(self._order_sql):
+            expr_sql, direction = osql.rsplit(" ", 1)
+            order_names.append(f"__scan_o{i}")
+            asc_flags.append(direction.upper() != "DESC")
+            work = work.withColumn(f"__scan_o{i}", F.expr(expr_sql))
+        for i, (_, psql) in enumerate(steps):
+            work = work.withColumn(f"__scan_p{i}",
+                                   F.expr(psql).cast("boolean"))
+        if self._partition_sql:
+            group_cols = [s.strip("`") for s in self._partition_sql]
+        else:
+            _warn_global_serialize("scan")
+            work = work.withColumn("__scan_g", F.lit(1))
+            group_cols = ["__scan_g"]
+        keep = [c for c in df.columns]
+        step_names = [n for n, _ in steps]
+        n_steps = len(steps)
+        out_schema = work.select(*keep).schema \
+            .add("step", "string").add(mid_name, "long")
+
+        def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(order_names, ascending=asc_flags,
+                                  kind="mergesort")
+            preds = [pdf[f"__scan_p{i}"].fillna(False).astype(bool)
+                     .to_numpy() for i in range(n_steps)]
+            idx, labels, mids = [], [], []
+            k = 0
+            mid = 0
+            for i in range(len(pdf)):
+                if preds[k][i]:
+                    idx.append(i)
+                    labels.append(step_names[k])
+                    mids.append(mid)
+                    k += 1
+                    if k == n_steps:
+                        k = 0
+                        mid += 1
+            res = pdf.iloc[idx][keep].copy()
+            res["step"] = labels
+            res[mid_name] = pd.array(mids, dtype="int64")
+            return res
+
+        return work.groupBy(*group_cols).applyInPandas(kernel, out_schema)
 
     def _join(self, df: DataFrame, rest: str):
         m = re.match(

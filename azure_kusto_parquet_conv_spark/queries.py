@@ -4174,6 +4174,51 @@ def q_bigram_logprob(spark, sf_dir):
         F.count("*").cast("long").alias("n_bigrams"))
 
 
+@query("q_kql_row_cumsum", """
+SELECT user_id, event_id,
+       ROUND(SUM(value) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run
+FROM events
+""")
+def q_kql_row_cumsum(spark, sf_dir):
+    """KQL row_cumsum inside a partition scope: running sum over the
+    per-user serialized order, compiled to a key-partitioned window
+    (one shuffle on user_id, no global sort — the scale-safe home for
+    Kusto's serialized operators)."""
+    from azure_kusto_parquet_conv_spark.kql import kql
+    return kql(spark, sf_dir, """
+      events
+        | partition by user_id (
+            sort by ts_ns asc, event_id asc
+            | extend run0 = row_cumsum(value)
+          )
+        | project user_id, event_id, run = round(run0, 2)
+    """)
+
+
+@query("q_kql_scan_funnel")  # stateful sequence automaton: no SQL twin
+def q_kql_scan_funnel(spark, sf_dir):
+    """KQL scan: signup -> click -> purchase sequence matching per user
+    (the funnel generalization; SQL MATCH_RECOGNIZE's cousin, absent
+    from both Spark and DuckDB — hence rows-only here, with a
+    brute-force Python-automaton differential in
+    tests/test_kql.py::test_scan_matches_python_reference_on_events).
+    Step predicates are pre-computed as Catalyst boolean columns; the
+    stateful pass is an Arrow-batched applyInPandas per user_id."""
+    from azure_kusto_parquet_conv_spark.kql import kql
+    return kql(spark, sf_dir, """
+      events
+        | partition by user_id (
+            sort by ts_ns asc, event_id asc
+            | scan with (step s_signup: event_type == 'signup';
+                         step s_click: event_type == 'click';
+                         step s_purchase: event_type == 'purchase';)
+          )
+        | summarize n = count(), users = dcount(user_id) by step
+    """)
+
+
 # =======================================================================
 # Catalog ordering: the correctness driver hash-compares the FIRST 50
 # insertion-ordered entries against their oracles. Registration above is

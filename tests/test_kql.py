@@ -1149,3 +1149,104 @@ def test_search_operator(spark, sf_dir):
                    | F.lower(F.col("props")).contains("click"))
             .count())
     assert ev.collect()[0][0] == want
+
+
+def test_scan_sequence_matching(spark, sf_dir):
+    """scan: greedy single-sequence matching per partition key —
+    emit-on-match rows carry the step name and a per-key match_id;
+    completed sequences restart the automaton."""
+    rows = sorted(map(tuple, kql(spark, sf_dir, """
+      datatable (u:long, t:long, e:string) [
+        1, 1, 'signup',  1, 2, 'click',  1, 3, 'click',  1, 4, 'purchase',
+        1, 5, 'signup',  1, 6, 'purchase',
+        2, 1, 'click',   2, 2, 'signup', 2, 3, 'purchase',
+        3, 1, 'purchase'
+      ]
+      | partition by u (
+          sort by t asc
+          | scan with (step s1: e == 'signup'; step s2: e == 'purchase';)
+        )
+    """).collect()))
+    assert rows == [
+        (1, 1, "signup", "s1", 0), (1, 4, "purchase", "s2", 0),
+        (1, 5, "signup", "s1", 1), (1, 6, "purchase", "s2", 1),
+        (2, 2, "signup", "s1", 0), (2, 3, "purchase", "s2", 0),
+    ]
+
+
+def test_scan_matches_python_reference_on_events(spark, sf_dir):
+    """Differential: the distributed scan over real events equals a
+    brute-force Python automaton run per user on the collected rows."""
+    got = kql(spark, sf_dir, """
+      events
+        | partition by user_id (
+            sort by ts_ns asc, event_id asc
+            | scan with (step a: event_type == 'signup';
+                         step b: event_type == 'click';
+                         step c: event_type == 'purchase';)
+          )
+    """).select("user_id", "event_id", "step", "match_id").collect()
+    got_set = {(r["user_id"], r["event_id"], r["step"], r["match_id"])
+               for r in got}
+
+    ev = (load_table(spark, sf_dir, "events")
+          .select("user_id", "ts_ns", "event_id", "event_type").collect())
+    from collections import defaultdict
+    by_user = defaultdict(list)
+    for r in ev:
+        by_user[r["user_id"]].append(r)
+    preds = [lambda e: e == "signup", lambda e: e == "click",
+             lambda e: e == "purchase"]
+    names = ["a", "b", "c"]
+    want = set()
+    for u, rs in by_user.items():
+        rs.sort(key=lambda r: (r["ts_ns"], r["event_id"]))
+        k, mid = 0, 0
+        for r in rs:
+            if preds[k](r["event_type"]):
+                want.add((u, r["event_id"], names[k], mid))
+                k += 1
+                if k == 3:
+                    k, mid = 0, mid + 1
+    assert got_set == want and len(want) > 0
+
+
+def test_scan_with_match_id_name_and_single_step(spark, sf_dir):
+    out = kql(spark, sf_dir, """
+      datatable (t:long, e:string) [1,'x', 2,'y', 3,'x']
+      | sort by t asc
+      | scan with_match_id=seq with (step only: e == 'x';)
+    """)
+    assert "seq" in out.columns
+    assert [(r["t"], r["seq"]) for r in
+            sorted(out.collect(), key=lambda r: r["t"])] == [(1, 0), (3, 1)]
+
+
+def test_row_cumsum_partitioned(spark, sf_dir):
+    """row_cumsum: running sum over serialized order, key-partitioned
+    inside partition by (no global sort)."""
+    rows = sorted(map(tuple, kql(spark, sf_dir, """
+      datatable (u:long, t:long, v:long) [
+        1, 1, 10,  1, 2, 5,  1, 3, 1,
+        2, 1, 7,   2, 2, 3
+      ]
+      | partition by u (
+          sort by t asc
+          | extend run = row_cumsum(v)
+        )
+      | project u, t, run
+    """).collect()))
+    assert rows == [(1, 1, 10), (1, 2, 15), (1, 3, 16),
+                    (2, 1, 7), (2, 2, 10)]
+
+
+def test_mv_expand_zips_multiple_arrays(spark, sf_dir):
+    """mv-expand a, b expands in lockstep (Kusto zip semantics); the
+    shorter array null-pads."""
+    rows = sorted(map(tuple, kql(spark, sf_dir, """
+      datatable (id:long) [1]
+      | extend a = pack_array(10, 20, 30), b = pack_array('x', 'y')
+      | mv-expand va = a, vb = b
+      | project id, va, vb
+    """).collect()), key=lambda r: (r[1] is None, r))
+    assert rows == [(1, 10, "x"), (1, 20, "y"), (1, 30, None)]
