@@ -73,7 +73,8 @@ set_union/set_intersect/set_difference.
 Aggregates: count, countif, sum/avg/min/max (+ sumif/avgif/minif/maxif),
 arg_max/arg_min, percentile (0-100 scale, exact), dcount/dcountif
 (exact; real Kusto estimates — documented deviation), stdev, variance,
-take_any, make_list, make_set.
+take_any, make_list, make_set, hll/hll_merge/dcount_hll (real
+Datasketches HLL sketches — the mergeable re-aggregation form).
 """
 
 from __future__ import annotations
@@ -156,7 +157,8 @@ _FN_RENAME = {
 
 _AGG_FNS = {"count", "countif", "sum", "avg", "min", "max", "dcount",
             "make_list", "make_set", "sumif", "avgif", "minif", "maxif",
-            "dcountif", "take_any", "stdev", "variance"}
+            "dcountif", "take_any", "stdev", "variance", "hll",
+            "hll_merge"}
 
 _CMP = {"==": "=", "!=": "<>", "<": "<", "<=": "<=", ">": ">", ">=": ">="}
 
@@ -336,6 +338,16 @@ class _ExprParser:
             return f"sum(CASE WHEN {args[0]} THEN 1 ELSE 0 END)"
         if fname == "dcount":
             return f"count(DISTINCT {args[0]})"
+        if fname == "hll":
+            # Kusto hll(x): a mergeable HyperLogLog sketch intermediate
+            # -> Spark's Datasketches HLL aggregate. THE re-aggregation
+            # primitive at 100 TB: per-group sketches merge (hll_merge)
+            # without re-scanning the fact table.
+            return f"hll_sketch_agg({args[0]})"
+        if fname == "hll_merge":
+            return f"hll_union_agg({args[0]})"
+        if fname == "dcount_hll":
+            return f"hll_sketch_estimate({args[0]})"
         if fname == "make_list":
             return f"collect_list({args[0]})"
         if fname == "make_set":

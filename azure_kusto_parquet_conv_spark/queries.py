@@ -4197,6 +4197,24 @@ def q_kql_row_cumsum(spark, sf_dir):
     """)
 
 
+@query("q_kql_hll_reagg")  # HLL estimates are approximate: no SQL twin
+def q_kql_hll_reagg(spark, sf_dir):
+    """KQL hll / hll_merge / dcount_hll on real Datasketches sketches:
+    per-event-type user sketches merged to per-type AND global distinct
+    estimates without re-scanning events — the mergeable-sketch
+    re-aggregation pattern that makes distinct counting tractable at
+    100 TB (partial sketches combine associatively across any
+    partitioning). Rows-only: estimates are approximate by design;
+    tests pin a 2% accuracy bound and merge==single-pass equality."""
+    from azure_kusto_parquet_conv_spark.kql import kql
+    return kql(spark, sf_dir, """
+      events
+        | summarize sk = hll(user_id) by event_type
+        | summarize n_types = count(),
+                    global_users = dcount_hll(hll_merge(sk))
+    """)
+
+
 @query("q_kql_scan_funnel")  # stateful sequence automaton: no SQL twin
 def q_kql_scan_funnel(spark, sf_dir):
     """KQL scan: signup -> click -> purchase sequence matching per user

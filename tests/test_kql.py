@@ -1250,3 +1250,22 @@ def test_mv_expand_zips_multiple_arrays(spark, sf_dir):
       | project id, va, vb
     """).collect()), key=lambda r: (r[1] is None, r))
     assert rows == [(1, 10, "x"), (1, 20, "y"), (1, 30, None)]
+
+
+def test_hll_sketch_reaggregation(spark, sf_dir):
+    """hll()/hll_merge()/dcount_hll(): per-group HLL sketches merge to
+    the global estimate without re-scanning — estimate within 2% of the
+    exact distinct count, and the merged estimate equals the
+    single-pass estimate exactly (same sketch algebra)."""
+    est = kql(spark, sf_dir, """
+      events
+        | summarize sk = hll(user_id) by event_type
+        | summarize total_est = dcount_hll(hll_merge(sk))
+    """).collect()[0]["total_est"]
+    one_pass = kql(spark, sf_dir, """
+      events | summarize e = dcount_hll(hll(user_id))
+    """).collect()[0]["e"]
+    exact = (load_table(spark, sf_dir, "events")
+             .select("user_id").distinct().count())
+    assert est == one_pass
+    assert abs(est - exact) <= max(2, 0.02 * exact)
