@@ -41,15 +41,17 @@ Supported surface (each line maps to one DataFrame verb):
     | mv-apply x = arr on ( where .. | extend .. | top .. | summarize .. )
     | parse col with 'lit' name:type ...
     | evaluate bag_unpack(dynamic_col)
+    | evaluate pivot(col [, agg(x) [, key1, ...]])  (values -> columns)
     | distinct c1, c2
     | sort by c1 desc, c2 asc     (Kusto default direction: desc)
     | top N by expr  /  top-hitters N of col [by expr]
     | top-nested N of col by agg, ...
     | sample N  /  sample-distinct N of col   (seeded, deterministic)
     | take N  /  limit N  /  count  /  getschema  /  serialize
-    | partition by key ( where .. | sort .. | extend .. | top .. |
-        take .. | summarize .. )   (per-key scope; serialized ops
-        compile to key-partitioned windows — the scale-safe form)
+    | partition by k1[, k2...] ( where .. | sort .. | extend .. |
+        top .. | take .. | summarize .. | scan .. )   (per-key scope;
+        serialized ops compile to key-partitioned windows — the
+        scale-safe form)
     | join kind=innerunique(default)|inner|left|right|fullouter|leftsemi|
         leftanti|rightsemi|rightanti [hint.broadcast]
         (subpipeline) on key / on $left.a == $right.b
@@ -1462,9 +1464,11 @@ class KqlCompiler:
         if not m:
             raise ValueError("KQL: evaluate plugin(args)")
         plugin, argtext = m.group(1).lower(), m.group(2).strip()
+        if plugin == "pivot":
+            return self._pivot(df, argtext)
         if plugin != "bag_unpack":
             raise ValueError(f"KQL: evaluate plugin {plugin!r} not "
-                             f"supported (bag_unpack is)")
+                             f"supported (bag_unpack and pivot are)")
         col = argtext.strip("` ")
         if dict(df.dtypes).get(col) != "variant":
             raise ValueError(f"KQL: bag_unpack needs a dynamic column, "
@@ -1499,6 +1503,34 @@ class KqlCompiler:
             news.append(c.alias(name))
         keep = [F.col(c) for c in df.columns if c != col]
         return df.select(*keep, *news)
+
+    def _pivot(self, df: DataFrame, argtext: str) -> DataFrame:
+        """``evaluate pivot(pivotCol [, agg(x) [, key1, key2, ...]])``:
+        rotate the distinct values of ``pivotCol`` into columns
+        (Kusto's pivot plugin ≡ Spark's RelationalGroupedDataset.pivot).
+        Default aggregate is count(); when key columns are omitted,
+        every remaining column (minus the pivot column and the
+        aggregate's inputs) groups, per Kusto. Spark launches one small
+        distinct-values job, then a single pivot aggregate — the same
+        two phases as Kusto's plugin."""
+        groups = _split_top_commas(_tokenize(argtext))
+        if not groups:
+            raise ValueError("KQL: evaluate pivot(col [, agg [, keys]])")
+        pcol = groups[0][0].text
+        agg_used: set[str] = set()
+        if len(groups) >= 2:
+            _, agg_sql = _named_expr(groups[1], df, "agg")
+            agg_expr = F.expr(agg_sql)
+            agg_used = {t.text for t in groups[1]
+                        if t.kind == "ident" and t.text in df.columns}
+        else:
+            agg_expr = F.count(F.lit(1))
+        if len(groups) >= 3:
+            keys = [g[0].text for g in groups[2:]]
+        else:
+            keys = [c for c in df.columns
+                    if c != pcol and c not in agg_used]
+        return df.groupBy(*keys).pivot(pcol).agg(agg_expr)
 
     def _render(self, df: DataFrame, rest: str) -> DataFrame:
         """``render <charttype> [with (...)]`` — a presentation hint with
@@ -1910,17 +1942,24 @@ class KqlCompiler:
         modeled here — does not)."""
         from pyspark.sql import Window
 
-        m = re.match(r"(?:hint\.\S+\s+)*by\s+([A-Za-z_][A-Za-z0-9_]*)"
+        m = re.match(r"(?:hint\.\S+\s+)*by\s+"
+                     r"(?P<keys>[A-Za-z_][A-Za-z0-9_]*"
+                     r"(?:\s*,\s*[A-Za-z_][A-Za-z0-9_]*)*)"
                      r"\s*\((?P<sub>.*)\)\s*$", rest, re.DOTALL)
         if not m:
-            raise ValueError("KQL: partition [hint...] by col ( subquery )")
-        key, sub = m.group(1), m.group("sub").strip()
-        if key not in df.columns:
-            raise ValueError(f"KQL: partition key {key!r} not in input")
+            raise ValueError(
+                "KQL: partition [hint...] by col[, col2...] ( subquery )")
+        keys = [k.strip() for k in m.group("keys").split(",")]
+        sub = m.group("sub").strip()
+        for key in keys:
+            if key not in df.columns:
+                raise ValueError(
+                    f"KQL: partition key {key!r} not in input")
+        key_cols = [F.col(k) for k in keys]
         saved = (self._partition, self._partition_sql,
                  self._order, self._order_sql)
-        self._partition = [F.col(key)]
-        self._partition_sql = [f"`{key}`"]
+        self._partition = key_cols
+        self._partition_sql = [f"`{k}`" for k in keys]
         self._order = self._order_sql = None
         try:
             out = df
@@ -1938,12 +1977,12 @@ class KqlCompiler:
                         out, re.sub(r"^by\s+", "", srest))
                     self._order = cols
                     # per-key serialized order, never a global sort
-                    out = (out.repartition(F.col(key))
-                              .sortWithinPartitions(F.col(key), *cols))
+                    out = (out.repartition(*key_cols)
+                              .sortWithinPartitions(*key_cols, *cols))
                 elif sop in ("take", "limit"):
                     n = int(srest)
                     order = self._order or [F.monotonically_increasing_id()]
-                    w = Window.partitionBy(F.col(key)).orderBy(*order)
+                    w = Window.partitionBy(*key_cols).orderBy(*order)
                     out = (out.withColumn("__p_rn",
                                           F.row_number().over(w))
                               .where(F.col("__p_rn") <= n)
@@ -1954,22 +1993,25 @@ class KqlCompiler:
                         raise ValueError("KQL: top N by expr")
                     cols = self._sort_cols(out, m2.group(2))
                     self._order = cols
-                    w = Window.partitionBy(F.col(key)).orderBy(*cols)
+                    w = Window.partitionBy(*key_cols).orderBy(*cols)
                     out = (out.withColumn("__p_rn",
                                           F.row_number().over(w))
                               .where(F.col("__p_rn") <= int(m2.group(1)))
                               .drop("__p_rn"))
                 elif sop == "summarize":
-                    # the key is implicitly a grouping column
+                    # every partition key is implicitly a grouping column
                     stripped = _STR_LIT_RE.sub("", srest)
+                    add = list(keys)
                     if re.search(r"\bby\b", stripped):
                         by_part = stripped.split("by", 1)[1]
-                        if re.search(rf"\b{re.escape(key)}\b", by_part):
-                            out = self._summarize(out, srest)
-                        else:
-                            out = self._summarize(out, f"{srest}, {key}")
+                        add = [k for k in keys if not
+                               re.search(rf"\b{re.escape(k)}\b", by_part)]
+                        srest2 = (srest if not add
+                                  else f"{srest}, {', '.join(add)}")
+                        out = self._summarize(out, srest2)
                     else:
-                        out = self._summarize(out, f"{srest} by {key}")
+                        out = self._summarize(
+                            out, f"{srest} by {', '.join(add)}")
                 else:
                     raise ValueError(
                         f"KQL: partition subquery operator {sop!r} not "

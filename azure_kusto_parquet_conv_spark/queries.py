@@ -4197,6 +4197,39 @@ def q_kql_row_cumsum(spark, sf_dir):
     """)
 
 
+@query("q_kql_evaluate_pivot", """
+SELECT CAST(user_id % 10 AS BIGINT) AS u,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT)
+         AS click,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT)
+         AS error,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+         AS purchase,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'signup') AS BIGINT)
+         AS signup,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT)
+         AS view
+FROM events GROUP BY u
+""")
+def q_kql_evaluate_pivot(spark, sf_dir):
+    """KQL evaluate pivot: distinct event_type values rotate into count
+    columns per user bucket (Kusto's pivot plugin ≡ Spark groupBy()
+    .pivot() — one tiny distinct-values job, then a single pivot
+    aggregate; the oracle is the equivalent FILTER-aggregate spelling).
+    Absent combinations are normalized to 0 on both sides."""
+    from azure_kusto_parquet_conv_spark.kql import kql
+    df = kql(spark, sf_dir, """
+      events
+        | extend u = tolong(user_id % 10)
+        | project u, event_type
+        | evaluate pivot(event_type, count())
+    """)
+    types = ["click", "error", "purchase", "signup", "view"]
+    cols = [(F.coalesce(F.col(t), F.lit(0)) if t in df.columns
+             else F.lit(0)).cast("long").alias(t) for t in types]
+    return df.select("u", *cols)
+
+
 @query("q_kql_hll_reagg")  # HLL estimates are approximate: no SQL twin
 def q_kql_hll_reagg(spark, sf_dir):
     """KQL hll / hll_merge / dcount_hll on real Datasketches sketches:

@@ -1269,3 +1269,56 @@ def test_hll_sketch_reaggregation(spark, sf_dir):
              .select("user_id").distinct().count())
     assert est == one_pass
     assert abs(est - exact) <= max(2, 0.02 * exact)
+
+
+def test_evaluate_pivot(spark, sf_dir):
+    """evaluate pivot: distinct pivot values become columns; default
+    aggregate is count(); remaining columns group implicitly."""
+    df = kql(spark, sf_dir, """
+      events
+        | extend u = tolong(user_id % 2)
+        | project u, event_type
+        | evaluate pivot(event_type, count())
+    """)
+    assert set(df.columns) == {"u", "click", "error", "purchase",
+                               "signup", "view"}
+    want = (load_table(spark, sf_dir, "events")
+            .groupBy((F.col("user_id") % 2).cast("long").alias("u"))
+            .pivot("event_type").count())
+    got = {r["u"]: (r["click"], r["view"]) for r in df.collect()}
+    exp = {r["u"]: (r["click"], r["view"]) for r in want.collect()}
+    assert got == exp
+    # explicit agg + explicit keys
+    df2 = kql(spark, sf_dir, """
+      events
+        | extend u = tolong(user_id % 2)
+        | evaluate pivot(event_type, sum(value), u)
+    """)
+    assert set(df2.columns) == {"u", "click", "error", "purchase",
+                                "signup", "view"}
+
+
+def test_partition_by_multiple_keys(spark, sf_dir):
+    """partition by k1, k2: serialized ops window over the composite
+    key; summarize gains all missing keys."""
+    rows = sorted(map(tuple, kql(spark, sf_dir, """
+      datatable (a:long, b:string, t:long, v:long) [
+        1, 'x', 1, 5,  1, 'x', 2, 7,  1, 'y', 1, 11,
+        2, 'x', 1, 13
+      ]
+      | partition by a, b (
+          sort by t asc
+          | extend rn = row_number(), run = row_cumsum(v)
+        )
+      | project a, b, t, rn, run
+    """).collect()))
+    assert rows == [(1, "x", 1, 1, 5), (1, "x", 2, 2, 12),
+                    (1, "y", 1, 1, 11), (2, "x", 1, 1, 13)]
+    agg = sorted(map(tuple, kql(spark, sf_dir, """
+      datatable (a:long, b:string, v:long) [
+        1, 'x', 5,  1, 'x', 7,  1, 'y', 11, 2, 'x', 13
+      ]
+      | partition by a, b ( summarize s = sum(v) )
+    """).collect()))
+    assert agg == [(5 + 7, 1, "x"), (11, 1, "y"), (13, 2, "x")] or \
+        agg == sorted([(1, "x", 12), (1, "y", 11), (2, "x", 13)])
