@@ -262,3 +262,112 @@ def dedup_stream(events: DataFrame, keys: list[str] | None = None,
     return (events
             .withWatermark("ts", watermark)
             .dropDuplicatesWithinWatermark(keys or ["event_id"]))
+
+
+SCAN_OUTPUT_SCHEMA = StructType([
+    StructField("user_id", LongType()),
+    StructField("event_id", LongType()),
+    StructField("ts_us", LongType()),
+    StructField("step", StringType()),
+    StructField("match_id", LongType()),
+])
+
+SCAN_STATE_SCHEMA = StructType([
+    StructField("k", LongType()),            # next expected step index
+    StructField("mid", LongType()),          # completed-sequence count
+    StructField("pend_ts", StringType()),    # csv-packed pending buffer
+    StructField("pend_id", StringType()),
+    StructField("pend_mask", StringType()),
+])
+
+
+def scan_stream(events: DataFrame, steps: list[tuple[str, str]],
+                key: str = "user_id",
+                watermark: str = "2 hours") -> DataFrame:
+    """Streaming sequence matching — the unbounded twin of the KQL
+    ``scan`` operator (kql.py _scan): per ``key``, rows advance a greedy
+    single-sequence automaton through ``steps`` (name, SQL predicate)
+    in EVENT-TIME order, emitting each matching row with its step name
+    and a per-key match_id.
+
+    Determinism on an out-of-order stream comes from the watermark
+    buffer: arriving rows are held in state and only fed to the
+    automaton once the watermark passes their event time, so the
+    automaton always consumes a gap-free, time-ordered prefix —
+    exactly what the batch operator sees. Late rows beyond the
+    watermark are dropped (standard watermark contract). State =
+    automaton position + the buffered window, i.e. O(arrival rate x
+    watermark) per key, bounded on an unbounded stream.
+
+    Spark-first shape (same trick as batch): every step predicate is
+    pre-computed by Catalyst into one BITMASK column before the
+    stateful pass, so the Python state function never evaluates
+    expressions — it walks ints. The pending buffer is csv-packed into
+    string state columns (applyInPandasWithState state rows are flat).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    prepare_session(events.sparkSession)
+    n_steps = len(steps)
+    names = [n for n, _ in steps]
+    mask = None
+    for i, (_, psql) in enumerate(steps):
+        bit = F.when(F.expr(psql).cast("boolean"), F.lit(1 << i)) \
+               .otherwise(F.lit(0))
+        mask = bit if mask is None else mask + bit
+    # `ts` stays in the projection: the event-time timeout needs the
+    # watermark column to survive into the stateful operator
+    src = (events
+           .withWatermark("ts", watermark)
+           .select(F.col(key).alias("user_id"), "event_id", "ts",
+                   F.unix_micros("ts").alias("ts_us"),
+                   mask.cast("long").alias("mask")))
+
+    def _unpack(s):
+        return [int(x) for x in s.split(",")] if s else []
+
+    def _pack(v):
+        return ",".join(str(x) for x in v)
+
+    def fn(key_tuple, pdfs, state: GroupState):
+        if state.exists:
+            k, mid, p_ts, p_id, p_mask = state.get
+            pend = list(zip(_unpack(p_ts), _unpack(p_id), _unpack(p_mask)))
+        else:
+            k, mid, pend = 0, 0, []
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                pend.extend(zip((int(v) for v in pdf["ts_us"]),
+                                (int(v) for v in pdf["event_id"]),
+                                (int(v) for v in pdf["mask"])))
+        pend.sort()
+        ready = [p for p in pend if p[0] <= wm_us]
+        pend = [p for p in pend if p[0] > wm_us]
+        out = []
+        uid = key_tuple[0]
+        for ts_us, eid, m in ready:
+            if m & (1 << k):
+                out.append({"user_id": uid, "event_id": eid,
+                            "ts_us": ts_us, "step": names[k],
+                            "match_id": mid})
+                k += 1
+                if k == n_steps:
+                    k, mid = 0, mid + 1
+        state.update((k, mid, _pack(p[0] for p in pend),
+                      _pack(p[1] for p in pend),
+                      _pack(p[2] for p in pend)))
+        if pend:
+            # fire again once the watermark moves past buffered rows
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+        if out:
+            yield pd.DataFrame(out)
+
+    return (src.groupBy("user_id")
+               .applyInPandasWithState(
+                   fn,
+                   outputStructType=SCAN_OUTPUT_SCHEMA,
+                   stateStructType=SCAN_STATE_SCHEMA,
+                   outputMode="append",
+                   timeoutConf=GroupStateTimeout.EventTimeTimeout))

@@ -441,3 +441,64 @@ def test_kql_stream_parse_where_matches_batch(spark, sf_dir, stream_dir):
     for key, v in got.items():
         assert want.get(key) == v, f"{key}: stream {v} != batch {want.get(key)}"
     assert len(got) >= len(want) * 0.8
+
+
+def test_scan_stream_matches_batch_automaton(spark, sf_dir, tmp_path):
+    """Streaming scan == the batch KQL scan automaton: two time-ordered
+    micro-batches (real events, then a far-future watermark-pusher)
+    let every real event clear the watermark buffer, so the emitted
+    match set must equal the batch operator's output exactly."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import shutil
+
+    from azure_kusto_parquet_conv_spark.streaming.events import (
+        read_events_stream, scan_stream)
+
+    d = tmp_path / "scan_stream_src"
+    d.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", d / "0_events.parquet")
+    # watermark pusher: one far-future event whose type matches no step
+    import pyarrow.parquet as _pq
+    tbl = _pq.read_table(f"{sf_dir}/events.parquet")
+    ts_type = tbl.schema.field("ts").type
+    far = pa.table({
+        "event_id": pa.array([10**9], pa.int64()),
+        "ts": pa.array([10**18 if pa.types.is_integer(ts_type)
+                        else 4102444800_000_000],
+                       ts_type if pa.types.is_integer(ts_type)
+                       else pa.timestamp("us")),
+        "user_id": pa.array([1], pa.int64()),
+        "event_type": pa.array(["error"], pa.string()),
+        "value": pa.array([0.0], pa.float64()),
+        "props": pa.array([None], pa.string()),
+    }).cast(tbl.schema)
+    pq.write_table(far, d / "1_sentinel.parquet")
+
+    steps = [("s_signup", "event_type = 'signup'"),
+             ("s_click", "event_type = 'click'"),
+             ("s_purchase", "event_type = 'purchase'")]
+    ev = read_events_stream(spark, str(d))
+    out = scan_stream(ev, steps, watermark="1 seconds")
+    q = (out.writeStream.format("memory").queryName("scan_stream_out")
+         .outputMode("append")
+         .option("maxFilesPerTrigger", 1).start())
+    q.processAllAvailable()
+    q.stop()
+    got = {(r["user_id"], r["event_id"], r["step"], r["match_id"])
+           for r in spark.sql("select * from scan_stream_out").collect()
+           if r["event_id"] != 10**9}
+
+    from azure_kusto_parquet_conv_spark.kql import kql
+    want = {(r["user_id"], r["event_id"], r["step"], r["match_id"])
+            for r in kql(spark, sf_dir, """
+      events
+        | partition by user_id (
+            sort by ts_ns asc, event_id asc
+            | scan with (step s_signup: event_type == 'signup';
+                         step s_click: event_type == 'click';
+                         step s_purchase: event_type == 'purchase';)
+          )
+    """).select("user_id", "event_id", "step", "match_id").collect()}
+    assert len(want) > 0
+    assert got == want
