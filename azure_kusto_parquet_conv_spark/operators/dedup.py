@@ -227,6 +227,68 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
                  .where(F.col("jaccard") >= threshold))
 
 
+def minhash_dedup_incremental(new_df: DataFrame, corpus_sigs: DataFrame,
+                              corpus_text: DataFrame,
+                              text_col: str = "text",
+                              id_col: str = "doc_id",
+                              threshold: float = 0.8,
+                              num_hashes: int = 64, bands: int = 16,
+                              shingle_n: int = 3,
+                              seed: int = 42) -> DataFrame:
+    """Incremental near-dedup: match an INCOMING batch against an
+    EXISTING corpus signature store (the production flow — a 100 TB
+    corpus is signed once, persisted, and every new crawl/delivery
+    dedups against the store without re-signing the corpus).
+
+    ``corpus_sigs`` is the persisted output of ``minhash_signatures``
+    over the corpus (same num_hashes/shingle_n/seed — the signature
+    algebra must line up); ``corpus_text`` maps corpus ids to text for
+    the exact-verification step. Only the new batch is signed here.
+    Candidate generation is the LSH band bucket join with the NEW side
+    broadcast (a batch is small next to the corpus, so the corpus
+    band table never shuffles); exact shingle-Jaccard verification
+    touches candidates only, and the corpus text is semi-joined down
+    to candidate ids before shingling — the store scan is the only
+    corpus-sized read.
+
+    Returns (new_id, corpus_id, jaccard) pairs with jaccard >=
+    threshold: identical to what the full self-join
+    ``minhash_dedup_pairs`` would report for cross pairs (pinned by
+    test)."""
+    new_sigs = minhash_signatures(new_df, text_col, id_col, num_hashes,
+                                  shingle_n, seed=seed)
+
+    def banded(sigs, alias):
+        return sigs.select(
+            F.col(id_col).alias(alias),
+            F.explode(F.array(*_band_hashes(num_hashes, bands)))
+             .alias("band_hash"))
+
+    cand = (banded(corpus_sigs, "corpus_id")
+            .join(F.broadcast(banded(new_sigs, "new_id")), "band_hash")
+            .select("new_id", "corpus_id").distinct())
+    corpus_hit_ids = cand.select(F.col("corpus_id").alias(id_col)) \
+                         .distinct()
+    corpus_sh = (shingle_hash_sets(
+                     corpus_text.join(F.broadcast(corpus_hit_ids),
+                                      id_col, "left_semi"),
+                     text_col, id_col, shingle_n)
+                 .select(F.col(id_col).alias("corpus_id"),
+                         F.col("shingles").alias("sh_c")))
+    new_sh = (shingle_hash_sets(new_df, text_col, id_col, shingle_n)
+              .select(F.col(id_col).alias("new_id"),
+                      F.col("shingles").alias("sh_n")))
+    withs = (cand.join(F.broadcast(new_sh), "new_id")
+                 .join(corpus_sh, "corpus_id"))
+    inter = F.size(F.array_intersect("sh_n", "sh_c"))
+    union = F.size(F.array_union("sh_n", "sh_c"))
+    jac = F.when(union > 0, inter.cast("double") / union) \
+           .otherwise(F.lit(0.0))
+    return (withs.select("new_id", "corpus_id",
+                         F.round(jac, 4).alias("jaccard"))
+                 .where(F.col("jaccard") >= threshold))
+
+
 def dedup_clusters(ids: DataFrame, pairs: DataFrame,
                    id_col: str = "doc_id", max_iter: int = 20) -> DataFrame:
     """Connected components over near-dup pairs: every document gets

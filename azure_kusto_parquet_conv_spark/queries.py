@@ -4197,6 +4197,22 @@ def q_kql_row_cumsum(spark, sf_dir):
     """)
 
 
+@query("q_dedup_incremental")  # LSH band internals: no SQL twin
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental near-dedup: the incoming batch (doc_id % 4 == 0)
+    against the persisted corpus signature store — the production flow
+    where a 100 TB corpus is signed ONCE and every new delivery dedups
+    against the store. New side broadcasts into the band bucket join
+    (plan-pinned); exact verification re-shingles only candidate
+    corpus docs. Equality with the full self-join's cross pairs is
+    pinned in tests/test_dedup.py."""
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.where(F.col("doc_id") % 4 != 0)
+    batch = d.where(F.col("doc_id") % 4 == 0)
+    sigs = D.minhash_signatures(corpus)
+    return D.minhash_dedup_incremental(batch, sigs, corpus, threshold=0.5)
+
+
 @query("q_kql_evaluate_pivot", """
 SELECT CAST(user_id % 10 AS BIGINT) AS u,
        CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT)

@@ -131,3 +131,46 @@ def test_embedding_near_dup_dim_from_footer_not_limit1(spark, sf_dir):
                       side_effect=AssertionError("LIMIT-1 job launched")):
         plan = D.embedding_near_dup(e, threshold=0.4)
     assert "cosine" in plan.columns  # plan built without touching first()
+
+
+def test_minhash_incremental_matches_full_cross_pairs(spark, sf_dir):
+    """Incremental dedup (new batch vs persisted corpus signature store)
+    must report exactly the cross pairs the full self-join finds: same
+    coeffs/seed -> identical band buckets -> identical candidates ->
+    identical exact verification."""
+    from azure_kusto_parquet_conv_spark.sources.parquet import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.where(F.col("doc_id") % 4 != 0)
+    batch = d.where(F.col("doc_id") % 4 == 0)
+
+    corpus_sigs = D.minhash_signatures(corpus)  # the persisted store
+    inc = D.minhash_dedup_incremental(batch, corpus_sigs, corpus,
+                                      threshold=0.5)
+    got = {(r["new_id"], r["corpus_id"], r["jaccard"])
+           for r in inc.collect()}
+
+    full = D.minhash_dedup_pairs(d, threshold=0.5)
+    want = set()
+    for r in full.collect():
+        a, b = r["id_a"], r["id_b"]
+        if (a % 4 == 0) != (b % 4 == 0):  # exactly one side in the batch
+            new_id, cid = (a, b) if a % 4 == 0 else (b, a)
+            want.add((new_id, cid, r["jaccard"]))
+    assert got == want
+    assert len(want) > 0, "fixture produced no cross near-dup pairs"
+
+
+def test_minhash_incremental_broadcasts_new_side(spark, sf_dir):
+    """The batch side must BROADCAST into the band bucket join — the
+    corpus band table never shuffles (the whole point of the
+    incremental flow at 100 TB)."""
+    from azure_kusto_parquet_conv_spark.plans import join_strategies
+    from azure_kusto_parquet_conv_spark.sources.parquet import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.where(F.col("doc_id") % 4 != 0)
+    batch = d.where(F.col("doc_id") % 4 == 0)
+    inc = D.minhash_dedup_incremental(
+        batch, D.minhash_signatures(corpus), corpus, threshold=0.5)
+    assert "BroadcastHashJoin" in join_strategies(inc)
