@@ -484,6 +484,51 @@ class _ExprParser:
                 f"WHEN CAST(__so_v AS DOUBLE) < {lo} "
                 f"THEN (CAST(__so_v AS DOUBLE) - {lo}) / {iqr} "
                 f"ELSE 0.0 END)")
+        if fname == "series_stdev":
+            # population stdev of the non-null points (E[x²] − E[x]²)
+            if len(args) != 1:
+                raise ValueError("KQL: series_stdev(series) takes 1 arg")
+            arr = args[0]
+            nn = (f"filter(transform({arr}, __sd_x -> "
+                  f"CAST(__sd_x AS DOUBLE)), __sd_x -> "
+                  f"__sd_x IS NOT NULL)")
+            s1 = (f"aggregate({nn}, CAST(0 AS DOUBLE), "
+                  f"(__sd_a, __sd_v) -> __sd_a + __sd_v)")
+            s2 = (f"aggregate({nn}, CAST(0 AS DOUBLE), "
+                  f"(__sd_a, __sd_v) -> __sd_a + __sd_v * __sd_v)")
+            n = f"size({nn})"
+            return (f"CASE WHEN {n} = 0 THEN NULL ELSE "
+                    f"sqrt(greatest({s2} / {n} - ({s1} / {n}) "
+                    f"* ({s1} / {n}), 0.0)) END")
+        if fname == "series_seasonal":
+            # zero-sum seasonal component with period p: per-phase mean
+            # minus the overall mean (the seasonal part of a classic
+            # additive decomposition; pair with series_fir for trend and
+            # series_subtract for the residual). Pure higher-order SQL
+            # over the in-row array — O(n²/p) in the calendar-bounded
+            # series length, zero shuffles.
+            if len(args) != 2:
+                raise ValueError("KQL: series_seasonal(series, period)")
+            arr, p = args
+            wi = (f"zip_with({arr}, sequence(1, size({arr})), "
+                  f"(__ss_v, __ss_i) -> struct(CAST(__ss_v AS DOUBLE) "
+                  f"AS v, __ss_i AS i))")
+            phase = (f"filter({wi}, __ss_q -> "
+                     f"pmod(__ss_q.i - 1, {p}) = pmod(__ss_s.i - 1, {p})"
+                     f" AND __ss_q.v IS NOT NULL)")
+            ph_mean = (f"(aggregate({phase}, CAST(0 AS DOUBLE), "
+                       f"(__ss_a, __ss_e) -> __ss_a + __ss_e.v) "
+                       f"/ size({phase}))")
+            nn = (f"filter(transform({arr}, __ss_x -> "
+                  f"CAST(__ss_x AS DOUBLE)), __ss_x -> "
+                  f"__ss_x IS NOT NULL)")
+            overall = (f"(aggregate({nn}, CAST(0 AS DOUBLE), "
+                       f"(__ss_a, __ss_v) -> __ss_a + __ss_v) "
+                       f"/ size({nn}))")
+            return (f"transform({wi}, __ss_s -> "
+                    f"CASE WHEN __ss_s.v IS NULL THEN NULL "
+                    f"WHEN size({phase}) = 0 THEN NULL "
+                    f"ELSE {ph_mean} - {overall} END)")
         if fname in ("series_add", "series_subtract", "series_multiply",
                      "series_divide"):
             # element-wise arithmetic over two parallel series (zip_with,
@@ -1806,7 +1851,10 @@ class KqlCompiler:
         real(null)``/``default=null`` keeps them null for the
         series_fill_* family). The bin/group grid is calendar-x-keys
         sized and broadcasts; the only input-sized shuffle is the
-        per-bin pre-aggregate."""
+        per-bin pre-aggregate. NOTE: that pre-aggregate is evaluated
+        twice (once for the min/max range row, once as the join input)
+        — at 100 TB put a materialization (cache/table) upstream if the
+        source scan itself is the dominant cost."""
         m = re.match(r"(?P<agg>.+?)"
                      r"(?:\s+default\s*=\s*(?P<dflt>real\s*\(\s*null\s*\)"
                      r"|null|-?\d+(?:\.\d+)?))?"

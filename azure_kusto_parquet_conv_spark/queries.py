@@ -4012,6 +4012,55 @@ def q_kql_series_smooth(spark, sf_dir):
         F.round(F.col("z.resid"), 4).alias("resid"))
 
 
+@query("q_kql_series_seasonal", """
+WITH e AS (SELECT user_id % 5 AS b,
+                  epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+           FROM events),
+du AS (SELECT b, day, COUNT(*) AS n FROM e GROUP BY b, day),
+mnx AS (SELECT MIN(day) AS mn, MAX(day) AS mx FROM du),
+days AS (SELECT unnest(range((SELECT mn FROM mnx),
+                             (SELECT mx FROM mnx) + 1)) AS day),
+bs AS (SELECT DISTINCT b FROM du),
+g AS (SELECT bs.b, days.day, CAST(COALESCE(du.n, 0) AS DOUBLE) AS n
+      FROM bs CROSS JOIN days
+      LEFT JOIN du ON du.b = bs.b AND du.day = days.day),
+s AS (SELECT b, day, n,
+             AVG(n) OVER (PARTITION BY b,
+                          (day - (SELECT mn FROM mnx)) % 7) AS ph,
+             AVG(n) OVER (PARTITION BY b) AS ov,
+             AVG(n * n) OVER (PARTITION BY b) AS sq
+      FROM g)
+SELECT CAST(b AS BIGINT) AS b, CAST(day AS BIGINT) AS day,
+       CAST(n AS BIGINT) AS n,
+       ROUND(ph - ov, 4) AS seasonal,
+       ROUND(SQRT(GREATEST(sq - ov * ov, 0)), 4) AS sd
+FROM s
+""")
+def q_kql_series_seasonal(spark, sf_dir):
+    """KQL series_seasonal + series_stdev: weekly (period-7) zero-sum
+    seasonal component of each group's daily count series, plus the
+    per-series population stdev — the additive-decomposition step
+    before anomaly thresholds. Both computed inside the in-row array
+    (higher-order SQL, no shuffle beyond make-series' pre-aggregate);
+    the DuckDB twin phases on (day - min_day) % 7 window means."""
+    from azure_kusto_parquet_conv_spark.kql import kql
+    df = kql(spark, sf_dir, """
+      events
+        | extend b = tolong(user_id % 5)
+        | make-series n=count() on ts step 1d by b
+        | extend sea = series_seasonal(n, 7), sd = series_stdev(n)
+    """)
+    z = df.select("b", "sd",
+                  F.explode(F.arrays_zip("bins", "n", "sea")).alias("z"))
+    return z.select(
+        "b",
+        (F.unix_micros(F.col("z.bins")) / F.lit(86400000000))
+        .cast("long").alias("day"),
+        F.col("z.n").cast("long").alias("n"),
+        F.round(F.col("z.sea"), 4).alias("seasonal"),
+        F.round(F.col("sd"), 4).alias("sd"))
+
+
 @query("q_kql_search", """
 SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
 FROM events
@@ -4337,8 +4386,10 @@ DRIVER_WINDOW = [
 # q_corr_price_qty, q_mad_robust_stats, q_anomaly_outliers,
 # q_unigram_logprob, q_events_heatmap, q_interarrival_dist,
 # q_kql_partition_prev, q_kql_series_fill, q_kql_series_outliers,
-# q_kql_series_smooth, q_kql_search, q_domain_cap, q_gopher_rules,
-# q_bigram_logprob (new r5); plus the
+# q_kql_series_smooth, q_kql_series_seasonal, q_kql_search,
+# q_kql_row_cumsum, q_kql_evaluate_pivot, q_domain_cap, q_gopher_rules,
+# q_bigram_logprob (new r5, oracled); plus the new rows-only family
+# (q_kql_scan_funnel, q_kql_hll_reagg, q_dedup_incremental) and the
 # rows-only family (q_knn_ivf/pq/lsh, q_dedup_simhash/embedding/
 # clusters, q_multimodal_frames, q_approx_percentiles, q_freq_items,
 # q_sample_by) for the weaker rows-only driver check.

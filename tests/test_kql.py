@@ -1322,3 +1322,27 @@ def test_partition_by_multiple_keys(spark, sf_dir):
     """).collect()))
     assert agg == [(5 + 7, 1, "x"), (11, 1, "y"), (13, 2, "x")] or \
         agg == sorted([(1, "x", 12), (1, "y", 11), (2, "x", 13)])
+
+
+def test_series_seasonal_and_stdev(spark, sf_dir):
+    """series_seasonal: zero-sum per-phase means (period 2 on an
+    alternating series isolates the oscillation); series_stdev:
+    population stdev of the non-null points."""
+    r = kql(spark, sf_dir, """
+      datatable (ts:datetime, v:real) [
+        datetime(2024-01-01), 1.0,
+        datetime(2024-01-02), 5.0,
+        datetime(2024-01-03), 1.0,
+        datetime(2024-01-04), 5.0,
+        datetime(2024-01-05), 1.0,
+        datetime(2024-01-06), 5.0
+      ]
+      | make-series s=avg(v) on ts step 1d
+      | extend sea = series_seasonal(s, 2), sd = series_stdev(s),
+               resid = series_subtract(series_subtract(s,
+                         series_seasonal(s, 2)), s)
+    """).collect()[0]
+    assert r["sea"] == [-2.0, 2.0, -2.0, 2.0, -2.0, 2.0]
+    assert r["sd"] == 2.0
+    # s - seasonal - s == -seasonal (sanity of the compose chain)
+    assert r["resid"] == [2.0, -2.0, 2.0, -2.0, 2.0, -2.0]
