@@ -1,6 +1,12 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed by Arrow-batched ``mapInPandas`` kernels.
 
+Header-level decoding is REAL and dependency-free: ``png_dimensions``
+and ``wav_header`` parse dims / sample rate straight out of the payload
+bytes as JVM expressions (substring/hex/conv, whole-stage codegen) —
+the metadata-prune-before-decode step needs no media library at all.
+Only pixel/sample decoding is library-gated (below).
+
 The decode/feature kernels are gated on the environment: with Pillow
 importable, ``fake=False`` decodes for real (_extract_features_pil);
 without it, the socket raises NotImplementedError(NO_DECODER_MSG) at
@@ -24,7 +30,7 @@ import hashlib
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.types import (
     ArrayType, BinaryType, FloatType, IntegerType, LongType, StringType,
     StructField, StructType,
@@ -81,6 +87,85 @@ NO_DECODER_MSG = (
     "real media decoding requires image/audio libraries (Pillow) not "
     "available in this environment; use fake=True for the "
     "deterministic stand-in kernel")
+
+
+#: PNG signature + "IHDR" tag, RIFF/WAVE/fmt tags — hex, uppercase as
+#: Spark's hex() renders them.
+_PNG_MAGIC = "89504E470D0A1A0A"
+_IHDR = "49484452"
+_RIFF, _WAVE, _FMT = "52494646", "57415645", "666D7420"
+
+
+def _be_uint(c: Column, pos: int, nbytes: int) -> Column:
+    """Big-endian unsigned int from a byte slice, pure JVM:
+    substring(binary) -> hex -> conv(16, 10)."""
+    return F.conv(F.hex(F.substring(c, pos, nbytes)), 16, 10).cast("long")
+
+
+def _le_uint(c: Column, pos: int, nbytes: int) -> Column:
+    """Little-endian unsigned int: per-byte hex concatenated reversed."""
+    parts = [F.hex(F.substring(c, pos + i, 1))
+             for i in reversed(range(nbytes))]
+    return F.conv(F.concat(*parts), 16, 10).cast("long")
+
+
+def png_dimensions(payload: Column | str) -> Column:
+    """REAL image-header decode with zero media libraries: parse
+    width/height/bit-depth straight out of the PNG IHDR chunk as pure
+    JVM byte expressions (substring/hex/conv — whole-stage codegen, no
+    Python, no UDF). Null for payloads that are not PNG. This is the
+    metadata-extraction step a 100 TB media pipeline runs BEFORE any
+    expensive pixel decode: filters on parsed dims prune payloads while
+    the scan is still columnar."""
+    c = F.col(payload) if isinstance(payload, str) else payload
+    is_png = ((F.hex(F.substring(c, 1, 8)) == _PNG_MAGIC)
+              & (F.hex(F.substring(c, 13, 4)) == _IHDR))
+    return F.when(is_png, F.struct(
+        _be_uint(c, 17, 4).cast("int").alias("width"),
+        _be_uint(c, 21, 4).cast("int").alias("height"),
+        _be_uint(c, 25, 1).cast("int").alias("bit_depth")))
+
+
+def wav_header(payload: Column | str) -> Column:
+    """REAL audio-header decode, same zero-dependency JVM approach:
+    channels / sample rate / bits-per-sample from a canonical RIFF/WAVE
+    ``fmt `` chunk (little-endian fields, reversed per-byte hex). Null
+    for non-WAV payloads; assumes the standard chunk layout (fmt at
+    offset 12 — the overwhelmingly common case; a chunk-walking variant
+    belongs in a kernel, not an expression)."""
+    c = F.col(payload) if isinstance(payload, str) else payload
+    is_wav = ((F.hex(F.substring(c, 1, 4)) == _RIFF)
+              & (F.hex(F.substring(c, 9, 4)) == _WAVE)
+              & (F.hex(F.substring(c, 13, 4)) == _FMT))
+    return F.when(is_wav, F.struct(
+        _le_uint(c, 23, 2).cast("int").alias("channels"),
+        _le_uint(c, 25, 4).cast("int").alias("sample_rate"),
+        _le_uint(c, 35, 2).cast("int").alias("bits_per_sample")))
+
+
+def synth_png_header(width: Column, height: Column) -> Column:
+    """A valid PNG signature + IHDR prefix for the given dims (binary
+    Column) — enough header for any IHDR parser; used to exercise
+    png_dimensions against payloads the engine itself constructs."""
+    return F.concat(
+        F.unhex(F.lit(_PNG_MAGIC + "0000000D" + _IHDR)),
+        F.unhex(F.lpad(F.hex(width), 8, "0")),
+        F.unhex(F.lpad(F.hex(height), 8, "0")),
+        F.unhex(F.lit("0806000000")))  # 8-bit RGBA, std methods
+
+
+def synth_wav_header(channels: Column, sample_rate: Column) -> Column:
+    """A canonical RIFF/WAVE fmt-chunk prefix (16-bit PCM) with the
+    given channel count and sample rate."""
+    def le(col, nbytes):
+        padded = F.lpad(F.hex(col), 2 * nbytes, "0")
+        parts = [F.substring(padded, 2 * i + 1, 2)
+                 for i in reversed(range(nbytes))]
+        return F.concat(*parts)
+    return F.unhex(F.concat(
+        F.lit(_RIFF + "24000000" + _WAVE + _FMT + "10000000" + "0100"),
+        le(channels, 2), le(sample_rate, 4),
+        F.lit("00000000" + "0400"), F.lit("1000")))
 
 
 def extract_features(media: DataFrame, fake: bool = True,

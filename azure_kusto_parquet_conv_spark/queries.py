@@ -4246,6 +4246,50 @@ def q_kql_row_cumsum(spark, sf_dir):
     """)
 
 
+@query("q_multimodal_header_decode", """
+SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 640 + 16 END AS INT)
+         AS width,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 480 + 16 END AS INT)
+         AS height,
+       CAST(CASE WHEN doc_id % 2 = 1 THEN (doc_id % 48 + 8) * 1000 END
+            AS INT) AS sample_rate,
+       CAST(CASE WHEN doc_id % 2 = 1 THEN 2 END AS INT) AS channels
+FROM documents
+""")
+def q_multimodal_header_decode(spark, sf_dir):
+    """REAL multimodal metadata decode with zero media libraries:
+    synthesize valid PNG IHDR / RIFF-WAVE headers per document, then
+    parse width/height/sample-rate/channels back out as pure JVM byte
+    expressions (substring/hex/conv — whole-stage codegen, no Python).
+    The differential: construction ∘ parse must equal the arithmetic
+    the oracle states directly. This is the metadata-prune-before-
+    decode step of a 100 TB media pipeline, and the same parser
+    handles genuine files (pinned on real PNG/WAV bytes in
+    tests/test_multimodal.py)."""
+    from azure_kusto_parquet_conv_spark.operators import multimodal as MM
+    d = load_table(spark, sf_dir, "documents")
+    w = (F.col("doc_id") % 640 + 16).cast("int")
+    h = (F.col("doc_id") % 480 + 16).cast("int")
+    sr = ((F.col("doc_id") % 48 + 8) * 1000).cast("int")
+    payload = F.when(F.col("doc_id") % 2 == 0,
+                     MM.synth_png_header(w, h)) \
+               .otherwise(MM.synth_wav_header(F.lit(2).cast("int"), sr))
+    src = d.select(F.col("doc_id").alias("media_id"),
+                   payload.alias("payload"))
+    png = MM.png_dimensions("payload")
+    wav = MM.wav_header("payload")
+    return src.select(
+        "media_id",
+        F.when(png.isNotNull(), F.lit("image"))
+         .when(wav.isNotNull(), F.lit("audio")).alias("kind"),
+        png["width"].alias("width"),
+        png["height"].alias("height"),
+        wav["sample_rate"].alias("sample_rate"),
+        wav["channels"].alias("channels"))
+
+
 @query("q_dedup_incremental")  # LSH band internals: no SQL twin
 def q_dedup_incremental(spark, sf_dir):
     """Incremental near-dedup: the incoming batch (doc_id % 4 == 0)

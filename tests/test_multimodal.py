@@ -79,3 +79,53 @@ def test_frame_sample_explodes_rows(media):
     g = frames.groupBy("media_id").count().orderBy("media_id").first()
     dur = media.orderBy("media_id").first()["meta"]["duration_ms"]
     assert g["count"] == len(range(0, dur, 5000))
+
+
+REAL_PNG_1x1 = bytes.fromhex(
+    "89504e470d0a1a0a0000000d49484452000000010000000108060000001f15c4"
+    "890000000d49444154789c626000000000ffff0300000600055"
+    "7bfabd40000000049454e44ae426082")
+REAL_WAV_44K = (b"RIFF" + (36).to_bytes(4, "little") + b"WAVE" + b"fmt " +
+                (16).to_bytes(4, "little") + (1).to_bytes(2, "little") +
+                (2).to_bytes(2, "little") + (44100).to_bytes(4, "little") +
+                (176400).to_bytes(4, "little") + (4).to_bytes(2, "little") +
+                (16).to_bytes(2, "little") + b"data" +
+                (0).to_bytes(4, "little"))
+
+
+def test_header_decoders_on_real_files(spark):
+    """png_dimensions / wav_header decode GENUINE file bytes (a real
+    1x1 PNG, a real 44.1kHz stereo WAV header) with zero media libs —
+    pure JVM byte expressions; non-media payloads parse to null."""
+    df = spark.createDataFrame(
+        [(1, REAL_PNG_1x1), (2, REAL_WAV_44K), (3, b"not media"), (4, None)],
+        "id long, payload binary")
+    rows = {r["id"]: (r["png"], r["wav"]) for r in df.select(
+        "id", MM.png_dimensions("payload").alias("png"),
+        MM.wav_header("payload").alias("wav")).collect()}
+    assert tuple(rows[1][0]) == (1, 1, 8) and rows[1][1] is None
+    assert rows[2][0] is None and tuple(rows[2][1]) == (2, 44100, 16)
+    assert rows[3] == (None, None) and rows[4] == (None, None)
+
+
+def test_header_decode_roundtrips_synth_headers(spark):
+    """construction ∘ parse == identity for the synthesized headers,
+    and the whole pipeline stays JVM-side (no Python eval in the
+    plan)."""
+    from pyspark.sql import functions as F
+
+    s = spark.range(50).select(
+        F.col("id"),
+        MM.synth_png_header((F.col("id") % 640 + 16).cast("int"),
+                           (F.col("id") % 480 + 16).cast("int")).alias("p"),
+        MM.synth_wav_header(F.lit(2).cast("int"),
+                           ((F.col("id") % 48 + 8) * 1000).cast("int"))
+         .alias("w"))
+    out = s.select("id", MM.png_dimensions("p").alias("d"),
+                   MM.wav_header("w").alias("h"))
+    for r in out.collect():
+        assert r["d"]["width"] == r["id"] % 640 + 16
+        assert r["d"]["height"] == r["id"] % 480 + 16
+        assert r["h"]["sample_rate"] == (r["id"] % 48 + 8) * 1000
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
