@@ -28,8 +28,9 @@ Supported surface (each line maps to one DataFrame verb):
     | summarize [hint.shufflekey=k] a=agg(x), ...
         by k1, name=expr, bin(ts, 1h), bin_at(x, size, anchor)
     | make-series a=agg(x), b=agg2(y), ... [default=v|null]
-        on ts step 1d [by keys]   (dense over the FULL min..max step
-        range; empty bins take default — 0 when omitted, per Kusto)
+        on ts [from t0 to t1] step 1d [by keys]   (dense over the FULL
+        range — explicit [t0, t1) anchored at t0, else min..max of the
+        data; empty bins take default — 0 when omitted, per Kusto)
     | search [kind=case_(in)sensitive] 'term'  (any-string-column match)
     | mv-expand alias=array_expr [, b, ...]  (dynamic arrays too;
         multiple arrays expand zipped, short ones null-padded)
@@ -53,7 +54,8 @@ Supported surface (each line maps to one DataFrame verb):
         serialized ops compile to key-partitioned windows — the
         scale-safe form)
     | join kind=innerunique(default)|inner|left|right|fullouter|leftsemi|
-        leftanti|rightsemi|rightanti [hint.broadcast]
+        leftanti|rightsemi|rightanti [hint.broadcast |
+        hint.strategy=broadcast|shuffle]
         (subpipeline) on key / on $left.a == $right.b
     | lookup [kind=...] (dim) on key   /   union [kind=...] T2, ...
     | as name   /   render <charttype>
@@ -1858,13 +1860,16 @@ class KqlCompiler:
         m = re.match(r"(?P<agg>.+?)"
                      r"(?:\s+default\s*=\s*(?P<dflt>real\s*\(\s*null\s*\)"
                      r"|null|-?\d+(?:\.\d+)?))?"
-                     r"\s+on\s+(?P<ts>\w+)\s+step\s+"
+                     r"\s+on\s+(?P<ts>\w+)"
+                     r"(?:\s+from\s+(?P<from>datetime\s*\([^)]*\)|\S+)"
+                     r"\s+to\s+(?P<to>datetime\s*\([^)]*\)|\S+))?"
+                     r"\s+step\s+"
                      r"(?P<step>\S+)(?:\s+by\s+(?P<by>.+))?$",
                      rest, re.DOTALL)
         if not m:
             raise ValueError(
-                "KQL: make-series a=agg(x) [default=v] on ts step 1d "
-                "[by keys]")
+                "KQL: make-series a=agg(x) [default=v] on ts "
+                "[from t0 to t1] step 1d [by keys]")
         dflt = (m.group("dflt") or "0").strip()
         fill_null = dflt == "null" or dflt.startswith("real")
         aggs = []  # multiple comma-separated aggregates, Kusto-style
@@ -1873,8 +1878,33 @@ class KqlCompiler:
                 g, df, "series" if i == 0 else f"series{i}")
             aggs.append((name, agg_sql))
         step_us = _timespan_to_us(m.group("step"))
-        bin_col = F.expr(f"timestamp_micros((unix_micros(`{m.group('ts')}`)"
-                         f" div {step_us}) * {step_us})")
+        ts_name = m.group("ts")
+        if m.group("from"):
+            # explicit range: bins anchor at `from` (bin_at semantics),
+            # rows outside [from, to) are excluded, and the grid comes
+            # from a constant-folded sequence — no second pass over the
+            # pre-aggregate to discover the range
+            start = _compile_expr_tokens(_tokenize(m.group("from")), df)
+            end = _compile_expr_tokens(_tokenize(m.group("to")), df)
+            bin_col = F.expr(
+                f"timestamp_micros(unix_micros({start}) + "
+                f"((unix_micros(`{ts_name}`) - unix_micros({start})) "
+                f"div {step_us}) * {step_us})")
+            df = df.where(F.expr(
+                f"`{ts_name}` >= {start} AND `{ts_name}` < {end}"))
+            last = (f"timestamp_micros(unix_micros({start}) + "
+                    f"((unix_micros({end}) - unix_micros({start}) - 1) "
+                    f"div {step_us}) * {step_us})")
+            bins_expr = (f"CASE WHEN {end} > {start} THEN "
+                         f"sequence({start}, {last}, interval {step_us} "
+                         f"microsecond) ELSE array() END")
+            bins = (self.spark.range(1)
+                    .select(F.explode(F.expr(bins_expr)).alias("__bin")))
+        else:
+            bin_col = F.expr(
+                f"timestamp_micros((unix_micros(`{ts_name}`)"
+                f" div {step_us}) * {step_us})")
+            bins = None
         keys = []
         if m.group("by"):
             keys = [g[0].text
@@ -1887,12 +1917,13 @@ class KqlCompiler:
         # range, not just observed bins — required for the
         # series_fill_* interpolation family); the range row is a
         # single-row agg, the exploded grid is calendar-sized
-        bins = (pre.agg(F.min("__bin").alias("__mn"),
-                        F.max("__bin").alias("__mx"))
-                   .where(F.col("__mn").isNotNull())
-                   .select(F.explode(F.expr(
-                       f"sequence(__mn, __mx, interval {step_us} "
-                       f"microsecond)")).alias("__bin")))
+        if bins is None:
+            bins = (pre.agg(F.min("__bin").alias("__mn"),
+                            F.max("__bin").alias("__mx"))
+                       .where(F.col("__mn").isNotNull())
+                       .select(F.explode(F.expr(
+                           f"sequence(__mn, __mx, interval {step_us} "
+                           f"microsecond)")).alias("__bin")))
         grid = (pre.select(*keys).distinct().crossJoin(F.broadcast(bins))
                 if keys else bins)
         # fill literal cast to each aggregate's own type so count()
@@ -2169,7 +2200,9 @@ class KqlCompiler:
 
     def _join(self, df: DataFrame, rest: str):
         m = re.match(
-            r"(?:kind\s*=\s*(\w+)\s+)?(hint\.broadcast\s+)?"
+            r"(?:kind\s*=\s*(\w+)\s+)?"
+            r"(?:(hint\.broadcast)\s+"
+            r"|hint\.strategy\s*=\s*(?P<strat>broadcast|shuffle)\s+)?"
             r"(?:\((?P<sub>.*)\)|(?P<name>[A-Za-z_][A-Za-z0-9_]*))"
             r"\s+on\s+(?P<on>.*)$",
             rest, re.DOTALL)
@@ -2181,8 +2214,12 @@ class KqlCompiler:
         else:
             # bare-name operand: a let-bound/`as`-named result or table
             right = self._operand(m.group("name"))
-        if m.group(2):
+        if m.group(2) or m.group("strat") == "broadcast":
             right = F.broadcast(right)
+        elif m.group("strat") == "shuffle":
+            # Kusto's shuffle-strategy hint: force the partitioned
+            # (shuffle-hash) join even when Spark would broadcast
+            right = right.hint("shuffle_hash")
         on_text = m.group("on").strip()
         # parse the on-clause into (left_key, right_key) pairs
         if re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*(\s*,\s*"

@@ -1346,3 +1346,53 @@ def test_series_seasonal_and_stdev(spark, sf_dir):
     assert r["sd"] == 2.0
     # s - seasonal - s == -seasonal (sanity of the compose chain)
     assert r["resid"] == [2.0, -2.0, 2.0, -2.0, 2.0, -2.0]
+
+
+def test_make_series_explicit_from_to(spark, sf_dir):
+    """make-series from/to: bins anchor at `from`, rows outside
+    [from, to) are excluded, and the grid spans the EXPLICIT range even
+    where no data exists (constant-folded, no data-driven range pass)."""
+    row = kql(spark, sf_dir, """
+      datatable (ts:datetime, v:real) [
+        datetime(2023-12-30), 99.0,
+        datetime(2024-01-02), 4.0,
+        datetime(2024-01-03), 6.0,
+        datetime(2024-01-09), 99.0
+      ]
+      | make-series s=avg(v)
+          on ts from datetime(2024-01-01) to datetime(2024-01-06) step 1d
+    """).collect()[0]
+    assert len(row["bins"]) == 5  # 01..05, clipped both sides
+    assert row["s"] == [0.0, 4.0, 6.0, 0.0, 0.0]
+    # non-midnight anchor: bins align to `from`, not the calendar
+    r2 = kql(spark, sf_dir, """
+      datatable (ts:datetime, v:real) [
+        datetime(2024-01-01 13:00:00), 2.0,
+        datetime(2024-01-02 11:00:00), 8.0
+      ]
+      | make-series s=avg(v)
+          on ts from datetime(2024-01-01 12:00:00)
+          to datetime(2024-01-03 12:00:00) step 1d
+    """).collect()[0]
+    assert [b.hour for b in r2["bins"]] == [12, 12]
+    # both events fall in the FIRST 12:00-anchored bin
+    # (01-01 13:00 and 01-02 11:00 are both < 01-02 12:00)
+    assert r2["s"] == [5.0, 0.0]
+
+
+def test_join_strategy_hints(spark, sf_dir):
+    """hint.strategy=broadcast|shuffle maps onto Spark join-strategy
+    hints: broadcast forces BroadcastHashJoin, shuffle forces the
+    partitioned ShuffledHashJoin even for a tiny dimension."""
+    from azure_kusto_parquet_conv_spark.plans import join_strategies
+    b = kql(spark, sf_dir, """
+      nation | join kind=inner hint.strategy=broadcast region
+              on $left.n_regionkey == $right.r_regionkey
+    """)
+    assert "BroadcastHashJoin" in join_strategies(b)
+    s = kql(spark, sf_dir, """
+      nation | join kind=inner hint.strategy=shuffle region
+              on $left.n_regionkey == $right.r_regionkey
+    """)
+    st = join_strategies(s)
+    assert "ShuffledHashJoin" in st and "BroadcastHashJoin" not in st
