@@ -342,6 +342,26 @@ class _ExprParser:
             return f"sum(CASE WHEN {args[0]} THEN 1 ELSE 0 END)"
         if fname == "dcount":
             return f"count(DISTINCT {args[0]})"
+        if fname == "parse_url":
+            # Kusto parse_url -> dynamic bag. Built from Spark's native
+            # parse_url parts + str_to_map for the query string, JSON
+            # round-tripped onto VARIANT so d.Host / d.QueryParameters.k
+            # path access works like any other dynamic. Deviation: the
+            # query bag key is QueryParameters (no space; identifier
+            # paths cannot address 'Query Parameters').
+            if len(args) != 1:
+                raise ValueError("KQL: parse_url(url) takes 1 arg")
+            u = args[0]
+            qmap = (f"str_to_map(coalesce(parse_url({u}, 'QUERY'), ''), "
+                    f"'&', '=')")
+            obj = (f"named_struct("
+                   f"'Scheme', parse_url({u}, 'PROTOCOL'), "
+                   f"'Host', parse_url({u}, 'HOST'), "
+                   f"'Port', parse_url({u}, 'PORT'), "
+                   f"'Path', parse_url({u}, 'PATH'), "
+                   f"'Fragment', parse_url({u}, 'REF'), "
+                   f"'QueryParameters', {qmap})")
+            return f"parse_json(to_json({obj}))"
         if fname == "hll":
             # Kusto hll(x): a mergeable HyperLogLog sketch intermediate
             # -> Spark's Datasketches HLL aggregate. THE re-aggregation

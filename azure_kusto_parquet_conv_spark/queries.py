@@ -4246,6 +4246,30 @@ def q_kql_row_cumsum(spark, sf_dir):
     """)
 
 
+@query("q_kql_parse_url", """
+SELECT source || '.example.com' AS host, lang AS qlang,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM documents GROUP BY host, qlang
+""")
+def q_kql_parse_url(spark, sf_dir):
+    """KQL parse_url: URL decomposition into a dynamic bag (Scheme /
+    Host / Path / QueryParameters sub-bag on Spark VARIANT) — the
+    per-domain grouping step of web-corpus curation. URLs are
+    synthesized from the documents fixture, decomposed by the real
+    parser, and the host/query-param rollup must equal the oracle's
+    direct string arithmetic."""
+    from azure_kusto_parquet_conv_spark.kql import kql
+    return kql(spark, sf_dir, """
+      documents
+        | extend url = strcat('https://', source, '.example.com/docs/',
+                              tostring(doc_id), '?lang=', lang)
+        | extend d = parse_url(url)
+        | summarize n = count()
+            by host = tostring(d.Host),
+               qlang = tostring(d.QueryParameters.lang)
+    """)
+
+
 @query("q_multimodal_header_decode", """
 SELECT doc_id AS media_id,
        CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,

@@ -1396,3 +1396,24 @@ def test_join_strategy_hints(spark, sf_dir):
     """)
     st = join_strategies(s)
     assert "ShuffledHashJoin" in st and "BroadcastHashJoin" not in st
+
+
+def test_parse_url_dynamic_bag(spark, sf_dir):
+    """parse_url returns a dynamic bag on VARIANT: scheme/host/path and
+    the query-parameter sub-bag are all path-addressable."""
+    rows = kql(spark, sf_dir, """
+      datatable (u:string) [
+        'https://docs.example.com:8443/a/b?lang=fr&x=1#frag',
+        'http://plain.org/'
+      ]
+      | extend d = parse_url(u)
+      | project host = tostring(d.Host), path = tostring(d.Path),
+                lang = tostring(d.QueryParameters.lang),
+                scheme = tostring(d.Scheme)
+    """).collect()
+    got = sorted((r["host"], r["path"], r["lang"], r["scheme"])
+                 for r in rows)
+    assert got == [
+        ("docs.example.com", "/a/b", "fr", "https"),
+        ("plain.org", "/", None, "http"),
+    ]
