@@ -342,6 +342,14 @@ class _ExprParser:
             return f"sum(CASE WHEN {args[0]} THEN 1 ELSE 0 END)"
         if fname == "dcount":
             return f"count(DISTINCT {args[0]})"
+        if fname == "base64_encode_tostring":
+            if len(args) != 1:
+                raise ValueError("KQL: base64_encode_tostring(s)")
+            return f"base64(encode({args[0]}, 'UTF-8'))"
+        if fname == "base64_decode_tostring":
+            if len(args) != 1:
+                raise ValueError("KQL: base64_decode_tostring(s)")
+            return f"decode(unbase64({args[0]}), 'UTF-8')"
         if fname == "parse_url":
             # Kusto parse_url -> dynamic bag. Built from Spark's native
             # parse_url parts + str_to_map for the query string, JSON
@@ -1714,17 +1722,28 @@ class KqlCompiler:
 
         levels = []
         for part in re.split(r",\s*top-nested\s+", rest.strip()):
-            m = re.match(r"(\d+)\s+of\s+([A-Za-z_]\w*)\s+by\s+(.*)$",
+            m = re.match(r"(\d+)\s+of\s+([A-Za-z_]\w*)"
+                         r"(?:\s+with\s+others\s*=\s*"
+                         r"(?P<oth>'[^']*'|\"[^\"]*\"))?"
+                         r"\s+by\s+(.*)$",
                          part, re.DOTALL)
             if not m:
                 raise ValueError(
-                    "KQL: top-nested N of <col> by <agg> [, top-nested ...]")
-            name, sql = _named_expr(_tokenize(m.group(3)), df,
+                    "KQL: top-nested N of <col> [with others = 'label'] "
+                    "by <agg> [, top-nested ...]")
+            name, sql = _named_expr(_tokenize(m.group(4)), df,
                                     f"aggregated_{m.group(2)}")
-            levels.append((int(m.group(1)), m.group(2), name, sql))
+            oth = m.group("oth")
+            levels.append((int(m.group(1)), m.group(2), name, sql,
+                           oth[1:-1] if oth else None))
+        if any(lab is not None for *_, lab in levels[:-1]):
+            raise ValueError(
+                "KQL: 'with others' is supported on the LAST top-nested "
+                "level (an others bucket has no deeper nesting)")
         winners = None
+        parent_winners = None
         carried: list[str] = []  # parent key + agg columns carried along
-        for n, col, name, sql in levels:
+        for n, col, name, sql, label in levels:
             prev_keys = [c for c, is_key in carried if is_key]
             agg = df.groupBy(*prev_keys, col).agg(F.expr(sql).alias(name))
             if winners is not None:
@@ -1733,8 +1752,35 @@ class KqlCompiler:
                 F.col(name).desc(), F.col(col).asc())
             top = (agg.withColumn("__rn", F.row_number().over(w))
                       .where(F.col("__rn") <= n).drop("__rn"))
+            parent_winners = winners
             carried = [*carried, (col, True), (name, False)]
             winners = top.select(*[c for c, _ in carried])
+        if levels[-1][4] is not None:
+            # others bucket per parent: the aggregate RECOMPUTED over the
+            # rows outside the winner set (correct for any aggregate,
+            # not just decomposable ones), keyed by the string label
+            n, col, name, sql, label = levels[-1]
+            prev_keys = [c for c, is_key in carried[:-2] if is_key]
+            rest_rows = df
+            if parent_winners is not None:
+                rest_rows = rest_rows.join(F.broadcast(parent_winners),
+                                           prev_keys)
+            rest_rows = rest_rows.join(
+                F.broadcast(winners.select(*prev_keys, col)),
+                [*prev_keys, col], "left_anti")
+            # group on ALL carried parent columns (keys + their agg
+            # values, functionally dependent) so others rows carry the
+            # parent aggregates like normal winner rows do
+            parent_cols = [c for c, _ in carried[:-2]]
+            others = (rest_rows.groupBy(*parent_cols)
+                      .agg(F.expr(sql).alias(name))
+                      .withColumn(col, F.lit(label)))
+            if dict(df.dtypes).get(col) != "string":
+                raise ValueError(
+                    "KQL: top-nested with others needs a string key "
+                    f"column, {col!r} is {dict(df.dtypes).get(col)!r}")
+            winners = winners.unionByName(
+                others.select(*[c for c, _ in carried]))
         return winners
 
     _PARSE_PART = re.compile(

@@ -4246,6 +4246,45 @@ def q_kql_row_cumsum(spark, sf_dir):
     """)
 
 
+@query("q_embed_mrl", """
+WITH b AS (SELECT vec_id,
+                  list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
+           FROM embeddings),
+s AS (SELECT vec_id,
+             list_sum(list_transform(x, v -> v * v)) AS nf2,
+             list_sum(list_transform(x[1:8], v -> v * v)) AS nt2,
+             list_sum(x[1:8]) AS ts
+      FROM b)
+SELECT vec_id, ROUND(nt2 / nf2, 6) AS energy_ratio,
+       ROUND(ts / sqrt(nt2), 6) AS unit_sum
+FROM s WHERE nf2 > 0 AND nt2 > 0
+""")
+def q_embed_mrl(spark, sf_dir):
+    """Matryoshka-style embedding truncation: keep the first 8 dims,
+    re-normalize to unit length, and report the retained-energy ratio
+    ||x[:8]||²/||x||² — the dimension-reduction step that trades recall
+    for a k-times cheaper ANN index at 100 TB (truncate THEN index;
+    the prefix property makes the stored full vectors reusable at any
+    cut). All JVM higher-order array folds, deterministic order on
+    both engines."""
+    em = load_table(spark, sf_dir, "embeddings")
+    xd = F.transform(F.col("embedding"), lambda v: v.cast("double"))
+    t = F.slice(F.col("x"), 1, 8)
+    sq = lambda arr: F.aggregate(arr, F.lit(0.0),
+                                 lambda a, v: a + v * v)
+    return (em.select("vec_id", xd.alias("x"))
+              .select("vec_id", sq(F.col("x")).alias("nf2"),
+                      sq(t).alias("nt2"),
+                      F.aggregate(t, F.lit(0.0),
+                                  lambda a, v: a + v).alias("ts"))
+              .where((F.col("nf2") > 0) & (F.col("nt2") > 0))
+              .select("vec_id",
+                      F.round(F.col("nt2") / F.col("nf2"), 6)
+                       .alias("energy_ratio"),
+                      F.round(F.col("ts") / F.sqrt("nt2"), 6)
+                       .alias("unit_sum")))
+
+
 @query("q_kql_parse_url", """
 SELECT source || '.example.com' AS host, lang AS qlang,
        CAST(COUNT(*) AS BIGINT) AS n

@@ -1417,3 +1417,48 @@ def test_parse_url_dynamic_bag(spark, sf_dir):
         ("docs.example.com", "/a/b", "fr", "https"),
         ("plain.org", "/", None, "http"),
     ]
+
+
+def test_base64_roundtrip(spark, sf_dir):
+    rows = kql(spark, sf_dir, """
+      datatable (s:string) ['hello', 'Kusto&Spark']
+      | extend e = base64_encode_tostring(s)
+      | extend back = base64_decode_tostring(e)
+    """).collect()
+    import base64
+    for r in rows:
+        assert r["e"] == base64.b64encode(r["s"].encode()).decode()
+        assert r["back"] == r["s"]
+
+
+def test_top_nested_with_others(spark, sf_dir):
+    """with others = 'label' on the last level: one extra row per
+    parent whose aggregate is RECOMPUTED over all non-winner rows (so
+    winners + others == the parent total, even for count)."""
+    rows = kql(spark, sf_dir, """
+      events
+        | top-nested 2 of event_type with others = 'Other'
+            by n = count()
+    """).collect()
+    by_type = {r["event_type"]: r["n"] for r in rows}
+    assert len(by_type) == 3 and "Other" in by_type
+    total = load_table(spark, sf_dir, "events").count()
+    assert sum(by_type.values()) == total
+    winners = {k: v for k, v in by_type.items() if k != "Other"}
+    assert all(v >= by_type["Other"] / 3 for v in winners.values())
+    # nested: others per parent at the inner level
+    nested = kql(spark, sf_dir, """
+      events
+        | extend b = tostring(user_id % 2)
+        | top-nested 2 of b by t = count(),
+          top-nested 1 of event_type with others = 'Rest' by n = count()
+    """).collect()
+    per_parent = {}
+    for r in nested:
+        per_parent.setdefault(r["b"], {})[r["event_type"]] = r["n"]
+    assert set(per_parent) == {"0", "1"}
+    for b, d in per_parent.items():
+        assert "Rest" in d and len(d) == 2
+    ev = load_table(spark, sf_dir, "events")
+    t0 = ev.where(F.col("user_id") % 2 == 0).count()
+    assert sum(per_parent["0"].values()) == t0
