@@ -39,7 +39,8 @@ Supported surface (each line maps to one DataFrame verb):
         emit-on-match; predicates pre-computed as Catalyst boolean
         columns, stateful pass is an Arrow-batched applyInPandas per
         partition key)
-    | mv-apply x = arr on ( where .. | extend .. | top .. | summarize .. )
+    | mv-apply x = arr [to typeof(t)] on ( where .. | extend .. |
+        top .. | summarize .. )
     | parse col with 'lit' name:type ...
     | evaluate bag_unpack(dynamic_col)
     | evaluate pivot(col [, agg(x) [, key1, ...]])  (values -> columns)
@@ -57,15 +58,16 @@ Supported surface (each line maps to one DataFrame verb):
         leftanti|rightsemi|rightanti [hint.broadcast |
         hint.strategy=broadcast|shuffle]
         (subpipeline) on key / on $left.a == $right.b
-    | lookup [kind=...] (dim) on key   /   union [kind=...] T2, ...
+    | lookup [kind=...] (dim) on key
+    | union [kind=...] [withsource=col] T2, ...
     | as name   /   render <charttype>
 Scalar fns: strlen, tolower, toupper, substring (0-based, KQL-style),
 strcat, strcat_delim, iff/iif, case, toint/tolong/todouble/tostring/
 tobool/todatetime, bin, bin_at, extract, extract_all, extractjson,
 parse_json/todynamic (dynamic on Spark VARIANT; d.path compiles to
 variant_get), series_sum/avg/min/max, series_fir, series_fill_const/
-forward/backward/linear, series_outliers (Tukey fences), series_add/
-subtract/multiply/divide, contains/startswith/endswith/
+forward/backward/linear, series_outliers (Tukey fences), series_seasonal/series_stdev/
+series_pearson_correlation, series_add/subtract/multiply/divide, contains/startswith/endswith/
 has/has_any (term match), in/!in, between (lo .. hi), ==/!=/=~,
 arithmetic, datetime(...) literals, now/ago, format_datetime,
 startof/endof day|week|month|year (Sunday weeks), dayofweek (timespan),
@@ -559,6 +561,32 @@ class _ExprParser:
                     f"CASE WHEN __ss_s.v IS NULL THEN NULL "
                     f"WHEN size({phase}) = 0 THEN NULL "
                     f"ELSE {ph_mean} - {overall} END)")
+        if fname == "series_pearson_correlation":
+            # Pearson r over the pairwise-non-null points of two series
+            # (population formula; null when either variance is 0)
+            if len(args) != 2:
+                raise ValueError(
+                    "KQL: series_pearson_correlation(series1, series2)")
+            a, b = args
+            pairs = (f"filter(zip_with({a}, {b}, (__pc_x, __pc_y) -> "
+                     f"struct(CAST(__pc_x AS DOUBLE) AS x, "
+                     f"CAST(__pc_y AS DOUBLE) AS y)), "
+                     f"__pc_p -> __pc_p.x IS NOT NULL "
+                     f"AND __pc_p.y IS NOT NULL)")
+            def fold(expr):
+                return (f"aggregate({pairs}, CAST(0 AS DOUBLE), "
+                        f"(__pc_a, __pc_e) -> __pc_a + {expr})")
+            n = f"CAST(size({pairs}) AS DOUBLE)"
+            sx, sy = fold("__pc_e.x"), fold("__pc_e.y")
+            sxy = fold("__pc_e.x * __pc_e.y")
+            sxx = fold("__pc_e.x * __pc_e.x")
+            syy = fold("__pc_e.y * __pc_e.y")
+            vx = f"({n} * {sxx} - {sx} * {sx})"
+            vy = f"({n} * {syy} - {sy} * {sy})"
+            return (f"CASE WHEN size({pairs}) = 0 OR {vx} <= 0 "
+                    f"OR {vy} <= 0 THEN NULL "
+                    f"ELSE ({n} * {sxy} - {sx} * {sy}) "
+                    f"/ (sqrt({vx}) * sqrt({vy})) END")
         if fname in ("series_add", "series_subtract", "series_multiply",
                      "series_divide"):
             # element-wise arithmetic over two parallel series (zip_with,
@@ -1645,7 +1673,18 @@ class KqlCompiler:
                      rest, re.DOTALL)
         if not m:
             raise ValueError("KQL: mv-apply col = expr on ( ... )")
-        groups = _split_top_commas(_tokenize(m.group("head")))
+        head = m.group("head")
+        # `to typeof(t)`: cast each expanded element (the standard Kusto
+        # idiom for typing dynamic-array elements)
+        mt = re.search(r"\s+to\s+typeof\s*\(\s*(\w+)\s*\)\s*$", head)
+        cast_t = None
+        if mt:
+            cast_t = self._DT_TYPES.get(mt.group(1))
+            if cast_t is None:
+                raise ValueError(
+                    f"KQL: mv-apply to typeof({mt.group(1)}) not supported")
+            head = head[:mt.start()]
+        groups = _split_top_commas(_tokenize(head))
         if len(groups) != 1:
             raise ValueError("KQL: mv-apply supports one applied column")
         rid = "__mv_rid"
@@ -1653,6 +1692,8 @@ class KqlCompiler:
         name, sql = _named_expr(groups[0], df, "value")
         out = (df.withColumn(rid, F.monotonically_increasing_id())
                  .withColumn(name, F.explode(_explodable(df, sql))))
+        if cast_t:
+            out = out.withColumn(name, F.col(name).cast(cast_t))
         for stage in _split_pipes(m.group("sub")):
             sm = re.match(r"([A-Za-z_-]+)\s*(.*)", stage, re.DOTALL)
             sop, srest = sm.group(1).lower(), sm.group(2).strip()
@@ -1857,19 +1898,23 @@ class KqlCompiler:
         return df
 
     def _union(self, df: DataFrame, rest: str) -> DataFrame:
-        """union [kind=outer|inner] operand[, operand...]
+        """union [kind=outer|inner] [withsource=col] operand[, ...]
 
         kind=outer (Kusto default): column superset, absent columns null
         — unionByName(allowMissingColumns). kind=inner: columns common to
-        all operands. Pure concatenation — no shuffle; each source keeps
-        its own partitioning and scan pushdowns."""
-        m = re.match(r"(?:kind\s*=\s*(\w+)\s+)?(.*)$", rest, re.DOTALL)
+        all operands. ``withsource=col`` labels each row with its origin
+        (the table name for bare operands, ``$input`` for the piped-in
+        side, ``union_argN`` for subpipelines). Pure concatenation — no
+        shuffle; each source keeps its own partitioning and pushdowns."""
+        m = re.match(r"(?:kind\s*=\s*(\w+)\s+)?"
+                     r"(?:withsource\s*=\s*(?P<src>\w+)\s+)?"
+                     r"(.*)$", rest, re.DOTALL)
         kind = (m.group(1) or "outer").lower()
         if kind not in ("outer", "inner"):
             raise ValueError(f"KQL: union kind must be inner/outer, got {kind!r}")
         # split operands on top-level commas (parens may contain commas)
         parts, depth, cur = [], 0, []
-        for ch in m.group(2):
+        for ch in m.group(3):
             if ch == "(":
                 depth += 1
             elif ch == ")":
@@ -1879,9 +1924,19 @@ class KqlCompiler:
             else:
                 cur.append(ch)
         parts.append("".join(cur))
-        others = [self._operand(p) for p in parts if p.strip()]
+        parts = [p for p in parts if p.strip()]
+        others = [self._operand(p) for p in parts]
         if not others:
             raise ValueError("KQL: union needs at least one operand")
+        src = m.group("src")
+        if src:
+            def label(i, text):
+                text = text.strip()
+                return (text if re.fullmatch(r"[A-Za-z_]\w*", text)
+                        else f"union_arg{i}")
+            df = df.withColumn(src, F.lit("$input"))
+            others = [o.withColumn(src, F.lit(label(i, p)))
+                      for i, (o, p) in enumerate(zip(others, parts))]
         if kind == "inner":
             common = [c for c in df.columns
                       if all(c in o.columns for o in others)]

@@ -1462,3 +1462,46 @@ def test_top_nested_with_others(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     t0 = ev.where(F.col("user_id") % 2 == 0).count()
     assert sum(per_parent["0"].values()) == t0
+
+
+def test_mv_apply_to_typeof(spark, sf_dir):
+    """mv-apply x to typeof(long): dynamic array elements cast on
+    expansion (the standard Kusto typing idiom)."""
+    rows = kql(spark, sf_dir, """
+      datatable (k:long, j:string) [
+        1, '[1, 2, 3]',  2, '[10]'
+      ]
+      | extend d = parse_json(j)
+      | mv-apply v = d to typeof(long) on ( summarize s = sum(v) )
+      | project k, s
+    """).collect()
+    assert sorted(map(tuple, rows)) == [(1, 6), (2, 10)]
+
+
+def test_union_withsource(spark, sf_dir):
+    """union withsource= labels each row's origin table."""
+    rows = kql(spark, sf_dir, """
+      region
+        | union withsource=origin nation
+        | summarize n = count() by origin
+    """).collect()
+    got = {r["origin"]: r["n"] for r in rows}
+    assert got == {"$input": 5, "nation": 25}
+
+
+def test_series_pearson_correlation(spark, sf_dir):
+    r = kql(spark, sf_dir, """
+      datatable (ts:datetime, a:real, b:real, c:real) [
+        datetime(2024-01-01), 1.0, 2.0, 5.0,
+        datetime(2024-01-02), 2.0, 4.0, 4.0,
+        datetime(2024-01-03), 3.0, 6.0, 3.0,
+        datetime(2024-01-04), 4.0, 8.0, 2.0
+      ]
+      | make-series x=avg(a), y=avg(b), z=avg(c) on ts step 1d
+      | extend up = series_pearson_correlation(x, y),
+               down = series_pearson_correlation(x, z),
+               flat = series_pearson_correlation(x, series_multiply(x, series_subtract(x, x)))
+    """).collect()[0]
+    assert abs(r["up"] - 1.0) < 1e-12
+    assert abs(r["down"] + 1.0) < 1e-12
+    assert r["flat"] is None  # zero-variance side -> null
