@@ -249,7 +249,7 @@ class _ExprParser:
             return 2
         if t.text in _CMP or text in ("in", "!in", "=~", "contains",
                                       "startswith", "endswith", "has",
-                                      "has_any", "between"):
+                                      "has_any", "has_all", "between"):
             return 3
         if t.text in ("+", "-"):
             return 4
@@ -828,7 +828,7 @@ class _ExprParser:
             rhs = self.parse(bp + 1)
             return (f"(array_contains(split(lower({lhs}), "
                     f"'[^a-z0-9]+'), lower({rhs})))")
-        if low == "has_any":
+        if low in ("has_any", "has_all"):
             self.expect("(")
             terms = [self.parse(0)]
             while self.peek() is not None and self.peek().text == ",":
@@ -836,9 +836,10 @@ class _ExprParser:
                 terms.append(self.parse(0))
             self.expect(")")
             toks = f"split(lower({lhs}), '[^a-z0-9]+')"
-            ors = " OR ".join(f"array_contains({toks}, lower({t}))"
-                              for t in terms)
-            return f"({ors})"
+            joiner = " OR " if low == "has_any" else " AND "
+            parts = joiner.join(f"array_contains({toks}, lower({t}))"
+                                for t in terms)
+            return f"({parts})"
         if t.text in ("+", "-", "*", "/", "%"):
             return f"({lhs} {t.text} {self.parse(bp + 1)})"
         raise ValueError(f"KQL: unexpected operator {t.text!r}")

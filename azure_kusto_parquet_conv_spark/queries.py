@@ -4246,6 +4246,41 @@ def q_kql_row_cumsum(spark, sf_dir):
     """)
 
 
+@query("q_kql_series_corr", """
+WITH e AS (SELECT user_id % 5 AS b,
+                  epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+                  CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS c,
+                  CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS v
+           FROM events),
+du AS (SELECT b, day, SUM(c) AS nc, SUM(v) AS nv FROM e GROUP BY b, day),
+days AS (SELECT unnest(range((SELECT MIN(day) FROM du),
+                             (SELECT MAX(day) FROM du) + 1)) AS day),
+bs AS (SELECT DISTINCT b FROM du),
+g AS (SELECT bs.b, days.day,
+             CAST(COALESCE(du.nc, 0) AS DOUBLE) AS nc,
+             CAST(COALESCE(du.nv, 0) AS DOUBLE) AS nv
+      FROM bs CROSS JOIN days
+      LEFT JOIN du ON du.b = bs.b AND du.day = days.day)
+SELECT CAST(b AS BIGINT) AS b, ROUND(corr(nc, nv), 4) AS r
+FROM g GROUP BY b
+""")
+def q_kql_series_corr(spark, sf_dir):
+    """KQL series_pearson_correlation: daily click-count vs view-count
+    correlation per user bucket, computed inside the in-row series
+    arrays (one fold chain, no extra shuffle). DuckDB's corr() is the
+    twin — the sample/population normalization factors cancel in
+    Pearson r, so the two formulas agree to rounding."""
+    from azure_kusto_parquet_conv_spark.kql import kql
+    return kql(spark, sf_dir, """
+      events
+        | extend b = tolong(user_id % 5)
+        | make-series nc = countif(event_type == 'click'),
+                      nv = countif(event_type == 'view')
+            on ts step 1d by b
+        | project b, r = round(series_pearson_correlation(nc, nv), 4)
+    """)
+
+
 @query("q_embed_mrl", """
 WITH b AS (SELECT vec_id,
                   list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x

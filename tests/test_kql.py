@@ -1505,3 +1505,11 @@ def test_series_pearson_correlation(spark, sf_dir):
     assert abs(r["up"] - 1.0) < 1e-12
     assert abs(r["down"] + 1.0) < 1e-12
     assert r["flat"] is None  # zero-variance side -> null
+
+
+def test_has_all_requires_every_term(spark, sf_dir):
+    df = spark.createDataFrame(
+        [("alpha beta gamma",), ("alpha delta",)], ["text"])
+    comp = KqlCompiler(spark, sf_dir)
+    out = comp._apply(df, "where text has_all ('alpha', 'beta')").collect()
+    assert [r["text"] for r in out] == ["alpha beta gamma"]
