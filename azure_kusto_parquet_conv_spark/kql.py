@@ -17,7 +17,9 @@ with an optional broadcast hint, `top/sort/take`→orderBy/limit, which
 Spark collapses to TakeOrderedAndProject).
 
 Supported surface (each line maps to one DataFrame verb):
-  [let name = scalar|tabular|materialize(tabular); ...]
+  [let name = scalar|tabular|materialize(tabular)
+             |(param: type, ...) { scalar-fn body }; ...]
+  toscalar(pipeline)  (driver-materialized one-cell literal)
   T / datatable(...)[...] / print e / range x from a to b step s /
   externaldata (schema) ['uri'] with (format=...)
     | where <pred>  /  parse-where col with pattern
@@ -927,6 +929,49 @@ def _sub_outside_strings(text: str, subs: dict[str, str]) -> str:
     return "".join(out)
 
 
+def _find_call_spans(text: str, name: str) -> list[tuple[int, int, str]]:
+    """(start, end, argtext) spans of ``name( ... )`` calls with balanced
+    parens, outside string literals."""
+    lit_spans = [(m.start(), m.end()) for m in _STR_LIT_RE.finditer(text)]
+
+    def in_lit(i):
+        return any(a <= i < b for a, b in lit_spans)
+
+    spans = []
+    for m in re.finditer(rf"\b{re.escape(name)}\s*\(", text):
+        if in_lit(m.start()):
+            continue
+        depth, i = 1, m.end()
+        while i < len(text) and depth:
+            if not in_lit(i):
+                if text[i] == "(":
+                    depth += 1
+                elif text[i] == ")":
+                    depth -= 1
+            i += 1
+        if depth == 0:
+            spans.append((m.start(), i, text[m.end():i - 1]))
+    return spans
+
+
+def _scalar_literal_sql(v) -> str:
+    """Render a driver-side Python value as a KQL/SQL literal (the
+    toscalar() materialization)."""
+    import datetime as _dt
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    if isinstance(v, _dt.datetime):
+        return f"TIMESTAMP '{v.strftime('%Y-%m-%d %H:%M:%S.%f')}'"
+    if isinstance(v, _dt.date):
+        return f"DATE '{v.isoformat()}'"
+    s = str(v).replace("'", "''")
+    return f"'{s}'"
+
+
 def _split_pipes(q: str) -> list[str]:
     """Split on top-level '|' (not inside parens/brackets/strings)."""
     parts, depth, start, i, n = [], 0, 0, 0, len(q)
@@ -1138,9 +1183,11 @@ class KqlCompiler:
         # to key-partitioned windows instead of a global sort.
         self._partition: list | None = None
         self._partition_sql: list[str] | None = None
-        # let-statement bindings: tabular -> DataFrame, scalar -> KQL text
+        # let-statement bindings: tabular -> DataFrame, scalar -> KQL
+        # text, function -> (params, body) expanded macro-style
         self._lets: dict[str, DataFrame] = {}
         self._scalar_lets: dict[str, str] = {}
+        self._fn_lets: dict[str, tuple[list[str], str]] = {}
         prepare_session(spark)
 
     def table(self, name: str) -> DataFrame:
@@ -1148,11 +1195,18 @@ class KqlCompiler:
 
     def compile(self, query: str) -> DataFrame:
         """Compile a (possibly multi-statement) query: zero or more
-        ``let name = <tabular|scalar>;`` statements, then one tabular
-        expression. Tabular lets become named DataFrames resolvable as
-        sources/operands; scalar lets are expanded textually (outside
-        string literals) into the final statement before compilation —
-        Catalyst constant-folds them, so a let scalar is free."""
+        ``let name = <tabular|scalar|function>;`` statements, then one
+        tabular expression. Tabular lets become named DataFrames
+        resolvable as sources/operands; scalar lets are expanded
+        textually (outside string literals) into the final statement
+        before compilation — Catalyst constant-folds them, so a let
+        scalar is free. ``let f = (x: type, ...) { expr }`` defines a
+        scalar FUNCTION expanded macro-style at each call site (types
+        documentary; the body compiles through the normal expression
+        parser after parameter substitution). ``toscalar(pipeline)``
+        materializes a one-cell subquery on the driver into a literal —
+        exactly Kusto's semantics (a separate tiny job, then constant
+        folding)."""
         stmts = _split_top_semis(query)
         if not stmts:
             raise ValueError("KQL: empty query")
@@ -1163,22 +1217,74 @@ class KqlCompiler:
                 raise ValueError(
                     f"KQL: expected 'let name = ...;', got {s[:40]!r}")
             name, body = m.group(1), m.group(2).strip()
+            fm = re.match(r"\(\s*(?P<params>[^)]*)\)\s*\{(?P<body>.*)\}\s*$",
+                          body, re.DOTALL)
             mm = re.match(r"materialize\s*\((.*)\)\s*$", body, re.DOTALL)
-            if mm:
+            if fm:
+                params = []
+                ptext = fm.group("params").strip()
+                if ptext:
+                    for p in ptext.split(","):
+                        params.append(p.split(":")[0].strip())
+                self._fn_lets[name] = (params,
+                                       self._preprocess(fm.group("body")
+                                                        .strip()))
+            elif mm:
                 # Kusto materialize(): evaluate once, reuse — Spark's
                 # persist() is the exact analogue (first action fills the
                 # cache; later references read it instead of recomputing)
                 self._lets[name] = self._compile_tabular(
-                    _sub_outside_strings(mm.group(1).strip(),
-                                         self._scalar_lets)).persist()
-            elif self._looks_tabular(body):
-                self._lets[name] = self._compile_tabular(
-                    _sub_outside_strings(body, self._scalar_lets))
+                    self._preprocess(mm.group(1).strip())).persist()
             else:
-                self._scalar_lets[name] = _sub_outside_strings(
-                    body, self._scalar_lets)
-        return self._compile_tabular(
-            _sub_outside_strings(stmts[-1], self._scalar_lets))
+                # decide tabular-vs-scalar AFTER preprocessing: a body
+                # that was entirely a toscalar(...) call collapses to a
+                # literal and must bind as a scalar let
+                pre = self._preprocess(body)
+                if self._looks_tabular(pre):
+                    self._lets[name] = self._compile_tabular(pre)
+                else:
+                    self._scalar_lets[name] = pre
+        return self._compile_tabular(self._preprocess(stmts[-1]))
+
+    def _preprocess(self, text: str) -> str:
+        """Statement-level textual passes, in dependency order:
+        function-let call expansion (repeated for nested calls, bounded),
+        toscalar() materialization, then scalar-let substitution."""
+        for _ in range(200):
+            changed = False
+            for fname, (params, fbody) in self._fn_lets.items():
+                spans = _find_call_spans(text, fname)
+                if not spans:
+                    continue
+                # ONE span per pass — the rightmost (innermost for
+                # self-nesting); replacing it invalidates the other
+                # spans' offsets, so they are recomputed next pass
+                start, end, argtext = spans[-1]
+                # args stay RAW KQL text (token round-trip): the
+                # expanded body re-enters the KQL parser, so SQL
+                # rendering here would double-translate
+                args = [" ".join(t.text for t in g) for g in
+                        _split_top_commas(_tokenize(argtext))] \
+                    if argtext.strip() else []
+                if len(args) != len(params):
+                    raise ValueError(
+                        f"KQL: {fname}() takes {len(params)} args, "
+                        f"got {len(args)}")
+                expanded = _sub_outside_strings(
+                    fbody, dict(zip(params, args)))
+                text = text[:start] + f"({expanded})" + text[end:]
+                changed = True
+            if not changed:
+                break
+        else:
+            raise ValueError("KQL: function-let expansion did not "
+                             "converge (recursive function?)")
+        for start, end, sub in reversed(_find_call_spans(text, "toscalar")):
+            inner = self._compile_tabular(self._preprocess(sub.strip()))
+            row = inner.limit(1).collect()
+            val = row[0][0] if row else None
+            text = text[:start] + _scalar_literal_sql(val) + text[end:]
+        return _sub_outside_strings(text, self._scalar_lets)
 
     def _looks_tabular(self, body: str) -> bool:
         if "|" in _STR_LIT_RE.sub("", body):

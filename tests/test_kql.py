@@ -1513,3 +1513,50 @@ def test_has_all_requires_every_term(spark, sf_dir):
     comp = KqlCompiler(spark, sf_dir)
     out = comp._apply(df, "where text has_all ('alpha', 'beta')").collect()
     assert [r["text"] for r in out] == ["alpha beta gamma"]
+
+
+def test_function_let_macro_expansion(spark, sf_dir):
+    """let f = (x: type) { body }: scalar user-defined function expanded
+    at each call site, composing with scalar lets and nesting."""
+    rows = kql(spark, sf_dir, """
+      let margin = 0.1;
+      let with_tax = (p: real) { p * (1.0 + margin) };
+      let double_tax = (p: real) { with_tax(with_tax(p)) };
+      datatable (v:real) [100.0, 200.0]
+      | extend t = with_tax(v), tt = double_tax(v)
+    """).collect()
+    got = sorted((round(r["t"], 6), round(r["tt"], 6)) for r in rows)
+    assert got == [(110.0, 121.0), (220.0, 242.0)]
+
+
+def test_function_let_arg_count_checked(spark, sf_dir):
+    with pytest.raises(ValueError, match="takes 1 args"):
+        kql(spark, sf_dir, """
+          let f = (x: long) { x + 1 };
+          datatable (v:long) [1] | extend y = f(v, v)
+        """)
+
+
+def test_toscalar_materializes_subquery(spark, sf_dir):
+    """toscalar(pipeline): driver-side one-cell materialization into a
+    literal — the classic dynamic-threshold idiom."""
+    rows = kql(spark, sf_dir, """
+      let cutoff = toscalar(orders | summarize avg(o_totalprice));
+      orders | where o_totalprice > cutoff | count
+    """).collect()
+    o = load_table(spark, sf_dir, "orders")
+    avg = o.agg(F.avg("o_totalprice")).first()[0]
+    assert rows[0]["count_"] == o.where(F.col("o_totalprice") > avg).count()
+    # string scalar + inline use without a let
+    r2 = kql(spark, sf_dir, """
+      events
+        | where event_type == toscalar(
+            events | summarize n = count() by event_type
+                   | top 1 by n | project event_type)
+        | count
+    """)
+    top_n = (load_table(spark, sf_dir, "events")
+             .groupBy("event_type").count()
+             .orderBy(F.col("count").desc(), F.col("event_type"))
+             .first())
+    assert r2.collect()[0]["count_"] == top_n["count"]
