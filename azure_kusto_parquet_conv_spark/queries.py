@@ -4246,6 +4246,32 @@ def q_kql_row_cumsum(spark, sf_dir):
     """)
 
 
+@query("q_kql_udf_threshold", """
+WITH c AS (SELECT AVG(o_totalprice) AS cutoff FROM orders)
+SELECT CASE WHEN o_totalprice > 2 * cutoff THEN 'high'
+            WHEN o_totalprice > cutoff THEN 'mid'
+            ELSE 'low' END AS tier,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(o_totalprice), 2) AS total
+FROM orders, c GROUP BY tier
+""")
+def q_kql_udf_threshold(spark, sf_dir):
+    """Function lets + toscalar through the driver gate: the cutoff is
+    a toscalar() materialization (one tiny driver job, then constant
+    folding), the tier rule a user-defined scalar function expanded at
+    its call site — the query itself stays one scan + one aggregate,
+    exactly the oracle's shape."""
+    from azure_kusto_parquet_conv_spark.kql import kql
+    return kql(spark, sf_dir, """
+      let cutoff = toscalar(orders | summarize avg(o_totalprice));
+      let tier = (p: real) {
+        case(p > 2.0 * cutoff, 'high', p > cutoff, 'mid', 'low') };
+      orders
+        | summarize n = count(), total = round(sum(o_totalprice), 2)
+            by tier = tier(o_totalprice)
+    """)
+
+
 @query("q_kql_series_corr", """
 WITH e AS (SELECT user_id % 5 AS b,
                   epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
@@ -4528,9 +4554,11 @@ DRIVER_WINDOW = [
 # q_corr_price_qty, q_mad_robust_stats, q_anomaly_outliers,
 # q_unigram_logprob, q_events_heatmap, q_interarrival_dist,
 # q_kql_partition_prev, q_kql_series_fill, q_kql_series_outliers,
-# q_kql_series_smooth, q_kql_series_seasonal, q_kql_search,
-# q_kql_row_cumsum, q_kql_evaluate_pivot, q_domain_cap, q_gopher_rules,
-# q_bigram_logprob (new r5, oracled); plus the new rows-only family
+# q_kql_series_smooth, q_kql_series_seasonal, q_kql_series_corr,
+# q_kql_search, q_kql_row_cumsum, q_kql_evaluate_pivot, q_kql_parse_url,
+# q_kql_udf_threshold, q_domain_cap, q_gopher_rules, q_bigram_logprob,
+# q_embed_mrl, q_multimodal_header_decode (new r5, oracled); plus the
+# new rows-only family
 # (q_kql_scan_funnel, q_kql_hll_reagg, q_dedup_incremental) and the
 # rows-only family (q_knn_ivf/pq/lsh, q_dedup_simhash/embedding/
 # clusters, q_multimodal_frames, q_approx_percentiles, q_freq_items,
