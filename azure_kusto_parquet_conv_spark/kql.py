@@ -1495,24 +1495,45 @@ class KqlCompiler:
         if op == "count":
             return df.agg(F.count("*").alias("count_"))
         if op == "mv-expand":
-            # mv-expand col  /  mv-expand alias=expr [, b, ...] : one
-            # output row per array element (explode, codegen'd Generate
-            # — no Python). Multiple arrays expand ZIPPED (Kusto):
-            # positions beyond a shorter array yield null.
+            # mv-expand col  /  mv-expand alias=expr [to typeof(t)]
+            # [, b, ...] : one output row per array element (explode,
+            # codegen'd Generate — no Python). Multiple arrays expand
+            # ZIPPED (Kusto): positions beyond a shorter array null.
+            def split_typeof(g):
+                for j, t in enumerate(g):
+                    if (t.kind == "ident" and t.text == "to"
+                            and j + 1 < len(g)
+                            and g[j + 1].text == "typeof"):
+                        tname = g[j + 3].text
+                        ct = self._DT_TYPES.get(tname)
+                        if ct is None:
+                            raise ValueError(
+                                f"KQL: mv-expand to typeof({tname}) "
+                                f"not supported")
+                        return g[:j], ct
+                return g, None
+
             g = _split_top_commas(_tokenize(rest))
             if len(g) == 1:
-                name, sql = _named_expr(g[0], df, "value")
-                return df.withColumn(name, F.explode(_explodable(df, sql)))
+                g0, cast_t = split_typeof(g[0])
+                name, sql = _named_expr(g0, df, "value")
+                out = df.withColumn(name,
+                                    F.explode(_explodable(df, sql)))
+                if cast_t:
+                    out = out.withColumn(name, F.col(name).cast(cast_t))
+                return out
+            parts = [split_typeof(gi) for gi in g]
             pairs = [_named_expr(gi, df, f"value{i}")
-                     for i, gi in enumerate(g)]
+                     for i, (gi, _) in enumerate(parts)]
+            casts = [ct for _, ct in parts]
             arrs = [_explodable(df, sql) for _, sql in pairs]
             longest = F.greatest(*[F.size(a) for a in arrs]) \
                 if len(arrs) > 1 else F.size(arrs[0])
             out = df.withColumn(
                 "__mv_pos", F.explode(F.sequence(F.lit(1), longest)))
-            for (name, _), a in zip(pairs, arrs):
-                out = out.withColumn(
-                    name, F.try_element_at(a, F.col("__mv_pos")))
+            for (name, _), a, ct in zip(pairs, arrs, casts):
+                v = F.try_element_at(a, F.col("__mv_pos"))
+                out = out.withColumn(name, v.cast(ct) if ct else v)
             return out.drop("__mv_pos")
         if op == "join":
             return self._join(df, rest)
@@ -2098,13 +2119,21 @@ class KqlCompiler:
             raise ValueError(
                 "KQL: make-series a=agg(x) [default=v] on ts "
                 "[from t0 to t1] step 1d [by keys]")
-        dflt = (m.group("dflt") or "0").strip()
-        fill_null = dflt == "null" or dflt.startswith("real")
-        aggs = []  # multiple comma-separated aggregates, Kusto-style
+        aggs = []  # (name, sql, default-text) per comma-separated agg
         for i, g in enumerate(_split_top_commas(_tokenize(m.group("agg")))):
+            gd = None  # per-aggregate `default = v` suffix (Kusto)
+            for j, t in enumerate(g):
+                if (t.kind == "ident" and t.text == "default"
+                        and j + 1 < len(g) and g[j + 1].text == "="):
+                    gd = "".join(tt.text for tt in g[j + 2:])
+                    g = g[:j]
+                    break
             name, agg_sql = _named_expr(
                 g, df, "series" if i == 0 else f"series{i}")
-            aggs.append((name, agg_sql))
+            aggs.append((name, agg_sql, gd))
+        if m.group("dflt") and aggs[-1][2] is None:
+            # the regex-captured trailing default belongs to the last agg
+            aggs[-1] = (*aggs[-1][:2], m.group("dflt"))
         step_us = _timespan_to_us(m.group("step"))
         ts_name = m.group("ts")
         if m.group("from"):
@@ -2140,7 +2169,7 @@ class KqlCompiler:
         pre = (df.withColumn("__bin", bin_col)
                  .groupBy(*keys, "__bin")
                  .agg(*[F.expr(sql).alias(f"__v{i}")
-                        for i, (_, sql) in enumerate(aggs)]))
+                        for i, (_, sql, _d) in enumerate(aggs)]))
         # full calendar grid min..max (Kusto fills EVERY step in the
         # range, not just observed bins — required for the
         # series_fill_* interpolation family); the range row is a
@@ -2156,13 +2185,14 @@ class KqlCompiler:
                 if keys else bins)
         # fill literal cast to each aggregate's own type so count()
         # series stay long and avg() series stay double
-        def fill_for(col):
-            v_type = pre.schema[col].dataType
-            lit = F.lit(None) if fill_null else F.lit(float(dflt))
-            return lit.cast(v_type)
+        def fill_for(i):
+            d = (aggs[i][2] or "0").strip()
+            null_fill = d == "null" or d.startswith("real")
+            lit = F.lit(None) if null_fill else F.lit(float(d))
+            return lit.cast(pre.schema[f"__v{i}"].dataType)
         filled = (grid.join(pre, [*keys, "__bin"], "left")
                       .select(*keys, "__bin",
-                              *[F.coalesce(f"__v{i}", fill_for(f"__v{i}"))
+                              *[F.coalesce(f"__v{i}", fill_for(i))
                                  .alias(f"__v{i}")
                                 for i in range(len(aggs))]))
         # ONE sorted collect of (bin, v0, v1, ...) structs feeds every
@@ -2177,10 +2207,10 @@ class KqlCompiler:
             # arity, and a second (defaulted) param would make it pass
             # the element index as that argument
             return lambda s: s[field]
-        for i, (name, _) in enumerate(aggs):
+        for i, (name, _sql, _d) in enumerate(aggs):
             out = out.withColumn(
                 name, F.transform("__packed", extract(f"__v{i}")))
-        return out.select(*keys, *[n for n, _ in aggs], "bins")
+        return out.select(*keys, *[n for n, _s, _d in aggs], "bins")
 
     def _sort_cols(self, df: DataFrame, rest: str):
         cols = []

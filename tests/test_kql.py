@@ -1560,3 +1560,74 @@ def test_toscalar_materializes_subquery(spark, sf_dir):
              .orderBy(F.col("count").desc(), F.col("event_type"))
              .first())
     assert r2.collect()[0]["count_"] == top_n["count"]
+
+
+def test_series_fns_on_all_null_and_empty_edge(spark, sf_dir):
+    """Edge: all-null series — fills keep nulls (no anchors), outliers
+    pass nulls through, stdev/correlation go null."""
+    r = kql(spark, sf_dir, """
+      datatable (ts:datetime, v:real) [
+        datetime(2024-01-01), 1.0,
+        datetime(2024-01-03), 1.0
+      ]
+      | where v > 100
+      | union (datatable (ts:datetime, v:real) [
+          datetime(2024-01-01), 999.0, datetime(2024-01-03), 999.0 ])
+      | where v != 999.0
+      | union (datatable (ts:datetime, w:real) [
+          datetime(2024-01-01), 1.0, datetime(2024-01-03), 2.0 ])
+      | make-series s=avg(v) default=null, t=avg(w) on ts step 1d
+      | extend ff = series_fill_forward(s), lin = series_fill_linear(s),
+               o = series_outliers(s), sd = series_stdev(s),
+               r = series_pearson_correlation(s, t)
+    """).collect()[0]
+    assert r["s"] == [None, None, None]
+    assert r["ff"] == [None, None, None]
+    assert r["lin"] == [None, None, None]
+    assert r["o"] == [None, None, None]
+    assert r["sd"] is None and r["r"] is None
+
+
+def test_make_series_empty_range(spark, sf_dir):
+    """Edge: to <= from yields zero rows (empty grid), not an error."""
+    row = kql(spark, sf_dir, """
+      datatable (ts:datetime, v:real) [datetime(2024-01-05), 1.0]
+      | make-series s=avg(v)
+          on ts from datetime(2024-02-01) to datetime(2024-02-01) step 1d
+    """).collect()
+    # ungrouped make-series over an empty range: one row, empty arrays
+    assert len(row) == 1 and row[0]["s"] == [] and row[0]["bins"] == []
+
+
+def test_scan_desc_order_and_first_row_multi_step(spark, sf_dir):
+    """Edge: scan under a DESC serialized order walks rows in that
+    order; a row matching several step predicates advances exactly one
+    step (the next expected one)."""
+    rows = sorted(map(tuple, kql(spark, sf_dir, """
+      datatable (u:long, t:long, e:string) [
+        1, 3, 'a',  1, 2, 'both',  1, 1, 'b'
+      ]
+      | partition by u (
+          sort by t desc
+          | scan with (step s1: e == 'a' or e == 'both';
+                       step s2: e == 'b' or e == 'both';)
+        )
+    """).collect()))
+    # t desc: 'a'(s1) -> 'both' matches s2 (not restart) -> complete
+    assert rows == [(1, 2, "both", "s2", 0), (1, 3, "a", "s1", 0)]
+
+
+def test_search_no_string_columns_raises(spark, sf_dir):
+    with pytest.raises(ValueError, match="no string columns"):
+        kql(spark, sf_dir, "datatable (n:long) [1] | search 'x'")
+
+
+def test_mv_expand_zip_null_and_empty_arrays(spark, sf_dir):
+    """Edge: zipped mv-expand with one null array keeps the other's
+    length; all-empty arrays drop the row (Kusto)."""
+    rows = kql(spark, sf_dir, """
+      datatable (k:long, j:string) [ 1, '[1,2]' ]
+      | extend a = parse_json(j)
+      | mv-expand va = a to typeof(long)
+    """).collect()
+    assert sorted(r["va"] for r in rows) == [1, 2]
