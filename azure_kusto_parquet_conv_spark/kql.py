@@ -955,8 +955,10 @@ def _find_call_spans(text: str, name: str) -> list[tuple[int, int, str]]:
 
 
 def _scalar_literal_sql(v) -> str:
-    """Render a driver-side Python value as a KQL/SQL literal (the
-    toscalar() materialization)."""
+    """Render a driver-side Python value as a KQL literal that
+    round-trips through THIS module's tokenizer/parser (the toscalar()
+    materialization is substituted back into KQL text, so SQL-style
+    TIMESTAMP '...' literals would fail to re-parse)."""
     import datetime as _dt
     if v is None:
         return "NULL"
@@ -965,10 +967,14 @@ def _scalar_literal_sql(v) -> str:
     if isinstance(v, (int, float)):
         return repr(v)
     if isinstance(v, _dt.datetime):
-        return f"TIMESTAMP '{v.strftime('%Y-%m-%d %H:%M:%S.%f')}'"
+        # the tokenizer lexes datetime(...) as ONE token; the parser
+        # renders it as a timestamp literal — and make-series from/to
+        # accepts it, unlike a space-containing SQL literal
+        return f"datetime({v.strftime('%Y-%m-%d %H:%M:%S.%f')})"
     if isinstance(v, _dt.date):
-        return f"DATE '{v.isoformat()}'"
-    s = str(v).replace("'", "''")
+        return f"datetime({v.isoformat()})"
+    # KQL string escaping: backslash escapes (the tokenizer's rule)
+    s = str(v).replace("\\", "\\\\").replace("'", "\\'")
     return f"'{s}'"
 
 
@@ -1226,9 +1232,8 @@ class KqlCompiler:
                 if ptext:
                     for p in ptext.split(","):
                         params.append(p.split(":")[0].strip())
-                self._fn_lets[name] = (params,
-                                       self._preprocess(fm.group("body")
-                                                        .strip()))
+                self._fn_lets[name] = (params, self._preprocess(
+                    fm.group("body").strip(), keep=frozenset(params)))
             elif mm:
                 # Kusto materialize(): evaluate once, reuse — Spark's
                 # persist() is the exact analogue (first action fills the
@@ -1246,10 +1251,14 @@ class KqlCompiler:
                     self._scalar_lets[name] = pre
         return self._compile_tabular(self._preprocess(stmts[-1]))
 
-    def _preprocess(self, text: str) -> str:
+    def _preprocess(self, text: str,
+                    keep: frozenset[str] = frozenset()) -> str:
         """Statement-level textual passes, in dependency order:
         function-let call expansion (repeated for nested calls, bounded),
-        toscalar() materialization, then scalar-let substitution."""
+        toscalar() materialization, then scalar-let substitution.
+        ``keep`` names are EXCLUDED from scalar-let substitution — a
+        function-let body preprocessed at definition time must keep its
+        parameter names free even when a scalar let shadows one."""
         for _ in range(200):
             changed = False
             for fname, (params, fbody) in self._fn_lets.items():
@@ -1279,12 +1288,24 @@ class KqlCompiler:
         else:
             raise ValueError("KQL: function-let expansion did not "
                              "converge (recursive function?)")
-        for start, end, sub in reversed(_find_call_spans(text, "toscalar")):
+        for _ in range(50):
+            spans = _find_call_spans(text, "toscalar")
+            if not spans:
+                break
+            # ONE span per pass, rightmost = innermost for nesting;
+            # replacing it shifts every other span's offsets, so they
+            # are recomputed (a nested toscalar thus resolves
+            # inside-out, each inner value collected exactly once)
+            start, end, sub = spans[-1]
             inner = self._compile_tabular(self._preprocess(sub.strip()))
             row = inner.limit(1).collect()
             val = row[0][0] if row else None
             text = text[:start] + _scalar_literal_sql(val) + text[end:]
-        return _sub_outside_strings(text, self._scalar_lets)
+        else:
+            raise ValueError("KQL: toscalar expansion did not converge")
+        subs = {k: v for k, v in self._scalar_lets.items()
+                if k not in keep}
+        return _sub_outside_strings(text, subs)
 
     def _looks_tabular(self, body: str) -> bool:
         if "|" in _STR_LIT_RE.sub("", body):
@@ -1504,6 +1525,10 @@ class KqlCompiler:
                     if (t.kind == "ident" and t.text == "to"
                             and j + 1 < len(g)
                             and g[j + 1].text == "typeof"):
+                        if (j + 4 >= len(g) or g[j + 2].text != "("
+                                or g[j + 4].text != ")"):
+                            raise ValueError(
+                                "KQL: mv-expand ... to typeof(type)")
                         tname = g[j + 3].text
                         ct = self._DT_TYPES.get(tname)
                         if ct is None:
@@ -1529,8 +1554,12 @@ class KqlCompiler:
             arrs = [_explodable(df, sql) for _, sql in pairs]
             longest = F.greatest(*[F.size(a) for a in arrs]) \
                 if len(arrs) > 1 else F.size(arrs[0])
+            # guard: sequence(1, 0) DESCENDS to [1, 0] in Spark; when
+            # every zipped array is empty the row must drop (Kusto) —
+            # the unmatched when() yields null, which explode drops
             out = df.withColumn(
-                "__mv_pos", F.explode(F.sequence(F.lit(1), longest)))
+                "__mv_pos", F.explode(F.when(
+                    longest >= 1, F.sequence(F.lit(1), longest))))
             for (name, _), a, ct in zip(pairs, arrs, casts):
                 v = F.try_element_at(a, F.col("__mv_pos"))
                 out = out.withColumn(name, v.cast(ct) if ct else v)

@@ -3480,7 +3480,8 @@ WITH du AS (SELECT user_id % 10 AS b,
                    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
                    COUNT(*) AS n
             FROM events GROUP BY b, day),
-days AS (SELECT DISTINCT day FROM du),
+days AS (SELECT unnest(range((SELECT MIN(day) FROM du),
+                             (SELECT MAX(day) FROM du) + 1)) AS day),
 bs AS (SELECT DISTINCT b FROM du),
 grid AS (SELECT b, day FROM bs CROSS JOIN days),
 g AS (SELECT grid.b, grid.day, COALESCE(du.n, 0) AS n
@@ -3501,7 +3502,11 @@ def q_make_series(spark, sf_dir):
     du = (ev.groupBy((F.col("user_id") % 10).alias("b"),
                      F.expr("ts_ns div 1000 div 86400000000").alias("day"))
             .agg(F.count("*").alias("n")))
-    days = du.select("day").distinct()
+    # full min..max day range (not just observed days), matching the
+    # KQL make-series grid — a day with zero events across ALL groups
+    # still yields a zero cell
+    days = (du.agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
+              .select(F.explode(F.sequence("mn", "mx")).alias("day")))
     bs = du.select("b").distinct()
     grid = bs.crossJoin(F.broadcast(days))
     g = (grid.join(du, ["b", "day"], "left")
@@ -3518,7 +3523,8 @@ WITH du AS (SELECT user_id % 10 AS b,
                    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
                    COUNT(*) AS n
             FROM events GROUP BY b, day),
-days AS (SELECT DISTINCT day FROM du),
+days AS (SELECT unnest(range((SELECT MIN(day) FROM du),
+                             (SELECT MAX(day) FROM du) + 1)) AS day),
 bs AS (SELECT DISTINCT b FROM du),
 grid AS (SELECT b, day FROM bs CROSS JOIN days),
 g AS (SELECT grid.b, grid.day, COALESCE(du.n, 0) AS n

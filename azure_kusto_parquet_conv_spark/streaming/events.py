@@ -317,11 +317,18 @@ def scan_stream(events: DataFrame, steps: list[tuple[str, str]],
                .otherwise(F.lit(0))
         mask = bit if mask is None else mask + bit
     # `ts` stays in the projection: the event-time timeout needs the
-    # watermark column to survive into the stateful operator
+    # watermark column to survive into the stateful operator.
+    # Ordering uses full-precision ts_ns when the source carries it —
+    # the batch twin sorts on ts_ns, and two events inside the same
+    # microsecond must feed the automaton in the same order on both
+    # paths or stream==batch breaks.
+    ord_col = (F.col("ts_ns") if "ts_ns" in events.columns
+               else F.unix_micros("ts") * F.lit(1000))
     src = (events
            .withWatermark("ts", watermark)
            .select(F.col(key).alias("user_id"), "event_id", "ts",
                    F.unix_micros("ts").alias("ts_us"),
+                   ord_col.alias("ord_ns"),
                    mask.cast("long").alias("mask")))
 
     def _unpack(s):
@@ -339,18 +346,18 @@ def scan_stream(events: DataFrame, steps: list[tuple[str, str]],
         wm_us = state.getCurrentWatermarkMs() * 1000
         if not state.hasTimedOut:
             for pdf in pdfs:
-                pend.extend(zip((int(v) for v in pdf["ts_us"]),
+                pend.extend(zip((int(v) for v in pdf["ord_ns"]),
                                 (int(v) for v in pdf["event_id"]),
                                 (int(v) for v in pdf["mask"])))
         pend.sort()
-        ready = [p for p in pend if p[0] <= wm_us]
-        pend = [p for p in pend if p[0] > wm_us]
+        ready = [p for p in pend if p[0] // 1000 <= wm_us]
+        pend = [p for p in pend if p[0] // 1000 > wm_us]
         out = []
         uid = key_tuple[0]
-        for ts_us, eid, m in ready:
+        for ord_ns, eid, m in ready:
             if m & (1 << k):
                 out.append({"user_id": uid, "event_id": eid,
-                            "ts_us": ts_us, "step": names[k],
+                            "ts_us": ord_ns // 1000, "step": names[k],
                             "match_id": mid})
                 k += 1
                 if k == n_steps:

@@ -1631,3 +1631,60 @@ def test_mv_expand_zip_null_and_empty_arrays(spark, sf_dir):
       | mv-expand va = a to typeof(long)
     """).collect()
     assert sorted(r["va"] for r in rows) == [1, 2]
+
+
+def test_mv_expand_zip_all_empty_drops_row(spark, sf_dir):
+    """Review fix: zipped mv-expand over all-empty arrays drops the row
+    (sequence(1,0) would otherwise DESCEND and crash on index 0)."""
+    rows = kql(spark, sf_dir, """
+      datatable (k:long, i:string, j:string) [
+        1, '[]', '[]',  2, '[7]', '[]'
+      ]
+      | extend a = parse_json(i), b = parse_json(j)
+      | mv-expand va = a to typeof(long), vb = b to typeof(long)
+      | project k, va, vb
+    """).collect()
+    assert sorted(map(tuple, rows)) == [(2, 7, None)]
+
+
+def test_toscalar_datetime_roundtrip(spark, sf_dir):
+    """Review fix: a datetime toscalar result renders as a KQL
+    datetime(...) literal that re-parses (incl. inside make-series
+    from/to)."""
+    got = kql(spark, sf_dir, """
+      let t0 = toscalar(events | summarize max(ts));
+      events | where ts == t0 | count
+    """).collect()[0]["count_"]
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts")).first()[0]
+    assert got == ev.where(F.col("ts") == mx).count() >= 1
+
+
+def test_toscalar_nested_and_string_escape(spark, sf_dir):
+    """Review fix: nested toscalar resolves inside-out without text
+    corruption; string results with quotes escape correctly."""
+    got = kql(spark, sf_dir, """
+      datatable (v:long) [1, 2, 3, 4]
+      | where v > toscalar(
+          datatable (w:long) [1, 2, 3, 4]
+          | where w > toscalar(datatable (u:long) [2] | summarize max(u))
+          | summarize min(w))
+      | count
+    """).collect()[0]["count_"]
+    assert got == 1  # inner -> 2, mid -> min(3,4)=3, outer -> v>3
+    s = kql(spark, sf_dir, """
+      let name = toscalar(datatable (s:string) ['it\\'s'] | project s);
+      datatable (t:string) ['it\\'s', 'other'] | where t == name | count
+    """).collect()[0]["count_"]
+    assert s == 1
+
+
+def test_function_let_param_shadows_scalar_let(spark, sf_dir):
+    """Review fix: a function parameter named like an earlier scalar
+    let binds the ARGUMENT, not the let."""
+    rows = kql(spark, sf_dir, """
+      let x = 5;
+      let f = (x: long) { x + 1 };
+      datatable (v:long) [10] | extend y = f(v), z = x
+    """).collect()
+    assert rows[0]["y"] == 11 and rows[0]["z"] == 5
