@@ -46,6 +46,8 @@ Supported surface (each line maps to one DataFrame verb):
     | parse col with 'lit' name:type ...
     | evaluate bag_unpack(dynamic_col)
     | evaluate pivot(col [, agg(x) [, key1, ...]])  (values -> columns)
+    | evaluate autocluster([min_percent])  (attribute-pattern mining:
+        exact cube enumeration, wildcard nulls, coverage+specificity)
     | distinct c1, c2
     | sort by c1 desc, c2 asc     (Kusto default direction: desc)
     | top N by expr  /  top-hitters N of col [by expr]
@@ -1726,9 +1728,12 @@ class KqlCompiler:
         plugin, argtext = m.group(1).lower(), m.group(2).strip()
         if plugin == "pivot":
             return self._pivot(df, argtext)
+        if plugin == "autocluster":
+            return self._autocluster(df, argtext)
         if plugin != "bag_unpack":
             raise ValueError(f"KQL: evaluate plugin {plugin!r} not "
-                             f"supported (bag_unpack and pivot are)")
+                             f"supported (bag_unpack, pivot and "
+                             f"autocluster are)")
         col = argtext.strip("` ")
         if dict(df.dtypes).get(col) != "variant":
             raise ValueError(f"KQL: bag_unpack needs a dynamic column, "
@@ -1791,6 +1796,44 @@ class KqlCompiler:
             keys = [c for c in df.columns
                     if c != pcol and c not in agg_used]
         return df.groupBy(*keys).pivot(pcol).agg(agg_expr)
+
+    def _autocluster(self, df: DataFrame, argtext: str) -> DataFrame:
+        """``evaluate autocluster([min_percent])``: mine the
+        over-represented attribute patterns of the piped table — every
+        combination of the table's STRING columns (null = wildcard)
+        whose row coverage is at least ``min_percent`` (default 1.0),
+        with its count, coverage percent, and specificity (number of
+        fixed attributes; the all-wildcard row is excluded).
+
+        Kusto's plugin is a heuristic seed-expand search; this is the
+        EXACT enumeration via one ``cube()`` aggregate — a superset of
+        what autocluster surfaces, at 2^k grouping sets for k attribute
+        columns (project to the few low-cardinality attributes first;
+        that bound is the documented contract, and each grouping set is
+        map-side partial-aggregated in the same single pass). Attribute
+        columns must be non-null (wildcard and source null are
+        indistinguishable in a cube — pre-coalesce if needed)."""
+        min_pct = float(argtext) if argtext.strip() else 1.0
+        cols = [f.name for f in df.schema.fields
+                if f.dataType.typeName() == "string"]
+        if not cols:
+            raise ValueError("KQL: autocluster found no string columns")
+        if len(cols) > 6:
+            raise ValueError(
+                "KQL: autocluster over >6 string columns (2^k grouping "
+                "sets) — project to the attribute columns first")
+        total = df.count()  # one tiny job, like the Kusto plugin
+        spec = None
+        for c in cols:
+            s = F.when(F.col(c).isNotNull(), 1).otherwise(0)
+            spec = s if spec is None else spec + s
+        return (df.cube(*cols).count()
+                  .withColumn("percent",
+                              F.round(F.col("count") * 100.0 / total, 4))
+                  .withColumn("specificity", spec.cast("long"))
+                  .where((F.col("specificity") >= 1)
+                         & (F.col("percent") >= min_pct))
+                  .withColumn("count", F.col("count").cast("long")))
 
     def _render(self, df: DataFrame, rest: str) -> DataFrame:
         """``render <charttype> [with (...)]`` — a presentation hint with

@@ -4252,6 +4252,38 @@ def q_kql_row_cumsum(spark, sf_dir):
     """)
 
 
+@query("q_kql_autocluster", """
+WITH e AS (SELECT event_type,
+                  CAST(dayofweek(CAST(ts AS TIMESTAMP)) AS VARCHAR)
+                    AS dow
+           FROM events),
+t AS (SELECT COUNT(*) AS c FROM e)
+SELECT event_type, dow, CAST(COUNT(*) AS BIGINT) AS "count",
+       ROUND(COUNT(*) * 100.0 / (SELECT c FROM t), 4) AS percent,
+       CAST((CASE WHEN event_type IS NULL THEN 0 ELSE 1 END)
+          + (CASE WHEN dow IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+         AS specificity
+FROM e GROUP BY CUBE(event_type, dow)
+HAVING ((CASE WHEN event_type IS NULL THEN 0 ELSE 1 END)
+      + (CASE WHEN dow IS NULL THEN 0 ELSE 1 END)) >= 1
+   AND ROUND(COUNT(*) * 100.0 / (SELECT c FROM t), 4) >= 2.0
+""")
+def q_kql_autocluster(spark, sf_dir):
+    """KQL evaluate autocluster: attribute-pattern mining over
+    (event_type, day-of-week) — exact cube enumeration (a superset of
+    Kusto's heuristic seed-expand plugin; 2^k grouping sets in ONE
+    map-side-combined aggregate pass), wildcards as nulls, coverage
+    and specificity per pattern. DuckDB's CUBE is the oracle twin
+    (DuckDB dayofweek: 0=Sunday ≡ Kusto's timespan-days)."""
+    from azure_kusto_parquet_conv_spark.kql import kql
+    return kql(spark, sf_dir, """
+      events
+        | extend dow = tostring(tolong(dayofweek(ts) / 1d))
+        | project event_type, dow
+        | evaluate autocluster(2.0)
+    """)
+
+
 @query("q_kql_udf_threshold", """
 WITH c AS (SELECT AVG(o_totalprice) AS cutoff FROM orders)
 SELECT CASE WHEN o_totalprice > 2 * cutoff THEN 'high'

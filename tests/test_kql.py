@@ -1688,3 +1688,30 @@ def test_function_let_param_shadows_scalar_let(spark, sf_dir):
       datatable (v:long) [10] | extend y = f(v), z = x
     """).collect()
     assert rows[0]["y"] == 11 and rows[0]["z"] == 5
+
+
+def test_evaluate_autocluster(spark, sf_dir):
+    """autocluster: exact cube enumeration of attribute patterns with
+    coverage >= min_percent; wildcards are nulls, the all-wildcard row
+    is excluded, and single-attribute patterns agree with plain
+    group-by percentages."""
+    df = kql(spark, sf_dir, """
+      events
+        | extend dow = tostring(dayofweek(ts) / 1d)
+        | project event_type, dow
+        | evaluate autocluster(2.0)
+    """)
+    rows = df.collect()
+    assert set(df.columns) == {"event_type", "dow", "count",
+                               "percent", "specificity"}
+    assert all(1 <= r["specificity"] <= 2 for r in rows)
+    assert all(r["percent"] >= 2.0 for r in rows)
+    ev = load_table(spark, sf_dir, "events")
+    total = ev.count()
+    want_types = {r["event_type"]: round(r["count"] * 100.0 / total, 4)
+                  for r in ev.groupBy("event_type").count().collect()}
+    got_types = {r["event_type"]: r["percent"] for r in rows
+                 if r["dow"] is None and r["event_type"] is not None}
+    for t, pct in want_types.items():
+        if pct >= 2.0:
+            assert got_types[t] == pct
