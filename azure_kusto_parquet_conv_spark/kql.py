@@ -48,6 +48,8 @@ Supported surface (each line maps to one DataFrame verb):
     | evaluate pivot(col [, agg(x) [, key1, ...]])  (values -> columns)
     | evaluate autocluster([min_percent])  (attribute-pattern mining:
         exact cube enumeration, wildcard nulls, coverage+specificity)
+    | evaluate diffpatterns(split, 'A', 'B' [, min_diff])
+        (cohort pattern differencing — root-cause analysis)
     | distinct c1, c2
     | sort by c1 desc, c2 asc     (Kusto default direction: desc)
     | top N by expr  /  top-hitters N of col [by expr]
@@ -1730,6 +1732,8 @@ class KqlCompiler:
             return self._pivot(df, argtext)
         if plugin == "autocluster":
             return self._autocluster(df, argtext)
+        if plugin == "diffpatterns":
+            return self._diffpatterns(df, argtext)
         if plugin != "bag_unpack":
             raise ValueError(f"KQL: evaluate plugin {plugin!r} not "
                              f"supported (bag_unpack, pivot and "
@@ -1834,6 +1838,62 @@ class KqlCompiler:
                   .where((F.col("specificity") >= 1)
                          & (F.col("percent") >= min_pct))
                   .withColumn("count", F.col("count").cast("long")))
+
+    def _diffpatterns(self, df: DataFrame, argtext: str) -> DataFrame:
+        """``evaluate diffpatterns(split_col, 'A', 'B' [, min_diff])``:
+        which attribute patterns differ most between two cohorts — the
+        root-cause-analysis twin of autocluster (Kusto's diffpatterns).
+        Attributes are the table's remaining string columns; for every
+        cube pattern the two cohorts' coverage percentages (of their
+        own cohort sizes) and the difference are reported, keeping
+        patterns with |diff| >= min_diff (default 1.0). ONE cube
+        aggregate with conditional counts — single pass, map-side
+        combined; same exact-enumeration contract and k<=6 bound as
+        autocluster."""
+        groups = _split_top_commas(_tokenize(argtext))
+        if len(groups) not in (3, 4):
+            raise ValueError(
+                "KQL: diffpatterns(split_col, 'A', 'B' [, min_diff])")
+        split = groups[0][0].text
+        va = _compile_expr_tokens(groups[1], df)
+        vb = _compile_expr_tokens(groups[2], df)
+        min_diff = (float("".join(t.text for t in groups[3]))
+                    if len(groups) == 4 else 1.0)
+        cols = [f.name for f in df.schema.fields
+                if f.dataType.typeName() == "string" and f.name != split]
+        if not cols:
+            raise ValueError("KQL: diffpatterns found no attribute columns")
+        if len(cols) > 6:
+            raise ValueError(
+                "KQL: diffpatterns over >6 attribute columns — project "
+                "to the attribute columns first")
+        in_a = F.expr(f"`{split}` = {va}")
+        in_b = F.expr(f"`{split}` = {vb}")
+        totals = df.agg(
+            F.sum(F.when(in_a, 1).otherwise(0)).alias("ta"),
+            F.sum(F.when(in_b, 1).otherwise(0)).alias("tb")).first()
+        ta, tb = totals["ta"] or 0, totals["tb"] or 0
+        if ta == 0 or tb == 0:
+            raise ValueError("KQL: diffpatterns: empty cohort")
+        spec = None
+        for c in cols:
+            s = F.when(F.col(c).isNotNull(), 1).otherwise(0)
+            spec = s if spec is None else spec + s
+        agg = (df.where(in_a | in_b)
+                 .cube(*cols)
+                 .agg(F.sum(F.when(in_a, 1).otherwise(0)).cast("long")
+                       .alias("count_a"),
+                      F.sum(F.when(in_b, 1).otherwise(0)).cast("long")
+                       .alias("count_b")))
+        pa = F.round(F.col("count_a") * 100.0 / ta, 4)
+        pb = F.round(F.col("count_b") * 100.0 / tb, 4)
+        return (agg.withColumn("percent_a", pa)
+                   .withColumn("percent_b", pb)
+                   .withColumn("percent_diff",
+                               F.round(pa - pb, 4))
+                   .withColumn("specificity", spec.cast("long"))
+                   .where((F.col("specificity") >= 1)
+                          & (F.abs(F.col("percent_diff")) >= min_diff)))
 
     def _render(self, df: DataFrame, rest: str) -> DataFrame:
         """``render <charttype> [with (...)]`` — a presentation hint with

@@ -4284,6 +4284,54 @@ def q_kql_autocluster(spark, sf_dir):
     """)
 
 
+@query("q_kql_diffpatterns", """
+WITH e AS (SELECT event_type,
+                  CAST(dayofweek(CAST(ts AS TIMESTAMP)) AS VARCHAR)
+                    AS dow,
+                  CAST(user_id % 3 AS VARCHAR) AS b
+           FROM events WHERE event_type IN ('click', 'error')),
+ta AS (SELECT COUNT(*) AS c FROM e WHERE event_type = 'click'),
+tb AS (SELECT COUNT(*) AS c FROM e WHERE event_type = 'error')
+SELECT dow, b,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT)
+         AS count_a,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT)
+         AS count_b,
+       ROUND(COUNT(*) FILTER (WHERE event_type = 'click') * 100.0
+             / (SELECT c FROM ta), 4) AS percent_a,
+       ROUND(COUNT(*) FILTER (WHERE event_type = 'error') * 100.0
+             / (SELECT c FROM tb), 4) AS percent_b,
+       ROUND(ROUND(COUNT(*) FILTER (WHERE event_type = 'click') * 100.0
+                   / (SELECT c FROM ta), 4)
+           - ROUND(COUNT(*) FILTER (WHERE event_type = 'error') * 100.0
+                   / (SELECT c FROM tb), 4), 4) AS percent_diff,
+       CAST((CASE WHEN dow IS NULL THEN 0 ELSE 1 END)
+          + (CASE WHEN b IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+         AS specificity
+FROM e GROUP BY CUBE(dow, b)
+HAVING ((CASE WHEN dow IS NULL THEN 0 ELSE 1 END)
+      + (CASE WHEN b IS NULL THEN 0 ELSE 1 END)) >= 1
+   AND ABS(ROUND(ROUND(COUNT(*) FILTER (WHERE event_type = 'click')
+                       * 100.0 / (SELECT c FROM ta), 4)
+              - ROUND(COUNT(*) FILTER (WHERE event_type = 'error')
+                      * 100.0 / (SELECT c FROM tb), 4), 4)) >= 0.5
+""")
+def q_kql_diffpatterns(spark, sf_dir):
+    """KQL evaluate diffpatterns: which (day-of-week, user-bucket)
+    patterns differ most between the click and error cohorts — the
+    root-cause-analysis plugin, as an exact single-pass cube with
+    conditional counts (cohort-relative coverage, signed difference,
+    specificity). DuckDB CUBE + FILTER aggregates are the twin."""
+    from azure_kusto_parquet_conv_spark.kql import kql
+    return kql(spark, sf_dir, """
+      events
+        | extend dow = tostring(tolong(dayofweek(ts) / 1d)),
+                 b = tostring(user_id % 3)
+        | project event_type, dow, b
+        | evaluate diffpatterns(event_type, 'click', 'error', 0.5)
+    """)
+
+
 @query("q_kql_udf_threshold", """
 WITH c AS (SELECT AVG(o_totalprice) AS cutoff FROM orders)
 SELECT CASE WHEN o_totalprice > 2 * cutoff THEN 'high'

@@ -1715,3 +1715,23 @@ def test_evaluate_autocluster(spark, sf_dir):
     for t, pct in want_types.items():
         if pct >= 2.0:
             assert got_types[t] == pct
+
+
+def test_evaluate_diffpatterns(spark, sf_dir):
+    """diffpatterns: cohort-coverage differences per attribute pattern;
+    a planted skew shows up with the right signed difference."""
+    rows = kql(spark, sf_dir, """
+      datatable (g:string, x:string, y:string) [
+        'A', 'p', 'u',  'A', 'p', 'u',  'A', 'p', 'v',  'A', 'q', 'u',
+        'B', 'q', 'v',  'B', 'q', 'v',  'B', 'q', 'u',  'B', 'p', 'v'
+      ]
+      | evaluate diffpatterns(g, 'A', 'B', 10.0)
+    """).collect()
+    d = {(r["x"], r["y"]): r["percent_diff"] for r in rows}
+    # x='p' wildcard-y: 75% of A vs 25% of B -> +50
+    assert d[("p", None)] == 50.0
+    assert d[("q", None)] == -50.0
+    # totals are cohort-relative
+    for r in rows:
+        assert r["count_a"] + r["count_b"] >= 1
+        assert r["specificity"] >= 1
