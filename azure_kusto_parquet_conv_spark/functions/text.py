@@ -204,3 +204,30 @@ def pii_match_count(c: Column | str) -> Column:
         # fuse into a fresh match) to avoid double-counting overlaps
         out = F.regexp_replace(out, pat, " ")
     return total
+
+
+#: query parameters stripped by normalize_url — the standard tracking
+#: params that fragment otherwise-identical URLs in a web corpus
+_TRACKING_RE = r"^(utm_[a-z0-9_]+|gclid|fbclid|msclkid|ref)="
+
+
+def normalize_url(c: Column | str) -> Column:
+    """Canonical URL form for dedup/grouping: lowercase scheme+host,
+    fragment dropped, tracking query parameters (utm_*, gclid, fbclid,
+    msclkid, ref) removed, remaining parameters SORTED, trailing
+    path slashes stripped. Pure JVM expressions (parse_url + array
+    ops, whole-stage codegen) — the URL-level dedup key of a web-corpus
+    pipeline, where utm-fragmented duplicates dominate raw-URL counts."""
+    u = _col(c)
+    scheme = F.lower(F.parse_url(u, F.lit("PROTOCOL")))
+    host = F.lower(F.parse_url(u, F.lit("HOST")))
+    path = F.regexp_replace(
+        F.coalesce(F.parse_url(u, F.lit("PATH")), F.lit("")), "/+$", "")
+    q = F.coalesce(F.parse_url(u, F.lit("QUERY")), F.lit(""))
+    kept = F.array_sort(F.filter(
+        F.split(q, "&"),
+        lambda p: (p != "") & ~p.rlike(_TRACKING_RE)))
+    qs = F.array_join(kept, "&")
+    return F.concat(
+        scheme, F.lit("://"), host, path,
+        F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")))

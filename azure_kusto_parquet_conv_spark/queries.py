@@ -4284,6 +4284,36 @@ def q_kql_autocluster(spark, sf_dir):
     """)
 
 
+@query("q_url_dedup", """
+SELECT 'https://' || lower(source) || '.example.com/docs/'
+       || CAST(doc_id AS VARCHAR) || '?lang=' || lang AS url,
+       CAST(2 AS BIGINT) AS n_variants
+FROM documents
+""")
+def q_url_dedup(spark, sf_dir):
+    """URL-level dedup by canonical form: two messy variants of every
+    document's URL (case-shuffled host, tracking params, trailing
+    slash, different param order) must collapse onto ONE canonical key
+    — normalize_url is pure JVM (parse_url + sorted param array), and
+    the groupBy on the canonical key is the single shuffle. The
+    dominant dedup step of a web crawl, where utm-fragmented
+    duplicates outnumber content dups."""
+    d = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    v1 = F.concat(F.lit("https://"), F.col("source"),
+                  F.lit(".example.com/docs/"), did,
+                  F.lit("?lang="), F.col("lang"),
+                  F.lit("&utm_source=feed"))
+    v2 = F.concat(F.lit("HTTPS://"), F.upper(F.col("source")),
+                  F.lit(".EXAMPLE.COM/docs/"), did,
+                  F.lit("/?utm_campaign=x&lang="), F.col("lang"),
+                  F.lit("#frag"))
+    urls = (d.select(v1.alias("u"))
+             .unionAll(d.select(v2.alias("u"))))
+    return (urls.groupBy(X.normalize_url("u").alias("url"))
+                .agg(F.count("*").cast("long").alias("n_variants")))
+
+
 @query("q_kql_diffpatterns", """
 WITH e AS (SELECT event_type,
                   CAST(dayofweek(CAST(ts AS TIMESTAMP)) AS VARCHAR)

@@ -121,3 +121,19 @@ def test_sequence_pack_budget_and_order(spark, sf_dir):
     total_docs = sum(r["n_docs"] for r in rows)
     from azure_kusto_parquet_conv_spark.sources.parquet import load_table
     assert total_docs == load_table(spark, sf_dir, "documents").count()
+
+
+def test_normalize_url_canonical_form(spark):
+    """normalize_url: lowercase scheme/host, tracking params stripped,
+    surviving params sorted, fragment and trailing slashes dropped."""
+    from azure_kusto_parquet_conv_spark.functions.text import normalize_url
+    cases = [
+        ("HTTPS://Example.COM/A/B/?utm_source=x&lang=fr&gclid=1#frag",
+         "https://example.com/A/B?lang=fr"),
+        ("http://a.org/p?b=2&a=1", "http://a.org/p?a=1&b=2"),
+        ("http://a.org/?utm_campaign=z", "http://a.org"),
+        ("https://H.io/x", "https://h.io/x"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], ["u"])
+    got = [r[0] for r in df.select(normalize_url("u")).collect()]
+    assert got == [w for _, w in cases]
