@@ -4252,6 +4252,72 @@ def q_kql_row_cumsum(spark, sf_dir):
     """)
 
 
+@query("q_kql_series_anomalies", """
+WITH e AS (SELECT user_id % 5 AS b,
+                  epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+           FROM events),
+du AS (SELECT b, day, COUNT(*) AS n FROM e GROUP BY b, day),
+mnx AS (SELECT MIN(day) AS mn, MAX(day) AS mx FROM du),
+days AS (SELECT unnest(range((SELECT mn FROM mnx),
+                             (SELECT mx FROM mnx) + 1)) AS day),
+bs AS (SELECT DISTINCT b FROM du),
+g AS (SELECT bs.b, days.day, CAST(COALESCE(du.n, 0) AS DOUBLE) AS n
+      FROM bs CROSS JOIN days
+      LEFT JOIN du ON du.b = bs.b AND du.day = days.day),
+s AS (SELECT b, day, n,
+             AVG(n) OVER (PARTITION BY b ORDER BY day
+                          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+               AS sm,
+             AVG(n) OVER (PARTITION BY b,
+                          (day - (SELECT mn FROM mnx)) % 7) AS ph,
+             AVG(n) OVER (PARTITION BY b) AS ov
+      FROM g),
+r AS (SELECT b, day, n, n - sm - (ph - ov) AS resid FROM s),
+st AS (SELECT b, list(resid ORDER BY resid) AS l, COUNT(*) AS c
+       FROM r GROUP BY b),
+qs AS (SELECT b,
+              l[greatest(CAST(ceil(c * 0.25) AS INT), 1)] AS q1,
+              l[greatest(CAST(ceil(c * 0.75) AS INT), 1)] AS q3
+       FROM st)
+SELECT CAST(r.b AS BIGINT) AS b, CAST(r.day AS BIGINT) AS day,
+       CAST(r.n AS BIGINT) AS n, ROUND(r.resid, 4) AS resid,
+       ROUND(CASE WHEN q3 - q1 <= 0 THEN 0.0
+                  WHEN r.resid > q3 + 1.5 * (q3 - q1)
+                  THEN (r.resid - (q3 + 1.5 * (q3 - q1))) / (q3 - q1)
+                  WHEN r.resid < q1 - 1.5 * (q3 - q1)
+                  THEN (r.resid - (q1 - 1.5 * (q3 - q1))) / (q3 - q1)
+                  ELSE 0.0 END, 4) AS score
+FROM r JOIN qs ON r.b = qs.b
+""")
+def q_kql_series_anomalies(spark, sf_dir):
+    """The full series_decompose_anomalies composition, from the
+    already-verified primitives: trailing FIR trend (width 7) +
+    zero-sum weekly seasonal component subtracted from each group's
+    daily count series, Tukey-fence scores on the residual — Kusto's
+    canonical time-series anomaly pipeline, computed entirely inside
+    the in-row arrays (one make-series shuffle, everything after is
+    codegen folds). The DuckDB twin rebuilds every stage with window
+    functions on the exploded grid."""
+    from azure_kusto_parquet_conv_spark.kql import kql
+    df = kql(spark, sf_dir, """
+      events
+        | extend b = tolong(user_id % 5)
+        | make-series n=count() on ts step 1d by b
+        | extend resid = series_subtract(series_subtract(n,
+                   series_fir(n, 7)), series_seasonal(n, 7))
+        | extend score = series_outliers(resid)
+    """)
+    z = df.select("b", F.explode(
+        F.arrays_zip("bins", "n", "resid", "score")).alias("z"))
+    return z.select(
+        "b",
+        (F.unix_micros(F.col("z.bins")) / F.lit(86400000000))
+        .cast("long").alias("day"),
+        F.col("z.n").cast("long").alias("n"),
+        F.round(F.col("z.resid"), 4).alias("resid"),
+        F.round(F.col("z.score"), 4).alias("score"))
+
+
 @query("q_kql_autocluster", """
 WITH e AS (SELECT event_type,
                   CAST(dayofweek(CAST(ts AS TIMESTAMP)) AS VARCHAR)
