@@ -79,7 +79,7 @@ arithmetic, datetime(...) literals, now/ago, format_datetime,
 startof/endof day|week|month|year (Sunday weeks), dayofweek (timespan),
 getyear/getmonth/dayofmonth/hourofday, indexof, countof, trim/
 trim_start/trim_end (regex per Kusto), replace_string/replace_regex,
-strrep, hash (xxhash64), isempty/isnotempty, pack_array, array_length/
+strrep, hash (xxhash64), isempty/isnotempty, pack/bag_pack (dynamic bag builder), pack_array, array_length/
 array_index_of/array_slice/array_sort_asc|desc/array_concat,
 set_union/set_intersect/set_difference.
 Aggregates: count, countif, sum/avg/min/max (+ sumif/avgif/minif/maxif),
@@ -350,6 +350,20 @@ class _ExprParser:
             return f"sum(CASE WHEN {args[0]} THEN 1 ELSE 0 END)"
         if fname == "dcount":
             return f"count(DISTINCT {args[0]})"
+        if fname in ("pack", "bag_pack"):
+            # pack('k1', v1, 'k2', v2, ...) -> dynamic property bag on
+            # VARIANT (JSON round-trip through named_struct); keys must
+            # be string literals, like Kusto's common usage
+            if len(args) < 2 or len(args) % 2:
+                raise ValueError(f"KQL: {fname}('k1', v1, ...) needs "
+                                 f"key/value pairs")
+            for k in args[::2]:
+                if not k.startswith("'"):
+                    raise ValueError(
+                        f"KQL: {fname} keys must be string literals")
+            pairs = ", ".join(f"{k}, {v}"
+                              for k, v in zip(args[::2], args[1::2]))
+            return f"parse_json(to_json(named_struct({pairs})))"
         if fname == "base64_encode_tostring":
             if len(args) != 1:
                 raise ValueError("KQL: base64_encode_tostring(s)")

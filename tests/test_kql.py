@@ -1735,3 +1735,17 @@ def test_evaluate_diffpatterns(spark, sf_dir):
     for r in rows:
         assert r["count_a"] + r["count_b"] >= 1
         assert r["specificity"] >= 1
+
+
+def test_pack_builds_dynamic_bag(spark, sf_dir):
+    """pack/bag_pack: literal-keyed dynamic bag, path-addressable and
+    round-trippable through bag_unpack."""
+    rows = kql(spark, sf_dir, """
+      datatable (a:long, s:string) [1, 'x', 2, 'y']
+      | extend d = pack('id', a * 10, 'tag', s)
+      | project v = tolong(d.id), t = tostring(d.tag)
+    """).collect()
+    assert sorted(map(tuple, rows)) == [(10, "x"), (20, "y")]
+    with pytest.raises(ValueError, match="string literals"):
+        kql(spark, sf_dir,
+            "datatable (a:long) [1] | extend d = pack(a, 1)")
