@@ -207,17 +207,23 @@ def pii_match_count(c: Column | str) -> Column:
 
 
 #: query parameters stripped by normalize_url — the standard tracking
-#: params that fragment otherwise-identical URLs in a web corpus
-_TRACKING_RE = r"^(utm_[a-z0-9_]+|gclid|fbclid|msclkid|ref)="
+#: params that fragment otherwise-identical URLs in a web corpus.
+#: Matched case-insensitively ('UTM_SOURCE=' is still tracking).
+#: Deliberately NOT including 'ref': on many sites ref is a content
+#: parameter (branch/page selector), and stripping it would collapse
+#: genuinely distinct URLs onto one dedup key.
+_TRACKING_RE = r"(?i)^(utm_[a-z0-9_]+|gclid|fbclid|msclkid)="
 
 
-def normalize_url(c: Column | str) -> Column:
+def normalize_url(c: Column | str,
+                  tracking_re: str = _TRACKING_RE) -> Column:
     """Canonical URL form for dedup/grouping: lowercase scheme+host,
     fragment dropped, tracking query parameters (utm_*, gclid, fbclid,
-    msclkid, ref) removed, remaining parameters SORTED, trailing
-    path slashes stripped. Pure JVM expressions (parse_url + array
-    ops, whole-stage codegen) — the URL-level dedup key of a web-corpus
-    pipeline, where utm-fragmented duplicates dominate raw-URL counts."""
+    msclkid — case-insensitive; override via ``tracking_re``) removed,
+    remaining parameters SORTED, trailing path slashes stripped. Pure
+    JVM expressions (parse_url + array ops, whole-stage codegen) — the
+    URL-level dedup key of a web-corpus pipeline, where utm-fragmented
+    duplicates dominate raw-URL counts."""
     u = _col(c)
     scheme = F.lower(F.parse_url(u, F.lit("PROTOCOL")))
     host = F.lower(F.parse_url(u, F.lit("HOST")))
@@ -226,7 +232,7 @@ def normalize_url(c: Column | str) -> Column:
     q = F.coalesce(F.parse_url(u, F.lit("QUERY")), F.lit(""))
     kept = F.array_sort(F.filter(
         F.split(q, "&"),
-        lambda p: (p != "") & ~p.rlike(_TRACKING_RE)))
+        lambda p: (p != "") & ~p.rlike(tracking_re)))
     qs = F.array_join(kept, "&")
     return F.concat(
         scheme, F.lit("://"), host, path,

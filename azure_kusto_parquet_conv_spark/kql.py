@@ -91,6 +91,7 @@ Datasketches HLL sketches — the mergeable re-aggregation form).
 
 from __future__ import annotations
 
+import math
 import re
 from dataclasses import dataclass
 
@@ -183,23 +184,42 @@ _STRINGY_FN_RE = re.compile(
     r"|trim_end|replace_string|extract|concat)\s*\(", re.IGNORECASE)
 
 
-def _coerce_variant_cmp(lhs: str, rhs: str) -> tuple[str, str]:
+def _coerce_variant_cmp(lhs: str, rhs: str,
+                        df: DataFrame | None = None) -> tuple[str, str]:
     """Kusto compares dynamics loosely; Spark VARIANT needs an explicit
     cast. When one comparison side is a variant path, cast it to the
     other side's type: the literal's type when the other side is a bare
     literal (double for numbers — Kusto dynamic numerics compare as
-    real; string for string literals), else a surface-form guess for
-    compound expressions — STRING if the expression contains a string
-    literal or a string-producing function, DOUBLE otherwise (the
-    common ``d.k > cutoff + 1`` shape). Without the fallback a raw
-    VARIANT comparison fails Spark analysis where Kusto would loosely
-    compare."""
+    real; string for string literals). For compound expressions the
+    type is RESOLVED against the DataFrame schema (one selectExpr
+    analysis probe, no execution) — surface-text sniffing miscasts a
+    numeric expression that merely mentions a string function
+    (``strlen(s) + 1``). The regex guess survives only as the last
+    resort when no df is in scope (datatable/print literal rows) or
+    the probe fails to analyze."""
     def fix(var_side: str, other: str) -> str:
         o = other.strip("() ")
         if _NUM_LIT_RE.fullmatch(o):
             return f"CAST({var_side} AS DOUBLE)"
         if o.startswith("'") and o.endswith("'"):
             return f"CAST({var_side} AS STRING)"
+        if df is not None:
+            try:
+                t = df.selectExpr(f"({other}) AS __t") \
+                      .schema[0].dataType.typeName()
+            except Exception:
+                t = None
+            if t == "string":
+                return f"CAST({var_side} AS STRING)"
+            if t == "boolean":
+                return f"CAST({var_side} AS BOOLEAN)"
+            if t in ("timestamp", "timestamp_ntz"):
+                return f"CAST({var_side} AS TIMESTAMP)"
+            if t == "date":
+                return f"CAST({var_side} AS DATE)"
+            if t in ("double", "float", "decimal", "long", "integer",
+                     "int", "short", "byte"):
+                return f"CAST({var_side} AS DOUBLE)"
         if "'" in o or _STRINGY_FN_RE.search(o):
             return f"CAST({var_side} AS STRING)"
         return f"CAST({var_side} AS DOUBLE)"
@@ -216,9 +236,13 @@ def _coerce_variant_cmp(lhs: str, rhs: str) -> tuple[str, str]:
 class _ExprParser:
     """Pratt parser over the token list; emits a Spark SQL string."""
 
-    def __init__(self, toks: list[Tok]):
+    def __init__(self, toks: list[Tok],
+                 df: DataFrame | None = None):
         self.toks = toks
         self.i = 0
+        # schema context for type-resolved variant coercion; None in
+        # pure-text contexts (datatable/print cells)
+        self.df = df
 
     def peek(self) -> Tok | None:
         return self.toks[self.i] if self.i < len(self.toks) else None
@@ -384,10 +408,18 @@ class _ExprParser:
             u = args[0]
             qmap = (f"str_to_map(coalesce(parse_url({u}, 'QUERY'), ''), "
                     f"'&', '=')")
+            # Spark's parse_url has no PORT part (HOST/PATH/QUERY/REF/
+            # PROTOCOL/FILE/AUTHORITY/USERINFO only; PORT yields NULL),
+            # so the port is cut from the AUTHORITY's ':NNNN' suffix;
+            # nullif keeps portless URLs consistent with the other
+            # components (null -> dropped by to_json, like Host etc.)
+            port = (f"nullif(regexp_extract(coalesce("
+                    f"parse_url({u}, 'AUTHORITY'), ''), "
+                    f"':([0-9]+)$', 1), '')")
             obj = (f"named_struct("
                    f"'Scheme', parse_url({u}, 'PROTOCOL'), "
                    f"'Host', parse_url({u}, 'HOST'), "
-                   f"'Port', parse_url({u}, 'PORT'), "
+                   f"'Port', {port}, "
                    f"'Path', parse_url({u}, 'PATH'), "
                    f"'Fragment', parse_url({u}, 'REF'), "
                    f"'QueryParameters', {qmap})")
@@ -815,7 +847,7 @@ class _ExprParser:
             return f"({lhs} OR {self.parse(bp + 1)})"
         if t.text in _CMP:
             rhs = self.parse(bp + 1)
-            lhs, rhs = _coerce_variant_cmp(lhs, rhs)
+            lhs, rhs = _coerce_variant_cmp(lhs, rhs, self.df)
             return f"({lhs} {_CMP[t.text]} {rhs})"
         if low == "=~":
             return f"(lower({lhs}) = lower({self.parse(bp + 1)}))"
@@ -982,6 +1014,14 @@ def _scalar_literal_sql(v) -> str:
         return "NULL"
     if isinstance(v, bool):
         return "TRUE" if v else "FALSE"
+    if isinstance(v, float) and not math.isfinite(v):
+        # repr() would emit 'inf'/'nan', which the tokenizer lexes as
+        # bare identifiers; render via toreal('...') instead — it
+        # re-parses as a call and compiles to CAST(.. AS DOUBLE), and
+        # Java's Double.parseDouble accepts these exact spellings
+        s = ("NaN" if math.isnan(v)
+             else "Infinity" if v > 0 else "-Infinity")
+        return f"toreal('{s}')"
     if isinstance(v, (int, float)):
         return repr(v)
     if isinstance(v, _dt.datetime):
@@ -1164,10 +1204,11 @@ def _compile_expr_tokens(toks: list[Tok], df: DataFrame,
         out.append(t)
         i += 1
     # re-parse with rendered fragments treated as atoms
-    return _parse_expr_with_atoms(out)
+    return _parse_expr_with_atoms(out, df)
 
 
-def _parse_expr_with_atoms(toks: list[Tok]) -> str:
+def _parse_expr_with_atoms(toks: list[Tok],
+                           df: DataFrame | None = None) -> str:
     """Like _parse_expr but 'rendered' tokens pass through as atoms."""
     class P(_ExprParser):
         def _prefix(self):
@@ -1176,7 +1217,7 @@ def _parse_expr_with_atoms(toks: list[Tok]) -> str:
                 self.next()
                 return t.text
             return super()._prefix()
-    p = P(toks)
+    p = P(toks, df)
     res = p.parse(0)
     if p.peek() is not None:
         raise ValueError(f"KQL: trailing tokens from {p.peek().text!r}")
@@ -1277,7 +1318,15 @@ class KqlCompiler:
         ``keep`` names are EXCLUDED from scalar-let substitution — a
         function-let body preprocessed at definition time must keep its
         parameter names free even when a scalar let shadows one."""
-        for _ in range(200):
+        # True-recursion check up front (call-graph cycle over the
+        # function-let bodies): a cycle can never converge, while an
+        # acyclic graph always does — so the pass loop below needs no
+        # call-site-count cap (a legitimate query with hundreds of call
+        # sites must not trip a fixed limit); the huge guard only
+        # protects against compiler bugs.
+        if self._fn_lets:
+            self._check_fn_let_recursion()
+        for guard in range(1_000_000):
             changed = False
             for fname, (params, fbody) in self._fn_lets.items():
                 spans = _find_call_spans(text, fname)
@@ -1304,9 +1353,14 @@ class KqlCompiler:
             if not changed:
                 break
         else:
-            raise ValueError("KQL: function-let expansion did not "
-                             "converge (recursive function?)")
-        for _ in range(50):
+            raise ValueError(
+                "KQL: function-let expansion exceeded 1,000,000 passes "
+                "on an acyclic call graph (compiler bug)")
+        # Each pass replaces one toscalar() span with a literal that
+        # contains no toscalar (nested calls resolve inside the
+        # recursive _preprocess), so the span count strictly decreases
+        # — no cap needed, any number of call sites converges.
+        while True:
             spans = _find_call_spans(text, "toscalar")
             if not spans:
                 break
@@ -1319,11 +1373,40 @@ class KqlCompiler:
             row = inner.limit(1).collect()
             val = row[0][0] if row else None
             text = text[:start] + _scalar_literal_sql(val) + text[end:]
-        else:
-            raise ValueError("KQL: toscalar expansion did not converge")
         subs = {k: v for k, v in self._scalar_lets.items()
                 if k not in keep}
         return _sub_outside_strings(text, subs)
+
+    def _check_fn_let_recursion(self) -> None:
+        """Raise on a cycle in the function-let call graph (f calling
+        itself directly or via other lets) — textual expansion of a
+        cyclic definition can never terminate, while an acyclic graph
+        always does (each expansion strictly reduces the remaining
+        topological depth)."""
+        graph = {
+            f: {g for g in self._fn_lets
+                if _find_call_spans(body, g)}
+            for f, (_, body) in self._fn_lets.items()}
+        WHITE, GRAY, BLACK = 0, 1, 2
+        color = dict.fromkeys(graph, WHITE)
+
+        def visit(node, stack):
+            color[node] = GRAY
+            for nxt in graph[node]:
+                if color[nxt] == GRAY:
+                    cyc = stack[stack.index(nxt):] + [nxt] \
+                        if nxt in stack else [node, nxt]
+                    raise ValueError(
+                        "KQL: recursive function-let "
+                        f"({' -> '.join(cyc)}) — expansion cannot "
+                        "terminate")
+                if color[nxt] == WHITE:
+                    visit(nxt, stack + [nxt])
+            color[node] = BLACK
+
+        for f in graph:
+            if color[f] == WHITE:
+                visit(f, [f])
 
     def _looks_tabular(self, body: str) -> bool:
         if "|" in _STR_LIT_RE.sub("", body):
@@ -1933,14 +2016,14 @@ class KqlCompiler:
         stays in codegen — no Python, one shuffle iff the subquery
         aggregates.
 
-        Determinism constraint: the record id is assigned by partition
-        layout, so the INPUT to mv-apply must be deterministic up to
-        partitioning (a scan + narrow ops — every pipeline this
-        compiler emits, since mv-apply consumes the raw source). If
-        mv-apply is ever fed post-shuffle data, a task retry can
-        reassign ids between the explode and the groupBy
-        (SPARK-23207-class hazard); the fix then is to localCheckpoint
-        the input or key the scope on a real unique column instead."""
+        Determinism constraint (ENFORCED): the record id is assigned by
+        partition layout, so the INPUT to mv-apply must be
+        deterministic up to partitioning (a scan + narrow ops). When
+        the input plan contains a shuffle-inducing node, a task retry
+        could reassign ids between the explode and the groupBy
+        (SPARK-23207-class hazard), so the compiler detects the
+        shuffle boundary and freezes the input with an eager
+        localCheckpoint before assigning ids."""
         from pyspark.sql import Window
 
         m = re.match(r"(?P<head>.+?)\s+on\s*\((?P<sub>.*)\)\s*$",
@@ -1963,6 +2046,23 @@ class KqlCompiler:
             raise ValueError("KQL: mv-apply supports one applied column")
         rid = "__mv_rid"
         orig_cols = df.columns
+        # Enforce the determinism constraint (SPARK-23207 class): the
+        # record id below is assigned by partition layout, so a task
+        # retry over POST-SHUFFLE input (shuffle fetch order is
+        # nondeterministic) could reassign ids between the explode and
+        # a downstream groupBy. If the input plan contains a
+        # shuffle-inducing node, freeze it with an eager
+        # localCheckpoint first — id assignment then reads stable
+        # materialized partitions. Scan + narrow ops (the common
+        # mv-apply input) skip this entirely.
+        try:
+            plan = df._jdf.queryExecution().optimizedPlan().toString()
+        except Exception:
+            plan = ""
+        if re.search(r"\b(Join|Aggregate|Repartition|"
+                     r"RepartitionByExpression|Rebalance|Sort|Window|"
+                     r"Deduplicate|Distinct|Intersect|Except)\b", plan):
+            df = df.localCheckpoint(eager=True)
         name, sql = _named_expr(groups[0], df, "value")
         out = (df.withColumn(rid, F.monotonically_increasing_id())
                  .withColumn(name, F.explode(_explodable(df, sql))))

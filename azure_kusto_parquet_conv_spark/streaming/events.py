@@ -346,9 +346,18 @@ def scan_stream(events: DataFrame, steps: list[tuple[str, str]],
         wm_us = state.getCurrentWatermarkMs() * 1000
         if not state.hasTimedOut:
             for pdf in pdfs:
-                pend.extend(zip((int(v) for v in pdf["ord_ns"]),
-                                (int(v) for v in pdf["event_id"]),
-                                (int(v) for v in pdf["mask"])))
+                # Drop rows already passed by the watermark AT ARRIVAL
+                # (applyInPandasWithState does NOT filter late input):
+                # feeding them now would advance the automaton AFTER
+                # later-timestamped rows were already consumed —
+                # out-of-order advancement the batch twin never does.
+                # The watermark contract is drop-beyond-delay, and
+                # stream==batch holds for every on-time row.
+                pend.extend(
+                    r for r in zip((int(v) for v in pdf["ord_ns"]),
+                                   (int(v) for v in pdf["event_id"]),
+                                   (int(v) for v in pdf["mask"]))
+                    if r[0] // 1000 > wm_us)
         pend.sort()
         ready = [p for p in pend if p[0] // 1000 <= wm_us]
         pend = [p for p in pend if p[0] // 1000 > wm_us]

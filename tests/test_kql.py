@@ -1749,3 +1749,108 @@ def test_pack_builds_dynamic_bag(spark, sf_dir):
     with pytest.raises(ValueError, match="string literals"):
         kql(spark, sf_dir,
             "datatable (a:long) [1] | extend d = pack(a, 1)")
+
+
+# ------------------------------------------------- round-6 advice pins
+
+def test_parse_url_port_extracted(spark, sf_dir):
+    """parse_url must surface the Port (r6 advice: Spark's parse_url
+    has no PORT part — it comes from the AUTHORITY's ':NNNN' suffix);
+    portless URLs keep Port absent (null path access)."""
+    rows = kql(spark, sf_dir, """
+      datatable (u:string) [
+        'https://h.example.com:8443/a?x=1',
+        'http://plain.org/x',
+        'https://user:pw@auth.example.com:9090/p'
+      ]
+      | extend d = parse_url(u)
+      | project host = tostring(d.Host), port = tostring(d.Port)
+    """).collect()
+    got = sorted((r["host"], r["port"]) for r in rows)
+    assert got == [
+        ("auth.example.com", "9090"),
+        ("h.example.com", "8443"),
+        ("plain.org", None),
+    ]
+
+
+def test_variant_compare_numeric_compound_with_string_fn(spark, sf_dir):
+    """A NUMERIC compound operand that merely mentions a
+    string-producing function (r6 advice: the old surface-text guess
+    saw 'tostring' and miscast the variant side to STRING, turning
+    10 > 6 into '10' > '6' = false). The type is now resolved from the
+    DataFrame schema."""
+    rows = kql(spark, sf_dir, """
+      datatable (j:string, s:string) ['{"k": 10}', 'abcde']
+      | extend d = todynamic(j)
+      | where d.k > strlen(tostring(s)) + 1
+      | project k = tolong(d.k)
+    """).collect()
+    assert [r["k"] for r in rows] == [10]
+
+
+def test_function_let_many_call_sites_converges(spark, sf_dir):
+    """>200 call sites of a non-recursive function-let must expand (r6
+    advice: the old fixed 200-pass cap falsely tripped 'recursive')."""
+    n = 205
+    body = " + ".join(["f(v)"] * n)
+    rows = kql(spark, sf_dir, f"""
+      let f = (x: long) {{ x + 1 }};
+      datatable (v:long) [1] | extend y = {body}
+    """).collect()
+    assert rows[0]["y"] == 2 * n
+
+
+def test_function_let_recursion_detected(spark, sf_dir):
+    """True recursion (direct and mutual) raises up front instead of
+    burning the pass cap."""
+    with pytest.raises(ValueError, match="recursive function-let"):
+        kql(spark, sf_dir, """
+          let f = (x: long) { f(x) + 1 };
+          datatable (v:long) [1] | extend y = f(v)
+        """)
+    with pytest.raises(ValueError, match="recursive function-let"):
+        kql(spark, sf_dir, """
+          let f = (x: long) { g(x) };
+          let g = (x: long) { f(x) };
+          datatable (v:long) [1] | extend y = f(v)
+        """)
+
+
+def test_toscalar_nonfinite_roundtrip(spark, sf_dir):
+    """toscalar() of inf/nan must re-enter the query as a working
+    literal (r6 advice: repr() emitted bare 'inf'/'nan' identifiers)."""
+    import math
+    r = kql(spark, sf_dir, """
+      let c = toscalar(print x = toreal('+inf'));
+      datatable (v:real) [1.0, 2.0] | where v < c | count
+    """).collect()
+    assert r[0][0] == 2
+    r2 = kql(spark, sf_dir, """
+      print x = toscalar(print y = toreal('nan'))
+    """).collect()
+    assert math.isnan(r2[0]["x"])
+    r3 = kql(spark, sf_dir, """
+      let c = toscalar(print x = toreal('-inf'));
+      datatable (v:real) [1.0] | where v > c | count
+    """).collect()
+    assert r3[0][0] == 1
+
+
+def test_mv_apply_post_shuffle_input(spark, sf_dir):
+    """mv-apply fed POST-SHUFFLE data (a summarize upstream) must stay
+    correct — the compiler freezes the input with localCheckpoint
+    before assigning record ids (SPARK-23207 enforcement, r5 verdict
+    demand #5)."""
+    out = kql(spark, sf_dir, """
+      events
+        | summarize vals = make_list(value) by event_type
+        | mv-apply v = vals to typeof(real) on ( summarize mx = max(v) )
+        | project event_type, mx
+    """)
+    want = {(r["event_type"], r["mx"]) for r in
+            load_table(spark, sf_dir, "events")
+            .groupBy("event_type").agg(F.max("value").alias("mx"))
+            .collect()}
+    got = {(r["event_type"], float(r["mx"])) for r in out.collect()}
+    assert got == want

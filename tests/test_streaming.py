@@ -502,3 +502,65 @@ def test_scan_stream_matches_batch_automaton(spark, sf_dir, tmp_path):
     """).select("user_id", "event_id", "step", "match_id").collect()}
     assert len(want) > 0
     assert got == want
+
+
+def test_scan_stream_drops_late_rows(spark, tmp_path):
+    """r6 advice: a row arriving AFTER the watermark passed its event
+    time must be dropped before buffering — feeding it would advance
+    the automaton after later-timestamped rows were already consumed
+    (out-of-order advancement the batch twin never does). Here a late
+    'signup' would otherwise complete a signup->click match with a
+    future click; with the drop, no match exists."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from azure_kusto_parquet_conv_spark.streaming.events import (
+        EVENTS_RAW_SCHEMA_NS, normalize_events)
+    from azure_kusto_parquet_conv_spark.streaming.events import scan_stream
+
+    hour = 3_600_000_000_000  # ns
+    base = 480_001 * hour
+
+    def table(rows):
+        return pa.table({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([base + r[1] for r in rows],
+                           pa.timestamp("ns")),
+            "user_id": pa.array([1] * len(rows), pa.int64()),
+            "event_type": pa.array([r[2] for r in rows]),
+            "value": pa.array([1.0] * len(rows)),
+            "props": pa.array(["{}"] * len(rows)),
+        })
+
+    d = tmp_path / "scan_late"
+    d.mkdir()
+    # A: a click at 1h (no signup before it) + a pusher at 10h
+    #    -> watermark for batch B = 9h
+    pq.write_table(table([(1, 1 * hour, "click"),
+                          (2, 10 * hour, "other")]),
+                   str(d / "a.parquet"))
+    # B: a LATE signup back at 2h (2h <= 9h watermark -> must drop)
+    pq.write_table(table([(3, 2 * hour, "signup")]), str(d / "b.parquet"))
+    # C: an on-time click at 11h + a far pusher so it clears the buffer
+    pq.write_table(table([(4, 11 * hour, "click"),
+                          (5, 30 * hour, "other")]),
+                   str(d / "c.parquet"))
+    for i, name in enumerate(["a.parquet", "b.parquet", "c.parquet"]):
+        os.utime(d / name, (1_000_000_000 + 100 * i,) * 2)
+
+    raw = (spark.readStream.schema(EVENTS_RAW_SCHEMA_NS)
+           .option("maxFilesPerTrigger", 1).parquet(str(d)))
+    ev = normalize_events(raw)
+    steps = [("s_signup", "event_type = 'signup'"),
+             ("s_click", "event_type = 'click'")]
+    out = scan_stream(ev, steps, watermark="1 hours")
+    q = (out.writeStream.format("memory").queryName("scan_late_out")
+         .outputMode("append").start())
+    drain(q)
+    rows = spark.sql("select * from scan_late_out").collect()
+    # the late signup (event_id 3) must not appear, and without it no
+    # signup->click sequence exists at all
+    assert all(r["event_id"] != 3 for r in rows)
+    assert rows == []

@@ -137,3 +137,25 @@ def test_normalize_url_canonical_form(spark):
     df = spark.createDataFrame([(u,) for u, _ in cases], ["u"])
     got = [r[0] for r in df.select(normalize_url("u")).collect()]
     assert got == [w for _, w in cases]
+
+
+def test_normalize_url_ref_kept_and_case_insensitive_tracking(spark):
+    """r6 advice: 'ref' is a content parameter on many sites — it must
+    SURVIVE canonicalization (distinct refs are distinct URLs), while
+    tracking params match case-insensitively ('UTM_SOURCE=' is still
+    tracking)."""
+    from azure_kusto_parquet_conv_spark.functions.text import normalize_url
+    cases = [
+        ("https://a.org/p?ref=main", "https://a.org/p?ref=main"),
+        ("https://a.org/p?ref=dev", "https://a.org/p?ref=dev"),
+        ("https://a.org/p?UTM_SOURCE=x&Ref=keep",
+         "https://a.org/p?Ref=keep"),
+        ("https://a.org/p?GCLID=9&x=1", "https://a.org/p?x=1"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], ["u"])
+    got = [r[0] for r in df.select(normalize_url("u")).collect()]
+    assert got == [w for _, w in cases]
+    # and the strip list is a parameter
+    df2 = spark.createDataFrame([("https://a.org/p?sid=1&x=2",)], ["u"])
+    got2 = df2.select(normalize_url("u", r"(?i)^sid=")).collect()[0][0]
+    assert got2 == "https://a.org/p?x=2"
