@@ -1334,6 +1334,43 @@ def q_knn_ivf(spark, sf_dir):
     return S.knn_ivf(q, e, k=5, n_lists=16, n_probe=6, centroids=cents)
 
 
+@query("q_knn_ivf_exact", """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+           FROM embeddings WHERE vec_id % 29 = 0),
+ranked AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         ROUND(list_cosine_similarity(q.qv, c.embedding), 4) AS cosine,
+         row_number() OVER (
+           PARTITION BY q.query_id
+           ORDER BY list_cosine_similarity(q.qv, c.embedding) DESC,
+                    c.vec_id) AS rn
+  FROM q, embeddings c)
+SELECT query_id, neighbor_id, CAST(1 AS BIGINT) AS rank, cosine
+FROM ranked WHERE rn = 1
+""")
+def q_knn_ivf_exact(spark, sf_dir):
+    """ANN with a HARD hash-matched oracle (r5 verdict demand #2): the
+    queries are corpus members themselves, so IVF with n_probe=1 MUST
+    find each query's exact duplicate (itself) — index assignment and
+    probe use the same deterministic nearest-centroid argsort, so the
+    query's own inverted list is always probed and the self-pair's
+    cosine 1.0 strictly tops every distinct vector. The DuckDB twin is
+    genuine brute-force top-1 via list_cosine_similarity — if the IVF
+    probe, assignment, or ranking drifted, the driver hash would go
+    red. (The recall-vs-bruteforce behavior of the approximate knobs
+    stays pinned in tests/test_similarity.py.)"""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") % 29 == 0)
+    cents = _IVF_CENTROIDS.get(sf_dir)
+    if cents is None:
+        cents = _IVF_CENTROIDS[sf_dir] = S.train_ivf_centroids(
+            e, n_lists=16, seed=42)
+    out = S.knn_ivf(q, e, k=1, n_lists=16, n_probe=1, centroids=cents,
+                    include_self=True)
+    return out.select("query_id", "neighbor_id",
+                      F.col("rank").cast("long").alias("rank"), "cosine")
+
+
 _PQ_CODEBOOKS: dict[str, list] = {}
 
 
@@ -4705,46 +4742,38 @@ DRIVER_WINDOW = [
     "convert_jsonl_region", "convert_csv_lineitem",
     "q_missing_column_fill", "csl_schema_lineitem", "q_schema_lineitem",
     "q_convert_binary", "rowgroups_lineitem", "q_filter_projection",
-    # ---- round-5 rotation: 37 oracled entries that have never had a
-    # driver row (r1-r4 union). The r3/r4 family representatives and the
-    # r4 rotation are banked driver-green and fall back to the in-repo
-    # replica gate (tests/test_queries_oracle.py). ----
-    # KQL DSL breadth (round-4 additions + earlier never-checked ops)
-    "q_kql_parse_where", "q_kql_mv_apply", "q_kql_datatable_join",
-    "q_kql_dynamic", "q_kql_bag_unpack", "q_kql_range_sum",
-    "q_kql_top_hitters", "q_kql_bin_at", "q_kql_let_pipeline",
-    "q_kql_cond_aggs", "q_kql_render", "q_kql_prev_diff",
-    "q_kql_row_number", "q_kql_top_orders", "q_kql_text_stats",
-    "q_kql_case_tiers", "q_kql_has_any", "q_kql_extract_first_word",
-    "q_kql_extractjson",
-    # LLM-pipeline ops
-    "q_redact_pii", "q_sequence_pack", "q_fuzzy_prefix_pairs",
-    "q_inverted_index", "q_train_test_split", "q_weighted_sample",
-    # TPC-H shapes previously outside the window
-    "q6_forecast_revenue", "q11_value_concentration", "q15_top_supplier",
-    "q22_dormant_rich_customers", "q_exists_subquery", "q_cross_join",
-    # event-time / behavioral analytics
-    "q_funnel", "q_cohort_retention", "q_basket_pairs",
-    "q_make_series", "q_trailing_wau", "q_session_window",
+    # ---- round-6 rotation: the 37 oracled entries that had never had
+    # a driver row after r5 (r5 verdict demand #1), plus the new
+    # hash-oracled ANN entry (demand #2). The r5 rotation is banked
+    # driver-green and falls back to the in-repo replica gate
+    # (tests/test_queries_oracle.py). ----
+    # new-in-r6: ANN with a hard oracle (IVF must find the planted
+    # exact duplicate, brute-force DuckDB twin)
+    "q_knn_ivf_exact",
+    # round-5 KQL surface (series family, scan-adjacent, plugins)
+    "q_kql_series_fill", "q_kql_series_outliers", "q_kql_series_smooth",
+    "q_kql_series_seasonal", "q_kql_series_corr",
+    "q_kql_series_anomalies", "q_kql_search", "q_kql_row_cumsum",
+    "q_kql_partition_prev", "q_kql_evaluate_pivot", "q_kql_parse_url",
+    "q_kql_udf_threshold", "q_kql_autocluster", "q_kql_diffpatterns",
+    # round-5 LLM-pipeline / curation ops
+    "q_url_dedup", "q_embed_mrl", "q_multimodal_header_decode",
+    "q_domain_cap", "q_gopher_rules", "q_bigram_logprob",
+    # older stats/window residue, never driver-checked through r5
+    "q_doc_repetition", "q_quality_filter", "q_dedup_canonical",
+    "q_doc_chunks", "q_window_distribution", "q_profile", "q_mode",
+    "q_zorder_key", "q_key_skew", "q_corr_price_qty",
+    "q_mad_robust_stats", "q_anomaly_outliers", "q_unigram_logprob",
+    "q_events_heatmap", "q_interarrival_dist", "q_window_time_range",
 ]
 
-# Round-6 rotation candidates (oracled entries with no driver row after
-# r5 — the final residue; ~18 fit alongside new-in-r5 entries):
-# q_doc_repetition, q_quality_filter, q_dedup_canonical, q_doc_chunks,
-# q_window_distribution, q_group_concat, q_profile, q_date_parts,
-# q_window_time_range, q_mode, q_zorder_key, q_key_skew,
-# q_corr_price_qty, q_mad_robust_stats, q_anomaly_outliers,
-# q_unigram_logprob, q_events_heatmap, q_interarrival_dist,
-# q_kql_partition_prev, q_kql_series_fill, q_kql_series_outliers,
-# q_kql_series_smooth, q_kql_series_seasonal, q_kql_series_corr,
-# q_kql_search, q_kql_row_cumsum, q_kql_evaluate_pivot, q_kql_parse_url,
-# q_kql_udf_threshold, q_domain_cap, q_gopher_rules, q_bigram_logprob,
-# q_embed_mrl, q_multimodal_header_decode (new r5, oracled); plus the
-# new rows-only family
-# (q_kql_scan_funnel, q_kql_hll_reagg, q_dedup_incremental) and the
-# rows-only family (q_knn_ivf/pq/lsh, q_dedup_simhash/embedding/
-# clusters, q_multimodal_frames, q_approx_percentiles, q_freq_items,
-# q_sample_by) for the weaker rows-only driver check.
+# Round-7 rotation candidates (the final oracled residue after r6):
+# q_group_concat, q_date_parts (deferred from the r6 window for space),
+# plus any new-in-r6 oracled entries without a driver row yet, plus the
+# rows-only families for the weaker rows-only driver check
+# (q_kql_scan_funnel, q_kql_hll_reagg, q_dedup_incremental,
+# q_knn_ivf/pq/lsh, q_dedup_simhash/embedding/clusters,
+# q_multimodal_frames, q_approx_percentiles, q_freq_items, q_sample_by).
 
 
 def _window_order(d: dict) -> dict:
