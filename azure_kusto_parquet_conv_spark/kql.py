@@ -2678,29 +2678,53 @@ class KqlCompiler:
         out_schema = work.select(*keep).schema \
             .add("step", "string").add(mid_name, "long")
 
-        def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-            pdf = pdf.sort_values(order_names, ascending=asc_flags,
-                                  kind="mergesort")
-            preds = [pdf[f"__scan_p{i}"].fillna(False).astype(bool)
-                     .to_numpy() for i in range(n_steps)]
-            idx, labels, mids = [], [], []
+        # Partition on the scan key and sort key-then-order WITHIN each
+        # partition, then walk the whole partition with ONE mapInPandas
+        # kernel that detects group boundaries itself and carries the
+        # automaton state (key, step, match_id) across Arrow batches.
+        # groupBy().applyInPandas pays one pandas-DataFrame construction
+        # per GROUP — measured 2.8 s of pure per-group overhead on 1500
+        # small groups at sf0.1 (vs 0.57 s for the identical JVM
+        # shuffle+sort); per-Arrow-batch overhead amortizes over the
+        # default 10k rows instead.
+        sort_cols = [F.col(c).asc() for c in group_cols]
+        for nm, asc in zip(order_names, asc_flags):
+            sort_cols.append(F.col(nm).asc() if asc else F.col(nm).desc())
+        part = (work.repartition(*[F.col(c) for c in group_cols])
+                    .sortWithinPartitions(*sort_cols))
+
+        def kernel(batches):
+            state_key = object()  # sentinel: != any real key tuple
             k = 0
             mid = 0
-            for i in range(len(pdf)):
-                if preds[k][i]:
-                    idx.append(i)
-                    labels.append(step_names[k])
-                    mids.append(mid)
-                    k += 1
-                    if k == n_steps:
-                        k = 0
-                        mid += 1
-            res = pdf.iloc[idx][keep].copy()
-            res["step"] = labels
-            res[mid_name] = pd.array(mids, dtype="int64")
-            return res
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                key_arrays = [pdf[c].to_numpy() for c in group_cols]
+                preds = [pdf[f"__scan_p{i}"].fillna(False).astype(bool)
+                         .to_numpy() for i in range(n_steps)]
+                idx, labels, mids = [], [], []
+                for i in range(len(pdf)):
+                    # normalize NaN/NaT (x != x) so a null scan key still
+                    # forms ONE group, matching groupBy null semantics
+                    kt = tuple(None if v != v else v
+                               for v in (a[i] for a in key_arrays))
+                    if kt != state_key:
+                        state_key, k, mid = kt, 0, 0
+                    if preds[k][i]:
+                        idx.append(i)
+                        labels.append(step_names[k])
+                        mids.append(mid)
+                        k += 1
+                        if k == n_steps:
+                            k = 0
+                            mid += 1
+                res = pdf.iloc[idx][keep].copy()
+                res["step"] = labels
+                res[mid_name] = pd.array(mids, dtype="int64")
+                yield res
 
-        return work.groupBy(*group_cols).applyInPandas(kernel, out_schema)
+        return part.mapInPandas(kernel, out_schema)
 
     def _join(self, df: DataFrame, rest: str):
         m = re.match(

@@ -130,15 +130,23 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
 def minhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", num_hashes: int = 64,
                        shingle_n: int = 3, char_shingles: bool = False,
-                       seed: int = 42) -> DataFrame:
+                       seed: int = 42,
+                       sets: DataFrame | None = None) -> DataFrame:
     """MinHash signature per document: shingle-hash -> per-hash-function
     min over the shingle set. Hash i is ``(a_i * h + b_i) mod 2^61-1``
-    over the 31-bit-bounded shingle hash."""
+    over the 31-bit-bounded shingle hash.
+
+    Pass precomputed ``sets`` (the output of ``shingle_hash_sets`` with
+    the same shingle_n, usually persisted) when the caller also needs
+    the shingle sets for exact verification — it skips the second
+    shingling pass over the text."""
     import random
     rnd = random.Random(seed)
     coeffs = [(rnd.randrange(1, _MERSENNE), rnd.randrange(0, _MERSENNE))
               for _ in range(num_hashes)]
-    sets = shingle_hash_sets(df, text_col, id_col, shingle_n, char_shingles)
+    if sets is None:
+        sets = shingle_hash_sets(df, text_col, id_col, shingle_n,
+                                 char_shingles)
     # Explode shingle hashes to rows, then compute the num_hashes minimums
     # as plain hash aggregates. Higher-order-function folds (aggregate +
     # zip_with over a 64-wide array) are interpreted per element and
@@ -255,8 +263,14 @@ def minhash_dedup_incremental(new_df: DataFrame, corpus_sigs: DataFrame,
     threshold: identical to what the full self-join
     ``minhash_dedup_pairs`` would report for cross pairs (pinned by
     test)."""
+    # One shingling pass over the batch, persisted: the sets feed BOTH
+    # the signature aggregate and the exact verification join (without
+    # this the batch text is shingled twice — measured ~0.6 s/pass at
+    # sf0.1, and at 100 TB the batch scan is the dominant read).
+    new_sets = shingle_hash_sets(new_df, text_col, id_col,
+                                 shingle_n).persist()
     new_sigs = minhash_signatures(new_df, text_col, id_col, num_hashes,
-                                  shingle_n, seed=seed)
+                                  shingle_n, seed=seed, sets=new_sets)
 
     def banded(sigs, alias):
         return sigs.select(
@@ -275,9 +289,8 @@ def minhash_dedup_incremental(new_df: DataFrame, corpus_sigs: DataFrame,
                      text_col, id_col, shingle_n)
                  .select(F.col(id_col).alias("corpus_id"),
                          F.col("shingles").alias("sh_c")))
-    new_sh = (shingle_hash_sets(new_df, text_col, id_col, shingle_n)
-              .select(F.col(id_col).alias("new_id"),
-                      F.col("shingles").alias("sh_n")))
+    new_sh = new_sets.select(F.col(id_col).alias("new_id"),
+                             F.col("shingles").alias("sh_n"))
     withs = (cand.join(F.broadcast(new_sh), "new_id")
                  .join(corpus_sh, "corpus_id"))
     inter = F.size(F.array_intersect("sh_n", "sh_c"))

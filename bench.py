@@ -57,6 +57,15 @@ HEADLINE = [
     "q_training_mix",
     "q_decontaminate",
     "q_weighted_sample",
+    # round-6 additions (r5 verdict demand #3): the headline-worthy r5
+    # operators were previously untracked — regressions now surface.
+    # Re-recorded same-set totals live in COVERAGE.md (perf notes).
+    "q_kql_scan_funnel",
+    "q_kql_series_anomalies",
+    "q_kql_autocluster",
+    "q_knn_ivfpq",
+    "q_dedup_incremental",
+    "q_url_dedup",
 ]
 
 
