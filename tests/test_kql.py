@@ -1854,3 +1854,86 @@ def test_mv_apply_post_shuffle_input(spark, sf_dir):
             .collect()}
     got = {(r["event_type"], float(r["mx"])) for r in out.collect()}
     assert got == want
+
+
+def test_hll_merge_associative_across_shardings(spark, sf_dir):
+    """r5 verdict demand #7: the HLL sketch algebra must be
+    merge-associative and partition-insensitive — re-aggregating
+    per-shard sketches gives the SAME estimate for any shard fan-out
+    and any physical partitioning (register-wise max is order-free).
+    This is the property that makes sketch stores re-aggregable at
+    100 TB."""
+    ests = []
+    for shards in (3, 7, 13):
+        r = kql(spark, sf_dir, f"""
+          events
+            | summarize sk = hll(user_id) by event_type,
+                        shard = user_id % {shards}
+            | summarize est = dcount_hll(hll_merge(sk)) by event_type
+            | sort by event_type asc
+        """).collect()
+        ests.append([(x["event_type"], x["est"]) for x in r])
+    assert ests[0] == ests[1] == ests[2]
+    # physical-layout insensitivity of the same two-level merge
+    ev = load_table(spark, sf_dir, "events")
+    outs = []
+    for parts in (2, 32):
+        sk = (ev.repartition(parts, "event_type")
+                .groupBy("event_type", (F.col("user_id") % 5).alias("s"))
+                .agg(F.expr("hll_sketch_agg(user_id)").alias("sk")))
+        est = (sk.groupBy("event_type")
+                 .agg(F.expr("hll_sketch_estimate(hll_union_agg(sk))")
+                       .alias("est"))
+                 .orderBy("event_type").collect())
+        outs.append([(r["event_type"], r["est"]) for r in est])
+    assert outs[0] == outs[1]
+    assert [e for _, e in ests[0]] == [e for _, e in outs[0]]
+
+
+@pytest.mark.parametrize("seed", [7, 99, 4242])
+def test_scan_property_random_orders(spark, sf_dir, seed):
+    """r5 verdict demand #7: property-test the scan automaton against
+    the brute-force Python reference on RANDOMIZED event streams —
+    random types, duplicate timestamps (tie-break on id), multiple
+    users, arrival order shuffled (the operator must impose serialized
+    order itself)."""
+    import random
+    rnd = random.Random(seed)
+    types = ["signup", "click", "purchase", "view", "error"]
+    rows = []
+    for i in range(400):
+        rows.append((rnd.randrange(12),            # user
+                     rnd.randrange(40),            # ts with many ties
+                     i,                            # unique id
+                     rnd.choice(types)))
+    rnd.shuffle(rows)
+    cells = ", ".join(f"{u}, {t}, {i}, '{e}'" for u, t, i, e in rows)
+    got = kql(spark, sf_dir, f"""
+      datatable (u:long, t:long, id:long, e:string) [{cells}]
+        | partition by u (
+            sort by t asc, id asc
+            | scan with (step s0: e == 'signup';
+                         step s1: e == 'click' or e == 'view';
+                         step s2: e == 'purchase';)
+          )
+    """).select("u", "id", "step", "match_id").collect()
+    got_set = {(r["u"], r["id"], r["step"], r["match_id"]) for r in got}
+    preds = [lambda e: e == "signup",
+             lambda e: e in ("click", "view"),
+             lambda e: e == "purchase"]
+    names = ["s0", "s1", "s2"]
+    from collections import defaultdict
+    by_user = defaultdict(list)
+    for u, t, i, e in rows:
+        by_user[u].append((t, i, e))
+    want = set()
+    for u, rs in by_user.items():
+        rs.sort()
+        k, mid = 0, 0
+        for _, i, e in rs:
+            if preds[k](e):
+                want.add((u, i, names[k], mid))
+                k += 1
+                if k == 3:
+                    k, mid = 0, mid + 1
+    assert got_set == want and len(want) > 0
