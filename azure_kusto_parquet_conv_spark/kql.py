@@ -50,6 +50,8 @@ Supported surface (each line maps to one DataFrame verb):
         exact cube enumeration, wildcard nulls, coverage+specificity)
     | evaluate diffpatterns(split, 'A', 'B' [, min_diff])
         (cohort pattern differencing — root-cause analysis)
+    | evaluate narrow()  ((Row, Column, Value) rotation; serialized
+        row ids when a sort precedes)
     | distinct c1, c2
     | sort by c1 desc, c2 asc     (Kusto default direction: desc)
     | top N by expr  /  top-hitters N of col [by expr]
@@ -73,7 +75,9 @@ tobool/todatetime, bin, bin_at, extract, extract_all, extractjson,
 parse_json/todynamic (dynamic on Spark VARIANT; d.path compiles to
 variant_get), series_sum/avg/min/max, series_fir, series_fill_const/
 forward/backward/linear, series_outliers (Tukey fences), series_seasonal/series_stdev/
-series_pearson_correlation, series_add/subtract/multiply/divide, contains/startswith/endswith/
+series_pearson_correlation, series_add/subtract/multiply/divide,
+series_fit_line_dynamic (least-squares bag), series_decompose_forecast
+(linear trend + periodic-mean seasonal), contains/startswith/endswith/
 has/has_any (term match), in/!in, between (lo .. hi), ==/!=/=~,
 arithmetic, datetime(...) literals, now/ago, format_datetime,
 startof/endof day|week|month|year (Sunday weeks), dayofweek (timespan),
@@ -654,6 +658,91 @@ class _ExprParser:
             return (f"zip_with({a}, {b}, (x, y) -> CASE "
                     f"WHEN CAST(y AS DOUBLE) = 0.0 THEN NULL "
                     f"ELSE CAST(x AS DOUBLE) / CAST(y AS DOUBLE) END)")
+        if fname in ("series_fit_line_dynamic",
+                     "series_decompose_forecast"):
+            # Shared least-squares machinery over the in-row series
+            # (x = 0-based index, non-null points only): pure
+            # higher-order SQL folds, zero shuffles — the in-row twin
+            # of regr_slope/regr_intercept. __fl_ lambda-var prefix so
+            # inlined series expressions can't be shadowed.
+            arr = args[0]
+            wi = (f"zip_with({arr}, sequence(0, size({arr}) - 1), "
+                  f"(__fl_v, __fl_i) -> struct("
+                  f"CAST(__fl_v AS DOUBLE) AS v, "
+                  f"CAST(__fl_i AS DOUBLE) AS i))")
+            pairs = f"filter({wi}, __fl_p -> __fl_p.v IS NOT NULL)"
+
+            def fold(expr):
+                return (f"aggregate({pairs}, CAST(0 AS DOUBLE), "
+                        f"(__fl_a, __fl_e) -> __fl_a + {expr})")
+            n = f"CAST(size({pairs}) AS DOUBLE)"
+            sx, sy = fold("__fl_e.i"), fold("__fl_e.v")
+            sxx, sxy = fold("__fl_e.i * __fl_e.i"), \
+                fold("__fl_e.i * __fl_e.v")
+            syy = fold("__fl_e.v * __fl_e.v")
+            den = f"({n} * {sxx} - {sx} * {sx})"
+            slope = (f"(CASE WHEN {n} < 2 OR {den} = 0 THEN NULL "
+                     f"ELSE ({n} * {sxy} - {sx} * {sy}) / {den} END)")
+            icept = f"(({sy} - {slope} * {sx}) / {n})"
+            if fname == "series_fit_line_dynamic":
+                # Kusto series_fit_line_dynamic: a dynamic bag
+                # {rsquare, slope, variance, rvariance, interception,
+                # line_fit}. Population variance convention (documented
+                # deviation: Kusto does not publish its estimator);
+                # degenerate series (n<2 or zero x-variance) yield null
+                # slope/interception.
+                if len(args) != 1:
+                    raise ValueError(
+                        "KQL: series_fit_line_dynamic(series)")
+                sstot = f"({syy} - {sy} * {sy} / {n})"
+                ssres = fold(
+                    f"(__fl_e.v - ({icept} + {slope} * __fl_e.i)) "
+                    f"* (__fl_e.v - ({icept} + {slope} * __fl_e.i))")
+                rsq = (f"(CASE WHEN {sstot} <= 0 THEN 1.0 "
+                       f"ELSE 1.0 - {ssres} / {sstot} END)")
+                line = (f"transform(sequence(0, size({arr}) - 1), "
+                        f"__fl_j -> {icept} + {slope} * "
+                        f"CAST(__fl_j AS DOUBLE))")
+                obj = (f"named_struct("
+                       f"'rsquare', {rsq}, "
+                       f"'slope', {slope}, "
+                       f"'variance', {sstot} / {n}, "
+                       f"'rvariance', {ssres} / {n}, "
+                       f"'interception', {icept}, "
+                       f"'line_fit', {line})")
+                return f"parse_json(to_json({obj}))"
+            # series_decompose_forecast(series, points[, seasonality]):
+            # linear-trend forecast extended `points` past the observed
+            # range; with a seasonality period the zero-sum per-phase
+            # mean component (series_seasonal's convention) is added
+            # periodically. Documented subset of Kusto's plugin: trend
+            # = least-squares line, seasonal = periodic phase means —
+            # exactly oracle-able, unlike the reference's unpublished
+            # STL variant.
+            if len(args) not in (2, 3):
+                raise ValueError(
+                    "KQL: series_decompose_forecast(series, points"
+                    "[, seasonality])")
+            pts = args[1]
+            total = f"(size({arr}) + CAST({pts} AS INT))"
+            trend = f"({icept} + {slope} * CAST(__df_i AS DOUBLE))"
+            if len(args) == 3:
+                p = args[2]
+                phase = (f"filter({pairs}, __df_q -> "
+                         f"pmod(CAST(__df_q.i AS INT), {p}) "
+                         f"= pmod(__df_i, {p}))")
+                ph_sum = (f"aggregate({phase}, CAST(0 AS DOUBLE), "
+                          f"(__df_a, __df_e) -> __df_a + __df_e.v)")
+                seas = (f"(CASE WHEN size({phase}) = 0 THEN 0.0 "
+                        f"ELSE {ph_sum} / size({phase}) "
+                        f"- {sy} / {n} END)")
+            else:
+                seas = "0.0"
+            # sequence(0, k) DESCENDS for k < 0 (Spark gotcha) — empty
+            # series + zero points must yield an empty array instead
+            return (f"(CASE WHEN {total} < 1 THEN array() "
+                    f"ELSE transform(sequence(0, {total} - 1), "
+                    f"__df_i -> {trend} + {seas}) END)")
         if fname in ("startofday", "startofweek", "startofmonth",
                      "startofyear"):
             if len(args) != 1:
@@ -1831,10 +1920,13 @@ class KqlCompiler:
             return self._autocluster(df, argtext)
         if plugin == "diffpatterns":
             return self._diffpatterns(df, argtext)
+        if plugin == "narrow":
+            return self._narrow(df, argtext)
         if plugin != "bag_unpack":
             raise ValueError(f"KQL: evaluate plugin {plugin!r} not "
-                             f"supported (bag_unpack, pivot and "
-                             f"autocluster are)")
+                             f"supported (bag_unpack, pivot, "
+                             f"autocluster, diffpatterns and narrow "
+                             f"are)")
         col = argtext.strip("` ")
         if dict(df.dtypes).get(col) != "variant":
             raise ValueError(f"KQL: bag_unpack needs a dynamic column, "
@@ -1869,6 +1961,39 @@ class KqlCompiler:
             news.append(c.alias(name))
         keep = [F.col(c) for c in df.columns if c != col]
         return df.select(*keep, *news)
+
+    def _narrow(self, df: DataFrame, argtext: str) -> DataFrame:
+        """``evaluate narrow()``: rotate the table into (Row, Column,
+        Value) triples — input row i becomes one output row per column,
+        Value stringified (complex/dynamic types as JSON) — Kusto's
+        display-unpivot plugin. Row numbering follows the serialized
+        order when a ``sort by`` precedes the plugin (the meaningful
+        Kusto usage: row ids are only defined on a serialized input);
+        without one the ids are partition-ordered and the standard
+        serialized warning fires, mirroring Kusto's own undefined
+        unsorted order."""
+        if argtext.strip():
+            raise ValueError("KQL: evaluate narrow() takes no args")
+        from pyspark.sql import Window
+        if self._order:
+            w = Window.orderBy(*self._order)
+            base = df.withColumn(
+                "Row", (F.row_number().over(w) - 1).cast("long"))
+        else:
+            _warn_global_serialize("evaluate narrow()")
+            base = df.withColumn("Row", F.monotonically_increasing_id())
+
+        def val(c, t):
+            if any(t.startswith(x) for x in
+                   ("array", "map", "struct", "variant")):
+                return F.to_json(F.col(c))
+            return F.col(c).cast("string")
+        pairs = F.array(*[
+            F.struct(F.lit(c).alias("Column"), val(c, t).alias("Value"))
+            for c, t in df.dtypes])
+        return (base.select("Row", F.explode(pairs).alias("__np"))
+                    .select("Row", F.col("__np.Column").alias("Column"),
+                            F.col("__np.Value").alias("Value")))
 
     def _pivot(self, df: DataFrame, argtext: str) -> DataFrame:
         """``evaluate pivot(pivotCol [, agg(x) [, key1, key2, ...]])``:

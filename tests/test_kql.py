@@ -1937,3 +1937,90 @@ def test_scan_property_random_orders(spark, sf_dir, seed):
                 if k == 3:
                     k, mid = 0, mid + 1
     assert got_set == want and len(want) > 0
+
+
+def test_series_fit_line_dynamic_exact_and_nulls(spark, sf_dir):
+    """series_fit_line_dynamic: exact least squares on a perfect line
+    (slope/interception recovered, rsquare 1, line_fit == input), nulls
+    skipped WITHOUT collapsing indices, degenerate series -> nulls."""
+    r = kql(spark, sf_dir, """
+      print y = pack_array(1.0, 3.0, 5.0, 7.0)
+        | extend f = series_fit_line_dynamic(y)
+        | project slope = todouble(f.slope),
+                  icept = todouble(f.interception),
+                  rsq = todouble(f.rsquare),
+                  rvar = todouble(f.rvariance)
+    """).collect()[0]
+    assert (r["slope"], r["icept"], r["rsq"], r["rvar"]) == (2.0, 1.0,
+                                                             1.0, 0.0)
+    # y = 10 - x with the x=1 point missing (make-series leaves a null
+    # bin): indices must stay aligned across the gap
+    r2 = kql(spark, sf_dir, """
+      datatable (ts:datetime, v:real) [
+        datetime(2024-01-01), 10.0,
+        datetime(2024-01-03), 8.0,
+        datetime(2024-01-04), 7.0 ]
+        | make-series y = avg(v) default=null on ts step 1d
+        | extend f = series_fit_line_dynamic(y)
+        | project s = todouble(f.slope), i = todouble(f.interception)
+    """).collect()[0]
+    assert round(r2["s"], 6) == -1.0 and round(r2["i"], 6) == 10.0
+    # single point: no line
+    r3 = kql(spark, sf_dir, """
+      print y = pack_array(5.0)
+        | extend f = series_fit_line_dynamic(y)
+        | project s = todouble(f.slope)
+    """).collect()[0]
+    assert r3["s"] is None
+
+
+def test_series_decompose_forecast_linear_exact(spark, sf_dir):
+    """Linear-trend forecast: a perfect line extends exactly; the
+    seasonal variant adds the zero-sum phase component periodically
+    into the forecast horizon."""
+    r = kql(spark, sf_dir, """
+      print y = pack_array(1.0, 3.0, 5.0, 7.0)
+        | extend fc = series_decompose_forecast(y, 3)
+        | mv-expand v = fc to typeof(real)
+        | summarize vals = make_list(v)
+    """).collect()[0]
+    assert [round(v, 6) for v in r["vals"]] == [1.0, 3.0, 5.0, 7.0,
+                                                9.0, 11.0, 13.0]
+    # seasonal variant: verify against the documented closed form
+    # (least-squares trend on the raw series + zero-sum phase means)
+    y = [11.0, 9.0, 11.0, 9.0, 11.0, 9.0, 11.0, 9.0]
+    n, p = len(y), 2
+    xm, ym = (n - 1) / 2, sum(y) / n
+    sl = (sum((i - xm) * (v - ym) for i, v in enumerate(y))
+          / sum((i - xm) ** 2 for i in range(n)))
+    ic = ym - sl * xm
+    ph = [sum(y[i] for i in range(k, n, p)) / (n // p) - ym
+          for k in range(p)]
+    want = [round(ic + sl * i + ph[i % p], 6) for i in range(n + 2)]
+    r2 = kql(spark, sf_dir, """
+      print y = pack_array(11.0, 9.0, 11.0, 9.0, 11.0, 9.0, 11.0, 9.0)
+        | extend fc = series_decompose_forecast(y, 2, 2)
+        | mv-expand v = fc to typeof(real)
+        | summarize vals = make_list(v)
+    """).collect()[0]
+    assert [round(v, 6) for v in r2["vals"]] == want
+
+
+def test_evaluate_narrow_rotation(spark, sf_dir):
+    """evaluate narrow(): (Row, Column, Value) triples, serialized row
+    ids from the preceding sort, complex values as JSON, and an
+    argument is rejected."""
+    rows = kql(spark, sf_dir, """
+      datatable (k:long, s:string) [2, 'b', 1, 'a']
+        | sort by k asc
+        | evaluate narrow()
+    """).collect()
+    got = sorted((r["Row"], r["Column"], r["Value"]) for r in rows)
+    assert got == [(0, "k", "1"), (0, "s", "a"),
+                   (1, "k", "2"), (1, "s", "b")]
+    arr = kql(spark, sf_dir, """
+      print a = pack_array(1, 2) | sort by 1 asc | evaluate narrow()
+    """).collect()
+    assert any(r["Value"] == "[1,2]" for r in arr)
+    with pytest.raises(ValueError, match="takes no args"):
+        kql(spark, sf_dir, "nation | evaluate narrow(x)")
