@@ -483,6 +483,87 @@ class _ExprParser:
                 raise ValueError("KQL: strcat_array(array, sep)")
             return (f"array_join(transform({args[0]}, "
                     f"v -> CAST(v AS STRING)), {args[1]})")
+        if fname == "split":
+            # KQL split: LITERAL delimiter (Spark's split takes a regex
+            # — \Q..\E-quote it); the 3-arg form returns a one-element
+            # array with the 0-based requested part, empty array past
+            # the end (Kusto's contract)
+            if len(args) not in (2, 3):
+                raise ValueError("KQL: split(source, delimiter[, index])")
+            parts = f"split({args[0]}, concat('\\\\Q', {args[1]}, '\\\\E'))"
+            if len(args) == 2:
+                return parts
+            idx = args[2]
+            return (f"(CASE WHEN size({parts}) > ({idx}) AND ({idx}) >= 0 "
+                    f"THEN array(element_at({parts}, ({idx}) + 1)) "
+                    f"ELSE array() END)")
+        if fname == "translate":
+            # Kusto arg order is (searchList, replacementList, text);
+            # Spark's translate is (text, from, to)
+            if len(args) != 3:
+                raise ValueError(
+                    "KQL: translate(searchList, replacementList, text)")
+            return f"translate({args[2]}, {args[0]}, {args[1]})"
+        if fname == "url_encode":
+            # form-style encoding ('+' for space); hex digits are
+            # uppercase (documented deviation: Kusto emits lowercase)
+            if len(args) != 1:
+                raise ValueError("KQL: url_encode(url)")
+            return f"url_encode({args[0]})"
+        if fname == "url_encode_component":
+            if len(args) != 1:
+                raise ValueError("KQL: url_encode_component(url)")
+            return f"replace(url_encode({args[0]}), '+', '%20')"
+        if fname == "url_decode":
+            if len(args) != 1:
+                raise ValueError("KQL: url_decode(url)")
+            return f"url_decode({args[0]})"
+        if fname == "todecimal":
+            if len(args) != 1:
+                raise ValueError("KQL: todecimal(x)")
+            return f"try_cast({args[0]} AS DECIMAL(38, 18))"
+        if fname in ("binary_and", "binary_or", "binary_xor"):
+            if len(args) != 2:
+                raise ValueError(f"KQL: {fname}(a, b)")
+            op = {"binary_and": "&", "binary_or": "|",
+                  "binary_xor": "^"}[fname]
+            return f"({args[0]} {op} {args[1]})"
+        if fname == "binary_not":
+            if len(args) != 1:
+                raise ValueError("KQL: binary_not(a)")
+            return f"(~({args[0]}))"
+        if fname in ("binary_shift_left", "binary_shift_right"):
+            # 64-bit shifts (CAST keeps Spark's int shift from wrapping
+            # at 32)
+            if len(args) != 2:
+                raise ValueError(f"KQL: {fname}(value, shift)")
+            fn = ("shiftleft" if fname == "binary_shift_left"
+                  else "shiftright")
+            return f"{fn}(CAST({args[0]} AS BIGINT), {args[1]})"
+        if fname == "parse_version":
+            # "a.b.c.d" -> a·10^24 + b·10^16 + c·10^8 + d as
+            # DECIMAL(38,0) (Kusto's comparable normalization; up to 4
+            # numeric parts of <= 8 digits, anything else -> null)
+            if len(args) != 1:
+                raise ValueError("KQL: parse_version(version)")
+            parts = f"split({args[0]}, '\\\\.')"
+
+            def _vp(i):
+                return (f"CAST(coalesce(try_cast(try_element_at("
+                        f"{parts}, {i}) AS BIGINT), 0) AS DECIMAL(38,0))")
+            valid = (f"(size({parts}) BETWEEN 1 AND 4 AND forall({parts},"
+                     f" __pv_x -> try_cast(__pv_x AS BIGINT) IS NOT NULL"
+                     f" AND try_cast(__pv_x AS BIGINT) "
+                     f"BETWEEN 0 AND 99999999))")
+            expr = (f"((({_vp(1)} * 100000000 + {_vp(2)}) * 100000000 "
+                    f"+ {_vp(3)}) * 100000000 + {_vp(4)})")
+            return (f"(CASE WHEN {valid} "
+                    f"THEN CAST({expr} AS DECIMAL(38,0)) ELSE NULL END)")
+        if fname in ("parse_ipv4", "parse_ipv4_mask", "ipv4_is_private",
+                     "ipv4_is_in_range"):
+            return self._ipv4_fn(fname, args)
+        if fname in ("datetime_add", "datetime_diff"):
+            return self._datetime_math(fname, args)
         if fname == "series_fir":
             # trailing moving average of width k over the series array;
             # index-aware transform + slice keep it JVM-side
@@ -927,6 +1008,133 @@ class _ExprParser:
             return f"var_samp({args[0]})"
         mapped = _FN_RENAME.get(fname, fname)
         return f"{mapped}({', '.join(args)})"
+
+    @staticmethod
+    def _ipv4_num(ip: str) -> tuple[str, str]:
+        """(validity predicate, numeric value) for a dotted-quad string
+        expression (the part BEFORE any '/prefix' suffix)."""
+        addr = f"split_part({ip}, '/', 1)"
+        parts = f"split({addr}, '\\\\.')"
+
+        def o(i):
+            return (f"CAST(coalesce(try_cast(try_element_at({parts}, "
+                    f"{i}) AS INT), 0) AS BIGINT)")
+        valid = (f"(size({parts}) = 4 AND forall({parts}, __ip_x -> "
+                 f"try_cast(__ip_x AS INT) BETWEEN 0 AND 255))")
+        num = (f"((({o(1)} * 256 + {o(2)}) * 256 + {o(3)}) * 256 "
+               f"+ {o(4)})")
+        return valid, num
+
+    def _ipv4_fn(self, fname: str, args: list[str]) -> str:
+        """IPv4 family: dotted-quad parse to a BIGINT, prefix masks, RFC
+        1918 private ranges, CIDR containment — all pure JVM integer
+        expressions (the standard log-curation predicates). Invalid
+        addresses yield null (try_cast guards, ANSI-safe)."""
+        if fname == "parse_ipv4":
+            if len(args) != 1:
+                raise ValueError("KQL: parse_ipv4(ip)")
+            ip = args[0]
+            valid, num = self._ipv4_num(ip)
+            # an 'a.b.c.d/p' input is masked to its network address
+            # (Kusto's behavior); a plain address keeps /32
+            pfx = (f"coalesce(try_cast(nullif(split_part({ip}, '/', 2),"
+                   f" '') AS INT), 32)")
+            masked = (f"({num} & ~(shiftleft(CAST(1 AS BIGINT), "
+                      f"32 - {pfx}) - 1))")
+            return (f"(CASE WHEN {valid} AND {pfx} BETWEEN 0 AND 32 "
+                    f"THEN {masked} ELSE NULL END)")
+        if fname == "parse_ipv4_mask":
+            if len(args) != 2:
+                raise ValueError("KQL: parse_ipv4_mask(ip, prefix)")
+            ip, pfx = args
+            valid, num = self._ipv4_num(ip)
+            masked = (f"({num} & ~(shiftleft(CAST(1 AS BIGINT), "
+                      f"32 - ({pfx})) - 1))")
+            return (f"(CASE WHEN {valid} AND ({pfx}) BETWEEN 0 AND 32 "
+                    f"THEN {masked} ELSE NULL END)")
+        if fname == "ipv4_is_private":
+            if len(args) != 1:
+                raise ValueError("KQL: ipv4_is_private(ip)")
+            valid, num = self._ipv4_num(args[0])
+            # 10.0.0.0/8, 172.16.0.0/12, 192.168.0.0/16
+            return (f"(CASE WHEN {valid} THEN "
+                    f"({num} BETWEEN 167772160 AND 184549375) "
+                    f"OR ({num} BETWEEN 2886729728 AND 2887778303) "
+                    f"OR ({num} BETWEEN 3232235520 AND 3232301055) "
+                    f"ELSE NULL END)")
+        # ipv4_is_in_range(ip, 'net/prefix' | exact ip)
+        if len(args) != 2:
+            raise ValueError("KQL: ipv4_is_in_range(ip, range)")
+        ip, rng = args
+        v1, n1 = self._ipv4_num(ip)
+        v2, n2 = self._ipv4_num(rng)
+        pfx = (f"coalesce(try_cast(nullif(split_part({rng}, '/', 2), '')"
+               f" AS INT), 32)")
+        return (f"(CASE WHEN {v1} AND {v2} AND {pfx} BETWEEN 0 AND 32 "
+                f"THEN shiftright({n1}, 32 - {pfx}) "
+                f"= shiftright({n2}, 32 - {pfx}) ELSE NULL END)")
+
+    def _datetime_math(self, fname: str, args: list[str]) -> str:
+        """datetime_add / datetime_diff with Kusto's period names.
+        datetime_diff counts BOUNDARY crossings (calendar parts via
+        year/month arithmetic, week boundaries on Kusto's Sunday weeks,
+        sub-day parts via epoch integer division — exact for post-epoch
+        timestamps, the domain of every fixture and of log data)."""
+        m = re.fullmatch(r"\s*'(\w+)'\s*", args[0] or "")
+        if not m:
+            raise ValueError(
+                f"KQL: {fname} needs a literal period name, got "
+                f"{args[0]!r}")
+        part = m.group(1).lower()
+        if fname == "datetime_add":
+            if len(args) != 3:
+                raise ValueError("KQL: datetime_add(period, amount, dt)")
+            a, dt = args[1], args[2]
+            secs = ("CAST(({a}) / 1000.0 AS DECIMAL(18, 6))"
+                    if part == "millisecond" else
+                    "CAST(({a}) / 1000000.0 AS DECIMAL(18, 6))")
+            iv = {
+                "year": "make_interval({a}, 0, 0, 0, 0, 0, 0)",
+                "quarter": "make_interval(0, 3 * ({a}), 0, 0, 0, 0, 0)",
+                "month": "make_interval(0, {a}, 0, 0, 0, 0, 0)",
+                "week": "make_interval(0, 0, {a}, 0, 0, 0, 0)",
+                "day": "make_interval(0, 0, 0, {a}, 0, 0, 0)",
+                "hour": "make_interval(0, 0, 0, 0, {a}, 0, 0)",
+                "minute": "make_interval(0, 0, 0, 0, 0, {a}, 0)",
+                "second": "make_interval(0, 0, 0, 0, 0, 0, {a})",
+                "millisecond": f"make_interval(0, 0, 0, 0, 0, 0, {secs})",
+                "microsecond": f"make_interval(0, 0, 0, 0, 0, 0, {secs})",
+            }.get(part)
+            if iv is None:
+                raise ValueError(
+                    f"KQL: datetime_add period {part!r} not supported")
+            return f"({dt} + {iv.format(a=a)})"
+        if len(args) != 3:
+            raise ValueError("KQL: datetime_diff(period, dt1, dt2)")
+        d1, d2 = args[1], args[2]
+        if part == "year":
+            return f"(year({d1}) - year({d2}))"
+        if part == "quarter":
+            return (f"((year({d1}) * 4 + quarter({d1})) "
+                    f"- (year({d2}) * 4 + quarter({d2})))")
+        if part == "month":
+            return (f"((year({d1}) * 12 + month({d1})) "
+                    f"- (year({d2}) * 12 + month({d2})))")
+        if part == "week":
+            def sow(d):
+                return (f"(date_trunc('WEEK', {d} + INTERVAL 1 DAY) "
+                        f"- INTERVAL 1 DAY)")
+            return f"(datediff({sow(d1)}, {sow(d2)}) div 7)"
+        if part == "day":
+            return f"datediff(CAST({d1} AS DATE), CAST({d2} AS DATE))"
+        us = {"hour": 3600000000, "minute": 60000000,
+              "second": 1000000, "millisecond": 1000,
+              "microsecond": 1}.get(part)
+        if us is None:
+            raise ValueError(
+                f"KQL: datetime_diff period {part!r} not supported")
+        return (f"((unix_micros({d1}) div {us}) "
+                f"- (unix_micros({d2}) div {us}))")
 
     def _infix(self, lhs: str, t: Tok, bp: int) -> str:
         low = t.text.lower()

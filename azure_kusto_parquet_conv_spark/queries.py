@@ -4792,6 +4792,123 @@ def q_kql_narrow(spark, sf_dir):
     """)
 
 
+#: curated IPv4 fixtures: valid, masked, private/public, malformed
+_IPV4_FIXTURES: list[str] = [
+    "192.168.1.5", "10.1.2.3", "172.20.0.1", "172.32.0.1", "8.8.8.8",
+    "10.1.255.255", "10.2.0.0", "255.255.255.255", "0.0.0.0",
+    "192.168.1.5/24", "256.1.1.1", "1.2.3", "a.b.c.d", "1.2.3.4.5",
+]
+
+
+@query("q_kql_ipv4", """
+WITH u(ip) AS (VALUES {values}),
+p AS (SELECT ip,
+             string_split(split_part(ip, '/', 1), '.') AS parts,
+             TRY_CAST(NULLIF(split_part(ip, '/', 2), '') AS INT) AS pfx
+      FROM u),
+v AS (SELECT ip,
+             (len(parts) = 4 AND
+              NOT EXISTS (SELECT 1 FROM unnest(parts) AS t(x)
+                          WHERE TRY_CAST(x AS INT) IS NULL
+                             OR TRY_CAST(x AS INT) NOT BETWEEN 0 AND 255)
+             ) AND COALESCE(pfx BETWEEN 0 AND 32, TRUE) AS ok,
+             COALESCE(pfx, 32) AS pfx,
+             ((COALESCE(TRY_CAST(parts[1] AS BIGINT), 0) * 256
+               + COALESCE(TRY_CAST(parts[2] AS BIGINT), 0)) * 256
+               + COALESCE(TRY_CAST(parts[3] AS BIGINT), 0)) * 256
+               + COALESCE(TRY_CAST(parts[4] AS BIGINT), 0) AS num
+      FROM p)
+SELECT ip,
+       CASE WHEN ok THEN num - (num % (1::BIGINT << (32 - pfx)))
+            END AS n,
+       CASE WHEN ok THEN CAST(
+         (num BETWEEN 167772160 AND 184549375)
+         OR (num BETWEEN 2886729728 AND 2887778303)
+         OR (num BETWEEN 3232235520 AND 3232301055) AS VARCHAR)
+       END AS priv,
+       CASE WHEN ok THEN CAST(num // (1::BIGINT << 16) = 2561
+                              AS VARCHAR) END AS in16
+FROM v
+""".replace("{values}", ", ".join(f"('{u}')" for u in _IPV4_FIXTURES)))
+def q_kql_ipv4(spark, sf_dir):
+    """IPv4 parsing/masking/classification over curated fixtures (valid
+    quads, CIDR-masked, RFC-1918 boundaries, malformed strings): the
+    standard log-curation predicates as pure JVM integer expressions.
+    The DuckDB twin re-derives every value with independent string/
+    integer arithmetic (in16 checks containment in 10.1.0.0/16 via
+    floor division: 10.1.0.0 >> 16 = 2561); booleans are
+    stringified so null-vs-NaN canonicalization cannot diverge."""
+    from azure_kusto_parquet_conv_spark.kql import kql
+    cells = ", ".join(f"'{u}'" for u in _IPV4_FIXTURES)
+    return kql(spark, sf_dir, f"""
+      datatable (ip:string) [{cells}]
+        | project ip, n = parse_ipv4(ip),
+                  priv = tostring(ipv4_is_private(ip)),
+                  in16 = tostring(ipv4_is_in_range(ip, '10.1.0.0/16'))
+    """)
+
+
+@query("q_kql_datetime_math", """
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(ts AS TIMESTAMP) + INTERVAL 3 DAY AS day3,
+       CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000
+            - epoch_us(TIMESTAMP '2024-01-01') // 3600000000
+            AS BIGINT) AS hb,
+       CAST((EXTRACT(year FROM ts) * 12 + EXTRACT(month FROM ts))
+            - (2024 * 12 + 1) AS BIGINT) AS mb
+FROM events WHERE event_id % 37 = 0
+""")
+def q_kql_datetime_math(spark, sf_dir):
+    """datetime_add / datetime_diff boundary semantics over real event
+    timestamps: +3 days, hour-boundary and month-boundary distances
+    from a fixed anchor — the DuckDB twin recomputes the boundaries
+    with epoch integer division and calendar extraction."""
+    from azure_kusto_parquet_conv_spark.kql import kql
+    return kql(spark, sf_dir, """
+      events
+        | where event_id % 37 == 0
+        | project event_id,
+                  day3 = datetime_add('day', 3, ts),
+                  hb = datetime_diff('hour', ts, datetime(2024-01-01)),
+                  mb = datetime_diff('month', ts, datetime(2024-01-01))
+    """)
+
+
+@query("q_kql_split_version", """
+WITH v(s) AS (VALUES ('1.2.3.4'), ('10.0'), ('2.0.0'), ('0.9.1'),
+                     ('7'), ('1.x'), ('') ),
+p AS (SELECT s, string_split(s, '.') AS parts FROM v),
+c AS (SELECT s, parts,
+             (len(parts) BETWEEN 1 AND 4 AND
+              NOT EXISTS (SELECT 1 FROM unnest(parts) AS t(x)
+                          WHERE TRY_CAST(x AS BIGINT) IS NULL
+                             OR TRY_CAST(x AS BIGINT)
+                                NOT BETWEEN 0 AND 99999999)) AS ok
+      FROM p)
+SELECT s,
+       CASE WHEN ok THEN CAST(
+         ((COALESCE(TRY_CAST(parts[1] AS HUGEINT), 0) * 100000000
+           + COALESCE(TRY_CAST(parts[2] AS HUGEINT), 0)) * 100000000
+           + COALESCE(TRY_CAST(parts[3] AS HUGEINT), 0)) * 100000000
+           + COALESCE(TRY_CAST(parts[4] AS HUGEINT), 0) AS VARCHAR)
+       END AS pv,
+       CASE WHEN len(parts) >= 2 THEN parts[2] ELSE '' END AS second
+FROM c
+""")
+def q_kql_split_version(spark, sf_dir):
+    """split (literal delimiter, indexed form) + parse_version's
+    comparable DECIMAL(38,0) normalization over curated version
+    strings, rendered as digits so the hash gate compares exactly; the
+    DuckDB twin rebuilds the 10^8-radix value on HUGEINT."""
+    from azure_kusto_parquet_conv_spark.kql import kql
+    return kql(spark, sf_dir, """
+      datatable (s:string) ['1.2.3.4', '10.0', '2.0.0', '0.9.1',
+                            '7', '1.x', '']
+        | project s, pv = tostring(parse_version(s)),
+                  second = strcat_array(split(s, '.', 1), '')
+    """)
+
+
 #: Genuine media files constructed OUTSIDE the engine (r5 verdict
 #: demand #6 — the parse path must see bytes it did not build): PNGs
 #: written by an independent struct+zlib encoder (real IDAT payloads,
@@ -4971,7 +5088,9 @@ DRIVER_WINDOW = [
 
 # Round-7 rotation candidates (the final oracled residue after r6):
 # q_group_concat, q_date_parts (deferred from the r6 window for space),
-# plus any new-in-r6 oracled entries without a driver row yet, plus the
+# the new-in-r6 oracled entries (q_kql_series_forecast, q_kql_narrow,
+# q_kql_ipv4, q_kql_datetime_math, q_kql_split_version,
+# q_media_real_headers, q_url_dedup_real), plus the
 # rows-only families for the weaker rows-only driver check
 # (q_kql_scan_funnel, q_kql_hll_reagg, q_dedup_incremental,
 # q_knn_ivf/pq/lsh, q_dedup_simhash/embedding/clusters,

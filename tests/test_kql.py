@@ -2024,3 +2024,63 @@ def test_evaluate_narrow_rotation(spark, sf_dir):
     assert any(r["Value"] == "[1,2]" for r in arr)
     with pytest.raises(ValueError, match="takes no args"):
         kql(spark, sf_dir, "nation | evaluate narrow(x)")
+
+
+def test_scalar_fn_batch_r6(spark, sf_dir):
+    """round-6 scalar surface: split (literal delimiter, 3-arg contract),
+    translate (Kusto arg order), url_encode/component/decode, binary
+    bit ops (64-bit shifts), parse_version normalization,
+    IPv4 family, datetime_add/datetime_diff boundary semantics."""
+    r = kql(spark, sf_dir, """
+      print s = 'a|b|c'
+        | extend parts = split(s, '|'),
+                 one = strcat_array(split(s, '|', 1), ''),
+                 oob = array_length(split(s, '|', 9)),
+                 tr = translate('abc', 'xyz', 'aabbcc'),
+                 ue = url_encode('a b/c'),
+                 uc = url_encode_component('a b/c'),
+                 ud = url_decode('a%20b%2Fc'),
+                 bsl = binary_shift_left(1, 33),
+                 pv = tostring(parse_version('1.2.3.4')),
+                 pvpad = tostring(parse_version('10.0')),
+                 pvbad = parse_version('1.x'),
+                 ip = parse_ipv4('192.168.1.5'),
+                 ipm = parse_ipv4('192.168.1.5/24'),
+                 ipm2 = parse_ipv4_mask('10.1.2.3', 16),
+                 ipbad = parse_ipv4('256.1.1.1'),
+                 priv = ipv4_is_private('172.20.0.1'),
+                 pub = ipv4_is_private('172.32.0.1'),
+                 inr = ipv4_is_in_range('10.1.2.3', '10.1.0.0/16'),
+                 outr = ipv4_is_in_range('10.2.2.3', '10.1.0.0/16')
+    """).collect()[0]
+    assert r["parts"] == ["a", "b", "c"] and r["one"] == "b"
+    assert r["oob"] == 0
+    assert r["tr"] == "xxyyzz"
+    assert (r["ue"], r["uc"], r["ud"]) == ("a+b%2Fc", "a%20b%2Fc",
+                                           "a b/c")
+    assert r["bsl"] == 2 ** 33  # no 32-bit wrap
+    assert r["pv"] == "1000000020000000300000004"
+    assert r["pvpad"] == "10000000000000000000000000"
+    assert r["pvbad"] is None
+    assert (r["ip"], r["ipm"], r["ipm2"]) == (3232235781, 3232235776,
+                                              167837696)
+    assert r["ipbad"] is None
+    assert (r["priv"], r["pub"]) == (True, False)
+    assert (r["inr"], r["outr"]) == (True, False)
+    d = kql(spark, sf_dir, """
+      print x = 1
+        | extend dm = datetime_add('month', 1, datetime(2024-01-31)),
+                 dy = datetime_diff('year', datetime(2024-01-01),
+                                    datetime(2023-12-31)),
+                 dh = datetime_diff('hour', datetime(2024-01-01 05:59:00),
+                                    datetime(2024-01-01 04:01:00)),
+                 dw = datetime_diff('week', datetime(2024-01-07),
+                                    datetime(2024-01-06)),
+                 dneg = datetime_diff('day', datetime(2024-01-01),
+                                      datetime(2024-01-03))
+    """).collect()[0]
+    assert str(d["dm"]).startswith("2024-02-29")  # clamped month add
+    assert (d["dy"], d["dh"], d["dw"], d["dneg"]) == (1, 1, 1, -2)
+    with pytest.raises(ValueError, match="literal period"):
+        kql(spark, sf_dir,
+            "print x = 1 | extend y = datetime_diff(x, now(), now())")
