@@ -364,11 +364,13 @@ class _ExprParser:
                 return f"substr({s}, ({start}) + 1, {args[2]})"
             return f"substr({s}, ({start}) + 1)"
         if fname == "toint":
-            return f"CAST({args[0]} AS INT)"
+            # Kusto to*() conversions return NULL on unconvertible
+            # input; plain CAST under Spark ANSI mode would error
+            return f"try_cast({args[0]} AS INT)"
         if fname == "tolong":
-            return f"CAST({args[0]} AS BIGINT)"
+            return f"try_cast({args[0]} AS BIGINT)"
         if fname == "todouble":
-            return f"CAST({args[0]} AS DOUBLE)"
+            return f"try_cast({args[0]} AS DOUBLE)"
         if fname == "tostring":
             return f"CAST({args[0]} AS STRING)"
         if fname == "count":
@@ -890,11 +892,12 @@ class _ExprParser:
                 raise ValueError(f"KQL: {fname}(text) takes 1 arg")
             return f"parse_json(CAST({args[0]} AS STRING))"
         if fname == "todatetime":
-            return f"CAST({args[0]} AS TIMESTAMP)"
+            # null on unparseable input, per Kusto (ANSI CAST errors)
+            return f"try_cast({args[0]} AS TIMESTAMP)"
         if fname == "tobool":
-            return f"CAST({args[0]} AS BOOLEAN)"
+            return f"try_cast({args[0]} AS BOOLEAN)"
         if fname == "toreal":
-            return f"CAST({args[0]} AS DOUBLE)"
+            return f"try_cast({args[0]} AS DOUBLE)"
         if fname == "now":
             return "current_timestamp()"
         if fname == "ago":
@@ -1864,6 +1867,55 @@ class KqlCompiler:
                                            self._partition_sql)
                 mcs = re.match(r"row_cumsum\s*\((.*)\)\s*$", sql.strip(),
                                re.DOTALL)
+                mrr = re.match(r"row_rank_(dense|min)\s*\((.*)\)\s*$",
+                               sql.strip(), re.DOTALL)
+                if mrr:
+                    # Kusto row_rank_dense / row_rank_min: serialized
+                    # RUN-based ranks — dense starts at 1 and advances
+                    # whenever Term changes vs the previous row;
+                    # min is the first row number of the current run of
+                    # equal Term values. On input sorted by Term these
+                    # coincide with classic DENSE_RANK / RANK. Null-safe
+                    # change detection (<=>).
+                    if self._order is None:
+                        raise ValueError(
+                            f"KQL: row_rank_{mrr.group(1)}() needs a "
+                            "preceding 'sort by' (serialized order)")
+                    from pyspark.sql import Window
+                    term = F.expr(mrr.group(2))
+                    if self._partition:
+                        w = Window.partitionBy(*self._partition) \
+                                  .orderBy(*self._order)
+                    else:
+                        _warn_global_serialize(
+                            f"row_rank_{mrr.group(1)}()")
+                        w = Window.orderBy(*self._order)
+                    # first row is always a change (rank starts at 1,
+                    # even for a null Term — lag of a constant detects
+                    # the window start null-safely)
+                    chg = F.when(
+                        F.lag(F.lit(1), 1).over(w).isNull(), F.lit(1)
+                    ).when(
+                        F.lag(term, 1).over(w).eqNullSafe(term),
+                        F.lit(0)).otherwise(F.lit(1))
+                    wrun = w.rowsBetween(Window.unboundedPreceding,
+                                         Window.currentRow)
+                    dense = F.sum(chg).over(wrun).cast("long")
+                    if mrr.group(1) == "dense":
+                        df = df.withColumn(name, dense)
+                    else:
+                        df = df.withColumn("__rr_run", dense) \
+                               .withColumn("__rr_rn",
+                                           F.row_number().over(w))
+                        wmin = Window.partitionBy(
+                            *(list(self._partition or [])
+                              + [F.col("__rr_run")]))
+                        df = (df.withColumn(
+                                  name,
+                                  F.min("__rr_rn").over(wmin)
+                                   .cast("long"))
+                                .drop("__rr_run", "__rr_rn"))
+                    continue
                 if sql.strip() == "row_number()" or mcs:
                     what = "row_cumsum()" if mcs else "row_number()"
                     if self._order is None:

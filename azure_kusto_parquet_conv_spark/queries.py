@@ -4792,6 +4792,29 @@ def q_kql_narrow(spark, sf_dir):
     """)
 
 
+@query("q_kql_row_rank", """
+SELECT CAST(event_id AS BIGINT) AS event_id, event_type,
+       CAST(dense_rank() OVER (ORDER BY event_type) AS BIGINT) AS rd,
+       CAST(rank() OVER (ORDER BY event_type) AS BIGINT) AS rm
+FROM events WHERE event_id % 211 = 0
+""")
+def q_kql_row_rank(spark, sf_dir):
+    """row_rank_dense / row_rank_min over input SERIALIZED by the rank
+    term (where Kusto's run-based ranks coincide with classic
+    DENSE_RANK / RANK — the DuckDB twin): dense advances on term
+    changes, min is the first row number of each run. The unsorted
+    run-based semantics are pinned separately in test_kql.py."""
+    from azure_kusto_parquet_conv_spark.kql import kql
+    return kql(spark, sf_dir, """
+      events
+        | where event_id % 211 == 0
+        | sort by event_type asc, event_id asc
+        | extend rd = row_rank_dense(event_type),
+                 rm = row_rank_min(event_type)
+        | project event_id, event_type, rd, rm
+    """)
+
+
 #: curated IPv4 fixtures: valid, masked, private/public, malformed
 _IPV4_FIXTURES: list[str] = [
     "192.168.1.5", "10.1.2.3", "172.20.0.1", "172.32.0.1", "8.8.8.8",
@@ -5090,7 +5113,7 @@ DRIVER_WINDOW = [
 # q_group_concat, q_date_parts (deferred from the r6 window for space),
 # the new-in-r6 oracled entries (q_kql_series_forecast, q_kql_narrow,
 # q_kql_ipv4, q_kql_datetime_math, q_kql_split_version,
-# q_media_real_headers, q_url_dedup_real), plus the
+# q_kql_row_rank, q_media_real_headers, q_url_dedup_real), plus the
 # rows-only families for the weaker rows-only driver check
 # (q_kql_scan_funnel, q_kql_hll_reagg, q_dedup_incremental,
 # q_knn_ivf/pq/lsh, q_dedup_simhash/embedding/clusters,

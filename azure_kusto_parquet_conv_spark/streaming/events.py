@@ -114,6 +114,27 @@ def windowed_counts(events: DataFrame, window: str = "1 hour",
                     "event_type", "n", "sum_value"))
 
 
+def windowed_distinct_users(events: DataFrame, window: str = "1 hour",
+                            watermark: str = "2 hours") -> DataFrame:
+    """Tumbling-window DISTINCT-user counts on an unbounded stream via
+    mergeable HLL sketches (Datasketches `hll_sketch_agg`): exact
+    streaming distinct needs per-user state that grows without bound;
+    the sketch keeps per-window state at a fixed few KB and merges
+    associatively — the same re-aggregation algebra as the batch
+    `hll()/hll_merge()` KQL surface, so stream estimates EQUAL batch
+    estimates on the same data (pinned in test_streaming.py). The
+    100 TB/day story: per-window sketch partials merge map-side, state
+    = windows x 1 sketch."""
+    return (events
+            .withWatermark("ts", watermark)
+            .groupBy(F.window("ts", window).alias("w"))
+            .agg(F.expr("hll_sketch_agg(user_id)").alias("sk"),
+                 F.count("*").alias("n"))
+            .select(F.unix_millis("w.start").alias("window_start_ms"),
+                    F.expr("hll_sketch_estimate(sk)").alias("dusers"),
+                    "n"))
+
+
 SESSION_OUTPUT_SCHEMA = StructType([
     StructField("user_id", LongType()),
     StructField("session_start_us", LongType()),

@@ -2084,3 +2084,54 @@ def test_scalar_fn_batch_r6(spark, sf_dir):
     with pytest.raises(ValueError, match="literal period"):
         kql(spark, sf_dir,
             "print x = 1 | extend y = datetime_diff(x, now(), now())")
+
+
+def test_row_rank_dense_and_min(spark, sf_dir):
+    """row_rank_dense / row_rank_min: serialized run-based ranks —
+    dense advances on Term changes (null-safe; rank starts at 1 even
+    for a leading null), min is the first row number of the run;
+    partition-by scopes both; both require serialized order."""
+    rows = kql(spark, sf_dir, """
+      datatable (id:long, t:string) [
+        1,'a', 2,'a', 3,'b', 4,'b', 5,'a', 6,'c']
+        | sort by id asc
+        | extend rd = row_rank_dense(t), rm = row_rank_min(t)
+    """).collect()
+    assert sorted((r["id"], r["rd"], r["rm"]) for r in rows) == [
+        (1, 1, 1), (2, 1, 1), (3, 2, 3), (4, 2, 3), (5, 3, 5),
+        (6, 4, 6)]
+    # leading null Term still ranks 1; null==null is not a change
+    rows = kql(spark, sf_dir, """
+      datatable (id:long, v:real) [1, 0.0, 2, 0.0, 3, 1.0]
+        | extend t = iff(v == 0.0, tostring(v), tostring(todouble('')))
+        | sort by id asc
+        | extend rd = row_rank_dense(t)
+    """).collect()
+    assert sorted((r["id"], r["rd"]) for r in rows) == [
+        (1, 1), (2, 1), (3, 2)]
+    with pytest.raises(ValueError, match="sort by"):
+        kql(spark, sf_dir,
+            "datatable (x:long) [1] | extend r = row_rank_dense(x)")
+    rows = kql(spark, sf_dir, """
+      datatable (g:long, id:long, t:string) [
+        1,1,'a', 1,2,'a', 1,3,'b', 2,1,'x', 2,2,'x']
+        | partition by g (
+            sort by id asc
+            | extend rd = row_rank_dense(t), rm = row_rank_min(t) )
+    """).collect()
+    assert sorted((r["g"], r["id"], r["rd"], r["rm"]) for r in rows) \
+        == [(1, 1, 1, 1), (1, 2, 1, 1), (1, 3, 2, 3),
+            (2, 1, 1, 1), (2, 2, 1, 1)]
+
+
+def test_conversion_fns_null_on_invalid(spark, sf_dir):
+    """Kusto to*() conversions return null on unconvertible input —
+    plain ANSI CAST would kill the query (r6 parity fix)."""
+    r = kql(spark, sf_dir, """
+      print x = 1
+        | extend a = toint('abc'), b = tolong(''), c = todouble('x'),
+                 d = todatetime('not a date'), e = tobool('maybe'),
+                 f = toint('7'), g = todouble('2.5')
+    """).collect()[0]
+    assert (r["a"], r["b"], r["c"], r["d"], r["e"]) == (None,) * 5
+    assert (r["f"], r["g"]) == (7, 2.5)

@@ -564,3 +564,43 @@ def test_scan_stream_drops_late_rows(spark, tmp_path):
     # signup->click sequence exists at all
     assert all(r["event_id"] != 3 for r in rows)
     assert rows == []
+
+
+def test_windowed_distinct_users_matches_batch_sketch(spark, sf_dir,
+                                                      stream_dir):
+    """Streaming HLL distinct-user windows == the batch sketch over the
+    same data: the sketch algebra is merge-associative, so incremental
+    per-micro-batch merging lands on the IDENTICAL estimate (not just
+    within tolerance), and the estimate is within 2% of exact."""
+    from azure_kusto_parquet_conv_spark.streaming.events import (
+        read_events_stream, windowed_distinct_users)
+
+    ev = read_events_stream(spark, stream_dir)
+    q = (windowed_distinct_users(ev, window="1 day",
+                                 watermark="10 seconds")
+         .writeStream.format("memory").queryName("wdu")
+         .outputMode("append").start())
+    drain(q)
+    got = {(r["window_start_ms"], r["dusers"], r["n"])
+           for r in spark.sql("select * from wdu").collect()}
+
+    from azure_kusto_parquet_conv_spark.sources.parquet import load_table
+    b = load_table(spark, sf_dir, "events")
+    want = {(r["window_start_ms"], r["dusers"], r["n"]) for r in
+            (b.groupBy(F.window("ts", "1 day").alias("w"))
+              .agg(F.expr("hll_sketch_estimate(hll_sketch_agg(user_id))")
+                    .alias("dusers"), F.count("*").alias("n"))
+              .select(F.unix_millis("w.start").alias("window_start_ms"),
+                      "dusers", "n")).collect()}
+    # append mode only emits windows the watermark has passed — the
+    # trailing window(s) stay open with no further input, so the stream
+    # set is a prefix of the batch set
+    assert len(got) > 0 and got <= want
+    assert len(got) >= len(want) - 2
+    exact = {r["window_start_ms"]: r["d"] for r in
+             (b.groupBy(F.window("ts", "1 day").alias("w"))
+               .agg(F.countDistinct("user_id").alias("d"))
+               .select(F.unix_millis("w.start").alias("window_start_ms"),
+                       "d")).collect()}
+    for wstart, est, _ in got:
+        assert abs(est - exact[wstart]) <= max(2, 0.02 * exact[wstart])
