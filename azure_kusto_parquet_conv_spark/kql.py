@@ -68,6 +68,8 @@ Supported surface (each line maps to one DataFrame verb):
         (subpipeline) on key / on $left.a == $right.b
     | lookup [kind=...] (dim) on key
     | union [kind=...] [withsource=col] T2, ...
+Sources: table | datatable(...) | print | range | externaldata(...)
+    | find [withsource=col] in (T1, T2, ...) where pred
     | as name   /   render <charttype>
 Scalar fns: strlen, tolower, toupper, substring (0-based, KQL-style),
 strcat, strcat_delim, iff/iif, case, toint/tolong/todouble/tostring/
@@ -186,6 +188,13 @@ _NUM_LIT_RE = re.compile(r"-?\s*\d+(?:\.\d+)?(?:[eE][+-]?\d+)?$")
 _STRINGY_FN_RE = re.compile(
     r"\b(strcat|substring|substr|tostring|toupper|tolower|trim|trim_start"
     r"|trim_end|replace_string|extract|concat)\s*\(", re.IGNORECASE)
+
+
+def _str_if_variant(e: str) -> str:
+    """Cast a variant path to STRING for string-operator contexts
+    (lower/contains/term-split fail analysis on raw VARIANT)."""
+    return (f"CAST({e} AS STRING)"
+            if e.lstrip("(").startswith("variant_get(") else e)
 
 
 def _coerce_variant_cmp(lhs: str, rhs: str,
@@ -930,9 +939,13 @@ class _ExprParser:
             if len(args) != 2:
                 raise ValueError("KQL: strrep(text, n)")
             return f"repeat({args[0]}, {args[1]})"
-        if fname in ("getyear", "getmonth", "dayofmonth", "hourofday"):
+        if fname in ("getyear", "getmonth", "dayofmonth", "hourofday",
+                     "monthofyear", "dayofyear", "week_of_year"):
             fn = {"getyear": "year", "getmonth": "month",
-                  "dayofmonth": "day", "hourofday": "hour"}[fname]
+                  "dayofmonth": "day", "hourofday": "hour",
+                  "monthofyear": "month", "dayofyear": "dayofyear",
+                  # ISO 8601 weeks on both sides
+                  "week_of_year": "weekofyear"}[fname]
             return f"{fn}({args[0]})"
         if fname in ("endofday", "endofweek", "endofmonth", "endofyear"):
             if len(args) != 1:
@@ -1150,7 +1163,9 @@ class _ExprParser:
             lhs, rhs = _coerce_variant_cmp(lhs, rhs, self.df)
             return f"({lhs} {_CMP[t.text]} {rhs})"
         if low == "=~":
-            return f"(lower({lhs}) = lower({self.parse(bp + 1)}))"
+            lhs = _str_if_variant(lhs)
+            rhs = _str_if_variant(self.parse(bp + 1))
+            return f"(lower({lhs}) = lower({rhs}))"
         if low in ("in", "!in"):
             self.expect("(")
             items = [self.parse(0)]
@@ -1159,6 +1174,9 @@ class _ExprParser:
                 items.append(self.parse(0))
             self.expect(")")
             neg = "NOT " if low == "!in" else ""
+            # a variant path on the left takes the list's type (same
+            # loose-compare coercion as binary comparisons)
+            lhs, _ = _coerce_variant_cmp(lhs, items[0], self.df)
             return f"({lhs} {neg}IN ({', '.join(items)}))"
         if low == "between":
             # KQL range: x between (lo .. hi), inclusive both ends
@@ -1168,15 +1186,20 @@ class _ExprParser:
             self.expect(".")
             hi = self.parse(0)
             self.expect(")")
+            lhs, _ = _coerce_variant_cmp(lhs, lo, self.df)
             return f"({lhs} BETWEEN {lo} AND {hi})"
         if low == "contains":
+            lhs = _str_if_variant(lhs)
             return f"(contains(lower({lhs}), lower({self.parse(bp + 1)})))"
         if low == "startswith":
+            lhs = _str_if_variant(lhs)
             return f"(startswith(lower({lhs}), lower({self.parse(bp + 1)})))"
         if low == "endswith":
+            lhs = _str_if_variant(lhs)
             return f"(endswith(lower({lhs}), lower({self.parse(bp + 1)})))"
         if low == "has":
             # KQL 'has' is a whole-term match, not substring
+            lhs = _str_if_variant(lhs)
             rhs = self.parse(bp + 1)
             return (f"(array_contains(split(lower({lhs}), "
                     f"'[^a-z0-9]+'), lower({rhs})))")
@@ -1187,7 +1210,7 @@ class _ExprParser:
                 self.next()
                 terms.append(self.parse(0))
             self.expect(")")
-            toks = f"split(lower({lhs}), '[^a-z0-9]+')"
+            toks = f"split(lower({_str_if_variant(lhs)}), '[^a-z0-9]+')"
             joiner = " OR " if low == "has_any" else " AND "
             parts = joiner.join(f"array_contains({toks}, lower({t}))"
                                 for t in terms)
@@ -1713,7 +1736,7 @@ class KqlCompiler:
             return True
         head = body.strip()
         return (re.match(r"datatable\s*\(|print\b|range\b|"
-                         r"externaldata\s*\(", head) is not None
+                         r"externaldata\s*\(|find\b", head) is not None
                 or head in self._lets
                 or head in TABLES)
 
@@ -1739,7 +1762,41 @@ class KqlCompiler:
             return self._range(text)
         if re.match(r"externaldata\s*\(", text):
             return self._externaldata(text)
+        if re.match(r"find\b", text):
+            return self._find(text)
         return self.table(text)
+
+    def _find(self, text: str) -> DataFrame:
+        """``find [withsource=col] in (T1, T2, ...) where pred``:
+        cross-table search — the tables union by NAME with missing
+        columns null-filled, a source column names the origin table,
+        and the predicate filters the union. Documented subset of
+        Kusto's plugin: all columns are returned null-filled (real
+        Kusto packs non-referenced non-common columns into ``pack_``
+        — the flat form is the Spark-native shape and strictly more
+        queryable). Catalyst pushes the predicate into each branch of
+        the union, so at scale each table is scanned once with the
+        filter applied at the source."""
+        m = re.match(r"find\s+(?:withsource\s*=\s*(?P<src>\w+)\s+)?"
+                     r"in\s*\((?P<tabs>[^)]*)\)\s*"
+                     r"where\s+(?P<pred>.*)$", text, re.DOTALL)
+        if not m:
+            raise ValueError(
+                "KQL: find [withsource=col] in (T1, T2, ...) where pred")
+        src_col = m.group("src") or "source_"
+        names = [t.strip() for t in m.group("tabs").split(",")
+                 if t.strip()]
+        if not names:
+            raise ValueError("KQL: find needs at least one table")
+        parts = []
+        for n in names:
+            t = self._lets[n] if n in self._lets else self.table(n)
+            parts.append(t.withColumn(src_col, F.lit(n)))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        sql = _compile_expr_tokens(_tokenize(m.group("pred")), out)
+        return out.where(F.expr(sql))
 
     def _externaldata(self, text: str) -> DataFrame:
         """``externaldata (col:type, ...) ['uri', ...] with

@@ -4792,6 +4792,27 @@ def q_kql_narrow(spark, sf_dir):
     """)
 
 
+@query("q_kql_find", """
+WITH u AS (
+  SELECT 'customer' AS source_ FROM customer WHERE c_nationkey = 5
+  UNION ALL
+  SELECT 'supplier' FROM supplier WHERE s_nationkey = 5)
+SELECT source_, CAST(COUNT(*) AS BIGINT) AS n FROM u GROUP BY source_
+""")
+def q_kql_find(spark, sf_dir):
+    """KQL find: cross-table search over customer+supplier with a
+    source column — the null-filled union-by-name form; Catalyst
+    pushes the predicate into each union branch (each table scanned
+    once, filtered at the source). DuckDB twin is the per-table
+    UNION ALL rollup."""
+    from azure_kusto_parquet_conv_spark.kql import kql
+    return kql(spark, sf_dir, """
+      find in (customer, supplier)
+        where c_nationkey == 5 or s_nationkey == 5
+      | summarize n = count() by source_
+    """)
+
+
 @query("q_kql_row_rank", """
 SELECT CAST(event_id AS BIGINT) AS event_id, event_type,
        CAST(dense_rank() OVER (ORDER BY event_type) AS BIGINT) AS rd,
@@ -5113,7 +5134,8 @@ DRIVER_WINDOW = [
 # q_group_concat, q_date_parts (deferred from the r6 window for space),
 # the new-in-r6 oracled entries (q_kql_series_forecast, q_kql_narrow,
 # q_kql_ipv4, q_kql_datetime_math, q_kql_split_version,
-# q_kql_row_rank, q_media_real_headers, q_url_dedup_real), plus the
+# q_kql_row_rank, q_kql_find, q_media_real_headers,
+# q_url_dedup_real), plus the
 # rows-only families for the weaker rows-only driver check
 # (q_kql_scan_funnel, q_kql_hll_reagg, q_dedup_incremental,
 # q_knn_ivf/pq/lsh, q_dedup_simhash/embedding/clusters,

@@ -28,7 +28,7 @@ from azure_kusto_parquet_conv_spark.sources.parquet import load_table
     ("dcount(x)", "count(DISTINCT `x`)"),
     ("a =~ 'ASIA'", "(lower(`a`) = lower('ASIA'))"),
     ("count()", "count(*)"),
-    ("tolong(x)", "CAST(`x` AS BIGINT)"),
+    ("tolong(x)", "try_cast(`x` AS BIGINT)"),
 ])
 def test_expr_rendering(src, expected):
     assert _parse_expr(_tokenize(src)) == expected
@@ -2135,3 +2135,47 @@ def test_conversion_fns_null_on_invalid(spark, sf_dir):
     """).collect()[0]
     assert (r["a"], r["b"], r["c"], r["d"], r["e"]) == (None,) * 5
     assert (r["f"], r["g"]) == (7, 2.5)
+
+
+def test_variant_in_between_and_string_ops(spark, sf_dir):
+    """Variant paths in IN lists, between, and string operators (=~,
+    contains, has) — each needs the loose-compare cast (raw VARIANT
+    fails Spark analysis where Kusto compares loosely)."""
+    r = kql(spark, sf_dir, """
+      print j = '{"k": 2, "s": "Hello World", "t": "b"}'
+        | extend d = todynamic(j)
+        | extend a = iff(d.k in (1, 2, 3), 1, 0),
+                 b = iff(d.t in ('a', 'b'), 1, 0),
+                 c = iff(d.k !in (7, 9), 1, 0),
+                 e = iff(d.k between (1 .. 3), 1, 0),
+                 f = iff(d.s contains 'WORLD', 1, 0),
+                 g = iff(d.s has 'hello', 1, 0),
+                 h = iff(d.t =~ 'B', 1, 0),
+                 i = iff(d.s startswith 'he', 1, 0),
+                 j2 = iff(d.s has_any ('xyz', 'world'), 1, 0)
+    """).collect()[0]
+    assert [r[c] for c in "abcefghi"] + [r["j2"]] == [1] * 9
+
+
+def test_find_cross_table(spark, sf_dir):
+    """find in (T1, T2) where pred: null-filled union by name with a
+    source column, predicate over common columns; withsource renames
+    the origin column."""
+    rows = kql(spark, sf_dir, """
+      find in (region, nation) where n_regionkey == 0 or r_regionkey == 0
+    """).collect()
+    srcs = {r["source_"] for r in rows}
+    assert srcs == {"region", "nation"}
+    for r in rows:
+        if r["source_"] == "region":
+            assert r["r_regionkey"] == 0 and r["n_name"] is None
+        else:
+            assert r["n_regionkey"] == 0 and r["r_name"] is None
+    named = kql(spark, sf_dir, """
+      find withsource=origin in (region, nation)
+        where r_regionkey == 1 or n_regionkey == 1
+      | summarize n = count() by origin
+    """).collect()
+    assert {r["origin"] for r in named} == {"region", "nation"}
+    with pytest.raises(ValueError, match="at least one table"):
+        kql(spark, sf_dir, "find in () where 1 == 1")
