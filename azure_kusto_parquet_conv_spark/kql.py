@@ -78,7 +78,8 @@ parse_json/todynamic (dynamic on Spark VARIANT; d.path compiles to
 variant_get), series_sum/avg/min/max, series_fir, series_fill_const/
 forward/backward/linear, series_outliers (Tukey fences), series_seasonal/series_stdev/
 series_pearson_correlation, series_add/subtract/multiply/divide,
-series_fit_line_dynamic (least-squares bag), series_decompose_forecast
+series_fit_line_dynamic (least-squares bag), series_fit_2lines_dynamic
+(best two-segment piecewise fit), series_decompose_forecast
 (linear trend + periodic-mean seasonal), contains/startswith/endswith/
 has/has_any (term match), in/!in, between (lo .. hi), ==/!=/=~,
 arithmetic, datetime(...) literals, now/ago, format_datetime,
@@ -835,6 +836,91 @@ class _ExprParser:
             return (f"(CASE WHEN {total} < 1 THEN array() "
                     f"ELSE transform(sequence(0, {total} - 1), "
                     f"__df_i -> {trend} + {seas}) END)")
+        if fname == "series_fit_2lines_dynamic":
+            # Best two-segment piecewise-linear fit: for every split k
+            # the two sides get closed-form least squares; the split
+            # with minimal total SSE wins (ties -> smallest k). Exact
+            # enumeration over the in-row array — O(n²) folds in the
+            # calendar-bounded series length, zero shuffles, zero
+            # Python. Returns the Kusto-shaped dynamic bag
+            # {rsquare, split_idx, line_fit, left:{slope,interception},
+            # right:{slope,interception}}. The split index is spliced
+            # in via the __F2SPLIT__ placeholder so the same side
+            # algebra serves both the enumeration lambda and the
+            # winning-split projection.
+            if len(args) != 1:
+                raise ValueError("KQL: series_fit_2lines_dynamic(series)")
+            arr = args[0]
+            wi = (f"zip_with({arr}, sequence(0, size({arr}) - 1), "
+                  f"(__f2_v, __f2_i) -> struct("
+                  f"CAST(__f2_v AS DOUBLE) AS v, "
+                  f"CAST(__f2_i AS DOUBLE) AS i))")
+            pairs = f"filter({wi}, __f2_p -> __f2_p.v IS NOT NULL)"
+
+            def side(cond):
+                S = f"filter({pairs}, __f2_q -> {cond})"
+
+                def fold(e):
+                    return (f"aggregate({S}, CAST(0 AS DOUBLE), "
+                            f"(__f2_a, __f2_e) -> __f2_a + {e})")
+                n = f"CAST(size({S}) AS DOUBLE)"
+                sx, sy = fold("__f2_e.i"), fold("__f2_e.v")
+                sxx = fold("__f2_e.i * __f2_e.i")
+                sxy = fold("__f2_e.i * __f2_e.v")
+                syy = fold("__f2_e.v * __f2_e.v")
+                den = f"({n} * {sxx} - {sx} * {sx})"
+                sl = (f"(CASE WHEN {n} < 2 OR {den} = 0 THEN 0.0 ELSE "
+                      f"({n} * {sxy} - {sx} * {sy}) / {den} END)")
+                ic = (f"(CASE WHEN {n} = 0 THEN 0.0 ELSE "
+                      f"({sy} - {sl} * {sx}) / {n} END)")
+                # SSE expanded algebraically (one pass, no re-fold on
+                # the fitted values)
+                sse = (f"({syy} - 2 * {sl} * {sxy} - 2 * {ic} * {sy} "
+                       f"+ {sl} * {sl} * {sxx} "
+                       f"+ 2 * {sl} * {ic} * {sx} + {n} * {ic} * {ic})")
+                return sl, ic, sse
+
+            lsl, lic, lsse = side("__f2_q.i < __F2SPLIT__")
+            rsl, ric, rsse = side("__f2_q.i >= __F2SPLIT__")
+            sse_tot = f"({lsse} + {rsse})".replace("__F2SPLIT__",
+                                                   "__f2_k")
+            cands = (f"transform(transform(sequence(1, size({arr}) - 1),"
+                     f" __f2_ki -> CAST(__f2_ki AS DOUBLE)), "
+                     f"__f2_k -> named_struct('k', __f2_k, "
+                     f"'sse', {sse_tot}))")
+            best = (f"aggregate({cands}, "
+                    f"named_struct('k', CAST(-1 AS DOUBLE), "
+                    f"'sse', CAST('Infinity' AS DOUBLE)), "
+                    f"(__f2_bacc, __f2_c) -> CASE WHEN __f2_c.sse "
+                    f"< __f2_bacc.sse THEN __f2_c ELSE __f2_bacc END)")
+
+            def fold_all(e):
+                return (f"aggregate({pairs}, CAST(0 AS DOUBLE), "
+                        f"(__f2_a, __f2_e) -> __f2_a + {e})")
+            nn = f"CAST(size({pairs}) AS DOUBLE)"
+            syall = fold_all("__f2_e.v")
+            syyall = fold_all("__f2_e.v * __f2_e.v")
+            sstot = f"({syyall} - {syall} * {syall} / {nn})"
+            line = (f"transform({wi}, __f2_s -> CASE "
+                    f"WHEN __f2_s.i < __F2SPLIT__ "
+                    f"THEN {lsl} * __f2_s.i + {lic} "
+                    f"ELSE {rsl} * __f2_s.i + {ric} END)")
+            # reference `best` exactly ONCE: project the final bag
+            # inside a transform over a single-element array, with the
+            # winning split bound to __f2_bb.k
+            final = (f"named_struct("
+                     f"'rsquare', CASE WHEN {sstot} <= 0 THEN 1.0 "
+                     f"ELSE 1.0 - __f2_bb.sse / {sstot} END, "
+                     f"'split_idx', CAST(__f2_bb.k AS INT), "
+                     f"'left', named_struct('slope', {lsl}, "
+                     f"'interception', {lic}), "
+                     f"'right', named_struct('slope', {rsl}, "
+                     f"'interception', {ric}), "
+                     f"'line_fit', {line})").replace("__F2SPLIT__",
+                                                     "__f2_bb.k")
+            out = (f"element_at(transform(array({best}), "
+                   f"__f2_bb -> {final}), 1)")
+            return f"parse_json(to_json({out}))"
         if fname in ("startofday", "startofweek", "startofmonth",
                      "startofyear"):
             if len(args) != 1:

@@ -2179,3 +2179,50 @@ def test_find_cross_table(spark, sf_dir):
     assert {r["origin"] for r in named} == {"region", "nation"}
     with pytest.raises(ValueError, match="at least one table"):
         kql(spark, sf_dir, "find in () where 1 == 1")
+
+
+def test_series_fit_2lines_exact_and_vs_reference(spark, sf_dir):
+    """series_fit_2lines_dynamic: exact recovery of a clean two-segment
+    series, and argmin-split agreement with a brute-force Python
+    least-squares reference on a noisy seeded series."""
+    r = kql(spark, sf_dir, """
+      print y = pack_array(1.0, 1.0, 1.0, 2.0, 4.0, 6.0)
+        | extend f = series_fit_2lines_dynamic(y)
+        | project k = toint(f.split_idx), rsq = todouble(f.rsquare),
+                  lsl = todouble(f.left.slope),
+                  rsl = todouble(f.right.slope)
+    """).collect()[0]
+    assert (r["k"], r["rsq"], r["lsl"], r["rsl"]) == (3, 1.0, 0.0, 2.0)
+
+    import random
+    rnd = random.Random(11)
+    y = [5.0 + 0.2 * i + rnd.gauss(0, 0.3) for i in range(12)]
+    y += [7.4 - 1.5 * (i - 11) + rnd.gauss(0, 0.3) for i in range(12, 25)]
+
+    def fit(pts):
+        n = len(pts)
+        if n < 2:
+            return 0.0, (pts[0][1] if n else 0.0), 0.0
+        sx = sum(i for i, _ in pts); sy = sum(v for _, v in pts)
+        sxx = sum(i * i for i, _ in pts)
+        sxy = sum(i * v for i, v in pts)
+        den = n * sxx - sx * sx
+        b = (n * sxy - sx * sy) / den if den else 0.0
+        a = (sy - b * sx) / n
+        return b, a, sum((v - (a + b * i)) ** 2 for i, v in pts)
+
+    pts = list(enumerate(y))
+    want_k = min(range(1, len(y)),
+                 key=lambda k: fit(pts[:k])[2] + fit(pts[k:])[2])
+    cells = ", ".join(f"{v!r}" for v in y)
+    got = kql(spark, sf_dir, f"""
+      print y = pack_array({cells})
+        | extend f = series_fit_2lines_dynamic(y)
+        | project k = toint(f.split_idx),
+                  lsl = todouble(f.left.slope),
+                  rsl = todouble(f.right.slope)
+    """).collect()[0]
+    assert got["k"] == want_k
+    bl, _, _ = fit(pts[:want_k]); br, _, _ = fit(pts[want_k:])
+    assert round(got["lsl"], 6) == round(bl, 6)
+    assert round(got["rsl"], 6) == round(br, 6)
