@@ -178,7 +178,8 @@ _FN_RENAME = {
 _AGG_FNS = {"count", "countif", "sum", "avg", "min", "max", "dcount",
             "make_list", "make_set", "sumif", "avgif", "minif", "maxif",
             "dcountif", "take_any", "stdev", "variance", "hll",
-            "hll_merge"}
+            "hll_merge", "binary_all_and", "binary_all_or",
+            "binary_all_xor", "make_list_if", "make_set_if"}
 
 _CMP = {"==": "=", "!=": "<>", "<": "<", "<=": "<=", ">": ">", ">=": ">="}
 
@@ -490,6 +491,60 @@ class _ExprParser:
                 return f"({total} / size({arr}))"
             fn = "array_max" if fname == "series_max" else "array_min"
             return f"CAST({fn}({arr}) AS DOUBLE)"
+        if fname in ("isnan", "isinf", "isfinite"):
+            if len(args) != 1:
+                raise ValueError(f"KQL: {fname}(x) takes 1 arg")
+            x = f"CAST({args[0]} AS DOUBLE)"
+            if fname == "isnan":
+                return f"isnan({x})"
+            if fname == "isinf":
+                return f"(abs({x}) = CAST('Infinity' AS DOUBLE))"
+            return (f"(NOT (isnan({x}) "
+                    f"OR abs({x}) = CAST('Infinity' AS DOUBLE)))")
+        if fname == "tohex":
+            # Kusto tohex emits lowercase digits; Spark hex is upper
+            if len(args) != 1:
+                raise ValueError("KQL: tohex(int)")
+            return f"lower(hex({args[0]}))"
+        if fname == "strcmp":
+            if len(args) != 2:
+                raise ValueError("KQL: strcmp(s1, s2)")
+            a, b = args
+            return (f"(CASE WHEN {a} < {b} THEN -1 "
+                    f"WHEN {a} > {b} THEN 1 "
+                    f"WHEN {a} = {b} THEN 0 END)")
+        if fname == "string_size":
+            # size in BYTES (strlen is in characters)
+            if len(args) != 1:
+                raise ValueError("KQL: string_size(s)")
+            return f"octet_length({args[0]})"
+        if fname == "repeat":
+            if len(args) != 2:
+                raise ValueError("KQL: repeat(value, count)")
+            return f"array_repeat({args[0]}, CAST({args[1]} AS INT))"
+        if fname == "new_guid":
+            if args:
+                raise ValueError("KQL: new_guid() takes no args")
+            return "uuid()"
+        if fname == "rand":
+            # rand() -> [0,1) real; rand(n) -> integer in [0, n)
+            if len(args) == 0:
+                return "rand()"
+            if len(args) == 1:
+                return (f"CAST(floor(rand() * ({args[0]})) AS BIGINT)")
+            raise ValueError("KQL: rand([n])")
+        if fname == "parse_csv":
+            # one CSV record -> string array. Quote-aware via the
+            # classic lookahead split (documented subset: no embedded
+            # newlines), doubled quotes unescape
+            if len(args) != 1:
+                raise ValueError("KQL: parse_csv(record)")
+            parts = (f"split({args[0]}, "
+                     f"',(?=(?:[^\"]*\"[^\"]*\")*[^\"]*$)')")
+            return (f"transform({parts}, __pc_x -> CASE WHEN __pc_x "
+                    f"RLIKE '^\".*\"$' THEN replace(substring(__pc_x, "
+                    f"2, length(__pc_x) - 2), '\"\"', '\"') "
+                    f"ELSE __pc_x END)")
         if fname == "strcat_array":
             if len(args) != 2:
                 raise ValueError("KQL: strcat_array(array, sep)")
@@ -1101,6 +1156,21 @@ class _ExprParser:
             if fname == "dcountif":
                 return (f"count(DISTINCT CASE WHEN {args[1]} "
                         f"THEN {args[0]} END)")
+            return f"{agg}(CASE WHEN {args[1]} THEN {args[0]} END)"
+        if fname in ("binary_all_and", "binary_all_or",
+                     "binary_all_xor"):
+            # bitwise-reduction aggregates -> Spark bit_and/or/xor
+            if len(args) != 1:
+                raise ValueError(f"KQL: {fname}(expr) takes 1 arg")
+            fn = {"binary_all_and": "bit_and", "binary_all_or": "bit_or",
+                  "binary_all_xor": "bit_xor"}[fname]
+            return f"{fn}({args[0]})"
+        if fname in ("make_list_if", "make_set_if"):
+            # conditional collection (collect_* skips the CASE's nulls)
+            if len(args) != 2:
+                raise ValueError(f"KQL: {fname}(expr, predicate)")
+            agg = ("collect_list" if fname == "make_list_if"
+                   else "collect_set")
             return f"{agg}(CASE WHEN {args[1]} THEN {args[0]} END)"
         if fname == "take_any":
             return f"any_value({args[0]})"

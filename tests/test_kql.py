@@ -2226,3 +2226,37 @@ def test_series_fit_2lines_exact_and_vs_reference(spark, sf_dir):
     bl, _, _ = fit(pts[:want_k]); br, _, _ = fit(pts[want_k:])
     assert round(got["lsl"], 6) == round(bl, 6)
     assert round(got["rsl"], 6) == round(br, 6)
+
+
+def test_scalar_and_agg_batch2_r6(spark, sf_dir):
+    """round-6 batch 2: numeric predicates (isnan/isinf/isfinite),
+    tohex lowercase, strcmp, string_size (bytes), repeat, new_guid,
+    bounded rand(n), quote-aware parse_csv, bitwise-reduction
+    aggregates, conditional collection aggregates."""
+    r = kql(spark, sf_dir, """
+      print x = 1
+        | extend a = isnan(todouble('nan')), b = isinf(toreal('+inf')),
+                 c = isfinite(2.5), d = isfinite(toreal('nan')),
+                 h = tohex(255), s1 = strcmp('a', 'b'),
+                 s3 = strcmp('a', 'a'), sz = string_size('héllo'),
+                 rp = repeat(7, 3), g1 = strlen(new_guid()),
+                 rn = rand(10),
+                 csv = parse_csv('a,"b,c",",x",""')
+    """).collect()[0]
+    assert (r["a"], r["b"], r["c"], r["d"]) == (True, True, True, False)
+    assert r["h"] == "ff" and (r["s1"], r["s3"]) == (-1, 0)
+    assert r["sz"] == 6          # é is 2 bytes; strlen would say 5
+    assert r["rp"] == [7, 7, 7] and r["g1"] == 36
+    assert 0 <= r["rn"] < 10
+    assert r["csv"] == ["a", "b,c", ",x", ""]
+    rows = kql(spark, sf_dir, """
+      datatable (g:string, v:long) ['a',12, 'a',10, 'b',7, 'b',5, 'a',3]
+        | summarize ba = binary_all_and(v), bo = binary_all_or(v),
+                    bx = binary_all_xor(v),
+                    ml = make_list_if(v, v > 4), ms = make_set_if(v, v > 6)
+            by g
+    """).collect()
+    got = {r["g"]: (r["ba"], r["bo"], r["bx"], sorted(r["ml"]),
+                    sorted(r["ms"])) for r in rows}
+    assert got == {"a": (0, 15, 5, [10, 12], [10, 12]),
+                   "b": (5, 7, 2, [5, 7], [7])}

@@ -413,3 +413,23 @@ def test_join_strategy_hints_respected(spark, sf_dir):
                       li.l_orderkey == o.o_orderkey).groupBy(
             "o_orderpriority").count()
         assert "SortMergeJoin" in join_strategies(smj)
+
+
+def test_find_pushes_predicate_into_union_branches(spark, sf_dir):
+    """find's predicate over the null-filled union must simplify and
+    push into EACH branch's parquet scan (the null-literal columns of
+    the other table constant-fold away) — at scale each table is
+    scanned once with its own filter at the source."""
+    from azure_kusto_parquet_conv_spark.kql import kql
+    df = kql(spark, sf_dir, """
+      find in (customer, supplier)
+        where c_nationkey == 5 or s_nationkey == 5
+    """)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+    scans = [ln for ln in plan.splitlines() if "FileScan" in ln]
+    assert len(scans) == 2
+    assert any("c_nationkey" in s and "= 5" in s.split("DataFilters")[1]
+               for s in scans if "DataFilters" in s)
+    assert any("s_nationkey" in s and "= 5" in s.split("DataFilters")[1]
+               for s in scans if "DataFilters" in s)
