@@ -75,3 +75,40 @@ def test_ticks_and_unixms_formulas(spark, ts):
             assert r["ticks"] == expected_ticks
         else:
             assert r["ticks"] is None
+
+
+# ------------------------------------------------ KQL parser robustness
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(max_size=60))
+def test_kql_tokenizer_and_parser_fail_cleanly(s):
+    """Fuzz: arbitrary text through the KQL tokenizer and expression
+    parser must either parse or raise ValueError — never IndexError /
+    AttributeError / RecursionError (a query service's parser is an
+    attack surface; unclean failures become 500s)."""
+    from azure_kusto_parquet_conv_spark.kql import _parse_expr, _tokenize
+    try:
+        toks = _tokenize(s)
+    except ValueError:
+        return
+    try:
+        _parse_expr(toks)
+    except ValueError:
+        pass
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.text(
+    alphabet="ab(),.|=<>!+-*/'\"[]{}:;~ 0123456789xwhere",
+    max_size=80))
+def test_kql_parser_structured_noise_fails_cleanly(s):
+    """Same contract on KQL-shaped noise (operator-dense alphabet hits
+    the Pratt parser's edge paths far more often than uniform text)."""
+    from azure_kusto_parquet_conv_spark.kql import _parse_expr, _tokenize
+    try:
+        _parse_expr(_tokenize(s))
+    except ValueError:
+        pass
