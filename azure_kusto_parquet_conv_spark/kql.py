@@ -52,6 +52,8 @@ Supported surface (each line maps to one DataFrame verb):
         (cohort pattern differencing — root-cause analysis)
     | evaluate narrow()  ((Row, Column, Value) rotation; serialized
         row ids when a sort precedes)
+    | evaluate sequence_detect(tl, gap, win, s=p, ..., dims)
+        (gap/window-constrained ordered sequences per key)
     | distinct c1, c2
     | sort by c1 desc, c2 asc     (Kusto default direction: desc)
     | top N by expr  /  top-hitters N of col [by expr]
@@ -2395,6 +2397,8 @@ class KqlCompiler:
             return self._diffpatterns(df, argtext)
         if plugin == "narrow":
             return self._narrow(df, argtext)
+        if plugin == "sequence_detect":
+            return self._sequence_detect(df, argtext)
         if plugin != "bag_unpack":
             raise ValueError(f"KQL: evaluate plugin {plugin!r} not "
                              f"supported (bag_unpack, pivot, "
@@ -2434,6 +2438,128 @@ class KqlCompiler:
             news.append(c.alias(name))
         keep = [F.col(c) for c in df.columns if c != col]
         return df.select(*keep, *news)
+
+    def _sequence_detect(self, df: DataFrame, argtext: str) -> DataFrame:
+        """``evaluate sequence_detect(timeline, maxGap, maxWindow,
+        s1 = pred1, s2 = pred2, ..., dim1[, dim2 ...])`` — detect
+        ordered event sequences per dim key where successive steps are
+        within ``maxGap`` and the whole sequence within ``maxWindow``
+        (both timespan literals). One output row per COMPLETED
+        sequence: the dims plus one ``<step>_ts`` timestamp per step.
+
+        Subset contract: steps are the NAMED arguments (``s = pred``),
+        dims the bare trailing idents — Kusto's positional split of
+        Exprs vs Dims is ambiguous in text. Greedy single-sequence
+        automaton per key (scan's semantics); a step-matching event
+        that violates a constraint restarts matching at step 1,
+        re-testing that event.
+
+        Spark-first shape: step predicates become Catalyst boolean
+        bits, the stateful pass is ONE partition-sorted Arrow-batched
+        mapInPandas kernel carrying automaton state across batches
+        (same shape as `scan` — per-batch overhead, not per-key)."""
+        import pandas as pd
+
+        groups = _split_top_commas(_tokenize(argtext))
+        if len(groups) < 5:
+            raise ValueError(
+                "KQL: sequence_detect(timeline, maxGap, maxWindow, "
+                "s1 = p1, s2 = p2, ..., dim, ...)")
+        tl_sql = _compile_expr_tokens(groups[0], df)
+
+        def us_of(toks, what):
+            sql = _compile_expr_tokens(toks, df)
+            try:
+                return int(sql.strip("() "))
+            except ValueError:
+                raise ValueError(
+                    f"KQL: sequence_detect {what} must be a timespan "
+                    f"literal, got {sql!r}")
+        gap_us = us_of(groups[1], "maxGap")
+        win_us = us_of(groups[2], "maxWindow")
+        steps, dims = [], []
+        for g in groups[3:]:
+            if len(g) >= 2 and g[0].kind == "ident" and g[1].text == "=":
+                steps.append((g[0].text,
+                              _compile_expr_tokens(g[2:], df)))
+            elif len(g) == 1 and g[0].kind == "ident":
+                dims.append(g[0].text)
+            else:
+                raise ValueError(
+                    "KQL: sequence_detect args after the window must "
+                    "be 'name = predicate' steps or bare dim columns")
+        if len(steps) < 2:
+            raise ValueError("KQL: sequence_detect needs >= 2 steps")
+        if not dims:
+            _warn_global_serialize("sequence_detect")
+            df = df.withColumn("__sq_g", F.lit(1))
+            dims = ["__sq_g"]
+            drop_dims = True
+        else:
+            drop_dims = False
+        n_steps = len(steps)
+        work = df.withColumn("__sq_ts", F.expr(
+            f"unix_micros(CAST({tl_sql} AS TIMESTAMP))"))
+        mask = None
+        for i, (_, psql) in enumerate(steps):
+            bit = F.when(F.expr(psql).cast("boolean"),
+                         F.lit(1 << i)).otherwise(F.lit(0))
+            mask = bit if mask is None else mask + bit
+        work = work.withColumn("__sq_m", mask.cast("long"))
+        part = (work.select(*dims, "__sq_ts", "__sq_m")
+                    .where(F.col("__sq_ts").isNotNull())
+                    .repartition(*[F.col(d) for d in dims])
+                    .sortWithinPartitions(
+                        *[F.col(d).asc() for d in dims],
+                        F.col("__sq_ts").asc()))
+        out_cols = ([] if drop_dims else list(dims)) \
+            + [f"{n}_ts" for n, _ in steps]
+        out_schema = part.select(
+            *(dims if not drop_dims else []),
+            *[F.timestamp_micros(F.col("__sq_ts")).alias(f"{n}_ts")
+              for n, _ in steps]).schema
+
+        def kernel(batches):
+            state_key = object()
+            k, first, prev, tss = 0, 0, 0, []
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                keys = [pdf[d].to_numpy() for d in dims]
+                ts = pdf["__sq_ts"].to_numpy()
+                m = pdf["__sq_m"].to_numpy()
+                rows = []
+                for i in range(len(pdf)):
+                    kt = tuple(None if v != v else v
+                               for v in (a[i] for a in keys))
+                    if kt != state_key:
+                        state_key, k, tss = kt, 0, []
+                    t = int(ts[i])
+                    bit = int(m[i])
+                    if k > 0 and bit & (1 << k) \
+                            and t - prev <= gap_us \
+                            and t - first <= win_us:
+                        tss.append(t)
+                        prev = t
+                        k += 1
+                    elif bit & 1:
+                        k, first, prev, tss = 1, t, t, [t]
+                    else:
+                        continue
+                    if k == n_steps:
+                        row = {}
+                        if not drop_dims:
+                            for d, a in zip(dims, keys):
+                                row[d] = a[i]
+                        for (nme, _), tv in zip(steps, tss):
+                            row[f"{nme}_ts"] = pd.Timestamp(
+                                tv, unit="us")
+                        rows.append(row)
+                        k, tss = 0, []
+                if rows:
+                    yield pd.DataFrame(rows, columns=out_cols)
+
+        return part.mapInPandas(kernel, out_schema)
 
     def _narrow(self, df: DataFrame, argtext: str) -> DataFrame:
         """``evaluate narrow()``: rotate the table into (Row, Column,

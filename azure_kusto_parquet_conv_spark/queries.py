@@ -4792,6 +4792,70 @@ def q_kql_narrow(spark, sf_dir):
     """)
 
 
+@query("q_kql_sequence_detect")  # greedy stateful automaton: no SQL twin
+def q_kql_sequence_detect(spark, sf_dir):
+    """KQL evaluate sequence_detect: signup->purchase sequences per
+    user within gap/window constraints (rows-only — the greedy
+    non-overlapping automaton has no SQL twin; a brute-force Python
+    reference differential runs in
+    tests/test_kql.py::test_sequence_detect_matches_python_reference).
+    Counts completed sequences per day so the output stays atomic."""
+    from azure_kusto_parquet_conv_spark.kql import kql
+    df = kql(spark, sf_dir, """
+      events
+        | evaluate sequence_detect(ts, 12h, 1d,
+            a = event_type == 'signup', b = event_type == 'purchase',
+            user_id)
+    """)
+    return (df.groupBy(F.to_date("a_ts").alias("day"))
+              .agg(F.count("*").cast("long").alias("n_sequences"),
+                   F.countDistinct("user_id").cast("long")
+                    .alias("n_users"))
+              .select(F.col("day").cast("string").alias("day"),
+                      "n_sequences", "n_users"))
+
+
+@query("q_kql_fit_line", """
+WITH e AS (SELECT user_id % 4 AS b,
+                  epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+           FROM events),
+du AS (SELECT b, day, COUNT(*) AS n FROM e GROUP BY b, day),
+mnx AS (SELECT MIN(day) AS mn, MAX(day) AS mx FROM du),
+days AS (SELECT unnest(range((SELECT mn FROM mnx),
+                             (SELECT mx FROM mnx) + 1)) AS day),
+bs AS (SELECT DISTINCT b FROM du),
+g AS (SELECT bs.b, days.day - (SELECT mn FROM mnx) AS i,
+             CAST(COALESCE(du.n, 0) AS DOUBLE) AS n
+      FROM bs CROSS JOIN days
+      LEFT JOIN du ON du.b = bs.b AND du.day = days.day)
+SELECT CAST(b AS BIGINT) AS b,
+       ROUND(regr_slope(n, i), 4) AS slope,
+       ROUND(regr_intercept(n, i), 4) AS icept,
+       ROUND(regr_r2(n, i), 4) AS rsq
+FROM g GROUP BY b
+""")
+def q_kql_fit_line(spark, sf_dir):
+    """series_fit_line_dynamic hash-checked against DuckDB's native
+    regression aggregates (regr_slope / regr_intercept / regr_r2): the
+    per-bucket daily-count series' least-squares line, computed in-row
+    by higher-order folds on the Spark side and by streaming regression
+    aggregates on the oracle side — two independent implementations of
+    the same math (the oracle rebuilds make-series' zero-filled
+    full-range grid first, so empty (bucket, day) cells weigh into
+    both fits identically)."""
+    from azure_kusto_parquet_conv_spark.kql import kql
+    df = kql(spark, sf_dir, """
+      events
+        | extend b = tolong(user_id % 4)
+        | make-series n = count() on ts step 1d by b
+        | extend f = series_fit_line_dynamic(n)
+        | project b, slope = round(todouble(f.slope), 4),
+                  icept = round(todouble(f.interception), 4),
+                  rsq = round(todouble(f.rsquare), 4)
+    """)
+    return df
+
+
 @query("q_kql_find", """
 WITH u AS (
   SELECT 'customer' AS source_ FROM customer WHERE c_nationkey = 5
@@ -5134,7 +5198,7 @@ DRIVER_WINDOW = [
 # q_group_concat, q_date_parts (deferred from the r6 window for space),
 # the new-in-r6 oracled entries (q_kql_series_forecast, q_kql_narrow,
 # q_kql_ipv4, q_kql_datetime_math, q_kql_split_version,
-# q_kql_row_rank, q_kql_find, q_media_real_headers,
+# q_kql_row_rank, q_kql_find, q_kql_fit_line, q_media_real_headers,
 # q_url_dedup_real), plus the
 # rows-only families for the weaker rows-only driver check
 # (q_kql_scan_funnel, q_kql_hll_reagg, q_dedup_incremental,

@@ -2260,3 +2260,75 @@ def test_scalar_and_agg_batch2_r6(spark, sf_dir):
                     sorted(r["ms"])) for r in rows}
     assert got == {"a": (0, 15, 5, [10, 12], [10, 12]),
                    "b": (5, 7, 2, [5, 7], [7])}
+
+
+def test_sequence_detect_fixture(spark, sf_dir):
+    """evaluate sequence_detect: completes within gap+window, rejects
+    gap violations, restarts on a step-1 match, emits one row per
+    completed sequence with per-step timestamps."""
+    rows = kql(spark, sf_dir, """
+      datatable (u:long, ts:datetime, e:string) [
+        1, datetime(2024-01-01 10:00:00), 'signup',
+        1, datetime(2024-01-01 10:05:00), 'click',
+        1, datetime(2024-01-01 10:07:00), 'purchase',
+        2, datetime(2024-01-01 09:00:00), 'signup',
+        2, datetime(2024-01-01 11:30:00), 'click',
+        3, datetime(2024-01-01 09:00:00), 'click',
+        3, datetime(2024-01-01 09:01:00), 'signup',
+        3, datetime(2024-01-01 09:02:00), 'click',
+        3, datetime(2024-01-01 09:03:00), 'purchase',
+        3, datetime(2024-01-01 09:10:00), 'signup',
+        3, datetime(2024-01-01 09:11:00), 'click',
+        3, datetime(2024-01-01 09:12:00), 'purchase'
+      ]
+      | evaluate sequence_detect(ts, 30m, 1h,
+          s1 = e == 'signup', s2 = e == 'click',
+          s3 = e == 'purchase', u)
+    """).collect()
+    got = sorted((r["u"], str(r["s1_ts"])) for r in rows)
+    assert got == [(1, "2024-01-01 10:00:00"),
+                   (3, "2024-01-01 09:01:00"),
+                   (3, "2024-01-01 09:10:00")]
+    with pytest.raises(ValueError, match=">= 2 steps"):
+        kql(spark, sf_dir, """
+          datatable (ts:datetime, e:string) [datetime(2024-01-01), 'a']
+            | evaluate sequence_detect(ts, 1m, 2m, s1 = e == 'a', e)
+        """)
+
+
+def test_sequence_detect_matches_python_reference(spark, sf_dir):
+    """Differential on real events: the distributed sequence_detect
+    equals a brute-force Python automaton with the same documented
+    greedy/gap/window/restart semantics."""
+    got = kql(spark, sf_dir, """
+      events
+        | evaluate sequence_detect(ts, 12h, 1d,
+            a = event_type == 'signup', b = event_type == 'purchase',
+            user_id)
+    """).collect()
+    got_set = {(r["user_id"], str(r["a_ts"]), str(r["b_ts"]))
+               for r in got}
+
+    ev = (load_table(spark, sf_dir, "events")
+          .select("user_id", "ts", F.unix_micros("ts").alias("us"),
+                  "event_type").collect())
+    from collections import defaultdict
+    by_u = defaultdict(list)
+    for r in ev:
+        by_u[r["user_id"]].append(r)
+    gap, win = 12 * 3600 * 10**6, 24 * 3600 * 10**6
+    want = set()
+    for u, rs in by_u.items():
+        rs.sort(key=lambda r: r["us"])
+        k, first, prev, tss = 0, 0, 0, []
+        for r in rs:
+            is_a = r["event_type"] == "signup"
+            is_b = r["event_type"] == "purchase"
+            t = r["us"]
+            if k == 1 and is_b and t - prev <= gap and t - first <= win:
+                want.add((u, str(tss[0]), str(r["ts"])))
+                k, tss = 0, []
+            elif is_a:
+                k, first, prev, tss = 1, t, t, [r["ts"]]
+    assert len(want) > 0
+    assert got_set == want

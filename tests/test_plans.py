@@ -66,7 +66,7 @@ def test_no_accidental_cartesians_across_catalog(spark, sf_dir):
                    "q_kql_series_fill", "q_kql_series_outliers",
                    "q_kql_series_smooth", "q_kql_series_seasonal",
                    "q_kql_series_corr", "q_kql_series_anomalies",
-                   "q_kql_series_forecast"}
+                   "q_kql_series_forecast", "q_kql_fit_line"}
     for name, fn in QUERIES.items():
         if name in ("q_dedup_simhash",):  # pandas UDF: plan has no joins of interest
             continue
