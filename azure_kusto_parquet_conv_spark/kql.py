@@ -54,6 +54,7 @@ Supported surface (each line maps to one DataFrame verb):
         row ids when a sort precedes)
     | evaluate sequence_detect(tl, gap, win, s=p, ..., dims)
         (gap/window-constrained ordered sequences per key)
+    | reduce by expr   (log-template mining: guid/hex/digit runs -> '*')
     | distinct c1, c2
     | sort by c1 desc, c2 asc     (Kusto default direction: desc)
     | top N by expr  /  top-hitters N of col [by expr]
@@ -2065,6 +2066,37 @@ class KqlCompiler:
             return self._partition_by(df, rest)
         if op == "scan":
             return self._scan(df, rest)
+        if op == "reduce":
+            # ``reduce by expr``: string pattern clustering (log
+            # template mining). Documented subset of Kusto's
+            # similarity-based plugin with a DETERMINISTIC
+            # generalization instead: GUIDs, hex runs (>=4), and digit
+            # runs collapse to '*', then group by the template. Output
+            # matches Kusto's shape — Pattern, Count, Representative
+            # (lexicographic min of the group, deterministic where
+            # Kusto's choice is unspecified). One shuffle, all
+            # expressions codegen.
+            m = re.match(r"by\s+(.*)$", rest, re.DOTALL)
+            if not m:
+                raise ValueError("KQL: reduce by expr")
+            sql = _compile_expr_tokens(_tokenize(m.group(1)), df)
+            guid = (r"[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}"
+                    r"-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}")
+            pat = F.expr(sql).cast("string")
+            pat = F.regexp_replace(pat, guid, "*")
+            pat = F.regexp_replace(pat, r"\b0[xX][0-9a-fA-F]+\b", "*")
+            # standalone hex tokens only (word-bounded, must contain a
+            # digit — else words like 'added' or 'node17' substrings
+            # would collapse)
+            pat = F.regexp_replace(
+                pat, r"\b(?=[0-9a-fA-F]*[0-9])[0-9a-fA-F]{4,}\b", "*")
+            pat = F.regexp_replace(pat, r"[0-9]+", "*")
+            pat = F.regexp_replace(pat, r"\*(\.\*)+", "*")
+            return (df.select(pat.alias("Pattern"),
+                              F.expr(sql).cast("string").alias("__v"))
+                      .groupBy("Pattern")
+                      .agg(F.count("*").cast("long").alias("Count"),
+                           F.min("__v").alias("Representative")))
         if op == "getschema":
             rows = [(f.name, i, f.dataType.simpleString())
                     for i, f in enumerate(df.schema.fields)]

@@ -4792,6 +4792,32 @@ def q_kql_narrow(spark, sf_dir):
     """)
 
 
+@query("q_kql_reduce", """
+SELECT regexp_replace(event_type || ' user ' || CAST(user_id AS VARCHAR)
+         || ' v ' || CAST(CAST(FLOOR(value) AS BIGINT) AS VARCHAR),
+         '[0-9]+', '*', 'g') AS Pattern,
+       CAST(COUNT(*) AS BIGINT) AS Count,
+       MIN(event_type || ' user ' || CAST(user_id AS VARCHAR)
+           || ' v ' || CAST(CAST(FLOOR(value) AS BIGINT) AS VARCHAR))
+         AS Representative
+FROM events GROUP BY 1
+""")
+def q_kql_reduce(spark, sf_dir):
+    """KQL reduce by: log-template mining over synthesized event log
+    lines — digit runs generalize to '*', one shuffle, all codegen.
+    The fixture text is digit-only (no hex tokens/guids) so the DuckDB
+    twin replicates the generalization with a plain global
+    regexp_replace; the hex/guid rules are pinned separately in
+    test_kql.py (RE2 lacks the lookahead they need)."""
+    from azure_kusto_parquet_conv_spark.kql import kql
+    return kql(spark, sf_dir, """
+      events
+        | extend msg = strcat(event_type, ' user ', tostring(user_id),
+                              ' v ', tostring(tolong(floor(value))))
+        | reduce by msg
+    """)
+
+
 @query("q_kql_sequence_detect")  # greedy stateful automaton: no SQL twin
 def q_kql_sequence_detect(spark, sf_dir):
     """KQL evaluate sequence_detect: signup->purchase sequences per
@@ -5198,7 +5224,8 @@ DRIVER_WINDOW = [
 # q_group_concat, q_date_parts (deferred from the r6 window for space),
 # the new-in-r6 oracled entries (q_kql_series_forecast, q_kql_narrow,
 # q_kql_ipv4, q_kql_datetime_math, q_kql_split_version,
-# q_kql_row_rank, q_kql_find, q_kql_fit_line, q_media_real_headers,
+# q_kql_row_rank, q_kql_find, q_kql_fit_line, q_kql_reduce,
+# q_media_real_headers,
 # q_url_dedup_real), plus the
 # rows-only families for the weaker rows-only driver check
 # (q_kql_scan_funnel, q_kql_hll_reagg, q_dedup_incremental,

@@ -2332,3 +2332,27 @@ def test_sequence_detect_matches_python_reference(spark, sf_dir):
                 k, first, prev, tss = 1, t, t, [r["ts"]]
     assert len(want) > 0
     assert got_set == want
+
+
+def test_reduce_by_log_templates(spark, sf_dir):
+    """reduce by: deterministic template mining — guid/hex/digit runs
+    collapse to '*', inner substrings of words survive ('node17' must
+    not lose its stem), Representative is the lexicographic min."""
+    rows = kql(spark, sf_dir, """
+      datatable (msg:string) [
+        'error 503 at node17', 'error 404 at node3',
+        'error 500 at node99',
+        'session 6f9619ff-8b86-d011-b42d-00c04fc964ff opened',
+        'session 00000000-1111-2222-3333-444444444444 opened',
+        'cache key 0xDEADBEEF evicted', 'cache key 0x1234 evicted',
+        'added words stay', 'login ok'
+      ]
+      | reduce by msg
+    """).collect()
+    got = {r["Pattern"]: (r["Count"], r["Representative"]) for r in rows}
+    assert got["error * at node*"] == (3, "error 404 at node3")
+    assert got["session * opened"][0] == 2
+    assert got["cache key * evicted"][0] == 2
+    # pure-alpha hex-words ('added'... 'dead') must NOT collapse
+    assert got["added words stay"] == (1, "added words stay")
+    assert got["login ok"] == (1, "login ok")
