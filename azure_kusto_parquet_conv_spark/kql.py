@@ -181,7 +181,7 @@ _FN_RENAME = {
 _AGG_FNS = {"count", "countif", "sum", "avg", "min", "max", "dcount",
             "make_list", "make_set", "sumif", "avgif", "minif", "maxif",
             "dcountif", "take_any", "stdev", "variance", "hll",
-            "hll_merge", "binary_all_and", "binary_all_or",
+            "hll_merge", "percentiles_array", "binary_all_and", "binary_all_or",
             "binary_all_xor", "make_list_if", "make_set_if"}
 
 _CMP = {"==": "=", "!=": "<>", "<": "<", "<=": "<=", ">": ">", ">=": ">="}
@@ -393,7 +393,22 @@ class _ExprParser:
         if fname == "countif":
             return f"sum(CASE WHEN {args[0]} THEN 1 ELSE 0 END)"
         if fname == "dcount":
+            # dcount(x[, accuracy]): exact distinct (documented
+            # deviation — Kusto estimates); the accuracy knob is
+            # accepted and ignored, since exact dominates any accuracy
+            # level
+            if len(args) not in (1, 2):
+                raise ValueError("KQL: dcount(x[, accuracy])")
             return f"count(DISTINCT {args[0]})"
+        if fname == "percentiles_array":
+            # percentiles_array(col, p1, p2, ...) -> array of exact
+            # interpolated percentiles (0-100 scale, like percentile())
+            if len(args) < 2:
+                raise ValueError(
+                    "KQL: percentiles_array(col, p1[, p2, ...])")
+            ps = ", ".join(f"CAST(({p}) / 100.0 AS DOUBLE)"
+                           for p in args[1:])
+            return f"percentile({args[0]}, array({ps}))"
         if fname in ("pack", "bag_pack"):
             # pack('k1', v1, 'k2', v2, ...) -> dynamic property bag on
             # VARIANT (JSON round-trip through named_struct); keys must

@@ -2356,3 +2356,15 @@ def test_reduce_by_log_templates(spark, sf_dir):
     # pure-alpha hex-words ('added'... 'dead') must NOT collapse
     assert got["added words stay"] == (1, "added words stay")
     assert got["login ok"] == (1, "login ok")
+
+
+def test_percentiles_array_and_dcount_accuracy(spark, sf_dir):
+    """percentiles_array -> exact interpolated percentile vector;
+    dcount's accuracy knob is accepted (exact anyway, documented)."""
+    r = kql(spark, sf_dir, """
+      datatable (v:long) [1, 2, 3, 4, 5, 6, 7, 8, 9, 10]
+        | summarize p = percentiles_array(v, 0, 50, 100),
+                    d = dcount(v, 3)
+    """).collect()[0]
+    assert [round(x, 6) for x in r["p"]] == [1.0, 5.5, 10.0]
+    assert r["d"] == 10
