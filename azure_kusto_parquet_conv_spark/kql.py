@@ -1773,6 +1773,12 @@ class KqlCompiler:
         if not stmts:
             raise ValueError("KQL: empty query")
         for s in stmts[:-1]:
+            if re.match(r"set\s+\w+", s):
+                # Kusto client request properties (`set notruncation;`,
+                # `set query_results_cache_max_age = ...;`): execution
+                # knobs for Kusto's own service — no analogue here,
+                # accepted and ignored so real-world scripts run as-is
+                continue
             m = re.match(r"let\s+([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(.*)$",
                          s, re.DOTALL)
             if not m:

@@ -2368,3 +2368,15 @@ def test_percentiles_array_and_dcount_accuracy(spark, sf_dir):
     """).collect()[0]
     assert [round(x, 6) for x in r["p"]] == [1.0, 5.5, 10.0]
     assert r["d"] == 10
+
+
+def test_set_statements_accepted_and_ignored(spark, sf_dir):
+    """`set notruncation;`-style client request properties are accepted
+    and ignored — real-world Kusto scripts lead with them."""
+    r = kql(spark, sf_dir, """
+      set notruncation;
+      set query_results_cache_max_age = time(5m);
+      let k = 2;
+      region | where r_regionkey < k | count
+    """).collect()
+    assert r[0][0] == 2
