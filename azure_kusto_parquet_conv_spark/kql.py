@@ -2256,12 +2256,26 @@ class KqlCompiler:
                         return g[:j], ct
                 return g, None
 
+            # `with_itemindex=name` prefix: emit the 0-based element
+            # position (posexplode / the shared zip position)
+            idx_col = None
+            mi = re.match(r"with_itemindex\s*=\s*([A-Za-z_]\w*)\s+(.*)$",
+                          rest, re.DOTALL)
+            if mi:
+                idx_col, rest = mi.group(1), mi.group(2)
             g = _split_top_commas(_tokenize(rest))
             if len(g) == 1:
                 g0, cast_t = split_typeof(g[0])
                 name, sql = _named_expr(g0, df, "value")
-                out = df.withColumn(name,
-                                    F.explode(_explodable(df, sql)))
+                if idx_col:
+                    ex = F.posexplode(_explodable(df, sql))
+                    other = [c for c in df.columns if c != name]
+                    out = df.select(*other, ex.alias(idx_col, name)) \
+                        .withColumn(idx_col,
+                                    F.col(idx_col).cast("long"))
+                else:
+                    out = df.withColumn(name,
+                                        F.explode(_explodable(df, sql)))
                 if cast_t:
                     out = out.withColumn(name, F.col(name).cast(cast_t))
                 return out
@@ -2281,6 +2295,11 @@ class KqlCompiler:
             for (name, _), a, ct in zip(pairs, arrs, casts):
                 v = F.try_element_at(a, F.col("__mv_pos"))
                 out = out.withColumn(name, v.cast(ct) if ct else v)
+            if idx_col:
+                return out.withColumn(
+                    idx_col,
+                    (F.col("__mv_pos") - 1).cast("long")) \
+                    .drop("__mv_pos")
             return out.drop("__mv_pos")
         if op == "join":
             return self._join(df, rest)

@@ -2380,3 +2380,25 @@ def test_set_statements_accepted_and_ignored(spark, sf_dir):
       region | where r_regionkey < k | count
     """).collect()
     assert r[0][0] == 2
+
+
+def test_mv_expand_with_itemindex(spark, sf_dir):
+    """mv-expand with_itemindex=i: 0-based element position for the
+    single-array (posexplode) and zipped multi-array forms."""
+    rows = kql(spark, sf_dir, """
+      datatable (k:long) [1]
+        | extend a = pack_array(10, 20, 30)
+        | mv-expand with_itemindex=i a to typeof(long)
+        | project k, i, a
+    """).collect()
+    assert sorted((r["i"], r["a"]) for r in rows) == [
+        (0, 10), (1, 20), (2, 30)]
+    rows = kql(spark, sf_dir, """
+      datatable (k:long) [1]
+        | extend a = pack_array(1, 2, 3), b = pack_array('x', 'y')
+        | mv-expand with_itemindex=i a to typeof(long),
+                    b to typeof(string)
+        | project i, a, b
+    """).collect()
+    assert sorted((r["i"], r["a"], r["b"]) for r in rows) == [
+        (0, 1, "x"), (1, 2, "y"), (2, 3, None)]
