@@ -84,7 +84,9 @@ series_pearson_correlation, series_add/subtract/multiply/divide,
 series_fit_line_dynamic (least-squares bag), series_fit_2lines_dynamic
 (best two-segment piecewise fit), series_decompose_forecast
 (linear trend + periodic-mean seasonal), contains/startswith/endswith/
-has/has_any (term match), in/!in, between (lo .. hi), ==/!=/=~,
+has/has_cs/!has/has_any/has_all (term match), contains/startswith/
+endswith + _cs and ! variants, matches regex, in/!in/in~/!in~,
+between (lo .. hi), ==/!=/=~/!~,
 arithmetic, datetime(...) literals, now/ago, format_datetime,
 startof/endof day|week|month|year (Sunday weeks), dayofweek (timespan),
 getyear/getmonth/dayofmonth/hourofday, indexof, countof, trim/
@@ -120,6 +122,9 @@ _TOKEN_RE = re.compile(r"""
   | (?P<timespan>\b\d+(?:\.\d+)?(?:ms|s|m|h|d)\b)
   | (?P<num>\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
   | (?P<str>'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
+  | (?P<nop>!(?:contains_cs|contains|has_cs|has|startswith_cs
+              |startswith|endswith_cs|endswith)\b|!in~|!~)
+  | (?P<inci>\bin~)
   | (?P<ident>\$?[A-Za-z_][A-Za-z0-9_.]*)
   | (?P<op>==|!=|=~|<=|>=|!in\b|<|>|\(|\)|\[|\]|,|\+|-|\*|/|%|=|\.)
 """, re.VERBOSE)
@@ -295,9 +300,13 @@ class _ExprParser:
             return 1
         if text in ("and",):
             return 2
-        if t.text in _CMP or text in ("in", "!in", "=~", "contains",
-                                      "startswith", "endswith", "has",
-                                      "has_any", "has_all", "between"):
+        if t.text in _CMP or text in (
+                "in", "!in", "in~", "!in~", "=~", "!~", "contains",
+                "contains_cs", "!contains", "!contains_cs",
+                "startswith", "startswith_cs", "!startswith",
+                "!startswith_cs", "endswith", "endswith_cs",
+                "!endswith", "!endswith_cs", "has", "has_cs", "!has",
+                "!has_cs", "has_any", "has_all", "between", "matches"):
             return 3
         if t.text in ("+", "-"):
             return 4
@@ -1336,21 +1345,36 @@ class _ExprParser:
             rhs = self.parse(bp + 1)
             lhs, rhs = _coerce_variant_cmp(lhs, rhs, self.df)
             return f"({lhs} {_CMP[t.text]} {rhs})"
-        if low == "=~":
+        if low in ("=~", "!~"):
             lhs = _str_if_variant(lhs)
             rhs = _str_if_variant(self.parse(bp + 1))
-            return f"(lower({lhs}) = lower({rhs}))"
-        if low in ("in", "!in"):
+            cmp_op = "=" if low == "=~" else "<>"
+            return f"(lower({lhs}) {cmp_op} lower({rhs}))"
+        if low == "matches":
+            # `matches regex 'pattern'` (Kusto's regex-match operator;
+            # Java regex here vs Kusto's RE2 — documented deviation on
+            # exotic syntax, identical on the common subset)
+            nxt = self.next()
+            if nxt.text.lower() != "regex":
+                raise ValueError("KQL: expected 'matches regex'")
+            rhs = self.parse(bp + 1)
+            return f"({_str_if_variant(lhs)} RLIKE {rhs})"
+        if low in ("in", "!in", "in~", "!in~"):
             self.expect("(")
             items = [self.parse(0)]
             while self.peek() is not None and self.peek().text == ",":
                 self.next()
                 items.append(self.parse(0))
             self.expect(")")
-            neg = "NOT " if low == "!in" else ""
-            # a variant path on the left takes the list's type (same
-            # loose-compare coercion as binary comparisons)
-            lhs, _ = _coerce_variant_cmp(lhs, items[0], self.df)
+            neg = "NOT " if low.startswith("!") else ""
+            if low.endswith("~"):
+                # case-insensitive membership
+                lhs = f"lower({_str_if_variant(lhs)})"
+                items = [f"lower({it})" for it in items]
+            else:
+                # a variant path on the left takes the list's type
+                # (same loose-compare coercion as binary comparisons)
+                lhs, _ = _coerce_variant_cmp(lhs, items[0], self.df)
             return f"({lhs} {neg}IN ({', '.join(items)}))"
         if low == "between":
             # KQL range: x between (lo .. hi), inclusive both ends
@@ -1362,21 +1386,30 @@ class _ExprParser:
             self.expect(")")
             lhs, _ = _coerce_variant_cmp(lhs, lo, self.df)
             return f"({lhs} BETWEEN {lo} AND {hi})"
-        if low == "contains":
+        base = low.lstrip("!")
+        if base in ("contains", "contains_cs", "startswith",
+                    "startswith_cs", "endswith", "endswith_cs"):
             lhs = _str_if_variant(lhs)
-            return f"(contains(lower({lhs}), lower({self.parse(bp + 1)})))"
-        if low == "startswith":
-            lhs = _str_if_variant(lhs)
-            return f"(startswith(lower({lhs}), lower({self.parse(bp + 1)})))"
-        if low == "endswith":
-            lhs = _str_if_variant(lhs)
-            return f"(endswith(lower({lhs}), lower({self.parse(bp + 1)})))"
-        if low == "has":
+            rhs = self.parse(bp + 1)
+            fn = base.removesuffix("_cs")
+            if base.endswith("_cs"):
+                expr = f"{fn}({lhs}, {rhs})"
+            else:
+                expr = f"{fn}(lower({lhs}), lower({rhs}))"
+            return (f"(NOT {expr})" if low.startswith("!")
+                    else f"({expr})")
+        if base in ("has", "has_cs"):
             # KQL 'has' is a whole-term match, not substring
             lhs = _str_if_variant(lhs)
             rhs = self.parse(bp + 1)
-            return (f"(array_contains(split(lower({lhs}), "
-                    f"'[^a-z0-9]+'), lower({rhs})))")
+            if base == "has_cs":
+                expr = (f"array_contains(split({lhs}, "
+                        f"'[^a-zA-Z0-9]+'), {rhs})")
+            else:
+                expr = (f"array_contains(split(lower({lhs}), "
+                        f"'[^a-z0-9]+'), lower({rhs}))")
+            return (f"(NOT {expr})" if low.startswith("!")
+                    else f"({expr})")
         if low in ("has_any", "has_all"):
             self.expect("(")
             terms = [self.parse(0)]

@@ -2402,3 +2402,27 @@ def test_mv_expand_with_itemindex(spark, sf_dir):
     """).collect()
     assert sorted((r["i"], r["a"], r["b"]) for r in rows) == [
         (0, 1, "x"), (1, 2, "y"), (2, 3, None)]
+
+
+def test_case_sensitive_negated_string_ops(spark, sf_dir):
+    """Kusto string-operator matrix: _cs case-sensitive variants,
+    !-negated variants, in~/!in~ case-insensitive membership, !~
+    case-insensitive inequality, and `matches regex`."""
+    r = kql(spark, sf_dir, """
+      print s = 'Hello World'
+        | extend a = iff(s contains 'WORLD', 1, 0),
+                 b = iff(s contains_cs 'WORLD', 1, 0),
+                 c = iff(s !contains 'xyz', 1, 0),
+                 d = iff(s !contains_cs 'Hello', 1, 0),
+                 e = iff(s has_cs 'World', 1, 0),
+                 f = iff(s !has 'worlds', 1, 0),
+                 g = iff(s startswith_cs 'Hello', 1, 0),
+                 h = iff(s !endswith 'WORLD', 1, 0),
+                 i = iff(s matches regex '^H\\\\w+ W\\\\w+$', 1, 0),
+                 j = iff('ASIA' in~ ('asia', 'europe'), 1, 0),
+                 k = iff('ASIA' !in~ ('africa'), 1, 0),
+                 l = iff(s !~ 'HELLO WORLD', 1, 0)
+    """).collect()[0]
+    assert {c: r[c] for c in "abcdefghijkl"} == {
+        "a": 1, "b": 0, "c": 1, "d": 0, "e": 1, "f": 1,
+        "g": 1, "h": 0, "i": 1, "j": 1, "k": 1, "l": 0}
