@@ -2159,6 +2159,9 @@ class KqlCompiler:
                       "DataType string")
         if op == "extend":
             for i, g in enumerate(_split_top_commas(_tokenize(rest))):
+                if g and g[0].text == "(":
+                    df = self._extend_multi_assign(df, g)
+                    continue
                 if len(g) >= 2 and g[0].kind == "ident" \
                         and g[1].text == "=":
                     name, body = g[0].text, g[2:]
@@ -2665,6 +2668,60 @@ class KqlCompiler:
                     yield pd.DataFrame(rows, columns=out_cols)
 
         return part.mapInPandas(kernel, out_schema)
+
+    #: multi-assign sources: bag-returning function + its keys in
+    #: Kusto's documented output order (prefix-assignable)
+    _MULTI_ASSIGN = {
+        "series_fit_line": ("series_fit_line_dynamic",
+                            ["rsquare", "slope", "variance", "rvariance",
+                             "interception", "line_fit"]),
+    }
+
+    def _extend_multi_assign(self, df: DataFrame,
+                             g: list[Tok]) -> DataFrame:
+        """``extend (n1, n2, ...) = series_fit_line(y)`` — Kusto's
+        tuple-assignment idiom: the function's dynamic bag is computed
+        once and its fields are projected onto the names in the
+        documented output order (a prefix may be taken: ``(rsquare,
+        slope) = ...``). Scalar fields land as doubles, array fields
+        stay dynamic."""
+        depth, j = 0, 0
+        names = []
+        for j, t in enumerate(g):
+            if t.text == "(":
+                depth += 1
+            elif t.text == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            elif depth == 1 and t.kind == "ident":
+                names.append(t.text)
+        if not names or j + 2 >= len(g) or g[j + 1].text != "=":
+            raise ValueError("KQL: extend (n1, n2, ...) = fn(...)")
+        call = g[j + 2:]
+        fname = call[0].text.lower() if call else ""
+        entry = self._MULTI_ASSIGN.get(fname)
+        if entry is None:
+            raise ValueError(
+                f"KQL: multi-assign extend supports "
+                f"{sorted(self._MULTI_ASSIGN)}, got {fname!r} — use the "
+                f"_dynamic variant and path access instead")
+        dyn_name, keys = entry
+        if len(names) > len(keys):
+            raise ValueError(
+                f"KQL: {fname} yields {len(keys)} values, "
+                f"{len(names)} names given")
+        call = [Tok("ident", dyn_name)] + call[1:]
+        sql = _compile_expr_tokens(call, df, self._order_sql,
+                                   self._partition_sql)
+        tmp = "__ma_bag"
+        df = df.withColumn(tmp, F.expr(sql))
+        for name, key in zip(names, keys):
+            v = F.expr(f"variant_get(`{tmp}`, '$.{key}')")
+            if key != "line_fit":
+                v = v.cast("double")
+            df = df.withColumn(name, v)
+        return df.drop(tmp)
 
     def _narrow(self, df: DataFrame, argtext: str) -> DataFrame:
         """``evaluate narrow()``: rotate the table into (Row, Column,

@@ -2426,3 +2426,24 @@ def test_case_sensitive_negated_string_ops(spark, sf_dir):
     assert {c: r[c] for c in "abcdefghijkl"} == {
         "a": 1, "b": 0, "c": 1, "d": 0, "e": 1, "f": 1,
         "g": 1, "h": 0, "i": 1, "j": 1, "k": 1, "l": 0}
+
+
+def test_extend_multi_assign_series_fit_line(spark, sf_dir):
+    """extend (rsquare, slope, ...) = series_fit_line(y): Kusto's
+    tuple assignment — fields project in documented order, prefix
+    allowed, unknown functions rejected with guidance."""
+    r = kql(spark, sf_dir, """
+      print y = pack_array(1.0, 3.0, 5.0, 7.0)
+        | extend (rsquare, slope) = series_fit_line(y)
+        | project rsquare, slope
+    """).collect()[0]
+    assert (r["rsquare"], r["slope"]) == (1.0, 2.0)
+    r2 = kql(spark, sf_dir, """
+      print y = pack_array(1.0, 3.0, 5.0, 7.0)
+        | extend (rsq, sl, var, rvar, icept) = series_fit_line(y)
+        | project icept, rvar
+    """).collect()[0]
+    assert (r2["icept"], r2["rvar"]) == (1.0, 0.0)
+    with pytest.raises(ValueError, match="multi-assign"):
+        kql(spark, sf_dir,
+            "print y = pack_array(1.0) | extend (a, b) = strcat('x')")
