@@ -474,3 +474,72 @@ def ivfpq_index(corpus: DataFrame, centroids: list[list[float]],
     return (assign_ivf_list(base, centroids, vec_col="__cvec")
             .select("neighbor_id", "list_id",
                     enc(F.col("__cvec")).alias("codes")))
+
+
+def binary_quantize(vec: Column | str) -> Column:
+    """Sign-bit binary quantization: one bit per dimension (set iff the
+    component is > 0), packed into an ``array<bigint>`` of 64-bit
+    words — a 32x compression of float32 embeddings that keeps
+    neighborhood structure (the standard first-stage filter of a
+    100 TB vector store; Hamming distance on the codes is a cheap
+    proxy for angular distance). Pure higher-order SQL: zero Python,
+    whole-stage codegen, sign pattern identical on every engine."""
+    v = f"`{vec}`" if isinstance(vec, str) else vec
+    if not isinstance(v, str):
+        raise TypeError("binary_quantize takes a column NAME (the "
+                        "packer is a generated SQL expression)")
+    # SQL-side shiftleft accepts expression bit counts (the pyspark
+    # wrapper takes only Python ints); __bq_ lambda-var prefixes keep
+    # user columns unshadowed when inlined
+    word = (f"aggregate(zip_with("
+            f"slice({v}, __bq_j * 64 + 1, "
+            f"least(64, size({v}) - __bq_j * 64)), "
+            f"sequence(0, least(63, size({v}) - __bq_j * 64 - 1)), "
+            f"(__bq_x, __bq_i) -> IF(__bq_x > 0, "
+            f"shiftleft(CAST(1 AS BIGINT), __bq_i), "
+            f"CAST(0 AS BIGINT))), "
+            f"CAST(0 AS BIGINT), (__bq_a, __bq_b) -> __bq_a | __bq_b)")
+    return F.expr(
+        f"transform(sequence(0, CAST(floor((size({v}) - 1) / 64) "
+        f"AS INT)), __bq_j -> {word})")
+
+
+def hamming_distance(a: Column | str, b: Column | str) -> Column:
+    """Hamming distance between two packed bit-code arrays
+    (XOR + popcount per 64-bit word, summed)."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(ca, cb,
+                   lambda x, y: F.bit_count(x.bitwiseXOR(y))),
+        F.lit(0),
+        lambda acc, d: acc + d).cast("long")
+
+
+def knn_hamming(queries: DataFrame, corpus: DataFrame, k: int = 5,
+                query_id: str = "vec_id", corpus_id: str = "vec_id",
+                query_vec: str = "embedding",
+                corpus_vec: str = "embedding",
+                include_self: bool = False) -> DataFrame:
+    """Top-k by Hamming distance over sign-bit codes: the compressed
+    exhaustive path — the corpus scan touches 1 long per 64 dims
+    instead of 64 floats (32x less IO), XOR+popcount per candidate
+    instead of a float dot product. Deterministic total order
+    (distance, then neighbor id). Output: (query_id, neighbor_id,
+    rank, hamming). At 100 TB, persist the quantized corpus once and
+    feed it back as ``corpus`` with the codes precomputed."""
+    q = queries.select(F.col(query_id).alias("query_id"),
+                       binary_quantize(query_vec).alias("__qc"))
+    c = rebalance(corpus).select(F.col(corpus_id).alias("neighbor_id"),
+                                 binary_quantize(corpus_vec)
+                                 .alias("__cc"))
+    joined = c.crossJoin(broadcast(q))
+    if not include_self:
+        joined = joined.where(F.col("query_id") != F.col("neighbor_id"))
+    d = joined.select("query_id", "neighbor_id",
+                      hamming_distance("__qc", "__cc").alias("hamming"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("hamming").asc(), F.col("neighbor_id").asc())
+    return (d.withColumn("rank", F.row_number().over(w).cast("long"))
+             .where(F.col("rank") <= k)
+             .select("query_id", "neighbor_id", "rank", "hamming"))

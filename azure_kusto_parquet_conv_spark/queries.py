@@ -4792,6 +4792,32 @@ def q_kql_narrow(spark, sf_dir):
     """)
 
 
+@query("q_knn_hamming", """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+           FROM embeddings WHERE vec_id < 10),
+p AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+             CAST(list_sum(list_transform(list_zip(q.qv, c.embedding),
+                  x -> CASE WHEN (x[1] > 0) <> (x[2] > 0)
+                       THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+      FROM q, embeddings c WHERE c.vec_id <> q.query_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY hamming, neighbor_id) AS rn FROM p)
+SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank, hamming
+FROM r WHERE rn <= 5
+""")
+def q_knn_hamming(spark, sf_dir):
+    """Binary-quantized (sign-bit) top-k by Hamming distance, HARD
+    hash-oracled: Spark packs 64 dims/word and XOR+popcounts packed
+    codes; DuckDB counts sign mismatches over the raw float lists —
+    two independent routes to the identical integer distance, with a
+    deterministic (distance, neighbor_id) total order. The 32x-
+    compressed first-stage filter of a 100 TB vector store (persist
+    the quantized corpus once; the scan reads 1 long per 64 dims)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 10)
+    return S.knn_hamming(q, e, k=5)
+
+
 @query("q_kql_reduce", """
 SELECT regexp_replace(event_type || ' user ' || CAST(user_id AS VARCHAR)
          || ' v ' || CAST(CAST(FLOOR(value) AS BIGINT) AS VARCHAR),
@@ -5225,6 +5251,7 @@ DRIVER_WINDOW = [
 # the new-in-r6 oracled entries (q_kql_series_forecast, q_kql_narrow,
 # q_kql_ipv4, q_kql_datetime_math, q_kql_split_version,
 # q_kql_row_rank, q_kql_find, q_kql_fit_line, q_kql_reduce,
+# q_knn_hamming,
 # q_media_real_headers,
 # q_url_dedup_real), plus the
 # rows-only families for the weaker rows-only driver check

@@ -50,7 +50,8 @@ def test_q5_broadcasts_dimensions(spark, sf_dir):
 def test_no_accidental_cartesians_across_catalog(spark, sf_dir):
     # cross joins are intentional ONLY in the two brute-force similarity
     # queries (broadcast NLJ over a small side)
-    allowed_nlj = {"q_knn_bruteforce", "q_embed_sim_pairs", "q_dedup_jaccard",
+    allowed_nlj = {"q_knn_bruteforce", "q_knn_hamming",
+                   "q_embed_sim_pairs", "q_dedup_jaccard",
                    "q_cross_join", "q_tfidf",
                    # PQ ADC: 20 broadcast query distance-tables x the
                    # compact code table — the intended probe shape

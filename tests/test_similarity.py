@@ -164,3 +164,30 @@ def test_pq_recall_and_exact_scores(spark, sf_dir):
     # compact codes
     codes = S.pq_encode(e, books).first()["codes"]
     assert len(codes) == 16 and all(0 <= c < 16 for c in codes)
+
+
+def test_binary_quantize_bit_patterns(spark):
+    """Sign-bit packing: known component signs produce the exact word
+    bits; >64-dim vectors pack into multiple words; Hamming distance
+    counts differing signs."""
+    from azure_kusto_parquet_conv_spark.operators.similarity import (
+        binary_quantize, hamming_distance)
+    # dims 0,2 positive -> bits 0,2 set -> word 5
+    v1 = [1.0, -1.0, 2.0, -0.5]
+    # dims 0,1 positive -> word 3; differs from v1 at dims 1,2 -> H=2
+    v2 = [3.0, 0.5, -2.0, -0.1]
+    # 70-dim: dim 0 and dim 69 positive -> words [1, 1 << 5]
+    v3 = [1.0] + [-1.0] * 68 + [2.0]
+    df = spark.createDataFrame(
+        [(1, v1, v2), (2, v3, v3)],
+        "id long, a array<double>, b array<double>")
+    rows = {r["id"]: r for r in df.select(
+        "id", binary_quantize("a").alias("ca"),
+        binary_quantize("b").alias("cb")).collect()}
+    assert rows[1]["ca"] == [5] and rows[1]["cb"] == [3]
+    assert rows[2]["ca"] == [1, 1 << 5]
+    hd = {r["id"]: r["h"] for r in df.select(
+        "id",
+        hamming_distance(binary_quantize("a"),
+                         binary_quantize("b")).alias("h")).collect()}
+    assert hd == {1: 2, 2: 0}
