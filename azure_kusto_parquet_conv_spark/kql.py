@@ -572,6 +572,56 @@ class _ExprParser:
                     f"RLIKE '^\".*\"$' THEN replace(substring(__pc_x, "
                     f"2, length(__pc_x) - 2), '\"\"', '\"') "
                     f"ELSE __pc_x END)")
+        if fname == "array_iff":
+            # element-wise conditional merge of two arrays by a
+            # boolean-array mask (index-aligned; null past either end)
+            if len(args) != 3:
+                raise ValueError("KQL: array_iff(cond_arr, a, b)")
+            c, a, b = args
+            return (f"transform(sequence(1, size({c})), __ai_i -> "
+                    f"IF(CAST(try_element_at({c}, __ai_i) AS BOOLEAN), "
+                    f"try_element_at({a}, __ai_i), "
+                    f"try_element_at({b}, __ai_i)))")
+        if fname in ("array_rotate_left", "array_rotate_right"):
+            if len(args) != 2:
+                raise ValueError(f"KQL: {fname}(arr, n)")
+            arr, n = args
+            # normalize the shift into [0, size) (negative n rotates
+            # the other way, like Kusto)
+            k = (f"CAST(pmod({'-' if fname.endswith('right') else ''}"
+                 f"({n}), size({arr})) AS INT)")
+            return (f"(CASE WHEN size({arr}) = 0 THEN {arr} ELSE "
+                    f"concat(slice({arr}, {k} + 1, "
+                    f"size({arr}) - {k}), "
+                    f"slice({arr}, 1, {k})) END)")
+        if fname in ("array_shift_left", "array_shift_right"):
+            # shift with null (or `fill`) padding, Kusto semantics;
+            # negative n shifts the other way
+            if len(args) not in (2, 3):
+                raise ValueError(f"KQL: {fname}(arr, n[, fill])")
+            arr, n = args[0], args[1]
+            fill = args[2] if len(args) == 3 else "NULL"
+            if fname == "array_shift_right":
+                n = f"(-({n}))"
+            return (f"transform(sequence(1, size({arr})), __as_i -> "
+                    f"CASE WHEN __as_i + ({n}) BETWEEN 1 AND "
+                    f"size({arr}) THEN "
+                    f"element_at({arr}, CAST(__as_i + ({n}) AS INT)) "
+                    f"ELSE {fill} END)")
+        if fname == "column_ifexists":
+            # schema-defensive column reference: the REAL column when
+            # it exists, else the default (resolved at compile time
+            # against the pipeline schema, like Kusto)
+            if len(args) != 2:
+                raise ValueError(
+                    "KQL: column_ifexists('name', default)")
+            m = re.fullmatch(r"\s*'([^']*)'\s*", args[0])
+            if not m:
+                raise ValueError(
+                    "KQL: column_ifexists needs a literal column name")
+            if self.df is not None and m.group(1) in self.df.columns:
+                return f"`{m.group(1)}`"
+            return args[1]
         if fname == "strcat_array":
             if len(args) != 2:
                 raise ValueError("KQL: strcat_array(array, sep)")

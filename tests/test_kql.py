@@ -2447,3 +2447,26 @@ def test_extend_multi_assign_series_fit_line(spark, sf_dir):
     with pytest.raises(ValueError, match="multi-assign"):
         kql(spark, sf_dir,
             "print y = pack_array(1.0) | extend (a, b) = strcat('x')")
+
+
+def test_array_manipulation_and_column_ifexists(spark, sf_dir):
+    """array_iff (masked merge), array_rotate_left/right (negative n
+    rotates the other way), array_shift_left/right (null or custom
+    fill), column_ifexists resolved against the pipeline schema."""
+    r = kql(spark, sf_dir, """
+      print x = 1
+        | extend a = array_iff(pack_array(true, false, true),
+                               pack_array(1, 2, 3), pack_array(9, 8, 7)),
+                 rl = array_rotate_left(pack_array(1, 2, 3, 4), 1),
+                 rr = array_rotate_right(pack_array(1, 2, 3, 4), 1),
+                 rneg = array_rotate_left(pack_array(1, 2, 3, 4), -1),
+                 sl = array_shift_left(pack_array(1, 2, 3, 4), 2),
+                 sr = array_shift_right(pack_array(1, 2, 3, 4), 1, 0),
+                 c1 = column_ifexists('x', 99),
+                 c2 = column_ifexists('nope', 99)
+    """).collect()[0]
+    assert r["a"] == [1, 8, 3]
+    assert r["rl"] == [2, 3, 4, 1] and r["rr"] == [4, 1, 2, 3]
+    assert r["rneg"] == [4, 1, 2, 3]
+    assert r["sl"] == [3, 4, None, None] and r["sr"] == [0, 1, 2, 3]
+    assert (r["c1"], r["c2"]) == (1, 99)
