@@ -2470,3 +2470,62 @@ def test_array_manipulation_and_column_ifexists(spark, sf_dir):
     assert r["rneg"] == [4, 1, 2, 3]
     assert r["sl"] == [3, 4, None, None] and r["sr"] == [0, 1, 2, 3]
     assert (r["c1"], r["c2"]) == (1, 99)
+
+
+def test_scan_state_spans_arrow_batches(spark, sf_dir):
+    """The scan kernel must carry automaton state ACROSS Arrow batches:
+    with a tiny maxRecordsPerBatch every group spans several batches,
+    and the match set must not change."""
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    rows = []
+    for u in (1, 2):
+        for i in range(30):
+            e = ("signup" if i % 10 == 0 else
+                 "click" if i % 10 == 5 else
+                 "purchase" if i % 10 == 9 else "view")
+            rows.append((u, i, u * 100 + i, e))
+    cells = ", ".join(f"{u}, {t}, {i}, '{e}'" for u, t, i, e in rows)
+    q = f"""
+      datatable (u:long, t:long, id:long, e:string)
+        [{cells}]
+        | partition by u (
+            sort by t asc, id asc
+            | scan with (step a: e == 'signup'; step b: e == 'click';
+                         step c: e == 'purchase';)
+          )
+    """
+    try:
+        big = {(r["u"], r["id"], r["step"], r["match_id"])
+               for r in kql(spark, sf_dir, q).collect()}
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
+                       "4")
+        small = {(r["u"], r["id"], r["step"], r["match_id"])
+                 for r in kql(spark, sf_dir, q).collect()}
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
+                       old)
+    # 3 full sequences per user per the layout above
+    assert len(big) == 2 * 3 * 3
+    assert big == small
+
+
+def test_sequence_detect_state_spans_arrow_batches(spark, sf_dir):
+    """Same cross-batch contract for sequence_detect's kernel."""
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    q = """
+      events
+        | evaluate sequence_detect(ts, 12h, 1d,
+            a = event_type == 'signup', b = event_type == 'purchase',
+            user_id)
+    """
+    try:
+        big = {(r["user_id"], str(r["a_ts"]), str(r["b_ts"]))
+               for r in kql(spark, sf_dir, q).collect()}
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
+                       "13")
+        small = {(r["user_id"], str(r["a_ts"]), str(r["b_ts"]))
+                 for r in kql(spark, sf_dir, q).collect()}
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
+                       old)
+    assert len(big) > 0 and big == small
