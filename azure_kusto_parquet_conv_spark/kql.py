@@ -572,6 +572,28 @@ class _ExprParser:
                     f"RLIKE '^\".*\"$' THEN replace(substring(__pc_x, "
                     f"2, length(__pc_x) - 2), '\"\"', '\"') "
                     f"ELSE __pc_x END)")
+        if fname == "totimespan":
+            # parse "[-][d.]hh:mm:ss[.fffffff]" (Kusto timespan text)
+            # into MICROSECONDS — the same unit timespan literals carry
+            # through this compiler; unparseable -> null
+            if len(args) != 1:
+                raise ValueError("KQL: totimespan(text)")
+            s = f"CAST({args[0]} AS STRING)"
+            body = f"ltrim('-', {s})"
+            pat = (r"'^(?:(\\d+)\\.)?(\\d+):(\\d+):(\\d+)"
+                   r"(?:\\.(\\d+))?$'")
+            grp = (lambda i:
+                   f"coalesce(try_cast(nullif(regexp_extract({body}, "
+                   f"{pat}, {i}), '') AS BIGINT), 0)")
+            frac = (f"coalesce(try_cast(substring(rpad(nullif("
+                    f"regexp_extract({body}, {pat}, 5), ''), 6, '0'), "
+                    f"1, 6) AS BIGINT), 0)")
+            total = (f"({grp(1)} * 86400000000 + {grp(2)} * 3600000000 "
+                     f"+ {grp(3)} * 60000000 + {grp(4)} * 1000000 "
+                     f"+ {frac})")
+            return (f"(CASE WHEN {body} RLIKE {pat} THEN "
+                    f"IF(startswith({s}, '-'), -{total}, {total}) "
+                    f"ELSE NULL END)")
         if fname == "array_iff":
             # element-wise conditional merge of two arrays by a
             # boolean-array mask (index-aligned; null past either end)

@@ -2529,3 +2529,17 @@ def test_sequence_detect_state_spans_arrow_batches(spark, sf_dir):
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
                        old)
     assert len(big) > 0 and big == small
+
+
+def test_totimespan_parsing(spark, sf_dir):
+    """totimespan: '[-][d.]hh:mm:ss[.f]' text -> microseconds (the unit
+    every timespan literal carries through this compiler); junk -> null."""
+    r = kql(spark, sf_dir, """
+      print a = totimespan('01:02:03'), b = totimespan('1.01:02:03.5'),
+            c = totimespan('-00:00:01'), d = totimespan('junk'),
+            e = iff(totimespan('00:05:00') == 5m, 1, 0)
+    """).collect()[0]
+    assert r["a"] == 3_723_000_000
+    assert r["b"] == 86_400_000_000 + 3_723_000_000 + 500_000
+    assert r["c"] == -1_000_000 and r["d"] is None
+    assert r["e"] == 1
