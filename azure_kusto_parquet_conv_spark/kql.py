@@ -1855,6 +1855,9 @@ class KqlCompiler:
         self._lets: dict[str, DataFrame] = {}
         self._scalar_lets: dict[str, str] = {}
         self._fn_lets: dict[str, tuple[list[str], str]] = {}
+        # tabular-parameter functions: name -> (table_param,
+        # scalar_params, raw body) for `T | invoke f(args)`
+        self._tab_fn_lets: dict[str, tuple[str, list[str], str]] = {}
         prepare_session(spark)
 
     def table(self, name: str) -> DataFrame:
@@ -1893,6 +1896,20 @@ class KqlCompiler:
             fm = re.match(r"\(\s*(?P<params>[^)]*)\)\s*\{(?P<body>.*)\}\s*$",
                           body, re.DOTALL)
             mm = re.match(r"materialize\s*\((.*)\)\s*$", body, re.DOTALL)
+            tf = re.match(r"\(\s*(?P<t>\w+)\s*:\s*\(\s*\*\s*\)\s*"
+                          r"(?:,(?P<rest>[^)]*))?\)\s*\{(?P<body>.*)\}\s*$",
+                          body, re.DOTALL)
+            if tf:
+                # `let f = (T:(*), p1:type, ...) { T | ... };` — a
+                # TABULAR function for `| invoke f(...)`: the first
+                # parameter binds the piped-in table, the rest expand
+                # textually like scalar function-lets
+                sparams = [p.split(":")[0].strip()
+                           for p in (tf.group("rest") or "").split(",")
+                           if p.strip()]
+                self._tab_fn_lets[name] = (
+                    tf.group("t"), sparams, tf.group("body").strip())
+                continue
             if fm:
                 params = []
                 ptext = fm.group("params").strip()
@@ -2338,7 +2355,9 @@ class KqlCompiler:
             n = int(m2.group(1))
             return df.orderBy(*self._sort_cols(df, m2.group(2))).limit(n)
         if op in ("take", "limit"):
-            return df.limit(int(rest))
+            # tolerate wrapping parens: scalar-let / function-arg
+            # substitution parenthesizes for precedence safety
+            return df.limit(int(rest.strip("() \t\n")))
         if op == "count":
             return df.agg(F.count("*").alias("count_"))
         if op == "mv-expand":
@@ -2419,6 +2438,42 @@ class KqlCompiler:
             return self._parse(df, rest, where=True)
         if op == "mv-apply":
             return self._mv_apply(df, rest)
+        if op == "invoke":
+            # `T | invoke f(args)`: apply a tabular function-let — the
+            # piped table binds the function's table parameter, scalar
+            # args expand textually (same macro discipline as scalar
+            # function-lets), and the body compiles as a normal
+            # pipeline with the bound table as its source
+            m = re.match(r"(\w+)\s*\((?P<args>.*)\)\s*$", rest,
+                         re.DOTALL)
+            if not m:
+                raise ValueError("KQL: invoke fn(args)")
+            fname = m.group(1)
+            if fname not in self._tab_fn_lets:
+                raise ValueError(
+                    f"KQL: invoke: {fname!r} is not a tabular function "
+                    f"(define it as `let {fname} = (T:(*), ...) "
+                    f"{{ ... }};`)")
+            tparam, sparams, body = self._tab_fn_lets[fname]
+            argtext = m.group("args").strip()
+            args = [" ".join(t.text for t in g) for g in
+                    _split_top_commas(_tokenize(argtext))] \
+                if argtext else []
+            if len(args) != len(sparams):
+                raise ValueError(
+                    f"KQL: invoke {fname}() takes {len(sparams)} args, "
+                    f"got {len(args)}")
+            expanded = _sub_outside_strings(body,
+                                            dict(zip(sparams, args)))
+            saved = self._lets.get(tparam)
+            self._lets[tparam] = df
+            try:
+                return self._compile_tabular(self._preprocess(expanded))
+            finally:
+                if saved is None:
+                    self._lets.pop(tparam, None)
+                else:
+                    self._lets[tparam] = saved
         if op == "render":
             return self._render(df, rest)
         if op == "as":

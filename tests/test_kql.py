@@ -2543,3 +2543,29 @@ def test_totimespan_parsing(spark, sf_dir):
     assert r["b"] == 86_400_000_000 + 3_723_000_000 + 500_000
     assert r["c"] == -1_000_000 and r["d"] is None
     assert r["e"] == 1
+
+
+def test_invoke_tabular_function(spark, sf_dir):
+    """`| invoke f(args)` with `let f = (T:(*), p:type) { ... }`:
+    the piped table binds the table parameter, scalar args expand
+    textually, the body is a full pipeline (reusable library shape)."""
+    rows = kql(spark, sf_dir, """
+      let top_by_key = (T:(*), n:long) {
+        T | sort by r_regionkey desc | take n | project r_name
+      };
+      region | invoke top_by_key(2)
+    """).collect()
+    assert sorted(r["r_name"] for r in rows) == ["EUROPE", "MIDDLE EAST"]
+    # composes with where inside and multiple invocations
+    rows2 = kql(spark, sf_dir, """
+      let only = (T:(*), k:long) { T | where r_regionkey == k };
+      region | invoke only(3) | project r_name
+    """).collect()
+    assert [r["r_name"] for r in rows2] == ["EUROPE"]
+    with pytest.raises(ValueError, match="tabular function"):
+        kql(spark, sf_dir, "region | invoke missing_fn(1)")
+    with pytest.raises(ValueError, match="takes 1 args"):
+        kql(spark, sf_dir, """
+          let f = (T:(*), k:long) { T | take k };
+          region | invoke f(1, 2)
+        """)
