@@ -74,6 +74,7 @@ Supported surface (each line maps to one DataFrame verb):
 Sources: table | datatable(...) | print | range | externaldata(...)
     | find [withsource=col] in (T1, T2, ...) where pred
     | as name   /   render <charttype>
+    | invoke f(args)   (tabular function-lets: let f = (T:(*), ..) {..})
 Scalar fns: strlen, tolower, toupper, substring (0-based, KQL-style),
 strcat, strcat_delim, iff/iif, case, toint/tolong/todouble/tostring/
 tobool/todatetime, bin, bin_at, extract, extract_all, extractjson,
@@ -93,7 +94,11 @@ getyear/getmonth/dayofmonth/hourofday, indexof, countof, trim/
 trim_start/trim_end (regex per Kusto), replace_string/replace_regex,
 strrep, hash (xxhash64), isempty/isnotempty, pack/bag_pack (dynamic bag builder), pack_array, array_length/
 array_index_of/array_slice/array_sort_asc|desc/array_concat,
-set_union/set_intersect/set_difference.
+set_union/set_intersect/set_difference, array_iff/array_rotate_*/
+array_shift_*, column_ifexists, totimespan, split/translate/url codecs/
+parse_version/parse_csv/parse_ipv4 family/datetime_add-diff/binary ops/
+tohex/strcmp/string_size/repeat/new_guid/rand(n)/isnan-isinf-isfinite,
+extend (n1, n2, ...) = series_fit_line(y) tuple assignment.
 Aggregates: count, countif, sum/avg/min/max (+ sumif/avgif/minif/maxif),
 arg_max/arg_min, percentile (0-100 scale, exact), dcount/dcountif
 (exact; real Kusto estimates — documented deviation), stdev, variance,
