@@ -30,6 +30,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="CSV output instead of JSON-Lines")
     p.add_argument("--limit", type=int, default=None,
                    help="cap the number of output rows")
+    p.add_argument("--explain", action="store_true",
+                   help="print the physical plan (formatted) instead "
+                        "of executing — the scale-review tool: check "
+                        "pushdown/broadcast/shuffle before running on "
+                        "real data")
     return p
 
 
@@ -48,6 +53,9 @@ def run(args: argparse.Namespace) -> int:
 
     spark = get_spark("kql-spark")
     df = kql(spark, args.sf_dir, args.query)
+    if args.explain:
+        df.explain("formatted")
+        return 0
     if args.limit is not None:
         df = df.limit(args.limit)
     cols = df.columns

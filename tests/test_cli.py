@@ -134,3 +134,16 @@ def test_kql_cli_csv_and_limit(spark, sf_dir, capsys):
     out = capsys.readouterr().out.splitlines()
     assert out[0] == "n_nationkey,n_name"
     assert out[1].startswith("0,") and len(out) == 3
+
+
+def test_kql_cli_explain(spark, sf_dir, capsys):
+    """--explain prints the formatted physical plan (the pre-run scale
+    review: pushdown visible) and executes nothing."""
+    from azure_kusto_parquet_conv_spark.kql_cli import build_parser, run
+    rc = run(build_parser().parse_args(
+        ["--explain", "--sf-dir", sf_dir,
+         "region | where r_regionkey > 1 | count"]))
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "Physical Plan" in out
+    assert "PushedFilters" in out and "GreaterThan(r_regionkey,1)" in out
