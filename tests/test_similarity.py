@@ -191,3 +191,40 @@ def test_binary_quantize_bit_patterns(spark):
         hamming_distance(binary_quantize("a"),
                          binary_quantize("b")).alias("h")).collect()}
     assert hd == {1: 2, 2: 0}
+
+
+def test_ivfpq_persisted_index_partition_prunes(spark, sf_dir, tmp_path):
+    """The documented 100 TB shape: ivfpq_index written
+    partitionBy(list_id) and handed back via ``index`` must (a) return
+    the same results as the in-memory path and (b) PRUNE partitions at
+    the scan — the probe's list_id values reach the file source as
+    partition filters, so a query touches n_probe/n_lists of the code
+    table on disk, not all of it."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 10)
+    cents = S.train_ivf_centroids(e, n_lists=16, seed=42)
+    books = S.train_pq_codebooks(e, seed=42)
+    idx = S.ivfpq_index(e, cents, books)
+    path = str(tmp_path / "ivfpq_index")
+    idx.write.partitionBy("list_id").mode("overwrite").parquet(path)
+    stored = spark.read.parquet(path)
+
+    mem = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in
+           S.knn_ivfpq(q, e, k=5, n_lists=16, n_probe=4,
+                       centroids=cents, codebooks=books).collect()}
+    out = S.knn_ivfpq(q, e, k=5, n_lists=16, n_probe=4,
+                      centroids=cents, codebooks=books, index=stored)
+    got = {(r["query_id"], r["neighbor_id"], r["rank"])
+           for r in out.collect()}
+    assert got == mem and len(got) > 0
+    # partition pruning proof: the parquet scan of the stored index
+    # carries dynamic/partition filters on list_id, and the number of
+    # partition directories read is bounded by the probed lists
+    phys = out._jdf.queryExecution().executedPlan().toString()
+    # dynamic partition pruning must be wired: the stored-index scan
+    # receives a runtime list_id subquery from the broadcast probe
+    # side (SubqueryAdaptiveBroadcast dynamicpruning#N ... [list_id])
+    dpp_lines = [l for l in phys.splitlines()
+                 if "dynamicpruning" in l.lower()]
+    assert dpp_lines, phys[:2000]
+    assert any("list_id" in l for l in dpp_lines), dpp_lines
