@@ -82,6 +82,7 @@ parse_json/todynamic (dynamic on Spark VARIANT; d.path compiles to
 variant_get), series_sum/avg/min/max, series_fir, series_fill_const/
 forward/backward/linear, series_outliers (Tukey fences), series_seasonal/series_stdev/
 series_pearson_correlation, series_add/subtract/multiply/divide,
+series_decompose (full additive bag + tuple assign),
 series_fit_line_dynamic (least-squares bag), series_fit_2lines_dynamic
 (best two-segment piecewise fit), series_decompose_forecast
 (linear trend + periodic-mean seasonal), contains/startswith/endswith/
@@ -995,6 +996,34 @@ class _ExprParser:
             return (f"(CASE WHEN {total} < 1 THEN array() "
                     f"ELSE transform(sequence(0, {total} - 1), "
                     f"__df_i -> {trend} + {seas}) END)")
+        if fname == "series_decompose":
+            # expression position: the bag form (the tuple-assign form
+            # is handled by extend's multi-assign)
+            return self._render_call("series_decompose_dynamic", args)
+        if fname == "series_decompose_dynamic":
+            # Full additive decomposition bag over the in-row series:
+            # seasonal (zero-sum periodic phase means), trend (trailing
+            # FIR of the period width), baseline = seasonal + trend,
+            # residual = series - baseline — the same composition the
+            # anomalies entry verifies piecewise, bundled Kusto-style.
+            # (Kusto's own trend default is lowess; this engine's
+            # documented decomposition is FIR — identical shape to the
+            # series_decompose_anomalies pipeline.)
+            if len(args) not in (1, 2):
+                raise ValueError(
+                    "KQL: series_decompose(series[, period])")
+            arr = args[0]
+            per = args[1] if len(args) == 2 else "7"
+            seasonal = self._render_call("series_seasonal", [arr, per])
+            trend = self._render_call("series_fir", [arr, per])
+            baseline = self._render_call("series_add",
+                                         [seasonal, trend])
+            resid = self._render_call("series_subtract",
+                                      [arr, baseline])
+            obj = (f"named_struct('baseline', {baseline}, "
+                   f"'seasonal', {seasonal}, 'trend', {trend}, "
+                   f"'residual', {resid})")
+            return f"parse_json(to_json({obj}))"
         if fname == "series_fit_2lines_dynamic":
             # Best two-segment piecewise-linear fit: for every split k
             # the two sides get closed-form least squares; the split
@@ -2803,10 +2832,17 @@ class KqlCompiler:
 
     #: multi-assign sources: bag-returning function + its keys in
     #: Kusto's documented output order (prefix-assignable)
+    #: key -> (dynamic variant, [(field, is_array)]) in Kusto's
+    #: documented output order
     _MULTI_ASSIGN = {
         "series_fit_line": ("series_fit_line_dynamic",
-                            ["rsquare", "slope", "variance", "rvariance",
-                             "interception", "line_fit"]),
+                            [("rsquare", False), ("slope", False),
+                             ("variance", False), ("rvariance", False),
+                             ("interception", False),
+                             ("line_fit", True)]),
+        "series_decompose": ("series_decompose_dynamic",
+                             [("baseline", True), ("seasonal", True),
+                              ("trend", True), ("residual", True)]),
     }
 
     def _extend_multi_assign(self, df: DataFrame,
@@ -2848,9 +2884,9 @@ class KqlCompiler:
                                    self._partition_sql)
         tmp = "__ma_bag"
         df = df.withColumn(tmp, F.expr(sql))
-        for name, key in zip(names, keys):
+        for name, (key, is_array) in zip(names, keys):
             v = F.expr(f"variant_get(`{tmp}`, '$.{key}')")
-            if key != "line_fit":
+            if not is_array:
                 v = v.cast("double")
             df = df.withColumn(name, v)
         return df.drop(tmp)

@@ -2569,3 +2569,32 @@ def test_invoke_tabular_function(spark, sf_dir):
           let f = (T:(*), k:long) { T | take k };
           region | invoke f(1, 2)
         """)
+
+
+def test_series_decompose_bag_and_tuple_assign(spark, sf_dir):
+    """series_decompose: baseline+residual == original wherever both
+    are defined (additive identity), seasonal is the series_seasonal
+    component, and the tuple-assign form projects the four arrays."""
+    import json
+    r = kql(spark, sf_dir, """
+      print y = pack_array(11.0, 9.0, 11.0, 9.0, 11.0, 9.0, 11.0, 9.0)
+        | extend d = series_decompose(y, 2)
+        | project b = tostring(d.baseline), res = tostring(d.residual),
+                  s = tostring(d.seasonal)
+    """).collect()[0]
+    baseline = json.loads(r["b"])
+    resid = json.loads(r["res"])
+    seasonal = json.loads(r["s"])
+    y = [11.0, 9.0] * 4
+    for i, (bb, rr) in enumerate(zip(baseline, resid)):
+        assert abs(bb + rr - y[i]) < 1e-9
+    assert all(abs(s - (1.0 if i % 2 == 0 else -1.0)) < 1e-9
+               for i, s in enumerate(seasonal))
+    rows = kql(spark, sf_dir, """
+      print y = pack_array(11.0, 9.0, 11.0, 9.0, 11.0, 9.0, 11.0, 9.0)
+        | extend (baseline, seasonal, trend, residual) =
+            series_decompose(y, 2)
+        | mv-expand r = residual to typeof(real)
+        | summarize mx = max(abs(r))
+    """).collect()
+    assert rows[0]["mx"] < 2.0  # residuals bounded on a clean signal
