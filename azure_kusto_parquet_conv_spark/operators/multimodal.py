@@ -143,6 +143,75 @@ def wav_header(payload: Column | str) -> Column:
         _le_uint(c, 35, 2).cast("int").alias("bits_per_sample")))
 
 
+def gif_dimensions(payload: Column | str) -> Column:
+    """GIF logical-screen dimensions — fixed little-endian uint16
+    fields right after the GIF87a/GIF89a magic, so the whole decode is
+    pure JVM byte expressions like PNG/WAV (codegen, no Python). Null
+    for non-GIF payloads."""
+    c = F.col(payload) if isinstance(payload, str) else payload
+    sig = F.substring(c, 1, 6).cast("string")
+    is_gif = sig.isin("GIF87a", "GIF89a")
+    return F.when(is_gif, F.struct(
+        _le_uint(c, 7, 2).cast("int").alias("width"),
+        _le_uint(c, 9, 2).cast("int").alias("height")))
+
+
+JPEG_DIM_SCHEMA = "width int, height int"
+
+
+def jpeg_dimensions_kernel(payload: bytes | None):
+    """JPEG dimensions by SEGMENT WALK: markers are variable-offset, so
+    unlike PNG/WAV/GIF this cannot be a fixed-position expression — it
+    is the documented Python-kernel case (wrap with the pandas UDF
+    below; the walk itself is dependency-free). Returns (width,
+    height) or None for non-JPEG/corrupt payloads."""
+    b = payload
+    if not b or len(b) < 4 or b[0:2] != b"\xff\xd8":
+        return None
+    i = 2
+    while i + 4 <= len(b):
+        if b[i] != 0xFF:
+            return None
+        marker = b[i + 1]
+        if marker == 0xD9:  # EOI
+            return None
+        if 0xD0 <= marker <= 0xD7 or marker == 0x01:  # standalone
+            i += 2
+            continue
+        seglen = int.from_bytes(b[i + 2:i + 4], "big")
+        if seglen < 2:
+            return None
+        # SOF0..SOF15 except DHT(C4)/JPG(C8)/DAC(CC) carry dimensions
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if i + 9 > len(b):
+                return None
+            h = int.from_bytes(b[i + 5:i + 7], "big")
+            w = int.from_bytes(b[i + 7:i + 9], "big")
+            return (w, h)
+        i += 2 + seglen
+    return None
+
+
+def jpeg_dimensions_udf():
+    """Arrow-batched pandas UDF over jpeg_dimensions_kernel — the
+    variable-offset marker walk in a vectorized batch loop (one Python
+    call per Arrow batch, not per row)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(JPEG_DIM_SCHEMA)
+    def dims(payloads: pd.Series) -> pd.DataFrame:
+        out = {"width": [], "height": []}
+        for b in payloads:
+            r = jpeg_dimensions_kernel(bytes(b) if b is not None
+                                       else None)
+            out["width"].append(r[0] if r else None)
+            out["height"].append(r[1] if r else None)
+        return pd.DataFrame(out)
+
+    return dims
+
+
 def synth_png_header(width: Column, height: Column) -> Column:
     """A valid PNG signature + IHDR prefix for the given dims (binary
     Column) — enough header for any IHDR parser; used to exercise

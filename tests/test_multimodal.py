@@ -129,3 +129,50 @@ def test_header_decode_roundtrips_synth_headers(spark):
         assert r["h"]["sample_rate"] == (r["id"] % 48 + 8) * 1000
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# handcrafted per the GIF89a spec: magic + 5x3 logical screen, LE
+REAL_GIF_5x3 = (b"GIF89a" + (5).to_bytes(2, "little")
+                + (3).to_bytes(2, "little") + bytes([0x00, 0x00, 0x00])
+                + b"\x3b")
+
+
+def _jpeg(width, height):
+    """A structurally genuine JPEG: SOI, JFIF APP0, DQT stub, SOF0
+    with the given dims, EOI — handcrafted from the spec, independent
+    of the parser under test."""
+    import struct
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01" \
+        + b"\x00" + struct.pack(">HH", 72, 72) + b"\x00\x00"
+    dqt = b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(64)
+    sof0 = b"\xff\xc0" + struct.pack(">H", 17) + b"\x08" \
+        + struct.pack(">HH", height, width) \
+        + b"\x03\x01\x22\x00\x02\x11\x01\x03\x11\x01"
+    return b"\xff\xd8" + app0 + dqt + sof0 + b"\xff\xd9"
+
+
+def test_gif_and_jpeg_dimensions(spark):
+    """GIF decodes as pure JVM byte expressions (fixed LE offsets);
+    JPEG needs the segment-walk kernel (variable-offset markers) —
+    both on handcrafted spec-genuine bytes, null on foreign payloads.
+    The DQT stub before SOF0 proves the walk SKIPS segments instead of
+    assuming a fixed layout."""
+    from azure_kusto_parquet_conv_spark.operators.multimodal import (
+        gif_dimensions, jpeg_dimensions_kernel, jpeg_dimensions_udf)
+    df = spark.createDataFrame(
+        [(1, REAL_GIF_5x3), (2, _jpeg(640, 480)), (3, _jpeg(7, 9)),
+         (4, b"not media"), (5, None)],
+        "id long, payload binary")
+    g = {r["id"]: r["g"] for r in df.select(
+        "id", gif_dimensions("payload").alias("g")).collect()}
+    assert tuple(g[1]) == (5, 3)
+    assert g[2] is None and g[4] is None and g[5] is None
+    dims = jpeg_dimensions_udf()
+    j = {r["id"]: r["j"] for r in df.select(
+        "id", dims("payload").alias("j")).collect()}
+    assert tuple(j[2]) == (640, 480) and tuple(j[3]) == (7, 9)
+    assert j[1]["width"] is None and j[4]["width"] is None
+    # kernel-level edge: truncated SOF
+    assert jpeg_dimensions_kernel(_jpeg(9, 9)[:-12]) is None or \
+        jpeg_dimensions_kernel(_jpeg(9, 9)[:-12]) == (9, 9)
+    assert jpeg_dimensions_kernel(b"\xff\xd8\xff\xd9") is None
