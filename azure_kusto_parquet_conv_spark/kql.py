@@ -1725,6 +1725,23 @@ def _named_expr(toks: list[Tok], df: DataFrame,
     return name, sql
 
 
+def _expand_col_patterns(groups: list[list[Tok]],
+                         cols: list[str]) -> list[str]:
+    """Column-name lists with Kusto wildcards: a group whose joined
+    text contains ``*`` expands (case-insensitively) against the
+    schema; plain names pass through verbatim."""
+    import fnmatch
+    out = []
+    for g in groups:
+        pat = "".join(t.text for t in g)
+        if "*" in pat:
+            out.extend(c for c in cols
+                       if fnmatch.fnmatchcase(c.lower(), pat.lower()))
+        else:
+            out.append(pat)
+    return out
+
+
 def _warn_global_serialize(what: str) -> None:
     """Serialized-order op compiling to a GLOBAL window: correct KQL
     semantics, but the sort collapses to one partition — a scale killer
@@ -2217,11 +2234,15 @@ class KqlCompiler:
                 cols.append(F.expr(sql).alias(name))
             return df.select(*cols)
         if op == "project-away":
-            names = [g[0].text for g in _split_top_commas(_tokenize(rest))]
+            names = _expand_col_patterns(
+                _split_top_commas(_tokenize(rest)), df.columns)
             return df.drop(*names)
         if op == "project-keep":
-            keep = {g[0].text for g in _split_top_commas(_tokenize(rest))}
-            missing = keep - set(df.columns)
+            groups = _split_top_commas(_tokenize(rest))
+            keep = set(_expand_col_patterns(groups, df.columns))
+            literal = {"".join(t.text for t in g) for g in groups
+                       if not any(t.text == "*" for t in g)}
+            missing = literal - set(df.columns)
             if missing:
                 raise ValueError(f"KQL: project-keep: unknown {missing}")
             return df.select(*[c for c in df.columns if c in keep])
@@ -2232,7 +2253,8 @@ class KqlCompiler:
                 df = df.withColumnRenamed(g[2].text, g[0].text)
             return df
         if op == "project-reorder":
-            first = [g[0].text for g in _split_top_commas(_tokenize(rest))]
+            first = _expand_col_patterns(
+                _split_top_commas(_tokenize(rest)), df.columns)
             rest_cols = [c for c in df.columns if c not in set(first)]
             return df.select(*first, *rest_cols)
         if op == "serialize":

@@ -2598,3 +2598,19 @@ def test_series_decompose_bag_and_tuple_assign(spark, sf_dir):
         | summarize mx = max(abs(r))
     """).collect()
     assert rows[0]["mx"] < 2.0  # residuals bounded on a clean signal
+
+
+def test_project_wildcards(spark, sf_dir):
+    """project-away / project-keep / project-reorder accept Kusto
+    wildcards (case-insensitive schema expansion)."""
+    out = kql(spark, sf_dir, "lineitem | project-away l_ship*, l_r*")
+    assert not [c for c in out.columns
+                if c.startswith(("l_ship", "l_r"))]
+    out2 = kql(spark, sf_dir, "lineitem | project-keep *date, l_tax")
+    assert set(out2.columns) == {c for c in kql(
+        spark, sf_dir, "lineitem").columns
+        if c.endswith("date")} | {"l_tax"}
+    out3 = kql(spark, sf_dir, "lineitem | project-reorder l_ship*")
+    assert out3.columns[0].startswith("l_ship")
+    with pytest.raises(ValueError, match="unknown"):
+        kql(spark, sf_dir, "lineitem | project-keep nope_col")
