@@ -5270,18 +5270,17 @@ DRIVER_WINDOW = [
     "q_events_heatmap", "q_interarrival_dist", "q_window_time_range",
 ]
 
-# Round-7 rotation candidates (the final oracled residue after r6):
-# q_group_concat, q_date_parts (deferred from the r6 window for space),
-# the new-in-r6 oracled entries (q_kql_series_forecast, q_kql_narrow,
-# q_kql_ipv4, q_kql_datetime_math, q_kql_split_version,
+# Round-7 rotation candidates — 14 oracled entries with no driver row
+# after r6: q_group_concat, q_date_parts (deferred from the r6 window
+# for space) and the new-in-r6 oracled entries q_kql_series_forecast,
+# q_kql_narrow, q_kql_ipv4, q_kql_datetime_math, q_kql_split_version,
 # q_kql_row_rank, q_kql_find, q_kql_fit_line, q_kql_reduce,
-# q_knn_hamming,
-# q_media_real_headers,
-# q_url_dedup_real), plus the
-# rows-only families for the weaker rows-only driver check
-# (q_kql_scan_funnel, q_kql_hll_reagg, q_dedup_incremental,
-# q_knn_ivf/pq/lsh, q_dedup_simhash/embedding/clusters,
-# q_multimodal_frames, q_approx_percentiles, q_freq_items, q_sample_by).
+# q_knn_hamming, q_media_real_headers, q_url_dedup_real. The remaining
+# ~23 slots fit the rows-only families for the weaker rows-only driver
+# check: q_kql_scan_funnel, q_kql_sequence_detect, q_kql_hll_reagg,
+# q_dedup_incremental, q_knn_ivf/pq/lsh, q_dedup_simhash/embedding/
+# clusters, q_multimodal_frames, q_approx_percentiles, q_freq_items,
+# q_sample_by.
 
 
 def _window_order(d: dict) -> dict:
