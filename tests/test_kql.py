@@ -2614,3 +2614,37 @@ def test_project_wildcards(spark, sf_dir):
     assert out3.columns[0].startswith("l_ship")
     with pytest.raises(ValueError, match="unknown"):
         kql(spark, sf_dir, "lineitem | project-keep nope_col")
+
+
+def test_round6_features_compose(spark, sf_dir):
+    """Kitchen-sink: set statements + tabular invoke + dynamic paths +
+    datetime math + serialized ops + reduce + find compose in one
+    session without interfering."""
+    rows = kql(spark, sf_dir, """
+      set notruncation;
+      let of_kind = (T:(*), kind:string) {
+        T | where event_type == kind
+      };
+      events
+        | invoke of_kind('error')
+        | extend d = parse_json(props)
+        | where isnotnull(d.k) and d.k !in (-1, -2)
+        | extend day = startofday(ts),
+                 hrs = datetime_diff('hour', ts, startofday(ts))
+        | where hrs between (0 .. 23)
+        | summarize n = count() by day
+        | sort by day asc
+        | extend cum = row_cumsum(n), rnk = row_rank_dense(n)
+    """).collect()
+    assert len(rows) > 0
+    cums = [r["cum"] for r in rows]
+    assert cums == sorted(cums) and cums[-1] == sum(r["n"] for r in rows)
+    # reduce + find in the same compiler instance semantics
+    red = kql(spark, sf_dir, """
+      find in (region, nation) where r_regionkey >= 0 or n_regionkey >= 0
+        | extend tag = strcat(source_, ' #', tostring(
+            coalesce(r_regionkey, n_regionkey)))
+        | reduce by tag
+    """).collect()
+    pats = {r["Pattern"]: r["Count"] for r in red}
+    assert pats.get("region #*") == 5 and pats.get("nation #*") == 25
