@@ -578,6 +578,28 @@ class _ExprParser:
                     f"RLIKE '^\".*\"$' THEN replace(substring(__pc_x, "
                     f"2, length(__pc_x) - 2), '\"\"', '\"') "
                     f"ELSE __pc_x END)")
+        if fname in ("geo_distance_2points", "geo_point_in_circle"):
+            # great-circle distance in meters on the mean-radius sphere
+            # (haversine; documented deviation: Kusto computes WGS84
+            # geodesics — difference <0.5%, and the DuckDB oracle twin
+            # recomputes the same documented formula independently)
+            if fname == "geo_distance_2points" and len(args) != 4:
+                raise ValueError(
+                    "KQL: geo_distance_2points(lon1, lat1, lon2, lat2)")
+            if fname == "geo_point_in_circle" and len(args) != 5:
+                raise ValueError(
+                    "KQL: geo_point_in_circle(lon, lat, clon, clat, r)")
+            lon1, lat1, lon2, lat2 = args[:4]
+
+            def rad(x):
+                return f"radians(CAST({x} AS DOUBLE))"
+            hav = (f"(pow(sin(({rad(lat2)} - {rad(lat1)}) / 2), 2) "
+                   f"+ cos({rad(lat1)}) * cos({rad(lat2)}) "
+                   f"* pow(sin(({rad(lon2)} - {rad(lon1)}) / 2), 2))")
+            dist = f"(2 * 6371009.0 * asin(least(1.0, sqrt({hav}))))"
+            if fname == "geo_distance_2points":
+                return dist
+            return f"({dist} <= CAST({args[4]} AS DOUBLE))"
         if fname == "totimespan":
             # parse "[-][d.]hh:mm:ss[.fffffff]" (Kusto timespan text)
             # into MICROSECONDS — the same unit timespan literals carry

@@ -4792,6 +4792,52 @@ def q_kql_narrow(spark, sf_dir):
     """)
 
 
+#: hand-curated city coordinates (lon, lat) for the geo differential
+_CITIES: list[tuple[str, float, float]] = [
+    ("london", -0.1278, 51.5074), ("paris", 2.3522, 48.8566),
+    ("nyc", -74.0060, 40.7128), ("tokyo", 139.6917, 35.6895),
+    ("sydney", 151.2093, -33.8688), ("capetown", 18.4241, -33.9249),
+    ("reykjavik", -21.8277, 64.1283), ("quito", -78.4678, -0.1807),
+]
+
+
+@query("q_kql_geo", """
+WITH c(name, lon, lat) AS (VALUES {values}),
+p AS (SELECT a.name AS a, b.name AS b,
+             radians(a.lat) AS la1, radians(b.lat) AS la2,
+             radians(a.lon) AS lo1, radians(b.lon) AS lo2
+      FROM c a JOIN c b ON a.name < b.name)
+SELECT a, b,
+       ROUND(2 * 6371009.0 * asin(least(1.0, sqrt(
+         pow(sin((la2 - la1) / 2), 2)
+         + cos(la1) * cos(la2) * pow(sin((lo2 - lo1) / 2), 2)
+       ))) / 1000, 1) AS km
+FROM p
+""".replace("{values}", ", ".join(
+    f"('{n}', {lon}, {lat})" for n, lon, lat in _CITIES)))
+def q_kql_geo(spark, sf_dir):
+    """geo_distance_2points over hand-curated city pairs: the
+    documented mean-radius haversine, recomputed independently by the
+    DuckDB twin from the same coordinates (deviation from Kusto's
+    WGS84 geodesic <0.5%, documented). Pure JVM trigonometry — the
+    geo-bucketing primitive of location-keyed curation."""
+    from azure_kusto_parquet_conv_spark.kql import kql
+    cells = ", ".join(f"'{n}', {lon}, {lat}" for n, lon, lat in _CITIES)
+    return kql(spark, sf_dir, f"""
+      let cities = datatable (name:string, lon:real, lat:real)
+        [{cells}];
+      cities
+        | extend x = 1
+        | join kind=inner (cities | extend x = 1
+                           | project-rename b = name, lon2 = lon,
+                                            lat2 = lat) on x
+        | where name < b
+        | project a = name, b,
+                  km = round(geo_distance_2points(lon, lat, lon2, lat2)
+                             / 1000.0, 1)
+    """)
+
+
 @query("q_knn_hamming", """
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv
            FROM embeddings WHERE vec_id < 10),
@@ -5275,7 +5321,8 @@ DRIVER_WINDOW = [
 # for space) and the new-in-r6 oracled entries q_kql_series_forecast,
 # q_kql_narrow, q_kql_ipv4, q_kql_datetime_math, q_kql_split_version,
 # q_kql_row_rank, q_kql_find, q_kql_fit_line, q_kql_reduce,
-# q_knn_hamming, q_media_real_headers, q_url_dedup_real. The remaining
+# q_knn_hamming, q_kql_geo, q_media_real_headers, q_url_dedup_real.
+# The remaining
 # ~23 slots fit the rows-only families for the weaker rows-only driver
 # check: q_kql_scan_funnel, q_kql_sequence_detect, q_kql_hll_reagg,
 # q_dedup_incremental, q_knn_ivf/pq/lsh, q_dedup_simhash/embedding/

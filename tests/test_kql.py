@@ -2648,3 +2648,23 @@ def test_round6_features_compose(spark, sf_dir):
     """).collect()
     pats = {r["Pattern"]: r["Count"] for r in red}
     assert pats.get("region #*") == 5 and pats.get("nation #*") == 25
+
+
+def test_geo_distance_and_circle(spark, sf_dir):
+    """geo_distance_2points: haversine on the mean-radius sphere —
+    London-Paris ~343.6 km, antipodal-safe clamping; point-in-circle
+    classifies by the same metric."""
+    r = kql(spark, sf_dir, """
+      print d = geo_distance_2points(-0.1278, 51.5074, 2.3522, 48.8566),
+            z = geo_distance_2points(10.0, 20.0, 10.0, 20.0),
+            anti = geo_distance_2points(0.0, 0.0, 180.0, 0.0),
+            inc = geo_point_in_circle(-0.11, 51.51,
+                                      -0.1278, 51.5074, 2000),
+            outc = geo_point_in_circle(2.35, 48.85,
+                                       -0.1278, 51.5074, 2000)
+    """).collect()[0]
+    assert abs(r["d"] / 1000 - 343.6) < 0.5
+    assert r["z"] == 0.0
+    import math
+    assert abs(r["anti"] - math.pi * 6371009.0) < 1.0
+    assert r["inc"] is True and r["outc"] is False
