@@ -99,7 +99,9 @@ set_union/set_intersect/set_difference, array_iff/array_rotate_*/
 array_shift_*, column_ifexists, totimespan, split/translate/url codecs/
 parse_version/parse_csv/parse_ipv4 family/datetime_add-diff/binary ops/
 tohex/strcmp/string_size/repeat/new_guid/rand(n)/isnan-isinf-isfinite,
-extend (n1, n2, ...) = series_fit_line(y) tuple assignment.
+extend (n1, n2, ...) = series_fit_line(y) tuple assignment,
+geo_distance_2points/geo_point_in_circle (haversine),
+percentiles_array, make_list_if/make_set_if, binary_all_and-or-xor.
 Aggregates: count, countif, sum/avg/min/max (+ sumif/avgif/minif/maxif),
 arg_max/arg_min, percentile (0-100 scale, exact), dcount/dcountif
 (exact; real Kusto estimates — documented deviation), stdev, variance,
