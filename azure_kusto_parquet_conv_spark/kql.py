@@ -3597,18 +3597,56 @@ class KqlCompiler:
         agg_toks = toks[:by_idx] if by_idx is not None else toks
         key_toks = toks[by_idx + 1:] if by_idx is not None else []
         aggs = []
+        post = []  # (tuple_names, array_alias) for tuple assignments
         for i, g in enumerate(_split_top_commas(agg_toks)):
+            if g and g[0].text == "(":
+                # `(p5, p95) = percentiles(v, 5, 95)`: Kusto's tuple
+                # aggregate — compiled as ONE percentiles_array
+                # aggregate, then split positionally after the agg
+                depth2, j = 0, 0
+                names = []
+                for j, t in enumerate(g):
+                    if t.text == "(":
+                        depth2 += 1
+                    elif t.text == ")":
+                        depth2 -= 1
+                        if depth2 == 0:
+                            break
+                    elif depth2 == 1 and t.kind == "ident":
+                        names.append(t.text)
+                if not names or j + 2 >= len(g) or g[j + 1].text != "=":
+                    raise ValueError(
+                        "KQL: summarize (n1, n2, ...) = percentiles(..)")
+                call = g[j + 2:]
+                fn = call[0].text.lower() if call else ""
+                if fn not in ("percentiles", "percentiles_array"):
+                    raise ValueError(
+                        "KQL: summarize tuple assignment supports "
+                        "percentiles(col, p1, p2, ...)")
+                call = [Tok("ident", "percentiles_array")] + call[1:]
+                sql = _compile_expr_tokens(call, df)
+                alias = f"__tup{i}"
+                aggs.append(F.expr(sql).alias(alias))
+                post.append((names, alias))
+                continue
             name, sql = _named_expr(g, df, f"agg{i}")
             aggs.append(F.expr(sql).alias(name))
         if not aggs:
             raise ValueError("KQL: summarize needs at least one aggregate")
         if not key_toks:
-            return df.agg(*aggs)
-        keys = []
-        for i, g in enumerate(_split_top_commas(key_toks)):
-            name, sql = _named_expr(g, df, f"key{i}")
-            keys.append(F.expr(sql).alias(name))
-        return df.groupBy(*keys).agg(*aggs)
+            out = df.agg(*aggs)
+        else:
+            keys = []
+            for i, g in enumerate(_split_top_commas(key_toks)):
+                name, sql = _named_expr(g, df, f"key{i}")
+                keys.append(F.expr(sql).alias(name))
+            out = df.groupBy(*keys).agg(*aggs)
+        for names, alias in post:
+            for k, nm in enumerate(names):
+                out = out.withColumn(
+                    nm, F.element_at(F.col(alias), k + 1))
+            out = out.drop(alias)
+        return out
 
     def _partition_by(self, df: DataFrame, rest: str):
         """``partition by key ( subquery )`` — Kusto's scoping operator:

@@ -2668,3 +2668,22 @@ def test_geo_distance_and_circle(spark, sf_dir):
     import math
     assert abs(r["anti"] - math.pi * 6371009.0) < 1.0
     assert r["inc"] is True and r["outc"] is False
+
+
+def test_summarize_percentiles_tuple_assign(spark, sf_dir):
+    """summarize (p50, p95) = percentiles(v, 50, 95) by k: Kusto's
+    tuple aggregate — one percentile-array aggregate split
+    positionally, composing with keys and other aggregates."""
+    rows = kql(spark, sf_dir, """
+      datatable (k:string, v:long) [
+        'a',1, 'a',2, 'a',3, 'a',4, 'a',5, 'a',6, 'a',7, 'a',8,
+        'a',9, 'a',10, 'b',100, 'b',200]
+        | summarize (p0, p50, p100) = percentiles(v, 0, 50, 100),
+                    n = count() by k
+    """).collect()
+    got = {r["k"]: (r["p0"], r["p50"], r["p100"], r["n"]) for r in rows}
+    assert got["a"] == (1.0, 5.5, 10.0, 10)
+    assert got["b"] == (100.0, 150.0, 200.0, 2)
+    with pytest.raises(ValueError, match="tuple assignment supports"):
+        kql(spark, sf_dir,
+            "datatable (v:long) [1] | summarize (a, b) = dcount(v)")
