@@ -3629,6 +3629,25 @@ class KqlCompiler:
                 aggs.append(F.expr(sql).alias(alias))
                 post.append((names, alias))
                 continue
+            star = (len(g) >= 5 and g[0].kind == "ident"
+                    and g[0].text.lower() in ("arg_max", "arg_min")
+                    and g[1].text == "(" and g[-2].text == "*"
+                    and g[-1].text == ")" and g[-3].text == ",")
+            if star:
+                # `arg_max(rank_expr, *)`: the whole winning ROW —
+                # Kusto's latest-record-per-entity idiom. One
+                # max_by/min_by over a struct of every column, expanded
+                # after the aggregate (key columns stay the group keys,
+                # not duplicated from the struct).
+                fn = ("max_by" if g[0].text.lower() == "arg_max"
+                      else "min_by")
+                rank_sql = _compile_expr_tokens(g[2:-3], df)
+                cols = ", ".join(f"`{c}`" for c in df.columns)
+                alias = f"__argstar{i}"
+                aggs.append(F.expr(
+                    f"{fn}(struct({cols}), {rank_sql})").alias(alias))
+                post.append((["*"], alias))
+                continue
             name, sql = _named_expr(g, df, f"agg{i}")
             aggs.append(F.expr(sql).alias(name))
         if not aggs:
@@ -3642,9 +3661,15 @@ class KqlCompiler:
                 keys.append(F.expr(sql).alias(name))
             out = df.groupBy(*keys).agg(*aggs)
         for names, alias in post:
-            for k, nm in enumerate(names):
-                out = out.withColumn(
-                    nm, F.element_at(F.col(alias), k + 1))
+            if names == ["*"]:
+                taken = set(out.columns) - {alias}
+                for c in df.columns:
+                    if c not in taken:
+                        out = out.withColumn(c, F.col(f"{alias}.{c}"))
+            else:
+                for k, nm in enumerate(names):
+                    out = out.withColumn(
+                        nm, F.element_at(F.col(alias), k + 1))
             out = out.drop(alias)
         return out
 

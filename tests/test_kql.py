@@ -2687,3 +2687,37 @@ def test_summarize_percentiles_tuple_assign(spark, sf_dir):
     with pytest.raises(ValueError, match="tuple assignment supports"):
         kql(spark, sf_dir,
             "datatable (v:long) [1] | summarize (a, b) = dcount(v)")
+
+
+def test_arg_max_star_latest_row(spark, sf_dir):
+    """summarize arg_max(ts, *) by key: the whole winning row per
+    entity — Kusto's latest-record idiom; arg_min(*) symmetric; group
+    keys are not duplicated."""
+    rows = kql(spark, sf_dir, """
+      datatable (u:long, t:long, v:string) [
+        1, 5, 'old', 1, 9, 'new', 2, 1, 'only']
+        | summarize arg_max(t, *) by u
+    """).collect()
+    got = {r["u"]: (r["t"], r["v"]) for r in rows}
+    assert got == {1: (9, "new"), 2: (1, "only")}
+    rows2 = kql(spark, sf_dir, """
+      events
+        | summarize arg_min(ts, *) by user_id
+        | project user_id, event_id
+    """).collect()
+    w_first = {r["user_id"]: r["event_id"] for r in rows2}
+    from pyspark.sql import Window
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc())
+    want = {r["user_id"]: r["event_id"] for r in
+            ev.withColumn("rn", F.row_number().over(w))
+              .where("rn = 1").collect()}
+    # min_by ties are arbitrary like Kusto; compare only where the min
+    # ts is unique
+    dup = {r["user_id"] for r in
+           ev.groupBy("user_id", "ts").count().where("count > 1")
+             .join(ev.groupBy("user_id").agg(F.min("ts").alias("ts")),
+                   ["user_id", "ts"]).collect()}
+    for u, eid in want.items():
+        if u not in dup:
+            assert w_first[u] == eid
