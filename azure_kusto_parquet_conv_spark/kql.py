@@ -134,7 +134,7 @@ _TOKEN_RE = re.compile(r"""
               |startswith|endswith_cs|endswith)\b|!in~|!~)
   | (?P<inci>\bin~)
   | (?P<ident>\$?[A-Za-z_][A-Za-z0-9_.]*)
-  | (?P<op>==|!=|=~|<=|>=|!in\b|<|>|\(|\)|\[|\]|,|\+|-|\*|/|%|=|\.)
+  | (?P<op>==|!=|=~|<=|>=|!in\b|<|>|\(|\)|\[|\]|\{|\}|:|,|\+|-|\*|/|%|=|\.)
 """, re.VERBOSE)
 
 
@@ -349,6 +349,8 @@ class _ExprParser:
             return "'" + body.replace("\\'", "'").replace("'", "''") + "'"
         if t.kind == "ident":
             nxt = self.peek()
+            if low == "dynamic" and nxt is not None and nxt.text == "(":
+                return self._dynamic_literal()
             if nxt is not None and nxt.text == "(":
                 return self._call(low)
             if low in ("true", "false", "null"):
@@ -1464,6 +1466,56 @@ class _ExprParser:
                 f"KQL: datetime_diff period {part!r} not supported")
         return (f"((unix_micros({d1}) div {us}) "
                 f"- (unix_micros({d2}) div {us}))")
+
+    def _dynamic_literal(self) -> str:
+        """``dynamic(<json>)`` literal: consume the balanced-paren body
+        and interpret it. Flat homogeneous numeric/string arrays become
+        NATIVE Spark arrays (so series_* / array_* functions consume
+        them directly, like Kusto); everything else (bags, nesting,
+        mixed types, scalars) lands on VARIANT via parse_json."""
+        import json as _json
+        self.expect("(")
+        depth, parts = 1, []
+        while depth:
+            t = self.next()
+            if t.text == "(":
+                depth += 1
+            elif t.text == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            parts.append(t.text)
+        body = "".join(parts)
+        try:
+            val = _json.loads(body)
+        except ValueError:
+            raise ValueError(
+                f"KQL: dynamic(...) body is not valid JSON: {body!r}")
+        if isinstance(val, list) and val and \
+                all(isinstance(v, bool) for v in val):
+            items = ", ".join("TRUE" if v else "FALSE" for v in val)
+            return f"array({items})"
+        if isinstance(val, list) and val and \
+                all(v is None or (isinstance(v, (int, float))
+                                  and not isinstance(v, bool))
+                    for v in val) and \
+                any(v is not None for v in val):
+            # numeric array, possibly with null gaps (series fills
+            # consume these directly)
+            if any(isinstance(v, float) or v is None for v in val):
+                items = ", ".join(
+                    "CAST(NULL AS DOUBLE)" if v is None
+                    else f"CAST({v!r} AS DOUBLE)" for v in val)
+            else:
+                items = ", ".join(f"CAST({v} AS BIGINT)" for v in val)
+            return f"array({items})"
+        if isinstance(val, list) and val and \
+                all(isinstance(v, str) for v in val):
+            items = ", ".join("'" + v.replace("'", "''") + "'"
+                              for v in val)
+            return f"array({items})"
+        esc = body.replace("\\", "\\\\").replace("'", "''")
+        return f"parse_json('{esc}')"
 
     def _infix(self, lhs: str, t: Tok, bp: int) -> str:
         low = t.text.lower()

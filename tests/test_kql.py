@@ -2721,3 +2721,25 @@ def test_arg_max_star_latest_row(spark, sf_dir):
     for u, eid in want.items():
         if u not in dup:
             assert w_first[u] == eid
+
+
+def test_dynamic_literals(spark, sf_dir):
+    """dynamic(...) literals: flat numeric/string arrays become NATIVE
+    arrays (series/array functions consume them directly), null gaps
+    stay consumable by fills, bags and nesting land on VARIANT."""
+    r = kql(spark, sf_dir, """
+      print a = dynamic([1.0, 3.0, 5.0]),
+            b = dynamic(["x", "y"]),
+            c = dynamic([1, 2, 3]),
+            d = dynamic({"k": 7, "s": "v"}),
+            e = dynamic([10.0, null, 30.0])
+        | extend s = series_sum(a), first_b = strcat_array(b, '|'),
+                 ksum = tolong(d.k) + array_length(c),
+                 lin = series_fill_linear(e)
+    """).collect()[0]
+    assert r["s"] == 9.0
+    assert r["first_b"] == "x|y"
+    assert r["ksum"] == 10
+    assert r["lin"] == [10.0, 20.0, 30.0]
+    with pytest.raises(ValueError, match="not valid JSON"):
+        kql(spark, sf_dir, "print x = dynamic([1, )")
