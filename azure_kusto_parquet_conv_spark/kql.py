@@ -604,6 +604,24 @@ class _ExprParser:
             if fname == "geo_distance_2points":
                 return dist
             return f"({dist} <= CAST({args[4]} AS DOUBLE))"
+        if fname == "bag_keys":
+            # dynamic bag -> array of top-level keys (JSON round-trip;
+            # VARIANT has no native key enumeration yet)
+            if len(args) != 1:
+                raise ValueError("KQL: bag_keys(bag)")
+            return f"json_object_keys(to_json({args[0]}))"
+        if fname == "jaccard_index":
+            if len(args) != 2:
+                raise ValueError("KQL: jaccard_index(set1, set2)")
+            a, b = args
+            inter = f"size(array_intersect({a}, {b}))"
+            uni = f"size(array_union({a}, {b}))"
+            return (f"(CASE WHEN {uni} = 0 THEN CAST(NULL AS DOUBLE) "
+                    f"ELSE CAST({inter} AS DOUBLE) / {uni} END)")
+        if fname == "set_has_element":
+            if len(args) != 2:
+                raise ValueError("KQL: set_has_element(arr, value)")
+            return f"array_contains({args[0]}, {args[1]})"
         if fname == "totimespan":
             # parse "[-][d.]hh:mm:ss[.fffffff]" (Kusto timespan text)
             # into MICROSECONDS — the same unit timespan literals carry

@@ -2743,3 +2743,18 @@ def test_dynamic_literals(spark, sf_dir):
     assert r["lin"] == [10.0, 20.0, 30.0]
     with pytest.raises(ValueError, match="not valid JSON"):
         kql(spark, sf_dir, "print x = dynamic([1, )")
+
+
+def test_bag_keys_jaccard_set_element(spark, sf_dir):
+    """bag_keys over dynamic bags, jaccard_index over arrays (null on
+    two empties), set_has_element."""
+    r = kql(spark, sf_dir, """
+      print d = dynamic({"a": 1, "b": {"c": 2}})
+        | extend ks = bag_keys(d),
+                 j = jaccard_index(dynamic([1, 2, 3]), dynamic([2, 3, 4])),
+                 h = set_has_element(dynamic(["x", "y"]), 'y'),
+                 h2 = set_has_element(dynamic(["x"]), 'z')
+    """).collect()[0]
+    assert sorted(r["ks"]) == ["a", "b"]
+    assert abs(r["j"] - 0.5) < 1e-9
+    assert (r["h"], r["h2"]) == (True, False)
