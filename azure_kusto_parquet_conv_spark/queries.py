@@ -4792,6 +4792,54 @@ def q_kql_narrow(spark, sf_dir):
     """)
 
 
+@query("q_kql_bag_ops", """
+WITH k AS (SELECT unnest(json_keys(props)) AS key FROM events
+           WHERE props IS NOT NULL AND json_valid(props)),
+a AS (SELECT key, CAST(COUNT(*) AS BIGINT) AS n FROM k GROUP BY key),
+j AS (SELECT CAST(event_id AS BIGINT) AS event_id,
+             ROUND(CAST(len(list_distinct(list_intersect(
+                     string_split(lower(event_type), ''),
+                     ['e', 'r', 'o']))) AS DOUBLE)
+                   / len(list_distinct(list_concat(
+                     string_split(lower(event_type), ''),
+                     ['e', 'r', 'o']))), 4) AS jac
+      FROM events WHERE event_id % 503 = 0)
+SELECT a.key AS k, a.n, NULL AS event_id, NULL AS jac FROM a
+UNION ALL
+SELECT NULL, NULL, event_id, jac FROM j
+""")
+def q_kql_bag_ops(spark, sf_dir):
+    """Dynamic-bag key enumeration + set jaccard over real event data:
+    bag_keys over every parsed props bag (rollup per key) unioned with
+    jaccard_index of each sampled event type's character set against a
+    probe set — DuckDB recomputes both with json_keys and
+    list_intersect/distinct. Exercises todynamic -> bag_keys ->
+    mv-expand and the set algebra end to end."""
+    from azure_kusto_parquet_conv_spark.kql import kql
+    keys = kql(spark, sf_dir, """
+      events
+        | where isnotempty(props)
+        | extend d = todynamic(props)
+        | mv-expand k = bag_keys(d) to typeof(string)
+        | summarize n = count() by k
+    """)
+    jac = kql(spark, sf_dir, """
+      events
+        | where event_id % 503 == 0
+        | project event_id,
+                  jac = round(jaccard_index(
+                      array_remove(split(tolower(event_type), ''), ''),
+                      pack_array('e', 'r', 'o')), 4)
+    """)
+    return (keys.select("k", "n", F.lit(None).cast("long")
+                        .alias("event_id"),
+                        F.lit(None).cast("double").alias("jac"))
+            .unionByName(jac.select(F.lit(None).alias("k"),
+                                    F.lit(None).cast("long").alias("n"),
+                                    F.col("event_id").cast("long"),
+                                    "jac")))
+
+
 #: hand-curated city coordinates (lon, lat) for the geo differential
 _CITIES: list[tuple[str, float, float]] = [
     ("london", -0.1278, 51.5074), ("paris", 2.3522, 48.8566),
@@ -5321,7 +5369,8 @@ DRIVER_WINDOW = [
 # for space) and the new-in-r6 oracled entries q_kql_series_forecast,
 # q_kql_narrow, q_kql_ipv4, q_kql_datetime_math, q_kql_split_version,
 # q_kql_row_rank, q_kql_find, q_kql_fit_line, q_kql_reduce,
-# q_knn_hamming, q_kql_geo, q_media_real_headers, q_url_dedup_real.
+# q_knn_hamming, q_kql_geo, q_kql_bag_ops, q_media_real_headers,
+# q_url_dedup_real.
 # The remaining
 # ~23 slots fit the rows-only families for the weaker rows-only driver
 # check: q_kql_scan_funnel, q_kql_sequence_detect, q_kql_hll_reagg,
