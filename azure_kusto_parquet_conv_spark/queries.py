@@ -1755,6 +1755,56 @@ def q_tfidf(spark, sf_dir):
                   .where(F.col("rn") <= 3))
 
 
+@query("q_bm25", f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok
+  FROM documents WHERE doc_id < 100),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT AVG(dl) AS avgdl, COUNT(*) AS n_docs FROM dl),
+dfq AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY tok),
+scored AS (
+  SELECT tf.doc_id, tf.tok,
+         ROUND(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+               * tf * 2.2
+               / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)), 4) AS bm25
+  FROM tf JOIN dfq USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats)
+SELECT doc_id, tok, bm25, CAST(rn AS BIGINT) AS rn FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY bm25 DESC, tok) AS rn
+  FROM scored)
+WHERE rn <= 3
+""")
+def q_bm25(spark, sf_dir):
+    """Okapi BM25 (k1=1.2, b=0.75, Lucene-smoothed idf) top-3 terms per
+    document — the retrieval-scoring sibling of q_tfidf and the ranking
+    half of a RAG/contamination pipeline. Same scale shape: the
+    vocabulary-sized df table and the 1-row corpus stats broadcast;
+    scores round before ranking so both engines cut identical top-3.
+    The DuckDB twin recomputes the full formula independently."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    toks = d.select("doc_id", F.explode(X.tokens("text")).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = toks.groupBy("doc_id").count() \
+                .agg(F.avg("count").alias("avgdl"),
+                     F.count("*").alias("n_docs"))
+    dfreq = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    k1, b = 1.2, 0.75
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5) + 1.0)
+    denom = F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    scored = (tf.join(F.broadcast(dfreq), "tok")
+                .join(F.broadcast(dl), "doc_id")
+                .crossJoin(F.broadcast(stats))
+                .select("doc_id", "tok",
+                        F.round(idf * F.col("tf") * (k1 + 1) / denom, 4)
+                         .alias("bm25")))
+    w = Window.partitionBy("doc_id").orderBy(F.col("bm25").desc(), "tok")
+    return (scored.withColumn("rn", F.row_number().over(w).cast("long"))
+                  .where(F.col("rn") <= 3))
+
+
 @query("q_inverted_index", f"""
 WITH toks AS (
   SELECT DISTINCT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok
@@ -5369,7 +5419,8 @@ DRIVER_WINDOW = [
 # for space) and the new-in-r6 oracled entries q_kql_series_forecast,
 # q_kql_narrow, q_kql_ipv4, q_kql_datetime_math, q_kql_split_version,
 # q_kql_row_rank, q_kql_find, q_kql_fit_line, q_kql_reduce,
-# q_knn_hamming, q_kql_geo, q_kql_bag_ops, q_media_real_headers,
+# q_knn_hamming, q_kql_geo, q_kql_bag_ops, q_bm25,
+# q_media_real_headers,
 # q_url_dedup_real.
 # The remaining
 # ~23 slots fit the rows-only families for the weaker rows-only driver
