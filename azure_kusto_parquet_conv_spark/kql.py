@@ -940,6 +940,34 @@ class _ExprParser:
                     f"OR {vy} <= 0 THEN NULL "
                     f"ELSE ({n} * {sxy} - {sx} * {sy}) "
                     f"/ (sqrt({vx}) * sqrt({vy})) END")
+        if fname in ("series_dot_product", "series_cosine_similarity"):
+            if len(args) != 2:
+                raise ValueError(f"KQL: {fname}(series1, series2)")
+            a, b = args
+
+            def dot(x, y):
+                return (f"aggregate(zip_with({x}, {y}, "
+                        f"(__dp_x, __dp_y) -> CAST(__dp_x AS DOUBLE) "
+                        f"* CAST(__dp_y AS DOUBLE)), CAST(0 AS DOUBLE), "
+                        f"(__dp_a, __dp_v) -> __dp_a + __dp_v)")
+            if fname == "series_dot_product":
+                return dot(a, b)
+            na, nb = dot(a, a), dot(b, b)
+            return (f"(CASE WHEN {na} = 0 OR {nb} = 0 THEN NULL "
+                    f"ELSE {dot(a, b)} / (sqrt({na}) * sqrt({nb})) END)")
+        if fname in ("series_abs", "series_exp", "series_log",
+                     "series_sign", "series_sqrt"):
+            # elementwise unary transforms over the in-row series
+            if len(args) != 1:
+                raise ValueError(f"KQL: {fname}(series) takes 1 arg")
+            fn = fname.removeprefix("series_")
+            return (f"transform({args[0]}, __su_v -> "
+                    f"{fn}(CAST(__su_v AS DOUBLE)))")
+        if fname == "series_pow":
+            if len(args) != 2:
+                raise ValueError("KQL: series_pow(series, exponent)")
+            return (f"transform({args[0]}, __su_v -> "
+                    f"pow(CAST(__su_v AS DOUBLE), {args[1]}))")
         if fname in ("series_add", "series_subtract", "series_multiply",
                      "series_divide"):
             # element-wise arithmetic over two parallel series (zip_with,

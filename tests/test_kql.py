@@ -2758,3 +2758,23 @@ def test_bag_keys_jaccard_set_element(spark, sf_dir):
     assert sorted(r["ks"]) == ["a", "b"]
     assert abs(r["j"] - 0.5) < 1e-9
     assert (r["h"], r["h2"]) == (True, False)
+
+
+def test_series_dot_cosine_and_unary(spark, sf_dir):
+    """series_dot_product / series_cosine_similarity (null on zero
+    norms) and elementwise series_abs/exp/log/sign/sqrt/pow."""
+    r = kql(spark, sf_dir, """
+      print a = dynamic([1.0, 2.0, 3.0]), b = dynamic([2.0, 4.0, 6.0])
+        | extend dp = series_dot_product(a, b),
+                 cs = series_cosine_similarity(a, b),
+                 z = series_cosine_similarity(a, dynamic([0.0, 0.0, 0.0])),
+                 ab = series_abs(dynamic([-1.0, 2.0])),
+                 sg = series_sign(dynamic([-5.0, 0.0, 9.0])),
+                 sq = series_sqrt(dynamic([4.0, 9.0])),
+                 pw = series_pow(dynamic([2.0, 3.0]), 2)
+    """).collect()[0]
+    assert r["dp"] == 28.0
+    assert abs(r["cs"] - 1.0) < 1e-12
+    assert r["z"] is None
+    assert r["ab"] == [1.0, 2.0] and r["sg"] == [-1.0, 0.0, 1.0]
+    assert r["sq"] == [2.0, 3.0] and r["pw"] == [4.0, 9.0]
