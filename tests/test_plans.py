@@ -52,7 +52,7 @@ def test_no_accidental_cartesians_across_catalog(spark, sf_dir):
     # queries (broadcast NLJ over a small side)
     allowed_nlj = {"q_knn_bruteforce", "q_knn_hamming",
                    "q_embed_sim_pairs", "q_dedup_jaccard",
-                   "q_cross_join", "q_tfidf",
+                   "q_cross_join", "q_tfidf", "q_bm25",
                    # PQ ADC: 20 broadcast query distance-tables x the
                    # compact code table — the intended probe shape
                    "q_knn_pq",
