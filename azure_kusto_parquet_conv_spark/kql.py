@@ -940,6 +940,35 @@ class _ExprParser:
                     f"OR {vy} <= 0 THEN NULL "
                     f"ELSE ({n} * {sxy} - {sx} * {sy}) "
                     f"/ (sqrt({vx}) * sqrt({vy})) END")
+        if fname in ("series_stats", "series_stats_dynamic"):
+            # one-pass stats bag over the in-row series: min/min_idx/
+            # max/max_idx/avg/variance/stdev (population, matching
+            # series_stdev; 0-based indexes of the FIRST extreme).
+            # The non-dynamic spelling is the same bag — Kusto's tuple
+            # form is handled by extend's multi-assign.
+            if len(args) != 1:
+                raise ValueError(f"KQL: {fname}(series)")
+            arr = args[0]
+            nn = (f"filter(transform({arr}, __st_x -> "
+                  f"CAST(__st_x AS DOUBLE)), "
+                  f"__st_x -> __st_x IS NOT NULL)")
+            wi = (f"zip_with({arr}, sequence(0, size({arr}) - 1), "
+                  f"(__st_v, __st_i) -> struct("
+                  f"CAST(__st_v AS DOUBLE) AS v, __st_i AS i))")
+
+            def first_idx(m):
+                return (f"try_element_at(filter({wi}, __st_p -> "
+                        f"__st_p.v <=> {m}), 1).i")
+            mn, mx = f"array_min({nn})", f"array_max({nn})"
+            avg = self._render_call("series_avg", [arr])
+            sd = self._render_call("series_stdev", [arr])
+            obj = (f"named_struct("
+                   f"'min', {mn}, 'min_idx', {first_idx(mn)}, "
+                   f"'max', {mx}, 'max_idx', {first_idx(mx)}, "
+                   f"'avg', {avg}, "
+                   f"'variance', {sd} * {sd}, "
+                   f"'stdev', {sd})")
+            return f"parse_json(to_json({obj}))"
         if fname in ("series_dot_product", "series_cosine_similarity"):
             if len(args) != 2:
                 raise ValueError(f"KQL: {fname}(series1, series2)")
@@ -2987,6 +3016,11 @@ class KqlCompiler:
         "series_decompose": ("series_decompose_dynamic",
                              [("baseline", True), ("seasonal", True),
                               ("trend", True), ("residual", True)]),
+        "series_stats": ("series_stats_dynamic",
+                         [("min", False), ("min_idx", False),
+                          ("max", False), ("max_idx", False),
+                          ("avg", False), ("variance", False),
+                          ("stdev", False)]),
     }
 
     def _extend_multi_assign(self, df: DataFrame,

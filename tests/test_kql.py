@@ -2778,3 +2778,24 @@ def test_series_dot_cosine_and_unary(spark, sf_dir):
     assert r["z"] is None
     assert r["ab"] == [1.0, 2.0] and r["sg"] == [-1.0, 0.0, 1.0]
     assert r["sq"] == [2.0, 3.0] and r["pw"] == [4.0, 9.0]
+
+
+def test_series_stats_bag_and_tuple(spark, sf_dir):
+    """series_stats_dynamic: one-pass stats bag (0-based first-extreme
+    indexes, population stdev) + the tuple-assign form."""
+    r = kql(spark, sf_dir, """
+      print y = dynamic([3.0, 1.0, 4.0, 1.0, 5.0])
+        | extend s = series_stats_dynamic(y)
+        | project mn = todouble(s.min), mni = tolong(s.min_idx),
+                  mx = todouble(s.max), mxi = tolong(s.max_idx),
+                  av = todouble(s.avg), sd = todouble(s.stdev)
+    """).collect()[0]
+    assert (r["mn"], r["mni"], r["mx"], r["mxi"]) == (1.0, 1, 5.0, 4)
+    assert abs(r["av"] - 2.8) < 1e-9
+    import statistics
+    assert abs(r["sd"] - statistics.pstdev([3, 1, 4, 1, 5])) < 1e-9
+    r2 = kql(spark, sf_dir, """
+      print y = dynamic([3.0, 1.0, 4.0])
+        | extend (mn, mni, mx) = series_stats(y)
+    """).collect()[0]
+    assert (r2["mn"], r2["mni"], r2["mx"]) == (1.0, 1.0, 4.0)
