@@ -1302,9 +1302,20 @@ class _ExprParser:
                 raise ValueError("KQL: indexof(text, lookup)")
             return f"(instr({args[0]}, {args[1]}) - 1)"
         if fname == "countof":
-            if len(args) != 2:
-                raise ValueError("KQL: countof(text, search)")
-            s, sub = args
+            # countof(text, search[, kind]): kind='regex' counts
+            # pattern matches; default counts non-overlapping plain
+            # occurrences (documented deviation: Kusto's plain kind
+            # counts overlapping matches)
+            if len(args) not in (2, 3):
+                raise ValueError("KQL: countof(text, search[, kind])")
+            s, sub = args[0], args[1]
+            kind = (args[2].strip().strip("'").lower()
+                    if len(args) == 3 else "normal")
+            if kind == "regex":
+                return f"size(regexp_extract_all({s}, {sub}, 0))"
+            if kind != "normal":
+                raise ValueError(
+                    f"KQL: countof kind {kind!r} (normal/regex)")
             return (f"((length({s}) - length(replace({s}, {sub}, ''))) "
                     f"div length({sub}))")
         if fname == "hash":

@@ -2799,3 +2799,15 @@ def test_series_stats_bag_and_tuple(spark, sf_dir):
         | extend (mn, mni, mx) = series_stats(y)
     """).collect()[0]
     assert (r2["mn"], r2["mni"], r2["mx"]) == (1.0, 1.0, 4.0)
+
+
+def test_countof_regex_kind(spark, sf_dir):
+    """countof(text, pattern, 'regex') counts regex matches; plain
+    kind still counts non-overlapping literals; bad kind rejected."""
+    r = kql(spark, sf_dir, """
+      print n = countof('a1b22c333', '[0-9]+', 'regex'),
+            m = countof('aaaa', 'aa')
+    """).collect()[0]
+    assert (r["n"], r["m"]) == (3, 2)
+    with pytest.raises(ValueError, match="kind"):
+        kql(spark, sf_dir, "print x = countof('a', 'a', 'weird')")
