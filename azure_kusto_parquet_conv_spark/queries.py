@@ -5101,6 +5101,10 @@ _IPV4_FIXTURES: list[str] = [
     "192.168.1.5", "10.1.2.3", "172.20.0.1", "172.32.0.1", "8.8.8.8",
     "10.1.255.255", "10.2.0.0", "255.255.255.255", "0.0.0.0",
     "192.168.1.5/24", "256.1.1.1", "1.2.3", "a.b.c.d", "1.2.3.4.5",
+    # malformed / out-of-range prefixes (r6 advice): an unparseable
+    # '/suffix' nulls parse_ipv4 (NOT a /32 fallback); a numeric but
+    # out-of-range one too; neither affects the prefix-free predicates
+    "1.2.3.4/garbage", "1.2.3.4/40", "10.1.2.3/",
 ]
 
 
@@ -5108,29 +5112,31 @@ _IPV4_FIXTURES: list[str] = [
 WITH u(ip) AS (VALUES {values}),
 p AS (SELECT ip,
              string_split(split_part(ip, '/', 1), '.') AS parts,
-             TRY_CAST(NULLIF(split_part(ip, '/', 2), '') AS INT) AS pfx
+             NULLIF(split_part(ip, '/', 2), '') AS sfx
       FROM u),
 v AS (SELECT ip,
              (len(parts) = 4 AND
               NOT EXISTS (SELECT 1 FROM unnest(parts) AS t(x)
                           WHERE TRY_CAST(x AS INT) IS NULL
                              OR TRY_CAST(x AS INT) NOT BETWEEN 0 AND 255)
-             ) AND COALESCE(pfx BETWEEN 0 AND 32, TRUE) AS ok,
-             COALESCE(pfx, 32) AS pfx,
+             ) AS qok,
+             CASE WHEN sfx IS NULL THEN 32
+                  ELSE TRY_CAST(sfx AS INT) END AS pfx,
              ((COALESCE(TRY_CAST(parts[1] AS BIGINT), 0) * 256
                + COALESCE(TRY_CAST(parts[2] AS BIGINT), 0)) * 256
                + COALESCE(TRY_CAST(parts[3] AS BIGINT), 0)) * 256
                + COALESCE(TRY_CAST(parts[4] AS BIGINT), 0) AS num
       FROM p)
 SELECT ip,
-       CASE WHEN ok THEN num - (num % (1::BIGINT << (32 - pfx)))
+       CASE WHEN qok AND pfx BETWEEN 0 AND 32
+            THEN num - (num % (1::BIGINT << (32 - pfx)))
             END AS n,
-       CASE WHEN ok THEN CAST(
+       CASE WHEN qok THEN CAST(
          (num BETWEEN 167772160 AND 184549375)
          OR (num BETWEEN 2886729728 AND 2887778303)
          OR (num BETWEEN 3232235520 AND 3232301055) AS VARCHAR)
        END AS priv,
-       CASE WHEN ok THEN CAST(num // (1::BIGINT << 16) = 2561
+       CASE WHEN qok THEN CAST(num // (1::BIGINT << 16) = 2561
                               AS VARCHAR) END AS in16
 FROM v
 """.replace("{values}", ", ".join(f"('{u}')" for u in _IPV4_FIXTURES)))

@@ -373,12 +373,16 @@ def scan_stream(events: DataFrame, steps: list[tuple[str, str]],
                 # later-timestamped rows were already consumed —
                 # out-of-order advancement the batch twin never does.
                 # The watermark contract is drop-beyond-delay, and
-                # stream==batch holds for every on-time row.
+                # stream==batch holds for every on-time row. Boundary:
+                # event time EQUAL to the watermark is ON-TIME (>=) —
+                # Spark's own stateful operators drop only strictly
+                # older rows (r6 verdict #5; pinned in
+                # test_streaming.py's equal-to-watermark case).
                 pend.extend(
                     r for r in zip((int(v) for v in pdf["ord_ns"]),
                                    (int(v) for v in pdf["event_id"]),
                                    (int(v) for v in pdf["mask"]))
-                    if r[0] // 1000 > wm_us)
+                    if r[0] // 1000 >= wm_us)
         pend.sort()
         ready = [p for p in pend if p[0] // 1000 <= wm_us]
         pend = [p for p in pend if p[0] // 1000 > wm_us]

@@ -2048,6 +2048,11 @@ def test_scalar_fn_batch_r6(spark, sf_dir):
                  ipm = parse_ipv4('192.168.1.5/24'),
                  ipm2 = parse_ipv4_mask('10.1.2.3', 16),
                  ipbad = parse_ipv4('256.1.1.1'),
+                 ipgarb = parse_ipv4('1.2.3.4/garbage'),
+                 ipbigp = parse_ipv4('1.2.3.4/40'),
+                 ipemptyp = parse_ipv4('10.1.2.3/'),
+                 inrgarb = ipv4_is_in_range('10.1.2.3',
+                                            '10.1.0.0/zz'),
                  priv = ipv4_is_private('172.20.0.1'),
                  pub = ipv4_is_private('172.32.0.1'),
                  inr = ipv4_is_in_range('10.1.2.3', '10.1.0.0/16'),
@@ -2065,6 +2070,11 @@ def test_scalar_fn_batch_r6(spark, sf_dir):
     assert (r["ip"], r["ipm"], r["ipm2"]) == (3232235781, 3232235776,
                                               167837696)
     assert r["ipbad"] is None
+    # malformed or out-of-range '/prefix' -> null, NOT a /32 fallback
+    # (r6 advice); empty suffix after '/' still defaults to /32
+    assert r["ipgarb"] is None and r["ipbigp"] is None
+    assert r["ipemptyp"] == 167838211
+    assert r["inrgarb"] is None
     assert (r["priv"], r["pub"]) == (True, False)
     assert (r["inr"], r["outr"]) == (True, False)
     d = kql(spark, sf_dir, """
@@ -2294,6 +2304,43 @@ def test_sequence_detect_fixture(spark, sf_dir):
           datatable (ts:datetime, e:string) [datetime(2024-01-01), 'a']
             | evaluate sequence_detect(ts, 1m, 2m, s1 = e == 'a', e)
         """)
+
+
+def test_sequence_detect_latest_start_restart_semantics(spark, sf_dir):
+    """Pins the documented LATEST-START greedy contract (r6 advice:
+    the reset-on-step-1 behavior was unpinned): a mid-sequence step-1
+    match RESTARTS the automaton there. Two faces of the tradeoff:
+    (1) 2-step funnel where only the later start satisfies maxWindow —
+    latest-start finds it, keep-earliest would not; (2) 3-step
+    sequence where a stray step-1 match discards a valid a,b prefix —
+    latest-start deliberately emits nothing."""
+    # (1) a@10:00, a@10:40, b@10:50 with maxGap 30m, maxWindow 15m:
+    # from 10:00 the window (50m) fails; restart at 10:40 matches.
+    rows = kql(spark, sf_dir, """
+      datatable (u:long, ts:datetime, e:string) [
+        1, datetime(2024-01-01 10:00:00), 'a',
+        1, datetime(2024-01-01 10:40:00), 'a',
+        1, datetime(2024-01-01 10:50:00), 'b'
+      ]
+      | evaluate sequence_detect(ts, 30m, 15m,
+          s1 = e == 'a', s2 = e == 'b', u)
+    """).collect()
+    assert [(str(r["s1_ts"]), str(r["s2_ts"])) for r in rows] == [
+        ("2024-01-01 10:40:00", "2024-01-01 10:50:00")]
+    # (2) a@0m, b@1m, a@2m, c@3m: the stray 'a' resets the (a,b)
+    # prefix, so no (a,b,c) completes — the documented cost of
+    # single-sequence latest-start for 3+ steps.
+    rows3 = kql(spark, sf_dir, """
+      datatable (u:long, ts:datetime, e:string) [
+        1, datetime(2024-01-01 10:00:00), 'a',
+        1, datetime(2024-01-01 10:01:00), 'b',
+        1, datetime(2024-01-01 10:02:00), 'a',
+        1, datetime(2024-01-01 10:03:00), 'c'
+      ]
+      | evaluate sequence_detect(ts, 30m, 1h,
+          s1 = e == 'a', s2 = e == 'b', s3 = e == 'c', u)
+    """).collect()
+    assert rows3 == []
 
 
 def test_sequence_detect_matches_python_reference(spark, sf_dir):
@@ -2616,6 +2663,68 @@ def test_project_wildcards(spark, sf_dir):
         kql(spark, sf_dir, "lineitem | project-keep nope_col")
 
 
+def test_global_serialize_guard_errors_above_row_limit(spark, sf_dir):
+    """Unscoped serialized ops (prev/row_number/scan/...) compile to a
+    single-partition global sort. Under the row limit that's a
+    UserWarning (behavior unchanged); above it the compile ERRORS
+    unless the session opts in (r6 verdict demand #3). The probe is a
+    short-circuiting limit(n+1).count(), so big inputs don't pay a
+    full scan."""
+    q = "lineitem | sort by l_orderkey asc | extend rn = row_number()"
+    limit_key = "spark.kql.globalSerialize.rowLimit"
+    allow_key = "spark.kql.globalSerialize.allow"
+    try:
+        # tiny limit -> sf0.001 lineitem (~6k rows) exceeds it
+        spark.conf.set(limit_key, "100")
+        with pytest.raises(ValueError, match="global sort.*exceeds"):
+            kql(spark, sf_dir, q)
+        # explicit opt-out: warning stays, no error
+        spark.conf.set(allow_key, "true")
+        with pytest.warns(UserWarning, match="single-partition"):
+            kql(spark, sf_dir, q).limit(1).collect()
+        spark.conf.unset(allow_key)
+        # under the limit: warning only (default-config behavior)
+        spark.conf.set(limit_key, str(10**9))
+        with pytest.warns(UserWarning, match="single-partition"):
+            out = kql(spark, sf_dir, q + " | take 3")
+        assert out.count() == 3
+        # the guard also covers the stateful ops (scan)
+        spark.conf.set(limit_key, "100")
+        with pytest.raises(ValueError, match="global sort.*exceeds"):
+            kql(spark, sf_dir, """
+              lineitem | sort by l_orderkey asc
+                | scan with (step s1: l_quantity > 0;)
+            """)
+    finally:
+        spark.conf.unset(limit_key)
+        spark.conf.unset(allow_key)
+
+
+def test_expand_col_patterns_only_star_is_wild(spark, sf_dir):
+    """Kusto wildcards support ONLY '*': '?' and '[...]' are literal
+    column-name characters, not glob metacharacters (r6 advice —
+    fnmatch silently matched/dropped such names)."""
+    from azure_kusto_parquet_conv_spark.kql import (
+        Tok, _expand_col_patterns)
+
+    def expand(pattern_text, cols):
+        # built directly as one token group: the KQL tokenizer itself
+        # rejects '?', but column names carrying such characters still
+        # reach the matcher via the schema side
+        return _expand_col_patterns([[Tok("ident", pattern_text)]], cols)
+
+    cols = ["a?b", "axb", "col[1]", "col1", "x"]
+    # a literal-name pattern without '*' passes through verbatim —
+    # never expanded, so '?' cannot match 'axb'
+    assert expand("xyz", cols) == ["xyz"]
+    # '*' patterns: '?' and '[...]' inside them stay literal
+    assert expand("a?*", cols) == ["a?b"]
+    assert expand("col[*", cols) == ["col[1]"]
+    assert expand("col*", cols) == ["col[1]", "col1"]
+    # regex metacharacters in names must not explode or misfire
+    assert expand("*.b*", ["a.b", "axb"]) == ["a.b"]
+
+
 def test_round6_features_compose(spark, sf_dir):
     """Kitchen-sink: set statements + tabular invoke + dynamic paths +
     datetime math + serialized ops + reduce + find compose in one
@@ -2799,6 +2908,17 @@ def test_series_stats_bag_and_tuple(spark, sf_dir):
         | extend (mn, mni, mx) = series_stats(y)
     """).collect()[0]
     assert (r2["mn"], r2["mni"], r2["mx"]) == (1.0, 1.0, 4.0)
+    # full 7-name tuple: Kusto's documented order is (min, min_idx,
+    # max, max_idx, avg, stdev, variance) — stdev BEFORE variance
+    # (r6 advice: the swap was unpinned when only 3 names were bound)
+    import statistics
+    r3 = kql(spark, sf_dir, """
+      print y = dynamic([3.0, 1.0, 4.0, 1.0, 5.0])
+        | extend (mn, mni, mx, mxi, av, sd, var) = series_stats(y)
+    """).collect()[0]
+    assert abs(r3["sd"] - statistics.pstdev([3, 1, 4, 1, 5])) < 1e-9
+    assert abs(r3["var"] - statistics.pvariance([3, 1, 4, 1, 5])) < 1e-9
+    assert abs(r3["av"] - 2.8) < 1e-9
 
 
 def test_countof_regex_kind(spark, sf_dir):

@@ -566,6 +566,70 @@ def test_scan_stream_drops_late_rows(spark, tmp_path):
     assert rows == []
 
 
+def test_scan_stream_keeps_equal_to_watermark_row(spark, tmp_path):
+    """Watermark boundary contract (r6 verdict #5): a row whose event
+    time is EXACTLY equal to the current watermark is ON-TIME — Spark's
+    own stateful operators drop only strictly-older rows — so
+    scan_stream admits it (>= at arrival, events.py). Here a signup
+    arriving exactly at the 9h watermark must seed a signup->click
+    match with a later on-time click; under the old strict > it was
+    silently dropped and no match existed."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from azure_kusto_parquet_conv_spark.streaming.events import (
+        EVENTS_RAW_SCHEMA_NS, normalize_events, scan_stream)
+
+    hour = 3_600_000_000_000  # ns
+    base = 480_001 * hour
+
+    def table(rows):
+        return pa.table({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([base + r[1] for r in rows],
+                           pa.timestamp("ns")),
+            "user_id": pa.array([1] * len(rows), pa.int64()),
+            "event_type": pa.array([r[2] for r in rows]),
+            "value": pa.array([1.0] * len(rows)),
+            "props": pa.array(["{}"] * len(rows)),
+        })
+
+    d = tmp_path / "scan_boundary"
+    d.mkdir()
+    # A: stray click at 1h + a pusher at 10h -> watermark for B = 9h
+    pq.write_table(table([(1, 1 * hour, "click"),
+                          (2, 10 * hour, "other")]),
+                   str(d / "a.parquet"))
+    # B: a signup EXACTLY at the 9h watermark -> must be kept
+    pq.write_table(table([(3, 9 * hour, "signup")]), str(d / "b.parquet"))
+    # C: an on-time click at 11h + a pusher so D's watermark is 29h
+    pq.write_table(table([(4, 11 * hour, "click"),
+                          (5, 30 * hour, "other")]),
+                   str(d / "c.parquet"))
+    # D: a final pusher trigger to flush the 11h click out of the buffer
+    pq.write_table(table([(6, 40 * hour, "other")]), str(d / "d.parquet"))
+    for i, name in enumerate(["a.parquet", "b.parquet", "c.parquet",
+                              "d.parquet"]):
+        os.utime(d / name, (1_000_000_000 + 100 * i,) * 2)
+
+    raw = (spark.readStream.schema(EVENTS_RAW_SCHEMA_NS)
+           .option("maxFilesPerTrigger", 1).parquet(str(d)))
+    ev = normalize_events(raw)
+    steps = [("s_signup", "event_type = 'signup'"),
+             ("s_click", "event_type = 'click'")]
+    out = scan_stream(ev, steps, watermark="1 hours")
+    q = (out.writeStream.format("memory").queryName("scan_boundary_out")
+         .outputMode("append").start())
+    drain(q)
+    got = {(r["event_id"], r["step"], r["match_id"])
+           for r in spark.sql(
+               "select * from scan_boundary_out").collect()}
+    assert (3, "s_signup", 0) in got, got
+    assert (4, "s_click", 0) in got, got
+
+
 def test_windowed_distinct_users_matches_batch_sketch(spark, sf_dir,
                                                       stream_dir):
     """Streaming HLL distinct-user windows == the batch sketch over the
