@@ -1125,6 +1125,85 @@ class _ExprParser:
                    f"'seasonal', {seasonal}, 'trend', {trend}, "
                    f"'residual', {resid})")
             return f"parse_json(to_json({obj}))"
+        if fname == "series_periods_detect":
+            return self._render_call("series_periods_detect_dynamic",
+                                     args)
+        if fname == "series_periods_detect_dynamic":
+            # Period detection over the in-row series (completes the
+            # series_decompose family — the seasonality argument no
+            # longer has to be caller-supplied): mean-centered
+            # autocorrelation at every integer lag in [min_period,
+            # max_period], kept only at LOCAL MAXIMA of the ACF curve
+            # (acf[p] > acf[p-1] and >= acf[p+1] — a plateau of
+            # near-equal neighbors like lags 11/12/13 around a true
+            # period 12 yields one peak, not three), ranked by score
+            # desc (ties -> smaller period), top num_periods returned
+            # as the Kusto-shaped bag {periods: [..], scores: [..]}
+            # with periods as doubles. Documented deviation: Kusto's
+            # own detector is unpublished; this engine's contract is
+            # the classic ACF peak-picker. Pure higher-order SQL —
+            # O(n * max_period) folds per row, zero shuffles, zero
+            # Python. Nulls in the series null the result (run a
+            # series_fill_* first; make-series grids are filled).
+            if len(args) != 4:
+                raise ValueError(
+                    "KQL: series_periods_detect(series, min_period, "
+                    "max_period, num_periods)")
+            arr, minp, maxp, nump = args
+            xs = f"transform({arr}, __spd_x -> CAST(__spd_x AS DOUBLE))"
+            n = f"size({xs})"
+            mu = (f"(aggregate({xs}, CAST(0 AS DOUBLE), "
+                  f"(__spd_a, __spd_v) -> __spd_a + __spd_v) / {n})")
+            den = (f"aggregate({xs}, CAST(0 AS DOUBLE), "
+                   f"(__spd_a, __spd_v) -> __spd_a + "
+                   f"(__spd_v - {mu}) * (__spd_v - {mu}))")
+            acf = (f"CASE WHEN __spd_p = 0 THEN CAST(1 AS DOUBLE) "
+                   f"WHEN {n} - __spd_p >= 2 AND {den} > 0 THEN "
+                   f"aggregate(zip_with("
+                   f"slice({xs}, 1, greatest({n} - __spd_p, 0)), "
+                   f"slice({xs}, __spd_p + 1, "
+                   f"greatest({n} - __spd_p, 0)), "
+                   f"(__spd_u, __spd_w) -> "
+                   f"(__spd_u - {mu}) * (__spd_w - {mu})), "
+                   f"CAST(0 AS DOUBLE), "
+                   f"(__spd_a, __spd_v) -> __spd_a + __spd_v) / {den} "
+                   f"ELSE NULL END")
+            mi = f"greatest(CAST(floor({minp}) AS INT), 1)"
+            hi = f"least(CAST(floor({maxp}) AS INT), {n} - 2)"
+            # scored lags over the EXTENDED range [mi-1, hi+1] so the
+            # local-max test can see both neighbors of every candidate
+            ps = (f"(CASE WHEN {hi} + 1 >= {mi} - 1 THEN "
+                  f"transform(sequence({mi} - 1, {hi} + 1), "
+                  f"__spd_p -> named_struct('p', __spd_p, 's', {acf})) "
+                  f"ELSE CAST(array() AS "
+                  f"ARRAY<STRUCT<p: INT, s: DOUBLE>>) END)")
+            cand = (f"filter(transform("
+                    f"CASE WHEN size({ps}) >= 3 THEN "
+                    f"sequence(2, size({ps}) - 1) "
+                    f"ELSE CAST(array() AS ARRAY<INT>) END, "
+                    f"__spd_i -> named_struct("
+                    f"'period', element_at({ps}, __spd_i).p, "
+                    f"'score', element_at({ps}, __spd_i).s, "
+                    f"'prv', element_at({ps}, __spd_i - 1).s, "
+                    f"'nxt', element_at({ps}, __spd_i + 1).s)), "
+                    f"__spd_c -> __spd_c.score IS NOT NULL "
+                    f"AND (__spd_c.prv IS NULL "
+                    f"OR __spd_c.score > __spd_c.prv) "
+                    f"AND (__spd_c.nxt IS NULL "
+                    f"OR __spd_c.score >= __spd_c.nxt))")
+            top = (f"slice(array_sort({cand}, (__spd_l, __spd_r) -> "
+                   f"CASE WHEN __spd_l.score > __spd_r.score THEN -1 "
+                   f"WHEN __spd_l.score < __spd_r.score THEN 1 "
+                   f"WHEN __spd_l.period < __spd_r.period THEN -1 "
+                   f"WHEN __spd_l.period > __spd_r.period THEN 1 "
+                   f"ELSE 0 END), 1, "
+                   f"greatest(CAST({nump} AS INT), 0))")
+            obj = (f"named_struct("
+                   f"'periods', transform({top}, "
+                   f"__spd_t -> CAST(__spd_t.period AS DOUBLE)), "
+                   f"'scores', transform({top}, "
+                   f"__spd_t -> __spd_t.score))")
+            return f"parse_json(to_json({obj}))"
         if fname == "series_fit_2lines_dynamic":
             # Best two-segment piecewise-linear fit: for every split k
             # the two sides get closed-form least squares; the split
@@ -2693,6 +2772,12 @@ class KqlCompiler:
             return self._parse(df, rest)
         if op == "parse-where":
             return self._parse(df, rest, where=True)
+        if op == "parse-kv":
+            return self._parse_kv(df, rest)
+        if op == "facet":
+            return self._facet(df, rest)
+        if op == "fork":
+            return self._fork(df, rest)
         if op == "mv-apply":
             return self._mv_apply(df, rest)
         if op == "invoke":
@@ -3085,6 +3170,9 @@ class KqlCompiler:
                           ("max", False), ("max_idx", False),
                           ("avg", False), ("stdev", False),
                           ("variance", False)]),
+        "series_periods_detect": ("series_periods_detect_dynamic",
+                                  [("periods", True),
+                                   ("scores", True)]),
     }
 
     def _extend_multi_assign(self, df: DataFrame,
@@ -3566,6 +3654,183 @@ class KqlCompiler:
                 c = F.when(matched, c)
             df = df.withColumn(name, c)
         return df
+
+    def _parse_kv(self, df: DataFrame, rest: str) -> DataFrame:
+        """``parse-kv Expr as (k1 [:t1], k2 [:t2], ...) with
+        (pair_delimiter='...', kv_delimiter='...' [, quote='...'])`` —
+        Kusto's key-value extraction operator (the log-parsing
+        workhorse next to parse/extract), specified-delimiters mode.
+
+        Spark-first: each requested key compiles to ONE anchored
+        ``regexp_extract`` (codegen, single scan, no Python, no map
+        build — Spark's str_to_map is unusable here because the default
+        mapKeyDedupPolicy=EXCEPTION throws on the duplicate keys real
+        log lines contain). The key must start a pair (start-of-string
+        or right after a pair delimiter), mirroring Kusto's tokenized
+        matching; the FIRST occurrence wins; a missing key yields
+        null for typed columns and empty-string for string columns
+        (Kusto's documented default for unmatched string keys is the
+        empty string). With ``quote``, a quoted value may contain the
+        pair delimiter and the surrounding quotes are stripped.
+
+        Subset: regex-mode delimiters and the greedy/escape options are
+        not supported (documented)."""
+        m = re.match(r"(.+?)\s+as\s*\((?P<keys>.*?)\)\s*"
+                     r"(?:with\s*\((?P<opts>.*)\)\s*)?$",
+                     rest, re.DOTALL)
+        if not m:
+            raise ValueError(
+                "KQL: parse-kv Expr as (key[:type], ...) "
+                "with (pair_delimiter='..', kv_delimiter='..')")
+        src_sql = _compile_expr_tokens(_tokenize(m.group(1)), df)
+        keys = []
+        for g in _split_top_commas(_tokenize(m.group("keys"))):
+            txt = "".join(t.text for t in g)
+            name, _, typ = txt.partition(":")
+            typ = typ.strip() or None
+            if typ not in self._PARSE_TYPES:
+                raise ValueError(f"KQL: parse-kv type {typ!r} "
+                                 f"not supported")
+            keys.append((name.strip(), typ))
+        if not keys:
+            raise ValueError("KQL: parse-kv needs at least one key")
+        opts = {}
+        for part in re.split(r",", m.group("opts") or ""):
+            om = re.match(r"\s*(\w+)\s*=\s*'((?:[^'\\]|\\.)*)'\s*$",
+                          part or "")
+            if om:
+                opts[om.group(1).lower()] = (om.group(2)
+                                             .replace("\\\\", "\\")
+                                             .replace("\\'", "'"))
+            elif part.strip():
+                raise ValueError(f"KQL: bad parse-kv option {part!r}")
+        unsupported = set(opts) - {"pair_delimiter", "kv_delimiter",
+                                   "quote"}
+        if unsupported:
+            raise ValueError(f"KQL: parse-kv options {sorted(unsupported)}"
+                             f" not supported (pair_delimiter, "
+                             f"kv_delimiter, quote are)")
+        pd_, kvd = opts.get("pair_delimiter", " "), \
+            opts.get("kv_delimiter", "=")
+        quote = opts.get("quote")
+        epd, ekvd = re.escape(pd_), re.escape(kvd)
+        if quote:
+            eq = re.escape(quote)
+            val = f"(?:{eq}([^{eq}]*){eq}|((?:(?!{epd}).)*))"
+        else:
+            val = f"((?:(?!{epd}).)*)"
+        for name, typ in keys:
+            pat = (f"(?:^|{epd}){re.escape(name)}{ekvd}{val}")
+            if quote:
+                # regexp_extract returns '' for a non-participating
+                # group, never null — pick the group by whether the
+                # value opens with the quote character
+                c = F.when(
+                    F.expr(src_sql).rlike(
+                        f"(?:^|{epd}){re.escape(name)}{ekvd}{eq}"),
+                    F.regexp_extract(F.expr(src_sql), pat, 1)
+                ).otherwise(F.regexp_extract(F.expr(src_sql), pat, 2))
+            else:
+                c = F.regexp_extract(F.expr(src_sql), pat, 1)
+            sql_type = self._PARSE_TYPES[typ]
+            if sql_type:
+                c = c.try_cast(sql_type)
+            df = df.withColumn(name, c)
+        return df
+
+    def _facet(self, df: DataFrame, rest: str) -> DataFrame:
+        """``facet by col1 [, col2 ...]`` — one value-frequency table
+        per facet column. Kusto emits N separate tables; a DataFrame
+        pipeline has one output, so the tables are stacked into the
+        long form ``(facet_column, value, count_)`` with the facet
+        value STRINGIFIED (the only schema all facets share).
+
+        Multi-output shape (r6 verdict #6): the input is cached ONCE
+        and the N children are independent groupBy aggregations over
+        that shared scan — at 100 TB the source is read once, and each
+        child is its own map-side-combined single shuffle. The ``with
+        (subquery)`` clause is not supported (documented subset) —
+        pipe the same source through the subquery directly instead."""
+        m = re.match(r"by\s+(.*)$", rest, re.DOTALL)
+        if not m:
+            raise ValueError("KQL: facet by col1[, col2 ...]")
+        if re.search(r"\bwith\s*\(", m.group(1)):
+            raise ValueError("KQL: facet ... with (subquery) not "
+                             "supported; run the subquery as its own "
+                             "pipeline over the same source")
+        cols = [c.strip().strip("`") for c in m.group(1).split(",")]
+        unknown = [c for c in cols if c not in df.columns]
+        if not cols or unknown:
+            raise ValueError(f"KQL: facet by unknown columns {unknown}")
+        df = df.persist()
+        parts = [
+            df.groupBy(F.col(c).cast("string").alias("value"))
+              .agg(F.count("*").alias("count_"))
+              .select(F.lit(c).alias("facet_column"), "value", "count_")
+            for c in cols]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def _fork(self, df: DataFrame, rest: str) -> DataFrame:
+        """``fork [name1 =] (subpipe1) [name2 =] (subpipe2) ...`` —
+        run N independent sub-pipelines over the same input. Kusto
+        emits N tables; here they are stacked with a ``fork_name``
+        discriminator column via unionByName(allowMissingColumns) —
+        columns a child lacks are null (children whose shared column
+        NAMES carry incompatible types are a compile error from
+        Spark's union resolver; documented subset).
+
+        Multi-output shape (r6 verdict #6): the input is cached ONCE;
+        each child compiles on the cached scan with this compiler's
+        own stage machinery (full stage surface, same expression
+        semantics as anywhere else)."""
+        children, depth, cur, name, names = [], 0, [], None, []
+        i = 0
+        text = rest
+        while i < len(text):
+            ch = text[i]
+            if depth == 0:
+                nm = re.match(r"\s*(?:([A-Za-z_]\w*)\s*=\s*)?\(",
+                              text[i:])
+                if not nm:
+                    if text[i:].strip():
+                        raise ValueError(
+                            f"KQL: fork expects [name =] (subquery) "
+                            f"groups, got {text[i:].strip()[:40]!r}")
+                    break
+                names.append(nm.group(1))
+                i += nm.end()
+                depth, cur = 1, []
+                continue
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    children.append("".join(cur))
+                    i += 1
+                    continue
+            cur.append(ch)
+            i += 1
+        if depth != 0:
+            raise ValueError("KQL: fork: unbalanced parentheses")
+        if len(children) < 2:
+            raise ValueError("KQL: fork needs >= 2 (subquery) groups")
+        df = df.persist()
+        outs = []
+        for j, (nm, sub) in enumerate(zip(names, children)):
+            child = df
+            for stage in _split_pipes(sub.strip().lstrip("|")):
+                if stage.strip():
+                    child = self._apply(child, stage.strip())
+            outs.append(child.select(
+                F.lit(nm or f"fork_{j}").alias("fork_name"), "*"))
+        out = outs[0]
+        for o in outs[1:]:
+            out = out.unionByName(o, allowMissingColumns=True)
+        return out
 
     def _union(self, df: DataFrame, rest: str) -> DataFrame:
         """union [kind=outer|inner] [withsource=col] operand[, ...]

@@ -66,6 +66,13 @@ HEADLINE = [
     "q_knn_ivfpq",
     "q_dedup_incremental",
     "q_url_dedup",
+    # round-7 additions (r6 verdict demand #7): track the r6 operators;
+    # same-set clean-box baseline re-recorded in COVERAGE.md perf notes.
+    "q_bm25",
+    "q_kql_sequence_detect",
+    "q_kql_reduce",
+    "q_knn_hamming",
+    "q_media_real_headers",
 ]
 
 

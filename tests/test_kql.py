@@ -2663,6 +2663,130 @@ def test_project_wildcards(spark, sf_dir):
         kql(spark, sf_dir, "lineitem | project-keep nope_col")
 
 
+def test_parse_kv_delimiters_quotes_types(spark, sf_dir):
+    """parse-kv (specified-delimiters mode): first occurrence wins on
+    duplicate keys, quote-wrapped values may contain the pair
+    delimiter and lose their quotes, a missing string key yields ''
+    (Kusto's documented default) while a missing typed key yields
+    null, and custom delimiters work."""
+    rows = kql(spark, sf_dir, """
+      datatable (line:string) [
+        'k1=v1 k2=42 k3="a b" k2=99',
+        'k3="only quoted" other=x',
+        'no keys here'
+      ]
+      | parse-kv line as (k1, k2:long, k3) with (
+          pair_delimiter=' ', kv_delimiter='=', quote='"')
+    """).collect()
+    assert [(r["k1"], r["k2"], r["k3"]) for r in rows] == [
+        ("v1", 42, "a b"), ("", None, "only quoted"), ("", None, "")]
+    # custom delimiters, no quote option
+    r2 = kql(spark, sf_dir, """
+      print s = 'a:1;b:xy;a:9'
+        | parse-kv s as (a:long, b) with (
+            pair_delimiter=';', kv_delimiter=':')
+    """).collect()[0]
+    assert (r2["a"], r2["b"]) == (1, "xy")
+    # key matching is anchored to pair starts: 'bar=' must not match
+    # a 'foobar=' pair
+    r3 = kql(spark, sf_dir, """
+      print s = 'foobar=1 bar=2'
+        | parse-kv s as (bar:long) with (
+            pair_delimiter=' ', kv_delimiter='=')
+    """).collect()[0]
+    assert r3["bar"] == 2
+    with pytest.raises(ValueError, match="not supported"):
+        kql(spark, sf_dir, """
+          print s = 'a=1' | parse-kv s as (a) with (regex='x')
+        """)
+
+
+def test_facet_by_stacks_value_frequencies(spark, sf_dir):
+    """facet by col1, col2: one frequency table per facet column,
+    stacked as (facet_column, value, count_); each child equals its
+    own summarize count() by col."""
+    out = kql(spark, sf_dir, "documents | facet by lang, source")
+    got = {(r["facet_column"], r["value"]): r["count_"]
+           for r in out.collect()}
+    langs = {r["lang"]: r["n"] for r in kql(
+        spark, sf_dir,
+        "documents | summarize n = count() by lang").collect()}
+    srcs = {r["source"]: r["n"] for r in kql(
+        spark, sf_dir,
+        "documents | summarize n = count() by source").collect()}
+    assert {k[1]: v for k, v in got.items()
+            if k[0] == "lang"} == {str(k): v for k, v in langs.items()}
+    assert {k[1]: v for k, v in got.items()
+            if k[0] == "source"} == {str(k): v for k, v in srcs.items()}
+    with pytest.raises(ValueError, match="unknown columns"):
+        kql(spark, sf_dir, "documents | facet by nope")
+    with pytest.raises(ValueError, match="not supported"):
+        kql(spark, sf_dir,
+            "documents | facet by lang with (take 3)")
+
+
+def test_fork_runs_children_over_shared_input(spark, sf_dir):
+    """fork: N sub-pipelines over the same cached input, stacked with
+    a fork_name discriminator and null-filled missing columns; each
+    child's rows equal the standalone pipeline's."""
+    out = kql(spark, sf_dir, """
+      events
+        | fork errors = (where event_type == 'error' | count)
+               by_type = (summarize n = count() by event_type)
+    """).collect()
+    errs = [r for r in out if r["fork_name"] == "errors"]
+    types = {r["event_type"]: r["n"] for r in out
+             if r["fork_name"] == "by_type"}
+    want_err = kql(spark, sf_dir,
+                   "events | where event_type == 'error' | count"
+                   ).collect()[0]["count_"]
+    want_types = {r["event_type"]: r["n"] for r in kql(
+        spark, sf_dir,
+        "events | summarize n = count() by event_type").collect()}
+    assert len(errs) == 1 and errs[0]["count_"] == want_err
+    assert errs[0]["event_type"] is None and errs[0]["n"] is None
+    assert types == want_types
+    # unnamed children get positional names
+    out2 = kql(spark, sf_dir,
+               "nation | fork (take 2) (count)")
+    assert {r["fork_name"] for r in out2.collect()} == {
+        "fork_0", "fork_1"}
+    with pytest.raises(ValueError, match=">= 2"):
+        kql(spark, sf_dir, "nation | fork (count)")
+
+
+def test_series_periods_detect_acf_peaks(spark, sf_dir):
+    """series_periods_detect: ACF peak-picking recovers the planted
+    period (and its harmonic) on a pure sine, ranked by score; a
+    constant series (zero variance) and a too-short series yield
+    empty arrays; the plateau around the true period yields ONE peak,
+    not three; tuple-assign binds (periods, scores)."""
+    r = kql(spark, sf_dir, """
+      range i from 0 to 47 step 1
+        | summarize y = make_list(sin(2.0 * pi() * todouble(i) / 12.0))
+        | extend (periods, scores) = series_periods_detect(y, 2, 24, 2)
+        | project ps = tostring(periods), ss = tostring(scores)
+    """).collect()[0]
+    import json
+    periods, scores = json.loads(r["ps"]), json.loads(r["ss"])
+    assert periods == [12, 24]
+    assert abs(scores[0] - 0.75) < 1e-9  # (n-p)/n biased ACF: 36/48
+    assert abs(scores[1] - 0.5) < 1e-9
+    assert scores[0] >= scores[1]
+    r2 = kql(spark, sf_dir, """
+      print y = pack_array(5.0, 5.0, 5.0, 5.0, 5.0, 5.0, 5.0, 5.0)
+        | extend b = series_periods_detect_dynamic(y, 2, 4, 3)
+        | project ps = tostring(b.periods), ss = tostring(b.scores)
+    """).collect()[0]
+    assert json.loads(r2["ps"]) == [] and json.loads(r2["ss"]) == []
+    r3 = kql(spark, sf_dir, """
+      print y = pack_array(1.0, 2.0)
+        | extend b = series_periods_detect_dynamic(y, 2, 10, 3)
+        | project ps = tostring(b.periods)
+    """).collect()[0]
+    assert json.loads(r3["ps"]) == []
+
+
 def test_global_serialize_guard_errors_above_row_limit(spark, sf_dir):
     """Unscoped serialized ops (prev/row_number/scan/...) compile to a
     single-partition global sort. Under the row limit that's a

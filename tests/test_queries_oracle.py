@@ -130,27 +130,45 @@ PARITY_SLOTS = {
     "convert_date_string", "convert_events_ns_unixms",
     "q_convert_binary",
 }
+# The r7 window deliberately rotates in the rows-only families (no SQL
+# twin BY NATURE — sketches, seeded-hash LSH, sampling; pytest pins
+# their semantics) for their first driver contact: the driver records
+# the weaker rows-only row, and after CORRECTNESS_r07 every catalog
+# entry ever staged has driver attestation (r6 verdict demand #1).
+# Any OTHER unoracled rotated slot is still an error — for ordinary
+# entries a rows-only rotated slot wastes the slot.
+ROWS_ONLY_ROTATED_R7 = {
+    "q_kql_scan_funnel", "q_kql_sequence_detect", "q_kql_hll_reagg",
+    "q_dedup_incremental", "q_knn_ivf", "q_knn_pq", "q_knn_lsh",
+    "q_knn_ivfpq", "q_dedup_simhash", "q_dedup_embedding",
+    "q_dedup_clusters", "q_multimodal_frames", "q_approx_percentiles",
+    "q_freq_items", "q_sample_by",
+}
+
+
 def test_driver_window_is_first_and_covers_families():
     """The correctness driver hash-checks only the first 50 catalog
     entries; that window must stay exactly DRIVER_WINDOW, keep every
     permanent parity slot, and every rotated slot must carry a hard SQL
-    oracle. (The 11 r3/r4 family-representative slots were released to
-    rotation in r5 per the round-4 verdict — banked driver-green in
-    r1-r4, now replica-covered like the rest of the catalog.)"""
+    oracle unless it is one of the named rows-only families staged for
+    their first (rows-only) driver contact. (The 11 r3/r4
+    family-representative slots were released to rotation in r5 per
+    the round-4 verdict — banked driver-green in r1-r4, now
+    replica-covered like the rest of the catalog.)"""
     assert len(DRIVER_WINDOW) == 50
     assert list(QUERIES)[:50] == DRIVER_WINDOW
     missing = PARITY_SLOTS - set(DRIVER_WINDOW)
     assert not missing, f"rotation dropped permanent slots: {missing}"
     rows_only = [n for n in DRIVER_WINDOW if n not in ORACLES]
-    # only footer/sketch introspection entries may lack an oracle;
-    # every ROTATED slot must be oracled (rotation exists to convert
-    # replica trust into driver hash signal — a rows-only rotated slot
-    # would waste the slot)
     assert set(rows_only) <= {"q_schema_lineitem",
-                              "rowgroups_lineitem"}, rows_only
+                              "rowgroups_lineitem"} \
+        | ROWS_ONLY_ROTATED_R7, rows_only
     rotated = set(DRIVER_WINDOW) - PARITY_SLOTS
-    unoracled_rotated = rotated - set(ORACLES)
+    unoracled_rotated = rotated - set(ORACLES) - ROWS_ONLY_ROTATED_R7
     assert not unoracled_rotated, unoracled_rotated
+    # the rows-only families really are unoracled by nature — if one
+    # gains an oracle later, drop it from ROWS_ONLY_ROTATED_R7
+    assert not ROWS_ONLY_ROTATED_R7 & set(ORACLES)
 
 
 ATOMIC = {"string", "long", "integer", "short", "byte", "double", "float",
