@@ -44,6 +44,17 @@ Supported surface (each line maps to one DataFrame verb):
     | mv-apply x = arr [to typeof(t)] on ( where .. | extend .. |
         top .. | summarize .. )
     | parse col with 'lit' name:type ...
+    | parse-kv expr as (k1[:t1], ...) with (pair_delimiter='..',
+        kv_delimiter='..' [, quote='..'])  (per-key anchored
+        regexp_extract — log-parsing workhorse)
+    | facet by c1[, c2 ...]  (N frequency tables stacked long-form
+        over ONE cached scan)
+    | fork [n1 =] (subpipe) [n2 =] (subpipe) ...  (N children over one
+        cached input, unionByName + fork_name discriminator)
+    | make-graph src --> dst [with Nodes on id | with_node_id=n]
+    | graph-match [cycles=none] (a)-[e]->(b)-[*1..3]->(c)
+        [where ..] project ..  (fixed patterns -> equi-join chains;
+        var-length -> union of hop counts)
     | evaluate bag_unpack(dynamic_col)
     | evaluate pivot(col [, agg(x) [, key1, ...]])  (values -> columns)
     | evaluate autocluster([min_percent])  (attribute-pattern mining:
@@ -83,6 +94,7 @@ variant_get), series_sum/avg/min/max, series_fir, series_fill_const/
 forward/backward/linear, series_outliers (Tukey fences), series_seasonal/series_stdev/
 series_pearson_correlation, series_add/subtract/multiply/divide,
 series_decompose (full additive bag + tuple assign),
+series_periods_detect (ACF peak-picker bag + tuple assign),
 series_fit_line_dynamic (least-squares bag), series_fit_2lines_dynamic
 (best two-segment piecewise fit), series_decompose_forecast
 (linear trend + periodic-mean seasonal), contains/startswith/endswith/
@@ -1840,6 +1852,30 @@ def _split_top_semis(q: str) -> list[str]:
     return [p for p in parts if p]
 
 
+def _split_top_commas_text(q: str) -> list[str]:
+    """Split raw text on top-level ',' respecting parens/brackets/
+    strings (graph-match pattern lists, where the token-based splitter
+    does not apply because edge arrows are not expression tokens)."""
+    parts, depth, start, i, n = [], 0, 0, 0, len(q)
+    while i < n:
+        c = q[i]
+        if c in "([":
+            depth += 1
+        elif c in ")]":
+            depth -= 1
+        elif c in "'\"":
+            quote = c
+            i += 1
+            while i < n and q[i] != quote:
+                i += 2 if q[i] == "\\" else 1
+        elif c == "," and depth == 0:
+            parts.append(q[start:i].strip())
+            start = i + 1
+        i += 1
+    parts.append(q[start:].strip())
+    return [p for p in parts if p]
+
+
 _STR_LIT_RE = re.compile(r"""'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*\"""")
 
 
@@ -2774,6 +2810,10 @@ class KqlCompiler:
             return self._parse(df, rest, where=True)
         if op == "parse-kv":
             return self._parse_kv(df, rest)
+        if op == "make-graph":
+            return self._make_graph(df, rest)
+        if op == "graph-match":
+            return self._graph_match(df, rest)
         if op == "facet":
             return self._facet(df, rest)
         if op == "fork":
@@ -3830,6 +3870,318 @@ class KqlCompiler:
         out = outs[0]
         for o in outs[1:]:
             out = out.unionByName(o, allowMissingColumns=True)
+        return out
+
+    def _make_graph(self, df: DataFrame, rest: str) -> DataFrame:
+        """``make-graph Src --> Dst [with NodesTable on NodeId |
+        with_node_id=Name]`` — bind the piped table as a graph's edge
+        list (every other column an edge property) plus an optional
+        node table with properties. No computation happens here: the
+        graph is metadata on the compiler (edge df, endpoint columns,
+        node df, id column) that the following ``graph-match`` stage
+        compiles into joins; the edge table flows through unchanged.
+
+        Subset: directed ``-->`` only (Kusto's undirected ``--`` is
+        not supported); nodes from a named table / let / subquery via
+        ``with ... on ...``, or derived implicitly (ids only) bare or
+        via ``with_node_id=``."""
+        m = re.match(
+            r"([A-Za-z_]\w*)\s*-->\s*([A-Za-z_]\w*)\s*"
+            r"(?:with_node_id\s*=\s*(?P<nid>\w+)"
+            r"|with\s+(?:\((?P<sub>.*)\)|(?P<ntab>[A-Za-z_]\w*))"
+            r"\s+on\s+(?P<on>\w+))?\s*$",
+            rest, re.DOTALL)
+        if not m:
+            raise ValueError(
+                "KQL: make-graph Src --> Dst [with Nodes on Id | "
+                "with_node_id=Name]")
+        src, dst = m.group(1), m.group(2)
+        for c in (src, dst):
+            if c not in df.columns:
+                raise ValueError(f"KQL: make-graph: no edge column "
+                                 f"{c!r}")
+        nodes, nid = None, None
+        if m.group("on"):
+            nid = m.group("on")
+            nodes = (self.compile(m.group("sub").strip())
+                     if m.group("sub") is not None
+                     else self._operand(m.group("ntab")))
+            if nid not in nodes.columns:
+                raise ValueError(f"KQL: make-graph: node table has no "
+                                 f"column {nid!r}")
+        self._graph = {"edges": df, "src": src, "dst": dst,
+                       "nodes": nodes, "nid": nid,
+                       "nid_name": m.group("nid")}
+        return df
+
+    #: variable-length edge cap: -[*1..k]-> expands to a UNION of k
+    #: fixed chains; beyond this the query should be an iterative
+    #: connected-components / BFS job, not a pattern match
+    _GRAPH_MAX_HOPS = 8
+
+    def _graph_match(self, df: DataFrame, rest: str) -> DataFrame:
+        """``graph-match [cycles=none] (a)-[e]->(b)[-[f]->(c)...]
+        [, (x)-[g]->(y)...] [where expr] project name = expr, ...`` —
+        fixed-pattern graph matching compiled to EQUI-JOIN CHAINS
+        (the Spark-first answer to an operator Spark lacks: each
+        pattern edge is one alias of the edge table, consecutive
+        edges join on the shared node id, node properties join in
+        from the node table). At 100 TB every join is a plain
+        shuffle-on-key (or broadcast when the dimension side is
+        small — AQE decides), no driver-side traversal, no iteration.
+
+        Supported subset (documented): directed ``-[e]->`` and
+        ``<-[e]-`` edges; chains and comma-separated patterns sharing
+        node variables (patterns must be CONNECTED — a disconnected
+        pattern would be a cartesian product and is rejected);
+        anonymous variable-length edges ``-[*1..3]->`` (cap 8 hops)
+        expand to a union of fixed chains; ``cycles=none`` makes all
+        node variables pairwise distinct; ``project`` is required.
+        ``where``/``project`` reference node/edge variables as
+        ``var.column`` (a bare node var is its node id); with derived
+        nodes (no ``with ... on``) only bare node vars are available.
+        Kusto's all_* path aggregates and undirected edges are not
+        supported."""
+        if not getattr(self, "_graph", None):
+            raise ValueError("KQL: graph-match needs a preceding "
+                             "make-graph stage")
+        g = self._graph
+        cm = re.match(r"cycles\s*=\s*(\w+)\s+(.*)$", rest, re.DOTALL)
+        cycles = "allow"
+        if cm:
+            cycles = cm.group(1).lower()
+            rest = cm.group(2)
+            if cycles not in ("allow", "none"):
+                raise ValueError("KQL: graph-match cycles=allow|none")
+        wm = re.search(r"\bwhere\b", rest)
+        pm = re.search(r"\bproject\b", rest)
+        if not pm:
+            raise ValueError("KQL: graph-match requires a project "
+                             "clause")
+        pat_text = rest[:wm.start() if wm else pm.start()].strip()
+        where_text = rest[wm.end():pm.start()].strip() if wm else None
+        proj_text = rest[pm.end():].strip()
+        if wm and wm.start() > pm.start():
+            raise ValueError("KQL: graph-match clause order is "
+                             "pattern [where] project")
+
+        # ---- parse patterns into (src_var, edge_var, dst_var, lo, hi)
+        node_re = re.compile(r"\(\s*([A-Za-z_]\w*)\s*\)")
+        fwd_re = re.compile(
+            r"-\[\s*([A-Za-z_]\w*)?\s*"
+            r"(?:\*\s*(\d+)\s*\.\.\s*(\d+)\s*)?\]->")
+        rev_re = re.compile(
+            r"<-\[\s*([A-Za-z_]\w*)?\s*"
+            r"(?:\*\s*(\d+)\s*\.\.\s*(\d+)\s*)?\]-")
+        edges_spec = []
+        anon = [0]
+
+        def parse_chain(text):
+            pos = 0
+            nm = node_re.match(text, pos)
+            if not nm:
+                raise ValueError(f"KQL: graph-match bad pattern "
+                                 f"{text!r}")
+            cur_var, pos = nm.group(1), nm.end()
+            while pos < len(text):
+                fm2 = fwd_re.match(text, pos)
+                rm2 = rev_re.match(text, pos)
+                em = fm2 or rm2
+                if not em:
+                    raise ValueError(f"KQL: graph-match bad edge at "
+                                     f"{text[pos:pos + 20]!r}")
+                pos = em.end()
+                nm2 = node_re.match(text, pos)
+                if not nm2:
+                    raise ValueError(f"KQL: graph-match edge needs a "
+                                     f"target node at "
+                                     f"{text[pos:pos + 20]!r}")
+                nxt, pos = nm2.group(1), nm2.end()
+                evar, lo, hi = em.group(1), em.group(2), em.group(3)
+                if lo is not None:
+                    if evar:
+                        raise ValueError(
+                            "KQL: graph-match variable-length edges "
+                            "must be anonymous (-[*1..3]->)")
+                    lo, hi = int(lo), int(hi)
+                    if not (1 <= lo <= hi
+                            <= self._GRAPH_MAX_HOPS):
+                        raise ValueError(
+                            f"KQL: graph-match hop range must satisfy "
+                            f"1 <= lo <= hi <= {self._GRAPH_MAX_HOPS}")
+                a, b = (cur_var, nxt) if fm2 else (nxt, cur_var)
+                edges_spec.append((a, evar, b,
+                                   lo if lo is not None else None,
+                                   hi if hi is not None else None))
+                cur_var = nxt
+
+        for chain in _split_top_commas_text(pat_text):
+            parse_chain(chain.strip())
+        if not edges_spec:
+            raise ValueError("KQL: graph-match needs at least one "
+                             "edge")
+
+        # ---- variable-length expansion: one var-length edge becomes
+        # a UNION over its lengths, each length a chain of fixed
+        # anonymous edges through fresh intermediate node vars
+        def expand(spec):
+            for i, (a, ev, b, lo, hi) in enumerate(spec):
+                if lo is None:
+                    continue
+                outs = []
+                for ln in range(lo, hi + 1):
+                    mids = [a] + [f"__gm_mid{anon[0]}_{j}"
+                                  for j in range(1, ln)] + [b]
+                    anon[0] += 1
+                    fixed = [(mids[j], None, mids[j + 1], None, None)
+                             for j in range(ln)]
+                    for sub in expand(spec[:i] + fixed + spec[i + 1:]):
+                        outs.append(sub)
+                return outs
+            return [spec]
+
+        variants = expand(edges_spec)
+
+        # ---- compile ONE fixed variant to a join chain
+        e_src, e_dst = g["src"], g["dst"]
+        edges_df, nodes_df = g["edges"], g["nodes"]
+
+        def compile_variant(spec, tag):
+            bound: dict[str, str] = {}   # node var -> id column name
+            evars: dict[str, str] = {}   # edge var -> column prefix
+            cur = None
+            pending = list(spec)
+            progress = True
+            idx = 0
+            while pending:
+                if not progress:
+                    raise ValueError(
+                        "KQL: graph-match pattern is disconnected "
+                        "(a cartesian product at scale) — share a "
+                        "node variable between patterns")
+                progress = False
+                for k, (a, ev, b, _lo, _hi) in enumerate(pending):
+                    if cur is not None and a not in bound \
+                            and b not in bound:
+                        continue
+                    pref = f"__ge{tag}_{idx}_"
+                    idx += 1
+                    e = edges_df.select(
+                        *[F.col(c).alias(pref + c)
+                          for c in edges_df.columns])
+                    if ev:
+                        if ev in evars:
+                            raise ValueError(
+                                f"KQL: graph-match edge variable "
+                                f"{ev!r} bound twice")
+                        evars[ev] = pref
+                    if cur is None:
+                        cur = e
+                    else:
+                        conds = []
+                        if a in bound:
+                            conds.append(F.col(bound[a])
+                                         == F.col(pref + e_src))
+                        if b in bound:
+                            conds.append(F.col(bound[b])
+                                         == F.col(pref + e_dst))
+                        cond = conds[0]
+                        for c2 in conds[1:]:
+                            cond = cond & c2
+                        cur = cur.join(e, cond, "inner")
+                    if a not in bound:
+                        bound[a] = pref + e_src
+                    if b not in bound:
+                        bound[b] = pref + e_dst
+                    pending.pop(k)
+                    progress = True
+                    break
+            # node-property joins (only for real node vars; the
+            # synthetic mid-vars of var-length expansion never join)
+            node_prefs: dict[str, str] = {}
+            if nodes_df is not None:
+                for v, idc in bound.items():
+                    if v.startswith("__gm_mid"):
+                        continue
+                    npref = f"__gn_{v}_"
+                    n = nodes_df.select(
+                        *[F.col(c).alias(npref + c)
+                          for c in nodes_df.columns])
+                    cur = cur.join(
+                        n, F.col(idc) == F.col(npref + g["nid"]),
+                        "inner")
+                    node_prefs[v] = npref
+            if cycles == "none":
+                real = [v for v in bound if not v.startswith("__gm_mid")]
+                for x in range(len(real)):
+                    for y in range(x + 1, len(real)):
+                        cur = cur.where(
+                            ~F.col(bound[real[x]]).eqNullSafe(
+                                F.col(bound[real[y]])))
+            return cur, bound, evars, node_prefs
+
+        def rewrite(toks, bound, evars, node_prefs):
+            out = []
+            for t in toks:
+                if t.kind == "ident" and "." in t.text:
+                    v, _, p = t.text.partition(".")
+                    if v in evars:
+                        out.append(Tok("ident", evars[v] + p))
+                        continue
+                    if v in node_prefs:
+                        out.append(Tok("ident", node_prefs[v] + p))
+                        continue
+                    if v in bound and not v.startswith("__gm_mid"):
+                        raise ValueError(
+                            f"KQL: graph-match: node {v!r} has no "
+                            f"property table (make-graph without "
+                            f"'with ... on' derives id-only nodes)")
+                elif t.kind == "ident" and t.text in bound:
+                    out.append(Tok("ident", bound[t.text]))
+                    continue
+                elif t.kind == "ident" and t.text in evars:
+                    raise ValueError(
+                        f"KQL: graph-match: bare edge variable "
+                        f"{t.text!r} — reference a property "
+                        f"({t.text}.col)")
+                out.append(t)
+            return out
+
+        outs = []
+        for vtag, spec in enumerate(variants):
+            cur, bound, evars, node_prefs = compile_variant(spec, vtag)
+            if where_text:
+                toks = rewrite(_tokenize(where_text), bound, evars,
+                               node_prefs)
+                cur = cur.where(F.expr(_compile_expr_tokens(toks, cur)))
+            cols = []
+            for i2, grp in enumerate(
+                    _split_top_commas(_tokenize(proj_text))):
+                # output names come from the ORIGINAL tokens (bare
+                # node var -> var; bare var.prop -> var_prop) — the
+                # rewritten internal column names are per-variant and
+                # must never leak into the schema (the var-length
+                # union aligns by name)
+                if len(grp) >= 2 and grp[0].kind == "ident" \
+                        and grp[1].text == "=":
+                    name, body = grp[0].text, grp[2:]
+                else:
+                    name, body = None, grp
+                if name is None:
+                    if len(body) == 1 and body[0].kind == "ident":
+                        name = body[0].text.replace(".", "_")
+                    else:
+                        name = f"col{i2}"
+                body = rewrite(body, bound, evars, node_prefs)
+                sql = _compile_expr_tokens(body, cur)
+                cols.append(F.expr(sql).alias(name))
+            outs.append(cur.select(*cols))
+        out = outs[0]
+        for o in outs[1:]:
+            # one output row per MATCHED PATH (Kusto's contract): the
+            # hop-length variants are disjoint path sets, so a plain
+            # union — no dedup — is exactly per-path emission
+            out = out.unionByName(o)
         return out
 
     def _union(self, df: DataFrame, rest: str) -> DataFrame:

@@ -5300,6 +5300,78 @@ def q_kql_series_periods(spark, sf_dir):
     """)
 
 
+@query("q_kql_graph_match", """
+SELECT s.s_name AS supplier_name, n.n_name AS nation_name
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'EUROPE'
+""")
+def q_kql_graph_match(spark, sf_dir):
+    """make-graph + graph-match on REAL data: supplier -> nation ->
+    region membership edges (string-prefixed ids keep the key spaces
+    disjoint), a 2-hop pattern with a node-property filter. The
+    pattern compiles to equi-join chains — each pattern edge is one
+    alias of the edge table joined on the shared node id, node
+    properties join in from the node table; at 100 TB each hop is a
+    plain shuffle-on-key or AQE broadcast, no driver-side traversal.
+    DuckDB twin: the same reachability as explicit relational joins
+    on the raw keys — a genuine independent derivation (it never sees
+    the graph encoding)."""
+    from azure_kusto_parquet_conv_spark.kql import kql
+    return kql(spark, sf_dir, """
+      let SN = supplier
+        | project src = strcat('S', tostring(s_suppkey)),
+                  dst = strcat('N', tostring(s_nationkey));
+      let NR = nation
+        | project src = strcat('N', tostring(n_nationkey)),
+                  dst = strcat('R', tostring(n_regionkey));
+      let V = supplier
+        | project id = strcat('S', tostring(s_suppkey)), name = s_name
+        | union (nation | project id = strcat('N',
+                                              tostring(n_nationkey)),
+                                   name = n_name),
+                (region | project id = strcat('R',
+                                              tostring(r_regionkey)),
+                                   name = r_name);
+      SN
+      | union NR
+      | make-graph src --> dst with V on id
+      | graph-match (s)-[e1]->(n)-[e2]->(r)
+          where r.name == 'EUROPE'
+          project supplier_name = s.name, nation_name = n.name
+    """)
+
+
+@query("q_kql_graph_reachability", """
+WITH e(src, dst) AS (VALUES
+  ('a','b'), ('a','c'), ('b','d'), ('c','d'), ('d','e')),
+h1 AS (SELECT src AS s, dst AS t FROM e),
+h2 AS (SELECT a.src, b.dst FROM e a JOIN e b ON a.dst = b.src),
+h3 AS (SELECT a.src, c.dst FROM e a JOIN e b ON a.dst = b.src
+       JOIN e c ON b.dst = c.src)
+SELECT s, t FROM h1
+UNION ALL SELECT * FROM h2
+UNION ALL SELECT * FROM h3
+""")
+def q_kql_graph_reachability(spark, sf_dir):
+    """Variable-length graph-match (-[*1..3]->) on a diamond-plus-tail
+    fixture: expands to a UNION of 1/2/3-hop join chains with one
+    output row per PATH (the diamond's two a->d paths are two rows —
+    Kusto's per-match emission, no dedup). DuckDB twin: the same
+    per-path semantics as explicit 1/2/3-hop self-join UNION ALLs."""
+    from azure_kusto_parquet_conv_spark.kql import kql
+    return kql(spark, sf_dir, """
+      let E = datatable (src:string, dst:string) [
+        'a','b', 'a','c', 'b','d', 'c','d', 'd','e'
+      ];
+      E
+      | make-graph src --> dst
+      | graph-match (s)-[*1..3]->(t)
+          project s, t
+    """)
+
+
 @query("q_kql_datetime_math", """
 SELECT CAST(event_id AS BIGINT) AS event_id,
        CAST(ts AS TIMESTAMP) + INTERVAL 3 DAY AS day3,

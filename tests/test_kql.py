@@ -48,7 +48,7 @@ def test_expr_errors(bad):
 
 def test_unsupported_stage_raises(spark, sf_dir):
     with pytest.raises(ValueError, match="unsupported operator"):
-        kql(spark, sf_dir, "nation | facet by n_name")
+        kql(spark, sf_dir, "nation | consume decodeblocks")
 
 
 # -------------------------------------------------------------- compiler
@@ -2785,6 +2785,96 @@ def test_series_periods_detect_acf_peaks(spark, sf_dir):
         | project ps = tostring(b.periods)
     """).collect()[0]
     assert json.loads(r3["ps"]) == []
+
+
+def test_graph_match_two_hop_with_node_properties(spark, sf_dir):
+    """make-graph + graph-match: a 2-hop pattern with edge and node
+    property predicates compiles to equi-join chains; results equal
+    hand-derived truth on an org-chart fixture."""
+    rows = kql(spark, sf_dir, """
+      let E = datatable (src:string, dst:string, rel:string) [
+        'alice', 'bob', 'manages',
+        'bob', 'carol', 'manages',
+        'bob', 'dave', 'manages',
+        'carol', 'erin', 'manages',
+        'alice', 'frank', 'mentors'
+      ];
+      let N = datatable (id:string, team:string) [
+        'alice', 'exec', 'bob', 'eng', 'carol', 'eng',
+        'dave', 'sales', 'erin', 'eng', 'frank', 'eng'
+      ];
+      E
+      | make-graph src --> dst with N on id
+      | graph-match (a)-[e1]->(b)-[e2]->(c)
+          where e1.rel == 'manages' and e2.rel == 'manages'
+                and c.team == 'eng'
+          project boss = a, mid = b.id, leaf = c.id
+    """).collect()
+    got = sorted((r["boss"], r["mid"], r["leaf"]) for r in rows)
+    assert got == [("alice", "bob", "carol"), ("bob", "carol", "erin")]
+
+
+def test_graph_match_var_length_and_reversed(spark, sf_dir):
+    """-[*1..3]-> expands to a union of fixed chains with one output
+    row per PATH (a diamond yields two (a,d) rows); <-[e]- reverses
+    the edge; cycles=none forbids repeated node bindings."""
+    rows = kql(spark, sf_dir, """
+      let E = datatable (src:string, dst:string) [
+        'a','b', 'a','c', 'b','d', 'c','d'
+      ];
+      E | make-graph src --> dst
+        | graph-match (s)-[*1..3]->(t) project s, t
+    """).collect()
+    got = sorted((r["s"], r["t"]) for r in rows)
+    # 4 one-hop paths + two 2-hop a->d paths (per-path emission)
+    assert got == [("a", "b"), ("a", "c"), ("a", "d"), ("a", "d"),
+                   ("b", "d"), ("c", "d")]
+    rows2 = kql(spark, sf_dir, """
+      let E = datatable (src:string, dst:string) [
+        'u1','n1', 'u2','n1', 'u3','n2'
+      ];
+      E | make-graph src --> dst
+        | graph-match cycles=none (p)-[e1]->(n)<-[e2]-(q)
+            project p, q
+    """).collect()
+    assert sorted((r["p"], r["q"]) for r in rows2) == [
+        ("u1", "u2"), ("u2", "u1")]
+
+
+def test_graph_match_rejections(spark, sf_dir):
+    """Documented subset boundaries fail loudly: graph-match without
+    make-graph, disconnected patterns (a cartesian at scale), missing
+    project, named var-length edges, node properties without a node
+    table, bare edge vars."""
+    pre = """
+      let E = datatable (src:string, dst:string) ['a','b', 'b','c'];
+      E | make-graph src --> dst
+    """
+    with pytest.raises(ValueError, match="make-graph"):
+        kql(spark, sf_dir,
+            "nation | graph-match (a)-[e]->(b) project a")
+    with pytest.raises(ValueError, match="disconnected"):
+        kql(spark, sf_dir, pre + """
+          | graph-match (a)-[e]->(b), (x)-[f]->(y) project a, x
+        """)
+    with pytest.raises(ValueError, match="requires a project"):
+        kql(spark, sf_dir, pre + "| graph-match (a)-[e]->(b)")
+    with pytest.raises(ValueError, match="anonymous"):
+        kql(spark, sf_dir, pre + """
+          | graph-match (a)-[e*1..2]->(b) project a, b
+        """)
+    with pytest.raises(ValueError, match="no\\s+property table"):
+        kql(spark, sf_dir, pre + """
+          | graph-match (a)-[e]->(b) project x = a.name
+        """)
+    with pytest.raises(ValueError, match="bare edge variable"):
+        kql(spark, sf_dir, pre + """
+          | graph-match (a)-[e]->(b) project e
+        """)
+    with pytest.raises(ValueError, match="hop range"):
+        kql(spark, sf_dir, pre + """
+          | graph-match (a)-[*1..20]->(b) project a, b
+        """)
 
 
 def test_global_serialize_guard_errors_above_row_limit(spark, sf_dir):
