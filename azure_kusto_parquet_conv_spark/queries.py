@@ -1261,6 +1261,36 @@ def q_dedup_embedding(spark, sf_dir):
     return D.embedding_near_dup(e, threshold=0.4)
 
 
+@query("q_dedup_embedding_exact", """
+SELECT CAST(vec_id AS BIGINT) AS id_a,
+       CAST(vec_id + 1000000 AS BIGINT) AS id_b,
+       CAST(1.0 AS DOUBLE) AS cosine
+FROM embeddings WHERE vec_id % 29 = 0
+""")
+def q_dedup_embedding_exact(spark, sf_dir):
+    """Embedding near-dup with a HARD hash-matched oracle (the
+    q_dedup_minhash_exact pattern on the vector family): every 29th
+    embedding is planted back as an EXACT clone under vec_id + 1e6.
+    An identical vector gets identical sign bits on every hyperplane,
+    so the clone collides with its source in BOTH LSH table rotations
+    — the bucket join MUST surface the pair — and exact verification
+    scores cosine exactly 1.0 (no zero vectors in the fixture).
+    Restricted to the planted diagonal (id_b - id_a = 1e6), which only
+    a source/own-clone pair satisfies, so the DuckDB twin is the exact
+    expected table."""
+    e = (load_table(spark, sf_dir, "embeddings")
+         .select(F.col("vec_id").cast("long").alias("vec_id"),
+                 "embedding"))
+    clones = e.where(F.col("vec_id") % 29 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding")
+    planted = e.unionByName(clones)
+    pairs = D.embedding_near_dup(planted, id_col="vec_id",
+                                 threshold=0.9)
+    return (pairs.where((F.col("id_b") - F.col("id_a") == 1000000)
+                        & (F.col("cosine") >= 0.9999))
+                 .select("id_a", "id_b", "cosine"))
+
+
 @query("q_dedup_minhash")  # seeded xxhash64 minhashes: no SQL equivalent
 def q_dedup_minhash(spark, sf_dir):
     """MinHash-LSH near-dup pairs (rows-only check here; pytest verifies
@@ -1310,6 +1340,33 @@ def q_dedup_simhash(spark, sf_dir):
     """SimHash near-dup pairs via pigeonhole-blocked Hamming join."""
     d = load_table(spark, sf_dir, "documents")
     return D.simhash_pairs(d, max_hamming=3)
+
+
+@query("q_dedup_simhash_exact", """
+SELECT CAST(doc_id AS BIGINT) AS id_a,
+       CAST(doc_id + 1000000 AS BIGINT) AS id_b,
+       CAST(0 AS BIGINT) AS hamming
+FROM documents WHERE doc_id % 17 = 0
+""")
+def q_dedup_simhash_exact(spark, sf_dir):
+    """SimHash near-dup with a HARD hash-matched oracle: every 17th
+    document planted back as an EXACT clone under doc_id + 1e6. An
+    identical text yields an identical 64-bit SimHash (blake2b token
+    hashes — deterministic across workers), so the pair shares ALL
+    four 16-bit pigeonhole blocks, the block join MUST surface it, and
+    Hamming distance is exactly 0. Restricted to the planted diagonal;
+    the DuckDB twin is the exact expected table (even an empty text
+    clones to SimHash 0 — the diagonal is complete by construction)."""
+    d = (load_table(spark, sf_dir, "documents")
+         .select(F.col("doc_id").cast("long").alias("doc_id"), "text"))
+    clones = d.where(F.col("doc_id") % 17 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    planted = d.unionByName(clones)
+    pairs = D.simhash_pairs(planted, max_hamming=3)
+    return (pairs.where((F.col("id_b") - F.col("id_a") == 1000000)
+                        & (F.col("hamming") == 0))
+                 .select("id_a", "id_b",
+                         F.col("hamming").cast("long").alias("hamming")))
 
 
 @query("q_dedup_clusters")  # iterative label propagation: no SQL twin
@@ -1445,6 +1502,41 @@ def q_knn_ivfpq(spark, sf_dir):
         books = _PQ_CODEBOOKS[sf_dir] = S.train_pq_codebooks(e, seed=42)
     return S.knn_ivfpq(q, e, k=5, n_lists=16, n_probe=8,
                        centroids=cents, codebooks=books)
+
+
+@query("q_knn_lsh_exact", """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+           FROM embeddings WHERE vec_id % 29 = 0),
+ranked AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         ROUND(list_cosine_similarity(q.qv, c.embedding), 4) AS cosine,
+         row_number() OVER (
+           PARTITION BY q.query_id
+           ORDER BY list_cosine_similarity(q.qv, c.embedding) DESC,
+                    c.vec_id) AS rn
+  FROM q, embeddings c)
+SELECT query_id, neighbor_id, CAST(1 AS BIGINT) AS rank, cosine
+FROM ranked WHERE rn = 1
+""")
+def q_knn_lsh_exact(spark, sf_dir):
+    """LSH ANN with a HARD hash-matched oracle (the q_knn_ivf_exact
+    pattern on the hyperplane family): queries are corpus members, so
+    with include_self the query collides with ITSELF in every hash
+    table (identical sign bits), the candidate join must surface the
+    self-pair, and cosine 1.0 strictly tops every distinct vector —
+    top-1 recall provably 1.0 regardless of bucket granularity. The
+    DuckDB twin is genuine brute-force top-1."""
+    import pyarrow.parquet as pq
+    first = next(pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+                 .iter_batches(batch_size=1))
+    dim = len(first.column("embedding")[0].as_py())
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") % 29 == 0)
+    out = S.knn_lsh(q, e, k=1, planes=4, tables=4, dim=dim,
+                    include_self=True)
+    return out.select("query_id", "neighbor_id",
+                      F.col("rank").cast("long").alias("rank"),
+                      "cosine")
 
 
 @query("q_knn_lsh")  # seeded random hyperplanes: no SQL equivalent
