@@ -1876,6 +1876,217 @@ def _split_top_commas_text(q: str) -> list[str]:
     return [p for p in parts if p]
 
 
+_PY_ESC = {"n": "\n", "t": "\t", "r": "\r", "\\": "\\", "'": "'",
+           '"': '"', "0": "\0", "a": "\a", "b": "\b", "f": "\f",
+           "v": "\v"}
+
+
+def _py_str_lit(text: str) -> str:
+    """KQL string literal token -> Python string (same escape table as
+    the parse operator)."""
+    body = text[1:-1]
+    return re.sub(r"\\(.)",
+                  lambda m: _PY_ESC.get(m.group(1), "\\" + m.group(1)),
+                  body)
+
+
+def _compile_py_expr(toks: list[Tok], columns: list[str],
+                     state_vars: set[str]):
+    """Compile a KQL scalar expression to a PYTHON closure
+    ``f(row, st) -> value`` over (row-column dict, scan-state dict).
+
+    This is the evaluator behind ``scan declare (...)`` step
+    assignments and state-dependent step predicates — the one place
+    expressions CANNOT be precomputed by Catalyst, because they read
+    mutable per-sequence state. The supported grammar is the scalar
+    subset that state machines actually use (documented): and/or/not,
+    comparisons, + - * / %, unary minus, literals, row columns, state
+    vars, and the function whitelist strcat / iff|iif / tostring /
+    tolong|toint / todouble|toreal / abs / min_of / max_of / strlen /
+    isempty / isnotempty / isnull / isnotnull. Null semantics:
+    arithmetic with null -> null, comparisons with null -> false,
+    strcat treats null as '' (Kusto's contract).
+
+    Returns (closure, used_columns) so the kernel only materializes
+    the row columns an expression actually reads."""
+    used: set[str] = set()
+    pos = [0]
+
+    def peek():
+        return toks[pos[0]] if pos[0] < len(toks) else None
+
+    def take():
+        t = peek()
+        if t is None:
+            raise ValueError("KQL: scan expression ended unexpectedly")
+        pos[0] += 1
+        return t
+
+    def expect(text):
+        t = take()
+        if t.text != text:
+            raise ValueError(f"KQL: scan expression expected {text!r}, "
+                             f"got {t.text!r}")
+
+    _FNS = {
+        "strcat": lambda *a: "".join(
+            "" if v is None else str(v) for v in a),
+        "iff": lambda c, a, b: a if c else b,
+        "iif": lambda c, a, b: a if c else b,
+        "tostring": lambda v: "" if v is None else str(v),
+        "tolong": lambda v: None if v is None else int(v),
+        "toint": lambda v: None if v is None else int(v),
+        "todouble": lambda v: None if v is None else float(v),
+        "toreal": lambda v: None if v is None else float(v),
+        "abs": lambda v: None if v is None else abs(v),
+        "min_of": lambda *a: min(v for v in a if v is not None),
+        "max_of": lambda *a: max(v for v in a if v is not None),
+        "strlen": lambda v: None if v is None else len(str(v)),
+        "isempty": lambda v: v is None or v == "",
+        "isnotempty": lambda v: not (v is None or v == ""),
+        "isnull": lambda v: v is None,
+        "isnotnull": lambda v: v is not None,
+    }
+
+    def primary():
+        t = take()
+        if t.kind == "num":
+            v = float(t.text) if ("." in t.text or "e" in t.text.lower()) \
+                else int(t.text)
+            return lambda row, st: v
+        if t.kind == "str":
+            s = _py_str_lit(t.text)
+            return lambda row, st: s
+        if t.text == "(":
+            e = or_expr()
+            expect(")")
+            return e
+        if t.kind == "ident":
+            low = t.text.lower()
+            if low in ("true", "false"):
+                b = low == "true"
+                return lambda row, st: b
+            nxt = peek()
+            if nxt is not None and nxt.text == "(":
+                fn = _FNS.get(low)
+                if fn is None:
+                    raise ValueError(
+                        f"KQL: scan-state expressions support only "
+                        f"{sorted(_FNS)}; got {t.text!r}()")
+                take()
+                args = []
+                if peek() is not None and peek().text != ")":
+                    args.append(or_expr())
+                    while peek() is not None and peek().text == ",":
+                        take()
+                        args.append(or_expr())
+                expect(")")
+                return (lambda fn, args: lambda row, st: fn(
+                    *[a(row, st) for a in args]))(fn, args)
+            name = t.text
+            if name in state_vars:
+                return lambda row, st: st[name]
+            if name in columns:
+                used.add(name)
+                return lambda row, st: row[name]
+            raise ValueError(f"KQL: scan expression references "
+                             f"unknown name {name!r}")
+        raise ValueError(f"KQL: bad scan expression token {t.text!r}")
+
+    def unary():
+        if peek() is not None and peek().text == "-":
+            take()
+            e = unary()
+            return lambda row, st: (lambda v: None if v is None else -v)(
+                e(row, st))
+        return primary()
+
+    def _arith(a, b, op):
+        if a is None or b is None:
+            return None
+        if op == "+":
+            return a + b
+        if op == "-":
+            return a - b
+        if op == "*":
+            return a * b
+        if op == "/":
+            return a / b if b != 0 else None
+        return a % b if b != 0 else None
+
+    def mul():
+        e = unary()
+        while peek() is not None and peek().text in ("*", "/", "%"):
+            op = take().text
+            r = unary()
+            e = (lambda e, r, op: lambda row, st: _arith(
+                e(row, st), r(row, st), op))(e, r, op)
+        return e
+
+    def add():
+        e = mul()
+        while peek() is not None and peek().text in ("+", "-"):
+            op = take().text
+            r = mul()
+            e = (lambda e, r, op: lambda row, st: _arith(
+                e(row, st), r(row, st), op))(e, r, op)
+        return e
+
+    _CMP = {"==": lambda a, b: a == b, "!=": lambda a, b: a != b,
+            "<": lambda a, b: a < b, "<=": lambda a, b: a <= b,
+            ">": lambda a, b: a > b, ">=": lambda a, b: a >= b}
+
+    def cmp():
+        e = add()
+        if peek() is not None and peek().text in _CMP:
+            op = take().text
+            r = add()
+
+            def do(a, b, f=_CMP[op], neq=(op == "!=")):
+                if a is None or b is None:
+                    # KQL null comparison: != against a non-null IS
+                    # true when exactly one side is null
+                    return neq and (a is None) != (b is None)
+                return f(a, b)
+            e = (lambda e, r: lambda row, st: do(
+                e(row, st), r(row, st)))(e, r)
+        return e
+
+    def not_expr():
+        if peek() is not None and peek().kind == "ident" \
+                and peek().text.lower() == "not":
+            take()
+            e = not_expr()
+            return lambda row, st: not e(row, st)
+        return cmp()
+
+    def and_expr():
+        e = not_expr()
+        while peek() is not None and peek().kind == "ident" \
+                and peek().text.lower() == "and":
+            take()
+            r = not_expr()
+            e = (lambda e, r: lambda row, st:
+                 bool(e(row, st)) and bool(r(row, st)))(e, r)
+        return e
+
+    def or_expr():
+        e = and_expr()
+        while peek() is not None and peek().kind == "ident" \
+                and peek().text.lower() == "or":
+            take()
+            r = and_expr()
+            e = (lambda e, r: lambda row, st:
+                 bool(e(row, st)) or bool(r(row, st)))(e, r)
+        return e
+
+    out = or_expr()
+    if pos[0] != len(toks):
+        raise ValueError(f"KQL: trailing tokens in scan expression at "
+                         f"{toks[pos[0]].text!r}")
+    return out, used
+
+
 _STR_LIT_RE = re.compile(r"""'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*\"""")
 
 
@@ -4582,19 +4793,39 @@ class KqlCompiler:
              self._order, self._order_sql) = saved
 
     def _scan(self, df: DataFrame, rest: str) -> DataFrame:
-        """``scan [with_match_id=name] with (step s1: p1; step s2: p2;
-        ...)`` — ordered sequence matching (the funnel generalization;
-        Kusto's process-mining operator; SQL MATCH_RECOGNIZE's cousin,
-        which Spark lacks).
+        """``scan [with_match_id=name] [declare (v:type = init, ...)]
+        with (step s1: p1 [=> v = expr, ...]; step s2: p2; ...)`` —
+        ordered sequence matching with per-sequence STATE (the funnel
+        generalization; Kusto's process-mining operator; SQL
+        MATCH_RECOGNIZE's cousin, which Spark lacks).
 
-        Supported subset of Kusto semantics (documented; no declare
-        clause, no per-step assignments): rows are scanned in serialized
-        order; ONE active sequence per scan scope advances greedily —
-        a row is emitted (with its step name and a 0-based sequence
-        ``match_id``) iff it satisfies the NEXT expected step's
-        predicate; when the final step fires the sequence completes and
-        the next match begins. Rows of incomplete trailing sequences
-        are still emitted (Kusto emits on match, not on completion).
+        Supported subset of Kusto semantics (documented): rows are
+        scanned in serialized order; ONE active sequence per scan
+        scope advances greedily — a row is emitted (with its step
+        name, a 0-based sequence ``match_id``, and the declared state
+        variables as output columns) iff it satisfies the NEXT
+        expected step's predicate; when the final step fires the
+        sequence completes, its state resets to the declared defaults,
+        and the next match begins. Rows of incomplete trailing
+        sequences are still emitted (Kusto emits on match, not on
+        completion). Documented deviations from full Kusto: steps do
+        not re-match/extend (Kusto's cumulative-sum idiom of a step
+        matching repeatedly), and there is a single active sequence
+        per scope rather than Kusto's concurrent sequence spawning —
+        the advance-only single-sequence contract is what every pin
+        and the streaming twin implement.
+
+        ``declare`` state: assignments (``=> v = expr``) run when
+        their step matches, in order, BEFORE the row is emitted; a
+        step predicate may also READ state variables (e.g. ``n < 10``)
+        — such predicates, and all assignment right-hand sides, are
+        the one place expressions cannot be precomputed by Catalyst
+        (they read mutable per-sequence state), so they compile to
+        Python closures over (row, state) via ``_compile_py_expr``
+        (scalar whitelist; see its docstring) and evaluate inside the
+        SAME Arrow-batched kernel — only the columns they actually
+        reference are materialized per matching row, and state-free
+        predicates keep the Catalyst bitmask fast path.
 
         Spark-first shape: each step predicate is pre-computed as a
         BOOLEAN COLUMN by Catalyst (codegen, pushdown-eligible) before
@@ -4614,11 +4845,67 @@ class KqlCompiler:
         import pandas as pd
 
         m = re.match(r"(?:with_match_id\s*=\s*(?P<mid>\w+)\s+)?"
+                     r"(?:declare\s*\((?P<decl>[^)]*)\)\s*)?"
                      r"with\s*\((?P<body>.*)\)\s*$", rest, re.DOTALL)
         if not m:
             raise ValueError(
-                "KQL: scan [with_match_id=name] with (step s: pred; ...)")
-        steps = []
+                "KQL: scan [with_match_id=name] [declare (v:type=init, "
+                "...)] with (step s: pred [=> v = expr, ...]; ...)")
+        # ---- declare clause: typed state variables with literal
+        # defaults; they become OUTPUT columns, reset at each new match
+        _DECL_TYPES = {"long": "long", "int": "long", "real": "double",
+                       "double": "double", "string": "string",
+                       "bool": "boolean", "boolean": "boolean"}
+        decl_names: list[str] = []
+        decl_types: dict[str, str] = {}
+        decl_inits: dict[str, object] = {}
+        for part in _split_top_commas_text(m.group("decl") or ""):
+            dm = re.match(r"([A-Za-z_]\w*)\s*:\s*(\w+)\s*(?:=\s*(.*))?$",
+                          part.strip(), re.DOTALL)
+            if not dm:
+                raise ValueError(f"KQL: bad scan declare {part!r}")
+            nm2, ty = dm.group(1), dm.group(2).lower()
+            if ty not in _DECL_TYPES:
+                raise ValueError(
+                    f"KQL: scan declare type {ty!r} not supported "
+                    f"({sorted(set(_DECL_TYPES))} are)")
+            if nm2 in df.columns:
+                raise ValueError(f"KQL: scan declare {nm2!r} shadows "
+                                 f"an input column")
+            decl_names.append(nm2)
+            decl_types[nm2] = _DECL_TYPES[ty]
+            if dm.group(3) is not None:
+                init_fn, _ = _compile_py_expr(
+                    [t for t in _tokenize(dm.group(3))], [], set())
+                decl_inits[nm2] = init_fn({}, {})
+            else:
+                decl_inits[nm2] = None
+        var_set = set(decl_names)
+
+        def split_arrow(text):
+            """step body -> (predicate text, assignments text|None),
+            splitting on the first top-level '=>'."""
+            depth, i2, n2 = 0, 0, len(text)
+            while i2 < n2:
+                c = text[i2]
+                if c in "([":
+                    depth += 1
+                elif c in ")]":
+                    depth -= 1
+                elif c in "'\"":
+                    q2 = c
+                    i2 += 1
+                    while i2 < n2 and text[i2] != q2:
+                        i2 += 2 if text[i2] == "\\" else 1
+                elif c == "=" and depth == 0 and i2 + 1 < n2 \
+                        and text[i2 + 1] == ">":
+                    return text[:i2], text[i2 + 2:]
+                i2 += 1
+            return text, None
+
+        steps = []          # (name, catalyst_sql | None)
+        py_preds = {}       # step index -> (closure, used cols)
+        assigns = {}        # step index -> [(var, closure, used cols)]
         for part in _split_top_semis(m.group("body")):
             part = part.strip()
             if not part:
@@ -4627,10 +4914,41 @@ class KqlCompiler:
                           part, re.DOTALL)
             if not sm:
                 raise ValueError(f"KQL: bad scan step {part!r}")
-            steps.append((sm.group(1),
-                          _compile_expr_tokens(_tokenize(sm.group(2)), df,
-                                               self._order_sql,
-                                               self._partition_sql)))
+            pred_text, assign_text = split_arrow(sm.group(2))
+            i_step = len(steps)
+            ptoks = _tokenize(pred_text)
+            if any(t.kind == "ident" and t.text in var_set
+                   for t in ptoks):
+                # state-dependent predicate: Catalyst cannot see scan
+                # state, so this one evaluates in the kernel
+                py_preds[i_step] = _compile_py_expr(
+                    ptoks, df.columns, var_set)
+                steps.append((sm.group(1), None))
+            else:
+                steps.append((sm.group(1),
+                              _compile_expr_tokens(ptoks, df,
+                                                   self._order_sql,
+                                                   self._partition_sql)))
+            if assign_text is not None:
+                if not var_set:
+                    raise ValueError(
+                        "KQL: scan step assignments need a declare "
+                        "clause")
+                alist = []
+                for grp in _split_top_commas(_tokenize(assign_text)):
+                    if len(grp) < 3 or grp[0].kind != "ident" \
+                            or grp[1].text != "=":
+                        raise ValueError(
+                            "KQL: scan assignment must be "
+                            "'var = expr'")
+                    if grp[0].text not in var_set:
+                        raise ValueError(
+                            f"KQL: scan assigns to undeclared "
+                            f"{grp[0].text!r}")
+                    fn2, used2 = _compile_py_expr(
+                        grp[2:], df.columns, var_set)
+                    alist.append((grp[0].text, fn2, used2))
+                assigns[i_step] = alist
         if not steps:
             raise ValueError("KQL: scan needs at least one step")
         if not self._order_sql:
@@ -4647,8 +4965,10 @@ class KqlCompiler:
             asc_flags.append(direction.upper() != "DESC")
             work = work.withColumn(f"__scan_o{i}", F.expr(expr_sql))
         for i, (_, psql) in enumerate(steps):
-            work = work.withColumn(f"__scan_p{i}",
-                                   F.expr(psql).cast("boolean"))
+            work = work.withColumn(
+                f"__scan_p{i}",
+                F.expr(psql).cast("boolean") if psql is not None
+                else F.lit(None).cast("boolean"))
         if self._partition_sql:
             group_cols = [s.strip("`") for s in self._partition_sql]
         else:
@@ -4658,8 +4978,17 @@ class KqlCompiler:
         keep = [c for c in df.columns]
         step_names = [n for n, _ in steps]
         n_steps = len(steps)
-        out_schema = work.select(*keep).schema \
-            .add("step", "string").add(mid_name, "long")
+        # row columns the kernel must read for python-side predicates
+        # and assignments (only these get materialized per matching row)
+        py_cols = sorted(set().union(
+            *[u for _, u in py_preds.values()],
+            *[u for al in assigns.values() for _, _, u in al],
+            set()))
+        out_schema = work.select(*keep).schema
+        for v in decl_names:
+            out_schema = out_schema.add(v, decl_types[v])
+        out_schema = out_schema.add("step", "string") \
+                               .add(mid_name, "long")
 
         # Partition on the scan key and sort key-then-order WITHIN each
         # partition, then walk the whole partition with ONE mapInPandas
@@ -4676,17 +5005,28 @@ class KqlCompiler:
         part = (work.repartition(*[F.col(c) for c in group_cols])
                     .sortWithinPartitions(*sort_cols))
 
+        init_st = dict(decl_inits)
+
         def kernel(batches):
             state_key = object()  # sentinel: != any real key tuple
             k = 0
             mid = 0
+            st = dict(init_st)
             for pdf in batches:
                 if not len(pdf):
                     continue
                 key_arrays = [pdf[c].to_numpy() for c in group_cols]
                 preds = [pdf[f"__scan_p{i}"].fillna(False).astype(bool)
                          .to_numpy() for i in range(n_steps)]
+                py_arrs = {c: pdf[c].to_numpy() for c in py_cols}
                 idx, labels, mids = [], [], []
+                var_out = {v: [] for v in decl_names}
+
+                def row_at(i):
+                    return {c: (None if a[i] != a[i] else a[i])
+                            if a.dtype.kind in "fO" else a[i]
+                            for c, a in py_arrs.items()}
+
                 for i in range(len(pdf)):
                     # normalize NaN/NaT (x != x) so a null scan key still
                     # forms ONE group, matching groupBy null semantics
@@ -4694,15 +5034,35 @@ class KqlCompiler:
                                for v in (a[i] for a in key_arrays))
                     if kt != state_key:
                         state_key, k, mid = kt, 0, 0
-                    if preds[k][i]:
+                        st = dict(init_st)
+                    if steps[k][1] is None:
+                        row = row_at(i)
+                        hit = bool(py_preds[k][0](row, st))
+                    else:
+                        row = None
+                        hit = preds[k][i]
+                    if hit:
+                        if k in assigns:
+                            if row is None:
+                                row = row_at(i)
+                            for v, fn2, _u in assigns[k]:
+                                st[v] = fn2(row, st)
                         idx.append(i)
                         labels.append(step_names[k])
                         mids.append(mid)
+                        for v in decl_names:
+                            var_out[v].append(st[v])
                         k += 1
                         if k == n_steps:
                             k = 0
                             mid += 1
+                            # a completed match releases its state:
+                            # the next sequence starts from defaults
+                            st = dict(init_st)
                 res = pdf.iloc[idx][keep].copy()
+                for v in decl_names:
+                    res[v] = pd.Series(var_out[v], index=res.index,
+                                       dtype="object")
                 res["step"] = labels
                 res[mid_name] = pd.array(mids, dtype="int64")
                 yield res

@@ -5392,6 +5392,40 @@ def q_kql_series_periods(spark, sf_dir):
     """)
 
 
+@query("q_kql_scan_declare", """
+SELECT i, step, acc, mid FROM (
+  SELECT CAST(i AS BIGINT) AS i, 's_load' AS step,
+         CAST(i AS BIGINT) AS acc, CAST(i // 3 AS BIGINT) AS mid
+  FROM range(0, 100) t(i) WHERE i % 3 = 0
+  UNION ALL
+  SELECT CAST(i AS BIGINT), 's_fire', CAST(i - 2 AS BIGINT),
+         CAST((i - 2) // 3 AS BIGINT)
+  FROM range(0, 100) t(i) WHERE i % 3 = 2)
+""")
+def q_kql_scan_declare(spark, sf_dir):
+    """scan with declare + per-step assignments, hard-oracled: a
+    deterministic i%3 event pattern makes the automaton's trajectory
+    closed-form — the load step fires at i=0,3,6,... capturing
+    acc = i, the middle row never matches, the fire step completes
+    each match at i=2,5,8,... carrying the captured acc, and match_id
+    is i div 3 — so the DuckDB twin is plain arithmetic over
+    range(100), no automaton at all. Exercises the declare parser,
+    the Python assignment closures, state reset per completed match,
+    and the serialized kernel end-to-end through the driver hash."""
+    from azure_kusto_parquet_conv_spark.kql import kql
+    return kql(spark, sf_dir, """
+      range i from 0 to 99 step 1
+        | extend e = iff(i % 3 == 0, 'load',
+                         iff(i % 3 == 2, 'fire', 'noise'))
+        | sort by i asc
+        | scan with_match_id=mid declare (acc:long = 0) with (
+            step s_load: e == 'load' => acc = i;
+            step s_fire: e == 'fire';
+          )
+        | project i, step, acc, mid
+    """)
+
+
 @query("q_kql_graph_match", """
 SELECT s.s_name AS supplier_name, n.n_name AS nation_name
 FROM supplier s

@@ -2787,6 +2787,69 @@ def test_series_periods_detect_acf_peaks(spark, sf_dir):
     assert json.loads(r3["ps"]) == []
 
 
+def test_scan_declare_assignments_and_state_predicates(spark, sf_dir):
+    """scan declare: state variables initialize at declared defaults,
+    assignments run on step match before emission, state-dependent
+    predicates read live state, state resets per completed match and
+    per partition key."""
+    rows = sorted(map(tuple, kql(spark, sf_dir, """
+      datatable (u:long, t:long, e:string, v:long) [
+        1, 1, 'start', 10,  1, 2, 'add', 5,  1, 3, 'end', 0,
+        2, 1, 'start', 7,   2, 2, 'end', 0,
+        2, 3, 'start', 1,   2, 4, 'add', 2,  2, 5, 'end', 0
+      ]
+      | partition by u (
+          sort by t asc
+          | scan declare (total:long = 0, lbl:string = '') with (
+              step s_start: e == 'start' => total = v,
+                            lbl = strcat('u', tostring(u));
+              step s_add: e == 'add' => total = total + v;
+              step s_end: e == 'end';
+            )
+        )
+      | project u, t, step, total, lbl, match_id
+    """).collect()))
+    assert rows == [
+        (1, 1, "s_start", 10, "u1", 0),
+        (1, 2, "s_add", 15, "u1", 0),
+        (1, 3, "s_end", 15, "u1", 0),
+        (2, 1, "s_start", 7, "u2", 0),
+        # u2's first end arrives while s_add is expected -> no match;
+        # state persists until the partition's sequence completes
+        (2, 4, "s_add", 9, "u2", 0),
+        (2, 5, "s_end", 9, "u2", 0),
+    ]
+    # state-dependent predicate: cap the adds at n < 2
+    rows2 = sorted(map(tuple, kql(spark, sf_dir, """
+      datatable (t:long, e:string) [
+        1,'a', 2,'a', 3,'a', 4,'z'
+      ]
+      | sort by t asc
+      | scan declare (n:long = 0) with (
+          step s1: e == 'a' and n < 1 => n = n + 1;
+          step s2: e == 'z';
+        )
+      | project t, step, n
+    """).collect()))
+    assert rows2 == [(1, "s1", 1), (4, "s2", 1)]
+    with pytest.raises(ValueError, match="undeclared"):
+        kql(spark, sf_dir, """
+          datatable (t:long) [1] | sort by t asc
+            | scan declare (n:long = 0) with (step s: true => m = 1;)
+        """)
+    with pytest.raises(ValueError, match="shadows"):
+        kql(spark, sf_dir, """
+          datatable (t:long) [1] | sort by t asc
+            | scan declare (t:long = 0) with (step s: true;)
+        """)
+    with pytest.raises(ValueError, match="support only"):
+        kql(spark, sf_dir, """
+          datatable (t:long) [1] | sort by t asc
+            | scan declare (n:long = 0) with (
+                step s: true => n = exp(1.0);)
+        """)
+
+
 def test_graph_match_two_hop_with_node_properties(spark, sf_dir):
     """make-graph + graph-match: a 2-hop pattern with edge and node
     property predicates compiles to equi-join chains; results equal
