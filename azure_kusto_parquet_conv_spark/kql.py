@@ -55,6 +55,8 @@ Supported surface (each line maps to one DataFrame verb):
     | graph-match [cycles=none] (a)-[e]->(b)-[*1..3]->(c)
         [where ..] project ..  (fixed patterns -> equi-join chains;
         var-length -> union of hop counts)
+    | graph-shortest-paths [output=any|all] (a)-[*1..4]->(b)
+        [where ..] project ..  (min-hop pairs via one grouped min)
     | evaluate bag_unpack(dynamic_col)
     | evaluate pivot(col [, agg(x) [, key1, ...]])  (values -> columns)
     | evaluate autocluster([min_percent])  (attribute-pattern mining:
@@ -2253,10 +2255,17 @@ def _warn_global_serialize(what: str, df: DataFrame | None = None) -> None:
     ``partition by key ( ... )``, which this compiler supports.
 
     Always warns. When ``df`` is given (batch only), additionally
-    probes the input size with a short-circuiting ``limit(n+1).count()``
-    — CollectLimit scans partitions incrementally, so on genuinely
-    big inputs the probe stops after n+1 rows — and raises above the
-    configured row limit unless the session opted in."""
+    probes the input size and raises above the configured row limit
+    unless the session opted in. Probe design: the input's lineage
+    usually carries the user's ``sort by``, and ``limit(k)`` over a
+    sort plans TakeOrderedAndProject whose top-k selector ALLOCATES k
+    slots — a huge configured limit would OOM the JVM right here (it
+    did: k=1e9 took down a whole test run). So the fast path uses a
+    small bounded k (safe top-k, one scan), and only when the input
+    provably exceeds that does it fall back to a full ``count()`` —
+    whose Aggregate plan lets Catalyst's EliminateSorts drop the sort
+    entirely, making it memory-safe at any size (and still cheaper
+    than the single-partition sort being guarded against)."""
     import warnings
     warnings.warn(
         f"KQL: {what} compiles to a single-partition global sort; "
@@ -2271,7 +2280,12 @@ def _warn_global_serialize(what: str, df: DataFrame | None = None) -> None:
         return
     limit = int(spark.conf.get("spark.kql.globalSerialize.rowLimit",
                                str(GLOBAL_SERIALIZE_ROW_LIMIT)))
-    if limit <= 0 or df.limit(limit + 1).count() <= limit:
+    if limit <= 0:
+        return
+    k = min(limit, 100_000)
+    if df.limit(k + 1).count() <= k:
+        return  # provably <= k <= limit rows
+    if limit > k and df.count() <= limit:
         return
     raise ValueError(
         f"KQL: {what} compiles to a single-partition global sort and "
@@ -3025,6 +3039,8 @@ class KqlCompiler:
             return self._make_graph(df, rest)
         if op == "graph-match":
             return self._graph_match(df, rest)
+        if op == "graph-shortest-paths":
+            return self._graph_shortest_paths(df, rest)
         if op == "facet":
             return self._facet(df, rest)
         if op == "fork":
@@ -4394,6 +4410,145 @@ class KqlCompiler:
             # union — no dedup — is exactly per-path emission
             out = out.unionByName(o)
         return out
+
+    def _graph_shortest_paths(self, df: DataFrame,
+                              rest: str) -> DataFrame:
+        """``graph-shortest-paths [output=any|all]
+        (a)-[*lo..hi]->(b) [where expr] project ...`` — minimal-hop
+        reachability between node bindings, bounded by the hop range
+        (cap 8, as graph-match).
+
+        Spark-first shape: each hop count is a fixed equi-join chain
+        over edge-table aliases carrying a literal ``hops`` column;
+        the union is filtered to ``hops == min(hops) OVER (a, b)`` —
+        one windowed aggregation, no iterative driver loop, every
+        stage a shuffle-on-key. ``output=any`` (default, Kusto's too)
+        emits ONE row per (a, b) pair at its shortest length;
+        ``output=all`` keeps every distinct binding at that length.
+        ``where``/``project`` reference the endpoint node variables
+        (``a`` bare = its id; ``a.prop`` with a node table); the
+        pattern's inner nodes are anonymous by construction, and
+        ``hops`` is available to project. Subset: one pattern, one
+        variable-length anonymous edge (Kusto's general patterns and
+        path-array aggregates are not supported; fixed patterns
+        belong to graph-match)."""
+        if not getattr(self, "_graph", None):
+            raise ValueError("KQL: graph-shortest-paths needs a "
+                             "preceding make-graph stage")
+        g = self._graph
+        om = re.match(r"output\s*=\s*(\w+)\s+(.*)$", rest, re.DOTALL)
+        output = "any"
+        if om:
+            output = om.group(1).lower()
+            rest = om.group(2)
+            if output not in ("any", "all"):
+                raise ValueError(
+                    "KQL: graph-shortest-paths output=any|all")
+        pm = re.search(r"\bproject\b", rest)
+        wm = re.search(r"\bwhere\b", rest)
+        if not pm:
+            raise ValueError("KQL: graph-shortest-paths requires a "
+                             "project clause")
+        pat_text = rest[:wm.start() if wm and wm.start() < pm.start()
+                        else pm.start()].strip()
+        where_text = rest[wm.end():pm.start()].strip() \
+            if wm and wm.start() < pm.start() else None
+        proj_text = rest[pm.end():].strip()
+        mm = re.fullmatch(
+            r"\(\s*([A-Za-z_]\w*)\s*\)\s*"
+            r"-\[\s*\*\s*(\d+)\s*\.\.\s*(\d+)\s*\]->\s*"
+            r"\(\s*([A-Za-z_]\w*)\s*\)", pat_text)
+        if not mm:
+            raise ValueError(
+                "KQL: graph-shortest-paths pattern must be "
+                "(a)-[*lo..hi]->(b)")
+        av, bv = mm.group(1), mm.group(4)
+        lo, hi = int(mm.group(2)), int(mm.group(3))
+        if not (1 <= lo <= hi <= self._GRAPH_MAX_HOPS):
+            raise ValueError(
+                f"KQL: graph-shortest-paths hop range must satisfy "
+                f"1 <= lo <= hi <= {self._GRAPH_MAX_HOPS}")
+        edges_df, e_src, e_dst = g["edges"], g["src"], g["dst"]
+        ln_frames = []
+        for ln in range(lo, hi + 1):
+            cur = None
+            for j in range(ln):
+                pref = f"__gsp{ln}_{j}_"
+                e = edges_df.select(
+                    F.col(e_src).alias(pref + "s"),
+                    F.col(e_dst).alias(pref + "d"))
+                if cur is None:
+                    cur = e
+                else:
+                    cur = cur.join(
+                        e, F.col(f"__gsp{ln}_{j - 1}_d")
+                        == F.col(pref + "s"), "inner")
+            ln_frames.append(cur.select(
+                F.col(f"__gsp{ln}_0_s").alias("__gsp_a"),
+                F.col(f"__gsp{ln}_{ln - 1}_d").alias("__gsp_b"),
+                F.lit(ln).cast("long").alias("hops")))
+        un = ln_frames[0]
+        for fr in ln_frames[1:]:
+            un = un.unionByName(fr)
+        if output == "any":
+            un = (un.groupBy("__gsp_a", "__gsp_b")
+                    .agg(F.min("hops").alias("hops")))
+        else:
+            from pyspark.sql import Window
+            w = Window.partitionBy("__gsp_a", "__gsp_b")
+            un = (un.withColumn("__gsp_min",
+                                F.min("hops").over(w))
+                    .where(F.col("hops") == F.col("__gsp_min"))
+                    .drop("__gsp_min"))
+        bound = {av: "__gsp_a", bv: "__gsp_b"}
+        node_prefs: dict[str, str] = {}
+        if g["nodes"] is not None:
+            for v, idc in bound.items():
+                npref = f"__gn_{v}_"
+                n = g["nodes"].select(
+                    *[F.col(c).alias(npref + c)
+                      for c in g["nodes"].columns])
+                un = un.join(n, F.col(idc) == F.col(npref + g["nid"]),
+                             "inner")
+                node_prefs[v] = npref
+
+        def rewrite(toks):
+            out = []
+            for t in toks:
+                if t.kind == "ident" and "." in t.text:
+                    v, _, p = t.text.partition(".")
+                    if v in node_prefs:
+                        out.append(Tok("ident", node_prefs[v] + p))
+                        continue
+                    if v in bound:
+                        raise ValueError(
+                            f"KQL: graph-shortest-paths: node {v!r} "
+                            f"has no property table")
+                elif t.kind == "ident" and t.text in bound:
+                    out.append(Tok("ident", bound[t.text]))
+                    continue
+                out.append(t)
+            return out
+
+        if where_text:
+            un = un.where(F.expr(_compile_expr_tokens(
+                rewrite(_tokenize(where_text)), un)))
+        cols = []
+        for i2, grp in enumerate(
+                _split_top_commas(_tokenize(proj_text))):
+            if len(grp) >= 2 and grp[0].kind == "ident" \
+                    and grp[1].text == "=":
+                name, body = grp[0].text, grp[2:]
+            else:
+                name, body = None, grp
+            if name is None:
+                if len(body) == 1 and body[0].kind == "ident":
+                    name = body[0].text.replace(".", "_")
+                else:
+                    name = f"col{i2}"
+            cols.append(F.expr(_compile_expr_tokens(
+                rewrite(body), un)).alias(name))
+        return un.select(*cols)
 
     def _union(self, df: DataFrame, rest: str) -> DataFrame:
         """union [kind=outer|inner] [withsource=col] operand[, ...]

@@ -5498,6 +5498,39 @@ def q_kql_graph_reachability(spark, sf_dir):
     """)
 
 
+@query("q_kql_graph_shortest", """
+WITH e(src, dst) AS (VALUES
+  ('a','b'), ('a','c'), ('b','d'), ('c','d'), ('d','e'), ('a','d')),
+h1 AS (SELECT src AS s, dst AS t, 1 AS hops FROM e),
+h2 AS (SELECT a.src, b.dst, 2 FROM e a JOIN e b ON a.dst = b.src),
+h3 AS (SELECT a.src, c.dst, 3 FROM e a JOIN e b ON a.dst = b.src
+       JOIN e c ON b.dst = c.src),
+h4 AS (SELECT a.src, d.dst, 4 FROM e a JOIN e b ON a.dst = b.src
+       JOIN e c ON b.dst = c.src JOIN e d ON c.dst = d.src),
+u AS (SELECT * FROM h1 UNION ALL SELECT * FROM h2
+      UNION ALL SELECT * FROM h3 UNION ALL SELECT * FROM h4)
+SELECT s, t, CAST(MIN(hops) AS BIGINT) AS hops
+FROM u GROUP BY s, t
+""")
+def q_kql_graph_shortest(spark, sf_dir):
+    """graph-shortest-paths on a diamond-with-shortcut fixture: each
+    hop count is a fixed equi-join chain carrying a literal hops
+    column, the union filtered to the per-pair minimum by ONE grouped
+    aggregation — no iterative driver loop, every stage a
+    shuffle-on-key. DuckDB twin: explicit 1..4-hop self-join unions
+    with GROUP BY MIN."""
+    from azure_kusto_parquet_conv_spark.kql import kql
+    return kql(spark, sf_dir, """
+      let E = datatable (src:string, dst:string) [
+        'a','b', 'a','c', 'b','d', 'c','d', 'd','e', 'a','d'
+      ];
+      E
+      | make-graph src --> dst
+      | graph-shortest-paths (s)-[*1..4]->(t)
+          project s, t, hops
+    """)
+
+
 @query("q_kql_datetime_math", """
 SELECT CAST(event_id AS BIGINT) AS event_id,
        CAST(ts AS TIMESTAMP) + INTERVAL 3 DAY AS day3,

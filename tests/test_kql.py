@@ -2904,6 +2904,36 @@ def test_graph_match_var_length_and_reversed(spark, sf_dir):
         ("u1", "u2"), ("u2", "u1")]
 
 
+def test_graph_shortest_paths_min_hops(spark, sf_dir):
+    """graph-shortest-paths: minimal-hop pairs within the bounded
+    range; output=any emits one row per pair, output=all keeps every
+    binding at the minimal length and drops longer paths (a->d is
+    1 hop directly, so its 2-hop diamond paths disappear)."""
+    pre = """
+      let E = datatable (src:string, dst:string) [
+        'a','b', 'a','c', 'b','d', 'c','d', 'd','e', 'a','d'
+      ];
+      E | make-graph src --> dst
+    """
+    rows = kql(spark, sf_dir, pre + """
+      | graph-shortest-paths (s)-[*1..4]->(t) project s, t, hops
+    """).collect()
+    got = {(r["s"], r["t"]): r["hops"] for r in rows}
+    assert got == {("a", "b"): 1, ("a", "c"): 1, ("a", "d"): 1,
+                   ("a", "e"): 2, ("b", "d"): 1, ("b", "e"): 2,
+                   ("c", "d"): 1, ("c", "e"): 1 + 1, ("d", "e"): 1}
+    assert len(rows) == 9  # output=any: one row per pair
+    rows2 = kql(spark, sf_dir, pre + """
+      | graph-shortest-paths output=all (s)-[*1..4]->(t)
+          where t == 'd' project s, t, hops
+    """).collect()
+    assert sorted((r["s"], r["hops"]) for r in rows2) == [
+        ("a", 1), ("b", 1), ("c", 1)]
+    with pytest.raises(ValueError, match="pattern must be"):
+        kql(spark, sf_dir, pre +
+            "| graph-shortest-paths (s)-[e]->(t) project s")
+
+
 def test_graph_match_rejections(spark, sf_dir):
     """Documented subset boundaries fail loudly: graph-match without
     make-graph, disconnected patterns (a cartesian at scale), missing
