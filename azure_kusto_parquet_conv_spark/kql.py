@@ -4029,7 +4029,8 @@ class KqlCompiler:
         unknown = [c for c in cols if c not in df.columns]
         if not cols or unknown:
             raise ValueError(f"KQL: facet by unknown columns {unknown}")
-        df = df.persist()
+        if not df.isStreaming:
+            df = df.persist()
         parts = [
             df.groupBy(F.col(c).cast("string").alias("value"))
               .agg(F.count("*").alias("count_"))
@@ -4085,7 +4086,8 @@ class KqlCompiler:
             raise ValueError("KQL: fork: unbalanced parentheses")
         if len(children) < 2:
             raise ValueError("KQL: fork needs >= 2 (subquery) groups")
-        df = df.persist()
+        if not df.isStreaming:
+            df = df.persist()
         outs = []
         for j, (nm, sub) in enumerate(zip(names, children)):
             child = df
