@@ -25,7 +25,8 @@ Supported surface (each line maps to one DataFrame verb):
     | where <pred>  /  parse-where col with pattern
     | project c1, alias=expr, ...
     | project-away | project-keep | project-rename | project-reorder
-    | extend alias=expr, ...   (row_number()/row_cumsum(x)/prev(x)/
+    | extend alias=expr, ...   (row_number()/row_cumsum(x)/
+        row_window_session(ts, maxDur, maxGap [, restart])/prev(x)/
         next(x) after sort — key-partitioned inside `partition by`)
     | summarize [hint.shufflekey=k] a=agg(x), ...
         by k1, name=expr, bin(ts, 1h), bin_at(x, size, anchor)
@@ -2906,6 +2907,12 @@ class KqlCompiler:
                                    .cast("long"))
                                 .drop("__rr_run", "__rr_rn"))
                     continue
+                mws = re.match(r"row_window_session\s*\((.*)\)\s*$",
+                               sql.strip(), re.DOTALL)
+                if mws:
+                    df = self._row_window_session(df, name,
+                                                  mws.group(1))
+                    continue
                 if sql.strip() == "row_number()" or mcs:
                     what = "row_cumsum()" if mcs else "row_number()"
                     if self._order is None:
@@ -5222,6 +5229,120 @@ class KqlCompiler:
                                        dtype="object")
                 res["step"] = labels
                 res[mid_name] = pd.array(mids, dtype="int64")
+                yield res
+
+        return part.mapInPandas(kernel, out_schema)
+
+    def _row_window_session(self, df: DataFrame, name: str,
+                            args_sql: str) -> DataFrame:
+        """``extend s = row_window_session(Expr, MaxDistanceFromFirst,
+        MaxDistanceBetweenValues [, Restart])`` — Kusto's serialized
+        sessionizer: every row gets the Expr value of the FIRST row of
+        its session; a new session starts at the partition's first
+        row, when Restart is true, when the gap from the previous
+        row's Expr exceeds MaxDistanceBetweenValues, or when the
+        distance from the session's first Expr exceeds
+        MaxDistanceFromFirst.
+
+        The duration cap is what makes this non-windowable: the
+        session start depends recursively on the previous session
+        start (gaps-and-islands SQL only handles the gap rule), so
+        the pass is the scan-shaped kernel — Catalyst materializes
+        Expr (as epoch-µs for timestamps) and the Restart bit,
+        then ONE repartition + sortWithinPartitions + mapInPandas
+        with cross-batch state walks each key's rows in serialized
+        order. Inside ``partition by key (...)`` each key sessionizes
+        independently (the scale shape); unscoped input hits the same
+        warn-then-error serialize guard as every serialized op."""
+        import pandas as pd
+
+        if self._order is None:
+            raise ValueError("KQL: row_window_session needs a "
+                             "preceding 'sort by' (serialized order)")
+        parts = _split_top_commas_text(args_sql)
+        if len(parts) not in (3, 4):
+            raise ValueError(
+                "KQL: row_window_session(expr, max_from_first, "
+                "max_between [, restart])")
+        expr_sql, mf_sql, mb_sql = parts[0], parts[1], parts[2]
+        restart_sql = parts[3] if len(parts) == 4 else None
+
+        def us_of(sql2, what):
+            try:
+                return int(sql2.strip("() "))
+            except ValueError:
+                raise ValueError(
+                    f"KQL: row_window_session {what} must be a "
+                    f"timespan/numeric literal, got {sql2!r}")
+        max_first = us_of(mf_sql, "max_from_first")
+        max_between = us_of(mb_sql, "max_between")
+
+        work = df.withColumn("__rws_orig", F.expr(expr_sql))
+        vtype = work.schema["__rws_orig"].dataType
+        if vtype.typeName() in ("timestamp", "timestamp_ntz"):
+            work = work.withColumn(
+                "__rws_v", F.unix_micros(F.col("__rws_orig")
+                                         .cast("timestamp")))
+        else:
+            work = work.withColumn(
+                "__rws_v", F.col("__rws_orig").cast("double"))
+        work = work.withColumn(
+            "__rws_r",
+            F.expr(restart_sql).cast("boolean") if restart_sql
+            else F.lit(False))
+        order_names, asc_flags = [], []
+        for i, osql in enumerate(self._order_sql):
+            e_sql, direction = osql.rsplit(" ", 1)
+            order_names.append(f"__rws_o{i}")
+            asc_flags.append(direction.upper() != "DESC")
+            work = work.withColumn(f"__rws_o{i}", F.expr(e_sql))
+        if self._partition_sql:
+            group_cols = [s.strip("`") for s in self._partition_sql]
+        else:
+            _warn_global_serialize("row_window_session()", df)
+            work = work.withColumn("__rws_g", F.lit(1))
+            group_cols = ["__rws_g"]
+        keep = list(df.columns)
+        out_schema = work.select(*keep).schema.add(name, vtype)
+        sort_cols = [F.col(c).asc() for c in group_cols]
+        for nm, asc in zip(order_names, asc_flags):
+            sort_cols.append(F.col(nm).asc() if asc
+                             else F.col(nm).desc())
+        part = (work.repartition(*[F.col(c) for c in group_cols])
+                    .sortWithinPartitions(*sort_cols))
+
+        def kernel(batches):
+            state_key = object()
+            prev_v = first_v = None
+            first_orig = None
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                key_arrays = [pdf[c].to_numpy() for c in group_cols]
+                vs = pdf["__rws_v"].to_numpy()
+                origs = pdf["__rws_orig"]
+                rs = pdf["__rws_r"].fillna(False).astype(bool) \
+                    .to_numpy()
+                out_vals = []
+                for i in range(len(pdf)):
+                    kt = tuple(None if v != v else v
+                               for v in (a[i] for a in key_arrays))
+                    v = vs[i]
+                    if kt != state_key:
+                        state_key = kt
+                        prev_v = first_v = None
+                    if (first_v is None or rs[i]
+                            or v != v
+                            or (prev_v is not None
+                                and v - prev_v > max_between)
+                            or v - first_v > max_first):
+                        first_v = v
+                        first_orig = origs.iloc[i]
+                    prev_v = v
+                    out_vals.append(first_orig)
+                res = pdf[keep].copy()
+                res[name] = pd.Series(out_vals, index=res.index,
+                                      dtype=origs.dtype)
                 yield res
 
         return part.mapInPandas(kernel, out_schema)

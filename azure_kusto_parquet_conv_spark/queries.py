@@ -5426,6 +5426,32 @@ def q_kql_scan_declare(spark, sf_dir):
     """)
 
 
+@query("q_kql_row_window_session", """
+SELECT CAST(i AS BIGINT) AS i,
+       CAST((i // 11) * 11 AS BIGINT) AS start_minute
+FROM range(0, 100) t(i)
+""")
+def q_kql_row_window_session(spark, sf_dir):
+    """row_window_session with a closed-form oracle: rows spaced one
+    minute apart never trip the 2m gap rule, so only the 10m
+    duration cap splits sessions — session starts land exactly at
+    minutes 0, 11, 22, ... = (i div 11) * 11. The duration cap is
+    the rule gaps-and-islands SQL cannot express (the start depends
+    recursively on the prior start), hence the scan-shaped
+    mapInPandas kernel; the DuckDB twin needs only integer
+    arithmetic."""
+    from azure_kusto_parquet_conv_spark.kql import kql
+    return kql(spark, sf_dir, """
+      range i from 0 to 99 step 1
+        | extend ts = datetime_add('minute', toint(i),
+                                   datetime(2024-01-01))
+        | sort by ts asc
+        | extend s = row_window_session(ts, 10m, 2m)
+        | project i, start_minute = datetime_diff('minute', s,
+                                        datetime(2024-01-01))
+    """)
+
+
 @query("q_kql_graph_match", """
 SELECT s.s_name AS supplier_name, n.n_name AS nation_name
 FROM supplier s
@@ -5803,6 +5829,15 @@ DRIVER_WINDOW = [
 # every remaining never-driver-checked entry (oracled and rows-only
 # alike) — after CORRECTNESS_r07, the attestation gap is zero and
 # future rotations only need to cover NEW entries.
+#
+# Round-8 rotation candidates — the 8 oracled entries born AFTER the
+# r7 window was sealed (mid-r7 additions, replica-green via
+# tests/test_queries_oracle.py but no driver row yet):
+# q_dedup_simhash_exact, q_dedup_embedding_exact, q_knn_lsh_exact,
+# q_kql_scan_declare, q_kql_graph_match, q_kql_graph_reachability,
+# q_kql_graph_shortest, q_kql_row_window_session. The other ~29
+# rotating slots are free — back-fill with oracled entries whose last
+# driver row is oldest (r1/r2 vintages) to refresh their attestation.
 
 
 def _window_order(d: dict) -> dict:

@@ -2904,6 +2904,48 @@ def test_graph_match_var_length_and_reversed(spark, sf_dir):
         ("u1", "u2"), ("u2", "u1")]
 
 
+def test_row_window_session_duration_gap_restart(spark, sf_dir):
+    """row_window_session: session-FIRST value per row; new session on
+    duration cap (the non-windowable rule: start depends recursively
+    on prior start), on gap > max_between, on the restart predicate,
+    and per partition key."""
+    rows = kql(spark, sf_dir, """
+      range i from 0 to 24 step 1
+        | extend ts = datetime_add('minute', toint(i),
+                                   datetime(2024-01-01))
+        | sort by ts asc
+        | extend s = row_window_session(ts, 10m, 2m)
+        | project i, m = datetime_diff('minute', s,
+                                       datetime(2024-01-01))
+    """).collect()
+    # 1-minute spacing, gap never trips, 10m duration cap ->
+    # sessions start at minutes 0, 11, 22
+    assert {r["i"]: r["m"] for r in rows} == {
+        i: (i // 11) * 11 for i in range(25)}
+    rows2 = kql(spark, sf_dir, """
+      datatable (u:long, t:long, brk:bool) [
+        1, 0, false,  1, 1, false,  1, 5, false,  1, 6, true,
+        2, 0, false,  2, 9, false
+      ]
+      | extend ts = datetime_add('minute', toint(t),
+                                 datetime(2024-01-01))
+      | partition by u (
+          sort by ts asc
+          | extend s = row_window_session(ts, 1h, 2m, brk)
+        )
+      | project u, t, m = datetime_diff('minute', s,
+                                        datetime(2024-01-01))
+    """).collect()
+    assert sorted((r["u"], r["t"], r["m"]) for r in rows2) == [
+        (1, 0, 0), (1, 1, 0), (1, 5, 5), (1, 6, 6),
+        (2, 0, 0), (2, 9, 9)]
+    with pytest.raises(ValueError, match="needs a preceding"):
+        kql(spark, sf_dir, """
+          datatable (t:long) [1]
+            | extend s = row_window_session(t, 10, 2)
+        """)
+
+
 def test_graph_shortest_paths_min_hops(spark, sf_dir):
     """graph-shortest-paths: minimal-hop pairs within the bounded
     range; output=any emits one row per pair, output=all keeps every
