@@ -46,8 +46,9 @@ Supported surface (each line maps to one DataFrame verb):
         top .. | summarize .. )
     | parse col with 'lit' name:type ...
     | parse-kv expr as (k1[:t1], ...) with (pair_delimiter='..',
-        kv_delimiter='..' [, quote='..'])  (per-key anchored
-        regexp_extract — log-parsing workhorse)
+        kv_delimiter='..' [, quote='..'] | regex=@'(k)(v)')
+        (per-key anchored regexp_extract / one regexp_extract_all
+        pair — log-parsing workhorse)
     | facet by c1[, c2 ...]  (N frequency tables stacked long-form
         over ONE cached scan)
     | fork [n1 =] (subpipe) [n2 =] (subpipe) ...  (N children over one
@@ -62,6 +63,8 @@ Supported surface (each line maps to one DataFrame verb):
     | evaluate pivot(col [, agg(x) [, key1, ...]])  (values -> columns)
     | evaluate autocluster([min_percent])  (attribute-pattern mining:
         exact cube enumeration, wildcard nulls, coverage+specificity)
+    | evaluate basket([threshold])  (frequent itemsets, same exact
+        cube pass, fractional support, Kusto default 0.05)
     | evaluate diffpatterns(split, 'A', 'B' [, min_diff])
         (cohort pattern differencing — root-cause analysis)
     | evaluate narrow()  ((Row, Column, Value) rotation; serialized
@@ -98,6 +101,7 @@ forward/backward/linear, series_outliers (Tukey fences), series_seasonal/series_
 series_pearson_correlation, series_add/subtract/multiply/divide,
 series_decompose (full additive bag + tuple assign),
 series_periods_detect (ACF peak-picker bag + tuple assign),
+series_periods_validate (ACF scores at given periods),
 series_fit_line_dynamic (least-squares bag), series_fit_2lines_dynamic
 (best two-segment piecewise fit), series_decompose_forecast
 (linear trend + periodic-mean seasonal), contains/startswith/endswith/
@@ -394,6 +398,34 @@ class _ExprParser:
                 break
         self.expect(")")
         return self._render_call(fname, args)
+
+    @staticmethod
+    def _acf_sql(arr: str) -> str:
+        """Biased mean-centered autocorrelation at lag ``__spd_p``
+        (free variable — splice inside a transform/filter lambda over
+        candidate lags): acf(p) = sum((x_i - mu)(x_{i+p} - mu)) /
+        sum((x_i - mu)^2), acf(0) = 1, null when fewer than 2
+        overlapping points or zero variance. Shared by
+        series_periods_detect (peak search) and
+        series_periods_validate (caller-supplied periods)."""
+        xs = f"transform({arr}, __spd_x -> CAST(__spd_x AS DOUBLE))"
+        n = f"size({xs})"
+        mu = (f"(aggregate({xs}, CAST(0 AS DOUBLE), "
+              f"(__spd_a, __spd_v) -> __spd_a + __spd_v) / {n})")
+        den = (f"aggregate({xs}, CAST(0 AS DOUBLE), "
+               f"(__spd_a, __spd_v) -> __spd_a + "
+               f"(__spd_v - {mu}) * (__spd_v - {mu}))")
+        return (f"CASE WHEN __spd_p = 0 THEN CAST(1 AS DOUBLE) "
+                f"WHEN {n} - __spd_p >= 2 AND {den} > 0 THEN "
+                f"aggregate(zip_with("
+                f"slice({xs}, 1, greatest({n} - __spd_p, 0)), "
+                f"slice({xs}, __spd_p + 1, "
+                f"greatest({n} - __spd_p, 0)), "
+                f"(__spd_u, __spd_w) -> "
+                f"(__spd_u - {mu}) * (__spd_w - {mu})), "
+                f"CAST(0 AS DOUBLE), "
+                f"(__spd_a, __spd_v) -> __spd_a + __spd_v) / {den} "
+                f"ELSE NULL END")
 
     def _render_call(self, fname: str, args: list[str]) -> str:
         if fname == "bin":
@@ -1143,6 +1175,23 @@ class _ExprParser:
         if fname == "series_periods_detect":
             return self._render_call("series_periods_detect_dynamic",
                                      args)
+        if fname in ("series_periods_validate",
+                     "series_periods_validate_dynamic"):
+            # scores for CALLER-SUPPLIED candidate periods: the same
+            # biased mean-centered ACF as series_periods_detect, no
+            # peak search — {periods: [given...], scores: [...]}
+            if len(args) < 2:
+                raise ValueError(
+                    "KQL: series_periods_validate(series, p1, ...)")
+            arr = args[0]
+            acf = self._acf_sql(arr)
+            plist = ", ".join(f"CAST(floor({p}) AS INT)"
+                              for p in args[1:])
+            obj = (f"named_struct("
+                   f"'periods', array({', '.join('CAST(' + p + ' AS DOUBLE)' for p in args[1:])}), "
+                   f"'scores', transform(array({plist}), "
+                   f"__spd_p -> {acf}))")
+            return f"parse_json(to_json({obj}))"
         if fname == "series_periods_detect_dynamic":
             # Period detection over the in-row series (completes the
             # series_decompose family — the seasonality argument no
@@ -1167,22 +1216,7 @@ class _ExprParser:
             arr, minp, maxp, nump = args
             xs = f"transform({arr}, __spd_x -> CAST(__spd_x AS DOUBLE))"
             n = f"size({xs})"
-            mu = (f"(aggregate({xs}, CAST(0 AS DOUBLE), "
-                  f"(__spd_a, __spd_v) -> __spd_a + __spd_v) / {n})")
-            den = (f"aggregate({xs}, CAST(0 AS DOUBLE), "
-                   f"(__spd_a, __spd_v) -> __spd_a + "
-                   f"(__spd_v - {mu}) * (__spd_v - {mu}))")
-            acf = (f"CASE WHEN __spd_p = 0 THEN CAST(1 AS DOUBLE) "
-                   f"WHEN {n} - __spd_p >= 2 AND {den} > 0 THEN "
-                   f"aggregate(zip_with("
-                   f"slice({xs}, 1, greatest({n} - __spd_p, 0)), "
-                   f"slice({xs}, __spd_p + 1, "
-                   f"greatest({n} - __spd_p, 0)), "
-                   f"(__spd_u, __spd_w) -> "
-                   f"(__spd_u - {mu}) * (__spd_w - {mu})), "
-                   f"CAST(0 AS DOUBLE), "
-                   f"(__spd_a, __spd_v) -> __spd_a + __spd_v) / {den} "
-                   f"ELSE NULL END")
+            acf = self._acf_sql(arr)
             mi = f"greatest(CAST(floor({minp}) AS INT), 1)"
             hi = f"least(CAST(floor({maxp}) AS INT), {n} - 2)"
             # scored lags over the EXTENDED range [mi-1, hi+1] so the
@@ -3244,6 +3278,8 @@ class KqlCompiler:
             return self._pivot(df, argtext)
         if plugin == "autocluster":
             return self._autocluster(df, argtext)
+        if plugin == "basket":
+            return self._basket(df, argtext)
         if plugin == "diffpatterns":
             return self._diffpatterns(df, argtext)
         if plugin == "narrow":
@@ -3253,8 +3289,8 @@ class KqlCompiler:
         if plugin != "bag_unpack":
             raise ValueError(f"KQL: evaluate plugin {plugin!r} not "
                              f"supported (bag_unpack, pivot, "
-                             f"autocluster, diffpatterns and narrow "
-                             f"are)")
+                             f"autocluster, basket, diffpatterns, "
+                             f"narrow and sequence_detect are)")
         col = argtext.strip("` ")
         if dict(df.dtypes).get(col) != "variant":
             raise ValueError(f"KQL: bag_unpack needs a dynamic column, "
@@ -3592,6 +3628,45 @@ class KqlCompiler:
                   .withColumn("specificity", spec.cast("long"))
                   .where((F.col("specificity") >= 1)
                          & (F.col("percent") >= min_pct))
+                  .withColumn("count", F.col("count").cast("long")))
+
+    def _basket(self, df: DataFrame, argtext: str) -> DataFrame:
+        """``evaluate basket([threshold])``: frequent-itemset mining
+        over the table's string attributes — every attribute
+        combination (null = wildcard) covering at least ``threshold``
+        fraction of rows (Kusto's default 0.05), with count and
+        percent. Kusto's plugin is Apriori; this is the same EXACT
+        cube enumeration as autocluster (one aggregate pass, map-side
+        combined, 2^k grouping sets with the documented k<=6 bound) —
+        Apriori's level-wise pruning is an optimization for when the
+        lattice doesn't fit one pass, which at k<=6 it always does.
+        Differences from autocluster (matching Kusto's plugins): the
+        threshold is a FRACTION, defaults to 0.05, and all frequent
+        patterns are returned (no specificity-based segment cover)."""
+        thr = float(argtext) if argtext.strip() else 0.05
+        if not (0 < thr <= 1):
+            raise ValueError("KQL: basket threshold must be in (0, 1]")
+        cols = [f.name for f in df.schema.fields
+                if f.dataType.typeName() == "string"]
+        if not cols:
+            raise ValueError("KQL: basket found no string columns")
+        if len(cols) > 6:
+            raise ValueError(
+                "KQL: basket over >6 string columns (2^k grouping "
+                "sets) — project to the attribute columns first")
+        total = df.count()
+        spec = None
+        for c in cols:
+            s = F.when(F.col(c).isNotNull(), 1).otherwise(0)
+            spec = s if spec is None else spec + s
+        return (df.cube(*cols).count()
+                  .withColumn("percent",
+                              F.round(F.col("count") * 100.0 / total,
+                                      4))
+                  .withColumn("__spec", spec)
+                  .where((F.col("__spec") >= 1)
+                         & (F.col("count") >= thr * total))
+                  .drop("__spec")
                   .withColumn("count", F.col("count").cast("long")))
 
     def _diffpatterns(self, df: DataFrame, argtext: str) -> DataFrame:
@@ -3970,20 +4045,47 @@ class KqlCompiler:
             raise ValueError("KQL: parse-kv needs at least one key")
         opts = {}
         for part in re.split(r",", m.group("opts") or ""):
-            om = re.match(r"\s*(\w+)\s*=\s*'((?:[^'\\]|\\.)*)'\s*$",
+            om = re.match(r"\s*(\w+)\s*=\s*(@?)'((?:[^'\\]|\\.)*)'\s*$",
                           part or "")
             if om:
-                opts[om.group(1).lower()] = (om.group(2)
-                                             .replace("\\\\", "\\")
-                                             .replace("\\'", "'"))
+                val = om.group(3)
+                if not om.group(2):  # @'...' verbatim: keep as-is
+                    val = val.replace("\\\\", "\\").replace("\\'", "'")
+                opts[om.group(1).lower()] = val
             elif part.strip():
                 raise ValueError(f"KQL: bad parse-kv option {part!r}")
         unsupported = set(opts) - {"pair_delimiter", "kv_delimiter",
-                                   "quote"}
+                                   "quote", "regex"}
         if unsupported:
             raise ValueError(f"KQL: parse-kv options {sorted(unsupported)}"
                              f" not supported (pair_delimiter, "
-                             f"kv_delimiter, quote are)")
+                             f"kv_delimiter, quote, regex are)")
+        if "regex" in opts:
+            # REGEX extraction mode (Kusto): a pattern with exactly two
+            # capture groups (key, value); all matches are pulled with
+            # ONE pair of regexp_extract_all calls (codegen), then each
+            # requested key reads the FIRST occurrence via
+            # array_position — no Python, no map build, duplicate-key
+            # safe. Delimiter options cannot combine with regex.
+            if {"pair_delimiter", "kv_delimiter", "quote"} & set(opts):
+                raise ValueError("KQL: parse-kv regex mode cannot "
+                                 "combine with delimiter options")
+            pat = opts["regex"]
+            # Column API, not F.expr: an embedded SQL string literal
+            # would re-interpret the pattern's backslashes
+            src_col = F.expr(src_sql)
+            ks = F.regexp_extract_all(src_col, F.lit(pat), F.lit(1))
+            vs = F.regexp_extract_all(src_col, F.lit(pat), F.lit(2))
+            for name, typ in keys:
+                pos = F.array_position(ks, name)
+                c = F.when(pos > 0,
+                           F.element_at(vs, pos.cast("int"))
+                           ).otherwise(F.lit(""))
+                sql_type = self._PARSE_TYPES[typ]
+                if sql_type:
+                    c = c.try_cast(sql_type)
+                df = df.withColumn(name, c)
+            return df
         pd_, kvd = opts.get("pair_delimiter", " "), \
             opts.get("kv_delimiter", "=")
         quote = opts.get("quote")

@@ -5426,6 +5426,50 @@ def q_kql_scan_declare(spark, sf_dir):
     """)
 
 
+@query("q_kql_basket", """
+WITH d AS (SELECT lang, source FROM documents),
+t AS (SELECT COUNT(*) AS c FROM d)
+SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS "count",
+       ROUND(COUNT(*) * 100.0 / (SELECT c FROM t), 4) AS percent
+FROM d GROUP BY CUBE(lang, source)
+HAVING (lang IS NOT NULL OR source IS NOT NULL)
+   AND COUNT(*) >= 0.1 * (SELECT c FROM t)
+""")
+def q_kql_basket(spark, sf_dir):
+    """KQL evaluate basket: frequent-itemset mining over (lang,
+    source) at a 10% support threshold — the same exact one-pass cube
+    enumeration as autocluster (Apriori's level-wise pruning is an
+    optimization for lattices too big for one pass; at k<=6 they
+    never are), fractional threshold and no specificity cover per
+    Kusto's basket plugin. DuckDB CUBE twin."""
+    from azure_kusto_parquet_conv_spark.kql import kql
+    return kql(spark, sf_dir, """
+      documents | project lang, source | evaluate basket(0.1)
+    """)
+
+
+@query("q_kql_series_periods_validate", """
+SELECT 12.0 AS p, 0.75 AS s
+UNION ALL SELECT 24.0, 0.5
+UNION ALL SELECT 5.0, -0.7578
+""")
+def q_kql_series_periods_validate(spark, sf_dir):
+    """series_periods_validate: ACF scores for CALLER-SUPPLIED
+    candidate periods on the planted pure sine — closed-form at the
+    true period (36/48 = 0.75) and its harmonic (0.5); the off-period
+    candidate 5 scores a fixed negative constant. Scores rounded to 4
+    decimals; DuckDB twin is the exact expected table."""
+    from azure_kusto_parquet_conv_spark.kql import kql
+    return kql(spark, sf_dir, """
+      range i from 0 to 47 step 1
+        | summarize y = make_list(sin(2.0 * pi() * todouble(i) / 12.0))
+        | extend b = series_periods_validate(y, 12, 24, 5)
+        | mv-expand p = b.periods to typeof(real),
+                    s = b.scores to typeof(real)
+        | project p, s = round(s, 4)
+    """)
+
+
 @query("q_kql_row_window_session", """
 SELECT CAST(i AS BIGINT) AS i,
        CAST((i // 11) * 11 AS BIGINT) AS start_minute
@@ -5830,12 +5874,13 @@ DRIVER_WINDOW = [
 # alike) — after CORRECTNESS_r07, the attestation gap is zero and
 # future rotations only need to cover NEW entries.
 #
-# Round-8 rotation candidates — the 8 oracled entries born AFTER the
-# r7 window was sealed (mid-r7 additions, replica-green via
+# Round-8 rotation candidates — the 10 oracled entries born AFTER
+# the r7 window was sealed (mid-r7 additions, replica-green via
 # tests/test_queries_oracle.py but no driver row yet):
 # q_dedup_simhash_exact, q_dedup_embedding_exact, q_knn_lsh_exact,
 # q_kql_scan_declare, q_kql_graph_match, q_kql_graph_reachability,
-# q_kql_graph_shortest, q_kql_row_window_session. The other ~29
+# q_kql_graph_shortest, q_kql_row_window_session, q_kql_basket,
+# q_kql_series_periods_validate. The other ~27
 # rotating slots are free — back-fill with oracled entries whose last
 # driver row is oldest (r1/r2 vintages) to refresh their attestation.
 

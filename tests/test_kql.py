@@ -2697,8 +2697,72 @@ def test_parse_kv_delimiters_quotes_types(spark, sf_dir):
     assert r3["bar"] == 2
     with pytest.raises(ValueError, match="not supported"):
         kql(spark, sf_dir, """
-          print s = 'a=1' | parse-kv s as (a) with (regex='x')
+          print s = 'a=1' | parse-kv s as (a) with (greedy='true')
         """)
+
+
+def test_parse_kv_regex_mode(spark, sf_dir):
+    """parse-kv regex mode: a two-capture-group pattern pulls all
+    (key, value) matches with one regexp_extract_all pair; first
+    occurrence wins, backslashes in the @'verbatim' pattern survive,
+    delimiter options cannot combine with regex."""
+    rows = kql(spark, sf_dir, r"""
+      datatable (line:string) [
+        '(k1:v1)(k2:42)(k1:dup)',
+        'no pairs',
+        '(code:7)'
+      ]
+      | parse-kv line as (k1, k2:long, code:long) with (
+          regex = @'\(([a-z0-9]+):([^)]*)\)')
+    """).collect()
+    assert [(r["k1"], r["k2"], r["code"]) for r in rows] == [
+        ("v1", 42, None), ("", None, None), ("", None, 7)]
+    with pytest.raises(ValueError, match="cannot\\s+combine"):
+        kql(spark, sf_dir, """
+          print s = 'a=1'
+            | parse-kv s as (a) with (regex = 'x', quote = 'q')
+        """)
+
+
+def test_evaluate_basket_frequent_itemsets(spark, sf_dir):
+    """evaluate basket: all attribute patterns above the fractional
+    support threshold (default 0.05), exact cube enumeration — each
+    returned pattern's count equals its own groupBy count, and every
+    pattern clears the threshold."""
+    out = kql(spark, sf_dir, """
+      documents | project lang, source | evaluate basket(0.1)
+    """).collect()
+    total = kql(spark, sf_dir,
+                "documents | count").collect()[0]["count_"]
+    assert out and all(r["count"] >= 0.1 * total for r in out)
+    langs = {r["lang"]: r["n"] for r in kql(
+        spark, sf_dir,
+        "documents | summarize n = count() by lang").collect()}
+    for r in out:
+        if r["lang"] is not None and r["source"] is None:
+            assert r["count"] == langs[r["lang"]]
+    # all-wildcard row excluded; bad thresholds rejected
+    assert all(r["lang"] is not None or r["source"] is not None
+               for r in out)
+    with pytest.raises(ValueError, match="threshold"):
+        kql(spark, sf_dir, "documents | evaluate basket(1.5)")
+
+
+def test_series_periods_validate_scores(spark, sf_dir):
+    """series_periods_validate: ACF scores at caller-supplied periods
+    (no peak search) — exact at the planted period and harmonic,
+    negative off-period."""
+    import json
+    r = kql(spark, sf_dir, """
+      range i from 0 to 47 step 1
+        | summarize y = make_list(sin(2.0 * pi() * todouble(i) / 12.0))
+        | extend b = series_periods_validate(y, 12, 24, 5)
+        | project ps = tostring(b.periods), ss = tostring(b.scores)
+    """).collect()[0]
+    assert json.loads(r["ps"]) == [12, 24, 5]
+    ss = json.loads(r["ss"])
+    assert abs(ss[0] - 0.75) < 1e-9 and abs(ss[1] - 0.5) < 1e-9
+    assert ss[2] < 0
 
 
 def test_facet_by_stacks_value_frequencies(spark, sf_dir):
