@@ -59,6 +59,7 @@ Supported surface (each line maps to one DataFrame verb):
         var-length -> union of hop counts)
     | graph-shortest-paths [output=any|all] (a)-[*1..4]->(b)
         [where ..] project ..  (min-hop pairs via one grouped min)
+    | graph-to-table nodes|edges [with_*_id=..]  (graph back to rows)
     | evaluate bag_unpack(dynamic_col)
     | evaluate pivot(col [, agg(x) [, key1, ...]])  (values -> columns)
     | evaluate autocluster([min_percent])  (attribute-pattern mining:
@@ -110,6 +111,7 @@ endswith + _cs and ! variants, matches regex, in/!in/in~/!in~,
 between (lo .. hi), ==/!=/=~/!~,
 arithmetic, datetime(...) literals, now/ago, format_datetime,
 startof/endof day|week|month|year (Sunday weeks), dayofweek (timespan),
+format_timespan (compile-time format parse), format_bytes (1024 units),
 getyear/getmonth/dayofmonth/hourofday, indexof, countof, trim/
 trim_start/trim_end (regex per Kusto), replace_string/replace_regex,
 strrep, hash (xxhash64), isempty/isnotempty, pack/bag_pack (dynamic bag builder), pack_array, array_length/
@@ -1424,6 +1426,93 @@ class _ExprParser:
             if len(args) != 2:
                 raise ValueError("KQL: format_datetime(dt, format)")
             return f"date_format({args[0]}, {args[1]})"
+        if fname == "format_timespan":
+            # timespan = epoch-µs int in this engine; the format is a
+            # compile-time literal parsed into d/h/m/s/f runs, each a
+            # zero-padded component expression, separators verbatim
+            if len(args) != 2:
+                raise ValueError("KQL: format_timespan(ts, format)")
+            t = args[0]
+            fm = re.fullmatch(r"\s*'(.*)'\s*", args[1] or "",
+                              re.DOTALL)
+            if not fm:
+                raise ValueError("KQL: format_timespan needs a "
+                                 "literal format string")
+            at = f"abs(CAST({t} AS BIGINT))"
+            comp = {
+                "d": f"CAST({at} div 86400000000 AS STRING)",
+                "h": f"CAST(({at} div 3600000000) % 24 AS STRING)",
+                "m": f"CAST(({at} div 60000000) % 60 AS STRING)",
+                "s": f"CAST(({at} div 1000000) % 60 AS STRING)",
+            }
+            parts, i2, spec = [], 0, fm.group(1)
+            while i2 < len(spec):
+                c = spec[i2]
+                j2 = i2
+                while j2 < len(spec) and spec[j2] == c:
+                    j2 += 1
+                k2 = j2 - i2
+                if c in "dhms":
+                    e = comp[c]
+                    if k2 > 1:
+                        e = f"lpad({e}, {k2}, '0')"
+                    parts.append(e)
+                elif c == "f":
+                    if k2 > 7:
+                        raise ValueError(
+                            "KQL: format_timespan: at most 7 'f'")
+                    parts.append(
+                        f"substr(lpad(CAST({at} % 1000000 AS STRING),"
+                        f" 6, '0') || '0', 1, {k2})")
+                else:
+                    lit = spec[i2:j2].replace("'", "\\'")
+                    parts.append(f"'{lit}'")
+                i2 = j2
+            sign = (f"(CASE WHEN CAST({t} AS BIGINT) < 0 "
+                    f"THEN '-' ELSE '' END)")
+            return f"concat({sign}, {', '.join(parts)})"
+        if fname == "format_bytes":
+            # format_bytes(size [, precision [, units]]): humanized
+            # 1024-based size string; auto-picks the largest unit with
+            # value >= 1 unless a literal unit name is given
+            if len(args) not in (1, 2, 3):
+                raise ValueError(
+                    "KQL: format_bytes(size[, precision[, units]])")
+            sz = f"CAST({args[0]} AS DOUBLE)"
+            prec = args[1] if len(args) >= 2 else "0"
+            try:
+                p = int(prec.strip("() "))
+            except ValueError:
+                raise ValueError("KQL: format_bytes precision must "
+                                 "be an integer literal")
+            units = ["Bytes", "KB", "MB", "GB", "TB", "PB", "EB"]
+            if len(args) == 3:
+                um = re.fullmatch(r"\s*'(\w+)'\s*", args[2])
+                if not um or um.group(1) not in units:
+                    raise ValueError(
+                        f"KQL: format_bytes units must be a literal "
+                        f"in {units}")
+                k2 = units.index(um.group(1))
+                val = f"round({sz} / {float(1024 ** k2)}, {p})"
+                num = (f"CAST(CAST({val} AS DECIMAL(38, {p})) "
+                       f"AS STRING)" if p > 0
+                       else f"CAST(CAST({val} AS BIGINT) AS STRING)")
+                return f"concat({num}, ' ', '{units[k2]}')"
+            branches = []
+            for k2 in range(len(units) - 1, 0, -1):
+                div = float(1024 ** k2)
+                val = f"round({sz} / {div}, {p})"
+                num = (f"CAST(CAST({val} AS DECIMAL(38, {p})) "
+                       f"AS STRING)" if p > 0
+                       else f"CAST(CAST({val} AS BIGINT) AS STRING)")
+                branches.append(f"WHEN {sz} >= {div} THEN "
+                                f"concat({num}, ' {units[k2]}')")
+            val0 = f"round({sz}, {p})"
+            num0 = (f"CAST(CAST({val0} AS DECIMAL(38, {p})) AS STRING)"
+                    if p > 0
+                    else f"CAST(CAST({val0} AS BIGINT) AS STRING)")
+            return (f"(CASE {' '.join(branches)} "
+                    f"ELSE concat({num0}, ' Bytes') END)")
         if fname == "indexof":
             # 0-based; -1 when absent (instr is 1-based, 0 when absent)
             if len(args) != 2:
@@ -3082,6 +3171,8 @@ class KqlCompiler:
             return self._graph_match(df, rest)
         if op == "graph-shortest-paths":
             return self._graph_shortest_paths(df, rest)
+        if op == "graph-to-table":
+            return self._graph_to_table(df, rest)
         if op == "facet":
             return self._facet(df, rest)
         if op == "fork":
@@ -4521,6 +4612,63 @@ class KqlCompiler:
             # union — no dedup — is exactly per-path emission
             out = out.unionByName(o)
         return out
+
+    def _graph_to_table(self, df: DataFrame, rest: str) -> DataFrame:
+        """``graph-to-table nodes [with_node_id=name]`` /
+        ``graph-to-table edges [with_source_id=a] [with_target_id=b]``
+        — project the bound graph back to a relational table. Edges:
+        the edge table verbatim with optionally renamed endpoint
+        columns (zero computation). Nodes: the node table when
+        make-graph bound one; otherwise the DISTINCT endpoint ids
+        (one union + one distinct — the only derivation that exists).
+        Kusto's both-tables form is two pipelines here (one output per
+        pipeline, as with facet's with-clause)."""
+        if not getattr(self, "_graph", None):
+            raise ValueError("KQL: graph-to-table needs a preceding "
+                             "make-graph stage")
+        g = self._graph
+        m = re.match(r"(nodes|edges)\b\s*(.*)$", rest.strip(),
+                     re.DOTALL)
+        if not m:
+            raise ValueError(
+                "KQL: graph-to-table nodes [with_node_id=n] | "
+                "edges [with_source_id=a] [with_target_id=b]")
+        what, opts_text = m.group(1), m.group(2)
+        opts = dict(re.findall(r"(with_\w+)\s*=\s*(\w+)", opts_text))
+        leftover = re.sub(r"(with_\w+)\s*=\s*(\w+)", "",
+                          opts_text).strip()
+        if leftover:
+            raise ValueError(f"KQL: graph-to-table: unexpected "
+                             f"{leftover!r}")
+        if what == "edges":
+            bad = set(opts) - {"with_source_id", "with_target_id"}
+            if bad:
+                raise ValueError(f"KQL: graph-to-table edges options "
+                                 f"{sorted(bad)}")
+            out = g["edges"]
+            if "with_source_id" in opts:
+                out = out.withColumnRenamed(g["src"],
+                                            opts["with_source_id"])
+            if "with_target_id" in opts:
+                out = out.withColumnRenamed(g["dst"],
+                                            opts["with_target_id"])
+            return out
+        bad = set(opts) - {"with_node_id"}
+        if bad:
+            raise ValueError(f"KQL: graph-to-table nodes options "
+                             f"{sorted(bad)}")
+        if g["nodes"] is not None:
+            out = g["nodes"]
+            if "with_node_id" in opts:
+                out = out.withColumnRenamed(g["nid"],
+                                            opts["with_node_id"])
+            return out
+        nid = opts.get("with_node_id") or g.get("nid_name") \
+            or "node_id"
+        e = g["edges"]
+        return (e.select(F.col(g["src"]).alias(nid))
+                 .unionByName(e.select(F.col(g["dst"]).alias(nid)))
+                 .distinct())
 
     def _graph_shortest_paths(self, df: DataFrame,
                               rest: str) -> DataFrame:

@@ -5426,6 +5426,46 @@ def q_kql_scan_declare(spark, sf_dir):
     """)
 
 
+@query("q_kql_format_fns", """
+WITH b AS (SELECT event_id, value,
+                  CAST(floor(value * 1000000) AS BIGINT) AS n
+           FROM events WHERE event_id % 41 = 0)
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CASE WHEN n >= 1048576
+            THEN CAST(CAST(round(n / 1048576.0, 2)
+                           AS DECIMAL(38, 2)) AS VARCHAR) || ' MB'
+            WHEN n >= 1024
+            THEN CAST(CAST(round(n / 1024.0, 2)
+                           AS DECIMAL(38, 2)) AS VARCHAR) || ' KB'
+            ELSE CAST(CAST(round(n * 1.0, 2)
+                           AS DECIMAL(38, 2)) AS VARCHAR) || ' Bytes'
+       END AS sz,
+       lpad(CAST((event_id * 97) % 86400 // 3600 AS VARCHAR), 2, '0')
+         || ':' ||
+       lpad(CAST(((event_id * 97) % 86400 // 60) % 60 AS VARCHAR),
+            2, '0')
+         || ':' ||
+       lpad(CAST((event_id * 97) % 60 AS VARCHAR), 2, '0') AS dur
+FROM b
+""")
+def q_kql_format_fns(spark, sf_dir):
+    """format_bytes + format_timespan over real events: byte sizes
+    derived from the value column (auto 1024-unit pick, 2-decimal
+    precision), durations from a deterministic seconds expression
+    rendered hh:mm:ss. The DuckDB twin re-derives both strings with
+    independent CASE/lpad arithmetic — no shared format machinery."""
+    from azure_kusto_parquet_conv_spark.kql import kql
+    return kql(spark, sf_dir, """
+      events
+        | where event_id % 41 == 0
+        | project event_id,
+                  sz = format_bytes(tolong(value * 1000000.0), 2),
+                  dur = format_timespan(
+                      ((event_id * 97) % 86400) * 1000000,
+                      'hh:mm:ss')
+    """)
+
+
 @query("q_kql_basket", """
 WITH d AS (SELECT lang, source FROM documents),
 t AS (SELECT COUNT(*) AS c FROM d)
@@ -5880,7 +5920,7 @@ DRIVER_WINDOW = [
 # q_dedup_simhash_exact, q_dedup_embedding_exact, q_knn_lsh_exact,
 # q_kql_scan_declare, q_kql_graph_match, q_kql_graph_reachability,
 # q_kql_graph_shortest, q_kql_row_window_session, q_kql_basket,
-# q_kql_series_periods_validate. The other ~27
+# q_kql_series_periods_validate, q_kql_format_fns. The other ~26
 # rotating slots are free — back-fill with oracled entries whose last
 # driver row is oldest (r1/r2 vintages) to refresh their attestation.
 

@@ -2701,6 +2701,59 @@ def test_parse_kv_delimiters_quotes_types(spark, sf_dir):
         """)
 
 
+def test_format_timespan_and_bytes(spark, sf_dir):
+    """format_timespan (compile-time format parse, zero-padded
+    components, sign) and format_bytes (1024-based auto unit,
+    precision, explicit unit)."""
+    r = kql(spark, sf_dir, """
+      print a = format_timespan(90061000001, 'd.hh:mm:ss.fff'),
+            b = format_timespan(-3600000000, 'hh:mm:ss'),
+            c = format_timespan(61000000, 'm:ss'),
+            d = format_bytes(4096),
+            e = format_bytes(1073741824, 2),
+            f = format_bytes(500),
+            g = format_bytes(1537, 1, 'KB')
+    """).collect()[0]
+    assert r["a"] == "1.01:01:01.000"
+    assert r["b"] == "-01:00:00" and r["c"] == "1:01"
+    assert r["d"] == "4 KB" and r["e"] == "1.00 GB"
+    assert r["f"] == "500 Bytes" and r["g"] == "1.5 KB"
+    with pytest.raises(ValueError, match="literal"):
+        kql(spark, sf_dir, "print x = format_timespan(1, strcat('a'))")
+    with pytest.raises(ValueError, match="units"):
+        kql(spark, sf_dir, "print x = format_bytes(1, 0, 'XB')")
+
+
+def test_graph_to_table_nodes_and_edges(spark, sf_dir):
+    """graph-to-table: edges verbatim with renamed endpoints; nodes =
+    the bound node table, or distinct endpoint ids when derived."""
+    pre = """
+      let E = datatable (src:string, dst:string, w:long) [
+        'a','b',1, 'b','c',2 ];
+    """
+    out = kql(spark, sf_dir, pre + """
+      E | make-graph src --> dst
+        | graph-to-table nodes with_node_id=id
+    """).collect()
+    assert sorted(r["id"] for r in out) == ["a", "b", "c"]
+    out2 = kql(spark, sf_dir, pre + """
+      E | make-graph src --> dst
+        | graph-to-table edges with_source_id=u with_target_id=v
+    """)
+    assert out2.columns == ["u", "v", "w"] and out2.count() == 2
+    # a bound node table is returned with its properties
+    out3 = kql(spark, sf_dir, pre + """
+      let N = datatable (id:string, team:string) [
+        'a','x', 'b','y', 'c','z' ];
+      E | make-graph src --> dst with N on id
+        | graph-to-table nodes
+    """).collect()
+    assert sorted((r["id"], r["team"]) for r in out3) == [
+        ("a", "x"), ("b", "y"), ("c", "z")]
+    with pytest.raises(ValueError, match="make-graph"):
+        kql(spark, sf_dir, "nation | graph-to-table nodes")
+
+
 def test_parse_kv_regex_mode(spark, sf_dir):
     """parse-kv regex mode: a two-capture-group pattern pulls all
     (key, value) matches with one regexp_extract_all pair; first
