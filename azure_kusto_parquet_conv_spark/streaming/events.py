@@ -548,3 +548,98 @@ def sequence_detect_stream(events: DataFrame,
                    stateStructType=state_schema,
                    outputMode="append",
                    timeoutConf=GroupStateTimeout.EventTimeTimeout))
+
+
+def row_window_session_stream(events: DataFrame,
+                              max_from_first: str = "1 hours",
+                              max_between: str = "30 minutes",
+                              key: str = "user_id",
+                              watermark: str = "2 hours") -> DataFrame:
+    """Streaming duration-capped sessionization — the unbounded twin
+    of the KQL ``row_window_session`` extend (kql.py): per ``key``,
+    every event is emitted with its session's FIRST event time, where
+    a new session starts when the gap from the previous event exceeds
+    ``max_between`` OR the distance from the session's first event
+    exceeds ``max_from_first``. The duration cap is the rule
+    ``sessionize_stream``'s gap-only watermark sessions (and
+    gaps-and-islands SQL) cannot express — the start depends
+    recursively on the prior start.
+
+    Same architecture as scan_stream: rows buffer in state until the
+    watermark passes their event time, so the sessionizer walks a
+    gap-free time-ordered prefix — identical to the batch kernel;
+    equal-to-watermark rows are on-time (>=), older ones drop. State
+    is O(arrival rate x watermark) + two timestamps per key."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    prepare_session(events.sparkSession)
+    mf_us = _duration_us(max_from_first)
+    mb_us = _duration_us(max_between)
+    src = (events
+           .withWatermark("ts", watermark)
+           .select(F.col(key).alias("user_id"), "ts", "event_id",
+                   F.unix_micros("ts").alias("ts_us")))
+    out_schema = StructType([
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("ts_us", LongType()),
+        StructField("session_start_us", LongType()),
+    ])
+    state_schema = StructType([
+        StructField("first_us", LongType()),
+        StructField("prev_us", LongType()),
+        StructField("pend_ts", StringType()),
+        StructField("pend_id", StringType()),
+    ])
+
+    def _unpack(s):
+        return [int(x) for x in s.split(",")] if s else []
+
+    def _pack(v):
+        return ",".join(str(x) for x in v)
+
+    def fn(key_tuple, pdfs, state: GroupState):
+        if state.exists:
+            first_us, prev_us, p_ts, p_id = state.get
+            pend = list(zip(_unpack(p_ts), _unpack(p_id)))
+        else:
+            first_us, prev_us, pend = None, None, []
+        if first_us is not None and first_us < 0:
+            first_us = prev_us = None  # unset sentinel
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                pend.extend(
+                    r for r in zip((int(v) for v in pdf["ts_us"]),
+                                   (int(v) for v in pdf["event_id"]))
+                    if r[0] >= wm_us)
+        pend.sort()
+        ready = [p for p in pend if p[0] <= wm_us]
+        pend = [p for p in pend if p[0] > wm_us]
+        out = []
+        uid = key_tuple[0]
+        for t, eid in ready:
+            if (first_us is None
+                    or (prev_us is not None and t - prev_us > mb_us)
+                    or t - first_us > mf_us):
+                first_us = t
+            prev_us = t
+            out.append({"user_id": uid, "event_id": eid, "ts_us": t,
+                        "session_start_us": first_us})
+        state.update((first_us if first_us is not None else -1,
+                      prev_us if prev_us is not None else -1,
+                      _pack(p[0] for p in pend),
+                      _pack(p[1] for p in pend)))
+        if pend:
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+        if out:
+            yield pd.DataFrame(out)
+
+    return (src.groupBy("user_id")
+               .applyInPandasWithState(
+                   fn,
+                   outputStructType=out_schema,
+                   stateStructType=state_schema,
+                   outputMode="append",
+                   timeoutConf=GroupStateTimeout.EventTimeTimeout))

@@ -623,6 +623,63 @@ def test_sequence_detect_stream_matches_batch(spark, sf_dir, tmp_path):
     assert got == want
 
 
+def test_row_window_session_stream_matches_batch(spark, sf_dir,
+                                                 tmp_path):
+    """Streaming duration-capped sessionization == the batch KQL
+    row_window_session extend: real events + a far watermark pusher;
+    per-event session starts must agree row-for-row."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from azure_kusto_parquet_conv_spark.streaming.events import (
+        read_events_stream, row_window_session_stream)
+
+    d = tmp_path / "rws_stream_src"
+    d.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", d / "0_events.parquet")
+    tbl = pq.read_table(f"{sf_dir}/events.parquet")
+    ts_type = tbl.schema.field("ts").type
+    far = pa.table({
+        "event_id": pa.array([10**9], pa.int64()),
+        "ts": pa.array([10**18 if pa.types.is_integer(ts_type)
+                        else 4102444800_000_000],
+                       ts_type if pa.types.is_integer(ts_type)
+                       else pa.timestamp("us")),
+        "user_id": pa.array([1], pa.int64()),
+        "event_type": pa.array(["other"], pa.string()),
+        "value": pa.array([0.0], pa.float64()),
+        "props": pa.array([None], pa.string()),
+    }).cast(tbl.schema)
+    pq.write_table(far, d / "1_sentinel.parquet")
+
+    ev = read_events_stream(spark, str(d))
+    out = row_window_session_stream(ev, max_from_first="2 days",
+                                    max_between="12 hours",
+                                    watermark="1 seconds")
+    q = (out.writeStream.format("memory").queryName("rws_out")
+         .outputMode("append")
+         .option("maxFilesPerTrigger", 1).start())
+    drain(q)
+    got = {(r["user_id"], r["event_id"]): r["session_start_us"]
+           for r in spark.sql("select * from rws_out").collect()
+           if r["event_id"] != 10**9}
+
+    from azure_kusto_parquet_conv_spark.kql import kql
+    want = {(r["user_id"], r["event_id"]):
+            r["s"] for r in kql(spark, sf_dir, """
+      events
+        | partition by user_id (
+            sort by ts asc
+            | extend s = row_window_session(ts, 2d, 12h)
+          )
+        | project user_id, event_id, s = tolong(unix_micros(s))
+    """).collect()}
+    assert len(want) > 0
+    assert got == want
+
+
 def test_scan_stream_keeps_equal_to_watermark_row(spark, tmp_path):
     """Watermark boundary contract (r6 verdict #5): a row whose event
     time is EXACTLY equal to the current watermark is ON-TIME — Spark's
