@@ -70,6 +70,9 @@ Supported surface (each line maps to one DataFrame verb):
         (cohort pattern differencing — root-cause analysis)
     | evaluate narrow()  ((Row, Column, Value) rotation; serialized
         row ids when a sort precedes)
+    | evaluate funnel_sequence_completion(id, tl, start, end, bin,
+        state, dynamic([states]), dynamic([windows]))  (cohorted
+        funnel completion via sequential-min joins)
     | evaluate sequence_detect(tl, gap, win, s=p, ..., dims)
         (gap/window-constrained ordered sequences per key)
     | reduce by expr   (log-template mining: guid/hex/digit runs -> '*')
@@ -3371,6 +3374,8 @@ class KqlCompiler:
             return self._autocluster(df, argtext)
         if plugin == "basket":
             return self._basket(df, argtext)
+        if plugin == "funnel_sequence_completion":
+            return self._funnel_completion(df, argtext)
         if plugin == "diffpatterns":
             return self._diffpatterns(df, argtext)
         if plugin == "narrow":
@@ -3720,6 +3725,121 @@ class KqlCompiler:
                   .where((F.col("specificity") >= 1)
                          & (F.col("percent") >= min_pct))
                   .withColumn("count", F.col("count").cast("long")))
+
+    def _funnel_completion(self, df: DataFrame,
+                           argtext: str) -> DataFrame:
+        """``evaluate funnel_sequence_completion(IdColumn, Timeline,
+        Start, End, BinStep, StateColumn, dynamic(['s1','s2',...]),
+        dynamic([w1, w2, ...]))`` — Kusto's funnel-completion plugin:
+        cohort users by the period (BinStep bins of [Start, End)) of
+        their FIRST step-1 event, then for each sequence prefix k
+        count the distinct ids that completed steps 1..k in order
+        within ``w_k`` of that first event.
+
+        Spark-first shape: prefix k's completion time is the
+        SEQUENTIAL MIN — t_k = min(timeline of state_k AFTER t_{k-1})
+        — computed as one groupBy-min per step chained by an equi-join
+        on the id (k steps = k aggregates + k joins, all
+        shuffle-on-key or AQE broadcast; no per-row Python, no
+        automaton). Output: one row per (period, prefix) with the
+        prefix text and distinct-id count — a long-form rendering of
+        Kusto's output (documented shape)."""
+        groups = _split_top_commas(_tokenize(argtext))
+        if len(groups) != 8:
+            raise ValueError(
+                "KQL: funnel_sequence_completion(id, timeline, start, "
+                "end, step, state, dynamic([states]), "
+                "dynamic([windows]))")
+        id_sql = _compile_expr_tokens(groups[0], df)
+        tl_sql = _compile_expr_tokens(groups[1], df)
+        start_sql = _compile_expr_tokens(groups[2], df)
+        end_sql = _compile_expr_tokens(groups[3], df)
+
+        def us_lit(toks, what):
+            sql2 = _compile_expr_tokens(toks, df)
+            try:
+                return int(sql2.strip("() "))
+            except ValueError:
+                raise ValueError(
+                    f"KQL: funnel_sequence_completion {what} must be "
+                    f"a timespan literal, got {sql2!r}")
+        step_us = us_lit(groups[4], "bin step")
+        state_sql = _compile_expr_tokens(groups[5], df)
+
+        def arr_lit(toks, what):
+            text = "".join(t.text for t in toks)
+            am = re.fullmatch(r"dynamic\s*\(\s*\[(.*)\]\s*\)", text,
+                              re.DOTALL)
+            if not am:
+                raise ValueError(
+                    f"KQL: funnel_sequence_completion {what} must be "
+                    f"a dynamic([...]) literal")
+            return _split_top_commas(_tokenize(am.group(1)))
+        state_toks = arr_lit(groups[6], "sequence")
+        win_toks = arr_lit(groups[7], "windows")
+        states = []
+        for g in state_toks:
+            t0 = g[0] if g else None
+            if t0 is None or t0.kind != "str":
+                raise ValueError("KQL: funnel sequence states must be "
+                                 "string literals")
+            states.append(_py_str_lit(t0.text))
+        wins = [us_lit(g, "window") for g in win_toks]
+        if len(states) < 1 or len(wins) != len(states):
+            raise ValueError("KQL: funnel sequence and windows must "
+                             "have the same nonzero length")
+
+        base = df.select(
+            F.expr(id_sql).alias("__fc_id"),
+            F.expr(f"unix_micros(CAST({tl_sql} AS TIMESTAMP))")
+             .alias("__fc_t"),
+            F.expr(state_sql).alias("__fc_s"),
+        ).where(F.col("__fc_t").isNotNull())
+        start_us_col = F.expr(
+            f"unix_micros(CAST({start_sql} AS TIMESTAMP))")
+        end_us_col = F.expr(
+            f"unix_micros(CAST({end_sql} AS TIMESTAMP))")
+        base = (base.withColumn("__fc_lo", start_us_col)
+                    .withColumn("__fc_hi", end_us_col)
+                    .where((F.col("__fc_t") >= F.col("__fc_lo"))
+                           & (F.col("__fc_t") < F.col("__fc_hi"))))
+        # t0: first step-1 event per id -> the id's cohort period
+        cur = (base.where(F.col("__fc_s") == states[0])
+                   .groupBy("__fc_id")
+                   .agg(F.min("__fc_t").alias("__fc_t0"),
+                        F.first("__fc_lo").alias("__fc_lo")))
+        cur = cur.withColumn(
+            "period",
+            F.timestamp_micros(
+                F.col("__fc_lo")
+                + ((F.col("__fc_t0") - F.col("__fc_lo"))
+                   / step_us).cast("long") * step_us))
+        out_rows = []
+        prev_col = "__fc_t0"
+        for k in range(len(states)):
+            if k > 0:
+                ev_k = base.where(F.col("__fc_s") == states[k]) \
+                           .select(F.col("__fc_id"),
+                                   F.col("__fc_t").alias("__fc_ek"))
+                cur = (cur.join(ev_k, "__fc_id")
+                          .where(F.col("__fc_ek") > F.col(prev_col))
+                          .groupBy("__fc_id", "__fc_t0", "period")
+                          .agg(F.min("__fc_ek").alias(f"__fc_t{k}")))
+                prev_col = f"__fc_t{k}"
+            done = cur.where(
+                F.col(prev_col) - F.col("__fc_t0") <= wins[k])
+            prefix = " -> ".join(states[:k + 1])
+            out_rows.append(
+                done.groupBy("period")
+                    .agg(F.countDistinct("__fc_id").alias("n_ids"))
+                    .select("period",
+                            F.lit(k + 1).cast("long")
+                             .alias("prefix_len"),
+                            F.lit(prefix).alias("prefix"), "n_ids"))
+        out = out_rows[0]
+        for o in out_rows[1:]:
+            out = out.unionByName(o)
+        return out
 
     def _basket(self, df: DataFrame, argtext: str) -> DataFrame:
         """``evaluate basket([threshold])``: frequent-itemset mining

@@ -5466,6 +5466,61 @@ def q_kql_format_fns(spark, sf_dir):
     """)
 
 
+@query("q_kql_funnel_completion", """
+WITH b AS (SELECT user_id AS id, epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+                  event_type AS s
+           FROM events
+           WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-01'
+             AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-02-01'),
+lo AS (SELECT epoch_us(TIMESTAMP '2024-01-01') AS lo),
+t0 AS (SELECT id, MIN(t) AS t0 FROM b WHERE s = 'signup' GROUP BY id),
+p0 AS (SELECT id, t0,
+              (SELECT lo FROM lo)
+              + ((t0 - (SELECT lo FROM lo)) // 604800000000)
+                * 604800000000 AS period_us
+       FROM t0),
+t1 AS (SELECT p.id, p.t0, p.period_us, MIN(b.t) AS t1
+       FROM p0 p JOIN b ON b.id = p.id AND b.s = 'click'
+                       AND b.t > p.t0
+       GROUP BY p.id, p.t0, p.period_us),
+t2 AS (SELECT t1.id, t1.t0, t1.period_us, MIN(b.t) AS t2
+       FROM t1 JOIN b ON b.id = t1.id AND b.s = 'purchase'
+                     AND b.t > t1.t1
+       GROUP BY t1.id, t1.t0, t1.period_us)
+SELECT period_us, CAST(1 AS BIGINT) AS prefix_len,
+       'signup' AS prefix, CAST(COUNT(DISTINCT id) AS BIGINT) AS n_ids
+FROM p0 GROUP BY period_us
+UNION ALL
+SELECT period_us, 2, 'signup -> click', CAST(COUNT(DISTINCT id) AS BIGINT)
+FROM t1 WHERE t1 - t0 <= 86400000000 GROUP BY period_us
+UNION ALL
+SELECT period_us, 3, 'signup -> click -> purchase',
+       CAST(COUNT(DISTINCT id) AS BIGINT)
+FROM t2 WHERE t2 - t0 <= 172800000000 GROUP BY period_us
+""")
+def q_kql_funnel_completion(spark, sf_dir):
+    """evaluate funnel_sequence_completion over real events: cohort
+    users by the 7d period of their first signup, then count distinct
+    users completing signup -> click (within 1d) -> purchase (within
+    2d) in order. Each prefix's completion time is a SEQUENTIAL MIN
+    (min event time after the previous prefix's min), compiled to one
+    groupBy-min + equi-join per step — shuffle-on-key all the way, no
+    automaton, no Python. DuckDB twin: the same sequential-min joins
+    written independently as correlated CTEs. Period emitted as epoch
+    µs (tz-neutral hash)."""
+    from azure_kusto_parquet_conv_spark.kql import kql
+    return kql(spark, sf_dir, """
+      events
+        | evaluate funnel_sequence_completion(user_id, ts,
+            datetime(2024-01-01), datetime(2024-02-01), 7d,
+            event_type,
+            dynamic(['signup', 'click', 'purchase']),
+            dynamic([7d, 1d, 2d]))
+        | project period_us = tolong(unix_micros(period)),
+                  prefix_len, prefix, n_ids
+    """)
+
+
 @query("q_kql_basket", """
 WITH d AS (SELECT lang, source FROM documents),
 t AS (SELECT COUNT(*) AS c FROM d)
@@ -5920,7 +5975,8 @@ DRIVER_WINDOW = [
 # q_dedup_simhash_exact, q_dedup_embedding_exact, q_knn_lsh_exact,
 # q_kql_scan_declare, q_kql_graph_match, q_kql_graph_reachability,
 # q_kql_graph_shortest, q_kql_row_window_session, q_kql_basket,
-# q_kql_series_periods_validate, q_kql_format_fns. The other ~26
+# q_kql_series_periods_validate, q_kql_format_fns,
+# q_kql_funnel_completion. The other ~25
 # rotating slots are free — back-fill with oracled entries whose last
 # driver row is oldest (r1/r2 vintages) to refresh their attestation.
 

@@ -2701,6 +2701,43 @@ def test_parse_kv_delimiters_quotes_types(spark, sf_dir):
         """)
 
 
+def test_funnel_sequence_completion_fixture(spark, sf_dir):
+    """funnel_sequence_completion: cohort by first-step period,
+    sequential-min prefix completion, per-prefix windows. Hand-traced
+    fixture: u1 completes all three within windows, u2's click is too
+    late (window 1h), u3 never clicks, u4's first signup lands in the
+    second period."""
+    rows = kql(spark, sf_dir, """
+      datatable (u:long, ts:datetime, e:string) [
+        1, datetime(2024-01-01 00:10:00), 'signup',
+        1, datetime(2024-01-01 00:30:00), 'click',
+        1, datetime(2024-01-01 01:00:00), 'purchase',
+        2, datetime(2024-01-01 02:00:00), 'signup',
+        2, datetime(2024-01-01 04:00:00), 'click',
+        3, datetime(2024-01-01 03:00:00), 'signup',
+        4, datetime(2024-01-02 00:30:00), 'signup',
+        4, datetime(2024-01-02 00:40:00), 'click'
+      ]
+      | evaluate funnel_sequence_completion(u, ts,
+          datetime(2024-01-01), datetime(2024-01-03), 1d, e,
+          dynamic(['signup', 'click', 'purchase']),
+          dynamic([1d, 1h, 2h]))
+      | project d = datetime_diff('day', period, datetime(2024-01-01)),
+                prefix_len, n_ids
+    """).collect()
+    got = {(r["d"], r["prefix_len"]): r["n_ids"] for r in rows}
+    # day 0: u1,u2,u3 signed up; only u1's click within 1h of signup;
+    # u1's purchase within 2h. day 1: u4 signup + in-window click.
+    assert got == {(0, 1): 3, (0, 2): 1, (0, 3): 1,
+                   (1, 1): 1, (1, 2): 1}
+    with pytest.raises(ValueError, match="same nonzero length"):
+        kql(spark, sf_dir, """
+          events | evaluate funnel_sequence_completion(user_id, ts,
+            datetime(2024-01-01), datetime(2024-02-01), 7d,
+            event_type, dynamic(['a', 'b']), dynamic([1d]))
+        """)
+
+
 def test_format_timespan_and_bytes(spark, sf_dir):
     """format_timespan (compile-time format parse, zero-padded
     components, sign) and format_bytes (1024-based auto unit,
