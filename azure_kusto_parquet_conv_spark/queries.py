@@ -1335,6 +1335,51 @@ def q_dedup_minhash_exact(spark, sf_dir):
                  .select("id_a", "id_b", "jaccard"))
 
 
+@query("q_dup_spans", """
+WITH t AS (SELECT doc_id,
+                  string_split(regexp_replace(trim(lower(text)),
+                                              '\\s+', ' ', 'g'),
+                               ' ') AS toks
+           FROM documents),
+s AS (SELECT doc_id,
+             array_to_string(list_slice(toks, i * 10 + 1,
+                                        i * 10 + 20), ' ') AS span
+      FROM t, LATERAL (SELECT unnest(generate_series(
+                 0, CAST(floor((len(toks) - 20) / 10.0) AS BIGINT)))
+                 AS i) g
+      WHERE len(toks) >= 20)
+SELECT span, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences
+FROM s GROUP BY span HAVING COUNT(*) > 1
+""")
+def q_dup_spans(spark, sf_dir):
+    """Substring-level exact dedup (the span-granular sibling of
+    document dedup, per the deduplicating-training-data literature):
+    every 20-token window at stride 10 over the normalized token
+    stream, grouped by the span text, keeping spans occurring more
+    than once — the spots a span-level deduplicator would cut. ONE
+    explode + one hash-shuffle on the span (map-side combined); at
+    100 TB the span string would be swapped for its xxhash64 with a
+    sampled verify, but the grouped-span plan shape is identical.
+    DuckDB twin: the same windows via generate_series + list_slice
+    over an independently re-derived token array."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = X.tokens("text")
+    n = F.size(toks)
+    n_spans = F.floor((n - 20) / 10).cast("int")
+    spans = (d.select("doc_id", toks.alias("__toks"),
+                      n.alias("__n"), n_spans.alias("__k"))
+              .where(F.col("__n") >= 20)
+              .select("doc_id", F.explode(F.expr(
+                  "transform(sequence(0, __k), __sp_i -> "
+                  "array_join(slice(__toks, __sp_i * 10 + 1, 20), "
+                  "' '))")).alias("span")))
+    return (spans.groupBy("span")
+                 .agg(F.countDistinct("doc_id").alias("n_docs"),
+                      F.count("*").alias("n_occurrences"))
+                 .where(F.col("n_occurrences") > 1))
+
+
 @query("q_dedup_simhash")  # pandas-UDF kernel: no SQL equivalent
 def q_dedup_simhash(spark, sf_dir):
     """SimHash near-dup pairs via pigeonhole-blocked Hamming join."""
@@ -5976,7 +6021,7 @@ DRIVER_WINDOW = [
 # q_kql_scan_declare, q_kql_graph_match, q_kql_graph_reachability,
 # q_kql_graph_shortest, q_kql_row_window_session, q_kql_basket,
 # q_kql_series_periods_validate, q_kql_format_fns,
-# q_kql_funnel_completion. The other ~25
+# q_kql_funnel_completion, q_dup_spans. The other ~24
 # rotating slots are free — back-fill with oracled entries whose last
 # driver row is oldest (r1/r2 vintages) to refresh their attestation.
 

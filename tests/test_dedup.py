@@ -174,3 +174,33 @@ def test_minhash_incremental_broadcasts_new_side(spark, sf_dir):
     inc = D.minhash_dedup_incremental(
         batch, D.minhash_signatures(corpus), corpus, threshold=0.5)
     assert "BroadcastHashJoin" in join_strategies(inc)
+
+
+def test_dup_spans_finds_planted_shared_window(spark, sf_dir):
+    """q_dup_spans: a 20-token span shared verbatim by two documents
+    (at different offsets) must surface with n_docs = 2; a unique
+    document contributes nothing."""
+    from azure_kusto_parquet_conv_spark.queries import QUERIES
+
+    shared = " ".join(f"w{i}" for i in range(20))
+    # the stride is 10, so the shared span must start at a multiple
+    # of 10 tokens to land exactly on a window: doc1 pads 10 fillers,
+    # doc2 starts at 0
+    pad10 = " ".join(f"pad{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, pad10 + " " + shared + " gamma delta epsilon zeta eta "
+             "theta iota kappa"),
+         (2, shared + " " + " ".join(f"x{i}" for i in range(15))),
+         (3, " ".join(f"solo{i}" for i in range(40)))],
+        "doc_id long, text string")
+    import unittest.mock as mock
+    with mock.patch(
+            "azure_kusto_parquet_conv_spark.queries.load_table",
+            return_value=df):
+        out = QUERIES["q_dup_spans"](spark, "unused").collect()
+    spans = {r["span"]: (r["n_docs"], r["n_occurrences"])
+             for r in out}
+    # doc1's window #1 (tokens 10..29) and doc2's window #0 are the
+    # same TEXT -> one grouped row with both docs
+    assert spans.get(shared) == (2, 2), spans
+    assert all("solo" not in s for s in spans)
