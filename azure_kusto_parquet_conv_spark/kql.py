@@ -60,6 +60,8 @@ Supported surface (each line maps to one DataFrame verb):
     | graph-shortest-paths [output=any|all] (a)-[*1..4]->(b)
         [where ..] project ..  (min-hop pairs via one grouped min)
     | graph-to-table nodes|edges [with_*_id=..]  (graph back to rows)
+    | graph-mark-components [with_component_id=..]  (undirected
+        components, min-id labels, iterative label propagation)
     | evaluate bag_unpack(dynamic_col)
     | evaluate pivot(col [, agg(x) [, key1, ...]])  (values -> columns)
     | evaluate autocluster([min_percent])  (attribute-pattern mining:
@@ -3176,6 +3178,8 @@ class KqlCompiler:
             return self._graph_shortest_paths(df, rest)
         if op == "graph-to-table":
             return self._graph_to_table(df, rest)
+        if op == "graph-mark-components":
+            return self._graph_mark_components(df, rest)
         if op == "facet":
             return self._facet(df, rest)
         if op == "fork":
@@ -4789,6 +4793,53 @@ class KqlCompiler:
         return (e.select(F.col(g["src"]).alias(nid))
                  .unionByName(e.select(F.col(g["dst"]).alias(nid)))
                  .distinct())
+
+    def _graph_mark_components(self, df: DataFrame,
+                               rest: str) -> DataFrame:
+        """``graph-mark-components [with_component_id=name]`` — label
+        every node with its (undirected) connected component. The
+        component id is the MINIMUM node id in the component — a
+        deterministic canonical representative (documented; Kusto's
+        own ids are arbitrary), so results hash-compare across engines.
+
+        Implementation: the dedup family's iterative min-label
+        propagation (operators/dedup.py dedup_clusters) — per round
+        one join + grouped min across edges, localCheckpoint lineage
+        truncation, O(component diameter) rounds. Output: node id +
+        component column (+ node properties when a node table is
+        bound)."""
+        if not getattr(self, "_graph", None):
+            raise ValueError("KQL: graph-mark-components needs a "
+                             "preceding make-graph stage")
+        g = self._graph
+        m = re.match(r"\s*(?:with_component_id\s*=\s*(\w+)\s*)?$",
+                     rest)
+        if not m:
+            raise ValueError("KQL: graph-mark-components "
+                             "[with_component_id=name]")
+        cid = m.group(1) or "component_id"
+        from azure_kusto_parquet_conv_spark.operators.dedup import (
+            dedup_clusters)
+        e = g["edges"]
+        nid = g["nid"] if g["nodes"] is not None else \
+            (g.get("nid_name") or "node_id")
+        nodes_ids = (e.select(F.col(g["src"]).alias(nid))
+                      .unionByName(e.select(F.col(g["dst"])
+                                            .alias(nid)))
+                      .distinct())
+        if g["nodes"] is not None:
+            nodes_ids = nodes_ids.unionByName(
+                g["nodes"].select(F.col(g["nid"]).alias(nid))
+            ).distinct()
+        pairs = e.select(F.col(g["src"]).alias("id_a"),
+                         F.col(g["dst"]).alias("id_b"))
+        labeled = dedup_clusters(nodes_ids, pairs, id_col=nid) \
+            .withColumnRenamed("cluster_id", cid)
+        if g["nodes"] is not None:
+            labeled = labeled.join(
+                g["nodes"].withColumnRenamed(g["nid"], nid), nid,
+                "left")
+        return labeled
 
     def _graph_shortest_paths(self, df: DataFrame,
                               rest: str) -> DataFrame:

@@ -5708,6 +5708,39 @@ def q_kql_graph_reachability(spark, sf_dir):
     """)
 
 
+@query("q_kql_graph_components", """
+WITH RECURSIVE
+raw(a, b) AS (SELECT * FROM (VALUES
+  ('b','a'), ('b','c'), ('c','d'), ('x','y'), ('d','b')) t(a, b)),
+ed(a, b) AS (SELECT a, b FROM raw UNION SELECT b, a FROM raw),
+n(s) AS (SELECT a FROM ed UNION SELECT b FROM ed),
+reach(s, t) AS (
+  SELECT s, s FROM n
+  UNION
+  SELECT r.s, ed.b FROM reach r JOIN ed ON ed.a = r.t)
+SELECT s AS node_id, MIN(t) AS component_id
+FROM reach GROUP BY s
+""")
+def q_kql_graph_components(spark, sf_dir):
+    """graph-mark-components: undirected connected components via
+    iterative min-label propagation (localCheckpoint rounds, one
+    join + grouped min per round), component id = the MIN node id —
+    a deterministic canonical representative that hash-compares. The
+    fixture has a 4-node cycle component and a 2-node component; the
+    DuckDB twin derives the same labels through a WITH RECURSIVE
+    transitive closure — a genuinely different algorithm arriving at
+    the same fixpoint."""
+    from azure_kusto_parquet_conv_spark.kql import kql
+    return kql(spark, sf_dir, """
+      let E = datatable (src:string, dst:string) [
+        'b','a', 'b','c', 'c','d', 'x','y', 'd','b'
+      ];
+      E
+      | make-graph src --> dst
+      | graph-mark-components
+    """)
+
+
 @query("q_kql_graph_shortest", """
 WITH e(src, dst) AS (VALUES
   ('a','b'), ('a','c'), ('b','d'), ('c','d'), ('d','e'), ('a','d')),
@@ -6021,7 +6054,8 @@ DRIVER_WINDOW = [
 # q_kql_scan_declare, q_kql_graph_match, q_kql_graph_reachability,
 # q_kql_graph_shortest, q_kql_row_window_session, q_kql_basket,
 # q_kql_series_periods_validate, q_kql_format_fns,
-# q_kql_funnel_completion, q_dup_spans. The other ~24
+# q_kql_funnel_completion, q_dup_spans, q_kql_graph_components.
+# The other ~23
 # rotating slots are free — back-fill with oracled entries whose last
 # driver row is oldest (r1/r2 vintages) to refresh their attestation.
 

@@ -3130,6 +3130,26 @@ def test_graph_shortest_paths_min_hops(spark, sf_dir):
             "| graph-shortest-paths (s)-[e]->(t) project s")
 
 
+def test_graph_mark_components(spark, sf_dir):
+    """graph-mark-components: undirected components, min-id canonical
+    labels, node properties joined when a node table is bound."""
+    rows = kql(spark, sf_dir, """
+      let E = datatable (src:string, dst:string) [
+        'b','a', 'b','c', 'x','y' ];
+      let N = datatable (id:string, team:string) [
+        'a','t1', 'b','t1', 'c','t1', 'x','t2', 'y','t2', 'z','t3' ];
+      E | make-graph src --> dst with N on id
+        | graph-mark-components with_component_id=cid
+    """).collect()
+    got = {r["id"]: (r["cid"], r["team"]) for r in rows}
+    # z is edge-less: its own singleton component (from the node table)
+    assert got == {"a": ("a", "t1"), "b": ("a", "t1"),
+                   "c": ("a", "t1"), "x": ("x", "t2"),
+                   "y": ("x", "t2"), "z": ("z", "t3")}
+    with pytest.raises(ValueError, match="make-graph"):
+        kql(spark, sf_dir, "nation | graph-mark-components")
+
+
 def test_graph_match_rejections(spark, sf_dir):
     """Documented subset boundaries fail loudly: graph-match without
     make-graph, disconnected patterns (a cartesian at scale), missing
