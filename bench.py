@@ -73,6 +73,15 @@ HEADLINE = [
     "q_kql_reduce",
     "q_knn_hamming",
     "q_media_real_headers",
+    # the headline-worthy operators BORN in round 7, tracked from day
+    # one (pre-empting the per-round "track the new ops" demand);
+    # same-set clean-box record in COVERAGE.md perf notes.
+    "q_dedup_minhash_exact",
+    "q_kql_graph_match",
+    "q_kql_scan_declare",
+    "q_kql_funnel_completion",
+    "q_dup_spans",
+    "q_kql_row_window_session",
 ]
 
 
