@@ -75,6 +75,10 @@ Supported surface (each line maps to one DataFrame verb):
     | evaluate funnel_sequence_completion(id, tl, start, end, bin,
         state, dynamic([states]), dynamic([windows]))  (cohorted
         funnel completion via sequential-min joins)
+    | evaluate sliding_window_counts(id, tl, start, end, look, bin)
+        (trailing-window count/dcount per bin; explode-to-bins)
+    | evaluate activity_engagement(id, tl, start, end, inner, outer)
+        (DAU/MAU-style engagement ratio, one aggregate)
     | evaluate sequence_detect(tl, gap, win, s=p, ..., dims)
         (gap/window-constrained ordered sequences per key)
     | reduce by expr   (log-template mining: guid/hex/digit runs -> '*')
@@ -3380,6 +3384,10 @@ class KqlCompiler:
             return self._basket(df, argtext)
         if plugin == "funnel_sequence_completion":
             return self._funnel_completion(df, argtext)
+        if plugin == "sliding_window_counts":
+            return self._sliding_window_counts(df, argtext)
+        if plugin == "activity_engagement":
+            return self._activity_engagement(df, argtext)
         if plugin == "diffpatterns":
             return self._diffpatterns(df, argtext)
         if plugin == "narrow":
@@ -3729,6 +3737,129 @@ class KqlCompiler:
                   .where((F.col("specificity") >= 1)
                          & (F.col("percent") >= min_pct))
                   .withColumn("count", F.col("count").cast("long")))
+
+    def _window_base(self, df: DataFrame, groups, what):
+        """Shared arg parsing for the sliding-window plugins:
+        (id, timeline, start, end, ...) -> (base frame with __w_id /
+        __w_t / __w_lo / __w_hi epoch-µs columns, remaining groups)."""
+        id_sql = _compile_expr_tokens(groups[0], df)
+        tl_sql = _compile_expr_tokens(groups[1], df)
+        start_sql = _compile_expr_tokens(groups[2], df)
+        end_sql = _compile_expr_tokens(groups[3], df)
+        base = df.select(
+            F.expr(id_sql).alias("__w_id"),
+            F.expr(f"unix_micros(CAST({tl_sql} AS TIMESTAMP))")
+             .alias("__w_t"),
+            F.expr(f"unix_micros(CAST({start_sql} AS TIMESTAMP))")
+             .alias("__w_lo"),
+            F.expr(f"unix_micros(CAST({end_sql} AS TIMESTAMP))")
+             .alias("__w_hi"),
+        ).where(F.col("__w_t").isNotNull()
+                & (F.col("__w_t") >= F.col("__w_lo"))
+                & (F.col("__w_t") <= F.col("__w_hi")))
+
+        def us_lit(toks, name):
+            sql2 = _compile_expr_tokens(toks, df)
+            try:
+                v = int(sql2.strip("() "))
+            except ValueError:
+                raise ValueError(
+                    f"KQL: {what} {name} must be a timespan literal, "
+                    f"got {sql2!r}")
+            if v <= 0:
+                raise ValueError(f"KQL: {what} {name} must be > 0")
+            return v
+        return base, us_lit
+
+    def _sliding_window_counts(self, df: DataFrame,
+                               argtext: str) -> DataFrame:
+        """``evaluate sliding_window_counts(IdColumn, Timeline, Start,
+        End, LookbackWindow, Bin)`` — per grid bin T (Start..End step
+        Bin), the event count and distinct-id count inside the
+        trailing window (T - Lookback, T] — Kusto's rolling
+        count/dcount plugin (the MAU-curve workhorse).
+
+        Spark-first shape: each event EXPLODES to the <=
+        ceil(Lookback/Bin) grid bins it contributes to (a generated
+        in-row sequence — bounded fan-out, no self-join, no window
+        over an unbounded frame), then ONE map-side-combined groupBy
+        computes count + exact countDistinct per bin. At 100 TB the
+        fan-out factor is Lookback/Bin (e.g. 30 for MAU/day) — the
+        standard explode-to-bins trade; swap countDistinct for an HLL
+        sketch when exactness is negotiable."""
+        groups = _split_top_commas(_tokenize(argtext))
+        if len(groups) != 6:
+            raise ValueError(
+                "KQL: sliding_window_counts(id, timeline, start, end, "
+                "lookback, bin)")
+        base, us_lit = self._window_base(
+            df, groups, "sliding_window_counts")
+        look = us_lit(groups[4], "lookback")
+        bin_us = us_lit(groups[5], "bin")
+        k = -(-look // bin_us)  # ceil: max bins one event can touch
+        # first contributing grid bin >= t (grid aligned to Start)
+        t0 = ("__w_lo + CAST(ceil((__w_t - __w_lo) "
+              f"/ CAST({bin_us} AS DOUBLE)) AS BIGINT) * {bin_us}")
+        binned = base.select(
+            "__w_id",
+            F.explode(F.expr(
+                f"filter(transform(sequence(0, {k - 1}), "
+                f"__swc_j -> ({t0}) + __swc_j * {bin_us}), "
+                f"__swc_b -> __swc_b - __w_t < {look} "
+                f"AND __swc_b <= __w_hi)")).alias("__w_bin"))
+        return (binned.groupBy("__w_bin")
+                .agg(F.count("*").alias("count_"),
+                     F.countDistinct("__w_id").alias("dcount"))
+                .select(F.timestamp_micros(F.col("__w_bin"))
+                         .alias("bin"), "count_", "dcount"))
+
+    def _activity_engagement(self, df: DataFrame,
+                             argtext: str) -> DataFrame:
+        """``evaluate activity_engagement(IdColumn, Timeline, Start,
+        End, InnerActivityWindow, OuterActivityWindow)`` — the
+        DAU/MAU-style engagement ratio: for each grid bin T (step =
+        inner window), dcount of ids active in the inner trailing
+        window over dcount active in the outer trailing window, both
+        ending at T. Same explode-to-bins shape as
+        sliding_window_counts with two conditional distinct counts in
+        ONE aggregate (the inner flag is a per-row bin-distance test,
+        so no second pass)."""
+        groups = _split_top_commas(_tokenize(argtext))
+        if len(groups) != 6:
+            raise ValueError(
+                "KQL: activity_engagement(id, timeline, start, end, "
+                "inner, outer)")
+        base, us_lit = self._window_base(
+            df, groups, "activity_engagement")
+        inner = us_lit(groups[4], "inner window")
+        outer = us_lit(groups[5], "outer window")
+        if outer % inner != 0:
+            raise ValueError("KQL: activity_engagement outer window "
+                             "must be a multiple of the inner window")
+        k = outer // inner
+        t0 = ("__w_lo + CAST(ceil((__w_t - __w_lo) "
+              f"/ CAST({inner} AS DOUBLE)) AS BIGINT) * {inner}")
+        binned = base.select(
+            "__w_id", F.col("__w_t"),
+            F.explode(F.expr(
+                f"filter(transform(sequence(0, {k - 1}), "
+                f"__ae_j -> ({t0}) + __ae_j * {inner}), "
+                f"__ae_b -> __ae_b - __w_t < {outer} "
+                f"AND __ae_b <= __w_hi)")).alias("__w_bin"))
+        in_inner = (F.col("__w_bin") - F.col("__w_t")) < inner
+        return (binned.groupBy("__w_bin")
+                .agg(F.countDistinct(
+                         F.when(in_inner, F.col("__w_id")))
+                       .alias("dcount_activities_inner"),
+                     F.countDistinct("__w_id")
+                       .alias("dcount_activities_outer"))
+                .select(
+                    F.timestamp_micros(F.col("__w_bin")).alias("bin"),
+                    "dcount_activities_inner",
+                    "dcount_activities_outer",
+                    F.round(F.col("dcount_activities_inner")
+                            / F.col("dcount_activities_outer"), 4)
+                     .alias("activity_ratio")))
 
     def _funnel_completion(self, df: DataFrame,
                            argtext: str) -> DataFrame:

@@ -5511,6 +5511,74 @@ def q_kql_format_fns(spark, sf_dir):
     """)
 
 
+@query("q_kql_sliding_window", """
+WITH b AS (SELECT user_id AS id, epoch_us(CAST(ts AS TIMESTAMP)) AS t
+           FROM events
+           WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-01'
+             AND CAST(ts AS TIMESTAMP) <= TIMESTAMP '2024-01-31'),
+g AS (SELECT epoch_us(TIMESTAMP '2024-01-01')
+             + i * 86400000000 AS bin_us
+      FROM (SELECT unnest(generate_series(0, 30)) AS i) s)
+SELECT CAST(bin_us AS BIGINT) AS bin_us,
+       CAST(COUNT(*) AS BIGINT) AS count_,
+       CAST(COUNT(DISTINCT id) AS BIGINT) AS dcount
+FROM g JOIN b ON b.t <= g.bin_us
+             AND g.bin_us - b.t < 604800000000
+GROUP BY bin_us
+""")
+def q_kql_sliding_window(spark, sf_dir):
+    """evaluate sliding_window_counts over real events: per daily bin,
+    the event count and distinct users inside the trailing 7-day
+    window — the rolling-MAU workhorse. Each event explodes to the
+    <= 7 bins it contributes to (bounded in-row fan-out, no
+    self-join), one map-side-combined groupBy. DuckDB twin: an
+    explicit bins-spine range join. Bin emitted as epoch µs
+    (tz-neutral)."""
+    from azure_kusto_parquet_conv_spark.kql import kql
+    return kql(spark, sf_dir, """
+      events
+        | evaluate sliding_window_counts(user_id, ts,
+            datetime(2024-01-01), datetime(2024-01-31), 7d, 1d)
+        | project bin_us = tolong(unix_micros(bin)), count_, dcount
+    """)
+
+
+@query("q_kql_activity_engagement", """
+WITH b AS (SELECT user_id AS id, epoch_us(CAST(ts AS TIMESTAMP)) AS t
+           FROM events
+           WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-01'
+             AND CAST(ts AS TIMESTAMP) <= TIMESTAMP '2024-01-31'),
+g AS (SELECT epoch_us(TIMESTAMP '2024-01-01')
+             + i * 86400000000 AS bin_us
+      FROM (SELECT unnest(generate_series(0, 30)) AS i) s),
+j AS (SELECT g.bin_us, b.id, g.bin_us - b.t AS d
+      FROM g JOIN b ON b.t <= g.bin_us
+                   AND g.bin_us - b.t < 604800000000)
+SELECT CAST(bin_us AS BIGINT) AS bin_us,
+       CAST(COUNT(DISTINCT CASE WHEN d < 86400000000 THEN id END)
+            AS BIGINT) AS dcount_activities_inner,
+       CAST(COUNT(DISTINCT id) AS BIGINT) AS dcount_activities_outer,
+       ROUND(COUNT(DISTINCT CASE WHEN d < 86400000000 THEN id END)
+             * 1.0 / COUNT(DISTINCT id), 4) AS activity_ratio
+FROM j GROUP BY bin_us
+""")
+def q_kql_activity_engagement(spark, sf_dir):
+    """evaluate activity_engagement over real events: the DAU/WAU
+    engagement ratio per daily bin (inner 1d, outer 7d trailing
+    windows, two conditional distinct counts in ONE aggregate over
+    the exploded bins). DuckDB twin: bins-spine range join with
+    conditional COUNT DISTINCTs."""
+    from azure_kusto_parquet_conv_spark.kql import kql
+    return kql(spark, sf_dir, """
+      events
+        | evaluate activity_engagement(user_id, ts,
+            datetime(2024-01-01), datetime(2024-01-31), 1d, 7d)
+        | project bin_us = tolong(unix_micros(bin)),
+                  dcount_activities_inner, dcount_activities_outer,
+                  activity_ratio
+    """)
+
+
 @query("q_kql_funnel_completion", """
 WITH b AS (SELECT user_id AS id, epoch_us(CAST(ts AS TIMESTAMP)) AS t,
                   event_type AS s
@@ -6054,8 +6122,8 @@ DRIVER_WINDOW = [
 # q_kql_scan_declare, q_kql_graph_match, q_kql_graph_reachability,
 # q_kql_graph_shortest, q_kql_row_window_session, q_kql_basket,
 # q_kql_series_periods_validate, q_kql_format_fns,
-# q_kql_funnel_completion, q_dup_spans, q_kql_graph_components.
-# The other ~23
+# q_kql_funnel_completion, q_dup_spans, q_kql_graph_components,
+# q_kql_sliding_window, q_kql_activity_engagement. The other ~21
 # rotating slots are free — back-fill with oracled entries whose last
 # driver row is oldest (r1/r2 vintages) to refresh their attestation.
 

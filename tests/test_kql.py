@@ -2701,6 +2701,44 @@ def test_parse_kv_delimiters_quotes_types(spark, sf_dir):
         """)
 
 
+def test_sliding_window_counts_and_engagement(spark, sf_dir):
+    """sliding_window_counts / activity_engagement: hand-traced
+    trailing-window semantics — window (T-look, T], events on the
+    grid boundary belong to their own bin, bins with no contributing
+    events are absent (documented)."""
+    src = """
+      datatable (u:long, ts:datetime) [
+        1, datetime(2024-01-01 06:00:00),
+        2, datetime(2024-01-02 06:00:00),
+        1, datetime(2024-01-03 06:00:00)
+      ]
+    """
+    rows = kql(spark, sf_dir, src + """
+      | evaluate sliding_window_counts(u, ts, datetime(2024-01-01),
+          datetime(2024-01-05), 2d, 1d)
+      | project d = datetime_diff('day', bin, datetime(2024-01-01)),
+                count_, dcount
+    """).collect()
+    got = {r["d"]: (r["count_"], r["dcount"]) for r in rows}
+    assert got == {1: (1, 1), 2: (2, 2), 3: (2, 2), 4: (1, 1)}
+    rows2 = kql(spark, sf_dir, src + """
+      | evaluate activity_engagement(u, ts, datetime(2024-01-01),
+          datetime(2024-01-05), 1d, 3d)
+      | project d = datetime_diff('day', bin, datetime(2024-01-01)),
+                i = dcount_activities_inner,
+                o = dcount_activities_outer, activity_ratio
+    """).collect()
+    got2 = {r["d"]: (r["i"], r["o"], r["activity_ratio"])
+            for r in rows2}
+    assert got2 == {1: (1, 1, 1.0), 2: (1, 2, 0.5),
+                    3: (1, 2, 0.5), 4: (0, 2, 0.0)}
+    with pytest.raises(ValueError, match="multiple"):
+        kql(spark, sf_dir, src + """
+          | evaluate activity_engagement(u, ts, datetime(2024-01-01),
+              datetime(2024-01-05), 2d, 3d)
+        """)
+
+
 def test_funnel_sequence_completion_fixture(spark, sf_dir):
     """funnel_sequence_completion: cohort by first-step period,
     sequential-min prefix completion, per-prefix windows. Hand-traced
