@@ -79,6 +79,10 @@ Supported surface (each line maps to one DataFrame verb):
         (trailing-window count/dcount per bin; explode-to-bins)
     | evaluate activity_engagement(id, tl, start, end, inner, outer)
         (DAU/MAU-style engagement ratio, one aggregate)
+    | evaluate activity_counts_metrics(id, tl, start, end, window)
+        (per-window count/dcount/new/cumulative distinct)
+    | evaluate rows_near(cond, before [, after])  (context rows via
+        one codegen window frame — grep -C for tables)
     | evaluate sequence_detect(tl, gap, win, s=p, ..., dims)
         (gap/window-constrained ordered sequences per key)
     | reduce by expr   (log-template mining: guid/hex/digit runs -> '*')
@@ -3388,6 +3392,10 @@ class KqlCompiler:
             return self._sliding_window_counts(df, argtext)
         if plugin == "activity_engagement":
             return self._activity_engagement(df, argtext)
+        if plugin == "activity_counts_metrics":
+            return self._activity_counts_metrics(df, argtext)
+        if plugin == "rows_near":
+            return self._rows_near(df, argtext)
         if plugin == "diffpatterns":
             return self._diffpatterns(df, argtext)
         if plugin == "narrow":
@@ -3860,6 +3868,104 @@ class KqlCompiler:
                     F.round(F.col("dcount_activities_inner")
                             / F.col("dcount_activities_outer"), 4)
                      .alias("activity_ratio")))
+
+    def _rows_near(self, df: DataFrame, argtext: str) -> DataFrame:
+        """``evaluate rows_near(Condition, NumRows [, RowsAfter])`` —
+        rows within NumRows BEFORE and RowsAfter (default NumRows)
+        AFTER any condition-matching row, in serialized order — the
+        log-context operator (grep -C for tables).
+
+        Pure window function: ``max(cond) OVER (rows BETWEEN
+        -RowsAfter AND +NumRows)`` marks the neighborhood (note the
+        frame inversion: a row is kept when a MATCH lies at most
+        NumRows ahead of it or RowsAfter behind it), whole-stage
+        codegen, no Python. Inside ``partition by key (...)`` the
+        frame is key-partitioned (the scale shape); unscoped input
+        hits the serialize guard."""
+        groups = _split_top_commas(_tokenize(argtext))
+        if len(groups) not in (2, 3):
+            raise ValueError(
+                "KQL: rows_near(condition, rows_before[, rows_after])")
+        if self._order is None:
+            raise ValueError("KQL: rows_near needs a preceding "
+                             "'sort by' (serialized order)")
+        cond_sql = _compile_expr_tokens(groups[0], df,
+                                        self._order_sql,
+                                        self._partition_sql)
+
+        def n_of(toks, what):
+            sql2 = _compile_expr_tokens(toks, df)
+            try:
+                v = int(sql2.strip("() "))
+            except ValueError:
+                raise ValueError(f"KQL: rows_near {what} must be an "
+                                 f"integer literal, got {sql2!r}")
+            if v < 0:
+                raise ValueError(f"KQL: rows_near {what} must be >= 0")
+            return v
+        before = n_of(groups[1], "rows_before")
+        after = n_of(groups[2], "rows_after") if len(groups) == 3 \
+            else before
+        from pyspark.sql import Window
+        if self._partition:
+            w = Window.partitionBy(*self._partition) \
+                      .orderBy(*self._order)
+        else:
+            _warn_global_serialize("rows_near()", df)
+            w = Window.orderBy(*self._order)
+        w = w.rowsBetween(-after, before)
+        mark = F.max(F.expr(cond_sql).cast("boolean")
+                      .cast("int")).over(w)
+        return (df.withColumn("__rn_keep", mark)
+                  .where(F.col("__rn_keep") == 1)
+                  .drop("__rn_keep"))
+
+    def _activity_counts_metrics(self, df: DataFrame,
+                                 argtext: str) -> DataFrame:
+        """``evaluate activity_counts_metrics(IdColumn, Timeline,
+        Start, End, Window)`` — per tumbling window: total events,
+        distinct ids, NEW distinct ids (first ever seen in that
+        window), and the cumulative distinct count up to and
+        including the window (Kusto's aggregated_dcount).
+
+        Spark-first shape: one groupBy for per-window count/dcount;
+        new ids from a per-id MIN(timeline) aggregate re-binned (one
+        extra map-side-combined pass — no self-join); the cumulative
+        distinct is the running SUM of new ids over the window axis
+        (exactly equal to dcount-so-far, since each id is new exactly
+        once) — a tiny window over the per-bin frame, not the data."""
+        groups = _split_top_commas(_tokenize(argtext))
+        if len(groups) != 5:
+            raise ValueError(
+                "KQL: activity_counts_metrics(id, timeline, start, "
+                "end, window)")
+        base, us_lit = self._window_base(
+            df, groups, "activity_counts_metrics")
+        win = us_lit(groups[4], "window")
+        binned = base.withColumn(
+            "__w_bin",
+            F.col("__w_lo") + ((F.col("__w_t") - F.col("__w_lo"))
+                               / win).cast("long") * win)
+        per_bin = (binned.groupBy("__w_bin")
+                   .agg(F.count("*").alias("count_"),
+                        F.countDistinct("__w_id").alias("dcount")))
+        first_seen = (binned.groupBy("__w_id")
+                      .agg(F.min("__w_bin").alias("__w_bin")))
+        new_per_bin = (first_seen.groupBy("__w_bin")
+                       .agg(F.count("*").alias("new_dcount")))
+        from pyspark.sql import Window
+        out = (per_bin.join(new_per_bin, "__w_bin", "left")
+               .withColumn("new_dcount",
+                           F.coalesce(F.col("new_dcount"),
+                                      F.lit(0)).cast("long")))
+        wrun = Window.orderBy("__w_bin").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow)
+        return (out.withColumn("aggregated_dcount",
+                               F.sum("new_dcount").over(wrun)
+                                .cast("long"))
+                   .select(F.timestamp_micros(F.col("__w_bin"))
+                            .alias("bin"), "count_", "dcount",
+                           "new_dcount", "aggregated_dcount"))
 
     def _funnel_completion(self, df: DataFrame,
                            argtext: str) -> DataFrame:
@@ -5456,7 +5562,11 @@ class KqlCompiler:
                 if sop in ("where", "extend", "project", "project-away",
                            "project-keep", "project-rename",
                            "project-reorder", "distinct", "serialize",
-                           "parse", "parse-where", "mv-expand", "scan"):
+                           "parse", "parse-where", "parse-kv",
+                           "mv-expand", "scan", "evaluate"):
+                    # evaluate plugins that honor serialized/partition
+                    # scope (rows_near, sequence_detect, scan-family)
+                    # read self._partition/_order like any stage
                     out = self._apply(out, stage)
                 elif sop in ("sort", "order"):
                     cols = self._sort_cols(
@@ -5501,7 +5611,8 @@ class KqlCompiler:
                 else:
                     raise ValueError(
                         f"KQL: partition subquery operator {sop!r} not "
-                        f"supported (where/extend/project*/sort/top/"
+                        f"supported (where/extend/project*/parse*/"
+                        f"mv-expand/scan/evaluate/sort/top/"
                         f"take/summarize are)")
             return out
         finally:

@@ -5511,6 +5511,72 @@ def q_kql_format_fns(spark, sf_dir):
     """)
 
 
+@query("q_kql_rows_near", """
+SELECT user_id, event_id FROM (
+  SELECT user_id, event_id,
+         MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id
+                 ORDER BY CAST(ts AS TIMESTAMP)
+                 ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS near
+  FROM events)
+WHERE near = 1
+""")
+def q_kql_rows_near(spark, sf_dir):
+    """evaluate rows_near over real events: every row within 2 rows
+    of an error, per user in event-time order — grep -C for tables,
+    as one whole-stage-codegen window function (max of the condition
+    bit over the row frame), key-partitioned inside partition by.
+    DuckDB twin: the identical window written directly."""
+    from azure_kusto_parquet_conv_spark.kql import kql
+    return kql(spark, sf_dir, """
+      events
+        | partition by user_id (
+            sort by ts asc
+            | evaluate rows_near(event_type == 'error', 2)
+          )
+        | project user_id, event_id
+    """)
+
+
+@query("q_kql_activity_counts", """
+WITH b AS (SELECT user_id AS id,
+                  epoch_us(TIMESTAMP '2024-01-01')
+                  + ((epoch_us(CAST(ts AS TIMESTAMP))
+                      - epoch_us(TIMESTAMP '2024-01-01'))
+                     // 86400000000) * 86400000000 AS bin
+           FROM events
+           WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-01'
+             AND CAST(ts AS TIMESTAMP) <= TIMESTAMP '2024-01-31'),
+per AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS count_,
+               CAST(COUNT(DISTINCT id) AS BIGINT) AS dcount
+        FROM b GROUP BY bin),
+fs AS (SELECT id, MIN(bin) AS bin FROM b GROUP BY id),
+nw AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS new_dcount
+       FROM fs GROUP BY bin)
+SELECT CAST(per.bin AS BIGINT) AS bin_us, count_, dcount,
+       COALESCE(new_dcount, 0) AS new_dcount,
+       CAST(SUM(COALESCE(new_dcount, 0))
+            OVER (ORDER BY per.bin) AS BIGINT) AS aggregated_dcount
+FROM per LEFT JOIN nw ON per.bin = nw.bin
+""")
+def q_kql_activity_counts(spark, sf_dir):
+    """evaluate activity_counts_metrics over real events: per daily
+    window — events, distinct users, NEW users (first ever seen), and
+    the cumulative distinct count. New users come from a per-id
+    MIN(bin) aggregate re-binned (no self-join); the cumulative count
+    is the running sum of new users over the tiny per-bin frame
+    (each id is new exactly once, so the sum IS dcount-so-far).
+    DuckDB twin: the same derivation as explicit CTEs."""
+    from azure_kusto_parquet_conv_spark.kql import kql
+    return kql(spark, sf_dir, """
+      events
+        | evaluate activity_counts_metrics(user_id, ts,
+            datetime(2024-01-01), datetime(2024-01-31), 1d)
+        | project bin_us = tolong(unix_micros(bin)), count_, dcount,
+                  new_dcount, aggregated_dcount
+    """)
+
+
 @query("q_kql_sliding_window", """
 WITH b AS (SELECT user_id AS id, epoch_us(CAST(ts AS TIMESTAMP)) AS t
            FROM events
@@ -6123,7 +6189,8 @@ DRIVER_WINDOW = [
 # q_kql_graph_shortest, q_kql_row_window_session, q_kql_basket,
 # q_kql_series_periods_validate, q_kql_format_fns,
 # q_kql_funnel_completion, q_dup_spans, q_kql_graph_components,
-# q_kql_sliding_window, q_kql_activity_engagement. The other ~21
+# q_kql_sliding_window, q_kql_activity_engagement, q_kql_rows_near,
+# q_kql_activity_counts. The other ~19
 # rotating slots are free — back-fill with oracled entries whose last
 # driver row is oldest (r1/r2 vintages) to refresh their attestation.
 

@@ -2701,6 +2701,49 @@ def test_parse_kv_delimiters_quotes_types(spark, sf_dir):
         """)
 
 
+def test_rows_near_and_activity_counts(spark, sf_dir):
+    """rows_near: context rows around condition matches, per
+    partition key; activity_counts_metrics: per-window count/dcount/
+    new/cumulative distinct — hand-traced."""
+    rows = kql(spark, sf_dir, """
+      datatable (u:long, t:long, e:string) [
+        1, 1, 'ok', 1, 2, 'ok', 1, 3, 'err', 1, 4, 'ok', 1, 5, 'ok',
+        1, 6, 'ok', 2, 1, 'ok', 2, 2, 'err'
+      ]
+      | partition by u ( sort by t asc
+          | evaluate rows_near(e == 'err', 1) )
+      | project u, t
+    """).collect()
+    assert sorted((r["u"], r["t"]) for r in rows) == [
+        (1, 2), (1, 3), (1, 4), (2, 1), (2, 2)]
+    # asymmetric window: 0 before, 2 after the match
+    rows2 = kql(spark, sf_dir, """
+      datatable (u:long, t:long, e:string) [
+        1, 1, 'ok', 1, 2, 'err', 1, 3, 'ok', 1, 4, 'ok', 1, 5, 'ok'
+      ]
+      | partition by u ( sort by t asc
+          | evaluate rows_near(e == 'err', 0, 2) )
+      | project t
+    """).collect()
+    assert sorted(r["t"] for r in rows2) == [2, 3, 4]
+    am = kql(spark, sf_dir, """
+      datatable (u:long, ts:datetime) [
+        1, datetime(2024-01-01 01:00:00),
+        2, datetime(2024-01-01 02:00:00),
+        1, datetime(2024-01-02 01:00:00),
+        3, datetime(2024-01-02 02:00:00),
+        3, datetime(2024-01-02 03:00:00)
+      ]
+      | evaluate activity_counts_metrics(u, ts, datetime(2024-01-01),
+          datetime(2024-01-04), 1d)
+      | project d = datetime_diff('day', bin, datetime(2024-01-01)),
+                count_, dcount, new_dcount, aggregated_dcount
+    """).collect()
+    got = {r["d"]: (r["count_"], r["dcount"], r["new_dcount"],
+                    r["aggregated_dcount"]) for r in am}
+    assert got == {0: (2, 2, 2, 2), 1: (3, 2, 1, 3)}
+
+
 def test_sliding_window_counts_and_engagement(spark, sf_dir):
     """sliding_window_counts / activity_engagement: hand-traced
     trailing-window semantics — window (T-look, T], events on the
