@@ -2561,6 +2561,26 @@ _JOIN_KINDS = {
     "leftsemi": "left_semi", "leftanti": "left_anti",
 }
 
+#: fork/facet cache the shared input with persist() so N children read
+#: ONE scan; the handles land here and the oldest are unpersisted once
+#: more than _PERSIST_KEEP accumulate — a session compiling many
+#: fork/facet queries keeps a bounded cache footprint while the most
+#: recent inputs (whose action is imminent or in flight) stay live.
+_PERSIST_KEEP = 4
+_persisted_inputs: list = []
+
+
+def _persist_bounded(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    _persisted_inputs.append(df)
+    while len(_persisted_inputs) > _PERSIST_KEEP:
+        old = _persisted_inputs.pop(0)
+        try:
+            old.unpersist()
+        except Exception:
+            pass
+    return df
+
 
 class KqlCompiler:
     """Compiles one KQL tabular pipeline against a table resolver."""
@@ -4552,10 +4572,19 @@ class KqlCompiler:
             if quote:
                 # regexp_extract returns '' for a non-participating
                 # group, never null — pick the group by whether the
-                # value opens with the quote character
+                # FIRST match's value opens with the quote character.
+                # Deciding quoted-ness with a whole-string rlike broke
+                # first-occurrence-wins when the same key appears first
+                # unquoted then quoted in one line (r7 advice #4): the
+                # rlike saw the LATER quoted pair while group 1 was
+                # extracted from the FIRST (unquoted) match. Group 0 of
+                # the same pattern IS the first match, so testing its
+                # own prefix keeps the decision and the extraction on
+                # the same occurrence.
+                first_match = F.regexp_extract(F.expr(src_sql), pat, 0)
                 c = F.when(
-                    F.expr(src_sql).rlike(
-                        f"(?:^|{epd}){re.escape(name)}{ekvd}{eq}"),
+                    first_match.rlike(
+                        f"^(?:{epd})?{re.escape(name)}{ekvd}{eq}"),
                     F.regexp_extract(F.expr(src_sql), pat, 1)
                 ).otherwise(F.regexp_extract(F.expr(src_sql), pat, 2))
             else:
@@ -4591,7 +4620,7 @@ class KqlCompiler:
         if not cols or unknown:
             raise ValueError(f"KQL: facet by unknown columns {unknown}")
         if not df.isStreaming:
-            df = df.persist()
+            df = _persist_bounded(df)
         parts = [
             df.groupBy(F.col(c).cast("string").alias("value"))
               .agg(F.count("*").alias("count_"))
@@ -4648,13 +4677,24 @@ class KqlCompiler:
         if len(children) < 2:
             raise ValueError("KQL: fork needs >= 2 (subquery) groups")
         if not df.isStreaming:
-            df = df.persist()
+            df = _persist_bounded(df)
         outs = []
         for j, (nm, sub) in enumerate(zip(names, children)):
-            child = df
-            for stage in _split_pipes(sub.strip().lstrip("|")):
-                if stage.strip():
-                    child = self._apply(child, stage.strip())
+            # Each child compiles in an ISOLATED serialized scope: a
+            # `sort by`/`top` inside one child must not leak
+            # _order/_order_sql (or a partition scope) into sibling
+            # children or post-fork stages — mirror of _partition's
+            # snapshot/restore (r7 advice #1).
+            saved = (self._partition, self._partition_sql,
+                     self._order, self._order_sql)
+            try:
+                child = df
+                for stage in _split_pipes(sub.strip().lstrip("|")):
+                    if stage.strip():
+                        child = self._apply(child, stage.strip())
+            finally:
+                (self._partition, self._partition_sql,
+                 self._order, self._order_sql) = saved
             outs.append(child.select(
                 F.lit(nm or f"fork_{j}").alias("fork_name"), "*"))
         out = outs[0]
@@ -4710,39 +4750,60 @@ class KqlCompiler:
     _GRAPH_MAX_HOPS = 8
 
     def _graph_match(self, df: DataFrame, rest: str) -> DataFrame:
-        """``graph-match [cycles=none] (a)-[e]->(b)[-[f]->(c)...]
-        [, (x)-[g]->(y)...] [where expr] project name = expr, ...`` —
-        fixed-pattern graph matching compiled to EQUI-JOIN CHAINS
-        (the Spark-first answer to an operator Spark lacks: each
-        pattern edge is one alias of the edge table, consecutive
-        edges join on the shared node id, node properties join in
-        from the node table). At 100 TB every join is a plain
-        shuffle-on-key (or broadcast when the dimension side is
-        small — AQE decides), no driver-side traversal, no iteration.
+        """``graph-match [cycles=all|none|unique_edges]
+        (a)-[e]->(b)[-[f]->(c)...] [, (x)-[g]->(y)...] [where expr]
+        project name = expr, ...`` — fixed-pattern graph matching
+        compiled to EQUI-JOIN CHAINS (the Spark-first answer to an
+        operator Spark lacks: each pattern edge is one alias of the
+        edge table, consecutive edges join on the shared node id,
+        node properties join in from the node table). At 100 TB every
+        join is a plain shuffle-on-key (or broadcast when the
+        dimension side is small — AQE decides), no driver-side
+        traversal, no iteration.
+
+        Anonymous variable-length edges ``-[*1..3]->`` (cap 8 hops)
+        COLLAPSE to a (entry, exit, path-count) segment frame before
+        joining the rest of the pattern (their inner bindings are
+        never projectable): per-path multiplicity — Kusto's one row
+        per matched path — is restored by ONE final explode over the
+        product of segment counts, so intermediates stay bounded at
+        |V|^2 per hop level instead of O(avg_degree^hops) enumerated
+        paths (r7 verdict #6).
+
+        ``cycles=`` default is **unique_edges** (Kusto's default: no
+        edge repeated within one match), enforced pairwise over fixed
+        edge aliases on (src, dst) and inside each variable-length
+        segment; documented subset: parallel edges (duplicate
+        (src, dst) rows) count as one edge for uniqueness, and
+        uniqueness is not enforced ACROSS a collapsed segment
+        boundary. ``cycles=all`` allows repeated edges (segments then
+        use the pure count-BFS recurrence); ``cycles=none``
+        additionally makes all named node variables pairwise
+        distinct (segment-interior nodes exempt — documented).
 
         Supported subset (documented): directed ``-[e]->`` and
         ``<-[e]-`` edges; chains and comma-separated patterns sharing
         node variables (patterns must be CONNECTED — a disconnected
         pattern would be a cartesian product and is rejected);
-        anonymous variable-length edges ``-[*1..3]->`` (cap 8 hops)
-        expand to a union of fixed chains; ``cycles=none`` makes all
-        node variables pairwise distinct; ``project`` is required.
-        ``where``/``project`` reference node/edge variables as
-        ``var.column`` (a bare node var is its node id); with derived
-        nodes (no ``with ... on``) only bare node vars are available.
-        Kusto's all_* path aggregates and undirected edges are not
-        supported."""
+        ``project`` is required. ``where``/``project`` reference
+        node/edge variables as ``var.column`` (a bare node var is its
+        node id); with derived nodes (no ``with ... on``) only bare
+        node vars are available. Kusto's all_* path aggregates and
+        undirected edges are not supported."""
         if not getattr(self, "_graph", None):
             raise ValueError("KQL: graph-match needs a preceding "
                              "make-graph stage")
         g = self._graph
         cm = re.match(r"cycles\s*=\s*(\w+)\s+(.*)$", rest, re.DOTALL)
-        cycles = "allow"
+        cycles = "unique_edges"
         if cm:
             cycles = cm.group(1).lower()
             rest = cm.group(2)
-            if cycles not in ("allow", "none"):
-                raise ValueError("KQL: graph-match cycles=allow|none")
+            if cycles == "allow":
+                cycles = "all"
+            if cycles not in ("all", "none", "unique_edges"):
+                raise ValueError(
+                    "KQL: graph-match cycles=all|none|unique_edges")
         wm = re.search(r"\bwhere\b", rest)
         pm = re.search(r"\bproject\b", rest)
         if not pm:
@@ -4764,7 +4825,6 @@ class KqlCompiler:
             r"<-\[\s*([A-Za-z_]\w*)?\s*"
             r"(?:\*\s*(\d+)\s*\.\.\s*(\d+)\s*)?\]-")
         edges_spec = []
-        anon = [0]
 
         def parse_chain(text):
             pos = 0
@@ -4811,34 +4871,95 @@ class KqlCompiler:
             raise ValueError("KQL: graph-match needs at least one "
                              "edge")
 
-        # ---- variable-length expansion: one var-length edge becomes
-        # a UNION over its lengths, each length a chain of fixed
-        # anonymous edges through fresh intermediate node vars
-        def expand(spec):
-            for i, (a, ev, b, lo, hi) in enumerate(spec):
-                if lo is None:
-                    continue
-                outs = []
-                for ln in range(lo, hi + 1):
-                    mids = [a] + [f"__gm_mid{anon[0]}_{j}"
-                                  for j in range(1, ln)] + [b]
-                    anon[0] += 1
-                    fixed = [(mids[j], None, mids[j + 1], None, None)
-                             for j in range(ln)]
-                    for sub in expand(spec[:i] + fixed + spec[i + 1:]):
-                        outs.append(sub)
-                return outs
-            return [spec]
-
-        variants = expand(edges_spec)
-
-        # ---- compile ONE fixed variant to a join chain
+        # ---- compile the pattern to ONE join chain. A fixed edge is
+        # one alias of the edge table; an anonymous variable-length
+        # edge -[*lo..hi]-> is COLLAPSED to a segment frame of
+        # (entry, exit, path-count) BEFORE it joins the rest of the
+        # pattern (r7 verdict #6): its inner bindings are never
+        # projectable, so the only observable is the per-path row
+        # MULTIPLICITY — carried as an aggregated count and re-expanded
+        # by ONE explode at the end. Intermediates stay bounded at
+        # |V|^2 per hop level instead of O(avg_degree^hops) paths.
         e_src, e_dst = g["src"], g["dst"]
         edges_df, nodes_df = g["edges"], g["nodes"]
 
-        def compile_variant(spec, tag):
+        def segment_frame(lo2, hi2, pref):
+            """(entry, exit, count-of-paths) for lo..hi hops."""
+            if cycles == "all":
+                # count-BFS recurrence: paths_{ln+1}(a,c) =
+                # sum_b paths_ln(a,b) * edges(b,c) — one equi-join +
+                # one map-side-combined groupBy per level, every level
+                # bounded by |V|^2 pairs regardless of path count
+                step = edges_df.select(F.col(e_src).alias("__sg_s"),
+                                       F.col(e_dst).alias("__sg_d"))
+                lvl = (step.groupBy(F.col("__sg_s").alias("__sg_a"),
+                                    F.col("__sg_d").alias("__sg_b"))
+                           .agg(F.count("*").cast("long")
+                                 .alias("__sg_c")))
+                frames = []
+                for ln in range(1, hi2 + 1):
+                    if ln > 1:
+                        lvl = (lvl.join(step, F.col("__sg_b")
+                                        == F.col("__sg_s"))
+                                  .groupBy(F.col("__sg_a"),
+                                           F.col("__sg_d")
+                                           .alias("__sg_b"))
+                                  .agg(F.sum("__sg_c")
+                                        .alias("__sg_c")))
+                    if ln >= lo2:
+                        frames.append(lvl)
+            else:
+                # unique_edges/none exclude walks that reuse an edge
+                # inside the segment: per-length chains with pairwise
+                # edge-distinct predicates (parallel edges — duplicate
+                # (src,dst) rows — count as one edge for uniqueness;
+                # documented subset), each length collapsed by count
+                # at the segment boundary before touching the rest of
+                # the pattern. Hop cap 8 bounds the chain depth.
+                frames = []
+                for ln in range(lo2, hi2 + 1):
+                    cur2, prefs = None, []
+                    for j in range(ln):
+                        p = f"{pref}l{ln}_{j}_"
+                        e = edges_df.select(
+                            F.col(e_src).alias(p + "s"),
+                            F.col(e_dst).alias(p + "d"))
+                        if cur2 is None:
+                            cur2 = e
+                        else:
+                            cur2 = cur2.join(
+                                e, F.col(prefs[-1] + "d")
+                                == F.col(p + "s"), "inner")
+                        prefs.append(p)
+                    for x in range(ln):
+                        for y in range(x + 1, ln):
+                            cur2 = cur2.where(~(
+                                F.col(prefs[x] + "s").eqNullSafe(
+                                    F.col(prefs[y] + "s"))
+                                & F.col(prefs[x] + "d").eqNullSafe(
+                                    F.col(prefs[y] + "d"))))
+                    frames.append(
+                        cur2.groupBy(
+                            F.col(prefs[0] + "s").alias("__sg_a"),
+                            F.col(prefs[-1] + "d").alias("__sg_b"))
+                            .agg(F.count("*").cast("long")
+                                  .alias("__sg_c")))
+            seg = frames[0]
+            for fr in frames[1:]:
+                seg = seg.unionByName(fr)
+            # lengths are not observable (inner nodes are anonymous):
+            # total path count per (entry, exit) is the multiplicity
+            seg = (seg.groupBy("__sg_a", "__sg_b")
+                      .agg(F.sum("__sg_c").alias("__sg_c")))
+            return seg.select(F.col("__sg_a").alias(pref + "s"),
+                              F.col("__sg_b").alias(pref + "d"),
+                              F.col("__sg_c").alias(pref + "cnt"))
+
+        def compile_pattern(spec):
             bound: dict[str, str] = {}   # node var -> id column name
             evars: dict[str, str] = {}   # edge var -> column prefix
+            fixed_prefs: list[str] = []  # fixed-edge aliases
+            cnt_cols: list[str] = []     # segment multiplicity columns
             cur = None
             pending = list(spec)
             progress = True
@@ -4850,15 +4971,22 @@ class KqlCompiler:
                         "(a cartesian product at scale) — share a "
                         "node variable between patterns")
                 progress = False
-                for k, (a, ev, b, _lo, _hi) in enumerate(pending):
+                for k, (a, ev, b, lo2, hi2) in enumerate(pending):
                     if cur is not None and a not in bound \
                             and b not in bound:
                         continue
-                    pref = f"__ge{tag}_{idx}_"
+                    pref = f"__ge_{idx}_"
                     idx += 1
-                    e = edges_df.select(
-                        *[F.col(c).alias(pref + c)
-                          for c in edges_df.columns])
+                    if lo2 is not None:
+                        e = segment_frame(lo2, hi2, pref)
+                        scol, dcol = pref + "s", pref + "d"
+                        cnt_cols.append(pref + "cnt")
+                    else:
+                        e = edges_df.select(
+                            *[F.col(c).alias(pref + c)
+                              for c in edges_df.columns])
+                        scol, dcol = pref + e_src, pref + e_dst
+                        fixed_prefs.append(pref)
                     if ev:
                         if ev in evars:
                             raise ValueError(
@@ -4871,28 +4999,38 @@ class KqlCompiler:
                         conds = []
                         if a in bound:
                             conds.append(F.col(bound[a])
-                                         == F.col(pref + e_src))
+                                         == F.col(scol))
                         if b in bound:
                             conds.append(F.col(bound[b])
-                                         == F.col(pref + e_dst))
+                                         == F.col(dcol))
                         cond = conds[0]
                         for c2 in conds[1:]:
                             cond = cond & c2
                         cur = cur.join(e, cond, "inner")
                     if a not in bound:
-                        bound[a] = pref + e_src
+                        bound[a] = scol
                     if b not in bound:
-                        bound[b] = pref + e_dst
+                        bound[b] = dcol
                     pending.pop(k)
                     progress = True
                     break
-            # node-property joins (only for real node vars; the
-            # synthetic mid-vars of var-length expansion never join)
+            if cycles in ("unique_edges", "none"):
+                # Kusto's DEFAULT: no edge repeated within one match —
+                # pairwise-distinct (src, dst) over the fixed edge
+                # aliases (uniqueness across a collapsed segment
+                # boundary is not enforced; documented subset)
+                for x in range(len(fixed_prefs)):
+                    for y in range(x + 1, len(fixed_prefs)):
+                        px, py = fixed_prefs[x], fixed_prefs[y]
+                        cur = cur.where(~(
+                            F.col(px + e_src).eqNullSafe(
+                                F.col(py + e_src))
+                            & F.col(px + e_dst).eqNullSafe(
+                                F.col(py + e_dst))))
+            # node-property joins (real node vars only)
             node_prefs: dict[str, str] = {}
             if nodes_df is not None:
                 for v, idc in bound.items():
-                    if v.startswith("__gm_mid"):
-                        continue
                     npref = f"__gn_{v}_"
                     n = nodes_df.select(
                         *[F.col(c).alias(npref + c)
@@ -4902,13 +5040,13 @@ class KqlCompiler:
                         "inner")
                     node_prefs[v] = npref
             if cycles == "none":
-                real = [v for v in bound if not v.startswith("__gm_mid")]
+                real = list(bound)
                 for x in range(len(real)):
                     for y in range(x + 1, len(real)):
                         cur = cur.where(
                             ~F.col(bound[real[x]]).eqNullSafe(
                                 F.col(bound[real[y]])))
-            return cur, bound, evars, node_prefs
+            return cur, bound, evars, node_prefs, cnt_cols
 
         def rewrite(toks, bound, evars, node_prefs):
             out = []
@@ -4921,7 +5059,7 @@ class KqlCompiler:
                     if v in node_prefs:
                         out.append(Tok("ident", node_prefs[v] + p))
                         continue
-                    if v in bound and not v.startswith("__gm_mid"):
+                    if v in bound:
                         raise ValueError(
                             f"KQL: graph-match: node {v!r} has no "
                             f"property table (make-graph without "
@@ -4937,42 +5075,47 @@ class KqlCompiler:
                 out.append(t)
             return out
 
-        outs = []
-        for vtag, spec in enumerate(variants):
-            cur, bound, evars, node_prefs = compile_variant(spec, vtag)
-            if where_text:
-                toks = rewrite(_tokenize(where_text), bound, evars,
-                               node_prefs)
-                cur = cur.where(F.expr(_compile_expr_tokens(toks, cur)))
-            cols = []
-            for i2, grp in enumerate(
-                    _split_top_commas(_tokenize(proj_text))):
-                # output names come from the ORIGINAL tokens (bare
-                # node var -> var; bare var.prop -> var_prop) — the
-                # rewritten internal column names are per-variant and
-                # must never leak into the schema (the var-length
-                # union aligns by name)
-                if len(grp) >= 2 and grp[0].kind == "ident" \
-                        and grp[1].text == "=":
-                    name, body = grp[0].text, grp[2:]
+        cur, bound, evars, node_prefs, cnt_cols = \
+            compile_pattern(edges_spec)
+        if where_text:
+            toks = rewrite(_tokenize(where_text), bound, evars,
+                           node_prefs)
+            cur = cur.where(F.expr(_compile_expr_tokens(toks, cur)))
+        cols = []
+        for i2, grp in enumerate(
+                _split_top_commas(_tokenize(proj_text))):
+            # output names come from the ORIGINAL tokens (bare
+            # node var -> var; bare var.prop -> var_prop) — the
+            # rewritten internal column names must never leak into
+            # the schema
+            if len(grp) >= 2 and grp[0].kind == "ident" \
+                    and grp[1].text == "=":
+                name, body = grp[0].text, grp[2:]
+            else:
+                name, body = None, grp
+            if name is None:
+                if len(body) == 1 and body[0].kind == "ident":
+                    name = body[0].text.replace(".", "_")
                 else:
-                    name, body = None, grp
-                if name is None:
-                    if len(body) == 1 and body[0].kind == "ident":
-                        name = body[0].text.replace(".", "_")
-                    else:
-                        name = f"col{i2}"
-                body = rewrite(body, bound, evars, node_prefs)
-                sql = _compile_expr_tokens(body, cur)
-                cols.append(F.expr(sql).alias(name))
-            outs.append(cur.select(*cols))
-        out = outs[0]
-        for o in outs[1:]:
-            # one output row per MATCHED PATH (Kusto's contract): the
-            # hop-length variants are disjoint path sets, so a plain
-            # union — no dedup — is exactly per-path emission
-            out = out.unionByName(o)
-        return out
+                    name = f"col{i2}"
+            body = rewrite(body, bound, evars, node_prefs)
+            sql = _compile_expr_tokens(body, cur)
+            cols.append(F.expr(sql).alias(name))
+        if not cnt_cols:
+            return cur.select(*cols)
+        # one output row per MATCHED PATH (Kusto's contract): the
+        # collapsed segments carried their path counts through the
+        # joins; ONE explode at the very end restores the exact
+        # per-path multiplicity without ever materializing the paths
+        mult = F.col(cnt_cols[0])
+        for c in cnt_cols[1:]:
+            mult = mult * F.col(c)
+        return (cur.select(*cols, mult.alias("__gm_mult"))
+                   .withColumn("__gm_i",
+                               F.explode(F.sequence(
+                                   F.lit(1).cast("long"),
+                                   F.col("__gm_mult"))))
+                   .drop("__gm_mult", "__gm_i"))
 
     def _graph_to_table(self, df: DataFrame, rest: str) -> DataFrame:
         """``graph-to-table nodes [with_node_id=name]`` /
@@ -5085,11 +5228,15 @@ class KqlCompiler:
         reachability between node bindings, bounded by the hop range
         (cap 8, as graph-match).
 
-        Spark-first shape: each hop count is a fixed equi-join chain
-        over edge-table aliases carrying a literal ``hops`` column;
-        the union is filtered to ``hops == min(hops) OVER (a, b)`` —
-        one windowed aggregation, no iterative driver loop, every
-        stage a shuffle-on-key. ``output=any`` (default, Kusto's too)
+        Spark-first shape: LEVEL-SYNCHRONOUS BFS — each hop count's
+        frame is the DISTINCT (source, frontier-node) pair set derived
+        from the previous level by one equi-join + one distinct, so
+        every level is bounded by |V|^2 pairs regardless of how many
+        paths realize them (r7 verdict #2: a plain self-join chain
+        enumerates O(avg_degree^hops) paths on a dense graph); the
+        union of levels is then reduced to the per-pair minimum by one
+        grouped aggregation — no iterative driver loop, every stage a
+        shuffle-on-key. ``output=any`` (default, Kusto's too)
         emits ONE row per (a, b) pair at its shortest length;
         ``output=all`` keeps every distinct binding at that length.
         ``where``/``project`` reference the endpoint node variables
@@ -5136,24 +5283,32 @@ class KqlCompiler:
                 f"KQL: graph-shortest-paths hop range must satisfy "
                 f"1 <= lo <= hi <= {self._GRAPH_MAX_HOPS}")
         edges_df, e_src, e_dst = g["edges"], g["src"], g["dst"]
+        # Level-synchronous BFS (r7 verdict #2): each length frame is
+        # the DISTINCT (source, frontier-node) pair set, built from
+        # the previous frame by one equi-join + one distinct — every
+        # level is bounded by |V|^2 PAIRS, never by the number of
+        # paths (a chain of self-joins without the per-level dedup is
+        # O(avg_degree^hops) intermediate rows on a dense or
+        # near-cyclic graph, independent of input size). Shortest-path
+        # needs frontiers, not paths: min-hops per pair is identical.
+        step = edges_df.select(F.col(e_src).alias("__gsp_s"),
+                               F.col(e_dst).alias("__gsp_d"))
+        frontier = (step.select(F.col("__gsp_s").alias("__gsp_a"),
+                                F.col("__gsp_d").alias("__gsp_b"))
+                        .distinct())
         ln_frames = []
-        for ln in range(lo, hi + 1):
-            cur = None
-            for j in range(ln):
-                pref = f"__gsp{ln}_{j}_"
-                e = edges_df.select(
-                    F.col(e_src).alias(pref + "s"),
-                    F.col(e_dst).alias(pref + "d"))
-                if cur is None:
-                    cur = e
-                else:
-                    cur = cur.join(
-                        e, F.col(f"__gsp{ln}_{j - 1}_d")
-                        == F.col(pref + "s"), "inner")
-            ln_frames.append(cur.select(
-                F.col(f"__gsp{ln}_0_s").alias("__gsp_a"),
-                F.col(f"__gsp{ln}_{ln - 1}_d").alias("__gsp_b"),
-                F.lit(ln).cast("long").alias("hops")))
+        for ln in range(1, hi + 1):
+            if ln > 1:
+                frontier = (frontier
+                            .join(step,
+                                  F.col("__gsp_b") == F.col("__gsp_s"),
+                                  "inner")
+                            .select(F.col("__gsp_a"),
+                                    F.col("__gsp_d").alias("__gsp_b"))
+                            .distinct())
+            if ln >= lo:
+                ln_frames.append(frontier.withColumn(
+                    "hops", F.lit(ln).cast("long")))
         un = ln_frames[0]
         for fr in ln_frames[1:]:
             un = un.unionByName(fr)
@@ -5994,8 +6149,19 @@ class KqlCompiler:
                     if kt != state_key:
                         state_key = kt
                         prev_v = first_v = None
+                        first_orig = None
+                    if v != v:
+                        # null Expr value: emit null for THIS row only
+                        # and clear the session state so the next
+                        # non-null row starts a fresh session — without
+                        # the reset every NaN comparison below is False
+                        # and one null timestamp would poison the rest
+                        # of the key's output (r7 advice #2)
+                        prev_v = first_v = None
+                        first_orig = None
+                        out_vals.append(None)
+                        continue
                     if (first_v is None or rs[i]
-                            or v != v
                             or (prev_v is not None
                                 and v - prev_v > max_between)
                             or v - first_v > max_first):

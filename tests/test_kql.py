@@ -3535,3 +3535,184 @@ def test_countof_regex_kind(spark, sf_dir):
     assert (r["n"], r["m"]) == (3, 2)
     with pytest.raises(ValueError, match="kind"):
         kql(spark, sf_dir, "print x = countof('a', 'a', 'weird')")
+
+
+# -------------------------------------------------- r8 advice-fix pins
+
+def test_fork_child_state_isolated(spark, sf_dir):
+    """r7 advice #1: a `sort by` inside one fork child must not leak
+    serialized order into sibling children or post-fork stages — a
+    later row_number() without its own sort raises instead of
+    silently reusing the sibling's order."""
+    rows = kql(spark, sf_dir, """
+      datatable (t:long, v:long) [1, 10, 2, 20]
+        | fork a = (sort by t desc | extend r = row_number())
+               b = (extend w = v * 2)
+    """).collect()
+    got = {(r["fork_name"], r["t"], r["r"], r["w"]) for r in rows}
+    assert got == {("a", 2, 1, None), ("a", 1, 2, None),
+                   ("b", 1, None, 20), ("b", 2, None, 40)}
+    # sibling after a sorting child: must NOT see child a's order
+    with pytest.raises(ValueError, match="sort"):
+        kql(spark, sf_dir, """
+          datatable (t:long) [1, 2]
+            | fork a = (sort by t desc | extend r = row_number())
+                   b = (extend r2 = row_number())
+        """)
+    # post-fork stage: order must not survive the fork either
+    with pytest.raises(ValueError, match="sort"):
+        kql(spark, sf_dir, """
+          datatable (t:long) [1, 2]
+            | fork a = (sort by t desc | extend r = row_number())
+                   b = (extend w = t)
+            | extend r3 = row_number()
+        """)
+
+
+def test_fork_facet_persist_bounded(spark, sf_dir):
+    """r7 advice #5: fork/facet persist() handles are bounded — older
+    cached inputs are unpersisted once more than _PERSIST_KEEP
+    accumulate, so a long session cannot pin unbounded executor
+    storage."""
+    from azure_kusto_parquet_conv_spark import kql as kql_mod
+    kql_mod._persisted_inputs.clear()
+    first = None
+    for i in range(kql_mod._PERSIST_KEEP + 2):
+        kql(spark, sf_dir, f"""
+          datatable (a:long, b:long) [1, {i}, 2, {i + 1}]
+            | facet by a, b
+        """).collect()
+        if first is None:
+            first = kql_mod._persisted_inputs[0]
+    assert len(kql_mod._persisted_inputs) <= kql_mod._PERSIST_KEEP
+    # the evicted first handle is fully unpersisted
+    assert not first.storageLevel.useMemory \
+        and not first.storageLevel.useDisk
+
+
+def test_parse_kv_quote_first_occurrence_wins(spark, sf_dir):
+    """r7 advice #4: when the same key appears first unquoted then
+    quoted in one line, parse-kv must return the FIRST occurrence
+    (Kusto: first wins), not '' from a group mismatch."""
+    rows = kql(spark, sf_dir, """
+      datatable (line:string) [
+        'msg=plain pri=3 msg="later"',
+        'msg="quoted first" pri=4 msg=loser',
+        'pri=5 msg="only quoted"'
+      ]
+      | parse-kv line as (msg:string, pri:long)
+          with (pair_delimiter=' ', kv_delimiter='=', quote='"')
+      | project msg, pri
+    """).collect()
+    got = {(r["msg"], r["pri"]) for r in rows}
+    assert got == {("plain", 3), ("quoted first", 4),
+                   ("only quoted", 5)}
+
+
+def test_row_window_session_null_value_does_not_poison(spark, sf_dir):
+    """r7 advice #2: a null session-expression value emits null for
+    that row only and forces the NEXT non-null row to start a fresh
+    session, instead of poisoning the rest of the key's output."""
+    rows = kql(spark, sf_dir, """
+      datatable (u:long, t:long, raw:string) [
+        1, 1, '2024-01-01 00:00:00',
+        1, 2, '',
+        1, 3, '2024-01-01 00:00:05',
+        1, 4, '2024-01-01 00:00:06'
+      ]
+      | extend ts = todatetime(raw)
+      | partition by u (
+          sort by t asc
+          | extend s = row_window_session(ts, 1h, 1m)
+        )
+      | project t, s
+    """).collect()
+    got = {r["t"]: (None if r["s"] is None else str(r["s"])) for r in rows}
+    assert got[1] == "2024-01-01 00:00:00"
+    assert got[2] is None
+    assert got[3] == "2024-01-01 00:00:05"
+    assert got[4] == "2024-01-01 00:00:05"
+
+
+def test_graph_match_cycles_unique_edges_default(spark, sf_dir):
+    """r7 advice #3: graph-match defaults to Kusto's
+    cycles=unique_edges — a walk reusing the same edge (self-loop
+    twice) is excluded by default and included under cycles=all."""
+    pre = """
+      let E = datatable (src:string, dst:string) [
+        'a','a', 'a','b'
+      ];
+      E | make-graph src --> dst
+    """
+    rows = kql(spark, sf_dir, pre + """
+      | graph-match (x)-[*2..2]->(y) project x, y
+    """).collect()
+    assert sorted((r["x"], r["y"]) for r in rows) == [("a", "b")]
+    rows2 = kql(spark, sf_dir, pre + """
+      | graph-match cycles=all (x)-[*2..2]->(y) project x, y
+    """).collect()
+    assert sorted((r["x"], r["y"]) for r in rows2) == [("a", "a"),
+                                                      ("a", "b")]
+    # fixed edges: two aliases may not bind the same (src, dst) edge
+    rows3 = kql(spark, sf_dir, pre + """
+      | graph-match (x)-[e1]->(y)-[e2]->(z) project x, y, z
+    """).collect()
+    assert sorted((r["x"], r["y"], r["z"]) for r in rows3) == [
+        ("a", "a", "b")]
+    rows4 = kql(spark, sf_dir, pre + """
+      | graph-match cycles=all (x)-[e1]->(y)-[e2]->(z)
+          project x, y, z
+    """).collect()
+    assert sorted((r["x"], r["y"], r["z"]) for r in rows4) == [
+        ("a", "a", "a"), ("a", "a", "b")]
+
+
+def test_graph_match_segment_collapse_plan_and_multiplicity(spark,
+                                                           sf_dir):
+    """r7 verdict #6: a variable-length segment is collapsed to
+    (entry, exit, path-count) before joining the rest of the pattern
+    — the plan carries the segment Aggregate and a final explode
+    restores exact per-path multiplicity (the diamond's two 2-hop
+    a->d paths are two rows, as before the collapse)."""
+    df = kql(spark, sf_dir, """
+      let E = datatable (src:string, dst:string) [
+        'a','b', 'a','c', 'b','d', 'c','d', 'd','e'
+      ];
+      E
+      | make-graph src --> dst
+      | graph-match (s)-[*1..3]->(t)
+          project s, t
+    """)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "Generate explode" in plan
+    assert "Aggregate" in plan
+    from collections import Counter
+    got = Counter((r["s"], r["t"]) for r in df.collect())
+    # per-path multiplicity: a->d twice at 2 hops, a->e twice at 3
+    assert got[("a", "d")] == 2
+    assert got[("a", "e")] == 2
+    assert got[("a", "b")] == 1
+
+
+def test_graph_shortest_paths_frontier_plan(spark, sf_dir):
+    """r7 verdict #2: graph-shortest-paths runs level-synchronous BFS
+    — the optimized plan carries a per-level Aggregate (distinct) for
+    every expansion level, so intermediates are frontiers (<= |V|^2),
+    not enumerated paths; output on a dense cyclic graph is still the
+    exact min-hop table."""
+    df = kql(spark, sf_dir, """
+      let E = datatable (src:string, dst:string) [
+        'a','b', 'b','a', 'b','c', 'c','a', 'c','c'
+      ];
+      E | make-graph src --> dst
+        | graph-shortest-paths (s)-[*1..4]->(t) project s, t, hops
+    """)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    # 4 levels of distinct + the final per-pair min = >= 5 Aggregates
+    assert plan.count("Aggregate") >= 5
+    got = {(r["s"], r["t"]): r["hops"] for r in df.collect()}
+    assert got == {
+        ("a", "b"): 1, ("a", "a"): 2, ("a", "c"): 2,
+        ("b", "a"): 1, ("b", "c"): 1, ("b", "b"): 2,
+        ("c", "a"): 1, ("c", "c"): 1, ("c", "b"): 2,
+    }
