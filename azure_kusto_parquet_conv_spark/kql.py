@@ -5783,19 +5783,27 @@ class KqlCompiler:
 
         Supported subset of Kusto semantics (documented): rows are
         scanned in serialized order; ONE active sequence per scan
-        scope advances greedily — a row is emitted (with its step
-        name, a 0-based sequence ``match_id``, and the declared state
-        variables as output columns) iff it satisfies the NEXT
-        expected step's predicate; when the final step fires the
-        sequence completes, its state resets to the declared defaults,
-        and the next match begins. Rows of incomplete trailing
-        sequences are still emitted (Kusto emits on match, not on
-        completion). Documented deviations from full Kusto: steps do
-        not re-match/extend (Kusto's cumulative-sum idiom of a step
-        matching repeatedly), and there is a single active sequence
-        per scope rather than Kusto's concurrent sequence spawning —
-        the advance-only single-sequence contract is what every pin
-        and the streaming twin implement.
+        scope advances greedily. Per row, in priority order: the row
+        ADVANCES the sequence if it satisfies the next expected
+        step's predicate; else it EXTENDS the sequence if it
+        satisfies the CURRENT (last-matched) step's predicate again —
+        Kusto's repeated-step matching, which is what makes the
+        cumulative-sum idiom (``step s: true => cum = cum + x``)
+        accumulate across every row (r7 verdict #4); else, if the
+        final step has fired (the sequence is complete but still
+        extendable at its last step), a row satisfying step 1 against
+        DEFAULT state starts a fresh sequence with the next
+        ``match_id`` and freshly-reset declared state. Non-matching
+        rows are skipped and leave the sequence active. Every
+        matching row is emitted with its step name, the 0-based
+        sequence ``match_id``, and the declared state variables as
+        output columns (Kusto emits on match, not on completion;
+        incomplete trailing sequences still emit). Documented
+        deviation from full Kusto: a single active sequence per scope
+        rather than Kusto's concurrent sequence spawning — a row that
+        matches step 1 while a sequence is mid-flight does not spawn
+        a second sequence (extend/advance of the active sequence
+        always wins).
 
         ``declare`` state: assignments (``=> v = expr``) run when
         their step matches, in order, BEFORE the row is emitted; a
@@ -6009,6 +6017,22 @@ class KqlCompiler:
                             if a.dtype.kind in "fO" else a[i]
                             for c, a in py_arrs.items()}
 
+                def step_hit(j, i, state):
+                    if steps[j][1] is None:
+                        return bool(py_preds[j][0](row_at(i), state))
+                    return bool(preds[j][i])
+
+                def emit(j, i):
+                    if j in assigns:
+                        row = row_at(i)
+                        for v, fn2, _u in assigns[j]:
+                            st[v] = fn2(row, st)
+                    idx.append(i)
+                    labels.append(step_names[j])
+                    mids.append(mid)
+                    for v in decl_names:
+                        var_out[v].append(st[v])
+
                 for i in range(len(pdf)):
                     # normalize NaN/NaT (x != x) so a null scan key still
                     # forms ONE group, matching groupBy null semantics
@@ -6017,30 +6041,25 @@ class KqlCompiler:
                     if kt != state_key:
                         state_key, k, mid = kt, 0, 0
                         st = dict(init_st)
-                    if steps[k][1] is None:
-                        row = row_at(i)
-                        hit = bool(py_preds[k][0](row, st))
-                    else:
-                        row = None
-                        hit = preds[k][i]
-                    if hit:
-                        if k in assigns:
-                            if row is None:
-                                row = row_at(i)
-                            for v, fn2, _u in assigns[k]:
-                                st[v] = fn2(row, st)
-                        idx.append(i)
-                        labels.append(step_names[k])
-                        mids.append(mid)
-                        for v in decl_names:
-                            var_out[v].append(st[v])
+                    # k = number of steps matched by the active
+                    # sequence (0 = idle; n_steps = completed, still
+                    # extendable at the last step). Priority per row:
+                    # ADVANCE to step k, else EXTEND step k-1 (Kusto's
+                    # repeated-step matching — the cumulative idiom),
+                    # else if completed START a fresh sequence at
+                    # step 0 against default state.
+                    if k < n_steps and step_hit(k, i, st):
+                        emit(k, i)
                         k += 1
-                        if k == n_steps:
-                            k = 0
+                    elif k > 0 and step_hit(k - 1, i, st):
+                        emit(k - 1, i)
+                    elif k == n_steps:
+                        fresh = dict(init_st)
+                        if step_hit(0, i, fresh):
+                            st = fresh
                             mid += 1
-                            # a completed match releases its state:
-                            # the next sequence starts from defaults
-                            st = dict(init_st)
+                            emit(0, i)
+                            k = 1
                 res = pdf.iloc[idx][keep].copy()
                 for v in decl_names:
                     res[v] = pd.Series(var_out[v], index=res.index,

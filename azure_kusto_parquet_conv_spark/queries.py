@@ -1584,6 +1584,83 @@ def q_knn_lsh_exact(spark, sf_dir):
                       "cosine")
 
 
+@query("q_knn_pq_exact", """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+           FROM embeddings WHERE vec_id % 29 = 0),
+ranked AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         ROUND(list_cosine_similarity(q.qv, c.embedding), 4) AS cosine,
+         row_number() OVER (
+           PARTITION BY q.query_id
+           ORDER BY list_cosine_similarity(q.qv, c.embedding) DESC,
+                    c.vec_id) AS rn
+  FROM q, embeddings c)
+SELECT query_id, neighbor_id, CAST(1 AS BIGINT) AS rank, cosine
+FROM ranked WHERE rn = 1
+""")
+def q_knn_pq_exact(spark, sf_dir):
+    """PQ/ADC ANN with a HARD hash-matched oracle (r7 verdict #5, the
+    q_knn_ivf_exact pattern on the product-quantization family):
+    queries are corpus members, and a query's OWN code attains the
+    per-subspace minimum distance in every ADC lookup table — its ADC
+    distance is the PROVABLE global minimum over all codes, so the
+    self-pair always survives the rerank cut, and the exact-dot
+    re-rank puts cosine 1.0 strictly above every distinct vector.
+    Top-1 recall provably 1.0; the DuckDB twin is genuine brute-force
+    top-1 — any drift in codebook training, encoding, the ADC
+    lookup-sum, or the re-rank goes red in the driver hash."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") % 29 == 0)
+    books = _PQ_CODEBOOKS.get(sf_dir)
+    if books is None:
+        books = _PQ_CODEBOOKS[sf_dir] = S.train_pq_codebooks(e, seed=42)
+    out = S.knn_pq(q, e, k=1, codebooks=books, include_self=True)
+    return out.select("query_id", "neighbor_id",
+                      F.col("rank").cast("long").alias("rank"),
+                      "cosine")
+
+
+@query("q_knn_ivfpq_exact", """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+           FROM embeddings WHERE vec_id % 29 = 0),
+ranked AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         ROUND(list_cosine_similarity(q.qv, c.embedding), 4) AS cosine,
+         row_number() OVER (
+           PARTITION BY q.query_id
+           ORDER BY list_cosine_similarity(q.qv, c.embedding) DESC,
+                    c.vec_id) AS rn
+  FROM q, embeddings c)
+SELECT query_id, neighbor_id, CAST(1 AS BIGINT) AS rank, cosine
+FROM ranked WHERE rn = 1
+""")
+def q_knn_ivfpq_exact(spark, sf_dir):
+    """IVF-PQ ANN with a HARD hash-matched oracle (r7 verdict #5):
+    corpus-member queries + n_probe=1 — the probe argsort and the
+    index assignment share the same deterministic nearest-centroid
+    rule, so the query's own inverted list is always scanned
+    (q_knn_ivf_exact's argument), and within it the query's own code
+    is the provable ADC minimum (q_knn_pq_exact's argument) — the
+    composed recipe MUST return the self-pair at cosine 1.0. DuckDB
+    twin: brute-force top-1. This converts the last ANN rows-only
+    family into hash-proof."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") % 29 == 0)
+    cents = _IVF_CENTROIDS.get(sf_dir)
+    if cents is None:
+        cents = _IVF_CENTROIDS[sf_dir] = S.train_ivf_centroids(
+            e, n_lists=16, seed=42)
+    books = _PQ_CODEBOOKS.get(sf_dir)
+    if books is None:
+        books = _PQ_CODEBOOKS[sf_dir] = S.train_pq_codebooks(e, seed=42)
+    out = S.knn_ivfpq(q, e, k=1, n_lists=16, n_probe=1,
+                      centroids=cents, codebooks=books,
+                      include_self=True)
+    return out.select("query_id", "neighbor_id",
+                      F.col("rank").cast("long").alias("rank"),
+                      "cosine")
+
+
 @query("q_knn_lsh")  # seeded random hyperplanes: no SQL equivalent
 def q_knn_lsh(spark, sf_dir):
     """LSH-bucketed approximate top-5 (rows-only; pytest measures recall
@@ -5468,6 +5545,34 @@ def q_kql_scan_declare(spark, sf_dir):
             step s_fire: e == 'fire';
           )
         | project i, step, acc, mid
+    """)
+
+
+@query("q_kql_scan_cumulative", """
+SELECT CAST(i AS BIGINT) AS i,
+       CAST(i * (i + 1) // 2 AS BIGINT) AS cum,
+       CAST(0 AS BIGINT) AS mid
+FROM range(0, 100) t(i)
+""")
+def q_kql_scan_cumulative(spark, sf_dir):
+    """Kusto's canonical cumulative-sum scan idiom (r7 verdict #4):
+    a single always-true step accumulates `cum = cum + i` across
+    EVERY row via repeated-step matching — after the first row
+    completes the one-step sequence, each subsequent row EXTENDS it
+    (advance > extend > restart priority in the kernel), so the
+    declared state never resets and match_id stays 0. Closed form:
+    cum = i(i+1)/2 — the DuckDB twin is pure arithmetic over
+    range(100), no automaton. Before r8 the step could not re-match
+    and this idiom (the operator's most common production use)
+    reset state at every row."""
+    from azure_kusto_parquet_conv_spark.kql import kql
+    return kql(spark, sf_dir, """
+      range i from 0 to 99 step 1
+        | sort by i asc
+        | scan with_match_id=mid declare (cum:long = 0) with (
+            step s: true => cum = cum + i;
+          )
+        | project i, cum, mid
     """)
 
 

@@ -311,7 +311,10 @@ def scan_stream(events: DataFrame, steps: list[tuple[str, str]],
     ``scan`` operator (kql.py _scan): per ``key``, rows advance a greedy
     single-sequence automaton through ``steps`` (name, SQL predicate)
     in EVENT-TIME order, emitting each matching row with its step name
-    and a per-key match_id.
+    and a per-key match_id. The automaton is the batch one row-for-row:
+    advance to the next step, else EXTEND the current step on a repeat
+    match (Kusto's repeated-step semantics, r7 verdict #4), else start
+    a fresh sequence when the completed automaton sees a step-1 match.
 
     Determinism on an out-of-order stream comes from the watermark
     buffer: arriving rows are held in state and only fed to the
@@ -391,13 +394,26 @@ def scan_stream(events: DataFrame, steps: list[tuple[str, str]],
         out = []
         uid = key_tuple[0]
         for ord_ns, eid, m in ready:
-            if m & (1 << k):
+            # same priority as the batch kernel (kql.py _scan):
+            # ADVANCE to step k, else EXTEND step k-1 (repeated-step
+            # matching), else at the completed state START a fresh
+            # sequence on a step-1 match (k == n_steps means
+            # completed-but-extendable at the last step)
+            if k < n_steps and m & (1 << k):
                 out.append({"user_id": uid, "event_id": eid,
                             "ts_us": ord_ns // 1000, "step": names[k],
                             "match_id": mid})
                 k += 1
-                if k == n_steps:
-                    k, mid = 0, mid + 1
+            elif k > 0 and m & (1 << (k - 1)):
+                out.append({"user_id": uid, "event_id": eid,
+                            "ts_us": ord_ns // 1000,
+                            "step": names[k - 1], "match_id": mid})
+            elif k == n_steps and m & 1:
+                mid += 1
+                out.append({"user_id": uid, "event_id": eid,
+                            "ts_us": ord_ns // 1000, "step": names[0],
+                            "match_id": mid})
+                k = 1
         state.update((k, mid, _pack(p[0] for p in pend),
                       _pack(p[1] for p in pend),
                       _pack(p[2] for p in pend)))

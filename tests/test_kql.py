@@ -1203,15 +1203,25 @@ def test_scan_matches_python_reference_on_events(spark, sf_dir):
         rs.sort(key=lambda r: (r["ts_ns"], r["event_id"]))
         k, mid = 0, 0
         for r in rs:
-            if preds[k](r["event_type"]):
+            e = r["event_type"]
+            # advance > extend > restart-at-completed (Kusto
+            # repeated-step semantics, r7 verdict #4)
+            if k < 3 and preds[k](e):
                 want.add((u, r["event_id"], names[k], mid))
                 k += 1
-                if k == 3:
-                    k, mid = 0, mid + 1
+            elif k > 0 and preds[k - 1](e):
+                want.add((u, r["event_id"], names[k - 1], mid))
+            elif k == 3 and preds[0](e):
+                mid += 1
+                want.add((u, r["event_id"], names[0], mid))
+                k = 1
     assert got_set == want and len(want) > 0
 
 
 def test_scan_with_match_id_name_and_single_step(spark, sf_dir):
+    """Single-step scan: Kusto's repeated-step matching keeps ONE
+    sequence extending across every matching row (the cumulative
+    idiom), so both x rows share match_id 0."""
     out = kql(spark, sf_dir, """
       datatable (t:long, e:string) [1,'x', 2,'y', 3,'x']
       | sort by t asc
@@ -1219,7 +1229,7 @@ def test_scan_with_match_id_name_and_single_step(spark, sf_dir):
     """)
     assert "seq" in out.columns
     assert [(r["t"], r["seq"]) for r in
-            sorted(out.collect(), key=lambda r: r["t"])] == [(1, 0), (3, 1)]
+            sorted(out.collect(), key=lambda r: r["t"])] == [(1, 0), (3, 0)]
 
 
 def test_row_cumsum_partitioned(spark, sf_dir):
@@ -1602,7 +1612,8 @@ def test_make_series_empty_range(spark, sf_dir):
 def test_scan_desc_order_and_first_row_multi_step(spark, sf_dir):
     """Edge: scan under a DESC serialized order walks rows in that
     order; a row matching several step predicates advances exactly one
-    step (the next expected one)."""
+    step (the next expected one); after completion a row matching the
+    final step again EXTENDS the match (repeated-step semantics)."""
     rows = sorted(map(tuple, kql(spark, sf_dir, """
       datatable (u:long, t:long, e:string) [
         1, 3, 'a',  1, 2, 'both',  1, 1, 'b'
@@ -1613,8 +1624,10 @@ def test_scan_desc_order_and_first_row_multi_step(spark, sf_dir):
                        step s2: e == 'b' or e == 'both';)
         )
     """).collect()))
-    # t desc: 'a'(s1) -> 'both' matches s2 (not restart) -> complete
-    assert rows == [(1, 2, "both", "s2", 0), (1, 3, "a", "s1", 0)]
+    # t desc: 'a'(s1) -> 'both' matches s2 (advance, complete) ->
+    # 'b' re-matches s2 (extend, same match)
+    assert rows == [(1, 1, "b", "s2", 0), (1, 2, "both", "s2", 0),
+                    (1, 3, "a", "s1", 0)]
 
 
 def test_search_no_string_columns_raises(spark, sf_dir):
@@ -1931,11 +1944,15 @@ def test_scan_property_random_orders(spark, sf_dir, seed):
         rs.sort()
         k, mid = 0, 0
         for _, i, e in rs:
-            if preds[k](e):
+            if k < 3 and preds[k](e):
                 want.add((u, i, names[k], mid))
                 k += 1
-                if k == 3:
-                    k, mid = 0, mid + 1
+            elif k > 0 and preds[k - 1](e):
+                want.add((u, i, names[k - 1], mid))
+            elif k == 3 and preds[0](e):
+                mid += 1
+                want.add((u, i, names[0], mid))
+                k = 1
     assert got_set == want and len(want) > 0
 
 
@@ -3050,9 +3067,12 @@ def test_scan_declare_assignments_and_state_predicates(spark, sf_dir):
         (1, 3, "s_end", 15, "u1", 0),
         (2, 1, "s_start", 7, "u2", 0),
         # u2's first end arrives while s_add is expected -> no match;
-        # state persists until the partition's sequence completes
-        (2, 4, "s_add", 9, "u2", 0),
-        (2, 5, "s_end", 9, "u2", 0),
+        # the second 'start' RE-MATCHES s_start (repeated-step
+        # semantics): its assignments re-run, restarting the
+        # accumulator at v=1 within the same match
+        (2, 3, "s_start", 1, "u2", 0),
+        (2, 4, "s_add", 3, "u2", 0),
+        (2, 5, "s_end", 3, "u2", 0),
     ]
     # state-dependent predicate: cap the adds at n < 2
     rows2 = sorted(map(tuple, kql(spark, sf_dir, """
