@@ -6250,54 +6250,52 @@ DRIVER_WINDOW = [
     "convert_jsonl_region", "convert_csv_lineitem",
     "q_missing_column_fill", "csl_schema_lineitem", "q_schema_lineitem",
     "q_convert_binary", "rowgroups_lineitem", "q_filter_projection",
-    # ---- round-7 rotation: closes the attestation gap COMPLETELY
-    # (r6 verdict demand #1) — after this window, every catalog entry
-    # ever staged has had a driver row. 22 oracled entries (the 17
-    # never-checked r6 residue + 5 new-in-r7) + the 15 rows-only
-    # families for their first (weaker, rows-only) driver contact.
-    # The r6 rotation is banked driver-green and falls back to the
-    # in-repo replica gate (tests/test_queries_oracle.py). ----
-    # new-in-r7: hard-oracled MinHash dedup (planted exact clones,
-    # recall provably 1.0 — r6 verdict demand #2) + the KQL surface
-    # stretch (parse-kv / facet / fork / series_periods_detect —
-    # demand #6)
-    "q_dedup_minhash_exact", "q_kql_parse_kv", "q_kql_facet",
-    "q_kql_fork", "q_kql_series_periods",
-    # r6 oracled residue, never driver-checked
-    "q_kql_series_forecast", "q_kql_narrow", "q_kql_ipv4",
-    "q_kql_datetime_math", "q_kql_split_version", "q_kql_row_rank",
-    "q_kql_find", "q_kql_fit_line", "q_kql_reduce", "q_kql_geo",
-    "q_kql_bag_ops", "q_knn_hamming", "q_bm25", "q_media_real_headers",
-    "q_url_dedup_real", "q_group_concat", "q_date_parts",
-    # rows-only families (no SQL twin by nature; pytest pins their
-    # semantics — the driver records the weaker rows-only check).
-    # q_dedup_minhash yields its slot to q_dedup_minhash_exact, which
-    # hash-proves the same LSH/signature/verify code path.
-    "q_kql_scan_funnel", "q_kql_sequence_detect", "q_kql_hll_reagg",
-    "q_dedup_incremental", "q_knn_ivf", "q_knn_pq", "q_knn_lsh",
-    "q_knn_ivfpq", "q_dedup_simhash", "q_dedup_embedding",
-    "q_dedup_clusters", "q_multimodal_frames", "q_approx_percentiles",
-    "q_freq_items", "q_sample_by",
+    # ---- round-8 rotation (r7 verdict #1): first driver rows for
+    # every never-checked entry — the 18 mid-r7 additions staged in
+    # the r7 ledger (hard-oracle ANN/dedup twins, the graph family,
+    # scan declare, row_window_session, the rolling-activity family,
+    # basket/format/rows_near) plus the 3 new-in-r8 entries
+    # (q_kql_scan_cumulative + the PQ-family hard oracles, staged the
+    # SAME round they landed per the r7 verdict-#8 hygiene rule). All
+    # 21 are oracled — this window has ZERO rows-only rotated slots.
+    "q_dedup_simhash_exact", "q_dedup_embedding_exact",
+    "q_knn_lsh_exact", "q_knn_pq_exact", "q_knn_ivfpq_exact",
+    "q_kql_scan_declare", "q_kql_scan_cumulative",
+    "q_kql_graph_match", "q_kql_graph_reachability",
+    "q_kql_graph_shortest", "q_kql_graph_components",
+    "q_kql_row_window_session", "q_kql_basket",
+    "q_kql_series_periods_validate", "q_kql_format_fns",
+    "q_kql_funnel_completion", "q_dup_spans", "q_kql_sliding_window",
+    "q_kql_activity_engagement", "q_kql_rows_near",
+    "q_kql_activity_counts",
+    # oldest-vintage back-fill: oracled entries whose last driver row
+    # is r2/r3 (banked green there; attestation refreshed here)
+    "q3_shipping_priority", "q5_supplier_volume", "q_agg_distinct",
+    "q_cube", "q_explode_tokens", "q_pivot", "q_resample_gaps",
+    "q_rollup", "q_scalar_subquery", "q_string_predicates",
+    "q_text_fingerprint", "q_text_quality", "q_token_count",
+    "q16_supplier_count", "q1_pricing_summary", "q8_market_share",
 ]
 
-# Rotation ledger: r1-r6 windows are banked driver-green in
-# CORRECTNESS_r0{1..6}.json; this r7 window is the FIRST to contain
-# every remaining never-driver-checked entry (oracled and rows-only
-# alike) — after CORRECTNESS_r07, the attestation gap is zero and
-# future rotations only need to cover NEW entries.
+# Rotation ledger: r1-r7 windows are banked driver-green in
+# CORRECTNESS_r0{1..7}.json. The r7 window closed the attestation gap
+# for everything staged before it; this r8 window covers the complete
+# never-driver-checked residue (18 mid-r7 + 3 new-in-r8 entries — the
+# staging list from the r7 ledger, verbatim) and back-fills the 16
+# free slots with the oldest-vintage (r2/r3) oracled entries.
 #
-# Round-8 rotation candidates — the 10 oracled entries born AFTER
-# the r7 window was sealed (mid-r7 additions, replica-green via
-# tests/test_queries_oracle.py but no driver row yet):
-# q_dedup_simhash_exact, q_dedup_embedding_exact, q_knn_lsh_exact,
-# q_kql_scan_declare, q_kql_graph_match, q_kql_graph_reachability,
-# q_kql_graph_shortest, q_kql_row_window_session, q_kql_basket,
-# q_kql_series_periods_validate, q_kql_format_fns,
-# q_kql_funnel_completion, q_dup_spans, q_kql_graph_components,
-# q_kql_sliding_window, q_kql_activity_engagement, q_kql_rows_near,
-# q_kql_activity_counts. The other ~19
-# rotating slots are free — back-fill with oracled entries whose last
-# driver row is oldest (r1/r2 vintages) to refresh their attestation.
+# HYGIENE RULE (r7 verdict #8, enforced by
+# tests/test_queries_oracle.py::test_driver_window_is_first_and_covers_families):
+# every catalog entry with no driver CORRECTNESS row yet MUST occupy a
+# window slot in the round it lands, while rotating slots remain — the
+# attestation gap can never exceed one round's additions.
+#
+# Round-9 rotation candidates: any entry added after this window was
+# sealed (the hygiene test will flag them), then continue the
+# oldest-vintage back-fill (next: the remaining r3 entries —
+# q_array_higher_order, q_conditional_agg, q_dedup_keep_latest,
+# q_dedup_ngram_jaccard, q_embed_quantize, q_embed_sim_pairs,
+# q_join_anti, q_join_outer, q_join_semi, ...).
 
 
 def _window_order(d: dict) -> dict:

@@ -171,6 +171,30 @@ def test_driver_window_is_first_and_covers_families():
     assert not ROWS_ONLY_ROTATED_R7 & set(ORACLES)
 
 
+def test_driver_window_covers_every_never_checked_entry():
+    """r7 verdict #8 hygiene rule: every catalog entry that has no
+    driver CORRECTNESS row across the banked rounds MUST hold a
+    DRIVER_WINDOW slot in the round it lands — the attestation gap can
+    never exceed one round's additions. (If the never-checked set ever
+    outgrows the 37 rotating slots, this fails loudly and the rotation
+    must be split across rounds deliberately, not silently.)"""
+    import glob
+    import json
+    import os
+
+    repo_root = os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))
+    seen: set[str] = set()
+    for p in glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json")):
+        seen |= set(json.load(open(p)))
+    assert seen, "no banked CORRECTNESS files found"
+    never = {n for n in QUERIES if n not in seen}
+    missing = never - set(DRIVER_WINDOW)
+    assert not missing, (
+        f"entries with no driver attestation are missing a window "
+        f"slot: {sorted(missing)}")
+
+
 ATOMIC = {"string", "long", "integer", "short", "byte", "double", "float",
           "boolean", "date", "timestamp", "timestamp_ntz", "binary",
           "decimal"}
