@@ -82,6 +82,11 @@ HEADLINE = [
     "q_kql_funnel_completion",
     "q_dup_spans",
     "q_kql_row_window_session",
+    # round-8 additions (r7 verdict #7): the rolling-activity MAU-curve
+    # workhorses — their explode-to-bins fan-out (lookback/bin per row)
+    # is the cost to watch at scale; clean-box record in COVERAGE.md.
+    "q_kql_sliding_window",
+    "q_kql_activity_counts",
 ]
 
 
