@@ -53,9 +53,11 @@ def test_no_accidental_cartesians_across_catalog(spark, sf_dir):
     allowed_nlj = {"q_knn_bruteforce", "q_knn_hamming",
                    "q_embed_sim_pairs", "q_dedup_jaccard",
                    "q_cross_join", "q_tfidf", "q_bm25",
-                   # PQ ADC: 20 broadcast query distance-tables x the
+                   # PQ ADC: broadcast query distance-tables x the
                    # compact code table — the intended probe shape
-                   "q_knn_pq",
+                   # (the _exact twin shares knn_pq's flat-ADC scan;
+                   # knn_ivfpq_exact equi-joins on list_id instead)
+                   "q_knn_pq", "q_knn_pq_exact",
                    # 1-row global-scalar broadcasts (total / median /
                    # concentration threshold)
                    "q_key_skew", "q_mad_robust_stats",
