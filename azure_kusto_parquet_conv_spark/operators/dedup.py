@@ -340,6 +340,37 @@ def dedup_clusters(ids: DataFrame, pairs: DataFrame,
                          F.col("__label").alias("cluster_id"))
 
 
+def canonical_keep(docs: DataFrame, clusters: DataFrame,
+                   id_col: str = "doc_id",
+                   quality_col: str | None = None) -> DataFrame:
+    """The keep-step every dedup pipeline ends with: given the
+    ``(id, cluster_id)`` labels from :func:`dedup_clusters`, keep ONE
+    canonical document per near-dup cluster — the highest
+    ``quality_col`` (ties and the no-quality case broken by the
+    smallest id, a deterministic representative). Returns the kept
+    rows of ``docs`` plus their ``cluster_id``.
+
+    Spark-first shape: one equi-join on the id, then a per-cluster
+    top-1 via ``row_number`` over (quality DESC, id ASC) — Spark plans
+    WindowGroupLimit (rank pushdown), so each shuffle partition keeps
+    only its running best per cluster and the full cluster membership
+    is never buffered. At 100 TB: one shuffle on cluster_id, no
+    driver-side state; singleton clusters (the overwhelming majority)
+    pass through untouched by the same plan."""
+    from pyspark.sql import Window
+
+    lab = clusters.select(F.col(id_col).alias("__ck_id"),
+                          F.col("cluster_id"))
+    joined = docs.join(lab, docs[id_col] == lab["__ck_id"],
+                       "inner").drop("__ck_id")
+    order = ([F.col(quality_col).desc()] if quality_col else []) \
+        + [F.col(id_col).asc()]
+    w = Window.partitionBy("cluster_id").orderBy(*order)
+    return (joined.withColumn("__ck_rn", F.row_number().over(w))
+                  .where(F.col("__ck_rn") == 1)
+                  .drop("__ck_rn"))
+
+
 def simhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash per document via an Arrow-batched pandas UDF (the

@@ -1380,6 +1380,49 @@ def q_dup_spans(spark, sf_dir):
                  .where(F.col("n_occurrences") > 1))
 
 
+@query("q_dedup_canonical", """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(doc_id AS BIGINT) AS cluster_id
+FROM documents
+UNION ALL
+SELECT CAST(doc_id + 1000000 AS BIGINT),
+       CAST(doc_id + 1000000 AS BIGINT)
+FROM documents
+WHERE doc_id % 17 = 0
+  AND len(string_split(regexp_replace(trim(lower(text)),
+                                      '\\s+', ' ', 'g'), ' ')) < 3
+""")
+def q_dedup_canonical(spark, sf_dir):
+    """End-to-end dedup KEEP step with a HARD hash-matched oracle:
+    planted exact clones (doc_id % 17 -> +1e6, the
+    q_dedup_minhash_exact corpus) -> MinHash-LSH pairs restricted to
+    the hash-proven planted diagonal -> connected components ->
+    canonical_keep (best quality, ties to the smallest id). Closed
+    form: every diagonal cluster is exactly {d, d+1e6} with IDENTICAL
+    text (equal quality scores), so the kept row is always the
+    original d; every other doc is a singleton and survives — the
+    keep-set is all originals plus only those clones whose source has
+    an empty shingle set (< 3 normalized tokens: no signature, no
+    edge, clone stays a singleton). The DuckDB twin re-derives that
+    set with the same normalize chain and no MinHash/clustering at
+    all. Proves pairs -> components -> arg-max keep end-to-end
+    through the driver hash; the per-cluster top-1 plans
+    WindowGroupLimit (no cluster buffering) at any scale."""
+    d = (load_table(spark, sf_dir, "documents")
+         .select(F.col("doc_id").cast("long").alias("doc_id"), "text"))
+    clones = d.where(F.col("doc_id") % 17 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    planted = d.unionByName(clones)
+    pairs = (D.minhash_dedup_pairs(planted, threshold=0.8)
+              .where((F.col("id_b") - F.col("id_a") == 1000000)
+                     & (F.col("jaccard") >= 0.9999)))
+    clusters = D.dedup_clusters(planted.select("doc_id"), pairs)
+    scored = planted.withColumn("__q", X.quality_score("text"))
+    kept = D.canonical_keep(scored, clusters, quality_col="__q")
+    return kept.select("doc_id", F.col("cluster_id").cast("long")
+                       .alias("cluster_id"))
+
+
 @query("q_dedup_simhash")  # pandas-UDF kernel: no SQL equivalent
 def q_dedup_simhash(spark, sf_dir):
     """SimHash near-dup pairs via pigeonhole-blocked Hamming join."""
@@ -6267,14 +6310,14 @@ DRIVER_WINDOW = [
     "q_kql_series_periods_validate", "q_kql_format_fns",
     "q_kql_funnel_completion", "q_dup_spans", "q_kql_sliding_window",
     "q_kql_activity_engagement", "q_kql_rows_near",
-    "q_kql_activity_counts",
+    "q_kql_activity_counts", "q_dedup_canonical",
     # oldest-vintage back-fill: oracled entries whose last driver row
     # is r2/r3 (banked green there; attestation refreshed here)
     "q3_shipping_priority", "q5_supplier_volume", "q_agg_distinct",
     "q_cube", "q_explode_tokens", "q_pivot", "q_resample_gaps",
     "q_rollup", "q_scalar_subquery", "q_string_predicates",
     "q_text_fingerprint", "q_text_quality", "q_token_count",
-    "q16_supplier_count", "q1_pricing_summary", "q8_market_share",
+    "q16_supplier_count", "q1_pricing_summary",
 ]
 
 # Rotation ledger: r1-r7 windows are banked driver-green in
@@ -6292,7 +6335,8 @@ DRIVER_WINDOW = [
 #
 # Round-9 rotation candidates: any entry added after this window was
 # sealed (the hygiene test will flag them), then continue the
-# oldest-vintage back-fill (next: the remaining r3 entries —
+# oldest-vintage back-fill (next: q8_market_share — yielded its r8
+# slot to the new q_dedup_canonical — and the remaining r3 entries:
 # q_array_higher_order, q_conditional_agg, q_dedup_keep_latest,
 # q_dedup_ngram_jaccard, q_embed_quantize, q_embed_sim_pairs,
 # q_join_anti, q_join_outer, q_join_semi, ...).

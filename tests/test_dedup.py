@@ -204,3 +204,26 @@ def test_dup_spans_finds_planted_shared_window(spark, sf_dir):
     # same TEXT -> one grouped row with both docs
     assert spans.get(shared) == (2, 2), spans
     assert all("solo" not in s for s in spans)
+
+
+def test_canonical_keep_quality_then_min_id(spark, sf_dir):
+    """canonical_keep: per cluster keep the highest-quality doc
+    (quality beats id), tie-break smallest id, singletons pass
+    through; and the plan carries WindowGroupLimit (rank pushdown —
+    no full-cluster buffering at scale)."""
+    docs = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (10, 0.5), (20, 0.1)],
+        "doc_id long, q double")
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (20, 20)],
+        "doc_id long, cluster_id long")
+    out = D.canonical_keep(docs, clusters, quality_col="q")
+    got = sorted((r["doc_id"], r["cluster_id"])
+                 for r in out.collect())
+    # cluster 1: quality 0.9 beats id 1's 0.2; tie 2 vs 3 -> min id 2
+    assert got == [(2, 1), (10, 10), (20, 20)]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    # no-quality mode: smallest id wins
+    out2 = D.canonical_keep(docs, clusters)
+    assert sorted(r["doc_id"] for r in out2.collect()) == [1, 10, 20]
