@@ -10,6 +10,9 @@ makes the same event-table operators incremental:
 - ``sessionize_stream``: inactivity-gap sessions via
   ``applyInPandasWithState`` — the streaming twin of
   operators.relational.sessionize.
+- ``sliding_window_counts_stream``: the rolling count/dcount MAU curve
+  — the streaming twin of ``evaluate sliding_window_counts`` (explode
+  to bins + chained windowed aggregations for the exact dcount).
 
 At scale these run on a real source (Kafka/files landing in a directory);
 tests feed a file-source directory and drain with processAllAvailable.
@@ -148,6 +151,84 @@ SESSION_STATE_SCHEMA = StructType([
     StructField("last_us", LongType()),
     StructField("n_events", LongType()),
 ])
+
+
+def sliding_window_counts_stream(events: DataFrame, start: str, end: str,
+                                 id_col: str = "user_id",
+                                 lookback: str = "7 days",
+                                 bin_size: str = "1 day",
+                                 watermark: str = "2 hours") -> DataFrame:
+    """Streaming twin of ``evaluate sliding_window_counts`` (kql.py
+    `_sliding_window_counts`, the rolling-MAU workhorse): per grid bin
+    T (aligned to ``start``, step ``bin_size``), the event count and
+    EXACT distinct-id count inside the trailing window
+    (T - lookback, T] — incremental on an unbounded stream.
+
+    Same scale shape as batch: each event explodes to the <=
+    ceil(lookback/bin) grid bins it contributes to (bounded in-row
+    fan-out, no self-join, no stream-stream join), then TWO CHAINED
+    windowed aggregations — per-(bin, id) partial counts, then per-bin
+    ``sum`` + ``count`` — Spark's multiple-stateful-operator pipeline
+    (the only way to an exact streaming dcount; a single streaming agg
+    cannot COUNT(DISTINCT)). The event-time watermark rides the
+    EXPLODED bin timestamp with delay ``watermark + lookback`` (a bin
+    timestamp can lead its event's time by up to the lookback, so this
+    is exactly the batch watermark contract re-expressed on the
+    shifted clock); a bin finalizes — and APPENDS one output row —
+    when no event inside its trailing window can still arrive. Rows
+    past ``end`` stay in the plan solely to advance the watermark
+    (their bins are cut after aggregation), so a quiet tail still
+    closes the grid. State = active bins x ids inside the lookback —
+    bounded by (arrival rate x lookback), never by stream length."""
+    prepare_session(events.sparkSession)
+    from datetime import datetime, timezone
+
+    def us_of(s: str) -> int:
+        dt = datetime.fromisoformat(s)
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=timezone.utc)
+        return int(dt.timestamp() * 1_000_000)
+
+    lo, hi = us_of(start), us_of(end)
+    look, binu = _duration_us(lookback), _duration_us(bin_size)
+    if look <= 0 or binu <= 0:
+        raise ValueError("lookback and bin_size must be > 0")
+    k = -(-look // binu)
+    wm_delay_ms = (_duration_us(watermark) + look) // 1000
+    t0 = (f"{lo} + CAST(ceil((__w_t - {lo}) / CAST({binu} AS DOUBLE)) "
+          f"AS BIGINT) * {binu}")
+    binned = (events
+              .select(F.col(id_col).alias("__w_id"),
+                      F.unix_micros("ts").alias("__w_t"))
+              .where(F.col("__w_t") >= F.lit(lo))
+              .select("__w_id", F.explode(F.expr(
+                  f"filter(transform(sequence(0, {k - 1}), "
+                  f"__swc_j -> ({t0}) + __swc_j * {binu}), "
+                  f"__swc_b -> __swc_b - __w_t < {look})"))
+                  .alias("__w_bin"))
+              .select("__w_id",
+                      F.timestamp_micros("__w_bin").alias("__bin_ts"))
+              .withWatermark("__bin_ts",
+                             f"{wm_delay_ms} milliseconds"))
+    per_id = (binned
+              .groupBy(F.window("__bin_ts", f"{binu} microseconds")
+                        .alias("__win"), F.col("__w_id"))
+              .agg(F.count("*").alias("__n")))
+    per_bin = (per_id
+               .groupBy(F.window(F.window_time("__win"),
+                                 f"{binu} microseconds").alias("__w2"))
+               .agg(F.sum("__n").alias("count_"),
+                    F.count("*").alias("dcount")))
+    # Spark time windows align to the Unix epoch; the grid aligns to
+    # ``start``. Each window holds exactly one grid point (step ==
+    # width), at offset (lo mod bin) inside it — re-derive it instead
+    # of emitting the epoch-aligned window start.
+    return (per_bin
+            .select(F.timestamp_micros(
+                        F.unix_micros(F.col("__w2.start"))
+                        + F.lit(lo % binu)).alias("bin"),
+                    "count_", "dcount")
+            .where(F.unix_micros("bin") <= F.lit(hi)))
 
 
 def sessionize_stream(events: DataFrame, gap_minutes: int = 30,

@@ -782,3 +782,109 @@ def test_windowed_distinct_users_matches_batch_sketch(spark, sf_dir,
                        "d")).collect()}
     for wstart, est, _ in got:
         assert abs(est - exact[wstart]) <= max(2, 0.02 * exact[wstart])
+
+
+def test_sliding_window_counts_stream_matches_batch(spark, sf_dir,
+                                                    tmp_path):
+    """Streaming sliding_window_counts == the batch KQL plugin bin for
+    bin: same explode-to-bins fan-out, chained windowed aggregations
+    for the exact dcount, watermark riding the shifted bin clock. A
+    far-future sentinel advances the watermark so every grid bin
+    finalizes; its own bins fall past `end` and are cut."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from azure_kusto_parquet_conv_spark.streaming.events import (
+        read_events_stream, sliding_window_counts_stream)
+
+    d = tmp_path / "swc_stream_src"
+    d.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", d / "0_events.parquet")
+    tbl = pq.read_table(f"{sf_dir}/events.parquet")
+    ts_type = tbl.schema.field("ts").type
+    far = pa.table({
+        "event_id": pa.array([10**9], pa.int64()),
+        "ts": pa.array([10**18 if pa.types.is_integer(ts_type)
+                        else 4102444800_000_000],
+                       ts_type if pa.types.is_integer(ts_type)
+                       else pa.timestamp("us")),
+        "user_id": pa.array([1], pa.int64()),
+        "event_type": pa.array(["error"], pa.string()),
+        "value": pa.array([0.0], pa.float64()),
+        "props": pa.array([None], pa.string()),
+    }).cast(tbl.schema)
+    pq.write_table(far, d / "1_sentinel.parquet")
+
+    ev = read_events_stream(spark, str(d))
+    out = sliding_window_counts_stream(
+        ev, start="2024-01-01 00:00:00", end="2024-01-31 00:00:00",
+        lookback="7 days", bin_size="1 day", watermark="1 seconds")
+    q = (out.writeStream.format("memory").queryName("swc_stream_out")
+         .outputMode("append")
+         .option("maxFilesPerTrigger", 1).start())
+    q.processAllAvailable()
+    q.stop()
+    got = {(str(r["bin"]), r["count_"], r["dcount"])
+           for r in spark.sql("select * from swc_stream_out").collect()}
+
+    from azure_kusto_parquet_conv_spark.kql import kql
+    want = {(str(r["bin"]), r["count_"], r["dcount"])
+            for r in kql(spark, sf_dir, """
+      events
+        | evaluate sliding_window_counts(user_id, ts,
+            datetime(2024-01-01), datetime(2024-01-31), 7d, 1d)
+    """).collect()}
+    assert len(want) > 0
+    assert got == want
+
+
+def test_sliding_window_counts_stream_unaligned_grid(spark, tmp_path):
+    """Grid anchored off the epoch alignment (start at 06:00, daily
+    bins): Spark's time windows are epoch-aligned, so the twin must
+    re-derive the grid point from the window start offset — bins come
+    back at 06:00, matching the batch plugin exactly."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from azure_kusto_parquet_conv_spark.streaming.events import (
+        read_events_stream, sliding_window_counts_stream)
+
+    d = tmp_path / "swc_unaligned_src"
+    d.mkdir()
+    base = 1704067200_000_000  # 2024-01-01 00:00:00 UTC in us
+    hour = 3600_000_000
+    rows = [(1, base + 7 * hour, 10), (2, base + 8 * hour, 10),
+            (3, base + 31 * hour, 11), (4, base + 55 * hour, 10),
+            (5, 4102444800_000_000, 99)]  # sentinel pushes watermark
+    tbl = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array(["click"] * len(rows), pa.string()),
+        "value": pa.array([0.0] * len(rows), pa.float64()),
+        "props": pa.array([None] * len(rows), pa.string()),
+    })
+    pq.write_table(tbl, d / "0_events.parquet")
+
+    ev = read_events_stream(spark, str(d))
+    out = sliding_window_counts_stream(
+        ev, start="2024-01-01 06:00:00", end="2024-01-03 06:00:00",
+        lookback="1 days", bin_size="1 days", watermark="1 seconds")
+    q = (out.writeStream.format("memory").queryName("swc_unaligned")
+         .outputMode("append").start())
+    q.processAllAvailable()
+    q.stop()
+    got = {(str(r["bin"]), r["count_"], r["dcount"])
+           for r in spark.sql("select * from swc_unaligned").collect()}
+    # grid bins (from 2024-01-01 00:00 in hours: lo=6h, step 24h,
+    # hi=54h): bin 6h has no events in its trailing day (events at
+    # 7h/8h are after it; empty bins are not emitted, as in batch);
+    # bin 30h covers (6h, 30h] -> events 7h+8h, both u10 -> (2, 1);
+    # bin 54h covers (30h, 54h] -> event 31h (u11) only — the 55h
+    # event is past `end` and the sentinel's bins are cut -> (1, 1).
+    assert got == {
+        ("2024-01-02 06:00:00", 2, 1),
+        ("2024-01-03 06:00:00", 1, 1),
+    }
