@@ -4997,6 +4997,72 @@ def q_dedup_incremental(spark, sf_dir):
     return D.minhash_dedup_incremental(batch, sigs, corpus, threshold=0.5)
 
 
+@query("q_dedup_incremental_exact", """
+SELECT CAST(doc_id + 2000000 AS BIGINT) AS new_id,
+       CAST(doc_id AS BIGINT) AS corpus_id,
+       CAST(1.0 AS DOUBLE) AS jaccard
+FROM documents
+WHERE doc_id % 13 = 0
+  AND len(string_split(regexp_replace(trim(lower(text)),
+                                      '\\s+', ' ', 'g'), ' ')) >= 3
+""")
+def q_dedup_incremental_exact(spark, sf_dir):
+    """Incremental dedup with a HARD hash-matched oracle (the
+    q_dedup_minhash_exact plant applied to the store-vs-batch flow):
+    the incoming batch is an EXACT clone of every 13th corpus doc
+    (new_id = doc_id + 2e6). A clone's signature is identical to its
+    source's, so it collides with the persisted corpus store in every
+    LSH band, the broadcast band join MUST surface the pair, and
+    exact verification scores Jaccard exactly 1.0 — recall provably
+    1.0 through the whole incremental path (store scan, band join,
+    candidate semi-join, re-shingle verify). Restricted to the
+    planted diagonal, the DuckDB twin needs no MinHash: it re-derives
+    which planted sources have a non-empty shingle set (>= 3
+    normalized tokens) with the same normalize chain."""
+    d = (load_table(spark, sf_dir, "documents")
+         .select(F.col("doc_id").cast("long").alias("doc_id"), "text"))
+    batch = d.where(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"), "text")
+    sigs = D.minhash_signatures(d).persist()
+    pairs = D.minhash_dedup_incremental(batch, sigs, d, threshold=0.8)
+    return (pairs.where((F.col("new_id") - F.col("corpus_id")
+                         == 2000000)
+                        & (F.col("jaccard") >= 0.9999))
+                 .select("new_id", "corpus_id", "jaccard"))
+
+
+@query("q_kql_sequence_detect_exact", """
+SELECT CAST(u AS BIGINT) AS u,
+       TIMESTAMP '2024-01-01' + INTERVAL 1 MINUTE * (2 * k) AS sa_ts,
+       TIMESTAMP '2024-01-01' + INTERVAL 1 MINUTE * (2 * k + 1)
+         AS sb_ts
+FROM (SELECT unnest(range(0, 10)) AS u) a,
+     (SELECT unnest(range(0, 30)) AS k) b
+""")
+def q_kql_sequence_detect_exact(spark, sf_dir):
+    """sequence_detect with a HARD hash-matched oracle (the
+    q_kql_scan_declare closed-form pattern applied to the funnel
+    plugin): 10 keys x 60 minutes of strictly ALTERNATING a/b events
+    one minute apart make the latest-start automaton's trajectory
+    arithmetic — every even minute starts a sequence, every odd
+    minute completes it within the 2m gap / 10m window, so the
+    completions per key are exactly (2k, 2k+1) minutes for k in
+    0..29. The DuckDB twin is a pure generate-series cross — no
+    automaton. Proves the gap/window bounds, the per-key kernel, and
+    the step-timestamp assembly through the driver hash."""
+    from azure_kusto_parquet_conv_spark.kql import kql
+    return kql(spark, sf_dir, """
+      range i from 0 to 599 step 1
+        | extend u = i % 10
+        | extend j = toint((i - u) / 10)
+        | extend ts = datetime_add('minute', j,
+                                   datetime(2024-01-01)),
+                 e = iff(j % 2 == 0, 'a', 'b')
+        | evaluate sequence_detect(ts, 2m, 10m,
+            sa = e == 'a', sb = e == 'b', u)
+    """)
+
+
 @query("q_kql_evaluate_pivot", """
 SELECT CAST(user_id % 10 AS BIGINT) AS u,
        CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT)
@@ -6317,7 +6383,7 @@ DRIVER_WINDOW = [
     "q_cube", "q_explode_tokens", "q_pivot", "q_resample_gaps",
     "q_rollup", "q_scalar_subquery", "q_string_predicates",
     "q_text_fingerprint", "q_text_quality", "q_token_count",
-    "q16_supplier_count", "q1_pricing_summary",
+    "q_dedup_incremental_exact", "q_kql_sequence_detect_exact",
 ]
 
 # Rotation ledger: r1-r7 windows are banked driver-green in
@@ -6335,8 +6401,10 @@ DRIVER_WINDOW = [
 #
 # Round-9 rotation candidates: any entry added after this window was
 # sealed (the hygiene test will flag them), then continue the
-# oldest-vintage back-fill (next: q8_market_share — yielded its r8
-# slot to the new q_dedup_canonical — and the remaining r3 entries:
+# oldest-vintage back-fill (next: q8_market_share, q16_supplier_count,
+# q1_pricing_summary — each yielded its r8 slot to a new-in-r8 entry
+# (q_dedup_canonical, q_dedup_incremental_exact,
+# q_kql_sequence_detect_exact) — and the remaining r3 entries:
 # q_array_higher_order, q_conditional_agg, q_dedup_keep_latest,
 # q_dedup_ngram_jaccard, q_embed_quantize, q_embed_sim_pairs,
 # q_join_anti, q_join_outer, q_join_semi, ...).
