@@ -81,6 +81,8 @@ Supported surface (each line maps to one DataFrame verb):
         (DAU/MAU-style engagement ratio, one aggregate)
     | evaluate activity_counts_metrics(id, tl, start, end, window)
         (per-window count/dcount/new/cumulative distinct)
+    | evaluate active_users_count(id, tl, start, end, look, period,
+        n, bin)  (stickiness MAU: ids active >= n distinct periods)
     | evaluate rows_near(cond, before [, after])  (context rows via
         one codegen window frame — grep -C for tables)
     | evaluate sequence_detect(tl, gap, win, s=p, ..., dims)
@@ -3414,6 +3416,8 @@ class KqlCompiler:
             return self._activity_engagement(df, argtext)
         if plugin == "activity_counts_metrics":
             return self._activity_counts_metrics(df, argtext)
+        if plugin == "active_users_count":
+            return self._active_users_count(df, argtext)
         if plugin == "rows_near":
             return self._rows_near(df, argtext)
         if plugin == "diffpatterns":
@@ -3986,6 +3990,62 @@ class KqlCompiler:
                    .select(F.timestamp_micros(F.col("__w_bin"))
                             .alias("bin"), "count_", "dcount",
                            "new_dcount", "aggregated_dcount"))
+
+    def _active_users_count(self, df: DataFrame,
+                            argtext: str) -> DataFrame:
+        """``evaluate active_users_count(IdColumn, Timeline, Start,
+        End, LookbackWindow, Period, ActivePeriodsCount, Bin)`` —
+        per grid bin T (Start..End step Bin), the number of distinct
+        ids that were active in at least ``ActivePeriodsCount``
+        DISTINCT periods (epoch-aligned, width ``Period``) inside the
+        trailing window (T - Lookback, T] — Kusto's stickiness-aware
+        MAU plugin (a user must show up on >= N separate days to
+        count, filtering drive-by activity).
+
+        Spark-first shape: the sliding_window_counts explode-to-bins
+        fan-out (bounded, no self-join) carrying the event's period
+        index, then TWO map-side-combined aggregations — per (bin,
+        id) distinct-period count, filter >= N, per-bin count. At
+        100 TB both shuffles are on (bin, id) / bin keys; no state
+        beyond the aggregation hash maps."""
+        groups = _split_top_commas(_tokenize(argtext))
+        if len(groups) != 8:
+            raise ValueError(
+                "KQL: active_users_count(id, timeline, start, end, "
+                "lookback, period, active_periods, bin)")
+        base, us_lit = self._window_base(
+            df, groups, "active_users_count")
+        look = us_lit(groups[4], "lookback")
+        per = us_lit(groups[5], "period")
+        n_req_sql = _compile_expr_tokens(groups[6], df)
+        try:
+            n_req = int(n_req_sql.strip("() "))
+        except ValueError:
+            raise ValueError(
+                "KQL: active_users_count active_periods must be an "
+                f"integer literal, got {n_req_sql!r}")
+        if n_req < 1:
+            raise ValueError(
+                "KQL: active_users_count active_periods must be >= 1")
+        bin_us = us_lit(groups[7], "bin")
+        k = -(-look // bin_us)
+        t0 = ("__w_lo + CAST(ceil((__w_t - __w_lo) "
+              f"/ CAST({bin_us} AS DOUBLE)) AS BIGINT) * {bin_us}")
+        binned = base.select(
+            "__w_id",
+            F.expr(f"__w_t DIV {per}").alias("__w_p"),
+            F.explode(F.expr(
+                f"filter(transform(sequence(0, {k - 1}), "
+                f"__auc_j -> ({t0}) + __auc_j * {bin_us}), "
+                f"__auc_b -> __auc_b - __w_t < {look} "
+                f"AND __auc_b <= __w_hi)")).alias("__w_bin"))
+        per_id = (binned.groupBy("__w_bin", "__w_id")
+                  .agg(F.countDistinct("__w_p").alias("__auc_np")))
+        return (per_id.where(F.col("__auc_np") >= n_req)
+                .groupBy("__w_bin")
+                .agg(F.count("*").alias("dcount"))
+                .select(F.timestamp_micros(F.col("__w_bin"))
+                         .alias("bin"), "dcount"))
 
     def _funnel_completion(self, df: DataFrame,
                            argtext: str) -> DataFrame:

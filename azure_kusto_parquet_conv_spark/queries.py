@@ -5823,6 +5823,40 @@ def q_kql_sliding_window(spark, sf_dir):
     """)
 
 
+@query("q_kql_active_users", """
+WITH b AS (SELECT user_id AS id, epoch_us(CAST(ts AS TIMESTAMP)) AS t
+           FROM events
+           WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-01'
+             AND CAST(ts AS TIMESTAMP) <= TIMESTAMP '2024-01-31'),
+g AS (SELECT epoch_us(TIMESTAMP '2024-01-01')
+             + i * 86400000000 AS bin_us
+      FROM (SELECT unnest(generate_series(0, 30)) AS i) s),
+j AS (SELECT g.bin_us, b.id, b.t // 86400000000 AS p
+      FROM g JOIN b ON b.t <= g.bin_us
+                   AND g.bin_us - b.t < 604800000000),
+q AS (SELECT bin_us, id FROM j
+      GROUP BY bin_us, id HAVING COUNT(DISTINCT p) >= 2)
+SELECT CAST(bin_us AS BIGINT) AS bin_us,
+       CAST(COUNT(*) AS BIGINT) AS dcount
+FROM q GROUP BY bin_us
+""")
+def q_kql_active_users(spark, sf_dir):
+    """evaluate active_users_count over real events: per daily bin,
+    users active on >= 2 DISTINCT days inside the trailing 7-day
+    window — Kusto's stickiness-aware MAU (drive-by users don't
+    count). Explode-to-bins fan-out carrying the epoch-aligned day
+    index, then per-(bin,id) distinct-day count -> filter -> per-bin
+    count: two map-side-combined shuffles, no self-join. DuckDB twin:
+    bins-spine range join with HAVING COUNT(DISTINCT day) >= 2."""
+    from azure_kusto_parquet_conv_spark.kql import kql
+    return kql(spark, sf_dir, """
+      events
+        | evaluate active_users_count(user_id, ts,
+            datetime(2024-01-01), datetime(2024-01-31), 7d, 1d, 2, 1d)
+        | project bin_us = tolong(unix_micros(bin)), dcount
+    """)
+
+
 @query("q_kql_activity_engagement", """
 WITH b AS (SELECT user_id AS id, epoch_us(CAST(ts AS TIMESTAMP)) AS t
            FROM events
@@ -6382,8 +6416,9 @@ DRIVER_WINDOW = [
     "q3_shipping_priority", "q5_supplier_volume", "q_agg_distinct",
     "q_cube", "q_explode_tokens", "q_pivot", "q_resample_gaps",
     "q_rollup", "q_scalar_subquery", "q_string_predicates",
-    "q_text_fingerprint", "q_text_quality", "q_token_count",
+    "q_text_quality", "q_token_count",
     "q_dedup_incremental_exact", "q_kql_sequence_detect_exact",
+    "q_kql_active_users",
 ]
 
 # Rotation ledger: r1-r7 windows are banked driver-green in
@@ -6402,9 +6437,10 @@ DRIVER_WINDOW = [
 # Round-9 rotation candidates: any entry added after this window was
 # sealed (the hygiene test will flag them), then continue the
 # oldest-vintage back-fill (next: q8_market_share, q16_supplier_count,
-# q1_pricing_summary — each yielded its r8 slot to a new-in-r8 entry
-# (q_dedup_canonical, q_dedup_incremental_exact,
-# q_kql_sequence_detect_exact) — and the remaining r3 entries:
+# q1_pricing_summary, q_text_fingerprint — each yielded its r8 slot to
+# a new-in-r8 entry (q_dedup_canonical, q_dedup_incremental_exact,
+# q_kql_sequence_detect_exact, q_kql_active_users) — and the
+# remaining r3 entries:
 # q_array_higher_order, q_conditional_agg, q_dedup_keep_latest,
 # q_dedup_ngram_jaccard, q_embed_quantize, q_embed_sim_pairs,
 # q_join_anti, q_join_outer, q_join_semi, ...).

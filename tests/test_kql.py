@@ -3736,3 +3736,36 @@ def test_graph_shortest_paths_frontier_plan(spark, sf_dir):
         ("b", "a"): 1, ("b", "c"): 1, ("b", "b"): 2,
         ("c", "a"): 1, ("c", "c"): 1, ("c", "b"): 2,
     }
+
+
+def test_active_users_count_stickiness(spark, sf_dir):
+    """active_users_count: an id must be active in >= N DISTINCT
+    periods inside the lookback to count — two events on the SAME day
+    don't qualify at N=2, two events on different days do; the
+    trailing window drops users whose qualifying days age out."""
+    rows = kql(spark, sf_dir, """
+      datatable (u:long, ts:datetime) [
+        1, datetime(2024-01-05 08:00:00),
+        1, datetime(2024-01-05 09:00:00),
+        2, datetime(2024-01-05 08:00:00),
+        2, datetime(2024-01-06 08:00:00),
+        3, datetime(2024-01-01 08:00:00)
+      ]
+      | evaluate active_users_count(u, ts,
+          datetime(2024-01-02), datetime(2024-01-09), 3d, 1d, 2, 1d)
+      | project d = format_datetime(bin, 'yyyy-MM-dd'), dcount
+    """).collect()
+    got = {r["d"]: r["dcount"] for r in rows}
+    # events before Start (u3's 01-01) do not participate (the shared
+    # window-plugin contract). u1: two events on ONE day -> never
+    # qualifies at N=2. u2: active days 01-05, 01-06 — a bin's
+    # trailing (T-3d, T] holds BOTH days only at T = 01-07 00:00
+    # (16h + 40h back) and T = 01-08 00:00; at 01-09 the 01-05 day
+    # has aged out of the 3-day lookback.
+    assert got == {"2024-01-07": 1, "2024-01-08": 1}
+    with pytest.raises(ValueError, match="active_periods"):
+        kql(spark, sf_dir, """
+          datatable (u:long, ts:datetime) [1, datetime(2024-01-01)]
+          | evaluate active_users_count(u, ts, datetime(2024-01-01),
+              datetime(2024-01-02), 3d, 1d, 0, 1d)
+        """)
