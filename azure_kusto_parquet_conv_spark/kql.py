@@ -83,6 +83,8 @@ Supported surface (each line maps to one DataFrame verb):
         (per-window count/dcount/new/cumulative distinct)
     | evaluate active_users_count(id, tl, start, end, look, period,
         n, bin)  (stickiness MAU: ids active >= n distinct periods)
+    | evaluate activity_metrics(id, tl, start, end, window)
+        (dcount/new/retention_rate/churn_rate vs previous window)
     | evaluate rows_near(cond, before [, after])  (context rows via
         one codegen window frame — grep -C for tables)
     | evaluate sequence_detect(tl, gap, win, s=p, ..., dims)
@@ -3418,6 +3420,8 @@ class KqlCompiler:
             return self._activity_counts_metrics(df, argtext)
         if plugin == "active_users_count":
             return self._active_users_count(df, argtext)
+        if plugin == "activity_metrics":
+            return self._activity_metrics(df, argtext)
         if plugin == "rows_near":
             return self._rows_near(df, argtext)
         if plugin == "diffpatterns":
@@ -3990,6 +3994,77 @@ class KqlCompiler:
                    .select(F.timestamp_micros(F.col("__w_bin"))
                             .alias("bin"), "count_", "dcount",
                            "new_dcount", "aggregated_dcount"))
+
+    def _activity_metrics(self, df: DataFrame,
+                          argtext: str) -> DataFrame:
+        """``evaluate activity_metrics(IdColumn, Timeline, Start, End,
+        Window)`` — per tumbling window (aligned to Start): distinct
+        ids, NEW distinct ids, and retention/churn vs the PREVIOUS
+        window — retained = ids active in both the previous and the
+        current window; ``retention_rate`` = retained / previous
+        window's dcount, ``churn_rate`` = 1 - retention_rate (both
+        0.0 when there is no previous activity; documented).
+
+        Spark-first shape: ONE distinct (window, id) frame feeds
+        everything — per-window dcount (groupBy), first-seen new ids
+        (per-id min + re-bin, no self-join), and retained ids via a
+        single equi-join of the frame against itself shifted one
+        window on (id, window) keys. Every stage is a
+        map-side-combined shuffle on small keys; the joined frame is
+        (distinct ids x windows), already collapsed from raw events."""
+        groups = _split_top_commas(_tokenize(argtext))
+        if len(groups) != 5:
+            raise ValueError(
+                "KQL: activity_metrics(id, timeline, start, end, "
+                "window)")
+        base, us_lit = self._window_base(df, groups,
+                                         "activity_metrics")
+        win = us_lit(groups[4], "window")
+        wi = (base.select(
+                  F.col("__w_id"),
+                  (F.col("__w_lo")
+                   + ((F.col("__w_t") - F.col("__w_lo")) / win)
+                     .cast("long") * win).alias("__w_bin"))
+                  .distinct())
+        per_bin = (wi.groupBy("__w_bin")
+                   .agg(F.count("*").alias("dcount_values")))
+        first_seen = (wi.groupBy("__w_id")
+                      .agg(F.min("__w_bin").alias("__w_bin")))
+        new_per_bin = (first_seen.groupBy("__w_bin")
+                       .agg(F.count("*").alias("dcount_newvalues")))
+        prev = wi.select(F.col("__w_id"),
+                         (F.col("__w_bin") + win).alias("__w_bin"))
+        retained = (wi.join(prev, ["__w_id", "__w_bin"], "inner")
+                    .groupBy("__w_bin")
+                    .agg(F.count("*").alias("__am_ret")))
+        prev_dc = per_bin.select(
+            (F.col("__w_bin") + win).alias("__w_bin"),
+            F.col("dcount_values").alias("__am_prev"))
+        out = (per_bin
+               .join(new_per_bin, "__w_bin", "left")
+               .join(retained, "__w_bin", "left")
+               .join(prev_dc, "__w_bin", "left")
+               .withColumn("dcount_newvalues",
+                           F.coalesce("dcount_newvalues", F.lit(0))
+                            .cast("long"))
+               .withColumn("__am_ret",
+                           F.coalesce("__am_ret", F.lit(0)))
+               .withColumn(
+                   "retention_rate",
+                   F.round(F.when(F.col("__am_prev") > 0,
+                                  F.col("__am_ret")
+                                  / F.col("__am_prev"))
+                            .otherwise(F.lit(0.0)), 4))
+               .withColumn(
+                   "churn_rate",
+                   F.round(F.when(F.col("__am_prev") > 0,
+                                  1 - F.col("__am_ret")
+                                  / F.col("__am_prev"))
+                            .otherwise(F.lit(0.0)), 4)))
+        return out.select(
+            F.timestamp_micros(F.col("__w_bin")).alias("bin"),
+            "dcount_values", "dcount_newvalues",
+            "retention_rate", "churn_rate")
 
     def _active_users_count(self, df: DataFrame,
                             argtext: str) -> DataFrame:

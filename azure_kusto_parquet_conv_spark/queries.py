@@ -5857,6 +5857,52 @@ def q_kql_active_users(spark, sf_dir):
     """)
 
 
+@query("q_kql_activity_metrics", """
+WITH b AS (SELECT user_id AS id,
+                  (epoch_us(CAST(ts AS TIMESTAMP))
+                   - epoch_us(TIMESTAMP '2024-01-01'))
+                  // 86400000000 AS wi
+           FROM events
+           WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-01'
+             AND CAST(ts AS TIMESTAMP) <= TIMESTAMP '2024-01-31'),
+w AS (SELECT DISTINCT wi, id FROM b),
+d AS (SELECT wi, COUNT(*) AS dc FROM w GROUP BY wi),
+f AS (SELECT id, MIN(wi) AS fw FROM w GROUP BY id),
+nw AS (SELECT fw AS wi, COUNT(*) AS ndc FROM f GROUP BY fw),
+r AS (SELECT c.wi, COUNT(*) AS ret FROM w c
+      JOIN w p ON p.id = c.id AND p.wi = c.wi - 1 GROUP BY c.wi)
+SELECT CAST(epoch_us(TIMESTAMP '2024-01-01')
+            + d.wi * 86400000000 AS BIGINT) AS bin_us,
+       CAST(d.dc AS BIGINT) AS dcount_values,
+       CAST(COALESCE(nw.ndc, 0) AS BIGINT) AS dcount_newvalues,
+       ROUND(CASE WHEN pd.dc > 0
+             THEN COALESCE(r.ret, 0) * 1.0 / pd.dc ELSE 0.0 END, 4)
+         AS retention_rate,
+       ROUND(CASE WHEN pd.dc > 0
+             THEN 1.0 - COALESCE(r.ret, 0) * 1.0 / pd.dc
+             ELSE 0.0 END, 4) AS churn_rate
+FROM d LEFT JOIN nw ON nw.wi = d.wi
+       LEFT JOIN r ON r.wi = d.wi
+       LEFT JOIN d pd ON pd.wi = d.wi - 1
+""")
+def q_kql_activity_metrics(spark, sf_dir):
+    """evaluate activity_metrics over real events: per daily window,
+    distinct users, first-ever-seen users, and retention/churn vs the
+    previous day (retained = active both days; rate over the previous
+    day's dcount). One distinct (window, id) frame feeds dcount, the
+    first-seen re-bin, and a single shifted self-equi-join for
+    retained — no per-event joins. DuckDB twin: independent window
+    indexing with explicit prev-window joins."""
+    from azure_kusto_parquet_conv_spark.kql import kql
+    return kql(spark, sf_dir, """
+      events
+        | evaluate activity_metrics(user_id, ts,
+            datetime(2024-01-01), datetime(2024-01-31), 1d)
+        | project bin_us = tolong(unix_micros(bin)), dcount_values,
+                  dcount_newvalues, retention_rate, churn_rate
+    """)
+
+
 @query("q_kql_activity_engagement", """
 WITH b AS (SELECT user_id AS id, epoch_us(CAST(ts AS TIMESTAMP)) AS t
            FROM events
@@ -6416,9 +6462,9 @@ DRIVER_WINDOW = [
     "q3_shipping_priority", "q5_supplier_volume", "q_agg_distinct",
     "q_cube", "q_explode_tokens", "q_pivot", "q_resample_gaps",
     "q_rollup", "q_scalar_subquery", "q_string_predicates",
-    "q_text_quality", "q_token_count",
+    "q_text_quality",
     "q_dedup_incremental_exact", "q_kql_sequence_detect_exact",
-    "q_kql_active_users",
+    "q_kql_active_users", "q_kql_activity_metrics",
 ]
 
 # Rotation ledger: r1-r7 windows are banked driver-green in
@@ -6437,9 +6483,10 @@ DRIVER_WINDOW = [
 # Round-9 rotation candidates: any entry added after this window was
 # sealed (the hygiene test will flag them), then continue the
 # oldest-vintage back-fill (next: q8_market_share, q16_supplier_count,
-# q1_pricing_summary, q_text_fingerprint — each yielded its r8 slot to
-# a new-in-r8 entry (q_dedup_canonical, q_dedup_incremental_exact,
-# q_kql_sequence_detect_exact, q_kql_active_users) — and the
+# q1_pricing_summary, q_text_fingerprint, q_token_count — each yielded
+# its r8 slot to a new-in-r8 entry (q_dedup_canonical,
+# q_dedup_incremental_exact, q_kql_sequence_detect_exact,
+# q_kql_active_users, q_kql_activity_metrics) — and the
 # remaining r3 entries:
 # q_array_higher_order, q_conditional_agg, q_dedup_keep_latest,
 # q_dedup_ngram_jaccard, q_embed_quantize, q_embed_sim_pairs,

@@ -3769,3 +3769,33 @@ def test_active_users_count_stickiness(spark, sf_dir):
           | evaluate active_users_count(u, ts, datetime(2024-01-01),
               datetime(2024-01-02), 3d, 1d, 0, 1d)
         """)
+
+
+def test_activity_metrics_retention_churn(spark, sf_dir):
+    """activity_metrics: retained = active in both previous and
+    current window, rates over the PREVIOUS window's dcount; first
+    window rates are 0.0; new ids counted at first appearance only."""
+    rows = kql(spark, sf_dir, """
+      datatable (u:long, ts:datetime) [
+        1, datetime(2024-01-01 08:00:00),
+        2, datetime(2024-01-01 09:00:00),
+        1, datetime(2024-01-02 08:00:00),
+        3, datetime(2024-01-02 09:00:00),
+        3, datetime(2024-01-03 08:00:00)
+      ]
+      | evaluate activity_metrics(u, ts,
+          datetime(2024-01-01), datetime(2024-01-04), 1d)
+      | project d = format_datetime(bin, 'yyyy-MM-dd'), dcount_values,
+                dcount_newvalues, retention_rate, churn_rate
+    """).collect()
+    got = {r["d"]: (r["dcount_values"], r["dcount_newvalues"],
+                    r["retention_rate"], r["churn_rate"])
+           for r in rows}
+    assert got == {
+        # day1: {1,2} both new; no previous -> rates 0
+        "2024-01-01": (2, 2, 0.0, 0.0),
+        # day2: {1,3}; 3 new; retained {1} of prev {1,2} -> 0.5
+        "2024-01-02": (2, 1, 0.5, 0.5),
+        # day3: {3}; none new; retained {3} of prev {1,3} -> 0.5
+        "2024-01-03": (1, 0, 0.5, 0.5),
+    }
