@@ -85,6 +85,8 @@ Supported surface (each line maps to one DataFrame verb):
         n, bin)  (stickiness MAU: ids active >= n distinct periods)
     | evaluate activity_metrics(id, tl, start, end, window)
         (dcount/new/retention_rate/churn_rate vs previous window)
+    | evaluate session_count(id, tl, start, end, bin, look)
+        (gaps-and-islands sessions active per grid bin)
     | evaluate rows_near(cond, before [, after])  (context rows via
         one codegen window frame — grep -C for tables)
     | evaluate sequence_detect(tl, gap, win, s=p, ..., dims)
@@ -3422,6 +3424,8 @@ class KqlCompiler:
             return self._active_users_count(df, argtext)
         if plugin == "activity_metrics":
             return self._activity_metrics(df, argtext)
+        if plugin == "session_count":
+            return self._session_count(df, argtext)
         if plugin == "rows_near":
             return self._rows_near(df, argtext)
         if plugin == "diffpatterns":
@@ -4065,6 +4069,72 @@ class KqlCompiler:
             F.timestamp_micros(F.col("__w_bin")).alias("bin"),
             "dcount_values", "dcount_newvalues",
             "retention_rate", "churn_rate")
+
+    def _session_count(self, df: DataFrame,
+                       argtext: str) -> DataFrame:
+        """``evaluate session_count(IdColumn, Timeline, Start, End,
+        Bin, LookBackWindow)`` — per grid bin T (Start..End step Bin),
+        the number of SESSIONS active at T. A session is the classic
+        gaps-and-islands run: it starts at an id's first event (or an
+        event more than LookBackWindow after the previous one) and
+        stays active until LookBackWindow passes with no activity —
+        i.e. it covers [first_t, last_t + LookBack).
+
+        Spark-first shape: per-id sessionization is ONE window pass
+        (lag + conditional-sum island ids — no self-join), sessions
+        collapse to (start, end) by groupBy, and the per-bin count is
+        a range join of the session segments against the BROADCAST
+        bins spine (#bins rows — compile-time tiny), aggregated
+        map-side. Session count per bin is bounded by active ids, the
+        spine by the grid — nothing scales with raw event count after
+        the first aggregate."""
+        from pyspark.sql import Window
+
+        groups = _split_top_commas(_tokenize(argtext))
+        if len(groups) != 6:
+            raise ValueError(
+                "KQL: session_count(id, timeline, start, end, bin, "
+                "lookback)")
+        base, us_lit = self._window_base(df, groups, "session_count")
+        bin_us = us_lit(groups[4], "bin")
+        look = us_lit(groups[5], "lookback")
+        w = Window.partitionBy("__w_id").orderBy("__w_t")
+        marked = (base
+                  .withColumn("__sc_prev", F.lag("__w_t").over(w))
+                  .withColumn(
+                      "__sc_new",
+                      (F.col("__sc_prev").isNull()
+                       | (F.col("__w_t") - F.col("__sc_prev")
+                          > look)).cast("long"))
+                  .withColumn("__sc_sid",
+                              F.sum("__sc_new").over(
+                                  w.rowsBetween(Window.unboundedPreceding,
+                                                Window.currentRow))))
+        sessions = (marked.groupBy("__w_id", "__sc_sid")
+                    .agg(F.min("__w_t").alias("__sc_s"),
+                         (F.max("__w_t") + look).alias("__sc_e")))
+        # Start/End are literal expressions (as in every window
+        # plugin); evaluating them once driver-side (a literal SELECT,
+        # no scan — the toscalar precedent) sizes the bins spine at
+        # compile time instead of a runtime probe job
+        start_sql = _compile_expr_tokens(groups[2], df)
+        end_sql = _compile_expr_tokens(groups[3], df)
+        row0 = self.spark.sql(
+            f"SELECT unix_micros(CAST({start_sql} AS TIMESTAMP)) "
+            f"AS lo, unix_micros(CAST({end_sql} AS TIMESTAMP)) "
+            f"AS hi").first()
+        lo, hi = row0["lo"], row0["hi"]
+        bins = (self.spark.range(0, (hi - lo) // bin_us + 1)
+                .select((F.lit(lo) + F.col("id") * bin_us)
+                        .alias("__sc_bin")))
+        return (sessions.join(
+                    F.broadcast(bins),
+                    (F.col("__sc_bin") >= F.col("__sc_s"))
+                    & (F.col("__sc_bin") < F.col("__sc_e")), "inner")
+                .groupBy("__sc_bin")
+                .agg(F.count("*").alias("count_"))
+                .select(F.timestamp_micros(F.col("__sc_bin"))
+                         .alias("bin"), "count_"))
 
     def _active_users_count(self, df: DataFrame,
                             argtext: str) -> DataFrame:

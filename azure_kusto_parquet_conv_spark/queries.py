@@ -5857,6 +5857,49 @@ def q_kql_active_users(spark, sf_dir):
     """)
 
 
+@query("q_kql_session_count", """
+WITH b AS (SELECT user_id AS id, epoch_us(CAST(ts AS TIMESTAMP)) AS t
+           FROM events
+           WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-01'
+             AND CAST(ts AS TIMESTAMP) <= TIMESTAMP '2024-01-31'),
+m AS (SELECT id, t,
+             CASE WHEN lag(t) OVER (PARTITION BY id ORDER BY t)
+                       IS NULL
+                       OR t - lag(t) OVER (PARTITION BY id ORDER BY t)
+                          > 21600000000
+                  THEN 1 ELSE 0 END AS nw
+      FROM b),
+s0 AS (SELECT id, t, SUM(nw) OVER (PARTITION BY id ORDER BY t
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+       FROM m),
+s AS (SELECT id, sid, MIN(t) AS st, MAX(t) + 21600000000 AS en
+      FROM s0 GROUP BY id, sid),
+g AS (SELECT epoch_us(TIMESTAMP '2024-01-01')
+             + i * 86400000000 AS bin_us
+      FROM (SELECT unnest(generate_series(0, 30)) AS i) q)
+SELECT CAST(bin_us AS BIGINT) AS bin_us,
+       CAST(COUNT(*) AS BIGINT) AS count_
+FROM g JOIN s ON g.bin_us >= s.st AND g.bin_us < s.en
+GROUP BY bin_us
+""")
+def q_kql_session_count(spark, sf_dir):
+    """evaluate session_count over real events: per daily grid bin,
+    the number of 6h-inactivity sessions active at that instant.
+    Sessionization is one per-user window pass (lag + island sum, no
+    self-join); sessions collapse to (start, end) segments and range-
+    join the BROADCAST 31-row bins spine — after the first aggregate
+    nothing scales with raw event count. DuckDB twin: the same
+    gaps-and-islands via window functions, joined to an explicit
+    generate_series spine."""
+    from azure_kusto_parquet_conv_spark.kql import kql
+    return kql(spark, sf_dir, """
+      events
+        | evaluate session_count(user_id, ts,
+            datetime(2024-01-01), datetime(2024-01-31), 1d, 6h)
+        | project bin_us = tolong(unix_micros(bin)), count_
+    """)
+
+
 @query("q_kql_activity_metrics", """
 WITH b AS (SELECT user_id AS id,
                   (epoch_us(CAST(ts AS TIMESTAMP))
@@ -6462,9 +6505,9 @@ DRIVER_WINDOW = [
     "q3_shipping_priority", "q5_supplier_volume", "q_agg_distinct",
     "q_cube", "q_explode_tokens", "q_pivot", "q_resample_gaps",
     "q_rollup", "q_scalar_subquery", "q_string_predicates",
-    "q_text_quality",
     "q_dedup_incremental_exact", "q_kql_sequence_detect_exact",
     "q_kql_active_users", "q_kql_activity_metrics",
+    "q_kql_session_count",
 ]
 
 # Rotation ledger: r1-r7 windows are banked driver-green in
@@ -6483,10 +6526,11 @@ DRIVER_WINDOW = [
 # Round-9 rotation candidates: any entry added after this window was
 # sealed (the hygiene test will flag them), then continue the
 # oldest-vintage back-fill (next: q8_market_share, q16_supplier_count,
-# q1_pricing_summary, q_text_fingerprint, q_token_count — each yielded
-# its r8 slot to a new-in-r8 entry (q_dedup_canonical,
-# q_dedup_incremental_exact, q_kql_sequence_detect_exact,
-# q_kql_active_users, q_kql_activity_metrics) — and the
+# q1_pricing_summary, q_text_fingerprint, q_token_count,
+# q_text_quality — each yielded its r8 slot to a new-in-r8 entry
+# (q_dedup_canonical, q_dedup_incremental_exact,
+# q_kql_sequence_detect_exact, q_kql_active_users,
+# q_kql_activity_metrics, q_kql_session_count) — and the
 # remaining r3 entries:
 # q_array_higher_order, q_conditional_agg, q_dedup_keep_latest,
 # q_dedup_ngram_jaccard, q_embed_quantize, q_embed_sim_pairs,

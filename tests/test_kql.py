@@ -3799,3 +3799,25 @@ def test_activity_metrics_retention_churn(spark, sf_dir):
         # day3: {3}; none new; retained {3} of prev {1,3} -> 0.5
         "2024-01-03": (1, 0, 0.5, 0.5),
     }
+
+
+def test_session_count_gaps_and_islands(spark, sf_dir):
+    """session_count: a session spans [first event, last event +
+    lookback); a gap > lookback starts a new session; concurrent
+    sessions of different ids both count at a bin."""
+    rows = kql(spark, sf_dir, """
+      datatable (u:long, ts:datetime) [
+        1, datetime(2024-01-01 00:30:00),
+        1, datetime(2024-01-01 01:30:00),
+        1, datetime(2024-01-01 23:30:00),
+        2, datetime(2024-01-02 23:59:00)
+      ]
+      | evaluate session_count(u, ts,
+          datetime(2024-01-01), datetime(2024-01-04), 1d, 2h)
+      | project d = format_datetime(bin, 'yyyy-MM-dd'), count_
+    """).collect()
+    got = {r["d"]: r["count_"] for r in rows}
+    # u1 session A: [00:30, 03:30) — covers no midnight bin;
+    # u1 session B: [23:30, 01-02 01:30) — active at 01-02 00:00;
+    # u2 session:   [01-02 23:59, 01-03 01:59) — active at 01-03 00:00
+    assert got == {"2024-01-02": 1, "2024-01-03": 1}

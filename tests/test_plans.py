@@ -65,7 +65,8 @@ def test_no_accidental_cartesians_across_catalog(spark, sf_dir):
                    "q_unigram_logprob",
                    # bounded range join against the tiny day dimension,
                    # and the (groups x days) series grid
-                   "q_trailing_wau", "q_make_series", "q_kql_make_series",
+                   "q_trailing_wau", "q_kql_session_count",
+                   "q_make_series", "q_kql_make_series",
                    "q_kql_series_fill", "q_kql_series_outliers",
                    "q_kql_series_smooth", "q_kql_series_seasonal",
                    "q_kql_series_corr", "q_kql_series_anomalies",
