@@ -87,6 +87,8 @@ Supported surface (each line maps to one DataFrame verb):
         (dcount/new/retention_rate/churn_rate vs previous window)
     | evaluate session_count(id, tl, start, end, bin, look)
         (gaps-and-islands sessions active per grid bin)
+    | evaluate new_activity_metrics(id, tl, start, end, window)
+        (cohort retention: new-in-from x active-in-to pairs)
     | evaluate rows_near(cond, before [, after])  (context rows via
         one codegen window frame — grep -C for tables)
     | evaluate sequence_detect(tl, gap, win, s=p, ..., dims)
@@ -3426,6 +3428,8 @@ class KqlCompiler:
             return self._activity_metrics(df, argtext)
         if plugin == "session_count":
             return self._session_count(df, argtext)
+        if plugin == "new_activity_metrics":
+            return self._new_activity_metrics(df, argtext)
         if plugin == "rows_near":
             return self._rows_near(df, argtext)
         if plugin == "diffpatterns":
@@ -4069,6 +4073,65 @@ class KqlCompiler:
             F.timestamp_micros(F.col("__w_bin")).alias("bin"),
             "dcount_values", "dcount_newvalues",
             "retention_rate", "churn_rate")
+
+    def _new_activity_metrics(self, df: DataFrame,
+                              argtext: str) -> DataFrame:
+        """``evaluate new_activity_metrics(IdColumn, Timeline, Start,
+        End, Window)`` — COHORT retention: for every (from, to)
+        window pair with to >= from, the ids NEW in `from` (first
+        ever seen there), how many of them are active in `to`
+        (retained), how many are not (churned), and the rates over
+        the cohort size. The diagonal (from == to) is the cohort
+        definition row (retention 1.0 by construction).
+
+        Spark-first shape: the distinct (window, id) frame and the
+        per-id first-seen frame both derive from ONE aggregation
+        pass; cohort x activity is a single equi-join on id (cohort
+        rows carry their first window, activity rows every window —
+        the join output is bounded by sum over ids of their active
+        windows, never |ids| x |windows|); one groupBy on the (from,
+        to) pair finishes. Churn falls out arithmetically
+        (cohort - retained) — no anti-join."""
+        groups = _split_top_commas(_tokenize(argtext))
+        if len(groups) != 5:
+            raise ValueError(
+                "KQL: new_activity_metrics(id, timeline, start, end, "
+                "window)")
+        base, us_lit = self._window_base(df, groups,
+                                         "new_activity_metrics")
+        win = us_lit(groups[4], "window")
+        wi = (base.select(
+                  F.col("__w_id"),
+                  (F.col("__w_lo")
+                   + ((F.col("__w_t") - F.col("__w_lo")) / win)
+                     .cast("long") * win).alias("__w_bin"))
+                  .distinct())
+        first_seen = (wi.groupBy("__w_id")
+                      .agg(F.min("__w_bin").alias("__nam_from")))
+        cohort = (first_seen.groupBy("__nam_from")
+                  .agg(F.count("*").alias("dcount_new_values")))
+        pairs = (first_seen.join(wi, "__w_id")
+                 .where(F.col("__w_bin") >= F.col("__nam_from"))
+                 .groupBy("__nam_from",
+                          F.col("__w_bin").alias("__nam_to"))
+                 .agg(F.count("*")
+                       .alias("dcount_retained_newvalues")))
+        out = (pairs.join(cohort, "__nam_from")
+               .withColumn("dcount_churn_newvalues",
+                           (F.col("dcount_new_values")
+                            - F.col("dcount_retained_newvalues"))
+                           .cast("long"))
+               .withColumn("retention_rate",
+                           F.round(F.col("dcount_retained_newvalues")
+                                   / F.col("dcount_new_values"), 4))
+               .withColumn("churn_rate",
+                           F.round(F.col("dcount_churn_newvalues")
+                                   / F.col("dcount_new_values"), 4)))
+        return out.select(
+            F.timestamp_micros(F.col("__nam_from")).alias("from_bin"),
+            F.timestamp_micros(F.col("__nam_to")).alias("to_bin"),
+            "dcount_new_values", "dcount_retained_newvalues",
+            "dcount_churn_newvalues", "retention_rate", "churn_rate")
 
     def _session_count(self, df: DataFrame,
                        argtext: str) -> DataFrame:

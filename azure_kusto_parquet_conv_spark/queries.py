@@ -5857,6 +5857,49 @@ def q_kql_active_users(spark, sf_dir):
     """)
 
 
+@query("q_kql_new_activity", """
+WITH b AS (SELECT user_id AS id,
+                  epoch_us(TIMESTAMP '2024-01-01')
+                  + ((epoch_us(CAST(ts AS TIMESTAMP))
+                      - epoch_us(TIMESTAMP '2024-01-01'))
+                     // 604800000000) * 604800000000 AS w
+           FROM events
+           WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-01'
+             AND CAST(ts AS TIMESTAMP) <= TIMESTAMP '2024-01-31'),
+wi AS (SELECT DISTINCT id, w FROM b),
+f AS (SELECT id, MIN(w) AS fw FROM wi GROUP BY id),
+c AS (SELECT fw, COUNT(*) AS nc FROM f GROUP BY fw),
+p AS (SELECT f.fw, wi.w, COUNT(*) AS ret
+      FROM f JOIN wi ON wi.id = f.id AND wi.w >= f.fw
+      GROUP BY f.fw, wi.w)
+SELECT CAST(p.fw AS BIGINT) AS from_us,
+       CAST(p.w AS BIGINT) AS to_us,
+       CAST(c.nc AS BIGINT) AS dcount_new_values,
+       CAST(p.ret AS BIGINT) AS dcount_retained_newvalues,
+       CAST(c.nc - p.ret AS BIGINT) AS dcount_churn_newvalues,
+       ROUND(p.ret * 1.0 / c.nc, 4) AS retention_rate,
+       ROUND((c.nc - p.ret) * 1.0 / c.nc, 4) AS churn_rate
+FROM p JOIN c ON c.fw = p.fw
+""")
+def q_kql_new_activity(spark, sf_dir):
+    """evaluate new_activity_metrics over real events: weekly cohorts
+    (new users per week) x activity windows — retained/churned counts
+    and rates per (from, to) pair. One distinct (window, id) pass
+    feeds cohorts and activity; cohort x activity is a single id
+    equi-join bounded by per-id active windows. DuckDB twin:
+    independent first-seen/join derivation."""
+    from azure_kusto_parquet_conv_spark.kql import kql
+    return kql(spark, sf_dir, """
+      events
+        | evaluate new_activity_metrics(user_id, ts,
+            datetime(2024-01-01), datetime(2024-01-31), 7d)
+        | project from_us = tolong(unix_micros(from_bin)),
+                  to_us = tolong(unix_micros(to_bin)),
+                  dcount_new_values, dcount_retained_newvalues,
+                  dcount_churn_newvalues, retention_rate, churn_rate
+    """)
+
+
 @query("q_kql_session_count", """
 WITH b AS (SELECT user_id AS id, epoch_us(CAST(ts AS TIMESTAMP)) AS t
            FROM events
@@ -6504,10 +6547,10 @@ DRIVER_WINDOW = [
     # is r2/r3 (banked green there; attestation refreshed here)
     "q3_shipping_priority", "q5_supplier_volume", "q_agg_distinct",
     "q_cube", "q_explode_tokens", "q_pivot", "q_resample_gaps",
-    "q_rollup", "q_scalar_subquery", "q_string_predicates",
+    "q_rollup", "q_scalar_subquery",
     "q_dedup_incremental_exact", "q_kql_sequence_detect_exact",
     "q_kql_active_users", "q_kql_activity_metrics",
-    "q_kql_session_count",
+    "q_kql_session_count", "q_kql_new_activity",
 ]
 
 # Rotation ledger: r1-r7 windows are banked driver-green in
@@ -6527,11 +6570,11 @@ DRIVER_WINDOW = [
 # sealed (the hygiene test will flag them), then continue the
 # oldest-vintage back-fill (next: q8_market_share, q16_supplier_count,
 # q1_pricing_summary, q_text_fingerprint, q_token_count,
-# q_text_quality — each yielded its r8 slot to a new-in-r8 entry
-# (q_dedup_canonical, q_dedup_incremental_exact,
+# q_text_quality, q_string_predicates — each yielded its r8 slot to a
+# new-in-r8 entry (q_dedup_canonical, q_dedup_incremental_exact,
 # q_kql_sequence_detect_exact, q_kql_active_users,
-# q_kql_activity_metrics, q_kql_session_count) — and the
-# remaining r3 entries:
+# q_kql_activity_metrics, q_kql_session_count, q_kql_new_activity) —
+# and the remaining r3 entries:
 # q_array_higher_order, q_conditional_agg, q_dedup_keep_latest,
 # q_dedup_ngram_jaccard, q_embed_quantize, q_embed_sim_pairs,
 # q_join_anti, q_join_outer, q_join_semi, ...).

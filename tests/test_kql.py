@@ -3821,3 +3821,38 @@ def test_session_count_gaps_and_islands(spark, sf_dir):
     # u1 session B: [23:30, 01-02 01:30) — active at 01-02 00:00;
     # u2 session:   [01-02 23:59, 01-03 01:59) — active at 01-03 00:00
     assert got == {"2024-01-02": 1, "2024-01-03": 1}
+
+
+def test_new_activity_metrics_cohorts(spark, sf_dir):
+    """new_activity_metrics: cohort = ids FIRST seen in `from`;
+    retained = cohort members active in `to`; diagonal retention is
+    1.0; a returning id never re-enters a later cohort."""
+    rows = kql(spark, sf_dir, """
+      datatable (u:long, ts:datetime) [
+        1, datetime(2024-01-01 08:00:00),
+        2, datetime(2024-01-01 09:00:00),
+        1, datetime(2024-01-02 08:00:00),
+        3, datetime(2024-01-02 09:00:00),
+        2, datetime(2024-01-03 08:00:00)
+      ]
+      | evaluate new_activity_metrics(u, ts,
+          datetime(2024-01-01), datetime(2024-01-04), 1d)
+      | project f = format_datetime(from_bin, 'dd'),
+                t = format_datetime(to_bin, 'dd'),
+                dcount_new_values, dcount_retained_newvalues,
+                dcount_churn_newvalues, retention_rate
+    """).collect()
+    got = {(r["f"], r["t"]): (r["dcount_new_values"],
+                              r["dcount_retained_newvalues"],
+                              r["dcount_churn_newvalues"],
+                              r["retention_rate"])
+           for r in rows}
+    assert got == {
+        # day-1 cohort {1,2}: day1 both (diagonal), day2 only u1,
+        # day3 only u2
+        ("01", "01"): (2, 2, 0, 1.0),
+        ("01", "02"): (2, 1, 1, 0.5),
+        ("01", "03"): (2, 1, 1, 0.5),
+        # day-2 cohort {3} (u1 is NOT new on day 2): active day2 only
+        ("02", "02"): (1, 1, 0, 1.0),
+    }
