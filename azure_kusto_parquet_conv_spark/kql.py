@@ -3982,6 +3982,10 @@ class KqlCompiler:
             "__w_bin",
             F.col("__w_lo") + ((F.col("__w_t") - F.col("__w_lo"))
                                / win).cast("long") * win)
+        if not df.isStreaming:
+            # two aggregation branches (per-bin counts, per-id first
+            # seen) over the same binned events: scan once
+            binned = _persist_bounded(binned)
         per_bin = (binned.groupBy("__w_bin")
                    .agg(F.count("*").alias("count_"),
                         F.countDistinct("__w_id").alias("dcount")))
@@ -4034,6 +4038,12 @@ class KqlCompiler:
                    + ((F.col("__w_t") - F.col("__w_lo")) / win)
                      .cast("long") * win).alias("__w_bin"))
                   .distinct())
+        if not df.isStreaming:
+            # the distinct (window, id) frame feeds FOUR branches
+            # (dcount, first-seen, the shifted prev side, retained);
+            # persist it once so raw events are scanned and
+            # deduplicated a single time (bounded LRU registry)
+            wi = _persist_bounded(wi)
         per_bin = (wi.groupBy("__w_bin")
                    .agg(F.count("*").alias("dcount_values")))
         first_seen = (wi.groupBy("__w_id")
@@ -4106,6 +4116,10 @@ class KqlCompiler:
                    + ((F.col("__w_t") - F.col("__w_lo")) / win)
                      .cast("long") * win).alias("__w_bin"))
                   .distinct())
+        if not df.isStreaming:
+            # three consumers (first-seen, activity join side twice
+            # removed): one scan + one distinct, then reuse
+            wi = _persist_bounded(wi)
         first_seen = (wi.groupBy("__w_id")
                       .agg(F.min("__w_bin").alias("__nam_from")))
         cohort = (first_seen.groupBy("__nam_from")

@@ -3856,3 +3856,16 @@ def test_new_activity_metrics_cohorts(spark, sf_dir):
         # day-2 cohort {3} (u1 is NOT new on day 2): active day2 only
         ("02", "02"): (1, 1, 0, 1.0),
     }
+
+
+def test_activity_metrics_scans_input_once(spark, sf_dir):
+    """The multi-branch activity plugins persist their shared frame:
+    the executed plan reads the cached distinct (window, id) frame
+    (InMemoryTableScan) instead of re-scanning raw events per branch."""
+    df = kql(spark, sf_dir, """
+      events
+        | evaluate activity_metrics(user_id, ts,
+            datetime(2024-01-01), datetime(2024-01-31), 1d)
+    """)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan
