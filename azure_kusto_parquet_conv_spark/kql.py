@@ -89,6 +89,8 @@ Supported surface (each line maps to one DataFrame verb):
         (gaps-and-islands sessions active per grid bin)
     | evaluate new_activity_metrics(id, tl, start, end, window)
         (cohort retention: new-in-from x active-in-to pairs)
+    | evaluate ipv4_lookup(Lookup, ip, key [, return_unmatched])
+        (CIDR longest-prefix enrichment via bounded prefix explode)
     | evaluate rows_near(cond, before [, after])  (context rows via
         one codegen window frame — grep -C for tables)
     | evaluate sequence_detect(tl, gap, win, s=p, ..., dims)
@@ -3430,6 +3432,8 @@ class KqlCompiler:
             return self._session_count(df, argtext)
         if plugin == "new_activity_metrics":
             return self._new_activity_metrics(df, argtext)
+        if plugin == "ipv4_lookup":
+            return self._ipv4_lookup(df, argtext)
         if plugin == "rows_near":
             return self._rows_near(df, argtext)
         if plugin == "diffpatterns":
@@ -4083,6 +4087,107 @@ class KqlCompiler:
             F.timestamp_micros(F.col("__w_bin")).alias("bin"),
             "dcount_values", "dcount_newvalues",
             "retention_rate", "churn_rate")
+
+    def _ipv4_lookup(self, df: DataFrame, argtext: str) -> DataFrame:
+        """``evaluate ipv4_lookup(LookupTable, SourceIPColumn,
+        LookupKeyColumn [, return_unmatched])`` — enrich rows by
+        matching an IPv4 string column against a CIDR lookup table;
+        on multiple matching networks the LONGEST prefix wins
+        (Kusto's contract). ``return_unmatched=true`` keeps unmatched
+        source rows with null lookup columns (left join), default
+        drops them (inner).
+
+        Spark-first shape: the lookup's DISTINCT prefix lengths
+        (driver-side bounded collect — a CIDR table is a dimension,
+        and there are at most 33 lengths) drive a bounded in-row
+        explode of each source IP into its (len, ip >> (32-len))
+        keys, which EQUI-JOIN the broadcast lookup on (len, shifted
+        net) — a hash join per se, never a theta/cross join, and the
+        fan-out is |distinct prefix lengths|, not |lookup|. One
+        row_number over (source row id, prefix desc) keeps the
+        longest match. Lookup column names must not collide with
+        source columns (documented; rename in the lookup pipe)."""
+        from pyspark.sql import Window
+
+        groups = _split_top_commas(_tokenize(argtext))
+        if len(groups) not in (3, 4):
+            raise ValueError(
+                "KQL: ipv4_lookup(LookupTable, SourceIPColumn, "
+                "LookupKeyColumn [, return_unmatched])")
+        if len(groups[0]) != 1 or groups[0][0].kind != "ident":
+            raise ValueError(
+                "KQL: ipv4_lookup lookup table must be a table / "
+                "let-bound name")
+        lk = self._operand(groups[0][0].text)
+        ip_col = _compile_expr_tokens(groups[1], df)
+        if len(groups[2]) != 1 or groups[2][0].kind != "ident" \
+                or groups[2][0].text not in lk.columns:
+            raise ValueError(
+                "KQL: ipv4_lookup key must be a column of the lookup "
+                "table")
+        key = groups[2][0].text
+        unmatched = False
+        if len(groups) == 4:
+            txt = "".join(t.text for t in groups[3]).replace(" ", "")
+            if txt not in ("return_unmatched=true",
+                           "return_unmatched=false", "true", "false"):
+                raise ValueError(
+                    "KQL: ipv4_lookup 4th arg must be "
+                    "return_unmatched=true|false")
+            unmatched = txt.endswith("true")
+        collide = [c for c in lk.columns if c != key
+                   and c in df.columns]
+        if collide:
+            raise ValueError(
+                f"KQL: ipv4_lookup lookup columns {collide} collide "
+                f"with source columns — project-rename them first")
+        net_sql = f"split_part(`{key}`, '/', 1)"
+        valid, net_num = _ExprParser._ipv4_num(net_sql)
+        plen_sql = (f"(CASE WHEN nullif(split_part(`{key}`, '/', 2), "
+                    f"'') IS NULL THEN 32 ELSE try_cast("
+                    f"split_part(`{key}`, '/', 2) AS INT) END)")
+        lk2 = (lk.withColumn("__ipl_len", F.expr(plen_sql))
+                 .withColumn("__ipl_net", F.expr(
+                     f"CASE WHEN {valid} THEN {net_num} END"))
+                 .where(F.col("__ipl_net").isNotNull()
+                        & F.col("__ipl_len").between(0, 32))
+                 .withColumn("__ipl_key", F.expr(
+                     "shiftright(__ipl_net, 32 - __ipl_len)"))
+                 .withColumn("__ipl_hit", F.lit(1))
+                 .drop(key, "__ipl_net"))
+        plens = sorted({r[0] for r in
+                        lk2.select("__ipl_len").distinct().collect()})
+        if not plens:
+            raise ValueError("KQL: ipv4_lookup lookup table has no "
+                             "valid CIDR keys")
+        s_valid, s_num = _ExprParser._ipv4_num(ip_col)
+        src = (df.withColumn("__ipl_rid",
+                             F.monotonically_increasing_id())
+                 .withColumn("__ipl_ip", F.expr(
+                     f"CASE WHEN {s_valid} THEN {s_num} END")))
+        keys = F.array(*[
+            F.struct(F.lit(L).alias("__ipl_len"),
+                     F.expr(f"shiftright(__ipl_ip, {32 - L})")
+                      .alias("__ipl_key"))
+            for L in plens])
+        exploded = (src.withColumn("__ipl_k", F.explode(keys))
+                    .select("*", "__ipl_k.__ipl_len",
+                            "__ipl_k.__ipl_key").drop("__ipl_k"))
+        joined = exploded.join(F.broadcast(lk2),
+                               ["__ipl_len", "__ipl_key"],
+                               "left" if unmatched else "inner")
+        # matched rows first (the left join pads EVERY exploded prefix
+        # length of an unmatched row, and __ipl_len survives from the
+        # left side — only the lookup-side hit marker distinguishes a
+        # real match), then the longest prefix among matches
+        w = Window.partitionBy("__ipl_rid").orderBy(
+            F.col("__ipl_hit").desc_nulls_last(),
+            F.col("__ipl_len").desc())
+        out = (joined.withColumn("__ipl_rn",
+                                 F.row_number().over(w))
+               .where(F.col("__ipl_rn") == 1))
+        return out.drop("__ipl_rid", "__ipl_ip", "__ipl_len",
+                        "__ipl_key", "__ipl_rn", "__ipl_hit")
 
     def _new_activity_metrics(self, df: DataFrame,
                               argtext: str) -> DataFrame:

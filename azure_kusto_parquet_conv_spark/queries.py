@@ -5857,6 +5857,45 @@ def q_kql_active_users(spark, sf_dir):
     """)
 
 
+@query("q_kql_ipv4_lookup", """
+WITH s AS (SELECT event_id,
+                  '10.' || CAST(user_id % 4 AS VARCHAR) || '.'
+                        || CAST(event_id % 200 AS VARCHAR) || '.'
+                        || CAST(event_id % 250 AS VARCHAR) AS ip,
+                  user_id % 4 AS o2, event_id % 200 AS o3
+           FROM events WHERE event_id % 11 = 0)
+SELECT CAST(event_id AS BIGINT) AS event_id, ip,
+       CASE WHEN o2 = 1 AND o3 = 77 THEN 'lab'
+            WHEN o2 = 1 THEN 'mid'
+            ELSE 'wide' END AS tag
+FROM s
+""")
+def q_kql_ipv4_lookup(spark, sf_dir):
+    """evaluate ipv4_lookup: CIDR longest-prefix enrichment over IPs
+    derived from real events, against an overlapping lookup
+    (10.0.0.0/8 ⊃ 10.1.0.0/16 ⊃ 10.1.77.0/24) — the deepest matching
+    network must win every time. The plan is a bounded in-row explode
+    (one key per DISTINCT prefix length) equi-joined to the broadcast
+    lookup — never a theta join — plus one row_number for the
+    longest-prefix pick. DuckDB twin: closed-form CASE over the same
+    derived octets (it never parses an IP)."""
+    from azure_kusto_parquet_conv_spark.kql import kql
+    return kql(spark, sf_dir, """
+      let L = datatable (net:string, tag:string) [
+        '10.0.0.0/8', 'wide',
+        '10.1.0.0/16', 'mid',
+        '10.1.77.0/24', 'lab'
+      ];
+      events
+        | where event_id % 11 == 0
+        | extend ip = strcat('10.', tostring(user_id % 4), '.',
+                             tostring(event_id % 200), '.',
+                             tostring(event_id % 250))
+        | evaluate ipv4_lookup(L, ip, net)
+        | project event_id, ip, tag
+    """)
+
+
 @query("q_kql_new_activity", """
 WITH b AS (SELECT user_id AS id,
                   epoch_us(TIMESTAMP '2024-01-01')
@@ -6547,10 +6586,11 @@ DRIVER_WINDOW = [
     # is r2/r3 (banked green there; attestation refreshed here)
     "q3_shipping_priority", "q5_supplier_volume", "q_agg_distinct",
     "q_cube", "q_explode_tokens", "q_pivot", "q_resample_gaps",
-    "q_rollup", "q_scalar_subquery",
+    "q_rollup",
     "q_dedup_incremental_exact", "q_kql_sequence_detect_exact",
     "q_kql_active_users", "q_kql_activity_metrics",
     "q_kql_session_count", "q_kql_new_activity",
+    "q_kql_ipv4_lookup",
 ]
 
 # Rotation ledger: r1-r7 windows are banked driver-green in
@@ -6570,11 +6610,12 @@ DRIVER_WINDOW = [
 # sealed (the hygiene test will flag them), then continue the
 # oldest-vintage back-fill (next: q8_market_share, q16_supplier_count,
 # q1_pricing_summary, q_text_fingerprint, q_token_count,
-# q_text_quality, q_string_predicates — each yielded its r8 slot to a
-# new-in-r8 entry (q_dedup_canonical, q_dedup_incremental_exact,
-# q_kql_sequence_detect_exact, q_kql_active_users,
-# q_kql_activity_metrics, q_kql_session_count, q_kql_new_activity) —
-# and the remaining r3 entries:
+# q_text_quality, q_string_predicates, q_scalar_subquery — each
+# yielded its r8 slot to a new-in-r8 entry (q_dedup_canonical,
+# q_dedup_incremental_exact, q_kql_sequence_detect_exact,
+# q_kql_active_users, q_kql_activity_metrics, q_kql_session_count,
+# q_kql_new_activity, q_kql_ipv4_lookup) — and the remaining r3
+# entries:
 # q_array_higher_order, q_conditional_agg, q_dedup_keep_latest,
 # q_dedup_ngram_jaccard, q_embed_quantize, q_embed_sim_pairs,
 # q_join_anti, q_join_outer, q_join_semi, ...).

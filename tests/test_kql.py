@@ -3869,3 +3869,40 @@ def test_activity_metrics_scans_input_once(spark, sf_dir):
     """)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "InMemoryTableScan" in plan
+
+
+def test_ipv4_lookup_longest_prefix_and_unmatched(spark, sf_dir):
+    """ipv4_lookup: longest prefix wins among overlapping networks;
+    /32 exact hosts match; invalid IPs and non-members drop (inner)
+    or survive with null lookup columns (return_unmatched=true); a
+    lookup column name collision is rejected."""
+    pre = """
+      let L = datatable (net:string, tag:string) [
+        '10.0.0.0/8', 'corp',
+        '10.1.0.0/16', 'branch',
+        '10.1.2.0/24', 'lab',
+        '192.168.0.5', 'host'
+      ];
+    """
+    rows = kql(spark, sf_dir, pre + """
+      datatable (ip:string) [
+        '10.1.2.3', '10.1.9.9', '10.9.9.9', '192.168.0.5',
+        '172.16.0.1', 'bogus'
+      ]
+      | evaluate ipv4_lookup(L, ip, net)
+    """).collect()
+    assert sorted((r["ip"], r["tag"]) for r in rows) == [
+        ("10.1.2.3", "lab"), ("10.1.9.9", "branch"),
+        ("10.9.9.9", "corp"), ("192.168.0.5", "host")]
+    rows2 = kql(spark, sf_dir, pre + """
+      datatable (ip:string) ['10.1.2.3', '9.9.9.9']
+      | evaluate ipv4_lookup(L, ip, net, return_unmatched=true)
+    """).collect()
+    assert sorted((r["ip"], r["tag"]) for r in rows2) == [
+        ("10.1.2.3", "lab"), ("9.9.9.9", None)]
+    with pytest.raises(ValueError, match="collide"):
+        kql(spark, sf_dir, """
+          let L = datatable (net:string, ip:string) ['10.0.0.0/8', 'x'];
+          datatable (ip:string) ['10.1.2.3']
+          | evaluate ipv4_lookup(L, ip, net)
+        """)
