@@ -233,6 +233,26 @@ _FN_RENAME = {
     "isnotnull": "isnotnull",
     "min_of": "least",
     "max_of": "greatest",
+    # Kusto math scalars with exact same-arity Spark twins
+    "log": "ln",
+    "log2": "log2",
+    "log10": "log10",
+    "exp": "exp",
+    "sqrt": "sqrt",
+    "pow": "power",
+    "sign": "sign",
+    "sin": "sin",
+    "cos": "cos",
+    "tan": "tan",
+    "asin": "asin",
+    "acos": "acos",
+    "atan": "atan",
+    "atan2": "atan2",
+    "cot": "cot",
+    "degrees": "degrees",
+    "radians": "radians",
+    "pi": "pi",
+    "isnan": "isnan",
 }
 
 _AGG_FNS = {"count", "countif", "sum", "avg", "min", "max", "dcount",
@@ -514,6 +534,44 @@ class _ExprParser:
             pairs = ", ".join(f"{k}, {v}"
                               for k, v in zip(args[::2], args[1::2]))
             return f"parse_json(to_json(named_struct({pairs})))"
+        if fname in ("exp2", "exp10"):
+            if len(args) != 1:
+                raise ValueError(f"KQL: {fname}(x)")
+            base = "2" if fname == "exp2" else "10"
+            return f"power({base}, {args[0]})"
+        if fname in ("isfinite", "isinf"):
+            if len(args) != 1:
+                raise ValueError(f"KQL: {fname}(x)")
+            x = args[0]
+            inf = (f"(abs(CAST({x} AS DOUBLE)) = CAST('Infinity' "
+                   f"AS DOUBLE))")
+            if fname == "isinf":
+                return inf
+            return (f"(NOT isnan(CAST({x} AS DOUBLE)) "
+                    f"AND NOT {inf})")
+        if fname in ("array_sum", "array_avg"):
+            if len(args) != 1:
+                raise ValueError(f"KQL: {fname}(arr)")
+            # dynamic arrays ride VARIANT: one typed cast covers both
+            # native arrays and parse_json output
+            arr = f"try_cast({args[0]} AS ARRAY<DOUBLE>)"
+            total = (f"aggregate({arr}, CAST(0.0 AS DOUBLE), "
+                     f"(__as_a, __as_x) -> __as_a + __as_x)")
+            if fname == "array_sum":
+                return total
+            return (f"(CASE WHEN size({arr}) > 0 THEN {total} "
+                    f"/ size({arr}) END)")
+        if fname == "array_index_of":
+            if len(args) != 2:
+                raise ValueError("KQL: array_index_of(arr, value)")
+            # Kusto is 0-based with -1 for missing; try the numeric
+            # comparison first (exact on doubles), fall back to the
+            # stringified comparison for string arrays
+            num = (f"array_position(try_cast({args[0]} AS "
+                   f"ARRAY<DOUBLE>), try_cast({args[1]} AS DOUBLE))")
+            st = (f"array_position(try_cast({args[0]} AS "
+                  f"ARRAY<STRING>), CAST({args[1]} AS STRING))")
+            return f"(coalesce(nullif({num}, 0), {st}, 0) - 1)"
         if fname == "base64_encode_tostring":
             if len(args) != 1:
                 raise ValueError("KQL: base64_encode_tostring(s)")

@@ -5857,6 +5857,49 @@ def q_kql_active_users(spark, sf_dir):
     """)
 
 
+@query("q_kql_math_fns", """
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       ROUND(ln(abs(value) + 1.5), 4) AS l,
+       ROUND(log10(abs(value) + 1.5), 4) AS l10,
+       ROUND(pow(2.0, value % 10), 4) AS e2,
+       ROUND(sin(value), 4) AS s,
+       ROUND(atan2(value, 2.0), 4) AS a2,
+       ROUND(degrees(value), 4) AS dg,
+       CAST(sign(value - 0.5) AS DOUBLE) AS sg,
+       ROUND(sqrt(abs(value) + 1.0), 4) AS sq,
+       ROUND(value + 3.0, 4) AS asum,
+       CAST(1 AS BIGINT) AS aix
+FROM events WHERE event_id % 53 = 0
+""")
+def q_kql_math_fns(spark, sf_dir):
+    """The Kusto math-scalar batch added in r8 (log/log10/exp2/sin/
+    atan2/degrees/sign/sqrt and the array_sum / array_index_of
+    helpers) over real event values — every function compiles to the
+    same-arity Spark builtin (pure codegen, no UDF). DuckDB twin
+    recomputes each with its own math library; ROUND(.., 4) absorbs
+    the last-ulp libm differences. array_index_of probes
+    pack_array(value - 1.0, value) so the expected index is always
+    1."""
+    from azure_kusto_parquet_conv_spark.kql import kql
+    return kql(spark, sf_dir, """
+      events
+        | where event_id % 53 == 0
+        | project event_id,
+                  l = round(log(abs(value) + 1.5), 4),
+                  l10 = round(log10(abs(value) + 1.5), 4),
+                  e2 = round(exp2(value % 10), 4),
+                  s = round(sin(value), 4),
+                  a2 = round(atan2(value, 2.0), 4),
+                  dg = round(degrees(value), 4),
+                  sg = todouble(sign(value - 0.5)),
+                  sq = round(sqrt(abs(value) + 1.0), 4),
+                  asum = round(array_sum(
+                      pack_array(value, 1.0, 2.0)), 4),
+                  aix = tolong(array_index_of(
+                      pack_array(value - 1.0, value), value))
+    """)
+
+
 @query("q_kql_ipv4_lookup", """
 WITH s AS (SELECT event_id,
                   '10.' || CAST(user_id % 4 AS VARCHAR) || '.'
@@ -6586,11 +6629,10 @@ DRIVER_WINDOW = [
     # is r2/r3 (banked green there; attestation refreshed here)
     "q3_shipping_priority", "q5_supplier_volume", "q_agg_distinct",
     "q_cube", "q_explode_tokens", "q_pivot", "q_resample_gaps",
-    "q_rollup",
     "q_dedup_incremental_exact", "q_kql_sequence_detect_exact",
     "q_kql_active_users", "q_kql_activity_metrics",
     "q_kql_session_count", "q_kql_new_activity",
-    "q_kql_ipv4_lookup",
+    "q_kql_ipv4_lookup", "q_kql_math_fns",
 ]
 
 # Rotation ledger: r1-r7 windows are banked driver-green in
@@ -6610,12 +6652,12 @@ DRIVER_WINDOW = [
 # sealed (the hygiene test will flag them), then continue the
 # oldest-vintage back-fill (next: q8_market_share, q16_supplier_count,
 # q1_pricing_summary, q_text_fingerprint, q_token_count,
-# q_text_quality, q_string_predicates, q_scalar_subquery — each
-# yielded its r8 slot to a new-in-r8 entry (q_dedup_canonical,
+# q_text_quality, q_string_predicates, q_scalar_subquery, q_rollup —
+# each yielded its r8 slot to a new-in-r8 entry (q_dedup_canonical,
 # q_dedup_incremental_exact, q_kql_sequence_detect_exact,
 # q_kql_active_users, q_kql_activity_metrics, q_kql_session_count,
-# q_kql_new_activity, q_kql_ipv4_lookup) — and the remaining r3
-# entries:
+# q_kql_new_activity, q_kql_ipv4_lookup, q_kql_math_fns) — and the
+# remaining r3 entries:
 # q_array_higher_order, q_conditional_agg, q_dedup_keep_latest,
 # q_dedup_ngram_jaccard, q_embed_quantize, q_embed_sim_pairs,
 # q_join_anti, q_join_outer, q_join_semi, ...).

@@ -3906,3 +3906,32 @@ def test_ipv4_lookup_longest_prefix_and_unmatched(spark, sf_dir):
           datatable (ip:string) ['10.1.2.3']
           | evaluate ipv4_lookup(L, ip, net)
         """)
+
+
+def test_math_scalars_batch(spark, sf_dir):
+    """r8 math scalars: log family, exp2/exp10, trig, degrees/radians,
+    sign/sqrt/pow, isnan/isfinite/isinf, array_sum/avg/index_of
+    (0-based, -1 missing, numeric and string arrays)."""
+    r = kql(spark, sf_dir, """
+      print x = 2.0
+        | extend l = log(x), l2 = log2(8.0), l10 = log10(100.0),
+                 e2 = exp2(3.0), e10 = exp10(2.0),
+                 a2 = round(atan2(1.0, 1.0), 4),
+                 dg = degrees(3.141592653589793),
+                 rd = round(radians(180.0), 4),
+                 sg = sign(-3.5), sq = sqrt(16.0), pw = pow(2.0, 10.0),
+                 nn = isnan(x), fin = isfinite(x), inf = isinf(x),
+                 asum = array_sum(pack_array(1.0, 2.0, 3.5)),
+                 aavg = array_avg(pack_array(2.0, 4.0)),
+                 aix = array_index_of(pack_array(5, 7, 9), 7),
+                 amiss = array_index_of(pack_array(5, 7), 8),
+                 astr = array_index_of(pack_array('a', 'b'), 'b')
+    """).collect()[0]
+    assert abs(r["l"] - 0.6931471805599453) < 1e-12
+    assert (r["l2"], r["l10"], r["e2"], r["e10"]) == (3.0, 2.0, 8.0,
+                                                     100.0)
+    assert (r["a2"], r["dg"], r["rd"]) == (0.7854, 180.0, 3.1416)
+    assert (r["sg"], r["sq"], r["pw"]) == (-1.0, 4.0, 1024.0)
+    assert (r["nn"], r["fin"], r["inf"]) == (False, True, False)
+    assert (r["asum"], r["aavg"]) == (6.5, 3.0)
+    assert (r["aix"], r["amiss"], r["astr"]) == (1, -1, 1)
