@@ -5156,25 +5156,38 @@ class KqlCompiler:
         node df, id column) that the following ``graph-match`` stage
         compiles into joins; the edge table flows through unchanged.
 
-        Subset: directed ``-->`` only (Kusto's undirected ``--`` is
-        not supported); nodes from a named table / let / subquery via
-        ``with ... on ...``, or derived implicitly (ids only) bare or
-        via ``with_node_id=``."""
+        Undirected ``Src -- Dst`` binds each edge row in BOTH
+        directions (the edge table is unioned with its endpoint swap
+        before any pattern compiles — one narrow union, no shuffle);
+        note with cycles=unique_edges the two directions of one
+        undirected row count as distinct edges (documented subset).
+        Nodes from a named table / let / subquery via ``with ... on
+        ...``, or derived implicitly (ids only) bare or via
+        ``with_node_id=``."""
         m = re.match(
-            r"([A-Za-z_]\w*)\s*-->\s*([A-Za-z_]\w*)\s*"
+            r"([A-Za-z_]\w*)\s*(-->|--)\s*([A-Za-z_]\w*)\s*"
             r"(?:with_node_id\s*=\s*(?P<nid>\w+)"
             r"|with\s+(?:\((?P<sub>.*)\)|(?P<ntab>[A-Za-z_]\w*))"
             r"\s+on\s+(?P<on>\w+))?\s*$",
             rest, re.DOTALL)
         if not m:
             raise ValueError(
-                "KQL: make-graph Src --> Dst [with Nodes on Id | "
+                "KQL: make-graph Src -->|-- Dst [with Nodes on Id | "
                 "with_node_id=Name]")
-        src, dst = m.group(1), m.group(2)
+        src, arrow, dst = m.group(1), m.group(2), m.group(3)
         for c in (src, dst):
             if c not in df.columns:
                 raise ValueError(f"KQL: make-graph: no edge column "
                                  f"{c!r}")
+        if arrow == "--":
+            # undirected: one narrow union with swapped endpoints —
+            # every downstream operator (match, shortest-paths,
+            # components) then sees both directions
+            swapped = df.select(
+                *[F.col(dst).alias(src) if c == src
+                  else F.col(src).alias(dst) if c == dst
+                  else F.col(c) for c in df.columns])
+            df = df.unionByName(swapped)
         nodes, nid = None, None
         if m.group("on"):
             nid = m.group("on")

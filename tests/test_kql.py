@@ -3935,3 +3935,20 @@ def test_math_scalars_batch(spark, sf_dir):
     assert (r["nn"], r["fin"], r["inf"]) == (False, True, False)
     assert (r["asum"], r["aavg"]) == (6.5, 3.0)
     assert (r["aix"], r["amiss"], r["astr"]) == (1, -1, 1)
+
+
+def test_make_graph_undirected(spark, sf_dir):
+    """make-graph with `--` binds every edge in both directions: a
+    one-way edge list becomes mutually reachable, and
+    graph-shortest-paths sees the reverse hops."""
+    rows = kql(spark, sf_dir, """
+      let E = datatable (src:string, dst:string) [
+        'a','b', 'b','c'
+      ];
+      E | make-graph src -- dst
+        | graph-shortest-paths (s)-[*1..2]->(t) project s, t, hops
+    """).collect()
+    got = {(r["s"], r["t"]): r["hops"] for r in rows}
+    assert got == {("a", "b"): 1, ("b", "a"): 1, ("b", "c"): 1,
+                   ("c", "b"): 1, ("a", "c"): 2, ("c", "a"): 2,
+                   ("a", "a"): 2, ("b", "b"): 2, ("c", "c"): 2}
