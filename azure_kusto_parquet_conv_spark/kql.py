@@ -125,6 +125,7 @@ forward/backward/linear, series_outliers (Tukey fences), series_seasonal/series_
 series_pearson_correlation, series_add/subtract/multiply/divide,
 series_decompose (full additive bag + tuple assign),
 series_periods_detect (ACF peak-picker bag + tuple assign),
+series_fft / series_ifft (numpy Arrow-batched kernel, tuple assign),
 series_periods_validate (ACF scores at given periods),
 series_fit_line_dynamic (least-squares bag), series_fit_2lines_dynamic
 (best two-segment piecewise fit), series_decompose_forecast
@@ -1099,6 +1100,16 @@ class _ExprParser:
                    f"'variance', {sd} * {sd}, "
                    f"'stdev', {sd})")
             return f"parse_json(to_json({obj}))"
+        if fname in ("series_fft_dynamic", "series_ifft_dynamic"):
+            if len(args) not in (1, 2):
+                raise ValueError(f"KQL: {fname}(x_real [, x_imag])")
+            udf = ("__kql_fft" if fname.startswith("series_fft")
+                   else "__kql_ifft")
+            xr = f"try_cast({args[0]} AS ARRAY<DOUBLE>)"
+            xi = (f"try_cast({args[1]} AS ARRAY<DOUBLE>)"
+                  if len(args) == 2 else
+                  f"transform({xr}, __ff_x -> CAST(0.0 AS DOUBLE))")
+            return f"parse_json(to_json({udf}({xr}, {xi})))"
         if fname in ("series_dot_product", "series_cosine_similarity"):
             if len(args) != 2:
                 raise ValueError(f"KQL: {fname}(series1, series2)")
@@ -2629,6 +2640,46 @@ _JOIN_KINDS = {
     "leftsemi": "left_semi", "leftanti": "left_anti",
 }
 
+def _register_series_fft_udfs(spark: SparkSession) -> None:
+    """Idempotently register the numpy-FFT pandas UDFs behind
+    series_fft / series_ifft. The transform itself has no SQL
+    expression (Spark has no FFT builtin), so this is one of the
+    sanctioned Arrow-batched kernels: each Arrow batch moves the
+    array column once, numpy does O(n log n) per series, and the
+    result lands back as a struct of two double arrays."""
+    if getattr(spark, "_kql_fft_registered", False):
+        return
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def make(inverse):
+        def f(xr, xi):
+            res_r, res_i = [], []
+            for r, i in zip(xr, xi):
+                if r is None or len(r) == 0:
+                    res_r.append(None)
+                    res_i.append(None)
+                    continue
+                a = np.asarray(r, dtype=float)
+                b = (np.zeros_like(a)
+                     if i is None or len(i) != len(a)
+                     else np.asarray(i, dtype=float))
+                z = a + 1j * b
+                out = np.fft.ifft(z) if inverse else np.fft.fft(z)
+                res_r.append([float(v) for v in out.real])
+                res_i.append([float(v) for v in out.imag])
+            return pd.DataFrame({"real": res_r, "imag": res_i})
+        # functional form: the module uses postponed annotations, so
+        # decorator type-hint inference cannot see pd.Series here
+        return pandas_udf(f, "struct<real:array<double>, "
+                             "imag:array<double>>")
+
+    spark.udf.register("__kql_fft", make(False))
+    spark.udf.register("__kql_ifft", make(True))
+    spark._kql_fft_registered = True
+
+
 #: fork/facet cache the shared input with persist() so N children read
 #: ONE scan; the handles land here and the oldest are unpersisted once
 #: more than _PERSIST_KEEP accumulate — a session compiling many
@@ -2676,6 +2727,7 @@ class KqlCompiler:
         # scalar_params, raw body) for `T | invoke f(args)`
         self._tab_fn_lets: dict[str, tuple[str, list[str], str]] = {}
         prepare_session(spark)
+        _register_series_fft_udfs(spark)
 
     def table(self, name: str) -> DataFrame:
         return load_table(self.spark, self.sf_dir, name)
@@ -3697,6 +3749,10 @@ class KqlCompiler:
         "series_periods_detect": ("series_periods_detect_dynamic",
                                   [("periods", True),
                                    ("scores", True)]),
+        "series_fft": ("series_fft_dynamic",
+                       [("real", True), ("imag", True)]),
+        "series_ifft": ("series_ifft_dynamic",
+                        [("real", True), ("imag", True)]),
     }
 
     def _extend_multi_assign(self, df: DataFrame,

@@ -5857,6 +5857,41 @@ def q_kql_active_users(spark, sf_dir):
     """)
 
 
+@query("q_kql_series_fft", """
+SELECT * FROM (VALUES
+  ('impulse', 1.0, 0.0), ('impulse', 1.0, 0.0),
+  ('impulse', 1.0, 0.0), ('impulse', 1.0, 0.0),
+  ('constant', 8.0, 0.0), ('constant', 0.0, 0.0),
+  ('constant', 0.0, 0.0), ('constant', 0.0, 0.0),
+  ('cosine', 0.0, 0.0), ('cosine', 2.0, 0.0),
+  ('cosine', 0.0, 0.0), ('cosine', 2.0, 0.0)
+) t(c, re, im)
+""")
+def q_kql_series_fft(spark, sf_dir):
+    """series_fft with a closed-form hash oracle: the DFT of an
+    impulse is all-ones, of a constant c (N=4) is (N*c, 0, 0, 0), and
+    of one cosine period sampled at N=4 ([1,0,-1,0]) is N/2 at bins 1
+    and N-1 — textbook identities a DuckDB VALUES table states
+    outright (DuckDB has no FFT; the twin is pure expected data). The
+    Spark side runs the real numpy kernel (Arrow-batched pandas UDF —
+    the sanctioned shape for transforms SQL cannot express), tuple
+    assign, zipped mv-expand; `round + 0.0` canonicalizes the
+    kernel's -0.0s. Round-trip (ifft . fft = id) and a randomized
+    numpy differential are pinned in tests/test_kql.py."""
+    from azure_kusto_parquet_conv_spark.kql import kql
+    return kql(spark, sf_dir, """
+      datatable (c:string, x:string) [
+        'impulse', '[1.0, 0.0, 0.0, 0.0]',
+        'constant', '[2.0, 2.0, 2.0, 2.0]',
+        'cosine', '[1.0, 0.0, -1.0, 0.0]'
+      ]
+      | extend a = parse_json(x)
+      | extend (re, im) = series_fft(a)
+      | mv-expand re to typeof(real), im to typeof(real)
+      | project c, re = round(re, 4) + 0.0, im = round(im, 4) + 0.0
+    """)
+
+
 @query("q_kql_math_fns", """
 SELECT CAST(event_id AS BIGINT) AS event_id,
        ROUND(ln(abs(value) + 1.5), 4) AS l,
@@ -6628,11 +6663,11 @@ DRIVER_WINDOW = [
     # oldest-vintage back-fill: oracled entries whose last driver row
     # is r2/r3 (banked green there; attestation refreshed here)
     "q3_shipping_priority", "q5_supplier_volume", "q_agg_distinct",
-    "q_cube", "q_explode_tokens", "q_pivot", "q_resample_gaps",
+    "q_cube", "q_explode_tokens", "q_pivot",
     "q_dedup_incremental_exact", "q_kql_sequence_detect_exact",
     "q_kql_active_users", "q_kql_activity_metrics",
     "q_kql_session_count", "q_kql_new_activity",
-    "q_kql_ipv4_lookup", "q_kql_math_fns",
+    "q_kql_ipv4_lookup", "q_kql_math_fns", "q_kql_series_fft",
 ]
 
 # Rotation ledger: r1-r7 windows are banked driver-green in
@@ -6652,7 +6687,8 @@ DRIVER_WINDOW = [
 # sealed (the hygiene test will flag them), then continue the
 # oldest-vintage back-fill (next: q8_market_share, q16_supplier_count,
 # q1_pricing_summary, q_text_fingerprint, q_token_count,
-# q_text_quality, q_string_predicates, q_scalar_subquery, q_rollup —
+# q_text_quality, q_string_predicates, q_scalar_subquery, q_rollup,
+# q_resample_gaps (slot -> q_kql_series_fft) —
 # each yielded its r8 slot to a new-in-r8 entry (q_dedup_canonical,
 # q_dedup_incremental_exact, q_kql_sequence_detect_exact,
 # q_kql_active_users, q_kql_activity_metrics, q_kql_session_count,

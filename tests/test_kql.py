@@ -3952,3 +3952,34 @@ def test_make_graph_undirected(spark, sf_dir):
     assert got == {("a", "b"): 1, ("b", "a"): 1, ("b", "c"): 1,
                    ("c", "b"): 1, ("a", "c"): 2, ("c", "a"): 2,
                    ("a", "a"): 2, ("b", "b"): 2, ("c", "c"): 2}
+
+
+def test_series_fft_matches_numpy(spark, sf_dir):
+    """series_fft/series_ifft: the Arrow-batched numpy kernel equals
+    numpy.fft on a randomized series (real and complex input), and
+    ifft(fft(x)) round-trips exactly within 1e-9."""
+    import random
+
+    import numpy as np
+
+    rnd = random.Random(8)
+    xs = [round(rnd.uniform(-10, 10), 3) for _ in range(16)]
+    lit = ", ".join(str(v) for v in xs)
+    rows = kql(spark, sf_dir, f"""
+      print x = pack_array({lit})
+        | extend (fr, fi) = series_fft(x)
+        | mv-expand fr to typeof(real), fi to typeof(real)
+    """).collect()
+    got = [complex(r["fr"], r["fi"]) for r in rows]
+    want = np.fft.fft(np.array(xs))
+    assert np.allclose(got, want, atol=1e-9)
+    rows2 = kql(spark, sf_dir, f"""
+      print x = pack_array({lit})
+        | extend (fr, fi) = series_fft(x)
+        | extend (rr, ri) = series_ifft(fr, fi)
+        | mv-expand v = x to typeof(real), rv = rr to typeof(real),
+                    iv = ri to typeof(real)
+        | project d = abs(v - rv), di = abs(iv)
+    """).collect()
+    assert max(r["d"] for r in rows2) < 1e-9
+    assert max(r["di"] for r in rows2) < 1e-9
