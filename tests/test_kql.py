@@ -3983,3 +3983,92 @@ def test_series_fft_matches_numpy(spark, sf_dir):
     """).collect()
     assert max(r["d"] for r in rows2) < 1e-9
     assert max(r["di"] for r in rows2) < 1e-9
+
+
+@pytest.mark.parametrize("seed", [11, 23, 47])
+def test_graph_shortest_paths_random_differential(spark, sf_dir, seed):
+    """Property: frontier-BFS graph-shortest-paths equals brute-force
+    Python BFS min-hops on random (cyclic, dense-ish) digraphs, for
+    every pair within the hop bound."""
+    import random
+    from collections import deque
+
+    rnd = random.Random(seed)
+    nodes = [f"n{i}" for i in range(10)]
+    edges = set()
+    while len(edges) < 25:
+        a, b = rnd.choice(nodes), rnd.choice(nodes)
+        edges.add((a, b))
+    cells = ", ".join(f"'{a}','{b}'" for a, b in sorted(edges))
+    rows = kql(spark, sf_dir, f"""
+      let E = datatable (src:string, dst:string) [{cells}];
+      E | make-graph src --> dst
+        | graph-shortest-paths (s)-[*1..5]->(t) project s, t, hops
+    """).collect()
+    got = {(r["s"], r["t"]): r["hops"] for r in rows}
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+    want = {}
+    for s in nodes:
+        # plain BFS over WALK length: min hops to reach t from s with
+        # 1 <= hops <= 5 (self-pairs included via cycles — a node is
+        # not "visited" at hop 0, so s can be re-reached)
+        frontier, reached = {s}, set()
+        for d in range(1, 6):
+            nxt = {v for u in frontier for v in adj.get(u, [])}
+            new = nxt - reached
+            for v in new:
+                want[(s, v)] = d
+            reached |= nxt
+            frontier = new
+            if not frontier:
+                break
+    assert got == want
+
+
+@pytest.mark.parametrize("seed", [5, 19])
+def test_row_window_session_random_differential(spark, sf_dir, seed):
+    """Property: the sessionizer kernel equals a Python reference on
+    random multi-key streams with NULL values sprinkled in (the r8
+    null-reset contract included)."""
+    import random
+
+    rnd = random.Random(seed)
+    rows = []
+    for i in range(120):
+        u = rnd.randrange(4)
+        t = rnd.randrange(1000)
+        v = None if rnd.random() < 0.12 else rnd.randrange(500)
+        rows.append((u, i, t, v))
+    cells = ", ".join(
+        f"{u}, {i}, {t}, '{'' if v is None else v}'"
+        for u, i, t, v in rows)
+    got_rows = kql(spark, sf_dir, f"""
+      datatable (u:long, id:long, t:long, raw:string) [{cells}]
+      | extend v = todouble(raw)
+      | partition by u (
+          sort by t asc, id asc
+          | extend s = row_window_session(v, 200, 60)
+        )
+    """).collect()
+    got = {(r["u"], r["id"]): r["s"] for r in got_rows}
+    from collections import defaultdict
+    by_u = defaultdict(list)
+    for u, i, t, v in rows:
+        by_u[u].append((t, i, v))
+    want = {}
+    for u, rs in by_u.items():
+        rs.sort()
+        prev = first = None
+        for t, i, v in rs:
+            if v is None:
+                prev = first = None
+                want[(u, i)] = None
+                continue
+            if (first is None or (prev is not None and v - prev > 60)
+                    or v - first > 200):
+                first = v
+            prev = v
+            want[(u, i)] = float(first)
+    assert got == want and len(want) == 120
