@@ -13,6 +13,8 @@ makes the same event-table operators incremental:
 - ``sliding_window_counts_stream``: the rolling count/dcount MAU curve
   — the streaming twin of ``evaluate sliding_window_counts`` (explode
   to bins + chained windowed aggregations for the exact dcount).
+- ``activity_engagement_stream``: the incremental DAU/MAU engagement
+  ratio — same shape with an inner-activity flag per exploded row.
 
 At scale these run on a real source (Kafka/files landing in a directory);
 tests feed a file-source directory and drain with processAllAvailable.
@@ -228,6 +230,82 @@ def sliding_window_counts_stream(events: DataFrame, start: str, end: str,
                         F.unix_micros(F.col("__w2.start"))
                         + F.lit(lo % binu)).alias("bin"),
                     "count_", "dcount")
+            .where(F.unix_micros("bin") <= F.lit(hi)))
+
+
+def activity_engagement_stream(events: DataFrame, start: str, end: str,
+                               id_col: str = "user_id",
+                               inner: str = "1 day",
+                               outer: str = "7 days",
+                               watermark: str = "2 hours") -> DataFrame:
+    """Streaming twin of ``evaluate activity_engagement`` (the DAU/MAU
+    engagement ratio): per grid bin T (aligned to ``start``, step =
+    ``inner``), dcount of ids active in the INNER trailing window over
+    dcount active in the OUTER trailing window, both ending at T —
+    incremental on an unbounded stream.
+
+    Same architecture as sliding_window_counts_stream: explode each
+    event to its <= outer/inner contributing bins carrying an
+    is-inner flag (the bin-distance test is per exploded row, so no
+    second pass), then two CHAINED windowed aggregations — per
+    (bin, id) a max(inner-flag), per bin the two exact distinct
+    counts (a plain count and a conditional sum over the already-
+    distinct frame). Watermark rides the exploded bin clock with
+    delay ``watermark + outer``; rows past ``end`` advance the
+    watermark and their bins are cut after aggregation."""
+    prepare_session(events.sparkSession)
+    from datetime import datetime, timezone
+
+    def us_of(s: str) -> int:
+        dt = datetime.fromisoformat(s)
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=timezone.utc)
+        return int(dt.timestamp() * 1_000_000)
+
+    lo, hi = us_of(start), us_of(end)
+    inner_us, outer_us = _duration_us(inner), _duration_us(outer)
+    if outer_us % inner_us != 0:
+        raise ValueError("outer window must be a multiple of inner")
+    k = outer_us // inner_us
+    wm_delay_ms = (_duration_us(watermark) + outer_us) // 1000
+    t0 = (f"{lo} + CAST(ceil((__w_t - {lo}) / CAST({inner_us} AS "
+          f"DOUBLE)) AS BIGINT) * {inner_us}")
+    binned = (events
+              .select(F.col(id_col).alias("__w_id"),
+                      F.unix_micros("ts").alias("__w_t"))
+              .where(F.col("__w_t") >= F.lit(lo))
+              .select("__w_id", F.col("__w_t"), F.explode(F.expr(
+                  f"filter(transform(sequence(0, {k - 1}), "
+                  f"__ae_j -> ({t0}) + __ae_j * {inner_us}), "
+                  f"__ae_b -> __ae_b - __w_t < {outer_us})"))
+                  .alias("__w_bin"))
+              .select("__w_id",
+                      ((F.col("__w_bin") - F.col("__w_t"))
+                       < inner_us).cast("int").alias("__w_in"),
+                      F.timestamp_micros("__w_bin").alias("__bin_ts"))
+              .withWatermark("__bin_ts",
+                             f"{wm_delay_ms} milliseconds"))
+    per_id = (binned
+              .groupBy(F.window("__bin_ts",
+                                f"{inner_us} microseconds")
+                        .alias("__win"), F.col("__w_id"))
+              .agg(F.max("__w_in").alias("__w_in")))
+    per_bin = (per_id
+               .groupBy(F.window(F.window_time("__win"),
+                                 f"{inner_us} microseconds")
+                         .alias("__w2"))
+               .agg(F.sum("__w_in").cast("long")
+                     .alias("dcount_activities_inner"),
+                    F.count("*").alias("dcount_activities_outer")))
+    return (per_bin
+            .select(F.timestamp_micros(
+                        F.unix_micros(F.col("__w2.start"))
+                        + F.lit(lo % inner_us)).alias("bin"),
+                    "dcount_activities_inner",
+                    "dcount_activities_outer",
+                    F.round(F.col("dcount_activities_inner")
+                            / F.col("dcount_activities_outer"), 4)
+                     .alias("activity_ratio"))
             .where(F.unix_micros("bin") <= F.lit(hi)))
 
 

@@ -888,3 +888,60 @@ def test_sliding_window_counts_stream_unaligned_grid(spark, tmp_path):
         ("2024-01-02 06:00:00", 2, 1),
         ("2024-01-03 06:00:00", 1, 1),
     }
+
+
+def test_activity_engagement_stream_matches_batch(spark, sf_dir,
+                                                  tmp_path):
+    """Streaming activity_engagement == the batch KQL plugin bin for
+    bin (inner/outer distinct counts and the DAU/MAU ratio): the
+    inner-activity flag rides each exploded row, the chained windowed
+    aggregations make both dcounts exact."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from azure_kusto_parquet_conv_spark.streaming.events import (
+        activity_engagement_stream, read_events_stream)
+
+    d = tmp_path / "aes_stream_src"
+    d.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", d / "0_events.parquet")
+    tbl = pq.read_table(f"{sf_dir}/events.parquet")
+    ts_type = tbl.schema.field("ts").type
+    far = pa.table({
+        "event_id": pa.array([10**9], pa.int64()),
+        "ts": pa.array([10**18 if pa.types.is_integer(ts_type)
+                        else 4102444800_000_000],
+                       ts_type if pa.types.is_integer(ts_type)
+                       else pa.timestamp("us")),
+        "user_id": pa.array([1], pa.int64()),
+        "event_type": pa.array(["error"], pa.string()),
+        "value": pa.array([0.0], pa.float64()),
+        "props": pa.array([None], pa.string()),
+    }).cast(tbl.schema)
+    pq.write_table(far, d / "1_sentinel.parquet")
+
+    ev = read_events_stream(spark, str(d))
+    out = activity_engagement_stream(
+        ev, start="2024-01-01 00:00:00", end="2024-01-31 00:00:00",
+        inner="1 day", outer="7 days", watermark="1 seconds")
+    q = (out.writeStream.format("memory").queryName("aes_stream_out")
+         .outputMode("append")
+         .option("maxFilesPerTrigger", 1).start())
+    q.processAllAvailable()
+    q.stop()
+    got = {(str(r["bin"]), r["dcount_activities_inner"],
+            r["dcount_activities_outer"], r["activity_ratio"])
+           for r in spark.sql("select * from aes_stream_out").collect()}
+
+    from azure_kusto_parquet_conv_spark.kql import kql
+    want = {(str(r["bin"]), r["dcount_activities_inner"],
+             r["dcount_activities_outer"], r["activity_ratio"])
+            for r in kql(spark, sf_dir, """
+      events
+        | evaluate activity_engagement(user_id, ts,
+            datetime(2024-01-01), datetime(2024-01-31), 1d, 7d)
+    """).collect()}
+    assert len(want) > 0
+    assert got == want
