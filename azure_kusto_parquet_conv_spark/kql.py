@@ -2790,9 +2790,11 @@ class KqlCompiler:
             elif mm:
                 # Kusto materialize(): evaluate once, reuse — Spark's
                 # persist() is the exact analogue (first action fills the
-                # cache; later references read it instead of recomputing)
-                self._lets[name] = self._compile_tabular(
-                    self._preprocess(mm.group(1).strip())).persist()
+                # cache; later references read it instead of recomputing);
+                # handles go through the same bounded LRU registry as
+                # fork/facet so long sessions cannot accumulate storage
+                self._lets[name] = _persist_bounded(self._compile_tabular(
+                    self._preprocess(mm.group(1).strip())))
             else:
                 # decide tabular-vs-scalar AFTER preprocessing: a body
                 # that was entirely a toscalar(...) call collapses to a
