@@ -4476,7 +4476,11 @@ class KqlCompiler:
               f"/ CAST({bin_us} AS DOUBLE)) AS BIGINT) * {bin_us}")
         binned = base.select(
             "__w_id",
-            F.expr(f"__w_t DIV {per}").alias("__w_p"),
+            # floor division (not DIV, which truncates toward zero):
+            # pre-epoch timestamps must bucket to the floor period like
+            # the DuckDB // convention
+            F.expr(f"CAST(floor(__w_t / CAST({per} AS DOUBLE)) "
+                   f"AS BIGINT)").alias("__w_p"),
             F.explode(F.expr(
                 f"filter(transform(sequence(0, {k - 1}), "
                 f"__auc_j -> ({t0}) + __auc_j * {bin_us}), "
