@@ -144,6 +144,9 @@ set_union/set_intersect/set_difference, array_iff/array_rotate_*/
 array_shift_*, column_ifexists, totimespan, split/translate/url codecs/
 parse_version/parse_csv/parse_ipv4 family/datetime_add-diff/binary ops/
 tohex/strcmp/string_size/repeat/new_guid/rand(n)/isnan-isinf-isfinite,
+the r8 math batch (log/log2/log10/exp/exp2/exp10, sin/cos/tan/asin/
+acos/atan/atan2/cot, degrees/radians, sign/sqrt/pow/pi,
+array_sum/array_avg), series_dot_product/series_cosine_similarity,
 extend (n1, n2, ...) = series_fit_line(y) tuple assignment,
 geo_distance_2points/geo_point_in_circle (haversine),
 percentiles_array, make_list_if/make_set_if, binary_all_and-or-xor.
