@@ -1380,7 +1380,7 @@ def q_dup_spans(spark, sf_dir):
                  .where(F.col("n_occurrences") > 1))
 
 
-@query("q_dedup_canonical", """
+@query("q_dedup_keep_best", """
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(doc_id AS BIGINT) AS cluster_id
 FROM documents
@@ -1392,7 +1392,7 @@ WHERE doc_id % 17 = 0
   AND len(string_split(regexp_replace(trim(lower(text)),
                                       '\\s+', ' ', 'g'), ' ')) < 3
 """)
-def q_dedup_canonical(spark, sf_dir):
+def q_dedup_keep_best(spark, sf_dir):
     """End-to-end dedup KEEP step with a HARD hash-matched oracle:
     planted exact clones (doc_id % 17 -> +1e6, the
     q_dedup_minhash_exact corpus) -> MinHash-LSH pairs restricted to
@@ -6659,7 +6659,7 @@ DRIVER_WINDOW = [
     "q_kql_series_periods_validate", "q_kql_format_fns",
     "q_kql_funnel_completion", "q_dup_spans", "q_kql_sliding_window",
     "q_kql_activity_engagement", "q_kql_rows_near",
-    "q_kql_activity_counts", "q_dedup_canonical",
+    "q_kql_activity_counts", "q_dedup_keep_best",
     # oldest-vintage back-fill: oracled entries whose last driver row
     # is r2/r3 (banked green there; attestation refreshed here)
     "q3_shipping_priority", "q5_supplier_volume", "q_agg_distinct",
@@ -6689,7 +6689,7 @@ DRIVER_WINDOW = [
 # q1_pricing_summary, q_text_fingerprint, q_token_count,
 # q_text_quality, q_string_predicates, q_scalar_subquery, q_rollup,
 # q_resample_gaps (slot -> q_kql_series_fft) —
-# each yielded its r8 slot to a new-in-r8 entry (q_dedup_canonical,
+# each yielded its r8 slot to a new-in-r8 entry (q_dedup_keep_best,
 # q_dedup_incremental_exact, q_kql_sequence_detect_exact,
 # q_kql_active_users, q_kql_activity_metrics, q_kql_session_count,
 # q_kql_new_activity, q_kql_ipv4_lookup, q_kql_math_fns) — and the
