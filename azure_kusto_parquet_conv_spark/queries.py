@@ -51,6 +51,12 @@ def query(name: str, oracle: str | None = None):
             return fn(spark, sf_dir)
         wrapped.__wrapped__ = fn
         wrapped.__doc__ = fn.__doc__
+        if name in QUERIES:
+            # a duplicate registration would SILENTLY drop the earlier
+            # entry from the catalog (and its attestation history) —
+            # caught once in r8 (q_dedup_canonical); fail at import
+            raise ValueError(
+                f"duplicate catalog entry name {name!r}")
         QUERIES[name] = wrapped
         if oracle is not None:
             ORACLES[name] = oracle
