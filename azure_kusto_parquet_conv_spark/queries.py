@@ -306,8 +306,11 @@ ORDER BY revenue DESC, l_orderkey
 LIMIT 10
 """)
 def q3_shipping_priority(spark, sf_dir):
-    """Broadcast(customer-filter) x shuffle-join(orders, lineitem) ->
-    agg -> global top-10 (TakeOrderedAndProject)."""
+    """Shuffle-join(orders, lineitem) x customer-filter -> agg ->
+    global top-10 (TakeOrderedAndProject). The customer side is NOT
+    hinted: it is SF-proportional (150k rows/SF), so AQE picks
+    broadcast at test scale and degrades to SMJ at 100 TB instead of
+    OOMing (PLANS.md broadcast-hint policy)."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
@@ -315,7 +318,7 @@ def q3_shipping_priority(spark, sf_dir):
     return (li.where(F.col("l_shipdate") > cut)
               .join(o.where(F.col("o_orderdate") < cut),
                     F.col("l_orderkey") == F.col("o_orderkey"))
-              .join(F.broadcast(c.where(F.col("c_mktsegment") == "BUILDING")),
+              .join(c.where(F.col("c_mktsegment") == "BUILDING"),
                     F.col("o_custkey") == F.col("c_custkey"))
               .groupBy("l_orderkey", "o_orderdate")
               .agg(F.round(F.sum(F.col("l_extendedprice")
@@ -339,14 +342,16 @@ JOIN region   ON n_regionkey = r_regionkey
 GROUP BY n_name
 """)
 def q5_supplier_volume(spark, sf_dir):
-    """Multi-way star join: fact lineitem shuffle-joins orders; customer,
-    supplier, nation, region are broadcast dims."""
+    """Multi-way star join: fact lineitem shuffle-joins orders; nation
+    and region are hinted broadcast dims (bounded: 25/5 rows at every
+    SF); customer and supplier are SF-proportional, so their join
+    strategy is AQE-decided (broadcast at test scale, SMJ at 100 TB)."""
     t = {n: load_table(spark, sf_dir, n)
          for n in ("customer", "orders", "lineitem", "supplier", "nation", "region")}
     return (t["lineitem"]
             .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
-            .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
-            .join(F.broadcast(t["supplier"]),
+            .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+            .join(t["supplier"],
                   (F.col("l_suppkey") == F.col("s_suppkey"))
                   & (F.col("c_nationkey") == F.col("s_nationkey")))
             .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
@@ -447,12 +452,15 @@ GROUP BY l_partkey
 """)
 def q_scalar_subquery(spark, sf_dir):
     """Correlated scalar subquery (TPC-H Q17 shape), decorrelated by hand
-    the way Catalyst would: per-key avg once, broadcast back onto the
-    fact — one scan pays the aggregate, not one subquery per row."""
+    the way Catalyst would: per-key avg once, joined back onto the fact
+    — one scan pays the aggregate, not one subquery per row. The
+    per-partkey aggregate is |part|-sized, so the re-join is unhinted
+    (AQE-decided): at 100 TB it is a co-partitioned SMJ that reuses the
+    groupBy's own hash partitioning, not a forced broadcast OOM."""
     li = load_table(spark, sf_dir, "lineitem")
     avg_qty = (li.groupBy("l_partkey")
                  .agg((F.avg("l_quantity") * 0.5).alias("__half_avg")))
-    return (li.join(F.broadcast(avg_qty), "l_partkey")
+    return (li.join(avg_qty, "l_partkey")
               .where(F.col("l_quantity") < F.col("__half_avg"))
               .groupBy("l_partkey")
               .agg(F.round(F.sum("l_extendedprice"), 2)
@@ -2035,15 +2043,17 @@ WHERE rn <= 3
 def q_tfidf(spark, sf_dir):
     """Top-3 TF-IDF terms per document: tokenize → per-doc term counts →
     corpus document frequencies → score → per-doc top-k. The df table is
-    tiny relative to the corpus (vocabulary-sized) so the scoring join
-    broadcasts; scores are rounded BEFORE ranking so both engines cut the
-    same top-3."""
+    vocabulary-sized — small relative to the corpus but still
+    input-growing (heavy-tailed vocab), so the scoring join is unhinted
+    and AQE picks broadcast at test scale / SMJ when the vocab outgrows
+    the threshold; scores are rounded BEFORE ranking so both engines cut
+    the same top-3."""
     d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
     toks = d.select("doc_id", F.explode(X.tokens("text")).alias("tok"))
     tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
     dfreq = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
     n = toks.agg(F.countDistinct("doc_id").alias("n_docs"))
-    scored = (tf.join(F.broadcast(dfreq), "tok")
+    scored = (tf.join(dfreq, "tok")
                 .crossJoin(F.broadcast(n))
                 .select("doc_id", "tok",
                         F.round(F.col("tf")
@@ -2077,24 +2087,30 @@ WHERE rn <= 3
 def q_bm25(spark, sf_dir):
     """Okapi BM25 (k1=1.2, b=0.75, Lucene-smoothed idf) top-3 terms per
     document — the retrieval-scoring sibling of q_tfidf and the ranking
-    half of a RAG/contamination pipeline. Same scale shape: the
-    vocabulary-sized df table and the 1-row corpus stats broadcast;
-    scores round before ranking so both engines cut identical top-3.
-    The DuckDB twin recomputes the full formula independently."""
+    half of a RAG/contamination pipeline. Scale shape: doc length rides
+    a window sum over the (doc,tok) tf frame (never a separate
+    corpus-row-sized dl join); the vocabulary-sized df join is
+    AQE-decided; only the provably-1-row corpus stats carry a broadcast
+    hint. Scores round before ranking so both engines cut identical
+    top-3. The DuckDB twin recomputes the full formula independently."""
     d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
     toks = d.select("doc_id", F.explode(X.tokens("text")).alias("tok"))
-    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
-    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
-    stats = toks.groupBy("doc_id").count() \
-                .agg(F.avg("count").alias("avgdl"),
-                     F.count("*").alias("n_docs"))
-    dfreq = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    tf = (toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+              # doc length = sum of tf within the doc: a window over the
+              # already-aggregated (doc,tok) frame, NOT a separate
+              # corpus-row-sized dl table joined back (that join's build
+              # side grows with the corpus — a 100 TB OOM if hinted).
+              .withColumn("dl", F.sum("tf").over(
+                  Window.partitionBy("doc_id"))))
+    stats = (tf.groupBy("doc_id").agg(F.first("dl").alias("_dl"))
+               .agg(F.avg("_dl").cast("double").alias("avgdl"),
+                    F.count("*").alias("n_docs")))
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
     k1, b = 1.2, 0.75
     idf = F.log((F.col("n_docs") - F.col("df") + 0.5)
                 / (F.col("df") + 0.5) + 1.0)
     denom = F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
-    scored = (tf.join(F.broadcast(dfreq), "tok")
-                .join(F.broadcast(dl), "doc_id")
+    scored = (tf.join(dfreq, "tok")
                 .crossJoin(F.broadcast(stats))
                 .select("doc_id", "tok",
                         F.round(idf * F.col("tf") * (k1 + 1) / denom, 4)
@@ -2420,7 +2436,7 @@ def q7_nation_trade(spark, sf_dir):
                 F.col("c_nationkey") == F.col("cn_key")))
     return (li.join(o, li.l_orderkey == o.o_orderkey)
               .join(cu, o.o_custkey == cu.c_custkey)
-              .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+              .join(su, li.l_suppkey == su.s_suppkey)
               .where(F.col("supp_nation") != F.col("cust_nation"))
               .groupBy("supp_nation", "cust_nation",
                        F.year("l_shipdate").cast("long").alias("ship_year"))
@@ -2456,8 +2472,10 @@ def q2_min_cost_supplier(spark, sf_dir):
     """TPC-H Q2 shape (adapted: no partsupp fixture, so the part-supplier
     cost relation derives from lineitem): cheapest EUROPE supplier per
     size-10 part. The correlated min-cost subquery becomes a window MIN
-    over the part key — one shuffle instead of a self-join. Supplier,
-    nation, region, and the filtered part list all broadcast. Per-row
+    over the part key — one shuffle instead of a self-join. Nation and
+    region are hinted broadcasts (bounded); the supplier-derived
+    eligible set and the filtered part list are unhinted (AQE picks
+    broadcast at test scale, SMJ at 100 TB). Per-row
     cost is ROUNDed before MIN on both sides so the equality match on the
     minimum cannot drift."""
     li = load_table(spark, sf_dir, "lineitem")
@@ -2471,12 +2489,12 @@ def q2_min_cost_supplier(spark, sf_dir):
     pairs = (li.groupBy("l_partkey", "l_suppkey")
                .agg(F.min(F.round(F.col("l_extendedprice")
                                   / F.col("l_quantity"), 4)).alias("cost")))
-    best = (pairs.join(F.broadcast(eligible),
+    best = (pairs.join(eligible,
                        pairs.l_suppkey == eligible.s_suppkey)
                  .withColumn("min_cost", F.min("cost").over(
                      Window.partitionBy("l_partkey"))))
     hit = (best.where(F.col("cost") == F.col("min_cost"))
-               .join(F.broadcast(pa.select("p_partkey")),
+               .join(pa.select("p_partkey"),
                      F.col("l_partkey") == F.col("p_partkey"), "left_semi"))
     w = Window.orderBy(F.col("s_acctbal").desc(), "l_partkey", "l_suppkey")
     return (hit.withColumn("rn", F.row_number().over(w).cast("long"))
@@ -2503,10 +2521,11 @@ def q16_supplier_count(spark, sf_dir):
     pre-distinct on the fact — count_distinct's partial aggregate
     already dedups (partkey,suppkey) pairs map-side before its shuffle,
     so an explicit distinct would add a full fact exchange for nothing
-    (verified equal output, r4); the flagged suppliers broadcast into an
-    anti-join and the filtered part dim broadcasts into the probe side.
-    The only shuffles are the two count_distinct phases, both after the
-    broadcast filters have shrunk the fact."""
+    (verified equal output, r4); the flagged-supplier anti-join and the
+    filtered-part join are unhinted (both sides SF-proportional) — AQE
+    broadcasts them at test scale. The only shuffles are the two
+    count_distinct phases, both after the filters have shrunk the
+    fact."""
     li = load_table(spark, sf_dir, "lineitem")
     pa = (load_table(spark, sf_dir, "part")
           .where((F.col("p_brand") != "Brand#1")
@@ -2514,9 +2533,9 @@ def q16_supplier_count(spark, sf_dir):
     bad = (load_table(spark, sf_dir, "supplier")
            .where(F.col("s_acctbal") < 0).select("s_suppkey"))
     ps = (li.select("l_partkey", "l_suppkey")
-            .join(F.broadcast(bad),
+            .join(bad,
                   F.col("l_suppkey") == F.col("s_suppkey"), "left_anti"))
-    return (ps.join(F.broadcast(pa), ps.l_partkey == pa.p_partkey)
+    return (ps.join(pa, ps.l_partkey == pa.p_partkey)
               .groupBy("p_brand", "p_type", "p_size")
               .agg(F.count_distinct("l_suppkey").cast("long")
                     .alias("supplier_cnt")))
@@ -2851,7 +2870,8 @@ FROM j
 """)
 def q14_promo_revenue(spark, sf_dir):
     """TPC-H Q14 shape: promo revenue share over a ship-date slice. The
-    date filter pushes to the lineitem scan, part broadcasts, and the
+    date filter pushes to the lineitem scan, the part join is
+    AQE-decided (part is SF-proportional), and the
     conditional sum folds into one aggregate pass. Both sums are rounded
     BEFORE the ratio so summation-order ulp drift cannot move the 4-digit
     rounding."""
@@ -2860,7 +2880,7 @@ def q14_promo_revenue(spark, sf_dir):
         & (F.col("l_shipdate") < "1995-12-01"))
     pa = load_table(spark, sf_dir, "part")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+    return (li.join(pa, li.l_partkey == pa.p_partkey)
               .agg(F.round(
                   100 * F.round(F.sum(F.when(F.col("p_type") == "PROMO", rev)
                                        .otherwise(0.0)), 2)
@@ -2882,10 +2902,11 @@ def q19_disjunctive_join(spark, sf_dir):
     """TPC-H Q19 shape: a disjunction mixing build-side (brand/size) and
     probe-side (quantity) predicates. The single-side prefilters Catalyst
     CAN extract (brand∈set, size<=35, quantity<=40) push below the join;
-    the cross-side residual evaluates post-join. Part broadcasts."""
+    the cross-side residual evaluates post-join. The part join is
+    AQE-decided (SF-proportional build side, unhinted)."""
     li = load_table(spark, sf_dir, "lineitem")
     pa = load_table(spark, sf_dir, "part")
-    j = li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+    j = li.join(pa, li.l_partkey == pa.p_partkey)
     b = F.col("p_brand")
     s = F.col("p_size")
     q = F.col("l_quantity")
@@ -3003,7 +3024,7 @@ def q18_large_orders(spark, sf_dir):
     back to orders and customers. Scale design: the aggregate and the
     orders join share the orderkey partitioning (no second fact shuffle
     — the HAVING filter also shrinks the probe side to the tail), and
-    customer broadcasts."""
+    the customer join is AQE-decided (SF-proportional, unhinted)."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     cu = load_table(spark, sf_dir, "customer")
@@ -3012,7 +3033,7 @@ def q18_large_orders(spark, sf_dir):
                   F.sum("l_quantity").alias("_raw"))
              .where(F.col("_raw") > 320).drop("_raw"))
     return (big.join(o, big.l_orderkey == o.o_orderkey)
-               .join(F.broadcast(cu), o.o_custkey == cu.c_custkey)
+               .join(cu, o.o_custkey == cu.c_custkey)
                .select("c_custkey", "c_name", "o_orderkey",
                        F.round("o_totalprice", 2).alias("totalprice"),
                        "qty"))
@@ -3077,7 +3098,7 @@ def q15_top_supplier(spark, sf_dir):
                    .alias("total_rev")))
     top = rev.agg(F.max("total_rev").alias("m"))
     return (rev.join(F.broadcast(top), rev.total_rev == top.m)
-               .join(F.broadcast(su), rev.l_suppkey == su.s_suppkey)
+               .join(su, rev.l_suppkey == su.s_suppkey)
                .select("s_suppkey", "s_name", "total_rev"))
 
 
@@ -3173,7 +3194,7 @@ def q11_value_concentration(spark, sf_dir):
         F.col("n_name") == "NATION_3")
     s3 = su.join(F.broadcast(na), su.s_nationkey == na.n_nationkey) \
            .select("s_suppkey")
-    sp = (li.join(F.broadcast(s3), li.l_suppkey == s3.s_suppkey)
+    sp = (li.join(s3, li.l_suppkey == s3.s_suppkey)
             .groupBy("l_partkey")
             .agg(F.round(F.sum("l_extendedprice"), 2).alias("val")))
     thresh = sp.agg((F.sum("val") * 0.002).alias("t"))
@@ -3213,7 +3234,7 @@ def q8_market_share(spark, sf_dir):
                   .alias("is_target")))
     v = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (li.join(o, li.l_orderkey == o.o_orderkey)
-              .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+              .join(su, li.l_suppkey == su.s_suppkey)
               .groupBy(F.year("o_orderdate").cast("long").alias("yr"))
               .agg(F.round(
                   F.round(F.sum(F.when(F.col("is_target"), v)
@@ -3291,17 +3312,17 @@ def q17_small_quantity_revenue(spark, sf_dir):
     """TPC-H Q17 shape: revenue from orders below 20% of the part's own
     average quantity. The correlated scalar subquery becomes a per-part
     aggregate joined back — and because brand determines the part set,
-    the brand filter (broadcast semi join) shrinks the fact input BEFORE
+    the brand filter (semi join, AQE-decided) shrinks the fact input BEFORE
     the per-part average without changing it. Sum rounded before the /7
     so the 4-digit result is ulp-stable."""
     li = load_table(spark, sf_dir, "lineitem")
     pk = (load_table(spark, sf_dir, "part")
           .where(F.col("p_brand") == "Brand#23").select("p_partkey"))
-    li_b = li.join(F.broadcast(pk), li.l_partkey == pk.p_partkey) \
+    li_b = li.join(pk, li.l_partkey == pk.p_partkey) \
              .select("l_partkey", "l_quantity", "l_extendedprice")
     lim = (li_b.groupBy(F.col("l_partkey").alias("lp"))
                .agg((F.avg("l_quantity") * 0.2).alias("qlim")))
-    return (li_b.join(F.broadcast(lim), li_b.l_partkey == lim.lp)
+    return (li_b.join(lim, li_b.l_partkey == lim.lp)
                 .where(F.col("l_quantity") < F.col("qlim"))
                 .agg(F.round(F.round(F.sum("l_extendedprice"), 2) / 7.0, 4)
                       .alias("avg_yearly"),
@@ -3595,7 +3616,8 @@ def q_unigram_logprob(spark, sf_dir):
     each document under the corpus's own unigram distribution (the
     cheap stand-in for a KenLM filter — surprising/garbled docs score
     low). Scale shape: the unigram table is vocabulary-sized and
-    BROADCASTS onto the exploded token stream, so the only corpus-wide
+    joins (unhinted — vocab grows with the corpus, so the strategy is
+    AQE-decided) onto the exploded token stream, so the only corpus-wide
     shuffles are the frequency count and the per-doc average."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(X.tokens("text")).alias("w"))
@@ -3603,7 +3625,7 @@ def q_unigram_logprob(spark, sf_dir):
     tot = freq.agg(F.sum("n").alias("t"))
     freq_p = freq.crossJoin(F.broadcast(tot)).select(
         "w", F.log(F.col("n") / F.col("t")).alias("lp"))
-    return (tok.join(F.broadcast(freq_p), "w")
+    return (tok.join(freq_p, "w")
                .groupBy("doc_id")
                .agg(F.round(F.avg("lp"), 4).alias("avg_logprob"),
                     F.count("*").cast("long").alias("n_tok")))

@@ -437,3 +437,56 @@ def test_find_pushes_predicate_into_union_branches(spark, sf_dir):
                for s in scans if "DataFilters" in s)
     assert any("s_nationkey" in s and "= 5" in s.split("DataFilters")[1]
                for s in scans if "DataFilters" in s)
+
+
+def test_no_forced_broadcast_of_fact_scale_frames(spark, sf_dir):
+    """The 100 TB OOM guard (PLANS.md broadcast-hint policy): an explicit
+    F.broadcast bypasses autoBroadcastJoinThreshold AND AQE's runtime
+    size check, so a hint on a frame whose row count grows with the
+    input is a forced executor-memory blowup at scale — the plan cannot
+    degrade to a shuffle join. Sweep every catalog entry's ANALYZED plan
+    and reject any hinted subtree that scans a fact-scale table, unless
+    (a) a global 1-row aggregate reduces it (scalar thresholds/stats —
+    auto-detected) or (b) the entry is allowlisted below with the reason
+    its hinted frame is bounded BY CONSTRUCTION, not merely small at
+    test scale."""
+    from azure_kusto_parquet_conv_spark.plans.explain import (
+        fact_scale_hint_violations)
+    allowed = {
+        # Bounded probe/query sets: an explicit tiny id-filter selects
+        # the probe side; corpus growth grows the UNHINTED side only.
+        "q_knn_bruteforce", "q_knn_hamming", "q_embed_sim_pairs",
+        "q_knn_ivf", "q_knn_ivf_exact", "q_knn_lsh", "q_knn_lsh_exact",
+        # + fixed-size trained artifacts (codebooks, centroids): size is
+        # (n_lists|2^bits) x dim regardless of corpus rows.
+        "q_knn_pq", "q_knn_pq_exact", "q_knn_ivfpq", "q_knn_ivfpq_exact",
+        # Incremental dedup: the hinted side is the NEW BATCH (small by
+        # contract — the point of incremental); the corpus/store side
+        # stays unhinted and is semi-joined down to candidates.
+        "q_dedup_incremental", "q_dedup_incremental_exact",
+        # The benchmark shingle set: external eval suites are a bounded
+        # artifact; only the training corpus side grows.
+        "q_decontaminate",
+        # Grouped stats over a bounded-domain key (event_type enum).
+        "q_anomaly_outliers",
+        # Calendar day spine: bounded by the time range, not row count.
+        "q_trailing_wau",
+        # top-nested winner frames: bounded by the user's N per level.
+        "q_kql_top_nested",
+        # KQL `lookup` operator contract: right side IS a dimension
+        # (Kusto semantics); the entry exercises that operator.
+        "q_kql_lookup",
+        # Deliberate user-directed `hint.broadcast` DSL demo — the
+        # feature under test is hint plumbing; user hints are opt-in.
+        "q_kql_join_revenue",
+    }
+    offenders = {}
+    for name, fn in QUERIES.items():
+        df = fn(spark, sf_dir)
+        viol = fact_scale_hint_violations(df)
+        if viol and name not in allowed:
+            offenders[name] = viol[0].splitlines()[0]
+        elif not viol and name in allowed:
+            # keep the allowlist honest: drop entries that no longer hint
+            offenders[name] = "allowlisted but no fact-scale hint found"
+    assert not offenders, offenders
