@@ -409,6 +409,9 @@ class _ExprParser:
             # interior spaces/colons survive tokenization)
             inner = re.match(r"datetime\s*\((.*)\)$", text,
                              re.DOTALL).group(1).strip().strip("'\"")
+            if inner.lower() == "null":
+                # Kusto typed null: datetime(null)
+                return "CAST(NULL AS TIMESTAMP)"
             return f"TIMESTAMP '{inner}'"
         if t.kind == "timespan":
             return str(_timespan_to_us(text))
@@ -476,7 +479,17 @@ class _ExprParser:
                 f"(__spd_a, __spd_v) -> __spd_a + __spd_v) / {den} "
                 f"ELSE NULL END")
 
+    _TYPED_NULL = {"long": "BIGINT", "int": "INT", "real": "DOUBLE",
+                   "double": "DOUBLE", "bool": "BOOLEAN",
+                   "string": "STRING", "decimal": "DECIMAL(38,18)",
+                   "timespan": "BIGINT", "guid": "STRING"}
+
     def _render_call(self, fname: str, args: list[str]) -> str:
+        if fname in self._TYPED_NULL and len(args) == 1 \
+                and args[0].strip().upper() == "NULL":
+            # Kusto typed null literals: long(null), real(null), ...
+            # (datetime(null) lexes as one datetime token upstream)
+            return f"CAST(NULL AS {self._TYPED_NULL[fname]})"
         if fname == "bin":
             # bin() is intercepted token-level (schema-aware timespan
             # handling) before parsing ever reaches here.
@@ -543,22 +556,17 @@ class _ExprParser:
                 raise ValueError(f"KQL: {fname}(x)")
             base = "2" if fname == "exp2" else "10"
             return f"power({base}, {args[0]})"
-        if fname in ("isfinite", "isinf"):
-            if len(args) != 1:
-                raise ValueError(f"KQL: {fname}(x)")
-            x = args[0]
-            inf = (f"(abs(CAST({x} AS DOUBLE)) = CAST('Infinity' "
-                   f"AS DOUBLE))")
-            if fname == "isinf":
-                return inf
-            return (f"(NOT isnan(CAST({x} AS DOUBLE)) "
-                    f"AND NOT {inf})")
         if fname in ("array_sum", "array_avg"):
             if len(args) != 1:
                 raise ValueError(f"KQL: {fname}(arr)")
             # dynamic arrays ride VARIANT: one typed cast covers both
-            # native arrays and parse_json output
-            arr = f"try_cast({args[0]} AS ARRAY<DOUBLE>)"
+            # native arrays and parse_json output. Kusto IGNORES
+            # null/non-numeric elements (try_cast turns them into null
+            # slots), so fold over the non-null filter — one poisoned
+            # element must not null the whole result — and array_avg
+            # divides by the count of elements actually summed.
+            arr = (f"filter(try_cast({args[0]} AS ARRAY<DOUBLE>), "
+                   f"__as_e -> __as_e IS NOT NULL)")
             total = (f"aggregate({arr}, CAST(0.0 AS DOUBLE), "
                      f"(__as_a, __as_x) -> __as_a + __as_x)")
             if fname == "array_sum":
@@ -665,13 +673,16 @@ class _ExprParser:
         if fname in ("isnan", "isinf", "isfinite"):
             if len(args) != 1:
                 raise ValueError(f"KQL: {fname}(x) takes 1 arg")
+            # Kusto contract: these return BOOL, never null — a null
+            # input is "not a finite number / not inf / not nan" = false
             x = f"CAST({args[0]} AS DOUBLE)"
             if fname == "isnan":
-                return f"isnan({x})"
+                return f"coalesce(isnan({x}), false)"
             if fname == "isinf":
-                return f"(abs({x}) = CAST('Infinity' AS DOUBLE))"
-            return (f"(NOT (isnan({x}) "
-                    f"OR abs({x}) = CAST('Infinity' AS DOUBLE)))")
+                return (f"coalesce(abs({x}) = CAST('Infinity' AS DOUBLE), "
+                        f"false)")
+            return (f"coalesce(NOT (isnan({x}) "
+                    f"OR abs({x}) = CAST('Infinity' AS DOUBLE)), false)")
         if fname == "tohex":
             # Kusto tohex emits lowercase digits; Spark hex is upper
             if len(args) != 1:
@@ -2683,29 +2694,50 @@ def _register_series_fft_udfs(spark: SparkSession) -> None:
     spark._kql_fft_registered = True
 
 
-#: fork/facet cache the shared input with persist() so N children read
-#: ONE scan; the handles land here and the oldest are unpersisted once
-#: more than _PERSIST_KEEP accumulate — a session compiling many
-#: fork/facet queries keeps a bounded cache footprint while the most
-#: recent inputs (whose action is imminent or in flight) stay live.
+#: fork/facet/materialize cache shared inputs with persist() so N
+#: consumers read ONE scan. Handles are registered in COMPILER-SCOPED
+#: groups: eviction happens at group granularity, keeping the newest
+#: _PERSIST_KEEP compilers' caches live and unpersisting entire older
+#: groups. Scoping by compiler (r8 advice) guarantees the
+#: currently-compiling query can NEVER evict its own handles — a single
+#: query with a materialized let plus many fork/facet persist sites
+#: keeps every handle until 4 NEWER queries have compiled, so
+#: materialize()'s evaluate-once contract holds for any per-query fanout
+#: (including non-deterministic bodies: all consumers observe one
+#: evaluation), while a long session still cannot accumulate unbounded
+#: executor storage.
 _PERSIST_KEEP = 4
-_persisted_inputs: list = []
+#: list of (compiler, handles) — newest last; strong refs are fine
+#: (at most _PERSIST_KEEP compilers are retained).
+_persisted_groups: list = []
 
 
-def _persist_bounded(df: DataFrame) -> DataFrame:
+def _register_persist(compiler, df: DataFrame) -> DataFrame:
     df = df.persist()
-    _persisted_inputs.append(df)
-    while len(_persisted_inputs) > _PERSIST_KEEP:
-        old = _persisted_inputs.pop(0)
-        try:
-            old.unpersist()
-        except Exception:
-            pass
+    for owner, handles in _persisted_groups:
+        if owner is compiler:
+            handles.append(df)
+            return df
+    _persisted_groups.append((compiler, [df]))
+    while len(_persisted_groups) > _PERSIST_KEEP:
+        _, old = _persisted_groups.pop(0)
+        for h in old:
+            try:
+                h.unpersist()
+            except Exception:
+                pass
     return df
 
 
 class KqlCompiler:
     """Compiles one KQL tabular pipeline against a table resolver."""
+
+    def _persist_bounded(self, df: DataFrame) -> DataFrame:
+        """Persist a shared subtree (fork/facet input, materialize()
+        body) in this compiler's eviction group — see
+        ``_persisted_groups``: handles created by the current query are
+        never evicted before 4 newer queries compile."""
+        return _register_persist(self, df)
 
     def __init__(self, spark: SparkSession, sf_dir: str):
         self.spark = spark
@@ -2796,7 +2828,7 @@ class KqlCompiler:
                 # cache; later references read it instead of recomputing);
                 # handles go through the same bounded LRU registry as
                 # fork/facet so long sessions cannot accumulate storage
-                self._lets[name] = _persist_bounded(self._compile_tabular(
+                self._lets[name] = self._persist_bounded(self._compile_tabular(
                     self._preprocess(mm.group(1).strip())))
             else:
                 # decide tabular-vs-scalar AFTER preprocessing: a body
@@ -3905,22 +3937,33 @@ class KqlCompiler:
                          & (F.col("percent") >= min_pct))
                   .withColumn("count", F.col("count").cast("long")))
 
-    def _window_base(self, df: DataFrame, groups, what):
+    def _window_base(self, df: DataFrame, groups, what, lo_hi=None):
         """Shared arg parsing for the sliding-window plugins:
         (id, timeline, start, end, ...) -> (base frame with __w_id /
-        __w_t / __w_lo / __w_hi epoch-µs columns, remaining groups)."""
+        __w_t / __w_lo / __w_hi epoch-µs columns, remaining groups).
+        ``lo_hi`` injects pre-evaluated literal epoch-µs bounds so a
+        caller that ALSO sizes a driver-side spine from Start/End
+        (session_count) filters with the very same values — a volatile
+        expression (now()-relative) can otherwise diverge between the
+        compile-time spine and the per-row execution-time filter."""
         id_sql = _compile_expr_tokens(groups[0], df)
         tl_sql = _compile_expr_tokens(groups[1], df)
-        start_sql = _compile_expr_tokens(groups[2], df)
-        end_sql = _compile_expr_tokens(groups[3], df)
+        if lo_hi is not None:
+            lo_col = F.lit(lo_hi[0]).cast("long")
+            hi_col = F.lit(lo_hi[1]).cast("long")
+        else:
+            start_sql = _compile_expr_tokens(groups[2], df)
+            end_sql = _compile_expr_tokens(groups[3], df)
+            lo_col = F.expr(
+                f"unix_micros(CAST({start_sql} AS TIMESTAMP))")
+            hi_col = F.expr(
+                f"unix_micros(CAST({end_sql} AS TIMESTAMP))")
         base = df.select(
             F.expr(id_sql).alias("__w_id"),
             F.expr(f"unix_micros(CAST({tl_sql} AS TIMESTAMP))")
              .alias("__w_t"),
-            F.expr(f"unix_micros(CAST({start_sql} AS TIMESTAMP))")
-             .alias("__w_lo"),
-            F.expr(f"unix_micros(CAST({end_sql} AS TIMESTAMP))")
-             .alias("__w_hi"),
+            lo_col.alias("__w_lo"),
+            hi_col.alias("__w_hi"),
         ).where(F.col("__w_t").isNotNull()
                 & (F.col("__w_t") >= F.col("__w_lo"))
                 & (F.col("__w_t") <= F.col("__w_hi")))
@@ -4108,7 +4151,7 @@ class KqlCompiler:
         if not df.isStreaming:
             # two aggregation branches (per-bin counts, per-id first
             # seen) over the same binned events: scan once
-            binned = _persist_bounded(binned)
+            binned = self._persist_bounded(binned)
         per_bin = (binned.groupBy("__w_bin")
                    .agg(F.count("*").alias("count_"),
                         F.countDistinct("__w_id").alias("dcount")))
@@ -4166,7 +4209,7 @@ class KqlCompiler:
             # (dcount, first-seen, the shifted prev side, retained);
             # persist it once so raw events are scanned and
             # deduplicated a single time (bounded LRU registry)
-            wi = _persist_bounded(wi)
+            wi = self._persist_bounded(wi)
         per_bin = (wi.groupBy("__w_bin")
                    .agg(F.count("*").alias("dcount_values")))
         first_seen = (wi.groupBy("__w_id")
@@ -4260,6 +4303,9 @@ class KqlCompiler:
             raise ValueError(
                 f"KQL: ipv4_lookup lookup columns {collide} collide "
                 f"with source columns — project-rename them first")
+        # Kusto returns the lookup key (CIDR) column with the match;
+        # keep it, renamed only if it collides with a source column
+        out_key = key if key not in df.columns else f"{key}_lookup"
         net_sql = f"split_part(`{key}`, '/', 1)"
         valid, net_num = _ExprParser._ipv4_num(net_sql)
         plen_sql = (f"(CASE WHEN nullif(split_part(`{key}`, '/', 2), "
@@ -4273,7 +4319,8 @@ class KqlCompiler:
                  .withColumn("__ipl_key", F.expr(
                      "shiftright(__ipl_net, 32 - __ipl_len)"))
                  .withColumn("__ipl_hit", F.lit(1))
-                 .drop(key, "__ipl_net"))
+                 .withColumnRenamed(key, out_key)
+                 .drop("__ipl_net"))
         plens = sorted({r[0] for r in
                         lk2.select("__ipl_len").distinct().collect()})
         if not plens:
@@ -4298,10 +4345,15 @@ class KqlCompiler:
         # matched rows first (the left join pads EVERY exploded prefix
         # length of an unmatched row, and __ipl_len survives from the
         # left side — only the lookup-side hit marker distinguishes a
-        # real match), then the longest prefix among matches
+        # real match), then the longest prefix among matches, then the
+        # CIDR key text — then every other lookup column — so duplicate
+        # equal-length (even textually identical) networks break ties
+        # DETERMINISTICALLY across runs (r8 advice)
+        lk_order = [F.col(out_key).asc_nulls_last()] + [
+            F.col(c).asc_nulls_last() for c in lk.columns if c != key]
         w = Window.partitionBy("__ipl_rid").orderBy(
             F.col("__ipl_hit").desc_nulls_last(),
-            F.col("__ipl_len").desc())
+            F.col("__ipl_len").desc(), *lk_order)
         out = (joined.withColumn("__ipl_rn",
                                  F.row_number().over(w))
                .where(F.col("__ipl_rn") == 1))
@@ -4343,7 +4395,7 @@ class KqlCompiler:
         if not df.isStreaming:
             # three consumers (first-seen, activity join side twice
             # removed): one scan + one distinct, then reuse
-            wi = _persist_bounded(wi)
+            wi = self._persist_bounded(wi)
         first_seen = (wi.groupBy("__w_id")
                       .agg(F.min("__w_bin").alias("__nam_from")))
         cohort = (first_seen.groupBy("__nam_from")
@@ -4396,7 +4448,28 @@ class KqlCompiler:
             raise ValueError(
                 "KQL: session_count(id, timeline, start, end, bin, "
                 "lookback)")
-        base, us_lit = self._window_base(df, groups, "session_count")
+        # Start/End evaluate ONCE driver-side (a literal SELECT, no
+        # scan — the toscalar precedent) and the same values feed BOTH
+        # the bins spine and the row filter, so a volatile expression
+        # cannot diverge between them (r8 advice); an inverted or
+        # null range is an error, never a silent empty spine
+        start_sql = _compile_expr_tokens(groups[2], df)
+        end_sql = _compile_expr_tokens(groups[3], df)
+        row0 = self.spark.sql(
+            f"SELECT unix_micros(CAST({start_sql} AS TIMESTAMP)) "
+            f"AS lo, unix_micros(CAST({end_sql} AS TIMESTAMP)) "
+            f"AS hi").first()
+        lo, hi = row0["lo"], row0["hi"]
+        if lo is None or hi is None:
+            raise ValueError(
+                "KQL: session_count Start/End must evaluate to "
+                "datetimes")
+        if hi < lo:
+            raise ValueError(
+                f"KQL: session_count End must be >= Start "
+                f"(got Start={lo}us > End={hi}us)")
+        base, us_lit = self._window_base(df, groups, "session_count",
+                                         lo_hi=(lo, hi))
         bin_us = us_lit(groups[4], "bin")
         look = us_lit(groups[5], "lookback")
         w = Window.partitionBy("__w_id").orderBy("__w_t")
@@ -4414,17 +4487,6 @@ class KqlCompiler:
         sessions = (marked.groupBy("__w_id", "__sc_sid")
                     .agg(F.min("__w_t").alias("__sc_s"),
                          (F.max("__w_t") + look).alias("__sc_e")))
-        # Start/End are literal expressions (as in every window
-        # plugin); evaluating them once driver-side (a literal SELECT,
-        # no scan — the toscalar precedent) sizes the bins spine at
-        # compile time instead of a runtime probe job
-        start_sql = _compile_expr_tokens(groups[2], df)
-        end_sql = _compile_expr_tokens(groups[3], df)
-        row0 = self.spark.sql(
-            f"SELECT unix_micros(CAST({start_sql} AS TIMESTAMP)) "
-            f"AS lo, unix_micros(CAST({end_sql} AS TIMESTAMP)) "
-            f"AS hi").first()
-        lo, hi = row0["lo"], row0["hi"]
         bins = (self.spark.range(0, (hi - lo) // bin_us + 1)
                 .select((F.lit(lo) + F.col("id") * bin_us)
                         .alias("__sc_bin")))
@@ -5130,7 +5192,7 @@ class KqlCompiler:
         if not cols or unknown:
             raise ValueError(f"KQL: facet by unknown columns {unknown}")
         if not df.isStreaming:
-            df = _persist_bounded(df)
+            df = self._persist_bounded(df)
         parts = [
             df.groupBy(F.col(c).cast("string").alias("value"))
               .agg(F.count("*").alias("count_"))
@@ -5187,7 +5249,7 @@ class KqlCompiler:
         if len(children) < 2:
             raise ValueError("KQL: fork needs >= 2 (subquery) groups")
         if not df.isStreaming:
-            df = _persist_bounded(df)
+            df = self._persist_bounded(df)
         outs = []
         for j, (nm, sub) in enumerate(zip(names, children)):
             # Each child compiles in an ISOLATED serialized scope: a

@@ -3590,12 +3590,14 @@ def test_fork_child_state_isolated(spark, sf_dir):
 
 
 def test_fork_facet_persist_bounded(spark, sf_dir):
-    """r7 advice #5: fork/facet persist() handles are bounded — older
-    cached inputs are unpersisted once more than _PERSIST_KEEP
-    accumulate, so a long session cannot pin unbounded executor
-    storage."""
+    """r7 advice #5 + r8 advice #1: persist() handles are bounded at
+    COMPILER-GROUP granularity — a long session unpersists entire older
+    queries' caches once more than _PERSIST_KEEP compilers accumulate,
+    while the current query's own handles are never evicted mid-query
+    (materialize()'s evaluate-once contract survives any per-query
+    fanout)."""
     from azure_kusto_parquet_conv_spark import kql as kql_mod
-    kql_mod._persisted_inputs.clear()
+    kql_mod._persisted_groups.clear()
     first = None
     for i in range(kql_mod._PERSIST_KEEP + 2):
         kql(spark, sf_dir, f"""
@@ -3603,11 +3605,36 @@ def test_fork_facet_persist_bounded(spark, sf_dir):
             | facet by a, b
         """).collect()
         if first is None:
-            first = kql_mod._persisted_inputs[0]
-    assert len(kql_mod._persisted_inputs) <= kql_mod._PERSIST_KEEP
-    # the evicted first handle is fully unpersisted
+            first = kql_mod._persisted_groups[0][1][0]
+    assert len(kql_mod._persisted_groups) <= kql_mod._PERSIST_KEEP
+    # the evicted first group's handle is fully unpersisted
     assert not first.storageLevel.useMemory \
         and not first.storageLevel.useDisk
+
+
+def test_own_query_persist_never_evicted_midquery(spark, sf_dir):
+    """A single query with a materialized let plus more persist sites
+    than _PERSIST_KEEP keeps ALL its handles live until the action runs:
+    eviction is group-scoped, and the currently-compiling query is by
+    construction the newest group. (Before r9 a >4-site query evicted
+    its own materialize handle pre-action, silently recomputing the
+    body — the evaluate-once contract broke for rand()/new_guid().)"""
+    from azure_kusto_parquet_conv_spark import kql as kql_mod
+    kql_mod._persisted_groups.clear()
+    # materialize + 4 facet persists in ONE query = 5 handles, > KEEP
+    df = kql(spark, sf_dir, """
+      let M = materialize(datatable (a:long, b:long) [1, 10, 2, 20]);
+      M | facet by a, b
+    """)
+    # simulate heavy same-query fanout: register extra handles in the
+    # SAME compiler group and check none evict
+    (owner, handles) = kql_mod._persisted_groups[0]
+    extra = [kql_mod._register_persist(
+        owner, spark.range(3).toDF("x")) for _ in range(
+            kql_mod._PERSIST_KEEP + 1)]
+    assert all(h.storageLevel.useMemory or h.storageLevel.useDisk
+               for h in handles + extra)
+    df.collect()
 
 
 def test_parse_kv_quote_first_occurrence_wins(spark, sf_dir):
@@ -3894,6 +3921,23 @@ def test_ipv4_lookup_longest_prefix_and_unmatched(spark, sf_dir):
     assert sorted((r["ip"], r["tag"]) for r in rows) == [
         ("10.1.2.3", "lab"), ("10.1.9.9", "branch"),
         ("10.9.9.9", "corp"), ("192.168.0.5", "host")]
+    # Kusto returns the lookup key (CIDR) column with the match
+    assert sorted((r["ip"], r["net"]) for r in rows) == [
+        ("10.1.2.3", "10.1.2.0/24"), ("10.1.9.9", "10.1.0.0/16"),
+        ("10.9.9.9", "10.0.0.0/8"), ("192.168.0.5", "192.168.0.5")]
+    # duplicate equal-length networks: ties break deterministically on
+    # the CIDR key text (identical enrichment across repeated runs)
+    dup = """
+      let L = datatable (net:string, tag:string) [
+        '10.1.0.0/16', 'zeta',
+        '10.1.0.0/16', 'alpha'
+      ];
+      datatable (ip:string) ['10.1.2.3']
+      | evaluate ipv4_lookup(L, ip, net)
+    """
+    picks = {kql(spark, sf_dir, dup).collect()[0]["tag"]
+             for _ in range(3)}
+    assert picks == {"alpha"}  # total order: key text, then tag
     rows2 = kql(spark, sf_dir, pre + """
       datatable (ip:string) ['10.1.2.3', '9.9.9.9']
       | evaluate ipv4_lookup(L, ip, net, return_unmatched=true)
@@ -3935,6 +3979,44 @@ def test_math_scalars_batch(spark, sf_dir):
     assert (r["nn"], r["fin"], r["inf"]) == (False, True, False)
     assert (r["asum"], r["aavg"]) == (6.5, 3.0)
     assert (r["aix"], r["amiss"], r["astr"]) == (1, -1, 1)
+
+
+def test_math_scalars_null_contracts(spark, sf_dir):
+    """r8 advice: isnan/isinf/isfinite return BOOL false on null input
+    (never null — Kusto's contract); array_sum/array_avg IGNORE
+    null/non-numeric elements instead of poisoning the whole result,
+    and array_avg divides by the count actually summed."""
+    r = kql(spark, sf_dir, """
+      print x = todouble('')
+        | extend nn = isnan(x), fin = isfinite(x), inf = isinf(x),
+                 asum = array_sum(pack_array(1.0, todouble(''), 3.0)),
+                 aavg = array_avg(pack_array(2.0, todouble(''), 4.0)),
+                 mixed = array_sum(parse_json('[1, "zap", 2]')),
+                 mavg = array_avg(parse_json('[1, "zap", 2]'))
+    """).collect()[0]
+    assert (r["nn"], r["fin"], r["inf"]) == (False, False, False)
+    assert (r["asum"], r["aavg"]) == (4.0, 3.0)
+    assert (r["mixed"], r["mavg"]) == (3.0, 1.5)
+    # typed null literals (r9): every scalar type has a null spelling
+    r2 = kql(spark, sf_dir, """
+      print a = long(null), b = real(null), c = bool(null),
+            d = datetime(null), e = timespan(null),
+            f = isnull(datetime(null))
+    """).collect()[0]
+    assert (r2["a"], r2["b"], r2["c"], r2["d"], r2["e"]) == (
+        None, None, None, None, None)
+    assert r2["f"] is True
+
+
+def test_session_count_start_end_validation(spark, sf_dir):
+    """r8 advice: session_count raises on an inverted Start/End range
+    instead of silently producing an empty bins spine."""
+    with pytest.raises(ValueError, match="End must be >= Start"):
+        kql(spark, sf_dir, """
+          events
+            | evaluate session_count(user_id, ts,
+                datetime(2024-02-01), datetime(2024-01-01), 1d, 1h)
+        """)
 
 
 def test_make_graph_undirected(spark, sf_dir):
