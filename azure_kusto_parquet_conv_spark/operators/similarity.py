@@ -476,6 +476,64 @@ def ivfpq_index(corpus: DataFrame, centroids: list[list[float]],
                     enc(F.col("__cvec")).alias("codes")))
 
 
+def write_ivfpq_index(corpus: DataFrame, path: str,
+                      centroids: list[list[float]],
+                      codebooks: list[list[list[float]]],
+                      vec_col: str = "embedding",
+                      id_col: str = "vec_id",
+                      mode: str = "overwrite") -> None:
+    """Materialize the IVF-PQ index PARTITIONED BY list id — the 100 TB
+    layout promised in the module docstring: one parquet directory per
+    inverted list, so a probe's scan PRUNES to n_probe/n_lists of the
+    corpus at the source (PartitionFilters, no data read outside the
+    probed lists). Build is one narrow pass (ivfpq_index) plus the
+    partitioned write's shuffle-free fan-out; at scale this runs once
+    and every query batch amortizes it."""
+    (ivfpq_index(corpus, centroids, codebooks, vec_col, id_col)
+     .write.mode(mode).partitionBy("list_id").parquet(path))
+
+
+def read_ivfpq_index(spark, path: str) -> DataFrame:
+    """Read a written IVF-PQ index; ``list_id`` comes back as the
+    partition column (int)."""
+    df = spark.read.parquet(path)
+    return df.withColumn("list_id", F.col("list_id").cast("int"))
+
+
+def knn_ivfpq_indexed(spark, queries: DataFrame, index_path: str,
+                      corpus: DataFrame,
+                      centroids: list[list[float]],
+                      codebooks: list[list[list[float]]],
+                      k: int = 5, n_probe: int = 4, rerank: int = 10,
+                      query_id: str = "vec_id",
+                      corpus_id: str = "vec_id",
+                      query_vec: str = "embedding",
+                      corpus_vec: str = "embedding",
+                      include_self: bool = False) -> DataFrame:
+    """IVF-PQ probe against a PERSISTED partitioned index: the batch's
+    probe list ids (at most n_lists values — bounded regardless of
+    query count) resolve driver-side from the bounded query set, and
+    the index scan carries a STATIC ``list_id IN (...)`` predicate that
+    Spark turns into PartitionFilters — directories outside the probed
+    lists are never opened. This is the production read path
+    ``knn_ivfpq`` recomputes inline; ``corpus`` is only touched for the
+    exact re-rank of the rerank*k survivors (an equi-join on id)."""
+    dtables = _adc_tables_udf(codebooks)
+    probes = _probe_lists_udf(centroids, n_probe)
+    q = (queries.select(F.col(query_id).alias("query_id"),
+                        V.unit(query_vec).alias("__qv"),
+                        dtables(F.col(query_vec)).alias("__tables"))
+         .withColumn("list_id", F.explode(probes(F.col("__qv")))))
+    # bounded driver materialization: <= n_lists ints, query side only
+    probe_ids = sorted({r[0] for r in
+                        q.select("list_id").distinct().collect()})
+    index = (read_ivfpq_index(spark, index_path)
+             .where(F.col("list_id").isin(probe_ids)))
+    pairs = index.join(broadcast(q), "list_id")
+    return _adc_rerank(pairs, corpus, len(codebooks), k, rerank,
+                       corpus_id, corpus_vec, include_self)
+
+
 def binary_quantize(vec: Column | str) -> Column:
     """Sign-bit binary quantization: one bit per dimension (set iff the
     component is > 0), packed into an ``array<bigint>`` of 64-bit

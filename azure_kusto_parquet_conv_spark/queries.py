@@ -1718,6 +1718,62 @@ def q_knn_ivfpq_exact(spark, sf_dir):
                       "cosine")
 
 
+#: index paths already (re)written by THIS process — the partitioned
+#: index is built once per (process, dataset) and every later probe in
+#: the same bench/test run reads it, mirroring the amortized production
+#: shape (build once, probe many).
+_IVFPQ_INDEX_BUILT: set[str] = set()
+
+
+@query("q_knn_ivfpq_indexed", """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+           FROM embeddings WHERE vec_id % 29 = 0),
+ranked AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         ROUND(list_cosine_similarity(q.qv, c.embedding), 4) AS cosine,
+         row_number() OVER (
+           PARTITION BY q.query_id
+           ORDER BY list_cosine_similarity(q.qv, c.embedding) DESC,
+                    c.vec_id) AS rn
+  FROM q, embeddings c)
+SELECT query_id, neighbor_id, CAST(1 AS BIGINT) AS rank, cosine
+FROM ranked WHERE rn = 1
+""")
+def q_knn_ivfpq_indexed(spark, sf_dir):
+    """IVF-PQ against the PERSISTED partitioned index (r8 verdict #3):
+    the index is WRITTEN once per process partitioned by list_id
+    (S.write_ivfpq_index) and the probe reads it back with a static
+    ``list_id IN (probe lists)`` predicate, so the scan's
+    PartitionFilters prune every non-probed list directory at the
+    source — the n_probe/n_lists story made physical (plan-pinned at
+    tests/test_plans.py::test_ivfpq_indexed_scan_prunes_partitions).
+    Same provable corpus-member oracle as q_knn_ivfpq_exact: n_probe=1
+    routes each query to its own list, where its own code is the ADC
+    minimum — self-pair at cosine 1.0."""
+    import os
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") % 29 == 0)
+    cents = _IVF_CENTROIDS.get(sf_dir)
+    if cents is None:
+        cents = _IVF_CENTROIDS[sf_dir] = S.train_ivf_centroids(
+            e, n_lists=16, seed=42)
+    books = _PQ_CODEBOOKS.get(sf_dir)
+    if books is None:
+        books = _PQ_CODEBOOKS[sf_dir] = S.train_pq_codebooks(e, seed=42)
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "spark-warehouse",
+        f"ivfpq_index_{os.path.basename(os.path.normpath(sf_dir))}")
+    if path not in _IVFPQ_INDEX_BUILT:
+        S.write_ivfpq_index(e, path, cents, books)
+        _IVFPQ_INDEX_BUILT.add(path)
+    out = S.knn_ivfpq_indexed(spark, q, path, e, cents, books,
+                              k=1, n_probe=1, include_self=True)
+    return out.select("query_id", "neighbor_id",
+                      F.col("rank").cast("long").alias("rank"),
+                      "cosine")
+
+
 @query("q_knn_lsh")  # seeded random hyperplanes: no SQL equivalent
 def q_knn_lsh(spark, sf_dir):
     """LSH-bucketed approximate top-5 (rows-only; pytest measures recall
@@ -5670,16 +5726,23 @@ def q_kql_scan_declare(spark, sf_dir):
     is i div 3 — so the DuckDB twin is plain arithmetic over
     range(100), no automaton at all. Exercises the declare parser,
     the Python assignment closures, state reset per completed match,
-    and the serialized kernel end-to-end through the driver hash."""
+    and the serialized kernel end-to-end through the driver hash.
+    The scan is scoped with `partition by` on a constant key (r8
+    verdict #8): identical semantics on this single-group fixture,
+    but the compile takes the key-partitioned scale path — the
+    global-serialize guard never fires, so a user tailing the bench
+    log sees warnings only for genuinely-global plans."""
     from azure_kusto_parquet_conv_spark.kql import kql
     return kql(spark, sf_dir, """
       range i from 0 to 99 step 1
         | extend e = iff(i % 3 == 0, 'load',
-                         iff(i % 3 == 2, 'fire', 'noise'))
-        | sort by i asc
-        | scan with_match_id=mid declare (acc:long = 0) with (
-            step s_load: e == 'load' => acc = i;
-            step s_fire: e == 'fire';
+                         iff(i % 3 == 2, 'fire', 'noise')), g = 0
+        | partition by g (
+            sort by i asc
+            | scan with_match_id=mid declare (acc:long = 0) with (
+                step s_load: e == 'load' => acc = i;
+                step s_fire: e == 'fire';
+              )
           )
         | project i, step, acc, mid
     """)
@@ -6282,14 +6345,19 @@ def q_kql_row_window_session(spark, sf_dir):
     the rule gaps-and-islands SQL cannot express (the start depends
     recursively on the prior start), hence the scan-shaped
     mapInPandas kernel; the DuckDB twin needs only integer
-    arithmetic."""
+    arithmetic. Scoped with `partition by` on a constant key (r8
+    verdict #8) so the closed-form fixture compiles through the
+    key-partitioned scale path and the global-serialize warning
+    stays reserved for genuinely-global user plans."""
     from azure_kusto_parquet_conv_spark.kql import kql
     return kql(spark, sf_dir, """
       range i from 0 to 99 step 1
         | extend ts = datetime_add('minute', toint(i),
-                                   datetime(2024-01-01))
-        | sort by ts asc
-        | extend s = row_window_session(ts, 10m, 2m)
+                                   datetime(2024-01-01)), g = 0
+        | partition by g (
+            sort by ts asc
+            | extend s = row_window_session(ts, 10m, 2m)
+          )
         | project i, start_minute = datetime_diff('minute', s,
                                         datetime(2024-01-01))
     """)
@@ -6670,61 +6738,57 @@ DRIVER_WINDOW = [
     "convert_jsonl_region", "convert_csv_lineitem",
     "q_missing_column_fill", "csl_schema_lineitem", "q_schema_lineitem",
     "q_convert_binary", "rowgroups_lineitem", "q_filter_projection",
-    # ---- round-8 rotation (r7 verdict #1): first driver rows for
-    # every never-checked entry — the 18 mid-r7 additions staged in
-    # the r7 ledger (hard-oracle ANN/dedup twins, the graph family,
-    # scan declare, row_window_session, the rolling-activity family,
-    # basket/format/rows_near) plus the 3 new-in-r8 entries
-    # (q_kql_scan_cumulative + the PQ-family hard oracles, staged the
-    # SAME round they landed per the r7 verdict-#8 hygiene rule). All
-    # 21 are oracled — this window has ZERO rows-only rotated slots.
-    "q_dedup_simhash_exact", "q_dedup_embedding_exact",
-    "q_knn_lsh_exact", "q_knn_pq_exact", "q_knn_ivfpq_exact",
-    "q_kql_scan_declare", "q_kql_scan_cumulative",
-    "q_kql_graph_match", "q_kql_graph_reachability",
-    "q_kql_graph_shortest", "q_kql_graph_components",
-    "q_kql_row_window_session", "q_kql_basket",
-    "q_kql_series_periods_validate", "q_kql_format_fns",
-    "q_kql_funnel_completion", "q_dup_spans", "q_kql_sliding_window",
-    "q_kql_activity_engagement", "q_kql_rows_near",
-    "q_kql_activity_counts", "q_dedup_keep_best",
-    # oldest-vintage back-fill: oracled entries whose last driver row
-    # is r2/r3 (banked green there; attestation refreshed here)
-    "q3_shipping_priority", "q5_supplier_volume", "q_agg_distinct",
-    "q_cube", "q_explode_tokens", "q_pivot",
-    "q_dedup_incremental_exact", "q_kql_sequence_detect_exact",
-    "q_kql_active_users", "q_kql_activity_metrics",
-    "q_kql_session_count", "q_kql_new_activity",
-    "q_kql_ipv4_lookup", "q_kql_math_fns", "q_kql_series_fft",
+    # ---- round-9 rotation (r8 verdict #4: refresh the OLDEST
+    # attestations; every r8 slot is banked green in CORRECTNESS_r08).
+    # First the new-in-r9 entries (hygiene rule: staged the round they
+    # land), then the complete r2 vintage (9: includes the two
+    # rows-only-by-nature sketches q_approx_distinct /
+    # q_text_rolling_fp — their attestation ages too), then the
+    # complete r3 vintage (26), then the oldest r4 entry. After r9 the
+    # oldest remaining vintage is r4 (36 entries) — staged first for
+    # r10 in the ledger below.
+    "q_knn_ivfpq_indexed",
+    "q_rollup", "q_scalar_subquery", "q_string_predicates",
+    "q_approx_distinct", "q_resample_gaps", "q_text_fingerprint",
+    "q_text_quality", "q_token_count", "q_text_rolling_fp",
+    "q1_pricing_summary", "q_join_semi", "q_join_anti",
+    "q_salted_distinct", "q_conditional_agg", "q_percentiles",
+    "q_min_max_by", "q_join_outer", "q_window_rank", "q_sort_limit",
+    "q_set_ops", "q_range_join", "q_json_extract", "q_tumbling_window",
+    "q_dedup_keep_latest", "q_lang_id", "q_dedup_ngram_jaccard",
+    "q_embed_sim_pairs", "q_array_higher_order", "q_tfidf",
+    "q_null_safe_join", "q16_supplier_count", "q_kql_join_revenue",
+    "q_embed_quantize", "q8_market_share", "q_training_mix",
+    "q_grouping_sets",
 ]
 
-# Rotation ledger: r1-r7 windows are banked driver-green in
-# CORRECTNESS_r0{1..7}.json. The r7 window closed the attestation gap
-# for everything staged before it; this r8 window covers the complete
-# never-driver-checked residue (18 mid-r7 + 3 new-in-r8 entries — the
-# staging list from the r7 ledger, verbatim) and back-fills the 16
-# free slots with the oldest-vintage (r2/r3) oracled entries.
+# Rotation ledger: r1-r8 windows are banked driver-green in
+# CORRECTNESS_r0{1..8}.json (r8: 48 hash + 2 rows-only-by-nature).
+# This r9 window refreshes the OLDEST attestations (r8 verdict #4):
+# the new-in-r9 entry first, then the ENTIRE r2 vintage (9, incl. the
+# two rows-only sketches), the ENTIRE r3 vintage (26), and the oldest
+# r4 entry (q_grouping_sets). After CORRECTNESS_r09 the oldest
+# remaining vintage is r4.
 #
 # HYGIENE RULE (r7 verdict #8, enforced by
 # tests/test_queries_oracle.py::test_driver_window_is_first_and_covers_families):
 # every catalog entry with no driver CORRECTNESS row yet MUST occupy a
 # window slot in the round it lands, while rotating slots remain — the
-# attestation gap can never exceed one round's additions.
+# attestation gap can never exceed one round's additions. An entry
+# added mid-r9 displaces the current TAIL back-fill slot in the same
+# commit (displacement order: q_grouping_sets, q_training_mix,
+# q8_market_share, q_embed_quantize, q_kql_join_revenue, ...).
 #
-# Round-9 rotation candidates: any entry added after this window was
-# sealed (the hygiene test will flag them), then continue the
-# oldest-vintage back-fill (next: q8_market_share, q16_supplier_count,
-# q1_pricing_summary, q_text_fingerprint, q_token_count,
-# q_text_quality, q_string_predicates, q_scalar_subquery, q_rollup,
-# q_resample_gaps (slot -> q_kql_series_fft) —
-# each yielded its r8 slot to a new-in-r8 entry (q_dedup_keep_best,
-# q_dedup_incremental_exact, q_kql_sequence_detect_exact,
-# q_kql_active_users, q_kql_activity_metrics, q_kql_session_count,
-# q_kql_new_activity, q_kql_ipv4_lookup, q_kql_math_fns) — and the
-# remaining r3 entries:
-# q_array_higher_order, q_conditional_agg, q_dedup_keep_latest,
-# q_dedup_ngram_jaccard, q_embed_quantize, q_embed_sim_pairs,
-# q_join_anti, q_join_outer, q_join_semi, ...).
+# Round-10 rotation candidates (oldest vintage first): the remaining
+# r4 entries — q_window_running, q_asof_join, q_sessionize,
+# q_text_stats, q_multimodal_features, q_dedup_exact, q_dedup_jaccard,
+# q_snapshot_diff, q_dedup_minhash, q_knn_bruteforce,
+# q_window_lag_lead, q_stats_agg, q_unpivot, q_histogram,
+# q10_returned_items, q_stratified_sample, q_hopping_window,
+# q7_nation_trade, q2_min_cost_supplier, the r4 KQL family
+# (q_kql_summarize/parse/top_nested/union_sources/lookup/bin_events/
+# arg_max/dcount_users/percentiles/mv_expand_terms/make_series),
+# q14/q19/q18/q13/q17, q_decontaminate — plus whatever r9 displaced.
 
 
 def _window_order(d: dict) -> dict:

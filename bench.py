@@ -5,13 +5,16 @@ JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
 "sf": ...}.
 
 Each query is forced end-to-end through the `noop` sink (full
-materialization, no Catalyst shortcut via count()). Timing protocol:
-one untimed warm-up run per query (Catalyst planning + whole-stage
-codegen compile + JIT), then the min of 3 timed runs — at real scale a
-query runs for minutes and compile cost amortizes to zero, so steady
-state is the number that predicts 100 TB throughput; single-shot local
-timings mostly measure the JIT, and the min over repeats rejects
-co-tenant CPU contention on the shared harness machine.
+materialization, no Catalyst shortcut via count()). Timing protocol
+(r8 verdict #2): one untimed warm-up run per query (Catalyst planning
++ whole-stage codegen compile + JIT), then the min of 5 timed runs,
+where a sample taken while the 1-min load average exceeds
+BENCH_LOAD_LIMIT (default 8) is DISCARDED and retried (up to 3 extra
+attempts) — at real scale a query runs for minutes and compile cost
+amortizes to zero, so steady state is the number that predicts 100 TB
+throughput; single-shot local timings mostly measure the JIT, and the
+load-gated min over repeats rejects co-tenant CPU contention on the
+shared harness machine instead of publishing it.
 """
 
 from __future__ import annotations
@@ -87,6 +90,10 @@ HEADLINE = [
     # is the cost to watch at scale; clean-box record in COVERAGE.md.
     "q_kql_sliding_window",
     "q_kql_activity_counts",
+    # round-9 additions, tracked from day one: the persisted
+    # partitioned-index ANN probe (build amortizes across the repeats —
+    # exactly the production shape it models).
+    "q_knn_ivfpq_indexed",
 ]
 
 
@@ -106,14 +113,27 @@ def main() -> None:
     def run(name: str) -> None:
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    load_limit = float(os.environ.get("BENCH_LOAD_LIMIT", "8"))
+    n_samples = int(os.environ.get("BENCH_SAMPLES", "5"))
+    max_extra = 3  # retry budget for load-contaminated samples
+
     timings: dict[str, float] = {}
+    retried = 0
     for name in HEADLINE:
         run(name)  # warm-up: plan + codegen + JIT, untimed
         best = float("inf")
-        for _ in range(3):
+        kept = attempts = 0
+        while kept < n_samples and attempts < n_samples + max_extra:
+            loaded = os.getloadavg()[0] > load_limit
             t0 = time.perf_counter()
             run(name)
-            best = min(best, time.perf_counter() - t0)
+            dt = time.perf_counter() - t0
+            attempts += 1
+            if loaded and attempts < n_samples + max_extra:
+                retried += 1  # contaminated sample: discard and retry
+                continue
+            kept += 1
+            best = min(best, dt)
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
@@ -123,7 +143,10 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-        "protocol": "steady-state: per-query warm-up run, then min of 3",
+        "load_retries": retried,
+        "protocol": ("steady-state: per-query warm-up, min of "
+                     f"{n_samples} load-gated samples (limit "
+                     f"{load_limit})"),
     }))
 
 

@@ -143,6 +143,10 @@ ROWS_ONLY_ROTATED_R7 = {
     "q_knn_ivfpq", "q_dedup_simhash", "q_dedup_embedding",
     "q_dedup_clusters", "q_multimodal_frames", "q_approx_percentiles",
     "q_freq_items", "q_sample_by",
+    # r9 attestation refresh (r8 verdict #4): the two r2-vintage
+    # rows-only-by-nature sketches rotate back in so their driver
+    # attestation ages with the rest of the catalog
+    "q_approx_distinct", "q_text_rolling_fp",
 }
 
 
