@@ -91,6 +91,9 @@ Supported surface (each line maps to one DataFrame verb):
         (cohort retention: new-in-from x active-in-to pairs)
     | evaluate ipv4_lookup(Lookup, ip, key [, return_unmatched])
         (CIDR longest-prefix enrichment via bounded prefix explode)
+    | evaluate dcount_intersect(hll1, hll2 [, hll3, hll4])
+        (audience overlap from sketches alone: inclusion-exclusion
+        over hll_union — exact in the Datasketches sparse regime)
     | evaluate rows_near(cond, before [, after])  (context rows via
         one codegen window frame — grep -C for tables)
     | evaluate sequence_detect(tl, gap, win, s=p, ..., dims)
@@ -146,14 +149,19 @@ parse_version/parse_csv/parse_ipv4 family/datetime_add-diff/binary ops/
 tohex/strcmp/string_size/repeat/new_guid/rand(n)/isnan-isinf-isfinite,
 the r8 math batch (log/log2/log10/exp/exp2/exp10, sin/cos/tan/asin/
 acos/atan/atan2/cot, degrees/radians, sign/sqrt/pow/pi,
-array_sum/array_avg), series_dot_product/series_cosine_similarity,
+array_sum/array_avg — null/non-numeric elements ignored per Kusto),
+series_abs/exp/log/sign/sqrt/floor/ceiling/pow (elementwise),
+bag_merge (first-occurrence-wins map<string,variant> fold),
+typed null literals (long(null)/real(null)/bool(null)/datetime(null)/
+timespan(null)/guid(null)/decimal(null)),
+series_dot_product/series_cosine_similarity,
 extend (n1, n2, ...) = series_fit_line(y) tuple assignment,
 geo_distance_2points/geo_point_in_circle (haversine),
 percentiles_array, make_list_if/make_set_if, binary_all_and-or-xor.
 Aggregates: count, countif, sum/avg/min/max (+ sumif/avgif/minif/maxif),
 arg_max/arg_min, percentile (0-100 scale, exact), dcount/dcountif
 (exact; real Kusto estimates — documented deviation), stdev, variance,
-take_any, make_list, make_set, hll/hll_merge/dcount_hll (real
+take_any, make_list, make_set, hll/hll_if/hll_merge/dcount_hll (real
 Datasketches HLL sketches — the mergeable re-aggregation form).
 """
 
@@ -620,6 +628,28 @@ class _ExprParser:
                    f"'Fragment', parse_url({u}, 'REF'), "
                    f"'QueryParameters', {qmap})")
             return f"parse_json(to_json({obj}))"
+        if fname == "bag_merge":
+            # Kusto bag_merge(bag1, bag2, ...): merge property bags,
+            # FIRST occurrence of a key wins (earlier args shadow later
+            # ones). Pure expression: each variant bag round-trips
+            # through map<string,variant> (faithful — values stay
+            # typed variants), an aggregate fold concatenates with a
+            # keys-already-present filter (lambda vars, so the
+            # accumulator is never textually duplicated), and the
+            # merged map re-enters VARIANT. Null/non-object args act
+            # as empty bags.
+            if len(args) < 2:
+                raise ValueError("KQL: bag_merge(bag1, bag2, ...)")
+            maps = [f"coalesce(from_json(to_json({a}), "
+                    f"'map<string,variant>'), "
+                    f"from_json('{{}}', 'map<string,variant>'))"
+                    for a in args]
+            merged = (f"aggregate(array({', '.join(maps[1:])}), "
+                      f"{maps[0]}, (__bm_a, __bm_m) -> "
+                      f"map_concat(__bm_a, map_filter(__bm_m, "
+                      f"(__bm_k, __bm_v) -> NOT array_contains("
+                      f"map_keys(__bm_a), __bm_k))))")
+            return f"parse_json(to_json({merged}))"
         if fname == "hll":
             # Kusto hll(x): a mergeable HyperLogLog sketch intermediate
             # -> Spark's Datasketches HLL aggregate. THE re-aggregation
@@ -1140,13 +1170,14 @@ class _ExprParser:
             return (f"(CASE WHEN {na} = 0 OR {nb} = 0 THEN NULL "
                     f"ELSE {dot(a, b)} / (sqrt({na}) * sqrt({nb})) END)")
         if fname in ("series_abs", "series_exp", "series_log",
-                     "series_sign", "series_sqrt"):
+                     "series_sign", "series_sqrt", "series_floor",
+                     "series_ceiling"):
             # elementwise unary transforms over the in-row series
             if len(args) != 1:
                 raise ValueError(f"KQL: {fname}(series) takes 1 arg")
             fn = fname.removeprefix("series_")
             return (f"transform({args[0]}, __su_v -> "
-                    f"{fn}(CAST(__su_v AS DOUBLE)))")
+                    f"CAST({fn}(CAST(__su_v AS DOUBLE)) AS DOUBLE))")
         if fname == "series_pow":
             if len(args) != 2:
                 raise ValueError("KQL: series_pow(series, exponent)")
@@ -1740,6 +1771,13 @@ class _ExprParser:
             agg = ("collect_list" if fname == "make_list_if"
                    else "collect_set")
             return f"{agg}(CASE WHEN {args[1]} THEN {args[0]} END)"
+        if fname == "hll_if":
+            # conditional sketch build (the CASE's nulls never enter
+            # the sketch) — pairs with dcount_intersect fixtures
+            if len(args) != 2:
+                raise ValueError("KQL: hll_if(expr, predicate)")
+            return (f"hll_sketch_agg(CASE WHEN {args[1]} "
+                    f"THEN {args[0]} END)")
         if fname == "take_any":
             return f"any_value({args[0]})"
         if fname == "stdev":
@@ -3581,6 +3619,8 @@ class KqlCompiler:
             return self._new_activity_metrics(df, argtext)
         if plugin == "ipv4_lookup":
             return self._ipv4_lookup(df, argtext)
+        if plugin == "dcount_intersect":
+            return self._dcount_intersect(df, argtext)
         if plugin == "rows_near":
             return self._rows_near(df, argtext)
         if plugin == "diffpatterns":
@@ -4249,6 +4289,62 @@ class KqlCompiler:
             F.timestamp_micros(F.col("__w_bin")).alias("bin"),
             "dcount_values", "dcount_newvalues",
             "retention_rate", "churn_rate")
+
+    def _dcount_intersect(self, df: DataFrame,
+                          argtext: str) -> DataFrame:
+        """``evaluate dcount_intersect(hll_1, hll_2 [, hll_3, hll_4])``
+        — Kusto's audience-overlap plugin: per input row, ``s0`` =
+        dcount of set 1, ``s1`` = dcount of sets 1∩2, ``s2`` = 1∩2∩3,
+        ... computed from the hll() SKETCH columns alone via
+        inclusion-exclusion over sketch unions (|∩S| = Σ (-1)^(|r|+1)
+        |∪r| over nonempty r ⊆ S) — sketches union losslessly but
+        cannot intersect, so this identity IS the production recipe:
+        the fact table is never re-scanned, only per-group sketches
+        combine. Pure JVM expressions (hll_union + estimate per term;
+        2^k terms, k <= 4 — bounded). Estimates are EXACT while every
+        union stays in the Datasketches sparse regime (hundreds of
+        distincts), which is what the oracled entry pins; beyond that
+        the usual HLL error applies, same documented deviation as
+        dcount. Output: pass-through columns + s0..s{k-1} (long);
+        the sketch columns are consumed."""
+        from itertools import combinations
+
+        groups = _split_top_commas(_tokenize(argtext))
+        if not 2 <= len(groups) <= 4:
+            raise ValueError(
+                "KQL: dcount_intersect(hll1, hll2[, hll3[, hll4]])")
+        cols = []
+        for g in groups:
+            if len(g) != 1 or g[0].kind != "ident" \
+                    or g[0].text not in df.columns:
+                raise ValueError(
+                    "KQL: dcount_intersect args must be hll-sketch "
+                    "columns of the input table")
+            cols.append(g[0].text)
+
+        def union_est(subset) -> str:
+            # an empty set's sketch aggregates to NULL (all inputs
+            # filtered); Kusto treats it as the empty set, so the
+            # union is null-safe (null ∪ X = X) and only an
+            # all-empty union estimates to 0
+            expr = f"`{subset[0]}`"
+            for c in subset[1:]:
+                expr = (f"(CASE WHEN {expr} IS NULL THEN `{c}` "
+                        f"WHEN `{c}` IS NULL THEN {expr} "
+                        f"ELSE hll_union({expr}, `{c}`) END)")
+            return f"coalesce(hll_sketch_estimate({expr}), 0)"
+
+        sels = [F.col(c) for c in df.columns if c not in cols]
+        for i in range(len(cols)):
+            sub = cols[:i + 1]
+            terms = []
+            for r in range(1, len(sub) + 1):
+                for combo in combinations(sub, r):
+                    sign = "+" if r % 2 == 1 else "-"
+                    terms.append(f"{sign} {union_est(combo)}")
+            sels.append(F.expr("(" + " ".join(terms) + ")")
+                         .cast("long").alias(f"s{i}"))
+        return df.select(*sels)
 
     def _ipv4_lookup(self, df: DataFrame, argtext: str) -> DataFrame:
         """``evaluate ipv4_lookup(LookupTable, SourceIPColumn,

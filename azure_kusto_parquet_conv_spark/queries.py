@@ -6026,6 +6026,100 @@ def q_kql_math_fns(spark, sf_dir):
     """)
 
 
+@query("q_kql_series_elementwise", """
+SELECT CAST(i AS BIGINT) AS idx,
+       CAST(i AS DOUBLE) * 0.7 - 5.0 AS v,
+       ABS(CAST(i AS DOUBLE) * 0.7 - 5.0) AS a,
+       FLOOR(CAST(i AS DOUBLE) * 0.7 - 5.0) AS f,
+       CEILING(CAST(i AS DOUBLE) * 0.7 - 5.0) AS c,
+       SIGN(CAST(i AS DOUBLE) * 0.7 - 5.0) AS s
+FROM range(0, 16) t(i)
+""")
+def q_kql_series_elementwise(spark, sf_dir):
+    """The r9 series elementwise batch (series_abs / series_floor /
+    series_ceiling / series_sign — r8 verdict #5) plus MULTI-ARRAY
+    ``mv-expand with_itemindex``: one series of a closed-form signal,
+    four elementwise transforms (each a transform() lambda — pure
+    codegen, no UDF), then a zipped 6-column expand whose emitted
+    item index makes the (idx -> value) correspondence
+    hash-checkable. DuckDB twin recomputes every element with scalar
+    arithmetic over range(16) — IEEE-identical, no rounding
+    needed."""
+    from azure_kusto_parquet_conv_spark.kql import kql
+    return kql(spark, sf_dir, """
+      range i from 0 to 15 step 1
+        | extend x = todouble(i) * 0.7 - 5.0
+        | summarize y = make_list(x)
+        | extend fa = series_abs(y), ff = series_floor(y),
+                 fc = series_ceiling(y), fs = series_sign(y)
+        | mv-expand with_itemindex=idx v = y to typeof(real),
+                    a = fa to typeof(real), f = ff to typeof(real),
+                    c = fc to typeof(real), s = fs to typeof(real)
+        | project idx, v, a, f, c, s
+    """)
+
+
+@query("q_kql_bag_merge", """
+SELECT CAST(i AS BIGINT) AS i,
+       CAST(i AS BIGINT) AS a,
+       CAST(i * 2 AS BIGINT) AS b,
+       'first' AS k
+FROM range(0, 20) t(i)
+""")
+def q_kql_bag_merge(spark, sf_dir):
+    """bag_merge (r8 verdict #5): merge dynamic property bags with
+    Kusto's FIRST-occurrence-wins key rule. Each row packs two bags
+    with an overlapping key ('k'); the merged bag must keep bag1's
+    value for the overlap and union the rest. The merge is a pure
+    map<string,variant> fold expression (no UDF, values stay typed),
+    and the entry projects typed extractions so the driver
+    canonicalizer sees atomic columns. DuckDB twin is closed-form."""
+    from azure_kusto_parquet_conv_spark.kql import kql
+    return kql(spark, sf_dir, """
+      range i from 0 to 19 step 1
+        | extend b1 = bag_pack('a', i, 'k', 'first'),
+                 b2 = bag_pack('k', 'second', 'b', i * 2)
+        | extend m = bag_merge(b1, b2)
+        | project i, a = tolong(m.a), b = tolong(m.b),
+                  k = tostring(m.k)
+    """)
+
+
+@query("q_kql_dcount_intersect", """
+WITH per AS (SELECT event_type, user_id % 200 AS id,
+                    bool_or(value > 0) AS inA,
+                    bool_or(event_id % 2 = 0) AS inB,
+                    bool_or(event_id % 3 = 0) AS inC
+             FROM events GROUP BY 1, 2)
+SELECT event_type,
+       CAST(COUNT(*) FILTER (inA) AS BIGINT) AS s0,
+       CAST(COUNT(*) FILTER (inA AND inB) AS BIGINT) AS s1,
+       CAST(COUNT(*) FILTER (inA AND inB AND inC) AS BIGINT) AS s2
+FROM per GROUP BY event_type
+""")
+def q_kql_dcount_intersect(spark, sf_dir):
+    """evaluate dcount_intersect (r8 verdict #5) on real events:
+    per event type, the overlap of three user audiences (positive
+    values / even events / every-third events) computed ONLY from
+    their hll() sketches via inclusion-exclusion over sketch unions
+    — the fact table is never rescanned, which is the whole point of
+    the plugin at 100 TB. The id domain is bounded to 200 (< the
+    Datasketches sparse-mode limit) so every estimate is EXACT and
+    the entry hash-matches DuckDB's direct set-intersection twin;
+    beyond sparse mode the documented HLL error applies (same
+    deviation class as dcount)."""
+    from azure_kusto_parquet_conv_spark.kql import kql
+    return kql(spark, sf_dir, """
+      events
+        | extend id = user_id % 200
+        | summarize A = hll_if(id, value > 0),
+                    B = hll_if(id, event_id % 2 == 0),
+                    C = hll_if(id, event_id % 3 == 0) by event_type
+        | evaluate dcount_intersect(A, B, C)
+        | project event_type, s0, s1, s2
+    """)
+
+
 @query("q_kql_ipv4_lookup", """
 WITH s AS (SELECT event_id,
                   '10.' || CAST(user_id % 4 AS VARCHAR) || '.'
@@ -6747,7 +6841,8 @@ DRIVER_WINDOW = [
     # complete r3 vintage (26), then the oldest r4 entry. After r9 the
     # oldest remaining vintage is r4 (36 entries) — staged first for
     # r10 in the ledger below.
-    "q_knn_ivfpq_indexed",
+    "q_knn_ivfpq_indexed", "q_kql_series_elementwise",
+    "q_kql_bag_merge", "q_kql_dcount_intersect",
     "q_rollup", "q_scalar_subquery", "q_string_predicates",
     "q_approx_distinct", "q_resample_gaps", "q_text_fingerprint",
     "q_text_quality", "q_token_count", "q_text_rolling_fp",
@@ -6758,8 +6853,7 @@ DRIVER_WINDOW = [
     "q_dedup_keep_latest", "q_lang_id", "q_dedup_ngram_jaccard",
     "q_embed_sim_pairs", "q_array_higher_order", "q_tfidf",
     "q_null_safe_join", "q16_supplier_count", "q_kql_join_revenue",
-    "q_embed_quantize", "q8_market_share", "q_training_mix",
-    "q_grouping_sets",
+    "q_embed_quantize",
 ]
 
 # Rotation ledger: r1-r8 windows are banked driver-green in
@@ -6776,8 +6870,10 @@ DRIVER_WINDOW = [
 # window slot in the round it lands, while rotating slots remain — the
 # attestation gap can never exceed one round's additions. An entry
 # added mid-r9 displaces the current TAIL back-fill slot in the same
-# commit (displacement order: q_grouping_sets, q_training_mix,
-# q8_market_share, q_embed_quantize, q_kql_join_revenue, ...).
+# commit (displacement order: q_embed_quantize, q_kql_join_revenue,
+# q16_supplier_count, ...). Already displaced by the mid-r9 additions
+# q_kql_series_elementwise / q_kql_bag_merge / q_kql_dcount_intersect:
+# q_grouping_sets, q_training_mix, q8_market_share (r10 candidates).
 #
 # Round-10 rotation candidates (oldest vintage first): the remaining
 # r4 entries — q_window_running, q_asof_join, q_sessionize,

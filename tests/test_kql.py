@@ -4154,3 +4154,54 @@ def test_row_window_session_random_differential(spark, sf_dir, seed):
             prev = v
             want[(u, i)] = float(first)
     assert got == want and len(want) == 120
+
+
+def test_bag_merge_first_wins_and_types(spark, sf_dir):
+    """bag_merge: Kusto's FIRST-occurrence-wins key rule across 2+
+    bags; values keep their types through the map<string,variant>
+    fold; null/non-object args act as empty bags."""
+    r = kql(spark, sf_dir, """
+      print m = bag_merge(bag_pack('a', 1, 'k', 'first'),
+                          bag_pack('k', 'second', 'b', 2.5),
+                          bag_pack('k', 'third', 'c', 'txt'))
+        | project j = tostring(m), a = tolong(m.a),
+                  b = todouble(m.b), c = tostring(m.c),
+                  k = tostring(m.k)
+    """).collect()[0]
+    assert (r["a"], r["b"], r["c"], r["k"]) == (1, 2.5, "txt", "first")
+    # VARIANT canonicalizes key order; compare the parsed bag
+    import json as _json
+    assert _json.loads(r["j"]) == {"a": 1, "k": "first", "b": 2.5,
+                                   "c": "txt"}
+    r2 = kql(spark, sf_dir, """
+      print m = bag_merge(dynamic(null), bag_pack('x', 7))
+        | project x = tolong(m.x)
+    """).collect()[0]
+    assert r2["x"] == 7
+
+
+def test_dcount_intersect_empty_and_exact(spark, sf_dir):
+    """dcount_intersect: inclusion-exclusion over sketch unions is
+    exact in the sparse regime; an EMPTY audience (all-null sketch)
+    behaves as the empty set — its intersections are 0 and it does
+    not poison the other columns."""
+    rows = kql(spark, sf_dir, """
+      range i from 0 to 59 step 1
+        | extend g = iff(i < 30, 'p', 'q')
+        | summarize A = hll(i), B = hll_if(i, i % 2 == 0),
+                    C = hll_if(i, i > 1000) by g
+        | evaluate dcount_intersect(A, B, C)
+    """).collect()
+    got = {r["g"]: (r["s0"], r["s1"], r["s2"]) for r in rows}
+    assert got == {"p": (30, 15, 0), "q": (30, 15, 0)}
+
+
+def test_series_floor_ceiling(spark, sf_dir):
+    """r9 series additions: series_floor / series_ceiling are
+    elementwise real-valued transforms (Kusto returns real arrays)."""
+    r = kql(spark, sf_dir, """
+      print f = series_floor(pack_array(1.7, -1.2, 3.0)),
+            c = series_ceiling(pack_array(1.2, -1.7, 3.0))
+    """).collect()[0]
+    assert list(r["f"]) == [1.0, -2.0, 3.0]
+    assert list(r["c"]) == [2.0, -1.0, 3.0]
