@@ -199,24 +199,37 @@ def sliding_window_counts_stream(events: DataFrame, start: str, end: str,
     wm_delay_ms = (_duration_us(watermark) + look) // 1000
     t0 = (f"{lo} + CAST(ceil((__w_t - {lo}) / CAST({binu} AS DOUBLE)) "
           f"AS BIGINT) * {binu}")
+    # Coverage (bin - t < lookback) rides each row as a FLAG, never a
+    # filter below the watermark: when lookback < bin_size an event's
+    # next grid point can lie outside its lookback, so the event covers
+    # NO bins — and a coverage FILTER is deterministic, so Catalyst
+    # pushes it below the EventTimeWatermark node, where it silently
+    # eats such rows (including the far-future watermark sentinel)
+    # BEFORE they can advance the watermark. The grid then never
+    # finalizes its last windows (r9 fix; surfaced by the session_count
+    # twin, latent here since r8 for lookback < bin). Uncovered rows
+    # instead flow into the first aggregation with __cov = 0 and their
+    # empty groups drop between the stateful operators.
     binned = (events
               .select(F.col(id_col).alias("__w_id"),
                       F.unix_micros("ts").alias("__w_t"))
               .where(F.col("__w_t") >= F.lit(lo))
-              .select("__w_id", F.explode(F.expr(
-                  f"filter(transform(sequence(0, {k - 1}), "
-                  f"__swc_j -> ({t0}) + __swc_j * {binu}), "
-                  f"__swc_b -> __swc_b - __w_t < {look})"))
+              .select("__w_id", "__w_t", F.explode(F.expr(
+                  f"transform(sequence(0, {k - 1}), "
+                  f"__swc_j -> ({t0}) + __swc_j * {binu})"))
                   .alias("__w_bin"))
               .select("__w_id",
+                      ((F.col("__w_bin") - F.col("__w_t")) < look)
+                      .cast("long").alias("__cov"),
                       F.timestamp_micros("__w_bin").alias("__bin_ts"))
               .withWatermark("__bin_ts",
                              f"{wm_delay_ms} milliseconds"))
     per_id = (binned
               .groupBy(F.window("__bin_ts", f"{binu} microseconds")
                         .alias("__win"), F.col("__w_id"))
-              .agg(F.count("*").alias("__n")))
+              .agg(F.sum("__cov").alias("__n")))
     per_bin = (per_id
+               .where(F.col("__n") > 0)
                .groupBy(F.window(F.window_time("__win"),
                                  f"{binu} microseconds").alias("__w2"))
                .agg(F.sum("__n").alias("count_"),
@@ -306,6 +319,170 @@ def activity_engagement_stream(events: DataFrame, start: str, end: str,
                     F.round(F.col("dcount_activities_inner")
                             / F.col("dcount_activities_outer"), 4)
                      .alias("activity_ratio"))
+            .where(F.unix_micros("bin") <= F.lit(hi)))
+
+
+def active_users_count_stream(events: DataFrame, start: str, end: str,
+                              id_col: str = "user_id",
+                              lookback: str = "7 days",
+                              period: str = "1 day",
+                              active_periods: int = 2,
+                              bin_size: str = "1 day",
+                              watermark: str = "2 hours") -> DataFrame:
+    """Streaming twin of ``evaluate active_users_count`` (kql.py
+    `_active_users_count`, the stickiness-aware MAU): per grid bin T
+    (aligned to ``start``, step ``bin_size``), the EXACT distinct
+    count of ids active in >= ``active_periods`` DISTINCT epoch-
+    aligned periods inside the trailing window (T - lookback, T] —
+    incremental on an unbounded stream.
+
+    Same scale shape as batch, one aggregation deeper than
+    sliding_window_counts_stream: each event explodes to its <=
+    ceil(lookback/bin) grid bins CARRYING its period index, then
+    THREE chained windowed aggregations — (bin, id, period) dedupe,
+    per-(bin, id) distinct-period count with the >= N stickiness
+    filter between the stateful operators, per-bin distinct-id count.
+    Watermark rides the exploded bin clock with delay ``watermark +
+    lookback`` (the exact batch contract on the shifted clock); rows
+    past ``end`` advance the watermark, their bins are cut after
+    aggregation. State is (active bins x ids x periods-in-lookback) —
+    bounded by arrival rate x lookback, never stream length."""
+    prepare_session(events.sparkSession)
+    from datetime import datetime, timezone
+
+    def us_of(s: str) -> int:
+        dt = datetime.fromisoformat(s)
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=timezone.utc)
+        return int(dt.timestamp() * 1_000_000)
+
+    lo, hi = us_of(start), us_of(end)
+    look, per = _duration_us(lookback), _duration_us(period)
+    binu = _duration_us(bin_size)
+    if look <= 0 or per <= 0 or binu <= 0:
+        raise ValueError("lookback, period and bin_size must be > 0")
+    if active_periods < 1:
+        raise ValueError("active_periods must be >= 1")
+    k = -(-look // binu)
+    wm_delay_ms = (_duration_us(watermark) + look) // 1000
+    t0 = (f"{lo} + CAST(ceil((__w_t - {lo}) / CAST({binu} AS DOUBLE)) "
+          f"AS BIGINT) * {binu}")
+    binned = (events
+              .select(F.col(id_col).alias("__w_id"),
+                      F.unix_micros("ts").alias("__w_t"))
+              .where(F.col("__w_t") >= F.lit(lo))
+              .select("__w_id", "__w_t",
+                      # floor division: pre-epoch timestamps bucket to
+                      # the floor period (matches the batch plugin)
+                      F.expr(f"CAST(floor(__w_t / CAST({per} AS "
+                             f"DOUBLE)) AS BIGINT)").alias("__w_p"),
+                      F.explode(F.expr(
+                          f"transform(sequence(0, {k - 1}), "
+                          f"__auc_j -> ({t0}) + __auc_j * {binu})"))
+                      .alias("__w_bin"))
+              # coverage rides as a FLAG — a filter would be pushed
+              # below the watermark node and stall the grid close
+              # (see sliding_window_counts_stream)
+              .select("__w_id", "__w_p",
+                      ((F.col("__w_bin") - F.col("__w_t")) < look)
+                      .cast("long").alias("__cov"),
+                      F.timestamp_micros("__w_bin").alias("__bin_ts"))
+              .withWatermark("__bin_ts",
+                             f"{wm_delay_ms} milliseconds"))
+    per_idp = (binned
+               .groupBy(F.window("__bin_ts", f"{binu} microseconds")
+                         .alias("__w1"),
+                        F.col("__w_id"), F.col("__w_p"))
+               .agg(F.sum("__cov").alias("__n")))
+    per_id = (per_idp
+              .where(F.col("__n") > 0)
+              .groupBy(F.window(F.window_time("__w1"),
+                                f"{binu} microseconds").alias("__w2"),
+                       F.col("__w_id"))
+              .agg(F.count("*").alias("__np")))
+    per_bin = (per_id
+               .where(F.col("__np") >= active_periods)
+               .groupBy(F.window(F.window_time("__w2"),
+                                 f"{binu} microseconds").alias("__w3"))
+               .agg(F.count("*").alias("dcount")))
+    return (per_bin
+            .select(F.timestamp_micros(
+                        F.unix_micros(F.col("__w3.start"))
+                        + F.lit(lo % binu)).alias("bin"), "dcount")
+            .where(F.unix_micros("bin") <= F.lit(hi)))
+
+
+def session_count_stream(events: DataFrame, start: str, end: str,
+                         id_col: str = "user_id",
+                         bin_size: str = "1 day",
+                         lookback: str = "1 hours",
+                         watermark: str = "2 hours") -> DataFrame:
+    """Streaming twin of ``evaluate session_count`` (kql.py
+    `_session_count`): per grid bin T, the number of gaps-and-islands
+    sessions active at T (a session covers [first_t, last_t +
+    lookback) and splits when a gap exceeds ``lookback``).
+
+    The streaming identity that makes this a two-aggregation pipeline
+    instead of stateful sessionization: a session's coverage interval
+    equals the UNION of its events' per-event intervals [t, t +
+    lookback) — consecutive gaps <= lookback leave no holes, and one
+    id's sessions never overlap (the next session starts > lookback
+    after the previous end). So sessions-active-at-T == distinct ids
+    with an event in (T - lookback, T] evaluated at grid points, and
+    the plan is exactly the sliding_window_counts explode-to-bins
+    recipe: bounded in-row fan-out, (bin, id) dedupe, per-bin count,
+    watermark on the shifted bin clock with delay ``watermark +
+    lookback``."""
+    prepare_session(events.sparkSession)
+    from datetime import datetime, timezone
+
+    def us_of(s: str) -> int:
+        dt = datetime.fromisoformat(s)
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=timezone.utc)
+        return int(dt.timestamp() * 1_000_000)
+
+    lo, hi = us_of(start), us_of(end)
+    look, binu = _duration_us(lookback), _duration_us(bin_size)
+    if look <= 0 or binu <= 0:
+        raise ValueError("lookback and bin_size must be > 0")
+    k = -(-look // binu)
+    wm_delay_ms = (_duration_us(watermark) + look) // 1000
+    t0 = (f"{lo} + CAST(ceil((__w_t - {lo}) / CAST({binu} AS DOUBLE)) "
+          f"AS BIGINT) * {binu}")
+    binned = (events
+              .select(F.col(id_col).alias("__w_id"),
+                      F.unix_micros("ts").alias("__w_t"))
+              .where(F.col("__w_t") >= F.lit(lo))
+              .select("__w_id", "__w_t", F.explode(F.expr(
+                  f"transform(sequence(0, {k - 1}), "
+                  f"__scs_j -> ({t0}) + __scs_j * {binu})"))
+                  .alias("__w_bin"))
+              # coverage rides as a FLAG, never a filter below the
+              # watermark: the session lookback is typically << bin,
+              # so most events' next grid point covers no bins — they
+              # must still advance the watermark (a deterministic
+              # filter would be pushed below the watermark node;
+              # see sliding_window_counts_stream)
+              .select("__w_id",
+                      ((F.col("__w_bin") - F.col("__w_t")) < look)
+                      .cast("long").alias("__cov"),
+                      F.timestamp_micros("__w_bin").alias("__bin_ts"))
+              .withWatermark("__bin_ts",
+                             f"{wm_delay_ms} milliseconds"))
+    per_id = (binned
+              .groupBy(F.window("__bin_ts", f"{binu} microseconds")
+                        .alias("__win"), F.col("__w_id"))
+              .agg(F.sum("__cov").alias("__n")))
+    per_bin = (per_id
+               .where(F.col("__n") > 0)
+               .groupBy(F.window(F.window_time("__win"),
+                                 f"{binu} microseconds").alias("__w2"))
+               .agg(F.count("*").alias("count_")))
+    return (per_bin
+            .select(F.timestamp_micros(
+                        F.unix_micros(F.col("__w2.start"))
+                        + F.lit(lo % binu)).alias("bin"), "count_")
             .where(F.unix_micros("bin") <= F.lit(hi)))
 
 

@@ -945,3 +945,192 @@ def test_activity_engagement_stream_matches_batch(spark, sf_dir,
     """).collect()}
     assert len(want) > 0
     assert got == want
+
+
+def _write_events(path, rows):
+    """rows: list of (event_id, ts_us, user_id). Writes the events
+    fixture schema with timestamp[us]."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    tbl = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array(["click"] * len(rows), pa.string()),
+        "value": pa.array([0.0] * len(rows), pa.float64()),
+        "props": pa.array([None] * len(rows), pa.string()),
+    })
+    pq.write_table(tbl, path)
+
+
+def _sentinel_copy(sf_dir, d):
+    """Copy the real events fixture + a far-future sentinel row that
+    advances the watermark so every grid bin finalizes."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    shutil.copy(f"{sf_dir}/events.parquet", d / "0_events.parquet")
+    tbl = pq.read_table(f"{sf_dir}/events.parquet")
+    ts_type = tbl.schema.field("ts").type
+    far = pa.table({
+        "event_id": pa.array([10**9], pa.int64()),
+        "ts": pa.array([10**18 if pa.types.is_integer(ts_type)
+                        else 4102444800_000_000],
+                       ts_type if pa.types.is_integer(ts_type)
+                       else pa.timestamp("us")),
+        "user_id": pa.array([1], pa.int64()),
+        "event_type": pa.array(["error"], pa.string()),
+        "value": pa.array([0.0], pa.float64()),
+        "props": pa.array([None], pa.string()),
+    }).cast(tbl.schema)
+    pq.write_table(far, d / "1_sentinel.parquet")
+
+
+def test_active_users_count_stream_matches_batch(spark, sf_dir,
+                                                 tmp_path):
+    """Streaming active_users_count == the batch KQL plugin bin for
+    bin: the period index rides each exploded row and THREE chained
+    windowed aggregations deliver the exact stickiness-filtered
+    distinct count ((bin,id,period) dedupe -> per-(bin,id) period
+    count + >= N filter -> per-bin dcount)."""
+    from azure_kusto_parquet_conv_spark.streaming.events import (
+        active_users_count_stream, read_events_stream)
+
+    d = tmp_path / "auc_stream_src"
+    d.mkdir()
+    _sentinel_copy(sf_dir, d)
+    ev = read_events_stream(spark, str(d))
+    out = active_users_count_stream(
+        ev, start="2024-01-01 00:00:00", end="2024-01-31 00:00:00",
+        lookback="7 days", period="1 day", active_periods=2,
+        bin_size="1 day", watermark="1 seconds")
+    q = (out.writeStream.format("memory").queryName("auc_stream_out")
+         .outputMode("append")
+         .option("maxFilesPerTrigger", 1).start())
+    q.processAllAvailable()
+    q.stop()
+    got = {(str(r["bin"]), r["dcount"])
+           for r in spark.sql("select * from auc_stream_out").collect()}
+
+    from azure_kusto_parquet_conv_spark.kql import kql
+    want = {(str(r["bin"]), r["dcount"])
+            for r in kql(spark, sf_dir, """
+      events
+        | evaluate active_users_count(user_id, ts,
+            datetime(2024-01-01), datetime(2024-01-31), 7d, 1d, 2, 1d)
+    """).collect()}
+    assert len(want) > 0
+    assert got == want
+
+
+def test_active_users_count_stream_unaligned_grid(spark, tmp_path):
+    """Closed-form unaligned pin: grid anchored at 06:00, daily bins,
+    2-day lookback, 1-day periods, N=2. u10 hits two DISTINCT
+    epoch-aligned periods inside bin 30h's trailing window; u11 hits
+    only one; at bin 54h u10's two hits fall in one period."""
+    from azure_kusto_parquet_conv_spark.streaming.events import (
+        active_users_count_stream, read_events_stream)
+
+    d = tmp_path / "auc_unaligned_src"
+    d.mkdir()
+    base = 1704067200_000_000  # 2024-01-01 00:00:00 UTC (us)
+    hour = 3600_000_000
+    rows = [
+        (1, base + 7 * hour, 10),    # period 0
+        (2, base + 31 * hour, 10),   # period 1
+        (3, base + 8 * hour, 11),    # period 0 only
+        (4, base + 40 * hour, 12),   # period 1
+        (5, base + 41 * hour, 12),   # period 1 (same period: no count)
+        (6, 4102444800_000_000, 99),  # sentinel
+    ]
+    _write_events(d / "0_events.parquet", rows)
+    ev = read_events_stream(spark, str(d))
+    out = active_users_count_stream(
+        ev, start="2024-01-01 06:00:00", end="2024-01-03 06:00:00",
+        lookback="2 days", period="1 day", active_periods=2,
+        bin_size="1 day", watermark="1 seconds")
+    q = (out.writeStream.format("memory").queryName("auc_unaligned")
+         .outputMode("append").start())
+    q.processAllAvailable()
+    q.stop()
+    got = {(str(r["bin"]), r["dcount"])
+           for r in spark.sql("select * from auc_unaligned").collect()}
+    # bin 30h trailing (–18h, 30h]: u10 events at 7h (period 0) and
+    # 31h? no — 31h > 30h. u10 has only 7h -> 1 period. u11 1 period.
+    # -> no qualifying id, bin not emitted (empty bins drop, as batch).
+    # bin 54h trailing (6h, 54h]: u10 at 7h (p0) + 31h (p1) -> 2
+    # periods ✓; u12 at 40h/41h both p1 -> 1; u11 at 8h p0 -> 1.
+    assert got == {("2024-01-03 06:00:00", 1)}
+
+
+def test_session_count_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming session_count == the batch KQL plugin bin for bin:
+    sessions-active-at-T equals distinct ids with an event inside
+    (T - lookback, T] (per-event interval union == session coverage;
+    one id's sessions never overlap), so the exact answer needs only
+    the explode-to-bins recipe — no stateful sessionization."""
+    from azure_kusto_parquet_conv_spark.streaming.events import (
+        read_events_stream, session_count_stream)
+
+    d = tmp_path / "scs_stream_src"
+    d.mkdir()
+    _sentinel_copy(sf_dir, d)
+    ev = read_events_stream(spark, str(d))
+    out = session_count_stream(
+        ev, start="2024-01-01 00:00:00", end="2024-01-31 00:00:00",
+        bin_size="1 day", lookback="12 hours", watermark="1 seconds")
+    q = (out.writeStream.format("memory").queryName("scs_stream_out")
+         .outputMode("append")
+         .option("maxFilesPerTrigger", 1).start())
+    q.processAllAvailable()
+    q.stop()
+    got = {(str(r["bin"]), r["count_"])
+           for r in spark.sql("select * from scs_stream_out").collect()}
+
+    from azure_kusto_parquet_conv_spark.kql import kql
+    want = {(str(r["bin"]), r["count_"])
+            for r in kql(spark, sf_dir, """
+      events
+        | evaluate session_count(user_id, ts,
+            datetime(2024-01-01), datetime(2024-01-31), 1d, 12h)
+    """).collect()}
+    assert len(want) > 0
+    assert got == want
+
+
+def test_session_count_stream_unaligned_grid(spark, tmp_path):
+    """Closed-form unaligned pin: 06:00-anchored daily grid, 2h
+    session lookback. u10's 05:00 event precedes Start and is
+    excluded (the batch plugin filters it identically), so u10's
+    first session is [06:00, 08:00) -> active at the 06:00 grid
+    point; its 30h event is a NEW session (24h gap) covering
+    [30h, 32h) — active at bin 30h together with u11's [29h, 31h)
+    session -> count 2. Bin 54h is empty and not emitted."""
+    from azure_kusto_parquet_conv_spark.streaming.events import (
+        read_events_stream, session_count_stream)
+
+    d = tmp_path / "scs_unaligned_src"
+    d.mkdir()
+    base = 1704067200_000_000
+    hour = 3600_000_000
+    rows = [
+        (1, base + 5 * hour, 10),
+        (2, base + 6 * hour, 10),   # same session (gap 1h <= 2h)
+        (3, base + 30 * hour, 10),  # new session (gap 24h)
+        (4, base + 29 * hour, 11),
+        (5, 4102444800_000_000, 99),  # sentinel
+    ]
+    _write_events(d / "0_events.parquet", rows)
+    ev = read_events_stream(spark, str(d))
+    out = session_count_stream(
+        ev, start="2024-01-01 06:00:00", end="2024-01-03 06:00:00",
+        bin_size="1 day", lookback="2 hours", watermark="1 seconds")
+    q = (out.writeStream.format("memory").queryName("scs_unaligned")
+         .outputMode("append").start())
+    q.processAllAvailable()
+    q.stop()
+    got = {(str(r["bin"]), r["count_"])
+           for r in spark.sql("select * from scs_unaligned").collect()}
+    assert got == {("2024-01-01 06:00:00", 1),
+                   ("2024-01-02 06:00:00", 2)}
