@@ -1727,7 +1727,7 @@ _IVFPQ_INDEX_BUILT: set[str] = set()
 
 @query("q_knn_ivfpq_indexed", """
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv
-           FROM embeddings WHERE vec_id % 29 = 0),
+           FROM embeddings WHERE vec_id < 580 AND vec_id % 29 = 0),
 ranked AS (
   SELECT q.query_id, c.vec_id AS neighbor_id,
          ROUND(list_cosine_similarity(q.qv, c.embedding), 4) AS cosine,
@@ -1749,10 +1749,14 @@ def q_knn_ivfpq_indexed(spark, sf_dir):
     tests/test_plans.py::test_ivfpq_indexed_scan_prunes_partitions).
     Same provable corpus-member oracle as q_knn_ivfpq_exact: n_probe=1
     routes each query to its own list, where its own code is the ADC
-    minimum — self-pair at cosine 1.0."""
+    minimum — self-pair at cosine 1.0. The probe set carries an
+    explicit id CAP (vec_id < 580, every 29th): knn_ivfpq_indexed
+    broadcasts the query frame and resolves probe lists driver-side,
+    so its contract requires a bounded-by-construction query set —
+    the modulo alone would grow with the corpus (r9 sweep catch)."""
     import os
     e = load_table(spark, sf_dir, "embeddings")
-    q = e.where(F.col("vec_id") % 29 == 0)
+    q = e.where((F.col("vec_id") < 580) & (F.col("vec_id") % 29 == 0))
     cents = _IVF_CENTROIDS.get(sf_dir)
     if cents is None:
         cents = _IVF_CENTROIDS[sf_dir] = S.train_ivf_centroids(
@@ -3383,6 +3387,211 @@ def q17_small_quantity_revenue(spark, sf_dir):
                 .agg(F.round(F.round(F.sum("l_extendedprice"), 2) / 7.0, 4)
                       .alias("avg_yearly"),
                      F.count("*").cast("long").alias("n")))
+
+
+@query("q4_order_priority", """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+GROUP BY o_orderpriority
+""")
+def q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape (order priority checking): orders from one quarter
+    with at least one late lineitem, counted per priority. The fixture
+    has no commit/receipt dates, so "late" is shipped > 90 days after
+    the order date — the correlated EXISTS (comparing an inner column
+    to an OUTER one) survives intact as a left-semi join whose non-equi
+    arm rides the orderkey equality. Scale design: the date filter
+    prunes orders at the scan, the semi join shuffles both facts on
+    orderkey once, and the priority rollup is enum-small."""
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-04-01"))
+    li = load_table(spark, sf_dir, "lineitem") \
+        .select("l_orderkey", "l_shipdate")
+    return (o.join(li, (o.o_orderkey == li.l_orderkey)
+                   & (li.l_shipdate > o.o_orderdate
+                      + F.expr("INTERVAL 90 DAYS")), "left_semi")
+             .groupBy("o_orderpriority")
+             .agg(F.count("*").cast("long").alias("order_count")))
+
+
+@query("q9_product_type_profit", """
+SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)
+                 - p_retailprice * 0.1 * l_quantity), 2) AS profit
+FROM lineitem
+JOIN part     ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation   ON n_nationkey = s_nationkey
+JOIN orders   ON o_orderkey = l_orderkey
+WHERE p_name LIKE 'small%'
+GROUP BY 1, 2
+""")
+def q9_product_type_profit(spark, sf_dir):
+    """TPC-H Q9 shape (product type profit): five-table star join,
+    profit per supplier nation per order year for one part family. The
+    fixture has no partsupp, so unit cost is 10% of p_retailprice —
+    same join graph, same grouping. Scale design: the p_name prefix
+    filter is pushed to the part scan and shrinks the first fact join's
+    build side; part/supplier joins stay AQE-decided (SF-proportional,
+    unhinted per PLANS.md) while 25-row nation is hinted; the
+    lineitem-orders join shuffles on orderkey; the (nation, year)
+    rollup is enum x years small with map-side partials."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = (load_table(spark, sf_dir, "part")
+         .where(F.col("p_name").like("small%"))
+         .select("p_partkey", "p_retailprice"))
+    su = load_table(spark, sf_dir, "supplier") \
+        .select("s_suppkey", "s_nationkey")
+    na = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders") \
+        .select("o_orderkey", "o_orderdate")
+    return (li.join(p, li.l_partkey == p.p_partkey)
+              .join(su, li.l_suppkey == su.s_suppkey)
+              .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+              .join(o, li.l_orderkey == o.o_orderkey)
+              .groupBy(F.col("n_name").alias("nation"),
+                       F.year("o_orderdate").cast("long")
+                        .alias("o_year"))
+              .agg(F.round(F.sum(
+                       F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                       - F.col("p_retailprice") * 0.1
+                       * F.col("l_quantity")), 2).alias("profit")))
+
+
+@query("q12_late_shipment_priority", """
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+  AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+GROUP BY l_linestatus
+""")
+def q12_late_shipment_priority(spark, sf_dir):
+    """TPC-H Q12 shape (shipping modes / order priority): one year of
+    late shipments, split into high- vs low-priority counts per group.
+    The fixture has no l_shipmode or commit/receipt dates, so the group
+    key is l_linestatus and "late" is shipped > 30 days after the order
+    date — the signature conditional-CASE double aggregate over a
+    fact-fact join is unchanged. Scale design: the shipdate range is
+    pushed to the lineitem scan; the join shuffles on orderkey with the
+    cross-row lateness predicate evaluated join-side (not a UDF); the
+    rollup output is 2 rows."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01"))
+    o = load_table(spark, sf_dir, "orders") \
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+              .where(F.col("l_shipdate") > F.col("o_orderdate")
+                     + F.expr("INTERVAL 30 DAYS"))
+              .groupBy("l_linestatus")
+              .agg(F.sum(F.when(hi, 1).otherwise(0)).cast("long")
+                    .alias("high_line_count"),
+                   F.sum(F.when(hi, 0).otherwise(1)).cast("long")
+                    .alias("low_line_count")))
+
+
+@query("q20_part_promotion", """
+WITH pk AS (SELECT p_partkey FROM part WHERE p_name LIKE 'small%'),
+excess AS (
+  SELECT l_suppkey FROM lineitem JOIN pk ON l_partkey = p_partkey
+  WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+  GROUP BY l_suppkey, l_partkey HAVING SUM(l_quantity) > 60)
+SELECT s_suppkey, s_name, n_name
+FROM supplier JOIN nation ON n_nationkey = s_nationkey
+WHERE s_suppkey IN (SELECT l_suppkey FROM excess)
+""")
+def q20_part_promotion(spark, sf_dir):
+    """TPC-H Q20 shape (potential part promotion): suppliers who moved
+    an excess quantity of one part family in one year. The fixture has
+    no partsupp, so the availability threshold becomes a HAVING on the
+    supplier's own shipped quantity — the nested-IN chain (part filter
+    -> fact semi join -> per-(supplier, part) aggregate -> supplier
+    semi join) is intact. Scale design: the part-key frame is
+    SF-proportional so its semi join stays AQE-decided (PLANS.md);
+    the per-(suppkey, partkey) aggregate shuffles the filtered fact
+    once; the final semi join keys on s_suppkey and 25-row nation is
+    the only hinted side."""
+    pk = (load_table(spark, sf_dir, "part")
+          .where(F.col("p_name").like("small%")).select("p_partkey"))
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01"))
+    su = load_table(spark, sf_dir, "supplier")
+    na = load_table(spark, sf_dir, "nation")
+    excess = (li.join(pk, li.l_partkey == pk.p_partkey, "left_semi")
+                .groupBy("l_suppkey", "l_partkey")
+                .agg(F.sum("l_quantity").alias("_q"))
+                .where(F.col("_q") > 60).select("l_suppkey"))
+    return (su.join(excess, su.s_suppkey == excess.l_suppkey,
+                    "left_semi")
+              .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+              .select("s_suppkey", "s_name", "n_name"))
+
+
+@query("q21_waiting_suppliers", """
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM lineitem l1
+JOIN orders   ON o_orderkey = l1.l_orderkey
+JOIN supplier ON s_suppkey = l1.l_suppkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o3.o_orderdate
+                                        + INTERVAL 60 DAY)
+GROUP BY s_name
+""")
+def q21_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21 shape (suppliers who kept orders waiting): per
+    supplier, count late lineitems on finished multi-supplier orders
+    where NO other supplier was also late ("late" = shipped > 60 days
+    after the order date; the fixture has no receipt/commit dates).
+    The EXISTS / NOT EXISTS pair compiles to a left-semi and a
+    left-anti self-join, each an orderkey equi-join with the
+    supplier-inequality arm as a residual condition — never a
+    cartesian. Scale design: the late frame is computed once and
+    reused as both the probe and the anti build side; all three
+    self-joins key on orderkey (one partitioning serves them); the
+    supplier name join is AQE-decided (SF-proportional, unhinted)."""
+    o_f = (load_table(spark, sf_dir, "orders")
+           .where(F.col("o_orderstatus") == "F")
+           .select("o_orderkey", "o_orderdate"))
+    li = load_table(spark, sf_dir, "lineitem") \
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+    su = load_table(spark, sf_dir, "supplier") \
+        .select("s_suppkey", "s_name")
+    late = (li.join(o_f, li.l_orderkey == o_f.o_orderkey)
+              .where(F.col("l_shipdate") > F.col("o_orderdate")
+                     + F.expr("INTERVAL 60 DAYS"))
+              .select("l_orderkey", "l_suppkey"))
+    other = li.select(F.col("l_orderkey").alias("_ok"),
+                      F.col("l_suppkey").alias("_sk"))
+    other_late = late.select(F.col("l_orderkey").alias("_ok"),
+                             F.col("l_suppkey").alias("_sk"))
+    l1 = (late
+          .join(other, (late.l_orderkey == other._ok)
+                & (late.l_suppkey != other._sk), "left_semi")
+          .join(other_late, (late.l_orderkey == other_late._ok)
+                & (late.l_suppkey != other_late._sk), "left_anti"))
+    return (l1.join(su, l1.l_suppkey == su.s_suppkey)
+              .groupBy("s_name")
+              .agg(F.count("*").cast("long").alias("numwait")))
 
 
 @query("q_kql_dcount_users", """
@@ -6851,9 +7060,10 @@ DRIVER_WINDOW = [
     "q_min_max_by", "q_join_outer", "q_window_rank", "q_sort_limit",
     "q_set_ops", "q_range_join", "q_json_extract", "q_tumbling_window",
     "q_dedup_keep_latest", "q_lang_id", "q_dedup_ngram_jaccard",
-    "q_embed_sim_pairs", "q_array_higher_order", "q_tfidf",
-    "q_null_safe_join", "q16_supplier_count", "q_kql_join_revenue",
-    "q_embed_quantize",
+    "q_embed_sim_pairs", "q_array_higher_order",
+    "q4_order_priority", "q9_product_type_profit",
+    "q12_late_shipment_priority", "q20_part_promotion",
+    "q21_waiting_suppliers",
 ]
 
 # Rotation ledger: r1-r8 windows are banked driver-green in
@@ -6870,10 +7080,14 @@ DRIVER_WINDOW = [
 # window slot in the round it lands, while rotating slots remain — the
 # attestation gap can never exceed one round's additions. An entry
 # added mid-r9 displaces the current TAIL back-fill slot in the same
-# commit (displacement order: q_embed_quantize, q_kql_join_revenue,
-# q16_supplier_count, ...). Already displaced by the mid-r9 additions
-# q_kql_series_elementwise / q_kql_bag_merge / q_kql_dcount_intersect:
-# q_grouping_sets, q_training_mix, q8_market_share (r10 candidates).
+# commit (displacement order — oldest-refresh slots last out:
+# q_array_higher_order, q_embed_sim_pairs, q_dedup_ngram_jaccard,
+# q_lang_id, ...). Already
+# displaced by the mid-r9 additions (q_kql_series_elementwise /
+# q_kql_bag_merge / q_kql_dcount_intersect, then the TPC-H completion
+# set q4/q9/q12/q20/q21): q_grouping_sets, q_training_mix,
+# q8_market_share, q_embed_quantize, q_kql_join_revenue,
+# q16_supplier_count, q_null_safe_join, q_tfidf (r10 candidates).
 #
 # Round-10 rotation candidates (oldest vintage first): the remaining
 # r4 entries — q_window_running, q_asof_join, q_sessionize,
