@@ -152,6 +152,9 @@ acos/atan/atan2/cot, degrees/radians, sign/sqrt/pow/pi,
 array_sum/array_avg — null/non-numeric elements ignored per Kusto),
 series_abs/exp/log/sign/sqrt/floor/ceiling/pow (elementwise),
 bag_merge (first-occurrence-wins map<string,variant> fold),
+bag_remove_keys/bag_set_key (top-level), gettype (Kusto type names),
+array_split (0-based indices, negatives wrap), has_any_index,
+dynamic_to_json (recursive key-sorted canonical text via Arrow UDF),
 typed null literals (long(null)/real(null)/bool(null)/datetime(null)/
 timespan(null)/guid(null)/decimal(null)),
 series_dot_product/series_cosine_similarity,
@@ -161,7 +164,9 @@ percentiles_array, make_list_if/make_set_if, binary_all_and-or-xor.
 Aggregates: count, countif, sum/avg/min/max (+ sumif/avgif/minif/maxif),
 arg_max/arg_min, percentile (0-100 scale, exact), dcount/dcountif
 (exact; real Kusto estimates — documented deviation), stdev, variance,
-take_any, make_list, make_set, hll/hll_if/hll_merge/dcount_hll (real
+take_any, make_list, make_set, make_bag/make_bag_if (first-merged-wins),
+percentilew (exact weighted percentile — deviation like percentile),
+hll/hll_if/hll_merge/dcount_hll (real
 Datasketches HLL sketches — the mergeable re-aggregation form).
 """
 
@@ -271,7 +276,8 @@ _AGG_FNS = {"count", "countif", "sum", "avg", "min", "max", "dcount",
             "make_list", "make_set", "sumif", "avgif", "minif", "maxif",
             "dcountif", "take_any", "stdev", "variance", "hll",
             "hll_merge", "percentiles_array", "binary_all_and", "binary_all_or",
-            "binary_all_xor", "make_list_if", "make_set_if"}
+            "binary_all_xor", "make_list_if", "make_set_if",
+            "make_bag", "make_bag_if", "percentilew"}
 
 _CMP = {"==": "=", "!=": "<>", "<": "<", "<=": "<=", ">": ">", ">=": ">="}
 
@@ -797,6 +803,180 @@ class _ExprParser:
             if len(args) != 2:
                 raise ValueError("KQL: set_has_element(arr, value)")
             return f"array_contains({args[0]}, {args[1]})"
+        if fname in ("make_bag", "make_bag_if"):
+            # aggregate: merge per-row property bags into one bag.
+            # Kusto picks an arbitrary value for duplicate keys; here
+            # the first-merged bag wins (same policy as bag_merge) —
+            # deterministic given deterministic aggregation order, and
+            # oracled fixtures use disjoint keys so no policy shows.
+            if fname == "make_bag_if":
+                if len(args) != 2:
+                    raise ValueError("KQL: make_bag_if(bag, predicate)")
+                src = f"IF({args[1]}, {args[0]}, NULL)"
+            else:
+                if len(args) != 1:
+                    raise ValueError("KQL: make_bag(bag)")
+                src = args[0]
+            # collect_list drops null bags (rows failing the
+            # predicate). Merge = flatten all entries, keep each key's
+            # FIRST occurrence, rebuild the map. Deliberately NOT an
+            # aggregate() lambda-fold with a map accumulator: a Python
+            # UDF (dynamic_to_json) consuming to_json of that fold in
+            # the same aggregation fails Spark 4.1's UDF extraction on
+            # every execution after a session's first (INTERNAL_ERROR
+            # PythonUDF.eval); the entries-dedup shape is stable.
+            m = f"from_json(to_json({src}), 'map<string,variant>')"
+            ents = f"flatten(collect_list(map_entries({m})))"
+            keys = f"transform({ents}, __mb_x -> __mb_x.key)"
+            firsts = (f"filter(zip_with({ents}, "
+                      f"sequence(0, size({ents}) - 1), "
+                      f"(__mb_e, __mb_i) -> named_struct("
+                      f"'e', __mb_e, 'i', __mb_i)), "
+                      f"__mb_p -> array_position({keys}, "
+                      f"__mb_p.e.key) = __mb_p.i + 1)")
+            merged = (f"map_from_entries(transform({firsts}, "
+                      f"__mb_p -> __mb_p.e))")
+            return f"parse_json(to_json({merged}))"
+        if fname == "percentilew":
+            # weighted percentile: the smallest value whose running
+            # weight (ascending value order) reaches P% of the total.
+            # Exact — real Kusto estimates via T-digest, the same
+            # documented deviation as percentile()/dcount(). Buffers
+            # the group's (value, weight) pairs like Spark's own exact
+            # percentile; null/non-positive weights drop.
+            if len(args) != 3:
+                raise ValueError(
+                    "KQL: percentilew(col, weight, percentile)")
+            v, w, p = args
+            pairs = (f"array_sort(collect_list(IF({v} IS NULL "
+                     f"OR {w} IS NULL OR CAST({w} AS DOUBLE) <= 0, "
+                     f"NULL, named_struct("
+                     f"'v', CAST({v} AS DOUBLE), "
+                     f"'w', CAST({w} AS DOUBLE)))))")
+            tot = (f"aggregate({pairs}, CAST(0 AS DOUBLE), "
+                   f"(__pw_a, __pw_x) -> __pw_a + __pw_x.w)")
+            # the threshold and the sorted pairs bind ONCE through a
+            # single-element transform scope — embedding {tot} in the
+            # fold's lambda body would re-evaluate the total per
+            # element (O(n^2); measured hang on 20k-row groups)
+            step = (f"(__pw_c, __pw_x) -> IF(__pw_c.ans IS NOT NULL, "
+                    f"__pw_c, named_struct("
+                    f"'c', __pw_c.c + __pw_x.w, "
+                    f"'ans', IF(__pw_c.c + __pw_x.w >= __pw_s.t, "
+                    f"__pw_x.v, CAST(NULL AS DOUBLE))))")
+            fold = (f"aggregate(__pw_s.arr, named_struct("
+                    f"'c', CAST(0 AS DOUBLE), "
+                    f"'ans', CAST(NULL AS DOUBLE)), {step}, "
+                    f"__pw_f -> __pw_f.ans)")
+            return (f"element_at(transform(array(named_struct("
+                    f"'arr', {pairs}, "
+                    f"'t', (({p}) / 100.0) * {tot})), "
+                    f"__pw_s -> {fold}), 1)")
+        if fname == "gettype":
+            # runtime type name in Kusto vocabulary. The value lifts
+            # to VARIANT through a named_struct JSON round-trip —
+            # analysis-valid for EVERY input type, where a direct
+            # schema_of_variant / CAST(.. AS VARIANT) rejects typed
+            # columns at analysis. Deviations, per this compiler's
+            # carriers: timespans ride as bigint µs (-> 'long');
+            # decimals -> 'real'; datetimes INSIDE a dynamic
+            # stringify (-> 'string'; top-level datetime columns are
+            # caught by the typeof branch).
+            if len(args) != 1:
+                raise ValueError("KQL: gettype(value)")
+            x = args[0]
+            vt = (f"schema_of_variant(variant_get(parse_json("
+                  f"to_json(named_struct('x', {x}))), '$.x'))")
+            return (f"CASE WHEN {x} IS NULL THEN 'null' "
+                    f"WHEN typeof({x}) = 'timestamp' THEN 'datetime' "
+                    f"WHEN {vt} = 'VOID' THEN 'null' "
+                    f"WHEN {vt} IN ('BIGINT', 'INT', 'SMALLINT', "
+                    f"'TINYINT') THEN 'long' "
+                    f"WHEN {vt} IN ('DOUBLE', 'FLOAT') "
+                    f"OR {vt} LIKE 'DECIMAL%' THEN 'real' "
+                    f"WHEN {vt} = 'STRING' THEN 'string' "
+                    f"WHEN {vt} = 'BOOLEAN' THEN 'bool' "
+                    f"WHEN {vt} LIKE 'ARRAY%' THEN 'array' "
+                    f"ELSE 'dictionary' END")
+        if fname == "bag_remove_keys":
+            # top-level key removal (Kusto also accepts JSON paths for
+            # nested keys; the common top-level form is what compiles)
+            if len(args) != 2:
+                raise ValueError("KQL: bag_remove_keys(bag, keys)")
+            bag, keys = args
+            m = f"from_json(to_json({bag}), 'map<string,variant>')"
+            ks = f"from_json(to_json({keys}), 'array<string>')"
+            out = (f"map_filter({m}, (__brk_k, __brk_v) -> "
+                   f"NOT array_contains({ks}, __brk_k))")
+            return f"parse_json(to_json({out}))"
+        if fname == "bag_set_key":
+            # set/overwrite one top-level key; null/missing bag seeds
+            # an empty one (matching Kusto's upsert behavior)
+            if len(args) != 3:
+                raise ValueError("KQL: bag_set_key(bag, key, value)")
+            bag, key, val = args
+            m = (f"coalesce(from_json(to_json({bag}), "
+                 f"'map<string,variant>'), "
+                 f"from_json('{{}}', 'map<string,variant>'))")
+            k = f"CAST({key} AS STRING)"
+            # named_struct round-trip lifts ANY value type to variant
+            # (to_json rejects bare scalars)
+            vv = (f"variant_get(parse_json(to_json(named_struct("
+                  f"'v', {val}))), '$.v')")
+            out = (f"map_concat(map_filter({m}, "
+                   f"(__bsk_k, __bsk_v) -> __bsk_k <> {k}), "
+                   f"map({k}, {vv}))")
+            return f"parse_json(to_json({out}))"
+        if fname == "array_split":
+            # split an array into contiguous chunks at the given
+            # 0-based indices (scalar or array; negatives wrap, values
+            # clamp to [0, n])
+            if len(args) != 2:
+                raise ValueError("KQL: array_split(arr, indices)")
+            arr, idx = args
+            a = f"from_json(to_json({arr}), 'array<variant>')"
+            vi = (f"variant_get(parse_json(to_json(named_struct("
+                  f"'x', {idx}))), '$.x')")
+            raw = (f"coalesce(try_cast({vi} AS ARRAY<BIGINT>), "
+                   f"array(try_cast({vi} AS BIGINT)))")
+            n = f"CAST(size({a}) AS BIGINT)"
+            norm = (f"array_sort(transform({raw}, __as_i -> "
+                    f"greatest(CAST(0 AS BIGINT), least({n}, "
+                    f"IF(__as_i < 0, {n} + __as_i, __as_i)))))")
+            bounds = (f"concat(array(CAST(0 AS BIGINT)), {norm}, "
+                      f"array({n}))")
+            parts = (f"transform(sequence(1, size({bounds}) - 1), "
+                     f"__as_j -> slice({a}, "
+                     f"CAST(element_at({bounds}, __as_j) AS INT) + 1, "
+                     f"CAST(element_at({bounds}, __as_j + 1) "
+                     f"- element_at({bounds}, __as_j) AS INT)))")
+            return (f"CASE WHEN {a} IS NULL THEN NULL "
+                    f"ELSE parse_json(to_json({parts})) END")
+        if fname == "has_any_index":
+            # 0-based index of the first term in `values` that the
+            # source string `has` (whole-term match); -1 when none
+            if len(args) != 2:
+                raise ValueError("KQL: has_any_index(source, values)")
+            src, vals = args
+            toks = (f"split(lower({_str_if_variant(src)}), "
+                    f"'[^a-z0-9]+')")
+            vv = f"from_json(to_json({vals}), 'array<string>')"
+            hits = (f"filter(transform(sequence(0, size({vv}) - 1), "
+                    f"__hai_i -> IF(array_contains({toks}, "
+                    f"lower(element_at({vv}, "
+                    f"CAST(__hai_i + 1 AS INT)))), __hai_i, -1)), "
+                    f"__hai_x -> __hai_x >= 0)")
+            return (f"CASE WHEN {vv} IS NULL OR size({vv}) = 0 "
+                    f"THEN -1 "
+                    f"ELSE coalesce(try_element_at({hits}, 1), -1) "
+                    f"END")
+        if fname == "dynamic_to_json":
+            # canonical JSON text: keys sorted at every nesting level
+            # (json.dumps sort_keys in an Arrow-batched UDF — key
+            # ordering is a text-level property Spark SQL can't see)
+            if len(args) != 1:
+                raise ValueError("KQL: dynamic_to_json(value)")
+            return f"__kql_dyn2json(to_json({args[0]}))"
         if fname == "totimespan":
             # parse "[-][d.]hh:mm:ss[.fffffff]" (Kusto timespan text)
             # into MICROSECONDS — the same unit timespan literals carry
@@ -2732,6 +2912,36 @@ def _register_series_fft_udfs(spark: SparkSession) -> None:
     spark._kql_fft_registered = True
 
 
+def _register_dynamic_udfs(spark: SparkSession) -> None:
+    """``__kql_dyn2json``: dynamic_to_json's canonical re-serializer —
+    sorts object keys at EVERY nesting level, a text-level property no
+    SQL expression can reach (map/struct key order is opaque to
+    Catalyst). Arrow-batched over the to_json() text of the value."""
+    if getattr(spark, "_kql_dyn_registered", False):
+        return
+    import json
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def f(js):
+        out = []
+        for x in js:
+            if x is None:
+                out.append(None)
+                continue
+            try:
+                out.append(json.dumps(json.loads(x), sort_keys=True,
+                                      separators=(",", ":")))
+            except ValueError:
+                out.append(x)
+        return pd.Series(out)
+
+    # functional form: postponed annotations break decorator hints
+    spark.udf.register("__kql_dyn2json", pandas_udf(f, "string"))
+    spark._kql_dyn_registered = True
+
+
 #: fork/facet/materialize cache shared inputs with persist() so N
 #: consumers read ONE scan. Handles are registered in COMPILER-SCOPED
 #: groups: eviction happens at group granularity, keeping the newest
@@ -2801,6 +3011,7 @@ class KqlCompiler:
         self._tab_fn_lets: dict[str, tuple[str, list[str], str]] = {}
         prepare_session(spark)
         _register_series_fft_udfs(spark)
+        _register_dynamic_udfs(spark)
 
     def table(self, name: str) -> DataFrame:
         return load_table(self.spark, self.sf_dir, name)

@@ -6329,6 +6329,149 @@ def q_kql_dcount_intersect(spark, sf_dir):
     """)
 
 
+@query("q_kql_bag_tools", """
+WITH pairs(id, k, v) AS (VALUES
+  (CAST(1 AS BIGINT), 'm', '3'), (1, 'k1', '1'), (1, 'q', '7'),
+  (2, 'k1', '5'), (2, 'r', '2'),
+  (3, 's', '"x"')),
+s AS (SELECT id, '{' || string_agg('"' || k || '":' || v, ','
+                                   ORDER BY k) || '}' AS s
+      FROM pairs GROUP BY id),
+sset AS (SELECT id, '{' || string_agg('"' || k || '":' || v, ','
+                                      ORDER BY k) || '}' AS s_set
+         FROM (SELECT id, k, v FROM pairs
+               UNION ALL
+               SELECT DISTINCT id, 'extra', CAST(id * 10 AS VARCHAR)
+               FROM pairs)
+         GROUP BY id),
+sdel AS (SELECT id, '{' || string_agg('"' || k || '":' || v, ','
+                                      ORDER BY k) || '}' AS s_del
+         FROM pairs WHERE k NOT IN ('k1', 'nope') GROUP BY id)
+SELECT s.id, s.s, sset.s_set, sdel.s_del,
+       'dictionary;long;string;array;null' AS gt
+FROM s JOIN sset USING (id) JOIN sdel USING (id)
+""")
+def q_kql_bag_tools(spark, sf_dir):
+    """The r9 bag-manipulation batch: make_bag (per-group bag merge,
+    entries-dedup shape — no lambda-fold accumulator, see kql.py),
+    bag_set_key (upsert), bag_remove_keys (top-level), gettype
+    (Kusto type vocabulary) and dynamic_to_json (recursive key-sorted
+    canonical text via the Arrow-batched __kql_dyn2json UDF — the
+    property that makes bag outputs hash-stable regardless of map
+    insertion order). Fixture keys are disjoint per group so Kusto's
+    arbitrary duplicate-key policy never shows; the DuckDB twin
+    rebuilds each canonical string with sorted string_agg."""
+    from azure_kusto_parquet_conv_spark.kql import kql
+    return kql(spark, sf_dir, """
+      datatable(id:long, bj:string) [
+        1, '{"m": 3, "k1": 1}',
+        1, '{"q": 7}',
+        2, '{"k1": 5, "r": 2}',
+        3, '{"s": "x"}'
+      ]
+        | extend b = todynamic(bj)
+        | summarize bag = make_bag(b) by id
+        | extend s = dynamic_to_json(bag),
+                 s_set = dynamic_to_json(bag_set_key(bag, "extra",
+                                                     id * 10)),
+                 s_del = dynamic_to_json(bag_remove_keys(bag,
+                             dynamic(["k1", "nope"]))),
+                 gt = strcat(gettype(bag), ";", gettype(id), ";",
+                             gettype(tostring(id)), ";",
+                             gettype(dynamic([1, 2])), ";",
+                             gettype(todynamic("null")))
+        | project id, s, s_set, s_del, gt
+    """)
+
+
+@query("q_kql_percentilew", """
+WITH s AS (SELECT l_returnflag f, CAST(l_extendedprice AS DOUBLE) v,
+                  CAST(l_quantity AS DOUBLE) w
+           FROM lineitem),
+t AS (SELECT f, v,
+             SUM(w) OVER (PARTITION BY f ORDER BY v
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) c,
+             SUM(w) OVER (PARTITION BY f) tot
+      FROM s)
+SELECT f AS l_returnflag,
+       ROUND(MIN(CASE WHEN c >= 0.5 * tot THEN v END), 4) AS p50,
+       ROUND(MIN(CASE WHEN c >= 0.9 * tot THEN v END), 4) AS p90
+FROM t GROUP BY f
+""")
+def q_kql_percentilew(spark, sf_dir):
+    """percentilew (r9): weighted percentile over real lineitem —
+    the smallest price whose running quantity-weight (ascending price
+    order) reaches P% of the group total. Exact single-pass fold over
+    the group's sorted (value, weight) pairs (real Kusto estimates
+    via T-digest — the same documented deviation as percentile/
+    dcount). Weights are integral doubles, so both engines' running
+    sums are exact and the crossing row cannot flip on float order.
+    The DuckDB twin is an independent formulation: cumulative window
+    sums + MIN over the crossed rows."""
+    from azure_kusto_parquet_conv_spark.kql import kql
+    return kql(spark, sf_dir, """
+      lineitem
+        | summarize p50 = percentilew(l_extendedprice, l_quantity, 50),
+                    p90 = percentilew(l_extendedprice, l_quantity, 90)
+            by l_returnflag
+        | project l_returnflag, p50 = round(p50, 4),
+                  p90 = round(p90, 4)
+    """)
+
+
+@query("q_kql_array_tools", """
+WITH t(id, txt) AS (VALUES
+  (CAST(1 AS BIGINT), 'fatal error in stage two'),
+  (2, 'all good here'),
+  (3, 'warn then error later')),
+w AS (SELECT id, txt, string_split(txt, ' ') AS ws,
+             len(string_split(txt, ' ')) AS n
+      FROM t),
+x AS (SELECT id,
+             CASE WHEN list_contains(ws, 'warn') THEN 0
+                  WHEN list_contains(ws, 'error') THEN 1
+                  WHEN list_contains(ws, 'fatal') THEN 2
+                  ELSE -1 END AS idx,
+             to_json(list_value(ws[1:n-2], ws[n-1:])) AS tail2,
+             ws, n
+      FROM w)
+SELECT id, CAST(idx AS BIGINT) AS idx, tail2,
+       CAST(pi AS BIGINT) AS pi,
+       to_json(CASE pi WHEN 0 THEN ws[1:1]
+                       WHEN 1 THEN ws[2:3]
+                       ELSE ws[4:] END) AS ps
+FROM x, (VALUES (0), (1), (2)) AS pis(pi)
+""")
+def q_kql_array_tools(spark, sf_dir):
+    """The r9 array batch: array_split (array indices AND a negative
+    scalar index that wraps from the end), has_any_index (0-based
+    first matching term, whole-term semantics, -1 on miss) and
+    mv-expand with_itemindex over the split parts, each rendered to
+    canonical JSON with dynamic_to_json. The DuckDB twin re-derives
+    every split with 1-based list slicing and the term search with
+    list_contains over the same whitespace tokens (the fixture's
+    tokens are plain lowercase words, so KQL's alnum term split and
+    a space split agree by construction)."""
+    from azure_kusto_parquet_conv_spark.kql import kql
+    return kql(spark, sf_dir, """
+      datatable(id:long, txt:string) [
+        1, "fatal error in stage two",
+        2, "all good here",
+        3, "warn then error later"
+      ]
+        | extend idx = tolong(has_any_index(txt,
+                            dynamic(["warn", "error", "fatal"]))),
+                 tail2 = dynamic_to_json(array_split(
+                            split(txt, " "), -2)),
+                 parts = array_split(split(txt, " "),
+                                     dynamic([1, 3]))
+        | mv-expand with_itemindex=pi p = parts
+        | extend ps = dynamic_to_json(p), pi = tolong(pi)
+        | project id, idx, tail2, pi, ps
+    """)
+
+
 @query("q_kql_ipv4_lookup", """
 WITH s AS (SELECT event_id,
                   '10.' || CAST(user_id % 4 AS VARCHAR) || '.'
@@ -7059,8 +7202,8 @@ DRIVER_WINDOW = [
     "q_salted_distinct", "q_conditional_agg", "q_percentiles",
     "q_min_max_by", "q_join_outer", "q_window_rank", "q_sort_limit",
     "q_set_ops", "q_range_join", "q_json_extract", "q_tumbling_window",
-    "q_dedup_keep_latest", "q_lang_id", "q_dedup_ngram_jaccard",
-    "q_embed_sim_pairs", "q_array_higher_order",
+    "q_dedup_keep_latest", "q_lang_id",
+    "q_kql_bag_tools", "q_kql_percentilew", "q_kql_array_tools",
     "q4_order_priority", "q9_product_type_profit",
     "q12_late_shipment_priority", "q20_part_promotion",
     "q21_waiting_suppliers",
@@ -7081,13 +7224,15 @@ DRIVER_WINDOW = [
 # attestation gap can never exceed one round's additions. An entry
 # added mid-r9 displaces the current TAIL back-fill slot in the same
 # commit (displacement order — oldest-refresh slots last out:
-# q_array_higher_order, q_embed_sim_pairs, q_dedup_ngram_jaccard,
-# q_lang_id, ...). Already
+# q_lang_id, q_dedup_keep_latest, q_tumbling_window, ...). Already
 # displaced by the mid-r9 additions (q_kql_series_elementwise /
 # q_kql_bag_merge / q_kql_dcount_intersect, then the TPC-H completion
-# set q4/q9/q12/q20/q21): q_grouping_sets, q_training_mix,
-# q8_market_share, q_embed_quantize, q_kql_join_revenue,
-# q16_supplier_count, q_null_safe_join, q_tfidf (r10 candidates).
+# set q4/q9/q12/q20/q21, then the KQL scalar batch q_kql_bag_tools/
+# q_kql_percentilew/q_kql_array_tools): q_grouping_sets,
+# q_training_mix, q8_market_share, q_embed_quantize,
+# q_kql_join_revenue, q16_supplier_count, q_null_safe_join, q_tfidf,
+# q_array_higher_order, q_embed_sim_pairs, q_dedup_ngram_jaccard
+# (r10 candidates).
 #
 # Round-10 rotation candidates (oldest vintage first): the remaining
 # r4 entries — q_window_running, q_asof_join, q_sessionize,

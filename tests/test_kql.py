@@ -4205,3 +4205,165 @@ def test_series_floor_ceiling(spark, sf_dir):
     """).collect()[0]
     assert list(r["f"]) == [1.0, -2.0, 3.0]
     assert list(r["c"]) == [2.0, -1.0, 3.0]
+
+
+def test_make_bag_merge_and_filter(spark, sf_dir):
+    """make_bag merges per-group bags (entries-dedup shape — stays
+    stable when composed with the dynamic_to_json UDF, see kql.py);
+    make_bag_if drops rows failing the predicate; an all-false group
+    yields an EMPTY bag, not null."""
+    rows = kql(spark, sf_dir, """
+      datatable(id:long, bj:string, keep:bool) [
+        1, '{"b": 2, "a": 1}', true,
+        1, '{"c": 3}', true,
+        2, '{"x": 9}', false
+      ]
+        | extend b = todynamic(bj)
+        | summarize m = make_bag(b), f = make_bag_if(b, keep) by id
+        | project id, sm = dynamic_to_json(m), sf = dynamic_to_json(f)
+    """).collect()
+    got = {r["id"]: (r["sm"], r["sf"]) for r in rows}
+    assert got[1] == ('{"a":1,"b":2,"c":3}', '{"a":1,"b":2,"c":3}')
+    assert got[2] == ('{"x":9}', "{}")
+    # duplicate keys across rows: Kusto picks an arbitrary value —
+    # the merged value must be ONE of the candidates
+    import json as _json
+    r = kql(spark, sf_dir, """
+      datatable(id:long, bj:string) [
+        1, '{"k": 1}', 1, '{"k": 2}' ]
+        | extend b = todynamic(bj)
+        | summarize m = make_bag(b) by id
+        | project s = tostring(m)
+    """).collect()[0]
+    assert _json.loads(r["s"])["k"] in (1, 2)
+
+
+def test_make_bag_dyn2json_stable_across_reruns(spark, sf_dir):
+    """Regression pin for the Spark 4.1 UDF-extraction flake: a
+    Python UDF consuming to_json of a lambda-fold aggregate fails on
+    every execution after a session's first. make_bag avoids the fold
+    (entries-dedup), so the same query must succeed on REPEATED
+    executions in one session."""
+    q = """
+      datatable(id:long, bj:string) [ 1, '{"b": 2, "a": 1}' ]
+        | extend b = todynamic(bj)
+        | summarize bag = make_bag(b) by id
+        | project id, s = dynamic_to_json(bag)
+    """
+    for _ in range(3):
+        assert kql(spark, sf_dir, q).collect()[0]["s"] == \
+            '{"a":1,"b":2}'
+
+
+def test_bag_set_remove_keys(spark, sf_dir):
+    """bag_set_key upserts (overwrite and add, any value type; a null
+    bag seeds empty); bag_remove_keys strips top-level keys and
+    ignores absent ones; removing every key leaves an empty bag."""
+    r = kql(spark, sf_dir, """
+      print b = todynamic('{"a": 1, "b": 2}')
+        | project s_over = dynamic_to_json(bag_set_key(b, "b", 99)),
+                  s_add = dynamic_to_json(bag_set_key(b, "c", "x")),
+                  s_null = dynamic_to_json(bag_set_key(todynamic("null"),
+                                                       "k", 5)),
+                  s_del = dynamic_to_json(bag_remove_keys(b,
+                              dynamic(["a", "nope"]))),
+                  s_all = dynamic_to_json(bag_remove_keys(b,
+                              dynamic(["a", "b"])))
+    """).collect()[0]
+    assert r["s_over"] == '{"a":1,"b":99}'
+    assert r["s_add"] == '{"a":1,"b":2,"c":"x"}'
+    assert r["s_null"] == '{"k":5}'
+    assert r["s_del"] == '{"b":2}'
+    assert r["s_all"] == "{}"
+
+
+def test_gettype_vocabulary(spark, sf_dir):
+    """gettype speaks Kusto's type names for scalars, dynamics and
+    nulls; datetime columns hit the typeof branch (datetimes INSIDE a
+    dynamic stringify — documented deviation)."""
+    r = kql(spark, sf_dir, """
+      print t_bag = gettype(todynamic('{"a":1}')),
+            t_long = gettype(5), t_real = gettype(2.0),
+            t_str = gettype("s"), t_bool = gettype(true),
+            t_arr = gettype(dynamic([1, 2])),
+            t_jnull = gettype(todynamic("null")),
+            t_tnull = gettype(long(null)),
+            t_dt = gettype(datetime(2024-01-01))
+    """).collect()[0]
+    assert (r["t_bag"], r["t_long"], r["t_real"], r["t_str"],
+            r["t_bool"], r["t_arr"], r["t_jnull"], r["t_tnull"],
+            r["t_dt"]) == ("dictionary", "long", "real", "string",
+                           "bool", "array", "null", "null", "datetime")
+
+
+def test_percentilew_closed_form(spark, sf_dir):
+    """percentilew: smallest value whose running weight reaches P% of
+    the total (ascending value order); null and non-positive weights
+    drop; weight-1 everywhere degenerates to the unweighted exact
+    percentile."""
+    rows = kql(spark, sf_dir, """
+      datatable(g:string, v:real, w:long) [
+        "a", 10.0, 1, "a", 20.0, 8, "a", 30.0, 1,
+        "b", 1.0, 5, "b", 2.0, 5,
+        "c", 7.0, 0, "c", 8.0, 3
+      ]
+        | summarize p50 = percentilew(v, w, 50),
+                    p95 = percentilew(v, w, 95) by g
+    """).collect()
+    got = {r["g"]: (r["p50"], r["p95"]) for r in rows}
+    # a: weights 1/8/1 of 10 -> cum 1,9,10; 50% = 5 -> 20; 95% -> 30
+    assert got["a"] == (20.0, 30.0)
+    # b: 50% of 10 = 5 -> first value crosses exactly at 5
+    assert got["b"] == (1.0, 2.0)
+    # c: zero-weight row drops entirely
+    assert got["c"] == (8.0, 8.0)
+
+
+def test_array_split_edges(spark, sf_dir):
+    """array_split: scalar index, index array, negative wrap,
+    out-of-range clamp, and an empty index list (single whole-array
+    chunk)."""
+    r = kql(spark, sf_dir, """
+      print arr = dynamic([1, 2, 3, 4, 5])
+        | project s_scalar = dynamic_to_json(array_split(arr, 2)),
+                  s_multi = dynamic_to_json(array_split(arr,
+                                dynamic([1, 3]))),
+                  s_neg = dynamic_to_json(array_split(arr, -2)),
+                  s_clamp = dynamic_to_json(array_split(arr,
+                                dynamic([0, 9]))),
+                  s_empty = dynamic_to_json(array_split(arr,
+                                dynamic([])))
+    """).collect()[0]
+    assert r["s_scalar"] == "[[1,2],[3,4,5]]"
+    assert r["s_multi"] == "[[1],[2,3],[4,5]]"
+    assert r["s_neg"] == "[[1,2,3],[4,5]]"
+    assert r["s_clamp"] == "[[],[1,2,3,4,5],[]]"
+    assert r["s_empty"] == "[[1,2,3,4,5]]"
+
+
+def test_has_any_index_terms(spark, sf_dir):
+    """has_any_index: 0-based index of the FIRST listed term the
+    source has (whole-term, case-insensitive like `has`); -1 on miss
+    or empty term list; substrings don't match."""
+    r = kql(spark, sf_dir, """
+      print i_hit = has_any_index("fatal Error in stage",
+                                  dynamic(["warn", "error"])),
+            i_first = has_any_index("warn then error",
+                                    dynamic(["error", "warn"])),
+            i_miss = has_any_index("all good", dynamic(["bad"])),
+            i_sub = has_any_index("errors everywhere",
+                                  dynamic(["error"])),
+            i_empty = has_any_index("x", dynamic([]))
+    """).collect()[0]
+    assert (r["i_hit"], r["i_first"], r["i_miss"], r["i_sub"],
+            r["i_empty"]) == (1, 0, -1, -1, -1)
+
+
+def test_dynamic_to_json_recursive_sort(spark, sf_dir):
+    """dynamic_to_json sorts keys at EVERY nesting level and emits
+    compact separators — Kusto's canonical form."""
+    r = kql(spark, sf_dir, """
+      print s = dynamic_to_json(todynamic(
+        '{"z": {"b": 1, "a": [ {"y": 1, "x": 2} ]}, "a": 9}'))
+    """).collect()[0]
+    assert r["s"] == '{"a":9,"z":{"a":[{"x":2,"y":1}],"b":1}}'
