@@ -141,7 +141,10 @@ startof/endof day|week|month|year (Sunday weeks), dayofweek (timespan),
 format_timespan (compile-time format parse), format_bytes (1024 units),
 getyear/getmonth/dayofmonth/hourofday, indexof, countof, trim/
 trim_start/trim_end (regex per Kusto), replace_string/replace_regex,
-strrep, hash (xxhash64), isempty/isnotempty, pack/bag_pack (dynamic bag builder), pack_array, array_length/
+strrep, hash (xxhash64), isempty/isnotempty, indexof_regex, reverse,
+parse_path (bag: Scheme/RootPath/DirectoryPath/DirectoryName/Filename/
+Extension/ADS), format_ipv4/format_ipv4_mask/ipv4_netmask_suffix,
+pack/bag_pack (dynamic bag builder), pack_array, array_length/
 array_index_of/array_slice/array_sort_asc|desc/array_concat,
 set_union/set_intersect/set_difference, array_iff/array_rotate_*/
 array_shift_*, column_ifexists, totimespan, split/translate/url codecs/
@@ -1131,7 +1134,8 @@ class _ExprParser:
             return (f"(CASE WHEN {valid} "
                     f"THEN CAST({expr} AS DECIMAL(38,0)) ELSE NULL END)")
         if fname in ("parse_ipv4", "parse_ipv4_mask", "ipv4_is_private",
-                     "ipv4_is_in_range"):
+                     "ipv4_is_in_range", "format_ipv4",
+                     "format_ipv4_mask", "ipv4_netmask_suffix"):
             return self._ipv4_fn(fname, args)
         if fname in ("datetime_add", "datetime_diff"):
             return self._datetime_math(fname, args)
@@ -1835,6 +1839,51 @@ class _ExprParser:
             if len(args) != 2:
                 raise ValueError("KQL: indexof(text, lookup)")
             return f"(instr({args[0]}, {args[1]}) - 1)"
+        if fname == "indexof_regex":
+            # 0-based position of the first regex match; -1 on miss
+            # (regexp_instr is 1-based, 0 on miss)
+            if len(args) != 2:
+                raise ValueError("KQL: indexof_regex(text, regex)")
+            return f"(regexp_instr({args[0]}, {args[1]}) - 1)"
+        if fname == "reverse":
+            # Kusto reverse(): string reversal (typed arrays reverse
+            # too — Spark's reverse covers both; dynamics need
+            # a typed cast first)
+            if len(args) != 1:
+                raise ValueError("KQL: reverse(value)")
+            return f"reverse({_str_if_variant(args[0])})"
+        if fname == "parse_path":
+            # file-path bag: Scheme / RootPath / DirectoryPath /
+            # DirectoryName / Filename / Extension /
+            # AlternateDataStreamName ('file.txt:stream'), both
+            # separators, pure regex — dynamic bag out
+            if len(args) != 1:
+                raise ValueError("KQL: parse_path(path)")
+            p = args[0]
+            scheme = (f"regexp_extract({p}, "
+                      f"'^([A-Za-z][A-Za-z0-9+.\\\\-]*)://', 1)")
+            body = (f"regexp_replace({p}, "
+                    f"'^[A-Za-z][A-Za-z0-9+.\\\\-]*://', '')")
+            root = (f"regexp_extract({body}, "
+                    f"'^([A-Za-z]:|[/\\\\\\\\])', 1)")
+            last = f"regexp_extract({body}, '[^/\\\\\\\\]*$', 0)"
+            fname_ = f"split_part({last}, ':', 1)"
+            ads = f"nullif(split_part({last}, ':', 2), '')"
+            dirp = (f"(CASE WHEN {body} RLIKE '[/\\\\\\\\]' THEN "
+                    f"regexp_replace({body}, "
+                    f"'[/\\\\\\\\][^/\\\\\\\\]*$', '') ELSE '' END)")
+            dirn = f"regexp_extract({dirp}, '[^/\\\\\\\\]*$', 0)"
+            ext = f"regexp_extract({fname_}, '\\\\.([^.]*)$', 1)"
+            obj = (f"named_struct("
+                   f"'Scheme', {scheme}, "
+                   f"'RootPath', {root}, "
+                   f"'DirectoryPath', {dirp}, "
+                   f"'DirectoryName', {dirn}, "
+                   f"'Filename', {fname_}, "
+                   f"'Extension', {ext}, "
+                   f"'AlternateDataStreamName', "
+                   f"coalesce({ads}, ''))")
+            return f"parse_json(to_json({obj}))"
         if fname == "countof":
             # countof(text, search[, kind]): kind='regex' counts
             # pattern matches; default counts non-overlapping plain
@@ -2013,6 +2062,46 @@ class _ExprParser:
                       f"32 - ({pfx})) - 1))")
             return (f"(CASE WHEN {valid} AND ({pfx}) BETWEEN 0 AND 32 "
                     f"THEN {masked} ELSE NULL END)")
+        if fname in ("format_ipv4", "format_ipv4_mask"):
+            # render a numeric OR dotted-quad input back to a dotted
+            # quad, masked to `prefix` (2nd arg; else the input's own
+            # /suffix; else 32). format_ipv4_mask appends '/prefix'.
+            if len(args) not in (1, 2):
+                raise ValueError(f"KQL: {fname}(ip [, prefix])")
+            ip = args[0]
+            s = f"CAST({ip} AS STRING)"
+            valid, num = self._ipv4_num(s)
+            inpfx = (f"(CASE WHEN nullif(split_part({s}, '/', 2), '') "
+                     f"IS NULL THEN 32 ELSE try_cast("
+                     f"split_part({s}, '/', 2) AS INT) END)")
+            pfx = f"({args[1]})" if len(args) == 2 else inpfx
+            n = (f"(CASE WHEN {s} RLIKE '^[0-9]+$' "
+                 f"THEN try_cast({s} AS BIGINT) "
+                 f"WHEN {valid} THEN {num} ELSE NULL END)")
+            masked = (f"({n} & ~(shiftleft(CAST(1 AS BIGINT), "
+                      f"32 - {pfx}) - 1))")
+            quad = (f"concat_ws('.', "
+                    f"shiftright({masked}, 24) & 255, "
+                    f"shiftright({masked}, 16) & 255, "
+                    f"shiftright({masked}, 8) & 255, "
+                    f"{masked} & 255)")
+            out = (quad if fname == "format_ipv4"
+                   else f"concat({quad}, '/', {pfx})")
+            return (f"(CASE WHEN {n} BETWEEN 0 AND 4294967295 "
+                    f"AND {pfx} BETWEEN 0 AND 32 THEN {out} "
+                    f"ELSE NULL END)")
+        if fname == "ipv4_netmask_suffix":
+            # the '/suffix' as a long; 32 when absent; null when the
+            # address or suffix is invalid
+            if len(args) != 1:
+                raise ValueError("KQL: ipv4_netmask_suffix(ip)")
+            ip = args[0]
+            valid, _ = self._ipv4_num(ip)
+            pfx = (f"(CASE WHEN nullif(split_part({ip}, '/', 2), '') "
+                   f"IS NULL THEN 32 ELSE try_cast("
+                   f"split_part({ip}, '/', 2) AS INT) END)")
+            return (f"(CASE WHEN {valid} AND {pfx} BETWEEN 0 AND 32 "
+                    f"THEN CAST({pfx} AS BIGINT) ELSE NULL END)")
         if fname == "ipv4_is_private":
             if len(args) != 1:
                 raise ValueError("KQL: ipv4_is_private(ip)")

@@ -6472,6 +6472,55 @@ def q_kql_array_tools(spark, sf_dir):
     """)
 
 
+@query("q_kql_net_path_tools", """
+SELECT * FROM (VALUES
+  (CAST(1 AS BIGINT), '10.1.2.3', '10.1.2.0/24', CAST(32 AS BIGINT),
+   'https', '', 'host.example.com/data/raw', 'raw', 'file.tar.gz',
+   'gz', '', 'zg.rat.elif', CAST(-1 AS BIGINT)),
+  (2, '192.168.0.0', '192.168.0.0/24', 24,
+   '', 'C:', 'C:\\logs\\app7', 'app7', 'trace.etl',
+   'etl', 'meta', 'lte.ecart', 11),
+  (3, NULL, NULL, NULL,
+   '', '/', '/var/log', 'log', 'syslog',
+   '', '', 'golsys', -1),
+  (4, '192.168.1.1', '192.168.1.0/24', NULL,
+   '', '', 'relative/dir', 'dir', 'readme.md',
+   'md', '', 'dm.emdaer', -1))
+AS t(id, f4, f4m, sfx, scheme, rootp, dirp, dirn, fn, ext, ads,
+     rev, ir)
+""")
+def q_kql_net_path_tools(spark, sf_dir):
+    """The r9 net/path scalar batch: format_ipv4 (numeric and dotted
+    inputs, input-suffix masking), format_ipv4_mask, ipv4_netmask_suffix
+    (null on non-dotted input), parse_path (scheme/drive/unix/relative
+    forms plus a Windows alternate data stream), reverse and
+    indexof_regex — every output re-stated closed-form in the DuckDB
+    twin. Pure JVM regex/integer expressions end to end: no UDF, no
+    shuffle beyond the datatable scan."""
+    from azure_kusto_parquet_conv_spark.kql import kql
+    return kql(spark, sf_dir, """
+      datatable(id:long, ip:string, path:string) [
+        1, "10.1.2.3", "https://host.example.com/data/raw/file.tar.gz",
+        2, "192.168.0.77/24", "C:\\\\logs\\\\app7\\\\trace.etl:meta",
+        3, "256.1.1.1", "/var/log/syslog",
+        4, "3232235777", "relative/dir/readme.md"
+      ]
+        | extend f4 = format_ipv4(ip), f4m = format_ipv4_mask(ip, 24),
+                 sfx = ipv4_netmask_suffix(ip), pp = parse_path(path)
+        | extend scheme = tostring(pp.Scheme),
+                 rootp = tostring(pp.RootPath),
+                 dirp = tostring(pp.DirectoryPath),
+                 dirn = tostring(pp.DirectoryName),
+                 fn = tostring(pp.Filename),
+                 ext = tostring(pp.Extension),
+                 ads = tostring(pp.AlternateDataStreamName)
+        | extend rev = reverse(fn),
+                 ir = tolong(indexof_regex(path, "[0-9]+"))
+        | project id, f4, f4m, sfx, scheme, rootp, dirp, dirn, fn,
+                  ext, ads, rev, ir
+    """)
+
+
 @query("q_kql_ipv4_lookup", """
 WITH s AS (SELECT event_id,
                   '10.' || CAST(user_id % 4 AS VARCHAR) || '.'
@@ -7202,7 +7251,7 @@ DRIVER_WINDOW = [
     "q_salted_distinct", "q_conditional_agg", "q_percentiles",
     "q_min_max_by", "q_join_outer", "q_window_rank", "q_sort_limit",
     "q_set_ops", "q_range_join", "q_json_extract", "q_tumbling_window",
-    "q_dedup_keep_latest", "q_lang_id",
+    "q_dedup_keep_latest", "q_kql_net_path_tools",
     "q_kql_bag_tools", "q_kql_percentilew", "q_kql_array_tools",
     "q4_order_priority", "q9_product_type_profit",
     "q12_late_shipment_priority", "q20_part_promotion",
@@ -7224,15 +7273,15 @@ DRIVER_WINDOW = [
 # attestation gap can never exceed one round's additions. An entry
 # added mid-r9 displaces the current TAIL back-fill slot in the same
 # commit (displacement order — oldest-refresh slots last out:
-# q_lang_id, q_dedup_keep_latest, q_tumbling_window, ...). Already
+# q_dedup_keep_latest, q_tumbling_window, q_json_extract, ...). Already
 # displaced by the mid-r9 additions (q_kql_series_elementwise /
 # q_kql_bag_merge / q_kql_dcount_intersect, then the TPC-H completion
-# set q4/q9/q12/q20/q21, then the KQL scalar batch q_kql_bag_tools/
-# q_kql_percentilew/q_kql_array_tools): q_grouping_sets,
-# q_training_mix, q8_market_share, q_embed_quantize,
+# set q4/q9/q12/q20/q21, then the KQL scalar batches q_kql_bag_tools/
+# q_kql_percentilew/q_kql_array_tools/q_kql_net_path_tools):
+# q_grouping_sets, q_training_mix, q8_market_share, q_embed_quantize,
 # q_kql_join_revenue, q16_supplier_count, q_null_safe_join, q_tfidf,
-# q_array_higher_order, q_embed_sim_pairs, q_dedup_ngram_jaccard
-# (r10 candidates).
+# q_array_higher_order, q_embed_sim_pairs, q_dedup_ngram_jaccard,
+# q_lang_id (r10 candidates).
 #
 # Round-10 rotation candidates (oldest vintage first): the remaining
 # r4 entries — q_window_running, q_asof_join, q_sessionize,

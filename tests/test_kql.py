@@ -4367,3 +4367,72 @@ def test_dynamic_to_json_recursive_sort(spark, sf_dir):
         '{"z": {"b": 1, "a": [ {"y": 1, "x": 2} ]}, "a": 9}'))
     """).collect()[0]
     assert r["s"] == '{"a":9,"z":{"a":[{"x":2,"y":1}],"b":1}}'
+
+
+def test_format_ipv4_and_netmask_suffix(spark, sf_dir):
+    """format_ipv4 renders numeric and dotted inputs masked to the
+    argument prefix (else the input's own /suffix, else /32);
+    format_ipv4_mask appends the prefix; ipv4_netmask_suffix returns
+    the suffix (32 default) and null on invalid or non-dotted input."""
+    r = kql(spark, sf_dir, """
+      print a = format_ipv4("192.168.1.77"),
+            b = format_ipv4("192.168.1.77", 24),
+            c = format_ipv4("192.168.1.77/24"),
+            d = format_ipv4(3232235777),
+            e = format_ipv4("999.1.1.1"),
+            f = format_ipv4_mask("192.168.1.77", 24),
+            s1 = ipv4_netmask_suffix("10.0.0.0/8"),
+            s2 = ipv4_netmask_suffix("10.0.0.1"),
+            s3 = ipv4_netmask_suffix("10.0.0.1/40"),
+            s4 = ipv4_netmask_suffix("abc")
+    """).collect()[0]
+    assert r["a"] == "192.168.1.77"
+    assert r["b"] == "192.168.1.0"
+    assert r["c"] == "192.168.1.0"
+    assert r["d"] == "192.168.1.1"
+    assert r["e"] is None
+    assert r["f"] == "192.168.1.0/24"
+    assert (r["s1"], r["s2"], r["s3"], r["s4"]) == (8, 32, None, None)
+
+
+def test_indexof_regex_and_reverse(spark, sf_dir):
+    """indexof_regex: 0-based first-match position, -1 on miss;
+    reverse works on strings and typed arrays."""
+    r = kql(spark, sf_dir, """
+      print i1 = indexof_regex("abc123def", "[0-9]+"),
+            i2 = indexof_regex("abcdef", "[0-9]+"),
+            r1 = reverse("abc"),
+            r2 = reverse(split("a,b,c", ","))
+    """).collect()[0]
+    assert (r["i1"], r["i2"], r["r1"]) == (3, -1, "cba")
+    assert list(r["r2"]) == ["c", "b", "a"]
+
+
+def test_parse_path_forms(spark, sf_dir):
+    """parse_path across url / windows-drive+ADS / unix / relative
+    forms: every bag field pinned."""
+    rows = kql(spark, sf_dir, """
+      datatable(id:long, p:string) [
+        1, "https://host/data/raw/file.tar.gz",
+        2, "C:\\\\logs\\\\app\\\\trace.etl:meta",
+        3, "/var/log/syslog",
+        4, "relative/dir/readme.md"
+      ]
+        | extend b = parse_path(p)
+        | project id, scheme = tostring(b.Scheme),
+                  rootp = tostring(b.RootPath),
+                  dirp = tostring(b.DirectoryPath),
+                  dirn = tostring(b.DirectoryName),
+                  fn = tostring(b.Filename),
+                  ext = tostring(b.Extension),
+                  ads = tostring(b.AlternateDataStreamName)
+    """).collect()
+    got = {r["id"]: (r["scheme"], r["rootp"], r["dirp"], r["dirn"],
+                     r["fn"], r["ext"], r["ads"]) for r in rows}
+    assert got[1] == ("https", "", "host/data/raw", "raw",
+                      "file.tar.gz", "gz", "")
+    assert got[2] == ("", "C:", "C:\\logs\\app", "app",
+                      "trace.etl", "etl", "meta")
+    assert got[3] == ("", "/", "/var/log", "log", "syslog", "", "")
+    assert got[4] == ("", "", "relative/dir", "dir",
+                      "readme.md", "md", "")
