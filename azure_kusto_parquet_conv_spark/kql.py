@@ -75,6 +75,9 @@ Supported surface (each line maps to one DataFrame verb):
     | evaluate funnel_sequence_completion(id, tl, start, end, bin,
         state, dynamic([states]), dynamic([windows]))  (cohorted
         funnel completion via sequential-min joins)
+    | evaluate funnel_sequence(id, tl, start, end, max_window, step,
+        state, dynamic([states]))  (prev/next state distribution
+        around the sequence; lead-chain window match)
     | evaluate sliding_window_counts(id, tl, start, end, look, bin)
         (trailing-window count/dcount per bin; explode-to-bins)
     | evaluate activity_engagement(id, tl, start, end, inner, outer)
@@ -3903,6 +3906,8 @@ class KqlCompiler:
             return self._basket(df, argtext)
         if plugin == "funnel_sequence_completion":
             return self._funnel_completion(df, argtext)
+        if plugin == "funnel_sequence":
+            return self._funnel_sequence(df, argtext)
         if plugin == "sliding_window_counts":
             return self._sliding_window_counts(df, argtext)
         if plugin == "activity_engagement":
@@ -4954,6 +4959,96 @@ class KqlCompiler:
                 .agg(F.count("*").alias("dcount"))
                 .select(F.timestamp_micros(F.col("__w_bin"))
                          .alias("bin"), "dcount"))
+
+    def _funnel_sequence(self, df: DataFrame,
+                         argtext: str) -> DataFrame:
+        """``evaluate funnel_sequence(IdColumn, Timeline, Start, End,
+        MaxSequenceStepWindow, Step, StateColumn,
+        dynamic(['s1','s2',...]))`` — Kusto's funnel-sequence plugin:
+        for ids that executed the state sequence (consecutive events,
+        each within MaxSequenceStepWindow of the previous), the
+        distribution of the state immediately BEFORE the sequence and
+        immediately AFTER it, as distinct-id counts per (prev, next)
+        pair. Missing prev/next render as '' like Kusto. ``Step`` is
+        validated but only shapes Kusto's secondary per-period tables,
+        which this single-table rendering does not emit (documented).
+
+        Spark-first shape: one window per id (single shuffle on the id
+        key), a LEAD-CHAIN of the compile-time sequence length for the
+        match predicate — no per-row Python, no automaton — then a
+        tiny (prev, next) distinct-count rollup. Window order is
+        (timeline, state) so ties are deterministic."""
+        from pyspark.sql.window import Window
+        groups = _split_top_commas(_tokenize(argtext))
+        if len(groups) != 8:
+            raise ValueError(
+                "KQL: funnel_sequence(id, timeline, start, end, "
+                "max_step_window, step, state, dynamic([states]))")
+        id_sql = _compile_expr_tokens(groups[0], df)
+        tl_sql = _compile_expr_tokens(groups[1], df)
+        start_sql = _compile_expr_tokens(groups[2], df)
+        end_sql = _compile_expr_tokens(groups[3], df)
+
+        def us_lit(toks, what):
+            sql2 = _compile_expr_tokens(toks, df)
+            try:
+                return int(sql2.strip("() "))
+            except ValueError:
+                raise ValueError(
+                    f"KQL: funnel_sequence {what} must be a timespan "
+                    f"literal, got {sql2!r}")
+        max_us = us_lit(groups[4], "max step window")
+        us_lit(groups[5], "step")  # periods not rendered; validated
+        state_sql = _compile_expr_tokens(groups[6], df)
+        text = "".join(t.text for t in groups[7])
+        am = re.fullmatch(r"dynamic\s*\(\s*\[(.*)\]\s*\)", text,
+                          re.DOTALL)
+        if not am:
+            raise ValueError("KQL: funnel_sequence sequence must be a "
+                             "dynamic([...]) literal")
+        states = []
+        for g in _split_top_commas(_tokenize(am.group(1))):
+            t0 = g[0] if g else None
+            if t0 is None or t0.kind != "str":
+                raise ValueError("KQL: funnel_sequence states must be "
+                                 "string literals")
+            states.append(_py_str_lit(t0.text))
+        if not states:
+            raise ValueError("KQL: funnel_sequence needs >= 1 state")
+        k = len(states)
+        base = (df.select(
+                    F.expr(id_sql).alias("__fs_id"),
+                    F.expr(f"unix_micros(CAST({tl_sql} AS TIMESTAMP))")
+                     .alias("__fs_t"),
+                    F.expr(state_sql).alias("__fs_s"))
+                  .where(F.col("__fs_t").isNotNull())
+                  .where((F.col("__fs_t") >= F.expr(
+                      f"unix_micros(CAST({start_sql} AS TIMESTAMP))"))
+                      & (F.col("__fs_t") <= F.expr(
+                      f"unix_micros(CAST({end_sql} AS TIMESTAMP))"))))
+        w = Window.partitionBy("__fs_id").orderBy("__fs_t", "__fs_s")
+        cond = F.col("__fs_s") == states[0]
+        prev_t = F.col("__fs_t")
+        for i in range(1, k):
+            s_i = F.lead("__fs_s", i).over(w)
+            t_i = F.lead("__fs_t", i).over(w)
+            cond = cond & (s_i == states[i]) \
+                & ((t_i - prev_t) <= F.lit(max_us))
+            prev_t = t_i
+        matches = (base
+                   .withColumn("__fs_prev", F.lag("__fs_s", 1).over(w))
+                   .withColumn("__fs_next",
+                               F.lead("__fs_s", k).over(w))
+                   # window exprs can't live in WHERE — materialize
+                   .withColumn("__fs_m", cond)
+                   .where(F.col("__fs_m")))
+        return (matches
+                .groupBy(F.coalesce("__fs_prev", F.lit(""))
+                          .alias("prev"),
+                         F.coalesce("__fs_next", F.lit(""))
+                          .alias("next"))
+                .agg(F.count_distinct("__fs_id").cast("long")
+                      .alias("dcount")))
 
     def _funnel_completion(self, df: DataFrame,
                            argtext: str) -> DataFrame:

@@ -6472,6 +6472,86 @@ def q_kql_array_tools(spark, sf_dir):
     """)
 
 
+@query("q_training_shard", """
+WITH b AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+                  CAST((strpos('0123456789abcdef',
+                        substr(md5(CAST(doc_id AS VARCHAR)), 1, 1))
+                        - 1) % 8 AS BIGINT) AS shard
+           FROM documents),
+c AS (SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM b GROUP BY shard),
+r AS (SELECT shard, doc_id, h,
+             row_number() OVER (PARTITION BY shard
+                                ORDER BY h, doc_id) AS pos
+      FROM b)
+SELECT r.shard, CAST(r.pos AS BIGINT) AS pos, r.doc_id, c.n_docs
+FROM r JOIN c USING (shard) WHERE r.pos <= 2
+""")
+def q_training_shard(spark, sf_dir):
+    """Deterministic global shuffle for training-data sharding: every
+    document routes to one of 8 shards by the first hex digit of
+    md5(doc_id), and within a shard the serving order is the md5
+    itself — a pseudo-random permutation with NO global sort (the
+    100 TB shape: one hash shuffle to shards, shard-local sort; the
+    alternative orderBy(rand()) is a full-data global sort and is not
+    reproducible across retries). Output: the first two docs of every
+    shard in serving order plus the shard's row count — both the
+    routing and the permutation are engine-reproducible (md5 on the
+    decimal id string), which is what makes multi-epoch training runs
+    and resume-from-checkpoint deterministic."""
+    from pyspark.sql.window import Window
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    b = d.select(
+        "doc_id",
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+        (F.expr("instr('0123456789abcdef', "
+                "substring(md5(CAST(doc_id AS STRING)), 1, 1)) - 1")
+         % 8).cast("long").alias("shard"))
+    counts = b.groupBy("shard").agg(
+        F.count("*").cast("long").alias("n_docs"))
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    firsts = (b.withColumn("pos", F.row_number().over(w).cast("long"))
+               .where(F.col("pos") <= 2))
+    return firsts.join(counts, "shard").select(
+        "shard", "pos", "doc_id", "n_docs")
+
+
+@query("q_kql_funnel_sequence", """
+WITH e AS (SELECT user_id,
+                  epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+                  event_type AS s
+           FROM events
+           WHERE ts >= TIMESTAMP '2024-01-01'
+             AND ts <= TIMESTAMP '2024-01-31'),
+w AS (SELECT user_id, s, t,
+             lag(s) OVER win AS prev,
+             lead(s, 1) OVER win AS s1,
+             lead(t, 1) OVER win AS t1,
+             lead(s, 2) OVER win AS nxt
+      FROM e WINDOW win AS (PARTITION BY user_id ORDER BY t, s))
+SELECT coalesce(prev, '') AS prev, coalesce(nxt, '') AS next,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dcount
+FROM w
+WHERE s = 'view' AND s1 = 'purchase' AND t1 - t <= 3600000000
+GROUP BY 1, 2
+""")
+def q_kql_funnel_sequence(spark, sf_dir):
+    """evaluate funnel_sequence on real events: the distribution of
+    states immediately before and after every view->purchase pair
+    completed within an hour, as distinct-user counts. One window per
+    user (single shuffle on the id key), a lead-chain the length of
+    the compile-time sequence — no automaton, no per-row Python; the
+    DuckDB twin re-derives the same pairs with its own lag/lead
+    window."""
+    from azure_kusto_parquet_conv_spark.kql import kql
+    return kql(spark, sf_dir, """
+      events
+        | evaluate funnel_sequence(user_id, ts, datetime(2024-01-01),
+            datetime(2024-01-31), 1h, 1d, event_type,
+            dynamic(["view", "purchase"]))
+    """)
+
+
 @query("q_kql_net_path_tools", """
 SELECT * FROM (VALUES
   (CAST(1 AS BIGINT), '10.1.2.3', '10.1.2.0/24', CAST(32 AS BIGINT),
@@ -7250,8 +7330,9 @@ DRIVER_WINDOW = [
     "q1_pricing_summary", "q_join_semi", "q_join_anti",
     "q_salted_distinct", "q_conditional_agg", "q_percentiles",
     "q_min_max_by", "q_join_outer", "q_window_rank", "q_sort_limit",
-    "q_set_ops", "q_range_join", "q_json_extract", "q_tumbling_window",
-    "q_dedup_keep_latest", "q_kql_net_path_tools",
+    "q_set_ops", "q_range_join", "q_json_extract",
+    "q_training_shard", "q_kql_funnel_sequence",
+    "q_kql_net_path_tools",
     "q_kql_bag_tools", "q_kql_percentilew", "q_kql_array_tools",
     "q4_order_priority", "q9_product_type_profit",
     "q12_late_shipment_priority", "q20_part_promotion",
@@ -7273,7 +7354,7 @@ DRIVER_WINDOW = [
 # attestation gap can never exceed one round's additions. An entry
 # added mid-r9 displaces the current TAIL back-fill slot in the same
 # commit (displacement order — oldest-refresh slots last out:
-# q_dedup_keep_latest, q_tumbling_window, q_json_extract, ...). Already
+# q_json_extract, q_range_join, q_set_ops, ...). Already
 # displaced by the mid-r9 additions (q_kql_series_elementwise /
 # q_kql_bag_merge / q_kql_dcount_intersect, then the TPC-H completion
 # set q4/q9/q12/q20/q21, then the KQL scalar batches q_kql_bag_tools/
@@ -7281,7 +7362,8 @@ DRIVER_WINDOW = [
 # q_grouping_sets, q_training_mix, q8_market_share, q_embed_quantize,
 # q_kql_join_revenue, q16_supplier_count, q_null_safe_join, q_tfidf,
 # q_array_higher_order, q_embed_sim_pairs, q_dedup_ngram_jaccard,
-# q_lang_id (r10 candidates).
+# q_lang_id, q_dedup_keep_latest, q_tumbling_window (r10 candidates;
+# q_kql_funnel_sequence and q_training_shard displaced the last two).
 #
 # Round-10 rotation candidates (oldest vintage first): the remaining
 # r4 entries — q_window_running, q_asof_join, q_sessionize,

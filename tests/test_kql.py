@@ -4436,3 +4436,37 @@ def test_parse_path_forms(spark, sf_dir):
     assert got[3] == ("", "/", "/var/log", "log", "syslog", "", "")
     assert got[4] == ("", "", "relative/dir", "dir",
                       "readme.md", "md", "")
+
+
+def test_funnel_sequence_prev_next_and_window(spark, sf_dir):
+    """funnel_sequence closed-form: u1 completes a->b inside the step
+    window with prev=x and next=y; u2's a->b gap exceeds the window
+    (no match); u3's sequence starts the stream (prev='') and ends it
+    (next=''); u4 matches twice but counts ONCE per (prev, next)
+    pair (dcount semantics)."""
+    rows = kql(spark, sf_dir, """
+      datatable(uid:long, t:datetime, s:string) [
+        1, datetime(2024-01-01 00:00:00), "x",
+        1, datetime(2024-01-01 00:10:00), "a",
+        1, datetime(2024-01-01 00:20:00), "b",
+        1, datetime(2024-01-01 00:30:00), "y",
+        2, datetime(2024-01-02 00:00:00), "a",
+        2, datetime(2024-01-02 02:00:00), "b",
+        3, datetime(2024-01-03 00:00:00), "a",
+        3, datetime(2024-01-03 00:05:00), "b",
+        4, datetime(2024-01-04 00:00:00), "x",
+        4, datetime(2024-01-04 00:01:00), "a",
+        4, datetime(2024-01-04 00:02:00), "b",
+        4, datetime(2024-01-04 00:03:00), "x",
+        4, datetime(2024-01-04 00:04:00), "a",
+        4, datetime(2024-01-04 00:05:00), "b",
+        4, datetime(2024-01-04 00:06:00), "y"
+      ]
+        | evaluate funnel_sequence(uid, t, datetime(2024-01-01),
+            datetime(2024-01-05), 1h, 1d, s, dynamic(["a", "b"]))
+    """).collect()
+    got = {(r["prev"], r["next"]): r["dcount"] for r in rows}
+    # u1: (x, y); u3: ('', ''); u4: (x, x) and (x, y) — u4's second
+    # match shares prev 'x' with its first but has next 'y', joining
+    # u1 in that cell; u2 never matches (2h gap > 1h window)
+    assert got == {("x", "y"): 2, ("", ""): 1, ("x", "x"): 1}
