@@ -94,6 +94,14 @@ HEADLINE = [
     # partitioned-index ANN probe (build amortizes across the repeats —
     # exactly the production shape it models).
     "q_knn_ivfpq_indexed",
+    # the headline-worthy operators BORN in round 9: the weighted
+    # percentile's per-group pair buffering, the funnel-sequence
+    # lead-chain window, the TPC-H multi-self-join q21, and the
+    # md5-sharded training shuffle — each a distinct cost shape.
+    "q_kql_percentilew",
+    "q_kql_funnel_sequence",
+    "q21_waiting_suppliers",
+    "q_training_shard",
 ]
 
 
