@@ -78,6 +78,9 @@ Supported surface (each line maps to one DataFrame verb):
     | evaluate funnel_sequence(id, tl, start, end, max_window, step,
         state, dynamic([states]))  (prev/next state distribution
         around the sequence; lead-chain window match)
+    | evaluate python(typeof(*|cols), 'script' [, dynamic kargs])
+        (inline pandas script per Arrow batch via mapInPandas — the
+        same per-extent distribution contract as Kusto's plugin)
     | evaluate sliding_window_counts(id, tl, start, end, look, bin)
         (trailing-window count/dcount per bin; explode-to-bins)
     | evaluate activity_engagement(id, tl, start, end, inner, outer)
@@ -3908,6 +3911,8 @@ class KqlCompiler:
             return self._funnel_completion(df, argtext)
         if plugin == "funnel_sequence":
             return self._funnel_sequence(df, argtext)
+        if plugin == "python":
+            return self._python_plugin(df, argtext)
         if plugin == "sliding_window_counts":
             return self._sliding_window_counts(df, argtext)
         if plugin == "activity_engagement":
@@ -4959,6 +4964,84 @@ class KqlCompiler:
                 .agg(F.count("*").alias("dcount"))
                 .select(F.timestamp_micros(F.col("__w_bin"))
                          .alias("bin"), "dcount"))
+
+    def _python_plugin(self, df: DataFrame, argtext: str) -> DataFrame:
+        """``evaluate python(typeof(<schema>), '<script>'
+        [, kargs])`` — Kusto's inline-Python plugin: the script
+        receives the input as a pandas DataFrame ``df`` (plus
+        ``kargs`` and pre-imported ``pd``/``np``) and must assign a
+        pandas DataFrame ``result`` matching the declared output
+        schema. ``typeof(*)`` keeps the input schema; ``typeof(*,
+        c:type)`` appends columns; ``typeof(c1:t1, ...)`` replaces it.
+
+        Spark-first shape — and the SAME distribution contract as
+        Kusto, which runs the script once per data extent: the script
+        executes once per Arrow batch inside ``mapInPandas``, so it
+        must be partition-local (row-wise transforms, per-row
+        featurization). Global computations belong in KQL operators
+        around the plugin, exactly as Kusto's docs prescribe. kargs
+        must be a dynamic(...) literal (broadcast with the closure)."""
+        groups = _split_top_commas(_tokenize(argtext))
+        if len(groups) not in (2, 3):
+            raise ValueError(
+                "KQL: python(typeof(...), 'script' [, dynamic kargs])")
+        spec = "".join(t.text for t in groups[0]).strip()
+        sm = re.fullmatch(r"typeof\s*\((.*)\)", spec, re.DOTALL)
+        if not sm:
+            raise ValueError("KQL: python() first arg must be "
+                             "typeof(...)")
+        fields: list[tuple[str, str]] = []
+        star = False
+        body = sm.group(1).strip()
+        if body:
+            for part in body.split(","):
+                part = part.strip()
+                if part == "*":
+                    star = True
+                    continue
+                bits = [b.strip() for b in part.split(":")]
+                if len(bits) != 2 or bits[1] not in self._DT_TYPES:
+                    raise ValueError(
+                        f"KQL: python() bad typeof field {part!r}")
+                fields.append((bits[0], self._DT_TYPES[bits[1]]))
+        if not star and not fields:
+            raise ValueError("KQL: python() typeof() needs * or "
+                             "name:type fields")
+        st = groups[1][0] if groups[1] else None
+        if st is None or st.kind != "str" or len(groups[1]) != 1:
+            raise ValueError("KQL: python() script must be one "
+                             "string literal")
+        script = _py_str_lit(st.text)
+        kargs: dict = {}
+        if len(groups) == 3:
+            ktext = "".join(t.text for t in groups[2]).strip()
+            km = re.fullmatch(r"dynamic\s*\((.*)\)", ktext, re.DOTALL)
+            if not km:
+                raise ValueError("KQL: python() kargs must be a "
+                                 "dynamic({...}) literal")
+            import json as _json
+            kargs = _json.loads(km.group(1))
+        in_schema = [(f.name, f.dataType.simpleString())
+                     for f in df.schema.fields]
+        out_fields = (in_schema + fields) if star else fields
+        out_ddl = ", ".join(f"`{n}` {t}" for n, t in out_fields)
+        out_names = [n for n, _ in out_fields]
+        code = compile(script, "<kql python()>", "exec")
+
+        def run(batches):
+            import numpy as np
+            import pandas as pd
+            for pdf in batches:
+                ns = {"df": pdf, "kargs": kargs, "pd": pd, "np": np}
+                exec(code, ns)
+                res = ns.get("result")
+                if not isinstance(res, pd.DataFrame):
+                    raise ValueError(
+                        "KQL: python() script must assign a pandas "
+                        "DataFrame to `result`")
+                yield res[out_names]
+
+        return df.mapInPandas(run, out_ddl)
 
     def _funnel_sequence(self, df: DataFrame,
                          argtext: str) -> DataFrame:

@@ -6472,6 +6472,34 @@ def q_kql_array_tools(spark, sf_dir):
     """)
 
 
+@query("q_kql_python", """
+SELECT CAST(l_orderkey % 4 AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(AVG(l_extendedprice / l_quantity), 4) AS avg_unit
+FROM lineitem WHERE l_orderkey < 200 GROUP BY 1
+""")
+def q_kql_python(spark, sf_dir):
+    """evaluate python(...): Kusto's inline-Python plugin — the script
+    runs once per Arrow batch inside mapInPandas (the same per-extent
+    distribution contract as Kusto), here computing a row-local unit
+    price that the surrounding KQL aggregates. The plugin is the
+    documented escape hatch for logic KQL can't express; the
+    surrounding operators stay Catalyst-planned (the where prunes at
+    the scan BEFORE any Python runs). Hash-matched against the pure
+    SQL twin."""
+    from azure_kusto_parquet_conv_spark.kql import kql
+    return kql(spark, sf_dir, """
+      lineitem
+        | where l_orderkey < 200
+        | project l_orderkey, l_quantity, l_extendedprice
+        | evaluate python(typeof(*, unit:real),
+            "result = df\\nresult['unit'] = result['l_extendedprice'] / result['l_quantity']\\n")
+        | summarize n = count(), avg_unit = round(avg(unit), 4)
+            by bucket = l_orderkey % 4
+        | project bucket = tolong(bucket), n, avg_unit
+    """)
+
+
 @query("q_training_shard", """
 WITH b AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
                   CAST((strpos('0123456789abcdef',
@@ -7330,8 +7358,8 @@ DRIVER_WINDOW = [
     "q1_pricing_summary", "q_join_semi", "q_join_anti",
     "q_salted_distinct", "q_conditional_agg", "q_percentiles",
     "q_min_max_by", "q_join_outer", "q_window_rank", "q_sort_limit",
-    "q_set_ops", "q_range_join", "q_json_extract",
-    "q_training_shard", "q_kql_funnel_sequence",
+    "q_set_ops", "q_range_join",
+    "q_kql_python", "q_training_shard", "q_kql_funnel_sequence",
     "q_kql_net_path_tools",
     "q_kql_bag_tools", "q_kql_percentilew", "q_kql_array_tools",
     "q4_order_priority", "q9_product_type_profit",
@@ -7354,7 +7382,7 @@ DRIVER_WINDOW = [
 # attestation gap can never exceed one round's additions. An entry
 # added mid-r9 displaces the current TAIL back-fill slot in the same
 # commit (displacement order — oldest-refresh slots last out:
-# q_json_extract, q_range_join, q_set_ops, ...). Already
+# q_range_join, q_set_ops, q_sort_limit, ...). Already
 # displaced by the mid-r9 additions (q_kql_series_elementwise /
 # q_kql_bag_merge / q_kql_dcount_intersect, then the TPC-H completion
 # set q4/q9/q12/q20/q21, then the KQL scalar batches q_kql_bag_tools/
@@ -7362,8 +7390,9 @@ DRIVER_WINDOW = [
 # q_grouping_sets, q_training_mix, q8_market_share, q_embed_quantize,
 # q_kql_join_revenue, q16_supplier_count, q_null_safe_join, q_tfidf,
 # q_array_higher_order, q_embed_sim_pairs, q_dedup_ngram_jaccard,
-# q_lang_id, q_dedup_keep_latest, q_tumbling_window (r10 candidates;
-# q_kql_funnel_sequence and q_training_shard displaced the last two).
+# q_lang_id, q_dedup_keep_latest, q_tumbling_window, q_json_extract
+# (r10 candidates; q_kql_funnel_sequence / q_training_shard /
+# q_kql_python displaced the last three).
 #
 # Round-10 rotation candidates (oldest vintage first): the remaining
 # r4 entries — q_window_running, q_asof_join, q_sessionize,

@@ -4470,3 +4470,40 @@ def test_funnel_sequence_prev_next_and_window(spark, sf_dir):
     # match shares prev 'x' with its first but has next 'y', joining
     # u1 in that cell; u2 never matches (2h gap > 1h window)
     assert got == {("x", "y"): 2, ("", ""): 1, ("x", "x"): 1}
+
+
+def test_python_plugin_modes(spark, sf_dir):
+    """evaluate python(): typeof(*) passthrough, typeof(*, c:t)
+    append, explicit-schema replace, kargs injection, and the
+    error contract when the script yields no DataFrame."""
+    # append mode + arithmetic
+    rows = kql(spark, sf_dir, """
+      range i from 1 to 4 step 1
+        | evaluate python(typeof(*, sq:long),
+            "result = df\\nresult['sq'] = result['i'] * result['i']\\n")
+        | summarize s = sum(sq), n = count()
+    """).collect()
+    assert (rows[0]["s"], rows[0]["n"]) == (30, 4)
+    # replace mode + kargs
+    rows = kql(spark, sf_dir, """
+      range i from 1 to 5 step 1
+        | evaluate python(typeof(j:long),
+            "result = pd.DataFrame({'j': df['i'] * kargs['m']})",
+            dynamic({"m": 3}))
+        | summarize s = sum(j)
+    """).collect()
+    assert rows[0]["s"] == 45
+    # passthrough
+    rows = kql(spark, sf_dir, """
+      range i from 1 to 3 step 1
+        | evaluate python(typeof(*), "result = df[df['i'] > 1]")
+        | summarize n = count()
+    """).collect()
+    assert rows[0]["n"] == 2
+    # script must assign a DataFrame
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="result"):
+        kql(spark, sf_dir, """
+          range i from 1 to 3 step 1
+            | evaluate python(typeof(*), "x = 1")
+        """).collect()
