@@ -3851,7 +3851,7 @@ class KqlCompiler:
     _DT_TYPES = {"long": "long", "int": "int", "real": "double",
                  "double": "double", "string": "string",
                  "bool": "boolean", "boolean": "boolean",
-                 "datetime": "timestamp"}
+                 "datetime": "timestamp", "dynamic": "variant"}
 
     def _datatable(self, text: str) -> DataFrame:
         """``datatable (col:type, ...) [v1, v2, ...]`` — an inline
@@ -5000,7 +5000,11 @@ class KqlCompiler:
                     star = True
                     continue
                 bits = [b.strip() for b in part.split(":")]
-                if len(bits) != 2 or bits[1] not in self._DT_TYPES:
+                if (len(bits) != 2 or bits[1] not in self._DT_TYPES
+                        or bits[1] == "dynamic"):
+                    # dynamic out-columns excluded: Arrow can't carry
+                    # VARIANT back from pandas — emit JSON text and
+                    # todynamic() it after the plugin
                     raise ValueError(
                         f"KQL: python() bad typeof field {part!r}")
                 fields.append((bits[0], self._DT_TYPES[bits[1]]))

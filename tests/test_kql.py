@@ -4507,3 +4507,125 @@ def test_python_plugin_modes(spark, sf_dir):
           range i from 1 to 3 step 1
             | evaluate python(typeof(*), "x = 1")
         """).collect()
+
+
+@pytest.mark.parametrize("seed", [3, 11])
+def test_percentilew_random_differential(spark, sf_dir, seed):
+    """Property: percentilew equals the Python reference (sort by
+    value, accumulate weights, first value whose running weight
+    reaches P% of the total) on random groups with ties, null values
+    and zero/null weights sprinkled in."""
+    import random
+
+    rnd = random.Random(seed)
+    rows = []
+    for _ in range(120):
+        g = rnd.choice("abc")
+        v = rnd.choice([None, float(rnd.randint(1, 9))])
+        w = rnd.choice([None, 0, rnd.randint(1, 5)])
+        rows.append((g, v, w))
+    cells = ", ".join(
+        f"'{g}', {'real(null)' if v is None else v}, "
+        f"{'long(null)' if w is None else w}"
+        for g, v, w in rows)
+    got = {r["g"]: (r["p25"], r["p50"], r["p90"])
+           for r in kql(spark, sf_dir, f"""
+      datatable (g:string, v:real, w:long) [{cells}]
+        | summarize p25 = percentilew(v, w, 25),
+                    p50 = percentilew(v, w, 50),
+                    p90 = percentilew(v, w, 90) by g
+    """).collect()}
+
+    def ref(g, p):
+        pairs = sorted((v, w) for gg, v, w in rows
+                       if gg == g and v is not None and w and w > 0)
+        tot = sum(w for _, w in pairs)
+        cum = 0
+        for v, w in pairs:
+            cum += w
+            if cum >= (p / 100.0) * tot:
+                return v
+        return None
+    want = {g: (ref(g, 25), ref(g, 50), ref(g, 90)) for g in "abc"}
+    assert got == want
+
+
+@pytest.mark.parametrize("seed", [7, 23])
+def test_funnel_sequence_random_differential(spark, sf_dir, seed):
+    """Property: funnel_sequence equals a Python reference (scan each
+    id's time-sorted stream for in-window consecutive matches, collect
+    (prev, next) per id, distinct-count ids per pair) on random event
+    streams with unique timestamps per id."""
+    import random
+    from collections import defaultdict
+
+    rnd = random.Random(seed)
+    base = 1704067200  # 2024-01-01 UTC, seconds
+    rows = []
+    for uid in range(1, 9):
+        ts = sorted(rnd.sample(range(0, 4000), 40))
+        for t in ts:
+            rows.append((uid, base + t * 60,
+                         rnd.choice(["a", "b", "c", "d"])))
+    cells = ", ".join(
+        f"{u}, datetime({__import__('datetime').datetime.utcfromtimestamp(t).strftime('%Y-%m-%d %H:%M:%S')}), '{s}'"
+        for u, t, s in rows)
+    got = {(r["prev"], r["next"]): r["dcount"]
+           for r in kql(spark, sf_dir, f"""
+      datatable (uid:long, t:datetime, s:string) [{cells}]
+        | evaluate funnel_sequence(uid, t, datetime(2024-01-01),
+            datetime(2024-01-15), 2h, 1d, s, dynamic(["a", "b"]))
+    """).collect()}
+
+    per_pair = defaultdict(set)
+    lo = base
+    hi = base + 14 * 86400
+    by_uid = defaultdict(list)
+    for u, t, s in rows:
+        if lo <= t <= hi:
+            by_uid[u].append((t, s))
+    for u, evs in by_uid.items():
+        evs.sort()
+        for i in range(len(evs) - 1):
+            if (evs[i][1] == "a" and evs[i + 1][1] == "b"
+                    and evs[i + 1][0] - evs[i][0] <= 7200):
+                prev = evs[i - 1][1] if i > 0 else ""
+                nxt = evs[i + 2][1] if i + 2 < len(evs) else ""
+                per_pair[(prev, nxt)].add(u)
+    want = {k: len(v) for k, v in per_pair.items()}
+    assert got == want
+
+
+@pytest.mark.parametrize("seed", [13])
+def test_array_split_random_differential(spark, sf_dir, seed):
+    """Property: array_split equals the Python reference (normalize
+    negative indices, clamp to [0, n], sort, slice) on random arrays
+    and random index lists, compared through dynamic_to_json text."""
+    import json
+    import random
+
+    rnd = random.Random(seed)
+    cases = []
+    for i in range(12):
+        arr = [rnd.randint(0, 9) for _ in range(rnd.randint(0, 6))]
+        idx = [rnd.randint(-7, 7)
+               for _ in range(rnd.randint(1, 3))]
+        cases.append((i, arr, idx))
+    cells = ", ".join(
+        f"{i}, dynamic({json.dumps(arr)}), dynamic({json.dumps(idx)})"
+        for i, arr, idx in cases)
+    got = {r["i"]: r["s"] for r in kql(spark, sf_dir, f"""
+      datatable (i:long, arr:dynamic, idx:dynamic) [{cells}]
+        | project i, s = dynamic_to_json(array_split(arr, idx))
+    """).collect()}
+
+    def ref(arr, idx):
+        n = len(arr)
+        cuts = sorted(max(0, min(n, j + n if j < 0 else j))
+                      for j in idx)
+        bounds = [0] + cuts + [n]
+        return json.dumps([arr[bounds[k]:bounds[k + 1]]
+                           for k in range(len(bounds) - 1)],
+                          separators=(",", ":"))
+    for i, arr, idx in cases:
+        assert got[i] == ref(arr, idx), (i, arr, idx)
