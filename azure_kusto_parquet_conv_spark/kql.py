@@ -3944,7 +3944,18 @@ class KqlCompiler:
                              f"supported (bag_unpack, pivot, "
                              f"autocluster, basket, diffpatterns, "
                              f"narrow and sequence_detect are)")
-        col = argtext.strip("` ")
+        uparts = _split_top_commas(_tokenize(argtext))
+        if len(uparts) not in (1, 2):
+            raise ValueError(
+                "KQL: bag_unpack(column [, 'OutputColumnPrefix'])")
+        col = "".join(t.text for t in uparts[0]).strip("` ")
+        prefix = ""
+        if len(uparts) == 2:
+            pt = uparts[1][0] if uparts[1] else None
+            if pt is None or pt.kind != "str" or len(uparts[1]) != 1:
+                raise ValueError("KQL: bag_unpack prefix must be a "
+                                 "string literal")
+            prefix = _py_str_lit(pt.text)
         if dict(df.dtypes).get(col) != "variant":
             raise ValueError(f"KQL: bag_unpack needs a dynamic column, "
                              f"{col!r} is {dict(df.dtypes).get(col)!r}")
@@ -3975,7 +3986,7 @@ class KqlCompiler:
                 c = F.expr(f"variant_get(`{col}`, '$.{name}', '{typ}')")
             else:  # nested object/array stays dynamic
                 c = F.expr(f"variant_get(`{col}`, '$.{name}')")
-            news.append(c.alias(name))
+            news.append(c.alias(prefix + name))
         keep = [F.col(c) for c in df.columns if c != col]
         return df.select(*keep, *news)
 

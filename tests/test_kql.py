@@ -4629,3 +4629,16 @@ def test_array_split_random_differential(spark, sf_dir, seed):
                           separators=(",", ":"))
     for i, arr, idx in cases:
         assert got[i] == ref(arr, idx), (i, arr, idx)
+
+
+def test_bag_unpack_output_prefix(spark, sf_dir):
+    """bag_unpack's OutputColumnPrefix argument prefixes every
+    unpacked column; the bare form is unchanged."""
+    rows = kql(spark, sf_dir, """
+      datatable (id:long, bj:string) [ 1, '{"a": 5, "b": "x"}' ]
+        | extend b = todynamic(bj)
+        | project-away bj
+        | evaluate bag_unpack(b, 'u_')
+    """).collect()
+    assert rows[0]["u_a"] == 5 and rows[0]["u_b"] == "x"
+    assert "a" not in rows[0].asDict() and "id" in rows[0].asDict()
