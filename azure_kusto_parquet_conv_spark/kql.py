@@ -3987,8 +3987,15 @@ class KqlCompiler:
             else:  # nested object/array stays dynamic
                 c = F.expr(f"variant_get(`{col}`, '$.{name}')")
             news.append(c.alias(prefix + name))
-        keep = [F.col(c) for c in df.columns if c != col]
-        return df.select(*keep, *news)
+        keep_names = [c for c in df.columns if c != col]
+        clash = ({prefix + f.split(":", 1)[0].strip() for f in fields}
+                 & set(keep_names))
+        if clash:
+            raise ValueError(
+                f"KQL: bag_unpack output column(s) {sorted(clash)} "
+                f"collide with existing columns (Kusto errors too; "
+                f"use the OutputColumnPrefix argument)")
+        return df.select(*[F.col(c) for c in keep_names], *news)
 
     def _sequence_detect(self, df: DataFrame, argtext: str) -> DataFrame:
         """``evaluate sequence_detect(timeline, maxGap, maxWindow,

@@ -4642,3 +4642,23 @@ def test_bag_unpack_output_prefix(spark, sf_dir):
     """).collect()
     assert rows[0]["u_a"] == 5 and rows[0]["u_b"] == "x"
     assert "a" not in rows[0].asDict() and "id" in rows[0].asDict()
+
+
+def test_bag_unpack_collision_errors(spark, sf_dir):
+    """bag_unpack raises on output/input column collisions (Kusto
+    errors identically); the prefix argument resolves it."""
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="collide"):
+        kql(spark, sf_dir, """
+          datatable (a:long, bj:string) [ 1, '{"a": 5}' ]
+            | extend b = todynamic(bj)
+            | project-away bj
+            | evaluate bag_unpack(b)
+        """)
+    rows = kql(spark, sf_dir, """
+      datatable (a:long, bj:string) [ 1, '{"a": 5}' ]
+        | extend b = todynamic(bj)
+        | project-away bj
+        | evaluate bag_unpack(b, 'p_')
+    """).collect()
+    assert rows[0]["a"] == 1 and rows[0]["p_a"] == 5
