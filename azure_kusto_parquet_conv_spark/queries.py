@@ -6240,8 +6240,8 @@ SELECT CAST(i AS BIGINT) AS idx,
        CAST(i AS DOUBLE) * 0.7 - 5.0 AS v,
        ABS(CAST(i AS DOUBLE) * 0.7 - 5.0) AS a,
        FLOOR(CAST(i AS DOUBLE) * 0.7 - 5.0) AS f,
-       CEILING(CAST(i AS DOUBLE) * 0.7 - 5.0) AS c,
-       SIGN(CAST(i AS DOUBLE) * 0.7 - 5.0) AS s
+       CEILING(CAST(i AS DOUBLE) * 0.7 - 5.0) + 0.0 AS c,
+       CAST(SIGN(CAST(i AS DOUBLE) * 0.7 - 5.0) AS DOUBLE) AS s
 FROM range(0, 16) t(i)
 """)
 def q_kql_series_elementwise(spark, sf_dir):
@@ -6252,8 +6252,11 @@ def q_kql_series_elementwise(spark, sf_dir):
     codegen, no UDF), then a zipped 6-column expand whose emitted
     item index makes the (idx -> value) correspondence
     hash-checkable. DuckDB twin recomputes every element with scalar
-    arithmetic over range(16) — IEEE-identical, no rounding
-    needed."""
+    arithmetic over range(16) — IEEE-identical, no rounding needed.
+    The twin adds `+ 0.0` on ceiling (DuckDB emits -0.0 for negative
+    fractions where Spark emits +0.0) and casts SIGN to DOUBLE
+    (DuckDB's is int8) so a dtype-strict driver hash matches — the
+    in-repo replica's iterrows row-upcast would mask both."""
     from azure_kusto_parquet_conv_spark.kql import kql
     return kql(spark, sf_dir, """
       range i from 0 to 15 step 1

@@ -54,10 +54,14 @@ def canon(v):
 
 
 def multiset(pdf):
+    # column-wise access (s.iloc[i]) keeps each column's dtype;
+    # iterrows() upcasts MIXED rows to one dtype (int8 next to float64
+    # becomes float64), silently defeating canon's dtype-strictness —
+    # it masked an int8-vs-double and a -0.0 oracle divergence in r9
     out = {}
-    cols = sorted(pdf.columns)
-    for _, row in pdf.iterrows():
-        key = "|".join(canon(row[c]) for c in cols)
+    series = [pdf[c] for c in sorted(pdf.columns)]
+    for i in range(len(pdf)):
+        key = "|".join(canon(s.iloc[i]) for s in series)
         out[key] = out.get(key, 0) + 1
     return out
 
