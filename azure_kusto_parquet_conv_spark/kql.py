@@ -148,6 +148,10 @@ format_timespan (compile-time format parse), format_bytes (1024 units),
 getyear/getmonth/dayofmonth/hourofday, indexof, countof, trim/
 trim_start/trim_end (regex per Kusto), replace_string/replace_regex,
 strrep, hash (xxhash64), isempty/isnotempty, indexof_regex, reverse,
+make_datetime/make_timespan, unixtime_(seconds|milliseconds|
+microseconds|nanoseconds)_todatetime, bitset_count_ones, toguid,
+array_reverse, base64_decode_toarray,
+unicode_codepoints_from_string/_to_string (surrogate-safe),
 parse_path (bag: Scheme/RootPath/DirectoryPath/DirectoryName/Filename/
 Extension/ADS), format_ipv4/format_ipv4_mask/ipv4_netmask_suffix,
 pack/bag_pack (dynamic bag builder), pack_array, array_length/
@@ -615,6 +619,121 @@ class _ExprParser:
             if len(args) != 1:
                 raise ValueError("KQL: base64_decode_tostring(s)")
             return f"decode(unbase64({args[0]}), 'UTF-8')"
+        if fname == "base64_decode_toarray":
+            # base64 text -> dynamic array of byte values (same byte
+            # rendering as the converter's binary sink,
+            # functions/conversion.bytes_to_int_array)
+            if len(args) != 1:
+                raise ValueError("KQL: base64_decode_toarray(s)")
+            b = f"unbase64({args[0]})"
+            arr = (f"transform(sequence(1, length({b})), __bd_i -> "
+                   f"CAST(conv(substring(hex({b}), "
+                   f"(__bd_i - 1) * 2 + 1, 2), 16, 10) AS INT))")
+            return (f"parse_json(to_json(CASE "
+                    f"WHEN {b} IS NULL THEN NULL "
+                    f"WHEN length({b}) = 0 THEN array() "
+                    f"ELSE {arr} END))")
+        if fname == "make_datetime":
+            # make_datetime(y, m, d [, h, mi, s]) — fractional seconds
+            # allowed, like Kusto
+            if len(args) not in (3, 6):
+                raise ValueError(
+                    "KQL: make_datetime(y, m, d [, h, mi, s])")
+            y, mo, d = args[:3]
+            h, mi, s = (args[3:] if len(args) == 6
+                        else ("0", "0", "0"))
+            return (f"make_timestamp(CAST({y} AS INT), "
+                    f"CAST({mo} AS INT), CAST({d} AS INT), "
+                    f"CAST({h} AS INT), CAST({mi} AS INT), "
+                    f"CAST({s} AS DECIMAL(16, 6)))")
+        if fname == "make_timespan":
+            # make_timespan([d,] h, m, s) -> microseconds (this
+            # compiler's timespan carrier); s may be fractional
+            if len(args) not in (3, 4):
+                raise ValueError("KQL: make_timespan([d,] h, m, s)")
+            d = args[0] if len(args) == 4 else "0"
+            h, mi, s = args[-3:]
+            return (f"(((CAST({d} AS BIGINT) * 24 "
+                    f"+ CAST({h} AS BIGINT)) * 60 "
+                    f"+ CAST({mi} AS BIGINT)) * 60000000 "
+                    f"+ CAST(CAST({s} AS DOUBLE) * 1000000 AS BIGINT))")
+        if fname in ("unixtime_seconds_todatetime",
+                     "unixtime_milliseconds_todatetime",
+                     "unixtime_microseconds_todatetime",
+                     "unixtime_nanoseconds_todatetime"):
+            if len(args) != 1:
+                raise ValueError(f"KQL: {fname}(value)")
+            x = f"CAST({args[0]} AS DOUBLE)"
+            scale = {"unixtime_seconds_todatetime": 1_000_000,
+                     "unixtime_milliseconds_todatetime": 1_000,
+                     "unixtime_microseconds_todatetime": 1,
+                     }.get(fname)
+            if scale is None:  # nanoseconds: integer div, no overflow
+                return (f"timestamp_micros(CAST({args[0]} AS BIGINT) "
+                        f"div 1000)")
+            return f"timestamp_micros(CAST({x} * {scale} AS BIGINT))"
+        if fname == "bitset_count_ones":
+            if len(args) != 1:
+                raise ValueError("KQL: bitset_count_ones(value)")
+            return f"CAST(bit_count(CAST({args[0]} AS BIGINT)) AS BIGINT)"
+        if fname == "array_reverse":
+            if len(args) != 1:
+                raise ValueError("KQL: array_reverse(arr)")
+            return (f"parse_json(to_json(reverse(from_json(to_json("
+                    f"{args[0]}), 'array<variant>'))))")
+        if fname == "toguid":
+            # canonical 8-4-4-4-12 (any case, optional braces) or
+            # bare 32-hex -> normalized lowercase guid text; else null
+            if len(args) != 1:
+                raise ValueError("KQL: toguid(value)")
+            s = f"trim(BOTH '{{}}' FROM CAST({args[0]} AS STRING))"
+            canon_pat = (r"'^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}"
+                         r"-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}"
+                         r"-[0-9a-fA-F]{12}$'")
+            hex32 = r"'^[0-9a-fA-F]{32}$'"
+            dashed = (f"concat_ws('-', substring({s}, 1, 8), "
+                      f"substring({s}, 9, 4), substring({s}, 13, 4), "
+                      f"substring({s}, 17, 4), substring({s}, 21, 12))")
+            return (f"(CASE WHEN {s} RLIKE {canon_pat} "
+                    f"THEN lower({s}) "
+                    f"WHEN {s} RLIKE {hex32} THEN lower({dashed}) "
+                    f"ELSE NULL END)")
+        if fname == "unicode_codepoints_from_string":
+            # (?s). iterates CODE POINTS in Java regex; ascii() maps a
+            # one-char string to its code point
+            if len(args) != 1:
+                raise ValueError(
+                    "KQL: unicode_codepoints_from_string(s)")
+            return (f"parse_json(to_json(transform(regexp_extract_all("
+                    f"{args[0]}, '(?s).', 0), "
+                    f"__cp_c -> ascii(__cp_c))))")
+        if fname == "unicode_codepoints_to_string":
+            if len(args) < 1:
+                raise ValueError(
+                    "KQL: unicode_codepoints_to_string(arr | cp, ...)")
+            if len(args) == 1:
+                a = (f"try_cast(variant_get(parse_json(to_json("
+                     f"named_struct('x', {args[0]}))), '$.x') "
+                     f"AS ARRAY<INT>)")
+            else:
+                a = ("array(" + ", ".join(
+                    f"CAST({x} AS INT)" for x in args) + ")")
+            # Spark's char() truncates above 255 — render each code
+            # point as a JSON \\uXXXX escape (surrogate pair above
+            # the BMP) and let from_json decode; escapes also make
+            # quote/backslash code points injection-safe
+            esc = (f"IF(__cs_i <= 65535, "
+                   f"concat('\\\\u', lpad(hex(__cs_i), 4, '0')), "
+                   f"concat("
+                   f"'\\\\u', lpad(hex(55296 "
+                   f"+ ((__cs_i - 65536) div 1024)), 4, '0'), "
+                   f"'\\\\u', lpad(hex(56320 "
+                   f"+ ((__cs_i - 65536) % 1024)), 4, '0')))")
+            # from_json needs a container schema — decode via a
+            # one-element JSON array
+            return (f"element_at(from_json(concat('[\"', "
+                    f"array_join(transform({a}, __cs_i -> {esc}), "
+                    f"''), '\"]'), 'array<string>'), 1)")
         if fname == "parse_url":
             # Kusto parse_url -> dynamic bag. Built from Spark's native
             # parse_url parts + str_to_map for the query string, JSON

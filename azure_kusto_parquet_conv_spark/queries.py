@@ -6475,6 +6475,40 @@ def q_kql_array_tools(spark, sf_dir):
     """)
 
 
+@query("q_kql_time_tools", """
+SELECT TIMESTAMP '2024-03-05 10:30:12.5' AS dt,
+       CAST(93784500000 AS BIGINT) AS ts,
+       TIMESTAMP '2024-01-01 00:00:00' AS u1,
+       TIMESTAMP '2024-01-01 00:00:00.123' AS u2,
+       TIMESTAMP '2024-01-01 00:00:00.123456' AS u3,
+       CAST(3 AS BIGINT) AS bc,
+       '74be27de-1e4e-49d9-b579-fe0b331d3642' AS g,
+       'Abλ😀' AS s,
+       '[65,98,955,128512]' AS cps,
+       '[104,105]' AS ba
+""")
+def q_kql_time_tools(spark, sf_dir):
+    """The r9 time/codec scalar batch: make_datetime (fractional
+    seconds), make_timespan (µs carrier), the unixtime_*_todatetime
+    family, bitset_count_ones, toguid normalization (32-hex form),
+    unicode codepoint round-trip (surrogate-pair emission above the
+    BMP — Spark's char() truncates there) and base64_decode_toarray.
+    All pure JVM expressions; closed-form DuckDB twin."""
+    from azure_kusto_parquet_conv_spark.kql import kql
+    return kql(spark, sf_dir, """
+      print dt = make_datetime(2024, 3, 5, 10, 30, 12.5),
+            ts = make_timespan(1, 2, 3, 4.5),
+            u1 = unixtime_seconds_todatetime(1704067200),
+            u2 = unixtime_milliseconds_todatetime(1704067200123),
+            u3 = unixtime_nanoseconds_todatetime(1704067200123456789),
+            bc = bitset_count_ones(42),
+            g = toguid("74BE27DE1E4E49D9B579FE0B331D3642"),
+            s = unicode_codepoints_to_string(65, 98, 955, 128512),
+            cps = tostring(unicode_codepoints_from_string("Abλ😀")),
+            ba = tostring(base64_decode_toarray("aGk="))
+    """)
+
+
 @query("q_kql_python", """
 SELECT CAST(l_orderkey % 4 AS BIGINT) AS bucket,
        CAST(COUNT(*) AS BIGINT) AS n,
@@ -7361,7 +7395,7 @@ DRIVER_WINDOW = [
     "q1_pricing_summary", "q_join_semi", "q_join_anti",
     "q_salted_distinct", "q_conditional_agg", "q_percentiles",
     "q_min_max_by", "q_join_outer", "q_window_rank", "q_sort_limit",
-    "q_set_ops", "q_range_join",
+    "q_set_ops", "q_kql_time_tools",
     "q_kql_python", "q_training_shard", "q_kql_funnel_sequence",
     "q_kql_net_path_tools",
     "q_kql_bag_tools", "q_kql_percentilew", "q_kql_array_tools",
@@ -7385,7 +7419,7 @@ DRIVER_WINDOW = [
 # attestation gap can never exceed one round's additions. An entry
 # added mid-r9 displaces the current TAIL back-fill slot in the same
 # commit (displacement order — oldest-refresh slots last out:
-# q_range_join, q_set_ops, q_sort_limit, ...). Already
+# q_set_ops, q_sort_limit, q_window_rank, ...). Already
 # displaced by the mid-r9 additions (q_kql_series_elementwise /
 # q_kql_bag_merge / q_kql_dcount_intersect, then the TPC-H completion
 # set q4/q9/q12/q20/q21, then the KQL scalar batches q_kql_bag_tools/
@@ -7393,9 +7427,10 @@ DRIVER_WINDOW = [
 # q_grouping_sets, q_training_mix, q8_market_share, q_embed_quantize,
 # q_kql_join_revenue, q16_supplier_count, q_null_safe_join, q_tfidf,
 # q_array_higher_order, q_embed_sim_pairs, q_dedup_ngram_jaccard,
-# q_lang_id, q_dedup_keep_latest, q_tumbling_window, q_json_extract
-# (r10 candidates; q_kql_funnel_sequence / q_training_shard /
-# q_kql_python displaced the last three).
+# q_lang_id, q_dedup_keep_latest, q_tumbling_window, q_json_extract,
+# q_range_join (r10 candidates; q_kql_funnel_sequence /
+# q_training_shard / q_kql_python / q_kql_time_tools displaced the
+# last four).
 #
 # Round-10 rotation candidates (oldest vintage first): the remaining
 # r4 entries — q_window_running, q_asof_join, q_sessionize,

@@ -4662,3 +4662,46 @@ def test_bag_unpack_collision_errors(spark, sf_dir):
         | evaluate bag_unpack(b, 'p_')
     """).collect()
     assert rows[0]["a"] == 1 and rows[0]["p_a"] == 5
+
+
+def test_time_make_and_unixtime_family(spark, sf_dir):
+    """make_datetime/make_timespan and the unixtime_*_todatetime
+    family land on exact microsecond timestamps; bitset_count_ones,
+    toguid normalization, and base64_decode_toarray byte values."""
+    r = kql(spark, sf_dir, """
+      print dt = make_datetime(2024, 3, 5, 10, 30, 12.5),
+            ts = make_timespan(1, 2, 3, 4.5),
+            u1 = unixtime_seconds_todatetime(1704067200),
+            u4 = unixtime_nanoseconds_todatetime(1704067200123456789),
+            bc = bitset_count_ones(42),
+            g1 = toguid("74BE27DE-1E4E-49D9-B579-FE0B331D3642"),
+            g2 = toguid("{74be27de1e4e49d9b579fe0b331d3642}"),
+            g3 = toguid("nope"),
+            ba = tostring(base64_decode_toarray("aGk="))
+    """).collect()[0]
+    import datetime as _dt
+    assert r["dt"] == _dt.datetime(2024, 3, 5, 10, 30, 12, 500000)
+    assert r["ts"] == ((24 + 2) * 60 + 3) * 60_000_000 + 4_500_000
+    assert r["u1"] == _dt.datetime(2024, 1, 1)
+    assert r["u4"] == _dt.datetime(2024, 1, 1, 0, 0, 0, 123456)
+    assert r["bc"] == 3
+    assert r["g1"] == r["g2"] == "74be27de-1e4e-49d9-b579-fe0b331d3642"
+    assert r["g3"] is None
+    assert r["ba"] == "[104,105]"
+
+
+def test_unicode_codepoints_roundtrip(spark, sf_dir):
+    """unicode_codepoints_from_string / _to_string round-trip through
+    the BMP and beyond (surrogate-pair emission above U+FFFF — Spark's
+    char() truncates there); quote and backslash code points are
+    escape-safe."""
+    r = kql(spark, sf_dir, """
+      print cps = tostring(unicode_codepoints_from_string("Abλ😀")),
+            s1 = unicode_codepoints_to_string(65, 98, 955, 128512),
+            s2 = unicode_codepoints_to_string(dynamic([34, 92, 72])),
+            rv = tostring(array_reverse(dynamic([1, "a", 3.5])))
+    """).collect()[0]
+    assert r["cps"] == "[65,98,955,128512]"
+    assert r["s1"] == "Abλ😀"
+    assert r["s2"] == '"\\H'
+    assert r["rv"] == '[3.5,"a",1]'
