@@ -6864,15 +6864,32 @@ class KqlCompiler:
         sqls = []
         for g in _split_top_commas(_tokenize(rest)):
             # Kusto default sort direction is DESCENDING (sort by / top)
+            # with nulls first for asc / last for desc (Spark's own
+            # defaults) — `nulls first|last` overrides explicitly
+            nulls = None
+            if (len(g) >= 2 and g[-2].kind == "ident"
+                    and g[-2].text.lower() == "nulls"
+                    and g[-1].text.lower() in ("first", "last")):
+                nulls = g[-1].text.lower()
+                g = g[:-2]
             desc = True
             if g and g[-1].kind == "ident" and g[-1].text.lower() in (
                     "asc", "desc"):
                 desc = g[-1].text.lower() == "desc"
                 g = g[:-1]
             sql = _compile_expr_tokens(g, df)
-            sqls.append(sql + (" DESC" if desc else " ASC"))
+            suffix = (" DESC" if desc else " ASC") + (
+                f" NULLS {nulls.upper()}" if nulls else "")
+            sqls.append(sql + suffix)
             c = F.expr(sql)
-            cols.append(c.desc() if desc else c.asc())
+            if nulls == "first":
+                cols.append(c.desc_nulls_first() if desc
+                            else c.asc_nulls_first())
+            elif nulls == "last":
+                cols.append(c.desc_nulls_last() if desc
+                            else c.asc_nulls_last())
+            else:
+                cols.append(c.desc() if desc else c.asc())
         self._order_sql = sqls
         return cols
 

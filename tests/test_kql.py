@@ -4705,3 +4705,22 @@ def test_unicode_codepoints_roundtrip(spark, sf_dir):
     assert r["s1"] == "Abλ😀"
     assert r["s2"] == '"\\H'
     assert r["rv"] == '[3.5,"a",1]'
+
+
+def test_sort_nulls_first_last(spark, sf_dir):
+    """`sort by c asc|desc nulls first|last`: explicit null placement
+    overrides (the bare defaults — asc=nulls first, desc=nulls last —
+    match Kusto's and Spark's)."""
+    q = """
+      datatable (v:long) [ 2, 4, 1 ]
+        | extend v = iff(v == 4, long(null), v)
+        | sort by v {dir}
+        | project v
+    """
+    def vals(d):
+        return [r["v"] for r in kql(spark, sf_dir,
+                                    q.format(dir=d)).collect()]
+    assert vals("asc") == [None, 1, 2]
+    assert vals("asc nulls last") == [1, 2, None]
+    assert vals("desc") == [2, 1, None]
+    assert vals("desc nulls first") == [None, 2, 1]
