@@ -106,7 +106,11 @@ Supported surface (each line maps to one DataFrame verb):
         (gap/window-constrained ordered sequences per key)
     | reduce by expr   (log-template mining: guid/hex/digit runs -> '*')
     | distinct c1, c2
-    | sort by c1 desc, c2 asc     (Kusto default direction: desc)
+    | sort by c1 desc, c2 asc [nulls first|last]
+        (Kusto default direction: desc; asc=nulls first, desc=last)
+Postfix indexer on dynamics/arrays: arr[0], arr[-1], bag['key'],
+    bag[keyExpr], nested b['j']['x'] (variant out, 0-based,
+    negatives from the end).
     | top N by expr  /  top-hitters N of col [by expr]
     | top-nested N of col by agg, ...
     | sample N  /  sample-distinct N of col   (seeded, deterministic)
@@ -136,6 +140,8 @@ series_decompose (full additive bag + tuple assign),
 series_periods_detect (ACF peak-picker bag + tuple assign),
 series_fft / series_ifft (numpy Arrow-batched kernel, tuple assign),
 series_periods_validate (ACF scores at given periods),
+series_fit_poly (numpy lstsq bag: rsquare/coefficients/variance/
+rvariance/poly_fit; optional x + degree),
 series_fit_line_dynamic (least-squares bag), series_fit_2lines_dynamic
 (best two-segment piecewise fit), series_decompose_forecast
 (linear trend + periodic-mean seasonal), contains/startswith/endswith/
@@ -415,6 +421,8 @@ class _ExprParser:
             return 4
         if t.text in ("*", "/", "%"):
             return 5
+        if t.text == "[":
+            return 7  # postfix indexer binds tightest
         return None
 
     def _prefix(self) -> str:
@@ -1453,6 +1461,23 @@ class _ExprParser:
                    f"'variance', {sd} * {sd}, "
                    f"'stdev', {sd})")
             return f"parse_json(to_json({obj}))"
+        if fname == "series_fit_poly_dynamic":
+            # least-squares polynomial fit (numpy Arrow-batched kernel,
+            # same transport as series_fft): bag {rsquare, coefficients
+            # (HIGHEST power first, numpy.polyfit order), variance,
+            # rvariance, poly_fit}; optional x series and degree
+            # (default 1); fewer than degree+1 valid points -> null
+            if len(args) not in (1, 2, 3):
+                raise ValueError(
+                    "KQL: series_fit_poly(y [, x [, degree]])")
+            y = f"try_cast({args[0]} AS ARRAY<DOUBLE>)"
+            x = (f"try_cast({args[1]} AS ARRAY<DOUBLE>)"
+                 if len(args) >= 2 else
+                 "CAST(NULL AS ARRAY<DOUBLE>)")
+            deg = (f"CAST({args[2]} AS INT)" if len(args) == 3
+                   else "1")
+            return (f"parse_json(to_json(__kql_fitpoly({y}, {x}, "
+                    f"{deg})))")
         if fname in ("series_fft_dynamic", "series_ifft_dynamic"):
             if len(args) not in (1, 2):
                 raise ValueError(f"KQL: {fname}(x_real [, x_imag])")
@@ -2364,6 +2389,25 @@ class _ExprParser:
 
     def _infix(self, lhs: str, t: Tok, bp: int) -> str:
         low = t.text.lower()
+        if t.text == "[":
+            # postfix indexer: arr[i] (0-based; negatives count from
+            # the end, Spark element_at semantics) or bag['key']. The
+            # base lifts to VARIANT through the named_struct round
+            # trip (valid for typed arrays, dynamics and paths alike);
+            # both container branches evaluate and coalesce — the
+            # wrong-shape branch is null (try_cast guards the int
+            # index under ANSI).
+            idx = self.parse(0)
+            self.expect("]")
+            lifted = (f"variant_get(parse_json(to_json(named_struct("
+                      f"'x', {lhs}))), '$.x')")
+            i = f"try_cast({idx} AS INT)"
+            pos = f"IF({i} >= 0, {i} + 1, {i})"
+            arrb = (f"try_element_at(from_json(to_json({lifted}), "
+                    f"'array<variant>'), {pos})")
+            mapb = (f"try_element_at(from_json(to_json({lifted}), "
+                    f"'map<string,variant>'), CAST({idx} AS STRING))")
+            return f"coalesce({arrb}, {mapb})"
         if low == "and":
             return f"({lhs} AND {self.parse(bp + 1)})"
         if low == "or":
@@ -3123,6 +3167,44 @@ def _register_series_fft_udfs(spark: SparkSession) -> None:
 
     spark.udf.register("__kql_fft", make(False))
     spark.udf.register("__kql_ifft", make(True))
+
+    def fitpoly(ys, xs, degs):
+        out = {"rsquare": [], "coefficients": [], "variance": [],
+               "rvariance": [], "poly_fit": []}
+        for y, x, d in zip(ys, xs, degs):
+            if y is None or len(y) == 0:
+                for k in out:
+                    out[k].append(None)
+                continue
+            yv = np.asarray(y, dtype=float)
+            xv = (np.asarray(x, dtype=float)
+                  if x is not None and len(x) == len(yv)
+                  else np.arange(len(yv), dtype=float))
+            ok = ~(np.isnan(yv) | np.isnan(xv))
+            deg = int(d)
+            if ok.sum() < deg + 1:
+                for k in out:
+                    out[k].append(None)
+                continue
+            coef = np.polyfit(xv[ok], yv[ok], deg)
+            fit = np.polyval(coef, xv)
+            res = yv[ok] - np.polyval(coef, xv[ok])
+            var = float(np.var(yv[ok]))
+            rvar = float(np.mean(res * res))
+            rsq = 1.0 if var <= 0 else 1.0 - rvar / var
+            out["rsquare"].append(float(rsq))
+            out["coefficients"].append([float(c) for c in coef])
+            out["variance"].append(var)
+            out["rvariance"].append(rvar)
+            out["poly_fit"].append([float(v) for v in fit])
+        return pd.DataFrame(out)
+
+    spark.udf.register(
+        "__kql_fitpoly",
+        pandas_udf(fitpoly,
+                   "struct<rsquare:double, "
+                   "coefficients:array<double>, variance:double, "
+                   "rvariance:double, poly_fit:array<double>>"))
     spark._kql_fft_registered = True
 
 
@@ -4273,6 +4355,12 @@ class KqlCompiler:
         "series_periods_detect": ("series_periods_detect_dynamic",
                                   [("periods", True),
                                    ("scores", True)]),
+        "series_fit_poly": ("series_fit_poly_dynamic",
+                            [("rsquare", False),
+                             ("coefficients", True),
+                             ("variance", False),
+                             ("rvariance", False),
+                             ("poly_fit", True)]),
         "series_fft": ("series_fft_dynamic",
                        [("real", True), ("imag", True)]),
         "series_ifft": ("series_ifft_dynamic",

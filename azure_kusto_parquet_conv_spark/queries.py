@@ -6475,6 +6475,32 @@ def q_kql_array_tools(spark, sf_dir):
     """)
 
 
+@query("q_kql_fit_poly", """
+SELECT CAST(1.0 AS DOUBLE) AS rsq, CAST(ci AS BIGINT) AS ci,
+       CAST(c AS DOUBLE) AS c
+FROM (VALUES (0, 2.0), (1, -3.0), (2, 1.0)) AS t(ci, c)
+""")
+def q_kql_fit_poly(spark, sf_dir):
+    """series_fit_poly (r9): least-squares polynomial fit via the
+    numpy Arrow-batched kernel (same transport as series_fft). The
+    textbook-identity oracle: fitting a degree-2 polynomial to exact
+    quadratic data recovers the generating coefficients (highest
+    power first, numpy.polyfit order) with rsquare 1 — rounding to 6
+    digits absorbs lstsq's 1e-14 noise. Tuple assignment projects the
+    bag fields in documented order."""
+    from azure_kusto_parquet_conv_spark.kql import kql
+    return kql(spark, sf_dir, """
+      range i from 0 to 7 step 1
+        | extend y = 2.0 * todouble(i) * i - 3.0 * i + 1.0
+        | summarize ys = make_list(y)
+        | extend (rsquare, coefficients) = series_fit_poly(ys,
+                                             dynamic(null), 2)
+        | mv-expand with_itemindex=ci c = coefficients to typeof(real)
+        | project rsq = round(rsquare, 6), ci = tolong(ci),
+                  c = round(c, 6)
+    """)
+
+
 @query("q_kql_time_tools", """
 SELECT TIMESTAMP '2024-03-05 10:30:12.5' AS dt,
        CAST(93784500000 AS BIGINT) AS ts,
@@ -7395,7 +7421,7 @@ DRIVER_WINDOW = [
     "q1_pricing_summary", "q_join_semi", "q_join_anti",
     "q_salted_distinct", "q_conditional_agg", "q_percentiles",
     "q_min_max_by", "q_join_outer", "q_window_rank", "q_sort_limit",
-    "q_set_ops", "q_kql_time_tools",
+    "q_kql_fit_poly", "q_kql_time_tools",
     "q_kql_python", "q_training_shard", "q_kql_funnel_sequence",
     "q_kql_net_path_tools",
     "q_kql_bag_tools", "q_kql_percentilew", "q_kql_array_tools",
@@ -7419,7 +7445,7 @@ DRIVER_WINDOW = [
 # attestation gap can never exceed one round's additions. An entry
 # added mid-r9 displaces the current TAIL back-fill slot in the same
 # commit (displacement order — oldest-refresh slots last out:
-# q_set_ops, q_sort_limit, q_window_rank, ...). Already
+# q_sort_limit, q_window_rank, q_join_outer, ...). Already
 # displaced by the mid-r9 additions (q_kql_series_elementwise /
 # q_kql_bag_merge / q_kql_dcount_intersect, then the TPC-H completion
 # set q4/q9/q12/q20/q21, then the KQL scalar batches q_kql_bag_tools/
@@ -7428,9 +7454,9 @@ DRIVER_WINDOW = [
 # q_kql_join_revenue, q16_supplier_count, q_null_safe_join, q_tfidf,
 # q_array_higher_order, q_embed_sim_pairs, q_dedup_ngram_jaccard,
 # q_lang_id, q_dedup_keep_latest, q_tumbling_window, q_json_extract,
-# q_range_join (r10 candidates; q_kql_funnel_sequence /
-# q_training_shard / q_kql_python / q_kql_time_tools displaced the
-# last four).
+# q_range_join, q_set_ops (r10 candidates; q_kql_funnel_sequence /
+# q_training_shard / q_kql_python / q_kql_time_tools / q_kql_fit_poly
+# displaced the last five).
 #
 # Round-10 rotation candidates (oldest vintage first): the remaining
 # r4 entries — q_window_running, q_asof_join, q_sessionize,

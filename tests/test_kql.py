@@ -4724,3 +4724,52 @@ def test_sort_nulls_first_last(spark, sf_dir):
     assert vals("asc nulls last") == [1, 2, None]
     assert vals("desc") == [2, 1, None]
     assert vals("desc nulls first") == [None, 2, 1]
+
+
+def test_series_fit_poly(spark, sf_dir):
+    """series_fit_poly recovers exact polynomial coefficients
+    (highest power first), rsquare 1 on noiseless data, explicit x
+    support, and nulls when fewer than degree+1 points exist."""
+    r = kql(spark, sf_dir, """
+      print ys = pack_array(1.0, 0.0, 3.0, 10.0),
+            xs = pack_array(0.0, 1.0, 2.0, 3.0)
+        | extend (rsq, coef) = series_fit_poly(ys, xs, 2)
+        | project rsq = round(rsq, 6),
+                  c0 = round(todouble(coef[0]), 6),
+                  c1 = round(todouble(coef[1]), 6),
+                  c2 = round(todouble(coef[2]), 6)
+    """).collect()[0]
+    # y = 2x^2 - 3x + 1 at x = 0..3
+    assert (r["rsq"], r["c0"], r["c1"], r["c2"]) == (1.0, 2.0, -3.0,
+                                                     1.0)
+    r2 = kql(spark, sf_dir, """
+      print ys = pack_array(1.0, 2.0)
+        | extend (rsq, coef) = series_fit_poly(ys, dynamic(null), 2)
+        | project rsq
+    """).collect()[0]
+    assert r2["rsq"] is None
+
+
+def test_bracket_indexing(spark, sf_dir):
+    """Postfix indexer: 0-based array access, negative-from-end,
+    out-of-range null, bag key access (including computed keys), and
+    composition inside expressions."""
+    r = kql(spark, sf_dir, """
+      print a = dynamic([5, 6, 7]),
+            b = todynamic('{"k": 9, "j": {"x": 1}}')
+        | project i0 = tolong(a[0]), i2 = tolong(a[2]),
+                  ineg = tolong(a[-1]), ioob = tolong(a[9]),
+                  k = tolong(b["k"]),
+                  kc = tolong(b[strcat("", "k")]),
+                  nested = tolong(b["j"]["x"]),
+                  expr = todouble(a[1]) * 10
+    """).collect()[0]
+    assert (r["i0"], r["i2"], r["ineg"], r["ioob"]) == (5, 7, 7, None)
+    assert (r["k"], r["kc"], r["nested"], r["expr"]) == (9, 9, 1, 60.0)
+    # typed arrays (make_list output) index the same way
+    r2 = kql(spark, sf_dir, """
+      range i from 1 to 4 step 1
+        | summarize xs = make_list(i)
+        | project second = tolong(xs[1])
+    """).collect()[0]
+    assert r2["second"] == 2
