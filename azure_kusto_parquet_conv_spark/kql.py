@@ -2054,6 +2054,22 @@ class _ExprParser:
         if fname == "hash":
             # Kusto hash() is xxhash64
             return f"xxhash64({', '.join(args)})"
+        if fname in ("hash_sha256", "hash_sha1", "hash_md5"):
+            # cryptographic digests of the value's string form (hex
+            # text out, like Kusto); the pseudonymization workhorses
+            if len(args) != 1:
+                raise ValueError(f"KQL: {fname}(value)")
+            s = f"CAST({args[0]} AS STRING)"
+            if fname == "hash_sha256":
+                return f"sha2({s}, 256)"
+            return f"{'sha1' if fname == 'hash_sha1' else 'md5'}({s})"
+        if fname in ("hash_combine", "hash_many"):
+            # combined 64-bit hash of all arguments (xxhash64 over the
+            # tuple — Kusto does not publish its mixer; documented
+            # deviation, stable within this engine)
+            if len(args) < 2:
+                raise ValueError(f"KQL: {fname}(v1, v2, ...)")
+            return f"xxhash64({', '.join(args)})"
         if fname == "strrep":
             if len(args) != 2:
                 raise ValueError("KQL: strrep(text, n)")

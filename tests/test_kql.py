@@ -4773,3 +4773,20 @@ def test_bracket_indexing(spark, sf_dir):
         | project second = tolong(xs[1])
     """).collect()[0]
     assert r2["second"] == 2
+
+
+def test_hash_family(spark, sf_dir):
+    """hash_sha256/sha1/md5 hex digests of the value's string form
+    (known test vectors); hash_combine/hash_many produce one stable
+    64-bit value over the argument tuple."""
+    r = kql(spark, sf_dir, """
+      print h256 = hash_sha256("abc"), h1 = hash_sha1("abc"),
+            hm = hash_md5("abc"),
+            hc = hash_combine(1, "x"), hc2 = hash_combine(1, "x"),
+            hn = hash_many(1, "y")
+    """).collect()[0]
+    assert r["h256"] == ("ba7816bf8f01cfea414140de5dae2223"
+                         "b00361a396177a9cb410ff61f20015ad")
+    assert r["h1"] == "a9993e364706816aba3e25717850c26c9cd0d89d"
+    assert r["hm"] == "900150983cd24fb0d6963f7d28e17f72"
+    assert r["hc"] == r["hc2"] and r["hc"] != r["hn"]
