@@ -3043,8 +3043,17 @@ def _compile_expr_tokens(toks: list[Tok], df: DataFrame,
                     if depth == 0:
                         break
                 j += 1
-            inner = _compile_expr_tokens(toks[i + 2:j], df, order_sql,
+            # prev(x [, offset [, default]]) — Kusto's full signature
+            argg = _split_top_commas(toks[i + 2:j])
+            if not 1 <= len(argg) <= 3:
+                raise ValueError(
+                    f"KQL: {t.text.lower()}(x [, offset [, default]])")
+            inner = _compile_expr_tokens(argg[0], df, order_sql,
                                          partition_sql)
+            off = (_compile_expr_tokens(argg[1], df)
+                   if len(argg) >= 2 else "1")
+            dflt = (", " + _compile_expr_tokens(argg[2], df)
+                    if len(argg) == 3 else "")
             fn = "lag" if t.text.lower() == "prev" else "lead"
             if partition_sql:
                 over = (f"PARTITION BY {', '.join(partition_sql)} "
@@ -3053,7 +3062,8 @@ def _compile_expr_tokens(toks: list[Tok], df: DataFrame,
                 _warn_global_serialize(t.text.lower() + "()", df)
                 over = f"ORDER BY {', '.join(order_sql)}"
             out.append(Tok("rendered",
-                           f"{fn}({inner}, 1) OVER ({over})"))
+                           f"{fn}({inner}, {off}{dflt}) "
+                           f"OVER ({over})"))
             i = j + 1
             continue
         if (t.kind == "ident" and t.text.lower() in ("bin", "bin_at")

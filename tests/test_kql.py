@@ -4790,3 +4790,19 @@ def test_hash_family(spark, sf_dir):
     assert r["h1"] == "a9993e364706816aba3e25717850c26c9cd0d89d"
     assert r["hm"] == "900150983cd24fb0d6963f7d28e17f72"
     assert r["hc"] == r["hc2"] and r["hc"] != r["hn"]
+
+
+def test_prev_next_offset_and_default(spark, sf_dir):
+    """prev/next accept Kusto's full (x, offset, default) signature;
+    the bare one-arg form still lags/leads by 1."""
+    rows = kql(spark, sf_dir, """
+      datatable (k:string, i:long) [ "a", 1, "a", 2, "a", 3 ]
+        | partition by k ( sort by i asc
+            | extend p1 = prev(i), p2 = prev(i, 2),
+                     pd = prev(i, 2, -99), n2 = next(i, 2, -1) )
+        | project i, p1, p2, pd, n2
+    """).collect()
+    got = {r["i"]: (r["p1"], r["p2"], r["pd"], r["n2"]) for r in rows}
+    assert got[1] == (None, None, -99, 3)
+    assert got[2] == (1, None, -99, -1)
+    assert got[3] == (2, 1, 1, -1)
