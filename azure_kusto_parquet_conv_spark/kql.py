@@ -3811,13 +3811,52 @@ class KqlCompiler:
                         _warn_global_serialize(what, df)
                         w = Window.orderBy(*self._order)
                     if mcs:
-                        # running sum over the serialized order (KQL
-                        # row_cumsum; the restart-arg form is not
-                        # supported — use `partition by` scoping)
-                        w = w.rowsBetween(Window.unboundedPreceding,
-                                          Window.currentRow)
-                        df = df.withColumn(
-                            name, F.sum(F.expr(mcs.group(1))).over(w))
+                        # running sum over the serialized order; the
+                        # two-arg form row_cumsum(x, restart) resets
+                        # the accumulation AT each row where restart
+                        # is true (run id = running count of restarts,
+                        # then the sum re-partitions by run)
+                        inner = mcs.group(1)
+                        parts, depth, cur = [], 0, []
+                        for ch in inner:
+                            if ch in "([":
+                                depth += 1
+                            elif ch in ")]":
+                                depth -= 1
+                            if ch == "," and depth == 0:
+                                parts.append("".join(cur))
+                                cur = []
+                            else:
+                                cur.append(ch)
+                        parts.append("".join(cur))
+                        if len(parts) > 2:
+                            raise ValueError(
+                                "KQL: row_cumsum(x [, restart])")
+                        wrun = w.rowsBetween(
+                            Window.unboundedPreceding,
+                            Window.currentRow)
+                        if len(parts) == 2:
+                            df = df.withColumn(
+                                "__rc_run",
+                                F.sum(F.expr(
+                                    f"IF({parts[1]}, 1, 0)"))
+                                 .over(wrun))
+                            w2 = Window.partitionBy(
+                                *(list(self._partition or [])
+                                  + [F.col("__rc_run")])) \
+                                .orderBy(*self._order) \
+                                .rowsBetween(
+                                    Window.unboundedPreceding,
+                                    Window.currentRow)
+                            df = (df.withColumn(
+                                      name,
+                                      F.sum(F.expr(parts[0]))
+                                       .over(w2))
+                                    .drop("__rc_run"))
+                        else:
+                            df = df.withColumn(
+                                name,
+                                F.sum(F.expr(parts[0])).over(wrun))
                     else:
                         df = df.withColumn(
                             name, F.row_number().over(w).cast("long"))

@@ -4806,3 +4806,27 @@ def test_prev_next_offset_and_default(spark, sf_dir):
     assert got[1] == (None, None, -99, 3)
     assert got[2] == (1, None, -99, -1)
     assert got[3] == (2, 1, 1, -1)
+
+
+def test_row_cumsum_restart(spark, sf_dir):
+    """row_cumsum(x, restart): the accumulation resets AT each row
+    where restart is true (that row starts the new sum); composes
+    with partition-by scoping."""
+    rows = kql(spark, sf_dir, """
+      datatable (i:long, x:long, r:bool) [
+        1, 10, false, 2, 20, false, 3, 5, true, 4, 1, false ]
+        | sort by i asc
+        | extend cs = row_cumsum(x, r)
+        | project i, cs
+    """).collect()
+    assert {r["i"]: r["cs"] for r in rows} == {1: 10, 2: 30, 3: 5,
+                                               4: 6}
+    rows = kql(spark, sf_dir, """
+      datatable (k:string, i:long, x:long) [
+        "a", 1, 1, "a", 2, 2, "b", 1, 7 ]
+        | partition by k ( sort by i asc
+            | extend cs = row_cumsum(x, i == 2) )
+        | project k, i, cs
+    """).collect()
+    assert {(r["k"], r["i"]): r["cs"] for r in rows} == {
+        ("a", 1): 1, ("a", 2): 2, ("b", 1): 7}
