@@ -25,9 +25,10 @@ Supported surface (each line maps to one DataFrame verb):
     | where <pred>  /  parse-where col with pattern
     | project c1, alias=expr, ...
     | project-away | project-keep | project-rename | project-reorder
-    | extend alias=expr, ...   (row_number()/row_cumsum(x)/
-        row_window_session(ts, maxDur, maxGap [, restart])/prev(x)/
-        next(x) after sort — key-partitioned inside `partition by`)
+    | extend alias=expr, ...   (row_number()/row_cumsum(x [, restart])/
+        prev|next(x [, offset [, default]])/
+        row_window_session(ts, maxDur, maxGap [, restart])
+        after sort — key-partitioned inside `partition by`)
     | summarize [hint.shufflekey=k] a=agg(x), ...
         by k1, name=expr, bin(ts, 1h), bin_at(x, size, anchor)
     | make-series a=agg(x), b=agg2(y), ... [default=v|null]
