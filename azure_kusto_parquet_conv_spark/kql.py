@@ -5865,6 +5865,29 @@ class KqlCompiler:
         Python). Columns between literals capture lazily, a trailing
         column captures to end-of-string; non-matching rows yield null
         (try_cast keeps Kusto's null-on-miss under ANSI mode)."""
+        # optional `kind=simple|regex [flags=ims]` prefix: regex kind
+        # passes quoted fragments through as raw regex (Kusto's escape
+        # hatch for patterns `parse` literals can't express); flags map
+        # to inline (?ims). kind=relaxed (per-column partial typing) is
+        # rejected explicitly rather than silently approximated.
+        kind, rx_flags = "simple", ""
+        km = re.match(r"kind\s*=\s*(\w+)(?:\s+flags\s*=\s*(\w+))?\s+(.*)$",
+                      rest, re.DOTALL)
+        if km:
+            kind, rest = km.group(1).lower(), km.group(3)
+            if kind == "relaxed":
+                raise ValueError(
+                    "KQL: parse kind=relaxed is not supported (simple "
+                    "and regex are; relaxed's per-column partial "
+                    "typing has no single-regex equivalent)")
+            if kind not in ("simple", "regex"):
+                raise ValueError(f"KQL: parse kind {kind!r}")
+            for fl in (km.group(2) or ""):
+                if fl not in "ims":
+                    raise ValueError(
+                        f"KQL: parse flag {fl!r} (i, m, s supported)")
+            if km.group(2):
+                rx_flags = f"(?{km.group(2)})"
         m = re.match(r"(\w+)\s+with\s+(.*)$", rest, re.DOTALL)
         if not m:
             raise ValueError("KQL: parse <column> with <pattern...>")
@@ -5883,6 +5906,16 @@ class KqlCompiler:
                 esc = {"n": "\n", "t": "\t", "r": "\r", "\\": "\\",
                        "'": "'", '"': '"', "0": "\0", "a": "\a",
                        "b": "\b", "f": "\f", "v": "\v"}
+                if kind == "regex":
+                    # raw regex fragment (only quote escapes decode);
+                    # its own capturing groups shift the numbering of
+                    # later column groups — count them
+                    frag = (lit.replace("\\'", "'")
+                            if pm.group("sq") is not None
+                            else lit.replace('\\"', '"'))
+                    pieces.append(frag)
+                    group += len(re.findall(r"(?<!\\)\((?!\?)", frag))
+                    continue
                 lit = re.sub(r"\\(.)",
                              lambda em: esc.get(em.group(1),
                                                 "\\" + em.group(1)), lit)
@@ -5899,7 +5932,7 @@ class KqlCompiler:
         for name, typ, gi, pos in cols:
             # lazy between literals, greedy to end-of-string when last
             pieces[pos] = "(.*)" if pos == len(pieces) - 1 else "(.*?)"
-        pattern = "".join(pieces)
+        pattern = rx_flags + "".join(pieces)
         # Kusto null semantics: null only on pattern NON-match. A string
         # column that matches with an empty capture is an empty string
         # (the old nullif() folded it to null); typed columns get null

@@ -4830,3 +4830,35 @@ def test_row_cumsum_restart(spark, sf_dir):
     """).collect()
     assert {(r["k"], r["i"]): r["cs"] for r in rows} == {
         ("a", 1): 1, ("a", 2): 2, ("b", 1): 7}
+
+
+def test_parse_kind_regex_and_flags(spark, sf_dir):
+    """parse kind=regex treats quoted fragments as raw regex;
+    flags=i case-folds; kind=simple stays literal (special chars
+    escaped); kind=relaxed rejects explicitly."""
+    rows = kql(spark, sf_dir, """
+      datatable (s:string) [
+        "ERROR code=17 at stage-4",
+        "warn code=9 at stage-2",
+        "nothing here" ]
+        | parse kind=regex flags=i s
+            with "(error|warn) code=" c:long " at stage-" st:long
+        | project s, c, st
+    """).collect()
+    got = {r["s"]: (r["c"], r["st"]) for r in rows}
+    assert got["ERROR code=17 at stage-4"] == (17, 4)
+    assert got["warn code=9 at stage-2"] == (9, 2)
+    assert got["nothing here"] == (None, None)
+    # simple kind escapes regex metacharacters in literals
+    r = kql(spark, sf_dir, """
+      print s = "a.b=5" | parse kind=simple s with "a.b=" v:long
+    """).collect()[0]
+    assert r["v"] == 5
+    r2 = kql(spark, sf_dir, """
+      print s = "aXb=5" | parse s with "a.b=" v:long
+    """).collect()[0]
+    assert r2["v"] is None
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="relaxed"):
+        kql(spark, sf_dir,
+            'print s = "x" | parse kind=relaxed s with "x" v:long')
