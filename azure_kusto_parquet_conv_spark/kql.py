@@ -23,6 +23,7 @@ Supported surface (each line maps to one DataFrame verb):
   T / datatable(...)[...] / print e / range x from a to b step s /
   externaldata (schema) ['uri'] with (format=...)
     | where <pred>  /  parse-where col with pattern
+    | parse [kind=simple|regex [flags=ims]] col with pattern
     | project c1, alias=expr, ...
     | project-away | project-keep | project-rename | project-reorder
     | extend alias=expr, ...   (row_number()/row_cumsum(x [, restart])/
