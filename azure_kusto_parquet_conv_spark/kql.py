@@ -611,16 +611,37 @@ class _ExprParser:
             return (f"(CASE WHEN size({arr}) > 0 THEN {total} "
                     f"/ size({arr}) END)")
         if fname == "array_index_of":
-            if len(args) != 2:
-                raise ValueError("KQL: array_index_of(arr, value)")
-            # Kusto is 0-based with -1 for missing; try the numeric
-            # comparison first (exact on doubles), fall back to the
-            # stringified comparison for string arrays
-            num = (f"array_position(try_cast({args[0]} AS "
-                   f"ARRAY<DOUBLE>), try_cast({args[1]} AS DOUBLE))")
-            st = (f"array_position(try_cast({args[0]} AS "
-                  f"ARRAY<STRING>), CAST({args[1]} AS STRING))")
-            return f"(coalesce(nullif({num}, 0), {st}, 0) - 1)"
+            # array_index_of(arr, value [, start [, length
+            # [, occurrence]]]): 0-based index in the ORIGINAL array,
+            # -1 when missing; negative start counts from the end,
+            # length -1 = unbounded, occurrence is 1-based. Elements
+            # match numerically when both sides parse as doubles
+            # (exact), else by stringified equality.
+            if not 2 <= len(args) <= 5:
+                raise ValueError(
+                    "KQL: array_index_of(arr, value [, start "
+                    "[, length [, occurrence]]])")
+            a = f"from_json(to_json({args[0]}), 'array<variant>')"
+            v = args[1]
+            start = args[2] if len(args) >= 3 else "0"
+            length = args[3] if len(args) >= 4 else "-1"
+            occ = args[4] if len(args) == 5 else "1"
+            n = f"size({a})"
+            s = (f"IF(CAST({start} AS INT) < 0, "
+                 f"{n} + CAST({start} AS INT), CAST({start} AS INT))")
+            hi = (f"IF(CAST({length} AS INT) < 0, {n} - 1, "
+                  f"{s} + CAST({length} AS INT) - 1)")
+            e = f"try_element_at({a}, __aio_i + 1)"
+            match = (f"(coalesce(try_cast({e} AS DOUBLE) = "
+                     f"try_cast({v} AS DOUBLE), false) "
+                     f"OR coalesce(CAST({e} AS STRING) = "
+                     f"CAST({v} AS STRING), false))")
+            idxs = (f"filter(transform(sequence(0, {n} - 1), "
+                    f"__aio_i -> IF(__aio_i >= {s} "
+                    f"AND __aio_i <= {hi} AND {match}, "
+                    f"__aio_i, -1)), __aio_x -> __aio_x >= 0)")
+            return (f"CAST(coalesce(try_element_at({idxs}, "
+                    f"CAST({occ} AS INT)), -1) AS BIGINT)")
         if fname == "base64_encode_tostring":
             if len(args) != 1:
                 raise ValueError("KQL: base64_encode_tostring(s)")
@@ -2109,11 +2130,6 @@ class _ExprParser:
             return f"CAST(size({args[0]}) AS BIGINT)"
         if fname == "array_concat":
             return f"concat({', '.join(args)})"
-        if fname == "array_index_of":
-            # 0-based; -1 when absent (array_position is 1-based/0)
-            if len(args) != 2:
-                raise ValueError("KQL: array_index_of(arr, value)")
-            return f"(CAST(array_position({args[0]}, {args[1]}) AS BIGINT) - 1)"
         if fname == "array_slice":
             # Kusto: 0-based inclusive [start, end]
             if len(args) != 3:

@@ -4862,3 +4862,24 @@ def test_parse_kind_regex_and_flags(spark, sf_dir):
     with _pytest.raises(ValueError, match="relaxed"):
         kql(spark, sf_dir,
             'print s = "x" | parse kind=relaxed s with "x" v:long')
+
+
+def test_array_index_of_extended(spark, sf_dir):
+    """array_index_of full signature: start offset (negative counts
+    from the end), bounded length, 1-based occurrence; indexes stay
+    relative to the ORIGINAL array; numeric and string matching."""
+    r = kql(spark, sf_dir, """
+      print a = dynamic([3, 7, 3, 9, 3]),
+            s = dynamic(["x", "y", "x"])
+        | project p0 = array_index_of(a, 3),
+                  p1 = array_index_of(a, 3, 1),
+                  p2 = array_index_of(a, 3, 0, -1, 2),
+                  p3 = array_index_of(a, 3, 0, 2, 2),
+                  p4 = array_index_of(a, 3, -2),
+                  miss = array_index_of(a, 42),
+                  ps = array_index_of(s, "y"),
+                  empty = array_index_of(dynamic([]), 1)
+    """).collect()[0]
+    assert (r["p0"], r["p1"], r["p2"], r["p3"], r["p4"],
+            r["miss"], r["ps"], r["empty"]) == (0, 2, 2, -1, 4, -1,
+                                                1, -1)
