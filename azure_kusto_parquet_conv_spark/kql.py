@@ -1484,6 +1484,15 @@ class _ExprParser:
                    f"'variance', {sd} * {sd}, "
                    f"'stdev', {sd})")
             return f"parse_json(to_json({obj}))"
+        if fname == "series_iir":
+            # infinite-impulse-response filter: y[i] = (sum_j b[j]
+            # x[i-j] - sum_{j>=1} a[j] y[i-j]) / a[0] — recursive, so
+            # a numpy Arrow-batched kernel (the series_fir sibling;
+            # a = [1] degenerates to FIR). Null/empty/zero-a0 -> null.
+            if len(args) != 3:
+                raise ValueError("KQL: series_iir(x, b, a)")
+            x, b, a = (f"try_cast({v} AS ARRAY<DOUBLE>)" for v in args)
+            return f"parse_json(to_json(__kql_iir({x}, {b}, {a})))"
         if fname == "series_fit_poly_dynamic":
             # least-squares polynomial fit (numpy Arrow-batched kernel,
             # same transport as series_fft): bag {rsquare, coefficients
@@ -3249,6 +3258,31 @@ def _register_series_fft_udfs(spark: SparkSession) -> None:
                    "struct<rsquare:double, "
                    "coefficients:array<double>, variance:double, "
                    "rvariance:double, poly_fit:array<double>>"))
+
+    def iir(xs, bs, a_s):
+        out = []
+        for x, b, a in zip(xs, bs, a_s):
+            if (x is None or b is None or a is None or len(a) == 0
+                    or len(b) == 0 or a[0] == 0):
+                out.append(None)
+                continue
+            xv = np.asarray(x, dtype=float)
+            bv = np.asarray(b, dtype=float)
+            av = np.asarray(a, dtype=float)
+            y = np.zeros(len(xv))
+            for i in range(len(xv)):
+                acc = 0.0
+                for j in range(len(bv)):
+                    if 0 <= i - j < len(xv):
+                        acc += bv[j] * xv[i - j]
+                for j in range(1, len(av)):
+                    if i - j >= 0:
+                        acc -= av[j] * y[i - j]
+                y[i] = acc / av[0]
+            out.append([float(v) for v in y])
+        return pd.Series(out)
+
+    spark.udf.register("__kql_iir", pandas_udf(iir, "array<double>"))
     spark._kql_fft_registered = True
 
 

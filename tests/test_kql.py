@@ -4883,3 +4883,22 @@ def test_array_index_of_extended(spark, sf_dir):
     assert (r["p0"], r["p1"], r["p2"], r["p3"], r["p4"],
             r["miss"], r["ps"], r["empty"]) == (0, 2, 2, -1, 4, -1,
                                                 1, -1)
+
+
+def test_series_iir_identities(spark, sf_dir):
+    """series_iir textbook identities: b=[1], a=[1] is the identity
+    filter; b=[1], a=[1,-1] is the running sum; a[0] scales."""
+    r = kql(spark, sf_dir, """
+      print x = pack_array(1.0, 2.0, 3.0, 4.0)
+        | project ident = tostring(series_iir(x, dynamic([1]),
+                                              dynamic([1]))),
+                  cumsum = tostring(series_iir(x, dynamic([1]),
+                                               dynamic([1, -1]))),
+                  scaled = tostring(series_iir(x, dynamic([2]),
+                                               dynamic([4])))
+    """).collect()[0]
+    # integral doubles render without the trailing .0 through the
+    # variant JSON round-trip
+    assert r["ident"] == "[1,2,3,4]"
+    assert r["cumsum"] == "[1,3,6,10]"
+    assert r["scaled"] == "[0.5,1,1.5,2]"
