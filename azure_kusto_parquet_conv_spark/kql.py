@@ -135,7 +135,8 @@ Scalar fns: strlen, tolower, toupper, substring (0-based, KQL-style),
 strcat, strcat_delim, iff/iif, case, toint/tolong/todouble/tostring/
 tobool/todatetime, bin, bin_at, extract, extract_all, extractjson,
 parse_json/todynamic (dynamic on Spark VARIANT; d.path compiles to
-variant_get), series_sum/avg/min/max, series_fir, series_fill_const/
+variant_get), series_sum/avg/min/max, series_fir, series_iir,
+series_fill_const/
 forward/backward/linear, series_outliers (Tukey fences), series_seasonal/series_stdev/
 series_pearson_correlation, series_add/subtract/multiply/divide,
 series_decompose (full additive bag + tuple assign),
