@@ -27,6 +27,16 @@ from azure_kusto_parquet_conv_spark.functions import vectors as V
 from azure_kusto_parquet_conv_spark.sources.parquet import rebalance
 
 
+def _round4(col) -> F.Column:
+    """Engine-portable 4-decimal rounding of a similarity score:
+    ROUND(x, 0) is bit-identical across engines (ties are exact
+    dyadics below 2^52, both round half-away); ROUND(x, 4) is not —
+    Spark rounds the shortest decimal repr, DuckDB the binary value
+    (see queries.osum docstring). The BIGINT hop also sanitizes -0.0."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * F.lit(10000.0), 0).cast("long") / F.lit(10000.0)
+
+
 def knn_bruteforce(queries: DataFrame, corpus: DataFrame, k: int = 5,
                    query_id: str = "vec_id", corpus_id: str = "vec_id",
                    query_vec: str = "embedding",
@@ -58,7 +68,7 @@ def knn_bruteforce(queries: DataFrame, corpus: DataFrame, k: int = 5,
     return (sims.withColumn("rank", F.row_number().over(w))
                 .where(F.col("rank") <= k)
                 .select("query_id", "neighbor_id", "rank",
-                        F.round("__sim", 4).alias("cosine")))
+                        _round4("__sim").alias("cosine")))
 
 
 def _det_sample(df: DataFrame, cols: list[str], n: int,
@@ -182,7 +192,7 @@ def knn_ivf(queries: DataFrame, corpus: DataFrame, k: int = 5,
     return (sims.withColumn("rank", F.row_number().over(w))
                 .where(F.col("rank") <= k)
                 .select("query_id", "neighbor_id", "rank",
-                        F.round("__sim", 4).alias("cosine")))
+                        _round4("__sim").alias("cosine")))
 
 
 def _bucket_keys(vec_col: str, dim: int, planes: int, tables: int,
@@ -249,7 +259,7 @@ def knn_lsh(queries: DataFrame, corpus: DataFrame, k: int = 5,
     return (sims.withColumn("rank", F.row_number().over(w))
                 .where(F.col("rank") <= k)
                 .select("query_id", "neighbor_id", "rank",
-                        F.round("__sim", 4).alias("cosine")))
+                        _round4("__sim").alias("cosine")))
 
 
 def train_pq_codebooks(corpus: DataFrame, vec_col: str = "embedding",
@@ -374,7 +384,7 @@ def _adc_rerank(pairs: DataFrame, corpus: DataFrame, m: int, k: int,
     return (exact.withColumn("rank", F.row_number().over(w2))
                  .where(F.col("rank") <= k)
                  .select("query_id", "neighbor_id", "rank",
-                         F.round("__sim", 4).alias("cosine")))
+                         _round4("__sim").alias("cosine")))
 
 
 def knn_pq(queries: DataFrame, corpus: DataFrame, k: int = 5,

@@ -64,6 +64,117 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
+# -----------------------------------------------------------------------
+# Engine-portable, order-independent rounded aggregates (r10).
+#
+# ROUND(SUM(double), d) is broken twice over as a hash-compared output:
+# (1) double summation is order-dependent, so Spark's partial-aggregate
+#     merge order vs DuckDB's can flip the d-th decimal when the true sum
+#     sits near a half-boundary (the r9 q9 red row: one group in 175 off
+#     by $0.01), and
+# (2) even on the SAME double, ROUND(x, d>0) differs between engines:
+#     Spark rounds the shortest decimal repr HALF_UP (round(1.005, 2) ->
+#     1.01) while DuckDB rounds the binary value (-> 1.00).
+# The one provably portable rounding is ROUND(double, 0) for |x| < 2^52:
+# every representable tie (k.5) is exact in both engines and both round
+# it half-away-from-zero; non-ties round identically because the input
+# double is bit-identical. (Verified empirically against DuckDB across
+# adversarial values; see tests/test_portable_round.py.)
+#
+# So every rounded float aggregate in this catalog is expressed as:
+#   per-row:  CAST(ROUND(expr * 10^(d+2), 0) AS BIGINT)   -- exact int
+#   group:    SUM(...)                                    -- exact, any order
+#   finish:   CAST(ROUND(s / 100.0, 0) AS BIGINT) / 10^d  -- portable round
+# The BIGINT casts also sanitize -0.0. Fixture money columns are true
+# 2-decimal values (max |price*100 - round(price*100)| ~ 1e-9 at sf0.1),
+# so the d+2 guard digits make the per-row scaling lossless for d >= 2.
+# At 100 TB row counts a BIGINT accumulator can overflow (~9.2e18);
+# `big=True` switches the accumulator to DECIMAL(38,0) (exact in both
+# engines) for second moments / extreme-cardinality sums.
+# -----------------------------------------------------------------------
+
+def osum(expr: str, d: int = 2, big: bool = False) -> str:
+    """SQL text: portable ROUND(SUM(expr), d) per the scheme above.
+    Literals carry an e0 suffix so the text is DOUBLE-typed in BOTH
+    dialects — Spark SQL (unlike the DataFrame API) lexes a bare
+    `100.0` as DECIMAL(4,1), which would silently turn the whole
+    expression decimal when an oracle string is reused via spark.sql
+    (q_grouping_sets does)."""
+    acc = (f"CAST(ROUND(({expr}) * {10 ** (d + 2)}.0e0, 0) AS "
+           + ("DECIMAL(38,0)" if big else "BIGINT") + ")")
+    return (f"CAST(ROUND(SUM({acc}) / 100.0e0, 0) AS BIGINT)"
+            f" / {10 ** d}.0e0")
+
+
+def oavg(expr: str, d: int = 4) -> str:
+    """SQL text: portable ROUND(AVG(expr), d) (AVG = exact-int SUM /
+    COUNT, divided then rounded in lockstep with :func:`savg`)."""
+    acc = f"CAST(ROUND(({expr}) * {10 ** (d + 2)}.0e0, 0) AS BIGINT)"
+    return (f"CAST(ROUND(SUM({acc}) / COUNT({expr}) / 100.0e0, 0)"
+            f" AS BIGINT) / {10 ** d}.0e0")
+
+
+def oround(expr: str, d: int) -> str:
+    """SQL text: portable ROUND(expr, d) for a double `expr` that is
+    computed bit-identically in both engines (e.g. arithmetic over
+    exact integer aggregates). Requires |expr * 10^d| < 2^52."""
+    return (f"CAST(ROUND(({expr}) * {10 ** d}.0e0, 0) AS BIGINT)"
+            f" / {10 ** d}.0e0")
+
+
+def ssum(col, d: int = 2, big: bool = False):
+    """Spark twin of :func:`osum` — identical op sequence."""
+    acc = F.round(col * F.lit(float(10 ** (d + 2))), 0) \
+           .cast("decimal(38,0)" if big else "long")
+    return (F.round(F.sum(acc) / F.lit(100.0), 0).cast("long")
+            / F.lit(float(10 ** d)))
+
+
+def savg(col, d: int = 4):
+    """Spark twin of :func:`oavg`."""
+    acc = F.round(col * F.lit(float(10 ** (d + 2))), 0).cast("long")
+    return (F.round(F.sum(acc) / F.count(col) / F.lit(100.0), 0)
+             .cast("long") / F.lit(float(10 ** d)))
+
+
+def sround(col, d: int):
+    """Spark twin of :func:`oround`."""
+    return (F.round(col * F.lit(float(10 ** d)), 0).cast("long")
+            / F.lit(float(10 ** d)))
+
+
+def ksum(expr: str, d: int = 2) -> str:
+    """KQL text twin of :func:`osum` for kql() catalog entries —
+    tolong() compiles to try_cast(.. AS BIGINT) (kql.py:550), so the
+    compiled Spark SQL is op-for-op the osum() pattern. Numeric
+    literals ride inside todouble(): the compiled text lands in Spark
+    SQL, where a bare `100.0` lexes as DECIMAL and would flip the
+    output column (and every division on the way) to DecimalType."""
+    s1, sd = 10 ** (d + 2), 10 ** d
+    return (f"tolong(round(sum(tolong(round(({expr})"
+            f" * todouble({s1}.0), 0))) / todouble(100.0), 0))"
+            f" / todouble({sd}.0)")
+
+
+def kavg(expr: str, d: int = 4) -> str:
+    """KQL text twin of :func:`oavg` (count() = rows; callers must
+    ensure `expr` is non-null or mirror COUNT semantics in the oracle)."""
+    s1, sd = 10 ** (d + 2), 10 ** d
+    return (f"tolong(round(sum(tolong(round(({expr})"
+            f" * todouble({s1}.0), 0))) / count() / todouble(100.0), 0))"
+            f" / todouble({sd}.0)")
+
+
+#: names swept to the portable-rounding scheme in r10 — the
+#: partition-invariance proof test iterates exactly this list
+PORTABLE_ROUNDED: list[str] = []
+
+
+def _portable(name: str) -> str:
+    PORTABLE_ROUNDED.append(name)
+    return name
+
+
 # =======================================================================
 # Conversion surface (reference parity, SURVEY.md §2.1-2.2)
 # =======================================================================
@@ -246,15 +357,15 @@ def rowgroups_lineitem(spark, sf_dir):
 # Relational layer (SURVEY.md §2.4 — each absent category, M3)
 # =======================================================================
 
-@query("q1_pricing_summary", """
+@query(_portable("q1_pricing_summary"), f"""
 SELECT l_returnflag, l_linestatus,
-       ROUND(SUM(l_quantity), 2)                                   AS sum_qty,
-       ROUND(SUM(l_extendedprice), 2)                              AS sum_base_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-       ROUND(AVG(l_quantity), 4)                                   AS avg_qty,
-       ROUND(AVG(l_extendedprice), 4)                              AS avg_price,
-       ROUND(AVG(l_discount), 4)                                   AS avg_disc,
+       {osum("l_quantity")}                                        AS sum_qty,
+       {osum("l_extendedprice")}                                   AS sum_base_price,
+       {osum("l_extendedprice * (1 - l_discount)")}                AS sum_disc_price,
+       {osum("l_extendedprice * (1 - l_discount) * (1 + l_tax)")}  AS sum_charge,
+       {oavg("l_quantity")}                                        AS avg_qty,
+       {oavg("l_extendedprice")}                                   AS avg_price,
+       {oavg("l_discount")}                                        AS avg_disc,
        COUNT(*)                                                    AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2000-09-02'
@@ -262,18 +373,19 @@ GROUP BY l_returnflag, l_linestatus
 """)
 def q1_pricing_summary(spark, sf_dir):
     """Flagship: TPC-H-Q1-style pricing summary. Scan -> pushed filter ->
-    partial+final hash aggregate (one shuffle on the 6-group key)."""
+    partial+final hash aggregate (one shuffle on the 6-group key).
+    Money sums/averages use the portable scaled-int scheme (r10)."""
     li = load_table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (li.where(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
               .groupBy("l_returnflag", "l_linestatus")
-              .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-                   F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-                   F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-                   F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-                   F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-                   F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-                   F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+              .agg(ssum(F.col("l_quantity")).alias("sum_qty"),
+                   ssum(F.col("l_extendedprice")).alias("sum_base_price"),
+                   ssum(disc_price).alias("sum_disc_price"),
+                   ssum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+                   savg(F.col("l_quantity")).alias("avg_qty"),
+                   savg(F.col("l_extendedprice")).alias("avg_price"),
+                   savg(F.col("l_discount")).alias("avg_disc"),
                    F.count("*").alias("count_order")))
 
 
@@ -292,9 +404,9 @@ def q_filter_projection(spark, sf_dir):
                       F.round("l_extendedprice", 2).alias("price")))
 
 
-@query("q3_shipping_priority", """
+@query(_portable("q3_shipping_priority"), f"""
 SELECT l_orderkey,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       {osum("l_extendedprice * (1 - l_discount)")} AS revenue,
        strftime(o_orderdate, '%Y-%m-%d') AS orderdate
 FROM customer JOIN orders ON c_custkey = o_custkey
               JOIN lineitem ON l_orderkey = o_orderkey
@@ -321,18 +433,17 @@ def q3_shipping_priority(spark, sf_dir):
               .join(c.where(F.col("c_mktsegment") == "BUILDING"),
                     F.col("o_custkey") == F.col("c_custkey"))
               .groupBy("l_orderkey", "o_orderdate")
-              .agg(F.round(F.sum(F.col("l_extendedprice")
-                                 * (1 - F.col("l_discount"))), 2)
-                    .alias("revenue"))
+              .agg(ssum(F.col("l_extendedprice")
+                        * (1 - F.col("l_discount"))).alias("revenue"))
               .select("l_orderkey", "revenue",
                       F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"))
               .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
               .limit(10))
 
 
-@query("q5_supplier_volume", """
+@query(_portable("q5_supplier_volume"), f"""
 SELECT n_name,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       {osum("l_extendedprice * (1 - l_discount)")} AS revenue
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -357,8 +468,8 @@ def q5_supplier_volume(spark, sf_dir):
             .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
             .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
             .groupBy("n_name")
-            .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
-                  .alias("revenue")))
+            .agg(ssum(F.col("l_extendedprice")
+                      * (1 - F.col("l_discount"))).alias("revenue")))
 
 
 @query("q_join_semi", """
@@ -415,22 +526,22 @@ def q_salted_distinct(spark, sf_dir):
     return R.salted_count_distinct(ev, key="event_type", value="user_id")
 
 
-@query("q_rollup", """
+@query(_portable("q_rollup"), f"""
 SELECT l_returnflag, l_linestatus,
-       ROUND(SUM(l_quantity), 2) AS sum_qty, COUNT(*) AS n
+       {osum("l_quantity")} AS sum_qty, COUNT(*) AS n
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """)
 def q_rollup(spark, sf_dir):
     """ROLLUP hierarchy: subtotals per level plus grand total."""
     li = load_table(spark, sf_dir, "lineitem")
     return (li.rollup("l_returnflag", "l_linestatus")
-              .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+              .agg(ssum(F.col("l_quantity")).alias("sum_qty"),
                    F.count("*").alias("n")))
 
 
-@query("q_cube", """
+@query(_portable("q_cube"), f"""
 SELECT o_orderstatus, o_orderpriority,
-       COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+       COUNT(*) AS n, {osum("o_totalprice")} AS total
 FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """)
 def q_cube(spark, sf_dir):
@@ -438,12 +549,12 @@ def q_cube(spark, sf_dir):
     o = load_table(spark, sf_dir, "orders")
     return (o.cube("o_orderstatus", "o_orderpriority")
              .agg(F.count("*").alias("n"),
-                  F.round(F.sum("o_totalprice"), 2).alias("total")))
+                  ssum(F.col("o_totalprice")).alias("total")))
 
 
-@query("q_scalar_subquery", """
+@query(_portable("q_scalar_subquery"), f"""
 SELECT l_partkey,
-       ROUND(SUM(l_extendedprice), 2) AS small_order_revenue,
+       {osum("l_extendedprice")} AS small_order_revenue,
        COUNT(*) AS n
 FROM lineitem
 WHERE l_quantity < (SELECT 0.5 * AVG(l_quantity) FROM lineitem li2
@@ -463,17 +574,17 @@ def q_scalar_subquery(spark, sf_dir):
     return (li.join(avg_qty, "l_partkey")
               .where(F.col("l_quantity") < F.col("__half_avg"))
               .groupBy("l_partkey")
-              .agg(F.round(F.sum("l_extendedprice"), 2)
+              .agg(ssum(F.col("l_extendedprice"))
                     .alias("small_order_revenue"),
                    F.count("*").alias("n")))
 
 
-@query("q_conditional_agg", """
+@query(_portable("q_conditional_agg"), f"""
 SELECT o_orderpriority,
        COUNT(*) AS n,
        CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
          AS n_fulfilled,
-       ROUND(SUM(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2)
+       {osum("CASE WHEN o_orderstatus = 'O' THEN o_totalprice END")}
          AS open_value
 FROM orders GROUP BY o_orderpriority
 """)
@@ -484,8 +595,8 @@ def q_conditional_agg(spark, sf_dir):
              .agg(F.count("*").alias("n"),
                   F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
                    .alias("n_fulfilled"),
-                  F.round(F.sum(F.when(F.col("o_orderstatus") == "O",
-                                       F.col("o_totalprice"))), 2)
+                  ssum(F.when(F.col("o_orderstatus") == "O",
+                              F.col("o_totalprice")))
                    .alias("open_value")))
 
 
@@ -508,21 +619,51 @@ def q_string_predicates(spark, sf_dir):
                      F.concat_ws("/", "p_name", "p_type").alias("tagged")))
 
 
-@query("q_percentiles", """
+@query(_portable("q_percentiles"), f"""
+WITH s AS (
+  SELECT l_returnflag,
+         list_sort(list(l_extendedprice)) AS pa,
+         list_sort(list(l_discount)) AS da,
+         COUNT(*) AS n
+  FROM lineitem GROUP BY l_returnflag),
+q AS (
+  SELECT l_returnflag,
+         0.5e0 * (n - 1) AS h50, 0.9e0 * (n - 1) AS h90,
+         0.95e0 * (n - 1) AS h95, pa, da
+  FROM s)
 SELECT l_returnflag,
-       ROUND(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
-       ROUND(quantile_cont(l_extendedprice, 0.9), 2) AS p90,
-       ROUND(quantile_cont(l_discount, 0.95), 4) AS p95_disc
-FROM lineitem GROUP BY l_returnflag
+       {oround("CASE WHEN ceil(h50) = floor(h50)"
+               " THEN pa[CAST(h50 AS BIGINT) + 1]"
+               " ELSE (ceil(h50) - h50) * pa[CAST(floor(h50) AS BIGINT) + 1]"
+               " + (h50 - floor(h50)) * pa[CAST(floor(h50) AS BIGINT) + 2]"
+               " END", 2)} AS p50,
+       {oround("CASE WHEN ceil(h90) = floor(h90)"
+               " THEN pa[CAST(h90 AS BIGINT) + 1]"
+               " ELSE (ceil(h90) - h90) * pa[CAST(floor(h90) AS BIGINT) + 1]"
+               " + (h90 - floor(h90)) * pa[CAST(floor(h90) AS BIGINT) + 2]"
+               " END", 2)} AS p90,
+       {oround("CASE WHEN ceil(h95) = floor(h95)"
+               " THEN da[CAST(h95 AS BIGINT) + 1]"
+               " ELSE (ceil(h95) - h95) * da[CAST(floor(h95) AS BIGINT) + 1]"
+               " + (h95 - floor(h95)) * da[CAST(floor(h95) AS BIGINT) + 2]"
+               " END", 4)} AS p95_disc
+FROM q
 """)
 def q_percentiles(spark, sf_dir):
-    """Exact percentiles (continuous interpolation — matches DuckDB's
-    quantile_cont; percentile_approx would not oracle)."""
+    """Exact percentiles. The oracle replays Spark's own Percentile
+    interpolation — position p·(n-1), then (higher-pos)·lower_val +
+    (pos-lower)·higher_val over the sorted values — because DuckDB's
+    quantile_cont uses lo + f·(hi-lo), which is only ulp-equal and
+    flipped a cent at ROUND (the r10 full-precision canon caught it).
+    Final rounds are portable on both sides."""
     li = load_table(spark, sf_dir, "lineitem")
     return (li.groupBy("l_returnflag")
-              .agg(F.round(F.percentile("l_extendedprice", F.lit(0.5)), 2).alias("p50"),
-                   F.round(F.percentile("l_extendedprice", F.lit(0.9)), 2).alias("p90"),
-                   F.round(F.percentile("l_discount", F.lit(0.95)), 4).alias("p95_disc")))
+              .agg(sround(F.percentile("l_extendedprice", F.lit(0.5)), 2)
+                   .alias("p50"),
+                   sround(F.percentile("l_extendedprice", F.lit(0.9)), 2)
+                   .alias("p90"),
+                   sround(F.percentile("l_discount", F.lit(0.95)), 4)
+                   .alias("p95_disc")))
 
 
 @query("q_min_max_by", """
@@ -543,19 +684,21 @@ def q_min_max_by(spark, sf_dir):
                    F.round(F.max("l_extendedprice"), 2).alias("max_price")))
 
 
-@query("q_grouping_sets", """
+@query(_portable("q_grouping_sets"), f"""
 SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-       ROUND(SUM(l_quantity), 2) AS sum_qty
+       {osum("l_quantity")} AS sum_qty
 FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
 """)
 def q_grouping_sets(spark, sf_dir):
-    """Arbitrary grouping sets (beyond rollup/cube's fixed lattices)."""
+    """Arbitrary grouping sets (beyond rollup/cube's fixed lattices).
+    The osum() text is dialect-neutral, so the Spark side runs the
+    exact same SQL over a temp view."""
     li = load_table(spark, sf_dir, "lineitem")
     li.createOrReplaceTempView("__gs_lineitem")
-    return spark.sql("""
+    return spark.sql(f"""
         SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-               ROUND(SUM(l_quantity), 2) AS sum_qty
+               {osum("l_quantity")} AS sum_qty
         FROM __gs_lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
     """)
@@ -608,11 +751,16 @@ def q_window_rank(spark, sf_dir):
                          F.col("rn").cast("long").alias("rn"))
 
 
-@query("q_window_running", """
+@query(_portable("q_window_running"), """
 SELECT event_id, user_id,
-       ROUND(SUM(value) OVER w_run, 2)  AS running_sum,
-       ROUND(lag(value) OVER w_ord, 2)  AS prev_value,
-       ROUND(AVG(value) OVER w_mov, 4)  AS moving_avg
+       CAST(ROUND(SUM(CAST(ROUND(value * 10000.0, 0) AS BIGINT))
+                  OVER w_run / 100.0, 0) AS BIGINT) / 100.0 AS running_sum,
+       CAST(ROUND(lag(value) OVER w_ord * 100.0, 0) AS BIGINT) / 100.0
+         AS prev_value,
+       CAST(ROUND(SUM(CAST(ROUND(value * 1000000.0, 0) AS BIGINT))
+                    OVER w_mov
+                  / COUNT(value) OVER w_mov / 100.0, 0) AS BIGINT)
+         / 10000.0 AS moving_avg
 FROM events
 WINDOW w_ord AS (PARTITION BY user_id ORDER BY ts),
        w_run AS (PARTITION BY user_id ORDER BY ts
@@ -622,15 +770,23 @@ WINDOW w_ord AS (PARTITION BY user_id ORDER BY ts),
 """)
 def q_window_running(spark, sf_dir):
     """Running / lag / moving windows over the event stream; single
-    shuffle on user_id shared by all three frames."""
+    shuffle on user_id shared by all three frames. Frame sums use the
+    portable scaled-int scheme (window-frame variant written inline:
+    the OVER clause rides on the exact BIGINT accumulator)."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts_ns")
+    w_run = w.rowsBetween(Window.unboundedPreceding, 0)
+    w_mov = w.rowsBetween(-2, 0)
+    acc2 = F.round(F.col("value") * F.lit(10000.0), 0).cast("long")
+    acc4 = F.round(F.col("value") * F.lit(1000000.0), 0).cast("long")
     return ev.select(
         "event_id", "user_id",
-        F.round(F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2)
-         .alias("running_sum"),
-        F.round(F.lag("value").over(w), 2).alias("prev_value"),
-        F.round(F.avg("value").over(w.rowsBetween(-2, 0)), 4).alias("moving_avg"),
+        (F.round(F.sum(acc2).over(w_run) / F.lit(100.0), 0).cast("long")
+         / F.lit(100.0)).alias("running_sum"),
+        sround(F.lag("value").over(w), 2).alias("prev_value"),
+        (F.round(F.sum(acc4).over(w_mov) / F.count("value").over(w_mov)
+                 / F.lit(100.0), 0).cast("long")
+         / F.lit(10000.0)).alias("moving_avg"),
     )
 
 
@@ -757,10 +913,10 @@ def q_sessionize(spark, sf_dir):
                   F.max(us).alias("end_us")))
 
 
-@query("q_json_extract", """
+@query(_portable("q_json_extract"), f"""
 SELECT event_type,
        COUNT(*) AS n,
-       ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k,
+       {oavg("CAST(json_extract_string(props, '$.k') AS INT)")} AS avg_k,
        MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
        MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
 FROM events GROUP BY event_type
@@ -771,14 +927,14 @@ def q_json_extract(spark, sf_dir):
     k = F.get_json_object("props", "$.k").cast("int")
     return (ev.groupBy("event_type")
               .agg(F.count("*").alias("n"),
-                   F.round(F.avg(k), 4).alias("avg_k"),
+                   savg(k).alias("avg_k"),
                    F.min(k).alias("min_k"),
                    F.max(k).alias("max_k")))
 
 
-@query("q_tumbling_window", """
+@query(_portable("q_tumbling_window"), f"""
 SELECT (epoch_ms(CAST(ts AS TIMESTAMP)) // 3600000) * 3600000 AS window_start_ms,
-       event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+       event_type, COUNT(*) AS n, {osum("value")} AS sum_value
 FROM events GROUP BY 1, 2
 """)
 def q_tumbling_window(spark, sf_dir):
@@ -788,7 +944,7 @@ def q_tumbling_window(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     return (ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
               .agg(F.count("*").alias("n"),
-                   F.round(F.sum("value"), 2).alias("sum_value"))
+                   ssum(F.col("value")).alias("sum_value"))
               .select(F.unix_millis("w.start").alias("window_start_ms"),
                       "event_type", "n", "sum_value"))
 
@@ -830,7 +986,7 @@ def q_dedup_keep_latest(spark, sf_dir):
                          F.expr("ts_ns div 1000").alias("ts_us"))
 
 
-@query("q_resample_gaps", """
+@query(_portable("q_resample_gaps"), f"""
 WITH bounds AS (
   SELECT user_id,
          (epoch_ms(CAST(min(ts) AS TIMESTAMP)) // 3600000) AS h0,
@@ -842,7 +998,7 @@ WITH bounds AS (
 ), agg AS (
   SELECT user_id,
          (epoch_ms(CAST(ts AS TIMESTAMP)) // 3600000) * 3600000 AS hour_ms,
-         ROUND(SUM(value), 2) AS v
+         {osum("value")} AS v
   FROM events WHERE user_id < 5 GROUP BY 1, 2
 )
 SELECT g.user_id, g.hour_ms, COALESCE(a.v, 0.0) AS v
@@ -857,7 +1013,7 @@ def q_resample_gaps(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 5)
     hour_ms = F.unix_millis("ts") - F.pmod(F.unix_millis("ts"), 3_600_000)
     agg = (ev.groupBy("user_id", hour_ms.alias("hour_ms"))
-             .agg(F.round(F.sum("value"), 2).alias("v")))
+             .agg(ssum(F.col("value")).alias("v")))
     bounds = ev.groupBy("user_id").agg(
         F.min(hour_ms).alias("h0"), F.max(hour_ms).alias("h1"))
     grid = bounds.select(
@@ -868,10 +1024,10 @@ def q_resample_gaps(spark, sf_dir):
                         F.coalesce("v", F.lit(0.0)).alias("v")))
 
 
-@query("q_pivot", """
+@query(_portable("q_pivot"), f"""
 SELECT l_returnflag,
-       ROUND(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS F,
-       ROUND(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS O
+       {osum("CASE WHEN l_linestatus = 'F' THEN l_quantity END")} AS F,
+       {osum("CASE WHEN l_linestatus = 'O' THEN l_quantity END")} AS O
 FROM lineitem GROUP BY l_returnflag
 """)
 def q_pivot(spark, sf_dir):
@@ -880,7 +1036,7 @@ def q_pivot(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     return (li.groupBy("l_returnflag")
               .pivot("l_linestatus", ["F", "O"])
-              .agg(F.round(F.sum("l_quantity"), 2)))
+              .agg(ssum(F.col("l_quantity"))))
 
 
 # =======================================================================
@@ -1485,22 +1641,38 @@ def q_dedup_clusters(spark, sf_dir):
 # Similarity search (north-star M4)
 # =======================================================================
 
-@query("q_knn_bruteforce", """
-SELECT query_id, neighbor_id, rank, cosine FROM (
+@query(_portable("q_knn_bruteforce"), f"""
+WITH u AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)
+           / sqrt(list_aggregate(list_transform(embedding,
+               y -> CAST(y AS DOUBLE) * y), 'sum'))) AS uv
+  FROM embeddings),
+p AS (
   SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-         CAST(row_number() OVER (
-           PARTITION BY a.vec_id
-           ORDER BY ROUND(list_cosine_similarity(a.embedding, b.embedding), 4) DESC,
-                    b.vec_id) AS BIGINT) AS rank,
-         ROUND(list_cosine_similarity(a.embedding, b.embedding), 4) AS cosine
-  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
-  WHERE a.vec_id < 20)
-WHERE rank <= 5
+         list_dot_product(a.uv, b.uv) AS sim
+  FROM u a JOIN u b ON b.vec_id <> a.vec_id
+  WHERE a.vec_id < 20),
+t AS (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id) AS r0
+  FROM p)
+SELECT query_id, neighbor_id,
+       CAST(row_number() OVER (
+         PARTITION BY query_id
+         ORDER BY {oround("sim", 4)} DESC, neighbor_id) AS BIGINT) AS rank,
+       {oround("sim", 4)} AS cosine
+FROM t WHERE r0 <= 5
 """)
 def q_knn_bruteforce(spark, sf_dir):
     """Exact cosine top-5 for 20 query vectors over the whole corpus.
-    Ordering uses the ROUNDED similarity on both sides so float ulp
-    differences between engines cannot flip ranks."""
+    The oracle mirrors the operator's arithmetic bit-for-bit in DOUBLE
+    (L2-normalize once, then a sequential dot product — DuckDB's
+    list_cosine_similarity over FLOAT[] computes and returns float32,
+    which the full-precision hash rejects), selects top-5 by the RAW
+    similarity exactly like the operator's window, then re-ranks by the
+    portable-rounded cosine like the entry does."""
     e = load_table(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < 20)
     out = S.knn_bruteforce(q, e, k=5)
@@ -1793,12 +1965,20 @@ def q_knn_lsh(spark, sf_dir):
     return S.knn_lsh(q, e, k=5, planes=4, tables=4, dim=dim)
 
 
-@query("q_embed_sim_pairs", """
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       ROUND(list_cosine_similarity(a.embedding, b.embedding), 4) AS cosine
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE a.vec_id < 50
-  AND ROUND(list_cosine_similarity(a.embedding, b.embedding), 4) >= 0.4
+@query(_portable("q_embed_sim_pairs"), f"""
+WITH d AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                          CAST(b.embedding AS DOUBLE[]))
+           / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(a.embedding AS DOUBLE[])))
+              * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[]))))
+           AS sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE a.vec_id < 50)
+SELECT id_a, id_b, {oround("sim", 4)} AS cosine
+FROM d WHERE {oround("sim", 4)} >= 0.4
 """)
 def q_embed_sim_pairs(spark, sf_dir):
     """Similar pairs for a BOUNDED probe set (vec_id < 50) against the
@@ -1816,7 +1996,7 @@ def q_embed_sim_pairs(spark, sf_dir):
     b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
     pairs = b.join(F.broadcast(a), F.col("id_a") < F.col("id_b"))
     return (pairs.select("id_a", "id_b",
-                         F.round(V.cosine("va", "vb"), 4).alias("cosine"))
+                         sround(V.cosine("va", "vb"), 4).alias("cosine"))
                  .where(F.col("cosine") >= 0.4))
 
 
@@ -1850,32 +2030,71 @@ def q_window_lag_lead(spark, sf_dir):
         F.lead("event_type").over(w).alias("next_type"))
 
 
-@query("q_stats_agg", """
+@query(_portable("q_stats_agg"), f"""
+WITH s AS (
+  SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(ROUND(l_quantity, 0) AS BIGINT)) / 1.0 AS sx,
+         SUM(CAST(ROUND(l_extendedprice * 100.0, 0) AS BIGINT)) / 100.0
+           AS sy,
+         SUM(CAST(ROUND(l_quantity * l_quantity, 0) AS BIGINT)) / 1.0
+           AS sxx,
+         SUM(CAST(ROUND(l_extendedprice * l_extendedprice, 0) AS BIGINT))
+           / 1.0 AS syy,
+         SUM(CAST(ROUND(l_quantity * l_extendedprice * 100.0, 0)
+                  AS BIGINT)) / 100.0 AS sxy
+  FROM lineitem GROUP BY l_returnflag)
 SELECT l_returnflag,
-       ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
-       ROUND(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price,
-       ROUND(stddev_samp(l_extendedprice), 2) AS sd_price,
-       ROUND(var_samp(l_quantity), 4) AS var_qty
-FROM lineitem GROUP BY l_returnflag
+       {oround("(n * sxy - sx * sy)"
+               " / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))", 4)}
+         AS corr_qty_price,
+       {oround("(sxy - sx * sy / n) / (n - 1)", 2)} AS covar_qty_price,
+       {oround("sqrt(greatest((syy - sy * sy / n) / (n - 1), 0.0))", 2)}
+         AS sd_price,
+       {oround("(sxx - sx * sx / n) / (n - 1)", 4)} AS var_qty
+FROM s
 """)
 def q_stats_agg(spark, sf_dir):
     """Statistical aggregates (correlation, covariance, stddev,
     variance): single-pass co-moment accumulators with map-side partials,
-    merged associatively -- no second scan at any scale."""
+    merged associatively -- no second scan at any scale. r10: the
+    co-moments are EXACT scaled-int sums (quantity integral, price in
+    cents, squares portable-rounded to integer units — determinism is
+    what the hash gate needs, and the <=0.5-unit square rounding moves
+    these statistics by ~1e-10 relative) so the finishing arithmetic is
+    bit-identical across engines/partitionings, unlike the built-in
+    corr/covar/stddev whose partial-merge order is engine-specific.
+    BIGINT accumulators hold to ~sf1000; beyond that switch to
+    DECIMAL(38,0) (ssum(big=True) pattern)."""
     li = load_table(spark, sf_dir, "lineitem")
-    return (li.groupBy("l_returnflag").agg(
-        F.round(F.corr("l_quantity", "l_extendedprice"), 4)
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    sx = F.sum(F.round(x, 0).cast("long")) / F.lit(1.0)
+    sy = F.sum(F.round(y * F.lit(100.0), 0).cast("long")) / F.lit(100.0)
+    sxx = F.sum(F.round(x * x, 0).cast("long")) / F.lit(1.0)
+    syy = F.sum(F.round(y * y, 0).cast("long")) / F.lit(1.0)
+    sxy = F.sum(F.round(x * y * F.lit(100.0), 0).cast("long")) \
+           / F.lit(100.0)
+    s = (li.groupBy("l_returnflag")
+           .agg(F.count("*").cast("long").alias("n"),
+                sx.alias("sx"), sy.alias("sy"), sxx.alias("sxx"),
+                syy.alias("syy"), sxy.alias("sxy")))
+    n = F.col("n")
+    sx, sy = F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return s.select(
+        "l_returnflag",
+        sround((n * sxy - sx * sy)
+               / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 4)
          .alias("corr_qty_price"),
-        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2)
-         .alias("covar_qty_price"),
-        F.round(F.stddev_samp("l_extendedprice"), 2).alias("sd_price"),
-        F.round(F.var_samp("l_quantity"), 4).alias("var_qty")))
+        sround((sxy - sx * sy / n) / (n - 1), 2).alias("covar_qty_price"),
+        sround(F.sqrt(F.greatest((syy - sy * sy / n) / (n - 1),
+                                 F.lit(0.0))), 2).alias("sd_price"),
+        sround((sxx - sx * sx / n) / (n - 1), 4).alias("var_qty"))
 
 
-@query("q_unpivot", """
+@query(_portable("q_unpivot"), f"""
 WITH agg AS (
-  SELECT n_name, ROUND(SUM(c_acctbal), 2) AS acctbal_total,
-         ROUND(AVG(c_acctbal), 4) AS acctbal_avg
+  SELECT n_name, {osum("c_acctbal")} AS acctbal_total,
+         {oavg("c_acctbal")} AS acctbal_avg
   FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name)
 SELECT n_name, 'acctbal_total' AS measure, acctbal_total AS value FROM agg
 UNION ALL
@@ -1889,8 +2108,8 @@ def q_unpivot(spark, sf_dir):
     na = load_table(spark, sf_dir, "nation")
     agg = (cu.join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
              .groupBy("n_name")
-             .agg(F.round(F.sum("c_acctbal"), 2).alias("acctbal_total"),
-                  F.round(F.avg("c_acctbal"), 4).alias("acctbal_avg")))
+             .agg(ssum(F.col("c_acctbal")).alias("acctbal_total"),
+                  savg(F.col("c_acctbal")).alias("acctbal_avg")))
     return agg.unpivot("n_name", ["acctbal_total", "acctbal_avg"],
                        "measure", "value")
 
@@ -2045,10 +2264,10 @@ def q_cross_join(spark, sf_dir):
                       .alias("pair_code")))
 
 
-@query("q10_returned_items", """
+@query(_portable("q10_returned_items"), f"""
 WITH rev AS (
   SELECT c_custkey, c_name, n_name,
-         ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         {osum("l_extendedprice * (1 - l_discount)")} AS revenue
   FROM customer
   JOIN orders   ON c_custkey = o_custkey
   JOIN lineitem ON l_orderkey = o_orderkey
@@ -2075,9 +2294,8 @@ def q10_returned_items(spark, sf_dir):
              .join(li, o.o_orderkey == li.l_orderkey)
              .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
              .groupBy("c_custkey", "c_name", "n_name")
-             .agg(F.round(F.sum(F.col("l_extendedprice")
-                                * (1 - F.col("l_discount"))), 2)
-                   .alias("revenue")))
+             .agg(ssum(F.col("l_extendedprice")
+                       * (1 - F.col("l_discount"))).alias("revenue")))
     w = Window.orderBy(F.col("revenue").desc(), "c_custkey")
     return (rev.withColumn("rn", F.row_number().over(w).cast("long"))
                .where(F.col("rn") <= 20))
@@ -2332,11 +2550,11 @@ def q_stratified_sample(spark, sf_dir):
               .where(F.col("rn") <= 100))
 
 
-@query("q_date_parts", """
+@query(_portable("q_date_parts"), f"""
 SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS y,
        CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS m,
        CAST(COUNT(*) AS BIGINT) AS n_orders,
-       ROUND(SUM(o_totalprice), 2) AS revenue
+       {osum("o_totalprice")} AS revenue
 FROM orders GROUP BY 1, 2
 """)
 def q_date_parts(spark, sf_dir):
@@ -2347,15 +2565,16 @@ def q_date_parts(spark, sf_dir):
     return (o.groupBy(F.year("o_orderdate").cast("long").alias("y"),
                       F.month("o_orderdate").cast("long").alias("m"))
              .agg(F.count("*").cast("long").alias("n_orders"),
-                  F.round(F.sum("o_totalprice"), 2).alias("revenue")))
+                  ssum(F.col("o_totalprice")).alias("revenue")))
 
 
-@query("q_window_time_range", """
+@query(_portable("q_window_time_range"), """
 WITH e AS (SELECT event_id, user_id, value,
                   epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
            FROM events WHERE user_id < 20)
 SELECT event_id, user_id,
-       ROUND(SUM(value) OVER w, 2) AS sum_1h,
+       CAST(ROUND(SUM(CAST(ROUND(value * 10000.0, 0) AS BIGINT))
+                  OVER w / 100.0, 0) AS BIGINT) / 100.0 AS sum_1h,
        CAST(COUNT(*) OVER w AS BIGINT) AS n_1h
 FROM e
 WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
@@ -2372,9 +2591,11 @@ def q_window_time_range(spark, sf_dir):
                   F.expr("ts_ns div 1000").alias("ts_us")))
     w = (Window.partitionBy("user_id").orderBy("ts_us")
                .rangeBetween(-3_600_000_000, 0))
+    acc = F.round(F.col("value") * F.lit(10000.0), 0).cast("long")
     return ev.select(
         "event_id", "user_id",
-        F.round(F.sum("value").over(w), 2).alias("sum_1h"),
+        (F.round(F.sum(acc).over(w) / F.lit(100.0), 0).cast("long")
+         / F.lit(100.0)).alias("sum_1h"),
         F.count("*").over(w).cast("long").alias("n_1h"))
 
 
@@ -2434,14 +2655,14 @@ def q_null_safe_join(spark, sf_dir):
                 .select(F.col("o_orderkey"), F.col("prio"), F.col("n_matches")))
 
 
-@query("q_hopping_window", """
+@query(_portable("q_hopping_window"), f"""
 WITH e AS (SELECT event_type, value,
                   epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
 x AS (SELECT event_type, value,
              ((ts_us // 1800000000) - k) * 1800000000 AS win_start_us
       FROM e CROSS JOIN (SELECT unnest([0, 1]) AS k))
 SELECT win_start_us, event_type,
-       CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 2) AS sum_value
+       CAST(COUNT(*) AS BIGINT) AS n, {osum("value")} AS sum_value
 FROM x GROUP BY win_start_us, event_type
 """)
 def q_hopping_window(spark, sf_dir):
@@ -2454,14 +2675,14 @@ def q_hopping_window(spark, sf_dir):
     return (ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"),
                        "event_type")
               .agg(F.count("*").cast("long").alias("n"),
-                   F.round(F.sum("value"), 2).alias("sum_value"))
+                   ssum(F.col("value")).alias("sum_value"))
               .select(F.unix_micros("w.start").alias("win_start_us"),
                       "event_type", "n", "sum_value"))
 
 
-@query("q7_nation_trade", """
+@query(_portable("q7_nation_trade"), f"""
 SELECT supp_nation, cust_nation, ship_year,
-       ROUND(SUM(volume), 2) AS revenue
+       {osum("volume")} AS revenue
 FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
              CAST(year(l_shipdate) AS BIGINT) AS ship_year,
              l_extendedprice * (1 - l_discount) AS volume
@@ -2500,9 +2721,8 @@ def q7_nation_trade(spark, sf_dir):
               .where(F.col("supp_nation") != F.col("cust_nation"))
               .groupBy("supp_nation", "cust_nation",
                        F.year("l_shipdate").cast("long").alias("ship_year"))
-              .agg(F.round(F.sum(F.col("l_extendedprice")
-                                 * (1 - F.col("l_discount"))), 2)
-                    .alias("revenue")))
+              .agg(ssum(F.col("l_extendedprice")
+                        * (1 - F.col("l_discount"))).alias("revenue")))
 
 
 @query("q2_min_cost_supplier", """
@@ -2606,9 +2826,9 @@ def q16_supplier_count(spark, sf_dir):
 # so the oracle gate checks parser + compiler + Catalyst end-to-end.
 # =======================================================================
 
-@query("q_kql_summarize", """
+@query(_portable("q_kql_summarize"), f"""
 SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n,
-       ROUND(SUM(l_quantity), 2) AS qty
+       {osum("l_quantity")} AS qty
 FROM lineitem WHERE l_quantity > 30
 GROUP BY l_returnflag, l_linestatus
 """)
@@ -2616,10 +2836,10 @@ def q_kql_summarize(spark, sf_dir):
     """KQL filter + grouped aggregate; compiles to the same
     filter→partial-agg→final-agg plan as the native q1 shape."""
     from azure_kusto_parquet_conv_spark.kql import kql
-    return kql(spark, sf_dir, """
+    return kql(spark, sf_dir, f"""
       lineitem
         | where l_quantity > 30
-        | summarize n=count(), qty=round(sum(l_quantity), 2)
+        | summarize n=count(), qty={ksum("l_quantity")}
             by l_returnflag, l_linestatus
     """)
 
@@ -2640,9 +2860,9 @@ def q_kql_top_orders(spark, sf_dir):
     """)
 
 
-@query("q_kql_join_revenue", """
+@query(_portable("q_kql_join_revenue"), f"""
 SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
-       ROUND(SUM(o_totalprice), 2) AS revenue
+       {osum("o_totalprice")} AS revenue
 FROM orders JOIN customer ON o_custkey = c_custkey
 WHERE c_mktsegment = 'BUILDING'
 GROUP BY c_nationkey
@@ -2651,12 +2871,12 @@ def q_kql_join_revenue(spark, sf_dir):
     """KQL join with an explicit broadcast hint — the DSL's `hint.
     broadcast` maps to F.broadcast, keeping the dim off the shuffle."""
     from azure_kusto_parquet_conv_spark.kql import kql
-    return kql(spark, sf_dir, """
+    return kql(spark, sf_dir, f"""
       orders
         | join kind=inner hint.broadcast
             (customer | where c_mktsegment == 'BUILDING')
             on $left.o_custkey == $right.c_custkey
-        | summarize n_orders=count(), revenue=round(sum(o_totalprice), 2)
+        | summarize n_orders=count(), revenue={ksum("o_totalprice")}
             by c_nationkey
     """)
 
@@ -2683,13 +2903,13 @@ def q_kql_parse(spark, sf_dir):
     """)
 
 
-@query("q_kql_top_nested", """
+@query(_portable("q_kql_top_nested"), f"""
 WITH l1 AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
             FROM events GROUP BY 1),
 t1 AS (SELECT event_type, n FROM (
          SELECT *, row_number() OVER (ORDER BY n DESC, event_type) AS rn
          FROM l1) WHERE rn <= 3),
-l2 AS (SELECT event_type, user_id, ROUND(SUM(value), 2) AS s
+l2 AS (SELECT event_type, user_id, {osum("value")} AS s
        FROM events GROUP BY 1, 2),
 t2 AS (SELECT l2.event_type, l2.user_id, l2.s, t1.n,
               row_number() OVER (PARTITION BY l2.event_type
@@ -2702,20 +2922,20 @@ def q_kql_top_nested(spark, sf_dir):
     top 2 users by spend within each). One aggregation shuffle per level
     plus a broadcast join against the tiny parent winner set."""
     from azure_kusto_parquet_conv_spark.kql import kql
-    return kql(spark, sf_dir, """
+    return kql(spark, sf_dir, f"""
       events
         | top-nested 3 of event_type by n=count(),
-          top-nested 2 of user_id by s=round(sum(value), 2)
+          top-nested 2 of user_id by s={ksum("value")}
     """)
 
 
-@query("q_kql_union_sources", """
+@query(_portable("q_kql_union_sources"), f"""
 WITH u AS (
   SELECT o_orderkey AS k, o_totalprice AS v, 'orders' AS src FROM orders
   UNION ALL
   SELECT l_orderkey AS k, l_extendedprice AS v, 'lineitem' AS src
   FROM lineitem)
-SELECT src, CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(v), 2) AS total
+SELECT src, CAST(COUNT(*) AS BIGINT) AS n, {osum("v")} AS total
 FROM u GROUP BY src
 """)
 def q_kql_union_sources(spark, sf_dir):
@@ -2723,19 +2943,19 @@ def q_kql_union_sources(spark, sf_dir):
     shuffle; each side keeps its own scan pushdown. The summarize after
     it is the only exchange."""
     from azure_kusto_parquet_conv_spark.kql import kql
-    return kql(spark, sf_dir, """
+    return kql(spark, sf_dir, f"""
       orders
         | project k=o_orderkey, v=o_totalprice, src='orders'
         | union (lineitem
                    | project k=l_orderkey, v=l_extendedprice,
                              src='lineitem')
-        | summarize n=count(), total=round(sum(v), 2) by src
+        | summarize n=count(), total={ksum("v")} by src
     """)
 
 
-@query("q_kql_lookup", """
+@query(_portable("q_kql_lookup"), f"""
 SELECT c.c_mktsegment AS segment, CAST(COUNT(*) AS BIGINT) AS n,
-       ROUND(SUM(o.o_totalprice), 2) AS value
+       {osum("o.o_totalprice")} AS value
 FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
 GROUP BY 1
 """)
@@ -2744,20 +2964,20 @@ def q_kql_lookup(spark, sf_dir):
     contract is a SMALL right side, so the compiler always broadcasts it
     — map-side hash join, the fact table never shuffles for the join."""
     from azure_kusto_parquet_conv_spark.kql import kql
-    return kql(spark, sf_dir, """
+    return kql(spark, sf_dir, f"""
       orders
         | lookup (customer | project o_custkey=c_custkey,
                              segment=c_mktsegment) on o_custkey
-        | summarize n=count(), value=round(sum(o_totalprice), 2)
+        | summarize n=count(), value={ksum("o_totalprice")}
             by segment
     """)
 
 
-@query("q_kql_bin_events", """
+@query(_portable("q_kql_bin_events"), f"""
 SELECT ((epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) * 3600000000)
          AS win_us,
        event_type, CAST(COUNT(*) AS BIGINT) AS n,
-       ROUND(SUM(value), 2) AS v
+       {osum("value")} AS v
 FROM events GROUP BY win_us, event_type
 """)
 def q_kql_bin_events(spark, sf_dir):
@@ -2765,30 +2985,30 @@ def q_kql_bin_events(spark, sf_dir):
     as integer µs arithmetic (schema-aware at compile time), identical to
     the tumbling-window shape."""
     from azure_kusto_parquet_conv_spark.kql import kql
-    return kql(spark, sf_dir, """
+    return kql(spark, sf_dir, f"""
       events
-        | summarize n=count(), v=round(sum(value), 2)
+        | summarize n=count(), v={ksum("value")}
             by win=bin(ts, 1h), event_type
         | project win_us=unix_micros(win), event_type, n, v
     """)
 
 
-@query("q_kql_text_stats", """
+@query(_portable("q_kql_text_stats"), f"""
 SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(CASE WHEN length(text) > 200 THEN 1 ELSE 0 END)
             AS BIGINT) AS long_docs,
-       ROUND(AVG(length(text)), 4) AS avg_len
+       {oavg("length(text)")} AS avg_len
 FROM documents
 """)
 def q_kql_text_stats(spark, sf_dir):
     """KQL scalar fns (strlen) + conditional aggregate (countif) over the
     documents corpus, all staying in whole-stage codegen."""
     from azure_kusto_parquet_conv_spark.kql import kql
-    return kql(spark, sf_dir, """
+    return kql(spark, sf_dir, f"""
       documents
         | extend l=strlen(text)
         | summarize n_docs=count(), long_docs=tolong(countif(l > 200)),
-            avg_len=round(avg(l), 4)
+            avg_len={kavg("l")}
     """)
 
 
@@ -2898,57 +3118,59 @@ def q_kql_arg_max(spark, sf_dir):
     """)
 
 
-@query("q_kql_case_tiers", """
+@query(_portable("q_kql_case_tiers"), f"""
 SELECT CASE WHEN o_totalprice >= 300000 THEN 'high'
             WHEN o_totalprice >= 150000 THEN 'mid'
             ELSE 'low' END AS tier,
        CAST(COUNT(*) AS BIGINT) AS n,
-       ROUND(SUM(o_totalprice), 2) AS rev
+       {osum("o_totalprice")} AS rev
 FROM orders GROUP BY tier
 """)
 def q_kql_case_tiers(spark, sf_dir):
     """KQL case() -> searched CASE expression; classification + grouped
     rollup in one codegen'd aggregate."""
     from azure_kusto_parquet_conv_spark.kql import kql
-    return kql(spark, sf_dir, """
+    return kql(spark, sf_dir, f"""
       orders
         | extend tier=case(o_totalprice >= 300000, 'high',
                            o_totalprice >= 150000, 'mid', 'low')
-        | summarize n=count(), rev=round(sum(o_totalprice), 2) by tier
+        | summarize n=count(), rev={ksum("o_totalprice")} by tier
     """)
 
 
-@query("q14_promo_revenue", """
+@query(_portable("q14_promo_revenue"), f"""
 WITH j AS (
   SELECT p_type, l_extendedprice * (1 - l_discount) AS rev
   FROM lineitem JOIN part ON l_partkey = p_partkey
   WHERE l_shipdate >= DATE '1995-09-01' AND l_shipdate < DATE '1995-12-01')
-SELECT ROUND(100 * ROUND(SUM(CASE WHEN p_type = 'PROMO' THEN rev
-                                  ELSE 0 END), 2)
-             / ROUND(SUM(rev), 2), 4) AS promo_pct
+SELECT {oround("100 * SUM(CAST(ROUND((CASE WHEN p_type = 'PROMO' THEN rev"
+               " ELSE 0 END) * 10000.0, 0) AS BIGINT))"
+               " / SUM(CAST(ROUND(rev * 10000.0, 0) AS BIGINT))", 4)}
+         AS promo_pct
 FROM j
 """)
 def q14_promo_revenue(spark, sf_dir):
     """TPC-H Q14 shape: promo revenue share over a ship-date slice. The
     date filter pushes to the lineitem scan, the part join is
-    AQE-decided (part is SF-proportional), and the
-    conditional sum folds into one aggregate pass. Both sums are rounded
-    BEFORE the ratio so summation-order ulp drift cannot move the 4-digit
-    rounding."""
+    AQE-decided (part is SF-proportional), and the conditional sum folds
+    into one aggregate pass. Both sums are exact scaled-int BIGINTs so
+    the ratio is bit-identical across engines and summation orders; the
+    shared 1e4 scale cancels in the division."""
     li = load_table(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= "1995-09-01")
         & (F.col("l_shipdate") < "1995-12-01"))
     pa = load_table(spark, sf_dir, "part")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev_p = F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)
+    s_promo = F.sum(F.round(rev_p * F.lit(10000.0), 0).cast("long"))
+    s_all = F.sum(F.round(rev * F.lit(10000.0), 0).cast("long"))
     return (li.join(pa, li.l_partkey == pa.p_partkey)
-              .agg(F.round(
-                  100 * F.round(F.sum(F.when(F.col("p_type") == "PROMO", rev)
-                                       .otherwise(0.0)), 2)
-                  / F.round(F.sum(rev), 2), 4).alias("promo_pct")))
+              .agg(sround(F.lit(100) * s_promo / s_all, 4)
+                   .alias("promo_pct")))
 
 
-@query("q19_disjunctive_join", """
-SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+@query(_portable("q19_disjunctive_join"), f"""
+SELECT {osum("l_extendedprice * (1 - l_discount)")} AS revenue,
        CAST(COUNT(*) AS BIGINT) AS n
 FROM lineitem JOIN part ON p_partkey = l_partkey
 WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
@@ -2974,7 +3196,7 @@ def q19_disjunctive_join(spark, sf_dir):
             | ((b == "Brand#23") & s.between(1, 25) & q.between(10, 30))
             | ((b == "Brand#34") & s.between(1, 35) & q.between(20, 40)))
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return j.where(cond).agg(F.round(F.sum(rev), 2).alias("revenue"),
+    return j.where(cond).agg(ssum(rev).alias("revenue"),
                              F.count("*").cast("long").alias("n"))
 
 
@@ -3031,50 +3253,59 @@ def q_approx_percentiles(spark, sf_dir):
                       "n"))
 
 
-@query("q_corr_price_qty", """
+@query(_portable("q_corr_price_qty"), f"""
 WITH s AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n,
-         ROUND(SUM(l_quantity), 2) AS sx,
-         ROUND(SUM(l_extendedprice), 2) AS sy,
-         ROUND(SUM(l_quantity * l_quantity), 2) AS sxx,
-         ROUND(SUM(l_extendedprice * l_extendedprice), 2) AS syy,
-         ROUND(SUM(l_quantity * l_extendedprice), 2) AS sxy
+         SUM(CAST(ROUND(l_quantity, 0) AS BIGINT)) / 1.0 AS sx,
+         SUM(CAST(ROUND(l_extendedprice * 100.0, 0) AS BIGINT)) / 100.0
+           AS sy,
+         SUM(CAST(ROUND(l_quantity * l_quantity, 0) AS BIGINT)) / 1.0
+           AS sxx,
+         SUM(CAST(ROUND(l_extendedprice * l_extendedprice, 0) AS BIGINT))
+           / 1.0 AS syy,
+         SUM(CAST(ROUND(l_quantity * l_extendedprice * 100.0, 0)
+                  AS BIGINT)) / 100.0 AS sxy
   FROM lineitem)
-SELECT n, ROUND((n * sxy - sx * sy)
-                / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
-                6) AS corr
+SELECT n, {oround("(n * sxy - sx * sy)"
+                  " / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))",
+                  6)} AS corr
 FROM s
 """)
 def q_corr_price_qty(spark, sf_dir):
     """Pearson correlation composed from five map-side-combinable sums
     (one aggregate pass, no second scan). Spark's built-in F.corr merges
     partial (co)moments in partition order — not bit-stable across
-    engines — so the catalog entry uses the sum formula with each raw
-    sum ROUNDed before the final arithmetic, making the result exactly
-    reproducible on both engines while keeping the same single-pass
-    distributed shape."""
+    engines — so the catalog entry sums EXACT scaled-int moments
+    (quantity integral, price in cents, squares portable-rounded to
+    integer units), making the finishing arithmetic bit-identical on
+    both engines at any partitioning."""
     li = load_table(spark, sf_dir, "lineitem")
     x, y = F.col("l_quantity"), F.col("l_extendedprice")
     s = li.agg(F.count("*").cast("long").alias("n"),
-               F.round(F.sum(x), 2).alias("sx"),
-               F.round(F.sum(y), 2).alias("sy"),
-               F.round(F.sum(x * x), 2).alias("sxx"),
-               F.round(F.sum(y * y), 2).alias("syy"),
-               F.round(F.sum(x * y), 2).alias("sxy"))
+               (F.sum(F.round(x, 0).cast("long")) / F.lit(1.0))
+               .alias("sx"),
+               (F.sum(F.round(y * F.lit(100.0), 0).cast("long"))
+                / F.lit(100.0)).alias("sy"),
+               (F.sum(F.round(x * x, 0).cast("long")) / F.lit(1.0))
+               .alias("sxx"),
+               (F.sum(F.round(y * y, 0).cast("long")) / F.lit(1.0))
+               .alias("syy"),
+               (F.sum(F.round(x * y * F.lit(100.0), 0).cast("long"))
+                / F.lit(100.0)).alias("sxy"))
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
-    return s.select("n", F.round(
+    return s.select("n", sround(
         (n * sxy - sx * sy)
         / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
         .alias("corr"))
 
 
-@query("q18_large_orders", """
+@query(_portable("q18_large_orders"), f"""
 WITH big AS (
-  SELECT l_orderkey, ROUND(SUM(l_quantity), 2) AS qty
+  SELECT l_orderkey, {osum("l_quantity")} AS qty
   FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 320)
 SELECT c_custkey, c_name, o_orderkey,
-       ROUND(o_totalprice, 2) AS totalprice, qty
+       {oround("o_totalprice", 2)} AS totalprice, qty
 FROM big
 JOIN orders   ON o_orderkey = l_orderkey
 JOIN customer ON c_custkey = o_custkey
@@ -3089,13 +3320,13 @@ def q18_large_orders(spark, sf_dir):
     o = load_table(spark, sf_dir, "orders")
     cu = load_table(spark, sf_dir, "customer")
     big = (li.groupBy("l_orderkey")
-             .agg(F.round(F.sum("l_quantity"), 2).alias("qty"),
+             .agg(ssum(F.col("l_quantity")).alias("qty"),
                   F.sum("l_quantity").alias("_raw"))
              .where(F.col("_raw") > 320).drop("_raw"))
     return (big.join(o, big.l_orderkey == o.o_orderkey)
                .join(cu, o.o_custkey == cu.c_custkey)
                .select("c_custkey", "c_name", "o_orderkey",
-                       F.round("o_totalprice", 2).alias("totalprice"),
+                       sround(F.col("o_totalprice"), 2).alias("totalprice"),
                        "qty"))
 
 
@@ -3131,10 +3362,10 @@ def q_cohort_retention(spark, sf_dir):
                      .alias("active_users")))
 
 
-@query("q15_top_supplier", """
+@query(_portable("q15_top_supplier"), f"""
 WITH rev AS (
   SELECT l_suppkey,
-         ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+         {osum("l_extendedprice * (1 - l_discount)")} AS total_rev
   FROM lineitem
   WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
   GROUP BY l_suppkey)
@@ -3153,9 +3384,8 @@ def q15_top_supplier(spark, sf_dir):
         & (F.col("l_shipdate") < "1996-04-01"))
     su = load_table(spark, sf_dir, "supplier")
     rev = (li.groupBy("l_suppkey")
-             .agg(F.round(F.sum(F.col("l_extendedprice")
-                                * (1 - F.col("l_discount"))), 2)
-                   .alias("total_rev")))
+             .agg(ssum(F.col("l_extendedprice")
+                       * (1 - F.col("l_discount"))).alias("total_rev")))
     top = rev.agg(F.max("total_rev").alias("m"))
     return (rev.join(F.broadcast(top), rev.total_rev == top.m)
                .join(su, rev.l_suppkey == su.s_suppkey)
@@ -3207,8 +3437,8 @@ def q_mad_robust_stats(spark, sf_dir):
                    F.round(F.expr("percentile(dev, 0.5)"), 4).alias("mad")))
 
 
-@query("q6_forecast_revenue", """
-SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+@query(_portable("q6_forecast_revenue"), f"""
+SELECT {osum("l_extendedprice * l_discount")} AS revenue,
        CAST(COUNT(*) AS BIGINT) AS n
 FROM lineitem
 WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
@@ -3225,21 +3455,22 @@ def q6_forecast_revenue(spark, sf_dir):
                      & (F.col("l_shipdate") < "1997-01-01")
                      & F.col("l_discount").between(0.05, 0.07)
                      & (F.col("l_quantity") < 24))
-              .agg(F.round(F.sum(F.col("l_extendedprice")
-                                 * F.col("l_discount")), 2).alias("revenue"),
+              .agg(ssum(F.col("l_extendedprice")
+                        * F.col("l_discount")).alias("revenue"),
                    F.count("*").cast("long").alias("n")))
 
 
-@query("q11_value_concentration", """
+@query(_portable("q11_value_concentration"), f"""
 WITH sp AS (
-  SELECT l_partkey, ROUND(SUM(l_extendedprice), 2) AS val
+  SELECT l_partkey, {osum("l_extendedprice")} AS val
   FROM lineitem
   JOIN supplier ON l_suppkey = s_suppkey
   JOIN nation   ON s_nationkey = n_nationkey
   WHERE n_name = 'NATION_3'
   GROUP BY l_partkey)
 SELECT l_partkey, val
-FROM sp WHERE val > (SELECT SUM(val) * 0.002 FROM sp)
+FROM sp WHERE val > (SELECT SUM(CAST(ROUND(val * 100.0, 0) AS BIGINT))
+                            / 100.0 * 0.002 FROM sp)
 """)
 def q11_value_concentration(spark, sf_dir):
     """TPC-H Q11 shape (adapted: part-supplier value derives from
@@ -3256,13 +3487,17 @@ def q11_value_concentration(spark, sf_dir):
            .select("s_suppkey")
     sp = (li.join(s3, li.l_suppkey == s3.s_suppkey)
             .groupBy("l_partkey")
-            .agg(F.round(F.sum("l_extendedprice"), 2).alias("val")))
-    thresh = sp.agg((F.sum("val") * 0.002).alias("t"))
+            .agg(ssum(F.col("l_extendedprice")).alias("val")))
+    # val is exactly k/100.0, so val*100 recovers the integer cents and
+    # the threshold sum stays exact (order-independent) on both engines
+    thresh = sp.agg((F.sum(F.round(F.col("val") * F.lit(100.0), 0)
+                            .cast("long"))
+                     / F.lit(100.0) * F.lit(0.002)).alias("t"))
     return (sp.join(F.broadcast(thresh), sp.val > thresh.t)
               .select("l_partkey", "val"))
 
 
-@query("q8_market_share", """
+@query(_portable("q8_market_share"), f"""
 WITH vol AS (
   SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
          l_extendedprice * (1 - l_discount) AS v,
@@ -3274,15 +3509,18 @@ WITH vol AS (
   JOIN region   ON n_regionkey = r_regionkey
   WHERE r_name = 'ASIA')
 SELECT yr,
-       ROUND(ROUND(SUM(CASE WHEN is_target THEN v ELSE 0 END), 2)
-             / ROUND(SUM(v), 2), 6) AS mkt_share
+       {oround("SUM(CAST(ROUND((CASE WHEN is_target THEN v ELSE 0 END)"
+               " * 10000.0, 0) AS BIGINT))"
+               " / SUM(CAST(ROUND(v * 10000.0, 0) AS BIGINT))", 6)}
+         AS mkt_share
 FROM vol GROUP BY yr
 """)
 def q8_market_share(spark, sf_dir):
     """TPC-H Q8 shape: one nation's share of a region's supply revenue
     per year — numerator and denominator from ONE pass (conditional sum),
     not two scans. Region filter broadcasts into supplier ahead of the
-    fact joins; both sums rounded before the ratio (ulp-stable)."""
+    fact joins; both sums are exact scaled-int BIGINTs (shared scale
+    cancels in the ratio), final round portable."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     na = load_table(spark, sf_dir, "nation")
@@ -3296,10 +3534,12 @@ def q8_market_share(spark, sf_dir):
     return (li.join(o, li.l_orderkey == o.o_orderkey)
               .join(su, li.l_suppkey == su.s_suppkey)
               .groupBy(F.year("o_orderdate").cast("long").alias("yr"))
-              .agg(F.round(
-                  F.round(F.sum(F.when(F.col("is_target"), v)
-                                .otherwise(0.0)), 2)
-                  / F.round(F.sum(v), 2), 6).alias("mkt_share")))
+              .agg(sround(
+                  F.sum(F.round(F.when(F.col("is_target"), v)
+                                 .otherwise(0.0) * F.lit(10000.0), 0)
+                         .cast("long"))
+                  / F.sum(F.round(v * F.lit(10000.0), 0).cast("long")),
+                  6).alias("mkt_share")))
 
 
 @query("q13_order_count_distribution", """
@@ -3327,10 +3567,12 @@ def q13_order_count_distribution(spark, sf_dir):
                     .agg(F.count("*").cast("long").alias("custdist")))
 
 
-@query("q22_dormant_rich_customers", """
-WITH t AS (SELECT AVG(c_acctbal) AS a FROM customer WHERE c_acctbal > 0)
+@query(_portable("q22_dormant_rich_customers"), f"""
+WITH t AS (SELECT SUM(CAST(ROUND(c_acctbal * 100.0, 0) AS BIGINT))
+                  / COUNT(c_acctbal) / 100.0 AS a
+           FROM customer WHERE c_acctbal > 0)
 SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS numcust,
-       ROUND(SUM(c_acctbal), 2) AS totacctbal
+       {osum("c_acctbal")} AS totacctbal
 FROM customer, t
 WHERE c_acctbal > a
   AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
@@ -3349,21 +3591,23 @@ def q22_dormant_rich_customers(spark, sf_dir):
          .where(F.col("o_orderpriority") == "1-URGENT")
          .select("o_custkey"))
     t = cu.where(F.col("c_acctbal") > 0).agg(
-        F.avg("c_acctbal").alias("a"))
+        (F.sum(F.round(F.col("c_acctbal") * F.lit(100.0), 0).cast("long"))
+         / F.count("c_acctbal") / F.lit(100.0)).alias("a"))
     return (cu.join(F.broadcast(t), cu.c_acctbal > t.a)
               .join(o, cu.c_custkey == o.o_custkey, "left_anti")
               .groupBy("c_nationkey")
               .agg(F.count("*").cast("long").alias("numcust"),
-                   F.round(F.sum("c_acctbal"), 2).alias("totacctbal")))
+                   ssum(F.col("c_acctbal")).alias("totacctbal")))
 
 
-@query("q17_small_quantity_revenue", """
+@query(_portable("q17_small_quantity_revenue"), f"""
 WITH pk AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#23'),
 li_b AS (SELECT l_partkey, l_quantity, l_extendedprice
          FROM lineitem JOIN pk ON l_partkey = p_partkey),
 lim AS (SELECT l_partkey AS lp, 0.2 * AVG(l_quantity) AS qlim
         FROM li_b GROUP BY l_partkey)
-SELECT ROUND(ROUND(SUM(l_extendedprice), 2) / 7.0, 4) AS avg_yearly,
+SELECT {oround("SUM(CAST(ROUND(l_extendedprice * 10000.0, 0) AS BIGINT))"
+               " / 10000.0 / 7.0", 4)} AS avg_yearly,
        CAST(COUNT(*) AS BIGINT) AS n
 FROM li_b JOIN lim ON l_partkey = lp
 WHERE l_quantity < qlim
@@ -3384,7 +3628,10 @@ def q17_small_quantity_revenue(spark, sf_dir):
                .agg((F.avg("l_quantity") * 0.2).alias("qlim")))
     return (li_b.join(lim, li_b.l_partkey == lim.lp)
                 .where(F.col("l_quantity") < F.col("qlim"))
-                .agg(F.round(F.round(F.sum("l_extendedprice"), 2) / 7.0, 4)
+                .agg(sround(F.sum(F.round(F.col("l_extendedprice")
+                                          * F.lit(10000.0), 0)
+                                   .cast("long"))
+                            / F.lit(10000.0) / F.lit(7.0), 4)
                       .alias("avg_yearly"),
                      F.count("*").cast("long").alias("n")))
 
@@ -3420,10 +3667,10 @@ def q4_order_priority(spark, sf_dir):
              .agg(F.count("*").cast("long").alias("order_count")))
 
 
-@query("q9_product_type_profit", """
+@query(_portable("q9_product_type_profit"), f"""
 SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)
-                 - p_retailprice * 0.1 * l_quantity), 2) AS profit
+       {osum("l_extendedprice * (1 - l_discount)"
+             " - p_retailprice * 0.1 * l_quantity")} AS profit
 FROM lineitem
 JOIN part     ON p_partkey = l_partkey
 JOIN supplier ON s_suppkey = l_suppkey
@@ -3441,7 +3688,9 @@ def q9_product_type_profit(spark, sf_dir):
     build side; part/supplier joins stay AQE-decided (SF-proportional,
     unhinted per PLANS.md) while 25-row nation is hinted; the
     lineitem-orders join shuffles on orderkey; the (nation, year)
-    rollup is enum x years small with map-side partials."""
+    rollup is enum x years small with map-side partials. Profit is a
+    portable scaled-int money sum (r10): the r9 driver red row was this
+    query's double-SUM order flipping ROUND at a half-cent boundary."""
     li = load_table(spark, sf_dir, "lineitem")
     p = (load_table(spark, sf_dir, "part")
          .where(F.col("p_name").like("small%"))
@@ -3458,10 +3707,9 @@ def q9_product_type_profit(spark, sf_dir):
               .groupBy(F.col("n_name").alias("nation"),
                        F.year("o_orderdate").cast("long")
                         .alias("o_year"))
-              .agg(F.round(F.sum(
-                       F.col("l_extendedprice") * (1 - F.col("l_discount"))
-                       - F.col("p_retailprice") * 0.1
-                       * F.col("l_quantity")), 2).alias("profit")))
+              .agg(ssum(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                        - F.col("p_retailprice") * 0.1
+                        * F.col("l_quantity")).alias("profit")))
 
 
 @query("q12_late_shipment_priority", """
@@ -3611,10 +3859,19 @@ def q_kql_dcount_users(spark, sf_dir):
     """)
 
 
-@query("q_anomaly_outliers", """
+@query(_portable("q_anomaly_outliers"), f"""
 WITH s AS (
-  SELECT event_type, ROUND(AVG(value), 6) AS mu,
-         ROUND(STDDEV_SAMP(value), 6) AS sd
+  SELECT event_type,
+         {oround("SUM(CAST(ROUND(value * 10000.0, 0) AS BIGINT))"
+                 " / 10000.0 / COUNT(value)", 6)} AS mu,
+         {oround("sqrt(greatest("
+                 "(SUM(CAST(ROUND(value * value * 100.0, 0) AS BIGINT))"
+                 " / 100.0"
+                 " - (SUM(CAST(ROUND(value * 10000.0, 0) AS BIGINT))"
+                 " / 10000.0)"
+                 " * (SUM(CAST(ROUND(value * 10000.0, 0) AS BIGINT))"
+                 " / 10000.0) / COUNT(value))"
+                 " / (COUNT(value) - 1), 0.0))", 6)} AS sd
   FROM events GROUP BY event_type)
 SELECT e.event_type,
        CAST(SUM(CASE WHEN abs(value - mu) > 3 * sd THEN 1 ELSE 0 END)
@@ -3627,12 +3884,22 @@ def q_anomaly_outliers(spark, sf_dir):
     """3-sigma outlier screen per event type — the metric-anomaly triage
     pass a telemetry pipeline runs before alerting. Two-pass shape: tiny
     per-type stats broadcast back onto the stream of values (same scalar
-    re-join pattern as MAD). mu and sd are ROUNDed before the threshold
-    compare so float merge order cannot flip a borderline count."""
+    re-join pattern as MAD). mu and sd derive from EXACT scaled-int
+    moments (sum at 1e4, sum-of-squares at 1e2) so the borderline
+    threshold compare is bit-identical across engines and partition
+    orders — the built-in stddev merges partial co-moments in partition
+    order and is not."""
     ev = load_table(spark, sf_dir, "events")
+    sx = F.sum(F.round(F.col("value") * F.lit(10000.0), 0).cast("long")) \
+          / F.lit(10000.0)
+    sxx = F.sum(F.round(F.col("value") * F.col("value") * F.lit(100.0), 0)
+                 .cast("long")) / F.lit(100.0)
+    n = F.count("value")
     s = (ev.groupBy(F.col("event_type").alias("et"))
-           .agg(F.round(F.avg("value"), 6).alias("mu"),
-                F.round(F.stddev_samp("value"), 6).alias("sd")))
+           .agg(sround(sx / n, 6).alias("mu"),
+                sround(F.sqrt(F.greatest(
+                    (sxx - sx * sx / n) / (n - 1), F.lit(0.0))), 6)
+                 .alias("sd")))
     return (ev.join(F.broadcast(s), ev.event_type == s.et)
               .groupBy("event_type")
               .agg(F.sum(F.when(F.abs(F.col("value") - F.col("mu"))
@@ -3752,9 +4019,9 @@ def q_kql_mv_expand_terms(spark, sf_dir):
     """)
 
 
-@query("q_kql_extractjson", """
+@query(_portable("q_kql_extractjson"), f"""
 SELECT event_type,
-       ROUND(AVG(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 4)
+       {oavg("CAST(json_extract_string(props, '$.k') AS DOUBLE)")}
          AS avg_k,
        CAST(COUNT(*) AS BIGINT) AS n
 FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
@@ -3766,11 +4033,11 @@ def q_kql_extractjson(spark, sf_dir):
     numeric aggregate — the 'pull one field out of a property bag'
     pattern Kusto ingestion queries live on."""
     from azure_kusto_parquet_conv_spark.kql import kql
-    return kql(spark, sf_dir, """
+    return kql(spark, sf_dir, f"""
       events
         | extend k=todouble(extractjson('$.k', props))
         | where isnotnull(k)
-        | summarize avg_k=round(avg(k), 4), n=count() by event_type
+        | summarize avg_k={kavg("k")}, n=count() by event_type
     """)
 
 
@@ -3865,14 +4132,14 @@ def q_decontaminate(spark, sf_dir):
         F.count("*").cast("long").alias("n_contaminated"))
 
 
-@query("q_unigram_logprob", f"""
+@query(_portable("q_unigram_logprob"), f"""
 WITH tok AS (SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS w
              FROM documents),
 freq AS (SELECT w, CAST(COUNT(*) AS DOUBLE) AS n FROM tok GROUP BY w),
 tot AS (SELECT SUM(n) AS t FROM freq),
 sc AS (SELECT tok.doc_id, ln(freq.n / tot.t) AS lp
        FROM tok JOIN freq USING (w), tot)
-SELECT doc_id, ROUND(AVG(lp), 4) AS avg_logprob,
+SELECT doc_id, {oavg("lp")} AS avg_logprob,
        CAST(COUNT(*) AS BIGINT) AS n_tok
 FROM sc GROUP BY doc_id
 """)
@@ -3892,15 +4159,15 @@ def q_unigram_logprob(spark, sf_dir):
         "w", F.log(F.col("n") / F.col("t")).alias("lp"))
     return (tok.join(freq_p, "w")
                .groupBy("doc_id")
-               .agg(F.round(F.avg("lp"), 4).alias("avg_logprob"),
+               .agg(savg(F.col("lp")).alias("avg_logprob"),
                     F.count("*").cast("long").alias("n_tok")))
 
 
-@query("q_events_heatmap", """
+@query(_portable("q_events_heatmap"), f"""
 SELECT CAST(dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS BIGINT) AS dow,
        CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS hr,
        CAST(COUNT(*) AS BIGINT) AS n,
-       ROUND(SUM(value), 2) AS v
+       {osum("value")} AS v
 FROM events GROUP BY dow, hr
 """)
 def q_events_heatmap(spark, sf_dir):
@@ -3912,7 +4179,7 @@ def q_events_heatmap(spark, sf_dir):
     return (ev.groupBy(F.dayofweek("ts").cast("long").alias("dow"),
                        F.hour("ts").cast("long").alias("hr"))
               .agg(F.count("*").cast("long").alias("n"),
-                   F.round(F.sum("value"), 2).alias("v")))
+                   ssum(F.col("value")).alias("v")))
 
 
 @query("q_basket_pairs", """
@@ -4089,7 +4356,7 @@ def q_kql_partition_prev(spark, sf_dir):
     """)
 
 
-@query("q_weighted_sample", """
+@query(_portable("q_weighted_sample"), f"""
 WITH w AS (
   SELECT doc_id, lang,
          least(n_chars / 1000.0, 1.0) AS wt,
@@ -4097,7 +4364,7 @@ WITH w AS (
            / 16777216.0 AS u
   FROM documents)
 SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept,
-       ROUND(SUM(wt), 4) AS kept_weight
+       {osum("wt", 4)} AS kept_weight
 FROM w WHERE u < wt GROUP BY lang
 """)
 def q_weighted_sample(spark, sf_dir):
@@ -4116,7 +4383,7 @@ def q_weighted_sample(spark, sf_dir):
              .where(F.col("u") < F.col("wt"))
              .groupBy("lang")
              .agg(F.count("*").cast("long").alias("n_kept"),
-                  F.round(F.sum("wt"), 4).alias("kept_weight")))
+                  ssum(F.col("wt"), 4).alias("kept_weight")))
 
 
 @query("q_trailing_wau", """
@@ -4286,9 +4553,9 @@ def q_kql_datatable_join(spark, sf_dir):
     """)
 
 
-@query("q_kql_let_pipeline", """
+@query(_portable("q_kql_let_pipeline"), f"""
 SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
-       ROUND(SUM(l_quantity), 2) AS qty
+       {osum("l_quantity")} AS qty
 FROM lineitem WHERE l_quantity > 30
 GROUP BY l_returnflag
 """)
@@ -4297,32 +4564,53 @@ def q_kql_let_pipeline(spark, sf_dir):
     sees a constant) and a tabular let (a named DataFrame reused as a
     source) feeding the final pipeline."""
     from azure_kusto_parquet_conv_spark.kql import kql
-    return kql(spark, sf_dir, """
+    return kql(spark, sf_dir, f"""
       let cutoff = 30;
       let big = lineitem | where l_quantity > cutoff;
-      big | summarize n = count(), qty = round(sum(l_quantity), 2)
+      big | summarize n = count(), qty = {ksum("l_quantity")}
             by l_returnflag
     """)
 
 
-@query("q_kql_cond_aggs", """
+@query(_portable("q_kql_cond_aggs"), f"""
 SELECT l_linestatus,
-       ROUND(SUM(CASE WHEN l_discount > 0.05 THEN l_quantity END), 2)
-         AS hi_qty,
+       CAST(ROUND(SUM(CASE WHEN l_discount > 0.05 THEN
+                    CAST(ROUND(l_quantity * 10000.0, 0) AS BIGINT) END)
+                  / 100.0, 0) AS BIGINT) / 100.0 AS hi_qty,
        CAST(COUNT(DISTINCT CASE WHEN l_discount > 0.05
                    THEN l_orderkey END) AS BIGINT) AS hi_orders,
-       ROUND(stddev_samp(l_quantity), 4) AS sd
+       {oround("sqrt(greatest("
+               "(SUM(CAST(ROUND(l_quantity * l_quantity, 0) AS BIGINT))"
+               " / 1.0"
+               " - (SUM(CAST(ROUND(l_quantity, 0) AS BIGINT)) / 1.0)"
+               " * (SUM(CAST(ROUND(l_quantity, 0) AS BIGINT)) / 1.0)"
+               " / COUNT(*)) / (COUNT(*) - 1), 0.0))", 4)} AS sd
 FROM lineitem GROUP BY l_linestatus
 """)
 def q_kql_cond_aggs(spark, sf_dir):
     """KQL conditional aggregates (sumif/dcountif) + stdev: all compile
-    to CASE-gated JVM aggregates — one shuffle, map-side partials."""
+    to CASE-gated JVM aggregates — one shuffle, map-side partials.
+    stdev is composed from exact scaled-int moments (portable; the
+    built-in's partial-merge order is not), sumif rides the scaled
+    accumulator inside the predicate gate."""
     from azure_kusto_parquet_conv_spark.kql import kql
-    return kql(spark, sf_dir, """
+    return kql(spark, sf_dir, f"""
       lineitem
-        | summarize hi_qty = round(sumif(l_quantity, l_discount > 0.05), 2),
+        | summarize hi_qty = tolong(round(
+                      sumif(tolong(round(l_quantity * todouble(10000.0),
+                                         0)),
+                            l_discount > 0.05) / todouble(100.0), 0))
+                      / todouble(100.0),
                     hi_orders = dcountif(l_orderkey, l_discount > 0.05),
-                    sd = round(stdev(l_quantity), 4)
+                    sd = tolong(round(sqrt(max_of(
+                      (sum(tolong(round(l_quantity * l_quantity, 0)))
+                         / todouble(1.0)
+                       - (sum(tolong(round(l_quantity, 0)))
+                          / todouble(1.0))
+                       * (sum(tolong(round(l_quantity, 0)))
+                          / todouble(1.0))
+                       / count()) / (count() - 1), 0.0))
+                      * todouble(10000.0), 0)) / todouble(10000.0)
           by l_linestatus
     """)
 
@@ -4533,12 +4821,15 @@ def q_sequence_pack(spark, sf_dir):
 # Time-series (KQL series_* family) and round-5 curation additions
 # =======================================================================
 
-@query("q_kql_series_fill", """
+@query(_portable("q_kql_series_fill"), f"""
 WITH e AS (SELECT user_id % 5 AS b,
                   epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
                   value
            FROM events WHERE event_type = 'error' AND value > 90),
-du AS (SELECT b, day, AVG(value) AS v FROM e GROUP BY b, day),
+du AS (SELECT b, day,
+              SUM(CAST(ROUND(value * 10000.0e0, 0) AS BIGINT))
+                / 10000.0e0 / COUNT(*) AS v
+       FROM e GROUP BY b, day),
 days AS (SELECT unnest(range((SELECT MIN(day) FROM du),
                              (SELECT MAX(day) FROM du) + 1)) AS day),
 bs AS (SELECT DISTINCT b FROM du),
@@ -4560,13 +4851,13 @@ f AS (SELECT b, day, v,
                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ni
       FROM g)
 SELECT CAST(b AS BIGINT) AS b, CAST(day AS BIGINT) AS day,
-       ROUND(pv, 4) AS v_ff,
-       ROUND(CASE WHEN v IS NOT NULL THEN v
-                  WHEN pv IS NULL AND nv IS NULL THEN NULL
-                  WHEN pv IS NULL THEN nv
-                  WHEN nv IS NULL THEN pv
-                  ELSE pv + (nv - pv) * (day - pi) / (ni - pi) END,
-             4) AS v_lin
+       {oround("pv", 4)} AS v_ff,
+       {oround("CASE WHEN v IS NOT NULL THEN v"
+               " WHEN pv IS NULL AND nv IS NULL THEN NULL"
+               " WHEN pv IS NULL THEN nv"
+               " WHEN nv IS NULL THEN pv"
+               " ELSE pv + (nv - pv) * (day - pi) / (ni - pi) END", 4)}
+         AS v_lin
 FROM f
 """)
 def q_kql_series_fill(spark, sf_dir):
@@ -4583,7 +4874,10 @@ def q_kql_series_fill(spark, sf_dir):
       events
         | where event_type == 'error' and value > 90
         | extend b = tolong(user_id % 5)
-        | make-series s=avg(value) default=null on ts step 1d by b
+        | make-series s = sum(tolong(round(value * todouble(10000.0),
+                                           0)))
+                          / todouble(10000.0) / count()
+            default=null on ts step 1d by b
         | extend ff = series_fill_forward(s), lin = series_fill_linear(s)
     """)
     z = df.select("b", F.explode(F.arrays_zip("bins", "s", "ff", "lin"))
@@ -4592,8 +4886,8 @@ def q_kql_series_fill(spark, sf_dir):
         "b",
         (F.unix_micros(F.col("z.bins")) / F.lit(86400000000))
         .cast("long").alias("day"),
-        F.round(F.col("z.ff"), 4).alias("v_ff"),
-        F.round(F.col("z.lin"), 4).alias("v_lin"))
+        sround(F.col("z.ff"), 4).alias("v_ff"),
+        sround(F.col("z.lin"), 4).alias("v_lin"))
 
 
 @query("q_kql_series_outliers", """
@@ -4646,12 +4940,15 @@ def q_kql_series_outliers(spark, sf_dir):
         F.round(F.col("z.o"), 4).alias("score"))
 
 
-@query("q_kql_series_smooth", """
+@query(_portable("q_kql_series_smooth"), f"""
 WITH e AS (SELECT user_id % 5 AS b,
                   epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
                   value
            FROM events),
-du AS (SELECT b, day, AVG(value) AS v FROM e GROUP BY b, day),
+du AS (SELECT b, day,
+              SUM(CAST(ROUND(value * 10000.0e0, 0) AS BIGINT))
+                / 10000.0e0 / COUNT(*) AS v
+       FROM e GROUP BY b, day),
 days AS (SELECT unnest(range((SELECT MIN(day) FROM du),
                              (SELECT MAX(day) FROM du) + 1)) AS day),
 bs AS (SELECT DISTINCT b FROM du),
@@ -4663,7 +4960,7 @@ s AS (SELECT b, day, v,
                           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS sm
       FROM g)
 SELECT CAST(b AS BIGINT) AS b, CAST(day AS BIGINT) AS day,
-       ROUND(sm, 4) AS smooth, ROUND(v - sm, 4) AS resid
+       {oround("sm", 4)} AS smooth, {oround("v - sm", 4)} AS resid
 FROM s
 """)
 def q_kql_series_smooth(spark, sf_dir):
@@ -4677,7 +4974,10 @@ def q_kql_series_smooth(spark, sf_dir):
     df = kql(spark, sf_dir, """
       events
         | extend b = tolong(user_id % 5)
-        | make-series s=avg(value) on ts step 1d by b
+        | make-series s = sum(tolong(round(value * todouble(10000.0),
+                                           0)))
+                          / todouble(10000.0) / count()
+            on ts step 1d by b
         | extend sm = series_fir(s, 3),
                  resid = series_subtract(s, series_fir(s, 3))
     """)
@@ -4687,11 +4987,11 @@ def q_kql_series_smooth(spark, sf_dir):
         "b",
         (F.unix_micros(F.col("z.bins")) / F.lit(86400000000))
         .cast("long").alias("day"),
-        F.round(F.col("z.sm"), 4).alias("smooth"),
-        F.round(F.col("z.resid"), 4).alias("resid"))
+        sround(F.col("z.sm"), 4).alias("smooth"),
+        sround(F.col("z.resid"), 4).alias("resid"))
 
 
-@query("q_kql_series_seasonal", """
+@query(_portable("q_kql_series_seasonal"), f"""
 WITH e AS (SELECT user_id % 5 AS b,
                   epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
            FROM events),
@@ -4711,8 +5011,8 @@ s AS (SELECT b, day, n,
       FROM g)
 SELECT CAST(b AS BIGINT) AS b, CAST(day AS BIGINT) AS day,
        CAST(n AS BIGINT) AS n,
-       ROUND(ph - ov, 4) AS seasonal,
-       ROUND(SQRT(GREATEST(sq - ov * ov, 0)), 4) AS sd
+       {oround("ph - ov", 4)} AS seasonal,
+       {oround("SQRT(GREATEST(sq - ov * ov, 0))", 4)} AS sd
 FROM s
 """)
 def q_kql_series_seasonal(spark, sf_dir):
@@ -4736,8 +5036,8 @@ def q_kql_series_seasonal(spark, sf_dir):
         (F.unix_micros(F.col("z.bins")) / F.lit(86400000000))
         .cast("long").alias("day"),
         F.col("z.n").cast("long").alias("n"),
-        F.round(F.col("z.sea"), 4).alias("seasonal"),
-        F.round(F.col("sd"), 4).alias("sd"))
+        sround(F.col("z.sea"), 4).alias("seasonal"),
+        sround(F.col("sd"), 4).alias("sd"))
 
 
 @query("q_kql_search", """
@@ -4857,7 +5157,7 @@ def q_gopher_rules(spark, sf_dir):
          .cast("long").alias("n_pass"))
 
 
-@query("q_bigram_logprob", f"""
+@query(_portable("q_bigram_logprob"), f"""
 WITH t AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks
            FROM documents),
 tok AS (SELECT doc_id, unnest(toks) AS w,
@@ -4872,7 +5172,7 @@ c2 AS (SELECT w, w2, CAST(COUNT(*) AS DOUBLE) AS n2
 c1 AS (SELECT w, CAST(COUNT(*) AS DOUBLE) AS n1 FROM big GROUP BY w),
 sc AS (SELECT big.doc_id, ln(c2.n2 / c1.n1) AS lp
        FROM big JOIN c2 USING (w, w2) JOIN c1 USING (w))
-SELECT doc_id, ROUND(AVG(lp), 4) AS avg_logprob,
+SELECT doc_id, {oavg("lp")} AS avg_logprob,
        CAST(COUNT(*) AS BIGINT) AS n_bigrams
 FROM sc GROUP BY doc_id
 """)
@@ -4898,34 +5198,41 @@ def q_bigram_logprob(spark, sf_dir):
     sc = (big.join(c2, ["w", "w2"]).join(c1, "w")
              .select("doc_id", F.log(F.col("n2") / F.col("n1")).alias("lp")))
     return sc.groupBy("doc_id").agg(
-        F.round(F.avg("lp"), 4).alias("avg_logprob"),
+        savg(F.col("lp")).alias("avg_logprob"),
         F.count("*").cast("long").alias("n_bigrams"))
 
 
-@query("q_kql_row_cumsum", """
+@query(_portable("q_kql_row_cumsum"), """
 SELECT user_id, event_id,
-       ROUND(SUM(value) OVER (
+       CAST(ROUND(SUM(CAST(ROUND(value * 10000.0, 0) AS BIGINT)) OVER (
          PARTITION BY user_id ORDER BY ts, event_id
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         / 100.0, 0) AS BIGINT) / 100.0 AS run
 FROM events
 """)
 def q_kql_row_cumsum(spark, sf_dir):
     """KQL row_cumsum inside a partition scope: running sum over the
     per-user serialized order, compiled to a key-partitioned window
     (one shuffle on user_id, no global sort — the scale-safe home for
-    Kusto's serialized operators)."""
+    Kusto's serialized operators). The cumsum rides an exact scaled
+    long: DuckDB's window SUM is a segment-tree reduction whose double
+    summation order differs from a sequential fold, so only integer
+    accumulation is engine-portable."""
     from azure_kusto_parquet_conv_spark.kql import kql
     return kql(spark, sf_dir, """
       events
         | partition by user_id (
             sort by ts_ns asc, event_id asc
-            | extend run0 = row_cumsum(value)
+            | extend run0 = row_cumsum(tolong(round(
+                value * todouble(10000.0), 0)))
           )
-        | project user_id, event_id, run = round(run0, 2)
+        | project user_id, event_id,
+                  run = tolong(round(run0 / todouble(100.0), 0))
+                        / todouble(100.0)
     """)
 
 
-@query("q_kql_series_anomalies", """
+@query(_portable("q_kql_series_anomalies"), f"""
 WITH e AS (SELECT user_id % 5 AS b,
                   epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
            FROM events),
@@ -4953,13 +5260,13 @@ qs AS (SELECT b,
               l[greatest(CAST(ceil(c * 0.75) AS INT), 1)] AS q3
        FROM st)
 SELECT CAST(r.b AS BIGINT) AS b, CAST(r.day AS BIGINT) AS day,
-       CAST(r.n AS BIGINT) AS n, ROUND(r.resid, 4) AS resid,
-       ROUND(CASE WHEN q3 - q1 <= 0 THEN 0.0
-                  WHEN r.resid > q3 + 1.5 * (q3 - q1)
-                  THEN (r.resid - (q3 + 1.5 * (q3 - q1))) / (q3 - q1)
-                  WHEN r.resid < q1 - 1.5 * (q3 - q1)
-                  THEN (r.resid - (q1 - 1.5 * (q3 - q1))) / (q3 - q1)
-                  ELSE 0.0 END, 4) AS score
+       CAST(r.n AS BIGINT) AS n, {oround("r.resid", 4)} AS resid,
+       {oround("CASE WHEN q3 - q1 <= 0 THEN 0.0"
+               " WHEN r.resid > q3 + 1.5 * (q3 - q1)"
+               " THEN (r.resid - (q3 + 1.5 * (q3 - q1))) / (q3 - q1)"
+               " WHEN r.resid < q1 - 1.5 * (q3 - q1)"
+               " THEN (r.resid - (q1 - 1.5 * (q3 - q1))) / (q3 - q1)"
+               " ELSE 0.0 END", 4)} AS score
 FROM r JOIN qs ON r.b = qs.b
 """)
 def q_kql_series_anomalies(spark, sf_dir):
@@ -4987,8 +5294,8 @@ def q_kql_series_anomalies(spark, sf_dir):
         (F.unix_micros(F.col("z.bins")) / F.lit(86400000000))
         .cast("long").alias("day"),
         F.col("z.n").cast("long").alias("n"),
-        F.round(F.col("z.resid"), 4).alias("resid"),
-        F.round(F.col("z.score"), 4).alias("score"))
+        sround(F.col("z.resid"), 4).alias("resid"),
+        sround(F.col("z.score"), 4).alias("score"))
 
 
 @query("q_kql_autocluster", """
@@ -5101,13 +5408,14 @@ def q_kql_diffpatterns(spark, sf_dir):
     """)
 
 
-@query("q_kql_udf_threshold", """
-WITH c AS (SELECT AVG(o_totalprice) AS cutoff FROM orders)
-SELECT CASE WHEN o_totalprice > 2 * cutoff THEN 'high'
+@query(_portable("q_kql_udf_threshold"), f"""
+WITH c AS (SELECT SUM(CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT))
+                  / COUNT(*) / 100.0 AS cutoff FROM orders)
+SELECT CASE WHEN o_totalprice > 2.0 * cutoff THEN 'high'
             WHEN o_totalprice > cutoff THEN 'mid'
             ELSE 'low' END AS tier,
        CAST(COUNT(*) AS BIGINT) AS n,
-       ROUND(SUM(o_totalprice), 2) AS total
+       {osum("o_totalprice")} AS total
 FROM orders, c GROUP BY tier
 """)
 def q_kql_udf_threshold(spark, sf_dir):
@@ -5115,19 +5423,24 @@ def q_kql_udf_threshold(spark, sf_dir):
     a toscalar() materialization (one tiny driver job, then constant
     folding), the tier rule a user-defined scalar function expanded at
     its call site — the query itself stays one scan + one aggregate,
-    exactly the oracle's shape."""
+    exactly the oracle's shape. The cutoff is an exact scaled-int
+    average (and re-enters the query as a repr() literal, which
+    round-trips doubles bit-exactly), so tier membership at the
+    boundary cannot drift between engines."""
     from azure_kusto_parquet_conv_spark.kql import kql
-    return kql(spark, sf_dir, """
-      let cutoff = toscalar(orders | summarize avg(o_totalprice));
-      let tier = (p: real) {
-        case(p > 2.0 * cutoff, 'high', p > cutoff, 'mid', 'low') };
+    return kql(spark, sf_dir, f"""
+      let cutoff = toscalar(orders | summarize
+        c = sum(tolong(round(o_totalprice * todouble(100.0), 0)))
+            / count() / todouble(100.0));
+      let tier = (p: real) {{
+        case(p > 2.0 * cutoff, 'high', p > cutoff, 'mid', 'low') }};
       orders
-        | summarize n = count(), total = round(sum(o_totalprice), 2)
+        | summarize n = count(), total = {ksum("o_totalprice")}
             by tier = tier(o_totalprice)
     """)
 
 
-@query("q_kql_series_corr", """
+@query(_portable("q_kql_series_corr"), f"""
 WITH e AS (SELECT user_id % 5 AS b,
                   epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
                   CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS c,
@@ -5141,16 +5454,33 @@ g AS (SELECT bs.b, days.day,
              CAST(COALESCE(du.nc, 0) AS DOUBLE) AS nc,
              CAST(COALESCE(du.nv, 0) AS DOUBLE) AS nv
       FROM bs CROSS JOIN days
-      LEFT JOIN du ON du.b = bs.b AND du.day = days.day)
-SELECT CAST(b AS BIGINT) AS b, ROUND(corr(nc, nv), 4) AS r
-FROM g GROUP BY b
+      LEFT JOIN du ON du.b = bs.b AND du.day = days.day),
+m AS (SELECT b, COUNT(*) / 1.0 AS n,
+             SUM(CAST(nc AS BIGINT)) / 1.0 AS sx,
+             SUM(CAST(nv AS BIGINT)) / 1.0 AS sy,
+             SUM(CAST(nc * nv AS BIGINT)) / 1.0 AS sxy,
+             SUM(CAST(nc * nc AS BIGINT)) / 1.0 AS sxx,
+             SUM(CAST(nv * nv AS BIGINT)) / 1.0 AS syy
+      FROM g GROUP BY b)
+SELECT CAST(b AS BIGINT) AS b,
+       {oround("CASE WHEN n = 0 OR n * sxx - sx * sx <= 0"
+               " OR n * syy - sy * sy <= 0 THEN NULL"
+               " ELSE (n * sxy - sx * sy)"
+               " / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))"
+               " END", 4)} AS r
+FROM m
 """)
 def q_kql_series_corr(spark, sf_dir):
     """KQL series_pearson_correlation: daily click-count vs view-count
     correlation per user bucket, computed inside the in-row series
-    arrays (one fold chain, no extra shuffle). DuckDB's corr() is the
-    twin — the sample/population normalization factors cancel in
-    Pearson r, so the two formulas agree to rounding."""
+    arrays (one fold chain, no extra shuffle). The bin values are
+    integer counts, so the fold's moments are exact; the oracle
+    recomputes the SAME moments over exact integer sums and applies
+    the kernel's own finishing formula (kql.py series_pearson: note
+    the sqrt(vx)*sqrt(vy) denominator, not sqrt(vx*vy)), making the
+    result bit-identical before a portable final round — DuckDB's
+    built-in corr() accumulates co-moments in a different order and
+    is only ulp-close."""
     from azure_kusto_parquet_conv_spark.kql import kql
     return kql(spark, sf_dir, """
       events
@@ -5158,7 +5488,9 @@ def q_kql_series_corr(spark, sf_dir):
         | make-series nc = countif(event_type == 'click'),
                       nv = countif(event_type == 'view')
             on ts step 1d by b
-        | project b, r = round(series_pearson_correlation(nc, nv), 4)
+        | project b, r = tolong(round(series_pearson_correlation(nc, nv)
+                                      * todouble(10000.0), 0))
+                         / todouble(10000.0)
     """)
 
 
@@ -5429,7 +5761,7 @@ def q_kql_scan_funnel(spark, sf_dir):
     """)
 
 
-@query("q_kql_series_forecast", """
+@query(_portable("q_kql_series_forecast"), f"""
 WITH e AS (SELECT user_id % 3 AS b,
                   epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
            FROM events),
@@ -5448,7 +5780,7 @@ fit AS (SELECT b, regr_slope(n, i) AS sl, regr_intercept(n, i) AS ic,
 ph AS (SELECT b, i % 7 AS phase, AVG(n) AS pm FROM g GROUP BY b, i % 7),
 oi AS (SELECT f.b, unnest(range(0, f.cnt + 7)) AS i FROM fit f)
 SELECT CAST(oi.b AS BIGINT) AS b, CAST(oi.i AS BIGINT) AS i,
-       ROUND(f.ic + f.sl * oi.i + p.pm - f.ov, 4) AS fc
+       {oround("f.ic + f.sl * oi.i + p.pm - f.ov", 4)} AS fc
 FROM oi JOIN fit f ON oi.b = f.b
         JOIN ph p ON p.b = oi.b AND p.phase = oi.i % 7
 """)
@@ -5470,7 +5802,7 @@ def q_kql_series_forecast(spark, sf_dir):
     """)
     return (df.select("b", F.posexplode("fc").alias("i", "v"))
               .select("b", F.col("i").cast("long").alias("i"),
-                      F.round("v", 4).alias("fc")))
+                      sround(F.col("v"), 4).alias("fc")))
 
 
 @query("q_kql_narrow", """
@@ -5663,7 +5995,7 @@ def q_kql_sequence_detect(spark, sf_dir):
                       "n_sequences", "n_users"))
 
 
-@query("q_kql_fit_line", """
+@query(_portable("q_kql_fit_line"), f"""
 WITH e AS (SELECT user_id % 4 AS b,
                   epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
            FROM events),
@@ -5675,31 +6007,59 @@ bs AS (SELECT DISTINCT b FROM du),
 g AS (SELECT bs.b, days.day - (SELECT mn FROM mnx) AS i,
              CAST(COALESCE(du.n, 0) AS DOUBLE) AS n
       FROM bs CROSS JOIN days
-      LEFT JOIN du ON du.b = bs.b AND du.day = days.day)
+      LEFT JOIN du ON du.b = bs.b AND du.day = days.day),
+m AS (SELECT b, COUNT(*) / 1.0 AS c,
+             SUM(CAST(i AS BIGINT)) / 1.0 AS sx,
+             SUM(CAST(n AS BIGINT)) / 1.0 AS sy,
+             SUM(CAST(i * i AS BIGINT)) / 1.0 AS sxx,
+             SUM(CAST(i * n AS BIGINT)) / 1.0 AS sxy,
+             SUM(CAST(n * n AS BIGINT)) / 1.0 AS syy
+      FROM g GROUP BY b),
+fit AS (SELECT b,
+               CASE WHEN c < 2 OR c * sxx - sx * sx = 0 THEN NULL
+                    ELSE (c * sxy - sx * sy) / (c * sxx - sx * sx)
+               END AS sl, c, sx, sy, syy
+        FROM m),
+fit2 AS (SELECT b, sl, c, sy, syy,
+                (sy - sl * sx) / c AS ic FROM fit),
+res AS (SELECT f.b, f.sl, f.ic, f.c, f.sy, f.syy,
+               SUM((g.n - (f.ic + f.sl * g.i))
+                   * (g.n - (f.ic + f.sl * g.i))) AS ssres
+        FROM g JOIN fit2 f ON g.b = f.b
+        GROUP BY f.b, f.sl, f.ic, f.c, f.sy, f.syy)
 SELECT CAST(b AS BIGINT) AS b,
-       ROUND(regr_slope(n, i), 4) AS slope,
-       ROUND(regr_intercept(n, i), 4) AS icept,
-       ROUND(regr_r2(n, i), 4) AS rsq
-FROM g GROUP BY b
+       {oround("sl", 4)} AS slope,
+       {oround("ic", 4)} AS icept,
+       {oround("CASE WHEN syy - sy * sy / c <= 0 THEN 1.0"
+               " ELSE 1.0 - ssres / (syy - sy * sy / c) END", 4)} AS rsq
+FROM res
 """)
 def q_kql_fit_line(spark, sf_dir):
-    """series_fit_line_dynamic hash-checked against DuckDB's native
-    regression aggregates (regr_slope / regr_intercept / regr_r2): the
-    per-bucket daily-count series' least-squares line, computed in-row
-    by higher-order folds on the Spark side and by streaming regression
-    aggregates on the oracle side — two independent implementations of
-    the same math (the oracle rebuilds make-series' zero-filled
-    full-range grid first, so empty (bucket, day) cells weigh into
-    both fits identically)."""
+    """series_fit_line_dynamic hash-checked against an oracle that
+    replays the kernel's own closed formulas (kql.py fit-line machinery:
+    slope = (n·sxy - sx·sy)/(n·sxx - sx²), icept = (sy - slope·sx)/n,
+    rsq = 1 - ssres/sstot with population sstot) over EXACT integer
+    moments of the zero-filled full-range grid — DuckDB's regr_*
+    streaming aggregates compute the same math with a different
+    co-moment update order and are only ulp-close, which a hash gate
+    cannot tolerate. ssres remains a double sum on both sides (the
+    residuals are irrational in general); final rounds are portable."""
     from azure_kusto_parquet_conv_spark.kql import kql
     df = kql(spark, sf_dir, """
       events
         | extend b = tolong(user_id % 4)
         | make-series n = count() on ts step 1d by b
         | extend f = series_fit_line_dynamic(n)
-        | project b, slope = round(todouble(f.slope), 4),
-                  icept = round(todouble(f.interception), 4),
-                  rsq = round(todouble(f.rsquare), 4)
+        | project b,
+                  slope = tolong(round(todouble(f.slope)
+                                       * todouble(10000.0), 0))
+                          / todouble(10000.0),
+                  icept = tolong(round(todouble(f.interception)
+                                       * todouble(10000.0), 0))
+                          / todouble(10000.0),
+                  rsq = tolong(round(todouble(f.rsquare)
+                                     * todouble(10000.0), 0))
+                        / todouble(10000.0)
     """)
     return df
 
@@ -6535,10 +6895,10 @@ def q_kql_time_tools(spark, sf_dir):
     """)
 
 
-@query("q_kql_python", """
+@query(_portable("q_kql_python"), f"""
 SELECT CAST(l_orderkey % 4 AS BIGINT) AS bucket,
        CAST(COUNT(*) AS BIGINT) AS n,
-       ROUND(AVG(l_extendedprice / l_quantity), 4) AS avg_unit
+       {oavg("l_extendedprice / l_quantity")} AS avg_unit
 FROM lineitem WHERE l_orderkey < 200 GROUP BY 1
 """)
 def q_kql_python(spark, sf_dir):
@@ -6551,13 +6911,13 @@ def q_kql_python(spark, sf_dir):
     the scan BEFORE any Python runs). Hash-matched against the pure
     SQL twin."""
     from azure_kusto_parquet_conv_spark.kql import kql
-    return kql(spark, sf_dir, """
+    return kql(spark, sf_dir, f"""
       lineitem
         | where l_orderkey < 200
         | project l_orderkey, l_quantity, l_extendedprice
         | evaluate python(typeof(*, unit:real),
             "result = df\\nresult['unit'] = result['l_extendedprice'] / result['l_quantity']\\n")
-        | summarize n = count(), avg_unit = round(avg(unit), 4)
+        | summarize n = count(), avg_unit = {kavg("unit")}
             by bucket = l_orderkey % 4
         | project bucket = tolong(bucket), n, avg_unit
     """)
@@ -7404,70 +7764,60 @@ DRIVER_WINDOW = [
     "convert_jsonl_region", "convert_csv_lineitem",
     "q_missing_column_fill", "csl_schema_lineitem", "q_schema_lineitem",
     "q_convert_binary", "rowgroups_lineitem", "q_filter_projection",
-    # ---- round-9 rotation (r8 verdict #4: refresh the OLDEST
-    # attestations; every r8 slot is banked green in CORRECTNESS_r08).
-    # First the new-in-r9 entries (hygiene rule: staged the round they
-    # land), then the complete r2 vintage (9: includes the two
-    # rows-only-by-nature sketches q_approx_distinct /
-    # q_text_rolling_fp — their attestation ages too), then the
-    # complete r3 vintage (26), then the oldest r4 entry. After r9 the
-    # oldest remaining vintage is r4 (36 entries) — staged first for
-    # r10 in the ledger below.
-    "q_knn_ivfpq_indexed", "q_kql_series_elementwise",
-    "q_kql_bag_merge", "q_kql_dcount_intersect",
-    "q_rollup", "q_scalar_subquery", "q_string_predicates",
-    "q_approx_distinct", "q_resample_gaps", "q_text_fingerprint",
-    "q_text_quality", "q_token_count", "q_text_rolling_fp",
-    "q1_pricing_summary", "q_join_semi", "q_join_anti",
-    "q_salted_distinct", "q_conditional_agg", "q_percentiles",
-    "q_min_max_by", "q_join_outer", "q_window_rank", "q_sort_limit",
-    "q_kql_fit_poly", "q_kql_time_tools",
-    "q_kql_python", "q_training_shard", "q_kql_funnel_sequence",
-    "q_kql_net_path_tools",
-    "q_kql_bag_tools", "q_kql_percentilew", "q_kql_array_tools",
-    "q4_order_priority", "q9_product_type_profit",
-    "q12_late_shipment_priority", "q20_part_promotion",
-    "q21_waiting_suppliers",
+    # ---- round-10 rotation (r9 verdict #3: the 16 r3-vintage
+    # stragglers FIRST — r9's window claimed to clear r3 but left
+    # these; three of them (q_tfidf, q16, q8) also had r9 plan
+    # changes). Then 17 r4-vintage entries, prioritizing those whose
+    # code changed in the r10 portable-rounding sweep (q9's red-row
+    # class fix) so the changed plans get driver re-attestation.
+    # the complete r3 vintage residue (16):
+    "q_set_ops", "q_range_join", "q_json_extract", "q_tumbling_window",
+    "q_dedup_keep_latest", "q_lang_id", "q16_supplier_count",
+    "q8_market_share", "q_null_safe_join", "q_array_higher_order",
+    "q_dedup_ngram_jaccard", "q_embed_sim_pairs", "q_embed_quantize",
+    "q_kql_join_revenue", "q_training_mix", "q_tfidf",
+    # r4 vintage, r10-swept plans first (17):
+    "q10_returned_items", "q14_promo_revenue",
+    "q17_small_quantity_revenue", "q18_large_orders",
+    "q19_disjunctive_join", "q7_nation_trade", "q_grouping_sets",
+    "q_hopping_window", "q_kql_bin_events", "q_kql_lookup",
+    "q_kql_summarize", "q_kql_top_nested", "q_kql_union_sources",
+    "q_stats_agg", "q_unpivot", "q_window_running", "q_knn_bruteforce",
+    # r4 back-fills — displaced (tail-first) by new-in-r10 entries per
+    # the hygiene rule:
+    "q_dedup_exact", "q_dedup_jaccard", "q_window_lag_lead",
+    "q_sessionize",
 ]
 
-# Rotation ledger: r1-r8 windows are banked driver-green in
-# CORRECTNESS_r0{1..8}.json (r8: 48 hash + 2 rows-only-by-nature).
-# This r9 window refreshes the OLDEST attestations (r8 verdict #4):
-# the new-in-r9 entry first, then the ENTIRE r2 vintage (9, incl. the
-# two rows-only sketches), the ENTIRE r3 vintage (26), and the oldest
-# r4 entry (q_grouping_sets). After CORRECTNESS_r09 the oldest
-# remaining vintage is r4.
+# Rotation ledger: r1-r9 windows are banked driver-green in
+# CORRECTNESS_r0{1..9}.json. ROTATION ARITHMETIC (r9 verdict #3
+# demanded "oldest vintage >= r6 after r10" — infeasible): the window
+# is 50 rows, 13 are permanent parity slots, so 37 entries refresh per
+# round against 238 rotating entries. Steady-state maximum attestation
+# age is ceil(238/37) = 7 rounds; the enforceable invariant (pinned by
+# test_attestation_rotation_is_oldest_first) is that rotation is
+# OLDEST-FIRST: every entry of the oldest outstanding vintage holds a
+# slot, and no banked vintage may exceed the 7-round cycle. The r10
+# window takes the full r3 residue (16 — r9's ledger wrongly claimed
+# r3 was cleared; COVERAGE.md r10 notes correct the record) plus 21
+# r4 entries; the r4 residue (16) is first in line for r11.
 #
 # HYGIENE RULE (r7 verdict #8, enforced by
 # tests/test_queries_oracle.py::test_driver_window_is_first_and_covers_families):
 # every catalog entry with no driver CORRECTNESS row yet MUST occupy a
 # window slot in the round it lands, while rotating slots remain — the
 # attestation gap can never exceed one round's additions. An entry
-# added mid-r9 displaces the current TAIL back-fill slot in the same
-# commit (displacement order — oldest-refresh slots last out:
-# q_sort_limit, q_window_rank, q_join_outer, ...). Already
-# displaced by the mid-r9 additions (q_kql_series_elementwise /
-# q_kql_bag_merge / q_kql_dcount_intersect, then the TPC-H completion
-# set q4/q9/q12/q20/q21, then the KQL scalar batches q_kql_bag_tools/
-# q_kql_percentilew/q_kql_array_tools/q_kql_net_path_tools):
-# q_grouping_sets, q_training_mix, q8_market_share, q_embed_quantize,
-# q_kql_join_revenue, q16_supplier_count, q_null_safe_join, q_tfidf,
-# q_array_higher_order, q_embed_sim_pairs, q_dedup_ngram_jaccard,
-# q_lang_id, q_dedup_keep_latest, q_tumbling_window, q_json_extract,
-# q_range_join, q_set_ops (r10 candidates; q_kql_funnel_sequence /
-# q_training_shard / q_kql_python / q_kql_time_tools / q_kql_fit_poly
-# displaced the last five).
+# added mid-r10 displaces the current TAIL back-fill slot in the same
+# commit (displacement order, last out first: q_sessionize,
+# q_dedup_minhash, q_dedup_jaccard, q_dedup_exact).
 #
-# Round-10 rotation candidates (oldest vintage first): the remaining
-# r4 entries — q_window_running, q_asof_join, q_sessionize,
-# q_text_stats, q_multimodal_features, q_dedup_exact, q_dedup_jaccard,
-# q_snapshot_diff, q_dedup_minhash, q_knn_bruteforce,
-# q_window_lag_lead, q_stats_agg, q_unpivot, q_histogram,
-# q10_returned_items, q_stratified_sample, q_hopping_window,
-# q7_nation_trade, q2_min_cost_supplier, the r4 KQL family
-# (q_kql_summarize/parse/top_nested/union_sources/lookup/bin_events/
-# arg_max/dcount_users/percentiles/mv_expand_terms/make_series),
-# q14/q19/q18/q13/q17, q_decontaminate — plus whatever r9 displaced.
+# Round-11 rotation candidates (oldest vintage first): the r4 residue
+# (16) — q_asof_join, q_sessionize(if displaced), q_text_stats,
+# q_multimodal_features, q_dedup_exact/jaccard/minhash (if displaced),
+# q_snapshot_diff, q_window_lag_lead, q_histogram,
+# q_stratified_sample, q2_min_cost_supplier, q13, q_decontaminate,
+# q_kql_parse, q_kql_arg_max, q_kql_dcount_users, q_kql_percentiles,
+# q_kql_mv_expand_terms, q_kql_make_series — then the r5 vintage (37).
 
 
 def _window_order(d: dict) -> dict:

@@ -38,8 +38,14 @@ def canon(v):
     if isinstance(v, (float, np.floating)):
         if math.isnan(v):
             return "NaN"
-        # collapse -0.0/0.0 and fix float repr drift, keep the float-ness
-        return f"f:{v + 0.0:.6g}"
+        # FULL precision (r9 verdict #2): the driver hashes exact values,
+        # so the replica must distinguish every distinct double — the old
+        # %.6g canon collapsed 3176369.26 vs .27 and passed locally while
+        # the driver red-flagged q9. repr() is the shortest repr that
+        # round-trips, i.e. injective over doubles. Only -0.0 is still
+        # collapsed (the +0.0 add), matching the catalog convention that
+        # zero signs are sanitized via BIGINT casts before output.
+        return f"f:{float(v) + 0.0!r}"
     if isinstance(v, (bool, np.bool_)):
         return f"b:{bool(v)}"
     if isinstance(v, (int, np.integer)):
@@ -201,6 +207,51 @@ def test_driver_window_covers_every_never_checked_entry():
     assert not missing, (
         f"entries with no driver attestation are missing a window "
         f"slot: {sorted(missing)}")
+
+
+def _attestation_vintages():
+    import glob
+    import json
+    import os
+    import re
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    latest: dict[str, int] = {}
+    rounds = []
+    for p in glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json")):
+        r = int(re.search(r"r(\d+)", os.path.basename(p)).group(1))
+        rounds.append(r)
+        for k in json.load(open(p)):
+            latest[k] = max(latest.get(k, 0), r)
+    return latest, max(rounds)
+
+
+def test_attestation_rotation_is_oldest_first():
+    """r9 verdict #3 hygiene: the rotation claim must never drift from
+    the banked CORRECTNESS data again (r9's ledger claimed the oldest
+    vintage was r4 while 16 r3 entries remained). Enforced invariants,
+    derived from the data, not the ledger comment:
+
+    1. every catalog entry of the OLDEST outstanding vintage holds a
+       DRIVER_WINDOW slot (it will be refreshed at the next driver
+       contact);
+    2. no vintage may age past the 7-round rotation cycle
+       (ceil(238 rotating entries / 37 rotating slots) = 7): entries
+       attested at R-6 or earlier must ALL be in the window now.
+    """
+    latest, newest = _attestation_vintages()
+    tracked = {n: r for n, r in latest.items() if n in QUERIES}
+    oldest = min(tracked.values())
+    stragglers = {n for n, r in tracked.items() if r == oldest}
+    missing = stragglers - set(DRIVER_WINDOW)
+    assert not missing, (
+        f"oldest vintage r{oldest} entries missing a window slot: "
+        f"{sorted(missing)}")
+    overdue = {n for n, r in tracked.items() if r <= newest - 6}
+    missing2 = overdue - set(DRIVER_WINDOW)
+    assert not missing2, (
+        f"entries older than the 7-round rotation cycle are missing a "
+        f"window slot: {sorted(missing2)}")
 
 
 ATOMIC = {"string", "long", "integer", "short", "byte", "double", "float",
