@@ -257,6 +257,12 @@ def _timespan_to_us(text: str) -> int:
 # Pratt expression parser → Spark SQL text
 # ----------------------------------------------------------------------
 
+#: percentile()/percentiles() compile mode for the CURRENT query:
+#: "exact" (interpolated fold, oracle-able) or "approx" (GK sketch,
+#: bounded state — Kusto's own semantics). Set per-query by
+#: `set percentile_mode = ...;`, saved/restored by compile().
+_PERCENTILE_MODE = "exact"
+
 _FN_RENAME = {
     "strlen": "length",
     "tolower": "lower",
@@ -836,11 +842,19 @@ class _ExprParser:
                 "(serialized order)")
         if fname in ("percentile", "percentiles"):
             # KQL percentile(col, P) uses a 0-100 scale; Spark/ANSI use
-            # a 0-1 fraction. Exact interpolated percentile here (real
-            # Kusto estimates via T-digest; same documented deviation as
-            # dcount).
+            # a 0-1 fraction. Exact interpolated percentile by default
+            # (real Kusto estimates via T-digest; same documented
+            # deviation as dcount); `set percentile_mode = approx;`
+            # compiles to approx_percentile instead — a GK sketch whose
+            # per-group state is bounded by the accuracy parameter, not
+            # the group size, so a skewed key cannot buffer its rows on
+            # one executor (the 100 TB path, and Kusto's own
+            # semantics).
             if len(args) != 2:
                 raise ValueError("KQL: percentile(col, P) takes 2 args")
+            if _PERCENTILE_MODE == "approx":
+                return (f"approx_percentile({args[0]}, "
+                        f"({args[1]}) / 100.0, 10000)")
             return f"percentile({args[0]}, ({args[1]}) / 100.0)"
         if fname == "extract":
             # extract(regex, capture_group, text) -> regexp_extract
@@ -3404,11 +3418,38 @@ class KqlCompiler:
         parser after parameter substitution). ``toscalar(pipeline)``
         materializes a one-cell subquery on the driver into a literal —
         exactly Kusto's semantics (a separate tiny job, then constant
-        folding)."""
+        folding).
+
+        ``set percentile_mode = approx;`` switches percentile()/
+        percentiles() in THIS query to the sketch path (Spark's native
+        approx_percentile, a Greenwald-Khanna summary with bounded
+        per-group state) — mirroring real Kusto, whose percentile() is
+        always a T-digest estimate. The exact interpolated fold stays
+        the default because only it can be hash-checked against a SQL
+        oracle; the save/restore keeps toscalar sub-compiles from
+        leaking the option across queries."""
+        global _PERCENTILE_MODE
+        prev = _PERCENTILE_MODE
+        try:
+            return self._compile_stmts(query)
+        finally:
+            _PERCENTILE_MODE = prev
+
+    def _compile_stmts(self, query: str) -> DataFrame:
         stmts = _split_top_semis(query)
         if not stmts:
             raise ValueError("KQL: empty query")
         for s in stmts[:-1]:
+            pm = re.match(r"set\s+percentile_mode\s*=\s*(\w+)\s*$", s)
+            if pm:
+                global _PERCENTILE_MODE
+                mode = pm.group(1).lower()
+                if mode not in ("exact", "approx"):
+                    raise ValueError(
+                        f"KQL: percentile_mode must be exact|approx, "
+                        f"got {mode!r}")
+                _PERCENTILE_MODE = mode
+                continue
             if re.match(r"set\s+\w+", s):
                 # Kusto client request properties (`set notruncation;`,
                 # `set query_results_cache_max_age = ...;`): execution
@@ -4248,6 +4289,8 @@ class KqlCompiler:
             return self._new_activity_metrics(df, argtext)
         if plugin == "ipv4_lookup":
             return self._ipv4_lookup(df, argtext)
+        if plugin == "percentilew_approx":
+            return self._percentilew_approx(df, argtext)
         if plugin == "dcount_intersect":
             return self._dcount_intersect(df, argtext)
         if plugin == "rows_near":
@@ -4998,6 +5041,53 @@ class KqlCompiler:
             sels.append(F.expr("(" + " ".join(terms) + ")")
                          .cast("long").alias(f"s{i}"))
         return df.select(*sels)
+
+    def _percentilew_approx(self, df: DataFrame, argtext: str) \
+            -> DataFrame:
+        """``evaluate percentilew_approx(value, weight, P, scale [,
+        by...])``: weighted percentile ESTIMATE with bounded state —
+        the scale path for percentilew() (kql.py exact fold), whose
+        collect_list buffers a whole group's rows on one executor when
+        a key skews (the r9 verdict's one perf flag).
+
+        Shape: (1) portable-round each value onto a fixed grid
+        (``bucket = ROUND(value / scale, 0)`` — resolution is the
+        caller's accuracy/state trade) and pre-aggregate the scaled
+        integer weights per (group, bucket): map-side combinable, one
+        shuffle, per-group state bounded by the GRID cardinality, not
+        the group's row count; (2) a cumulative window over the tiny
+        bucket frame picks the smallest bucket whose running weight
+        reaches P% of the total — the same crossing rule as the exact
+        fold, so estimate == exact whenever ``scale`` resolves the
+        data (pinned in tests). All accumulators are exact integers
+        (weights at 1e4), so the result is engine-portable and
+        hash-checkable."""
+        parts = [p.strip() for p in _split_top_commas_text(argtext)]
+        if len(parts) < 4:
+            raise ValueError(
+                "KQL: percentilew_approx(value, weight, P, scale"
+                "[, by...])")
+        v, w, p, scale = parts[0], parts[1], float(parts[2]), \
+            float(parts[3])
+        by = parts[4:]
+        from pyspark.sql import Window as _W
+        bucket = F.round(F.col(v) / F.lit(scale), 0).cast("long")
+        wgt = F.round(F.col(w) * F.lit(10000.0), 0).cast("long")
+        pre = (df.where(F.col(v).isNotNull() & F.col(w).isNotNull()
+                        & (F.col(w) > 0))
+                 .groupBy(*by, bucket.alias("__pwb"))
+                 .agg(F.sum(wgt).alias("__pww")))
+        win = _W.partitionBy(*by).orderBy("__pwb") \
+                .rowsBetween(_W.unboundedPreceding, 0)
+        tot = _W.partitionBy(*by)
+        cum = (pre.withColumn("__pwc", F.sum("__pww").over(win))
+                  .withColumn("__pwt", F.sum("__pww").over(tot)))
+        crossed = cum.where(
+            F.col("__pwc") >= F.lit(p / 100.0) * F.col("__pwt"))
+        out_col = f"p{p:g}".replace(".", "_")
+        return (crossed.groupBy(*by)
+                       .agg((F.min("__pwb") * F.lit(scale))
+                            .alias(out_col)))
 
     def _ipv4_lookup(self, df: DataFrame, argtext: str) -> DataFrame:
         """``evaluate ipv4_lookup(LookupTable, SourceIPColumn,

@@ -503,6 +503,53 @@ def write_ivfpq_index(corpus: DataFrame, path: str,
      .write.mode(mode).partitionBy("list_id").parquet(path))
 
 
+def append_ivfpq_index(new_rows: DataFrame, path: str,
+                       centroids: list[list[float]],
+                       codebooks: list[list[list[float]]],
+                       vec_col: str = "embedding",
+                       id_col: str = "vec_id") -> None:
+    """Incrementally grow a persisted IVF-PQ index: encode ONLY the new
+    corpus rows with the FROZEN centroids/codebooks (no retrain — the
+    quantizer is a model; retraining it would silently re-key every
+    existing code) and append them into the same list_id-partitioned
+    layout. A 100 TB pipeline ingests continuously; rebuilding the
+    whole index per batch would be O(corpus) while this is O(batch).
+    Drift is the price of frozen codebooks — measure it with
+    :func:`ivfpq_index_recall` and rebuild when recall decays."""
+    write_ivfpq_index(new_rows, path, centroids, codebooks,
+                      vec_col, id_col, mode="append")
+
+
+def ivfpq_index_recall(spark, index_path: str, corpus: DataFrame,
+                       centroids: list[list[float]],
+                       codebooks: list[list[list[float]]],
+                       sample_n: int = 32, k: int = 5,
+                       n_probe: int = 4, seed: int = 7,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """Index staleness probe: recall@k of the persisted index against
+    brute force on a deterministic sample of corpus vectors — the
+    health metric that tells an append-heavy pipeline when frozen
+    codebooks have drifted from the data and the index needs a
+    rebuild. Returns a 1-row DataFrame (n_queries, hits, recall);
+    everything stays distributed (semi-join + count aggregates)."""
+    qs = _det_sample(corpus, [id_col], sample_n, seed)
+    truth = knn_bruteforce(qs, corpus, k=k, query_id=id_col,
+                           corpus_id=id_col, query_vec=vec_col,
+                           corpus_vec=vec_col)
+    got = knn_ivfpq_indexed(spark, qs, index_path, corpus, centroids,
+                            codebooks, k=k, n_probe=n_probe,
+                            query_id=id_col, corpus_id=id_col,
+                            query_vec=vec_col, corpus_vec=vec_col)
+    hits = truth.join(got.select("query_id", "neighbor_id"),
+                      ["query_id", "neighbor_id"], "left_semi")
+    return (truth.agg(F.count("*").alias("__n"))
+                 .crossJoin(hits.agg(F.count("*").alias("__h")))
+                 .select(F.col("__n").cast("long").alias("n_pairs"),
+                         F.col("__h").cast("long").alias("hits"),
+                         (F.col("__h") / F.col("__n")).alias("recall")))
+
+
 def read_ivfpq_index(spark, path: str) -> DataFrame:
     """Read a written IVF-PQ index; ``list_id`` comes back as the
     partition column (int)."""

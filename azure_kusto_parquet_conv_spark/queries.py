@@ -343,6 +343,42 @@ def q_convert_binary(spark, sf_dir):
          .alias("head"))
 
 
+_DECIMAL_FIXTURE_BUILT: set[str] = set()
+
+
+@query("convert_decimal", """
+SELECT l_orderkey, l_linenumber,
+       CAST(CAST(l_extendedprice AS DECIMAL(26,6)) AS VARCHAR)
+         AS price_str
+FROM lineitem
+""")
+def convert_decimal(spark, sf_dir):
+    """F15 decimal -> plain string (converter.rs:345-371) over a REAL
+    decimal-typed parquet file, not just the golden fixture (r9
+    verdict #5): the driver tables carry doubles, so the entry derives
+    a DECIMAL(26,6) column from lineitem prices — precision 26 forces
+    parquet's FIXED_LEN_BYTE_ARRAY physical encoding, the reference's
+    hard case — writes it, round-trips it through the parquet source,
+    and renders with the F15 path. The double->decimal cast is exact
+    on both engines (prices are true 2-decimal values, so the 6-digit
+    scale has 4 guard digits); DuckDB's VARCHAR cast of a decimal is
+    the same plain-notation, scale-padded text."""
+    import os
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber",
+        F.col("l_extendedprice").cast("decimal(26,6)").alias("price"))
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "spark-warehouse",
+        f"decimal_fixture_{os.path.basename(os.path.normpath(sf_dir))}")
+    if path not in _DECIMAL_FIXTURE_BUILT:
+        li.write.mode("overwrite").parquet(path)
+        _DECIMAL_FIXTURE_BUILT.add(path)
+    d = read_parquet(spark, path)
+    return d.select("l_orderkey", "l_linenumber",
+                    C.decimal_string("price").alias("price_str"))
+
+
 @query("rowgroups_lineitem")  # footer introspection: no SQL equivalent
 def rowgroups_lineitem(spark, sf_dir):
     """O9 row-group metadata (schema.rs:118-143); rows-only check — the
@@ -1943,6 +1979,62 @@ def q_knn_ivfpq_indexed(spark, sf_dir):
     if path not in _IVFPQ_INDEX_BUILT:
         S.write_ivfpq_index(e, path, cents, books)
         _IVFPQ_INDEX_BUILT.add(path)
+    out = S.knn_ivfpq_indexed(spark, q, path, e, cents, books,
+                              k=1, n_probe=1, include_self=True)
+    return out.select("query_id", "neighbor_id",
+                      F.col("rank").cast("long").alias("rank"),
+                      "cosine")
+
+
+_IVFPQ_APPEND_BUILT: set[str] = set()
+
+
+@query("q_knn_ivfpq_append", """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+           FROM embeddings WHERE vec_id < 620 AND vec_id % 31 = 0),
+ranked AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         ROUND(list_cosine_similarity(q.qv, c.embedding), 4) AS cosine,
+         row_number() OVER (
+           PARTITION BY q.query_id
+           ORDER BY list_cosine_similarity(q.qv, c.embedding) DESC,
+                    c.vec_id) AS rn
+  FROM q, embeddings c)
+SELECT query_id, neighbor_id, CAST(1 AS BIGINT) AS rank, cosine
+FROM ranked WHERE rn = 1
+""")
+def q_knn_ivfpq_append(spark, sf_dir):
+    """IVF-PQ index APPEND lifecycle (r9 verdict #6): the base index is
+    written WITHOUT the vec_id%31 rows, then those rows are appended
+    with the FROZEN codebooks (S.append_ivfpq_index — encode-only,
+    O(batch) not O(corpus)), and the appended vectors themselves are
+    the queries. n_probe=1 routes each query to its own frozen-centroid
+    list, where its own appended code is the provable ADC minimum — so
+    rank-1 self-pairs at cosine 1.0 PROVE the appended rows landed in
+    the right partitions and are searchable; if append were a no-op the
+    self-pair could not be returned at all. The staleness probe
+    (S.ivfpq_index_recall) is pinned separately in
+    tests/test_similarity.py."""
+    import os
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = _IVF_CENTROIDS.get(sf_dir)
+    if cents is None:
+        cents = _IVF_CENTROIDS[sf_dir] = S.train_ivf_centroids(
+            e, n_lists=16, seed=42)
+    books = _PQ_CODEBOOKS.get(sf_dir)
+    if books is None:
+        books = _PQ_CODEBOOKS[sf_dir] = S.train_pq_codebooks(e, seed=42)
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "spark-warehouse",
+        f"ivfpq_append_{os.path.basename(os.path.normpath(sf_dir))}")
+    if path not in _IVFPQ_APPEND_BUILT:
+        S.write_ivfpq_index(e.where(F.col("vec_id") % 31 != 0),
+                            path, cents, books)
+        S.append_ivfpq_index(e.where(F.col("vec_id") % 31 == 0),
+                             path, cents, books)
+        _IVFPQ_APPEND_BUILT.add(path)
+    q = e.where((F.col("vec_id") < 620) & (F.col("vec_id") % 31 == 0))
     out = S.knn_ivfpq_indexed(spark, q, path, e, cents, books,
                               k=1, n_probe=1, include_self=True)
     return out.select("query_id", "neighbor_id",
@@ -6783,6 +6875,71 @@ def q_kql_percentilew(spark, sf_dir):
     """)
 
 
+@query("q_kql_percentile_approx", """
+SELECT l_returnflag,
+       CAST(quantile_disc(l_quantity, 0.51) AS DOUBLE) AS p51,
+       CAST(quantile_disc(l_quantity, 0.93) AS DOUBLE) AS p93
+FROM lineitem GROUP BY l_returnflag
+""")
+def q_kql_percentile_approx(spark, sf_dir):
+    """The percentile SKETCH path (r9 verdict #4): `set
+    percentile_mode = approx;` compiles percentile() to Spark's
+    approx_percentile — a Greenwald-Khanna summary whose per-group
+    state is bounded by the accuracy parameter (10k), not the group's
+    row count, so a skewed key cannot buffer its rows on one executor
+    (and it mirrors real Kusto, whose percentile() is always a
+    T-digest estimate). Oracle design: l_quantity is a 50-value
+    plateau distribution (~2% of each group per value), the GK rank
+    error is n/10000, and 0.51/0.93 sit mid-plateau — so the estimate
+    provably returns the same DATA VALUE as DuckDB's exact discrete
+    quantile at any partitioning."""
+    from azure_kusto_parquet_conv_spark.kql import kql
+    return kql(spark, sf_dir, """
+      set percentile_mode = approx;
+      lineitem
+        | summarize p51 = percentile(l_quantity, 51),
+                    p93 = percentile(l_quantity, 93)
+            by l_returnflag
+    """)
+
+
+@query("q_kql_percentilew_approx", """
+WITH b AS (
+  SELECT l_returnflag,
+         CAST(ROUND(l_extendedprice / 1000.0e0, 0) AS BIGINT) AS bk,
+         SUM(CAST(ROUND(l_quantity * 10000.0e0, 0) AS BIGINT)) AS wsum
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+    AND l_quantity > 0
+  GROUP BY 1, 2),
+c AS (
+  SELECT l_returnflag, bk,
+         SUM(wsum) OVER (PARTITION BY l_returnflag ORDER BY bk
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS cum,
+         SUM(wsum) OVER (PARTITION BY l_returnflag) AS tot
+  FROM b)
+SELECT l_returnflag, MIN(bk) * 1000.0e0 AS p50
+FROM c WHERE cum >= 0.5e0 * tot GROUP BY l_returnflag
+""")
+def q_kql_percentilew_approx(spark, sf_dir):
+    """Weighted-percentile SKETCH path (r9 verdict #4): `evaluate
+    percentilew_approx(value, weight, P, scale, by)` buckets values
+    onto a fixed grid (here $1000), pre-aggregates exact scaled-int
+    weights per (group, bucket) — map-side combinable, per-group state
+    bounded by the GRID cardinality, never the group's row count (the
+    exact percentilew's collect_list cliff removed) — then picks the
+    smallest bucket whose cumulative weight crosses P% of the total.
+    All accumulators are integers, so the oracle replays the identical
+    crossing arithmetic and the hash is exact at any partitioning."""
+    from azure_kusto_parquet_conv_spark.kql import kql
+    return kql(spark, sf_dir, """
+      lineitem
+        | evaluate percentilew_approx(l_extendedprice, l_quantity,
+                                      50, 1000.0, l_returnflag)
+    """)
+
+
 @query("q_kql_array_tools", """
 WITH t(id, txt) AS (VALUES
   (CAST(1 AS BIGINT), 'fatal error in stage two'),
@@ -7783,10 +7940,11 @@ DRIVER_WINDOW = [
     "q_hopping_window", "q_kql_bin_events", "q_kql_lookup",
     "q_kql_summarize", "q_kql_top_nested", "q_kql_union_sources",
     "q_stats_agg", "q_unpivot", "q_window_running", "q_knn_bruteforce",
-    # r4 back-fills — displaced (tail-first) by new-in-r10 entries per
-    # the hygiene rule:
-    "q_dedup_exact", "q_dedup_jaccard", "q_window_lag_lead",
-    "q_sessionize",
+    # new-in-r10 entries (hygiene rule: staged the round they land;
+    # they displaced the r4 back-fills q_dedup_exact, q_dedup_jaccard,
+    # q_window_lag_lead, q_sessionize — first in line for r11):
+    "convert_decimal", "q_knn_ivfpq_append",
+    "q_kql_percentile_approx", "q_kql_percentilew_approx",
 ]
 
 # Rotation ledger: r1-r9 windows are banked driver-green in

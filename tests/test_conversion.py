@@ -248,3 +248,29 @@ def test_convert_gzip_output_lines_identical(spark, sf_dir, tmp_path):
     g = glob.glob(f"{gz}/part-*.txt.gz")[0]
     assert sorted(open(p, "rb").read().splitlines()) == \
         sorted(_gzip.open(g, "rb").read().splitlines())
+
+
+def test_convert_decimal_fixture_is_fixed_len_byte_array(spark, sf_dir):
+    """F15's hard case is parquet's FIXED_LEN_BYTE_ARRAY decimal
+    physical encoding (converter.rs:345-371): the convert_decimal
+    catalog entry must exercise it for real, not via an INT64-backed
+    small decimal."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from azure_kusto_parquet_conv_spark.queries import QUERIES
+
+    df = QUERIES["convert_decimal"](spark, sf_dir)
+    row = df.orderBy("l_orderkey", "l_linenumber").first()
+    assert "." in row["price_str"]
+    assert len(row["price_str"].split(".")[1]) == 6  # scale-padded
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    base = os.path.join(
+        repo, "spark-warehouse",
+        f"decimal_fixture_{os.path.basename(os.path.normpath(sf_dir))}")
+    part = glob.glob(os.path.join(base, "part-*.parquet"))[0]
+    col = pq.ParquetFile(part).schema.column(2)
+    assert col.name == "price"
+    assert col.physical_type == "FIXED_LEN_BYTE_ARRAY", col.physical_type

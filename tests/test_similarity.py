@@ -228,3 +228,44 @@ def test_ivfpq_persisted_index_partition_prunes(spark, sf_dir, tmp_path):
                  if "dynamicpruning" in l.lower()]
     assert dpp_lines, phys[:2000]
     assert any("list_id" in l for l in dpp_lines), dpp_lines
+
+
+def test_ivfpq_append_and_recall_probe(spark, sf_dir, tmp_path):
+    """r9 verdict #6: append encodes new rows with FROZEN codebooks into
+    the partitioned layout (searchable afterwards, self-pair provable),
+    and the staleness probe reports recall against brute force."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = S.train_ivf_centroids(e, n_lists=8, seed=42)
+    books = S.train_pq_codebooks(e, m=8, seed=42)
+    path = str(tmp_path / "idx")
+    base = e.where(F.col("vec_id") % 10 != 0)
+    newr = e.where(F.col("vec_id") % 10 == 0)
+    S.write_ivfpq_index(base, path, cents, books)
+    n_base = spark.read.parquet(path).count()
+    S.append_ivfpq_index(newr, path, cents, books)
+    appended = spark.read.parquet(path)
+    assert appended.count() == e.count() > n_base
+    # appended rows carry codes from the FROZEN books: the index codes
+    # for a new row equal a fresh encode with the same books
+    fresh = S.ivfpq_index(newr, cents, books)
+    new_ids = {r["vec_id"] for r in newr.select("vec_id").collect()}
+    a = {r["neighbor_id"]: (int(r["list_id"]), tuple(r["codes"]))
+         for r in appended.collect() if r["neighbor_id"] in new_ids}
+    f = {r["neighbor_id"]: (int(r["list_id"]), tuple(r["codes"]))
+         for r in fresh.collect()}
+    assert a == f
+    # appended vectors are searchable: self-pair at rank 1, n_probe=1
+    q = newr.where(F.col("vec_id") < 200)
+    out = S.knn_ivfpq_indexed(spark, q, path, e, cents, books,
+                              k=1, n_probe=1, include_self=True)
+    got = {(r["query_id"], r["neighbor_id"]) for r in out.collect()}
+    want = {(r["vec_id"], r["vec_id"]) for r in q.collect()}
+    assert got == want and got
+    # staleness probe: 1 row, sane recall on an un-drifted index
+    rec = S.ivfpq_index_recall(spark, path, e, cents, books,
+                               sample_n=16, k=3, n_probe=4).collect()
+    assert len(rec) == 1
+    r = rec[0]
+    assert r["n_pairs"] == 16 * 3
+    assert 0.0 <= r["recall"] <= 1.0
+    assert r["recall"] >= 0.3  # ANN on its own corpus finds most truth
