@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
 def zorder_key(cols: Sequence[Column | str], bits: int = 12) -> Column:
@@ -83,3 +83,35 @@ def zorder_sort(df: DataFrame, cols: Sequence[str], bits: int = 12,
     return (keyed.repartitionByRange(parts, "__z")
                  .sortWithinPartitions("__z")
                  .drop("__z"))
+
+
+def pack_sequences(df: DataFrame, order_col: str, n_tok_col: str,
+                   budget: int, by: Sequence[str] = ()) -> DataFrame:
+    """GPT-style sequence packing map for LLM pretraining: documents are
+    concatenated in ``order_col`` order into one token stream per
+    ``by`` stratum and the stream is chunked every ``budget`` tokens;
+    each document reports where its tokens land — ``start_tok`` (0-based
+    offset in the stream), ``first_chunk``/``last_chunk`` (the training
+    windows it straddles) and ``n_chunks``. This is the deterministic
+    "which sample contains which document" map a data-curation pipeline
+    materializes before tokenizer sharding.
+
+    Scale shape: ONE cumulative-sum window partitioned by the stratum —
+    no global sort when ``by`` is given (the 100 TB form: stratify by
+    shard/lang so each partition's stream is independent; an unstratified
+    call serializes and is for small corpora only). Integer arithmetic
+    throughout, so the map is bit-identical on any engine/partitioning.
+    """
+    w = (Window.partitionBy(*by).orderBy(order_col)
+         .rowsBetween(Window.unboundedPreceding, 0))
+    n = F.col(n_tok_col).cast("long")
+    cum = F.sum(n).over(w)
+    first = F.floor((cum - n) / F.lit(budget)).cast("long")
+    last = F.floor((cum - 1) / F.lit(budget)).cast("long")
+    return df.select(
+        *by, order_col,
+        n.alias("n_tok"),
+        (cum - n).alias("start_tok"),
+        F.when(n > 0, first).alias("first_chunk"),
+        F.when(n > 0, last).alias("last_chunk"),
+        F.when(n > 0, last - first + 1).otherwise(0).alias("n_chunks"))

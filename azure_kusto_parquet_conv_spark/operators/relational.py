@@ -194,3 +194,80 @@ def snapshot_diff(old: DataFrame, new: DataFrame, keys: list[str],
         out_cols += [F.col(f"__old_{c}").alias(f"old_{c}"),
                      F.col(f"__new_{c}").alias(f"new_{c}")]
     return j.select(*out_cols)
+
+
+def merge_upsert(target: DataFrame, source: DataFrame,
+                 keys: list[str]) -> DataFrame:
+    """ANSI MERGE semantics (WHEN MATCHED THEN UPDATE, WHEN NOT MATCHED
+    THEN INSERT) as a pure DataFrame composition — the maintenance
+    primitive behind every warehouse refresh stream (TPC-H RF1-style
+    batches), for plain parquet tables without a transaction layer.
+
+    Shape: ONE left join of target onto the source (matched rows take
+    every source column via coalesce-by-presence) unioned with the
+    source's anti-join residue (the inserts). Both arms shuffle on the
+    same key, so at lake scale — both sides bucketed on the key — the
+    merge is co-located and shuffle-free. Duplicate source keys are a
+    MERGE cardinality violation; callers dedupe upstream (Kusto/ANSI
+    raise — enforcing it here would cost a count per key).
+    """
+    cols = target.columns
+    src = source.select(*keys, F.lit(True).alias("__src_present"),
+                        *[F.col(c).alias(f"__src_{c}")
+                          for c in cols if c not in keys])
+    updated = (target.join(src, keys, "left")
+               .select(*keys,
+                       *[F.when(F.col("__src_present").isNotNull(),
+                                F.col(f"__src_{c}")).otherwise(F.col(c))
+                          .alias(c)
+                         for c in cols if c not in keys]))
+    inserts = (source.join(target.select(*keys), keys, "left_anti")
+                     .select(*cols))
+    return updated.unionByName(inserts)
+
+
+def scd2_apply(dim: DataFrame, updates: DataFrame, keys: list[str],
+               tracked: list[str], valid_from: str = "valid_from",
+               valid_to: str = "valid_to",
+               batch_date: str = "9999-01-01") -> DataFrame:
+    """Slowly-changing-dimension type 2: apply an update batch to the
+    CURRENT dimension rows, closing changed rows (their ``valid_to``
+    becomes the batch date) and opening a new version per changed or
+    brand-new key. Unchanged rows pass through open. ``dim`` is the
+    current (open) snapshot: ``valid_from`` per row, ``valid_to`` null.
+
+    One left join on the key classifies every dimension row
+    (unchanged / changed, null-safe on the tracked columns) and a
+    second anti-join finds brand-new keys; the new-version rows are
+    projected straight from the batch. Three narrow arms over two
+    key-partitioned joins — bucketed storage makes both co-located.
+    """
+    upd = updates.select(
+        *keys, F.lit(True).alias("__u_present"),
+        *[F.col(c).alias(f"__u_{c}") for c in tracked])
+    j = dim.join(upd, keys, "left")
+    same = F.lit(True)
+    for c in tracked:
+        same = same & F.col(c).eqNullSafe(F.col(f"__u_{c}"))
+    matched = F.col("__u_present").isNotNull()
+    # current rows: closed when the batch changes them, open otherwise
+    current = j.select(
+        *dim.columns,
+        F.when(matched & ~same, F.lit(batch_date))
+         .otherwise(F.col(valid_to)).alias("__vt")) \
+        .drop(valid_to).withColumnRenamed("__vt", valid_to)
+    # new versions: one per changed key (tracked cols from the batch)
+    changed = (j.where(matched & ~same)
+                .select(*keys,
+                        *[F.col(f"__u_{c}").alias(c) for c in tracked],
+                        F.lit(batch_date).alias(valid_from),
+                        F.lit(None).cast("string").alias(valid_to)))
+    # brand-new keys open their first version
+    first = (updates.join(dim.select(*keys), keys, "left_anti")
+             .select(*keys, *tracked,
+                     F.lit(batch_date).alias(valid_from),
+                     F.lit(None).cast("string").alias(valid_to)))
+    keep = [*keys, *tracked, valid_from, valid_to]
+    return (current.select(*keep)
+            .unionByName(changed.select(*keep))
+            .unionByName(first.select(*keep)))

@@ -1418,6 +1418,113 @@ def q_snapshot_diff(spark, sf_dir):
                 .agg(F.count("*").cast("long").alias("n")))
 
 
+@query(_portable("q_merge_upsert"), f"""
+WITH src AS (
+  SELECT o_orderkey, 'U' AS o_orderstatus,
+         o_totalprice * 1.1 AS o_totalprice
+  FROM orders WHERE o_orderkey % 97 = 0
+  UNION ALL
+  SELECT o_orderkey + 30000000, 'NEW', o_totalprice
+  FROM orders WHERE o_orderkey % 193 = 0),
+m AS (
+  SELECT t.o_orderkey,
+         COALESCE(s.o_orderstatus, t.o_orderstatus) AS o_orderstatus,
+         COALESCE(s.o_totalprice, t.o_totalprice) AS tp
+  FROM orders t LEFT JOIN src s USING (o_orderkey)
+  UNION ALL
+  SELECT s.o_orderkey, s.o_orderstatus, s.o_totalprice
+  FROM src s LEFT JOIN orders t USING (o_orderkey)
+  WHERE t.o_orderkey IS NULL)
+SELECT o_orderkey, o_orderstatus, {oround("tp", 2)} AS totalprice
+FROM m
+""")
+def q_merge_upsert(spark, sf_dir):
+    """ANSI MERGE (upsert) on plain parquet — the TPC-H-refresh-stream
+    maintenance primitive: a derived batch updates every 97th order
+    (price +10%, status U) and inserts shifted-key NEW orders; matched
+    rows take the source values, unmatched targets pass through,
+    unmatched sources insert. operators/relational.py merge_upsert:
+    one left equi-join + one anti-join on the same key (co-located and
+    shuffle-free when both sides are bucketed on it). The full merged
+    table is returned — untouched-row preservation is part of the
+    contract — with the price through the portable rounding."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice")
+    upd = (o.where(F.col("o_orderkey") % 97 == 0)
+            .select("o_orderkey", F.lit("U").alias("o_orderstatus"),
+                    (F.col("o_totalprice") * 1.1).alias("o_totalprice")))
+    ins = (o.where(F.col("o_orderkey") % 193 == 0)
+            .select((F.col("o_orderkey") + 30000000).alias("o_orderkey"),
+                    F.lit("NEW").alias("o_orderstatus"), "o_totalprice"))
+    merged = R.merge_upsert(o, upd.unionByName(ins), ["o_orderkey"])
+    return merged.select("o_orderkey", "o_orderstatus",
+                         sround(F.col("o_totalprice"), 2)
+                         .alias("totalprice"))
+
+
+@query(_portable("q_scd2_dimension"), f"""
+WITH dim AS (
+  SELECT c_custkey, c_mktsegment,
+         '2020-01-01' AS valid_from, CAST(NULL AS VARCHAR) AS valid_to
+  FROM customer),
+upd AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 82 = 0 THEN c_mktsegment
+              ELSE 'SEG_' || CAST(c_custkey % 3 AS VARCHAR) END
+           AS c_mktsegment
+  FROM customer WHERE c_custkey % 41 = 0
+  UNION ALL
+  SELECT c_custkey + 9000000, 'SEG_NEW'
+  FROM customer WHERE c_custkey % 113 = 0),
+j AS (
+  SELECT d.c_custkey, d.c_mktsegment, d.valid_from,
+         u.c_mktsegment AS useg,
+         u.c_custkey IS NOT NULL AS matched
+  FROM dim d LEFT JOIN upd u USING (c_custkey))
+SELECT c_custkey, c_mktsegment, valid_from,
+       CASE WHEN matched AND useg <> c_mktsegment
+            THEN '2024-06-01' END AS valid_to
+FROM j
+UNION ALL
+SELECT c_custkey, useg, '2024-06-01', CAST(NULL AS VARCHAR)
+FROM j WHERE matched AND useg <> c_mktsegment
+UNION ALL
+SELECT u.c_custkey, u.c_mktsegment, '2024-06-01', CAST(NULL AS VARCHAR)
+FROM upd u LEFT JOIN dim d USING (c_custkey)
+WHERE d.c_custkey IS NULL
+""")
+def q_scd2_dimension(spark, sf_dir):
+    """Slowly-changing-dimension type 2 over the customer dim: an
+    update batch (every 41st key re-segmented — every 82nd kept equal
+    to exercise the unchanged branch — plus shifted brand-new keys)
+    closes changed rows at the batch date and opens new versions;
+    unchanged and untouched rows stay open.
+    operators/relational.py scd2_apply: one left join classifies
+    (null-safe on the tracked columns), one anti-join finds first
+    versions — the standard warehouse dimension-history maintenance
+    op, co-located when the dim is bucketed on its key."""
+    cu = load_table(spark, sf_dir, "customer")
+    dim = cu.select("c_custkey", "c_mktsegment",
+                    F.lit("2020-01-01").alias("valid_from"),
+                    F.lit(None).cast("string").alias("valid_to"))
+    upd = (cu.where(F.col("c_custkey") % 41 == 0)
+             .select("c_custkey",
+                     F.when(F.col("c_custkey") % 82 == 0,
+                            F.col("c_mktsegment"))
+                      .otherwise(F.concat(
+                          F.lit("SEG_"),
+                          (F.col("c_custkey") % 3).cast("string")))
+                      .alias("c_mktsegment"))
+             .unionByName(
+                 cu.where(F.col("c_custkey") % 113 == 0)
+                   .select((F.col("c_custkey") + 9000000)
+                           .alias("c_custkey"),
+                           F.lit("SEG_NEW").alias("c_mktsegment"))))
+    return R.scd2_apply(dim, upd, keys=["c_custkey"],
+                        tracked=["c_mktsegment"],
+                        batch_date="2024-06-01")
+
+
 @query("q_doc_chunks", f"""
 WITH t AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks
            FROM documents),
@@ -7124,6 +7231,80 @@ def q_training_shard(spark, sf_dir):
         "shard", "pos", "doc_id", "n_docs")
 
 
+@query("q_pack_sequences", f"""
+WITH t AS (SELECT lang, doc_id,
+                  len(string_split({_NORM_SQL}, ' ')) AS n
+           FROM documents),
+c AS (SELECT lang, doc_id, n,
+             SUM(n) OVER (PARTITION BY lang ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cum
+      FROM t)
+SELECT lang, doc_id, CAST(n AS BIGINT) AS n_tok,
+       CAST(cum - n AS BIGINT) AS start_tok,
+       CAST(CASE WHEN n > 0 THEN (cum - n) // 2048 END AS BIGINT)
+         AS first_chunk,
+       CAST(CASE WHEN n > 0 THEN (cum - 1) // 2048 END AS BIGINT)
+         AS last_chunk,
+       CAST(CASE WHEN n > 0
+                 THEN (cum - 1) // 2048 - (cum - n) // 2048 + 1
+                 ELSE 0 END AS BIGINT) AS n_chunks
+FROM c
+""")
+def q_pack_sequences(spark, sf_dir):
+    """GPT-style sequence packing map (operators/layout.py
+    pack_sequences): per-language token streams chunked every 2048
+    tokens; each document reports its stream offset and the training
+    windows it straddles — the deterministic doc->sample map an LLM
+    curation pipeline materializes before tokenizer sharding. One
+    stratified cumulative-sum window (no global sort: each language's
+    stream is independent — at 100 TB stratify by shard); integer
+    arithmetic end to end, so the map hash-matches at any
+    partitioning. Complements q_sequence_pack: that entry ASSIGNS each
+    doc to one pack (exclusive-prefix // budget, overflow spills
+    forward) and aggregates pack stats; this one is the per-document
+    STRADDLE map over a concatenated stream — which training windows
+    contain any of the doc's tokens (a doc can span several), the view
+    an attribution/decontamination pass needs."""
+    d = load_table(spark, sf_dir, "documents")
+    return L.pack_sequences(
+        d.select("lang", "doc_id", F.size(X.tokens("text")).alias("nt")),
+        order_col="doc_id", n_tok_col="nt", budget=2048, by=["lang"])
+
+
+@query("q_feature_binning", """
+WITH d AS (
+  SELECT c_nationkey, c_acctbal,
+         ntile(10) OVER (PARTITION BY c_nationkey
+                         ORDER BY c_acctbal, c_custkey) AS dec
+  FROM customer)
+SELECT c_nationkey, CAST(dec AS BIGINT) AS decile,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(c_acctbal) AS lo, MAX(c_acctbal) AS hi
+FROM d GROUP BY 1, 2
+""")
+def q_feature_binning(spark, sf_dir):
+    """Quantile feature binning (ML feature prep): per-nation account
+    balances cut into deciles with NTILE over a TOTAL order (value +
+    key tie-break — without it the bin edges are partition-order
+    nondeterministic), then per-bin population and value range. One
+    shuffle on the stratum key; bin edges are data values (min/max of
+    exact input doubles), so the result hash-matches without any
+    rounding. The at-scale note: NTILE needs the full stratum sorted —
+    stratify (as here) or pre-aggregate to a quantile sketch for
+    unstratified corpora."""
+    cu = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal",
+                                                  "c_custkey")
+    return (cu.select("c_nationkey", "c_acctbal",
+                      F.ntile(10).over(w).alias("dec"))
+              .groupBy("c_nationkey",
+                       F.col("dec").cast("long").alias("decile"))
+              .agg(F.count("*").cast("long").alias("n"),
+                   F.min("c_acctbal").alias("lo"),
+                   F.max("c_acctbal").alias("hi")))
+
+
 @query("q_kql_funnel_sequence", """
 WITH e AS (SELECT user_id,
                   epoch_us(CAST(ts AS TIMESTAMP)) AS t,
@@ -7933,18 +8114,23 @@ DRIVER_WINDOW = [
     "q8_market_share", "q_null_safe_join", "q_array_higher_order",
     "q_dedup_ngram_jaccard", "q_embed_sim_pairs", "q_embed_quantize",
     "q_kql_join_revenue", "q_training_mix", "q_tfidf",
-    # r4 vintage, r10-swept plans first (17):
+    # r4 vintage, r10-swept plans first (13 — the mid-r10 additions
+    # below displaced q_kql_bin_events, q_kql_lookup,
+    # q_kql_union_sources, q_unpivot, all validated this round by the
+    # full-precision sf0.01 window replay; they rejoin in r11):
     "q10_returned_items", "q14_promo_revenue",
     "q17_small_quantity_revenue", "q18_large_orders",
     "q19_disjunctive_join", "q7_nation_trade", "q_grouping_sets",
-    "q_hopping_window", "q_kql_bin_events", "q_kql_lookup",
-    "q_kql_summarize", "q_kql_top_nested", "q_kql_union_sources",
-    "q_stats_agg", "q_unpivot", "q_window_running", "q_knn_bruteforce",
+    "q_hopping_window",
+    "q_kql_summarize", "q_kql_top_nested",
+    "q_stats_agg", "q_window_running", "q_knn_bruteforce",
     # new-in-r10 entries (hygiene rule: staged the round they land;
     # they displaced the r4 back-fills q_dedup_exact, q_dedup_jaccard,
     # q_window_lag_lead, q_sessionize — first in line for r11):
     "convert_decimal", "q_knn_ivfpq_append",
     "q_kql_percentile_approx", "q_kql_percentilew_approx",
+    "q_merge_upsert", "q_scd2_dimension",
+    "q_pack_sequences", "q_feature_binning",
 ]
 
 # Rotation ledger: r1-r9 windows are banked driver-green in

@@ -102,6 +102,21 @@ HEADLINE = [
     "q_kql_funnel_sequence",
     "q21_waiting_suppliers",
     "q_training_shard",
+    # the headline-worthy operators born in round 10, tracked from day
+    # one: the two-arm MERGE over the orders fact, the SCD2 classify
+    # join, the stratified packing cumsum, the NTILE decile binning,
+    # the sketch-mode percentiles (GK + grid-bucketed weighted — the
+    # scale path next to the exact folds tracked above), and the
+    # frozen-codebook index append (write-heavy lifecycle op).
+    # convert_decimal is deliberately NOT tracked: its cost is the
+    # fixture write, and the conversion family is already covered.
+    "q_merge_upsert",
+    "q_scd2_dimension",
+    "q_pack_sequences",
+    "q_feature_binning",
+    "q_kql_percentile_approx",
+    "q_kql_percentilew_approx",
+    "q_knn_ivfpq_append",
 ]
 
 

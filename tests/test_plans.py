@@ -457,7 +457,7 @@ def test_no_forced_broadcast_of_fact_scale_frames(spark, sf_dir):
         # the probe side; corpus growth grows the UNHINTED side only.
         "q_knn_bruteforce", "q_knn_hamming", "q_embed_sim_pairs",
         "q_knn_ivf", "q_knn_ivf_exact", "q_knn_lsh", "q_knn_lsh_exact",
-        "q_knn_ivfpq_indexed",
+        "q_knn_ivfpq_indexed", "q_knn_ivfpq_append",
         # + fixed-size trained artifacts (codebooks, centroids): size is
         # (n_lists|2^bits) x dim regardless of corpus rows.
         "q_knn_pq", "q_knn_pq_exact", "q_knn_ivfpq", "q_knn_ivfpq_exact",
