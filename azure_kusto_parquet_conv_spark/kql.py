@@ -671,6 +671,29 @@ class _ExprParser:
                     f"WHEN {b} IS NULL THEN NULL "
                     f"WHEN length({b}) = 0 THEN array() "
                     f"ELSE {arr} END))")
+        if fname in ("zlib_compress_to_base64_string",
+                     "zlib_decompress_from_base64_string",
+                     "gzip_compress_to_base64_string",
+                     "gzip_decompress_from_base64_string",
+                     "punycode_from_string", "punycode_to_string",
+                     "punycode_domain_from_string",
+                     "punycode_domain_to_string"):
+            # Kusto codec scalars; Arrow-batched stdlib kernels (see
+            # _register_codec_udfs). Decoders return "" on bad input,
+            # per the Kusto docs.
+            if len(args) != 1:
+                raise ValueError(f"KQL: {fname}(string)")
+            udf = {
+                "zlib_compress_to_base64_string": "__kql_zlib_c",
+                "zlib_decompress_from_base64_string": "__kql_zlib_d",
+                "gzip_compress_to_base64_string": "__kql_gzip_c",
+                "gzip_decompress_from_base64_string": "__kql_gzip_d",
+                "punycode_from_string": "__kql_puny_e",
+                "punycode_to_string": "__kql_puny_d",
+                "punycode_domain_from_string": "__kql_idna_e",
+                "punycode_domain_to_string": "__kql_idna_d",
+            }[fname]
+            return f"{udf}({args[0]})"
         if fname == "make_datetime":
             # make_datetime(y, m, d [, h, mi, s]) — fractional seconds
             # allowed, like Kusto
@@ -3331,6 +3354,65 @@ def _register_dynamic_udfs(spark: SparkSession) -> None:
     spark._kql_dyn_registered = True
 
 
+def _register_codec_udfs(spark: SparkSession) -> None:
+    """Arrow-batched kernels behind the Kusto codec scalars —
+    zlib/gzip compress-to-base64 (and inverses) and punycode / IDNA
+    domain encode/decode. No Spark SQL expression reaches DEFLATE or
+    RFC 3492, so these are sanctioned pandas-UDF kernels: pure
+    stdlib (zlib/gzip/base64/codecs), one Arrow hop per batch, no
+    per-row Python UDF. Failure semantics follow Kusto's docs: the
+    decompress / punycode functions return an EMPTY STRING on invalid
+    input (not null, not an error). gzip compression pins mtime=0 so
+    the emitted base64 is deterministic across runs and executors —
+    without it every retry of a task would hash differently."""
+    if getattr(spark, "_kql_codec_registered", False):
+        return
+    import base64
+    import gzip
+    import zlib
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def lift(fn):
+        def f(col):
+            out = []
+            for x in col:
+                if x is None:
+                    out.append(None)
+                    continue
+                try:
+                    out.append(fn(x))
+                except Exception:
+                    out.append("")
+            return pd.Series(out, dtype=object)
+        return pandas_udf(f, "string")
+
+    spark.udf.register("__kql_zlib_c", lift(
+        lambda s: base64.b64encode(
+            zlib.compress(s.encode("utf-8"))).decode("ascii")))
+    spark.udf.register("__kql_zlib_d", lift(
+        lambda s: zlib.decompress(
+            base64.b64decode(s, validate=True)).decode("utf-8")))
+    spark.udf.register("__kql_gzip_c", lift(
+        lambda s: base64.b64encode(
+            gzip.compress(s.encode("utf-8"), mtime=0)).decode("ascii")))
+    spark.udf.register("__kql_gzip_d", lift(
+        lambda s: gzip.decompress(
+            base64.b64decode(s, validate=True)).decode("utf-8")))
+    # punycode_from_string -> RFC 3492 encode; _to_string -> decode
+    spark.udf.register("__kql_puny_e", lift(
+        lambda s: s.encode("punycode").decode("ascii")))
+    spark.udf.register("__kql_puny_d", lift(
+        lambda s: s.encode("ascii").decode("punycode")))
+    # domain variants: IDNA per-label (xn-- prefixed) form
+    spark.udf.register("__kql_idna_e", lift(
+        lambda s: s.encode("idna").decode("ascii") if s else ""))
+    spark.udf.register("__kql_idna_d", lift(
+        lambda s: s.encode("ascii").decode("idna") if s else ""))
+    spark._kql_codec_registered = True
+
+
 #: fork/facet/materialize cache shared inputs with persist() so N
 #: consumers read ONE scan. Handles are registered in COMPILER-SCOPED
 #: groups: eviction happens at group granularity, keeping the newest
@@ -3401,6 +3483,7 @@ class KqlCompiler:
         prepare_session(spark)
         _register_series_fft_udfs(spark)
         _register_dynamic_udfs(spark)
+        _register_codec_udfs(spark)
 
     def table(self, name: str) -> DataFrame:
         return load_table(self.spark, self.sf_dir, name)

@@ -3211,6 +3211,36 @@ def q_kql_text_stats(spark, sf_dir):
     """)
 
 
+@query("q_kql_codec_roundtrip", """
+SELECT doc_id, text AS z, text AS g, text AS p,
+       'true' AS nonempty
+FROM documents WHERE doc_id % 7 = 0
+""")
+def q_kql_codec_roundtrip(spark, sf_dir):
+    """Kusto codec scalars over real corpus text: zlib / gzip
+    compress-to-base64 then decompress, and punycode encode then
+    decode — decode∘encode must be the identity on every document, so
+    the oracle is simply the text itself (a self-proving design: any
+    kernel defect — charset, header, base64 padding, RFC 3492 state —
+    breaks the hash). Arrow-batched stdlib kernels (one hop per
+    batch); gzip pins mtime=0 so output is deterministic across
+    executors and retries. Kusto surface: zlib_compress_to_base64_
+    string & co, kql.py _register_codec_udfs."""
+    from azure_kusto_parquet_conv_spark.kql import kql
+    return kql(spark, sf_dir, """
+      documents
+        | where doc_id % 7 == 0
+        | project doc_id,
+            z = zlib_decompress_from_base64_string(
+                  zlib_compress_to_base64_string(text)),
+            g = gzip_decompress_from_base64_string(
+                  gzip_compress_to_base64_string(text)),
+            p = punycode_to_string(punycode_from_string(text)),
+            nonempty = tostring(
+              strlen(zlib_compress_to_base64_string(text)) > 0)
+    """)
+
+
 @query("q_session_window", """
 WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
            FROM events),
@@ -8114,14 +8144,14 @@ DRIVER_WINDOW = [
     "q8_market_share", "q_null_safe_join", "q_array_higher_order",
     "q_dedup_ngram_jaccard", "q_embed_sim_pairs", "q_embed_quantize",
     "q_kql_join_revenue", "q_training_mix", "q_tfidf",
-    # r4 vintage, r10-swept plans first (13 — the mid-r10 additions
+    # r4 vintage, r10-swept plans first (12 — the mid-r10 additions
     # below displaced q_kql_bin_events, q_kql_lookup,
-    # q_kql_union_sources, q_unpivot, all validated this round by the
-    # full-precision sf0.01 window replay; they rejoin in r11):
+    # q_kql_union_sources, q_unpivot, q_hopping_window, all validated
+    # this round by the full-precision sf0.01 window replay; they
+    # rejoin in r11):
     "q10_returned_items", "q14_promo_revenue",
     "q17_small_quantity_revenue", "q18_large_orders",
     "q19_disjunctive_join", "q7_nation_trade", "q_grouping_sets",
-    "q_hopping_window",
     "q_kql_summarize", "q_kql_top_nested",
     "q_stats_agg", "q_window_running", "q_knn_bruteforce",
     # new-in-r10 entries (hygiene rule: staged the round they land;
@@ -8131,6 +8161,7 @@ DRIVER_WINDOW = [
     "q_kql_percentile_approx", "q_kql_percentilew_approx",
     "q_merge_upsert", "q_scd2_dimension",
     "q_pack_sequences", "q_feature_binning",
+    "q_kql_codec_roundtrip",
 ]
 
 # Rotation ledger: r1-r9 windows are banked driver-green in

@@ -607,6 +607,37 @@ def interval_join_streams(left: DataFrame, right: DataFrame,
                        F.unix_micros("right_ts").alias("right_ts_us")))
 
 
+def cdc_latest_stream(changes: DataFrame, keys: list[str],
+                      ts_col: str = "ts") -> DataFrame:
+    """Streaming CDC apply — the unbounded twin of
+    operators.relational.merge_upsert: over a change-log stream
+    (upserts keyed by ``keys``, ordered by event time ``ts_col``),
+    maintain the latest row per key. Folding merge_upsert over the
+    change batches in order yields exactly this table, which is what
+    the stream==batch pin asserts.
+
+    Spark-native shape: ONE streaming aggregation —
+    ``groupBy(keys).agg(max_by(struct(values), ts))`` — so the state
+    store holds exactly one row per live key. That O(#keys) state is
+    the honest minimum for CDC (every key's current value must be
+    addressable forever), so no watermark eviction applies — unlike
+    the windowed twins above, key state is the product, not a buffer.
+    Run in update mode against a keyed sink (the sink applies each
+    micro-batch's changed rows as upserts); ties on ``ts_col`` break
+    deterministically by the greatest value struct, not arrival order."""
+    vals = [c for c in changes.columns
+            if c not in keys and c != ts_col]
+    latest = F.max_by(
+        F.struct(F.col(ts_col), *[F.col(c) for c in vals]),
+        F.struct(F.col(ts_col), *[F.col(c) for c in vals]))
+    return (changes
+            .groupBy(*[F.col(k) for k in keys])
+            .agg(latest.alias("__latest"))
+            .select(*keys,
+                    *[F.col(f"__latest.{c}").alias(c)
+                      for c in [ts_col, *vals]]))
+
+
 def dedup_stream(events: DataFrame, keys: list[str] | None = None,
                  watermark: str = "2 hours") -> DataFrame:
     """Streaming exact dedup for at-least-once sources (the streaming

@@ -4902,3 +4902,51 @@ def test_series_iir_identities(spark, sf_dir):
     assert r["ident"] == "[1,2,3,4]"
     assert r["cumsum"] == "[1,3,6,10]"
     assert r["scaled"] == "[0.5,1,1.5,2]"
+
+
+def test_codec_scalars_golden_and_roundtrip(spark, sf_dir):
+    """Kusto codec scalars (zlib/gzip base64, punycode, IDNA domain):
+    golden bytes for fixed inputs (gzip pins mtime=0 so the base64 is
+    deterministic across runs/executors) plus encode->decode identity
+    on a unicode string. Naming follows the Kusto convention:
+    X_from_string ENCODES (produces X from a string), X_to_string
+    DECODES."""
+    r = kql(spark, sf_dir, """
+      print s = 'hello', u = 'Hello Wörld — test'
+        | project zc = zlib_compress_to_base64_string(s),
+                  gc = gzip_compress_to_base64_string(s),
+                  zrt = zlib_decompress_from_base64_string(
+                          zlib_compress_to_base64_string(u)),
+                  grt = gzip_decompress_from_base64_string(
+                          gzip_compress_to_base64_string(u)),
+                  pe = punycode_from_string('bücher'),
+                  prt = punycode_to_string(punycode_from_string(u)),
+                  de = punycode_domain_from_string('bücher.example'),
+                  drt = punycode_domain_to_string(
+                          punycode_domain_from_string('bücher.example'))
+    """).collect()[0]
+    assert r["zc"] == "eJzLSM3JyQcABiwCFQ=="
+    assert r["gc"] == "H4sIAAAAAAACA8tIzcnJBwCGphA2BQAAAA=="
+    assert r["zrt"] == "Hello Wörld — test"
+    assert r["grt"] == "Hello Wörld — test"
+    assert r["pe"] == "bcher-kva"
+    assert r["prt"] == "Hello Wörld — test"
+    assert r["de"] == "xn--bcher-kva.example"
+    assert r["drt"] == "bücher.example"
+
+
+def test_codec_scalars_invalid_input_yields_empty_string(spark, sf_dir):
+    """Per the Kusto docs, the decoders return an EMPTY string (not
+    null, not an error) on invalid input; null stays null."""
+    r = kql(spark, sf_dir, """
+      print x = 'not!valid@base64'
+        | project zd = zlib_decompress_from_base64_string(x),
+                  gd = gzip_decompress_from_base64_string('aGVsbG8='),
+                  pd = punycode_to_string('ü-nonascii'),
+                  nn = zlib_decompress_from_base64_string(
+                         iff(x == 'never', x, ''))
+    """).collect()[0]
+    assert r["zd"] == ""     # bad base64
+    assert r["gd"] == ""     # valid base64, not a gzip stream
+    assert r["pd"] == ""     # punycode input must be ASCII
+    assert r["nn"] == ""     # empty in -> decode of b'' fails -> empty

@@ -1134,3 +1134,59 @@ def test_session_count_stream_unaligned_grid(spark, tmp_path):
            for r in spark.sql("select * from scs_unaligned").collect()}
     assert got == {("2024-01-01 06:00:00", 1),
                    ("2024-01-02 06:00:00", 2)}
+
+
+def test_cdc_latest_stream_equals_merge_upsert_fold(spark, tmp_path):
+    """stream==batch twin pin for the CDC apply: three change batches
+    (distinct mtimes, one file per trigger) streamed through
+    cdc_latest_stream in complete mode must equal folding
+    operators.relational.merge_upsert over the same batches in order.
+    Fixture keys carry unique ts per key so the deterministic
+    value-struct tie-break never has to fire."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from azure_kusto_parquet_conv_spark.operators.relational import (
+        merge_upsert)
+    from azure_kusto_parquet_conv_spark.streaming.events import (
+        cdc_latest_stream)
+
+    def batch(rows):
+        ks, ts, vs = zip(*rows)
+        return pa.table({
+            "k": pa.array(ks, pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "v": pa.array(vs, pa.float64())})
+
+    b1 = batch([(1, 1_000_000, 10.0), (2, 2_000_000, 20.0),
+                (3, 3_000_000, 30.0)])
+    b2 = batch([(2, 4_000_000, 21.0), (4, 5_000_000, 40.0)])
+    b3 = batch([(1, 6_000_000, 12.0), (4, 7_000_000, 41.0),
+                (5, 8_000_000, 50.0)])
+    d = tmp_path / "cdc"
+    d.mkdir()
+    for i, b in enumerate((b1, b2, b3)):
+        p = d / f"b{i}.parquet"
+        pq.write_table(b, str(p))
+        os.utime(p, (1_000_000_000 + i * 100,) * 2)
+
+    changes = (spark.readStream
+               .schema("k long, ts timestamp, v double")
+               .option("maxFilesPerTrigger", 1).parquet(str(d)))
+    q = (cdc_latest_stream(changes, keys=["k"])
+         .writeStream.format("memory").queryName("cdc_latest")
+         .outputMode("complete").start())
+    q.processAllAvailable()
+    q.stop()
+    got = {r["k"]: (r["ts"], r["v"])
+           for r in spark.sql("select * from cdc_latest").collect()}
+
+    folded = spark.createDataFrame([], "k long, ts timestamp, v double")
+    for b in (b1, b2, b3):
+        folded = merge_upsert(
+            folded, spark.createDataFrame(b.to_pandas()), ["k"])
+    want = {r["k"]: (r["ts"], r["v"]) for r in folded.collect()}
+    assert got == want
+    assert got[2][1] == 21.0 and got[1][1] == 12.0 and got[4][1] == 41.0
