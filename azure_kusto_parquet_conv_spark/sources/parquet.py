@@ -25,32 +25,58 @@ TABLES = (
 )
 
 
+#: Driver-side footer-probe cache keyed on (path, mtime_ns, size): the
+#: two probes below open the parquet footer with pyarrow on every
+#: DataFrame BUILD, which a query that touches five tables pays five
+#: times per plan (and a min-of-N bench N times over). Footer facts
+#: only change when the file does, so the stat signature is the safe
+#: invalidation key — the same contract a catalog/metastore relies on.
+_FOOTER_CACHE: dict = {}
+
+
+def _footer_probe(path: str):
+    import os
+    try:
+        st = os.stat(path)
+        key = (path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        key = (path, None, None)
+    hit = _FOOTER_CACHE.get(key)
+    if hit is not None:
+        return hit
+    nanos: set[str] = set()
+    brotli: set[str] = set()
+    try:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        f = pq.ParquetFile(path)
+        nanos = {fl.name for fl in f.schema_arrow
+                 if pa.types.is_timestamp(fl.type)
+                 and fl.type.unit == "ns"}
+        md = f.metadata
+        codecs = {md.row_group(i).column(j).compression
+                  for i in range(md.num_row_groups)
+                  for j in range(md.row_group(i).num_columns)}
+        brotli = {c for c in codecs if c and c.upper() == "BROTLI"}
+    except Exception:
+        pass
+    _FOOTER_CACHE[key] = (nanos, brotli)
+    if len(_FOOTER_CACHE) > 4096:  # bound driver memory on wide lakes
+        _FOOTER_CACHE.pop(next(iter(_FOOTER_CACHE)))
+    return nanos, brotli
+
+
 def _nanos_columns(path: str) -> set[str]:
     """Top-level TIMESTAMP(NANOS) columns per the Parquet footer — Spark
     scans these as raw int64 (legacy.parquet.nanosAsLong) and we normalize
     them back to timestamps."""
-    try:
-        import pyarrow.parquet as pq
-        import pyarrow as pa
-        schema = pq.ParquetFile(path).schema_arrow
-        return {f.name for f in schema
-                if pa.types.is_timestamp(f.type) and f.type.unit == "ns"}
-    except Exception:
-        return set()
+    return _footer_probe(path)[0]
 
 
 def _jvm_unreadable_codecs(path: str) -> set[str]:
     """Codecs present in the footer that Spark's JVM reader cannot decode
     without an extra classpath jar (brotli needs brotli-codec)."""
-    try:
-        import pyarrow.parquet as pq
-        md = pq.ParquetFile(path).metadata
-        codecs = {md.row_group(i).column(j).compression
-                  for i in range(md.num_row_groups)
-                  for j in range(md.row_group(i).num_columns)}
-        return {c for c in codecs if c and c.upper() == "BROTLI"}
-    except Exception:
-        return set()
+    return _footer_probe(path)[1]
 
 
 def read_parquet_arrow(spark: SparkSession, path: str,

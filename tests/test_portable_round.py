@@ -2,12 +2,16 @@
 
 The r9 driver red row (q9_product_type_profit) was ROUND(SUM(double), 2)
 flipping with summation order; every swept entry (queries.PORTABLE_ROUNDED)
-now accumulates scaled BIGINTs and rounds via the only engine-portable
-rounding, ROUND(double, 0). Two proofs live here:
+now accumulates scaled BIGINTs: per-row CAST(FLOOR(x*S + 0.5) AS BIGINT)
+(pure IEEE ops, bit-identical across engines), per-group exact integer
+SUM, and a once-per-group ROUND(s/100, 0) finish (the engine-portable
+integer rounding). Proofs here:
 
 1. engine semantics: Spark's ROUND(x, 0) equals DuckDB's for the
    adversarial values where ROUND(x, d>0) provably differs (1.005 -> 1.01
-   Spark / 1.00 DuckDB, shortest-repr vs binary rounding);
+   Spark / 1.00 DuckDB, shortest-repr vs binary rounding), and the
+   FLOOR(x + 0.5) accumulator form matches bit-for-bit on the same
+   values plus the classic x+0.5 FP-boundary adversary;
 2. partition invariance: each swept entry yields BIT-IDENTICAL output at
    1 shuffle partition (fully sequential accumulation) and the default
    32 — the strongest local stand-in for "any cluster partitioning".
@@ -43,6 +47,31 @@ def test_round0_is_engine_portable(spark):
             f"SELECT CAST(round({v!r}::DOUBLE, 0) AS BIGINT)"
         ).fetchone()[0]
         assert s == d, (v, s, d)
+
+
+def test_floor_half_accumulator_is_engine_portable(spark):
+    """The r10 perf form of the per-row accumulator:
+    CAST(FLOOR(x + 0.5) AS BIGINT). FLOOR and + are single IEEE ops —
+    bit-identical across engines by construction (no decimal-repr
+    semantics at all), and they skip Spark's per-row BigDecimal hop
+    inside ROUND(double, 0) (measured 2.1x on q1's 7-aggregate scan).
+    At exact representable halves the flavor is half-UP (floor(-2.5 +
+    0.5) = -2) — a deliberate, documented deviation from ROUND's
+    half-away, made identically on BOTH sides."""
+    con = duckdb.connect()
+    for v in ADVERSARIAL + [0.49999999999999994, -0.49999999999999994]:
+        s = spark.sql(
+            f"SELECT CAST(floor(CAST({v!r} AS DOUBLE) + 0.5e0)"
+            f" AS BIGINT) AS r").collect()[0]["r"]
+        d = con.execute(
+            f"SELECT CAST(floor({v!r}::DOUBLE + 0.5e0) AS BIGINT)"
+        ).fetchone()[0]
+        assert s == d, (v, s, d)
+    # the flavor pin: half-up at ties, both engines
+    assert spark.sql("SELECT CAST(floor(CAST(-2.5 AS DOUBLE) + 0.5e0)"
+                     " AS BIGINT) AS r").collect()[0]["r"] == -2
+    assert con.execute("SELECT CAST(floor(-2.5::DOUBLE + 0.5e0)"
+                       " AS BIGINT)").fetchone()[0] == -2
 
 
 def test_round2_engine_divergence_is_real(spark):
