@@ -694,6 +694,44 @@ class _ExprParser:
                 "punycode_domain_to_string": "__kql_idna_d",
             }[fname]
             return f"{udf}({args[0]})"
+        if fname in ("percentile_tdigest", "percentrank_tdigest",
+                     "rank_tdigest"):
+            # scalars over the grid quantile sketch built by
+            # `evaluate tdigest(...)` (struct<scale, bs:array<(b,w)>>;
+            # see _tdigest for why a grid, not centroids). Pure
+            # higher-order SQL over the BOUNDED bucket array — stays
+            # JVM-side; totals bind ONCE via the named_struct/transform
+            # trick (an aggregate inlined into a lambda body would
+            # re-fold per element).
+            if len(args) != 2:
+                raise ValueError(f"KQL: {fname}(tdigest, arg)")
+            td, a = args[0], args[1]
+            tot = (f"aggregate({td}.bs, 0L, "
+                   f"(__tda, __tdx) -> __tda + __tdx.w)")
+            if fname == "percentile_tdigest":
+                cross = (
+                    f"aggregate({td}.bs, "
+                    f"named_struct('c', 0L, 'r', "
+                    f"CAST(NULL AS BIGINT)), "
+                    f"(__tda, __tdx) -> named_struct("
+                    f"'c', __tda.c + __tdx.w, "
+                    f"'r', CASE WHEN __tda.r IS NULL AND "
+                    f"(__tda.c + __tdx.w) * 100.0e0 >= "
+                    f"({a}) * __tds.t THEN __tdx.b "
+                    f"ELSE __tda.r END), "
+                    f"__tda -> __tda.r)")
+                return (f"element_at(transform(array(named_struct("
+                        f"'t', {tot})), __tds -> "
+                        f"CAST({cross} AS DOUBLE) * {td}.scale), 1)")
+            below = (f"aggregate(filter({td}.bs, __tdx -> __tdx.b <= "
+                     f"FLOOR(({a}) / {td}.scale + 0.5e0)), 0L, "
+                     f"(__tda, __tdx) -> __tda + __tdx.w)")
+            if fname == "rank_tdigest":
+                # rank of `a` = sketched values <= a (1..n when present)
+                return below
+            return (f"element_at(transform(array(named_struct("
+                    f"'t', {tot}, 'c', {below})), __tds -> "
+                    f"__tds.c * 100.0e0 / __tds.t), 1)")
         if fname == "make_datetime":
             # make_datetime(y, m, d [, h, mi, s]) — fractional seconds
             # allowed, like Kusto
@@ -4374,6 +4412,10 @@ class KqlCompiler:
             return self._ipv4_lookup(df, argtext)
         if plugin == "percentilew_approx":
             return self._percentilew_approx(df, argtext)
+        if plugin == "tdigest":
+            return self._tdigest(df, argtext)
+        if plugin == "tdigest_merge":
+            return self._tdigest_merge(df, argtext)
         if plugin == "dcount_intersect":
             return self._dcount_intersect(df, argtext)
         if plugin == "rows_near":
@@ -5171,6 +5213,73 @@ class KqlCompiler:
         return (crossed.groupBy(*by)
                        .agg((F.min("__pwb") * F.lit(scale))
                             .alias(out_col)))
+
+    def _tdigest(self, df: DataFrame, argtext: str) -> DataFrame:
+        """``evaluate tdigest(value, scale [, by...])``: build a
+        MERGEABLE quantile sketch per group — the re-aggregatable
+        carrier Kusto's tdigest()/tdigest_merge()/percentile_tdigest()
+        family provides, realized as a deterministic GRID sketch
+        instead of an opaque centroid t-digest: values land on a fixed
+        bucket grid (``FLOOR(value/scale + 0.5)``, resolution = the
+        caller's accuracy/state trade) and the sketch is the sorted
+        (bucket, count) array. Deliberate deviation from Kusto's
+        centroid digest, for a reason the hash gate enforces: centroid
+        t-digests are MERGE-ORDER-DEPENDENT (two cluster topologies
+        give two different sketches), while the grid sketch is
+        bit-identical under any partitioning/merge order — same
+        accuracy knob, reproducible answers.
+
+        Scale shape: groupBy(by, bucket) count (map-side combinable,
+        one shuffle, state bounded by grid cardinality) then ONE
+        sort_array(collect_list) per group whose size is the grid
+        cardinality, never the row count. Output column ``tdigest`` =
+        struct<scale:double, bs:array<struct<b,w>>>."""
+        parts = [p.strip() for p in _split_top_commas_text(argtext)]
+        if len(parts) < 2:
+            raise ValueError(
+                "KQL: tdigest(value, scale [, by...])")
+        v, scale = parts[0], float(parts[1])
+        by = parts[2:]
+        bucket = F.floor(F.col(v) / F.lit(scale) + F.lit(0.5)) \
+                  .cast("long")
+        pre = (df.where(F.col(v).isNotNull())
+                 .groupBy(*by, bucket.alias("__tdb"))
+                 .agg(F.count("*").alias("__tdw")))
+        return (pre.groupBy(*by)
+                .agg(F.struct(
+                    F.lit(scale).alias("scale"),
+                    F.sort_array(F.collect_list(F.struct(
+                        F.col("__tdb").alias("b"),
+                        F.col("__tdw").alias("w")))).alias("bs"))
+                    .alias("tdigest")))
+
+    def _tdigest_merge(self, df: DataFrame, argtext: str) -> DataFrame:
+        """``evaluate tdigest_merge(td [, by...])``: re-aggregate grid
+        sketches (see _tdigest) to a coarser grouping — explode the
+        bounded bucket arrays, SUM counts per (group, bucket), pack
+        back sorted. Exact-integer merge, so
+        merge(per-shard sketches) == sketch(all rows) IDENTICALLY (the
+        re-aggregation identity the oracled entry proves — a property
+        centroid t-digests only approximate). All input sketches must
+        share one scale (built by the same tdigest call — mixing
+        scales is a caller error; the first scale wins, documented)."""
+        parts = [p.strip() for p in _split_top_commas_text(argtext)]
+        if len(parts) < 1:
+            raise ValueError("KQL: tdigest_merge(td [, by...])")
+        td = parts[0]
+        by = parts[1:]
+        ex = (df.select(*by, F.col(f"{td}.scale").alias("__tds"),
+                        F.explode(f"{td}.bs").alias("__tde"))
+                .groupBy(*by, F.col("__tde.b").alias("__tdb"))
+                .agg(F.sum("__tde.w").alias("__tdw"),
+                     F.first("__tds").alias("__tds1")))
+        return (ex.groupBy(*by)
+                .agg(F.struct(
+                    F.first("__tds1").alias("scale"),
+                    F.sort_array(F.collect_list(F.struct(
+                        F.col("__tdb").alias("b"),
+                        F.col("__tdw").alias("w")))).alias("bs"))
+                    .alias(td)))
 
     def _ipv4_lookup(self, df: DataFrame, argtext: str) -> DataFrame:
         """``evaluate ipv4_lookup(LookupTable, SourceIPColumn,

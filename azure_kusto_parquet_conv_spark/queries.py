@@ -3259,6 +3259,50 @@ def q_kql_codec_roundtrip(spark, sf_dir):
     """)
 
 
+@query("q_kql_tdigest", """
+WITH b AS (
+  SELECT l_returnflag AS g,
+         CAST(FLOOR(l_extendedprice / 1.0e0 + 0.5e0) AS BIGINT) AS bk,
+         CAST(COUNT(*) AS BIGINT) AS w
+  FROM lineitem GROUP BY 1, 2),
+c AS (SELECT g, bk, w,
+        CAST(SUM(w) OVER (PARTITION BY g ORDER BY bk
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        CAST(SUM(w) OVER (PARTITION BY g) AS BIGINT) AS tot
+      FROM b)
+SELECT g,
+  CAST(MIN(CASE WHEN cum * 100.0e0 >= 50 * tot THEN bk END)
+       AS DOUBLE) * 1.0e0 AS p50,
+  CAST(SUM(CASE WHEN bk <= 10000 THEN w ELSE 0 END) AS BIGINT)
+    * 100.0e0 / CAST(MIN(tot) AS BIGINT) AS pr,
+  CAST(SUM(CASE WHEN bk <= 10000 THEN w ELSE 0 END) AS BIGINT) AS rk
+FROM c GROUP BY g
+""")
+def q_kql_tdigest(spark, sf_dir):
+    """Mergeable quantile-sketch family (Kusto tdigest / tdigest_merge
+    / percentile_tdigest / percentrank_tdigest / rank_tdigest surface,
+    kql.py _tdigest): per-(flag, linenumber%4) grid sketches over
+    l_extendedprice MERGED up to per-flag, then the three scalars read
+    off the merged sketch. The ORACLE computes the same quantities
+    DIRECTLY from all rows per flag — equality proves the
+    re-aggregation identity merge(shard sketches) == sketch(all rows)
+    exactly (the property that makes percentile re-aggregation safe in
+    a 100 TB rollup pipeline; Kusto's centroid digests only
+    approximate it, our grid sketch owes its exactness to
+    deterministic buckets + integer counts). Bounded state everywhere:
+    grid cardinality per group, never row count."""
+    from azure_kusto_parquet_conv_spark.kql import kql
+    return kql(spark, sf_dir, """
+      lineitem
+        | extend g = l_returnflag, sub = tolong(l_linenumber) % 4
+        | evaluate tdigest(l_extendedprice, 1.0, g, sub)
+        | evaluate tdigest_merge(tdigest, g)
+        | project g, p50 = percentile_tdigest(tdigest, 50),
+                  pr = percentrank_tdigest(tdigest, 10000.0),
+                  rk = rank_tdigest(tdigest, 10000.0)
+    """)
+
+
 @query("q_session_window", """
 WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
            FROM events),
@@ -8162,16 +8206,16 @@ DRIVER_WINDOW = [
     "q8_market_share", "q_null_safe_join", "q_array_higher_order",
     "q_dedup_ngram_jaccard", "q_embed_sim_pairs", "q_embed_quantize",
     "q_kql_join_revenue", "q_training_mix", "q_tfidf",
-    # r4 vintage, r10-swept plans first (12 — the mid-r10 additions
+    # r4 vintage, r10-swept plans first (11 — the mid-r10 additions
     # below displaced q_kql_bin_events, q_kql_lookup,
-    # q_kql_union_sources, q_unpivot, q_hopping_window, all validated
-    # this round by the full-precision sf0.01 window replay; they
-    # rejoin in r11):
+    # q_kql_union_sources, q_unpivot, q_hopping_window,
+    # q_window_running, all validated this round by the full-precision
+    # sf0.01 window replay; they rejoin in r11):
     "q10_returned_items", "q14_promo_revenue",
     "q17_small_quantity_revenue", "q18_large_orders",
     "q19_disjunctive_join", "q7_nation_trade", "q_grouping_sets",
     "q_kql_summarize", "q_kql_top_nested",
-    "q_stats_agg", "q_window_running", "q_knn_bruteforce",
+    "q_stats_agg", "q_knn_bruteforce",
     # new-in-r10 entries (hygiene rule: staged the round they land;
     # they displaced the r4 back-fills q_dedup_exact, q_dedup_jaccard,
     # q_window_lag_lead, q_sessionize — first in line for r11):
@@ -8179,7 +8223,7 @@ DRIVER_WINDOW = [
     "q_kql_percentile_approx", "q_kql_percentilew_approx",
     "q_merge_upsert", "q_scd2_dimension",
     "q_pack_sequences", "q_feature_binning",
-    "q_kql_codec_roundtrip",
+    "q_kql_codec_roundtrip", "q_kql_tdigest",
 ]
 
 # Rotation ledger: r1-r9 windows are banked driver-green in

@@ -4950,3 +4950,71 @@ def test_codec_scalars_invalid_input_yields_empty_string(spark, sf_dir):
     assert r["gd"] == ""     # valid base64, not a gzip stream
     assert r["pd"] == ""     # punycode input must be ASCII
     assert r["nn"] == ""     # empty in -> decode of b'' fails -> empty
+
+
+def test_tdigest_merge_equals_direct_sketch(spark, sf_dir):
+    """The re-aggregation identity the grid sketch owes to
+    deterministic buckets + integer counts: merging per-shard sketches
+    yields the BIT-IDENTICAL sketch a direct build over all rows
+    gives — not an approximation of it (centroid t-digests only
+    approximate this; see kql._tdigest for the deviation rationale)."""
+    merged = kql(spark, sf_dir, """
+      lineitem | extend g = l_returnflag,
+                        sub = tolong(l_orderkey) % 7
+        | evaluate tdigest(l_extendedprice, 10.0, g, sub)
+        | evaluate tdigest_merge(tdigest, g)
+    """).collect()
+    direct = kql(spark, sf_dir, """
+      lineitem | extend g = l_returnflag
+        | evaluate tdigest(l_extendedprice, 10.0, g)
+    """).collect()
+    m = {r["g"]: r["tdigest"] for r in merged}
+    d = {r["g"]: r["tdigest"] for r in direct}
+    assert set(m) == set(d) and len(m) == 3
+    for g in m:
+        assert m[g]["scale"] == d[g]["scale"] == 10.0
+        assert m[g]["bs"] == d[g]["bs"]
+
+
+def test_tdigest_percentile_equals_exact_at_resolving_scale(spark,
+                                                            sf_dir):
+    """At a scale finer than the data's resolution (prices are
+    2-decimal; scale 0.01 maps every distinct value to its own
+    bucket), percentile_tdigest's crossing equals the exact weighted
+    crossing rule — the estimate degrades only with the grid, same
+    contract as percentilew_approx."""
+    got = {r["g"]: r["p50"] for r in kql(spark, sf_dir, """
+      lineitem | extend g = l_returnflag
+        | evaluate tdigest(l_extendedprice, 0.01, g)
+        | project g, p50 = percentile_tdigest(tdigest, 50)
+    """).collect()}
+    import math
+    from azure_kusto_parquet_conv_spark.sources.parquet import (
+        load_table)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice").toPandas()
+    for g, sub in li.groupby("l_returnflag"):
+        vals = sorted(sub["l_extendedprice"])
+        n = len(vals)
+        # smallest value whose rank reaches 50% of the total
+        exact = vals[math.ceil(0.5 * n) - 1]
+        assert abs(got[g] - exact) <= 0.01 + 1e-9, (g, got[g], exact)
+
+
+def test_tdigest_scalar_edges(spark, sf_dir):
+    """P=0 crosses at the first bucket, P=100 at the last;
+    percentrank/rank below the smallest bucket are 0."""
+    r = kql(spark, sf_dir, """
+      datatable (x: real) [1.0, 2.0, 2.0, 9.0]
+        | evaluate tdigest(x, 1.0)
+        | project p0 = percentile_tdigest(tdigest, 0),
+                  p100 = percentile_tdigest(tdigest, 100),
+                  lo = rank_tdigest(tdigest, 0.0),
+                  mid = rank_tdigest(tdigest, 2.0),
+                  prmid = percentrank_tdigest(tdigest, 2.0)
+    """).collect()[0]
+    assert r["p0"] == 1.0
+    assert r["p100"] == 9.0
+    assert r["lo"] == 0
+    assert r["mid"] == 3
+    assert r["prmid"] == 75.0
