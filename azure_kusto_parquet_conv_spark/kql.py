@@ -694,6 +694,31 @@ class _ExprParser:
                 "punycode_domain_to_string": "__kql_idna_d",
             }[fname]
             return f"{udf}({args[0]})"
+        if fname in ("gamma", "loggamma", "erf", "erfc"):
+            # Kusto special functions; libm kernels (see
+            # _register_math_udfs), domain errors -> null
+            if len(args) != 1:
+                raise ValueError(f"KQL: {fname}(x)")
+            udf = {"gamma": "__kql_gamma", "loggamma": "__kql_lgamma",
+                   "erf": "__kql_erf", "erfc": "__kql_erfc"}[fname]
+            return f"{udf}(CAST({args[0]} AS DOUBLE))"
+        if fname in ("beta_cdf", "beta_pdf", "beta_inv"):
+            if len(args) != 3:
+                raise ValueError(f"KQL: {fname}(x, alpha, beta)")
+            udf = {"beta_cdf": "__kql_beta_cdf",
+                   "beta_pdf": "__kql_beta_pdf",
+                   "beta_inv": "__kql_beta_inv"}[fname]
+            a = ", ".join(f"CAST({x} AS DOUBLE)" for x in args)
+            return f"{udf}({a})"
+        if fname == "welch_test":
+            # welch_test(mean1, var1, count1, mean2, var2, count2) ->
+            # two-sided p-value from per-sample moments
+            if len(args) != 6:
+                raise ValueError(
+                    "KQL: welch_test(mean1, variance1, count1, "
+                    "mean2, variance2, count2)")
+            a = ", ".join(f"CAST({x} AS DOUBLE)" for x in args)
+            return f"__kql_welch({a})"
         if fname in ("percentile_tdigest", "percentrank_tdigest",
                      "rank_tdigest"):
             # scalars over the grid quantile sketch built by
@@ -3392,6 +3417,168 @@ def _register_dynamic_udfs(spark: SparkSession) -> None:
     spark._kql_dyn_registered = True
 
 
+def _register_math_udfs(spark: SparkSession) -> None:
+    """Arrow-batched kernels for the Kusto special-function scalars —
+    gamma/loggamma, erf/erfc, the beta family and welch_test. Spark
+    has no SQL expression for any of these; the kernels ride libm
+    (math.*) and a vectorized numpy continued-fraction incomplete
+    beta (Lentz's algorithm, the standard Numerical-Recipes betacf
+    shape), so accuracy is full double precision. Domain errors
+    return null (Kusto's to*-style leniency), never raise."""
+    if getattr(spark, "_kql_math_registered", False):
+        return
+    import math
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def lift1(fn):
+        def f(col):
+            out = []
+            for x in col:
+                if x is None:
+                    out.append(None)
+                    continue
+                try:
+                    out.append(float(fn(float(x))))
+                except (ValueError, OverflowError):
+                    out.append(None)
+            return pd.Series(out, dtype="float64")
+        return pandas_udf(f, "double")
+
+    spark.udf.register("__kql_gamma", lift1(math.gamma))
+    spark.udf.register("__kql_lgamma", lift1(math.lgamma))
+    spark.udf.register("__kql_erf", lift1(math.erf))
+    spark.udf.register("__kql_erfc", lift1(math.erfc))
+
+    def _betainc(x, a, b):
+        """Regularized incomplete beta I_x(a, b), vectorized.
+        Continued fraction (Lentz) with the standard symmetry switch
+        at x > (a+1)/(a+b+2) for convergence."""
+        x = np.asarray(x, dtype=float)
+        a = np.asarray(a, dtype=float)
+        b = np.asarray(b, dtype=float)
+        out = np.full(x.shape, np.nan)
+        ok = (a > 0) & (b > 0) & (x >= 0) & (x <= 1)
+        out[ok & (x <= 0)] = 0.0
+        out[ok & (x >= 1)] = 1.0
+        m = ok & (x > 0) & (x < 1)
+        if not m.any():
+            return out
+        xs, as_, bs = x[m], a[m], b[m]
+        swap = xs > (as_ + 1.0) / (as_ + bs + 2.0)
+        xa = np.where(swap, 1.0 - xs, xs)
+        aa = np.where(swap, bs, as_)
+        bb = np.where(swap, as_, bs)
+        lbeta = (np.vectorize(math.lgamma)(aa + bb)
+                 - np.vectorize(math.lgamma)(aa)
+                 - np.vectorize(math.lgamma)(bb))
+        front = np.exp(lbeta + aa * np.log(xa)
+                       + bb * np.log1p(-xa)) / aa
+        tiny = 1e-300
+        c = np.ones_like(xa)
+        d = 1.0 - (aa + bb) * xa / (aa + 1.0)
+        d = np.where(np.abs(d) < tiny, tiny, d)
+        d = 1.0 / d
+        h = d.copy()
+        for i in range(1, 200):
+            m2 = 2 * i
+            num = i * (bb - i) * xa / ((aa + m2 - 1.0) * (aa + m2))
+            d = 1.0 + num * d
+            d = np.where(np.abs(d) < tiny, tiny, d)
+            c = 1.0 + num / c
+            c = np.where(np.abs(c) < tiny, tiny, c)
+            d = 1.0 / d
+            h *= d * c
+            num = (-(aa + i) * (aa + bb + i) * xa
+                   / ((aa + m2) * (aa + m2 + 1.0)))
+            d = 1.0 + num * d
+            d = np.where(np.abs(d) < tiny, tiny, d)
+            c = 1.0 + num / c
+            c = np.where(np.abs(c) < tiny, tiny, c)
+            d = 1.0 / d
+            delta = d * c
+            h *= delta
+            if np.all(np.abs(delta - 1.0) < 3e-16):
+                break
+        val = front * h
+        out[m] = np.where(swap, 1.0 - val, val)
+        return out
+
+    def beta_cdf(xs, as_, bs):
+        r = _betainc(np.asarray(xs, dtype=float),
+                     np.asarray(as_, dtype=float),
+                     np.asarray(bs, dtype=float))
+        return pd.Series(np.where(np.isnan(r), None, r),
+                         dtype="float64")
+
+    def beta_pdf(xs, as_, bs):
+        x = np.asarray(xs, dtype=float)
+        a = np.asarray(as_, dtype=float)
+        b = np.asarray(bs, dtype=float)
+        with np.errstate(all="ignore"):
+            lg = (np.vectorize(math.lgamma)(a + b)
+                  - np.vectorize(math.lgamma)(a)
+                  - np.vectorize(math.lgamma)(b))
+            r = np.exp(lg + (a - 1.0) * np.log(x)
+                       + (b - 1.0) * np.log1p(-x))
+        bad = ~((a > 0) & (b > 0) & (x > 0) & (x < 1))
+        r = np.where(bad, np.nan, r)
+        return pd.Series(np.where(np.isnan(r), None, r),
+                         dtype="float64")
+
+    def beta_inv(ps, as_, bs):
+        """Inverse regularized incomplete beta via bisection (60
+        halvings = full double resolution on [0,1])."""
+        p = np.asarray(ps, dtype=float)
+        a = np.asarray(as_, dtype=float)
+        b = np.asarray(bs, dtype=float)
+        lo = np.zeros_like(p)
+        hi = np.ones_like(p)
+        for _ in range(60):
+            mid = 0.5 * (lo + hi)
+            below = _betainc(mid, a, b) < p
+            lo = np.where(below, mid, lo)
+            hi = np.where(below, hi, mid)
+        r = 0.5 * (lo + hi)
+        bad = ~((a > 0) & (b > 0) & (p >= 0) & (p <= 1))
+        r = np.where(bad, np.nan, r)
+        return pd.Series(np.where(np.isnan(r), None, r),
+                         dtype="float64")
+
+    spark.udf.register("__kql_beta_cdf", pandas_udf(beta_cdf, "double"))
+    spark.udf.register("__kql_beta_pdf", pandas_udf(beta_pdf, "double"))
+    spark.udf.register("__kql_beta_inv", pandas_udf(beta_inv, "double"))
+
+    def welch(m1, v1, n1, m2, v2, n2):
+        """Two-sided Welch's t-test p-value from per-sample moments
+        (mean, variance, count) — the student-t tail probability via
+        the incomplete beta identity
+        P(|T| > t) = I_{dof/(dof+t^2)}(dof/2, 1/2)."""
+        m1 = np.asarray(m1, dtype=float)
+        v1 = np.asarray(v1, dtype=float)
+        n1 = np.asarray(n1, dtype=float)
+        m2 = np.asarray(m2, dtype=float)
+        v2 = np.asarray(v2, dtype=float)
+        n2 = np.asarray(n2, dtype=float)
+        with np.errstate(all="ignore"):
+            se1, se2 = v1 / n1, v2 / n2
+            t2 = (m1 - m2) ** 2 / (se1 + se2)
+            dof = ((se1 + se2) ** 2
+                   / (se1 ** 2 / (n1 - 1.0) + se2 ** 2 / (n2 - 1.0)))
+            p = _betainc(dof / (dof + t2), dof / 2.0,
+                         np.full_like(dof, 0.5))
+        bad = ~((n1 > 1) & (n2 > 1) & (v1 >= 0) & (v2 >= 0)
+                & ((v1 / n1 + v2 / n2) > 0))
+        p = np.where(bad, np.nan, p)
+        return pd.Series(np.where(np.isnan(p), None, p),
+                         dtype="float64")
+
+    spark.udf.register("__kql_welch", pandas_udf(welch, "double"))
+    spark._kql_math_registered = True
+
+
 def _register_codec_udfs(spark: SparkSession) -> None:
     """Arrow-batched kernels behind the Kusto codec scalars —
     zlib/gzip compress-to-base64 (and inverses) and punycode / IDNA
@@ -3522,6 +3709,7 @@ class KqlCompiler:
         _register_series_fft_udfs(spark)
         _register_dynamic_udfs(spark)
         _register_codec_udfs(spark)
+        _register_math_udfs(spark)
 
     def table(self, name: str) -> DataFrame:
         return load_table(self.spark, self.sf_dir, name)

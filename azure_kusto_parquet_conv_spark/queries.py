@@ -3259,6 +3259,42 @@ def q_kql_codec_roundtrip(spark, sf_dir):
     """)
 
 
+@query("q_kql_math_special", """
+SELECT p_partkey,
+       CAST(FLOOR(lgamma((p_partkey % 180 + 1) / 10.0e0) * 1000000.0e0
+                  + 0.5e0) AS BIGINT) / 1000000.0e0 AS lg,
+       CAST(FLOOR((1.0e0 - POWER(1.0e0 - (p_partkey % 97) / 100.0e0,
+                                 3)) * 1000000.0e0
+                  + 0.5e0) AS BIGINT) / 1000000.0e0 AS bc
+FROM part WHERE p_partkey % 11 = 0
+""")
+def q_kql_math_special(spark, sf_dir):
+    """Kusto special-function scalars (kql.py _register_math_udfs):
+    loggamma via libm and beta_cdf via the vectorized
+    continued-fraction incomplete beta, checked against DuckDB's OWN
+    lgamma and the a=1 closed form 1-(1-x)^b. The two sides use
+    independent implementations (libm/Lentz vs DuckDB's gamma
+    kernels/POWER), agreeing to ~1 ulp but not bitwise, so outputs
+    carry 6-decimal portable rounding; the inputs are the FINITE
+    modulo domains (180 x-values, 97 u-values — sf-independent), and
+    tests/test_kql.py::test_math_special_plateau_margin proves every
+    domain value sits >= 1e-3 grid units from a rounding boundary,
+    300x the worst cross-implementation drift — the same plateau
+    argument as q_kql_percentile_approx."""
+    from azure_kusto_parquet_conv_spark.kql import kql
+    df = kql(spark, sf_dir, """
+      part
+        | where p_partkey % 11 == 0
+        | project p_partkey,
+            lg = loggamma(todouble(p_partkey % 180 + 1)
+                          / todouble(10.0)),
+            bc = beta_cdf(todouble(p_partkey % 97) / todouble(100.0),
+                          1.0, 3.0)
+    """)
+    return df.select("p_partkey", sround(F.col("lg"), 6).alias("lg"),
+                     sround(F.col("bc"), 6).alias("bc"))
+
+
 @query("q_kql_tdigest", """
 WITH b AS (
   SELECT l_returnflag AS g,
@@ -8206,15 +8242,15 @@ DRIVER_WINDOW = [
     "q8_market_share", "q_null_safe_join", "q_array_higher_order",
     "q_dedup_ngram_jaccard", "q_embed_sim_pairs", "q_embed_quantize",
     "q_kql_join_revenue", "q_training_mix", "q_tfidf",
-    # r4 vintage, r10-swept plans first (11 — the mid-r10 additions
+    # r4 vintage, r10-swept plans first (10 — the mid-r10 additions
     # below displaced q_kql_bin_events, q_kql_lookup,
     # q_kql_union_sources, q_unpivot, q_hopping_window,
-    # q_window_running, all validated this round by the full-precision
-    # sf0.01 window replay; they rejoin in r11):
+    # q_window_running, q_kql_top_nested, all validated this round by
+    # the full-precision sf0.01 window replay; they rejoin in r11):
     "q10_returned_items", "q14_promo_revenue",
     "q17_small_quantity_revenue", "q18_large_orders",
     "q19_disjunctive_join", "q7_nation_trade", "q_grouping_sets",
-    "q_kql_summarize", "q_kql_top_nested",
+    "q_kql_summarize",
     "q_stats_agg", "q_knn_bruteforce",
     # new-in-r10 entries (hygiene rule: staged the round they land;
     # they displaced the r4 back-fills q_dedup_exact, q_dedup_jaccard,
@@ -8223,7 +8259,7 @@ DRIVER_WINDOW = [
     "q_kql_percentile_approx", "q_kql_percentilew_approx",
     "q_merge_upsert", "q_scd2_dimension",
     "q_pack_sequences", "q_feature_binning",
-    "q_kql_codec_roundtrip", "q_kql_tdigest",
+    "q_kql_codec_roundtrip", "q_kql_tdigest", "q_kql_math_special",
 ]
 
 # Rotation ledger: r1-r9 windows are banked driver-green in

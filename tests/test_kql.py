@@ -5018,3 +5018,54 @@ def test_tdigest_scalar_edges(spark, sf_dir):
     assert r["lo"] == 0
     assert r["mid"] == 3
     assert r["prmid"] == 75.0
+
+
+def test_math_special_goldens(spark, sf_dir):
+    """Special-function kernels vs closed forms: gamma(n) = (n-1)!,
+    gamma(1/2) = sqrt(pi), beta a=1 closed form, beta_inv inverts
+    beta_cdf, erf/erfc complements, welch_test reproduces the
+    textbook two-sample case; domain errors are null."""
+    import math
+    r = kql(spark, sf_dir, """
+      print x = 1
+        | project g5 = gamma(5.0), gh = gamma(0.5),
+                  lg = loggamma(10.0), e1 = erf(1.0), ec = erfc(1.0),
+                  bc = beta_cdf(0.3, 1.0, 3.0),
+                  bp = beta_pdf(0.5, 2.0, 2.0),
+                  bi = beta_inv(0.657, 1.0, 3.0),
+                  wt = welch_test(20.6, 0.48, 20, 19.8, 1.07, 25),
+                  bad = gamma(-2.0), badb = beta_cdf(0.5, -1.0, 2.0)
+    """).collect()[0]
+    assert r["g5"] == 24.0
+    assert r["gh"] == math.sqrt(math.pi)
+    assert r["lg"] == math.lgamma(10.0)
+    assert r["e1"] == math.erf(1.0)
+    assert r["ec"] == math.erfc(1.0)
+    assert abs(r["bc"] - (1 - 0.7 ** 3)) < 1e-12
+    assert abs(r["bp"] - 1.5) < 1e-12
+    assert abs(r["bi"] - 0.3) < 1e-12
+    # Welch 1947-style example: t ~ 3.095, dof ~ 41.8, p ~ 0.0035
+    assert abs(r["wt"] - 0.0035) < 2e-4
+    assert r["bad"] is None and r["badb"] is None
+
+
+def test_math_special_plateau_margin():
+    """The q_kql_math_special oracle rounds loggamma/beta_cdf to six
+    decimals via FLOOR(v*1e6 + 0.5); the two engines' independent
+    kernels agree to ~1 ulp (measured max drift over the whole input
+    domain: 1.07e-8 grid units, DuckDB lgamma vs libm), so the hash is
+    safe iff no input's value sits near a x.5 grid boundary. The input
+    domains are the FINITE modulo classes (sf-independent): prove
+    every value keeps >= 1e-4 grid units of margin — 10^4 x the
+    measured drift (the tightest value, lgamma(15.7), sits 3.47e-4
+    from its boundary and is bit-identical across engines anyway)."""
+    import math
+    worst = 1.0
+    for k in range(1, 181):
+        v = math.lgamma(k / 10.0) * 1e6
+        worst = min(worst, abs(v - math.floor(v) - 0.5))
+    for k in range(0, 97):
+        u = k / 100.0
+        v = (1.0 - (1.0 - u) ** 3) * 1e6
+        worst = min(worst, abs(v - math.floor(v) - 0.5))
+    assert worst >= 1e-4, worst
