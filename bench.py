@@ -117,6 +117,12 @@ HEADLINE = [
     "q_kql_percentile_approx",
     "q_kql_percentilew_approx",
     "q_knn_ivfpq_append",
+    # late-r10: the Arrow-hop codec roundtrip (pandas-UDF cost shape
+    # over the documents corpus), the two-level grid-sketch build +
+    # merge, and the libm/Lentz special-function scalars.
+    "q_kql_codec_roundtrip",
+    "q_kql_tdigest",
+    "q_kql_math_special",
 ]
 
 
