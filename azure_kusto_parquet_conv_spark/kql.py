@@ -5384,8 +5384,14 @@ class KqlCompiler:
             float(parts[3])
         by = parts[4:]
         from pyspark.sql import Window as _W
-        bucket = F.round(F.col(v) / F.lit(scale), 0).cast("long")
-        wgt = F.round(F.col(w) * F.lit(10000.0), 0).cast("long")
+        # FLOOR(x + 0.5) bucketing: the one convention across the
+        # sketch family (tdigest uses it too) — single IEEE ops,
+        # bit-identical cross-engine, no per-row BigDecimal hop
+        # (see queries.py portable-rounding note)
+        bucket = F.floor(F.col(v) / F.lit(scale) + F.lit(0.5)) \
+                  .cast("long")
+        wgt = F.floor(F.col(w) * F.lit(10000.0) + F.lit(0.5)) \
+               .cast("long")
         pre = (df.where(F.col(v).isNotNull() & F.col(w).isNotNull()
                         & (F.col(w) > 0))
                  .groupBy(*by, bucket.alias("__pwb"))

@@ -7141,8 +7141,10 @@ def q_kql_percentile_approx(spark, sf_dir):
 @query("q_kql_percentilew_approx", """
 WITH b AS (
   SELECT l_returnflag,
-         CAST(ROUND(l_extendedprice / 1000.0e0, 0) AS BIGINT) AS bk,
-         SUM(CAST(ROUND(l_quantity * 10000.0e0, 0) AS BIGINT)) AS wsum
+         CAST(FLOOR(l_extendedprice / 1000.0e0 + 0.5e0) AS BIGINT)
+           AS bk,
+         SUM(CAST(FLOOR(l_quantity * 10000.0e0 + 0.5e0) AS BIGINT))
+           AS wsum
   FROM lineitem
   WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
     AND l_quantity > 0
