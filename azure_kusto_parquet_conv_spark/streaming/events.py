@@ -607,6 +607,34 @@ def interval_join_streams(left: DataFrame, right: DataFrame,
                        F.unix_micros("right_ts").alias("right_ts_us")))
 
 
+def quantile_sketch_stream(events: DataFrame, value_col: str = "value",
+                           window: str = "1 hour", scale: float = 1.0,
+                           watermark: str = "2 hours") -> DataFrame:
+    """Streaming grid quantile sketch — the unbounded twin of the KQL
+    tdigest family (kql.py _tdigest): per event-time window, values
+    land on the same deterministic bucket grid
+    (``FLOOR(value/scale + 0.5)``) and the output rows
+    (window_start, bucket, weight) ARE the sketch in exploded form —
+    mergeable downstream by integer addition, percentile readable with
+    the family's crossing rule. This is the latency-percentile
+    monitoring shape: per-window state is bounded by GRID cardinality
+    (the accuracy knob), never event count, so a p99 dashboard over an
+    unbounded stream runs forever in fixed memory; the watermark
+    closes windows for append-mode emission and evicts their state.
+    Exact integer counts make stream output bit-equal to the batch
+    sketch over the same rows (pinned stream==batch)."""
+    bucket = F.floor(F.col(value_col) / F.lit(scale) + F.lit(0.5)) \
+              .cast("long")
+    return (events
+            .where(F.col(value_col).isNotNull())
+            .withWatermark("ts", watermark)
+            .groupBy(F.window("ts", window), bucket.alias("bucket"))
+            .agg(F.count("*").alias("weight"))
+            .select(F.unix_micros(F.col("window.start"))
+                     .alias("window_start_us"),
+                    "bucket", "weight"))
+
+
 def cdc_latest_stream(changes: DataFrame, keys: list[str],
                       ts_col: str = "ts") -> DataFrame:
     """Streaming CDC apply — the unbounded twin of

@@ -1190,3 +1190,69 @@ def test_cdc_latest_stream_equals_merge_upsert_fold(spark, tmp_path):
     want = {r["k"]: (r["ts"], r["v"]) for r in folded.collect()}
     assert got == want
     assert got[2][1] == 21.0 and got[1][1] == 12.0 and got[4][1] == 41.0
+
+
+def test_quantile_sketch_stream_equals_batch_sketch(spark, sf_dir,
+                                                    stream_dir):
+    """stream==batch twin for the grid quantile sketch: the streamed
+    per-window (bucket, weight) rows must bit-equal the batch groupBy
+    over the same events (exact integer counts, deterministic
+    buckets), and the p50 read off the sketch with the tdigest-family
+    crossing rule must equal the exact percentile crossing computed
+    from the raw rows at resolving scale."""
+    from pyspark.sql import functions as F
+
+    from azure_kusto_parquet_conv_spark.sources.parquet import (
+        load_table)
+    from azure_kusto_parquet_conv_spark.streaming.events import (
+        quantile_sketch_stream, read_events_stream)
+
+    ev = read_events_stream(spark, stream_dir)
+    q = (quantile_sketch_stream(ev, value_col="value", window="1 hour",
+                                scale=0.5)
+         .writeStream.format("memory").queryName("qsketch")
+         .outputMode("append").start())
+    q.processAllAvailable()
+    q.stop()
+    got = {(r["window_start_us"], r["bucket"]): r["weight"]
+           for r in spark.sql("select * from qsketch").collect()}
+    assert got, "stream emitted no sketch rows"
+
+    batch = load_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull())
+    want_rows = (batch.groupBy(
+        F.window("ts", "1 hour").alias("w"),
+        F.floor(F.col("value") / F.lit(0.5) + F.lit(0.5))
+         .cast("long").alias("bucket"))
+        .agg(F.count("*").alias("weight"))
+        .select(F.unix_micros("w.start").alias("window_start_us"),
+                "bucket", "weight").collect())
+    want = {(r["window_start_us"], r["bucket"]): r["weight"]
+            for r in want_rows}
+    for k, v in got.items():
+        assert want.get(k) == v, f"{k}: stream {v} != batch {want.get(k)}"
+    assert len(got) >= len(want) * 0.8
+
+    # percentile read-off: pick the window with the most sketch rows,
+    # apply the crossing rule, compare to the exact crossing over raw
+    # values in that window (value grid is 0.01-resolution? value is a
+    # double metric — scale 0.5 is the accuracy knob, so compare with
+    # tolerance scale)
+    from collections import defaultdict
+    perwin = defaultdict(dict)
+    for (ws, b), wgt in got.items():
+        perwin[ws][b] = wgt
+    ws, sk = max(perwin.items(), key=lambda kv: sum(kv[1].values()))
+    total = sum(sk.values())
+    cum = 0
+    p50_sketch = None
+    for b in sorted(sk):
+        cum += sk[b]
+        if cum * 2 >= total:
+            p50_sketch = b * 0.5
+            break
+    vals = sorted(r["value"] for r in batch.where(
+        (F.unix_micros(F.date_trunc("hour", "ts")) == ws)).collect())
+    import math
+    exact = vals[math.ceil(0.5 * len(vals)) - 1]
+    assert abs(p50_sketch - exact) <= 0.5 + 1e-9, (p50_sketch, exact)
