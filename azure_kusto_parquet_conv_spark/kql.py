@@ -483,6 +483,12 @@ class _ExprParser:
         if self.peek() is not None and self.peek().text != ")":
             # special-case: count(*) and count()
             while True:
+                if self.peek() is None:
+                    # truncated input like `f(0,` — a comma promised
+                    # another argument that never arrived
+                    raise ValueError(
+                        f"KQL: unterminated argument list in "
+                        f"{fname}(...)")
                 if self.peek().text == "*":
                     self.next()
                     args.append("*")
