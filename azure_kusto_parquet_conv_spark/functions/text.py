@@ -34,6 +34,39 @@ def tokens(c: Column | str) -> Column:
     return F.split(normalize(c), " ")
 
 
+def word_bigrams(c: Column | str) -> Column:
+    """Adjacent-token bigrams ("tok[i] tok[i+1]") of normalized text as
+    array<string> — empty for docs with < 2 tokens. Pure higher-order
+    expressions: slice to the first n-1 tokens, pair each with its
+    1-based successor via the transform index."""
+    toks = tokens(c)
+    return F.transform(
+        F.slice(toks, 1, F.size(toks) - 1),
+        lambda x, i: F.concat_ws(" ", x, F.element_at(toks, i + F.lit(2))))
+
+
+def max_run_length(arr: Column) -> Column:
+    """Length of the longest run of equal adjacent elements after
+    sorting ``arr`` — i.e. the multiplicity of the array's MODE, without
+    exploding (sorting puts equal values adjacent, so the longest run is
+    the highest count). O(n log n) per row inside the JVM; 0 for empty
+    arrays. The accumulator seed uses "" as the not-a-value sentinel
+    (sorted grams are non-empty strings, so the first element always
+    starts a fresh run)."""
+    zero = F.lit(0).cast("long")
+    acc0 = F.struct(F.lit("").alias("prev"),
+                    zero.alias("run"), zero.alias("best"))
+
+    def step(acc, x):
+        run = (F.when(x == acc["prev"], acc["run"] + 1)
+                .otherwise(F.lit(1).cast("long")))
+        return F.struct(x.alias("prev"), run.alias("run"),
+                        F.greatest(acc["best"], run).alias("best"))
+
+    return F.aggregate(F.array_sort(arr), acc0, step,
+                       lambda acc: acc["best"])
+
+
 def bpe_ish_tokens(c: Column | str) -> Column:
     """A BPE-ish regex tokenizer: words, numbers, and single punctuation
     marks as separate tokens (GPT-2-style pre-tokenization pattern,

@@ -8213,6 +8213,342 @@ def q_url_dedup_real(spark, sf_dir):
 
 
 # =======================================================================
+# Certificate siblings for the rows-only sketch families (r9 verdict
+# #7). The rows-only entries (q_approx_distinct, q_freq_items, ...) stay
+# rows-only BY NATURE — their estimates are engine-specific. Each twin
+# here computes the SAME sketch and emits its documented GUARANTEE as a
+# certificate the oracle can pin exactly: exact counts plus booleans
+# ("estimate within the documented bound", "every truly-frequent item
+# detected", "GK rank error within eps*n"). The booleans are TRUE by the
+# algorithm's contract for ANY partitioning, so the hash gate turns a
+# probabilistic structure into a hard driver row — the protocol that
+# already covers minhash/ivfpq (q_dedup_minhash_exact pattern).
+# =======================================================================
+
+@query("q_approx_distinct_exact", """
+SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+       CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+       TRUE AS parts_within_5rsd, TRUE AS orders_within_5rsd
+FROM lineitem
+""")
+def q_approx_distinct_exact(spark, sf_dir):
+    """HLL++ certificate twin of q_approx_distinct: the estimate at
+    rsd=0.01 must land within 5 relative standard deviations (+1 row of
+    slack) of the exact distinct count. HLL register merge is max-based
+    and therefore order/partitioning-independent: the booleans are
+    deterministic for a fixed input file, and the 5-rsd margin is the
+    documented accuracy contract, so a drifting sketch implementation
+    red-flags at the driver instead of hiding behind rows-only."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.agg(
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("ap"),
+        F.countDistinct("l_partkey").alias("ep"),
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("ao"),
+        F.countDistinct("l_orderkey").alias("eo"))
+    return a.select(
+        F.col("ep").cast("long").alias("exact_parts"),
+        F.col("eo").cast("long").alias("exact_orders"),
+        (F.abs(F.col("ap") - F.col("ep")) <= 0.05 * F.col("ep") + 1)
+            .alias("parts_within_5rsd"),
+        (F.abs(F.col("ao") - F.col("eo")) <= 0.05 * F.col("eo") + 1)
+            .alias("orders_within_5rsd"))
+
+
+@query("q_freq_items_exact", """
+SELECT event_type, TRUE AS detected
+FROM (SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type),
+     (SELECT COUNT(*) AS total FROM events)
+WHERE n > 0.15 * total
+""")
+def q_freq_items_exact(spark, sf_dir):
+    """Heavy-hitters certificate twin of q_freq_items: the Karp/
+    Misra-Gries sketch guarantees NO FALSE NEGATIVES — every value with
+    frequency > support*n is in the returned array (false positives
+    allowed; those are not claimed). The oracle independently computes
+    the truly-frequent set with an exact GROUP BY; each must test
+    `detected`. Both sides compare n > 0.15*total on the same IEEE
+    doubles, so the boundary decision is identical."""
+    ev = load_table(spark, sf_dir, "events")
+    det = (ev.stat.freqItems(["event_type"], support=0.15)
+             .select(F.col("event_type_freqItems").alias("det")))
+    counts = ev.groupBy("event_type").agg(F.count("*").alias("n"))
+    tot = counts.agg(F.sum("n").alias("total"))
+    truly = (counts.crossJoin(F.broadcast(tot))
+                   .where(F.col("n") > 0.15 * F.col("total")))
+    return (truly.crossJoin(F.broadcast(det))
+                 .select("event_type",
+                         F.array_contains("det", F.col("event_type"))
+                          .alias("detected")))
+
+
+@query("q_sample_by_exact", """
+SELECT event_type,
+       CASE WHEN event_type IN ('purchase', 'signup')
+            THEN CAST(COUNT(*) AS BIGINT)
+            ELSE CAST(-1 AS BIGINT) END AS n_kept,
+       TRUE AS within_6sigma
+FROM events GROUP BY event_type
+""")
+def q_sample_by_exact(spark, sf_dir):
+    """Stratified-sampling certificate twin of q_sample_by: strata with
+    fraction 1.0 must keep EVERY row (rand() in [0,1) is always < 1.0 —
+    an exact claim, hash-compared as the kept count), and every other
+    stratum's kept count must sit within 6 binomial standard deviations
+    (+1) of fraction*n — true for any seed realization, so the boolean
+    is robust to partition-layout differences between environments.
+    Fractional strata emit the -1 sentinel instead of NULL so the count
+    column stays pure int64 through pandas on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    fractions = {"click": 0.2, "view": 0.2, "purchase": 1.0,
+                 "signup": 1.0, "error": 0.5}
+    samp = (ev.stat.sampleBy("event_type", fractions, seed=42)
+              .groupBy("event_type")
+              .agg(F.count("*").alias("n_sampled")))
+    tot = ev.groupBy("event_type").agg(F.count("*").alias("n_total"))
+    j = (tot.join(samp, "event_type", "left")
+            .na.fill(0, ["n_sampled"]))
+    is_full = F.col("event_type").isin("purchase", "signup")
+    frac = (F.when(F.col("event_type").isin("click", "view"), F.lit(0.2))
+             .when(F.col("event_type") == "error", F.lit(0.5))
+             .otherwise(F.lit(1.0)))
+    mu = frac * F.col("n_total")
+    sd = F.sqrt(F.col("n_total") * frac * (1 - frac))
+    return j.select(
+        "event_type",
+        F.when(is_full, F.col("n_sampled")).otherwise(F.lit(-1))
+         .cast("long").alias("n_kept"),
+        (F.abs(F.col("n_sampled") - mu) <= 6 * sd + 1)
+            .alias("within_6sigma"))
+
+
+@query("q_kql_hll_reagg_exact", """
+SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS within_2pct
+FROM events
+""")
+def q_kql_hll_reagg_exact(spark, sf_dir):
+    """Mergeable-sketch certificate twin of q_kql_hll_reagg: per-type
+    Datasketches HLL sketches unioned to ONE global estimate (the exact
+    re-aggregation path the rows-only entry exercises) must land within
+    2% (+1) of the exact distinct user count. Sketch union is
+    register-max and order-independent, so the certificate is
+    deterministic; the 2% margin is the bound the in-repo accuracy pins
+    already enforce for this sketch family."""
+    ev = load_table(spark, sf_dir, "events")
+    sk = (ev.groupBy("event_type")
+            .agg(F.expr("hll_sketch_agg(user_id)").alias("sk")))
+    est = sk.agg(
+        F.count("*").alias("n_types"),
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est"))
+    ex = ev.agg(F.countDistinct("user_id").alias("exact_users"))
+    return (est.crossJoin(F.broadcast(ex))
+               .select(F.col("n_types").cast("long").alias("n_types"),
+                       F.col("exact_users").cast("long")
+                        .alias("exact_users"),
+                       (F.abs(F.col("est") - F.col("exact_users"))
+                        <= 0.02 * F.col("exact_users") + 1)
+                           .alias("within_2pct")))
+
+
+@query("q_approx_percentiles_exact", """
+SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+       TRUE AS rank_ok_p50, TRUE AS rank_ok_p95, TRUE AS rank_ok_p99
+FROM lineitem GROUP BY l_returnflag
+""")
+def q_approx_percentiles_exact(spark, sf_dir):
+    """GK-sketch certificate twin of q_approx_percentiles: for each
+    group and each requested percentile p, the value returned by
+    percentile_approx(accuracy=10000) must have exact rank within
+    eps*n + 1 of p*n (eps = 1/accuracy — the Greenwald-Khanna guarantee,
+    which survives sketch merging, so the booleans hold under ANY
+    partitioning). The exact rank interval [#(x < v)+1, #(x <= v)] is
+    recomputed from the data by joining the 3 percentile rows back to
+    lineitem (broadcast, one extra scan)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice")
+    pct = (li.groupBy("l_returnflag")
+             .agg(F.percentile_approx("l_extendedprice",
+                                      [0.5, 0.95, 0.99], 10000)
+                   .alias("pcts"),
+                  F.count("*").alias("n")))
+    j = li.join(F.broadcast(pct), "l_returnflag")
+    tags = [("p50", 0.5), ("p95", 0.95), ("p99", 0.99)]
+    aggs = [F.first("n").alias("n")]
+    for i, (tag, _) in enumerate(tags):
+        aggs.append(F.sum((F.col("l_extendedprice") <= F.col("pcts")[i])
+                          .cast("long")).alias(f"le_{tag}"))
+        aggs.append(F.sum((F.col("l_extendedprice") < F.col("pcts")[i])
+                          .cast("long")).alias(f"lt_{tag}"))
+    cert = j.groupBy("l_returnflag").agg(*aggs)
+    eps = 1.0 / 10000
+    out = [F.col("l_returnflag"), F.col("n").cast("long").alias("n")]
+    for tag, p in tags:
+        bound = eps * F.col("n") + 1
+        out.append(((F.col(f"le_{tag}") >= p * F.col("n") - bound)
+                    & (F.col(f"lt_{tag}") <= p * F.col("n") + bound))
+                   .alias(f"rank_ok_{tag}"))
+    return cert.select(*out)
+
+
+@query("q_text_rolling_fp_exact", """
+SELECT CAST((SELECT COUNT(*) FROM documents WHERE doc_id % 31 = 0)
+            AS BIGINT) AS n_planted,
+       CAST((SELECT COUNT(*) FROM documents WHERE doc_id % 31 = 0)
+            AS BIGINT) AS n_fp_preserved,
+       CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_docs,
+       CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_distinct_fp
+""")
+def q_text_rolling_fp_exact(spark, sf_dir):
+    """Rolling-fingerprint certificate twin of q_text_rolling_fp: every
+    31st document planted back as an exact clone must reproduce its
+    source's fingerprint bit-for-bit (determinism + text-purity: the
+    fp depends on nothing but the text), and the fingerprints of the
+    real corpus must be pairwise distinct (collision-freeness on this
+    fixture — mod 2^31-1 over ~500 docs; verified at both test scale
+    factors, and deterministic, so the claim cannot flake)."""
+    d = (load_table(spark, sf_dir, "documents")
+         .select(F.col("doc_id").cast("long").alias("doc_id"), "text"))
+    clones = d.where(F.col("doc_id") % 31 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    fps = (d.unionByName(clones)
+            .select("doc_id", X.fingerprint_rolling("text").alias("fp")))
+    a = fps.where((F.col("doc_id") < 1000000)
+                  & (F.col("doc_id") % 31 == 0)).alias("a")
+    b = fps.where(F.col("doc_id") >= 1000000).alias("b")
+    pairs = (a.join(b, F.col("a.doc_id") + 1000000 == F.col("b.doc_id"))
+              .agg(F.count("*").cast("long").alias("n_planted"),
+                   F.sum((F.col("a.fp") == F.col("b.fp")).cast("long"))
+                    .alias("n_fp_preserved")))
+    stats = (fps.where(F.col("doc_id") < 1000000)
+                .agg(F.count("*").cast("long").alias("n_docs"),
+                     F.countDistinct("fp").cast("long")
+                      .alias("n_distinct_fp")))
+    return pairs.crossJoin(F.broadcast(stats))
+
+
+@query("q_dedup_clusters_exact", """
+SELECT CAST(doc_id AS BIGINT) AS source_id,
+       TRUE AS triple_connected, TRUE AS root_le_source
+FROM documents
+WHERE doc_id % 41 = 0
+  AND len(string_split(regexp_replace(trim(lower(text)),
+                                      '\\s+', ' ', 'g'), ' ')) >= 3
+""")
+def q_dedup_clusters_exact(spark, sf_dir):
+    """Connected-components certificate twin of q_dedup_clusters
+    (q_dedup_minhash_exact protocol extended to the CLUSTER stage):
+    every 41st document is planted back TWICE (doc_id + 1e6 and
+    doc_id + 2e6, exact clones). Identical text -> identical MinHash
+    signatures -> the LSH bucket join must surface both clone edges
+    with Jaccard 1.0, and label propagation must then assign all three
+    members ONE cluster id (triple_connected) whose canonical root is
+    <= the source id (min-id canonicalization over a component that
+    contains the source). Both claims survive foreign near-dup edges
+    merging into the component, so the full corpus rides along —
+    nothing is filtered out to make the oracle hold. Sources need a
+    non-empty shingle set (>= 3 normalized tokens, mirrored in the
+    oracle's WHERE) to participate in MinHash at all."""
+    d = (load_table(spark, sf_dir, "documents")
+         .select(F.col("doc_id").cast("long").alias("doc_id"), "text"))
+    seeds = d.where((F.col("doc_id") % 41 == 0)
+                    & (F.size(X.tokens("text")) >= 3))
+    planted = d.unionByName(
+        seeds.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    ).unionByName(
+        seeds.select((F.col("doc_id") + 2000000).alias("doc_id"), "text"))
+    pairs = D.minhash_dedup_pairs(planted, threshold=0.8)
+    lab = D.dedup_clusters(planted.select("doc_id"), pairs)
+    src = seeds.select(F.col("doc_id").alias("source_id"))
+    l0 = lab.select(F.col("doc_id").alias("source_id"),
+                    F.col("cluster_id").alias("c0"))
+    l1 = lab.select((F.col("doc_id") - 1000000).alias("source_id"),
+                    F.col("cluster_id").alias("c1"))
+    l2 = lab.select((F.col("doc_id") - 2000000).alias("source_id"),
+                    F.col("cluster_id").alias("c2"))
+    return (src.join(l0, "source_id").join(l1, "source_id")
+               .join(l2, "source_id")
+               .select("source_id",
+                       ((F.col("c0") == F.col("c1"))
+                        & (F.col("c1") == F.col("c2")))
+                       .alias("triple_connected"),
+                       (F.col("c0") <= F.col("source_id"))
+                       .alias("root_le_source")))
+
+
+# =======================================================================
+# Gopher-style repetition quality signals (training-data pipeline)
+# =======================================================================
+
+@query("q_repetition_signals", """
+WITH t AS (
+  SELECT doc_id,
+         string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'),
+                      ' ') AS toks
+  FROM documents),
+b AS (
+  SELECT doc_id, toks, len(toks) AS n_tokens,
+         list_transform(range(1, len(toks)),
+                        i -> toks[i] || ' ' || toks[i + 1]) AS grams
+  FROM t),
+e AS (SELECT doc_id, unnest(grams) AS g FROM b),
+c AS (SELECT doc_id, g, COUNT(*) AS cnt FROM e GROUP BY doc_id, g),
+m AS (SELECT doc_id, MAX(cnt) AS best,
+             CAST(SUM(cnt) AS BIGINT) AS n_grams,
+             COUNT(*) AS n_dist_grams
+      FROM c GROUP BY doc_id)
+SELECT CAST(b.doc_id AS BIGINT) AS doc_id,
+       CAST(b.n_tokens AS BIGINT) AS n_tokens,
+       CAST((b.n_tokens - len(list_distinct(b.toks))) * 1000000
+            // b.n_tokens AS BIGINT) AS dup_word_ppm,
+       CAST(COALESCE((m.n_grams - m.n_dist_grams) * 1000000 // m.n_grams,
+                     0) AS BIGINT) AS dup_gram_ppm,
+       CAST(COALESCE(m.best * 1000000 // m.n_grams, 0) AS BIGINT)
+         AS top_gram_ppm,
+       COALESCE(m.best * 1000000 // m.n_grams, 0) >= 100000
+         OR COALESCE((m.n_grams - m.n_dist_grams) * 1000000 // m.n_grams,
+                     0) >= 500000 AS flagged
+FROM b LEFT JOIN m USING (doc_id)
+""")
+def q_repetition_signals(spark, sf_dir):
+    """Gopher/C4-style repetition quality signals per document:
+    duplicate-word fraction, duplicate-bigram fraction, and the mass of
+    the single most-repeated bigram — the standard "remove boilerplate /
+    looping text" pre-training filters (Rae et al. 2021 §A1.1). All
+    three are computed INSIDE the row with higher-order array
+    expressions (array_distinct for dup fractions; max-run-length over
+    the SORTED bigram array via F.aggregate for the top-gram mass — a
+    sorted array puts equal grams adjacent, so the longest run IS the
+    mode count). Zero shuffles, zero explodes: at 100 TB this is a pure
+    map-side scan whose cost is O(tokens log tokens) per row, versus
+    the explode->groupBy(doc_id, gram) shape that shuffles one row per
+    OCCURRENCE. Outputs are integer ppm (exact in any engine; the
+    DuckDB twin independently recomputes the mode count via the
+    explode->GROUP BY shape it can afford at oracle scale)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = X.tokens("text")
+    grams = X.word_bigrams("text")
+    base = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_dw"),
+        F.size(grams).cast("long").alias("n_grams"),
+        F.size(F.array_distinct(grams)).cast("long").alias("n_dg"),
+        X.max_run_length(grams).alias("best"))
+    return base.selectExpr(
+        "doc_id", "n_tokens",
+        "(n_tokens - n_dw) * 1000000 div n_tokens AS dup_word_ppm",
+        "CASE WHEN n_grams = 0 THEN 0 ELSE "
+        "(n_grams - n_dg) * 1000000 div n_grams END AS dup_gram_ppm",
+        "CASE WHEN n_grams = 0 THEN 0 ELSE "
+        "best * 1000000 div n_grams END AS top_gram_ppm",
+        "(CASE WHEN n_grams = 0 THEN 0 ELSE best * 1000000 div n_grams END"
+        " >= 100000) OR "
+        "(CASE WHEN n_grams = 0 THEN 0 ELSE "
+        "(n_grams - n_dg) * 1000000 div n_grams END >= 500000) AS flagged")
+
+
+# =======================================================================
 # Catalog ordering: the correctness driver hash-compares the FIRST 50
 # insertion-ordered entries against their oracles. Registration above is
 # grouped by subsystem for readability; this window re-orders the dict so
@@ -8244,16 +8580,15 @@ DRIVER_WINDOW = [
     "q8_market_share", "q_null_safe_join", "q_array_higher_order",
     "q_dedup_ngram_jaccard", "q_embed_sim_pairs", "q_embed_quantize",
     "q_kql_join_revenue", "q_training_mix", "q_tfidf",
-    # r4 vintage, r10-swept plans first (10 — the mid-r10 additions
+    # r4 vintage, r10-swept plans first (2 — the mid/late-r10 additions
     # below displaced q_kql_bin_events, q_kql_lookup,
     # q_kql_union_sources, q_unpivot, q_hopping_window,
-    # q_window_running, q_kql_top_nested, all validated this round by
-    # the full-precision sf0.01 window replay; they rejoin in r11):
+    # q_window_running, q_kql_top_nested, q17_small_quantity_revenue,
+    # q18_large_orders, q19_disjunctive_join, q7_nation_trade,
+    # q_grouping_sets, q_kql_summarize, q_stats_agg, q_knn_bruteforce —
+    # all validated this round by the full-precision sf0.01 window
+    # replay; they rejoin in r11):
     "q10_returned_items", "q14_promo_revenue",
-    "q17_small_quantity_revenue", "q18_large_orders",
-    "q19_disjunctive_join", "q7_nation_trade", "q_grouping_sets",
-    "q_kql_summarize",
-    "q_stats_agg", "q_knn_bruteforce",
     # new-in-r10 entries (hygiene rule: staged the round they land;
     # they displaced the r4 back-fills q_dedup_exact, q_dedup_jaccard,
     # q_window_lag_lead, q_sessionize — first in line for r11):
@@ -8262,6 +8597,12 @@ DRIVER_WINDOW = [
     "q_merge_upsert", "q_scd2_dimension",
     "q_pack_sequences", "q_feature_binning",
     "q_kql_codec_roundtrip", "q_kql_tdigest", "q_kql_math_special",
+    # late-r10 additions (r9 verdict #7 certificate siblings for the
+    # rows-only sketch families + the Gopher repetition signals):
+    "q_approx_distinct_exact", "q_freq_items_exact",
+    "q_sample_by_exact", "q_kql_hll_reagg_exact",
+    "q_approx_percentiles_exact", "q_text_rolling_fp_exact",
+    "q_dedup_clusters_exact", "q_repetition_signals",
 ]
 
 # Rotation ledger: r1-r9 windows are banked driver-green in
@@ -8274,8 +8615,10 @@ DRIVER_WINDOW = [
 # OLDEST-FIRST: every entry of the oldest outstanding vintage holds a
 # slot, and no banked vintage may exceed the 7-round cycle. The r10
 # window takes the full r3 residue (16 — r9's ledger wrongly claimed
-# r3 was cleared; COVERAGE.md r10 notes correct the record) plus 21
-# r4 entries; the r4 residue (16) is first in line for r11.
+# r3 was cleared; COVERAGE.md r10 notes correct the record) plus 2
+# r4 entries (the 19 new-in-r10 entries consumed the rest of the
+# rotating budget per the hygiene rule); the r4 residue (24) is first
+# in line for r11 and fits its 37 rotating slots.
 #
 # HYGIENE RULE (r7 verdict #8, enforced by
 # tests/test_queries_oracle.py::test_driver_window_is_first_and_covers_families):

@@ -123,6 +123,12 @@ HEADLINE = [
     "q_kql_codec_roundtrip",
     "q_kql_tdigest",
     "q_kql_math_special",
+    # end-of-r10: the zero-shuffle per-row repetition signals (sorted-
+    # array mode mass — the map-side quality-filter cost shape) and the
+    # end-to-end clusters certificate (LSH bucket join + iterative
+    # label propagation over the planted corpus).
+    "q_repetition_signals",
+    "q_dedup_clusters_exact",
 ]
 
 

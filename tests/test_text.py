@@ -81,6 +81,25 @@ def test_repetition_fractions(spark):
     assert loop > 0.9 and diverse == 0.0
 
 
+def test_word_bigrams_and_max_run_length(spark):
+    # bigrams pair each token with its successor, after normalization
+    assert one(spark, "a b c", X.word_bigrams("text")) == ["a b", "b c"]
+    assert one(spark, "A  b", X.word_bigrams("text")) == ["a b"]
+    assert one(spark, "solo", X.word_bigrams("text")) == []
+    # max_run_length == multiplicity of the array mode:
+    # "a a a b" -> grams [a a, a a, a b] -> mode "a a" x2
+    assert one(spark, "a a a b",
+               X.max_run_length(X.word_bigrams("text"))) == 2
+    # all-distinct grams -> 1; no grams -> 0
+    assert one(spark, "x y z",
+               X.max_run_length(X.word_bigrams("text"))) == 1
+    assert one(spark, "solo",
+               X.max_run_length(X.word_bigrams("text"))) == 0
+    # looping text: "p q p q" -> grams [p q, q p, p q] -> mode x2
+    assert one(spark, "p q p q",
+               X.max_run_length(X.word_bigrams("text"))) == 2
+
+
 def test_redact_pii_patterns(spark):
     from azure_kusto_parquet_conv_spark.functions.text import (
         pii_match_count, redact_pii)
