@@ -8364,7 +8364,9 @@ def q_approx_percentiles_exact(spark, sf_dir):
     which survives sketch merging, so the booleans hold under ANY
     partitioning). The exact rank interval [#(x < v)+1, #(x <= v)] is
     recomputed from the data by joining the 3 percentile rows back to
-    lineitem (broadcast, one extra scan)."""
+    lineitem (one extra scan; the percentile frame is bounded by the
+    return-flag domain, so AQE broadcasts it at runtime — no explicit
+    hint needed per the PLANS.md policy)."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_extendedprice")
     pct = (li.groupBy("l_returnflag")
@@ -8372,7 +8374,7 @@ def q_approx_percentiles_exact(spark, sf_dir):
                                       [0.5, 0.95, 0.99], 10000)
                    .alias("pcts"),
                   F.count("*").alias("n")))
-    j = li.join(F.broadcast(pct), "l_returnflag")
+    j = li.join(pct, "l_returnflag")
     tags = [("p50", 0.5), ("p95", 0.95), ("p99", 0.99)]
     aggs = [F.first("n").alias("n")]
     for i, (tag, _) in enumerate(tags):

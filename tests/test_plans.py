@@ -63,6 +63,12 @@ def test_no_accidental_cartesians_across_catalog(spark, sf_dir):
                    "q_key_skew", "q_mad_robust_stats",
                    "q11_value_concentration", "q22_dormant_rich_customers",
                    "q_unigram_logprob",
+                   # certificate twins crossing 1-row aggregates (the
+                   # corpus total / detected-items array / fingerprint
+                   # stats row) against <=5-row certificate frames —
+                   # every NLJ side is a global-aggregate reduction
+                   "q_freq_items_exact", "q_kql_hll_reagg_exact",
+                   "q_text_rolling_fp_exact",
                    # bounded range join against the tiny day dimension,
                    # and the (groups x days) series grid
                    "q_trailing_wau", "q_kql_session_count",
@@ -119,6 +125,15 @@ def test_asof_join_single_shuffle_no_join(spark, sf_dir):
 
 def test_convert_pipeline_is_shuffle_free(spark, sf_dir):
     df = QUERIES["convert_isostr"](spark, sf_dir)
+    assert "Exchange" not in executed_plan(df)
+
+
+def test_repetition_signals_is_shuffle_free(spark, sf_dir):
+    """The repetition quality signals are pure per-row array math
+    (array_distinct / sorted-array max-run) — any Exchange means the
+    implementation regressed to the explode->groupBy(doc_id, gram)
+    shape that shuffles one row per gram occurrence at 100 TB."""
+    df = QUERIES["q_repetition_signals"](spark, sf_dir)
     assert "Exchange" not in executed_plan(df)
 
 
