@@ -8478,6 +8478,35 @@ def q_dedup_clusters_exact(spark, sf_dir):
                        .alias("root_le_source")))
 
 
+@query("q_multimodal_frames_exact", """
+SELECT CAST(doc_id AS BIGINT) AS media_id,
+       CAST(i AS INT) AS frame_idx,
+       CAST(i * 1000 AS INT) AS frame_ms,
+       TRUE AS frame_is_digest
+FROM documents,
+     LATERAL (SELECT unnest(range(0, CAST(ceil(n_chars * 10 / 1000.0)
+                                          AS BIGINT))) AS i) g
+""")
+def q_multimodal_frames_exact(spark, sf_dir):
+    """Frame-sampling certificate twin of q_multimodal_frames: the
+    mapInPandas row-explosion kernel must emit EXACTLY the closed-form
+    frame grid — one row per every_ms step inside the metadata duration
+    (duration_ms = n_chars * 10 by the fake-media construction), with
+    frame_idx/frame_ms on the arithmetic lattice and a 32-byte digest
+    payload per frame. The oracle re-derives the full grid from
+    n_chars alone via a LATERAL range — any drift in the batch
+    iteration, the meta struct plumbing, or the explosion arithmetic
+    changes the row multiset."""
+    from azure_kusto_parquet_conv_spark.operators import multimodal as MM
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.media_from_documents(docs, kind="video")
+    frames = MM.frame_sample_stub(media, every_ms=1000)
+    return frames.select(
+        F.col("media_id").cast("long").alias("media_id"),
+        "frame_idx", "frame_ms",
+        (F.octet_length("frame") == 32).alias("frame_is_digest"))
+
+
 # =======================================================================
 # Gopher-style repetition quality signals (training-data pipeline)
 # =======================================================================
@@ -8589,8 +8618,9 @@ DRIVER_WINDOW = [
     # q18_large_orders, q19_disjunctive_join, q7_nation_trade,
     # q_grouping_sets, q_kql_summarize, q_stats_agg, q_knn_bruteforce —
     # all validated this round by the full-precision sf0.01 window
-    # replay; they rejoin in r11):
-    "q10_returned_items", "q14_promo_revenue",
+    # replay; they rejoin in r11 — q14_promo_revenue also displaced by
+    # the frames certificate):
+    "q10_returned_items",
     # new-in-r10 entries (hygiene rule: staged the round they land;
     # they displaced the r4 back-fills q_dedup_exact, q_dedup_jaccard,
     # q_window_lag_lead, q_sessionize — first in line for r11):
@@ -8605,6 +8635,7 @@ DRIVER_WINDOW = [
     "q_sample_by_exact", "q_kql_hll_reagg_exact",
     "q_approx_percentiles_exact", "q_text_rolling_fp_exact",
     "q_dedup_clusters_exact", "q_repetition_signals",
+    "q_multimodal_frames_exact",
 ]
 
 # Rotation ledger: r1-r9 windows are banked driver-green in
