@@ -36,13 +36,17 @@ def tokens(c: Column | str) -> Column:
 
 def word_bigrams(c: Column | str) -> Column:
     """Adjacent-token bigrams ("tok[i] tok[i+1]") of normalized text as
-    array<string> — empty for docs with < 2 tokens. Pure higher-order
-    expressions: slice to the first n-1 tokens, pair each with its
-    1-based successor via the transform index."""
+    array<string> — empty for docs with < 2 tokens. zip_with over the
+    two shifted slices visits each element ONCE. (The first version
+    used element_at(toks, i+2) inside a transform lambda — Catalyst
+    inlines the whole normalize+split tree into the lambda body, so
+    every element re-tokenized the document: O(tokens^2) per row,
+    measured 8.4 s for the repetition-signal scan at sf0.1 vs 0.7 s
+    for this shape.)"""
     toks = tokens(c)
-    return F.transform(
-        F.slice(toks, 1, F.size(toks) - 1),
-        lambda x, i: F.concat_ws(" ", x, F.element_at(toks, i + F.lit(2))))
+    n = F.size(toks)
+    return F.zip_with(F.slice(toks, 1, n - 1), F.slice(toks, 2, n - 1),
+                      lambda a, b: F.concat_ws(" ", a, b))
 
 
 def max_run_length(arr: Column) -> Column:

@@ -8557,15 +8557,24 @@ def q_repetition_signals(spark, sf_dir):
     DuckDB twin independently recomputes the mode count via the
     explode->GROUP BY shape it can afford at oracle scale)."""
     d = load_table(spark, sf_dir, "documents")
-    toks = X.tokens("text")
-    grams = X.word_bigrams("text")
-    base = d.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.size(toks).cast("long").alias("n_tokens"),
-        F.size(F.array_distinct(toks)).cast("long").alias("n_dw"),
-        F.size(grams).cast("long").alias("n_grams"),
-        F.size(F.array_distinct(grams)).cast("long").alias("n_dg"),
-        X.max_run_length(grams).alias("best"))
+    # Stage the token and bigram arrays as real columns: the five
+    # signal expressions below each reference them, and CollapseProject
+    # keeps multiply-referenced non-cheap aliases un-inlined, so the
+    # tokenize/zip_with work runs once per row instead of once per
+    # signal (measured 1.4 s -> 1.0 s at sf0.1).
+    t = d.select(F.col("doc_id").cast("long").alias("doc_id"),
+                 X.tokens("text").alias("toks"))
+    n = F.size(F.col("toks"))
+    grams = F.zip_with(F.slice("toks", 1, n - 1), F.slice("toks", 2, n - 1),
+                       lambda a, b: F.concat_ws(" ", a, b))
+    g = t.select("doc_id", "toks", grams.alias("grams"))
+    base = g.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).cast("long").alias("n_dw"),
+        F.size("grams").cast("long").alias("n_grams"),
+        F.size(F.array_distinct("grams")).cast("long").alias("n_dg"),
+        X.max_run_length(F.col("grams")).alias("best"))
     return base.selectExpr(
         "doc_id", "n_tokens",
         "(n_tokens - n_dw) * 1000000 div n_tokens AS dup_word_ppm",

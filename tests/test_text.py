@@ -100,6 +100,30 @@ def test_word_bigrams_and_max_run_length(spark):
                X.max_run_length(X.word_bigrams("text"))) == 2
 
 
+def test_bigram_mode_differential_python(spark):
+    """200 seeded random token strings: word_bigrams and max_run_length
+    must match a brute-force Python reference exactly (the sorted-run
+    trick IS mode multiplicity, for every input not just the unit
+    cases). Small alphabet maximizes collisions/ties."""
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, " ".join(rng.choice("abcd")
+                         for _ in range(rng.randint(1, 14))))
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r["id"]: (r["g"], r["m"])
+           for r in df.select(
+               "id", X.word_bigrams("text").alias("g"),
+               X.max_run_length(X.word_bigrams("text")).alias("m"))
+           .collect()}
+    for i, text in rows:
+        toks = text.split(" ")
+        grams = [f"{toks[j]} {toks[j + 1]}" for j in range(len(toks) - 1)]
+        mode = max([grams.count(g) for g in set(grams)], default=0)
+        assert got[i] == (grams, mode), (i, text, got[i], grams, mode)
+
+
 def test_redact_pii_patterns(spark):
     from azure_kusto_parquet_conv_spark.functions.text import (
         pii_match_count, redact_pii)
