@@ -1256,3 +1256,75 @@ def test_quantile_sketch_stream_equals_batch_sketch(spark, sf_dir,
     import math
     exact = vals[math.ceil(0.5 * len(vals)) - 1]
     assert abs(p50_sketch - exact) <= 0.5 + 1e-9, (p50_sketch, exact)
+
+
+def test_incremental_dedup_stream_equals_batch_self_join(
+        spark, sf_dir, tmp_path):
+    """Continuous-crawl dedup (streaming/dedup_stream.py): documents
+    streamed in 3 micro-batches against a growing signature store must
+    accumulate EXACTLY the pairs of the full batch self-join — every
+    unordered pair lands in exactly one batch's intra or cross
+    computation, and the signature algebra is shared, so the invariant
+    holds for ANY batch split. Clones of every 9th doc ride in their
+    own batch to force cross-batch pairs through the store probe."""
+    import glob
+
+    from azure_kusto_parquet_conv_spark.operators.dedup import (
+        minhash_dedup_pairs,
+    )
+    from azure_kusto_parquet_conv_spark.streaming.dedup_stream import (
+        incremental_dedup_stream,
+    )
+
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select(F.col("doc_id").cast("long").alias("doc_id"), "text"))
+    clones = docs.where(F.col("doc_id") % 9 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    alld = docs.unionByName(clones)
+
+    src = tmp_path / "in"
+    src.mkdir()
+
+    def dump(df, name):
+        out = tmp_path / ("w_" + name)
+        df.coalesce(1).write.parquet(str(out))
+        part = glob.glob(str(out / "part-*.parquet"))[0]
+        shutil.copy(part, src / f"{name}.parquet")
+
+    mid = 25
+    dump(docs.where(F.col("doc_id") < mid), "c0")
+    dump(docs.where(F.col("doc_id") >= mid), "c1")
+    dump(clones, "c2")
+
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    q = (incremental_dedup_stream(stream, str(tmp_path / "store"),
+                                  str(tmp_path / "pairs"))
+         .option("checkpointLocation", str(tmp_path / "ckpt")).start())
+    drain(q)
+
+    def pair_set():
+        return {(r["id_a"], r["id_b"], r["jaccard"])
+                for r in spark.read.option("recursiveFileLookup", "true")
+                .parquet(str(tmp_path / "pairs")).collect()}
+
+    got = pair_set()
+    want = {(r["id_a"], r["id_b"], r["jaccard"])
+            for r in minhash_dedup_pairs(alld).collect()}
+    assert want, "batch self-join found no pairs - fixture too sparse"
+    # the planted clones guarantee at least one CROSS-batch pair
+    assert any(b - a == 1000000 for a, b, _ in want)
+    assert got == want
+
+    # FULL REPLAY with a fresh checkpoint (simulates source redelivery
+    # after checkpoint loss): every batch now probes a store that
+    # already contains ALL documents including itself — the self-pair
+    # filter and per-batch overwrite must converge to the same pair
+    # set, not double it.
+    stream2 = (spark.readStream.schema("doc_id long, text string")
+               .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    q2 = (incremental_dedup_stream(stream2, str(tmp_path / "store"),
+                                   str(tmp_path / "pairs"))
+          .option("checkpointLocation", str(tmp_path / "ckpt2")).start())
+    drain(q2)
+    assert pair_set() == want
