@@ -71,6 +71,23 @@ def max_run_length(arr: Column) -> Column:
                        lambda acc: acc["best"])
 
 
+def collapse_repeats(c: Column | str) -> Column:
+    """Tokens of normalized text with runs of consecutive equal tokens
+    collapsed to one occurrence ("a a a b a" -> [a, b, a]) — the
+    looping-text cleanup companion to the repetition signals. Built
+    from the same shifted-slice trick as word_bigrams (each element
+    visited once; no element_at-in-lambda re-evaluation): zip each
+    token with its predecessor into (token, is-run-start) structs,
+    filter to run starts, project the token back out."""
+    toks = tokens(c)
+    n = F.size(toks)
+    prev = F.concat(F.array(F.lit("")), F.slice(toks, 1, n - 1))
+    z = F.zip_with(toks, prev,
+                   lambda a, b: F.struct(a.alias("t"),
+                                         (a != b).alias("k")))
+    return F.transform(F.filter(z, lambda s: s["k"]), lambda s: s["t"])
+
+
 def bpe_ish_tokens(c: Column | str) -> Column:
     """A BPE-ish regex tokenizer: words, numbers, and single punctuation
     marks as separate tokens (GPT-2-style pre-tokenization pattern,

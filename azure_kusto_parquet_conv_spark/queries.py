@@ -8588,6 +8588,43 @@ def q_repetition_signals(spark, sf_dir):
         "(n_grams - n_dg) * 1000000 div n_grams END >= 500000) AS flagged")
 
 
+@query("q_collapse_repeats", """
+WITH t AS (
+  SELECT doc_id,
+         string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'),
+                      ' ') AS toks
+  FROM documents),
+c AS (
+  SELECT doc_id, toks,
+         list_filter(toks, (x, i) -> i = 1 OR x <> toks[i - 1]) AS coll
+  FROM t)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(coll) AS BIGINT) AS n_collapsed,
+       array_to_string(list_slice(coll, 1, 10), ' ') AS collapsed_head
+FROM c
+""")
+def q_collapse_repeats(spark, sf_dir):
+    """Looping-text cleanup: collapse runs of consecutive equal tokens
+    to one occurrence (the transform companion to q_repetition_signals'
+    detection — "stop stop stop" boilerplate becomes one token before
+    training). Zero-shuffle per-row array math (functions/text.py
+    collapse_repeats: shifted-slice zip -> run-start filter); the
+    oracle re-derives the collapse independently with DuckDB's indexed
+    list_filter. Output hashes both the counts and the first ten
+    collapsed tokens, so ordering drift inside the array is caught, not
+    just cardinality."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(F.col("doc_id").cast("long").alias("doc_id"),
+                 X.tokens("text").alias("toks"),
+                 X.collapse_repeats("text").alias("coll"))
+    return t.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.size("coll").cast("long").alias("n_collapsed"),
+        F.concat_ws(" ", F.slice("coll", 1, 10)).alias("collapsed_head"))
+
+
 # =======================================================================
 # Catalog ordering: the correctness driver hash-compares the FIRST 50
 # insertion-ordered entries against their oracles. Registration above is
@@ -8627,9 +8664,9 @@ DRIVER_WINDOW = [
     # q18_large_orders, q19_disjunctive_join, q7_nation_trade,
     # q_grouping_sets, q_kql_summarize, q_stats_agg, q_knn_bruteforce —
     # all validated this round by the full-precision sf0.01 window
-    # replay; they rejoin in r11 — q14_promo_revenue also displaced by
-    # the frames certificate):
-    "q10_returned_items",
+    # replay; they rejoin in r11 — q14_promo_revenue displaced by the
+    # frames certificate, q10_returned_items by q_collapse_repeats;
+    # the full r4 vintage (26) is first in line for r11):
     # new-in-r10 entries (hygiene rule: staged the round they land;
     # they displaced the r4 back-fills q_dedup_exact, q_dedup_jaccard,
     # q_window_lag_lead, q_sessionize — first in line for r11):
@@ -8644,7 +8681,7 @@ DRIVER_WINDOW = [
     "q_sample_by_exact", "q_kql_hll_reagg_exact",
     "q_approx_percentiles_exact", "q_text_rolling_fp_exact",
     "q_dedup_clusters_exact", "q_repetition_signals",
-    "q_multimodal_frames_exact",
+    "q_multimodal_frames_exact", "q_collapse_repeats",
 ]
 
 # Rotation ledger: r1-r9 windows are banked driver-green in

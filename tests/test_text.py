@@ -100,6 +100,16 @@ def test_word_bigrams_and_max_run_length(spark):
                X.max_run_length(X.word_bigrams("text"))) == 2
 
 
+def test_collapse_repeats(spark):
+    assert one(spark, "a a a b a", X.collapse_repeats("text")) == \
+        ["a", "b", "a"]
+    assert one(spark, "x y z", X.collapse_repeats("text")) == \
+        ["x", "y", "z"]
+    assert one(spark, "Stop  STOP stop go",
+               X.collapse_repeats("text")) == ["stop", "go"]
+    assert one(spark, "solo", X.collapse_repeats("text")) == ["solo"]
+
+
 def test_bigram_mode_differential_python(spark):
     """200 seeded random token strings: word_bigrams and max_run_length
     must match a brute-force Python reference exactly (the sorted-run
