@@ -8665,8 +8665,9 @@ DRIVER_WINDOW = [
     # q_grouping_sets, q_kql_summarize, q_stats_agg, q_knn_bruteforce —
     # all validated this round by the full-precision sf0.01 window
     # replay; they rejoin in r11 — q14_promo_revenue displaced by the
-    # frames certificate, q10_returned_items by q_collapse_repeats;
-    # the full r4 vintage (26) is first in line for r11):
+    # frames certificate, q10_returned_items by the q9 red-row
+    # re-attestation; the full r4 vintage (26) plus the deferred
+    # q_collapse_repeats are first in line for r11):
     # new-in-r10 entries (hygiene rule: staged the round they land;
     # they displaced the r4 back-fills q_dedup_exact, q_dedup_jaccard,
     # q_window_lag_lead, q_sessionize — first in line for r11):
@@ -8681,7 +8682,14 @@ DRIVER_WINDOW = [
     "q_sample_by_exact", "q_kql_hll_reagg_exact",
     "q_approx_percentiles_exact", "q_text_rolling_fp_exact",
     "q_dedup_clusters_exact", "q_repetition_signals",
-    "q_multimodal_frames_exact", "q_collapse_repeats",
+    "q_multimodal_frames_exact",
+    # the r9 RED ROW re-attestation (verdict #1: "done = q9 green in
+    # CORRECTNESS_r10"): the portable-rounding fix must be proven at
+    # the driver, so q9 takes the final slot; q_collapse_repeats
+    # (optional late addition, not a verdict demand) explicitly defers
+    # its first attestation to r11 — the deliberate-split escape the
+    # never-checked hygiene test documents (DEFERRED_NEVER_CHECKED).
+    "q9_product_type_profit",
 ]
 
 # Rotation ledger: r1-r9 windows are banked driver-green in
