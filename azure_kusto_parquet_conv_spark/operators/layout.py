@@ -115,3 +115,57 @@ def pack_sequences(df: DataFrame, order_col: str, n_tok_col: str,
         F.when(n > 0, first).alias("first_chunk"),
         F.when(n > 0, last).alias("last_chunk"),
         F.when(n > 0, last - first + 1).otherwise(0).alias("n_chunks"))
+
+
+def chunk_documents(df: DataFrame, tokens_col: Column | str,
+                    max_tokens: int, overlap: int,
+                    keep: Sequence[str] = ("doc_id",)) -> DataFrame:
+    """Overlapping token-window chunking — the RAG / context-window
+    training-prep primitive: split each document's token array into
+    windows of ``max_tokens`` tokens advancing by ``stride = max_tokens
+    - overlap``, so consecutive chunks share ``overlap`` tokens and no
+    token is dropped. Chunk count is the closed form
+    ``k = max(1, ceil((n - overlap) / stride))`` — a document at or
+    under one window yields exactly one chunk, and every non-first
+    chunk carries more than ``overlap`` tokens (i.e. contributes new
+    content). Emits one row per chunk: ``keep`` columns + ``chunk_id``
+    (0-based), ``chunk_text`` (space-joined window) and
+    ``n_chunk_tokens``.
+
+    Scale shape: pure map-side — tokenize, one ``explode(sequence)``,
+    per-row ``slice`` — no shuffle, no UDF, whole-stage codegen
+    end-to-end; output rows ~= corpus_tokens / stride, produced
+    streaming per input partition, so a 100 TB corpus chunks at scan
+    throughput with zero cluster coordination. The token array is
+    staged as a real column ONCE before the explode (the word_bigrams
+    lesson: inlining the tokenizer into per-chunk expressions
+    re-tokenizes the document per chunk — O(tokens^2) per row).
+
+    The integer chunk-count division is truncating in Spark (`div`) and
+    flooring in DuckDB (`//`); they agree here because the only inputs
+    where the two differ (negative numerators, i.e. n <= overlap) are
+    clamped by the ``greatest(1, ...)`` on both sides.
+    """
+    if not 0 <= overlap < max_tokens:
+        raise ValueError("need 0 <= overlap < max_tokens")
+    stride = max_tokens - overlap
+    toks = tokens_col if isinstance(tokens_col, Column) else F.col(tokens_col)
+    staged = df.select(*keep, toks.alias("__ck_toks"))
+    n = F.size(F.col("__ck_toks"))
+    k = F.greatest(
+        F.lit(1).cast("long"),
+        F.expr(f"(size(__ck_toks) - {overlap} + {stride - 1}) div {stride}"))
+    return (staged
+            .withColumn("__ck_n", n.cast("long"))
+            .withColumn("chunk_id",
+                        F.explode(F.sequence(F.lit(0).cast("long"), k - 1)))
+            .select(
+                *keep, "chunk_id",
+                F.array_join(
+                    F.slice(F.col("__ck_toks"),
+                            (F.col("chunk_id") * stride + 1).cast("int"),
+                            max_tokens),
+                    " ").alias("chunk_text"),
+                F.least(F.lit(max_tokens).cast("long"),
+                        F.col("__ck_n") - F.col("chunk_id") * stride)
+                 .alias("n_chunk_tokens")))

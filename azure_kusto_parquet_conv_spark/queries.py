@@ -1711,6 +1711,77 @@ def q_dup_spans(spark, sf_dir):
                  .where(F.col("n_occurrences") > 1))
 
 
+@query("q_chunk_documents", f"""
+WITH t AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks
+           FROM documents),
+c AS (SELECT doc_id, toks, len(toks) AS n,
+             greatest(1, (len(toks) - 16 + 47) // 48) AS k
+      FROM t)
+SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+       array_to_string(list_slice(toks, i * 48 + 1, i * 48 + 64),
+                       ' ') AS chunk_text,
+       CAST(least(64, n - i * 48) AS BIGINT) AS n_chunk_tokens
+FROM c, LATERAL (SELECT unnest(generate_series(0, k - 1)) AS i) g
+""")
+def q_chunk_documents(spark, sf_dir):
+    """Overlapping token-window chunking (L.chunk_documents): 64-token
+    windows at 16-token overlap (stride 48) over the normalized token
+    stream — the RAG / context-window splitting primitive. Closed-form
+    chunk grid (k = max(1, ceil((n - 16) / 48)), every token kept, one
+    chunk for at-or-under-window docs), so the DuckDB twin re-derives
+    the exact same rows via generate_series + list_slice. Zero-shuffle
+    map-side explode; plan-pinned shuffle-free in tests/test_plans.py."""
+    d = load_table(spark, sf_dir, "documents")
+    return L.chunk_documents(d, X.tokens("text"),
+                             max_tokens=64, overlap=16)
+
+
+@query("q_chunk_pack", f"""
+WITH t AS (SELECT doc_id, lang, string_split({_NORM_SQL}, ' ') AS toks
+           FROM documents),
+c AS (SELECT doc_id, lang, len(toks) AS n,
+             greatest(1, (len(toks) - 16 + 47) // 48) AS k
+      FROM t),
+ch AS (SELECT lang, doc_id * 1000 + i AS chunk_key,
+              least(64, n - i * 48) AS nt
+       FROM c, LATERAL (SELECT unnest(generate_series(0, k - 1)) AS i) g),
+p AS (SELECT lang, chunk_key, nt,
+             SUM(nt) OVER (PARTITION BY lang ORDER BY chunk_key
+                           ROWS UNBOUNDED PRECEDING) AS cum
+      FROM ch)
+SELECT lang, CAST(chunk_key AS BIGINT) AS chunk_key,
+       CAST(nt AS BIGINT) AS n_tok,
+       CAST(cum - nt AS BIGINT) AS start_tok,
+       CAST((cum - nt) // 256 AS BIGINT) AS first_chunk,
+       CAST((cum - 1) // 256 AS BIGINT) AS last_chunk,
+       CAST((cum - 1) // 256 - (cum - nt) // 256 + 1 AS BIGINT)
+         AS n_chunks
+FROM p
+""")
+def q_chunk_pack(spark, sf_dir):
+    """End-to-end training-sample assembly: chunk (64-token windows,
+    16 overlap) then pack the chunks into 256-token training samples
+    per language stratum (chunk_documents -> pack_sequences — the full
+    document -> context-window -> fixed-budget-sample map a pretraining
+    pipeline materializes before tokenizer sharding). chunk_key =
+    doc_id * 1000 + chunk_id keeps the pack order deterministic and
+    total. Budget 256 is a power of two, so pack_sequences' double
+    division (cum/256) is exact and the whole map is integer-portable;
+    the DuckDB twin replays the closed-form chunk grid + the same
+    cumulative-sum window. Scale shape: the map-side chunk explode
+    feeds ONE per-stratum window — no global sort, no extra shuffle
+    beyond the stratum partition."""
+    d = load_table(spark, sf_dir, "documents")
+    chunks = L.chunk_documents(d, X.tokens("text"), max_tokens=64,
+                               overlap=16, keep=("doc_id", "lang"))
+    keyed = chunks.select(
+        "lang",
+        (F.col("doc_id") * 1000 + F.col("chunk_id")).alias("chunk_key"),
+        "n_chunk_tokens")
+    return L.pack_sequences(keyed, "chunk_key", "n_chunk_tokens",
+                            budget=256, by=["lang"])
+
+
 @query("q_dedup_keep_best", """
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(doc_id AS BIGINT) AS cluster_id

@@ -129,6 +129,9 @@ HEADLINE = [
     # label propagation over the planted corpus).
     "q_repetition_signals",
     "q_dedup_clusters_exact",
+    # post-r10-freeze: the zero-shuffle overlapping chunker (explode
+    # cost shape — output rows ~ corpus_tokens / stride).
+    "q_chunk_documents",
 ]
 
 

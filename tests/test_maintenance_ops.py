@@ -5,10 +5,12 @@ closed-form expected outputs, independent of the oracle harness."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from azure_kusto_parquet_conv_spark.operators import layout as L
 from azure_kusto_parquet_conv_spark.operators import relational as R
+from azure_kusto_parquet_conv_spark.sources.parquet import load_table
 
 
 def test_merge_upsert_hand_rows(spark):
@@ -98,3 +100,62 @@ def test_merge_upsert_plan_has_no_cartesian(spark):
     plan = R.merge_upsert(target, source, ["k"]) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "Cartesian" not in plan and "NestedLoop" not in plan
+
+
+def _chunk_ref(toks, max_tokens, overlap):
+    """Python reference: stride windows, >=1 chunk, every token kept."""
+    stride = max_tokens - overlap
+    n = len(toks)
+    k = max(1, -((n - overlap) // -stride))  # ceil div
+    return [(i, " ".join(toks[i * stride:i * stride + max_tokens]),
+             min(max_tokens, n - i * stride)) for i in range(k)]
+
+
+def test_chunk_documents_hand_rows(spark):
+    """max 4 / overlap 1 (stride 3): 8 tokens -> chunks of 4/4/2 at
+    starts 0,3,6; a 3-token doc (== at-or-under window) -> one chunk."""
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "x y z")], "doc_id long, t string")
+    got = {(r["doc_id"], r["chunk_id"]):
+           (r["chunk_text"], r["n_chunk_tokens"])
+           for r in L.chunk_documents(df, F.split("t", " "),
+                                      max_tokens=4, overlap=1).collect()}
+    assert got == {
+        (1, 0): ("a b c d", 4), (1, 1): ("d e f g", 4),
+        (1, 2): ("g h", 2), (2, 0): ("x y z", 3)}
+
+
+def test_chunk_documents_matches_python_reference(spark):
+    """Every token count 1..25 against the closed-form reference at
+    max 8 / overlap 3 — covers the <=overlap clamp, the exact-boundary
+    (n == max) single chunk, and the last-partial-window arithmetic."""
+    rows = [(n, " ".join(f"t{i}" for i in range(n))) for n in range(1, 26)]
+    df = spark.createDataFrame(rows, "doc_id long, t string")
+    out = L.chunk_documents(df, F.split("t", " "),
+                            max_tokens=8, overlap=3).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["chunk_id"], r["chunk_text"], r["n_chunk_tokens"]))
+    for n, t in rows:
+        assert sorted(by_doc[n]) == _chunk_ref(t.split(" "), 8, 3), n
+
+
+def test_chunk_documents_every_nonfirst_chunk_adds_content(spark, sf_dir):
+    """Contract over the real corpus: chunk 0 always exists, and every
+    chunk after it carries MORE than `overlap` tokens (pure-overlap tail
+    chunks would duplicate training text)."""
+    d = load_table(spark, sf_dir, "documents")
+    out = L.chunk_documents(d, F.split(F.lower("text"), " "),
+                            max_tokens=32, overlap=8)
+    assert out.where((F.col("chunk_id") > 0)
+                     & (F.col("n_chunk_tokens") <= 8)).count() == 0
+    assert out.where(F.col("chunk_id") == 0).count() == d.count()
+
+
+def test_chunk_documents_validates_args(spark):
+    df = spark.createDataFrame([(1, "a")], "doc_id long, t string")
+    with pytest.raises(ValueError):
+        L.chunk_documents(df, F.split("t", " "), max_tokens=4, overlap=4)
+    with pytest.raises(ValueError):
+        L.chunk_documents(df, F.split("t", " "), max_tokens=4, overlap=-1)

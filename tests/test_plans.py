@@ -137,6 +137,14 @@ def test_repetition_signals_is_shuffle_free(spark, sf_dir):
     assert "Exchange" not in executed_plan(df)
 
 
+def test_chunk_documents_is_shuffle_free(spark, sf_dir):
+    """Chunking is tokenize + explode(sequence) + per-row slice — pure
+    map-side. An Exchange would mean a groupBy/window crept into the
+    chunk grid and the operator stopped scaling at scan throughput."""
+    df = QUERIES["q_chunk_documents"](spark, sf_dir)
+    assert "Exchange" not in executed_plan(df)
+
+
 def test_sort_limit_uses_take_ordered(spark, sf_dir):
     df = QUERIES["q_sort_limit"](spark, sf_dir)
     assert "TakeOrderedAndProject" in executed_plan(df)
