@@ -167,7 +167,10 @@ pack/bag_pack (dynamic bag builder), pack_array, array_length/
 array_index_of/array_slice/array_sort_asc|desc/array_concat,
 set_union/set_intersect/set_difference, array_iff/array_rotate_*/
 array_shift_*, column_ifexists, totimespan, split/translate/url codecs/
-parse_version/parse_csv/parse_ipv4 family/datetime_add-diff/binary ops/
+parse_version/parse_csv/parse_ipv4 family/parse_ipv6 family
+(parse_ipv6/parse_ipv6_mask/ipv6_compare/ipv6_is_match/
+ipv6_is_in_range/ipv6_is_in_any_range — Arrow-batched stdlib
+`ipaddress` kernels, _register_ipv6_udfs)/datetime_add-diff/binary ops/
 tohex/strcmp/string_size/repeat/new_guid/rand(n)/isnan-isinf-isfinite,
 the r8 math batch (log/log2/log10/exp/exp2/exp10, sin/cos/tan/asin/
 acos/atan/atan2/cot, degrees/radians, sign/sqrt/pow/pi,
@@ -700,6 +703,10 @@ class _ExprParser:
                 "punycode_domain_to_string": "__kql_idna_d",
             }[fname]
             return f"{udf}({args[0]})"
+        if fname in ("parse_ipv6", "parse_ipv6_mask", "ipv6_compare",
+                     "ipv6_is_match", "ipv6_is_in_range",
+                     "ipv6_is_in_any_range"):
+            return self._ipv6_fn(fname, args)
         if fname in ("gamma", "loggamma", "erf", "erfc"):
             # Kusto special functions; libm kernels (see
             # _register_math_udfs), domain errors -> null
@@ -2425,6 +2432,43 @@ class _ExprParser:
                 f"THEN shiftright({n1}, 32 - {pfx}) "
                 f"= shiftright({n2}, 32 - {pfx}) ELSE NULL END)")
 
+    def _ipv6_fn(self, fname: str, args: list[str]) -> str:
+        """IPv6 family (parse_ipv6 / parse_ipv6_mask / ipv6_compare /
+        ipv6_is_match / ipv6_is_in_range / ipv6_is_in_any_range).
+        128-bit addresses don't fit a BIGINT, so these ride the
+        Arrow-batched stdlib-`ipaddress` kernels registered in
+        _register_ipv6_udfs (the sanctioned pandas-UDF path — same
+        contract as the codec scalars). Kusto semantics mirrored:
+        IPv4 text is lifted to its IPv4-mapped form (::ffff:a.b.c.d,
+        netmask 96 + suffix), an in-address '/p' truncates to the
+        network address, compare/match mask with the MINIMUM of the
+        argument prefix and both in-address suffixes, in_range masks
+        with the range's prefix, invalid input -> null."""
+        if fname == "parse_ipv6":
+            if len(args) != 1:
+                raise ValueError("KQL: parse_ipv6(ip)")
+            return f"__kql_ipv6_parse({args[0]})"
+        if fname == "parse_ipv6_mask":
+            if len(args) != 2:
+                raise ValueError("KQL: parse_ipv6_mask(ip, prefix)")
+            return (f"__kql_ipv6_parse_mask({args[0]}, "
+                    f"CAST({args[1]} AS BIGINT))")
+        if fname in ("ipv6_compare", "ipv6_is_match"):
+            if len(args) not in (2, 3):
+                raise ValueError(f"KQL: {fname}(a, b [, prefix])")
+            p = args[2] if len(args) == 3 else "128"
+            cmp = (f"__kql_ipv6_cmp({args[0]}, {args[1]}, "
+                   f"CAST({p} AS BIGINT))")
+            return cmp if fname == "ipv6_compare" else f"({cmp} = 0)"
+        # ipv6_is_in_range(ip, range) / ipv6_is_in_any_range(ip, r...)
+        if len(args) < 2:
+            raise ValueError(f"KQL: {fname}(ip, range...)")
+        if fname == "ipv6_is_in_range" and len(args) != 2:
+            raise ValueError("KQL: ipv6_is_in_range(ip, range)")
+        terms = [f"__kql_ipv6_in_range({args[0]}, {r})"
+                 for r in args[1:]]
+        return "(" + " OR ".join(terms) + ")"
+
     def _datetime_math(self, fname: str, args: list[str]) -> str:
         """datetime_add / datetime_diff with Kusto's period names.
         datetime_diff counts BOUNDARY crossings (calendar parts via
@@ -3644,6 +3688,104 @@ def _register_codec_udfs(spark: SparkSession) -> None:
     spark._kql_codec_registered = True
 
 
+def _register_ipv6_udfs(spark: SparkSession) -> None:
+    """Arrow-batched kernels behind the Kusto IPv6 scalars. 128-bit
+    address arithmetic doesn't fit Spark's BIGINT, so parsing/masking
+    ride Python ints via the stdlib `ipaddress` module — one Arrow hop
+    per batch, no per-row Python UDF, deterministic (pure string/int
+    math). Semantics (Kusto): IPv4 text lifts to the IPv4-mapped form
+    ::ffff:a.b.c.d with netmask 96 + suffix (96 + 32 when absent); an
+    in-address '/p' masks to the network address; canonical output is
+    the full zero-padded lower-case 8-group form; any invalid address
+    or out-of-range prefix -> null. The fixed-width canonical form
+    makes lexicographic order equal numeric order — the property the
+    DuckDB oracle twin relies on."""
+    if getattr(spark, "_kql_ipv6_registered", False):
+        return
+    import ipaddress
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def parse(s):
+        """(value, prefix) for ipv6/ipv4 text with optional '/p',
+        or None when invalid."""
+        if s is None:
+            return None
+        addr, sep, sfx = s.strip().partition("/")
+        if sep and not sfx.isdigit():
+            return None
+        if "%" in addr:
+            # zone indices (fe80::1%eth0) are a host-local concept the
+            # stdlib accepts but Kusto rejects — reject for parity
+            return None
+        try:
+            if ":" not in addr:
+                val = 0xFFFF_0000_0000 | int(ipaddress.IPv4Address(addr))
+                pfx = 96 + (int(sfx) if sep else 32)
+            else:
+                val = int(ipaddress.IPv6Address(addr))
+                pfx = int(sfx) if sep else 128
+        except ValueError:
+            return None
+        return (val, pfx) if 0 <= pfx <= 128 else None
+
+    def mask(val, pfx):
+        return val & ~((1 << (128 - pfx)) - 1)
+
+    def canon(val):
+        return ":".join(f"{(val >> (112 - 16 * i)) & 0xFFFF:04x}"
+                        for i in range(8))
+
+    def ipv6_parse(col):
+        out = []
+        for s in col:
+            p = parse(s)
+            out.append(None if p is None else canon(mask(*p)))
+        return pd.Series(out, dtype=object)
+
+    def ipv6_parse_mask(col, pcol):
+        out = []
+        for s, p in zip(col, pcol):
+            a = parse(s)
+            if a is None or p is None or not 0 <= p <= 128:
+                out.append(None)
+            else:
+                out.append(canon(mask(a[0], min(a[1], int(p)))))
+        return pd.Series(out, dtype=object)
+
+    def ipv6_cmp(acol, bcol, pcol):
+        out = []
+        for sa, sb, p in zip(acol, bcol, pcol):
+            a, b = parse(sa), parse(sb)
+            if a is None or b is None or p is None or not 0 <= p <= 128:
+                out.append(None)
+                continue
+            pfx = min(int(p), a[1], b[1])
+            ma, mb = mask(a[0], pfx), mask(b[0], pfx)
+            out.append(0 if ma == mb else (-1 if ma < mb else 1))
+        return pd.Series(out, dtype="Int64")
+
+    def ipv6_in_range(icol, rcol):
+        out = []
+        for si, sr in zip(icol, rcol):
+            i, r = parse(si), parse(sr)
+            if i is None or r is None:
+                out.append(None)
+            else:
+                out.append(mask(i[0], r[1]) == mask(r[0], r[1]))
+        return pd.Series(out, dtype=object)
+
+    spark.udf.register("__kql_ipv6_parse",
+                       pandas_udf(ipv6_parse, "string"))
+    spark.udf.register("__kql_ipv6_parse_mask",
+                       pandas_udf(ipv6_parse_mask, "string"))
+    spark.udf.register("__kql_ipv6_cmp", pandas_udf(ipv6_cmp, "long"))
+    spark.udf.register("__kql_ipv6_in_range",
+                       pandas_udf(ipv6_in_range, "boolean"))
+    spark._kql_ipv6_registered = True
+
+
 #: fork/facet/materialize cache shared inputs with persist() so N
 #: consumers read ONE scan. Handles are registered in COMPILER-SCOPED
 #: groups: eviction happens at group granularity, keeping the newest
@@ -3716,6 +3858,7 @@ class KqlCompiler:
         _register_dynamic_udfs(spark)
         _register_codec_udfs(spark)
         _register_math_udfs(spark)
+        _register_ipv6_udfs(spark)
 
     def table(self, name: str) -> DataFrame:
         return load_table(self.spark, self.sf_dir, name)

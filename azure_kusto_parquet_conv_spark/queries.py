@@ -6568,6 +6568,163 @@ def q_kql_ipv4(spark, sf_dir):
     """)
 
 
+_IPV6_FIXTURES = [
+    # valid: '::' at middle/start/end, full form, mixed case, masks
+    "fe80::85d:e82c:9446:7994",
+    "FE80::85D:E82C:9446:7994/120",
+    "2001:db8::ffff",                 # equals the cmp constant
+    "2001:db8::ffff/64",
+    "2001:0db8:0000:0000:0000:0000:0000:ffff",
+    "2001:db8::/32",
+    "2001:db8:ffff:ffff:ffff:ffff:ffff:ffff",  # top of the /32
+    "2001:db9::1",                    # just outside the /32
+    "2001:db8:0:0:1::",
+    "::1", "::", "1:2:3:4:5:6:7:8", "1:2:3:4:5:6:7::",
+    "::2:3:4:5:6:7:8", "fe80::1/16",
+    # ipv4 inputs (lift to ::ffff:a.b.c.d, netmask 96 + suffix)
+    "127.0.0.1", "1.2.3.4/24", "255.255.255.255", "0.0.0.0/0",
+    # invalid: bad quad, prefix range/garbage/empty/doubled, '::' twice,
+    # 9 groups, 5-hex-digit group, bad hex, free text, empty string
+    "1.2.3.400", "2001:db8::1/129", "2001:db8::1/abc", "2001:db8::1/",
+    "2001:db8::1/64/2", "1::2::3", "1:2:3:4:5:6:7:8:9", "12345::",
+    "g001:db8::1", "not an ip", "",
+]
+
+
+def _v6mask(lst: str, p: str) -> str:
+    """SQL: ``lst`` (8 x 16-bit groups) masked to prefix ``p`` — group i
+    keeps its top clamp(p - 16*i, 0, 16) bits via floor-divide/multiply
+    by a power of two (exact integer arithmetic in both engines)."""
+    b = f"greatest(0, least(16, ({p}) - 16 * __vm_i))"
+    sh = f"(1::BIGINT << (16 - {b}))"
+    return (f"list_transform(range(8), __vm_i -> "
+            f"((({lst})[__vm_i + 1]) // {sh}) * {sh})")
+
+
+def _v6canon(lst: str) -> str:
+    """SQL: canonical zero-padded lower-case 8-group rendering."""
+    return (f"array_to_string(list_transform({lst}, "
+            f"__cg -> printf('%04x', __cg)), ':')")
+
+
+# the comparison constants' group lists (hand-derived, sf-independent):
+_C_FFFF = "[8193, 3512, 0, 0, 0, 0, 0, 65535]"   # 2001:db8::ffff
+_C_ABCD = "[8193, 3512, 0, 0, 0, 0, 0, 43981]"   # 2001:db8::abcd
+_C_DB8 = "[8193, 3512, 0, 0, 0, 0, 0, 0]"        # 2001:db8:: network
+_C_FE80 = "[65152, 0, 0, 0, 0, 0, 0, 0]"         # fe80:: network
+
+
+@query("q_kql_ipv6", f"""
+WITH u(ip) AS (VALUES {{values}}),
+b AS (SELECT ip, split_part(ip, '/', 1) AS addr,
+             NULLIF(split_part(ip, '/', 2), '') AS sfx,
+             contains(ip, '/') AS has_sfx,
+             len(string_split(ip, '/')) <= 2 AS one_slash
+      FROM u),
+s AS (SELECT ip, addr,
+             (((NOT has_sfx) OR (sfx IS NOT NULL AND
+                 regexp_matches(sfx, '^[0-9]+$'))) AND one_slash)
+               AS sfx_ok,
+             TRY_CAST(sfx AS BIGINT) AS sfxn,
+             NOT contains(addr, ':') AS is4,
+             string_split(addr, '.') AS p4,
+             string_split(addr, '::') AS hsplit,
+             string_split(addr, ':') AS fullg
+      FROM b),
+s2 AS (SELECT *,
+              (is4 AND len(p4) = 4 AND NOT EXISTS (
+                 SELECT 1 FROM unnest(p4) AS t(x)
+                 WHERE TRY_CAST(x AS INT) IS NULL
+                    OR TRY_CAST(x AS INT) NOT BETWEEN 0 AND 255)) AS ok4,
+              ((COALESCE(TRY_CAST(p4[1] AS BIGINT), 0) * 256
+                + COALESCE(TRY_CAST(p4[2] AS BIGINT), 0)) * 256
+                + COALESCE(TRY_CAST(p4[3] AS BIGINT), 0)) * 256
+                + COALESCE(TRY_CAST(p4[4] AS BIGINT), 0) AS num,
+              CASE WHEN len(hsplit) = 2 AND hsplit[1] <> ''
+                   THEN string_split(hsplit[1], ':')
+                   WHEN len(hsplit) = 2 THEN []::VARCHAR[] END AS lft,
+              CASE WHEN len(hsplit) = 2 AND hsplit[2] <> ''
+                   THEN string_split(hsplit[2], ':')
+                   WHEN len(hsplit) = 2 THEN []::VARCHAR[] END AS rgt
+       FROM s),
+s3 AS (SELECT *,
+              CASE WHEN len(hsplit) = 1 THEN fullg
+                   WHEN len(hsplit) = 2 AND len(lft) + len(rgt) <= 7
+                   THEN list_concat(lft, list_concat(
+                          list_transform(
+                            range(8 - len(lft) - len(rgt)), __z -> '0'),
+                          rgt))
+              END AS gs
+       FROM s2),
+s4 AS (SELECT *,
+              (gs IS NOT NULL AND len(gs) = 8 AND NOT EXISTS (
+                 SELECT 1 FROM unnest(gs) AS t(g)
+                 WHERE NOT regexp_matches(g, '^[0-9a-fA-F]{{1,4}}$')))
+                AS ok6,
+              list_transform(gs, __g ->
+                COALESCE(TRY_CAST('0x' || __g AS BIGINT), 0)) AS gv6
+       FROM s3),
+f AS (SELECT ip,
+             CASE WHEN is4 THEN 96 + COALESCE(sfxn, 32)
+                  ELSE COALESCE(sfxn, 128) END AS pfx,
+             (sfx_ok AND (CASE WHEN is4 THEN ok4 ELSE ok6 END)
+              AND (CASE WHEN is4 THEN 96 + COALESCE(sfxn, 32)
+                        ELSE COALESCE(sfxn, 128) END)
+                  BETWEEN 0 AND 128) AS ok,
+             CASE WHEN is4 THEN
+               [0::BIGINT, 0, 0, 0, 0, 65535,
+                num // 65536, num % 65536]
+             ELSE gv6 END AS gv
+      FROM s4)
+SELECT ip,
+       CASE WHEN ok THEN {_v6canon(_v6mask('gv', 'pfx'))} END AS canon,
+       CASE WHEN ok
+            THEN {_v6canon(_v6mask('gv', 'least(64, pfx)'))} END AS m64,
+       CASE WHEN ok THEN CAST(
+         CASE WHEN {_v6mask('gv', 'pfx')} = {_v6mask(_C_FFFF, 'pfx')}
+              THEN 0
+              WHEN {_v6mask('gv', 'pfx')} < {_v6mask(_C_FFFF, 'pfx')}
+              THEN -1 ELSE 1 END AS BIGINT) END AS cmp,
+       CASE WHEN ok THEN CAST(
+         ({_v6mask('gv', 'least(32, pfx)')}
+          = {_v6mask(_C_ABCD, 'least(32, pfx)')}) AS VARCHAR)
+         END AS m32,
+       CASE WHEN ok THEN CAST(
+         ({_v6mask('gv', '32')} = {_C_DB8}) AS VARCHAR) END AS inr,
+       CASE WHEN ok THEN CAST(
+         (({_v6mask('gv', '32')} = {_C_DB8})
+          OR ({_v6mask('gv', '16')} = {_C_FE80})) AS VARCHAR)
+         END AS anyr
+FROM f
+""".replace("{values}", ", ".join(f"('{u}')" for u in _IPV6_FIXTURES)))
+def q_kql_ipv6(spark, sf_dir):
+    """IPv6 scalar family over curated adversarial fixtures ('::'
+    compression at every position, full/mixed-case forms, in-address
+    netmasks, IPv4 lifts, and nine invalid shapes): parse to the
+    canonical zero-padded form, explicit masking, three-way compare,
+    prefix match, and CIDR containment — the log-curation predicates
+    at IPv6 width. Spark side rides the Arrow-batched stdlib-ipaddress
+    kernels (kql._register_ipv6_udfs; 128-bit values don't fit a
+    BIGINT); the DuckDB twin re-derives every output with independent
+    pure-SQL parsing (split on '::', hex-group TRY_CASTs, per-group
+    power-of-two masking) — two implementations from different
+    primitives agreeing exactly. Booleans stringified per the
+    null-boolean canon rule; fixed-width canonical strings make the
+    lexicographic compare equal the numeric one."""
+    from azure_kusto_parquet_conv_spark.kql import kql
+    cells = ", ".join(f"'{u}'" for u in _IPV6_FIXTURES)
+    return kql(spark, sf_dir, f"""
+      datatable (ip:string) [{cells}]
+        | project ip, canon = parse_ipv6(ip),
+                  m64 = parse_ipv6_mask(ip, 64),
+                  cmp = ipv6_compare(ip, '2001:db8::ffff'),
+                  m32 = tostring(ipv6_is_match(ip, '2001:db8::abcd', 32)),
+                  inr = tostring(ipv6_is_in_range(ip, '2001:db8::/32')),
+                  anyr = tostring(ipv6_is_in_any_range(ip,
+                           '2001:db8::/32', 'fe80::/16'))
+    """)
+
+
 _PARSE_KV_LINES = [
     "level=info code=200 msg=\"user login ok\" code=999",
     "level=error code=503 msg=\"upstream timeout\" retry=3",

@@ -4395,6 +4395,37 @@ def test_format_ipv4_and_netmask_suffix(spark, sf_dir):
     assert (r["s1"], r["s2"], r["s3"], r["s4"]) == (8, 32, None, None)
 
 
+def test_ipv6_scalars_golden(spark, sf_dir):
+    """IPv6 family edges the SQL oracle fixture can't model: a dotted
+    quad embedded in IPv6 text (::ffff:1.2.3.4 — stdlib parses it, the
+    oracle's ':'-splitting can't), zone indices (stdlib accepts
+    fe80::1%eth0, Kusto rejects — the kernel must too), the min() of
+    argument prefix vs both in-address suffixes in compare, and
+    ipv6_compare total ordering around a mask boundary."""
+    r = kql(spark, sf_dir, """
+      print a = parse_ipv6("::ffff:1.2.3.4"),
+            z = parse_ipv6("fe80::1%eth0"),
+            b = parse_ipv6_mask("2001:db8::ffff", 129),
+            c = ipv6_compare("2001:db8::1/60", "2001:db8::f:0", 64),
+            d = ipv6_compare("::ffff:7f00:1", "127.0.0.1"),
+            e = ipv6_compare("2001:db8::2", "2001:db8::1"),
+            f = tostring(ipv6_is_match("fe80::1", "fe80:ffff::9", 16)),
+            g = tostring(ipv6_is_in_range("1.2.3.4",
+                                          "::ffff:102:0/112")),
+            h = tostring(ipv6_is_in_any_range("9::9", "8::/16",
+                                              "7::/16"))
+    """).collect()[0]
+    assert r["a"] == "0000:0000:0000:0000:0000:ffff:0102:0304"
+    assert r["z"] is None
+    assert r["b"] is None
+    # /60 < 64: both mask to 2001:db8:: under the MIN prefix -> equal
+    assert r["c"] == 0
+    # ipv4 text lifts to the same mapped address -> equal at /128
+    assert r["d"] == 0
+    assert r["e"] == 1
+    assert (r["f"], r["g"], r["h"]) == ("true", "true", "false")
+
+
 def test_indexof_regex_and_reverse(spark, sf_dir):
     """indexof_regex: 0-based first-match position, -1 on miss;
     reverse works on strings and typed arrays."""
