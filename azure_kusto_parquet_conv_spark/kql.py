@@ -185,6 +185,8 @@ timespan(null)/guid(null)/decimal(null)),
 series_dot_product/series_cosine_similarity,
 extend (n1, n2, ...) = series_fit_line(y) tuple assignment,
 geo_distance_2points/geo_point_in_circle (haversine),
+geo_point_to_geohash (compile-time-unrolled integer interleave — the
+spatial bucketing key)/geo_geohash_to_central_point (HOF fold),
 percentiles_array, make_list_if/make_set_if, binary_all_and-or-xor.
 Aggregates: count, countif, sum/avg/min/max (+ sumif/avgif/minif/maxif),
 arg_max/arg_min, percentile (0-100 scale, exact), dcount/dcountif
@@ -1058,6 +1060,9 @@ class _ExprParser:
             if fname == "geo_distance_2points":
                 return dist
             return f"({dist} <= CAST({args[4]} AS DOUBLE))"
+        if fname in ("geo_point_to_geohash",
+                     "geo_geohash_to_central_point"):
+            return self._geohash_fn(fname, args)
         if fname == "bag_keys":
             # dynamic bag -> array of top-level keys (JSON round-trip;
             # VARIANT has no native key enumeration yet)
@@ -2468,6 +2473,106 @@ class _ExprParser:
         terms = [f"__kql_ipv6_in_range({args[0]}, {r})"
                  for r in args[1:]]
         return "(" + " OR ".join(terms) + ")"
+
+    _GH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+    def _geohash_fn(self, fname: str, args: list[str]) -> str:
+        """Geohash codec — the spatial BUCKETING primitive (a geohash
+        prefix groupBy is how a 100 TB corpus co-locates nearby points
+        for spatial joins; same bit-interleaving idea as
+        operators/layout.zorder_key, rendered base-32).
+
+        geo_point_to_geohash(lon, lat [, accuracy]) unrolls at COMPILE
+        TIME (accuracy is a literal) into pure integer shift/mask
+        expressions — quantize lon/lat to ceil/floor(5*accuracy/2)
+        bits, interleave starting with longitude, emit 5-bit groups
+        through the base-32 alphabet. Whole-stage codegen end-to-end:
+        no UDF in the hot grouping path.
+
+        geo_geohash_to_central_point(gh) handles RUNTIME-length input
+        with one higher-order fold: per-bit de-interleave (even bit
+        positions rebuild the longitude value, odd the latitude), then
+        the cell-center arithmetic in a pinned operation order
+        (-180 + 360 * (q + 0.5) / 2^n — the scale by a power of two is
+        exact, so both engines produce bit-identical doubles). Returns
+        a dynamic GeoJSON point like Kusto; invalid input -> null."""
+        if fname == "geo_point_to_geohash":
+            if len(args) not in (2, 3):
+                raise ValueError(
+                    "KQL: geo_point_to_geohash(lon, lat [, accuracy])")
+            lon, lat = args[0], args[1]
+            try:
+                p = int(args[2]) if len(args) == 3 else 5
+            except ValueError:
+                raise ValueError(
+                    "KQL: geo_point_to_geohash accuracy must be an "
+                    f"integer literal, got {args[2]!r}")
+            if not 1 <= p <= 12:
+                raise ValueError(
+                    "KQL: geo_point_to_geohash accuracy must be 1..12")
+            total = 5 * p
+            nlon = (total + 1) // 2
+            nlat = total // 2
+            lonq = (f"least(CAST({(1 << nlon) - 1} AS BIGINT), "
+                    f"greatest(CAST(0 AS BIGINT), CAST(floor("
+                    f"(CAST({lon} AS DOUBLE) + 180.0e0) / 360.0e0 "
+                    f"* {1 << nlon}) AS BIGINT)))")
+            latq = (f"least(CAST({(1 << nlat) - 1} AS BIGINT), "
+                    f"greatest(CAST(0 AS BIGINT), CAST(floor("
+                    f"(CAST({lat} AS DOUBLE) + 90.0e0) / 180.0e0 "
+                    f"* {1 << nlat}) AS BIGINT)))")
+            terms = []
+            for j in range(nlon):
+                terms.append(f"shiftleft(shiftright(__gh_s.lq, "
+                             f"{nlon - 1 - j}) & 1, {total - 1 - 2 * j})")
+            for j in range(nlat):
+                terms.append(f"shiftleft(shiftright(__gh_s.tq, "
+                             f"{nlat - 1 - j}) & 1, {total - 2 - 2 * j})")
+            morton = " + ".join(terms)
+            chars = ", ".join(
+                f"substring('{self._GH32}', CAST(shiftright(__gh_m, "
+                f"{5 * (p - 1 - c)}) & 31 AS INT) + 1, 1)"
+                for c in range(p))
+            # bind the quantized values once (struct hop), then the
+            # morton key once, then render the characters
+            return (
+                f"(CASE WHEN CAST({lon} AS DOUBLE) BETWEEN -180 AND 180 "
+                f"AND CAST({lat} AS DOUBLE) BETWEEN -90 AND 90 THEN "
+                f"element_at(transform(array(named_struct("
+                f"'lq', {lonq}, 'tq', {latq})), __gh_s -> "
+                f"element_at(transform(array({morton}), __gh_m -> "
+                f"concat({chars})), 1)), 1) ELSE NULL END)")
+        # geo_geohash_to_central_point(gh)
+        if len(args) != 1:
+            raise ValueError("KQL: geo_geohash_to_central_point(gh)")
+        gh = args[0]
+        total = f"(length({gh}) * 5)"
+        # bit t (0-based from the MSB): alphabet index of char t div 5,
+        # bit (4 - t mod 5) of that 5-bit group
+        bit = (f"shiftright(CAST(instr('{self._GH32}', "
+               f"substring({gh}, CAST(__ghd_t div 5 AS INT) + 1, 1)) "
+               f"- 1 AS BIGINT), CAST(4 - __ghd_t % 5 AS INT)) & 1")
+        lonv = (f"aggregate(sequence(0, {total} - 1), "
+                f"CAST(0 AS BIGINT), (__ghd_a, __ghd_t) -> "
+                f"CASE WHEN __ghd_t % 2 = 0 THEN __ghd_a * 2 + ({bit}) "
+                f"ELSE __ghd_a END)")
+        latv = (f"aggregate(sequence(0, {total} - 1), "
+                f"CAST(0 AS BIGINT), (__ghd_a, __ghd_t) -> "
+                f"CASE WHEN __ghd_t % 2 = 1 THEN __ghd_a * 2 + ({bit}) "
+                f"ELSE __ghd_a END)")
+        nlon = f"(({total} + 1) div 2)"
+        nlat = f"({total} div 2)"
+        clon = (f"(-180.0e0 + 360.0e0 * (CAST({lonv} AS DOUBLE) "
+                f"+ 0.5e0) / CAST(shiftleft(CAST(1 AS BIGINT), "
+                f"CAST({nlon} AS INT)) AS DOUBLE))")
+        clat = (f"(-90.0e0 + 180.0e0 * (CAST({latv} AS DOUBLE) "
+                f"+ 0.5e0) / CAST(shiftleft(CAST(1 AS BIGINT), "
+                f"CAST({nlat} AS INT)) AS DOUBLE))")
+        ok = (f"({gh} IS NOT NULL AND length({gh}) BETWEEN 1 AND 12 "
+              f"AND {gh} RLIKE '^[{self._GH32}]+$')")
+        return (f"(CASE WHEN {ok} THEN parse_json(to_json("
+                f"named_struct('type', 'Point', 'coordinates', "
+                f"array({clon}, {clat})))) ELSE NULL END)")
 
     def _datetime_math(self, fname: str, args: list[str]) -> str:
         """datetime_add / datetime_diff with Kusto's period names.

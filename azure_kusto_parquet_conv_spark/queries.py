@@ -6725,6 +6725,91 @@ def q_kql_ipv6(spark, sf_dir):
     """)
 
 
+_GEOHASH_POINTS = [
+    (-5.6, 42.6),            # the textbook 'ezs42' example
+    (13.361389, 38.115556),  # Palermo ('sqc8b...')
+    (0.0, 0.0),
+    (-180.0, -90.0),         # bottom corner (quantizer floor)
+    (180.0, 90.0),           # top corner (clamp path)
+    (-0.0001, 0.0001),       # sign straddle around the origin
+    (179.9999, -89.9999),
+    (-122.419, 37.775),      # western hemisphere city point
+]
+_GH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def _gh_oracle_encode(p: int) -> str:
+    """DuckDB SQL: geohash of (lon, lat) at accuracy ``p`` — the same
+    quantize/interleave/base-32 derivation built from DuckDB list
+    primitives (independent of the Spark compiler's unrolled form)."""
+    total, nlon, nlat = 5 * p, (5 * p + 1) // 2, (5 * p) // 2
+    lonq = (f"least({(1 << nlon) - 1}, greatest(0, "
+            f"CAST(floor((lon + 180) / 360 * {1 << nlon}) AS BIGINT)))")
+    latq = (f"least({(1 << nlat) - 1}, greatest(0, "
+            f"CAST(floor((lat + 90) / 180 * {1 << nlat}) AS BIGINT)))")
+    m = (f"(list_aggregate(list_transform(range({nlon}), __j -> "
+         f"((({lonq}) >> ({nlon - 1} - __j)) & 1) "
+         f"<< ({total - 1} - 2 * __j)), 'sum') "
+         f"+ list_aggregate(list_transform(range({nlat}), __j -> "
+         f"((({latq}) >> ({nlat - 1} - __j)) & 1) "
+         f"<< ({total - 2} - 2 * __j)), 'sum'))")
+    return (f"array_to_string(list_transform(range({p}), __c -> "
+            f"substring('{_GH32}', CAST(({m} >> (5 * ({p - 1} - __c)))"
+            f" & 31 AS INT) + 1, 1)), '')")
+
+
+@query("q_kql_geohash", f"""
+WITH u(lon, lat) AS (VALUES {{values}}),
+e AS (SELECT lon, lat,
+             {_gh_oracle_encode(5)} AS gh5,
+             {_gh_oracle_encode(7)} AS gh7
+      FROM u),
+d AS (SELECT *,
+             list_aggregate(list_transform(range(13), __j ->
+               (((instr('{_GH32}', substring(gh5, (2 * __j) // 5 + 1,
+                                             1)) - 1)
+                 >> (4 - (2 * __j) % 5)) & 1)::BIGINT
+               << (12 - __j)), 'sum') AS lonv,
+             list_aggregate(list_transform(range(12), __j ->
+               (((instr('{_GH32}', substring(gh5,
+                                             (2 * __j + 1) // 5 + 1,
+                                             1)) - 1)
+                 >> (4 - (2 * __j + 1) % 5)) & 1)::BIGINT
+               << (11 - __j)), 'sum') AS latv
+      FROM e)
+SELECT lon, lat, gh5, gh7,
+       -180 + 360 * (lonv + 0.5) / 8192 AS clon,
+       -90 + 180 * (latv + 0.5) / 4096 AS clat
+FROM d
+""".replace("{values}", ", ".join(
+    f"(CAST({lo} AS DOUBLE), CAST({la} AS DOUBLE))"
+    for lo, la in _GEOHASH_POINTS)))
+def q_kql_geohash(spark, sf_dir):
+    """Geohash encode/decode over curated points (the textbook ezs42
+    example, both poles, the origin straddle, a real city): accuracy-5
+    and accuracy-7 hashes plus the accuracy-5 cell center recovered by
+    geo_geohash_to_central_point. Encode is compile-time-unrolled pure
+    integer shift/mask codegen (the spatial-bucketing groupBy key for
+    100 TB co-location — no UDF in the hot path); decode is one
+    higher-order per-bit fold. The DuckDB twin re-derives both
+    directions from list primitives; the center arithmetic
+    (-180 + 360 * (q + 0.5) / 2^n) is EXACT dyadic arithmetic at every
+    step (the 2^n scale is a power of two, 360 * (q + 0.5) is an exact
+    integer-plus-half product below 2^53), so the doubles hash-match
+    without any rounding helper."""
+    from azure_kusto_parquet_conv_spark.kql import kql
+    cells = ", ".join(f"{lo}, {la}" for lo, la in _GEOHASH_POINTS)
+    return kql(spark, sf_dir, f"""
+      datatable (lon:real, lat:real) [{cells}]
+        | extend gh5 = geo_point_to_geohash(lon, lat, 5),
+                 gh7 = geo_point_to_geohash(lon, lat, 7)
+        | extend c = geo_geohash_to_central_point(gh5)
+        | project lon, lat, gh5, gh7,
+                  clon = todouble(c.coordinates[0]),
+                  clat = todouble(c.coordinates[1])
+    """)
+
+
 _PARSE_KV_LINES = [
     "level=info code=200 msg=\"user login ok\" code=999",
     "level=error code=503 msg=\"upstream timeout\" retry=3",

@@ -4426,6 +4426,39 @@ def test_ipv6_scalars_golden(spark, sf_dir):
     assert (r["f"], r["g"], r["h"]) == ("true", "true", "false")
 
 
+def test_geohash_golden_prefix_and_roundtrip(spark, sf_dir):
+    """Geohash pins: the textbook ezs42 golden, the default accuracy
+    (5), the prefix-nesting property (a coarser hash is a prefix of a
+    finer one — what makes prefix groupBy a spatial bucketing key),
+    decode-center containment inside the encoded cell, and null on
+    invalid input (out-of-range point, junk hash text)."""
+    r = kql(spark, sf_dir, """
+      print g = geo_point_to_geohash(-5.6, 42.6, 5),
+            gd = geo_point_to_geohash(-5.6, 42.6),
+            g9 = geo_point_to_geohash(-5.6, 42.6, 9),
+            bad = geo_point_to_geohash(-5.6, 92.0, 5),
+            c = tostring(geo_geohash_to_central_point("u4pruyd")),
+            junk = tostring(geo_geohash_to_central_point("hello a")),
+            empty = tostring(geo_geohash_to_central_point(""))
+    """).collect()[0]
+    assert r["g"] == "ezs42" and r["gd"] == "ezs42"
+    assert r["g9"].startswith("ezs42")
+    assert r["bad"] is None
+    assert r["junk"] is None and r["empty"] is None
+    # u4pruyd is the RFC-circulated example near (10.407, 57.649):
+    # the decoded center must round-trip to the same cell
+    import json
+    c = json.loads(r["c"])
+    assert c["type"] == "Point"
+    clon, clat = c["coordinates"]
+    r2 = kql(spark, sf_dir, f"""
+      print g = geo_point_to_geohash(todouble({clon!r}),
+                                     todouble({clat!r}), 7)
+    """).collect()[0]
+    assert r2["g"] == "u4pruyd"
+    assert abs(clon - 10.407) < 0.01 and abs(clat - 57.649) < 0.01
+
+
 def test_indexof_regex_and_reverse(spark, sf_dir):
     """indexof_regex: 0-based first-match position, -1 on miss;
     reverse works on strings and typed arrays."""
