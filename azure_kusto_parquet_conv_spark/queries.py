@@ -6810,6 +6810,44 @@ def q_kql_geohash(spark, sf_dir):
     """)
 
 
+@query("q_geo_bucket_join", f"""
+WITH d AS (SELECT ((doc_id * 7919 % 3600 - 1800)::DOUBLE + 0.5) / 10
+             AS lon,
+           ((doc_id * 104729 % 1700 - 850)::DOUBLE + 0.5) / 10 AS lat
+           FROM documents),
+g AS (SELECT {_gh_oracle_encode(2)} AS cell FROM d)
+SELECT cell, COUNT(*)::BIGINT AS n_points,
+       (COUNT(*) * (COUNT(*) - 1) // 2)::BIGINT AS n_pairs
+FROM g GROUP BY cell HAVING COUNT(*) >= 2
+""")
+def q_geo_bucket_join(spark, sf_dir):
+    """Geohash-bucketed spatial grouping — the scale pattern the
+    geohash scalar exists for: co-locate nearby points with ONE
+    hash-shuffle on the cell key (vs the all-pairs O(n^2) distance
+    join), then pair/verify only within a cell. Points are synthesized
+    deterministically from doc_id (0.05-degree-centered tenths grid,
+    multiplicative scatter), bucketed at accuracy 2 (~1250 km cells),
+    and the entry reports per-cell membership and the within-cell
+    candidate-pair count — every output exact integer/string, so the
+    DuckDB twin (same point derivation + the independent list-primitive
+    geohash encode) hash-matches with no float tolerance. At 100 TB
+    the same shape holds: the cell groupBy is map-side combinable and
+    a neighbor-cell union bounds the candidate space for a true radius
+    join."""
+    from azure_kusto_parquet_conv_spark.kql import kql
+    return kql(spark, sf_dir, """
+      documents
+      | extend lon = (todouble(doc_id * 7919 % 3600 - 1800)
+                      + todouble(1) / todouble(2)) / todouble(10),
+               lat = (todouble(doc_id * 104729 % 1700 - 850)
+                      + todouble(1) / todouble(2)) / todouble(10)
+      | extend cell = geo_point_to_geohash(lon, lat, 2)
+      | summarize n_points = count() by cell
+      | where n_points >= 2
+      | extend n_pairs = tolong((n_points * (n_points - 1)) / 2)
+    """)
+
+
 _PARSE_KV_LINES = [
     "level=info code=200 msg=\"user login ok\" code=999",
     "level=error code=503 msg=\"upstream timeout\" retry=3",
