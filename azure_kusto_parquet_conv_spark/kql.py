@@ -1412,6 +1412,9 @@ class _ExprParser:
                      "ipv4_is_in_range", "format_ipv4",
                      "format_ipv4_mask", "ipv4_netmask_suffix"):
             return self._ipv4_fn(fname, args)
+        if fname in ("has_ipv4", "has_any_ipv4", "has_ipv4_prefix",
+                     "ipv4_is_in_any_range"):
+            return self._ipv4_scan_fn(fname, args)
         if fname in ("datetime_add", "datetime_diff"):
             return self._datetime_math(fname, args)
         if fname == "series_fir":
@@ -2436,6 +2439,47 @@ class _ExprParser:
         return (f"(CASE WHEN {v1} AND {v2} AND {pfx} BETWEEN 0 AND 32 "
                 f"THEN shiftright({n1}, 32 - {pfx}) "
                 f"= shiftright({n2}, 32 - {pfx}) ELSE NULL END)")
+
+    # candidate dotted-quads properly delimited by non-alphanumeric,
+    # non-dot characters (lookarounds: Java regex only — the DuckDB
+    # oracle twins use fixture-shaped RE2 patterns instead)
+    _IPV4_SCAN_RE = (r"(?<![0-9A-Za-z.])((?:[0-9]{1,3}\\.){3}"
+                     r"[0-9]{1,3})(?![0-9A-Za-z.])")
+
+    def _ipv4_scan_fn(self, fname: str, args: list[str]) -> str:
+        """Embedded-IP text scanning (has_ipv4 / has_any_ipv4 /
+        has_ipv4_prefix) and the multi-range membership OR
+        (ipv4_is_in_any_range) — the grep-side of log curation. The
+        scanners extract properly-delimited dotted-quad candidates with
+        one regexp pass, then validate octet ranges with array
+        predicates — all whole-stage-codegen expressions, no UDF."""
+        if fname == "ipv4_is_in_any_range":
+            if len(args) < 2:
+                raise ValueError(
+                    "KQL: ipv4_is_in_any_range(ip, range...)")
+            terms = [self._ipv4_fn("ipv4_is_in_range", [args[0], r])
+                     for r in args[1:]]
+            return "(" + " OR ".join(terms) + ")"
+        src = args[0]
+        cands = (f"regexp_extract_all({src}, "
+                 f"'{self._IPV4_SCAN_RE}', 1)")
+        quad_ok = ("forall(split(__is_c, '\\\\.'), __is_x -> "
+                   "try_cast(__is_x AS INT) BETWEEN 0 AND 255)")
+        if fname == "has_ipv4":
+            if len(args) != 1:
+                raise ValueError("KQL: has_ipv4(source)")
+            return f"exists({cands}, __is_c -> {quad_ok})"
+        if fname == "has_ipv4_prefix":
+            if len(args) != 2:
+                raise ValueError("KQL: has_ipv4_prefix(source, prefix)")
+            return (f"exists({cands}, __is_c -> {quad_ok} "
+                    f"AND startswith(__is_c, {args[1]}))")
+        # has_any_ipv4(source, ip1 [, ip2, ...])
+        if len(args) < 2:
+            raise ValueError("KQL: has_any_ipv4(source, ip...)")
+        wanted = ", ".join(args[1:])
+        return (f"exists({cands}, __is_c -> {quad_ok} "
+                f"AND __is_c IN ({wanted}))")
 
     def _ipv6_fn(self, fname: str, args: list[str]) -> str:
         """IPv6 family (parse_ipv6 / parse_ipv6_mask / ipv6_compare /

@@ -6848,6 +6848,80 @@ def q_geo_bucket_join(spark, sf_dir):
     """)
 
 
+_HAS_IPV4_ROWS = [
+    ("GET /x from 127.0.0.1 ok", "10.1.2.3"),
+    ("bad 999.1.1.1 only", "11.1.2.3"),
+    ("part 1.2.3.4.5 chain", "192.168.7.9"),
+    ("edge 10.0.0.1", "192.169.0.1"),
+    ("127.0.0.1 leads", "9.255.255.255"),
+    ("v4 inside x127.0.0.1 glued", "10.0.0.0"),
+    ("two 1.2.3.4  5.6.7.8 spaced", "garbage"),
+    ("none here", "172.16.5.5"),
+]
+
+
+@query("q_kql_has_ipv4", """
+WITH u(line, ip) AS (VALUES {values}),
+c AS (SELECT line, ip,
+             list_filter(
+               regexp_extract_all(' ' || line || ' ',
+                 '[^0-9A-Za-z.]((?:[0-9]{1,3}\\.){3}[0-9]{1,3})[^0-9A-Za-z.]',
+                 1),
+               __c -> len(list_filter(string_split(__c, '.'),
+                 __x -> TRY_CAST(__x AS INT) IS NULL
+                     OR TRY_CAST(__x AS INT) NOT BETWEEN 0 AND 255))
+                 = 0) AS oks,
+             string_split(ip, '.') AS p4
+      FROM u),
+v AS (SELECT line, ip, oks,
+             (len(p4) = 4 AND NOT EXISTS (
+                SELECT 1 FROM unnest(p4) AS t(x)
+                WHERE TRY_CAST(x AS INT) IS NULL
+                   OR TRY_CAST(x AS INT) NOT BETWEEN 0 AND 255)) AS qok,
+             ((COALESCE(TRY_CAST(p4[1] AS BIGINT), 0) * 256
+               + COALESCE(TRY_CAST(p4[2] AS BIGINT), 0)) * 256
+               + COALESCE(TRY_CAST(p4[3] AS BIGINT), 0)) * 256
+               + COALESCE(TRY_CAST(p4[4] AS BIGINT), 0) AS num
+      FROM c)
+SELECT line, ip,
+       CAST(len(oks) > 0 AS VARCHAR) AS h,
+       CAST(len(list_filter(oks, __c ->
+         __c IN ('127.0.0.1', '5.6.7.8'))) > 0 AS VARCHAR) AS a,
+       CAST(len(list_filter(oks, __c ->
+         starts_with(__c, '127.0.'))) > 0 AS VARCHAR) AS p,
+       CASE WHEN qok THEN CAST(
+         (num // 16777216 = 10) OR (num // 65536 = 49320)
+         AS VARCHAR) END AS r
+FROM v
+""".replace("{values}", ", ".join(
+    f"('{l}', '{i}')" for l, i in _HAS_IPV4_ROWS)))
+def q_kql_has_ipv4(spark, sf_dir):
+    """Embedded-IP text scanning (has_ipv4 / has_any_ipv4 /
+    has_ipv4_prefix) plus multi-range membership
+    (ipv4_is_in_any_range) over curated log lines: candidates must be
+    properly delimited (x127.0.0.1 and 1.2.3.4.5 both reject) AND
+    octet-valid (999.1.1.1 rejects) — one regexp pass + array
+    predicates, all whole-stage codegen. The Spark scanner uses Java
+    lookarounds; RE2 has none, so the DuckDB twin scans a
+    space-padded line with consumed delimiters — equivalent on this
+    fixture by design (IPs separated by two-plus delimiters), with the
+    general adjacency case pinned in pytest. The range check
+    re-derives the numeric address independently (10/8 via // 2^24,
+    192.168/16 via // 2^16 = 49320)."""
+    from azure_kusto_parquet_conv_spark.kql import kql
+    cells = ", ".join(f"'{l}', '{i}'" for l, i in _HAS_IPV4_ROWS)
+    return kql(spark, sf_dir, f"""
+      datatable (line:string, ip:string) [{cells}]
+        | project line, ip,
+                  h = tostring(has_ipv4(line)),
+                  a = tostring(has_any_ipv4(line, '127.0.0.1',
+                                            '5.6.7.8')),
+                  p = tostring(has_ipv4_prefix(line, '127.0.')),
+                  r = tostring(ipv4_is_in_any_range(ip, '10.0.0.0/8',
+                                                    '192.168.0.0/16'))
+    """)
+
+
 _PARSE_KV_LINES = [
     "level=info code=200 msg=\"user login ok\" code=999",
     "level=error code=503 msg=\"upstream timeout\" retry=3",

@@ -4426,6 +4426,24 @@ def test_ipv6_scalars_golden(spark, sf_dir):
     assert (r["f"], r["g"], r["h"]) == ("true", "true", "false")
 
 
+def test_has_ipv4_adjacency_and_delimiters(spark, sf_dir):
+    """The general scanning cases the RE2-shaped oracle fixture can't
+    express: two IPs separated by a SINGLE delimiter (lookarounds
+    don't consume it, both must be found), an IP at both string edges,
+    and prefix matching that must not cross an octet boundary
+    (has_ipv4_prefix('…12.3.…', '12.30') is false)."""
+    r = kql(spark, sf_dir, """
+      print a = tostring(has_any_ipv4('1.2.3.4 5.6.7.8', '5.6.7.8')),
+            b = tostring(has_any_ipv4('1.2.3.4 5.6.7.8', '1.2.3.4')),
+            c = tostring(has_ipv4('9.9.9.9')),
+            d = tostring(has_ipv4_prefix('call 12.30.4.5 now', '12.3')),
+            e = tostring(has_ipv4_prefix('call 12.3.4.5 now', '12.30')),
+            f = tostring(has_ipv4('ip:256.1.1.1'))
+    """).collect()[0]
+    assert (r["a"], r["b"], r["c"]) == ("true", "true", "true")
+    assert (r["d"], r["e"], r["f"]) == ("true", "false", "false")
+
+
 def test_geohash_golden_prefix_and_roundtrip(spark, sf_dir):
     """Geohash pins: the textbook ezs42 golden, the default accuracy
     (5), the prefix-nesting property (a coarser hash is a prefix of a
