@@ -1413,7 +1413,7 @@ class _ExprParser:
                      "format_ipv4_mask", "ipv4_netmask_suffix"):
             return self._ipv4_fn(fname, args)
         if fname in ("has_ipv4", "has_any_ipv4", "has_ipv4_prefix",
-                     "ipv4_is_in_any_range"):
+                     "has_any_ipv4_prefix", "ipv4_is_in_any_range"):
             return self._ipv4_scan_fn(fname, args)
         if fname in ("datetime_add", "datetime_diff"):
             return self._datetime_math(fname, args)
@@ -2474,6 +2474,14 @@ class _ExprParser:
                 raise ValueError("KQL: has_ipv4_prefix(source, prefix)")
             return (f"exists({cands}, __is_c -> {quad_ok} "
                     f"AND startswith(__is_c, {args[1]}))")
+        if fname == "has_any_ipv4_prefix":
+            if len(args) < 2:
+                raise ValueError(
+                    "KQL: has_any_ipv4_prefix(source, prefix...)")
+            pref = " OR ".join(f"startswith(__is_c, {p})"
+                               for p in args[1:])
+            return (f"exists({cands}, __is_c -> {quad_ok} "
+                    f"AND ({pref}))")
         # has_any_ipv4(source, ip1 [, ip2, ...])
         if len(args) < 2:
             raise ValueError("KQL: has_any_ipv4(source, ip...)")

@@ -4438,10 +4438,15 @@ def test_has_ipv4_adjacency_and_delimiters(spark, sf_dir):
             c = tostring(has_ipv4('9.9.9.9')),
             d = tostring(has_ipv4_prefix('call 12.30.4.5 now', '12.3')),
             e = tostring(has_ipv4_prefix('call 12.3.4.5 now', '12.30')),
-            f = tostring(has_ipv4('ip:256.1.1.1'))
+            f = tostring(has_ipv4('ip:256.1.1.1')),
+            g = tostring(has_any_ipv4_prefix('from 12.3.4.5 x',
+                                             '99.', '12.3.')),
+            h = tostring(has_any_ipv4_prefix('from 12.3.4.5 x',
+                                             '99.', '13.'))
     """).collect()[0]
     assert (r["a"], r["b"], r["c"]) == ("true", "true", "true")
     assert (r["d"], r["e"], r["f"]) == ("true", "false", "false")
+    assert (r["g"], r["h"]) == ("true", "false")
 
 
 def test_geohash_golden_prefix_and_roundtrip(spark, sf_dir):
