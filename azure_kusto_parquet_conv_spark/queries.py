@@ -9092,7 +9092,11 @@ DRIVER_WINDOW = [
     # replay; they rejoin in r11 — q14_promo_revenue displaced by the
     # frames certificate, q10_returned_items by the q9 red-row
     # re-attestation; the full r4 vintage (26) plus the deferred
-    # q_collapse_repeats are first in line for r11):
+    # never-checked set (q_collapse_repeats and the 6 post-freeze r10
+    # entries: q_chunk_documents, q_chunk_pack, q_kql_ipv6,
+    # q_kql_geohash, q_geo_bucket_join, q_kql_has_ipv4 — all
+    # oracle-replayed green at sf0.001 AND sf0.01 this round) are
+    # first in line for r11):
     # new-in-r10 entries (hygiene rule: staged the round they land;
     # they displaced the r4 back-fills q_dedup_exact, q_dedup_jaccard,
     # q_window_lag_lead, q_sessionize — first in line for r11):

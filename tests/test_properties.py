@@ -112,3 +112,36 @@ def test_kql_parser_structured_noise_fails_cleanly(s):
         _parse_expr(_tokenize(s))
     except ValueError:
         pass
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.data())
+def test_chunk_documents_property(spark, data):
+    """chunk_documents equals the closed-form Python reference for any
+    (token count, max_tokens, overlap) — chunk grid, window contents,
+    and per-chunk token counts (every token kept, >=1 chunk, stride
+    arithmetic at every boundary)."""
+    from pyspark.sql import functions as F
+
+    from azure_kusto_parquet_conv_spark.operators import layout as L
+
+    mx = data.draw(st.integers(min_value=2, max_value=16))
+    ov = data.draw(st.integers(min_value=0, max_value=mx - 1))
+    ns = data.draw(st.lists(st.integers(min_value=1, max_value=60),
+                            min_size=1, max_size=6))
+    stride = mx - ov
+    rows = [(i, " ".join(f"t{j}" for j in range(n)))
+            for i, n in enumerate(ns)]
+    df = spark.createDataFrame(rows, "doc_id long, t string")
+    out = L.chunk_documents(df, F.split("t", " "),
+                            max_tokens=mx, overlap=ov).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["doc_id"], []).append(
+            (r["chunk_id"], r["chunk_text"], r["n_chunk_tokens"]))
+    for i, n in enumerate(ns):
+        toks = [f"t{j}" for j in range(n)]
+        k = max(1, -((n - ov) // -stride))
+        want = [(c, " ".join(toks[c * stride:c * stride + mx]),
+                 min(mx, n - c * stride)) for c in range(k)]
+        assert sorted(got[i]) == want, (i, n, mx, ov)
