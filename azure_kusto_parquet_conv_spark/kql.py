@@ -707,7 +707,8 @@ class _ExprParser:
             return f"{udf}({args[0]})"
         if fname in ("parse_ipv6", "parse_ipv6_mask", "ipv6_compare",
                      "ipv6_is_match", "ipv6_is_in_range",
-                     "ipv6_is_in_any_range"):
+                     "ipv6_is_in_any_range", "has_ipv6",
+                     "has_any_ipv6"):
             return self._ipv6_fn(fname, args)
         if fname in ("gamma", "loggamma", "erf", "erfc"):
             # Kusto special functions; libm kernels (see
@@ -2517,6 +2518,21 @@ class _ExprParser:
             cmp = (f"__kql_ipv6_cmp({args[0]}, {args[1]}, "
                    f"CAST({p} AS BIGINT))")
             return cmp if fname == "ipv6_compare" else f"({cmp} = 0)"
+        if fname == "has_ipv6":
+            if len(args) != 1:
+                raise ValueError("KQL: has_ipv6(source)")
+            return (f"__kql_ipv6_scan({args[0]}, "
+                    f"CAST(NULL AS STRING))")
+        if fname == "has_any_ipv6":
+            # wanted list canonicalized at runtime so any accepted
+            # notation of the same address matches (concat_ws drops
+            # unparseable entries)
+            if len(args) < 2:
+                raise ValueError("KQL: has_any_ipv6(source, ip...)")
+            wanted = ", ".join(f"__kql_ipv6_parse({a})"
+                               for a in args[1:])
+            return (f"__kql_ipv6_scan({args[0]}, "
+                    f"concat_ws(',', {wanted}))")
         # ipv6_is_in_range(ip, range) / ipv6_is_in_any_range(ip, r...)
         if len(args) < 2:
             raise ValueError(f"KQL: {fname}(ip, range...)")
@@ -3923,6 +3939,47 @@ def _register_ipv6_udfs(spark: SparkSession) -> None:
             out.append(0 if ma == mb else (-1 if ma < mb else 1))
         return pd.Series(out, dtype="Int64")
 
+    import re as _re
+    # candidate runs of hex/colon/dot with at least one ':' — validated
+    # by the real parser, so the pattern only needs to over-approximate;
+    # delimiters are non-candidate characters by construction
+    _cand = _re.compile(r"[0-9A-Fa-f:.]*:[0-9A-Fa-f:.]*")
+
+    def ipv6_scan(col, wanted_col):
+        """has_ipv6 (wanted is None) / has_any_ipv6 (wanted is a
+        comma-joined canonical list): any properly-delimited valid
+        IPv6 literal in the text (dotted-quad IPv4 text does NOT
+        count — Kusto's has_ipv6 matches IPv6 notation only)."""
+        out = []
+        for s, w in zip(col, wanted_col):
+            if s is None:
+                out.append(None)
+                continue
+            want = None
+            if w is not None:
+                want = set(w.split(","))
+            hit = False
+            for m in _cand.finditer(s):
+                # proper delimiting: the maximal hex/colon/dot run must
+                # not touch an alphanumeric (xfe80::1 and ::zz:: reject;
+                # '%' and punctuation are delimiters)
+                if m.start() > 0 and s[m.start() - 1].isalnum():
+                    continue
+                if m.end() < len(s) and s[m.end()].isalnum():
+                    continue
+                c = m.group(0).strip(".")  # sentence-final dots
+                if "%" in c or ":" not in c:
+                    continue
+                try:
+                    v = int(ipaddress.IPv6Address(c))
+                except ValueError:
+                    continue
+                if want is None or canon(v) in want:
+                    hit = True
+                    break
+            out.append(hit)
+        return pd.Series(out, dtype=object)
+
     def ipv6_in_range(icol, rcol):
         out = []
         for si, sr in zip(icol, rcol):
@@ -3940,6 +3997,8 @@ def _register_ipv6_udfs(spark: SparkSession) -> None:
     spark.udf.register("__kql_ipv6_cmp", pandas_udf(ipv6_cmp, "long"))
     spark.udf.register("__kql_ipv6_in_range",
                        pandas_udf(ipv6_in_range, "boolean"))
+    spark.udf.register("__kql_ipv6_scan",
+                       pandas_udf(ipv6_scan, "boolean"))
     spark._kql_ipv6_registered = True
 
 

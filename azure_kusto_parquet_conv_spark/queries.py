@@ -6922,6 +6922,86 @@ def q_kql_has_ipv4(spark, sf_dir):
     """)
 
 
+_HAS_IPV6_LINES = [
+    "peer fe80::1 timeout",
+    "compressed 2001:db8:0:0:0:0:0:1 path",      # canon == 2001:db8::1
+    "full 2001:0db8:0000:0000:0000:0000:0000:ffff end",
+    "v4 only 1.2.3.4 here",                      # v4 text is NOT ipv6
+    "junk ::zz:: text",                          # alnum-glued colons
+    "sentence ends with ::1.",                   # sentence-final dot
+    "none here",
+    "UPPER FE80::A b",                           # case-folds to canon
+    "multi 2001:db8::1 and fe80::2 both",
+    ":::: colons",                               # double '::' invalid
+]
+
+
+@query("q_kql_has_ipv6", """
+WITH u(line) AS (VALUES {values}),
+e AS (SELECT line,
+             rtrim(ltrim(regexp_extract(' ' || line || ' ',
+               '[^0-9A-Za-z]([0-9a-fA-F:.]*:[0-9a-fA-F:.]*)[^0-9A-Za-z]',
+               1), '.'), '.') AS addr
+      FROM u),
+h2 AS (SELECT line, addr,
+              string_split(addr, '::') AS hsplit,
+              string_split(addr, ':') AS fullg
+       FROM e),
+h3 AS (SELECT line, addr, hsplit, fullg,
+              CASE WHEN len(hsplit) = 2 AND hsplit[1] <> ''
+                   THEN string_split(hsplit[1], ':')
+                   WHEN len(hsplit) = 2 THEN []::VARCHAR[] END AS lft,
+              CASE WHEN len(hsplit) = 2 AND hsplit[2] <> ''
+                   THEN string_split(hsplit[2], ':')
+                   WHEN len(hsplit) = 2 THEN []::VARCHAR[] END AS rgt
+       FROM h2),
+h4 AS (SELECT line,
+              CASE WHEN len(hsplit) = 1 THEN fullg
+                   WHEN len(hsplit) = 2 AND len(lft) + len(rgt) <= 7
+                   THEN list_concat(lft, list_concat(
+                          list_transform(
+                            range(8 - len(lft) - len(rgt)), __z -> '0'),
+                          rgt))
+              END AS gs
+       FROM h3),
+h5 AS (SELECT line,
+              (gs IS NOT NULL AND len(gs) = 8
+               AND len(list_filter(gs, __g -> NOT regexp_matches(__g,
+                     '^[0-9a-fA-F]{1,4}$'))) = 0) AS ok6,
+              array_to_string(list_transform(gs, __g ->
+                printf('%04x', COALESCE(TRY_CAST('0x' || __g AS BIGINT),
+                                        0))), ':') AS canon
+       FROM h4)
+SELECT line, CAST(ok6 AS VARCHAR) AS h,
+       CAST(ok6 AND canon IN (
+         '2001:0db8:0000:0000:0000:0000:0000:0001',
+         'fe80:0000:0000:0000:0000:0000:0000:0001') AS VARCHAR) AS a
+FROM h5
+""".replace("{values}", ", ".join(
+    f"('{l}')" for l in _HAS_IPV6_LINES)))
+def q_kql_has_ipv6(spark, sf_dir):
+    """Embedded-IPv6 text scanning (has_ipv6 / has_any_ipv6) over
+    curated log lines: maximal hex/colon/dot candidate runs, rejected
+    when glued to an alphanumeric, sentence-final dots stripped,
+    validated by the real parser; has_any_ipv6 canonicalizes the
+    wanted list at runtime so ANY accepted notation of the same
+    address matches (the compressed fixture line equals the wanted
+    2001:db8::1). The DuckDB twin re-runs candidate extraction with a
+    padded consumed-delimiter RE2 pattern (fixture keeps one decisive
+    candidate per line — the lookaround-only adjacency cases live in
+    pytest) and validates with the same independent pure-SQL chain as
+    q_kql_ipv6, comparing canonical fixed-width forms against
+    hand-derived constants."""
+    from azure_kusto_parquet_conv_spark.kql import kql
+    cells = ", ".join(f"'{l}'" for l in _HAS_IPV6_LINES)
+    return kql(spark, sf_dir, f"""
+      datatable (line:string) [{cells}]
+        | project line, h = tostring(has_ipv6(line)),
+                  a = tostring(has_any_ipv6(line, '2001:db8::1',
+                                            'fe80::1'))
+    """)
+
+
 _PARSE_KV_LINES = [
     "level=info code=200 msg=\"user login ok\" code=999",
     "level=error code=503 msg=\"upstream timeout\" retry=3",

@@ -4449,6 +4449,25 @@ def test_has_ipv4_adjacency_and_delimiters(spark, sf_dir):
     assert (r["g"], r["h"]) == ("true", "false")
 
 
+def test_has_ipv6_scanning_edges(spark, sf_dir):
+    """has_ipv6 edges beyond the oracle fixture: alnum-glued candidate
+    rejection (xfe80::1), an embedded dotted-quad IPv6 form, a
+    bracketed host:port (the address inside survives — brackets
+    delimit), a zone-suffixed address (the '%' delimits, the address
+    part matches), and has_any_ipv6 matching an alternate notation of
+    the same address."""
+    r = kql(spark, sf_dir, """
+      print a = tostring(has_ipv6('glued xfe80::1 no')),
+            b = tostring(has_ipv6('x ::ffff:1.2.3.4 y')),
+            c = tostring(has_ipv6('[2001:db8::ffff]:8080 ok')),
+            d = tostring(has_ipv6('scoped fe80::1%eth0 ok')),
+            e = tostring(has_any_ipv6('x 2001:DB8:0:0:0:0:0:1 y',
+                                      '2001:db8::1'))
+    """).collect()[0]
+    assert r["a"] == "false"
+    assert (r["b"], r["c"], r["d"], r["e"]) == ("true",) * 4
+
+
 def test_geohash_golden_prefix_and_roundtrip(spark, sf_dir):
     """Geohash pins: the textbook ezs42 golden, the default accuracy
     (5), the prefix-nesting property (a coarser hash is a prefix of a
