@@ -513,3 +513,75 @@ def embedding_near_dup(df: DataFrame, vec_col: str = "embedding",
     sim = V.cosine("va", "vb")
     return (withv.select("id_a", "id_b", F.round(sim, 4).alias("cosine"))
                  .where(F.col("cosine") >= threshold))
+
+
+def cut_dup_spans(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", span_len: int = 20,
+                  stride: int = 10) -> DataFrame:
+    """Span-level dedup CUT step (the transform companion to the
+    q_dup_spans detection, per the exact-substring-deduplication
+    literature): every ``span_len``-token window at ``stride`` over the
+    normalized token stream is grouped corpus-wide; for each window
+    text occurring more than once, every occurrence EXCEPT the first
+    (minimum (doc, position) order — a total order, so the choice is
+    deterministic under any partitioning) is cut, and each document's
+    remaining tokens are reassembled. Returns one row per input doc:
+    id, n_tokens, n_cut, cleaned_head (first ten surviving tokens).
+
+    Scale shape: one explode at stride granularity (~tokens/stride
+    rows), ONE hash-shuffle window on the span text for the
+    occurrence ranking (at 100 TB swap the span text for xxhash64 with
+    a sampled verify — identical plan shape), one bounded per-doc
+    collect of cut offsets (at most tokens/stride entries), and one
+    AQE-decided join back to the corpus; token surgery is per-row
+    array math. No driver-side anything.
+    """
+    from pyspark.sql import Window
+
+    staged = df.select(F.col(id_col), X.tokens(text_col).alias("__cd_toks"))
+    n = F.size("__cd_toks")
+    k = F.floor((n - span_len) / stride).cast("int")
+    spans = (staged
+             .where(n >= span_len)
+             .withColumn("__cd_k", k)
+             .select(
+                 F.col(id_col),
+                 F.explode(F.expr(
+                     f"transform(sequence(0, __cd_k), __cd_i -> "
+                     f"named_struct('start', __cd_i * {stride}, "
+                     f"'span', array_join(slice(__cd_toks, "
+                     f"__cd_i * {stride} + 1, {span_len}), ' ')))"))
+                 .alias("__cd_s"))
+             .select(F.col(id_col),
+                     F.col("__cd_s.start").alias("start"),
+                     F.col("__cd_s.span").alias("span")))
+    key = (F.col(id_col).cast("long") * 1000000
+           + F.col("start")).alias("__cd_key")
+    occ = spans.select(F.col(id_col), "start", "span", key)
+    w = Window.partitionBy("span")
+    ranked = occ.select(
+        F.col(id_col), F.col("start"),
+        F.count("*").over(w).alias("__cd_n"),
+        F.col("__cd_key"),
+        F.min("__cd_key").over(w).alias("__cd_first"))
+    cuts = (ranked
+            .where((F.col("__cd_n") > 1)
+                   & (F.col("__cd_key") > F.col("__cd_first")))
+            .groupBy(id_col)
+            .agg(F.collect_list("start").alias("__cd_cuts")))
+    joined = (staged.join(cuts, id_col, "left")
+              .select(F.col(id_col), F.col("__cd_toks"),
+                      F.coalesce(F.col("__cd_cuts"),
+                                 F.array().cast("array<int>"))
+                       .alias("__cd_cuts")))
+    cleaned = F.filter(
+        "__cd_toks",
+        lambda t, i: ~F.exists(
+            "__cd_cuts",
+            lambda s: (i >= s) & (i < s + F.lit(span_len))))
+    return joined.select(
+        F.col(id_col),
+        F.size("__cd_toks").cast("long").alias("n_tokens"),
+        (F.size("__cd_toks") - F.size(cleaned)).cast("long")
+         .alias("n_cut"),
+        F.concat_ws(" ", F.slice(cleaned, 1, 10)).alias("cleaned_head"))

@@ -1782,6 +1782,65 @@ def q_chunk_pack(spark, sf_dir):
                             budget=256, by=["lang"])
 
 
+@query("q_cut_dup_spans", f"""
+WITH docs AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+  UNION ALL
+  SELECT CAST(doc_id + 3000000 AS BIGINT), text FROM documents
+  WHERE doc_id % 17 = 0
+),
+t AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM docs),
+s AS (SELECT doc_id, i * 10 AS start,
+             array_to_string(list_slice(toks, i * 10 + 1,
+                                        i * 10 + 20), ' ') AS span
+      FROM t, LATERAL (SELECT unnest(generate_series(
+                 0, CAST(floor((len(toks) - 20) / 10.0) AS BIGINT)))
+                 AS i) g
+      WHERE len(toks) >= 20),
+r AS (SELECT doc_id, start,
+             COUNT(*) OVER (PARTITION BY span) AS n_occ,
+             doc_id * 1000000 + start AS key,
+             MIN(doc_id * 1000000 + start)
+               OVER (PARTITION BY span) AS first
+      FROM s),
+c AS (SELECT doc_id, list(start) AS cuts FROM r
+      WHERE n_occ > 1 AND key > first GROUP BY doc_id),
+f AS (SELECT t.doc_id, toks,
+             COALESCE(c.cuts, []::BIGINT[]) AS cuts
+      FROM t LEFT JOIN c ON t.doc_id = c.doc_id),
+z AS (SELECT doc_id, toks,
+             list_filter(toks, (__x, __i) ->
+               len(list_filter(cuts, __s ->
+                 (__i - 1) >= __s AND (__i - 1) < __s + 20)) = 0)
+               AS cleaned
+      FROM f)
+SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(toks) - len(cleaned) AS BIGINT) AS n_cut,
+       COALESCE(array_to_string(list_slice(cleaned, 1, 10), ' '), '')
+         AS cleaned_head
+FROM z
+""")
+def q_cut_dup_spans(spark, sf_dir):
+    """Span-level dedup CUT transform (D.cut_dup_spans) with planted
+    proof: every 17th document is cloned at doc_id + 3e6, so all of a
+    clone's 20-token windows duplicate its source's and must be cut
+    (first-occurrence = minimum (doc, position) key — a total order,
+    deterministic under any partitioning); genuine in-corpus duplicate
+    spans ride along and are cut identically on both sides. One
+    explode at stride granularity, ONE window shuffle on the span
+    text, a bounded per-doc cut-offset collect, an AQE-decided join
+    back, then per-row token surgery. The DuckDB twin replays the
+    whole pipeline independently (window functions + indexed
+    list_filter); the hash covers surviving-token counts AND the first
+    ten surviving tokens, so off-by-one window arithmetic can't
+    hide."""
+    d = (load_table(spark, sf_dir, "documents")
+         .select(F.col("doc_id").cast("long").alias("doc_id"), "text"))
+    clones = d.where(F.col("doc_id") % 17 == 0).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"), "text")
+    return D.cut_dup_spans(d.unionByName(clones))
+
+
 @query("q_dedup_keep_best", """
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(doc_id AS BIGINT) AS cluster_id

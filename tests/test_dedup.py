@@ -227,3 +227,27 @@ def test_canonical_keep_quality_then_min_id(spark, sf_dir):
     # no-quality mode: smallest id wins
     out2 = D.canonical_keep(docs, clusters)
     assert sorted(r["doc_id"] for r in out2.collect()) == [1, 10, 20]
+
+
+def test_cut_dup_spans_hand_rows(spark):
+    """Hand-sized cut semantics (span_len 4, stride 2): doc 2 repeats
+    doc 1's 8-token text, so all of doc 2's windows duplicate doc 1's
+    and every covered token of doc 2 is cut; doc 1 (the minimum-key
+    first occurrences) keeps everything; a short doc (< span_len) is
+    untouched; in-doc self-repetition cuts the second occurrence."""
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h"),
+         (2, "a b c d e f g h"),
+         (3, "tiny doc"),
+         # windows at 0/2/4/6: "p q r s","r s p q","p q r s",... ->
+         # window 4 repeats window 0, so tokens 4..7 are cut
+         (4, "p q r s p q r s p q")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_tokens"], r["n_cut"], r["cleaned_head"])
+           for r in D.cut_dup_spans(docs, span_len=4,
+                                    stride=2).collect()}
+    assert got[1] == (8, 0, "a b c d e f g h")
+    assert got[2] == (8, 8, "")
+    assert got[3] == (2, 0, "tiny doc")
+    # doc 4: cut windows start at 4 and 6 -> tokens 4..9 cut
+    assert got[4] == (10, 6, "p q r s")
