@@ -130,8 +130,12 @@ HEADLINE = [
     "q_repetition_signals",
     "q_dedup_clusters_exact",
     # post-r10-freeze: the zero-shuffle overlapping chunker (explode
-    # cost shape — output rows ~ corpus_tokens / stride).
+    # cost shape — output rows ~ corpus_tokens / stride), the span-cut
+    # transform (span-window shuffle + per-doc surgery), and the
+    # geohash-bucketed spatial grouping (cell-key aggregation).
     "q_chunk_documents",
+    "q_cut_dup_spans",
+    "q_geo_bucket_join",
 ]
 
 
