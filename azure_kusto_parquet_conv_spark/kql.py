@@ -268,6 +268,15 @@ def _timespan_to_us(text: str) -> int:
 #: `set percentile_mode = ...;`, saved/restored by compile().
 _PERCENTILE_MODE = "exact"
 
+#: bin_auto() bin size / anchor for the CURRENT query, as raw KQL
+#: literal text (re-tokenized at the use site so timespan/datetime
+#: literals keep their schema-aware bin handling). Set per-query by
+#: `set query_bin_auto_size = ...;` / `set query_bin_auto_minimum =
+#: ...;` (the real Kusto request properties); saved/restored by
+#: compile().
+_BIN_AUTO_SIZE: str | None = None
+_BIN_AUTO_MIN: str | None = None
+
 _FN_RENAME = {
     "strlen": "length",
     "tolower": "lower",
@@ -3417,7 +3426,8 @@ def _compile_expr_tokens(toks: list[Tok], df: DataFrame,
                            f"OVER ({over})"))
             i = j + 1
             continue
-        if (t.kind == "ident" and t.text.lower() in ("bin", "bin_at")
+        if (t.kind == "ident"
+                and t.text.lower() in ("bin", "bin_at", "bin_auto")
                 and i + 1 < len(toks) and toks[i + 1].text == "("):
             fn = t.text.lower()
             # find matching close paren
@@ -3432,6 +3442,34 @@ def _compile_expr_tokens(toks: list[Tok], df: DataFrame,
                 j += 1
             inner = toks[i + 2:j]
             groups = _split_top_commas(inner)
+            if fn == "bin_auto":
+                # bin_auto(x) == bin_at(x, query_bin_auto_size,
+                # query_bin_auto_minimum) with the size/anchor taken
+                # from the request properties (real Kusto semantics);
+                # the stored literal text re-tokenizes here so timespan
+                # sizes keep the schema-aware datetime handling
+                if len(groups) != 1:
+                    raise ValueError("KQL: bin_auto(expr)")
+                if _BIN_AUTO_SIZE is None:
+                    raise ValueError(
+                        "KQL: bin_auto() needs "
+                        "`set query_bin_auto_size = ...;`")
+                size_toks = _tokenize(_BIN_AUTO_SIZE)
+                if len(size_toks) != 1:
+                    raise ValueError(
+                        "KQL: query_bin_auto_size must be a single "
+                        f"literal, got {_BIN_AUTO_SIZE!r}")
+                if _BIN_AUTO_MIN is None:
+                    if size_toks[0].kind == "timespan":
+                        raise ValueError(
+                            "KQL: a timespan query_bin_auto_size needs "
+                            "`set query_bin_auto_minimum = "
+                            "datetime(...);`")
+                    min_toks = _tokenize("0")
+                else:
+                    min_toks = _tokenize(_BIN_AUTO_MIN)
+                fn = "bin_at"
+                groups = [groups[0], [size_toks[0]], min_toks]
             if fn == "bin":
                 if len(groups) != 2 or len(groups[1]) != 1:
                     raise ValueError("KQL: bin(expr, literal_size)")
@@ -4102,12 +4140,12 @@ class KqlCompiler:
         the default because only it can be hash-checked against a SQL
         oracle; the save/restore keeps toscalar sub-compiles from
         leaking the option across queries."""
-        global _PERCENTILE_MODE
-        prev = _PERCENTILE_MODE
+        global _PERCENTILE_MODE, _BIN_AUTO_SIZE, _BIN_AUTO_MIN
+        prev = (_PERCENTILE_MODE, _BIN_AUTO_SIZE, _BIN_AUTO_MIN)
         try:
             return self._compile_stmts(query)
         finally:
-            _PERCENTILE_MODE = prev
+            _PERCENTILE_MODE, _BIN_AUTO_SIZE, _BIN_AUTO_MIN = prev
 
     def _compile_stmts(self, query: str) -> DataFrame:
         stmts = _split_top_semis(query)
@@ -4123,6 +4161,15 @@ class KqlCompiler:
                         f"KQL: percentile_mode must be exact|approx, "
                         f"got {mode!r}")
                 _PERCENTILE_MODE = mode
+                continue
+            ba = re.match(r"set\s+query_bin_auto_(size|minimum)\s*=\s*"
+                          r"(.+?)\s*$", s, re.DOTALL)
+            if ba:
+                global _BIN_AUTO_SIZE, _BIN_AUTO_MIN
+                if ba.group(1) == "size":
+                    _BIN_AUTO_SIZE = ba.group(2)
+                else:
+                    _BIN_AUTO_MIN = ba.group(2)
                 continue
             if re.match(r"set\s+\w+", s):
                 # Kusto client request properties (`set notruncation;`,

@@ -3340,6 +3340,34 @@ def q_kql_bin_events(spark, sf_dir):
     """)
 
 
+@query("q_kql_bin_auto", """
+WITH e AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events)
+SELECT us - mod(mod(us - 1704078000000000, 21600000000)
+                + 21600000000, 21600000000) AS win_us,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM e GROUP BY win_us
+""")
+def q_kql_bin_auto(spark, sf_dir):
+    """bin_auto() driven by the real Kusto request properties
+    (`set query_bin_auto_size` / `query_bin_auto_minimum`): 6-hour
+    bins anchored at 2024-01-01T03:00Z — the anchor is NOT
+    epoch-aligned, so an un-anchored bin() would land every boundary
+    3 hours off, and events before the anchor must floor into
+    negative-offset bins (the pmod, not mod, behavior). The oracle
+    re-derives the anchored floor with double-mod arithmetic
+    (DuckDB's mod is sign-preserving; mod(mod(x, s) + s, s) == pmod)
+    over epoch microseconds; 1704078000000000 is the anchor
+    datetime(2024-01-01 03:00:00) in epoch µs."""
+    from azure_kusto_parquet_conv_spark.kql import kql
+    return kql(spark, sf_dir, """
+      set query_bin_auto_size = 6h;
+      set query_bin_auto_minimum = datetime(2024-01-01 03:00:00);
+      events
+        | summarize n = count() by win = bin_auto(ts)
+        | project win_us = unix_micros(win), n
+    """)
+
+
 @query(_portable("q_kql_text_stats"), f"""
 SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(CASE WHEN length(text) > 200 THEN 1 ELSE 0 END)

@@ -4449,6 +4449,39 @@ def test_has_ipv4_adjacency_and_delimiters(spark, sf_dir):
     assert (r["g"], r["h"]) == ("true", "false")
 
 
+def test_bin_auto_properties_and_errors(spark, sf_dir):
+    """bin_auto rides the real Kusto request properties: numeric size
+    with the default 0 anchor, a timespan size requiring an explicit
+    datetime anchor (and flooring below it), missing-property errors,
+    and per-compile isolation (the set does not leak into the next
+    query)."""
+    rows = kql(spark, sf_dir, """
+      set query_bin_auto_size = 25;
+      range i from 1 to 100 step 1
+        | summarize n = count() by b = bin_auto(i) | order by b asc
+    """).collect()
+    assert [(r["b"], r["n"]) for r in rows] == [
+        (0, 24), (25, 25), (50, 25), (75, 25), (100, 1)]
+    r = kql(spark, sf_dir, """
+      set query_bin_auto_size = 6h;
+      set query_bin_auto_minimum = datetime(2024-01-01 03:00:00);
+      datatable (d:datetime) [datetime(2024-01-01 01:30:00)]
+        | extend b = bin_auto(d)
+    """).collect()[0]
+    assert str(r["b"]) == "2023-12-31 21:00:00"   # floors BELOW anchor
+    import pytest as _pt
+    with _pt.raises(ValueError, match="query_bin_auto_size"):
+        kql(spark, sf_dir,
+            "range i from 1 to 1 step 1 | extend b = bin_auto(i)"
+            ).collect()
+    with _pt.raises(ValueError, match="query_bin_auto_minimum"):
+        kql(spark, sf_dir, """
+          set query_bin_auto_size = 1h;
+          datatable (d:datetime) [datetime(2024-01-01)]
+            | extend b = bin_auto(d)
+        """).collect()
+
+
 def test_has_ipv6_scanning_edges(spark, sf_dir):
     """has_ipv6 edges beyond the oracle fixture: alnum-glued candidate
     rejection (xfe80::1), an embedded dotted-quad IPv6 form, a
