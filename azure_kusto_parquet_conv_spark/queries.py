@@ -1841,6 +1841,52 @@ def q_cut_dup_spans(spark, sf_dir):
     return D.cut_dup_spans(d.unionByName(clones))
 
 
+_LINEITEM_COLS = [
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+    "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+    "l_returnflag", "l_linestatus", "l_shipdate",
+]
+
+
+@query("q_table_profile", "\nUNION ALL\n".join(
+    f"SELECT '{c}' AS column_name,\n"
+    f"       CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls,\n"
+    f"       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,\n"
+    f"       CAST(COUNT(*) AS BIGINT) AS n_rows\n"
+    f"FROM lineitem" for c in _LINEITEM_COLS))
+def q_table_profile(spark, sf_dir):
+    """Table profiling — the data-quality sweep a pipeline runs on
+    every delivery: per-column null count and EXACT distinct count
+    plus total rows, one row per column. Computed in a SINGLE
+    aggregate job (Spark plans multi-column distinct aggregates with
+    one Expand + two-stage HashAggregate — one pass over the data, not
+    one scan per column), then unpivoted to rows JVM-side; at 100 TB
+    swap countDistinct for approx_count_distinct per column and the
+    plan shape is identical without the Expand blow-up (the documented
+    scale knob; the exact form is what a hash oracle can check). The
+    DuckDB twin recomputes every column independently (a UNION ALL of
+    per-column aggregates — deliberately the naive shape, so the two
+    sides share no plan structure)."""
+    d = load_table(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _LINEITEM_COLS:
+        aggs.append((F.count("*") - F.count(c)).alias(f"__nn_{c}"))
+        aggs.append(F.countDistinct(c).alias(f"__nd_{c}"))
+    aggs.append(F.count("*").alias("__total"))
+    one = d.agg(*aggs)
+    stacked = ", ".join(
+        f"'{c}', named_struct('n_nulls', CAST(__nn_{c} AS BIGINT), "
+        f"'n_distinct', CAST(__nd_{c} AS BIGINT))"
+        for c in _LINEITEM_COLS)
+    return (one.select(
+        F.expr(f"explode(map({stacked}))").alias("column_name", "__s"),
+        F.col("__total"))
+        .select("column_name",
+                F.col("__s.n_nulls").alias("n_nulls"),
+                F.col("__s.n_distinct").alias("n_distinct"),
+                F.col("__total").cast("long").alias("n_rows")))
+
+
 @query("q_dedup_keep_best", """
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(doc_id AS BIGINT) AS cluster_id
