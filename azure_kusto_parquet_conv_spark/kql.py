@@ -319,7 +319,9 @@ _AGG_FNS = {"count", "countif", "sum", "avg", "min", "max", "dcount",
             "dcountif", "take_any", "stdev", "variance", "hll",
             "hll_merge", "percentiles_array", "binary_all_and", "binary_all_or",
             "binary_all_xor", "make_list_if", "make_set_if",
-            "make_bag", "make_bag_if", "percentilew"}
+            "make_bag", "make_bag_if", "percentilew",
+            "make_list_with_nulls", "count_distinctif",
+            "count_distinct"}
 
 _CMP = {"==": "=", "!=": "<>", "<": "<", "<=": "<=", ">": ">", ">=": ">="}
 
@@ -945,8 +947,26 @@ class _ExprParser:
             return f"hll_sketch_estimate({args[0]})"
         if fname == "make_list":
             return f"collect_list({args[0]})"
+        if fname == "make_list_with_nulls":
+            # collect_list drops nulls; the struct wrap keeps them
+            # (a non-null struct with a null field collects fine)
+            return (f"transform(collect_list(named_struct("
+                    f"'v', {args[0]})), __mlwn -> __mlwn.v)")
         if fname == "make_set":
             return f"collect_set({args[0]})"
+        if fname == "count_distinct":
+            # Kusto's EXACT distinct count (dcount is the HLL estimate)
+            if len(args) != 1:
+                raise ValueError("KQL: count_distinct(col)")
+            return f"count(DISTINCT {args[0]})"
+        if fname == "count_distinctif":
+            # exact distinct over rows passing the predicate (the
+            # exact sibling of dcountif, Kusto count_distinctif)
+            if len(args) != 2:
+                raise ValueError(
+                    "KQL: count_distinctif(col, predicate)")
+            return (f"count(DISTINCT CASE WHEN {args[1]} "
+                    f"THEN {args[0]} END)")
         if fname in ("prev", "next"):
             raise ValueError(
                 "KQL: prev()/next() need a preceding 'sort by' "

@@ -3414,6 +3414,31 @@ def q_kql_bin_auto(spark, sf_dir):
     """)
 
 
+@query("q_kql_count_distinct", """
+SELECT l_returnflag,
+       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+       CAST(COUNT(DISTINCT CASE WHEN l_quantity < 10
+                                THEN l_suppkey END) AS BIGINT)
+         AS n_small_supps
+FROM lineitem GROUP BY l_returnflag
+""")
+def q_kql_count_distinct(spark, sf_dir):
+    """Kusto's EXACT distinct aggregates (count_distinct /
+    count_distinctif — dcount/dcountif are the HLL estimates): exact
+    integer outputs, straight to a hash oracle. At 100 TB the exact
+    form is the expensive opt-in (per-group distinct expansion) and
+    dcount is the default — both live in the surface, mirroring
+    Kusto's own split."""
+    from azure_kusto_parquet_conv_spark.kql import kql
+    return kql(spark, sf_dir, """
+      lineitem
+        | summarize n_parts = count_distinct(l_partkey),
+                    n_small_supps = count_distinctif(l_suppkey,
+                                                     l_quantity < 10)
+            by l_returnflag
+    """)
+
+
 @query(_portable("q_kql_text_stats"), f"""
 SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(CASE WHEN length(text) > 200 THEN 1 ELSE 0 END)

@@ -4449,6 +4449,24 @@ def test_has_ipv4_adjacency_and_delimiters(spark, sf_dir):
     assert (r["g"], r["h"]) == ("true", "false")
 
 
+def test_make_list_with_nulls_and_count_distinct(spark, sf_dir):
+    """make_list_with_nulls keeps null elements (collect_list drops
+    them — the struct-wrap trick); count_distinct is the exact sibling
+    of the HLL dcount; count_distinctif filters rows first and never
+    counts the filtered-out null branch."""
+    rows = kql(spark, sf_dir, """
+      datatable (g:string, v:long)
+        ['a', 1, 'a', long(null), 'a', 2, 'b', 1, 'b', 1]
+      | summarize n = count_distinct(v),
+                  ni = count_distinctif(v, v < 2),
+                  lst = make_list_with_nulls(v) by g
+      | project g, n, ni, lst_s = tostring(lst)
+      | order by g asc
+    """).collect()
+    got = [(r["g"], r["n"], r["ni"], r["lst_s"]) for r in rows]
+    assert got == [("a", 2, 1, "[1, null, 2]"), ("b", 1, 1, "[1, 1]")]
+
+
 def test_bin_auto_properties_and_errors(spark, sf_dir):
     """bin_auto rides the real Kusto request properties: numeric size
     with the default 0 anchor, a timespan size requiring an explicit
