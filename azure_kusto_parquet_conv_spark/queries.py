@@ -7160,6 +7160,80 @@ def q_kql_has_ipv6(spark, sf_dir):
     """)
 
 
+_GEO_POLY_OUTER = [(0.0, 0.0), (4.0, 0.0), (4.0, 3.0), (2.0, 1.5),
+                   (0.0, 3.0), (0.0, 0.0)]   # concave notch at top
+_GEO_POLY_HOLE = [(1.0, 0.5), (2.0, 0.5), (2.0, 1.0), (1.0, 1.0),
+                  (1.0, 0.5)]
+_GEO_POLY_POINTS = [
+    (1.5, 0.75),   # inside the hole -> false
+    (3.0, 0.6),    # inside -> true
+    (2.0, 2.2),    # inside the concave notch -> false
+    (0.5, 2.0),    # left lobe -> true
+    (3.5, 2.0),    # right lobe -> true
+    (-1.0, 1.2),   # outside -> false
+    (1.5, 0.25),   # inside, below the hole -> true
+    (2.5, 1.2),    # inside, right of the hole -> true
+    (200.0, 0.6),  # invalid longitude -> null
+]
+
+
+def _gh_poly_edges(ring):
+    pts = list(ring)
+    if pts[0] == pts[-1]:
+        pts = pts[:-1]
+    out = []
+    for i in range(len(pts)):
+        (x1, y1), (x2, y2) = pts[i], pts[(i + 1) % len(pts)]
+        if y1 != y2:
+            out.append(f"{{'x1': {x1!r}::DOUBLE, 'y1': {y1!r}::DOUBLE,"
+                       f" 'x2': {x2!r}::DOUBLE, 'y2': {y2!r}::DOUBLE}}")
+    return "[" + ", ".join(out) + "]"
+
+
+def _gh_poly_inside(edges_sql):
+    return (f"(len(list_filter({edges_sql}, __e ->"
+            f" ((__e.y1 > lat) != (__e.y2 > lat)) AND lon <"
+            f" (__e.x2 - __e.x1) * (lat - __e.y1) / (__e.y2 - __e.y1)"
+            f" + __e.x1)) % 2 = 1)")
+
+
+@query("q_kql_geo_polygon", f"""
+WITH pts(lon, lat) AS (VALUES {{values}})
+SELECT lon, lat,
+       CASE WHEN lon BETWEEN -180 AND 180 AND lat BETWEEN -90 AND 90
+            THEN CAST(({_gh_poly_inside(_gh_poly_edges(_GEO_POLY_OUTER))}
+                       AND NOT
+                       {_gh_poly_inside(_gh_poly_edges(_GEO_POLY_HOLE))})
+                      AS VARCHAR)
+       END AS inside
+FROM pts
+""".replace("{values}", ", ".join(
+    f"({lo}::DOUBLE, {la}::DOUBLE)" for lo, la in _GEO_POLY_POINTS)))
+def q_kql_geo_polygon(spark, sf_dir):
+    """geo_point_in_polygon over a concave GeoJSON polygon with a hole
+    (notch lobes, hole interior, below/right of the hole, outside,
+    invalid longitude): the polygon is a dynamic LITERAL, so the
+    compiler constant-folds the even-odd ray cast into unrolled
+    codegen arithmetic (one CASE per non-horizontal edge — no UDF, no
+    runtime VARIANT: the right shape for a containment filter over a
+    100 TB point table). The DuckDB twin evaluates the same even-odd
+    rule through a structurally different formulation (edge-struct
+    list + list_filter parity); fixture latitudes avoid every vertex
+    latitude so vertex-ray degeneracy and boundary ambiguity can't
+    arise."""
+    from azure_kusto_parquet_conv_spark.kql import kql
+    cells = ", ".join(f"{lo}, {la}" for lo, la in _GEO_POLY_POINTS)
+    outer = [[x, y] for x, y in _GEO_POLY_OUTER]
+    hole = [[x, y] for x, y in _GEO_POLY_HOLE]
+    import json as _json
+    gj = _json.dumps({"type": "Polygon", "coordinates": [outer, hole]})
+    return kql(spark, sf_dir, f"""
+      datatable (lon:real, lat:real) [{cells}]
+        | extend inside = tostring(geo_point_in_polygon(lon, lat,
+            dynamic({gj})))
+    """)
+
+
 _PARSE_KV_LINES = [
     "level=info code=200 msg=\"user login ok\" code=999",
     "level=error code=503 msg=\"upstream timeout\" retry=3",

@@ -195,7 +195,8 @@ DEFERRED_NEVER_CHECKED = {
     "q_collapse_repeats", "q_chunk_documents", "q_chunk_pack",
     "q_kql_ipv6", "q_kql_geohash", "q_geo_bucket_join",
     "q_kql_has_ipv4", "q_kql_has_ipv6", "q_cut_dup_spans",
-    "q_kql_bin_auto", "q_table_profile", "q_kql_count_distinct"}
+    "q_kql_bin_auto", "q_table_profile", "q_kql_count_distinct",
+    "q_kql_geo_polygon"}
 
 
 def test_driver_window_covers_every_never_checked_entry():
