@@ -145,6 +145,18 @@ def test_chunk_documents_is_shuffle_free(spark, sf_dir):
     assert "Exchange" not in executed_plan(df)
 
 
+def test_chunk_pack_single_stratum_shuffle(spark, sf_dir):
+    """The chunk -> pack composition must shuffle exactly ONCE — the
+    per-language window partition. A second Exchange would mean the
+    packing regressed to a global sort (the shape the docstring rules
+    out for 100 TB); the Initial Plan section AQE appends to the plan
+    string is stripped before counting."""
+    df = QUERIES["q_chunk_pack"](spark, sf_dir)
+    plan = executed_plan(df).split("== Initial Plan ==")[0]
+    assert plan.count("Exchange") == 1, plan[:1500]
+    assert "hashpartitioning(lang" in plan
+
+
 def test_sort_limit_uses_take_ordered(spark, sf_dir):
     df = QUERIES["q_sort_limit"](spark, sf_dir)
     assert "TakeOrderedAndProject" in executed_plan(df)
