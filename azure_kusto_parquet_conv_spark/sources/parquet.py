@@ -265,3 +265,44 @@ def _conf_bytes(conf, key: str, default: int) -> int:
     if not m:
         return default
     return int(m.group(1)) * _SIZE_SUFFIX[m.group(2)]
+
+
+def read_parquet_resilient(spark: SparkSession, path: str,
+                           columns: list[str] | None = None) -> DataFrame:
+    """Corrupt/missing-shard-tolerant directory read — the operational
+    posture for a 100 TB ingest where a few of millions of files are
+    truncated uploads or were compacted away between listing and read:
+    per-relation ``ignoreCorruptFiles`` / ``ignoreMissingFiles`` options
+    (scoped to THIS read — the session-wide confs stay strict, so the
+    default pipelines still fail loudly on corruption). Each task skips
+    an unreadable file after logging it and the scan continues; use for
+    best-effort bulk reads, never for the correctness-gated paths.
+
+    The reference propagates any parquet error and exits (main.rs
+    error handling, exit 255 on unreadable input) — this is the
+    distributed-fleet extension of that contract: one bad shard must
+    not kill a thousand-task job that a single-file CLI would simply
+    re-run."""
+    import glob as _glob
+    import os
+
+    r = (spark.read
+         .option("ignoreCorruptFiles", "true")
+         .option("ignoreMissingFiles", "true"))
+    # the per-relation options govern TASK-side reads, but schema
+    # inference reads footers on the driver and fails hard on the
+    # first corrupt one (Spark 4) — so probe for the first healthy
+    # footer (pyarrow, driver-side, same machinery as _footer_probe)
+    # and pass its schema explicitly; with an explicit schema the bad
+    # shard is only ever touched by tasks, where the option skips it
+    if os.path.isdir(path):
+        import pyarrow.parquet as _pq
+        for f in sorted(_glob.glob(os.path.join(path, "*.parquet"))):
+            try:
+                _pq.ParquetFile(f)
+            except Exception:
+                continue
+            r = r.schema(spark.read.parquet(f).schema)
+            break
+    df = r.parquet(path)
+    return df.select(*columns) if columns else df

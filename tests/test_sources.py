@@ -462,3 +462,37 @@ def test_rebalance_no_rdd_probe_in_package():
         if ".rdd" in src:
             offenders.append(os.path.relpath(f, root))
     assert not offenders, offenders
+
+
+def test_resilient_read_skips_corrupt_shard(spark, sf_dir, tmp_path):
+    """A directory with one truncated/garbage shard: the strict read
+    fails (the default contract — corruption must be loud), the
+    resilient read returns every row of the healthy shards."""
+    import shutil
+
+    import pytest
+    from pyspark.sql.utils import AnalysisException  # noqa: F401
+
+    from azure_kusto_parquet_conv_spark.sources.parquet import (
+        load_table,
+        read_parquet_resilient,
+    )
+
+    d = tmp_path / "shards"
+    d.mkdir()
+    good = load_table(spark, sf_dir, "region")
+    n = good.count()
+    good.coalesce(1).write.mode("overwrite").parquet(str(d / "a"))
+    # flatten: move part files up, then plant a garbage shard
+    parts = list((d / "a").glob("part-*.parquet"))
+    for i, p in enumerate(parts):
+        shutil.move(str(p), str(d / f"good-{i}.parquet"))
+    shutil.rmtree(d / "a")
+    (d / "bad-0.parquet").write_bytes(b"PAR1 this is not a real footer")
+    with pytest.raises(Exception):
+        # schema inference already fails hard on the corrupt footer
+        spark.read.parquet(str(d)).count()
+    res = read_parquet_resilient(spark, str(d))
+    assert res.count() == n
+    assert sorted(r["r_name"] for r in res.collect()) == \
+        sorted(r["r_name"] for r in good.collect())
