@@ -1447,6 +1447,46 @@ class _ExprParser:
         if fname in ("has_ipv4", "has_any_ipv4", "has_ipv4_prefix",
                      "has_any_ipv4_prefix", "ipv4_is_in_any_range"):
             return self._ipv4_scan_fn(fname, args)
+        if fname == "datetime_part":
+            # datetime_part('part', dt) -> long; sub-second parts from
+            # the in-second epoch-µs remainder (storage is µs, so the
+            # nanosecond part carries trailing zeros — documented)
+            if len(args) != 2:
+                raise ValueError("KQL: datetime_part(part, dt)")
+            pm2 = re.fullmatch(r"\s*'(\w+)'\s*", args[0] or "")
+            if not pm2:
+                raise ValueError(
+                    "KQL: datetime_part needs a literal part name")
+            part = pm2.group(1).lower()
+            dt = args[1]
+            frac = f"pmod(unix_micros({dt}), 1000000)"
+            exprs = {
+                "year": f"year({dt})",
+                "quarter": f"quarter({dt})",
+                "month": f"month({dt})",
+                "week_of_year": f"weekofyear({dt})",
+                "day": f"day({dt})",
+                "dayofyear": f"dayofyear({dt})",
+                "hour": f"hour({dt})",
+                "minute": f"minute({dt})",
+                "second": f"second({dt})",
+                "millisecond": f"({frac} div 1000)",
+                "microsecond": frac,
+                "nanosecond": f"({frac} * 1000)",
+            }
+            if part not in exprs:
+                raise ValueError(
+                    f"KQL: datetime_part: unknown part {part!r}")
+            return f"CAST({exprs[part]} AS BIGINT)"
+        if fname in ("datetime_utc_to_local", "datetime_local_to_utc"):
+            # IANA tz-database conversions (Spark's JVM carries the tz
+            # rules, incl. DST transitions)
+            if len(args) != 2:
+                raise ValueError(f"KQL: {fname}(dt, timezone)")
+            fn = ("from_utc_timestamp"
+                  if fname == "datetime_utc_to_local"
+                  else "to_utc_timestamp")
+            return f"{fn}({args[0]}, {args[1]})"
         if fname in ("datetime_add", "datetime_diff"):
             return self._datetime_math(fname, args)
         if fname == "series_fir":

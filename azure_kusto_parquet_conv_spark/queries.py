@@ -3439,6 +3439,40 @@ def q_kql_count_distinct(spark, sf_dir):
     """)
 
 
+@query("q_kql_datetime_part", """
+WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS t,
+                  epoch_us(CAST(ts AS TIMESTAMP)) AS us
+           FROM events)
+SELECT CAST(date_part('year', t) AS BIGINT) AS y,
+       CAST(date_part('quarter', t) AS BIGINT) AS q,
+       CAST(date_part('week', t) AS BIGINT) AS w,
+       CAST(date_part('doy', t) AS BIGINT) AS doy,
+       CAST(date_part('hour', t) AS BIGINT) AS h,
+       CAST(mod(mod(us, 1000000) + 1000000, 1000000) // 1000
+            AS BIGINT) AS ms,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM e GROUP BY y, q, w, doy, h, ms
+""")
+def q_kql_datetime_part(spark, sf_dir):
+    """datetime_part over event time — calendar parts via Spark's
+    JVM-side extraction functions (weekofyear is ISO-8601, matching
+    DuckDB's 'week'), sub-second parts from the positive in-second
+    epoch-µs remainder. Grouped so the hash covers every distinct
+    (part-tuple) combination in the fixture rather than 10k identical
+    projections."""
+    from azure_kusto_parquet_conv_spark.kql import kql
+    return kql(spark, sf_dir, """
+      events
+        | extend y = datetime_part('year', ts),
+                 q = datetime_part('quarter', ts),
+                 w = datetime_part('week_of_year', ts),
+                 doy = datetime_part('dayofyear', ts),
+                 h = datetime_part('hour', ts),
+                 ms = datetime_part('millisecond', ts)
+        | summarize n = count() by y, q, w, doy, h, ms
+    """)
+
+
 @query(_portable("q_kql_text_stats"), f"""
 SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(CASE WHEN length(text) > 200 THEN 1 ELSE 0 END)

@@ -4467,6 +4467,35 @@ def test_make_list_with_nulls_and_count_distinct(spark, sf_dir):
     assert got == [("a", 2, 1, "[1, null, 2]"), ("b", 1, 1, "[1, 1]")]
 
 
+def test_datetime_tz_conversions_and_parts(spark, sf_dir):
+    """datetime_utc_to_local / datetime_local_to_utc ride the JVM's
+    IANA tz rules: values on both sides of a US DST transition get
+    different offsets, the conversion round-trips, and datetime_part's
+    sub-second parts match the Kusto doc example (.7654321 -> ms 765,
+    us 765432; ns carries trailing zeros at µs storage)."""
+    r = kql(spark, sf_dir, """
+      print pre = tostring(datetime_utc_to_local(
+                     datetime(2017-11-05 04:30:00), 'America/New_York')),
+            post = tostring(datetime_utc_to_local(
+                     datetime(2017-11-05 07:30:00), 'America/New_York')),
+            rt = tostring(datetime_local_to_utc(datetime_utc_to_local(
+                     datetime(2024-06-01 12:00:00), 'Europe/Paris'),
+                     'Europe/Paris'))
+    """).collect()[0]
+    assert r["pre"] == "2017-11-05 00:30:00"    # EDT, UTC-4
+    assert r["post"] == "2017-11-05 02:30:00"   # EST, UTC-5
+    assert r["rt"] == "2024-06-01 12:00:00"
+    p = kql(spark, sf_dir, """
+      datatable (d:datetime) [datetime(2017-10-30 01:02:03.765432)]
+        | extend ms = datetime_part('millisecond', d),
+                 us = datetime_part('microsecond', d),
+                 ns = datetime_part('nanosecond', d),
+                 w = datetime_part('week_of_year', d)
+    """).collect()[0]
+    assert (p["ms"], p["us"], p["ns"], p["w"]) == (765, 765432,
+                                                   765432000, 44)
+
+
 def test_bin_auto_properties_and_errors(spark, sf_dir):
     """bin_auto rides the real Kusto request properties: numeric size
     with the default 0 anchor, a timespan size requiring an explicit

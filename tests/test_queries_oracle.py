@@ -196,7 +196,7 @@ DEFERRED_NEVER_CHECKED = {
     "q_kql_ipv6", "q_kql_geohash", "q_geo_bucket_join",
     "q_kql_has_ipv4", "q_kql_has_ipv6", "q_cut_dup_spans",
     "q_kql_bin_auto", "q_table_profile", "q_kql_count_distinct",
-    "q_kql_geo_polygon"}
+    "q_kql_geo_polygon", "q_kql_datetime_part"}
 
 
 def test_driver_window_covers_every_never_checked_entry():
