@@ -1729,6 +1729,30 @@ class _ExprParser:
             na, nb = dot(a, a), dot(b, b)
             return (f"(CASE WHEN {na} = 0 OR {nb} = 0 THEN NULL "
                     f"ELSE {dot(a, b)} / (sqrt({na}) * sqrt({nb})) END)")
+        if fname == "series_magnitude":
+            if len(args) != 1:
+                raise ValueError("KQL: series_magnitude(series)")
+            s = args[0]
+            return (f"sqrt(aggregate(transform({s}, __sm_x -> "
+                    f"CAST(__sm_x AS DOUBLE) * CAST(__sm_x AS DOUBLE)),"
+                    f" CAST(0 AS DOUBLE), "
+                    f"(__sm_a, __sm_v) -> __sm_a + __sm_v))")
+        if fname == "isascii":
+            if len(args) != 1:
+                raise ValueError("KQL: isascii(s)")
+            return (f"(CASE WHEN {args[0]} IS NULL THEN NULL ELSE "
+                    f"{args[0]} RLIKE '^[\\\\x00-\\\\x7F]*$' END)")
+        if fname == "base64_encode_fromarray":
+            # inverse of base64_decode_toarray: byte-number array ->
+            # base64 text (per-element hex render + binary concat fold)
+            if len(args) != 1:
+                raise ValueError("KQL: base64_encode_fromarray(arr)")
+            # JSON round-trip lift: accepts native arrays AND dynamic
+            # (VARIANT) values — base64_decode_toarray returns VARIANT
+            arr = f"from_json(to_json({args[0]}), 'array<bigint>')"
+            return (f"base64(aggregate({arr}, CAST('' AS BINARY), "
+                    f"(__bf_a, __bf_b) -> concat(__bf_a, "
+                    f"unhex(lpad(hex(pmod(__bf_b, 256)), 2, '0')))))")
         if fname in ("series_abs", "series_exp", "series_log",
                      "series_sign", "series_sqrt", "series_floor",
                      "series_ceiling"):

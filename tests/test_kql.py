@@ -4467,6 +4467,29 @@ def test_make_list_with_nulls_and_count_distinct(spark, sf_dir):
     assert got == [("a", 2, 1, "[1, null, 2]"), ("b", 1, 1, "[1, 1]")]
 
 
+def test_series_magnitude_isascii_base64_fromarray(spark, sf_dir):
+    """Three late scalars: series_magnitude (Euclidean norm),
+    isascii, and base64_encode_fromarray — the inverse of
+    base64_decode_toarray, accepting both native arrays and dynamic
+    values (JSON-lift coercion), closing the byte-array codec
+    round-trip."""
+    r = kql(spark, sf_dir, """
+      print m = series_magnitude(dynamic([3.0, 4.0])),
+            z = series_magnitude(dynamic([])),
+            a1 = tostring(isascii('hello!')),
+            a2 = tostring(isascii('héllo')),
+            b = base64_encode_fromarray(base64_decode_toarray('S3VzdG8=')),
+            b2 = base64_encode_fromarray(dynamic([75,117,115,116,111])),
+            rt = base64_decode_tostring(base64_encode_fromarray(
+                   base64_decode_toarray(
+                     base64_encode_tostring('round trip'))))
+    """).collect()[0]
+    assert r["m"] == 5.0 and r["z"] == 0.0
+    assert (r["a1"], r["a2"]) == ("true", "false")
+    assert r["b"] == "S3VzdG8=" and r["b2"] == "S3VzdG8="
+    assert r["rt"] == "round trip"
+
+
 def test_datetime_tz_conversions_and_parts(spark, sf_dir):
     """datetime_utc_to_local / datetime_local_to_utc ride the JVM's
     IANA tz rules: values on both sides of a US DST transition get
