@@ -1732,7 +1732,9 @@ class _ExprParser:
         if fname == "series_magnitude":
             if len(args) != 1:
                 raise ValueError("KQL: series_magnitude(series)")
-            s = args[0]
+            # JSON-lift so VARIANT dynamics (e.g. the empty-array
+            # literal) work alongside native make-series arrays
+            s = f"from_json(to_json({args[0]}), 'array<double>')"
             return (f"sqrt(aggregate(transform({s}, __sm_x -> "
                     f"CAST(__sm_x AS DOUBLE) * CAST(__sm_x AS DOUBLE)),"
                     f" CAST(0 AS DOUBLE), "
