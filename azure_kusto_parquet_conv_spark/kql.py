@@ -170,7 +170,15 @@ array_shift_*, column_ifexists, totimespan, split/translate/url codecs/
 parse_version/parse_csv/parse_ipv4 family/parse_ipv6 family
 (parse_ipv6/parse_ipv6_mask/ipv6_compare/ipv6_is_match/
 ipv6_is_in_range/ipv6_is_in_any_range — Arrow-batched stdlib
-`ipaddress` kernels, _register_ipv6_udfs)/datetime_add-diff/binary ops/
+`ipaddress` kernels, _register_ipv6_udfs)/datetime_add-diff/
+datetime_part (full part list, ISO week, sub-second from the epoch-µs
+remainder)/datetime_utc_to_local + datetime_local_to_utc (JVM IANA tz
+database)/bin_auto via set query_bin_auto_size|minimum/
+count_distinct + count_distinctif (exact siblings of dcount[if])/
+make_list_with_nulls/series_magnitude/isascii/
+base64_encode_fromarray (inverse of base64_decode_toarray)/
+geo_point_in_polygon (dynamic-literal polygon, compile-time-folded
+even-odd ray cast)/binary ops/
 tohex/strcmp/string_size/repeat/new_guid/rand(n)/isnan-isinf-isfinite,
 the r8 math batch (log/log2/log10/exp/exp2/exp10, sin/cos/tan/asin/
 acos/atan/atan2/cot, degrees/radians, sign/sqrt/pow/pi,
