@@ -228,6 +228,10 @@ def test_driver_window_covers_every_never_checked_entry():
     stale = DEFERRED_NEVER_CHECKED - never
     assert not stale, f"already attested, remove from deferrals: {stale}"
     assert not DEFERRED_NEVER_CHECKED & set(DRIVER_WINDOW)
+    # a deferred entry must be oracled — deferring a rows-only entry
+    # would silently hand the next round's window a weaker slot
+    unoracled = DEFERRED_NEVER_CHECKED - set(ORACLES)
+    assert not unoracled, f"deferred entries without oracles: {unoracled}"
 
 
 def _attestation_vintages():
