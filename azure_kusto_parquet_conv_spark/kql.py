@@ -165,8 +165,12 @@ parse_path (bag: Scheme/RootPath/DirectoryPath/DirectoryName/Filename/
 Extension/ADS), format_ipv4/format_ipv4_mask/ipv4_netmask_suffix,
 pack/bag_pack (dynamic bag builder), pack_array, array_length/
 array_index_of/array_slice/array_sort_asc|desc/array_concat,
-set_union/set_intersect/set_difference, array_iff/array_rotate_*/
-array_shift_*, column_ifexists, totimespan, split/translate/url codecs/
+set_union/set_intersect/set_difference, array_iff (+array_iif alias)/
+array_rotate_*/array_shift_* (empty-array-guarded), zip (null-padded
+to the longest input), isutf8, regex_quote (RE2 QuoteMeta),
+convert_angle|length|mass|speed|volume|energy|force|power|pressure|
+temperature (UnitsNet names, compile-time factor fold),
+column_ifexists, totimespan, split/translate/url codecs/
 parse_version/parse_csv/parse_ipv4 family/parse_ipv6 family
 (parse_ipv6/parse_ipv6_mask/ipv6_compare/ipv6_is_match/
 ipv6_is_in_range/ipv6_is_in_any_range — Arrow-batched stdlib
@@ -1317,16 +1321,20 @@ class _ExprParser:
             return (f"(CASE WHEN {body} RLIKE {pat} THEN "
                     f"IF(startswith({s}, '-'), -{total}, {total}) "
                     f"ELSE NULL END)")
-        if fname == "array_iff":
+        if fname in ("array_iff", "array_iif"):
             # element-wise conditional merge of two arrays by a
-            # boolean-array mask (index-aligned; null past either end)
+            # boolean-array mask (index-aligned; null past either end);
+            # array_iif is Kusto's documented alias. Empty-mask guard:
+            # sequence(1, 0) DESCENDS to [1, 0] (the round-5 gotcha),
+            # so an empty cond array must short-circuit.
             if len(args) != 3:
-                raise ValueError("KQL: array_iff(cond_arr, a, b)")
+                raise ValueError(f"KQL: {fname}(cond_arr, a, b)")
             c, a, b = args
-            return (f"transform(sequence(1, size({c})), __ai_i -> "
+            return (f"(CASE WHEN size({c}) <= 0 THEN array() ELSE "
+                    f"transform(sequence(1, size({c})), __ai_i -> "
                     f"IF(CAST(try_element_at({c}, __ai_i) AS BOOLEAN), "
                     f"try_element_at({a}, __ai_i), "
-                    f"try_element_at({b}, __ai_i)))")
+                    f"try_element_at({b}, __ai_i))) END)")
         if fname in ("array_rotate_left", "array_rotate_right"):
             if len(args) != 2:
                 raise ValueError(f"KQL: {fname}(arr, n)")
@@ -1348,11 +1356,56 @@ class _ExprParser:
             fill = args[2] if len(args) == 3 else "NULL"
             if fname == "array_shift_right":
                 n = f"(-({n}))"
-            return (f"transform(sequence(1, size({arr})), __as_i -> "
+            # empty-array guard: sequence(1, 0) descends to [1, 0]
+            # (round-5 gotcha) — an empty input must stay empty
+            return (f"(CASE WHEN size({arr}) <= 0 THEN {arr} ELSE "
+                    f"transform(sequence(1, size({arr})), __as_i -> "
                     f"CASE WHEN __as_i + ({n}) BETWEEN 1 AND "
                     f"size({arr}) THEN "
                     f"element_at({arr}, CAST(__as_i + ({n}) AS INT)) "
-                    f"ELSE {fill} END)")
+                    f"ELSE {fill} END) END)")
+        if fname == "zip":
+            # zip(a1, a2, ...) -> dynamic array of n-tuples (arrays),
+            # null-padded to the LONGEST input (Kusto). Each input is
+            # JSON-lifted to array<variant> (accepts native arrays AND
+            # dynamic literals — the r10 coercion pattern); the lifts
+            # bind ONCE via the struct hop so the per-element lambda
+            # body doesn't re-evaluate them (r9 O(n^2) gotcha).
+            if len(args) < 2:
+                raise ValueError("KQL: zip(arr1, arr2, ...)")
+            binds = ", ".join(
+                f"'z{i}', from_json(to_json({a}), 'array<variant>')"
+                for i, a in enumerate(args))
+            sizes = ", ".join(f"size(__zs.z{i})"
+                              for i in range(len(args)))
+            row = ", ".join(f"try_element_at(__zs.z{i}, __zp_i)"
+                            for i in range(len(args)))
+            return (f"element_at(transform(array(named_struct({binds})"
+                    f"), __zs -> CASE WHEN greatest({sizes}) <= 0 "
+                    f"THEN parse_json('[]') ELSE parse_json(to_json("
+                    f"transform(sequence(1, greatest({sizes})), "
+                    f"__zp_i -> array({row})))) END), 1)")
+        if fname == "isutf8":
+            # Kusto: true when the value is a valid utf8 string. Spark
+            # strings are validated on decode, so test the utf-8 BYTES
+            # of the string (surrogate damage -> false); null -> null.
+            if len(args) != 1:
+                raise ValueError("KQL: isutf8(s)")
+            return (f"is_valid_utf8(CAST({args[0]} AS STRING))")
+        if fname == "regex_quote":
+            # RE2 QuoteMeta semantics: escape every ASCII char outside
+            # [A-Za-z0-9_]; non-ASCII code points pass through (RE2
+            # would not escape them and '\é' is not valid RE2). The
+            # pattern/replacement are built via chr(92) concat because
+            # Spark SQL literal backslash-escape processing mangles
+            # '\x..' forms.
+            if len(args) != 1:
+                raise ValueError("KQL: regex_quote(s)")
+            pat = (r"concat('([^A-Za-z0-9_', chr(92), 'x80-', "
+                   r"chr(92), 'x{10FFFF}])')")
+            rep = "concat(chr(92), chr(92), '$1')"
+            return (f"regexp_replace(CAST({args[0]} AS STRING), "
+                    f"{pat}, {rep})")
         if fname == "column_ifexists":
             # schema-defensive column reference: the REAL column when
             # it exists, else the default (resolved at compile time
@@ -1497,6 +1550,8 @@ class _ExprParser:
             return f"{fn}({args[0]}, {args[1]})"
         if fname in ("datetime_add", "datetime_diff"):
             return self._datetime_math(fname, args)
+        if fname in self._UNIT_TABLES or fname == "convert_temperature":
+            return self._convert_unit(fname, args)
         if fname == "series_fir":
             # trailing moving average of width k over the series array;
             # index-aware transform + slice keep it JVM-side
@@ -2760,7 +2815,24 @@ class _ExprParser:
         runtime — the polygon is constant-folded into codegen, the
         right shape for a containment filter over a 100 TB point
         table. Boundary points are undefined (as in Kusto's docs);
-        invalid lon/lat -> null via the range guard."""
+        invalid lon/lat -> null via the range guard.
+
+        DOCUMENTED APPROXIMATION (r10 ADVICE): this is a PLANAR
+        even-odd cast on raw lon/lat, whereas Kusto evaluates edges as
+        spherical geodesics. The two agree for the small-to-regional
+        polygons containment filters use in practice, but diverge for
+        continent-scale edges (a geodesic bows away from the planar
+        chord), polygons enclosing a pole (no planar ring can), and
+        rings crossing the antimeridian. Rather than silently return
+        wrong answers, rings whose consecutive vertices jump more than
+        180 degrees of longitude (the standard antimeridian-crossing
+        signature) are REJECTED at compile time — split such polygons
+        at the +/-180 meridian into two rings, which this planar cast
+        then handles exactly like Kusto's own split recommendation.
+        Geodesic parity for very long edges can be recovered by
+        densifying edges client-side (insert intermediate vertices);
+        the compile-time unroll scales linearly in vertex count so
+        densified rings stay codegen-friendly."""
         import json as _json
         if len(args) != 3:
             raise ValueError(
@@ -2775,6 +2847,14 @@ class _ExprParser:
             raise ValueError(
                 "KQL: geo_point_in_polygon polygon must be GeoJSON "
                 '{"type":"Polygon","coordinates":[[...]]}')
+        for ring in poly["coordinates"]:
+            for (x1, _), (x2, _) in zip(ring, ring[1:]):
+                if abs(x2 - x1) > 180:
+                    raise ValueError(
+                        "KQL: geo_point_in_polygon ring crosses the "
+                        "antimeridian (consecutive longitudes "
+                        f"{x1} -> {x2}); split the polygon at the "
+                        "+/-180 meridian into two rings")
         x, y = f"CAST({args[0]} AS DOUBLE)", f"CAST({args[1]} AS DOUBLE)"
 
         def ring_inside(ring):
@@ -2804,6 +2884,102 @@ class _ExprParser:
         return (f"(CASE WHEN {x} BETWEEN -180 AND 180 "
                 f"AND {y} BETWEEN -90 AND 90 THEN {expr} "
                 f"ELSE NULL END)")
+
+    # Kusto's convert_* unit-conversion scalars (UnitsNet unit names).
+    # Factors map each unit to the family's SI base; the conversion is
+    # folded at COMPILE TIME into a single multiply (value * from/to),
+    # so both engines perform one identical IEEE op — raw doubles
+    # hash-match without any rounding helper. The name set is the
+    # commonly-used subset of UnitsNet; unknown names raise at compile
+    # (never a silent wrong factor). Kusto also accepts unit names as
+    # runtime expressions — this compiler requires LITERALS, same
+    # documented restriction as datetime_add's period.
+    _UNIT_TABLES: dict[str, dict[str, float]] = {
+        "convert_angle": {
+            "Radian": 1.0, "Degree": 3.141592653589793 / 180,
+            "Gradian": 3.141592653589793 / 200,
+            "Revolution": 2 * 3.141592653589793,
+            "Arcminute": 3.141592653589793 / 10800,
+            "Arcsecond": 3.141592653589793 / 648000},
+        "convert_length": {
+            "Meter": 1.0, "Kilometer": 1000.0, "Decimeter": 0.1,
+            "Centimeter": 0.01, "Millimeter": 0.001,
+            "Micrometer": 1e-6, "Nanometer": 1e-9, "Mile": 1609.344,
+            "Yard": 0.9144, "Foot": 0.3048, "Inch": 0.0254,
+            "NauticalMile": 1852.0},
+        "convert_mass": {
+            "Kilogram": 1.0, "Gram": 1e-3, "Milligram": 1e-6,
+            "Microgram": 1e-9, "Tonne": 1000.0,
+            "Pound": 0.45359237, "Ounce": 0.028349523125,
+            "Stone": 6.35029318},
+        "convert_speed": {
+            "MeterPerSecond": 1.0,
+            "KilometerPerHour": 1000.0 / 3600.0,
+            "MilePerHour": 0.44704, "Knot": 1852.0 / 3600.0,
+            "FootPerSecond": 0.3048},
+        "convert_volume": {
+            "CubicMeter": 1.0, "Liter": 1e-3, "Milliliter": 1e-6,
+            "CubicFoot": 0.028316846592,
+            "CubicInch": 1.6387064e-5, "UsGallon": 0.003785411784,
+            "ImperialGallon": 0.00454609},
+        "convert_energy": {
+            "Joule": 1.0, "Kilojoule": 1e3, "Megajoule": 1e6,
+            "Calorie": 4.184, "Kilocalorie": 4184.0,
+            "WattHour": 3600.0, "KilowattHour": 3.6e6,
+            "BritishThermalUnit": 1055.05585262,
+            "Electronvolt": 1.602176634e-19},
+        "convert_force": {
+            "Newton": 1.0, "Kilonewton": 1e3, "Dyn": 1e-5,
+            "PoundForce": 4.4482216152605,
+            "KilogramForce": 9.80665},
+        "convert_power": {
+            "Watt": 1.0, "Kilowatt": 1e3, "Megawatt": 1e6,
+            "MechanicalHorsepower": 745.6998715822702,
+            "MetricHorsepower": 735.49875},
+        "convert_pressure": {
+            "Pascal": 1.0, "Kilopascal": 1e3, "Bar": 1e5,
+            "Millibar": 100.0, "Atmosphere": 101325.0,
+            "PoundForcePerSquareInch": 6894.757293168361,
+            "MillimeterOfMercury": 133.322387415,
+            "Torr": 101325.0 / 760.0},
+    }
+    # temperature is AFFINE to Kelvin: K = v * a + b
+    _TEMP_UNITS: dict[str, tuple[float, float]] = {
+        "Kelvin": (1.0, 0.0),
+        "DegreeCelsius": (1.0, 273.15),
+        "DegreeFahrenheit": (5.0 / 9.0, 273.15 - 32.0 * 5.0 / 9.0),
+    }
+
+    def _convert_unit(self, fname: str, args: list[str]) -> str:
+        if len(args) != 3:
+            raise ValueError(f"KQL: {fname}(value, from, to)")
+        units = []
+        for a in args[1:]:
+            m = re.fullmatch(r"\s*'(\w+)'\s*", a or "")
+            if not m:
+                raise ValueError(
+                    f"KQL: {fname} needs literal unit names, got {a!r}")
+            units.append(m.group(1))
+        v = f"CAST({args[0]} AS DOUBLE)"
+        if fname == "convert_temperature":
+            try:
+                (af, bf), (at, bt) = (self._TEMP_UNITS[u]
+                                      for u in units)
+            except KeyError as e:
+                raise ValueError(
+                    f"KQL: convert_temperature unknown unit {e}; "
+                    f"supported: {sorted(self._TEMP_UNITS)}") from None
+            a, b = af / at, (bf - bt) / at
+            return (f"({v} * CAST({a!r} AS DOUBLE) "
+                    f"+ CAST({b!r} AS DOUBLE))")
+        table = self._UNIT_TABLES[fname]
+        try:
+            ratio = table[units[0]] / table[units[1]]
+        except KeyError as e:
+            raise ValueError(
+                f"KQL: {fname} unknown unit {e}; supported: "
+                f"{sorted(table)}") from None
+        return f"({v} * CAST({ratio!r} AS DOUBLE))"
 
     def _datetime_math(self, fname: str, args: list[str]) -> str:
         """datetime_add / datetime_diff with Kusto's period names.

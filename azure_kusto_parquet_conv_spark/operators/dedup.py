@@ -555,8 +555,13 @@ def cut_dup_spans(df: DataFrame, text_col: str = "text",
              .select(F.col(id_col),
                      F.col("__cd_s.start").alias("start"),
                      F.col("__cd_s.span").alias("span")))
-    key = (F.col(id_col).cast("long") * 1000000
-           + F.col("start")).alias("__cd_key")
+    # total order as a STRUCT key (lexicographic (doc, start) min /
+    # compare) — the earlier doc_id*1e6+start long key collided once a
+    # document's span start reached 1e6 (~10M tokens at stride 10),
+    # breaking the deterministic first-occurrence choice at exactly the
+    # corpus sizes the docstring targets (r10 ADVICE item).
+    key = F.struct(F.col(id_col).cast("long").alias("d"),
+                   F.col("start").cast("long").alias("s")).alias("__cd_key")
     occ = spans.select(F.col(id_col), "start", "span", key)
     w = Window.partitionBy("span")
     ranked = occ.select(

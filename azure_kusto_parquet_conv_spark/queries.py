@@ -1742,7 +1742,7 @@ WITH t AS (SELECT doc_id, lang, string_split({_NORM_SQL}, ' ') AS toks
 c AS (SELECT doc_id, lang, len(toks) AS n,
              greatest(1, (len(toks) - 16 + 47) // 48) AS k
       FROM t),
-ch AS (SELECT lang, doc_id * 1000 + i AS chunk_key,
+ch AS (SELECT lang, doc_id * 1048576 + i AS chunk_key,
               least(64, n - i * 48) AS nt
        FROM c, LATERAL (SELECT unnest(generate_series(0, k - 1)) AS i) g),
 p AS (SELECT lang, chunk_key, nt,
@@ -1764,8 +1764,12 @@ def q_chunk_pack(spark, sf_dir):
     per language stratum (chunk_documents -> pack_sequences — the full
     document -> context-window -> fixed-budget-sample map a pretraining
     pipeline materializes before tokenizer sharding). chunk_key =
-    doc_id * 1000 + chunk_id keeps the pack order deterministic and
-    total. Budget 256 is a power of two, so pack_sequences' double
+    doc_id * 2^20 + chunk_id keeps the pack order deterministic and
+    total: 2^20 chunks/doc is ~50M tokens per document at stride 48,
+    and a guard raises rather than silently collide beyond it (the
+    r10 ADVICE caught the earlier *1000 multiplier overflowing at
+    ~48k-token docs); doc_id headroom is 2^63 / 2^20 = 8.8e12
+    documents. Budget 256 is a power of two, so pack_sequences' double
     division (cum/256) is exact and the whole map is integer-portable;
     the DuckDB twin replays the closed-form chunk grid + the same
     cumulative-sum window. Scale shape: the map-side chunk explode
@@ -1776,7 +1780,11 @@ def q_chunk_pack(spark, sf_dir):
                                overlap=16, keep=("doc_id", "lang"))
     keyed = chunks.select(
         "lang",
-        (F.col("doc_id") * 1000 + F.col("chunk_id")).alias("chunk_key"),
+        F.when(F.col("chunk_id") >= (1 << 20),
+               F.raise_error("chunk_id exceeds the 2^20 pack-key "
+                             "stride; widen the multiplier"))
+         .otherwise(F.col("doc_id") * (1 << 20) + F.col("chunk_id"))
+         .alias("chunk_key"),
         "n_chunk_tokens")
     return L.pack_sequences(keyed, "chunk_key", "n_chunk_tokens",
                             budget=256, by=["lang"])
@@ -1799,8 +1807,8 @@ s AS (SELECT doc_id, i * 10 AS start,
       WHERE len(toks) >= 20),
 r AS (SELECT doc_id, start,
              COUNT(*) OVER (PARTITION BY span) AS n_occ,
-             doc_id * 1000000 + start AS key,
-             MIN(doc_id * 1000000 + start)
+             {{'d': doc_id, 's': start}} AS key,
+             MIN({{'d': doc_id, 's': start}})
                OVER (PARTITION BY span) AS first
       FROM s),
 c AS (SELECT doc_id, list(start) AS cuts FROM r
@@ -3556,6 +3564,81 @@ def q_kql_math_special(spark, sf_dir):
     """)
     return df.select("p_partkey", sround(F.col("lg"), 6).alias("lg"),
                      sround(F.col("bc"), 6).alias("bc"))
+
+
+@query("q_kql_convert_units", """
+SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+       CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       CAST(l_quantity AS DOUBLE) * 0.45359237 AS kg,
+       CAST(l_quantity AS DOUBLE) * 1.609344 AS km,
+       CAST(l_quantity AS DOUBLE) * (5.0 / 9.0)
+         + ((273.15 - (32.0 * 5.0 / 9.0)) - 273.15) AS c,
+       CAST(l_quantity AS DOUBLE)
+         * ((1852.0 / 3600.0) / (1000.0 / 3600.0)) AS kmh
+FROM lineitem WHERE l_orderkey % 117 = 0
+""")
+def q_kql_convert_units(spark, sf_dir):
+    """Kusto convert_* unit-conversion scalars (kql.py _convert_unit):
+    mass Pound->Kilogram, length Mile->Kilometer, temperature
+    DegreeFahrenheit->DegreeCelsius (affine), speed
+    Knot->KilometerPerHour. The factor lookup happens at COMPILE time
+    and folds to ONE runtime multiply (+ one add for the affine case)
+    per value, so the DuckDB twin — which re-derives every constant
+    from first principles with the SAME IEEE op order (UnitsNet
+    factors: 0.45359237 kg/lb, 1609.344 m/mi, 5/9 K/F with the
+    273.15-based offset, 1852/3600 m/s per knot) — matches raw doubles
+    bit-for-bit, no rounding helper needed. Whole-stage codegen, zero
+    shuffles: the right shape for unit normalization over a 100 TB
+    measurement table."""
+    from azure_kusto_parquet_conv_spark.kql import kql
+    return kql(spark, sf_dir, """
+      lineitem
+        | where l_orderkey % 117 == 0
+        | project l_orderkey, l_linenumber,
+            kg = convert_mass(l_quantity, 'Pound', 'Kilogram'),
+            km = convert_length(l_quantity, 'Mile', 'Kilometer'),
+            c = convert_temperature(l_quantity, 'DegreeFahrenheit',
+                                    'DegreeCelsius'),
+            kmh = convert_speed(l_quantity, 'Knot', 'KilometerPerHour')
+    """)
+
+
+@query("q_kql_array_ops", """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+           FROM documents WHERE doc_id % 50 = 0),
+f AS (SELECT doc_id, list_slice(toks, 1, 6) AS head FROM t
+      WHERE len(toks) >= 6),
+r AS (SELECT doc_id, CAST(doc_id % 7 AS BIGINT) % 6 AS k, head FROM f)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       array_to_string(list_concat(list_slice(head, k + 1, 6),
+                                   list_slice(head, 1, k)), '|') AS rot,
+       array_to_string([head[3], head[4], head[5], head[6], '_', '_'],
+                       '|') AS shl
+FROM r
+""")
+def q_kql_array_ops(spark, sf_dir):
+    """Array-manipulation scalars over real corpus tokens:
+    array_rotate_left by a per-row amount (pmod-normalized — the
+    oracle re-derives the rotation as two explicit slices with the
+    modulus applied by hand) and array_shift_left with a custom fill
+    (the oracle writes the shifted positions out index by index).
+    Both compile to pure slice/transform expressions inside
+    whole-stage codegen — no UDF, no shuffle; zip() and the
+    empty-array guards (sequence(1, 0) DESCENDS — the round-5 gotcha,
+    which array_iff/array_shift previously hit) are pinned in
+    tests/test_kql.py since zip's variant output isn't hash-atomic."""
+    from azure_kusto_parquet_conv_spark.kql import kql
+    return kql(spark, sf_dir, """
+      documents
+        | where doc_id % 50 == 0
+        | extend toks = split(text, ' ')
+        | where array_length(toks) >= 6
+        | extend head = array_slice(toks, 0, 5)
+        | project doc_id,
+            rot = strcat_array(
+                array_rotate_left(head, toint(doc_id % 7)), '|'),
+            shl = strcat_array(array_shift_left(head, 2, '_'), '|')
+    """)
 
 
 @query("q_kql_tdigest", """
@@ -9416,88 +9499,78 @@ DRIVER_WINDOW = [
     "convert_jsonl_region", "convert_csv_lineitem",
     "q_missing_column_fill", "csl_schema_lineitem", "q_schema_lineitem",
     "q_convert_binary", "rowgroups_lineitem", "q_filter_projection",
-    # ---- round-10 rotation (r9 verdict #3: the 16 r3-vintage
-    # stragglers FIRST — r9's window claimed to clear r3 but left
-    # these; three of them (q_tfidf, q16, q8) also had r9 plan
-    # changes). Then 17 r4-vintage entries, prioritizing those whose
-    # code changed in the r10 portable-rounding sweep (q9's red-row
-    # class fix) so the changed plans get driver re-attestation.
-    # the complete r3 vintage residue (16):
-    "q_set_ops", "q_range_join", "q_json_extract", "q_tumbling_window",
-    "q_dedup_keep_latest", "q_lang_id", "q16_supplier_count",
-    "q8_market_share", "q_null_safe_join", "q_array_higher_order",
-    "q_dedup_ngram_jaccard", "q_embed_sim_pairs", "q_embed_quantize",
-    "q_kql_join_revenue", "q_training_mix", "q_tfidf",
-    # r4 vintage, r10-swept plans first (2 — the mid/late-r10 additions
-    # below displaced q_kql_bin_events, q_kql_lookup,
-    # q_kql_union_sources, q_unpivot, q_hopping_window,
-    # q_window_running, q_kql_top_nested, q17_small_quantity_revenue,
-    # q18_large_orders, q19_disjunctive_join, q7_nation_trade,
-    # q_grouping_sets, q_kql_summarize, q_stats_agg, q_knn_bruteforce —
-    # all validated this round by the full-precision sf0.01 window
-    # replay; they rejoin in r11 — q14_promo_revenue displaced by the
-    # frames certificate, q10_returned_items by the q9 red-row
-    # re-attestation; the full r4 vintage (26) plus the deferred
-    # never-checked set (q_collapse_repeats and the 6 post-freeze r10
-    # entries: q_chunk_documents, q_chunk_pack, q_kql_ipv6,
-    # q_kql_geohash, q_geo_bucket_join, q_kql_has_ipv4 — all
-    # oracle-replayed green at sf0.001 AND sf0.01 this round) are
-    # first in line for r11):
-    # new-in-r10 entries (hygiene rule: staged the round they land;
-    # they displaced the r4 back-fills q_dedup_exact, q_dedup_jaccard,
-    # q_window_lag_lead, q_sessionize — first in line for r11):
-    "convert_decimal", "q_knn_ivfpq_append",
-    "q_kql_percentile_approx", "q_kql_percentilew_approx",
-    "q_merge_upsert", "q_scd2_dimension",
-    "q_pack_sequences", "q_feature_binning",
-    "q_kql_codec_roundtrip", "q_kql_tdigest", "q_kql_math_special",
-    # late-r10 additions (r9 verdict #7 certificate siblings for the
-    # rows-only sketch families + the Gopher repetition signals):
-    "q_approx_distinct_exact", "q_freq_items_exact",
-    "q_sample_by_exact", "q_kql_hll_reagg_exact",
-    "q_approx_percentiles_exact", "q_text_rolling_fp_exact",
-    "q_dedup_clusters_exact", "q_repetition_signals",
-    "q_multimodal_frames_exact",
-    # the r9 RED ROW re-attestation (verdict #1: "done = q9 green in
-    # CORRECTNESS_r10"): the portable-rounding fix must be proven at
-    # the driver, so q9 takes the final slot; q_collapse_repeats
-    # (optional late addition, not a verdict demand) explicitly defers
-    # its first attestation to r11 — the deliberate-split escape the
-    # never-checked hygiene test documents (DEFERRED_NEVER_CHECKED).
-    "q9_product_type_profit",
+    # ---- round-11 rotation. Priority queue (the policy
+    # test_attestation_rotation_is_priority_ordered enforces from the
+    # banked CORRECTNESS files, not from this comment):
+    #   1. never-checked entries (first driver contact; these 14 were
+    #      deferred once in r10 and may not be deferred twice),
+    #   2. oldest outstanding vintage (r4), oldest-first; within the
+    #      vintage, entries whose CODE changed since their last
+    #      attestation first (the r10 portable-rounding sweep touched
+    #      17 of them; q_kql_percentiles' oracle was rewritten too).
+    # the full never-checked set (14 — every r10 post-freeze entry):
+    "q_collapse_repeats", "q_chunk_documents", "q_chunk_pack",
+    "q_kql_ipv6", "q_kql_geohash", "q_geo_bucket_join",
+    "q_kql_has_ipv4", "q_kql_has_ipv6", "q_cut_dup_spans",
+    "q_kql_bin_auto", "q_table_profile", "q_kql_count_distinct",
+    "q_kql_geo_polygon", "q_kql_datetime_part",
+    # r4 vintage, r10-swept plans first (17 + the rewritten-oracle
+    # q_kql_percentiles = 18 changed-since-attestation entries):
+    "q10_returned_items", "q14_promo_revenue",
+    "q17_small_quantity_revenue", "q18_large_orders",
+    "q19_disjunctive_join", "q7_nation_trade", "q_grouping_sets",
+    "q_hopping_window", "q_knn_bruteforce", "q_kql_bin_events",
+    "q_kql_lookup", "q_kql_summarize", "q_kql_top_nested",
+    "q_kql_union_sources", "q_stats_agg", "q_unpivot",
+    "q_window_running", "q_kql_percentiles",
+    # r4 vintage, code unchanged since r4 (3 — back-fills the r10
+    # ledger promised "first in line for r11"; q_sessionize and
+    # q_asof_join were displaced to DEFERRED_OLDEST by the two
+    # new-in-r11 entries below per the hygiene rule); a further
+    # new-in-r11 entry displaces from THIS tail (lowest priority in
+    # the window), last name first:
+    "q_dedup_exact", "q_dedup_jaccard", "q_window_lag_lead",
+    # new-in-r11 entries (hygiene rule: staged the round they land):
+    "q_kql_convert_units", "q_kql_array_ops",
 ]
 
-# Rotation ledger: r1-r9 windows are banked driver-green in
-# CORRECTNESS_r0{1..9}.json. ROTATION ARITHMETIC (r9 verdict #3
-# demanded "oldest vintage >= r6 after r10" — infeasible): the window
-# is 50 rows, 13 are permanent parity slots, so 37 entries refresh per
-# round against 238 rotating entries. Steady-state maximum attestation
-# age is ceil(238/37) = 7 rounds; the enforceable invariant (pinned by
-# test_attestation_rotation_is_oldest_first) is that rotation is
-# OLDEST-FIRST: every entry of the oldest outstanding vintage holds a
-# slot, and no banked vintage may exceed the 7-round cycle. The r10
-# window takes the full r3 residue (16 — r9's ledger wrongly claimed
-# r3 was cleared; COVERAGE.md r10 notes correct the record) plus 2
-# r4 entries (the 19 new-in-r10 entries consumed the rest of the
-# rotating budget per the hygiene rule); the r4 residue (24) is first
-# in line for r11 and fits its 37 rotating slots.
+# Rotation ledger: r1-r10 windows are banked driver-green in
+# CORRECTNESS_r{01..10}.json. ROTATION ARITHMETIC: the window is 50
+# rows, 13 are permanent parity slots, so 37 entries refresh per round
+# against ~258 rotating entries — a 7-round steady-state cycle.
+#
+# PRIORITY POLICY (r11, supersedes the pure oldest-first rule after
+# the r10 window proved the two obligations can exceed 37 slots;
+# enforced by tests/test_queries_oracle.py::
+# test_attestation_rotation_is_priority_ordered, derived from the
+# banked CORRECTNESS files, never from this comment):
+#   1. never-checked entries take slots first (r7 verdict #8: the
+#      attestation gap may not exceed one round's additions; an entry
+#      may be deferred via DEFERRED_NEVER_CHECKED at most ONE round);
+#   2. remaining slots go to the oldest outstanding vintage,
+#      changed-code entries first; members that do not fit are named
+#      in tests' DEFERRED_OLDEST and are FORCED into the next window
+#      by the hard staleness ceiling (attested <= newest-7 rounds
+#      must hold a slot — at r12 the deferred r4 entries hit it).
+#
+# The r11 window: all 14 never-checked (the r10 post-freeze batch,
+# deferred once — not deferrable again) + 23 of the 37 r4-vintage
+# entries (the 18 changed-since-attestation ones + the 4 promised
+# back-fills + q_asof_join). The 14 r4 members left over are listed
+# in DEFERRED_OLDEST (tests/test_queries_oracle.py) with unchanged
+# code since r4 and local replica coverage; they are first in line
+# for r12, where the ceiling makes them mandatory.
 #
 # HYGIENE RULE (r7 verdict #8, enforced by
 # tests/test_queries_oracle.py::test_driver_window_is_first_and_covers_families):
 # every catalog entry with no driver CORRECTNESS row yet MUST occupy a
 # window slot in the round it lands, while rotating slots remain — the
 # attestation gap can never exceed one round's additions. An entry
-# added mid-r10 displaces the current TAIL back-fill slot in the same
-# commit (displacement order, last out first: q_sessionize,
-# q_dedup_minhash, q_dedup_jaccard, q_dedup_exact).
-#
-# Round-11 rotation candidates (oldest vintage first): the r4 residue
-# (16) — q_asof_join, q_sessionize(if displaced), q_text_stats,
-# q_multimodal_features, q_dedup_exact/jaccard/minhash (if displaced),
-# q_snapshot_diff, q_window_lag_lead, q_histogram,
-# q_stratified_sample, q2_min_cost_supplier, q13, q_decontaminate,
-# q_kql_parse, q_kql_arg_max, q_kql_dcount_users, q_kql_percentiles,
-# q_kql_mv_expand_terms, q_kql_make_series — then the r5 vintage (37).
+# added mid-r11 displaces the current TAIL slot in the same commit
+# (displacement order, last out first: q_asof_join, q_sessionize,
+# q_window_lag_lead, q_dedup_jaccard, q_dedup_exact — each displaced
+# name moves to DEFERRED_OLDEST).
+
 
 
 def _window_order(d: dict) -> dict:

@@ -291,18 +291,50 @@ def read_parquet_resilient(spark: SparkSession, path: str,
          .option("ignoreMissingFiles", "true"))
     # the per-relation options govern TASK-side reads, but schema
     # inference reads footers on the driver and fails hard on the
-    # first corrupt one (Spark 4) — so probe for the first healthy
-    # footer (pyarrow, driver-side, same machinery as _footer_probe)
-    # and pass its schema explicitly; with an explicit schema the bad
-    # shard is only ever touched by tasks, where the option skips it
+    # first corrupt one (Spark 4) — so probe for healthy footers
+    # (pyarrow, driver-side, same machinery as _footer_probe) and pass
+    # an explicit schema; with an explicit schema the bad shard is
+    # only ever touched by tasks, where the option skips it.
+    #
+    # r10 ADVICE fixes: the probe walks RECURSIVELY (partitioned /
+    # nested layouts previously fell back to driver-side inference and
+    # still died on the first corrupt footer), and the schema is
+    # MERGED across a bounded sample of healthy footers — first and
+    # last healthy file per directory, capped — so columns added in
+    # later shards survive. Columns that exist ONLY in unprobed middle
+    # shards are still dropped (bounded driver work is the point);
+    # pass an explicit .schema() upstream when that matters.
     if os.path.isdir(path):
         import pyarrow.parquet as _pq
-        for f in sorted(_glob.glob(os.path.join(path, "*.parquet"))):
-            try:
-                _pq.ParquetFile(f)
-            except Exception:
-                continue
-            r = r.schema(spark.read.parquet(f).schema)
-            break
+
+        healthy: list[str] = []
+        probes = 0
+        for root, _dirs, files in sorted(os.walk(path)):
+            names = sorted(f for f in files if f.endswith(".parquet"))
+            picked = 0
+            for fn in [*names, *reversed(names)]:
+                if picked >= 2 or probes >= 256:
+                    break
+                f = os.path.join(root, fn)
+                probes += 1
+                try:
+                    _pq.ParquetFile(f)
+                except Exception:
+                    continue
+                if f not in healthy:
+                    healthy.append(f)
+                picked += 1
+        if healthy:
+            merged = (spark.read.option("mergeSchema", "true")
+                      .parquet(*healthy[:32]).schema)
+            # drop partition-dir columns Spark inferred from the probe
+            # paths: the real read re-derives them from the full tree
+            import pyarrow.parquet as _pq2
+            file_cols = set()
+            for f in healthy[:32]:
+                file_cols |= set(_pq2.ParquetFile(f).schema_arrow.names)
+            from pyspark.sql.types import StructType
+            r = r.schema(StructType(
+                [fld for fld in merged.fields if fld.name in file_cols]))
     df = r.parquet(path)
     return df.select(*columns) if columns else df

@@ -179,7 +179,14 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    baseline33 = HEADLINE[:33]  # the r1-recorded subset (BASELINE 19.54s)
+    baseline33_total = round(sum(timings[n] for n in baseline33), 3)
+
+    # Full per-query detail: stderr + BENCH_FULL.json (the r10 lesson —
+    # the driver keeps only the LAST 2000 chars of stdout and json-parses
+    # the final line; a 70-query dict blew that buffer and r10's number
+    # went unparsed). The stdout line below is guaranteed short.
+    full = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
@@ -189,7 +196,37 @@ def main() -> None:
         "protocol": ("steady-state: per-query warm-up, min of "
                      f"{n_samples} load-gated samples (limit "
                      f"{load_limit})"),
-    }))
+    }
+    print(json.dumps(full), file=sys.stderr)
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_FULL.json"), "w") as f:
+            json.dump(full, f, indent=1)
+    except OSError:
+        pass
+
+    compact = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "n_queries": len(timings),
+        "baseline33_sec": baseline33_total,
+        "baseline33_vs_r1_19.54": round(baseline33_total / 19.54, 3),
+        "queries": {n: timings[n] for n in baseline33},
+        "sf": sf,
+        "load_retries": retried,
+        "protocol": f"warmup+min{n_samples},loadgate{load_limit}",
+        "full_detail": "BENCH_FULL.json",
+    }
+    line = json.dumps(compact)
+    # belt-and-braces: never exceed the driver's 2000-char tail buffer
+    while len(line) > 1900 and compact["queries"]:
+        drop = min(compact["queries"], key=compact["queries"].get)
+        del compact["queries"][drop]
+        compact["queries_omitted"] = (
+            compact.get("queries_omitted", 0) + 1)
+        line = json.dumps(compact)
+    print(line)
 
 
 if __name__ == "__main__":

@@ -2536,6 +2536,75 @@ def test_array_manipulation_and_column_ifexists(spark, sf_dir):
     assert (r["c1"], r["c2"]) == (1, 99)
 
 
+def test_zip_array_iif_and_empty_guards(spark, sf_dir):
+    """zip (null-padded to the longest input, variant output),
+    array_iif (documented Kusto alias of array_iff), and the
+    empty-array guards: sequence(1, 0) DESCENDS to [1, 0] (round-5
+    gotcha), so an empty mask/input must yield empty — array_iff and
+    array_shift_* previously produced 2-element garbage there."""
+    import json
+
+    r = kql(spark, sf_dir, """
+      print z = tostring(zip(pack_array(1, 2, 3), pack_array('a', 'b'))),
+            zp = tostring(zip(pack_array(1, 2), pack_array(9, 8))[1][0]),
+            ii = array_iif(pack_array(true, false), pack_array(5, 6),
+                           pack_array(7, 8)),
+            e1 = array_shift_left(array_slice(pack_array(1), 1, 0), 1),
+            e2 = array_iff(array_slice(pack_array(1), 1, 0),
+                           pack_array(1), pack_array(2))
+    """).collect()[0]
+    assert json.loads(r["z"]) == [[1, "a"], [2, "b"], [3, None]]
+    assert r["zp"] == "2"
+    assert r["ii"] == [5, 8]
+    assert r["e1"] == [] and r["e2"] == []
+
+
+def test_convert_unit_scalars(spark, sf_dir):
+    """convert_* unit family: compile-time factor fold (one runtime
+    multiply; affine for temperature), unknown units and non-literal
+    unit names fail at compile."""
+    import math
+
+    r = kql(spark, sf_dir, """
+      print m = convert_length(1.0, 'Mile', 'Kilometer'),
+            a = convert_angle(180.0, 'Degree', 'Radian'),
+            t = convert_temperature(32.0, 'DegreeFahrenheit',
+                                    'DegreeCelsius'),
+            t2 = convert_temperature(100.0, 'DegreeCelsius', 'Kelvin'),
+            s = convert_speed(1.0, 'Knot', 'KilometerPerHour'),
+            e = convert_energy(1.0, 'KilowattHour', 'Joule'),
+            p = convert_pressure(1.0, 'Atmosphere', 'Pascal')
+    """).collect()[0]
+    assert abs(r["m"] - 1.609344) < 1e-12
+    assert abs(r["a"] - math.pi) < 1e-12
+    assert abs(r["t"]) < 1e-12
+    assert r["t2"] == 373.15
+    assert abs(r["s"] - 1.852) < 1e-12
+    assert r["e"] == 3.6e6 and r["p"] == 101325.0
+    with pytest.raises(ValueError, match="unknown unit"):
+        kql(spark, sf_dir,
+            "print x = convert_mass(1.0, 'Pound', 'Bogus')")
+    with pytest.raises(ValueError, match="literal unit"):
+        kql(spark, sf_dir,
+            "nation | project x = convert_mass(1.0, n_name, 'Gram')")
+
+
+def test_isutf8_and_regex_quote(spark, sf_dir):
+    """isutf8 (valid-utf8 probe) and regex_quote (RE2 QuoteMeta: every
+    ASCII char outside [A-Za-z0-9_] escaped; non-ASCII passes
+    through)."""
+    r = kql(spark, sf_dir, r"""
+      print u = isutf8('héllo'), n = isutf8(''),
+            q = regex_quote('a.b*c(d) [x]'),
+            qw = regex_quote('plain_Word123'),
+            qn = regex_quote('héllo')
+    """).collect()[0]
+    assert r["u"] is True and r["n"] is True
+    assert r["q"] == "a\\.b\\*c\\(d\\)\\ \\[x\\]"
+    assert r["qw"] == "plain_Word123"
+    assert r["qn"] == "héllo"
+
+
 def test_scan_state_spans_arrow_batches(spark, sf_dir):
     """The scan kernel must carry automaton state ACROSS Arrow batches:
     with a tiny maxRecordsPerBatch every group spans several batches,
@@ -3401,6 +3470,18 @@ def test_geo_distance_and_circle(spark, sf_dir):
     import math
     assert abs(r["anti"] - math.pi * 6371009.0) < 1.0
     assert r["inc"] is True and r["outc"] is False
+
+
+def test_geo_polygon_rejects_antimeridian_ring(spark, sf_dir):
+    """r10 ADVICE pin: the planar even-odd cast cannot represent a
+    ring crossing the +/-180 meridian; rather than silently returning
+    wrong containment, compile fails with the split-the-polygon hint."""
+    with pytest.raises(ValueError, match="antimeridian"):
+        kql(spark, sf_dir, """
+          print p = geo_point_in_polygon(179.5, 0.0, dynamic(
+            {"type":"Polygon","coordinates":
+             [[[170,-10],[-170,-10],[-170,10],[170,10],[170,-10]]]}))
+        """)
 
 
 def test_summarize_percentiles_tuple_assign(spark, sf_dir):

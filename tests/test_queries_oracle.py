@@ -188,15 +188,29 @@ def test_driver_window_is_first_and_covers_families():
 # The deliberate-split escape for the never-checked hygiene rule: an
 # entry here yields its first-attestation slot to a HIGHER-priority
 # window obligation, with the reason, and is first in line next round.
-# r10: q_collapse_repeats (optional late addition) yields to
-# q9_product_type_profit — the r9 RED row whose portable-rounding fix
-# the r9 verdict demands be proven green at the driver in r10.
-DEFERRED_NEVER_CHECKED = {
-    "q_collapse_repeats", "q_chunk_documents", "q_chunk_pack",
-    "q_kql_ipv6", "q_kql_geohash", "q_geo_bucket_join",
-    "q_kql_has_ipv4", "q_kql_has_ipv6", "q_cut_dup_spans",
-    "q_kql_bin_auto", "q_table_profile", "q_kql_count_distinct",
-    "q_kql_geo_polygon", "q_kql_datetime_part"}
+# An entry may live here at most ONE round (the r10 post-freeze batch
+# was deferred once and fully took the r11 window).
+# r11: empty — every never-checked entry holds a window slot.
+DEFERRED_NEVER_CHECKED: set[str] = set()
+
+# Oldest-vintage members that do NOT fit the current window after the
+# higher-priority never-checked obligation is met (rotation priority
+# policy, r11 — see the ledger comment above DRIVER_WINDOW). Every
+# name here must belong to the oldest outstanding vintage, carries
+# code UNCHANGED since its last attestation, stays replica-covered
+# (test_oracle_match), and is forced into the next window by the
+# staleness ceiling below.
+# r11: 16 of the 37 r4-vintage entries (the 21 taken are the 18
+# changed-since-attestation ones + 3 promised back-fills; q_sessionize
+# and q_asof_join were displaced by the two new-in-r11 entries
+# q_kql_convert_units / q_kql_array_ops per the hygiene rule).
+DEFERRED_OLDEST = {
+    "q13_order_count_distribution", "q2_min_cost_supplier",
+    "q_decontaminate", "q_dedup_minhash", "q_histogram",
+    "q_kql_arg_max", "q_kql_dcount_users", "q_kql_make_series",
+    "q_kql_mv_expand_terms", "q_kql_parse", "q_multimodal_features",
+    "q_snapshot_diff", "q_stratified_sample", "q_text_stats",
+    "q_sessionize", "q_asof_join"}
 
 
 def test_driver_window_covers_every_never_checked_entry():
@@ -251,32 +265,53 @@ def _attestation_vintages():
     return latest, max(rounds)
 
 
-def test_attestation_rotation_is_oldest_first():
-    """r9 verdict #3 hygiene: the rotation claim must never drift from
-    the banked CORRECTNESS data again (r9's ledger claimed the oldest
-    vintage was r4 while 16 r3 entries remained). Enforced invariants,
-    derived from the data, not the ledger comment:
+def test_attestation_rotation_is_priority_ordered():
+    """r9 verdict #3 hygiene, extended in r11 after the two rotation
+    obligations (never-checked entries + a 37-member oldest vintage)
+    first exceeded the 37 rotating slots. The rotation claim is derived
+    from the banked CORRECTNESS data, never from the ledger comment.
+    Enforced invariants:
 
     1. every catalog entry of the OLDEST outstanding vintage holds a
-       DRIVER_WINDOW slot (it will be refreshed at the next driver
-       contact);
-    2. no vintage may age past the 7-round rotation cycle
-       (ceil(238 rotating entries / 37 rotating slots) = 7): entries
-       attested at R-6 or earlier must ALL be in the window now.
+       DRIVER_WINDOW slot OR is named in DEFERRED_OLDEST (the explicit
+       overflow ledger — nothing falls out silently);
+    2. DEFERRED_OLDEST may contain ONLY oldest-vintage entries (it can
+       never hide a younger entry, and empties the moment the vintage
+       clears);
+    3. deferral cannot starve a vintage: while DEFERRED_OLDEST is
+       non-empty, every rotating window slot must be spent on a
+       never-checked entry or an oldest-vintage entry — deferring an
+       oldest member while seating a younger attested one is the
+       regression this guards against;
+    4. HARD staleness ceiling — one deferral round of headroom past
+       the 7-round cycle: entries attested at newest-7 or earlier must
+       ALL hold window slots now, deferral list or not.
     """
     latest, newest = _attestation_vintages()
     tracked = {n: r for n, r in latest.items() if n in QUERIES}
     oldest = min(tracked.values())
     stragglers = {n for n, r in tracked.items() if r == oldest}
-    missing = stragglers - set(DRIVER_WINDOW)
+    missing = stragglers - set(DRIVER_WINDOW) - DEFERRED_OLDEST
     assert not missing, (
-        f"oldest vintage r{oldest} entries missing a window slot: "
-        f"{sorted(missing)}")
-    overdue = {n for n, r in tracked.items() if r <= newest - 6}
+        f"oldest vintage r{oldest} entries neither in the window nor "
+        f"explicitly deferred: {sorted(missing)}")
+    hidden = DEFERRED_OLDEST - stragglers
+    assert not hidden, (
+        f"DEFERRED_OLDEST entries not of the oldest vintage "
+        f"r{oldest}: {sorted(hidden)}")
+    assert not DEFERRED_OLDEST & set(DRIVER_WINDOW)
+    if DEFERRED_OLDEST:
+        never = {n for n in QUERIES if n not in latest}
+        rotating = set(DRIVER_WINDOW) - PARITY_SLOTS
+        wasted = rotating - never - stragglers
+        assert not wasted, (
+            f"rotating slots spent on younger attested entries while "
+            f"oldest-vintage members sit deferred: {sorted(wasted)}")
+    overdue = {n for n, r in tracked.items() if r <= newest - 7}
     missing2 = overdue - set(DRIVER_WINDOW)
     assert not missing2, (
-        f"entries older than the 7-round rotation cycle are missing a "
-        f"window slot: {sorted(missing2)}")
+        f"entries past the staleness ceiling (attested <= "
+        f"r{newest - 7}) are missing a window slot: {sorted(missing2)}")
 
 
 ATOMIC = {"string", "long", "integer", "short", "byte", "double", "float",

@@ -496,3 +496,42 @@ def test_resilient_read_skips_corrupt_shard(spark, sf_dir, tmp_path):
     assert res.count() == n
     assert sorted(r["r_name"] for r in res.collect()) == \
         sorted(r["r_name"] for r in good.collect())
+
+
+def test_resilient_read_partitioned_and_schema_drift(spark, sf_dir,
+                                                     tmp_path):
+    """r10 ADVICE case: a PARTITIONED layout (nested dirs — the probe
+    previously only globbed top-level *.parquet, so driver-side
+    inference died on the corrupt footer anyway) where a later shard
+    adds a column. The resilient read must (a) survive the corrupt
+    shard inside a partition dir, (b) keep the partition column, and
+    (c) surface the late-added column via the merged-footer probe."""
+    import shutil
+
+    from azure_kusto_parquet_conv_spark.sources.parquet import (
+        load_table,
+        read_parquet_resilient,
+    )
+
+    d = tmp_path / "pt"
+    base = load_table(spark, sf_dir, "region").select(
+        "r_regionkey", "r_name")
+    n = base.count()
+    (base.withColumn("pt", F.lit(0)).coalesce(1)
+         .write.partitionBy("pt").mode("overwrite").parquet(str(d)))
+    # a second partition whose shard carries an EXTRA column
+    extra = base.withColumn("added_late", F.lit("x"))
+    extra.coalesce(1).write.mode("overwrite").parquet(str(d / "tmp"))
+    (d / "pt=1").mkdir()
+    for i, p in enumerate((d / "tmp").glob("part-*.parquet")):
+        shutil.move(str(p), str(d / "pt=1" / f"late-{i}.parquet"))
+    shutil.rmtree(d / "tmp")
+    # plant garbage INSIDE a partition dir
+    (d / "pt=0" / "bad-0.parquet").write_bytes(b"PAR1 not a footer")
+
+    res = read_parquet_resilient(spark, str(d))
+    assert set(res.columns) == {"r_regionkey", "r_name",
+                                "added_late", "pt"}
+    assert res.count() == 2 * n
+    assert res.where("pt = 1 AND added_late = 'x'").count() == n
+    assert res.where("pt = 0").count() == n
