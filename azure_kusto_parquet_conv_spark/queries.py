@@ -2799,6 +2799,117 @@ def q_bm25(spark, sf_dir):
                   .where(F.col("rn") <= 3))
 
 
+@query("q_rrf_fusion", f"""
+WITH u AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)
+           / sqrt(list_aggregate(list_transform(embedding,
+               y -> CAST(y AS DOUBLE) * y), 'sum'))) AS uv
+  FROM embeddings),
+p AS (
+  SELECT a.vec_id AS q, b.vec_id AS c, list_dot_product(a.uv, b.uv) AS sim
+  FROM u a JOIN u b ON b.vec_id <> a.vec_id
+  WHERE a.vec_id < 10),
+d0 AS (SELECT q, c, sim,
+              row_number() OVER (PARTITION BY q
+                                 ORDER BY sim DESC, c) AS r0
+       FROM p),
+d AS (SELECT q, c,
+             row_number() OVER (PARTITION BY q
+                                ORDER BY {oround("sim", 4)} DESC, c)
+               AS rd
+      FROM d0 WHERE r0 <= 20),
+toks AS (SELECT DISTINCT doc_id,
+                unnest(string_split({_NORM_SQL}, ' ')) AS tok
+         FROM documents),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
+i AS (SELECT qt.doc_id AS q, ct.doc_id AS c, COUNT(*) AS inter
+      FROM toks qt JOIN toks ct USING (tok)
+      WHERE qt.doc_id < 10 AND ct.doc_id <> qt.doc_id
+      GROUP BY 1, 2),
+j0 AS (SELECT i.q, i.c,
+              inter * 1.0 / (nq.n + nc.n - inter) AS j
+       FROM i JOIN sizes nq ON nq.doc_id = i.q
+              JOIN sizes nc ON nc.doc_id = i.c),
+l AS (SELECT q, c, rl FROM (
+        SELECT q, c, row_number() OVER (PARTITION BY q
+                                        ORDER BY j DESC, c) AS rl
+        FROM j0) WHERE rl <= 20),
+f AS (SELECT COALESCE(d.q, l.q) AS q, COALESCE(d.c, l.c) AS c,
+             COALESCE(1.0 / (60 + rd), 0) + COALESCE(1.0 / (60 + rl), 0)
+               AS score
+      FROM d FULL OUTER JOIN l ON d.q = l.q AND d.c = l.c)
+SELECT CAST(q AS BIGINT) AS query_id, CAST(c AS BIGINT) AS cand_id,
+       CAST(rr AS BIGINT) AS rank, score AS rrf
+FROM (SELECT q, c, score,
+             row_number() OVER (PARTITION BY q
+                                ORDER BY score DESC, c) AS rr
+      FROM f)
+WHERE rr <= 5
+""")
+def q_rrf_fusion(spark, sf_dir):
+    """Reciprocal-rank fusion of a dense and a lexical retriever — the
+    hybrid-retrieval primitive a RAG / training-data pipeline runs to
+    merge ANN hits with keyword hits: score(c) = sum over systems of
+    1/(60 + rank_sys(c)), full-outer so a candidate ranked by only one
+    system still scores. Dense side: exact cosine top-20
+    (S.knn_bruteforce arithmetic, re-ranked by the portable-rounded
+    cosine); lexical side: distinct-token Jaccard top-20 (exact
+    small-integer division — engine-identical). vec_id and doc_id
+    share the 0..N id space by fixture construction (doc-aligned
+    embeddings). Ranks are integers and the RRF sum is two IEEE
+    divisions in a fixed order, so raw doubles hash-match. Scale
+    shape: each ranking is a bounded per-query window top-k; the
+    fusion is an AQE-decided join on (query, candidate) — query count
+    bounds every frame, never the corpus."""
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = e.where(F.col("vec_id") < 10)
+    dense = S.knn_bruteforce(qv, e, k=20)
+    wd = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id"))
+    dense = dense.select("query_id",
+                         F.col("neighbor_id").alias("cand_id"),
+                         F.row_number().over(wd).alias("rd"))
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id",
+                    F.explode(F.array_distinct(X.tokens("text")))
+                     .alias("tok"))
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (toks.where(F.col("doc_id") < 10)
+                 .select(F.col("doc_id").alias("q"), "tok")
+                 .join(toks, "tok")
+                 .where(F.col("doc_id") != F.col("q"))
+                 .groupBy("q", F.col("doc_id").alias("c"))
+                 .agg(F.count("*").alias("inter")))
+    j = (inter
+         .join(sizes.select(F.col("doc_id").alias("q"),
+                            F.col("n").alias("nq")), "q")
+         .join(sizes.select(F.col("doc_id").alias("c"),
+                            F.col("n").alias("nc")), "c")
+         .select("q", "c", (F.col("inter") / (F.col("nq") + F.col("nc")
+                                              - F.col("inter")))
+                 .alias("j")))
+    wl = Window.partitionBy("q").orderBy(F.col("j").desc(), "c")
+    lex = (j.withColumn("rl", F.row_number().over(wl))
+            .where(F.col("rl") <= 20).select("q", "c", "rl"))
+    fused = (dense.join(lex, (dense["query_id"] == lex["q"])
+                        & (dense["cand_id"] == lex["c"]), "full_outer")
+             .select(F.coalesce("query_id", "q").alias("q"),
+                     F.coalesce("cand_id", "c").alias("c"),
+                     (F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("rd")),
+                                 F.lit(0.0))
+                      + F.coalesce(F.lit(1.0) / (F.lit(60)
+                                                 + F.col("rl")),
+                                   F.lit(0.0))).alias("score")))
+    wf = Window.partitionBy("q").orderBy(F.col("score").desc(), "c")
+    return (fused.withColumn("rank", F.row_number().over(wf))
+                 .where(F.col("rank") <= 5)
+                 .select(F.col("q").cast("long").alias("query_id"),
+                         F.col("c").cast("long").alias("cand_id"),
+                         F.col("rank").cast("long").alias("rank"),
+                         F.col("score").alias("rrf")))
+
+
 @query("q_inverted_index", f"""
 WITH toks AS (
   SELECT DISTINCT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok
@@ -9523,15 +9634,15 @@ DRIVER_WINDOW = [
     "q_kql_lookup", "q_kql_summarize", "q_kql_top_nested",
     "q_kql_union_sources", "q_stats_agg", "q_unpivot",
     "q_window_running", "q_kql_percentiles",
-    # r4 vintage, code unchanged since r4 (3 — back-fills the r10
-    # ledger promised "first in line for r11"; q_sessionize and
-    # q_asof_join were displaced to DEFERRED_OLDEST by the two
-    # new-in-r11 entries below per the hygiene rule); a further
-    # new-in-r11 entry displaces from THIS tail (lowest priority in
-    # the window), last name first:
-    "q_dedup_exact", "q_dedup_jaccard", "q_window_lag_lead",
+    # r4 vintage, code unchanged since r4 (2 — back-fills the r10
+    # ledger promised "first in line for r11"; q_asof_join,
+    # q_sessionize and q_window_lag_lead were displaced to
+    # DEFERRED_OLDEST by the three new-in-r11 entries below per the
+    # hygiene rule); a further new-in-r11 entry displaces from THIS
+    # tail (lowest priority in the window), last name first:
+    "q_dedup_exact", "q_dedup_jaccard",
     # new-in-r11 entries (hygiene rule: staged the round they land):
-    "q_kql_convert_units", "q_kql_array_ops",
+    "q_kql_convert_units", "q_kql_array_ops", "q_rrf_fusion",
 ]
 
 # Rotation ledger: r1-r10 windows are banked driver-green in

@@ -53,6 +53,9 @@ def test_no_accidental_cartesians_across_catalog(spark, sf_dir):
     allowed_nlj = {"q_knn_bruteforce", "q_knn_hamming",
                    "q_embed_sim_pairs", "q_dedup_jaccard",
                    "q_cross_join", "q_tfidf", "q_bm25",
+                   # RRF's dense arm is knn_bruteforce's bounded-probe
+                   # broadcast NLJ (vec_id < 10 cap)
+                   "q_rrf_fusion",
                    # PQ ADC: broadcast query distance-tables x the
                    # compact code table — the intended probe shape
                    # (the _exact twin shares knn_pq's flat-ADC scan;
@@ -490,7 +493,11 @@ def test_no_forced_broadcast_of_fact_scale_frames(spark, sf_dir):
     allowed = {
         # Bounded probe/query sets: an explicit tiny id-filter selects
         # the probe side; corpus growth grows the UNHINTED side only.
+        # (q_rrf_fusion's hinted frame is its dense arm's query set,
+        # vec_id < 10 — the lexical arm and the fusion join are
+        # unhinted, AQE-decided.)
         "q_knn_bruteforce", "q_knn_hamming", "q_embed_sim_pairs",
+        "q_rrf_fusion",
         "q_knn_ivf", "q_knn_ivf_exact", "q_knn_lsh", "q_knn_lsh_exact",
         "q_knn_ivfpq_indexed", "q_knn_ivfpq_append",
         # + fixed-size trained artifacts (codebooks, centroids): size is

@@ -200,17 +200,18 @@ DEFERRED_NEVER_CHECKED: set[str] = set()
 # code UNCHANGED since its last attestation, stays replica-covered
 # (test_oracle_match), and is forced into the next window by the
 # staleness ceiling below.
-# r11: 16 of the 37 r4-vintage entries (the 21 taken are the 18
-# changed-since-attestation ones + 3 promised back-fills; q_sessionize
-# and q_asof_join were displaced by the two new-in-r11 entries
-# q_kql_convert_units / q_kql_array_ops per the hygiene rule).
+# r11: 17 of the 37 r4-vintage entries (the 20 taken are the 18
+# changed-since-attestation ones + 2 promised back-fills; q_asof_join,
+# q_sessionize and q_window_lag_lead were displaced by the three
+# new-in-r11 entries q_kql_convert_units / q_kql_array_ops /
+# q_rrf_fusion per the hygiene rule).
 DEFERRED_OLDEST = {
     "q13_order_count_distribution", "q2_min_cost_supplier",
     "q_decontaminate", "q_dedup_minhash", "q_histogram",
     "q_kql_arg_max", "q_kql_dcount_users", "q_kql_make_series",
     "q_kql_mv_expand_terms", "q_kql_parse", "q_multimodal_features",
     "q_snapshot_diff", "q_stratified_sample", "q_text_stats",
-    "q_sessionize", "q_asof_join"}
+    "q_sessionize", "q_asof_join", "q_window_lag_lead"}
 
 
 def test_driver_window_covers_every_never_checked_entry():
