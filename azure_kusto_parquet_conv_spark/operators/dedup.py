@@ -207,9 +207,16 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
     runs twice. At scale this is the step a real pipeline materializes
     to storage anyway (signatures are ~num_hashes longs per doc, tiny
     next to the text).
+
+    The corpus is shingled ONCE: the persisted shingle sets feed both
+    the signature aggregation and the exact-verification joins (the
+    same shared-pass fix the incremental variant got earlier — this
+    path previously ran the full scan->normalize->shingle chain a
+    second time just to re-derive the sets it already had).
     """
+    sets = shingle_hash_sets(df, text_col, id_col, shingle_n).persist()
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n,
-                              seed=seed).persist()
+                              seed=seed, sets=sets).persist()
     banded = sigs.select(
         F.col(id_col),
         F.explode(F.array(*_band_hashes(num_hashes, bands))).alias("band_hash"),
@@ -221,8 +228,7 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
             .select(F.col(f"a.{id_col}").alias("id_a"),
                     F.col(f"b.{id_col}").alias("id_b"))
             .distinct())
-    sh = shingle_hash_sets(df, text_col, id_col, shingle_n) \
-        .withColumnRenamed("shingles", "sh")
+    sh = sets.withColumnRenamed("shingles", "sh")
     withs = (cand
              .join(sh.select(F.col(id_col).alias("id_a"),
                              F.col("sh").alias("sh_a")), "id_a")
