@@ -170,7 +170,9 @@ array_rotate_*/array_shift_* (empty-array-guarded), zip (null-padded
 to the longest input), isutf8, regex_quote (RE2 QuoteMeta),
 convert_angle|length|mass|speed|volume|energy|force|power|pressure|
 temperature (UnitsNet names, compile-time factor fold),
-column_ifexists, totimespan, split/translate/url codecs/
+parse_user_agent (browser/os/device bags; major-family codegen
+approximation of uap-core), column_ifexists, totimespan,
+split/translate/url codecs/
 parse_version/parse_csv/parse_ipv4 family/parse_ipv6 family
 (parse_ipv6/parse_ipv6_mask/ipv6_compare/ipv6_is_match/
 ipv6_is_in_range/ipv6_is_in_any_range — Arrow-batched stdlib
@@ -2349,6 +2351,8 @@ class _ExprParser:
                    f"'AlternateDataStreamName', "
                    f"coalesce({ads}, ''))")
             return f"parse_json(to_json({obj}))"
+        if fname == "parse_user_agent":
+            return self._parse_user_agent(args)
         if fname == "countof":
             # countof(text, search[, kind]): kind='regex' counts
             # pattern matches; default counts non-overlapping plain
@@ -2980,6 +2984,121 @@ class _ExprParser:
                 f"KQL: {fname} unknown unit {e}; supported: "
                 f"{sorted(table)}") from None
         return f"({v} * CAST({ratio!r} AS DOUBLE))"
+
+    # parse_user_agent families: detection order matters (Edge and
+    # Opera embed 'Chrome/'; Safari requires 'Version/'). Each row is
+    # (family, version-regex over the UA text). DOCUMENTED
+    # APPROXIMATION: Kusto runs the full uap-core ruleset (hundreds of
+    # regexes); this covers the major engine families deterministically
+    # and reports 'Other' beyond them — the right trade for a codegen
+    # expression over a 100 TB log table (no UDF, no ruleset file).
+    _UA_BROWSERS = [
+        ("Edge", r"Edge?/([0-9]+)(?:\\.([0-9]+))?(?:\\.([0-9]+))?"),
+        ("Opera", r"(?:OPR|Opera)[/ ]([0-9]+)(?:\\.([0-9]+))?(?:\\.([0-9]+))?"),
+        ("Chrome", r"Chrome/([0-9]+)(?:\\.([0-9]+))?(?:\\.([0-9]+))?"),
+        ("Firefox", r"Firefox/([0-9]+)(?:\\.([0-9]+))?(?:\\.([0-9]+))?"),
+        ("Safari", r"Version/([0-9]+)(?:\\.([0-9]+))?(?:\\.([0-9]+))?"),
+        ("IE", r"(?:MSIE |rv:)([0-9]+)(?:\\.([0-9]+))?()"),
+    ]
+    _UA_GUARDS = {
+        "Edge": "Edge?/", "Opera": "(?:OPR/|Opera)",
+        "Chrome": "Chrome/", "Firefox": "Firefox/",
+        "Safari": "Version/[0-9.]+.*Safari/",
+        "IE": "(?:MSIE |Trident/)",
+    }
+    _UA_OSES = [
+        ("Windows", r"Windows NT ([0-9]+)(?:\\.([0-9]+))?()"),
+        ("Android", r"Android ([0-9]+)(?:\\.([0-9]+))?(?:\\.([0-9]+))?"),
+        ("iOS", r"(?:iPhone|CPU) OS ([0-9]+)(?:_([0-9]+))?(?:_([0-9]+))?"),
+        ("Mac OS X", r"Mac OS X ([0-9]+)[_.]([0-9]+)(?:[_.]([0-9]+))?"),
+        ("Linux", r"()()()"),
+    ]
+    _UA_OS_GUARDS = {
+        "Windows": "Windows NT ", "Android": "Android ",
+        "iOS": "(?:iPhone|CPU) OS ", "Mac OS X": "Mac OS X ",
+        "Linux": "Linux",
+    }
+
+    def _parse_user_agent(self, args: list[str]) -> str:
+        """parse_user_agent(ua, look_for) — look_for is a literal
+        'browser' | 'os' | 'device' or a dynamic array of them; output
+        is a dynamic bag shaped like Kusto's
+        {"Browser": {"Family", "MajorVersion", "MinorVersion",
+        "Patch"}, "OperatingSystem": {...}, "DeviceType": {"Family",
+        "Brand", "Model"}}. Family detection unrolls into guarded
+        regexp_extracts (see _UA_BROWSERS note on the uap-core
+        approximation); missing version parts render ''. Device is the
+        coarse class: iPhone/iPad by token, Android models from the
+        '; <model> Build/' convention, else Other."""
+        if len(args) != 2:
+            raise ValueError("KQL: parse_user_agent(ua, look_for)")
+        ua = f"CAST({args[0]} AS STRING)"
+        spec = args[1].strip()
+        wants: list[str] = []
+        m = re.fullmatch(r"'(\w+)'", spec)
+        if m:
+            wants = [m.group(1).lower()]
+        else:
+            m2 = re.fullmatch(r"array\((.*)\)", spec, re.DOTALL) \
+                or re.fullmatch(r"parse_json\('\[(.*)\]'\)", spec,
+                                re.DOTALL)
+            if m2:
+                wants = [w.strip().strip("'\"").lower()
+                         for w in m2.group(1).split(",") if w.strip()]
+        bad = set(wants) - {"browser", "os", "device"}
+        if not wants or bad:
+            raise ValueError(
+                "KQL: parse_user_agent look_for must be literal "
+                "'browser'/'os'/'device' (or an array of them), got "
+                f"{spec!r}")
+
+        def fam_chain(rows, guards):
+            fam = "CASE"
+            for name, _pat in rows:
+                fam += (f" WHEN {ua} RLIKE '{guards[name]}' "
+                        f"THEN '{name}'")
+            return fam + " ELSE 'Other' END"
+
+        def part_chain(rows, guards, group):
+            c = "CASE"
+            for name, pat in rows:
+                c += (f" WHEN {ua} RLIKE '{guards[name]}' THEN "
+                      f"regexp_extract({ua}, '{pat}', {group})")
+            return c + " ELSE '' END"
+
+        fields = []
+        if "browser" in wants:
+            fields.append(
+                "'Browser', named_struct("
+                f"'Family', {fam_chain(self._UA_BROWSERS, self._UA_GUARDS)}, "
+                f"'MajorVersion', {part_chain(self._UA_BROWSERS, self._UA_GUARDS, 1)}, "
+                f"'MinorVersion', {part_chain(self._UA_BROWSERS, self._UA_GUARDS, 2)}, "
+                f"'Patch', {part_chain(self._UA_BROWSERS, self._UA_GUARDS, 3)})")
+        if "os" in wants:
+            fields.append(
+                "'OperatingSystem', named_struct("
+                f"'Family', {fam_chain(self._UA_OSES, self._UA_OS_GUARDS)}, "
+                f"'MajorVersion', {part_chain(self._UA_OSES, self._UA_OS_GUARDS, 1)}, "
+                f"'MinorVersion', {part_chain(self._UA_OSES, self._UA_OS_GUARDS, 2)}, "
+                f"'Patch', {part_chain(self._UA_OSES, self._UA_OS_GUARDS, 3)})")
+        if "device" in wants:
+            model = (f"regexp_extract({ua}, "
+                     f"'; ([^;)]*?) Build/', 1)")
+            dev_fam = (f"CASE WHEN {ua} RLIKE 'iPhone' THEN 'iPhone' "
+                       f"WHEN {ua} RLIKE 'iPad' THEN 'iPad' "
+                       f"WHEN {ua} RLIKE 'Android' AND {model} <> '' "
+                       f"THEN {model} "
+                       f"ELSE 'Other' END")
+            brand = (f"CASE WHEN {ua} RLIKE 'iPhone|iPad' THEN 'Apple' "
+                     f"ELSE '' END")
+            fields.append(
+                "'DeviceType', named_struct("
+                f"'Family', {dev_fam}, 'Brand', {brand}, "
+                f"'Model', CASE WHEN {ua} RLIKE 'iPhone' THEN 'iPhone' "
+                f"WHEN {ua} RLIKE 'iPad' THEN 'iPad' "
+                f"ELSE {model} END)")
+        return (f"parse_json(to_json(named_struct({', '.join(fields)}"
+                f")))")
 
     def _datetime_math(self, fname: str, args: list[str]) -> str:
         """datetime_add / datetime_diff with Kusto's period names.

@@ -2605,6 +2605,52 @@ def test_isutf8_and_regex_quote(spark, sf_dir):
     assert r["qn"] == "héllo"
 
 
+def test_parse_user_agent(spark, sf_dir):
+    """parse_user_agent over the major engine families (documented
+    uap-core approximation): detection order handles Edge/Opera
+    embedding 'Chrome/', Safari requires 'Version/', and the output
+    bag matches Kusto's Browser/OperatingSystem/DeviceType shape."""
+    import json
+
+    chrome = ("Mozilla/5.0 (Windows NT 10.0; Win64; x64) "
+              "AppleWebKit/537.36 (KHTML, like Gecko) "
+              "Chrome/57.0.2987.133 Safari/537.36")
+    edge = chrome + " Edg/90.0.818.66"
+    safari = ("Mozilla/5.0 (iPhone; CPU iPhone OS 14_6 like Mac OS X) "
+              "AppleWebKit/605.1.15 (KHTML, like Gecko) "
+              "Version/14.1.1 Mobile/15E148 Safari/604.1")
+    android = ("Mozilla/5.0 (Linux; Android 11; Pixel 5 Build/RQ3A) "
+               "AppleWebKit/537.36 (KHTML, like Gecko) "
+               "Chrome/90.0.4430.91 Mobile Safari/537.36")
+    rows = kql(spark, sf_dir, f"""
+      datatable (name:string, ua:string) [
+        'chrome', '{chrome}', 'edge', '{edge}',
+        'safari', '{safari}', 'android', '{android}']
+        | project name,
+            b = tostring(parse_user_agent(ua, 'browser')),
+            o = tostring(parse_user_agent(ua, 'os')),
+            d = tostring(parse_user_agent(ua, 'device'))
+    """).collect()
+    got = {r["name"]: (json.loads(r["b"]), json.loads(r["o"]),
+                       json.loads(r["d"])) for r in rows}
+    assert got["chrome"][0]["Browser"]["Family"] == "Chrome"
+    assert got["chrome"][0]["Browser"]["MajorVersion"] == "57"
+    assert got["chrome"][1]["OperatingSystem"]["Family"] == "Windows"
+    assert got["chrome"][1]["OperatingSystem"]["MajorVersion"] == "10"
+    assert got["edge"][0]["Browser"]["Family"] == "Edge"
+    assert got["edge"][0]["Browser"]["MajorVersion"] == "90"
+    assert got["safari"][0]["Browser"]["Family"] == "Safari"
+    assert got["safari"][1]["OperatingSystem"]["Family"] == "iOS"
+    assert got["safari"][1]["OperatingSystem"]["MajorVersion"] == "14"
+    assert got["safari"][2]["DeviceType"]["Family"] == "iPhone"
+    assert got["safari"][2]["DeviceType"]["Brand"] == "Apple"
+    assert got["android"][1]["OperatingSystem"]["Family"] == "Android"
+    assert got["android"][2]["DeviceType"]["Family"] == "Pixel 5"
+    with pytest.raises(ValueError, match="look_for"):
+        kql(spark, sf_dir,
+            "print x = parse_user_agent('ua', 'bogus')")
+
+
 def test_scan_state_spans_arrow_batches(spark, sf_dir):
     """The scan kernel must carry automaton state ACROSS Arrow batches:
     with a tiny maxRecordsPerBatch every group spans several batches,
