@@ -140,6 +140,9 @@ series_fill_const/
 forward/backward/linear, series_outliers (Tukey fences), series_seasonal/series_stdev/
 series_pearson_correlation, series_add/subtract/multiply/divide,
 series_decompose (full additive bag + tuple assign),
+series_decompose_anomalies (decompose -> Tukey-fence residual scores
+-> +/-1 flags at threshold; Kusto's bundled anomaly pipeline by name),
+series_fit_2lines (numpy two-segment best-split fit, full Kusto bag),
 series_periods_detect (ACF peak-picker bag + tuple assign),
 series_fft / series_ifft (numpy Arrow-batched kernel, tuple assign),
 series_periods_validate (ACF scores at given periods),
@@ -1769,6 +1772,16 @@ class _ExprParser:
                    else "1")
             return (f"parse_json(to_json(__kql_fitpoly({y}, {x}, "
                     f"{deg})))")
+        if fname in ("series_fit_2lines", "series_fit_2lines_dynamic"):
+            # two-segment least-squares fit (numpy kernel, same Arrow
+            # transport as fit_poly): exhaustive best split minimizing
+            # stitched residual mean square; Kusto's documented output
+            # bag, tuple-assign order via _MULTI_ASSIGN. < 4 points or
+            # no valid split -> null fields.
+            if len(args) != 1:
+                raise ValueError("KQL: series_fit_2lines(y)")
+            y = f"try_cast({args[0]} AS ARRAY<DOUBLE>)"
+            return f"parse_json(to_json(__kql_fit2lines({y})))"
         if fname in ("series_fft_dynamic", "series_ifft_dynamic"):
             if len(args) not in (1, 2):
                 raise ValueError(f"KQL: {fname}(x_real [, x_imag])")
@@ -1961,6 +1974,39 @@ class _ExprParser:
             obj = (f"named_struct('baseline', {baseline}, "
                    f"'seasonal', {seasonal}, 'trend', {trend}, "
                    f"'residual', {resid})")
+            return f"parse_json(to_json({obj}))"
+        if fname == "series_decompose_anomalies":
+            return self._render_call(
+                "series_decompose_anomalies_dynamic", args)
+        if fname == "series_decompose_anomalies_dynamic":
+            # Kusto's canonical anomaly pipeline bundled by name: the
+            # exact composition the q_kql_series_anomalies entry
+            # verifies piecewise — decompose (zero-sum seasonal +
+            # trailing-FIR trend), Tukey-fence scores on the residual,
+            # flags at +/-threshold (default 1.5). Returns the
+            # Kusto-shaped bag {ad_flag, ad_score, baseline};
+            # tuple-assign order via _MULTI_ASSIGN.
+            if len(args) not in (1, 2, 3):
+                raise ValueError(
+                    "KQL: series_decompose_anomalies(series"
+                    "[, threshold[, period]])")
+            arr = args[0]
+            thr = args[1] if len(args) >= 2 else "1.5"
+            per = args[2] if len(args) == 3 else "7"
+            seasonal = self._render_call("series_seasonal", [arr, per])
+            trend = self._render_call("series_fir", [arr, per])
+            baseline = self._render_call("series_add",
+                                         [seasonal, trend])
+            resid = self._render_call("series_subtract",
+                                      [arr, baseline])
+            score = self._render_call("series_outliers", [resid])
+            flag = (f"transform({score}, __sda_s -> "
+                    f"CASE WHEN __sda_s IS NULL THEN NULL "
+                    f"WHEN __sda_s > ({thr}) THEN 1 "
+                    f"WHEN __sda_s < -({thr}) THEN -1 "
+                    f"ELSE 0 END)")
+            obj = (f"named_struct('ad_flag', {flag}, "
+                   f"'ad_score', {score}, 'baseline', {baseline})")
             return f"parse_json(to_json({obj}))"
         if fname == "series_periods_detect":
             return self._render_call("series_periods_detect_dynamic",
@@ -4070,6 +4116,79 @@ def _register_series_fft_udfs(spark: SparkSession) -> None:
                    "coefficients:array<double>, variance:double, "
                    "rvariance:double, poly_fit:array<double>>"))
 
+    def fit2lines(ys):
+        """series_fit_2lines: exhaustive best split s (left fit over
+        [0, s), right over [s, n)) minimizing the residual mean square
+        of the stitched fit; ties keep the smallest split (stable /
+        deterministic). Kusto's documented output fields."""
+        keys = ("rsquare split_idx variance rvariance line_fit "
+                "right_rsquare right_slope right_interception "
+                "right_variance right_rvariance left_rsquare "
+                "left_slope left_interception left_variance "
+                "left_rvariance").split()
+        out = {k: [] for k in keys}
+
+        def push_null():
+            for k in keys:
+                out[k].append(None)
+
+        for y in ys:
+            if y is None or len(y) < 4:
+                push_null()
+                continue
+            yv = np.asarray(y, dtype=float)
+            n = len(yv)
+            x = np.arange(n, dtype=float)
+            ok = ~np.isnan(yv)
+            best = None
+            for s in range(2, n - 1):
+                lm, rm = ok[:s], ok[s:]
+                if lm.sum() < 2 or rm.sum() < 2:
+                    continue
+                lc = np.polyfit(x[:s][lm], yv[:s][lm], 1)
+                rc = np.polyfit(x[s:][rm], yv[s:][rm], 1)
+                fit = np.concatenate(
+                    [np.polyval(lc, x[:s]), np.polyval(rc, x[s:])])
+                res = yv[ok] - fit[ok]
+                rvar = float(np.mean(res * res))
+                if best is None or rvar < best[0]:
+                    best = (rvar, s, lc, rc, fit)
+            if best is None:
+                push_null()
+                continue
+            rvar, s, lc, rc, fit = best
+            var = float(np.var(yv[ok]))
+            rsq = 1.0 if var <= 0 else 1.0 - rvar / var
+
+            def side(xs, vs, m, coef):
+                f = np.polyval(coef, xs[m])
+                r = vs[m] - f
+                v = float(np.var(vs[m]))
+                rv = float(np.mean(r * r))
+                rs = 1.0 if v <= 0 else 1.0 - rv / v
+                return rs, float(coef[0]), float(coef[1]), v, rv
+
+            lrs, lsl, lic, lv, lrv = side(x[:s], yv[:s], ok[:s], lc)
+            rrs, rsl, ric, rv_, rrv = side(x[s:], yv[s:], ok[s:], rc)
+            vals = (rsq, s, var, rvar, [float(v) for v in fit],
+                    rrs, rsl, ric, rv_, rrv,
+                    lrs, lsl, lic, lv, lrv)
+            for k, v in zip(keys, vals):
+                out[k].append(v)
+        return pd.DataFrame(out)
+
+    spark.udf.register(
+        "__kql_fit2lines",
+        pandas_udf(fit2lines,
+                   "struct<rsquare:double, split_idx:bigint, "
+                   "variance:double, rvariance:double, "
+                   "line_fit:array<double>, right_rsquare:double, "
+                   "right_slope:double, right_interception:double, "
+                   "right_variance:double, right_rvariance:double, "
+                   "left_rsquare:double, left_slope:double, "
+                   "left_interception:double, left_variance:double, "
+                   "left_rvariance:double>"))
+
     def iir(xs, bs, a_s):
         out = []
         for x, b, a in zip(xs, bs, a_s):
@@ -5682,6 +5801,10 @@ class KqlCompiler:
         "series_decompose": ("series_decompose_dynamic",
                              [("baseline", True), ("seasonal", True),
                               ("trend", True), ("residual", True)]),
+        "series_decompose_anomalies": (
+            "series_decompose_anomalies_dynamic",
+            [("ad_flag", True), ("ad_score", True),
+             ("baseline", True)]),
         "series_stats": ("series_stats_dynamic",
                          [("min", False), ("min_idx", False),
                           ("max", False), ("max_idx", False),
@@ -5690,6 +5813,11 @@ class KqlCompiler:
         "series_periods_detect": ("series_periods_detect_dynamic",
                                   [("periods", True),
                                    ("scores", True)]),
+        "series_fit_2lines": ("series_fit_2lines_dynamic",
+                              [("rsquare", False), ("split_idx", False),
+                               ("variance", False),
+                               ("rvariance", False),
+                               ("line_fit", True)]),
         "series_fit_poly": ("series_fit_poly_dynamic",
                             [("rsquare", False),
                              ("coefficients", True),

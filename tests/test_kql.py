@@ -2605,6 +2605,54 @@ def test_isutf8_and_regex_quote(spark, sf_dir):
     assert r["qn"] == "héllo"
 
 
+def test_series_decompose_anomalies(spark, sf_dir):
+    """series_decompose_anomalies by NAME (the bundled pipeline the
+    q_kql_series_anomalies entry verifies piecewise): a planted spike
+    over two clean weekly periods must flag +1 at the spike; the
+    tuple-assign form exposes Kusto's (ad_flag, ad_score, baseline)
+    order."""
+    base = [1, 2, 3, 4, 5, 6, 7] * 3
+    base[9] = 100
+    arr = ", ".join(str(v) for v in base)
+    import json
+
+    r = kql(spark, sf_dir, f"""
+      print y = pack_array({arr})
+        | extend (f, s, b) = series_decompose_anomalies(y, 1.5, 7)
+        | project f = tostring(f), s = tostring(s), b = tostring(b)
+    """).collect()[0]
+    flags = json.loads(r["f"])
+    scores = json.loads(r["s"])
+    assert len(flags) == len(base) and len(json.loads(r["b"])) == len(base)
+    assert flags[9] == 1
+    assert flags.count(0) >= len(base) - 4
+    assert scores[9] == max(x for x in scores if x is not None)
+
+
+def test_series_fit_2lines(spark, sf_dir):
+    """series_fit_2lines: a clean two-segment series (slope 1 with a
+    +6 level shift at index 4) must split at 4 with near-zero stitched
+    residual and per-side slope 1."""
+    import json
+
+    r = kql(spark, sf_dir, """
+      print y = pack_array(0.0, 1.0, 2.0, 3.0, 10.0, 11.0, 12.0, 13.0)
+        | extend (rsq, split, v, rv, fit) = series_fit_2lines(y),
+                 d = series_fit_2lines(y)
+        | extend ls = todouble(d.left_slope),
+                 rs = todouble(d.right_slope),
+                 ri = todouble(d.right_interception)
+        | project-away d, y
+        | extend fit = tostring(fit)
+    """).collect()[0]
+    assert r["split"] == 4
+    assert r["rv"] < 1e-12 and r["rsq"] > 0.9999
+    assert abs(r["ls"] - 1.0) < 1e-9 and abs(r["rs"] - 1.0) < 1e-9
+    assert abs(r["ri"] - 6.0) < 1e-9
+    assert [round(v, 6) for v in json.loads(r["fit"])] == \
+        [0.0, 1.0, 2.0, 3.0, 10.0, 11.0, 12.0, 13.0]
+
+
 def test_parse_user_agent(spark, sf_dir):
     """parse_user_agent over the major engine families (documented
     uap-core approximation): detection order handles Edge/Opera
