@@ -174,8 +174,10 @@ to the longest input), isutf8, regex_quote (RE2 QuoteMeta),
 convert_angle|length|mass|speed|volume|energy|force|power|pressure|
 temperature (UnitsNet names, compile-time factor fold),
 parse_user_agent (browser/os/device bags; major-family codegen
-approximation of uap-core), column_ifexists, totimespan,
-split/translate/url codecs/
+approximation of uap-core), parse_xml (ElementTree kernel, Kusto
+'@attr'/'#text'/sibling-array convention), bag_has_key (top-level +
+JSONPath), extract_json alias, startofquarter/endofquarter,
+column_ifexists, totimespan, split/translate/url codecs/
 parse_version/parse_csv/parse_ipv4 family/parse_ipv6 family
 (parse_ipv6/parse_ipv6_mask/ipv6_compare/ipv6_is_match/
 ipv6_is_in_range/ipv6_is_in_any_range — Arrow-batched stdlib
@@ -2175,7 +2177,7 @@ class _ExprParser:
                    f"__f2_bb -> {final}), 1)")
             return f"parse_json(to_json({out}))"
         if fname in ("startofday", "startofweek", "startofmonth",
-                     "startofyear"):
+                     "startofyear", "startofquarter"):
             if len(args) != 1:
                 raise ValueError(f"KQL: {fname}(ts) takes 1 arg")
             if fname == "startofweek":
@@ -2184,13 +2186,32 @@ class _ExprParser:
                 return (f"(date_trunc('WEEK', {args[0]} + INTERVAL 1 DAY)"
                         f" - INTERVAL 1 DAY)")
             unit = {"startofday": "DAY", "startofmonth": "MONTH",
-                    "startofyear": "YEAR"}[fname]
+                    "startofyear": "YEAR",
+                    "startofquarter": "QUARTER"}[fname]
             return f"date_trunc('{unit}', {args[0]})"
-        if fname == "extractjson":
-            # extractjson(jsonPath, text) -> get_json_object
+        if fname in ("extractjson", "extract_json"):
+            # extractjson(jsonPath, text) -> get_json_object;
+            # extract_json is Kusto's documented alias
             if len(args) != 2:
-                raise ValueError("KQL: extractjson(jsonPath, text)")
+                raise ValueError(f"KQL: {fname}(jsonPath, text)")
             return f"get_json_object({args[1]}, {args[0]})"
+        if fname == "bag_has_key":
+            # top-level (or JSONPath '$.a.b') key membership on a
+            # dynamic bag; rides the same JSON round-trip as bag_keys
+            if len(args) != 2:
+                raise ValueError("KQL: bag_has_key(bag, key)")
+            bag, key = args
+            # JSONPath form when the key LITERAL starts with '$.'
+            m = re.fullmatch(r"\s*'(\$\.[^']*)'\s*", key or "")
+            if m:
+                return (f"(get_json_object(to_json({bag}), "
+                        f"'{m.group(1)}') IS NOT NULL "
+                        f"OR array_contains(json_object_keys("
+                        f"get_json_object(to_json({bag}), "
+                        f"'{m.group(1)[:m.group(1).rfind('.')] or '$'}')"
+                        f"), '{m.group(1).split('.')[-1]}'))")
+            return (f"array_contains(json_object_keys(to_json({bag})), "
+                    f"CAST({key} AS STRING))")
         if fname == "arg_max":
             if len(args) != 2:
                 raise ValueError("KQL: arg_max(rank_expr, return_expr)")
@@ -2399,6 +2420,15 @@ class _ExprParser:
             return f"parse_json(to_json({obj}))"
         if fname == "parse_user_agent":
             return self._parse_user_agent(args)
+        if fname == "parse_xml":
+            # XML -> dynamic via the stdlib ElementTree kernel
+            # (__kql_parse_xml, _register_codec_udfs): Kusto's
+            # convention — '@attr' keys, '#text' for mixed content,
+            # repeated sibling tags -> array, invalid XML -> null
+            if len(args) != 1:
+                raise ValueError("KQL: parse_xml(xml_text)")
+            return (f"parse_json(__kql_parse_xml("
+                    f"CAST({args[0]} AS STRING)))")
         if fname == "countof":
             # countof(text, search[, kind]): kind='regex' counts
             # pattern matches; default counts non-overlapping plain
@@ -2447,7 +2477,8 @@ class _ExprParser:
                   # ISO 8601 weeks on both sides
                   "week_of_year": "weekofyear"}[fname]
             return f"{fn}({args[0]})"
-        if fname in ("endofday", "endofweek", "endofmonth", "endofyear"):
+        if fname in ("endofday", "endofweek", "endofmonth", "endofyear",
+                     "endofquarter"):
             if len(args) != 1:
                 raise ValueError(f"KQL: {fname}(ts) takes 1 arg")
             if fname == "endofweek":
@@ -2455,10 +2486,11 @@ class _ExprParser:
                 return (f"(date_trunc('WEEK', {args[0]} + INTERVAL 8 DAY)"
                         f" - INTERVAL 1 DAY - INTERVAL 1 MICROSECOND)")
             unit = {"endofday": "DAY", "endofmonth": "MONTH",
-                    "endofyear": "YEAR"}[fname]
+                    "endofyear": "YEAR", "endofquarter": "QUARTER"}[fname]
             step = {"endofday": "INTERVAL 1 DAY",
                     "endofmonth": "INTERVAL 1 MONTH",
-                    "endofyear": "INTERVAL 12 MONTH"}[fname]
+                    "endofyear": "INTERVAL 12 MONTH",
+                    "endofquarter": "INTERVAL 3 MONTH"}[fname]
             return (f"(date_trunc('{unit}', {args[0]}) + {step} "
                     f"- INTERVAL 1 MICROSECOND)")
         if fname == "dayofweek":
@@ -4464,6 +4496,54 @@ def _register_codec_udfs(spark: SparkSession) -> None:
         lambda s: s.encode("idna").decode("ascii") if s else ""))
     spark.udf.register("__kql_idna_d", lift(
         lambda s: s.encode("ascii").decode("idna") if s else ""))
+
+    # parse_xml: XML text -> Kusto's dynamic convention as JSON text
+    # (attributes keyed '@name', text next to attributes/children
+    # keyed '#text', repeated sibling tags collapse to an array,
+    # empty elements -> null). stdlib ElementTree, deterministic
+    # (document order preserved); invalid XML -> null.
+    import json as _json
+    import xml.etree.ElementTree as _ET
+
+    def _xml_value(el):
+        obj = {}
+        for k, v in el.attrib.items():
+            obj[f"@{k}"] = v
+        for child in el:
+            tag = child.tag
+            v = _xml_value(child)
+            if tag in obj:
+                if not isinstance(obj[tag], list):
+                    obj[tag] = [obj[tag]]
+                obj[tag].append(v)
+            else:
+                obj[tag] = v
+        text = (el.text or "").strip()
+        if obj:
+            if text:
+                obj["#text"] = text
+            return obj
+        return text if text else None
+
+    def _parse_xml(s):
+        root = _ET.fromstring(s)
+        return _json.dumps({root.tag: _xml_value(root)},
+                           ensure_ascii=False, separators=(",", ":"))
+
+    def xml_lift(col):
+        out = []
+        for x in col:
+            if x is None:
+                out.append(None)
+                continue
+            try:
+                out.append(_parse_xml(x))
+            except Exception:
+                out.append(None)
+        return pd.Series(out, dtype=object)
+
+    spark.udf.register("__kql_parse_xml",
+                       pandas_udf(xml_lift, "string"))
     spark._kql_codec_registered = True
 
 

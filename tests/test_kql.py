@@ -2605,6 +2605,33 @@ def test_isutf8_and_regex_quote(spark, sf_dir):
     assert r["qn"] == "héllo"
 
 
+def test_parse_xml_bag_has_key_and_quarters(spark, sf_dir):
+    """parse_xml (Kusto convention: '@attr', '#text', repeated
+    siblings -> array, invalid -> null), bag_has_key (top-level and
+    JSONPath forms; present-with-null-value keys count), extract_json
+    alias, startofquarter/endofquarter."""
+    import json
+
+    r = kql(spark, sf_dir, """
+      print x = parse_xml('<r a="1"><i>one</i><i>two</i><e/>txt</r>'),
+            bad = parse_xml('<not closed'),
+            h1 = bag_has_key(dynamic({"a": 1, "b": null}), 'b'),
+            h0 = bag_has_key(dynamic({"a": 1}), 'z'),
+            hp = bag_has_key(dynamic({"a": {"b": 7}}), '$.a.b'),
+            ej = extract_json('$.k', '{"k": 42}'),
+            sq = startofquarter(datetime(2024-05-17 10:00:00)),
+            eq = endofquarter(datetime(2024-05-17 10:00:00))
+        | extend x = tostring(x), bad = tostring(bad)
+    """).collect()[0]
+    got = json.loads(r["x"])
+    assert got == {"r": {"@a": "1", "i": ["one", "two"], "e": None}}
+    assert r["bad"] in (None, "null", "")
+    assert r["h1"] is True and r["h0"] is False and r["hp"] is True
+    assert r["ej"] == "42"
+    assert str(r["sq"]) == "2024-04-01 00:00:00"
+    assert str(r["eq"]).startswith("2024-06-30 23:59:59")
+
+
 def test_series_decompose_anomalies(spark, sf_dir):
     """series_decompose_anomalies by NAME (the bundled pipeline the
     q_kql_series_anomalies entry verifies piecewise): a planted spike
