@@ -212,6 +212,9 @@ arg_max/arg_min, percentile (0-100 scale, exact), dcount/dcountif
 (exact; real Kusto estimates — documented deviation), stdev, variance,
 take_any, make_list, make_set, make_bag/make_bag_if (first-merged-wins),
 percentilew (exact weighted percentile — deviation like percentile),
+percentilesw (plural weighted, tuple assign; the sorted-pairs buffer
+dedups to one aggregate per group), stdevp/variancep,
+stdevif/varianceif/take_anyif/covariance[p][if] (CASE-gated), around,
 hll/hll_if/hll_merge/dcount_hll (real
 Datasketches HLL sketches — the mergeable re-aggregation form).
 """
@@ -1176,31 +1179,21 @@ class _ExprParser:
             if len(args) != 3:
                 raise ValueError(
                     "KQL: percentilew(col, weight, percentile)")
-            v, w, p = args
-            pairs = (f"array_sort(collect_list(IF({v} IS NULL "
-                     f"OR {w} IS NULL OR CAST({w} AS DOUBLE) <= 0, "
-                     f"NULL, named_struct("
-                     f"'v', CAST({v} AS DOUBLE), "
-                     f"'w', CAST({w} AS DOUBLE)))))")
-            tot = (f"aggregate({pairs}, CAST(0 AS DOUBLE), "
-                   f"(__pw_a, __pw_x) -> __pw_a + __pw_x.w)")
-            # the threshold and the sorted pairs bind ONCE through a
-            # single-element transform scope — embedding {tot} in the
-            # fold's lambda body would re-evaluate the total per
-            # element (O(n^2); measured hang on 20k-row groups)
-            step = (f"(__pw_c, __pw_x) -> IF(__pw_c.ans IS NOT NULL, "
-                    f"__pw_c, named_struct("
-                    f"'c', __pw_c.c + __pw_x.w, "
-                    f"'ans', IF(__pw_c.c + __pw_x.w >= __pw_s.t, "
-                    f"__pw_x.v, CAST(NULL AS DOUBLE))))")
-            fold = (f"aggregate(__pw_s.arr, named_struct("
-                    f"'c', CAST(0 AS DOUBLE), "
-                    f"'ans', CAST(NULL AS DOUBLE)), {step}, "
-                    f"__pw_f -> __pw_f.ans)")
-            return (f"element_at(transform(array(named_struct("
-                    f"'arr', {pairs}, "
-                    f"'t', (({p}) / 100.0) * {tot})), "
-                    f"__pw_s -> {fold}), 1)")
+            return self._percentilew_sql(*args)
+        if fname in ("percentilesw", "percentilesw_array"):
+            # plural weighted percentiles -> one array (Kusto's
+            # percentilesw via summarize tuple assignment, or the
+            # _array form directly). Each element is the exact fold;
+            # the sorted-pairs collect_list is IDENTICAL across
+            # elements, so Spark's aggregation planner deduplicates it
+            # to a single buffered aggregate per group.
+            if len(args) < 3:
+                raise ValueError(
+                    "KQL: percentilesw(col, weight, p1, p2, ...)")
+            v, w = args[0], args[1]
+            elems = ", ".join(self._percentilew_sql(v, w, p)
+                              for p in args[2:])
+            return f"array({elems})"
         if fname == "gettype":
             # runtime type name in Kusto vocabulary. The value lifts
             # to VARIANT through a named_struct JSON round-trip —
@@ -2533,16 +2526,45 @@ class _ExprParser:
             if len(args) < 2:
                 raise ValueError("KQL: strcat_delim(delim, arg1, ...)")
             return f"concat_ws({', '.join(args)})"
-        if fname in ("sumif", "avgif", "minif", "maxif", "dcountif"):
+        if fname in ("sumif", "avgif", "minif", "maxif", "dcountif",
+                     "stdevif", "varianceif", "take_anyif"):
             if len(args) != 2:
                 raise ValueError(f"KQL: {fname}(expr, predicate)")
             agg = {"sumif": "sum", "avgif": "avg", "minif": "min",
-                   "maxif": "max",
+                   "maxif": "max", "stdevif": "stddev_samp",
+                   "varianceif": "var_samp", "take_anyif": "any_value",
                    "dcountif": "count(DISTINCT"}[fname]
             if fname == "dcountif":
                 return (f"count(DISTINCT CASE WHEN {args[1]} "
                         f"THEN {args[0]} END)")
+            if fname == "take_anyif":
+                # ignoreNulls=true: the CASE's non-matching nulls must
+                # not be pickable
+                return (f"any_value(CASE WHEN {args[1]} "
+                        f"THEN {args[0]} END, true)")
             return f"{agg}(CASE WHEN {args[1]} THEN {args[0]} END)"
+        if fname in ("covariance", "covariancep", "covarianceif",
+                     "covariancepif"):
+            # sample/population covariance (+ the predicate-gated
+            # forms: the CASE pair nulls BOTH sides for non-matching
+            # rows, so covar_* skips them — Kusto's *if contract)
+            base = ("covar_samp" if "p" not in fname.replace(
+                "covariance", "") else "covar_pop")
+            if fname in ("covariance", "covariancep"):
+                if len(args) != 2:
+                    raise ValueError(f"KQL: {fname}(x, y)")
+                return f"{base}({args[0]}, {args[1]})"
+            if len(args) != 3:
+                raise ValueError(f"KQL: {fname}(x, y, predicate)")
+            return (f"{base}(CASE WHEN {args[2]} THEN {args[0]} END, "
+                    f"CASE WHEN {args[2]} THEN {args[1]} END)")
+        if fname == "around":
+            # around(value, center, delta): |value - center| <= delta
+            if len(args) != 3:
+                raise ValueError("KQL: around(value, center, delta)")
+            return (f"(abs(CAST({args[0]} AS DOUBLE) "
+                    f"- CAST({args[1]} AS DOUBLE)) "
+                    f"<= CAST({args[2]} AS DOUBLE))")
         if fname in ("binary_all_and", "binary_all_or",
                      "binary_all_xor"):
             # bitwise-reduction aggregates -> Spark bit_and/or/xor
@@ -2569,8 +2591,12 @@ class _ExprParser:
             return f"any_value({args[0]})"
         if fname == "stdev":
             return f"stddev_samp({args[0]})"
+        if fname == "stdevp":
+            return f"stddev_pop({args[0]})"
         if fname == "variance":
             return f"var_samp({args[0]})"
+        if fname == "variancep":
+            return f"var_pop({args[0]})"
         mapped = _FN_RENAME.get(fname, fname)
         return f"{mapped}({', '.join(args)})"
 
@@ -2966,6 +2992,34 @@ class _ExprParser:
         return (f"(CASE WHEN {x} BETWEEN -180 AND 180 "
                 f"AND {y} BETWEEN -90 AND 90 THEN {expr} "
                 f"ELSE NULL END)")
+
+    @staticmethod
+    def _percentilew_sql(v: str, w: str, p: str) -> str:
+        """The exact weighted-percentile fold (see percentilew above):
+        sorted (value, weight) pairs; the threshold and the pairs bind
+        ONCE through a single-element transform scope — embedding the
+        total in the fold's lambda body would re-evaluate it per
+        element (O(n^2); measured hang on 20k-row groups)."""
+        pairs = (f"array_sort(collect_list(IF({v} IS NULL "
+                 f"OR {w} IS NULL OR CAST({w} AS DOUBLE) <= 0, "
+                 f"NULL, named_struct("
+                 f"'v', CAST({v} AS DOUBLE), "
+                 f"'w', CAST({w} AS DOUBLE)))))")
+        tot = (f"aggregate({pairs}, CAST(0 AS DOUBLE), "
+               f"(__pw_a, __pw_x) -> __pw_a + __pw_x.w)")
+        step = (f"(__pw_c, __pw_x) -> IF(__pw_c.ans IS NOT NULL, "
+                f"__pw_c, named_struct("
+                f"'c', __pw_c.c + __pw_x.w, "
+                f"'ans', IF(__pw_c.c + __pw_x.w >= __pw_s.t, "
+                f"__pw_x.v, CAST(NULL AS DOUBLE))))")
+        fold = (f"aggregate(__pw_s.arr, named_struct("
+                f"'c', CAST(0 AS DOUBLE), "
+                f"'ans', CAST(NULL AS DOUBLE)), {step}, "
+                f"__pw_f -> __pw_f.ans)")
+        return (f"element_at(transform(array(named_struct("
+                f"'arr', {pairs}, "
+                f"'t', (({p}) / 100.0) * {tot})), "
+                f"__pw_s -> {fold}), 1)")
 
     # Kusto's convert_* unit-conversion scalars (UnitsNet unit names).
     # Factors map each unit to the family's SI base; the conversion is
@@ -8721,11 +8775,18 @@ class KqlCompiler:
                         "KQL: summarize (n1, n2, ...) = percentiles(..)")
                 call = g[j + 2:]
                 fn = call[0].text.lower() if call else ""
-                if fn not in ("percentiles", "percentiles_array"):
+                array_form = {
+                    "percentiles": "percentiles_array",
+                    "percentiles_array": "percentiles_array",
+                    "percentilesw": "percentilesw_array",
+                    "percentilesw_array": "percentilesw_array",
+                }.get(fn)
+                if array_form is None:
                     raise ValueError(
                         "KQL: summarize tuple assignment supports "
-                        "percentiles(col, p1, p2, ...)")
-                call = [Tok("ident", "percentiles_array")] + call[1:]
+                        "percentiles(col, p1, ...) and "
+                        "percentilesw(col, w, p1, ...)")
+                call = [Tok("ident", array_form)] + call[1:]
                 sql = _compile_expr_tokens(call, df)
                 alias = f"__tup{i}"
                 aggs.append(F.expr(sql).alias(alias))

@@ -2605,6 +2605,38 @@ def test_isutf8_and_regex_quote(spark, sf_dir):
     assert r["qn"] == "héllo"
 
 
+def test_conditional_and_covariance_aggregates(spark, sf_dir):
+    """stdevif/varianceif/take_anyif (CASE-gated like the existing
+    *if family), covariance/covariancep (+ the *if forms gating BOTH
+    sides), stdevp/variancep, around(), and the plural WEIGHTED
+    percentilesw tuple assignment."""
+    rows = kql(spark, sf_dir, """
+      datatable (k:string, x:real, y:real, w:long) [
+        'a', 1.0, 2.0, 1, 'a', 2.0, 4.0, 1, 'a', 3.0, 6.0, 2,
+        'a', 100.0, -1.0, 1, 'b', 5.0, 5.0, 3]
+        | summarize sd = stdevif(x, x < 50),
+                    vr = varianceif(x, x < 50),
+                    ta = take_anyif(x, x == 2.0),
+                    cv = covarianceif(x, y, x < 50),
+                    cvp = covariancepif(x, y, x < 50),
+                    (p50, p100) = percentilesw(x, w, 50, 100),
+                    sp = stdevp(x), vp = variancep(x) by k
+        | where k == 'a'
+        | extend near = around(p50, 3.0, 0.5)
+    """).collect()
+    r = rows[0]
+    assert abs(r["sd"] - 1.0) < 1e-12 and abs(r["vr"] - 1.0) < 1e-12
+    assert r["ta"] == 2.0
+    assert abs(r["cv"] - 2.0) < 1e-12       # cov of (1,2,3)x(2,4,6)
+    assert abs(r["cvp"] - 4.0 / 3.0) < 1e-12
+    assert r["p50"] == 3.0 and r["p100"] == 100.0
+    assert r["near"] is True
+    import statistics
+    xs = [1.0, 2.0, 3.0, 100.0]
+    assert abs(r["vp"] - statistics.pvariance(xs)) < 1e-9
+    assert abs(r["sp"] - statistics.pstdev(xs)) < 1e-9
+
+
 def test_parse_xml_bag_has_key_and_quarters(spark, sf_dir):
     """parse_xml (Kusto convention: '@attr', '#text', repeated
     siblings -> array, invalid -> null), bag_has_key (top-level and
