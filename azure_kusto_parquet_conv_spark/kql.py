@@ -142,7 +142,8 @@ series_pearson_correlation, series_add/subtract/multiply/divide,
 series_decompose (full additive bag + tuple assign),
 series_decompose_anomalies (decompose -> Tukey-fence residual scores
 -> +/-1 flags at threshold; Kusto's bundled anomaly pipeline by name),
-series_fit_2lines (numpy two-segment best-split fit, full Kusto bag),
+series_fit_2lines (bare name + tuple assign over the exact pure-SQL
+two-segment enumeration; bag carries variance/rvariance),
 series_periods_detect (ACF peak-picker bag + tuple assign),
 series_fft / series_ifft (numpy Arrow-batched kernel, tuple assign),
 series_periods_validate (ACF scores at given periods),
@@ -1767,16 +1768,11 @@ class _ExprParser:
                    else "1")
             return (f"parse_json(to_json(__kql_fitpoly({y}, {x}, "
                     f"{deg})))")
-        if fname in ("series_fit_2lines", "series_fit_2lines_dynamic"):
-            # two-segment least-squares fit (numpy kernel, same Arrow
-            # transport as fit_poly): exhaustive best split minimizing
-            # stitched residual mean square; Kusto's documented output
-            # bag, tuple-assign order via _MULTI_ASSIGN. < 4 points or
-            # no valid split -> null fields.
-            if len(args) != 1:
-                raise ValueError("KQL: series_fit_2lines(y)")
-            y = f"try_cast({args[0]} AS ARRAY<DOUBLE>)"
-            return f"parse_json(to_json(__kql_fit2lines({y})))"
+        if fname == "series_fit_2lines":
+            # bare name = the same exact pure-SQL enumeration as the
+            # _dynamic form (the bag now carries variance/rvariance so
+            # Kusto's tuple-assign order splits via _MULTI_ASSIGN)
+            return self._render_call("series_fit_2lines_dynamic", args)
         if fname in ("series_fft_dynamic", "series_ifft_dynamic"):
             if len(args) not in (1, 2):
                 raise ValueError(f"KQL: {fname}(x_real [, x_imag])")
@@ -2160,6 +2156,13 @@ class _ExprParser:
                      f"'rsquare', CASE WHEN {sstot} <= 0 THEN 1.0 "
                      f"ELSE 1.0 - __f2_bb.sse / {sstot} END, "
                      f"'split_idx', CAST(__f2_bb.k AS INT), "
+                     # variance/rvariance (population forms, like
+                     # fit_line) complete Kusto's documented field set
+                     # so the bare-name tuple assignment can split
+                     f"'variance', (CASE WHEN {nn} = 0 THEN 0.0 "
+                     f"ELSE {sstot} / {nn} END), "
+                     f"'rvariance', (CASE WHEN {nn} = 0 THEN 0.0 "
+                     f"ELSE __f2_bb.sse / {nn} END), "
                      f"'left', named_struct('slope', {lsl}, "
                      f"'interception', {lic}), "
                      f"'right', named_struct('slope', {rsl}, "
@@ -4202,78 +4205,6 @@ def _register_series_fft_udfs(spark: SparkSession) -> None:
                    "coefficients:array<double>, variance:double, "
                    "rvariance:double, poly_fit:array<double>>"))
 
-    def fit2lines(ys):
-        """series_fit_2lines: exhaustive best split s (left fit over
-        [0, s), right over [s, n)) minimizing the residual mean square
-        of the stitched fit; ties keep the smallest split (stable /
-        deterministic). Kusto's documented output fields."""
-        keys = ("rsquare split_idx variance rvariance line_fit "
-                "right_rsquare right_slope right_interception "
-                "right_variance right_rvariance left_rsquare "
-                "left_slope left_interception left_variance "
-                "left_rvariance").split()
-        out = {k: [] for k in keys}
-
-        def push_null():
-            for k in keys:
-                out[k].append(None)
-
-        for y in ys:
-            if y is None or len(y) < 4:
-                push_null()
-                continue
-            yv = np.asarray(y, dtype=float)
-            n = len(yv)
-            x = np.arange(n, dtype=float)
-            ok = ~np.isnan(yv)
-            best = None
-            for s in range(2, n - 1):
-                lm, rm = ok[:s], ok[s:]
-                if lm.sum() < 2 or rm.sum() < 2:
-                    continue
-                lc = np.polyfit(x[:s][lm], yv[:s][lm], 1)
-                rc = np.polyfit(x[s:][rm], yv[s:][rm], 1)
-                fit = np.concatenate(
-                    [np.polyval(lc, x[:s]), np.polyval(rc, x[s:])])
-                res = yv[ok] - fit[ok]
-                rvar = float(np.mean(res * res))
-                if best is None or rvar < best[0]:
-                    best = (rvar, s, lc, rc, fit)
-            if best is None:
-                push_null()
-                continue
-            rvar, s, lc, rc, fit = best
-            var = float(np.var(yv[ok]))
-            rsq = 1.0 if var <= 0 else 1.0 - rvar / var
-
-            def side(xs, vs, m, coef):
-                f = np.polyval(coef, xs[m])
-                r = vs[m] - f
-                v = float(np.var(vs[m]))
-                rv = float(np.mean(r * r))
-                rs = 1.0 if v <= 0 else 1.0 - rv / v
-                return rs, float(coef[0]), float(coef[1]), v, rv
-
-            lrs, lsl, lic, lv, lrv = side(x[:s], yv[:s], ok[:s], lc)
-            rrs, rsl, ric, rv_, rrv = side(x[s:], yv[s:], ok[s:], rc)
-            vals = (rsq, s, var, rvar, [float(v) for v in fit],
-                    rrs, rsl, ric, rv_, rrv,
-                    lrs, lsl, lic, lv, lrv)
-            for k, v in zip(keys, vals):
-                out[k].append(v)
-        return pd.DataFrame(out)
-
-    spark.udf.register(
-        "__kql_fit2lines",
-        pandas_udf(fit2lines,
-                   "struct<rsquare:double, split_idx:bigint, "
-                   "variance:double, rvariance:double, "
-                   "line_fit:array<double>, right_rsquare:double, "
-                   "right_slope:double, right_interception:double, "
-                   "right_variance:double, right_rvariance:double, "
-                   "left_rsquare:double, left_slope:double, "
-                   "left_interception:double, left_variance:double, "
-                   "left_rvariance:double>"))
 
     def iir(xs, bs, a_s):
         out = []

@@ -2689,7 +2689,9 @@ def test_series_decompose_anomalies(spark, sf_dir):
 
 
 def test_series_fit_2lines(spark, sf_dir):
-    """series_fit_2lines: a clean two-segment series (slope 1 with a
+    """series_fit_2lines (bare name -> the exact pure-SQL _dynamic
+    enumeration, bag extended with variance/rvariance for the
+    tuple-assign order): a clean two-segment series (slope 1 with a
     +6 level shift at index 4) must split at 4 with near-zero stitched
     residual and per-side slope 1."""
     import json
@@ -2698,9 +2700,9 @@ def test_series_fit_2lines(spark, sf_dir):
       print y = pack_array(0.0, 1.0, 2.0, 3.0, 10.0, 11.0, 12.0, 13.0)
         | extend (rsq, split, v, rv, fit) = series_fit_2lines(y),
                  d = series_fit_2lines(y)
-        | extend ls = todouble(d.left_slope),
-                 rs = todouble(d.right_slope),
-                 ri = todouble(d.right_interception)
+        | extend ls = todouble(d.left.slope),
+                 rs = todouble(d.right.slope),
+                 ri = todouble(d.right.interception)
         | project-away d, y
         | extend fit = tostring(fit)
     """).collect()[0]
