@@ -97,6 +97,17 @@ def test_pair_space_baselines_are_input_bounded(spark, sf_dir):
         assert has_pushed_filters(df, "doc_id"), (name, executed_plan(df)[:800])
 
 
+def test_rrf_fusion_probe_bounds_reach_both_scans(spark, sf_dir):
+    """RRF's two retrieval arms must push their query-set bounds to
+    the source: the dense arm's vec_id cap to the embeddings scan and
+    the lexical arm's doc_id cap to (one of) the documents scans —
+    at 100 TB the query side is the only frame that may be small, and
+    that's only true if the bound reaches the parquet reader."""
+    df = QUERIES["q_rrf_fusion"](spark, sf_dir)
+    assert has_pushed_filters(df, "vec_id"), executed_plan(df)[:800]
+    assert has_pushed_filters(df, "doc_id"), executed_plan(df)[:800]
+
+
 def test_embed_sim_pairs_probe_is_bounded_broadcast(spark, sf_dir):
     """The similar-pairs entry must be bounded-probe x corpus with the
     probe broadcast and its bound pushed to the scan — never an unbounded
