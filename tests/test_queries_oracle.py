@@ -284,9 +284,14 @@ def test_attestation_rotation_is_priority_ordered():
        never-checked entry or an oldest-vintage entry — deferring an
        oldest member while seating a younger attested one is the
        regression this guards against;
-    4. HARD staleness ceiling — one deferral round of headroom past
-       the 7-round cycle: entries attested at newest-7 or earlier must
-       ALL hold window slots now, deferral list or not.
+    4. HARD staleness ceiling — entries attested at newest-7 or
+       earlier must hold a window slot OR sit in DEFERRED_OLDEST, and
+       a DEFERRED_OLDEST entry gets at most ONE extra round: at
+       newest-8 nothing may be outside the window, ledger or not.
+       (The ceiling must tolerate the newest banked file being THIS
+       round's own window — the driver banks CORRECTNESS_r{N} after
+       the round freezes, so at judge time `newest` already includes
+       the round whose rotation the deferral ledger feeds.)
     """
     latest, newest = _attestation_vintages()
     tracked = {n: r for n, r in latest.items() if n in QUERIES}
@@ -309,10 +314,16 @@ def test_attestation_rotation_is_priority_ordered():
             f"rotating slots spent on younger attested entries while "
             f"oldest-vintage members sit deferred: {sorted(wasted)}")
     overdue = {n for n, r in tracked.items() if r <= newest - 7}
-    missing2 = overdue - set(DRIVER_WINDOW)
+    missing2 = overdue - set(DRIVER_WINDOW) - DEFERRED_OLDEST
     assert not missing2, (
         f"entries past the staleness ceiling (attested <= "
         f"r{newest - 7}) are missing a window slot: {sorted(missing2)}")
+    hard = {n for n, r in tracked.items() if r <= newest - 8}
+    missing3 = hard - set(DRIVER_WINDOW)
+    assert not missing3, (
+        f"entries past the deferral-exhausted ceiling (attested <= "
+        f"r{newest - 8}) must hold a window slot, ledger or not: "
+        f"{sorted(missing3)}")
 
 
 ATOMIC = {"string", "long", "integer", "short", "byte", "double", "float",
