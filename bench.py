@@ -136,6 +136,13 @@ HEADLINE = [
     "q_chunk_documents",
     "q_cut_dup_spans",
     "q_geo_bucket_join",
+    # round-11 additions, tracked from day one: the compile-time-folded
+    # unit conversions (pure codegen multiply), the array rotate/shift
+    # slice math, and the hybrid-retrieval RRF fusion (two window
+    # top-k arms + AQE-decided full-outer fusion join).
+    "q_kql_convert_units",
+    "q_kql_array_ops",
+    "q_rrf_fusion",
 ]
 
 

@@ -145,3 +145,89 @@ def test_chunk_documents_property(spark, data):
         want = [(c, " ".join(toks[c * stride:c * stride + mx]),
                  min(mx, n - c * stride)) for c in range(k)]
         assert sorted(got[i]) == want, (i, n, mx, ov)
+
+
+@settings(**_SETTINGS)
+@given(st.data())
+def test_array_rotate_shift_property(spark, data):
+    """array_rotate_left/right and array_shift_left/right equal the
+    Python reference for any (length, amount) including empty arrays,
+    zero/negative amounts and amounts past the length (the r11
+    empty-guard + pmod semantics)."""
+    from azure_kusto_parquet_conv_spark.kql import kql
+
+    n = data.draw(st.integers(min_value=0, max_value=8))
+    k = data.draw(st.integers(min_value=-10, max_value=10))
+    vals = list(range(1, n + 1))
+    arr = ("array_slice(pack_array(0), 1, 0)" if n == 0 else
+           f"pack_array({', '.join(map(str, vals))})")
+    r = kql(spark, "/root/testdata/sf0.001", f"""
+      print rl = array_rotate_left({arr}, {k}),
+            rr = array_rotate_right({arr}, {k}),
+            sl = array_shift_left({arr}, {k}, -1),
+            sr = array_shift_right({arr}, {k}, -1)
+    """).collect()[0]
+    if n == 0:
+        assert r["rl"] == [] and r["rr"] == []
+        assert r["sl"] == [] and r["sr"] == []
+        return
+    m = k % n
+    assert r["rl"] == vals[m:] + vals[:m], (n, k)
+    assert r["rr"] == vals[-m:] + vals[:-m] if m else r["rr"] == vals
+    shl = [vals[i + k] if 0 <= i + k < n else -1 for i in range(n)]
+    shr = [vals[i - k] if 0 <= i - k < n else -1 for i in range(n)]
+    assert r["sl"] == shl, (n, k)
+    assert r["sr"] == shr, (n, k)
+
+
+@settings(**_SETTINGS)
+@given(st.floats(min_value=-1e6, max_value=1e6,
+                 allow_nan=False, allow_infinity=False),
+       st.sampled_from(["convert_length", "convert_mass",
+                        "convert_speed", "convert_energy",
+                        "convert_pressure", "convert_angle",
+                        "convert_volume", "convert_force",
+                        "convert_power"]),
+       st.data())
+def test_convert_unit_roundtrip_property(spark, v, fam, data):
+    """convert_*(convert_*(v, A, B), B, A) returns v to within one
+    part in 1e12 for every unit pair (the compile-time ratio fold is
+    a single multiply each way), and the A->A identity is exact."""
+    from azure_kusto_parquet_conv_spark.kql import (
+        _ExprParser, kql,
+    )
+
+    units = sorted(_ExprParser._UNIT_TABLES[fam])
+    a = data.draw(st.sampled_from(units))
+    b = data.draw(st.sampled_from(units))
+    r = kql(spark, "/root/testdata/sf0.001", f"""
+      print rt = {fam}({fam}({v!r}, '{a}', '{b}'), '{b}', '{a}'),
+            ident = {fam}({v!r}, '{a}', '{a}')
+    """).collect()[0]
+    assert r["ident"] == v
+    assert abs(r["rt"] - v) <= max(1e-12, abs(v) * 1e-12), (fam, a, b)
+
+
+@settings(**_SETTINGS)
+@given(st.text(min_size=0, max_size=30).filter(
+    lambda s: "\x00" not in s))
+def test_regex_quote_matches_literal(spark, s):
+    """regex_quote's output, used as a pattern, must match the
+    original string EXACTLY (full-match) — the defining property of
+    QuoteMeta — for arbitrary text including metacharacters."""
+    from pyspark.sql import functions as F
+
+    from azure_kusto_parquet_conv_spark.kql import kql
+
+    df = spark.createDataFrame([(s,)], "s string")
+    q = kql(spark, "/root/testdata/sf0.001",
+            "print q = regex_quote('" + s.replace("\\", "\\\\")
+            .replace("'", "\\'") + "')").collect()[0]["q"]
+    got = df.select(
+        F.expr(f"s RLIKE concat('^(?s)', {_sql_lit(q)}, '$')")
+         .alias("m")).collect()[0]["m"]
+    assert got is True, (s, q)
+
+
+def _sql_lit(s: str) -> str:
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
