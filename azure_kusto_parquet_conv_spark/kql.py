@@ -1603,14 +1603,20 @@ class _ExprParser:
                     f"__sfl_p -> __sfl_p.i < __sfl_s.i), -1)")
             nxt = (f"try_element_at(filter({nn}, "
                    f"__sfl_p -> __sfl_p.i > __sfl_s.i), 1)")
+            # empty-input guard: sequence(1, 0) DESCENDS (round-5
+            # gotcha) and zip_with pads to the LONGER side, so an
+            # empty series would yield 2 garbage elements
             return (
+                f"(CASE WHEN size({arr}) <= 0 "
+                f"THEN CAST(array() AS ARRAY<DOUBLE>) ELSE "
                 f"transform({wi}, __sfl_s -> "
                 f"CASE WHEN __sfl_s.v IS NOT NULL THEN __sfl_s.v "
                 f"WHEN {prev} IS NULL AND {nxt} IS NULL THEN NULL "
                 f"WHEN {prev} IS NULL THEN {nxt}.v "
                 f"WHEN {nxt} IS NULL THEN {prev}.v "
                 f"ELSE {prev}.v + ({nxt}.v - {prev}.v) "
-                f"* (__sfl_s.i - {prev}.i) / ({nxt}.i - {prev}.i) END)")
+                f"* (__sfl_s.i - {prev}.i) / ({nxt}.i - {prev}.i) END) "
+                f"END)")
         if fname == "series_outliers":
             # Tukey-fence anomaly score (series_outliers semantics):
             # 0 inside [q1-1.5·iqr, q3+1.5·iqr], else signed distance
@@ -1683,10 +1689,14 @@ class _ExprParser:
             overall = (f"(aggregate({nn}, CAST(0 AS DOUBLE), "
                        f"(__ss_a, __ss_v) -> __ss_a + __ss_v) "
                        f"/ size({nn}))")
-            return (f"transform({wi}, __ss_s -> "
+            # empty-input guard: see series_fill_linear — zip_with over
+            # a descending sequence(1, 0) pads 2 garbage elements
+            return (f"(CASE WHEN size({arr}) <= 0 "
+                    f"THEN CAST(array() AS ARRAY<DOUBLE>) ELSE "
+                    f"transform({wi}, __ss_s -> "
                     f"CASE WHEN __ss_s.v IS NULL THEN NULL "
                     f"WHEN size({phase}) = 0 THEN NULL "
-                    f"ELSE {ph_mean} - {overall} END)")
+                    f"ELSE {ph_mean} - {overall} END) END)")
         if fname == "series_pearson_correlation":
             # Pearson r over the pairwise-non-null points of two series
             # (population formula; null when either variance is 0)

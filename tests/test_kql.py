@@ -2536,6 +2536,17 @@ def test_array_manipulation_and_column_ifexists(spark, sf_dir):
     assert (r["c1"], r["c2"]) == (1, 99)
 
 
+def test_series_empty_input_guards(spark, sf_dir):
+    """series_fill_linear / series_seasonal on an EMPTY series must
+    return an empty array — zip_with over the descending sequence(1, 0)
+    previously padded 2 garbage elements (the round-5 gotcha class)."""
+    r = kql(spark, sf_dir, """
+      print a = series_fill_linear(array_slice(pack_array(1.0), 1, 0)),
+            b = series_seasonal(array_slice(pack_array(1.0), 1, 0), 7)
+    """).collect()[0]
+    assert r["a"] == [] and r["b"] == []
+
+
 def test_zip_array_iif_and_empty_guards(spark, sf_dir):
     """zip (null-padded to the longest input, variant output),
     array_iif (documented Kusto alias of array_iff), and the
