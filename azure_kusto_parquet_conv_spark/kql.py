@@ -178,6 +178,10 @@ parse_user_agent (browser/os/device bags; major-family codegen
 approximation of uap-core), parse_xml (ElementTree kernel, Kusto
 '@attr'/'#text'/sibling-array convention), bag_has_key (top-level +
 JSONPath), extract_json alias, startofquarter/endofquarter,
+parse_urlquery ('Query Parameters' bag, url-decoded),
+base64_encode_fromguid/base64_decode_toguid (.NET mixed-endian,
+doc-example-pinned), treepath (bracket-quoted node paths),
+estimate_data_size (JSON-octet estimate),
 column_ifexists, totimespan, split/translate/url codecs/
 parse_version/parse_csv/parse_ipv4 family/parse_ipv6 family
 (parse_ipv6/parse_ipv6_mask/ipv6_compare/ipv6_is_match/
@@ -908,6 +912,72 @@ class _ExprParser:
             return (f"element_at(from_json(concat('[\"', "
                     f"array_join(transform({a}, __cs_i -> {esc}), "
                     f"''), '\"]'), 'array<string>'), 1)")
+        if fname == "parse_urlquery":
+            # query-string bag: Kusto's {"Query Parameters": {k: v}}
+            # shape; '?'-prefixed/full-URL input takes the part after
+            # '?', a '#fragment' tail is cut, keys and values
+            # url-decode (invalid %-escapes keep the raw text)
+            if len(args) != 1:
+                raise ValueError("KQL: parse_urlquery(query)")
+            q = f"CAST({args[0]} AS STRING)"
+            qs = (f"substring_index(CASE WHEN instr({q}, '?') > 0 "
+                  f"THEN substr({q}, instr({q}, '?') + 1) "
+                  f"ELSE {q} END, '#', 1)")
+            m = f"str_to_map({qs}, '&', '=')"
+            dec = (f"transform_values(transform_keys({m}, "
+                   f"(__uq_k, __uq_v) -> coalesce(try_url_decode("
+                   f"__uq_k), __uq_k)), (__uq_k, __uq_v) -> "
+                   f"coalesce(try_url_decode(__uq_v), __uq_v))")
+            return (f"parse_json(to_json(named_struct("
+                    f"'Query Parameters', {dec})))")
+        if fname in ("base64_encode_fromguid", "base64_decode_toguid"):
+            # .NET Guid <-> base64: the first three components are
+            # LITTLE-endian in the byte form (doc example
+            # ae3133f2-... <-> '8jMxriJurkmwahbmqbIS6w=='), so the hex
+            # stream is permuted [3210 54 76 89abcdef] — an involution,
+            # the same reorder serves both directions. Invalid input
+            # (bad base64, wrong length, malformed guid) -> null.
+            if len(args) != 1:
+                raise ValueError(f"KQL: {fname}(value)")
+
+            def reorder(h):
+                return (f"concat(substr({h}, 7, 2), substr({h}, 5, 2), "
+                        f"substr({h}, 3, 2), substr({h}, 1, 2), "
+                        f"substr({h}, 11, 2), substr({h}, 9, 2), "
+                        f"substr({h}, 15, 2), substr({h}, 13, 2), "
+                        f"substr({h}, 17, 16))")
+            if fname == "base64_encode_fromguid":
+                s = (f"lower(replace(trim(BOTH '{{}}' FROM "
+                     f"CAST({args[0]} AS STRING)), '-', ''))")
+                return (f"(CASE WHEN {s} RLIKE '^[0-9a-f]{{32}}$' "
+                        f"THEN base64(unhex({reorder(s)})) "
+                        f"ELSE NULL END)")
+            bx = f"try_to_binary({args[0]}, 'base64')"
+            hx = f"lower(hex({bx}))"
+            g = reorder(hx)
+            return (f"(CASE WHEN length({bx}) = 16 THEN "
+                    f"concat_ws('-', substr({g}, 1, 8), "
+                    f"substr({g}, 9, 4), substr({g}, 13, 4), "
+                    f"substr({g}, 17, 4), substr({g}, 21, 12)) "
+                    f"ELSE NULL END)")
+        if fname == "treepath":
+            # every node path of the bag, Kusto's bracket-quoted form
+            # (['a']['b'], numeric hops for arrays) — recursive walk in
+            # the dynamic kernel registry
+            if len(args) != 1:
+                raise ValueError("KQL: treepath(bag)")
+            return (f"parse_json(to_json(__kql_treepath("
+                    f"to_json({args[0]}))))")
+        if fname == "estimate_data_size":
+            # DOCUMENTED ESTIMATE (like Kusto's): the JSON text octet
+            # length of the argument tuple — a stable, engine-local
+            # payload proxy, not byte-exact storage accounting
+            if not args:
+                raise ValueError("KQL: estimate_data_size(e1, ...)")
+            fields = ", ".join(f"'f{i}', {a}"
+                               for i, a in enumerate(args))
+            return (f"CAST(octet_length(to_json(named_struct("
+                    f"{fields}))) AS BIGINT)")
         if fname == "parse_url":
             # Kusto parse_url -> dynamic bag. Built from Spark's native
             # parse_url parts + str_to_map for the query string, JSON
@@ -4270,6 +4340,38 @@ def _register_dynamic_udfs(spark: SparkSession) -> None:
 
     # functional form: postponed annotations break decorator hints
     spark.udf.register("__kql_dyn2json", pandas_udf(f, "string"))
+
+    def treepath(js):
+        """Kusto treepath: every node path of the bag in the
+        bracket-quoted ['a']['b'] form; arrays contribute one
+        wildcard hop ['x'][0] per Kusto's doc example shape
+        (numeric indexes enumerate), scalars are leaves."""
+        def walk(node, prefix, acc):
+            if isinstance(node, dict):
+                for k, v in node.items():
+                    p = f"{prefix}['{k}']"
+                    acc.append(p)
+                    walk(v, p, acc)
+            elif isinstance(node, list):
+                for i, v in enumerate(node):
+                    p = f"{prefix}[{i}]"
+                    acc.append(p)
+                    walk(v, p, acc)
+        out = []
+        for x in js:
+            if x is None:
+                out.append(None)
+                continue
+            try:
+                acc: list = []
+                walk(json.loads(x), "", acc)
+                out.append(acc)
+            except ValueError:
+                out.append(None)
+        return pd.Series(out)
+
+    spark.udf.register("__kql_treepath",
+                       pandas_udf(treepath, "array<string>"))
     spark._kql_dyn_registered = True
 
 

@@ -2536,6 +2536,35 @@ def test_array_manipulation_and_column_ifexists(spark, sf_dir):
     assert (r["c1"], r["c2"]) == (1, 99)
 
 
+def test_urlquery_guid_codec_treepath_datasize(spark, sf_dir):
+    """parse_urlquery (Kusto's 'Query Parameters' bag, url-decoded),
+    the .NET-endian guid<->base64 codec pair (pinned to Kusto's own
+    doc example), treepath (bracket-quoted node paths), and the
+    estimate_data_size JSON-octet estimate."""
+    import json
+
+    r = kql(spark, sf_dir, """
+      print q = tostring(parse_urlquery(
+                  'https://x.io/p?k1=v%201&k2=a+b#frag')),
+            e = base64_encode_fromguid(
+                  'ae3133f2-6e22-49ae-b06a-16e6a9b212eb'),
+            d = base64_decode_toguid('8jMxriJurkmwahbmqbIS6w=='),
+            bad = base64_decode_toguid('not base64!'),
+            t = tostring(treepath(dynamic(
+                  {"a": {"b": 1}, "c": [10, 20]}))),
+            sz = estimate_data_size('abcd', 12345)
+    """).collect()[0]
+    qp = json.loads(r["q"])["Query Parameters"]
+    assert qp["k1"] == "v 1" and qp["k2"] in ("a+b", "a b")
+    assert r["e"] == "8jMxriJurkmwahbmqbIS6w=="
+    assert r["d"] == "ae3133f2-6e22-49ae-b06a-16e6a9b212eb"
+    assert r["bad"] is None
+    paths = json.loads(r["t"])
+    assert set(paths) == {"['a']", "['a']['b']", "['c']",
+                          "['c'][0]", "['c'][1]"}
+    assert r["sz"] >= 20
+
+
 def test_series_empty_input_guards(spark, sf_dir):
     """series_fill_linear / series_seasonal on an EMPTY series must
     return an empty array — zip_with over the descending sequence(1, 0)
