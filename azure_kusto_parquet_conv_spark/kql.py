@@ -200,6 +200,15 @@ the r8 math batch (log/log2/log10/exp/exp2/exp10, sin/cos/tan/asin/
 acos/atan/atan2/cot, degrees/radians, sign/sqrt/pow/pi,
 array_sum/array_avg — null/non-numeric elements ignored per Kusto),
 series_abs/exp/log/sign/sqrt/floor/ceiling/pow (elementwise),
+series_sin/cos/tan/asin/acos/atan (r11) + series_equals/not_equals/
+greater/greater_equals/less/less_equals (pairwise bool series),
+make_string (codepoints alias), replace_strings (sequential fold),
+pack_all([ignore_null_empty]) (schema-aware, token-level),
+pack_dictionary (pack alias), parse_command_line (windows
+CommandLineToArgvW rules + posix shlex, codec-UDF kernel),
+ipv4_compare/ipv4_is_match (min-prefix masking),
+geo_line_length/geo_polygon_area (spherical shoelace)/
+geo_polygon_centroid/geo_distance_point_to_line (local planar),
 bag_merge (first-occurrence-wins map<string,variant> fold),
 bag_remove_keys/bag_set_key (top-level), gettype (Kusto type names),
 array_split (0-based indices, negatives wrap), has_any_index,
@@ -630,7 +639,7 @@ class _ExprParser:
             ps = ", ".join(f"CAST(({p}) / 100.0 AS DOUBLE)"
                            for p in args[1:])
             return f"percentile({args[0]}, array({ps}))"
-        if fname in ("pack", "bag_pack"):
+        if fname in ("pack", "bag_pack", "pack_dictionary"):
             # pack('k1', v1, 'k2', v2, ...) -> dynamic property bag on
             # VARIANT (JSON round-trip through named_struct); keys must
             # be string literals, like Kusto's common usage
@@ -885,10 +894,12 @@ class _ExprParser:
             return (f"parse_json(to_json(transform(regexp_extract_all("
                     f"{args[0]}, '(?s).', 0), "
                     f"__cp_c -> ascii(__cp_c))))")
-        if fname == "unicode_codepoints_to_string":
+        if fname in ("unicode_codepoints_to_string", "make_string"):
+            # make_string is Kusto's (deprecated) alias for
+            # unicode_codepoints_to_string — same signature
             if len(args) < 1:
                 raise ValueError(
-                    "KQL: unicode_codepoints_to_string(arr | cp, ...)")
+                    f"KQL: {fname}(arr | cp, ...)")
             if len(args) == 1:
                 a = (f"try_cast(variant_get(parse_json(to_json("
                      f"named_struct('x', {args[0]}))), '$.x') "
@@ -1188,6 +1199,10 @@ class _ExprParser:
             return self._geohash_fn(fname, args)
         if fname == "geo_point_in_polygon":
             return self._geo_point_in_polygon(args)
+        if fname in ("geo_line_length", "geo_polygon_area",
+                     "geo_polygon_centroid",
+                     "geo_distance_point_to_line"):
+            return self._geo_measure_fn(fname, args)
         if fname == "bag_keys":
             # dynamic bag -> array of top-level keys (JSON round-trip;
             # VARIANT has no native key enumeration yet)
@@ -1574,7 +1589,8 @@ class _ExprParser:
                     f"THEN CAST({expr} AS DECIMAL(38,0)) ELSE NULL END)")
         if fname in ("parse_ipv4", "parse_ipv4_mask", "ipv4_is_private",
                      "ipv4_is_in_range", "format_ipv4",
-                     "format_ipv4_mask", "ipv4_netmask_suffix"):
+                     "format_ipv4_mask", "ipv4_netmask_suffix",
+                     "ipv4_compare", "ipv4_is_match"):
             return self._ipv4_fn(fname, args)
         if fname in ("has_ipv4", "has_any_ipv4", "has_ipv4_prefix",
                      "has_any_ipv4_prefix", "ipv4_is_in_any_range"):
@@ -1906,13 +1922,32 @@ class _ExprParser:
                     f"unhex(lpad(hex(pmod(__bf_b, 256)), 2, '0')))))")
         if fname in ("series_abs", "series_exp", "series_log",
                      "series_sign", "series_sqrt", "series_floor",
-                     "series_ceiling"):
+                     "series_ceiling", "series_sin", "series_cos",
+                     "series_tan", "series_asin", "series_acos",
+                     "series_atan"):
             # elementwise unary transforms over the in-row series
+            # (trig family added in r11 — same Spark builtin names)
             if len(args) != 1:
                 raise ValueError(f"KQL: {fname}(series) takes 1 arg")
             fn = fname.removeprefix("series_")
             return (f"transform({args[0]}, __su_v -> "
                     f"CAST({fn}(CAST(__su_v AS DOUBLE)) AS DOUBLE))")
+        if fname in ("series_equals", "series_not_equals",
+                     "series_greater", "series_greater_equals",
+                     "series_less", "series_less_equals"):
+            # pairwise comparison series -> boolean array (Kusto
+            # returns a dynamic array of bool; null elements compare
+            # to null, like the scalar operators)
+            if len(args) != 2:
+                raise ValueError(f"KQL: {fname}(series1, series2)")
+            op_sym = {"series_equals": "=", "series_not_equals": "!=",
+                      "series_greater": ">",
+                      "series_greater_equals": ">=",
+                      "series_less": "<",
+                      "series_less_equals": "<="}[fname]
+            return (f"zip_with({args[0]}, {args[1]}, "
+                    f"(__sc_x, __sc_y) -> CAST(__sc_x AS DOUBLE) "
+                    f"{op_sym} CAST(__sc_y AS DOUBLE))")
         if fname == "series_pow":
             if len(args) != 2:
                 raise ValueError("KQL: series_pow(series, exponent)")
@@ -2329,6 +2364,25 @@ class _ExprParser:
             if len(args) != 3:
                 raise ValueError("KQL: replace_regex(text, regex, rewrite)")
             return f"regexp_replace({args[0]}, {args[1]}, {args[2]})"
+        if fname == "replace_strings":
+            # replace_strings(text, lookups, rewrites): sequential
+            # literal replacement driven by two parallel dynamic
+            # arrays (a lambda-fold — each rewrite sees the previous
+            # step's output, Kusto's documented order). Mismatched
+            # array lengths yield null, matching Kusto's error-free
+            # null convention for invalid dynamic args.
+            if len(args) != 3:
+                raise ValueError(
+                    "KQL: replace_strings(text, lookups, rewrites)")
+            lk = f"from_json(to_json({args[1]}), 'array<string>')"
+            rw = f"from_json(to_json({args[2]}), 'array<string>')"
+            pairs = (f"zip_with({lk}, {rw}, (__rs_l, __rs_r) -> "
+                     f"named_struct('l', __rs_l, 'r', __rs_r))")
+            fold = (f"aggregate({pairs}, CAST({args[0]} AS STRING), "
+                    f"(__rs_a, __rs_p) -> replace(__rs_a, __rs_p.l, "
+                    f"coalesce(__rs_p.r, '')))")
+            return (f"(CASE WHEN size({lk}) = size({rw}) "
+                    f"THEN {fold} ELSE NULL END)")
         if fname in ("parse_json", "todynamic"):
             # Kusto dynamic == Spark 4 VARIANT: binary-encoded
             # semi-structured values, predicate/path evaluation without
@@ -2505,6 +2559,24 @@ class _ExprParser:
                 raise ValueError("KQL: parse_xml(xml_text)")
             return (f"parse_json(__kql_parse_xml("
                     f"CAST({args[0]} AS STRING)))")
+        if fname == "parse_command_line":
+            # command text -> dynamic array of arguments via the
+            # __kql_parse_cmdline kernel (_register_codec_udfs).
+            # Kusto documents the 'windows' parser (CommandLineToArgvW
+            # rules); 'posix' (stdlib shlex) is an extension. The
+            # parser type must be a string literal, like Kusto.
+            if len(args) != 2:
+                raise ValueError(
+                    "KQL: parse_command_line(command, parser_type)")
+            pm = re.fullmatch(r"\s*'(\w+)'\s*", args[1] or "")
+            if not pm or pm.group(1).lower() not in ("windows",
+                                                     "posix"):
+                raise ValueError(
+                    "KQL: parse_command_line parser_type must be the "
+                    "literal 'windows' or 'posix'")
+            return (f"parse_json(__kql_parse_cmdline("
+                    f"CAST({args[0]} AS STRING), "
+                    f"'{pm.group(1).lower()}'))")
         if fname == "countof":
             # countof(text, search[, kind]): kind='regex' counts
             # pattern matches; default counts non-overlapping plain
@@ -2779,6 +2851,37 @@ class _ExprParser:
                     f"OR ({num} BETWEEN 2886729728 AND 2887778303) "
                     f"OR ({num} BETWEEN 3232235520 AND 3232301055) "
                     f"ELSE NULL END)")
+        if fname in ("ipv4_compare", "ipv4_is_match"):
+            # ipv4_compare(a, b[, prefix]) -> -1/0/1 comparing the two
+            # addresses masked to the EFFECTIVE prefix = min(a's
+            # /suffix, b's /suffix, the prefix argument); null when
+            # either side (or the prefix) is invalid — Kusto's
+            # documented IP-prefix comparison. ipv4_is_match is the
+            # equality form (compare == 0).
+            if len(args) not in (2, 3):
+                raise ValueError(f"KQL: {fname}(ip1, ip2[, prefix])")
+            a, b = args[0], args[1]
+            va, na = self._ipv4_num(a)
+            vb, nb = self._ipv4_num(b)
+
+            def sfx(ip):
+                return (f"(CASE WHEN nullif(split_part({ip}, '/', 2),"
+                        f" '') IS NULL THEN 32 ELSE try_cast("
+                        f"split_part({ip}, '/', 2) AS INT) END)")
+            parg = (f"CAST({args[2]} AS INT)" if len(args) == 3
+                    else "32")
+            pfx = f"least({sfx(a)}, {sfx(b)}, {parg})"
+            ma = f"shiftright({na}, 32 - {pfx})"
+            mb = f"shiftright({nb}, 32 - {pfx})"
+            cmp_ = (f"(CASE WHEN {ma} < {mb} THEN -1 "
+                    f"WHEN {ma} > {mb} THEN 1 ELSE 0 END)")
+            body = (cmp_ if fname == "ipv4_compare"
+                    else f"({ma} = {mb})")
+            typ = "BIGINT" if fname == "ipv4_compare" else "BOOLEAN"
+            return (f"(CASE WHEN {va} AND {vb} AND {sfx(a)} BETWEEN 0 "
+                    f"AND 32 AND {sfx(b)} BETWEEN 0 AND 32 "
+                    f"AND {pfx} BETWEEN 0 AND 32 "
+                    f"THEN CAST({body} AS {typ}) ELSE NULL END)")
         # ipv4_is_in_range(ip, 'net/prefix' | exact ip)
         if len(args) != 2:
             raise ValueError("KQL: ipv4_is_in_range(ip, range)")
@@ -2992,6 +3095,145 @@ class _ExprParser:
         return (f"(CASE WHEN {ok} THEN parse_json(to_json("
                 f"named_struct('type', 'Point', 'coordinates', "
                 f"array({clon}, {clat})))) ELSE NULL END)")
+
+    _GEO_R = "6371009.0"  # mean Earth radius, same as the distances
+
+    def _geo_hav(self, p: str, q: str) -> str:
+        """Haversine meters between two GeoJSON positions ([lon, lat]
+        double arrays) — the same mean-radius sphere convention as
+        geo_distance_2points."""
+        lon1 = f"radians(element_at({p}, 1))"
+        lat1 = f"radians(element_at({p}, 2))"
+        lon2 = f"radians(element_at({q}, 1))"
+        lat2 = f"radians(element_at({q}, 2))"
+        hav = (f"(pow(sin(({lat2} - {lat1}) / 2), 2) "
+               f"+ cos({lat1}) * cos({lat2}) "
+               f"* pow(sin(({lon2} - {lon1}) / 2), 2))")
+        return f"(2 * {self._GEO_R} * asin(least(1.0, sqrt({hav}))))"
+
+    def _geo_measure_fn(self, fname: str, args: list[str]) -> str:
+        """Runtime geo measures over GeoJSON dynamics — pure
+        higher-order SQL folds, no UDF, so they ride whole-stage
+        codegen over a 100 TB point/shape table.
+
+        Documented approximations (consistent with this module's geo
+        family): lengths/distances use the mean-radius sphere
+        (haversine; Kusto uses WGS84 geodesics, <0.5% off);
+        geo_polygon_area uses the spherical shoelace
+        (Chamberlain-Duquette); geo_polygon_centroid and
+        geo_distance_point_to_line evaluate planar formulas in a
+        local equirectangular frame (fine for small shapes; no
+        antimeridian handling, same policy as geo_point_in_polygon).
+        Degenerate geometry (wrong type, <2 line points, zero-area
+        ring) yields null, Kusto's error-free convention."""
+        R = self._GEO_R
+        if fname == "geo_line_length":
+            if len(args) != 1:
+                raise ValueError("KQL: geo_line_length(lineString)")
+            ls = (f"from_json(to_json({args[0]}), 'struct<"
+                  f"type:string,coordinates:array<array<double>>>')")
+            pts = f"({ls}).coordinates"
+            seg = self._geo_hav(f"element_at({pts}, __gl_i)",
+                                f"element_at({pts}, __gl_i + 1)")
+            total = (f"aggregate(sequence(1, size({pts}) - 1), "
+                     f"CAST(0 AS DOUBLE), "
+                     f"(__gl_a, __gl_i) -> __gl_a + {seg})")
+            return (f"(CASE WHEN ({ls}).type = 'LineString' "
+                    f"AND size({pts}) >= 2 THEN {total} "
+                    f"ELSE NULL END)")
+        if fname in ("geo_polygon_area", "geo_polygon_centroid"):
+            if len(args) != 1:
+                raise ValueError(f"KQL: {fname}(polygon)")
+            pg = (f"from_json(to_json({args[0]}), 'struct<type:string,"
+                  f"coordinates:array<array<array<double>>>>')")
+            rings = f"({pg}).coordinates"
+            ok = (f"(({pg}).type = 'Polygon' AND size({rings}) >= 1 "
+                  f"AND size(element_at({rings}, 1)) >= 4)")
+            if fname == "geo_polygon_area":
+                # spherical shoelace per ring (|sum| * R^2 / 2),
+                # holes subtract from the outer ring
+                def ring_area(r, pfx):
+                    def lon(o):
+                        return (f"radians(element_at(element_at({r}, "
+                                f"__{pfx}_i{o}), 1))")
+
+                    def lat(o):
+                        return (f"sin(radians(element_at("
+                                f"element_at({r}, __{pfx}_i{o}), 2)))")
+                    term = (f"({lon(' + 1')} - {lon('')})"
+                            f" * (2.0 + {lat('')} "
+                            f"+ {lat(' + 1')})")
+                    s = (f"aggregate(sequence(1, size({r}) - 1), "
+                         f"CAST(0 AS DOUBLE), (__{pfx}_a, __{pfx}_i)"
+                         f" -> __{pfx}_a + {term})")
+                    return f"(abs({s}) * {R} * {R} / 2)"
+                outer = ring_area(f"element_at({rings}, 1)", "go")
+                hole = ring_area(f"element_at({rings}, __gh_k)", "gr")
+                holes = (f"(CASE WHEN size({rings}) >= 2 THEN "
+                         f"aggregate(sequence(2, size({rings})), "
+                         f"CAST(0 AS DOUBLE), (__gh_a, __gh_k) -> "
+                         f"__gh_a + {hole}) ELSE 0.0 END)")
+                return (f"(CASE WHEN {ok} THEN "
+                        f"greatest({outer} - {holes}, 0.0) "
+                        f"ELSE NULL END)")
+            # centroid: planar shoelace over the outer ring, returned
+            # as a GeoJSON Point dynamic
+            o = f"element_at({rings}, 1)"
+
+            def coord(axis, off):
+                return (f"element_at(element_at({o}, "
+                        f"__gc_i{off}), {axis})")
+
+            def fold(term):
+                return (f"aggregate(sequence(1, size({o}) - 1), "
+                        f"CAST(0 AS DOUBLE), (__gc_a, __gc_i) -> "
+                        f"__gc_a + {term})")
+            xi, yi = coord(1, ""), coord(2, "")
+            xj, yj = coord(1, " + 1"), coord(2, " + 1")
+            cross = f"({xi} * {yj} - {xj} * {yi})"
+            a2 = fold(cross)
+            cx = f"({fold(f'({xi} + {xj}) * {cross}')} / (3 * {a2}))"
+            cy = f"({fold(f'({yi} + {yj}) * {cross}')} / (3 * {a2}))"
+            pt = (f"named_struct('type', 'Point', 'coordinates', "
+                  f"array({cx}, {cy}))")
+            return (f"(CASE WHEN {ok} AND {a2} != 0 THEN "
+                    f"parse_json(to_json({pt})) ELSE NULL END)")
+        # geo_distance_point_to_line(lon, lat, line): min planar
+        # point-to-segment distance in a local equirectangular frame
+        # centered on the point (meters)
+        if len(args) != 3:
+            raise ValueError(
+                "KQL: geo_distance_point_to_line(lon, lat, line)")
+        lon0, lat0 = f"CAST({args[0]} AS DOUBLE)", \
+            f"CAST({args[1]} AS DOUBLE)"
+        ls = (f"from_json(to_json({args[2]}), 'struct<"
+              f"type:string,coordinates:array<array<double>>>')")
+        pts = f"({ls}).coordinates"
+
+        def px(i):
+            return (f"(radians(element_at(element_at({pts}, {i}), 1) "
+                    f"- {lon0}) * cos(radians({lat0})) * {R})")
+
+        def py(i):
+            return (f"(radians(element_at(element_at({pts}, {i}), 2) "
+                    f"- {lat0}) * {R})")
+        ax, ay = px("__gd_i"), py("__gd_i")
+        bx, by = px("__gd_i + 1"), py("__gd_i + 1")
+        dx, dy = f"({bx} - {ax})", f"({by} - {ay})"
+        d2 = f"({dx} * {dx} + {dy} * {dy})"
+        t = (f"(CASE WHEN {d2} = 0 THEN 0.0 ELSE "
+             f"greatest(0.0, least(1.0, "
+             f"-({ax} * {dx} + {ay} * {dy}) / {d2})) END)")
+        qx, qy = f"({ax} + {t} * {dx})", f"({ay} + {t} * {dy})"
+        dist = f"sqrt({qx} * {qx} + {qy} * {qy})"
+        best = (f"aggregate(sequence(1, size({pts}) - 1), "
+                f"CAST('Infinity' AS DOUBLE), "
+                f"(__gd_a, __gd_i) -> least(__gd_a, {dist}))")
+        return (f"(CASE WHEN ({ls}).type = 'LineString' "
+                f"AND size({pts}) >= 2 "
+                f"AND {lon0} BETWEEN -180 AND 180 "
+                f"AND {lat0} BETWEEN -90 AND 90 "
+                f"THEN {best} ELSE NULL END)")
 
     def _geo_point_in_polygon(self, args: list[str]) -> str:
         """geo_point_in_polygon(lon, lat, polygon) — the polygon must
@@ -4090,6 +4332,43 @@ def _compile_expr_tokens(toks: list[Tok], df: DataFrame,
                            f"OVER ({over})"))
             i = j + 1
             continue
+        if (t.kind == "ident" and t.text.lower() == "pack_all"
+                and i + 1 < len(toks) and toks[i + 1].text == "("):
+            # pack_all([ignore_null_empty]) needs the ROW SCHEMA, so it
+            # is intercepted here (like bin) where df is in scope: a
+            # dynamic bag of every current column. With
+            # ignore_null_empty=true, null / '' / [] / {} values are
+            # dropped (Kusto semantics); otherwise nulls are kept
+            # (to_json's ignoreNullFields is explicitly disabled).
+            depth, j = 0, i + 1
+            while j < len(toks):
+                if toks[j].text == "(":
+                    depth += 1
+                elif toks[j].text == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j += 1
+            inner = [x for x in toks[i + 2:j]]
+            arg = "".join(x.text for x in inner).strip().lower()
+            if arg not in ("", "true", "false"):
+                raise ValueError(
+                    "KQL: pack_all([ignore_null_empty]) takes at most "
+                    "one boolean literal")
+            pairs = ", ".join(f"'{c}', `{c}`" for c in df.columns)
+            base = (f"to_json(named_struct({pairs}), "
+                    f"map('ignoreNullFields', 'false'))")
+            if arg == "true":
+                m = f"from_json({base}, 'map<string,variant>')"
+                kept = (f"map_filter({m}, (__pa_k, __pa_v) -> "
+                        f"__pa_v IS NOT NULL AND to_json(__pa_v) "
+                        f"NOT IN ('\"\"', '[]', '{{}}', 'null'))")
+                rendered = f"parse_json(to_json({kept}))"
+            else:
+                rendered = f"parse_json({base})"
+            out.append(Tok("rendered", rendered))
+            i = j + 1
+            continue
         if (t.kind == "ident"
                 and t.text.lower() in ("bin", "bin_at", "bin_auto")
                 and i + 1 < len(toks) and toks[i + 1].text == "("):
@@ -4641,6 +4920,75 @@ def _register_codec_udfs(spark: SparkSession) -> None:
 
     spark.udf.register("__kql_parse_xml",
                        pandas_udf(xml_lift, "string"))
+
+    # parse_command_line: command text -> JSON array of arguments.
+    # 'windows' follows the documented CommandLineToArgvW rules
+    # (2n backslashes + quote -> n backslashes + quote toggle,
+    # 2n+1 -> n backslashes + literal quote, "" inside quotes ->
+    # literal quote); 'posix' rides stdlib shlex. Null / blank
+    # input -> null, unparseable posix input -> null.
+    import shlex as _shlex
+
+    def _win_cmdline(s):
+        args_, cur, i, n = [], [], 0, len(s)
+        in_q = started = False
+        while i < n:
+            c = s[i]
+            if c == "\\":
+                j = i
+                while j < n and s[j] == "\\":
+                    j += 1
+                nb = j - i
+                if j < n and s[j] == '"':
+                    cur.append("\\" * (nb // 2))
+                    started = True
+                    if nb % 2:
+                        cur.append('"')
+                        i = j + 1
+                    else:
+                        i = j
+                else:
+                    cur.append("\\" * nb)
+                    started = True
+                    i = j
+            elif c == '"':
+                if in_q and i + 1 < n and s[i + 1] == '"':
+                    cur.append('"')
+                    i += 2
+                else:
+                    in_q = not in_q
+                    started = True
+                    i += 1
+            elif c in " \t" and not in_q:
+                if started or cur:
+                    args_.append("".join(cur))
+                    cur, started = [], False
+                i += 1
+            else:
+                cur.append(c)
+                started = True
+                i += 1
+        if started or cur:
+            args_.append("".join(cur))
+        return args_
+
+    def cmdline_lift(col, typ):
+        out = []
+        for x, t in zip(col, typ):
+            if x is None or not str(x).strip():
+                out.append(None)
+                continue
+            try:
+                toks = (_win_cmdline(str(x)) if t == "windows"
+                        else _shlex.split(str(x), posix=True))
+                out.append(_json.dumps(toks, ensure_ascii=False,
+                                       separators=(",", ":")))
+            except Exception:
+                out.append(None)
+        return pd.Series(out, dtype=object)
+
+    spark.udf.register("__kql_parse_cmdline",
+                       pandas_udf(cmdline_lift, "string"))
     spark._kql_codec_registered = True
 
 

@@ -5554,3 +5554,179 @@ def test_math_special_plateau_margin():
         v = (1.0 - (1.0 - u) ** 3) * 1e6
         worst = min(worst, abs(v - math.floor(v) - 0.5))
     assert worst >= 1e-4, worst
+
+
+def test_series_trig_and_comparison(spark, sf_dir):
+    """r11 series widening: elementwise trig (sin/cos/tan/asin/acos/
+    atan) and the pairwise comparison family returning bool arrays."""
+    import math
+    r = kql(spark, sf_dir, """
+      print a = dynamic([0.0, 1.0]), b = dynamic([1.0, 1.0])
+        | extend sn = series_sin(a), cs = series_cos(a),
+                 tn = series_tan(a), an = series_atan(a),
+                 asn = series_asin(b), acs = series_acos(b),
+                 eq = series_equals(a, b),
+                 ne = series_not_equals(a, b),
+                 gt = series_greater(a, b),
+                 ge = series_greater_equals(a, b),
+                 lt = series_less(a, b),
+                 le = series_less_equals(a, b)
+    """).collect()[0]
+    assert r["sn"] == [0.0, math.sin(1.0)]
+    assert r["cs"] == [1.0, math.cos(1.0)]
+    assert r["tn"] == [0.0, math.tan(1.0)]
+    assert r["an"] == [0.0, math.atan(1.0)]
+    assert r["asn"] == [math.asin(1.0)] * 2
+    assert r["acs"] == [0.0, 0.0]
+    assert r["eq"] == [False, True]
+    assert r["ne"] == [True, False]
+    assert r["gt"] == [False, False]
+    assert r["ge"] == [False, True]
+    assert r["lt"] == [True, False]
+    assert r["le"] == [True, True]
+
+
+def test_make_string_and_replace_strings(spark, sf_dir):
+    """make_string is the unicode_codepoints_to_string alias;
+    replace_strings folds sequential literal replacements (each step
+    sees the previous output) and nulls on mismatched array lengths."""
+    r = kql(spark, sf_dir, """
+      print s = make_string(dynamic([75, 81, 76])),
+            r1 = replace_strings('A quick fox',
+                   dynamic(["quick", "fox"]),
+                   dynamic(["slow", "dog"])),
+            r2 = replace_strings('aaa', dynamic(["aa", "b"]),
+                   dynamic(["b", "c"])),
+            r3 = replace_strings('x', dynamic(["a", "b"]),
+                   dynamic(["y"]))
+    """).collect()[0]
+    assert r["s"] == "KQL"
+    assert r["r1"] == "A slow dog"
+    # sequential: 'aaa' -> 'ba' (first pair) -> 'ca' (second pair)
+    assert r["r2"] == "ca"
+    assert r["r3"] is None
+
+
+def test_pack_all_and_pack_dictionary(spark, sf_dir):
+    """pack_all() bags every current column (nulls kept); pack_all(true)
+    drops null/empty values; pack_dictionary aliases pack."""
+    import json
+    src = """
+      datatable (k:string, v:long, e:string) [
+        'a', 10, 'x',
+        'b', 20, ''
+      ]
+      | extend n = long(null)
+    """
+    # NB: each bag in its own query — extend assignments compile
+    # sequentially, so a second pack_all in the same pipeline would
+    # (correctly) capture the first's output column
+    full = {r["k"]: json.loads(r["full"]) for r in kql(
+        spark, sf_dir,
+        src + "| extend full = tostring(pack_all())").collect()}
+    slim = {r["k"]: json.loads(r["slim"]) for r in kql(
+        spark, sf_dir,
+        src + "| extend slim = tostring(pack_all(true))").collect()}
+    pd_ = {r["k"]: json.loads(r["pd"]) for r in kql(
+        spark, sf_dir, src + "| extend pd = tostring("
+        "pack_dictionary('key', k, 'val', v))").collect()}
+    assert full["a"] == {"k": "a", "v": 10, "e": "x", "n": None}
+    assert slim["a"] == {"k": "a", "v": 10, "e": "x"}
+    assert slim["b"] == {"k": "b", "v": 20}  # '' and null dropped
+    assert full["b"]["n"] is None
+    assert pd_["a"] == {"key": "a", "val": 10}
+    with pytest.raises(ValueError, match="pack_all"):
+        kql(spark, sf_dir,
+            "datatable (x:long) [1] | extend b = pack_all(x)")
+
+
+def test_parse_command_line(spark, sf_dir):
+    """parse_command_line: windows CommandLineToArgvW quoting rules
+    (backslash-quote pairs, "" literal quote) and the posix extension;
+    blank input -> null; parser type must be a literal."""
+    r = kql(spark, sf_dir, r"""
+      print w1 = tostring(parse_command_line(
+                   'prog.exe "a b" c', 'windows')),
+            w2 = tostring(parse_command_line(
+                   'x.exe \\"lit\\" tail', 'windows')),
+            w3 = tostring(parse_command_line(
+                   'p "em\\"\\"bed"', 'windows')),
+            p1 = tostring(parse_command_line(
+                   "sh -c 'a b'", 'posix')),
+            nul = parse_command_line('   ', 'windows')
+    """).collect()[0]
+    import json
+    assert json.loads(r["w1"]) == ["prog.exe", "a b", "c"]
+    assert json.loads(r["w2"]) == ["x.exe", '"lit"', "tail"]
+    assert json.loads(r["w3"]) == ["p", 'em""bed']
+    assert json.loads(r["p1"]) == ["sh", "-c", "a b"]
+    assert r["nul"] is None
+    with pytest.raises(ValueError, match="parser_type"):
+        kql(spark, sf_dir,
+            "print x = parse_command_line('a', 'bogus')")
+
+
+def test_ipv4_compare_and_is_match(spark, sf_dir):
+    """ipv4_compare/-is_match: effective prefix = min of both /suffixes
+    and the optional prefix arg; invalid input -> null."""
+    r = kql(spark, sf_dir, """
+      print c0 = ipv4_compare('192.168.1.1', '192.168.1.1'),
+            c1 = ipv4_compare('10.0.0.2', '10.0.0.1'),
+            cm = ipv4_compare('192.168.1.1/24', '192.168.1.255'),
+            ca = ipv4_compare('192.168.1.1', '192.168.2.1', 16),
+            cx = ipv4_compare('bogus', '10.0.0.1'),
+            m1 = ipv4_is_match('192.168.1.1', '192.168.1.255', 24),
+            m2 = ipv4_is_match('10.1.0.0', '10.2.0.0'),
+            m3 = ipv4_is_match('127.0.0.1/8', '127.255.255.255')
+    """).collect()[0]
+    assert r["c0"] == 0 and r["c1"] == 1
+    assert r["cm"] == 0 and r["ca"] == 0
+    assert r["cx"] is None
+    assert r["m1"] is True and r["m2"] is False and r["m3"] is True
+
+
+def test_geo_measures(spark, sf_dir):
+    """geo_line_length / geo_polygon_area / geo_polygon_centroid /
+    geo_distance_point_to_line — documented sphere/local-planar
+    approximations, closed-form pins on equator-adjacent shapes where
+    the formulas are analytic."""
+    import math
+    r = kql(spark, sf_dir, """
+      print ll = geo_line_length(dynamic({"type":"LineString",
+              "coordinates":[[0.0,0.0],[1.0,0.0],[1.0,1.0]]})),
+            ar = geo_polygon_area(dynamic({"type":"Polygon",
+              "coordinates":[[[0.0,0.0],[1.0,0.0],[1.0,1.0],
+                              [0.0,1.0],[0.0,0.0]]]})),
+            ah = geo_polygon_area(dynamic({"type":"Polygon",
+              "coordinates":[[[0.0,0.0],[1.0,0.0],[1.0,1.0],
+                              [0.0,1.0],[0.0,0.0]],
+                             [[0.2,0.2],[0.4,0.2],[0.4,0.4],
+                              [0.2,0.4],[0.2,0.2]]]})),
+            ct = tostring(geo_polygon_centroid(dynamic({
+              "type":"Polygon",
+              "coordinates":[[[0.0,0.0],[2.0,0.0],[2.0,2.0],
+                              [0.0,2.0],[0.0,0.0]]]}))),
+            dp = geo_distance_point_to_line(0.5, 0.001,
+              dynamic({"type":"LineString",
+                       "coordinates":[[0.0,0.0],[1.0,0.0]]})),
+            bad = geo_line_length(dynamic({"type":"Point",
+              "coordinates":[0.0,0.0]}))
+    """).collect()[0]
+    R = 6371009.0
+    deg = math.pi / 180 * R
+    # two unit-degree segments: one along the equator, one along a
+    # meridian at lon=1 (both exactly R * 1 degree on the sphere)
+    assert abs(r["ll"] - 2 * deg) < 1.0
+    # spherical shoelace of the 1x1-degree equator square
+    exact = R * R * math.radians(1.0) * (
+        math.sin(math.radians(1.0)) - math.sin(0.0))
+    assert abs(r["ar"] - exact) / exact < 1e-9
+    assert r["ah"] < r["ar"]  # the hole subtracts
+    import json
+    c = json.loads(r["ct"])
+    assert c["type"] == "Point"
+    assert abs(c["coordinates"][0] - 1.0) < 1e-9
+    assert abs(c["coordinates"][1] - 1.0) < 1e-9
+    # point 0.001 deg north of the equator line: distance ~ 0.001 deg
+    assert abs(r["dp"] - 0.001 * deg) < 0.5
+    assert r["bad"] is None
