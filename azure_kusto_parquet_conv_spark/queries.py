@@ -3752,6 +3752,172 @@ def q_kql_array_ops(spark, sf_dir):
     """)
 
 
+@query("q_kql_replace_tools", """
+WITH t AS (SELECT doc_id, text,
+            list_filter(string_split(text, ' '),
+                        x -> x <> '') AS toks
+           FROM documents WHERE doc_id % 40 = 0)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  replace(replace(text, 'the', 'THE'), 'value', 'VAL') AS rep,
+  substr(text, 1, 8) AS rt,
+  toks[1] AS a1,
+  toks[3] AS a3
+FROM t
+""")
+def q_kql_replace_tools(spark, sf_dir):
+    """r11 string-tool batch over the real corpus: replace_strings
+    (sequential lambda-fold — the oracle chains the same two literal
+    replaces in the same order), make_string round-tripping
+    unicode_codepoints_from_string (identity proof: the oracle is a
+    plain substr), and parse_command_line 'windows' token extraction
+    (the fixture text is quote/backslash-free, so CommandLineToArgvW
+    semantics reduce to whitespace splitting, which the oracle
+    re-derives with string_split + an empty filter; the quoting rules
+    proper are pinned in tests/test_kql.py). replace_strings and
+    make_string are whole-stage-codegen HOFs; parse_command_line is
+    the sanctioned Arrow-batched kernel — one Arrow hop per batch, no
+    per-row Python."""
+    from azure_kusto_parquet_conv_spark.kql import kql
+    return kql(spark, sf_dir, """
+      documents
+        | where doc_id % 40 == 0
+        | extend cmd = parse_command_line(text, 'windows')
+        | project doc_id,
+            rep = replace_strings(text, dynamic(["the", "value"]),
+                                  dynamic(["THE", "VAL"])),
+            rt = make_string(
+                unicode_codepoints_from_string(substring(text, 0, 8))),
+            a1 = tostring(cmd[0]),
+            a3 = tostring(cmd[2])
+    """)
+
+
+@query("q_kql_ipv4_compare", """
+WITH t AS (
+  SELECT l_orderkey, l_linenumber,
+    l_orderkey % 256 AS o1, l_partkey % 256 AS o2,
+    l_suppkey % 256 AS o3,
+    CAST(l_linenumber AS BIGINT) % 256 AS o4,
+    8 + CAST(l_linenumber AS BIGINT) % 24 AS p
+  FROM lineitem WHERE l_orderkey % 97 = 0),
+n AS (
+  SELECT *,
+    ((o1 * 256 + o2) * 256 + o3) * 256 + o4 AS na,
+    ((o1 * 256 + o2) * 256 + (o3 + 1) % 256) * 256 + 1 AS nb
+  FROM t)
+SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey, l_linenumber,
+  CAST(CASE WHEN na >> 8 < nb >> 8 THEN -1
+            WHEN na >> 8 > nb >> 8 THEN 1 ELSE 0 END AS BIGINT) AS cmp,
+  CAST(CASE WHEN na >> 16 < nb >> 16 THEN -1
+            WHEN na >> 16 > nb >> 16 THEN 1 ELSE 0 END
+       AS BIGINT) AS cmq,
+  (na >> (32 - least(24, p))) = (nb >> (32 - least(24, p))) AS m,
+  CAST(na AS BIGINT) AS pa,
+  CAST(24 AS BIGINT) AS sfx
+FROM n
+""")
+def q_kql_ipv4_compare(spark, sf_dir):
+    """ipv4_compare / ipv4_is_match over addresses synthesized from
+    lineitem key octets (one carries a /24 suffix, so the effective
+    prefix = min of both suffixes and the optional argument is
+    exercised on all three legs). Pure 64-bit integer expressions in
+    whole-stage codegen — the oracle never parses a string: it
+    re-derives the numeric addresses from the same octet arithmetic
+    and compares with explicit bit shifts, making every output an
+    exact integer/boolean (hash-portable by construction). The
+    wrap case o3 = 255 flips the compare sign, so cmp really takes
+    both branches on the fixture."""
+    from azure_kusto_parquet_conv_spark.kql import kql
+    return kql(spark, sf_dir, """
+      lineitem
+        | where l_orderkey % 97 == 0
+        | extend o1 = l_orderkey % 256, o2 = l_partkey % 256,
+                 o3 = l_suppkey % 256, o4 = tolong(l_linenumber) % 256
+        | extend a = strcat(tostring(o1), '.', tostring(o2), '.',
+                            tostring(o3), '.', tostring(o4)),
+                 b = strcat(tostring(o1), '.', tostring(o2), '.',
+                            tostring((o3 + 1) % 256), '.1/24'),
+                 p = toint(8 + tolong(l_linenumber) % 24)
+        | project l_orderkey, l_linenumber,
+            cmp = ipv4_compare(a, b),
+            cmq = ipv4_compare(a, b, 16),
+            m = ipv4_is_match(a, b, p),
+            pa = parse_ipv4(a),
+            sfx = ipv4_netmask_suffix(b)
+    """)
+
+
+@query("q_kql_geo_measures", """
+WITH t AS (
+  SELECT l_orderkey,
+    CAST(l_orderkey % 120 AS DOUBLE) / 2.0e0 - 30.0e0 AS lon1,
+    CAST(l_partkey % 100 AS DOUBLE) / 2.0e0 - 25.0e0 AS lat1,
+    CAST(l_suppkey % 10 + 1 AS DOUBLE) / 4.0e0 AS dx,
+    CAST(CAST(l_linenumber AS BIGINT) % 7 + 1 AS DOUBLE) / 8.0e0 AS dy
+  FROM lineitem WHERE l_orderkey % 201 = 0),
+r AS (
+  SELECT l_orderkey,
+    (lat1 / 180.0e0 * pi()) AS q1,
+    ((lat1 + dy) / 180.0e0 * pi()) AS q2,
+    (lon1 / 180.0e0 * pi()) AS g1,
+    ((lon1 + dx) / 180.0e0 * pi()) AS g2
+  FROM t),
+m AS (
+  SELECT l_orderkey,
+    (2 * 6371009.0e0 * asin(least(1.0e0, sqrt(
+       pow(sin((q2 - q1) / 2), 2)
+       + cos(q1) * cos(q2) * pow(sin((g2 - g1) / 2), 2))))) AS len,
+    (abs((g2 - g1) * (2.0e0 + sin(q1) + sin(q1))
+         + (g1 - g2) * (2.0e0 + sin(q2) + sin(q2)))
+     * 6371009.0e0 * 6371009.0e0 / 2) AS area
+  FROM r)
+SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+  CAST(FLOOR(len * 10.0e0 + 0.5e0) AS BIGINT) AS len_dm,
+  CAST(FLOOR(area / 1000.0e0 + 0.5e0) AS BIGINT) AS area_km
+FROM m
+""")
+def q_kql_geo_measures(spark, sf_dir):
+    """geo_line_length + geo_polygon_area over per-row GeoJSON built
+    from exact-dyadic lineitem-derived coordinates (0.5/0.25/0.125-
+    degree grids, so both engines start from bit-identical doubles).
+    The oracle replays the documented formulas op-for-op — haversine
+    with Java's toRadians order (x / 180 * pi), and the spherical
+    shoelace with the fold's left-to-right edge order (the two
+    zero-longitude-delta edges contribute exact +0.0) — then both
+    sides land on a FLOOR(x + 0.5) grid (decimeters / 1000 m^2) whose
+    distance-to-boundary dwarfs libm-vs-JVM sin/cos drift by >=10^3
+    (pinned by tests/test_kql.py::
+    test_geo_measures_plateau_margin). Pure HOF codegen: rounding a
+    shape measure over a 100 TB geometry table costs zero shuffles."""
+    from azure_kusto_parquet_conv_spark.kql import kql
+    return kql(spark, sf_dir, """
+      lineitem
+        | where l_orderkey % 201 == 0
+        | extend lon1 = todouble(l_orderkey % 120) / todouble(2)
+                        - todouble(30),
+                 lat1 = todouble(l_partkey % 100) / todouble(2)
+                        - todouble(25),
+                 dx = todouble(l_suppkey % 10 + 1) / todouble(4),
+                 dy = todouble(tolong(l_linenumber) % 7 + 1)
+                      / todouble(8)
+        | extend line = pack('type', 'LineString', 'coordinates',
+                   pack_array(pack_array(lon1, lat1),
+                              pack_array(lon1 + dx, lat1 + dy))),
+                 poly = pack('type', 'Polygon', 'coordinates',
+                   pack_array(pack_array(
+                     pack_array(lon1, lat1),
+                     pack_array(lon1 + dx, lat1),
+                     pack_array(lon1 + dx, lat1 + dy),
+                     pack_array(lon1, lat1 + dy),
+                     pack_array(lon1, lat1))))
+        | project l_orderkey,
+            len_dm = tolong(bin(geo_line_length(line) * todouble(10)
+                                + todouble(0.5), 1)),
+            area_km = tolong(bin(geo_polygon_area(poly)
+                                 / todouble(1000) + todouble(0.5), 1))
+    """)
+
+
 @query("q_kql_tdigest", """
 WITH b AS (
   SELECT l_returnflag AS g,
@@ -9638,11 +9804,15 @@ DRIVER_WINDOW = [
     # ledger promised "first in line for r11"; q_asof_join,
     # q_sessionize and q_window_lag_lead were displaced to
     # DEFERRED_OLDEST by the three new-in-r11 entries below per the
-    # hygiene rule); a further new-in-r11 entry displaces from THIS
-    # tail (lowest priority in the window), last name first:
-    "q_dedup_exact", "q_dedup_jaccard",
+    # hygiene rule; q_dedup_exact and q_dedup_jaccard — the last two
+    # unchanged-code back-fills — were displaced later in r11 by
+    # q_kql_replace_tools / q_kql_ipv4_compare and likewise moved to
+    # DEFERRED_OLDEST; the third late entry, q_kql_geo_measures,
+    # sits in DEFERRED_NEVER_CHECKED rather than displace a
+    # changed-since-attestation r4 slot):
     # new-in-r11 entries (hygiene rule: staged the round they land):
     "q_kql_convert_units", "q_kql_array_ops", "q_rrf_fusion",
+    "q_kql_replace_tools", "q_kql_ipv4_compare",
 ]
 
 # Rotation ledger: r1-r10 windows are banked driver-green in

@@ -143,6 +143,13 @@ HEADLINE = [
     "q_kql_convert_units",
     "q_kql_array_ops",
     "q_rrf_fusion",
+    # late-r11: the Arrow-hop command-line parse + codegen string fold
+    # (quality-pipeline text tooling), the pure-integer ipv4 compare
+    # (log-curation predicate shape), and the per-row GeoJSON measure
+    # folds (zero-shuffle geometry math over a fact scan).
+    "q_kql_replace_tools",
+    "q_kql_ipv4_compare",
+    "q_kql_geo_measures",
 ]
 
 

@@ -5730,3 +5730,46 @@ def test_geo_measures(spark, sf_dir):
     # point 0.001 deg north of the equator line: distance ~ 0.001 deg
     assert abs(r["dp"] - 0.001 * deg) < 0.5
     assert r["bad"] is None
+
+
+def test_geo_measures_plateau_margin(spark, sf_dir):
+    """q_kql_geo_measures hash-gates FLOOR(x + 0.5) of transcendental
+    measures, which is only engine-portable while every value's
+    distance to a rounding boundary dwarfs cross-libm sin/cos drift
+    (<= a few ulps, ~1e-13 relative). Assert the margin on the actual
+    fixture at the replica scale factors: min distance must exceed
+    1e-4 grid units — >= 10^3 above the worst drift bound for these
+    magnitudes (the r10 transcendental-oracle plateau pattern)."""
+    from azure_kusto_parquet_conv_spark.kql import kql
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        rows = kql(spark, sf, """
+          lineitem
+            | where l_orderkey % 201 == 0
+            | extend lon1 = todouble(l_orderkey % 120) / todouble(2)
+                            - todouble(30),
+                     lat1 = todouble(l_partkey % 100) / todouble(2)
+                            - todouble(25),
+                     dx = todouble(l_suppkey % 10 + 1) / todouble(4),
+                     dy = todouble(tolong(l_linenumber) % 7 + 1)
+                          / todouble(8)
+            | extend line = pack('type', 'LineString', 'coordinates',
+                       pack_array(pack_array(lon1, lat1),
+                                  pack_array(lon1 + dx, lat1 + dy))),
+                     poly = pack('type', 'Polygon', 'coordinates',
+                       pack_array(pack_array(
+                         pack_array(lon1, lat1),
+                         pack_array(lon1 + dx, lat1),
+                         pack_array(lon1 + dx, lat1 + dy),
+                         pack_array(lon1, lat1 + dy),
+                         pack_array(lon1, lat1))))
+            | project raw_len = geo_line_length(line) * todouble(10)
+                                + todouble(0.5),
+                      raw_area = geo_polygon_area(poly)
+                                 / todouble(1000) + todouble(0.5)
+        """).collect()
+        assert rows, sf
+        for col in ("raw_len", "raw_area"):
+            dists = [abs(r[col] - round(r[col])) for r in rows]
+            # distance to the FLOOR(x) flip point (the integer grid,
+            # since the +0.5 is already applied)
+            assert min(dists) > 1e-4, (sf, col, min(dists))
