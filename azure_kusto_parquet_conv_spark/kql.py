@@ -104,6 +104,12 @@ Supported surface (each line maps to one DataFrame verb):
         over hll_union — exact in the Datasketches sparse regime)
     | evaluate rows_near(cond, before [, after])  (context rows via
         one codegen window frame — grep -C for tables)
+    | evaluate percentilew_exact(v, w, P [, by...])  (exact weighted
+        percentile with NO per-group buffering: per-value pre-agg +
+        cumulative window — the 100 TB twin of percentilew())
+    | evaluate rolling_percentile(v, pct, axis, binSize, windows
+        [, by...])  (per-bin exact percentile over the trailing
+        window of bins; bounded explode + the same crossing window)
     | evaluate sequence_detect(tl, gap, win, s=p, ..., dims)
         (gap/window-constrained ordered sequences per key)
     | reduce by expr   (log-template mining: guid/hex/digit runs -> '*')
@@ -6105,6 +6111,10 @@ class KqlCompiler:
             return self._ipv4_lookup(df, argtext)
         if plugin == "percentilew_approx":
             return self._percentilew_approx(df, argtext)
+        if plugin == "percentilew_exact":
+            return self._percentilew_exact(df, argtext)
+        if plugin == "rolling_percentile":
+            return self._rolling_percentile(df, argtext)
         if plugin == "tdigest":
             return self._tdigest(df, argtext)
         if plugin == "tdigest_merge":
@@ -6921,6 +6931,135 @@ class KqlCompiler:
         return (crossed.groupBy(*by)
                        .agg((F.min("__pwb") * F.lit(scale))
                             .alias(out_col)))
+
+    def _percentilew_exact(self, df: DataFrame, argtext: str) \
+            -> DataFrame:
+        """``evaluate percentilew_exact(value, weight, P [, by...])``:
+        exact weighted percentile WITHOUT per-group buffering — the
+        100 TB shape for percentilew() when the estimate isn't
+        acceptable. The summarize-form percentilew() collect_lists a
+        whole group's (value, weight) pairs onto one executor (fine
+        until a key skews); this plugin is the relational form of the
+        same crossing rule: pre-aggregate weights per (group, DISTINCT
+        value) — map-side combinable, one shuffle — then a cumulative
+        window over values picks the smallest value whose running
+        weight reaches P% of the total. State per group is the
+        distinct-value count, spread across executors by the shuffle,
+        never a single-task array.
+
+        Exactness contract: values are exact (no grid — this is the
+        difference from percentilew_approx); weights land on a 1e-4
+        resolution integer scale so the cumulative sums are
+        order-independent exact integers (hash-portable; the fold's
+        raw-double accumulation is summation-order-dependent and
+        could not be oracled). Same null/non-positive-weight drops as
+        the fold. Output column p<P> next to the by-keys."""
+        parts = [p.strip() for p in _split_top_commas_text(argtext)]
+        if len(parts) < 3:
+            raise ValueError(
+                "KQL: percentilew_exact(value, weight, P [, by...])")
+        v, w, p = parts[0], parts[1], float(parts[2])
+        by = parts[3:]
+        from pyspark.sql import Window as _W
+        wgt = F.floor(F.col(w) * F.lit(10000.0) + F.lit(0.5)) \
+               .cast("long")
+        pre = (df.where(F.col(v).isNotNull() & F.col(w).isNotNull()
+                        & (F.col(w) > 0))
+                 .groupBy(*by, F.col(v).cast("double").alias("__pev"))
+                 .agg(F.sum(wgt).alias("__pew")))
+        win = _W.partitionBy(*by).orderBy("__pev") \
+                .rowsBetween(_W.unboundedPreceding, 0)
+        tot = _W.partitionBy(*by)
+        cum = (pre.withColumn("__pec", F.sum("__pew").over(win))
+                  .withColumn("__pet", F.sum("__pew").over(tot)))
+        crossed = cum.where(
+            F.col("__pec") >= F.lit(p / 100.0) * F.col("__pet"))
+        out_col = f"p{p:g}".replace(".", "_")
+        return (crossed.groupBy(*by)
+                       .agg(F.min("__pev").alias(out_col)))
+
+    def _rolling_percentile(self, df: DataFrame, argtext: str) \
+            -> DataFrame:
+        """``evaluate rolling_percentile(value, pct, binAxis, binSize,
+        rollingWindows [, by...])`` — Kusto's rolling-window
+        percentile: for every ``binSize`` bin of ``binAxis``, the
+        exact pct-percentile of ``value`` over the last
+        ``rollingWindows`` bins (current bin included).
+
+        Scale shape: each row fans out to the <= rollingWindows output
+        bins it contributes to (a bounded explode — the bins-spine
+        pattern every activity plugin here uses), weights
+        pre-aggregate per (group, out-bin, DISTINCT value) —
+        map-side combinable, one shuffle — and a cumulative window
+        picks the smallest value whose running count reaches pct% of
+        the window total: the same crossing rule as
+        percentilew_exact, with counts as exact integer weights, so
+        the output is engine-portable. No per-window array is ever
+        buffered. Output: by-keys, bin (timestamp or numeric like the
+        axis), p<pct>. Bins with no contributing rows are absent
+        (Kusto emits the observed axis range; the spine-join to fill
+        gaps composes with make-series downstream)."""
+        parts = [p.strip() for p in _split_top_commas_text(argtext)]
+        if len(parts) < 5:
+            raise ValueError(
+                "KQL: rolling_percentile(value, pct, binAxis, "
+                "binSize, rollingWindows [, by...])")
+        v, pct_s, axis, binsize_s, wins_s = parts[:5]
+        by = parts[5:]
+        pct = float(pct_s)
+        wins = int(wins_s)
+        if wins < 1:
+            raise ValueError(
+                "KQL: rolling_percentile rollingWindows must be >= 1")
+        axis_col = F.col(axis)
+        axis_type = df.select(axis_col.alias("__rpa")) \
+                      .schema[0].dataType.typeName()
+        if axis_type in ("timestamp", "timestamp_ntz"):
+            size_us = _timespan_to_us(binsize_s)
+            bin_idx = F.floor(F.unix_micros(axis_col)
+                              / F.lit(size_us)).cast("long")
+
+            def bin_out(idx):
+                return F.timestamp_micros(idx * F.lit(size_us))
+        else:
+            size = float(binsize_s)
+            bin_idx = F.floor(axis_col / F.lit(size)).cast("long")
+
+            def bin_out(idx):
+                return idx * F.lit(size)
+        from pyspark.sql import Window as _W
+        fan = (df.where(F.col(v).isNotNull()
+                        & axis_col.isNotNull())
+                 .withColumn("__rpb", bin_idx)
+                 .withColumn("__rpo", F.explode(F.sequence(
+                     F.col("__rpb"),
+                     F.col("__rpb") + F.lit(wins - 1))))
+                 .groupBy(*by, F.col("__rpo"),
+                          F.col(v).cast("double").alias("__rpv"))
+                 .agg(F.count(F.lit(1)).alias("__rpw")))
+        # clip fanned-out bins to the observed axis range per group
+        # (a trailing row must not invent future bins past the data).
+        # No broadcast hint: the per-group max frame is tiny and AQE
+        # broadcasts it at runtime (hint policy, PLANS.md)
+        rng = (df.withColumn("__rpb", bin_idx)
+                 .groupBy(*by)
+                 .agg(F.max("__rpb").alias("__rpmax")))
+        fan = (fan.join(rng, by, "inner") if by
+               else fan.crossJoin(rng))
+        fan = fan.where(F.col("__rpo") <= F.col("__rpmax"))
+        win = _W.partitionBy(*by, "__rpo").orderBy("__rpv") \
+                .rowsBetween(_W.unboundedPreceding, 0)
+        tot = _W.partitionBy(*by, "__rpo")
+        cum = (fan.withColumn("__rpc", F.sum("__rpw").over(win))
+                  .withColumn("__rpt", F.sum("__rpw").over(tot)))
+        crossed = cum.where(
+            F.col("__rpc") >= F.lit(pct / 100.0) * F.col("__rpt"))
+        out_col = f"p{pct:g}".replace(".", "_")
+        return (crossed.groupBy(*by, "__rpo")
+                       .agg(F.min("__rpv").alias(out_col))
+                       .select(*by,
+                               bin_out(F.col("__rpo")).alias("bin"),
+                               out_col))
 
     def _tdigest(self, df: DataFrame, argtext: str) -> DataFrame:
         """``evaluate tdigest(value, scale [, by...])``: build a

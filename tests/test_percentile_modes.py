@@ -88,3 +88,96 @@ def test_percentilew_approx_state_is_grid_bounded(spark, sf_dir):
     assert 0 < len(rows) <= 3
     for r in rows:
         assert r["p50"] % 1000.0 == 0.0  # grid-aligned estimate
+
+
+def test_percentilew_exact_plugin_matches_fold(spark, sf_dir):
+    """percentilew_exact (the no-buffer relational form) must select
+    the SAME value as the summarize fold: the crossing rule is
+    identical and l_quantity weights are integral, so the plugin's
+    1e-4 weight scaling is lossless here."""
+    plug = {r["l_returnflag"]: r["p50"] for r in kql(spark, sf_dir, """
+      lineitem
+        | evaluate percentilew_exact(l_extendedprice, l_quantity,
+                                     50, l_returnflag)
+    """).collect()}
+    fold = {r["l_returnflag"]: r["p50"] for r in kql(spark, sf_dir, """
+      lineitem
+        | summarize p50 = percentilew(l_extendedprice, l_quantity, 50)
+            by l_returnflag
+    """).collect()}
+    assert plug == fold
+
+
+def test_percentilew_exact_plugin_has_no_collect_list(spark, sf_dir):
+    """The scale claim, pinned on the plan: the plugin must never
+    buffer a group into an array — no collect_list / sort_array
+    anywhere in its analyzed plan (the fold has both)."""
+    plan = kql(spark, sf_dir, """
+      lineitem
+        | evaluate percentilew_exact(l_extendedprice, l_quantity,
+                                     50, l_returnflag)
+    """)._jdf.queryExecution().analyzed().toString()
+    assert "collect_list" not in plan
+    assert "sort_array" not in plan
+
+
+def test_rolling_percentile_matches_reference(spark, sf_dir):
+    """rolling_percentile vs an independent pandas reference on a
+    seeded stream: for each hourly bin, the exact P50 of values in the
+    trailing 3 bins (crossing rule: smallest value whose cumulative
+    count reaches half the window total)."""
+    import math
+    import random
+
+    rnd = random.Random(7)
+    rows = []
+    for i in range(240):
+        h = rnd.randrange(0, 12)        # hour bin 0..11
+        rows.append((h, float(rnd.randrange(1, 100))))
+    lines = ",\n".join(
+        f"datetime_add('hour', {h}, datetime(2024-01-01)), todouble({v})"
+        for h, v in rows)
+    got = {r["bin"]: r["p50"] for r in kql(spark, sf_dir, f"""
+      datatable (ts:datetime, v:real) [ {lines} ]
+        | evaluate rolling_percentile(v, 50, ts, 1h, 3)
+    """).collect()}
+    # reference: window = bins h-2..h, crossing-rule percentile
+    by_bin: dict[int, list[float]] = {}
+    for h, v in rows:
+        by_bin.setdefault(h, []).append(v)
+    import datetime as dt
+    for h in range(12):
+        vals = sorted(v for b in (h - 2, h - 1, h)
+                      for v in by_bin.get(b, []))
+        if not vals:
+            continue
+        tgt = 0.5 * len(vals)
+        cum, ans = 0, None
+        for v in vals:
+            cum += 1
+            if cum >= tgt:
+                ans = v
+                break
+        key = dt.datetime(2024, 1, 1) + dt.timedelta(hours=h)
+        assert key in got, (h, sorted(got))
+        assert got[key] == ans, (h, got[key], ans)
+    assert len(got) == 12
+
+
+def test_rolling_percentile_numeric_axis_and_errors(spark, sf_dir):
+    """Numeric axis: bin = floor(axis/size)*size; rollingWindows must
+    be >= 1."""
+    import pytest
+
+    got = {r["bin"]: r["p100"] for r in kql(spark, sf_dir, """
+      datatable (x:long, v:real) [
+        0, 1.0,  1, 2.0,  9, 3.0,  11, 4.0, 19, 5.0 ]
+        | evaluate rolling_percentile(v, 100, x, 10.0, 2)
+    """).collect()}
+    # bin 0: rows x<10 -> max 3; bin 10: window covers bins 0+10 -> 5
+    assert got == {0.0: 3.0, 10.0: 5.0}
+    with pytest.raises(ValueError, match="rollingWindows"):
+        kql(spark, sf_dir, """
+          datatable (x:long, v:real) [0, 1.0]
+            | evaluate rolling_percentile(v, 50, x, 10.0, 0)
+        """)
