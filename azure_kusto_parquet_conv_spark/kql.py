@@ -132,7 +132,7 @@ Postfix indexer on dynamics/arrays: arr[0], arr[-1], bag['key'],
         hint.strategy=broadcast|shuffle]
         (subpipeline) on key / on $left.a == $right.b
     | lookup [kind=...] (dim) on key
-    | union [kind=...] [withsource=col] T2, ...
+    | union [isfuzzy=true] [kind=...] [withsource=col] T2, ...
 Sources: table | datatable(...) | print | range | externaldata(...)
     | find [withsource=col] in (T1, T2, ...) where pred
     | as name   /   render <charttype>
@@ -9041,23 +9041,33 @@ class KqlCompiler:
         return un.select(*cols)
 
     def _union(self, df: DataFrame, rest: str) -> DataFrame:
-        """union [kind=outer|inner] [withsource=col] operand[, ...]
+        """union [isfuzzy=true] [kind=outer|inner] [withsource=col]
+        operand[, ...]
 
         kind=outer (Kusto default): column superset, absent columns null
         — unionByName(allowMissingColumns). kind=inner: columns common to
         all operands. ``withsource=col`` labels each row with its origin
         (the table name for bare operands, ``$input`` for the piped-in
-        side, ``union_argN`` for subpipelines). Pure concatenation — no
-        shuffle; each source keeps its own partitioning and pushdowns."""
-        m = re.match(r"(?:kind\s*=\s*(\w+)\s+)?"
+        side, ``union_argN`` for subpipelines). ``isfuzzy=true`` skips
+        operands whose table doesn't resolve (Kusto's multi-cluster
+        convenience — here: a missing parquet fixture) instead of
+        erroring; at least one operand must resolve. Pure concatenation
+        — no shuffle; each source keeps its own partitioning and
+        pushdowns."""
+        m = re.match(r"(?:isfuzzy\s*=\s*(?P<fuzzy>\w+)\s+)?"
+                     r"(?:kind\s*=\s*(\w+)\s+)?"
                      r"(?:withsource\s*=\s*(?P<src>\w+)\s+)?"
                      r"(.*)$", rest, re.DOTALL)
-        kind = (m.group(1) or "outer").lower()
+        fuzzy = (m.group("fuzzy") or "false").lower()
+        if fuzzy not in ("true", "false"):
+            raise ValueError(
+                f"KQL: union isfuzzy must be true/false, got {fuzzy!r}")
+        kind = (m.group(2) or "outer").lower()
         if kind not in ("outer", "inner"):
             raise ValueError(f"KQL: union kind must be inner/outer, got {kind!r}")
         # split operands on top-level commas (parens may contain commas)
         parts, depth, cur = [], 0, []
-        for ch in m.group(3):
+        for ch in m.group(4):
             if ch == "(":
                 depth += 1
             elif ch == ")":
@@ -9068,7 +9078,20 @@ class KqlCompiler:
                 cur.append(ch)
         parts.append("".join(cur))
         parts = [p for p in parts if p.strip()]
-        others = [self._operand(p) for p in parts]
+        if fuzzy == "true":
+            resolved, kept = [], []
+            for p in parts:
+                try:
+                    resolved.append(self._operand(p))
+                    kept.append(p)
+                except Exception:
+                    continue  # isfuzzy: unresolved operands drop
+            if not resolved:
+                raise ValueError(
+                    "KQL: union isfuzzy=true resolved no operand")
+            others, parts = resolved, kept
+        else:
+            others = [self._operand(p) for p in parts]
         if not others:
             raise ValueError("KQL: union needs at least one operand")
         src = m.group("src")

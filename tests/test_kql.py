@@ -5773,3 +5773,23 @@ def test_geo_measures_plateau_margin(spark, sf_dir):
             # distance to the FLOOR(x) flip point (the integer grid,
             # since the +0.5 is already applied)
             assert min(dists) > 1e-4, (sf, col, min(dists))
+
+
+def test_union_isfuzzy(spark, sf_dir):
+    """union isfuzzy=true drops operands whose table doesn't resolve
+    (Kusto's multi-source tolerance); without the flag the same query
+    errors, and all-unresolvable stays a loud failure."""
+    got = kql(spark, sf_dir, """
+      region
+        | union isfuzzy=true withsource=src no_such_table, nation
+        | summarize n = count() by src
+        | sort by src asc
+    """).collect()
+    srcs = {r["src"]: r["n"] for r in got}
+    assert srcs == {"$input": 5, "nation": 25}
+    with pytest.raises(Exception):
+        kql(spark, sf_dir,
+            "region | union no_such_table").collect()
+    with pytest.raises(ValueError, match="resolved no operand"):
+        kql(spark, sf_dir,
+            "region | union isfuzzy=true no_such_table")
