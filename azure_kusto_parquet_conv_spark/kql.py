@@ -226,6 +226,9 @@ extend (n1, n2, ...) = series_fit_line(y) tuple assignment,
 geo_distance_2points/geo_point_in_circle (haversine),
 geo_point_to_geohash (compile-time-unrolled integer interleave — the
 spatial bucketing key)/geo_geohash_to_central_point (HOF fold),
+geo_point_to_s2cell/geo_s2cell_to_central_point (published s2geometry
+face+Hilbert algorithm via an Arrow kernel; doc-example + roundtrip +
+parent-containment pinned),
 percentiles_array, make_list_if/make_set_if, binary_all_and-or-xor.
 Aggregates: count, countif, sum/avg/min/max (+ sumif/avgif/minif/maxif),
 arg_max/arg_min, percentile (0-100 scale, exact), dcount/dcountif
@@ -1209,6 +1212,22 @@ class _ExprParser:
                      "geo_polygon_centroid",
                      "geo_distance_point_to_line"):
             return self._geo_measure_fn(fname, args)
+        if fname == "geo_point_to_s2cell":
+            # S2 cell token (published s2geometry algorithm; Arrow
+            # kernel __kql_s2_encode). Kusto's default level is 11.
+            if len(args) not in (2, 3):
+                raise ValueError(
+                    "KQL: geo_point_to_s2cell(lon, lat [, level])")
+            lvl = args[2] if len(args) == 3 else "11"
+            return (f"__kql_s2_encode(CAST({args[0]} AS DOUBLE), "
+                    f"CAST({args[1]} AS DOUBLE), "
+                    f"CAST({lvl} AS INT))")
+        if fname == "geo_s2cell_to_central_point":
+            if len(args) != 1:
+                raise ValueError(
+                    "KQL: geo_s2cell_to_central_point(token)")
+            return (f"parse_json(__kql_s2_center("
+                    f"CAST({args[0]} AS STRING)))")
         if fname == "bag_keys":
             # dynamic bag -> array of top-level keys (JSON round-trip;
             # VARIANT has no native key enumeration yet)
@@ -4998,6 +5017,224 @@ def _register_codec_udfs(spark: SparkSession) -> None:
     spark._kql_codec_registered = True
 
 
+_S2_LOOKUP_POS: list[int] = []
+_S2_LOOKUP_IJ: list[int] = []
+
+
+def _s2_tables() -> tuple[list[int], list[int]]:
+    """Build the S2 Hilbert-curve lookup tables with the published
+    recursion (s2geometry's init_lookup_cell — 4 bits per step, the
+    POS_TO_IJ / POS_TO_ORIENTATION quadrant tables). Pure public
+    algorithm; built once per process."""
+    if _S2_LOOKUP_POS:
+        return _S2_LOOKUP_POS, _S2_LOOKUP_IJ
+    swap, invert = 1, 2
+    pos_to_ij = [[0, 1, 3, 2], [0, 2, 3, 1], [3, 2, 0, 1],
+                 [3, 1, 0, 2]]
+    pos_to_orientation = [swap, 0, 0, invert | swap]
+    lookup_pos = [0] * (1 << 12)
+    lookup_ij = [0] * (1 << 12)
+
+    def init(level, i, j, orig, pos, orientation):
+        if level == 4:
+            ij = (i << 4) + j
+            lookup_pos[(ij << 2) + orig] = (pos << 2) + orientation
+            lookup_ij[(pos << 2) + orig] = (ij << 2) + orientation
+            return
+        level += 1
+        i <<= 1
+        j <<= 1
+        pos <<= 2
+        r = pos_to_ij[orientation]
+        for idx in range(4):
+            init(level, i + (r[idx] >> 1), j + (r[idx] & 1), orig,
+                 pos + idx, orientation ^ pos_to_orientation[idx])
+
+    for o in range(4):
+        init(0, 0, 0, o, 0, o)
+    _S2_LOOKUP_POS.extend(lookup_pos)
+    _S2_LOOKUP_IJ.extend(lookup_ij)
+    return _S2_LOOKUP_POS, _S2_LOOKUP_IJ
+
+
+def _register_s2_udfs(spark: SparkSession) -> None:
+    """Arrow-batched kernels for the S2 cell scalars
+    (geo_point_to_s2cell / geo_s2cell_to_central_point). The S2 cell
+    id is 64-bit face+Hilbert arithmetic — not expressible in Spark
+    SQL integers without the quadrant lookup tables — so this rides
+    the sanctioned pandas-UDF path (pure stdlib math, the published
+    s2geometry algorithm: lat/lng -> unit XYZ -> face (u,v) ->
+    quadratic (s,t) -> 30-bit (i,j) -> Hilbert position; token = hex
+    of the cell id with trailing zeros stripped). Mutual consistency
+    (encode(center(token)) == token at every level) and parent
+    containment are pinned in tests; Kusto-vs-here parity holds by
+    both implementing the same published spec."""
+    if getattr(spark, "_kql_s2_registered", False):
+        return
+    import math
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    lookup_pos, lookup_ij = _s2_tables()
+    swap_invert = 3
+
+    def st_to_ij(s):
+        return max(0, min((1 << 30) - 1, int(math.floor((1 << 30) * s))))
+
+    def uv_to_st(u):
+        if u >= 0:
+            return 0.5 * math.sqrt(1.0 + 3.0 * u)
+        return 1.0 - 0.5 * math.sqrt(1.0 - 3.0 * u)
+
+    def st_to_uv(s):
+        if s >= 0.5:
+            return (1.0 / 3.0) * (4.0 * s * s - 1.0)
+        return (1.0 / 3.0) * (1.0 - 4.0 * (1.0 - s) * (1.0 - s))
+
+    def xyz_to_face_uv(x, y, z):
+        # canonical largest_abs_component tie-break (ties go to the
+        # LATER axis, matching s2geometry)
+        ax, ay, az = abs(x), abs(y), abs(z)
+        if ax > ay:
+            face = 0 if ax > az else 2
+        else:
+            face = 1 if ay > az else 2
+        if (x, y, z)[face] < 0:
+            face += 3
+        if face == 0:
+            return face, y / x, z / x
+        if face == 1:
+            return face, -x / y, z / y
+        if face == 2:
+            return face, -x / z, -y / z
+        if face == 3:
+            return face, z / x, y / x
+        if face == 4:
+            return face, z / y, -x / y
+        return face, -y / z, -x / z
+
+    def face_uv_to_xyz(face, u, v):
+        if face == 0:
+            return (1.0, u, v)
+        if face == 1:
+            return (-u, 1.0, v)
+        if face == 2:
+            return (-u, -v, 1.0)
+        if face == 3:
+            return (-1.0, -v, -u)
+        if face == 4:
+            return (v, -1.0, -u)
+        return (v, u, -1.0)
+
+    def leaf_from_face_ij(face, i, j):
+        n = face << 60
+        bits = face & 1
+        for k in range(7, -1, -1):
+            mask = (1 << 4) - 1
+            bits += ((i >> (k * 4)) & mask) << 6
+            bits += ((j >> (k * 4)) & mask) << 2
+            bits = lookup_pos[bits]
+            n |= (bits >> 2) << (k * 8)
+            bits &= swap_invert
+        return n * 2 + 1
+
+    def cell_at_level(leaf_id, level):
+        lsb = 1 << (2 * (30 - level))
+        return (leaf_id & ~(lsb - 1)) | lsb
+
+    def token_of(cid):
+        if cid == 0:
+            return "X"
+        return format(cid, "016x").rstrip("0")
+
+    def encode(lon, lat, level):
+        if not (-180.0 <= lon <= 180.0 and -90.0 <= lat <= 90.0
+                and 0 <= level <= 30):
+            return None
+        phi, theta = math.radians(lat), math.radians(lon)
+        cosphi = math.cos(phi)
+        x = math.cos(theta) * cosphi
+        y = math.sin(theta) * cosphi
+        z = math.sin(phi)
+        face, u, v = xyz_to_face_uv(x, y, z)
+        i = st_to_ij(uv_to_st(u))
+        j = st_to_ij(uv_to_st(v))
+        return token_of(cell_at_level(
+            leaf_from_face_ij(face, i, j), int(level)))
+
+    def to_face_ij(cid):
+        # canonical to_face_ij_orientation: decodes the RAW id
+        # (lsb + trailing zeros participate — the delta rule below
+        # corrects to the exact cell center)
+        face = cid >> 61
+        bits = face & 1
+        i = j = 0
+        for k in range(7, -1, -1):
+            nbits = 4 if k < 7 else (30 - 7 * 4)
+            bits += (int(cid >> (k * 8 + 1))
+                     & ((1 << (2 * nbits)) - 1)) << 2
+            bits = lookup_ij[bits]
+            i += (bits >> 6) << (k * 4)
+            j += ((bits >> 2) & ((1 << 4) - 1)) << (k * 4)
+            bits &= swap_invert
+        return face, i, j
+
+    def decode_center(token):
+        if not token or not re.fullmatch(r"[0-9a-fA-F]{1,16}",
+                                         token.strip()):
+            return None
+        cid = int(token.strip().ljust(16, "0"), 16)
+        lsb = cid & -cid
+        # a valid cell id has its lsb on an EVEN bit and face <= 5
+        if cid == 0 or (lsb.bit_length() - 1) % 2 or (cid >> 61) > 5:
+            return None
+        face, i, j = to_face_ij(cid)
+        # canonical center rule: si/ti on the doubled grid with
+        # delta 1 (leaf) / 0 or 2 (curve-direction parity)
+        if cid & 1:
+            delta = 1
+        else:
+            delta = 2 if ((i ^ (cid >> 2)) & 1) else 0
+        s = (2 * i + delta) / float(1 << 31)
+        t = (2 * j + delta) / float(1 << 31)
+        x, y, z = face_uv_to_xyz(face, st_to_uv(s), st_to_uv(t))
+        lat = math.degrees(math.atan2(z, math.sqrt(x * x + y * y)))
+        lon = math.degrees(math.atan2(y, x))
+        return lon, lat
+
+    def enc_lift(lons, lats, levels):
+        out = []
+        for lon, lat, lev in zip(lons, lats, levels):
+            if lon is None or lat is None or lev is None:
+                out.append(None)
+                continue
+            try:
+                out.append(encode(float(lon), float(lat), int(lev)))
+            except Exception:
+                out.append(None)
+        return pd.Series(out, dtype=object)
+
+    def dec_lift(tokens):
+        out = []
+        for tok in tokens:
+            if tok is None:
+                out.append(None)
+                continue
+            try:
+                c = decode_center(str(tok))
+                out.append(None if c is None else
+                           '{"type":"Point","coordinates":[%r,%r]}'
+                           % (c[0], c[1]))
+            except Exception:
+                out.append(None)
+        return pd.Series(out, dtype=object)
+
+    spark.udf.register("__kql_s2_encode", pandas_udf(enc_lift, "string"))
+    spark.udf.register("__kql_s2_center", pandas_udf(dec_lift, "string"))
+    spark._kql_s2_registered = True
+
+
 def _register_ipv6_udfs(spark: SparkSession) -> None:
     """Arrow-batched kernels behind the Kusto IPv6 scalars. 128-bit
     address arithmetic doesn't fit Spark's BIGINT, so parsing/masking
@@ -5212,6 +5449,7 @@ class KqlCompiler:
         _register_codec_udfs(spark)
         _register_math_udfs(spark)
         _register_ipv6_udfs(spark)
+        _register_s2_udfs(spark)
 
     def table(self, name: str) -> DataFrame:
         return load_table(self.spark, self.sf_dir, name)

@@ -5793,3 +5793,44 @@ def test_union_isfuzzy(spark, sf_dir):
     with pytest.raises(ValueError, match="resolved no operand"):
         kql(spark, sf_dir,
             "region | union isfuzzy=true no_such_table")
+
+
+def test_geo_s2cell_roundtrip_and_doc_example(spark, sf_dir):
+    """geo_point_to_s2cell / geo_s2cell_to_central_point: the Kusto doc
+    example (Miami at level 8 -> '88d9b'), the mutual-consistency
+    property (re-encoding a cell's central point returns the SAME
+    token at every level — the pin that validates the Hilbert tables
+    and the center delta rule against each other), parent containment
+    via id arithmetic, and the null contract for invalid input."""
+    r = kql(spark, sf_dir, """
+      print t8 = geo_point_to_s2cell(-80.195829, 25.802215, 8),
+            tdflt = geo_point_to_s2cell(-80.195829, 25.802215),
+            bad_lat = geo_point_to_s2cell(0.0, 91.0, 8),
+            bad_lvl = geo_point_to_s2cell(0.0, 0.0, 31),
+            bad_tok = geo_s2cell_to_central_point('zzz')
+    """).collect()[0]
+    assert r["t8"] == "88d9b"
+    assert r["tdflt"] is not None and r["tdflt"] != r["t8"]
+    assert r["bad_lat"] is None and r["bad_lvl"] is None
+    assert r["bad_tok"] is None
+    # roundtrip + parent containment over a seeded grid of points
+    rows = kql(spark, sf_dir, """
+      range i from 0 to 59 step 1
+        | extend lon = todouble(i % 12) * todouble(27) - todouble(150),
+                 lat = todouble(i % 10) * todouble(16) - todouble(72),
+                 lev = toint(2 + i % 13)
+        | extend tok = geo_point_to_s2cell(lon, lat, lev),
+                 par = geo_point_to_s2cell(lon, lat, lev - 1)
+        | extend c = geo_s2cell_to_central_point(tok)
+        | extend tok2 = geo_point_to_s2cell(
+                     todouble(c.coordinates[0]),
+                     todouble(c.coordinates[1]), lev)
+        | project i, tok, tok2, par, lev
+    """).collect()
+    assert len(rows) == 60
+    for r in rows:
+        assert r["tok"] == r["tok2"], (r["i"], r["tok"], r["tok2"])
+        cid = int(r["tok"].ljust(16, "0"), 16)
+        lsb = cid & -cid
+        parent = (cid & ~((lsb << 2) - 1)) | (lsb << 2)
+        assert format(parent, "016x").rstrip("0") == r["par"], r["i"]
