@@ -3172,8 +3172,13 @@ class _ExprParser:
             pg = (f"from_json(to_json({args[0]}), 'struct<type:string,"
                   f"coordinates:array<array<array<double>>>>')")
             rings = f"({pg}).coordinates"
+            # EVERY ring needs >= 4 points: a short hole would feed
+            # sequence(1, size-1 <= 0), which DESCENDS through index 0
+            # and errors under ANSI (the round-5 gotcha) — invalid
+            # geometry must null, not crash
             ok = (f"(({pg}).type = 'Polygon' AND size({rings}) >= 1 "
-                  f"AND size(element_at({rings}, 1)) >= 4)")
+                  f"AND forall({rings}, __gk_r -> "
+                  f"size(__gk_r) >= 4))")
             if fname == "geo_polygon_area":
                 # spherical shoelace per ring (|sum| * R^2 / 2),
                 # holes subtract from the outer ring

@@ -5834,3 +5834,15 @@ def test_geo_s2cell_roundtrip_and_doc_example(spark, sf_dir):
         lsb = cid & -cid
         parent = (cid & ~((lsb << 2) - 1)) | (lsb << 2)
         assert format(parent, "016x").rstrip("0") == r["par"], r["i"]
+
+
+def test_geo_polygon_area_short_hole_nulls(spark, sf_dir):
+    """A malformed hole ring (< 4 points) must yield null, not an
+    ANSI INVALID_ARRAY_INDEX from the descending sequence(1, 0)."""
+    r = kql(spark, sf_dir, """
+      print a = geo_polygon_area(dynamic({"type":"Polygon",
+        "coordinates":[[[0.0,0.0],[1.0,0.0],[1.0,1.0],
+                        [0.0,1.0],[0.0,0.0]],
+                       [[0.5,0.5]]]}))
+    """).collect()[0]
+    assert r["a"] is None
