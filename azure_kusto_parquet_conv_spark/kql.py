@@ -2314,17 +2314,30 @@ class _ExprParser:
             return f"parse_json(to_json({out}))"
         if fname in ("startofday", "startofweek", "startofmonth",
                      "startofyear", "startofquarter"):
-            if len(args) != 1:
-                raise ValueError(f"KQL: {fname}(ts) takes 1 arg")
+            # optional Kusto offset: the start of the period `offset`
+            # periods away (expression-valued via make_interval)
+            if len(args) not in (1, 2):
+                raise ValueError(f"KQL: {fname}(ts [, offset])")
             if fname == "startofweek":
                 # Kusto weeks start SUNDAY; Spark's WEEK truncation is
                 # Monday-based. Shift by one day around the truncation.
-                return (f"(date_trunc('WEEK', {args[0]} + INTERVAL 1 DAY)"
-                        f" - INTERVAL 1 DAY)")
-            unit = {"startofday": "DAY", "startofmonth": "MONTH",
-                    "startofyear": "YEAR",
-                    "startofquarter": "QUARTER"}[fname]
-            return f"date_trunc('{unit}', {args[0]})"
+                base = (f"(date_trunc('WEEK', {args[0]} + INTERVAL 1 "
+                        f"DAY) - INTERVAL 1 DAY)")
+            else:
+                unit = {"startofday": "DAY", "startofmonth": "MONTH",
+                        "startofyear": "YEAR",
+                        "startofquarter": "QUARTER"}[fname]
+                base = f"date_trunc('{unit}', {args[0]})"
+            if len(args) == 1:
+                return base
+            n = f"CAST({args[1]} AS INT)"
+            shift = {
+                "startofday": f"make_interval(0, 0, 0, {n})",
+                "startofweek": f"make_interval(0, 0, {n})",
+                "startofmonth": f"make_interval(0, {n})",
+                "startofquarter": f"make_interval(0, 3 * {n})",
+                "startofyear": f"make_interval({n})"}[fname]
+            return f"({base} + {shift})"
         if fname in ("extractjson", "extract_json"):
             # extractjson(jsonPath, text) -> get_json_object;
             # extract_json is Kusto's documented alias
@@ -2652,18 +2665,24 @@ class _ExprParser:
             return f"{fn}({args[0]})"
         if fname in ("endofday", "endofweek", "endofmonth", "endofyear",
                      "endofquarter"):
-            if len(args) != 1:
-                raise ValueError(f"KQL: {fname}(ts) takes 1 arg")
+            # optional Kusto offset, like the startof* family
+            if len(args) not in (1, 2):
+                raise ValueError(f"KQL: {fname}(ts [, offset])")
+            n = (f"CAST({args[1]} AS INT)" if len(args) == 2
+                 else "0")
             if fname == "endofweek":
                 # Sunday-based weeks (see startofweek): next week start - 1µs
                 return (f"(date_trunc('WEEK', {args[0]} + INTERVAL 8 DAY)"
-                        f" - INTERVAL 1 DAY - INTERVAL 1 MICROSECOND)")
+                        f" - INTERVAL 1 DAY "
+                        f"+ make_interval(0, 0, {n})"
+                        f" - INTERVAL 1 MICROSECOND)")
             unit = {"endofday": "DAY", "endofmonth": "MONTH",
                     "endofyear": "YEAR", "endofquarter": "QUARTER"}[fname]
-            step = {"endofday": "INTERVAL 1 DAY",
-                    "endofmonth": "INTERVAL 1 MONTH",
-                    "endofyear": "INTERVAL 12 MONTH",
-                    "endofquarter": "INTERVAL 3 MONTH"}[fname]
+            step = {"endofday": f"make_interval(0, 0, 0, {n} + 1)",
+                    "endofmonth": f"make_interval(0, {n} + 1)",
+                    "endofyear": f"make_interval({n} + 1)",
+                    "endofquarter":
+                        f"make_interval(0, 3 * {n} + 3)"}[fname]
             return (f"(date_trunc('{unit}', {args[0]}) + {step} "
                     f"- INTERVAL 1 MICROSECOND)")
         if fname == "dayofweek":

@@ -5846,3 +5846,28 @@ def test_geo_polygon_area_short_hole_nulls(spark, sf_dir):
                        [[0.5,0.5]]]}))
     """).collect()[0]
     assert r["a"] is None
+
+
+def test_startof_endof_offsets(spark, sf_dir):
+    """The optional Kusto offset argument on the startof*/endof*
+    families: the start/end of the period `offset` periods away."""
+    r = kql(spark, sf_dir, """
+      print d = datetime(2017-01-01 10:10:17)
+        | project sd = startofday(d, -1), ed = endofday(d, 1),
+                  sw = startofweek(d, 1), sm = startofmonth(d, 1),
+                  em = endofmonth(d, -1), sy = startofyear(d, -1),
+                  ey = endofyear(d, 1), sq = startofquarter(d, 1),
+                  eq = endofquarter(d, -1)
+    """).collect()[0]
+    import datetime as dt
+    us = dt.timedelta(microseconds=1)
+    assert r["sd"] == dt.datetime(2016, 12, 31)
+    assert r["ed"] == dt.datetime(2017, 1, 3) - us
+    # 2017-01-01 is a Sunday: week starts that day; +1 week
+    assert r["sw"] == dt.datetime(2017, 1, 8)
+    assert r["sm"] == dt.datetime(2017, 2, 1)
+    assert r["em"] == dt.datetime(2017, 1, 1) - us
+    assert r["sy"] == dt.datetime(2016, 1, 1)
+    assert r["ey"] == dt.datetime(2019, 1, 1) - us
+    assert r["sq"] == dt.datetime(2017, 4, 1)
+    assert r["eq"] == dt.datetime(2017, 1, 1) - us
