@@ -2702,10 +2702,41 @@ class _ExprParser:
                 raise ValueError("KQL: array_slice(arr, start, end)")
             a, s, e = args
             return f"slice({a}, ({s}) + 1, ({e}) - ({s}) + 1)"
-        if fname == "array_sort_asc":
-            return f"array_sort({args[0]})"
-        if fname == "array_sort_desc":
-            return f"reverse(array_sort({args[0]}))"
+        if fname in ("array_sort_asc", "array_sort_desc"):
+            desc = fname.endswith("desc")
+            if len(args) == 1:
+                return (f"reverse(array_sort({args[0]}))" if desc
+                        else f"array_sort({args[0]})")
+            # Kusto parallel-array co-sort: sort the FIRST array and
+            # permute the others by the same order; returns a dynamic
+            # array-of-arrays. Arrays whose length differs from the
+            # first come back null (Kusto's contract). try_element_at
+            # everywhere (ANSI-safe); the empty first array
+            # short-circuits (sequence(1, 0) DESCENDS — the round-5
+            # gotcha).
+            a0 = args[0]
+            pairs = (f"zip_with({a0}, sequence(1, size({a0})), "
+                     f"(__as_v, __as_i) -> named_struct("
+                     f"'v', __as_v, 'i', __as_i))")
+            srt = f"array_sort({pairs})"
+            if desc:
+                srt = f"reverse({srt})"
+            order = f"transform({srt}, __as_p -> __as_p.i)"
+            outs = []
+            for a in args:
+                permuted = (f"transform({order}, __as_k -> "
+                            f"try_element_at({a}, __as_k))")
+                outs.append(
+                    f"IF(size({a}) = size({a0}), {permuted}, NULL)")
+            # arrays of DIFFERENT element types can't share a SQL
+            # array() — render each to JSON text and assemble the
+            # outer array textually (null -> the JSON literal)
+            cells = ", ".join(
+                f"coalesce(to_json(IF(size({a0}) = 0, "
+                f"IF(size({a}) = 0, {a}, NULL), {o})), 'null')"
+                for a, o in zip(args, outs))
+            return (f"parse_json(concat('[', "
+                    f"concat_ws(',', {cells}), ']'))")
         if fname == "set_union":
             out = args[0]
             for a in args[1:]:

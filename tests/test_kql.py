@@ -5871,3 +5871,27 @@ def test_startof_endof_offsets(spark, sf_dir):
     assert r["ey"] == dt.datetime(2019, 1, 1) - us
     assert r["sq"] == dt.datetime(2017, 4, 1)
     assert r["eq"] == dt.datetime(2017, 1, 1) - us
+
+
+def test_array_sort_parallel_cosort(spark, sf_dir):
+    """array_sort_asc/desc with multiple arrays: the first array's
+    order permutes the others (Kusto's parallel co-sort, dynamic
+    array-of-arrays out); mismatched lengths null that array; an
+    empty first array passes empties through."""
+    import json
+    r = kql(spark, sf_dir, """
+      print s = tostring(array_sort_asc(dynamic([3.0, 1.0, 2.0]),
+                                        dynamic(["c", "a", "b"]))),
+            d = tostring(array_sort_desc(dynamic([1.0, 3.0, 2.0]),
+                                         dynamic(["x", "z", "y"]))),
+            m = tostring(array_sort_asc(dynamic([2.0, 1.0]),
+                                        dynamic(["only"])))
+    """).collect()[0]
+    assert json.loads(r["s"]) == [[1.0, 2.0, 3.0], ["a", "b", "c"]]
+    assert json.loads(r["d"]) == [[3.0, 2.0, 1.0], ["z", "y", "x"]]
+    assert json.loads(r["m"]) == [[1.0, 2.0], None]
+    # single-array form unchanged (native array, not variant)
+    one = kql(spark, sf_dir,
+              "print a = array_sort_asc(dynamic([2.0, 1.0]))"
+              ).collect()[0]
+    assert one["a"] == [1.0, 2.0]
