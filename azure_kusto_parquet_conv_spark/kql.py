@@ -5112,151 +5112,163 @@ def _s2_tables() -> tuple[list[int], list[int]]:
     return _S2_LOOKUP_POS, _S2_LOOKUP_IJ
 
 
+def _s2_st_to_ij(s):
+    import math
+    return max(0, min((1 << 30) - 1, int(math.floor((1 << 30) * s))))
+
+
+def _s2_uv_to_st(u):
+    import math
+    if u >= 0:
+        return 0.5 * math.sqrt(1.0 + 3.0 * u)
+    return 1.0 - 0.5 * math.sqrt(1.0 - 3.0 * u)
+
+
+def _s2_st_to_uv(s):
+    if s >= 0.5:
+        return (1.0 / 3.0) * (4.0 * s * s - 1.0)
+    return (1.0 / 3.0) * (1.0 - 4.0 * (1.0 - s) * (1.0 - s))
+
+
+def _s2_xyz_to_face_uv(x, y, z):
+    # canonical largest_abs_component tie-break (ties go to the
+    # LATER axis, matching s2geometry)
+    ax, ay, az = abs(x), abs(y), abs(z)
+    if ax > ay:
+        face = 0 if ax > az else 2
+    else:
+        face = 1 if ay > az else 2
+    if (x, y, z)[face] < 0:
+        face += 3
+    if face == 0:
+        return face, y / x, z / x
+    if face == 1:
+        return face, -x / y, z / y
+    if face == 2:
+        return face, -x / z, -y / z
+    if face == 3:
+        return face, z / x, y / x
+    if face == 4:
+        return face, z / y, -x / y
+    return face, -y / z, -x / z
+
+
+def _s2_face_uv_to_xyz(face, u, v):
+    if face == 0:
+        return (1.0, u, v)
+    if face == 1:
+        return (-u, 1.0, v)
+    if face == 2:
+        return (-u, -v, 1.0)
+    if face == 3:
+        return (-1.0, -v, -u)
+    if face == 4:
+        return (v, -1.0, -u)
+    return (v, u, -1.0)
+
+
+def _s2_leaf_from_face_ij(face, i, j):
+    lookup_pos, _ = _s2_tables()
+    n = face << 60
+    bits = face & 1
+    for k in range(7, -1, -1):
+        mask = (1 << 4) - 1
+        bits += ((i >> (k * 4)) & mask) << 6
+        bits += ((j >> (k * 4)) & mask) << 2
+        bits = lookup_pos[bits]
+        n |= (bits >> 2) << (k * 8)
+        bits &= 3
+    return n * 2 + 1
+
+
+def _s2_token_of(cid):
+    if cid == 0:
+        return "X"
+    return format(cid, "016x").rstrip("0")
+
+
+def _s2_encode_token(lon, lat, level):
+    """(lon, lat, level) -> S2 cell token (published s2geometry
+    algorithm: unit XYZ -> face (u,v) -> quadratic (s,t) -> 30-bit
+    (i,j) -> Hilbert position; token = hex id, trailing zeros
+    stripped). None on out-of-range input."""
+    import math
+    if not (-180.0 <= lon <= 180.0 and -90.0 <= lat <= 90.0
+            and 0 <= level <= 30):
+        return None
+    phi, theta = math.radians(lat), math.radians(lon)
+    cosphi = math.cos(phi)
+    x = math.cos(theta) * cosphi
+    y = math.sin(theta) * cosphi
+    z = math.sin(phi)
+    face, u, v = _s2_xyz_to_face_uv(x, y, z)
+    i = _s2_st_to_ij(_s2_uv_to_st(u))
+    j = _s2_st_to_ij(_s2_uv_to_st(v))
+    lsb = 1 << (2 * (30 - int(level)))
+    leaf = _s2_leaf_from_face_ij(face, i, j)
+    return _s2_token_of((leaf & ~(lsb - 1)) | lsb)
+
+
+def _s2_to_face_ij(cid):
+    # canonical to_face_ij_orientation: decodes the RAW id (lsb +
+    # trailing zeros participate — the center delta rule corrects)
+    _, lookup_ij = _s2_tables()
+    face = cid >> 61
+    bits = face & 1
+    i = j = 0
+    for k in range(7, -1, -1):
+        nbits = 4 if k < 7 else (30 - 7 * 4)
+        bits += (int(cid >> (k * 8 + 1))
+                 & ((1 << (2 * nbits)) - 1)) << 2
+        bits = lookup_ij[bits]
+        i += (bits >> 6) << (k * 4)
+        j += ((bits >> 2) & ((1 << 4) - 1)) << (k * 4)
+        bits &= 3
+    return face, i, j
+
+
+def _s2_center_of(token):
+    """S2 token -> (lon, lat) of the cell center; None on a malformed
+    token (bad hex, odd lsb position, face > 5)."""
+    import math
+    if not token or not re.fullmatch(r"[0-9a-fA-F]{1,16}",
+                                     token.strip()):
+        return None
+    cid = int(token.strip().ljust(16, "0"), 16)
+    lsb = cid & -cid
+    if cid == 0 or (lsb.bit_length() - 1) % 2 or (cid >> 61) > 5:
+        return None
+    face, i, j = _s2_to_face_ij(cid)
+    # canonical center rule: si/ti on the doubled grid with delta 1
+    # (leaf) / 0 or 2 (curve-direction parity)
+    if cid & 1:
+        delta = 1
+    else:
+        delta = 2 if ((i ^ (cid >> 2)) & 1) else 0
+    s = (2 * i + delta) / float(1 << 31)
+    t = (2 * j + delta) / float(1 << 31)
+    x, y, z = _s2_face_uv_to_xyz(face, _s2_st_to_uv(s),
+                                 _s2_st_to_uv(t))
+    lat = math.degrees(math.atan2(z, math.sqrt(x * x + y * y)))
+    lon = math.degrees(math.atan2(y, x))
+    return lon, lat
+
+
 def _register_s2_udfs(spark: SparkSession) -> None:
     """Arrow-batched kernels for the S2 cell scalars
     (geo_point_to_s2cell / geo_s2cell_to_central_point). The S2 cell
     id is 64-bit face+Hilbert arithmetic — not expressible in Spark
     SQL integers without the quadrant lookup tables — so this rides
-    the sanctioned pandas-UDF path (pure stdlib math, the published
-    s2geometry algorithm: lat/lng -> unit XYZ -> face (u,v) ->
-    quadratic (s,t) -> 30-bit (i,j) -> Hilbert position; token = hex
-    of the cell id with trailing zeros stripped). Mutual consistency
-    (encode(center(token)) == token at every level) and parent
-    containment are pinned in tests; Kusto-vs-here parity holds by
-    both implementing the same published spec."""
+    the sanctioned pandas-UDF path over the module-level pure kernels
+    (_s2_encode_token / _s2_center_of, directly property-testable).
+    Mutual consistency (encode(center(token)) == token at every
+    level) and parent containment are pinned in tests; Kusto-vs-here
+    parity holds by both implementing the same published spec (the
+    Kusto doc example is pinned)."""
     if getattr(spark, "_kql_s2_registered", False):
         return
-    import math
-
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
-
-    lookup_pos, lookup_ij = _s2_tables()
-    swap_invert = 3
-
-    def st_to_ij(s):
-        return max(0, min((1 << 30) - 1, int(math.floor((1 << 30) * s))))
-
-    def uv_to_st(u):
-        if u >= 0:
-            return 0.5 * math.sqrt(1.0 + 3.0 * u)
-        return 1.0 - 0.5 * math.sqrt(1.0 - 3.0 * u)
-
-    def st_to_uv(s):
-        if s >= 0.5:
-            return (1.0 / 3.0) * (4.0 * s * s - 1.0)
-        return (1.0 / 3.0) * (1.0 - 4.0 * (1.0 - s) * (1.0 - s))
-
-    def xyz_to_face_uv(x, y, z):
-        # canonical largest_abs_component tie-break (ties go to the
-        # LATER axis, matching s2geometry)
-        ax, ay, az = abs(x), abs(y), abs(z)
-        if ax > ay:
-            face = 0 if ax > az else 2
-        else:
-            face = 1 if ay > az else 2
-        if (x, y, z)[face] < 0:
-            face += 3
-        if face == 0:
-            return face, y / x, z / x
-        if face == 1:
-            return face, -x / y, z / y
-        if face == 2:
-            return face, -x / z, -y / z
-        if face == 3:
-            return face, z / x, y / x
-        if face == 4:
-            return face, z / y, -x / y
-        return face, -y / z, -x / z
-
-    def face_uv_to_xyz(face, u, v):
-        if face == 0:
-            return (1.0, u, v)
-        if face == 1:
-            return (-u, 1.0, v)
-        if face == 2:
-            return (-u, -v, 1.0)
-        if face == 3:
-            return (-1.0, -v, -u)
-        if face == 4:
-            return (v, -1.0, -u)
-        return (v, u, -1.0)
-
-    def leaf_from_face_ij(face, i, j):
-        n = face << 60
-        bits = face & 1
-        for k in range(7, -1, -1):
-            mask = (1 << 4) - 1
-            bits += ((i >> (k * 4)) & mask) << 6
-            bits += ((j >> (k * 4)) & mask) << 2
-            bits = lookup_pos[bits]
-            n |= (bits >> 2) << (k * 8)
-            bits &= swap_invert
-        return n * 2 + 1
-
-    def cell_at_level(leaf_id, level):
-        lsb = 1 << (2 * (30 - level))
-        return (leaf_id & ~(lsb - 1)) | lsb
-
-    def token_of(cid):
-        if cid == 0:
-            return "X"
-        return format(cid, "016x").rstrip("0")
-
-    def encode(lon, lat, level):
-        if not (-180.0 <= lon <= 180.0 and -90.0 <= lat <= 90.0
-                and 0 <= level <= 30):
-            return None
-        phi, theta = math.radians(lat), math.radians(lon)
-        cosphi = math.cos(phi)
-        x = math.cos(theta) * cosphi
-        y = math.sin(theta) * cosphi
-        z = math.sin(phi)
-        face, u, v = xyz_to_face_uv(x, y, z)
-        i = st_to_ij(uv_to_st(u))
-        j = st_to_ij(uv_to_st(v))
-        return token_of(cell_at_level(
-            leaf_from_face_ij(face, i, j), int(level)))
-
-    def to_face_ij(cid):
-        # canonical to_face_ij_orientation: decodes the RAW id
-        # (lsb + trailing zeros participate — the delta rule below
-        # corrects to the exact cell center)
-        face = cid >> 61
-        bits = face & 1
-        i = j = 0
-        for k in range(7, -1, -1):
-            nbits = 4 if k < 7 else (30 - 7 * 4)
-            bits += (int(cid >> (k * 8 + 1))
-                     & ((1 << (2 * nbits)) - 1)) << 2
-            bits = lookup_ij[bits]
-            i += (bits >> 6) << (k * 4)
-            j += ((bits >> 2) & ((1 << 4) - 1)) << (k * 4)
-            bits &= swap_invert
-        return face, i, j
-
-    def decode_center(token):
-        if not token or not re.fullmatch(r"[0-9a-fA-F]{1,16}",
-                                         token.strip()):
-            return None
-        cid = int(token.strip().ljust(16, "0"), 16)
-        lsb = cid & -cid
-        # a valid cell id has its lsb on an EVEN bit and face <= 5
-        if cid == 0 or (lsb.bit_length() - 1) % 2 or (cid >> 61) > 5:
-            return None
-        face, i, j = to_face_ij(cid)
-        # canonical center rule: si/ti on the doubled grid with
-        # delta 1 (leaf) / 0 or 2 (curve-direction parity)
-        if cid & 1:
-            delta = 1
-        else:
-            delta = 2 if ((i ^ (cid >> 2)) & 1) else 0
-        s = (2 * i + delta) / float(1 << 31)
-        t = (2 * j + delta) / float(1 << 31)
-        x, y, z = face_uv_to_xyz(face, st_to_uv(s), st_to_uv(t))
-        lat = math.degrees(math.atan2(z, math.sqrt(x * x + y * y)))
-        lon = math.degrees(math.atan2(y, x))
-        return lon, lat
 
     def enc_lift(lons, lats, levels):
         out = []
@@ -5265,7 +5277,8 @@ def _register_s2_udfs(spark: SparkSession) -> None:
                 out.append(None)
                 continue
             try:
-                out.append(encode(float(lon), float(lat), int(lev)))
+                out.append(_s2_encode_token(float(lon), float(lat),
+                                            int(lev)))
             except Exception:
                 out.append(None)
         return pd.Series(out, dtype=object)
@@ -5277,7 +5290,7 @@ def _register_s2_udfs(spark: SparkSession) -> None:
                 out.append(None)
                 continue
             try:
-                c = decode_center(str(tok))
+                c = _s2_center_of(str(tok))
                 out.append(None if c is None else
                            '{"type":"Point","coordinates":[%r,%r]}'
                            % (c[0], c[1]))

@@ -231,3 +231,69 @@ def test_regex_quote_matches_literal(spark, s):
 
 def _sql_lit(s: str) -> str:
     return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+@given(st.floats(-180, 180, allow_nan=False),
+       st.floats(-90, 90, allow_nan=False),
+       st.integers(0, 30))
+@settings(max_examples=300, deadline=None)
+def test_s2_roundtrip_property(lon, lat, level):
+    """encode(center(encode(p))) is a fixed point at every level —
+    the mutual-consistency property that validates the Hilbert
+    lookup tables against the center delta rule (no Spark session:
+    the module-level pure kernels)."""
+    from azure_kusto_parquet_conv_spark.kql import (
+        _s2_center_of,
+        _s2_encode_token,
+    )
+    tok = _s2_encode_token(lon, lat, level)
+    assert tok is not None
+    c = _s2_center_of(tok)
+    assert c is not None
+    assert _s2_encode_token(c[0], c[1], level) == tok
+
+
+@given(st.floats(-180, 180, allow_nan=False),
+       st.floats(-90, 90, allow_nan=False),
+       st.integers(1, 30))
+@settings(max_examples=300, deadline=None)
+def test_s2_parent_containment_property(lon, lat, level):
+    """The level-(k-1) token of a point is its level-k cell's parent
+    by id arithmetic — the hierarchy every S2 spatial join relies on."""
+    from azure_kusto_parquet_conv_spark.kql import (
+        _s2_encode_token,
+        _s2_token_of,
+    )
+    child = _s2_encode_token(lon, lat, level)
+    parent = _s2_encode_token(lon, lat, level - 1)
+    cid = int(child.ljust(16, "0"), 16)
+    lsb = cid & -cid
+    derived = (cid & ~((lsb << 2) - 1)) | (lsb << 2)
+    assert _s2_token_of(derived) == parent
+
+
+@given(st.text(st.characters(min_codepoint=32, max_codepoint=126),
+               max_size=60),
+       st.lists(st.tuples(
+           st.text(st.characters(min_codepoint=97, max_codepoint=122),
+                   min_size=1, max_size=4),
+           st.text(st.characters(min_codepoint=65, max_codepoint=90),
+                   max_size=4)), max_size=4))
+@settings(max_examples=60, deadline=None)
+def test_replace_strings_matches_python_fold(spark, text, pairs):
+    """replace_strings == Python's sequential str.replace fold on
+    arbitrary printable text (each step sees the previous output)."""
+    import json
+
+    from azure_kusto_parquet_conv_spark.kql import kql
+    lookups = json.dumps([p[0] for p in pairs])
+    rewrites = json.dumps([p[1] for p in pairs])
+    qtext = text.replace("\\", "\\\\").replace("'", "\\'")
+    got = kql(spark, "/root/testdata/sf0.001", f"""
+      print r = replace_strings('{qtext}',
+                                dynamic({lookups}), dynamic({rewrites}))
+    """).collect()[0]["r"]
+    want = text
+    for a, b in pairs:
+        want = want.replace(a, b)
+    assert got == want
