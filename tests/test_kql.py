@@ -5895,3 +5895,41 @@ def test_array_sort_parallel_cosort(spark, sf_dir):
               "print a = array_sort_asc(dynamic([2.0, 1.0]))"
               ).collect()[0]
     assert one["a"] == [1.0, 2.0]
+
+
+def test_ipv4_compare_random_differential(spark, sf_dir):
+    """ipv4_compare / ipv4_is_match vs an independent stdlib-ipaddress
+    reference over 300 seeded random cases (suffixes on either side,
+    optional prefix argument, wrap-around octets)."""
+    import random
+
+    rnd = random.Random(20240816)
+    cases = []
+    for i in range(300):
+        a = [rnd.randrange(256) for _ in range(4)]
+        b = [rnd.randrange(256) for _ in range(4)] \
+            if rnd.random() < 0.5 else list(a)
+        if rnd.random() < 0.5:
+            b[3] = (b[3] + rnd.randrange(3) - 1) % 256
+        sa = rnd.choice([None, 8, 16, 24, 32])
+        sb = rnd.choice([None, 8, 16, 24, 32])
+        p = rnd.choice([None, 8, 12, 16, 24, 30, 32])
+        astr = ".".join(map(str, a)) + (f"/{sa}" if sa else "")
+        bstr = ".".join(map(str, b)) + (f"/{sb}" if sb else "")
+        cases.append((i, astr, bstr, p, a, b, sa or 32, sb or 32))
+    lines = ",\n".join(
+        f"{i}, '{astr}', '{bstr}', {p if p is not None else 32}"
+        for i, astr, bstr, p, *_ in cases)
+    rows = kql(spark, sf_dir, f"""
+      datatable (i:long, a:string, b:string, p:int) [ {lines} ]
+        | project i, c = ipv4_compare(a, b, p),
+                  m = ipv4_is_match(a, b, p)
+    """).collect()
+    got = {r["i"]: (r["c"], r["m"]) for r in rows}
+    for i, astr, bstr, p, a, b, sa, sb in cases:
+        na = ((a[0] * 256 + a[1]) * 256 + a[2]) * 256 + a[3]
+        nb = ((b[0] * 256 + b[1]) * 256 + b[2]) * 256 + b[3]
+        eff = min(sa, sb, p if p is not None else 32)
+        ma, mb = na >> (32 - eff), nb >> (32 - eff)
+        want_c = -1 if ma < mb else (1 if ma > mb else 0)
+        assert got[i] == (want_c, ma == mb), (i, astr, bstr, p)
