@@ -1204,7 +1204,9 @@ class _ExprParser:
                 return dist
             return f"({dist} <= CAST({args[4]} AS DOUBLE))"
         if fname in ("geo_point_to_geohash",
-                     "geo_geohash_to_central_point"):
+                     "geo_geohash_to_central_point",
+                     "geo_geohash_to_polygon",
+                     "geo_geohash_neighbors"):
             return self._geohash_fn(fname, args)
         if fname == "geo_point_in_polygon":
             return self._geo_point_in_polygon(args)
@@ -3139,9 +3141,11 @@ class _ExprParser:
                 f"'lq', {lonq}, 'tq', {latq})), __gh_s -> "
                 f"element_at(transform(array({morton}), __gh_m -> "
                 f"concat({chars})), 1)), 1) ELSE NULL END)")
-        # geo_geohash_to_central_point(gh)
+        # shared geohash DECODE machinery: central_point / polygon /
+        # neighbors all start from the de-interleaved quantized cell
+        # coordinates (runtime-length higher-order folds)
         if len(args) != 1:
-            raise ValueError("KQL: geo_geohash_to_central_point(gh)")
+            raise ValueError(f"KQL: {fname}(gh)")
         gh = args[0]
         total = f"(length({gh}) * 5)"
         # bit t (0-based from the MSB): alphabet index of char t div 5,
@@ -3167,9 +3171,72 @@ class _ExprParser:
                 f"CAST({nlat} AS INT)) AS DOUBLE))")
         ok = (f"({gh} IS NOT NULL AND length({gh}) BETWEEN 1 AND 12 "
               f"AND {gh} RLIKE '^[{self._GH32}]+$')")
-        return (f"(CASE WHEN {ok} THEN parse_json(to_json("
-                f"named_struct('type', 'Point', 'coordinates', "
-                f"array({clon}, {clat})))) ELSE NULL END)")
+        if fname == "geo_geohash_to_central_point":
+            return (f"(CASE WHEN {ok} THEN parse_json(to_json("
+                    f"named_struct('type', 'Point', 'coordinates', "
+                    f"array({clon}, {clat})))) ELSE NULL END)")
+        two_nlon = (f"CAST(shiftleft(CAST(1 AS BIGINT), "
+                    f"CAST({nlon} AS INT)) AS DOUBLE)")
+        two_nlat = (f"CAST(shiftleft(CAST(1 AS BIGINT), "
+                    f"CAST({nlat} AS INT)) AS DOUBLE)")
+        if fname == "geo_geohash_to_polygon":
+            # the cell RECTANGLE as a GeoJSON polygon (west/south
+            # corner from the quantized ints — power-of-two scaling,
+            # exact dyadics, same convention as the center)
+            w = (f"(-180.0e0 + 360.0e0 * CAST({lonv} AS DOUBLE) "
+                 f"/ {two_nlon})")
+            e = (f"(-180.0e0 + 360.0e0 * (CAST({lonv} AS DOUBLE) "
+                 f"+ 1.0e0) / {two_nlon})")
+            s = (f"(-90.0e0 + 180.0e0 * CAST({latv} AS DOUBLE) "
+                 f"/ {two_nlat})")
+            n = (f"(-90.0e0 + 180.0e0 * (CAST({latv} AS DOUBLE) "
+                 f"+ 1.0e0) / {two_nlat})")
+            ring = (f"array(array({w}, {s}), array({e}, {s}), "
+                    f"array({e}, {n}), array({w}, {n}), "
+                    f"array({w}, {s}))")
+            return (f"(CASE WHEN {ok} THEN parse_json(to_json("
+                    f"named_struct('type', 'Polygon', 'coordinates', "
+                    f"array({ring})))) ELSE NULL END)")
+        # geo_geohash_neighbors(gh): the up-to-8 adjacent cells at the
+        # SAME accuracy — pure integer cell arithmetic (longitude
+        # wraps mod 2^nlon, latitude neighbors beyond the poles drop),
+        # re-interleaved and re-rendered without any float roundtrip.
+        # Output is a SORTED dynamic array (deterministic order).
+        ilon = f"CAST(shiftleft(CAST(1 AS BIGINT), CAST({nlon} AS INT)) AS BIGINT)"
+        ilat = f"CAST(shiftleft(CAST(1 AS BIGINT), CAST({nlat} AS INT)) AS BIGINT)"
+        combos = ", ".join(
+            f"named_struct('dx', CAST({dx} AS BIGINT), "
+            f"'dy', CAST({dy} AS BIGINT))"
+            for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+            if not (dx == 0 and dy == 0))
+        # per character c (0-based), bit u of its 5-bit group sits at
+        # global bit t = 5c + u; even t reads the longitude int, odd t
+        # the latitude int (MSB-first)
+        terms = []
+        for u in range(5):
+            t = f"(5 * __gn_c + {u})"
+            idx_lon = f"CAST({nlon} - 1 - ({t} div 2) AS INT)"
+            idx_lat = f"CAST({nlat} - 1 - (({t} - 1) div 2) AS INT)"
+            terms.append(
+                f"shiftleft(IF(pmod({t}, 2) = 0, "
+                f"shiftright(__gn_p.lq, {idx_lon}), "
+                f"shiftright(__gn_p.tq, {idx_lat})) & 1, {4 - u})")
+        group = " + ".join(terms)
+        chars = (f"transform(sequence(0, length({gh}) - 1), "
+                 f"__gn_c -> substring('{self._GH32}', "
+                 f"CAST({group} AS INT) + 1, 1))")
+        nbr_cells = (f"filter(transform(array({combos}), __gn_d -> "
+                     f"named_struct("
+                     f"'lq', pmod(__gn_s.lv + __gn_d.dx, {ilon}), "
+                     f"'tq', __gn_s.tv + __gn_d.dy)), "
+                     f"__gn_f -> __gn_f.tq >= 0 AND __gn_f.tq < {ilat})")
+        strs = (f"transform({nbr_cells}, __gn_p -> "
+                f"array_join({chars}, ''))")
+        bound = (f"element_at(transform(array(named_struct("
+                 f"'lv', {lonv}, 'tv', {latv})), __gn_s -> "
+                 f"array_sort({strs})), 1)")
+        return (f"(CASE WHEN {ok} THEN parse_json(to_json({bound})) "
+                f"ELSE NULL END)")
 
     _GEO_R = "6371009.0"  # mean Earth radius, same as the distances
 

@@ -5933,3 +5933,82 @@ def test_ipv4_compare_random_differential(spark, sf_dir):
         ma, mb = na >> (32 - eff), nb >> (32 - eff)
         want_c = -1 if ma < mb else (1 if ma > mb else 0)
         assert got[i] == (want_c, ma == mb), (i, astr, bstr, p)
+
+
+def test_geohash_polygon_and_neighbors(spark, sf_dir):
+    """geo_geohash_to_polygon (the cell rectangle; the center must be
+    its midpoint) and geo_geohash_neighbors (up-to-8 same-accuracy
+    adjacent cells, verified against an independent Python
+    quantize/deinterleave reference; longitude wraps, polar latitude
+    neighbors drop)."""
+    import json
+
+    GH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+    def decode_ints(gh):
+        total = 5 * len(gh)
+        lonv = latv = 0
+        for t in range(total):
+            g = GH32.index(gh[t // 5])
+            bit = (g >> (4 - t % 5)) & 1
+            if t % 2 == 0:
+                lonv = lonv * 2 + bit
+            else:
+                latv = latv * 2 + bit
+        return lonv, latv, (total + 1) // 2, total // 2
+
+    def encode_ints(lonv, latv, length):
+        total = 5 * length
+        nlon = (total + 1) // 2
+        nlat = total // 2
+        bits = []
+        li, ti = nlon - 1, nlat - 1
+        for t in range(total):
+            if t % 2 == 0:
+                bits.append((lonv >> li) & 1)
+                li -= 1
+            else:
+                bits.append((latv >> ti) & 1)
+                ti -= 1
+        return "".join(
+            GH32[sum(b << (4 - u) for u, b in
+                     enumerate(bits[5 * c:5 * c + 5]))]
+            for c in range(length))
+
+    def ref_neighbors(gh):
+        lonv, latv, nlon, nlat = decode_ints(gh)
+        out = []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                if dx == dy == 0:
+                    continue
+                tq = latv + dy
+                if not 0 <= tq < (1 << nlat):
+                    continue
+                out.append(encode_ints((lonv + dx) % (1 << nlon),
+                                       tq, len(gh)))
+        return sorted(out)
+
+    cases = ["c23nb", "u", "9q8yy", "zzzzz", "000"]
+    sel = ", ".join(
+        f"n{i} = tostring(geo_geohash_neighbors('{c}'))"
+        for i, c in enumerate(cases))
+    r = kql(spark, sf_dir, f"""
+      print {sel},
+            pg = tostring(geo_geohash_to_polygon('c23nb')),
+            ct = geo_geohash_to_central_point('c23nb'),
+            bad = geo_geohash_neighbors('not a hash!')
+    """).collect()[0]
+    for i, c in enumerate(cases):
+        assert json.loads(r[f"n{i}"]) == ref_neighbors(c), c
+    poly = json.loads(r["pg"])
+    assert poly["type"] == "Polygon"
+    ring = poly["coordinates"][0]
+    assert len(ring) == 5 and ring[0] == ring[4]
+    ctr = json.loads(str(r["ct"]))
+    # the decoded center is the rectangle midpoint
+    assert abs((ring[0][0] + ring[1][0]) / 2 - ctr["coordinates"][0]) \
+        < 1e-12
+    assert abs((ring[1][1] + ring[2][1]) / 2 - ctr["coordinates"][1]) \
+        < 1e-12
+    assert r["bad"] is None
