@@ -1158,6 +1158,19 @@ class _ExprParser:
             if len(args) != 2:
                 raise ValueError("KQL: repeat(value, count)")
             return f"array_repeat({args[0]}, CAST({args[1]} AS INT))"
+        if fname == "range" and len(args) in (2, 3):
+            # the SCALAR range(start, stop [, step]) -> dynamic array
+            # (the `range x from a to b` SOURCE operator is separate).
+            # stop is inclusive, like Kusto; a zero step is null, a
+            # step pointing away from stop yields an empty array
+            # (Spark's sequence would error); numeric domain (the
+            # datetime/timespan form is not supported — documented).
+            start, stop = args[0], args[1]
+            step = args[2] if len(args) == 3 else "1"
+            return (f"(CASE WHEN ({step}) = 0 THEN NULL "
+                    f"WHEN (({stop}) - ({start})) * ({step}) < 0 "
+                    f"THEN array() "
+                    f"ELSE sequence({start}, {stop}, {step}) END)")
         if fname == "new_guid":
             if args:
                 raise ValueError("KQL: new_guid() takes no args")

@@ -6012,3 +6012,25 @@ def test_geohash_polygon_and_neighbors(spark, sf_dir):
     assert abs((ring[1][1] + ring[2][1]) / 2 - ctr["coordinates"][1]) \
         < 1e-12
     assert r["bad"] is None
+
+
+def test_scalar_range_function(spark, sf_dir):
+    """The scalar range(start, stop [, step]) dynamic-array form
+    (distinct from the range SOURCE operator): stop inclusive, empty
+    when the step points away, null on a zero step."""
+    r = kql(spark, sf_dir, """
+      print a = range(1, 5),
+            b = range(0, 10, 5),
+            c = range(5, 1, -2),
+            e = range(1, 0),
+            z = range(1, 5, 0)
+    """).collect()[0]
+    assert r["a"] == [1, 2, 3, 4, 5]
+    assert r["b"] == [0, 5, 10]
+    assert r["c"] == [5, 3, 1]
+    assert r["e"] == []
+    assert r["z"] is None
+    # the range OPERATOR still works as a source
+    n = kql(spark, sf_dir,
+            "range x from 1 to 5 step 2 | count").collect()[0][0]
+    assert n == 3
