@@ -229,6 +229,9 @@ spatial bucketing key)/geo_geohash_to_central_point (HOF fold),
 geo_point_to_s2cell/geo_s2cell_to_central_point (published s2geometry
 face+Hilbert algorithm via an Arrow kernel; doc-example + roundtrip +
 parent-containment pinned),
+geo_geohash_to_polygon (cell rectangle)/geo_geohash_neighbors
+(integer cell arithmetic, longitude wrap, polar rows drop),
+scalar range(start, stop[, step]) dynamic arrays,
 percentiles_array, make_list_if/make_set_if, binary_all_and-or-xor.
 Aggregates: count, countif, sum/avg/min/max (+ sumif/avgif/minif/maxif),
 arg_max/arg_min, percentile (0-100 scale, exact), dcount/dcountif
