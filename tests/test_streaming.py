@@ -1328,3 +1328,37 @@ def test_incremental_dedup_stream_equals_batch_self_join(
           .option("checkpointLocation", str(tmp_path / "ckpt2")).start())
     drain(q2)
     assert pair_set() == want
+
+
+def test_kql_stream_new_scalars_match_batch(spark, sf_dir, stream_dir):
+    """The late-r11 scalars compile identically on the streaming path:
+    replace_strings / ipv4_compare / scalar range() inside a
+    watermarked pipeline produce the same finalized rows as batch."""
+    from azure_kusto_parquet_conv_spark.kql import kql, kql_stream
+    from azure_kusto_parquet_conv_spark.streaming.events import (
+        read_events_stream)
+
+    pipeline = """
+      where event_type != 'error'
+        | extend tag = replace_strings(event_type,
+                         dynamic(["click", "view"]),
+                         dynamic(["C", "V"])),
+                 ipm = ipv4_is_match(
+                         strcat('10.0.0.', tostring(user_id % 200)),
+                         '10.0.0.0/28', 24),
+                 nsp = array_length(range(1, 1 + user_id % 3))
+        | summarize n = count()
+            by b = bin(ts, 1h), tag, ipm, nsp
+    """
+    ev = read_events_stream(spark, stream_dir)
+    q = (kql_stream(ev, pipeline)
+         .writeStream.format("memory").queryName("kql_stream_sc")
+         .outputMode("append").start())
+    drain(q)
+    got = {(r["b"], r["tag"], r["ipm"], r["nsp"]): r["n"]
+           for r in spark.sql("select * from kql_stream_sc").collect()}
+    assert got, "stream emitted no windows"
+    want = {(r["b"], r["tag"], r["ipm"], r["nsp"]): r["n"]
+            for r in kql(spark, sf_dir, "events | " + pipeline).collect()}
+    for k, v in got.items():
+        assert want.get(k) == v, f"{k}: stream {v} != batch {want.get(k)}"
