@@ -181,3 +181,25 @@ def test_rolling_percentile_numeric_axis_and_errors(spark, sf_dir):
           datatable (x:long, v:real) [0, 1.0]
             | evaluate rolling_percentile(v, 50, x, 10.0, 0)
         """)
+
+
+def test_rolling_percentile_plan_is_bounded(spark, sf_dir):
+    """Scale pins for rolling_percentile: the fan-out is a bounded
+    explode (Generate) and the percentile never buffers a window into
+    an array — no collect_list/sort_array in the plan."""
+    df = kql(spark, sf_dir, """
+      events
+        | evaluate rolling_percentile(value, 50, ts, 1h, 3, event_type)
+    """)
+    plan = df._jdf.queryExecution().analyzed().toString()
+    assert "collect_list" not in plan and "sort_array" not in plan
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" in phys  # the bins-spine explode
+    # end to end at sf0.001: every (group, bin) emits exactly one row
+    rows = df.collect() if sf_dir.endswith("0.001") else kql(
+        spark, "/root/testdata/sf0.001", """
+      events
+        | evaluate rolling_percentile(value, 50, ts, 1h, 3, event_type)
+    """).collect()
+    keys = [(r["event_type"], r["bin"]) for r in rows]
+    assert len(keys) == len(set(keys)) and keys
