@@ -123,6 +123,7 @@ Postfix indexer on dynamics/arrays: arr[0], arr[-1], bag['key'],
     | top-nested N of col by agg, ...
     | sample N  /  sample-distinct N of col   (seeded, deterministic)
     | take N  /  limit N  /  count  /  getschema  /  serialize
+    | consume   (evaluate fully, return an empty frame — diagnostics)
     | partition by k1[, k2...] ( where .. | sort .. | extend .. |
         top .. | take .. | summarize .. | scan .. )   (per-key scope;
         serialized ops compile to key-partitioned windows — the
@@ -6190,6 +6191,15 @@ class KqlCompiler:
             return df.limit(int(rest.strip("() \t\n")))
         if op == "count":
             return df.agg(F.count("*").alias("count_"))
+        if op == "consume":
+            # Kusto's diagnostic sink: run the pipeline, discard the
+            # rows, return an empty result with the input schema. The
+            # noop write FORCES full evaluation (a bare limit(0)
+            # would never execute the input), matching consume's
+            # purpose of exercising the query for cost measurement.
+            # `decodeblocks=...` arguments are accepted and ignored.
+            df.write.format("noop").mode("overwrite").save()
+            return df.limit(0)
         if op == "mv-expand":
             # mv-expand col  /  mv-expand alias=expr [to typeof(t)]
             # [, b, ...] : one output row per array element (explode,

@@ -6034,3 +6034,11 @@ def test_scalar_range_function(spark, sf_dir):
     n = kql(spark, sf_dir,
             "range x from 1 to 5 step 2 | count").collect()[0][0]
     assert n == 3
+
+
+def test_consume_operator(spark, sf_dir):
+    """`consume` evaluates the pipeline and returns an empty frame
+    with the input schema (Kusto's diagnostic sink)."""
+    df = kql(spark, sf_dir, "region | where r_regionkey >= 0 | consume")
+    assert df.count() == 0
+    assert set(df.columns) == {"r_regionkey", "r_name"}
