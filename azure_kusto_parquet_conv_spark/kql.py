@@ -232,6 +232,21 @@ face+Hilbert algorithm via an Arrow kernel; doc-example + roundtrip +
 parent-containment pinned),
 geo_geohash_to_polygon (cell rectangle)/geo_geohash_neighbors
 (integer cell arithmetic, longitude wrap, polar rows drop),
+geo_s2cell_parent/children/neighbors/to_polygon (canonical
+child_begin / GetEdgeNeighbors / FromFaceIJWrap arithmetic over the
+same kernels), geo_azimuth (initial great-circle bearing),
+geo_polygon_perimeter (all-rings haversine edge sum),
+geo_line_centroid (length-weighted), geo_distance_point_to_polygon
+(even-odd inside -> 0, else min edge distance, local planar),
+hash/hash_xxhash64 optional modulus, bag_pack_columns (keys = column
+names), series_product, percentile_array_tdigest,
+geo_line_densify/geo_line_simplify/geo_polygon_densify/
+geo_polygon_simplify (slerp subdivision / iterative RDP Arrow
+kernels), geo_intersects_2lines (planar segment sweep),
+evaluate preview(N) (sample + total_count), evaluate schema_merge
+(getschema-merge, conflicts widen to variant), evaluate
+diffpatterns_text (per-(token-count, anchor) consensus patterns,
+exact cohort counts — documented approximation),
 scalar range(start, stop[, step]) dynamic arrays,
 percentiles_array, make_list_if/make_set_if, binary_all_and-or-xor.
 Aggregates: count, countif, sum/avg/min/max (+ sumif/avgif/minif/maxif),
@@ -666,6 +681,27 @@ class _ExprParser:
             pairs = ", ".join(f"{k}, {v}"
                               for k, v in zip(args[::2], args[1::2]))
             return f"parse_json(to_json(named_struct({pairs})))"
+        if fname == "bag_pack_columns":
+            # bag_pack_columns(c1, c2, ...) -> bag keyed by the COLUMN
+            # NAMES. Arguments must be bare column references (that is
+            # the Kusto contract too); a compiled column is exactly a
+            # backticked identifier, so the key is recoverable here
+            # without a token-level intercept. Nulls are kept, like
+            # pack_all's default.
+            if not args:
+                raise ValueError("KQL: bag_pack_columns(col1, ...)")
+            keys = []
+            for a in args:
+                m = re.fullmatch(r"`([^`]+)`", a)
+                if not m:
+                    raise ValueError(
+                        "KQL: bag_pack_columns arguments must be "
+                        "column references, got " + a)
+                keys.append(m.group(1).replace("'", "''"))
+            pairs = ", ".join(f"'{k}', {a}"
+                              for k, a in zip(keys, args))
+            return (f"parse_json(to_json(named_struct({pairs}), "
+                    f"map('ignoreNullFields', 'false')))")
         if fname in ("exp2", "exp10"):
             if len(args) != 1:
                 raise ValueError(f"KQL: {fname}(x)")
@@ -796,7 +832,7 @@ class _ExprParser:
             a = ", ".join(f"CAST({x} AS DOUBLE)" for x in args)
             return f"__kql_welch({a})"
         if fname in ("percentile_tdigest", "percentrank_tdigest",
-                     "rank_tdigest"):
+                     "rank_tdigest", "percentile_array_tdigest"):
             # scalars over the grid quantile sketch built by
             # `evaluate tdigest(...)` (struct<scale, bs:array<(b,w)>>;
             # see _tdigest for why a grid, not centroids). Pure
@@ -804,12 +840,13 @@ class _ExprParser:
             # JVM-side; totals bind ONCE via the named_struct/transform
             # trick (an aggregate inlined into a lambda body would
             # re-fold per element).
-            if len(args) != 2:
+            if fname != "percentile_array_tdigest" and len(args) != 2:
                 raise ValueError(f"KQL: {fname}(tdigest, arg)")
             td, a = args[0], args[1]
             tot = (f"aggregate({td}.bs, 0L, "
                    f"(__tda, __tdx) -> __tda + __tdx.w)")
-            if fname == "percentile_tdigest":
+
+            def perc(a):
                 cross = (
                     f"aggregate({td}.bs, "
                     f"named_struct('c', 0L, 'r', "
@@ -824,6 +861,28 @@ class _ExprParser:
                 return (f"element_at(transform(array(named_struct("
                         f"'t', {tot})), __tds -> "
                         f"CAST({cross} AS DOUBLE) * {td}.scale), 1)")
+            if fname == "percentile_tdigest":
+                return perc(a)
+            if fname == "percentile_array_tdigest":
+                # percentile_array_tdigest(td, p1, p2, ...) or
+                # (td, dynamic([...])) -> dynamic array; one crossing
+                # fold per requested percentile over the bounded
+                # bucket array (the outer lambda var only carries the
+                # percentile, so the inner fold vars don't shadow)
+                if len(args) < 2:
+                    raise ValueError(
+                        "KQL: percentile_array_tdigest(td, p...)")
+                if len(args) == 2 and ("parse_json" in args[1]
+                                       or args[1].lstrip("(")
+                                       .startswith("array(")):
+                    parr = (f"from_json(to_json({args[1]}), "
+                            f"'array<double>')")
+                else:
+                    parr = ("array(" + ", ".join(
+                        f"CAST({x} AS DOUBLE)" for x in args[1:])
+                        + ")")
+                return (f"parse_json(to_json(transform({parr}, "
+                        f"__pat_p -> {perc('__pat_p')})))")
             below = (f"aggregate(filter({td}.bs, __tdx -> __tdx.b <= "
                      f"FLOOR(({a}) / {td}.scale + 0.5e0)), 0L, "
                      f"(__tda, __tdx) -> __tda + __tdx.w)")
@@ -1115,7 +1174,7 @@ class _ExprParser:
                 raise ValueError("KQL: extract_all(regex, text)")
             return f"regexp_extract_all({args[1]}, {args[0]}, 1)"
         if fname in ("series_sum", "series_avg", "series_max",
-                     "series_min"):
+                     "series_min", "series_product"):
             # fold over the make-series value array, JVM-side
             if len(args) != 1:
                 raise ValueError(f"KQL: {fname}(series) takes 1 arg")
@@ -1124,6 +1183,9 @@ class _ExprParser:
                      f"(a, v) -> a + CAST(v AS DOUBLE))")
             if fname == "series_sum":
                 return total
+            if fname == "series_product":
+                return (f"aggregate({arr}, CAST(1 AS DOUBLE), "
+                        f"(a, v) -> a * CAST(v AS DOUBLE))")
             if fname == "series_avg":
                 return f"({total} / size({arr}))"
             fn = "array_max" if fname == "series_max" else "array_min"
@@ -1229,8 +1291,36 @@ class _ExprParser:
             return self._geo_point_in_polygon(args)
         if fname in ("geo_line_length", "geo_polygon_area",
                      "geo_polygon_centroid",
-                     "geo_distance_point_to_line"):
+                     "geo_distance_point_to_line",
+                     "geo_polygon_perimeter", "geo_line_centroid",
+                     "geo_distance_point_to_polygon"):
             return self._geo_measure_fn(fname, args)
+        if fname == "geo_azimuth":
+            # initial great-circle bearing p1 -> p2, radians clockwise
+            # from true north in [0, 2*pi) (standard spherical
+            # formula; same mean-radius sphere as the rest of the geo
+            # family). Identical points or out-of-range coords -> null.
+            if len(args) != 4:
+                raise ValueError(
+                    "KQL: geo_azimuth(lon1, lat1, lon2, lat2)")
+
+            def radx(x):
+                return f"radians(CAST({x} AS DOUBLE))"
+            lon1, lat1, lon2, lat2 = (radx(a) for a in args)
+            dlon = f"({lon2} - {lon1})"
+            az = (f"atan2(sin({dlon}) * cos({lat2}), "
+                  f"cos({lat1}) * sin({lat2}) "
+                  f"- sin({lat1}) * cos({lat2}) * cos({dlon}))")
+            ok = (f"(CAST({args[0]} AS DOUBLE) BETWEEN -180 AND 180 "
+                  f"AND CAST({args[1]} AS DOUBLE) BETWEEN -90 AND 90 "
+                  f"AND CAST({args[2]} AS DOUBLE) BETWEEN -180 AND 180 "
+                  f"AND CAST({args[3]} AS DOUBLE) BETWEEN -90 AND 90 "
+                  f"AND NOT (CAST({args[0]} AS DOUBLE) = "
+                  f"CAST({args[2]} AS DOUBLE) AND "
+                  f"CAST({args[1]} AS DOUBLE) = "
+                  f"CAST({args[3]} AS DOUBLE)))")
+            return (f"(CASE WHEN {ok} THEN "
+                    f"pmod({az}, 2 * pi()) ELSE NULL END)")
         if fname == "geo_point_to_s2cell":
             # S2 cell token (published s2geometry algorithm; Arrow
             # kernel __kql_s2_encode). Kusto's default level is 11.
@@ -1246,6 +1336,58 @@ class _ExprParser:
                 raise ValueError(
                     "KQL: geo_s2cell_to_central_point(token)")
             return (f"parse_json(__kql_s2_center("
+                    f"CAST({args[0]} AS STRING)))")
+        if fname == "geo_s2cell_parent":
+            # containing cell at `level` (default one level up);
+            # engine extension aligned with geo_h3cell_parent
+            if len(args) not in (1, 2):
+                raise ValueError(
+                    "KQL: geo_s2cell_parent(token [, level])")
+            lvl = args[1] if len(args) == 2 else "-1"
+            return (f"__kql_s2_parent(CAST({args[0]} AS STRING), "
+                    f"CAST({lvl} AS INT))")
+        if fname in ("geo_s2cell_children", "geo_s2cell_neighbors"):
+            # dynamic array of child (Hilbert order) / edge-neighbor
+            # (down,right,up,left) tokens; null on malformed input
+            if len(args) != 1:
+                raise ValueError(f"KQL: {fname}(token)")
+            kern = ("__kql_s2_children"
+                    if fname == "geo_s2cell_children"
+                    else "__kql_s2_neighbors")
+            return f"parse_json({kern}(CAST({args[0]} AS STRING)))"
+        if fname in ("geo_line_densify", "geo_line_simplify",
+                     "geo_polygon_densify", "geo_polygon_simplify"):
+            # shape transforms over GeoJSON dynamics (Arrow kernels:
+            # slerp subdivision / iterative RDP, see
+            # _register_geo_shape_udfs). Second arg = tolerance meters
+            # (densify: max edge length; simplify: RDP epsilon),
+            # default 10 like Kusto. Invalid geometry / collapsed
+            # rings -> null.
+            if len(args) not in (1, 2):
+                raise ValueError(f"KQL: {fname}(shape [, tolerance])")
+            tol = args[1] if len(args) == 2 else "10.0"
+            kern = {"geo_line_densify": "__kql_geo_densify_line",
+                    "geo_line_simplify": "__kql_geo_simplify_line",
+                    "geo_polygon_densify": "__kql_geo_densify_poly",
+                    "geo_polygon_simplify": "__kql_geo_simplify_poly",
+                    }[fname]
+            return (f"parse_json({kern}(to_json({args[0]}), "
+                    f"CAST({tol} AS DOUBLE)))")
+        if fname == "geo_intersects_2lines":
+            # planar segment sweep on raw lon/lat (the family's
+            # documented planar approximation); null on invalid input
+            if len(args) != 2:
+                raise ValueError(
+                    "KQL: geo_intersects_2lines(line1, line2)")
+            return (f"__kql_geo_isect2l(to_json({args[0]}), "
+                    f"to_json({args[1]}))")
+        if fname == "geo_s2cell_to_polygon":
+            # GeoJSON Polygon of the cell's 4 corners (chord edges;
+            # true S2 edges are great circles — documented deviation
+            # consistent with the planar geo measures)
+            if len(args) != 1:
+                raise ValueError("KQL: geo_s2cell_to_polygon(token)")
+            return (f"parse_json(__kql_s2_polygon("
                     f"CAST({args[0]} AS STRING)))")
         if fname == "bag_keys":
             # dynamic bag -> array of top-level keys (JSON round-trip;
@@ -2651,9 +2793,21 @@ class _ExprParser:
                     f"KQL: countof kind {kind!r} (normal/regex)")
             return (f"((length({s}) - length(replace({s}, {sub}, ''))) "
                     f"div length({sub}))")
-        if fname == "hash":
-            # Kusto hash() is xxhash64
-            return f"xxhash64({', '.join(args)})"
+        if fname in ("hash", "hash_xxhash64"):
+            # Kusto hash()/hash_xxhash64() is xxhash64; the optional
+            # second argument is a MODULUS (hash(v, m) in [0, m)), not
+            # a second hashed value. Deviation note (stable within
+            # this engine): Spark's xxhash64 hashes the value's
+            # internal binary form with seed 42, not Kusto's exact
+            # byte stream, so absolute hash values differ across
+            # engines — all dedup/salting uses here only need a
+            # stable uniform 64-bit hash.
+            if len(args) not in (1, 2):
+                raise ValueError(f"KQL: {fname}(value [, mod])")
+            h = f"xxhash64({args[0]})"
+            if len(args) == 2:
+                return f"pmod({h}, CAST({args[1]} AS BIGINT))"
+            return h
         if fname in ("hash_sha256", "hash_sha1", "hash_md5"):
             # cryptographic digests of the value's string form (hex
             # text out, like Kusto); the pseudonymization workhorses
@@ -3362,6 +3516,134 @@ class _ExprParser:
                   f"array({cx}, {cy}))")
             return (f"(CASE WHEN {ok} AND {a2} != 0 THEN "
                     f"parse_json(to_json({pt})) ELSE NULL END)")
+        if fname == "geo_polygon_perimeter":
+            # total boundary length in meters: haversine edge sum over
+            # EVERY ring (outer + holes), matching Kusto's perimeter
+            # convention; GeoJSON rings repeat the first point last so
+            # the edge fold needs no closing term
+            if len(args) != 1:
+                raise ValueError("KQL: geo_polygon_perimeter(polygon)")
+            pg = (f"from_json(to_json({args[0]}), 'struct<type:string,"
+                  f"coordinates:array<array<array<double>>>>')")
+            rings = f"({pg}).coordinates"
+            ok = (f"(({pg}).type = 'Polygon' AND size({rings}) >= 1 "
+                  f"AND forall({rings}, __pk_r -> "
+                  f"size(__pk_r) >= 4))")
+            ring = f"element_at({rings}, __pq_k)"
+            seg = self._geo_hav(f"element_at({ring}, __pp_i)",
+                                f"element_at({ring}, __pp_i + 1)")
+            ring_len = (f"aggregate(sequence(1, size({ring}) - 1), "
+                        f"CAST(0 AS DOUBLE), (__pp_a, __pp_i) -> "
+                        f"__pp_a + {seg})")
+            total = (f"aggregate(sequence(1, size({rings})), "
+                     f"CAST(0 AS DOUBLE), (__pq_a, __pq_k) -> "
+                     f"__pq_a + {ring_len})")
+            return f"(CASE WHEN {ok} THEN {total} ELSE NULL END)"
+        if fname == "geo_line_centroid":
+            # length-weighted centroid of the line's segments
+            # (haversine weights, raw-degree midpoints — documented
+            # planar-midpoint approximation consistent with the
+            # family). A zero-length line degenerates to its first
+            # point; wrong type / <2 points -> null.
+            if len(args) != 1:
+                raise ValueError("KQL: geo_line_centroid(lineString)")
+            ls = (f"from_json(to_json({args[0]}), 'struct<"
+                  f"type:string,coordinates:array<array<double>>>')")
+            pts = f"({ls}).coordinates"
+
+            def fold(pfx, term):
+                return (f"aggregate(sequence(1, size({pts}) - 1), "
+                        f"CAST(0 AS DOUBLE), (__{pfx}_a, __{pfx}_i) "
+                        f"-> __{pfx}_a + {term})")
+
+            def coord(pfx, axis, off):
+                return (f"element_at(element_at({pts}, "
+                        f"__{pfx}_i{off}), {axis})")
+            w = {p: self._geo_hav(f"element_at({pts}, __{p}_i)",
+                                  f"element_at({pts}, __{p}_i + 1)")
+                 for p in ("lcw", "lcx", "lcy")}
+            sumw = fold("lcw", w["lcw"])
+            sumx = fold("lcx", f"{w['lcx']} * ({coord('lcx', 1, '')} "
+                               f"+ {coord('lcx', 1, ' + 1')}) / 2")
+            sumy = fold("lcy", f"{w['lcy']} * ({coord('lcy', 2, '')} "
+                               f"+ {coord('lcy', 2, ' + 1')}) / 2")
+            first = f"element_at({pts}, 1)"
+            pt = (f"named_struct('type', 'Point', 'coordinates', "
+                  f"array({sumx} / {sumw}, {sumy} / {sumw}))")
+            degen = (f"named_struct('type', 'Point', 'coordinates', "
+                     f"array(element_at({first}, 1), "
+                     f"element_at({first}, 2)))")
+            return (f"(CASE WHEN ({ls}).type = 'LineString' "
+                    f"AND size({pts}) >= 2 THEN "
+                    f"(CASE WHEN {sumw} > 0 THEN "
+                    f"parse_json(to_json({pt})) "
+                    f"ELSE parse_json(to_json({degen})) END) "
+                    f"ELSE NULL END)")
+        if fname == "geo_distance_point_to_polygon":
+            # 0 when the point is inside (even-odd parity across ALL
+            # rings — a hole flips parity back to outside), else the
+            # min point-to-segment distance over every ring's edges in
+            # the local equirectangular frame (meters) — the same
+            # planar approximations as geo_distance_point_to_line /
+            # geo_point_in_polygon, documented there
+            if len(args) != 3:
+                raise ValueError("KQL: geo_distance_point_to_polygon("
+                                 "lon, lat, polygon)")
+            lon0 = f"CAST({args[0]} AS DOUBLE)"
+            lat0 = f"CAST({args[1]} AS DOUBLE)"
+            pg = (f"from_json(to_json({args[2]}), 'struct<type:string,"
+                  f"coordinates:array<array<array<double>>>>')")
+            rings = f"({pg}).coordinates"
+            ok = (f"(({pg}).type = 'Polygon' AND size({rings}) >= 1 "
+                  f"AND forall({rings}, __pj_r -> size(__pj_r) >= 4) "
+                  f"AND {lon0} BETWEEN -180 AND 180 "
+                  f"AND {lat0} BETWEEN -90 AND 90)")
+            ring_d = f"element_at({rings}, __pe_k)"
+
+            def px(i):
+                return (f"(radians(element_at(element_at({ring_d}, "
+                        f"{i}), 1) - {lon0}) * cos(radians({lat0})) "
+                        f"* {R})")
+
+            def py(i):
+                return (f"(radians(element_at(element_at({ring_d}, "
+                        f"{i}), 2) - {lat0}) * {R})")
+            ax, ay = px("__pd_i"), py("__pd_i")
+            bx, by = px("__pd_i + 1"), py("__pd_i + 1")
+            dx, dy = f"({bx} - {ax})", f"({by} - {ay})"
+            d2 = f"({dx} * {dx} + {dy} * {dy})"
+            t = (f"(CASE WHEN {d2} = 0 THEN 0.0 ELSE "
+                 f"greatest(0.0, least(1.0, "
+                 f"-({ax} * {dx} + {ay} * {dy}) / {d2})) END)")
+            qx, qy = f"({ax} + {t} * {dx})", f"({ay} + {t} * {dy})"
+            dist = f"sqrt({qx} * {qx} + {qy} * {qy})"
+            ring_min = (f"aggregate(sequence(1, size({ring_d}) - 1), "
+                        f"CAST('Infinity' AS DOUBLE), "
+                        f"(__pd_a, __pd_i) -> least(__pd_a, {dist}))")
+            best = (f"aggregate(sequence(1, size({rings})), "
+                    f"CAST('Infinity' AS DOUBLE), "
+                    f"(__pe_a, __pe_k) -> least(__pe_a, {ring_min}))")
+            # even-odd ray cast on raw degrees; CASE keeps the edge
+            # division unevaluated when the edge can't cross (Spark
+            # AND does not guarantee short-circuit under ANSI)
+            ring_c = f"element_at({rings}, __pg_k)"
+
+            def cxy(axis, off):
+                return (f"element_at(element_at({ring_c}, "
+                        f"__pf_i{off}), {axis})")
+            xi, yi = cxy(1, ""), cxy(2, "")
+            xj, yj = cxy(1, " + 1"), cxy(2, " + 1")
+            crossing = (f"(CASE WHEN ({yi} > {lat0}) != ({yj} > {lat0}) "
+                        f"THEN (CASE WHEN {lon0} < ({xj} - {xi}) * "
+                        f"({lat0} - {yi}) / ({yj} - {yi}) + {xi} "
+                        f"THEN 1 ELSE 0 END) ELSE 0 END)")
+            ring_cnt = (f"aggregate(sequence(1, size({ring_c}) - 1), "
+                        f"0, (__pf_a, __pf_i) -> __pf_a + {crossing})")
+            cnt = (f"aggregate(sequence(1, size({rings})), 0, "
+                   f"(__pg_a, __pg_k) -> __pg_a + {ring_cnt})")
+            return (f"(CASE WHEN {ok} THEN (CASE WHEN "
+                    f"pmod({cnt}, 2) = 1 THEN 0.0 ELSE {best} END) "
+                    f"ELSE NULL END)")
         # geo_distance_point_to_line(lon, lat, line): min planar
         # point-to-segment distance in a local equirectangular frame
         # centered on the point (meters)
@@ -4818,6 +5100,228 @@ def _register_dynamic_udfs(spark: SparkSession) -> None:
     spark._kql_dyn_registered = True
 
 
+def _geo_slerp(p, q, f):
+    """Great-circle interpolation between (lon, lat) degree points at
+    fraction f (spherical linear interpolation on unit vectors)."""
+    import math
+    lon1, lat1 = math.radians(p[0]), math.radians(p[1])
+    lon2, lat2 = math.radians(q[0]), math.radians(q[1])
+    v1 = (math.cos(lat1) * math.cos(lon1),
+          math.cos(lat1) * math.sin(lon1), math.sin(lat1))
+    v2 = (math.cos(lat2) * math.cos(lon2),
+          math.cos(lat2) * math.sin(lon2), math.sin(lat2))
+    dot = max(-1.0, min(1.0, sum(a * b for a, b in zip(v1, v2))))
+    omega = math.acos(dot)
+    if omega < 1e-12:
+        return p
+    sa = math.sin((1 - f) * omega) / math.sin(omega)
+    sb = math.sin(f * omega) / math.sin(omega)
+    x, y, z = (sa * a + sb * b for a, b in zip(v1, v2))
+    return (math.degrees(math.atan2(y, x)),
+            math.degrees(math.atan2(z, math.sqrt(x * x + y * y))))
+
+
+def _geo_hav_m(p, q):
+    """Haversine meters between (lon, lat) degree points (the same
+    mean-radius sphere as the SQL geo measures)."""
+    import math
+    lon1, lat1 = math.radians(p[0]), math.radians(p[1])
+    lon2, lat2 = math.radians(q[0]), math.radians(q[1])
+    h = (math.sin((lat2 - lat1) / 2) ** 2
+         + math.cos(lat1) * math.cos(lat2)
+         * math.sin((lon2 - lon1) / 2) ** 2)
+    return 2 * 6371009.0 * math.asin(min(1.0, math.sqrt(h)))
+
+
+def _geo_densify_ring(pts, tol_m):
+    """Insert great-circle intermediate points so no edge exceeds
+    tol_m meters."""
+    import math
+    out = [pts[0]]
+    for a, b in zip(pts, pts[1:]):
+        d = _geo_hav_m(a, b)
+        n = max(1, int(math.ceil(d / tol_m)))
+        for k in range(1, n):
+            out.append(list(_geo_slerp(a, b, k / n)))
+        out.append(b)
+    return out
+
+
+def _geo_simplify_ring(pts, eps_m):
+    """Ramer-Douglas-Peucker with a perpendicular-distance threshold
+    of eps_m meters in a local equirectangular frame centered on the
+    ring's first point (iterative stack — no recursion limit)."""
+    import math
+    if len(pts) <= 2:
+        return list(pts)
+    r = 6371009.0
+    lat0 = math.radians(pts[0][1])
+
+    def xy(p):
+        return (math.radians(p[0]) * math.cos(lat0) * r,
+                math.radians(p[1]) * r)
+    pl = [xy(p) for p in pts]
+    keep = [False] * len(pts)
+    keep[0] = keep[-1] = True
+    stack = [(0, len(pts) - 1)]
+    while stack:
+        i, j = stack.pop()
+        if j <= i + 1:
+            continue
+        ax, ay = pl[i]
+        bx, by = pl[j]
+        dx, dy = bx - ax, by - ay
+        d2 = dx * dx + dy * dy
+        best, bk = -1.0, -1
+        for k in range(i + 1, j):
+            px, py = pl[k]
+            if d2 == 0:
+                dist = math.hypot(px - ax, py - ay)
+            else:
+                t = max(0.0, min(1.0,
+                                 ((px - ax) * dx + (py - ay) * dy)
+                                 / d2))
+                dist = math.hypot(px - (ax + t * dx),
+                                  py - (ay + t * dy))
+            if dist > best:
+                best, bk = dist, k
+        if best > eps_m:
+            keep[bk] = True
+            stack.append((i, bk))
+            stack.append((bk, j))
+    return [list(p) for p, k in zip(pts, keep) if k]
+
+
+def _geo_lines_intersect(pts1, pts2):
+    """Any planar segment-pair crossing between two coordinate chains
+    (raw lon/lat degrees — the family's documented planar
+    approximation; includes collinear-overlap and endpoint touch)."""
+    def orient(a, b, c):
+        v = ((b[0] - a[0]) * (c[1] - a[1])
+             - (b[1] - a[1]) * (c[0] - a[0]))
+        return 0 if v == 0 else (1 if v > 0 else -1)
+
+    def on_seg(a, b, c):
+        return (min(a[0], b[0]) <= c[0] <= max(a[0], b[0])
+                and min(a[1], b[1]) <= c[1] <= max(a[1], b[1]))
+    for a, b in zip(pts1, pts1[1:]):
+        for c, d in zip(pts2, pts2[1:]):
+            o1, o2 = orient(a, b, c), orient(a, b, d)
+            o3, o4 = orient(c, d, a), orient(c, d, b)
+            if o1 != o2 and o3 != o4:
+                return True
+            if o1 == 0 and on_seg(a, b, c):
+                return True
+            if o2 == 0 and on_seg(a, b, d):
+                return True
+            if o3 == 0 and on_seg(c, d, a):
+                return True
+            if o4 == 0 and on_seg(c, d, b):
+                return True
+    return False
+
+
+def _register_geo_shape_udfs(spark: SparkSession) -> None:
+    """Arrow-batched kernels for the geo shape transforms
+    (geo_line_densify/simplify, geo_polygon_densify/simplify,
+    geo_intersects_2lines). Recursive/iterative per-shape geometry
+    (RDP, slerp subdivision, segment sweep) doesn't decompose into
+    SQL folds cleanly, so these ride the pandas-UDF path over the
+    module-level pure kernels (directly unit-testable). Per-row cost
+    is bounded by the shape's own vertex count — no cross-row state,
+    so the kernels scale embarrassingly over a 100 TB shape table."""
+    if getattr(spark, "_kql_geo_shape_registered", False):
+        return
+    import json as _json
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _shape_lift(kind, per_ring):
+        def lift(docs, params):
+            out = []
+            for doc, prm in zip(docs, params):
+                if doc is None or prm is None:
+                    out.append(None)
+                    continue
+                try:
+                    g = _json.loads(doc)
+                    p = float(prm)
+                    if kind == "line":
+                        if (g.get("type") != "LineString"
+                                or len(g.get("coordinates", []))
+                                < 2):
+                            out.append(None)
+                            continue
+                        coords = per_ring(g["coordinates"], p)
+                        if len(coords) < 2:
+                            out.append(None)
+                            continue
+                        out.append(_json.dumps(
+                            {"type": "LineString",
+                             "coordinates": coords}))
+                    else:
+                        rings = g.get("coordinates", [])
+                        if (g.get("type") != "Polygon" or not rings
+                                or any(len(r) < 4 for r in rings)):
+                            out.append(None)
+                            continue
+                        nr = []
+                        for ring in rings:
+                            s = per_ring(ring, p)
+                            # re-close after simplification and keep
+                            # ring validity (>= 4 points)
+                            if s[0] != s[-1]:
+                                s.append(list(s[0]))
+                            nr.append(s)
+                        if any(len(r) < 4 for r in nr):
+                            out.append(None)
+                            continue
+                        out.append(_json.dumps(
+                            {"type": "Polygon",
+                             "coordinates": nr}))
+                except Exception:
+                    out.append(None)
+            return pd.Series(out, dtype=object)
+        return lift
+
+    def isect_lift(docs1, docs2):
+        out = []
+        for d1, d2 in zip(docs1, docs2):
+            if d1 is None or d2 is None:
+                out.append(None)
+                continue
+            try:
+                g1, g2 = _json.loads(d1), _json.loads(d2)
+                if (g1.get("type") != "LineString"
+                        or g2.get("type") != "LineString"
+                        or len(g1.get("coordinates", [])) < 2
+                        or len(g2.get("coordinates", [])) < 2):
+                    out.append(None)
+                    continue
+                out.append(_geo_lines_intersect(g1["coordinates"],
+                                                g2["coordinates"]))
+            except Exception:
+                out.append(None)
+        return pd.Series(out, dtype=object)
+
+    spark.udf.register(
+        "__kql_geo_densify_line",
+        pandas_udf(_shape_lift("line", _geo_densify_ring), "string"))
+    spark.udf.register(
+        "__kql_geo_simplify_line",
+        pandas_udf(_shape_lift("line", _geo_simplify_ring), "string"))
+    spark.udf.register(
+        "__kql_geo_densify_poly",
+        pandas_udf(_shape_lift("poly", _geo_densify_ring), "string"))
+    spark.udf.register(
+        "__kql_geo_simplify_poly",
+        pandas_udf(_shape_lift("poly", _geo_simplify_ring), "string"))
+    spark.udf.register("__kql_geo_isect2l",
+                       pandas_udf(isect_lift, "boolean"))
+    spark._kql_geo_shape_registered = True
+
+
 def _register_math_udfs(spark: SparkSession) -> None:
     """Arrow-batched kernels for the Kusto special-function scalars —
     gamma/loggamma, erf/erfc, the beta family and welch_test. Spark
@@ -5338,6 +5842,123 @@ def _s2_center_of(token):
     return lon, lat
 
 
+def _s2_parse(token):
+    """token -> (cid, lsb, level), or None on malformed input (same
+    validation as _s2_center_of)."""
+    if not token or not re.fullmatch(r"[0-9a-fA-F]{1,16}",
+                                     token.strip()):
+        return None
+    cid = int(token.strip().ljust(16, "0"), 16)
+    lsb = cid & -cid
+    if cid == 0 or (lsb.bit_length() - 1) % 2 or (cid >> 61) > 5:
+        return None
+    return cid, lsb, 30 - (lsb.bit_length() - 1) // 2
+
+
+def _s2_parent_token(token, level=None):
+    """Containing cell at `level` (default: one level up). None when
+    the token is malformed or `level` is finer than the cell."""
+    p = _s2_parse(token)
+    if p is None:
+        return None
+    cid, _lsb, lvl = p
+    tgt = lvl - 1 if level is None else int(level)
+    if tgt < 0 or tgt > lvl:
+        return None
+    nl = 1 << (2 * (30 - tgt))
+    return _s2_token_of((cid & ~(nl - 1)) | nl)
+
+
+def _s2_children_tokens(token):
+    """The 4 direct children in Hilbert-curve order (canonical
+    child_begin arithmetic: child k = (id - lsb) + (2k+1)*(lsb>>2));
+    None for malformed tokens or level-30 leaves."""
+    p = _s2_parse(token)
+    if p is None:
+        return None
+    cid, lsb, lvl = p
+    if lvl >= 30:
+        return None
+    clsb = lsb >> 2
+    return [_s2_token_of((cid - lsb) + (2 * k + 1) * clsb)
+            for k in range(4)]
+
+
+def _s2_st_to_ij_round(s):
+    return max(0, min((1 << 30) - 1, int(round((1 << 30) * s - 0.5))))
+
+
+def _s2_from_face_ij_wrap(face, i, j):
+    """Canonical FromFaceIJWrap: leaf id for (i, j) up to one cell
+    beyond the face boundary. Deliberately uses the LINEAR st<->uv
+    relation in both directions (the quadratic projection is not
+    defined outside the face) — matching s2geometry exactly."""
+    k_max = 1 << 30
+    i = max(-1, min(k_max, i))
+    j = max(-1, min(k_max, j))
+    scale = 1.0 / k_max
+    limit = 1.0 + 2.220446049250313e-16
+    u = max(-limit, min(limit, scale * (2 * (i - (k_max >> 1)) + 1)))
+    v = max(-limit, min(limit, scale * (2 * (j - (k_max >> 1)) + 1)))
+    face2, u2, v2 = _s2_xyz_to_face_uv(
+        *_s2_face_uv_to_xyz(face, u, v))
+    return _s2_leaf_from_face_ij(face2,
+                                 _s2_st_to_ij_round(0.5 * (u2 + 1)),
+                                 _s2_st_to_ij_round(0.5 * (v2 + 1)))
+
+
+def _s2_neighbors_tokens(token):
+    """The 4 edge neighbors at the same level (canonical
+    GetEdgeNeighbors: down/right/up/left leaf probes, cross-face via
+    FromFaceIJWrap, truncated back to the cell's level)."""
+    p = _s2_parse(token)
+    if p is None:
+        return None
+    cid, lsb, level = p
+    size = 1 << (30 - level)
+    k_max = 1 << 30
+    face, i, j = _s2_to_face_ij(cid)
+    nl = 1 << (2 * (30 - level))
+    out = []
+    for di, dj, same in ((0, -size, j - size >= 0),
+                         (size, 0, i + size < k_max),
+                         (0, size, j + size < k_max),
+                         (-size, 0, i - size >= 0)):
+        if same:
+            leaf = _s2_leaf_from_face_ij(face, i + di, j + dj)
+        else:
+            leaf = _s2_from_face_ij_wrap(face, i + di, j + dj)
+        out.append(_s2_token_of((leaf & ~(nl - 1)) | nl))
+    return out
+
+
+def _s2_polygon_of(token):
+    """Cell boundary as a closed [(lon, lat)] ring: the 4 corners in
+    (s, t) grid order via the quadratic uv projection (edges are
+    rendered as straight chords; true S2 edges are great circles —
+    same chord convention as the geo measures)."""
+    import math
+    p = _s2_parse(token)
+    if p is None:
+        return None
+    cid, _lsb, level = p
+    size = 1 << (30 - level)
+    face, i, j = _s2_to_face_ij(cid)
+    i0, j0 = i - (i % size), j - (j % size)
+    corners = []
+    for ci, cj in ((i0, j0), (i0 + size, j0),
+                   (i0 + size, j0 + size), (i0, j0 + size)):
+        s = ci / float(1 << 30)
+        t = cj / float(1 << 30)
+        x, y, z = _s2_face_uv_to_xyz(face, _s2_st_to_uv(s),
+                                     _s2_st_to_uv(t))
+        corners.append((math.degrees(math.atan2(y, x)),
+                        math.degrees(math.atan2(
+                            z, math.sqrt(x * x + y * y)))))
+    corners.append(corners[0])
+    return corners
+
+
 def _register_s2_udfs(spark: SparkSession) -> None:
     """Arrow-batched kernels for the S2 cell scalars
     (geo_point_to_s2cell / geo_s2cell_to_central_point). The S2 cell
@@ -5382,8 +6003,64 @@ def _register_s2_udfs(spark: SparkSession) -> None:
                 out.append(None)
         return pd.Series(out, dtype=object)
 
+    import json as _json
+
+    def _tok_lift(fn):
+        def lift(tokens):
+            out = []
+            for tok in tokens:
+                if tok is None:
+                    out.append(None)
+                    continue
+                try:
+                    r = fn(str(tok))
+                    out.append(None if r is None else _json.dumps(r))
+                except Exception:
+                    out.append(None)
+            return pd.Series(out, dtype=object)
+        return lift
+
+    def parent_lift(tokens, levels):
+        out = []
+        for tok, lev in zip(tokens, levels):
+            if tok is None:
+                out.append(None)
+                continue
+            try:
+                out.append(_s2_parent_token(
+                    str(tok), None if lev is None or int(lev) < 0
+                    else int(lev)))
+            except Exception:
+                out.append(None)
+        return pd.Series(out, dtype=object)
+
+    def poly_lift(tokens):
+        out = []
+        for tok in tokens:
+            if tok is None:
+                out.append(None)
+                continue
+            try:
+                ring = _s2_polygon_of(str(tok))
+                out.append(None if ring is None else _json.dumps(
+                    {"type": "Polygon",
+                     "coordinates": [[[lo, la] for lo, la in ring]]}))
+            except Exception:
+                out.append(None)
+        return pd.Series(out, dtype=object)
+
     spark.udf.register("__kql_s2_encode", pandas_udf(enc_lift, "string"))
     spark.udf.register("__kql_s2_center", pandas_udf(dec_lift, "string"))
+    spark.udf.register("__kql_s2_parent",
+                       pandas_udf(parent_lift, "string"))
+    spark.udf.register("__kql_s2_children",
+                       pandas_udf(_tok_lift(_s2_children_tokens),
+                                  "string"))
+    spark.udf.register("__kql_s2_neighbors",
+                       pandas_udf(_tok_lift(_s2_neighbors_tokens),
+                                  "string"))
+    spark.udf.register("__kql_s2_polygon",
+                       pandas_udf(poly_lift, "string"))
     spark._kql_s2_registered = True
 
 
@@ -5602,6 +6279,7 @@ class KqlCompiler:
         _register_math_udfs(spark)
         _register_ipv6_udfs(spark)
         _register_s2_udfs(spark)
+        _register_geo_shape_udfs(spark)
 
     def table(self, name: str) -> DataFrame:
         return load_table(self.spark, self.sf_dir, name)
@@ -5847,6 +6525,9 @@ class KqlCompiler:
             return self._externaldata(text)
         if re.match(r"find\b", text):
             return self._find(text)
+        if re.match(r"union\b", text):
+            # Kusto's source-position union: `union T1, T2 | ...`
+            return self._union(None, text[len("union"):].strip())
         return self.table(text)
 
     def _find(self, text: str) -> DataFrame:
@@ -6524,6 +7205,12 @@ class KqlCompiler:
             return self._rows_near(df, argtext)
         if plugin == "diffpatterns":
             return self._diffpatterns(df, argtext)
+        if plugin == "diffpatterns_text":
+            return self._diffpatterns_text(df, argtext)
+        if plugin == "preview":
+            return self._preview(df, argtext)
+        if plugin == "schema_merge":
+            return self._schema_merge(df, argtext)
         if plugin == "narrow":
             return self._narrow(df, argtext)
         if plugin == "sequence_detect":
@@ -8218,6 +8905,135 @@ class KqlCompiler:
                    .where((F.col("specificity") >= 1)
                           & (F.abs(F.col("percent_diff")) >= min_diff)))
 
+    def _preview(self, df: DataFrame, argtext: str) -> DataFrame:
+        """``evaluate preview(N)``: Kusto returns TWO tables (an N-row
+        sample plus the total row count); this engine's single-frame
+        contract folds them into one result — the sample rows with a
+        constant ``total_count`` column carrying the second table's
+        value. Which N rows are previewed is unspecified in Kusto too;
+        here it's the first N in partition order. Scale shape: the
+        limit short-circuits the scan, the count is one map-side-
+        combined aggregate, and the 1-row join broadcasts under AQE."""
+        n = int(argtext.strip())
+        if n <= 0:
+            raise ValueError("KQL: preview(N) needs N >= 1")
+        cnt = df.agg(F.count("*").cast("long").alias("total_count"))
+        return df.limit(n).crossJoin(cnt)
+
+    def _schema_merge(self, df: DataFrame, argtext: str) -> DataFrame:
+        """``evaluate schema_merge([PreserveOrder])`` over a union of
+        ``getschema`` outputs (ColumnName, ColumnOrdinal, DataType):
+        one row per column name, first-seen ordinal, the data type
+        when all sources agree. DOCUMENTED DEVIATION: on a type
+        conflict Kusto's closed-source plugin reports an error-typed
+        column; here the merged type widens to 'variant' (this
+        engine's dynamic carrier) — the honest supertype for a reader
+        that must load both shards. PreserveOrder=true (default)
+        orders by first-seen ordinal, else by column name."""
+        arg = argtext.strip().lower()
+        if arg not in ("", "true", "false"):
+            raise ValueError("KQL: schema_merge([PreserveOrder])")
+        need = {"ColumnName", "ColumnOrdinal", "DataType"}
+        if not need <= set(df.columns):
+            raise ValueError(
+                "KQL: schema_merge input must be getschema-shaped "
+                "(ColumnName, ColumnOrdinal, DataType)")
+        merged = (df.groupBy("ColumnName")
+                    .agg(F.min("ColumnOrdinal").cast("long")
+                          .alias("ColumnOrdinal"),
+                         F.when(F.count_distinct("DataType") == 1,
+                                F.min("DataType"))
+                          .otherwise(F.lit("variant"))
+                          .alias("DataType")))
+        order = ("ColumnName" if arg == "false" else "ColumnOrdinal")
+        return merged.orderBy(order).select(
+            "ColumnName", "ColumnOrdinal", "DataType")
+
+    def _diffpatterns_text(self, df: DataFrame,
+                           argtext: str) -> DataFrame:
+        """``evaluate diffpatterns_text(text_col, split_col, 'A', 'B'
+        [, min_diff])``: which whitespace-token line patterns differ
+        between two cohorts — the text twin of diffpatterns, sharing
+        its argument and output conventions (count_a/b, percent_a/b,
+        percent_diff vs each cohort's own size; |diff| >= min_diff,
+        default 1.0).
+
+        DOCUMENTED APPROXIMATION of Kusto's closed-source plugin
+        (whose algorithm is unpublished): lines group by (token count,
+        first token) — the event-type anchor that dominates log
+        formats — and each token position keeps its token when the
+        whole group agrees, else generalizes to '*'. Every line
+        matches its group's pattern BY CONSTRUCTION, so counts are
+        exact for the emitted patterns under any partitioning (no
+        sampling, unlike Kusto's).
+
+        Scale shape: tokenize + posexplode -> two groupBy passes
+        (per-position consensus, then per-group pattern assembly) and
+        one groupBy for cohort counts — all map-side combinable, no
+        driver-side rows, no UDF."""
+        groups = _split_top_commas(_tokenize(argtext))
+        if len(groups) not in (4, 5):
+            raise ValueError(
+                "KQL: diffpatterns_text(text_col, split_col, 'A', "
+                "'B' [, min_diff])")
+        text = groups[0][0].text
+        split = groups[1][0].text
+        va = _compile_expr_tokens(groups[2], df)
+        vb = _compile_expr_tokens(groups[3], df)
+        min_diff = (float("".join(t.text for t in groups[4]))
+                    if len(groups) == 5 else 1.0)
+        in_a = F.expr(f"`{split}` = {va}")
+        in_b = F.expr(f"`{split}` = {vb}")
+        totals = df.agg(
+            F.sum(F.when(in_a, 1).otherwise(0)).alias("ta"),
+            F.sum(F.when(in_b, 1).otherwise(0)).alias("tb")).first()
+        ta, tb = totals["ta"] or 0, totals["tb"] or 0
+        if ta == 0 or tb == 0:
+            raise ValueError("KQL: diffpatterns_text: empty cohort")
+        toks = F.expr(
+            f"filter(split(trim(CAST(`{text}` AS STRING)), "
+            f"'\\\\s+'), __dt_t -> __dt_t != '')")
+        base = (df.where(in_a | in_b)
+                  .select(F.when(in_a, 1).otherwise(0).alias("__ina"),
+                          F.when(in_b, 1).otherwise(0).alias("__inb"),
+                          toks.alias("__toks"))
+                  .withColumn("__n", F.size("__toks"))
+                  .withColumn("__anchor",
+                              F.coalesce(F.element_at("__toks", 1),
+                                         F.lit(""))))
+        counts = (base.groupBy("__n", "__anchor")
+                      .agg(F.sum("__ina").cast("long").alias("count_a"),
+                           F.sum("__inb").cast("long")
+                            .alias("count_b")))
+        pos = (base.select("__n", "__anchor",
+                           F.posexplode("__toks")
+                            .alias("__pos", "__tok"))
+                   .groupBy("__n", "__anchor", "__pos")
+                   .agg(F.when(F.count_distinct("__tok") == 1,
+                               F.min("__tok")).otherwise(F.lit("*"))
+                         .alias("__part")))
+        pats = (pos.groupBy("__n", "__anchor")
+                   .agg(F.array_join(
+                        F.expr("transform(array_sort(collect_list("
+                               "struct(__pos, __part))), "
+                               "__dp_s -> __dp_s.__part)"), " ")
+                        .alias("pattern")))
+        pa = F.round(F.col("count_a") * 100.0 / ta, 4)
+        pb = F.round(F.col("count_b") * 100.0 / tb, 4)
+        # left join + coalesce: blank lines have no exploded tokens,
+        # hence no pattern row — they surface as the '' pattern
+        return (counts.join(pats, ["__n", "__anchor"], "left")
+                      .withColumn("pattern",
+                                  F.coalesce("pattern", F.lit("")))
+                      .select("pattern", "count_a", "count_b",
+                              pa.alias("percent_a"),
+                              pb.alias("percent_b"),
+                              F.round(pa - pb, 4)
+                               .alias("percent_diff"))
+                      .where(F.abs(F.col("percent_diff")) >= min_diff)
+                      .orderBy(F.abs(F.col("percent_diff")).desc(),
+                               F.col("pattern")))
+
     def _render(self, df: DataFrame, rest: str) -> DataFrame:
         """``render <charttype> [with (...)]`` — a presentation hint with
         no tabular effect; validated and discarded (this engine has no
@@ -9439,9 +10255,14 @@ class KqlCompiler:
                 rewrite(body), un)).alias(name))
         return un.select(*cols)
 
-    def _union(self, df: DataFrame, rest: str) -> DataFrame:
+    def _union(self, df: DataFrame | None, rest: str) -> DataFrame:
         """union [isfuzzy=true] [kind=outer|inner] [withsource=col]
         operand[, ...]
+
+        Works in BOTH positions Kusto allows: piped (``T | union U``)
+        and source (``union T1, T2 | ...`` — df is None and the first
+        resolved operand becomes the left side, so its withsource
+        label is its own name rather than ``$input``).
 
         kind=outer (Kusto default): column superset, absent columns null
         — unionByName(allowMissingColumns). kind=inner: columns common to
@@ -9494,13 +10315,19 @@ class KqlCompiler:
         if not others:
             raise ValueError("KQL: union needs at least one operand")
         src = m.group("src")
+
+        def label(i, text):
+            text = text.strip()
+            return (text if re.fullmatch(r"[A-Za-z_]\w*", text)
+                    else f"union_arg{i}")
+        if df is None:
+            df = others.pop(0)
+            first_label = label(0, parts.pop(0))
+        else:
+            first_label = "$input"
         if src:
-            def label(i, text):
-                text = text.strip()
-                return (text if re.fullmatch(r"[A-Za-z_]\w*", text)
-                        else f"union_arg{i}")
-            df = df.withColumn(src, F.lit("$input"))
-            others = [o.withColumn(src, F.lit(label(i, p)))
+            df = df.withColumn(src, F.lit(first_label))
+            others = [o.withColumn(src, F.lit(label(i + 1, p)))
                       for i, (o, p) in enumerate(zip(others, parts))]
         if kind == "inner":
             common = [c for c in df.columns

@@ -47,8 +47,11 @@ def test_expr_errors(bad):
 
 
 def test_unsupported_stage_raises(spark, sf_dir):
+    # `consume` (the previous probe here) is supported since r11 —
+    # use a name no Kusto operator owns so this stays a pure
+    # error-path probe
     with pytest.raises(ValueError, match="unsupported operator"):
-        kql(spark, sf_dir, "nation | consume decodeblocks")
+        kql(spark, sf_dir, "nation | frobnicate blocks")
 
 
 # -------------------------------------------------------------- compiler
@@ -6042,3 +6045,381 @@ def test_consume_operator(spark, sf_dir):
     df = kql(spark, sf_dir, "region | where r_regionkey >= 0 | consume")
     assert df.count() == 0
     assert set(df.columns) == {"r_regionkey", "r_name"}
+
+
+# ---------------------------------------------- r11 late scalar batch 4
+
+def test_hash_mod_and_xxhash64(spark, sf_dir):
+    """hash(v [, mod]) / hash_xxhash64: the optional second argument
+    is a MODULUS (result in [0, mod)), not a second hashed value;
+    hash_xxhash64 is the explicit-name alias."""
+    r = kql(spark, sf_dir, """
+      print h = hash('abc'), hx = hash_xxhash64('abc'),
+            hm = hash('abc', 100), hn = hash_xxhash64('abc', 7)
+    """).collect()[0]
+    assert r["h"] == r["hx"]
+    assert 0 <= r["hm"] < 100 and r["hm"] == r["h"] % 100
+    assert 0 <= r["hn"] < 7
+
+
+def test_bag_pack_columns(spark, sf_dir):
+    """bag_pack_columns(c1, c2, ...) keys the bag by the COLUMN
+    NAMES; nulls are kept (pack_all's default convention)."""
+    import json
+    rows = kql(spark, sf_dir, """
+      datatable(a:long, b:string) [1, 'x', 2, ''
+      ] | extend bb = tostring(bag_pack_columns(a, b))
+        | project a, bb | sort by a asc
+    """).collect()
+    assert json.loads(rows[0]["bb"]) == {"a": 1, "b": "x"}
+    assert json.loads(rows[1]["bb"]) == {"a": 2, "b": ""}
+    with pytest.raises(ValueError, match="column reference"):
+        kql(spark, sf_dir,
+            "print x = bag_pack_columns(1 + 2)").collect()
+
+
+def test_series_product(spark, sf_dir):
+    r = kql(spark, sf_dir, """
+      range i from 1 to 4 step 1
+      | summarize s = make_list(i)
+      | extend p = series_product(s), t = series_sum(s)
+    """).collect()[0]
+    assert r["p"] == 24.0 and r["t"] == 10.0
+
+
+def test_geo_azimuth(spark, sf_dir):
+    """geo_azimuth: initial bearing in radians clockwise from north;
+    closed-form on cardinal directions from the origin."""
+    import math
+    r = kql(spark, sf_dir, """
+      print e = geo_azimuth(0.0, 0.0, 1.0, 0.0),
+            n = geo_azimuth(0.0, 0.0, 0.0, 1.0),
+            w = geo_azimuth(0.0, 0.0, -1.0, 0.0),
+            s = geo_azimuth(0.0, 0.0, 0.0, -1.0),
+            same = geo_azimuth(1.0, 2.0, 1.0, 2.0),
+            bad = geo_azimuth(0.0, 91.0, 1.0, 0.0)
+    """).collect()[0]
+    assert abs(r["e"] - math.pi / 2) < 1e-12
+    assert abs(r["n"]) < 1e-12
+    assert abs(r["w"] - 3 * math.pi / 2) < 1e-12
+    assert abs(r["s"] - math.pi) < 1e-12
+    assert r["same"] is None and r["bad"] is None
+
+
+def _hav_m(p, q):
+    import math
+    lon1, lat1 = map(math.radians, p)
+    lon2, lat2 = map(math.radians, q)
+    h = (math.sin((lat2 - lat1) / 2) ** 2
+         + math.cos(lat1) * math.cos(lat2)
+         * math.sin((lon2 - lon1) / 2) ** 2)
+    return 2 * 6371009.0 * math.asin(min(1.0, math.sqrt(h)))
+
+
+def test_geo_polygon_perimeter(spark, sf_dir):
+    """perimeter = haversine edge sum over every ring (holes count),
+    replicated edge-for-edge in Python."""
+    r = kql(spark, sf_dir, """
+      print p = geo_polygon_perimeter(dynamic({"type":"Polygon",
+              "coordinates":[[[0.0,0.0],[1.0,0.0],[1.0,1.0],
+                              [0.0,1.0],[0.0,0.0]]]})),
+            ph = geo_polygon_perimeter(dynamic({"type":"Polygon",
+              "coordinates":[[[0.0,0.0],[1.0,0.0],[1.0,1.0],
+                              [0.0,1.0],[0.0,0.0]],
+                             [[0.2,0.2],[0.4,0.2],[0.4,0.4],
+                              [0.2,0.4],[0.2,0.2]]]})),
+            bad = geo_polygon_perimeter(dynamic({"type":"Polygon",
+              "coordinates":[[[0.0,0.0],[1.0,0.0],[0.0,0.0]]]}))
+    """).collect()[0]
+    sq = [(0, 0), (1, 0), (1, 1), (0, 1), (0, 0)]
+    hole = [(.2, .2), (.4, .2), (.4, .4), (.2, .4), (.2, .2)]
+    outer = sum(_hav_m(sq[i], sq[i + 1]) for i in range(4))
+    inner = sum(_hav_m(hole[i], hole[i + 1]) for i in range(4))
+    assert abs(r["p"] - outer) < 1e-6
+    assert abs(r["ph"] - (outer + inner)) < 1e-6
+    assert r["bad"] is None
+
+
+def test_geo_line_centroid(spark, sf_dir):
+    """length-weighted centroid; degenerate zero-length line
+    collapses to its first point."""
+    import json
+    r = kql(spark, sf_dir, """
+      print c = tostring(geo_line_centroid(dynamic({
+              "type":"LineString",
+              "coordinates":[[0.0,0.0],[2.0,0.0]]}))),
+            l = tostring(geo_line_centroid(dynamic({
+              "type":"LineString",
+              "coordinates":[[0.0,0.0],[1.0,0.0],[1.0,1.0]]}))),
+            z = tostring(geo_line_centroid(dynamic({
+              "type":"LineString",
+              "coordinates":[[3.0,4.0],[3.0,4.0]]}))),
+            bad = geo_line_centroid(dynamic({"type":"Point",
+              "coordinates":[0.0,0.0]}))
+    """).collect()[0]
+    c = json.loads(r["c"])["coordinates"]
+    assert abs(c[0] - 1.0) < 1e-12 and abs(c[1]) < 1e-12
+    w1 = _hav_m((0, 0), (1, 0))
+    w2 = _hav_m((1, 0), (1, 1))
+    want_x = (0.5 * w1 + 1.0 * w2) / (w1 + w2)
+    want_y = (0.0 * w1 + 0.5 * w2) / (w1 + w2)
+    lc = json.loads(r["l"])["coordinates"]
+    assert abs(lc[0] - want_x) < 1e-12
+    assert abs(lc[1] - want_y) < 1e-12
+    assert json.loads(r["z"])["coordinates"] == [3.0, 4.0]
+    assert r["bad"] is None
+
+
+def test_geo_distance_point_to_polygon(spark, sf_dir):
+    """0 inside (even-odd across rings — a point in a hole is
+    OUTSIDE), min edge distance otherwise (local equirectangular,
+    same frame as geo_distance_point_to_line)."""
+    poly = ('dynamic({"type":"Polygon","coordinates":'
+            '[[[0.0,0.0],[1.0,0.0],[1.0,1.0],[0.0,1.0],[0.0,0.0]],'
+            '[[0.4,0.4],[0.6,0.4],[0.6,0.6],[0.4,0.6],[0.4,0.4]]]})')
+    r = kql(spark, sf_dir, f"""
+      print inside = geo_distance_point_to_polygon(0.2, 0.2, {poly}),
+            inhole = geo_distance_point_to_polygon(0.5, 0.5, {poly}),
+            east = geo_distance_point_to_polygon(1.5, 0.0, {poly}),
+            bad = geo_distance_point_to_polygon(0.5, 99.0, {poly})
+    """).collect()[0]
+    import math
+    assert r["inside"] == 0.0
+    # center of the hole: 0.1 deg from the hole edge in the local
+    # frame (x-scale cos(lat0) at lat0 = 0.5)
+    deg = math.pi / 180 * 6371009.0
+    assert abs(r["inhole"] - 0.1 * deg * math.cos(
+        math.radians(0.5))) / r["inhole"] < 1e-4
+    assert abs(r["east"] - 0.5 * deg) / r["east"] < 1e-9
+    assert r["bad"] is None
+
+
+def test_s2_family_kernels():
+    """Pure-kernel properties for the S2 parent/children/neighbors/
+    polygon extensions (no Spark): parent-of-child roundtrip,
+    neighbor symmetry, cross-face wrap, polygon corners."""
+    from azure_kusto_parquet_conv_spark.kql import (
+        _s2_center_of,
+        _s2_children_tokens,
+        _s2_encode_token,
+        _s2_neighbors_tokens,
+        _s2_parent_token,
+        _s2_parse,
+        _s2_polygon_of,
+    )
+    tok = _s2_encode_token(-80.195829, 25.802215, 8)
+    assert tok == "88d9b"
+    kids = _s2_children_tokens(tok)
+    assert len(kids) == 4 and len(set(kids)) == 4
+    for k in kids:
+        assert _s2_parent_token(k) == tok
+        assert _s2_parse(k)[2] == 9
+    # explicit-level parent: grandchild back to level 8
+    assert _s2_parent_token(_s2_children_tokens(kids[0])[3], 8) == tok
+    assert _s2_parent_token(tok, 9) is None  # finer than the cell
+    nbrs = _s2_neighbors_tokens(tok)
+    assert len(nbrs) == 4 and tok not in nbrs
+    for n in nbrs:
+        assert _s2_parse(n)[2] == 8
+        assert tok in _s2_neighbors_tokens(n)  # symmetry
+    # cross-face wrap: a face-corner-adjacent cell still finds 4
+    # valid same-level neighbors
+    corner = _s2_encode_token(0.1, 44.9, 6)
+    cn = _s2_neighbors_tokens(corner)
+    assert len(cn) == 4
+    for n in cn:
+        assert _s2_parse(n) is not None and _s2_parse(n)[2] == 6
+    # polygon: 4 corners + closure, center inside the lon/lat box
+    # away from face edges
+    ring = _s2_polygon_of(tok)
+    assert len(ring) == 5 and ring[0] == ring[-1]
+    lon, lat = _s2_center_of(tok)
+    lons = [p[0] for p in ring[:4]]
+    lats = [p[1] for p in ring[:4]]
+    assert min(lons) < lon < max(lons)
+    assert min(lats) < lat < max(lats)
+    assert _s2_parent_token("zz") is None
+    assert _s2_children_tokens("zz") is None
+    assert _s2_neighbors_tokens("zz") is None
+
+
+def test_s2_family_spark_dispatch(spark, sf_dir):
+    """The S2 family end-to-end through the compiler (UDF lifts +
+    dynamic results)."""
+    r = kql(spark, sf_dir, """
+      print p = geo_s2cell_parent('88d9b'),
+            p6 = geo_s2cell_parent('88d9b', 6),
+            ch = tostring(geo_s2cell_children('88d9b')),
+            nb = tostring(geo_s2cell_neighbors('88d9b')),
+            pg = tostring(geo_s2cell_to_polygon('88d9b')),
+            bad = geo_s2cell_parent('nothex')
+    """).collect()[0]
+    import json
+    from azure_kusto_parquet_conv_spark.kql import (
+        _s2_children_tokens,
+        _s2_neighbors_tokens,
+        _s2_parent_token,
+    )
+    assert r["p"] == _s2_parent_token("88d9b")
+    assert r["p6"] == _s2_parent_token("88d9b", 6)
+    assert json.loads(r["ch"]) == _s2_children_tokens("88d9b")
+    assert json.loads(r["nb"]) == _s2_neighbors_tokens("88d9b")
+    pg = json.loads(r["pg"])
+    assert pg["type"] == "Polygon" and len(pg["coordinates"][0]) == 5
+    assert r["bad"] is None
+
+
+def test_preview_plugin(spark, sf_dir):
+    """evaluate preview(N): N sample rows + the constant total_count
+    column (Kusto's two-table output folded into one frame)."""
+    rows = kql(spark, sf_dir,
+               "nation | evaluate preview(3)").collect()
+    assert len(rows) == 3
+    assert all(r["total_count"] == 25 for r in rows)
+    with pytest.raises(ValueError, match="preview"):
+        kql(spark, sf_dir, "nation | evaluate preview(0)")
+
+
+def test_schema_merge_plugin(spark, sf_dir):
+    """evaluate schema_merge over a union of getschema outputs:
+    first-seen ordinals, agreed types kept, conflicts widen to
+    variant (documented deviation)."""
+    rows = kql(spark, sf_dir, """
+      union (nation | getschema),
+            (nation | project n_nationkey = tostring(n_nationkey),
+                              extra = 1 | getschema)
+      | evaluate schema_merge()
+    """).collect()
+    got = {r["ColumnName"]: (r["ColumnOrdinal"], r["DataType"])
+           for r in rows}
+    assert got["n_nationkey"][1] == "variant"  # bigint vs string
+    assert got["n_nationkey"][0] == 0
+    assert got["extra"][1] in ("int", "bigint")
+    # PreserveOrder default: ordinal order
+    assert [r["ColumnName"] for r in rows][0] == "n_nationkey"
+    with pytest.raises(ValueError, match="getschema-shaped"):
+        kql(spark, sf_dir, "nation | evaluate schema_merge()")
+
+
+def test_diffpatterns_text_plugin(spark, sf_dir):
+    """diffpatterns_text: token patterns per (token-count, anchor)
+    group, '*' where the group disagrees, exact per-cohort counts."""
+    rows = kql(spark, sf_dir, """
+      datatable(line:string, cohort:string) [
+        'login ok user1', 'A',
+        'login ok user2', 'A',
+        'login fail user3', 'B',
+        'login fail user4', 'B',
+        'logout done', 'A',
+        'logout done', 'B'
+      ] | evaluate diffpatterns_text(line, cohort, 'A', 'B', 0.0)
+    """).collect()
+    got = {r["pattern"]: (r["count_a"], r["count_b"]) for r in rows}
+    # 3-token lines share anchor 'login': ok/fail and users differ
+    assert got["login * *"] == (2, 2)
+    assert got["logout done"] == (1, 1)
+    # default min_diff=1.0 drops the balanced patterns entirely
+    assert kql(spark, sf_dir, """
+      datatable(line:string, cohort:string) [
+        'logout done', 'A', 'logout done', 'B'
+      ] | evaluate diffpatterns_text(line, cohort, 'A', 'B')
+    """).count() == 0
+    rows2 = kql(spark, sf_dir, """
+      datatable(line:string, cohort:string) [
+        'err disk full', 'A', 'err disk full', 'A', 'ok', 'B'
+      ] | evaluate diffpatterns_text(line, cohort, 'A', 'B', 50.0)
+    """).collect()
+    got2 = {r["pattern"]: r["percent_diff"] for r in rows2}
+    assert got2["err disk full"] == 100.0
+    assert got2["ok"] == -100.0
+
+
+def test_percentile_array_tdigest(spark, sf_dir):
+    """percentile_array_tdigest: one crossing per requested
+    percentile, varargs and dynamic-array forms agree with the
+    scalar percentile_tdigest."""
+    r = kql(spark, sf_dir, """
+      datatable (x: real) [1.0, 2.0, 2.0, 9.0]
+        | evaluate tdigest(x, 1.0)
+        | project pa = tostring(percentile_array_tdigest(
+                    tdigest, 0, 50, 100)),
+                  pd = tostring(percentile_array_tdigest(
+                    tdigest, dynamic([0, 50, 100]))),
+                  p50 = percentile_tdigest(tdigest, 50)
+    """).collect()[0]
+    import json
+    assert json.loads(r["pa"]) == [1.0, r["p50"], 9.0]
+    assert json.loads(r["pd"]) == json.loads(r["pa"])
+
+
+def test_geo_shape_kernels():
+    """Pure-kernel pins for densify/simplify/intersects (no Spark)."""
+    from azure_kusto_parquet_conv_spark.kql import (
+        _geo_densify_ring,
+        _geo_hav_m,
+        _geo_lines_intersect,
+        _geo_simplify_ring,
+    )
+    # densify: no edge longer than tol; endpoints preserved
+    line = [[0.0, 0.0], [1.0, 0.0]]
+    d = _geo_densify_ring(line, 20000.0)
+    assert d[0] == [0.0, 0.0] and d[-1] == [1.0, 0.0]
+    assert len(d) > 2
+    for a, b in zip(d, d[1:]):
+        assert _geo_hav_m(a, b) <= 20000.0 + 1e-6
+    # equator slerp stays on the equator
+    assert all(abs(p[1]) < 1e-9 for p in d)
+    # simplify: collinear interior points drop, a real corner stays
+    zig = [[0.0, 0.0], [0.5, 0.0], [1.0, 0.0], [1.0, 1.0]]
+    s = _geo_simplify_ring(zig, 100.0)
+    assert s == [[0.0, 0.0], [1.0, 0.0], [1.0, 1.0]]
+    # a deviation below epsilon is smoothed away
+    wiggle = [[0.0, 0.0], [0.5, 0.00001], [1.0, 0.0]]
+    assert _geo_simplify_ring(wiggle, 100.0) == [[0.0, 0.0],
+                                                 [1.0, 0.0]]
+    assert len(_geo_simplify_ring(wiggle, 0.1)) == 3
+    # intersects: crossing, touching, disjoint
+    assert _geo_lines_intersect([[0, 0], [2, 2]], [[0, 2], [2, 0]])
+    assert _geo_lines_intersect([[0, 0], [1, 1]], [[1, 1], [2, 0]])
+    assert not _geo_lines_intersect([[0, 0], [1, 0]],
+                                    [[0, 1], [1, 1]])
+
+
+def test_geo_shape_spark_dispatch(spark, sf_dir):
+    """densify/simplify/intersects end-to-end through the compiler."""
+    import json
+    r = kql(spark, sf_dir, """
+      print d = tostring(geo_line_densify(dynamic({
+              "type":"LineString",
+              "coordinates":[[0.0,0.0],[1.0,0.0]]}), 30000)),
+            s = tostring(geo_line_simplify(dynamic({
+              "type":"LineString",
+              "coordinates":[[0.0,0.0],[0.5,0.00001],[1.0,0.0]]}),
+              100)),
+            ps = tostring(geo_polygon_simplify(dynamic({
+              "type":"Polygon",
+              "coordinates":[[[0.0,0.0],[0.5,0.00001],[1.0,0.0],
+                              [1.0,1.0],[0.0,1.0],[0.0,0.0]]]}),
+              100)),
+            x = geo_intersects_2lines(dynamic({"type":"LineString",
+              "coordinates":[[0.0,0.0],[2.0,2.0]]}),
+              dynamic({"type":"LineString",
+              "coordinates":[[0.0,2.0],[2.0,0.0]]})),
+            nx = geo_intersects_2lines(dynamic({"type":"LineString",
+              "coordinates":[[0.0,0.0],[1.0,0.0]]}),
+              dynamic({"type":"LineString",
+              "coordinates":[[0.0,1.0],[1.0,1.0]]})),
+            bad = geo_line_simplify(dynamic({"type":"Point",
+              "coordinates":[0.0,0.0]}), 10)
+    """).collect()[0]
+    dd = json.loads(r["d"])
+    assert dd["type"] == "LineString"
+    assert len(dd["coordinates"]) >= 4
+    ss = json.loads(r["s"])
+    assert ss["coordinates"] == [[0.0, 0.0], [1.0, 0.0]]
+    pp = json.loads(r["ps"])
+    assert pp["coordinates"][0] == [[0.0, 0.0], [1.0, 0.0],
+                                    [1.0, 1.0], [0.0, 1.0],
+                                    [0.0, 0.0]]
+    assert r["x"] is True and r["nx"] is False
+    assert r["bad"] is None
