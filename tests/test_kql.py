@@ -6423,3 +6423,31 @@ def test_geo_shape_spark_dispatch(spark, sf_dir):
                                     [0.0, 0.0]]
     assert r["x"] is True and r["nx"] is False
     assert r["bad"] is None
+
+
+def test_h3_family_contract(spark, sf_dir):
+    """The geo_*h3cell* family delegates to the optional `h3`
+    reference library (the published base-cell tables are not
+    re-derivable in closed form — a lookalike would mint
+    non-conformant tokens). Absent package -> loud compile-time
+    error naming the alternative codecs; present package -> the
+    Kusto doc example must hold."""
+    from azure_kusto_parquet_conv_spark.kql import _h3_api
+    if _h3_api() is None:
+        with pytest.raises(ValueError, match="requires the optional"):
+            kql(spark, sf_dir,
+                "print c = geo_point_to_h3cell(-122.409290, "
+                "37.774920, 9)")
+        with pytest.raises(ValueError, match="requires the optional"):
+            kql(spark, sf_dir,
+                "print p = geo_h3cell_parent('8928308280fffff')")
+        return
+    r = kql(spark, sf_dir, """
+      print c = geo_point_to_h3cell(-122.409290, 37.774920, 9),
+            p = geo_h3cell_parent('8928308280fffff'),
+            n = tostring(geo_h3cell_neighbors('8928308280fffff'))
+    """).collect()[0]
+    assert r["c"] == "8928308280fffff"
+    assert r["p"] == "8828308281fffff"
+    import json
+    assert "8928308280fffff" in json.loads(r["n"])
