@@ -2647,7 +2647,17 @@ class _ExprParser:
             # re-parsing JSON text per access
             if len(args) != 1:
                 raise ValueError(f"KQL: {fname}(text) takes 1 arg")
-            return f"parse_json(CAST({args[0]} AS STRING))"
+            # Kusto's parse_json NEVER errors: invalid JSON (incl.
+            # the empty string) yields the input itself as a dynamic
+            # string. try_parse_json covers the happy path; the
+            # fallback lifts the raw string to VARIANT via the
+            # named_struct hop (a bare string can't CAST to VARIANT).
+            # NULL stays NULL (to_json drops the null field -> '{}'
+            # -> variant_get returns null).
+            s = f"CAST({args[0]} AS STRING)"
+            lift = (f"variant_get(parse_json(to_json(named_struct("
+                    f"'x', {s}))), '$.x')")
+            return f"coalesce(try_parse_json({s}), {lift})"
         if fname == "todatetime":
             # null on unparseable input, per Kusto (ANSI CAST errors)
             return f"try_cast({args[0]} AS TIMESTAMP)"
@@ -2988,6 +2998,8 @@ class _ExprParser:
             if len(args) < 2:
                 raise ValueError("KQL: strcat_delim(delim, arg1, ...)")
             return f"concat_ws({', '.join(args)})"
+        if fname == "anyif":
+            fname = "take_anyif"  # Kusto's legacy alias
         if fname in ("sumif", "avgif", "minif", "maxif", "dcountif",
                      "stdevif", "varianceif", "take_anyif"):
             if len(args) != 2:
@@ -3051,6 +3063,37 @@ class _ExprParser:
                     f"THEN {args[0]} END)")
         if fname == "take_any":
             return f"any_value({args[0]})"
+        if fname == "buildschema":
+            # merged schema of a dynamic column across the group.
+            # DOCUMENTED DEVIATION: Kusto renders a nested bag like
+            # {"x":"long"}; this engine returns the merged VARIANT
+            # schema in Spark DDL text (schema_of_variant_agg) — the
+            # same information, deterministic, already the form
+            # evaluate bag_unpack consumes internally
+            if len(args) != 1:
+                raise ValueError("KQL: buildschema(dynamicColumn)")
+            return f"schema_of_variant_agg({args[0]})"
+        if fname == "bag_zip":
+            # bag_zip(keys, values) -> bag keyed by position; extra
+            # keys null-pad (try_element_at), extra values drop,
+            # null/empty keys drop (map keys cannot be null)
+            if len(args) != 2:
+                raise ValueError("KQL: bag_zip(keys, values)")
+            # PERMISSIVE mode: a non-array operand (e.g. a scalar
+            # dynamic) nulls out instead of erroring under the
+            # session's FAILFAST default — Kusto's mismatch contract
+            ks = (f"from_json(to_json({args[0]}), 'array<string>', "
+                  f"map('mode', 'PERMISSIVE'))")
+            vs = (f"from_json(to_json({args[1]}), 'array<variant>', "
+                  f"map('mode', 'PERMISSIVE'))")
+            ent = (f"filter(transform({ks}, (__bz_k, __bz_i) -> "
+                   f"struct(__bz_k AS key, try_element_at({vs}, "
+                   f"__bz_i + 1) AS value)), __bz_e -> "
+                   f"__bz_e.key IS NOT NULL)")
+            return (f"(CASE WHEN {ks} IS NULL OR {vs} IS NULL "
+                    f"THEN NULL ELSE "
+                    f"parse_json(to_json(map_from_entries({ent}), "
+                    f"map('ignoreNullFields', 'false'))) END)")
         if fname == "stdev":
             return f"stddev_samp({args[0]})"
         if fname == "stdevp":
@@ -7375,7 +7418,7 @@ class KqlCompiler:
             return self._rolling_percentile(df, argtext)
         if plugin == "tdigest":
             return self._tdigest(df, argtext)
-        if plugin == "tdigest_merge":
+        if plugin in ("tdigest_merge", "merge_tdigest"):
             return self._tdigest_merge(df, argtext)
         if plugin == "dcount_intersect":
             return self._dcount_intersect(df, argtext)

@@ -6451,3 +6451,29 @@ def test_h3_family_contract(spark, sf_dir):
     assert r["p"] == "8828308281fffff"
     import json
     assert "8928308280fffff" in json.loads(r["n"])
+
+
+def test_anyif_buildschema_bag_zip(spark, sf_dir):
+    """anyif == take_anyif; buildschema returns the merged VARIANT
+    schema in DDL text (documented deviation); bag_zip pairs keys to
+    values by index (extra keys null-pad, extra values drop)."""
+    import json
+    r = kql(spark, sf_dir, """
+      datatable(g:long, v:real) [1, 10.0, 1, 20.0, 2, 5.0]
+      | summarize a = anyif(v, v > 15.0) by g | sort by g asc
+    """).collect()
+    assert [x["a"] for x in r] == [20.0, None]
+    s = kql(spark, sf_dir, """
+      datatable(j:string) ['{"x": 1}', '{"x": "s", "y": true}']
+      | extend d = todynamic(j)
+      | summarize sch = buildschema(d)
+    """).collect()[0]["sch"]
+    assert "x" in s and "y" in s  # merged keys present in the DDL
+    z = kql(spark, sf_dir, """
+      print b = tostring(bag_zip(dynamic(["k1","k2","k3"]),
+                                 dynamic([1, "two"]))),
+            n = bag_zip(dynamic(["k"]), todynamic(''))
+    """).collect()[0]
+    got = json.loads(z["b"])
+    assert got == {"k1": 1, "k2": "two", "k3": None}
+    assert z["n"] is None
