@@ -85,6 +85,126 @@ def zorder_sort(df: DataFrame, cols: Sequence[str], bits: int = 12,
                  .drop("__z"))
 
 
+def _hilbert_index(coords: Sequence[int], bits: int) -> int:
+    """Pure-Python Hilbert index of one point (Skilling's published
+    transform, "Programming the Hilbert curve", AIP 2004): coords ->
+    transposed Gray-code form -> bit-interleaved index. The reference
+    the vectorized kernel is differentially tested against; also the
+    exhaustive-grid adjacency proof target (consecutive indices are
+    unit grid neighbors)."""
+    n = len(coords)
+    x = [int(c) & ((1 << bits) - 1) for c in coords]
+    m = 1 << (bits - 1)
+    # inverse-undo pass
+    q = m
+    while q > 1:
+        p = q - 1
+        for i in range(n):
+            if x[i] & q:
+                x[0] ^= p
+            else:
+                t = (x[0] ^ x[i]) & p
+                x[0] ^= t
+                x[i] ^= t
+        q >>= 1
+    # Gray encode
+    for i in range(1, n):
+        x[i] ^= x[i - 1]
+    t = 0
+    q = m
+    while q > 1:
+        if x[n - 1] & q:
+            t ^= q - 1
+        q >>= 1
+    for i in range(n):
+        x[i] ^= t
+    # transposed -> single index (x[0] carries the most significant
+    # bit at each level)
+    key = 0
+    for j in range(bits - 1, -1, -1):
+        for i in range(n):
+            key = (key << 1) | ((x[i] >> j) & 1)
+    return key
+
+
+def hilbert_key(cols: Sequence[Column | str], bits: int = 12) -> Column:
+    """Hilbert-curve clustering key over >= 2 range-normalized integer
+    columns — the locality-tighter sibling of ``zorder_key``. A Morton
+    key jumps across the space at every quadrant boundary; the Hilbert
+    curve is CONTINUOUS (consecutive keys are unit grid neighbors,
+    proven exhaustively in tests), so consecutive output files cover
+    adjacent hyper-rectangles and a range predicate touches fewer
+    files at 100 TB. The per-level state rotation makes the key
+    inexpressible as a fixed SQL bit-interleave, so it rides ONE
+    Arrow-batched numpy kernel (mask-vectorized Skilling transform —
+    loops run over bits x dims, not rows; nulls enter as 0, same as
+    zorder's cast). Prefer ``zorder_key`` when pure-SQL
+    differential checking matters more than locality."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    n = len(cols)
+    if n < 2:
+        raise ValueError("hilbert needs >= 2 columns")
+    if bits * n > 62:
+        raise ValueError(f"{n} cols x {bits} bits exceeds a signed long")
+    cs = [F.col(c) if isinstance(c, str) else c for c in cols]
+
+    def kernel(*series):
+        mask_bits = (1 << bits) - 1
+        xs = [s.fillna(0).to_numpy(dtype="int64") & mask_bits
+              for s in series]
+        m = 1 << (bits - 1)
+        q = m
+        while q > 1:
+            p = q - 1
+            for i in range(n):
+                hit = (xs[i] & q) != 0
+                t = (xs[0] ^ xs[i]) & p
+                x0_else, xi_else = xs[0] ^ t, xs[i] ^ t
+                xs[0] = np.where(hit, xs[0] ^ p, x0_else)
+                if i:  # xs[0]'s else-branch already applied above
+                    xs[i] = np.where(hit, xs[i], xi_else)
+            q >>= 1
+        for i in range(1, n):
+            xs[i] = xs[i] ^ xs[i - 1]
+        t = np.zeros_like(xs[0])
+        q = m
+        while q > 1:
+            t = t ^ np.where((xs[n - 1] & q) != 0, q - 1, 0)
+            q >>= 1
+        xs = [x ^ t for x in xs]
+        key = np.zeros_like(xs[0])
+        for j in range(bits - 1, -1, -1):
+            for i in range(n):
+                key = (key << 1) | ((xs[i] >> j) & 1)
+        return pd.Series(key)
+
+    return pandas_udf(kernel, "long")(*[c.cast("long") for c in cs])
+
+
+def hilbert_sort(df: DataFrame, cols: Sequence[str], bits: int = 12,
+                 num_files: int | None = None) -> DataFrame:
+    """``zorder_sort`` with the Hilbert key: min-max normalize, key,
+    range-shuffle once at write time, sort within partitions."""
+    bounds = df.agg(*[f for c in cols
+                      for f in (F.min(c).alias(f"min_{c}"),
+                                F.max(c).alias(f"max_{c}"))]).collect()[0]
+    top = (1 << bits) - 1
+    normed = []
+    for c in cols:
+        lo, hi = bounds[f"min_{c}"], bounds[f"max_{c}"]
+        span = max(int(hi) - int(lo), 1)
+        normed.append(((F.col(c).cast("long") - F.lit(int(lo)))
+                       * F.lit(top) / F.lit(span)).cast("long"))
+    keyed = df.withColumn("__h", hilbert_key(normed, bits))
+    parts = num_files or df.sparkSession.sparkContext.defaultParallelism
+    return (keyed.repartitionByRange(parts, "__h")
+                 .sortWithinPartitions("__h")
+                 .drop("__h"))
+
+
 def pack_sequences(df: DataFrame, order_col: str, n_tok_col: str,
                    budget: int, by: Sequence[str] = ()) -> DataFrame:
     """GPT-style sequence packing map for LLM pretraining: documents are

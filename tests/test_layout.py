@@ -136,3 +136,85 @@ def test_zorder_key_three_columns(spark):
         assert v == _morton_ref(list(t), 8), t
     with pytest.raises(ValueError):
         zorder_key(["a", "b", "c"], 22)  # 66 bits > signed long
+
+
+def test_hilbert_index_adjacency_exhaustive():
+    """The defining Hilbert property, proven exhaustively on small
+    grids: indices enumerate the grid exactly once AND consecutive
+    indices are UNIT grid neighbors (Morton keys fail the second —
+    they jump at quadrant boundaries). The Skilling transform is
+    size-generic, so the 2D/3D proofs carry to any (dims, bits)."""
+    from itertools import product
+
+    from azure_kusto_parquet_conv_spark.operators.layout import (
+        _hilbert_index)
+    for n, b in ((2, 3), (3, 2)):
+        side = 1 << b
+        by_index = {}
+        for pt in product(range(side), repeat=n):
+            by_index[_hilbert_index(pt, b)] = pt
+        assert sorted(by_index) == list(range(side ** n))
+        for k in range(side ** n - 1):
+            a, c = by_index[k], by_index[k + 1]
+            assert sum(abs(x - y) for x, y in zip(a, c)) == 1, (a, c)
+    # contrast pin: the Morton curve at (2, 3) breaks adjacency
+    def morton(pt, b):
+        z = 0
+        for j in range(b):
+            for i, v in enumerate(pt):
+                z |= ((v >> j) & 1) << (j * len(pt) + i)
+        return z
+    m = {morton(pt, 3): pt for pt in product(range(8), repeat=2)}
+    jumps = sum(sum(abs(x - y) for x, y in zip(m[k], m[k + 1])) != 1
+                for k in range(63))
+    assert jumps > 0
+
+
+def test_hilbert_key_matches_reference_and_validates(spark):
+    """The vectorized Arrow kernel equals the pure-Python reference
+    point-for-point on a random grid; bad arity/width raise."""
+    import random
+
+    from azure_kusto_parquet_conv_spark.operators.layout import (
+        _hilbert_index,
+        hilbert_key,
+    )
+    rng = random.Random(7)
+    rows = [(rng.randrange(1 << 10), rng.randrange(1 << 10),
+             rng.randrange(1 << 10)) for _ in range(500)]
+    df = spark.createDataFrame(rows, "a long, b long, c long")
+    got = (df.withColumn("h", hilbert_key(["a", "b", "c"], 10))
+             .collect())
+    for r in got:
+        assert r["h"] == _hilbert_index((r["a"], r["b"], r["c"]), 10)
+    with pytest.raises(ValueError, match=">= 2 columns"):
+        hilbert_key(["a"], 8)
+    with pytest.raises(ValueError, match="signed long"):
+        hilbert_key(["a", "b", "c"], 21)
+
+
+def test_hilbert_sort_tightens_file_stats(spark, sf_dir, tmp_path):
+    """hilbert_sort lays out files whose per-file min-max boxes are
+    tight on BOTH dimensions (the multi-dim skipping contract), like
+    the zorder twin."""
+    from azure_kusto_parquet_conv_spark.operators.layout import (
+        hilbert_sort)
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_size")
+    out = str(tmp_path / "hs")
+    hilbert_sort(part, ["p_partkey", "p_size"], bits=8,
+                 num_files=8).write.parquet(out)
+    spans = []
+    for f in glob.glob(out + "/part-*.parquet"):
+        t = pq.read_table(f)
+        if t.num_rows == 0:
+            continue
+        pk = t.column("p_partkey").to_pylist()
+        sz = t.column("p_size").to_pylist()
+        spans.append(((max(pk) - min(pk)), (max(sz) - min(sz))))
+    assert len(spans) >= 4
+    n_pk = max(r["p_partkey"] for r in part.collect())
+    # average per-file extent must be well under the full domain on
+    # at least the first interleaved dimension
+    avg_pk = sum(s[0] for s in spans) / len(spans)
+    assert avg_pk < 0.8 * n_pk
