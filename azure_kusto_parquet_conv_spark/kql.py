@@ -134,7 +134,10 @@ Postfix indexer on dynamics/arrays: arr[0], arr[-1], bag['key'],
         (subpipeline) on key / on $left.a == $right.b
     | lookup [kind=...] (dim) on key
     | union [isfuzzy=true] [kind=...] [withsource=col] T2, ...
+    | evaluate preview(N) / schema_merge([PreserveOrder])
+        / diffpatterns_text(text, split, 'A', 'B' [, min_diff])
 Sources: table | datatable(...) | print | range | externaldata(...)
+    | union T1, T2, ...   (source position)
     | find [withsource=col] in (T1, T2, ...) where pred
     | as name   /   render <charttype>
     | invoke f(args)   (tabular function-lets: let f = (T:(*), ..) {..})

@@ -567,3 +567,29 @@ def test_ivfpq_indexed_scan_prunes_partitions(spark, sf_dir):
     assert probed, m.group(1)
     n_lists = len(probed.group(1).replace(" ", "").split(","))
     assert 0 < n_lists < 16, m.group(1)
+
+
+def test_diffpatterns_text_plan_shape(spark, sf_dir):
+    """diffpatterns_text must stay the explode -> groupBy shape: no
+    cartesian/NLJ (the pattern/count join is an equi-join on the
+    (token-count, anchor) key) and no Python UDF in the plan."""
+    from azure_kusto_parquet_conv_spark.kql import kql
+    df = kql(spark, sf_dir, """
+      documents | take 500
+      | extend cohort = iff(doc_id % 2 == 0, 'A', 'B')
+      | evaluate diffpatterns_text(text, cohort, 'A', 'B', 0.0)
+    """)
+    plan = executed_plan(df)
+    assert_no_cartesian(df)
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_preview_short_circuits_scan(spark, sf_dir):
+    """preview(N)'s sample side must plan a limit (CollectLimit /
+    LocalLimit), not a full materialization, and the 1-row count side
+    may broadcast (allowlisted BroadcastNestedLoopJoin)."""
+    from azure_kusto_parquet_conv_spark.kql import kql
+    df = kql(spark, sf_dir, "lineitem | evaluate preview(5)")
+    plan = executed_plan(df)
+    assert "Limit" in plan, plan[:1200]
+    assert df.count() == 5
