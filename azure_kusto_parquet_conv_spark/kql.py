@@ -6752,7 +6752,35 @@ class KqlCompiler:
         if re.match(r"union\b", text):
             # Kusto's source-position union: `union T1, T2 | ...`
             return self._union(None, text[len("union"):].strip())
+        t = self._table_fn(text)
+        if t is not None:
+            return t
         return self.table(text)
+
+    def _table_fn(self, text: str):
+        """Kusto's table-reference functions: ``table('name')``,
+        ``materialized_view('name')`` (reads the backing table of the
+        same name — this engine has no view materializer, documented
+        deviation), and the cross-database forms
+        ``database('db').Name`` / ``database('db').table('name')``
+        (the database qualifier is accepted and IGNORED: one sf_dir is
+        the whole catalog here). Returns None when the text is not a
+        table-reference call."""
+        m = re.fullmatch(
+            r"(?:database\s*\(\s*'[^']*'\s*\)\s*\.\s*)?"
+            r"(?:table|materialized_view)\s*\(\s*'([^']+)'\s*\)",
+            text.strip())
+        if m:
+            name = m.group(1)
+            return (self._lets[name] if name in self._lets
+                    else self.table(name))
+        m = re.fullmatch(r"database\s*\(\s*'[^']*'\s*\)\s*\.\s*"
+                         r"([A-Za-z_]\w*)", text.strip())
+        if m:
+            name = m.group(1)
+            return (self._lets[name] if name in self._lets
+                    else self.table(name))
+        return None
 
     def _find(self, text: str) -> DataFrame:
         """``find [withsource=col] in (T1, T2, ...) where pred``:
@@ -7323,6 +7351,9 @@ class KqlCompiler:
             return self.compile(text[1:-1].strip())
         if re.match(r"datatable\s*\(", text):
             return self._datatable(text)
+        t = self._table_fn(text)
+        if t is not None:
+            return t
         if re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", text):
             # let-bound / `as`-named results shadow on-disk tables,
             # mirroring _source (a bare name as a join/union/lookup

@@ -6477,3 +6477,23 @@ def test_anyif_buildschema_bag_zip(spark, sf_dir):
     got = json.loads(z["b"])
     assert got == {"k1": 1, "k2": "two", "k3": None}
     assert z["n"] is None
+
+
+def test_table_reference_functions(spark, sf_dir):
+    """table('name') / materialized_view('name') /
+    database('db').Name — the database qualifier is accepted and
+    ignored (one sf_dir is the whole catalog); let-bound names still
+    shadow on-disk tables; works in source AND operand position."""
+    assert kql(spark, sf_dir, "table('nation') | count"
+               ).collect()[0][0] == 25
+    assert kql(spark, sf_dir,
+               "database('anydb').nation | count").collect()[0][0] == 25
+    assert kql(spark, sf_dir,
+               "materialized_view('region') | count"
+               ).collect()[0][0] == 5
+    # operand position + let shadowing
+    rows = kql(spark, sf_dir, """
+      let nation = datatable(n_nationkey:long) [1, 2];
+      region | union withsource=src table('nation') | count
+    """).collect()
+    assert rows[0][0] == 7  # 5 regions + the 2-row let, not 25
