@@ -10768,10 +10768,13 @@ class KqlCompiler:
     def _summarize(self, df: DataFrame, rest: str):
         # hint.shufflekey=col: pre-partition on the hinted key so the
         # aggregation exchange reuses it (Kusto's shuffle strategy hint)
-        mh = re.match(r"hint\.shufflekey\s*=\s*(\w+)\s+(.*)$",
+        mh = re.match(r"hint\.shufflekey\s*=\s*(\w+)\s+"
+                      r"(?:hint\.num_partitions\s*=\s*(\d+)\s+)?(.*)$",
                       rest, re.DOTALL)
         if mh:
-            df, rest = df.repartition(F.col(mh.group(1))), mh.group(2)
+            pargs = [int(mh.group(2))] if mh.group(2) else []
+            df = df.repartition(*pargs, F.col(mh.group(1)))
+            rest = mh.group(3)
         # split on top-level ' by '
         toks = _tokenize(rest)
         by_idx = None
@@ -11395,7 +11398,9 @@ class KqlCompiler:
         m = re.match(
             r"(?:kind\s*=\s*(\w+)\s+)?"
             r"(?:(hint\.broadcast)\s+"
-            r"|hint\.strategy\s*=\s*(?P<strat>broadcast|shuffle)\s+)?"
+            r"|hint\.strategy\s*=\s*(?P<strat>broadcast|shuffle)\s+"
+            r"|hint\.shufflekey\s*=\s*(?P<skey>\w+)\s+)?"
+            r"(?:hint\.num_partitions\s*=\s*(?P<nparts>\d+)\s+)?"
             r"(?:\((?P<sub>.*)\)|(?P<name>[A-Za-z_][A-Za-z0-9_]*))"
             r"\s+on\s+(?P<on>.*)$",
             rest, re.DOTALL)
@@ -11407,12 +11412,15 @@ class KqlCompiler:
         else:
             # bare-name operand: a let-bound/`as`-named result or table
             right = self._operand(m.group("name"))
+        nparts = int(m.group("nparts")) if m.group("nparts") else None
         if m.group(2) or m.group("strat") == "broadcast":
             right = F.broadcast(right)
         elif m.group("strat") == "shuffle":
             # Kusto's shuffle-strategy hint: force the partitioned
             # (shuffle-hash) join even when Spark would broadcast
             right = right.hint("shuffle_hash")
+        elif nparts and not m.group("skey"):
+            right = right.repartition(nparts)
         on_text = m.group("on").strip()
         # parse the on-clause into (left_key, right_key) pairs
         if re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*(\s*,\s*"
@@ -11427,6 +11435,23 @@ class KqlCompiler:
                 if not m2:
                     raise ValueError(f"KQL: bad join condition {part!r}")
                 pairs.append((m2.group(1), m2.group(2)))
+        if m.group("skey"):
+            # hint.shufflekey=col: pre-partition BOTH sides on the
+            # hinted key (Kusto's skew/strategy control). The hint
+            # names a LEFT column; the right side repartitions on the
+            # PAIRED right key when the hint is a join key, else on
+            # the same name if it exists there. Implies the
+            # partitioned join, like Kusto; hint.num_partitions sizes
+            # the exchange.
+            skey = m.group("skey")
+            pargs = [nparts] if nparts else []
+            if skey in df.columns:
+                df = df.repartition(*pargs, F.col(skey))
+            rkey = next((rk for lk, rk in pairs if lk == skey),
+                        skey if skey in right.columns else None)
+            if rkey is not None:
+                right = right.repartition(*pargs, F.col(rkey))
+            right = right.hint("shuffle_hash")
         if kindraw == "innerunique":
             # Kusto's DEFAULT kind: the LEFT side is deduplicated on the
             # join keys (one arbitrary row per key) before an inner join

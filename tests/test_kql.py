@@ -6497,3 +6497,40 @@ def test_table_reference_functions(spark, sf_dir):
       region | union withsource=src table('nation') | count
     """).collect()
     assert rows[0][0] == 7  # 5 regions + the 2-row let, not 25
+
+
+def test_join_shufflekey_and_num_partitions_hints(spark, sf_dir):
+    """hint.shufflekey pre-partitions BOTH sides on the hinted key and
+    forces the partitioned join (no broadcast in the plan);
+    hint.num_partitions sizes the exchange. Results must equal the
+    unhinted join."""
+    from azure_kusto_parquet_conv_spark.plans.explain import (
+        executed_plan)
+    base = kql(spark, sf_dir, """
+      orders | join kind=inner customer on $left.o_custkey == $right.c_custkey
+             | summarize n = count(), s = sum(o_totalprice)
+    """).collect()[0]
+    hinted_df = kql(spark, sf_dir, """
+      orders | join kind=inner hint.shufflekey=o_custkey
+               hint.num_partitions=7 customer
+               on $left.o_custkey == $right.c_custkey
+             | summarize n = count(), s = sum(o_totalprice)
+    """)
+    hinted = hinted_df.collect()[0]
+    assert hinted["n"] == base["n"]
+    # double SUM is summation-order-dependent; the repartition changes
+    # the order, so compare within float tolerance
+    assert abs(hinted["s"] - base["s"]) < 1e-6 * abs(base["s"])
+    # the full (pre-aggregation) join must not broadcast
+    joined = kql(spark, sf_dir, """
+      orders | join kind=inner hint.shufflekey=o_custkey customer
+               on $left.o_custkey == $right.c_custkey
+    """)
+    assert "BroadcastHashJoin" not in executed_plan(joined)
+    # summarize accepts num_partitions after shufflekey too
+    agg = kql(spark, sf_dir, """
+      lineitem | summarize hint.shufflekey=l_orderkey
+                 hint.num_partitions=5 n = count() by l_orderkey
+      | count
+    """).collect()[0][0]
+    assert agg > 0
