@@ -130,7 +130,8 @@ Postfix indexer on dynamics/arrays: arr[0], arr[-1], bag['key'],
         scale-safe form)
     | join kind=innerunique(default)|inner|left|right|fullouter|leftsemi|
         leftanti|rightsemi|rightanti [hint.broadcast |
-        hint.strategy=broadcast|shuffle]
+        hint.strategy=broadcast|shuffle | hint.shufflekey=col]
+        [hint.num_partitions=N]
         (subpipeline) on key / on $left.a == $right.b
     | lookup [kind=...] (dim) on key
     | union [isfuzzy=true] [kind=...] [withsource=col] T2, ...

@@ -1362,3 +1362,38 @@ def test_kql_stream_new_scalars_match_batch(spark, sf_dir, stream_dir):
             for r in kql(spark, sf_dir, "events | " + pipeline).collect()}
     for k, v in got.items():
         assert want.get(k) == v, f"{k}: stream {v} != batch {want.get(k)}"
+
+
+def test_kql_stream_session3_scalars_match_batch(spark, sf_dir,
+                                                 stream_dir):
+    """This session's scalars compile identically on the streaming
+    path: hash() with modulus, bag_pack_columns (schema-aware
+    intercept — needs df.columns, so it must also work on a streaming
+    frame), and geo_azimuth inside a watermarked pipeline finalize to
+    the same rows as batch."""
+    from azure_kusto_parquet_conv_spark.kql import kql, kql_stream
+    from azure_kusto_parquet_conv_spark.streaming.events import (
+        read_events_stream)
+
+    pipeline = """
+      where event_type != 'error'
+        | extend hb = hash(event_type, 4),
+                 az = toint(geo_azimuth(0.0, 0.0,
+                        todouble(1 + user_id % 3),
+                        todouble(1 + user_id % 5)) * 100)
+        | extend bag = tostring(bag_pack_columns(event_type, hb))
+        | summarize n = count()
+            by b = bin(ts, 1h), hb, az, bag
+    """
+    ev = read_events_stream(spark, stream_dir)
+    q = (kql_stream(ev, pipeline)
+         .writeStream.format("memory").queryName("kql_stream_s3")
+         .outputMode("append").start())
+    drain(q)
+    got = {(r["b"], r["hb"], r["az"], r["bag"]): r["n"]
+           for r in spark.sql("select * from kql_stream_s3").collect()}
+    assert got, "stream emitted no windows"
+    want = {(r["b"], r["hb"], r["az"], r["bag"]): r["n"]
+            for r in kql(spark, sf_dir, "events | " + pipeline).collect()}
+    for k, v in got.items():
+        assert want.get(k) == v, f"{k}: stream {v} != batch {want.get(k)}"
