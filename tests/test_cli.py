@@ -147,3 +147,42 @@ def test_kql_cli_explain(spark, sf_dir, capsys):
     assert rc == 0
     assert "Physical Plan" in out
     assert "PushedFilters" in out and "GreaterThan(r_regionkey,1)" in out
+
+
+# --------------------------------------------------- KQL query runner
+
+def test_query_cli_formats(spark, sf_dir, tmp_path, capsys):
+    """The kql-spark query runner: table/jsonl/csv formats, -o, the
+    driver-side --limit guard, --explain, and the 255 error exit."""
+    import json
+
+    from azure_kusto_parquet_conv_spark import query_cli
+
+    rc = query_cli.main(["nation | summarize n = count()",
+                         "--sf-dir", sf_dir])
+    out = capsys.readouterr().out
+    assert rc == 0 and "n" in out and "25" in out and "(1 rows)" in out
+
+    f = str(tmp_path / "out.jsonl")
+    rc = query_cli.main(["region | project r_name | sort by r_name asc",
+                         "--sf-dir", sf_dir, "--format", "jsonl",
+                         "-o", f])
+    assert rc == 0
+    lines = open(f).read().splitlines()
+    assert len(lines) == 5
+    assert json.loads(lines[0]) == {"r_name": "AFRICA"}
+
+    rc = query_cli.main(["nation | project n_name | take 3",
+                         "--sf-dir", sf_dir, "--format", "csv",
+                         "--limit", "2"])
+    out = capsys.readouterr().out.splitlines()
+    assert out[0] == "n_name" and len(out) == 3  # header + limit 2
+
+    rc = query_cli.main(["nation | count", "--sf-dir", sf_dir,
+                         "--explain"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "Physical Plan" in out
+
+    rc = query_cli.main(["nation | frobnicate", "--sf-dir", sf_dir])
+    err = capsys.readouterr().err
+    assert rc == 255 and "unsupported operator" in err
