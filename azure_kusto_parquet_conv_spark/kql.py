@@ -6896,6 +6896,11 @@ class KqlCompiler:
             for i, g in enumerate(_split_top_commas(_tokenize(rest))):
                 name, sql = _named_expr(g, df, f"col{i}")
                 cols.append(F.expr(sql).alias(name))
+            if not cols:
+                # a bare `project` would silently yield a ZERO-column
+                # frame (fuzz find); Kusto requires at least one
+                raise ValueError("KQL: project needs at least one "
+                                 "column or expression")
             return df.select(*cols)
         if op == "project-away":
             names = _expand_col_patterns(

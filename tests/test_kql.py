@@ -6534,3 +6534,10 @@ def test_join_shufflekey_and_num_partitions_hints(spark, sf_dir):
       | count
     """).collect()[0][0]
     assert agg > 0
+
+
+def test_bare_project_raises(spark, sf_dir):
+    """Fuzz find: a bare `project` silently produced a zero-column
+    frame; Kusto requires at least one expression."""
+    with pytest.raises(ValueError, match="at least one"):
+        kql(spark, sf_dir, "nation | project | count")

@@ -399,3 +399,26 @@ def test_geo_densify_properties(pts, tol):
         assert any(q == p for q in it)
     for a, b in zip(out, out[1:]):
         assert _geo_hav_m(a, b) <= tol * (1 + 1e-9) + 1e-6
+
+
+@given(st.lists(st.sampled_from(
+    ["a", "b", "1", "2.5", "'s'", "(", ")", ",", "+", "-", "*", "/",
+     "==", "and", "or", "not", "iff", "bin", "strcat", "tolong",
+     "between", "..", "[", "]", "in", "!in", "has", "contains",
+     "datetime(2024-01-01)", "dynamic([1,2])", "1d", "case", "=~",
+     "startswith", "~", "%"]), min_size=1, max_size=8))
+@settings(max_examples=500, deadline=None)
+def test_expr_parser_total_on_token_soup(parts):
+    """The expression parser is TOTAL over arbitrary token soup: it
+    either parses or raises ValueError — never IndexError/KeyError
+    from a missing bounds check in an error path. (A 20k-case random
+    sweep found zero crash classes; this pins that.)"""
+    from azure_kusto_parquet_conv_spark.kql import (
+        _parse_expr,
+        _tokenize,
+    )
+    src = " ".join(parts)
+    try:
+        _parse_expr(_tokenize(src))
+    except ValueError:
+        pass
