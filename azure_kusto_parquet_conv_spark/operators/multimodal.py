@@ -156,6 +156,80 @@ def gif_dimensions(payload: Column | str) -> Column:
         _le_uint(c, 9, 2).cast("int").alias("height")))
 
 
+def flac_header(payload: Column | str) -> Column:
+    """FLAC STREAMINFO decode, pure JVM like PNG/WAV/GIF: the spec
+    REQUIRES STREAMINFO to be the first metadata block after the
+    ``fLaC`` magic, so every field sits at a fixed offset — sample
+    rate (20 bits), channels (3 bits + 1) and bits-per-sample (5 bits
+    + 1) unpack from bytes 19-22 with shift/mask arithmetic on
+    per-byte values. Null for non-FLAC payloads."""
+    c = F.col(payload) if isinstance(payload, str) else payload
+    is_flac = ((F.substring(c, 1, 4).cast("string") == "fLaC")
+               # block type 0 (STREAMINFO), possibly with the
+               # last-block bit set (0x80)
+               & (_be_uint(c, 5, 1).bitwiseAND(F.lit(127)) == 0))
+    b19, b20 = _be_uint(c, 19, 1), _be_uint(c, 20, 1)
+    b21, b22 = _be_uint(c, 21, 1), _be_uint(c, 22, 1)
+    sample_rate = (F.shiftleft(b19, 12) + F.shiftleft(b20, 4)
+                   + F.shiftright(b21, 4))
+    channels = F.shiftright(b21, 1).bitwiseAND(F.lit(7)) + 1
+    bps = (F.shiftleft(b21.bitwiseAND(F.lit(1)), 4)
+           + F.shiftright(b22, 4) + 1)
+    return F.when(is_flac, F.struct(
+        channels.cast("int").alias("channels"),
+        sample_rate.cast("int").alias("sample_rate"),
+        bps.cast("int").alias("bits_per_sample")))
+
+
+def mp3_header(payload: Column | str) -> Column:
+    """MP3 (MPEG-1 Layer III) frame-header decode as pure SQL
+    expressions. Unlike the fixed-offset formats the first frame
+    FLOATS: an ID3v2 tag prefixes it, so the frame offset is computed
+    (10 + the syncsafe 28-bit tag size) and fed to substr via expr —
+    still JVM-side, no UDF. Bitrate/sample-rate come from the
+    spec's index tables rendered as CASE chains. Null when no valid
+    MPEG-1 Layer III sync lands at the computed offset (free-format,
+    MPEG-2, or garbage payloads — a chunk-scanning fallback belongs
+    in a kernel, not an expression)."""
+    c = F.col(payload) if isinstance(payload, str) else payload
+    has_id3 = F.substring(c, 1, 3).cast("string") == "ID3"
+    # ID3v2 size: 4 syncsafe bytes (7 bits each) at offsets 7-10
+    tag = (F.shiftleft(_be_uint(c, 7, 1), 21)
+           + F.shiftleft(_be_uint(c, 8, 1), 14)
+           + F.shiftleft(_be_uint(c, 9, 1), 7)
+           + _be_uint(c, 10, 1))
+    off = F.when(has_id3, tag + 11).otherwise(F.lit(1))
+
+    def byte_at(o):
+        # Spark 4 substring accepts a COLUMN position — the whole
+        # floating-offset read stays a codegen expression
+        return F.conv(F.hex(F.substring(c, o.cast("int"), F.lit(1))),
+                      16, 10).cast("long")
+    h1, h2 = byte_at(off), byte_at(off + 1)
+    h3 = byte_at(off + 2)
+    # sync 0xFF + 0b111 prefix; version 11 (MPEG-1) = bits 4-3 of h2
+    # == 0b11; layer III = bits 2-1 == 0b01
+    ok = ((h1 == 255)
+          & (F.shiftright(h2, 5) == 7)
+          & (F.shiftright(h2, 3).bitwiseAND(F.lit(3)) == 3)
+          & (F.shiftright(h2, 1).bitwiseAND(F.lit(3)) == 1))
+    br_idx = F.shiftright(h3, 4)
+    sr_idx = F.shiftright(h3, 2).bitwiseAND(F.lit(3))
+    # MPEG-1 Layer III bitrate table (kbps), index 1-14; 0/15 invalid
+    kbps = [None, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
+            224, 256, 320]
+    bitrate = F.lit(None).cast("int")
+    for i in range(14, 0, -1):
+        bitrate = F.when(br_idx == i, F.lit(kbps[i])).otherwise(bitrate)
+    sample_rate = (F.when(sr_idx == 0, 44100)
+                    .when(sr_idx == 1, 48000)
+                    .when(sr_idx == 2, 32000)
+                    .cast("int"))
+    return F.when(ok & br_idx.between(1, 14) & (sr_idx != 3),
+                  F.struct(bitrate.alias("bitrate_kbps"),
+                           sample_rate.alias("sample_rate")))
+
+
 JPEG_DIM_SCHEMA = "width int, height int"
 
 

@@ -6541,3 +6541,32 @@ def test_bare_project_raises(spark, sf_dir):
     frame; Kusto requires at least one expression."""
     with pytest.raises(ValueError, match="at least one"):
         kql(spark, sf_dir, "nation | project | count")
+
+
+def test_pipeline_stage_soup_errors_are_clean(spark, sf_dir):
+    """Bounded replay of the session's 3k-case stage fuzz: random
+    stage combinations either compile or raise ValueError /
+    AnalysisException (clear semantic errors) — never IndexError /
+    KeyError / TypeError from a compiler error path."""
+    import random
+
+    from pyspark.errors import AnalysisException
+
+    from azure_kusto_parquet_conv_spark.kql import KqlCompiler
+    c = KqlCompiler(spark, sf_dir)
+    random.seed(11)
+    stages = ["where a > 1", "project a, b", "extend c = a + 1",
+              "summarize n = count() by a", "take 5", "sort by a",
+              "count", "distinct a", "top 3 by a", "mv-expand a",
+              "parse a with x ':' y", "getschema", "serialize",
+              "evaluate bag_unpack(a)", "join (nation) on a",
+              "union nation", "invoke f()", "render barchart",
+              "lookup (region) on a", "summarize by", "where",
+              "project", "extend ="]
+    for _ in range(150):
+        q = "nation | " + " | ".join(
+            random.choice(stages) for _ in range(random.randint(1, 4)))
+        try:
+            c.compile(q)
+        except (ValueError, AnalysisException):
+            pass

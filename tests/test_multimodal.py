@@ -176,3 +176,67 @@ def test_gif_and_jpeg_dimensions(spark):
     assert jpeg_dimensions_kernel(_jpeg(9, 9)[:-12]) is None or \
         jpeg_dimensions_kernel(_jpeg(9, 9)[:-12]) == (9, 9)
     assert jpeg_dimensions_kernel(b"\xff\xd8\xff\xd9") is None
+
+
+def test_flac_header_decode(spark):
+    """FLAC STREAMINFO at its spec-mandated fixed position: synthetic
+    44.1kHz/2ch/16bps and 96kHz/1ch/24bps fixtures decode via the
+    pure-JVM shift/mask expressions; non-FLAC nulls."""
+    from azure_kusto_parquet_conv_spark.operators.multimodal import (
+        flac_header)
+
+    def flac_bytes(sr, ch, bps):
+        b19 = sr >> 12
+        b20 = (sr >> 4) & 0xFF
+        b21 = ((sr & 0xF) << 4) | ((ch - 1) << 1) | ((bps - 1) >> 4)
+        b22 = ((bps - 1) & 0xF) << 4
+        # STREAMINFO: 10 bytes of block/frame sizes, the 8-byte
+        # packed rate/channels/bps/total-samples field, 16-byte md5
+        si = (bytes(10) + bytes([b19, b20, b21, b22]) + bytes(4)
+              + bytes(16))
+        return b"fLaC" + bytes([0x80, 0, 0, 34]) + si
+
+    rows = [(1, flac_bytes(44100, 2, 16)),
+            (2, flac_bytes(96000, 1, 24)),
+            (3, b"not flac at all" + bytes(40))]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    got = {r["id"]: r["h"] for r in
+           df.select("id", flac_header("payload").alias("h")).collect()}
+    assert got[1]["channels"] == 2
+    assert got[1]["sample_rate"] == 44100
+    assert got[1]["bits_per_sample"] == 16
+    assert got[2]["channels"] == 1
+    assert got[2]["sample_rate"] == 96000
+    assert got[2]["bits_per_sample"] == 24
+    assert got[3] is None
+
+
+def test_mp3_header_decode(spark):
+    """MP3 frame header behind a computed ID3v2 offset: the syncsafe
+    tag size feeds a column-position substring (still codegen); the
+    bitrate/sample-rate index tables decode per spec. Bare frames
+    (no tag), tagged frames, and garbage all behave."""
+    from azure_kusto_parquet_conv_spark.operators.multimodal import (
+        mp3_header)
+
+    def frame(br_idx, sr_idx):
+        return bytes([0xFF, 0xFB, (br_idx << 4) | (sr_idx << 2), 0])
+
+    def id3(size):
+        return (b"ID3" + bytes([3, 0, 0]) +
+                bytes([(size >> 21) & 0x7F, (size >> 14) & 0x7F,
+                       (size >> 7) & 0x7F, size & 0x7F]))
+
+    pad = 200
+    rows = [(1, frame(9, 0) + bytes(8)),                 # 128k/44100
+            (2, id3(pad) + bytes(pad) + frame(14, 1)),   # 320k/48000
+            (3, b"\x00garbage" + bytes(16)),
+            (4, frame(0, 0) + bytes(8))]                 # free-format
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    got = {r["id"]: r["h"] for r in
+           df.select("id", mp3_header("payload").alias("h")).collect()}
+    assert got[1]["bitrate_kbps"] == 128
+    assert got[1]["sample_rate"] == 44100
+    assert got[2]["bitrate_kbps"] == 320
+    assert got[2]["sample_rate"] == 48000
+    assert got[3] is None and got[4] is None
