@@ -230,6 +230,38 @@ def mp3_header(payload: Column | str) -> Column:
                            sample_rate.alias("sample_rate")))
 
 
+def bmp_dimensions(payload: Column | str) -> Column:
+    """BMP (BITMAPINFOHEADER) dimensions — little-endian int32 at
+    fixed offsets after the BM magic; height may be negative
+    (top-down rows), reported as its magnitude with the orientation
+    flag. Pure JVM like the other fixed-offset formats."""
+    c = F.col(payload) if isinstance(payload, str) else payload
+    is_bmp = ((F.substring(c, 1, 2).cast("string") == "BM")
+              # header size 40 (BITMAPINFOHEADER) pins the layout
+              & (_le_uint(c, 15, 4) == 40))
+    h = _le_uint(c, 23, 4)
+    # int32 two's complement: values >= 2^31 are negative (top-down)
+    signed_h = F.when(h >= F.lit(1 << 31), h - F.lit(1 << 32)) \
+                .otherwise(h)
+    return F.when(is_bmp, F.struct(
+        _le_uint(c, 19, 4).cast("int").alias("width"),
+        F.abs(signed_h).cast("int").alias("height"),
+        (signed_h < 0).alias("top_down")))
+
+
+def mp4_brand(payload: Column | str) -> Column:
+    """MP4/ISO-BMFF container identification: the ``ftyp`` box is
+    first in every compliant file, so the major brand ('isom',
+    'mp42', 'M4A ', 'qt  ', ...) and minor version sit at fixed
+    offsets — the container-routing step before any box-walking
+    kernel. Null when the first box is not ftyp."""
+    c = F.col(payload) if isinstance(payload, str) else payload
+    is_mp4 = F.substring(c, 5, 4).cast("string") == "ftyp"
+    return F.when(is_mp4, F.struct(
+        F.substring(c, 9, 4).cast("string").alias("major_brand"),
+        _be_uint(c, 13, 4).cast("int").alias("minor_version")))
+
+
 JPEG_DIM_SCHEMA = "width int, height int"
 
 

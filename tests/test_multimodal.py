@@ -240,3 +240,34 @@ def test_mp3_header_decode(spark):
     assert got[2]["bitrate_kbps"] == 320
     assert got[2]["sample_rate"] == 48000
     assert got[3] is None and got[4] is None
+
+
+def test_bmp_and_mp4_headers(spark):
+    """BMP dims (incl. the negative-height top-down form) and the MP4
+    ftyp brand decode at their fixed offsets; non-matching payloads
+    null."""
+    import struct
+
+    from azure_kusto_parquet_conv_spark.operators.multimodal import (
+        bmp_dimensions,
+        mp4_brand,
+    )
+
+    def bmp(w, h):
+        return (b"BM" + bytes(12) + struct.pack("<iii", 40, w, h)
+                + bytes(20))
+
+    mp4 = struct.pack(">i", 24) + b"ftypisom" + struct.pack(">i", 512)
+    rows = [(1, bmp(640, 480)), (2, bmp(13, -7)),
+            (3, mp4 + bytes(8)), (4, b"junk" + bytes(30))]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    got = {r["id"]: (r["b"], r["m"]) for r in df.select(
+        "id", bmp_dimensions("payload").alias("b"),
+        mp4_brand("payload").alias("m")).collect()}
+    assert got[1][0]["width"] == 640 and got[1][0]["height"] == 480
+    assert got[1][0]["top_down"] is False
+    assert got[2][0]["height"] == 7 and got[2][0]["top_down"] is True
+    assert got[3][1]["major_brand"] == "isom"
+    assert got[3][1]["minor_version"] == 512
+    assert got[4] == (None, None)
+    assert got[1][1] is None and got[3][0] is None
