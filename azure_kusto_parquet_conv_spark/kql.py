@@ -7472,6 +7472,33 @@ class KqlCompiler:
             return self._preview(df, argtext)
         if plugin == "schema_merge":
             return self._schema_merge(df, argtext)
+        if plugin == "infer_storage_schema":
+            # Kusto's external-data schema inference: here the
+            # argument is a parquet path (file or table directory;
+            # bare table names resolve against this compiler's
+            # sf_dir), and the result is Kusto's one-row
+            # (TableName:TypeName, ...) CSL schema string via the O8
+            # type-mapping machinery (sources/metadata.py, cited to
+            # schema.rs:74-109). The piped-in table is ignored, like
+            # Kusto's own plugin.
+            import os as _os
+
+            from azure_kusto_parquet_conv_spark.sources.metadata \
+                import csl_schema
+            arg = argtext.strip().strip("'\"")
+            path = arg
+            if not _os.path.exists(path):
+                cand = _os.path.join(self.sf_dir, arg + ".parquet")
+                if _os.path.exists(cand):
+                    path = cand
+                else:
+                    raise ValueError(
+                        f"KQL: infer_storage_schema: no parquet at "
+                        f"{arg!r} (tried {cand!r} too)")
+            cols = csl_schema(path)
+            text = ", ".join(f"{c['name']}:{c['type']}" for c in cols)
+            return self.spark.createDataFrame(
+                [(text,)], "schema string")
         if plugin == "narrow":
             return self._narrow(df, argtext)
         if plugin == "sequence_detect":

@@ -6570,3 +6570,26 @@ def test_pipeline_stage_soup_errors_are_clean(spark, sf_dir):
             c.compile(q)
         except (ValueError, AnalysisException):
             pass
+
+
+def test_infer_storage_schema_plugin(spark, sf_dir):
+    """infer_storage_schema resolves a bare table name against the
+    sf_dir and returns the one-row CSL schema string via the O8
+    type-mapping machinery; missing paths raise."""
+    r = kql(spark, sf_dir, """
+      print x = 1 | evaluate infer_storage_schema('nation')
+    """).collect()
+    assert len(r) == 1
+    s = r[0]["schema"]
+    assert "n_nationkey:" in s and "n_name:string" in s
+    # must agree with the csl_schema utility itself
+    import os
+
+    from azure_kusto_parquet_conv_spark.sources.metadata import (
+        csl_schema)
+    want = ", ".join(f"{c['name']}:{c['type']}" for c in
+                     csl_schema(os.path.join(sf_dir, "nation.parquet")))
+    assert s == want
+    with pytest.raises(ValueError, match="no parquet"):
+        kql(spark, sf_dir,
+            "print x=1 | evaluate infer_storage_schema('nope')")
