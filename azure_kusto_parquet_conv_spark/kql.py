@@ -139,6 +139,8 @@ Postfix indexer on dynamics/arrays: arr[0], arr[-1], bag['key'],
         / diffpatterns_text(text, split, 'A', 'B' [, min_diff])
 Sources: table | datatable(...) | print | range | externaldata(...)
     | union T1, T2, ...   (source position)
+    | table('name') / materialized_view('name') / database('db').Name
+        (db qualifier accepted and ignored)
     | find [withsource=col] in (T1, T2, ...) where pred
     | as name   /   render <charttype>
     | invoke f(args)   (tabular function-lets: let f = (T:(*), ..) {..})

@@ -9851,6 +9851,18 @@ DRIVER_WINDOW = [
 # (displacement order, last out first: q_asof_join, q_sessionize,
 # q_window_lag_lead, q_dedup_jaccard, q_dedup_exact — each displaced
 # name moves to DEFERRED_OLDEST).
+#
+# Third r11 session (driver restart #2): NO window or catalog changes
+# — the rotation budget was already spent (5 new entries seated, 19
+# DEFERRED_OLDEST + q_kql_geo_measures mandatory for r12), so the
+# session's entire surface (S2/geo/H3 families, scalar batch 4, the
+# preview/schema_merge/diffpatterns_text/infer_storage_schema
+# plugins, table-reference functions, shufflekey hints, hilbert
+# layout, FLAC/MP3/BMP/MP4 headers, query CLI) is pytest-pinned only.
+# r12 planner: seat the 19 DEFERRED_OLDEST + q_kql_geo_measures
+# first (20 slots), then the remaining oldest vintage; if any of this
+# session's surface later earns a catalog entry it must bring its own
+# displacement per the hygiene rule.
 
 
 
