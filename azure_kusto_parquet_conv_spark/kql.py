@@ -137,6 +137,9 @@ Postfix indexer on dynamics/arrays: arr[0], arr[-1], bag['key'],
     | union [isfuzzy=true] [kind=...] [withsource=col] T2, ...
     | evaluate preview(N) / schema_merge([PreserveOrder])
         / diffpatterns_text(text, split, 'A', 'B' [, min_diff])
+        / infer_storage_schema('path-or-table')
+        / ai_embeddings|ai_embed_text(text [, 'hash' [, dim]])
+          (deterministic hashing-trick provider; no network calls)
 Sources: table | datatable(...) | print | range | externaldata(...)
     | union T1, T2, ...   (source position)
     | table('name') / materialized_view('name') / database('db').Name
@@ -7474,6 +7477,8 @@ class KqlCompiler:
             return self._preview(df, argtext)
         if plugin == "schema_merge":
             return self._schema_merge(df, argtext)
+        if plugin in ("ai_embeddings", "ai_embed_text"):
+            return self._ai_embeddings(df, argtext)
         if plugin == "infer_storage_schema":
             # Kusto's external-data schema inference: here the
             # argument is a parquet path (file or table directory;
@@ -9194,6 +9199,73 @@ class KqlCompiler:
                    .withColumn("specificity", spec.cast("long"))
                    .where((F.col("specificity") >= 1)
                           & (F.abs(F.col("percent_diff")) >= min_diff)))
+
+    def _ai_embeddings(self, df: DataFrame, argtext: str) -> DataFrame:
+        """``evaluate ai_embeddings(TextCol [, 'provider' [, dim]])``
+        (alias ``ai_embed_text``): append an ``embedding``
+        array<float> column — the entry point that chains into this
+        engine's knn/IVF-PQ/RRF retrieval stack.
+
+        Providers:
+        - ``'hash'`` (default): the DETERMINISTIC hashing-trick
+          embedder — tokens bucket by xxhash64 into ``dim`` (default
+          64) counts, L2-normalized. Pure codegen (no UDF, no
+          service), reproducible across engines and runs; the
+          documented stand-in where Kusto calls a hosted model.
+          Honest contract: it captures lexical overlap only — real
+          semantic similarity needs a model provider.
+        - any other name: loud COMPILE-TIME error — this engine makes
+          no network calls; the extension point for a real model is a
+          pandas-UDF kernel via ``evaluate python(...)`` or a
+          precomputed embedding column (the embeddings fixture
+          table), both documented in the error."""
+        groups = _split_top_commas(_tokenize(argtext))
+        if not groups or len(groups) > 3:
+            raise ValueError(
+                "KQL: ai_embeddings(textCol [, 'provider' [, dim]])")
+        col = _compile_expr_tokens(groups[0], df)
+        provider = "hash"
+        if len(groups) >= 2:
+            t = groups[1][0]
+            if t.kind != "str":
+                raise ValueError(
+                    "KQL: ai_embeddings provider must be a string "
+                    "literal")
+            provider = t.text[1:-1].lower()
+        dim = 64
+        if len(groups) == 3:
+            dim = int("".join(t.text for t in groups[2]))
+            if not (1 <= dim <= 4096):
+                raise ValueError("KQL: ai_embeddings dim in [1, 4096]")
+        if provider != "hash":
+            raise ValueError(
+                f"KQL: ai_embeddings provider {provider!r} — this "
+                f"engine makes no network calls; use 'hash' (the "
+                f"deterministic hashing-trick embedder), wire a model "
+                f"kernel via `evaluate python(...)`, or join a "
+                f"precomputed embedding column")
+        toks = (f"filter(split(lower(trim(CAST({col} AS STRING))), "
+                f"'[^a-z0-9]+'), __ae_t -> __ae_t != '')")
+        counts = (f"transform(sequence(0, {dim - 1}), __ae_i -> "
+                  f"CAST(size(filter({toks}, __ae_t -> "
+                  f"pmod(xxhash64(__ae_t), {dim}) = __ae_i)) "
+                  f"AS DOUBLE))")
+        # bind-once (the r9 lambda-body re-evaluation gotcha): the
+        # bucket fold is O(dim * tokens) per row, so it must evaluate
+        # ONCE — outer struct hop binds counts, inner binds the norm
+        norm = (f"sqrt(aggregate(__ae_s1.c, CAST(0 AS DOUBLE), "
+                f"(__ae_a, __ae_v) -> __ae_a + __ae_v * __ae_v))")
+        inner = (f"CASE WHEN __ae_s2.n = 0 THEN "
+                 f"transform(__ae_s2.c, __ae_v -> CAST(0 AS FLOAT)) "
+                 f"ELSE transform(__ae_s2.c, __ae_v -> "
+                 f"CAST(__ae_v / __ae_s2.n AS FLOAT)) END")
+        emb = (f"(CASE WHEN {col} IS NULL THEN NULL ELSE "
+               f"element_at(transform(array(named_struct("
+               f"'c', {counts})), __ae_s1 -> "
+               f"element_at(transform(array(named_struct("
+               f"'c', __ae_s1.c, 'n', {norm})), __ae_s2 -> {inner}), "
+               f"1)), 1) END)")
+        return df.withColumn("embedding", F.expr(emb))
 
     def _preview(self, df: DataFrame, argtext: str) -> DataFrame:
         """``evaluate preview(N)``: Kusto returns TWO tables (an N-row

@@ -6593,3 +6593,38 @@ def test_infer_storage_schema_plugin(spark, sf_dir):
     with pytest.raises(ValueError, match="no parquet"):
         kql(spark, sf_dir,
             "print x=1 | evaluate infer_storage_schema('nope')")
+
+
+def test_ai_embeddings_plugin(spark, sf_dir):
+    """ai_embeddings/ai_embed_text: the 'hash' provider appends a
+    deterministic L2-normalized array<float> (pure codegen, no UDF);
+    identical texts embed identically, disjoint-token texts are
+    orthogonal, non-hash providers raise the loud no-network
+    contract."""
+    import math
+    rows = kql(spark, sf_dir, """
+      datatable(id:long, t:string) [
+        1, 'alpha beta gamma', 2, 'alpha beta gamma',
+        3, 'delta epsilon', 4, ''
+      ] | evaluate ai_embeddings(t, 'hash', 32) | sort by id asc
+    """).collect()
+    e = {r["id"]: r["embedding"] for r in rows}
+    assert e[1] == e[2]
+    assert abs(sum(v * v for v in e[1]) - 1.0) < 1e-5  # L2-normalized
+    # disjoint token sets with no hash collision at dim 32 for these
+    # tokens: cosine must be ~0 (collisions would only raise it; the
+    # fixed tokens/dim make this deterministic)
+    dot = sum(a * b for a, b in zip(e[1], e[3]))
+    assert dot < 0.5
+    assert all(v == 0.0 for v in e[4])  # empty text -> zero vector
+    # plan stays UDF-free
+    from azure_kusto_parquet_conv_spark.plans.explain import (
+        executed_plan)
+    df = kql(spark, sf_dir,
+             "documents | take 10 | evaluate ai_embed_text(text)")
+    assert len(df.first()["embedding"]) == 64
+    plan = executed_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+    with pytest.raises(ValueError, match="no network"):
+        kql(spark, sf_dir,
+            "documents | evaluate ai_embeddings(text, 'openai')")
