@@ -7512,9 +7512,13 @@ class KqlCompiler:
             return self._sequence_detect(df, argtext)
         if plugin != "bag_unpack":
             raise ValueError(f"KQL: evaluate plugin {plugin!r} not "
-                             f"supported (bag_unpack, pivot, "
-                             f"autocluster, basket, diffpatterns, "
-                             f"narrow and sequence_detect are)")
+                             f"supported (see the module docstring's "
+                             f"plugin list: bag_unpack, pivot, "
+                             f"autocluster, basket, diffpatterns[_text], "
+                             f"narrow, preview, schema_merge, "
+                             f"infer_storage_schema, ai_embeddings, "
+                             f"sequence_detect, the activity/percentile "
+                             f"/tdigest families, ...)")
         uparts = _split_top_commas(_tokenize(argtext))
         if len(uparts) not in (1, 2):
             raise ValueError(
