@@ -2136,7 +2136,11 @@ class _ExprParser:
         if fname in ("series_dot_product", "series_cosine_similarity"):
             if len(args) != 2:
                 raise ValueError(f"KQL: {fname}(series1, series2)")
-            a, b = args
+            # JSON-lift (the series_magnitude pattern): VARIANT
+            # dynamics — todynamic() strings, dynamic literals —
+            # work alongside native make-series / float arrays
+            a, b = (f"from_json(to_json({x}), 'array<double>', "
+                    f"map('mode', 'PERMISSIVE'))" for x in args)
 
             def dot(x, y):
                 return (f"aggregate(zip_with({x}, {y}, "

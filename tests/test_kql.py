@@ -6628,3 +6628,31 @@ def test_ai_embeddings_plugin(spark, sf_dir):
     with pytest.raises(ValueError, match="no network"):
         kql(spark, sf_dir,
             "documents | evaluate ai_embeddings(text, 'openai')")
+
+
+def test_ai_embeddings_retrieval_chain(spark, sf_dir):
+    """The full in-engine retrieval chain in ONE KQL query: embed the
+    corpus with the hash provider, embed a query string the same way,
+    rank by series_cosine_similarity, take top-3. The top hit must be
+    the document sharing the most tokens with the query (closed-form
+    by construction: identical text embeds to cosine 1.0)."""
+    rows = kql(spark, sf_dir, """
+      let q = toscalar(print t = 'blue whale migration'
+                       | evaluate ai_embed_text(t, 'hash', 32)
+                       | project tostring(embedding));
+      datatable(id:long, text:string) [
+        1, 'blue whale migration',
+        2, 'blue whale',
+        3, 'stock market report',
+        4, 'whale migration patterns'
+      ]
+      | evaluate ai_embed_text(text, 'hash', 32)
+      | extend score = series_cosine_similarity(embedding,
+                         todynamic(q))
+      | top 3 by score
+      | project id, score
+    """).collect()
+    assert rows[0]["id"] == 1
+    assert abs(rows[0]["score"] - 1.0) < 1e-6
+    assert {r["id"] for r in rows} <= {1, 2, 4}  # lexical overlap only
+    assert rows[0]["score"] >= rows[1]["score"] >= rows[2]["score"]
