@@ -7178,19 +7178,32 @@ class KqlCompiler:
                           rest, re.DOTALL)
             if mi:
                 idx_col, rest = mi.group(1), mi.group(2)
+            # trailing `limit N`: Kusto's per-record expansion cap —
+            # the blowup guard for a 100 TB corpus with pathological
+            # array rows; applied as slice(arr, 1, N) BEFORE the
+            # explode so the oversized tail is never generated
+            exp_limit = None
+            ml = re.search(r"\blimit\s+(\d+)\s*$", rest)
+            if ml:
+                exp_limit, rest = int(ml.group(1)), rest[:ml.start()]
             g = _split_top_commas(_tokenize(rest))
+
+            def capped(arr):
+                return (F.slice(arr, 1, exp_limit)
+                        if exp_limit is not None else arr)
             if len(g) == 1:
                 g0, cast_t = split_typeof(g[0])
                 name, sql = _named_expr(g0, df, "value")
                 if idx_col:
-                    ex = F.posexplode(_explodable(df, sql))
+                    ex = F.posexplode(capped(_explodable(df, sql)))
                     other = [c for c in df.columns if c != name]
                     out = df.select(*other, ex.alias(idx_col, name)) \
                         .withColumn(idx_col,
                                     F.col(idx_col).cast("long"))
                 else:
-                    out = df.withColumn(name,
-                                        F.explode(_explodable(df, sql)))
+                    out = df.withColumn(
+                        name,
+                        F.explode(capped(_explodable(df, sql))))
                 if cast_t:
                     out = out.withColumn(name, F.col(name).cast(cast_t))
                 return out
@@ -7198,7 +7211,7 @@ class KqlCompiler:
             pairs = [_named_expr(gi, df, f"value{i}")
                      for i, (gi, _) in enumerate(parts)]
             casts = [ct for _, ct in parts]
-            arrs = [_explodable(df, sql) for _, sql in pairs]
+            arrs = [capped(_explodable(df, sql)) for _, sql in pairs]
             longest = F.greatest(*[F.size(a) for a in arrs]) \
                 if len(arrs) > 1 else F.size(arrs[0])
             # guard: sequence(1, 0) DESCENDS to [1, 0] in Spark; when

@@ -6656,3 +6656,26 @@ def test_ai_embeddings_retrieval_chain(spark, sf_dir):
     assert abs(rows[0]["score"] - 1.0) < 1e-6
     assert {r["id"] for r in rows} <= {1, 2, 4}  # lexical overlap only
     assert rows[0]["score"] >= rows[1]["score"] >= rows[2]["score"]
+
+
+def test_mv_expand_limit(spark, sf_dir):
+    """mv-expand's trailing `limit N` caps PER-RECORD expansion (the
+    blowup guard for pathological array rows): the slice happens
+    before the explode, in single, multi-array (zipped) and
+    with_itemindex forms."""
+    r = kql(spark, sf_dir, """
+      datatable(a:dynamic) [dynamic([1,2,3,4,5])]
+      | mv-expand a to typeof(long) limit 2
+    """).collect()
+    assert sorted(x["a"] for x in r) == [1, 2]
+    r2 = kql(spark, sf_dir, """
+      datatable(a:dynamic, b:dynamic)
+        [dynamic([1,2,3]), dynamic(["x"])]
+      | mv-expand a to typeof(long), b to typeof(string) limit 2
+    """).collect()
+    assert sorted((x["a"], x["b"]) for x in r2) == [(1, "x"), (2, None)]
+    r3 = kql(spark, sf_dir, """
+      datatable(a:dynamic) [dynamic([7,8,9])]
+      | mv-expand with_itemindex=ix a to typeof(long) limit 2
+    """).collect()
+    assert sorted((x["ix"], x["a"]) for x in r3) == [(0, 7), (1, 8)]
