@@ -6602,12 +6602,18 @@ class KqlCompiler:
                     tf.group("t"), sparams, tf.group("body").strip())
                 continue
             if fm:
-                params = []
+                # `name:type [= default]` — defaults fill missing
+                # trailing call args (Kusto's optional parameters);
+                # the default stays RAW KQL text like call args
+                params, defaults = [], []
                 ptext = fm.group("params").strip()
                 if ptext:
                     for p in ptext.split(","):
-                        params.append(p.split(":")[0].strip())
-                self._fn_lets[name] = (params, self._preprocess(
+                        head, _, dflt = p.partition("=")
+                        params.append(head.split(":")[0].strip())
+                        defaults.append(dflt.strip() or None)
+                self._fn_lets[name] = (params, defaults,
+                                       self._preprocess(
                     fm.group("body").strip(), keep=frozenset(params)))
             elif mm:
                 # Kusto materialize(): evaluate once, reuse — Spark's
@@ -6646,7 +6652,8 @@ class KqlCompiler:
             self._check_fn_let_recursion()
         for guard in range(1_000_000):
             changed = False
-            for fname, (params, fbody) in self._fn_lets.items():
+            for fname, (params, defaults,
+                        fbody) in self._fn_lets.items():
                 spans = _find_call_spans(text, fname)
                 if not spans:
                     continue
@@ -6660,7 +6667,16 @@ class KqlCompiler:
                 args = [" ".join(t.text for t in g) for g in
                         _split_top_commas(_tokenize(argtext))] \
                     if argtext.strip() else []
-                if len(args) != len(params):
+                if len(args) < len(params):
+                    # fill trailing defaults; a missing param with no
+                    # default is still an arity error
+                    fill = defaults[len(args):]
+                    if any(d is None for d in fill):
+                        raise ValueError(
+                            f"KQL: {fname}() takes {len(params)} "
+                            f"args, got {len(args)}")
+                    args = args + fill
+                elif len(args) > len(params):
                     raise ValueError(
                         f"KQL: {fname}() takes {len(params)} args, "
                         f"got {len(args)}")
@@ -6704,7 +6720,7 @@ class KqlCompiler:
         graph = {
             f: {g for g in self._fn_lets
                 if _find_call_spans(body, g)}
-            for f, (_, body) in self._fn_lets.items()}
+            for f, (_, _, body) in self._fn_lets.items()}
         WHITE, GRAY, BLACK = 0, 1, 2
         color = dict.fromkeys(graph, WHITE)
 

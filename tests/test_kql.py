@@ -6679,3 +6679,26 @@ def test_mv_expand_limit(spark, sf_dir):
       | mv-expand with_itemindex=ix a to typeof(long) limit 2
     """).collect()
     assert sorted((x["ix"], x["a"]) for x in r3) == [(0, 7), (1, 8)]
+
+
+def test_function_let_default_parameters(spark, sf_dir):
+    """Kusto optional parameters: `let f = (x:long = 5) {...}` —
+    missing trailing call args fill from defaults; a missing
+    no-default param is still an arity error."""
+    assert kql(spark, sf_dir,
+               "let f = (x:long = 5) { x * 2 }; print y = f()"
+               ).collect()[0]["y"] == 10
+    assert kql(spark, sf_dir,
+               "let f = (x:long = 5) { x * 2 }; print y = f(7)"
+               ).collect()[0]["y"] == 14
+    assert kql(spark, sf_dir, """
+      let f = (a:long, b:long = 100, c:string = 'k') {
+        strcat(c, tostring(a + b)) };
+      print y = f(1), z = f(1, 2), w = f(1, 2, 'x')
+    """).collect()[0].asDict() == {"y": "k101", "z": "k3", "w": "x3"}
+    with pytest.raises(ValueError, match="takes 2 args, got 1"):
+        kql(spark, sf_dir,
+            "let f = (a:long, b:long) { a + b }; print y = f(1)")
+    with pytest.raises(ValueError, match="takes 1 args, got 2"):
+        kql(spark, sf_dir,
+            "let f = (a:long = 1) { a }; print y = f(1, 2)")
