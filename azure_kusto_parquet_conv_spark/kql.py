@@ -6991,11 +6991,29 @@ class KqlCompiler:
                       .agg(F.count("*").cast("long").alias("Count"),
                            F.min("__v").alias("Representative")))
         if op == "getschema":
-            rows = [(f.name, i, f.dataType.simpleString())
+            # Kusto's four columns. Deviation (documented): DataType
+            # carries the Spark type name where Kusto prints the .NET
+            # System.* name; ColumnType is the faithful CSL name via
+            # the same map the cslschema introspection uses
+            def csl(dt) -> str:
+                s = dt.simpleString()
+                base = s.split("(")[0]
+                m = {"bigint": "long", "int": "int", "smallint": "int",
+                     "tinyint": "int", "double": "real",
+                     "float": "real", "string": "string",
+                     "boolean": "bool", "timestamp": "datetime",
+                     "timestamp_ntz": "datetime", "date": "datetime",
+                     "decimal": "decimal", "variant": "dynamic",
+                     "binary": "string"}
+                if base in m:
+                    return m[base]
+                return "dynamic"  # array/struct/map nest as dynamic
+            rows = [(f.name, i, f.dataType.simpleString(),
+                     csl(f.dataType))
                     for i, f in enumerate(df.schema.fields)]
             return self.spark.createDataFrame(
                 rows, "ColumnName string, ColumnOrdinal long, "
-                      "DataType string")
+                      "DataType string, ColumnType string")
         if op == "extend":
             for i, g in enumerate(_split_top_commas(_tokenize(rest))):
                 if g and g[0].text == "(":

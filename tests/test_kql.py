@@ -6702,3 +6702,16 @@ def test_function_let_default_parameters(spark, sf_dir):
     with pytest.raises(ValueError, match="takes 1 args, got 2"):
         kql(spark, sf_dir,
             "let f = (a:long = 1) { a }; print y = f(1, 2)")
+
+
+def test_getschema_columntype(spark, sf_dir):
+    """getschema now carries Kusto's fourth column: ColumnType is the
+    CSL type name (DataType keeps the Spark name — documented
+    deviation from the .NET System.* form)."""
+    got = {r["ColumnName"]: (r["DataType"], r["ColumnType"])
+           for r in kql(spark, sf_dir, "lineitem | getschema"
+                        ).collect()}
+    assert got["l_quantity"][1] == "real"
+    assert got["l_orderkey"] == ("bigint", "long")
+    assert got["l_shipdate"][1] == "datetime"
+    assert got["l_returnflag"] == ("string", "string")
