@@ -1217,10 +1217,16 @@ class _ExprParser:
             return (f"coalesce(NOT (isnan({x}) "
                     f"OR abs({x}) = CAST('Infinity' AS DOUBLE)), false)")
         if fname == "tohex":
-            # Kusto tohex emits lowercase digits; Spark hex is upper
-            if len(args) != 1:
-                raise ValueError("KQL: tohex(int)")
-            return f"lower(hex({args[0]}))"
+            # Kusto tohex emits lowercase digits; Spark hex is upper.
+            # Optional minLength zero-pads (lpad truncates from the
+            # LEFT when over, so guard with greatest of both lengths)
+            if len(args) not in (1, 2):
+                raise ValueError("KQL: tohex(int [, minLength])")
+            h = f"lower(hex({args[0]}))"
+            if len(args) == 2:
+                ml = f"CAST({args[1]} AS INT)"
+                return (f"lpad({h}, greatest(length({h}), {ml}), '0')")
+            return h
         if fname == "strcmp":
             if len(args) != 2:
                 raise ValueError("KQL: strcmp(s1, s2)")
@@ -2623,9 +2629,11 @@ class _ExprParser:
             if len(args) != 2:
                 raise ValueError(f"KQL: {fname}(regex, text)")
             rx = args[0]
-            pats = {"trim": f"concat('^(', {rx}, ')|(', {rx}, ')$')",
-                    "trim_start": f"concat('^(', {rx}, ')')",
-                    "trim_end": f"concat('(', {rx}, ')$')"}
+            # Kusto strips ALL leading/trailing matches, not one —
+            # wrap the user regex in a repetition group
+            pats = {"trim": f"concat('^(', {rx}, ')+|(', {rx}, ')+$')",
+                    "trim_start": f"concat('^(', {rx}, ')+')",
+                    "trim_end": f"concat('(', {rx}, ')+$')"}
             return f"regexp_replace({args[1]}, {pats[fname]}, '')"
         if fname == "replace_string":
             if len(args) != 3:
@@ -2780,10 +2788,36 @@ class _ExprParser:
             return (f"(CASE {' '.join(branches)} "
                     f"ELSE concat({num0}, ' Bytes') END)")
         if fname == "indexof":
-            # 0-based; -1 when absent (instr is 1-based, 0 when absent)
-            if len(args) != 2:
-                raise ValueError("KQL: indexof(text, lookup)")
-            return f"(instr({args[0]}, {args[1]}) - 1)"
+            # 0-based; -1 when absent (instr/locate are 1-based, 0
+            # when absent). Full Kusto signature: indexof(text,
+            # lookup [, start [, length [, occurrence]]]) — start
+            # offsets the search, length bounds the searched window
+            # (-1 = to the end), occurrence picks the n-th match.
+            if len(args) not in (2, 3, 4, 5):
+                raise ValueError("KQL: indexof(text, lookup "
+                                 "[, start [, length [, occurrence]]])")
+            if len(args) == 2:
+                return f"(instr({args[0]}, {args[1]}) - 1)"
+            text, look = args[0], args[1]
+            start = f"CAST({args[2]} AS INT)"
+            if len(args) >= 4:
+                ln = f"CAST({args[3]} AS INT)"
+                window = (f"(CASE WHEN {ln} = -1 THEN {text} ELSE "
+                          f"substr({text}, 1, {start} + {ln}) END)")
+            else:
+                window = text
+            occ = (f"CAST({args[4]} AS INT)" if len(args) == 5
+                   else "1")
+            # locate(substr, str, pos) handles start; the n-th
+            # occurrence walks via a bounded fold over 1..occ
+            hit = (f"aggregate(sequence(1, {occ}), "
+                   f"CAST({start} + 1 AS INT), (__io_p, __io_i) -> "
+                   f"CAST(CASE WHEN __io_p <= 0 "
+                   f"OR locate({look}, {window}, __io_p) = 0 THEN 0 "
+                   f"ELSE locate({look}, {window}, __io_p) "
+                   f"+ (CASE WHEN __io_i < {occ} THEN "
+                   f"length({look}) ELSE 0 END) END AS INT))")
+            return f"({hit} - 1)"
         if fname == "indexof_regex":
             # 0-based position of the first regex match; -1 on miss
             # (regexp_instr is 1-based, 0 on miss)

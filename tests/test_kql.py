@@ -6715,3 +6715,38 @@ def test_getschema_columntype(spark, sf_dir):
     assert got["l_orderkey"] == ("bigint", "long")
     assert got["l_shipdate"][1] == "datetime"
     assert got["l_returnflag"] == ("string", "string")
+
+
+def test_trim_strips_all_matches(spark, sf_dir):
+    """Kusto trim removes ALL leading/trailing regex matches, not
+    one (probe find: trim('x', 'xxhixx') returned 'xhix')."""
+    r = kql(spark, sf_dir, """
+      print a = trim('x', 'xxhixx'),
+            b = trim('-', '--hello--'),
+            c = trim_start('x', 'xxhix'),
+            d = trim_end('x', 'hixx'),
+            e = trim(' +', '   pad  ')
+    """).collect()[0]
+    assert r["a"] == "hi" and r["b"] == "hello"
+    assert r["c"] == "hix" and r["d"] == "hi"
+    assert r["e"] == "pad"
+
+
+def test_indexof_extended_args_and_tohex_width(spark, sf_dir):
+    """indexof start/length/occurrence (0-based, -1 on miss at every
+    stage) and tohex's zero-padding minLength."""
+    r = kql(spark, sf_dir, """
+      print a = indexof('hello world', 'o'),
+            b = indexof('hello world', 'o', 5),
+            c = indexof('hello world', 'o', 0, -1, 2),
+            d = indexof('hello world', 'o', 0, 3),
+            e = indexof('hello world', 'zz', 0, -1, 1),
+            f = indexof('ababab', 'ab', 0, -1, 3),
+            h = tohex(255, 4), h2 = tohex(255),
+            h3 = tohex(65535, 2)
+    """).collect()[0]
+    assert r["a"] == 4 and r["b"] == 7 and r["c"] == 7
+    assert r["d"] == -1  # window [0, 3) has no 'o'
+    assert r["e"] == -1
+    assert r["f"] == 4
+    assert r["h"] == "00ff" and r["h2"] == "ff" and r["h3"] == "ffff"
