@@ -2980,6 +2980,12 @@ class _ExprParser:
             # compares correctly (Spark dayofweek: 1=Sunday)
             return f"(CAST(dayofweek({args[0]}) - 1 AS BIGINT) * 86400000000)"
         if fname == "pack_array":
+            # native typed array — the fast path every set-op/series
+            # consumer relies on. DOCUMENTED DEVIATION: Kusto's
+            # pack_array accepts MIXED element types (dynamic out);
+            # here mixed inputs fail analysis — write the dynamic
+            # literal (dynamic([1, "a", true])) for that case, which
+            # compiles to VARIANT directly.
             return f"array({', '.join(args)})"
         if fname == "array_length":
             return f"CAST(size({args[0]}) AS BIGINT)"
