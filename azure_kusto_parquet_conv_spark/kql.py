@@ -1134,15 +1134,25 @@ class _ExprParser:
             return f"hll_union_agg({args[0]})"
         if fname == "dcount_hll":
             return f"hll_sketch_estimate({args[0]})"
-        if fname == "make_list":
-            return f"collect_list({args[0]})"
+        if fname in ("make_list", "make_set"):
+            # optional maxSize SECOND arg caps the collection (Kusto
+            # semantics — silently ignoring it returned unbounded
+            # lists, a probe-found wrong answer). The slice happens
+            # after the aggregate: which elements survive is
+            # unspecified in Kusto too.
+            if len(args) not in (1, 2):
+                raise ValueError(f"KQL: {fname}(expr [, maxSize])")
+            agg = ("collect_list" if fname == "make_list"
+                   else "collect_set")
+            out = f"{agg}({args[0]})"
+            if len(args) == 2:
+                return f"slice({out}, 1, CAST({args[1]} AS INT))"
+            return out
         if fname == "make_list_with_nulls":
             # collect_list drops nulls; the struct wrap keeps them
             # (a non-null struct with a null field collects fine)
             return (f"transform(collect_list(named_struct("
                     f"'v', {args[0]})), __mlwn -> __mlwn.v)")
-        if fname == "make_set":
-            return f"collect_set({args[0]})"
         if fname == "count_distinct":
             # Kusto's EXACT distinct count (dcount is the HLL estimate)
             if len(args) != 1:
@@ -3101,12 +3111,18 @@ class _ExprParser:
                   "binary_all_xor": "bit_xor"}[fname]
             return f"{fn}({args[0]})"
         if fname in ("make_list_if", "make_set_if"):
-            # conditional collection (collect_* skips the CASE's nulls)
-            if len(args) != 2:
-                raise ValueError(f"KQL: {fname}(expr, predicate)")
+            # conditional collection (collect_* skips the CASE's
+            # nulls); optional third arg = maxSize cap, like
+            # make_list/make_set
+            if len(args) not in (2, 3):
+                raise ValueError(
+                    f"KQL: {fname}(expr, predicate [, maxSize])")
             agg = ("collect_list" if fname == "make_list_if"
                    else "collect_set")
-            return f"{agg}(CASE WHEN {args[1]} THEN {args[0]} END)"
+            out = f"{agg}(CASE WHEN {args[1]} THEN {args[0]} END)"
+            if len(args) == 3:
+                return f"slice({out}, 1, CAST({args[2]} AS INT))"
+            return out
         if fname == "hll_if":
             # conditional sketch build (the CASE's nulls never enter
             # the sketch) — pairs with dcount_intersect fixtures
@@ -7123,7 +7139,9 @@ class KqlCompiler:
                     df = self._row_window_session(df, name,
                                                   mws.group(1))
                     continue
-                if sql.strip() == "row_number()" or mcs:
+                mrn = re.fullmatch(r"row_number\(\s*(\d+)?\s*\)",
+                                   sql.strip())
+                if mrn or mcs:
                     what = "row_cumsum()" if mcs else "row_number()"
                     if self._order is None:
                         raise ValueError(
@@ -7184,8 +7202,13 @@ class KqlCompiler:
                                 name,
                                 F.sum(F.expr(parts[0])).over(wrun))
                     else:
+                        # row_number(StartingIndex): Kusto offsets
+                        # the first row to the given index
+                        base = (int(mrn.group(1)) - 1
+                                if mrn.group(1) else 0)
                         df = df.withColumn(
-                            name, F.row_number().over(w).cast("long"))
+                            name, (F.row_number().over(w)
+                                   + F.lit(base)).cast("long"))
                     continue
                 df = df.withColumn(name, F.expr(sql))
             return df

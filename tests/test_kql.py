@@ -6750,3 +6750,20 @@ def test_indexof_extended_args_and_tohex_width(spark, sf_dir):
     assert r["e"] == -1
     assert r["f"] == 4
     assert r["h"] == "00ff" and r["h2"] == "ff" and r["h3"] == "ffff"
+
+
+def test_make_list_set_maxsize_and_row_number_start(spark, sf_dir):
+    """Probe-found silent wrong answers fixed: make_list/make_set
+    (and the *_if forms) honor the maxSize cap; row_number accepts
+    Kusto's StartingIndex."""
+    r = kql(spark, sf_dir, """
+      nation | summarize l = make_list(n_name, 3),
+                         s = make_set(n_regionkey, 2),
+                         li = make_list_if(n_name, n_regionkey == 0, 2)
+    """).collect()[0]
+    assert len(r["l"]) == 3 and len(r["s"]) == 2 and len(r["li"]) == 2
+    rows = kql(spark, sf_dir, """
+      nation | sort by n_nationkey asc | extend r = row_number(10)
+             | summarize lo = min(r), hi = max(r)
+    """).collect()[0]
+    assert (rows["lo"], rows["hi"]) == (10, 34)
