@@ -4415,6 +4415,10 @@ def _render_bin(df: DataFrame, arg_sql: str, size_tok: Tok) -> str:
         return (f"timestamp_micros((unix_micros({arg_sql}) div {us}) "
                 f"* {us})")
     size = size_tok.text
+    if "." in size or "e" in size.lower():
+        # a fractional size literal lexes as DECIMAL in Spark SQL text
+        # (the r10 gotcha) — bin(real, 0.5) must stay DOUBLE like Kusto
+        size = f"CAST({size} AS DOUBLE)"
     return f"(floor(({arg_sql}) / {size}) * {size})"
 
 
@@ -7491,7 +7495,11 @@ class KqlCompiler:
     _DT_TYPES = {"long": "long", "int": "int", "real": "double",
                  "double": "double", "string": "string",
                  "bool": "boolean", "boolean": "boolean",
-                 "datetime": "timestamp", "dynamic": "variant"}
+                 "datetime": "timestamp", "dynamic": "variant",
+                 # timespan rides this compiler's BIGINT-microseconds
+                 # carrier (timespan literals already compile to it)
+                 "timespan": "long",
+                 "decimal": "decimal(38, 18)", "guid": "string"}
 
     def _datatable(self, text: str) -> DataFrame:
         """``datatable (col:type, ...) [v1, v2, ...]`` — an inline
@@ -11017,6 +11025,28 @@ class KqlCompiler:
         aggs = []
         post = []  # (tuple_names, array_alias) for tuple assignments
         for i, g in enumerate(_split_top_commas(agg_toks)):
+            if (g and g[0].kind == "ident"
+                    and g[0].text.lower() in ("percentiles",
+                                              "percentilesw")
+                    and len(g) >= 2 and g[1].text == "("
+                    and g[-1].text == ")"):
+                # BARE plural percentiles: Kusto auto-names one output
+                # column per requested percentile
+                # (percentile_<col>_<P>) — rewrite into the tuple
+                # assignment below
+                fn = g[0].text.lower()
+                arggroups = _split_top_commas(g[2:-1])
+                skip = 1 if fn == "percentiles" else 2
+                if len(arggroups) > skip:
+                    col = (arggroups[0][0].text
+                           if len(arggroups[0]) == 1 else "value")
+                    names = []
+                    for ag in arggroups[skip:]:
+                        p = "".join(t.text for t in ag)
+                        names.append("percentile_" + col + "_"
+                                     + re.sub(r"[^0-9]+", "_", p)
+                                     .strip("_"))
+                    g = _tokenize("(" + ", ".join(names) + ") = ") + g
             if g and g[0].text == "(":
                 # `(p5, p95) = percentiles(v, 5, 95)`: Kusto's tuple
                 # aggregate — compiled as ONE percentiles_array

@@ -6767,3 +6767,26 @@ def test_make_list_set_maxsize_and_row_number_start(spark, sf_dir):
              | summarize lo = min(r), hi = max(r)
     """).collect()[0]
     assert (rows["lo"], rows["hi"]) == (10, 34)
+
+
+def test_bare_percentiles_autonames(spark, sf_dir):
+    """Bare `summarize percentiles(x, ...)` auto-names one column per
+    percentile like Kusto (percentile_<col>_<P>); bin on a fractional
+    size stays DOUBLE (not DECIMAL); datatable accepts timespan
+    columns on the microseconds carrier."""
+    r = kql(spark, sf_dir, """
+      nation | summarize percentiles(n_nationkey, 25, 50, 75)
+    """)
+    assert r.columns == ["percentile_n_nationkey_25",
+                         "percentile_n_nationkey_50",
+                         "percentile_n_nationkey_75"]
+    row = r.collect()[0]
+    assert row[0] <= row[1] <= row[2]
+    b = kql(spark, sf_dir,
+            "datatable(x:real) [4.7] | extend b = bin(x, 0.5)")
+    assert dict(b.dtypes)["b"] == "double"
+    assert b.collect()[0]["b"] == 4.5
+    t = kql(spark, sf_dir, """
+      datatable(t:timespan) [2h, 30m] | summarize s = sum(t)
+    """).collect()[0]
+    assert t["s"] == (2 * 3600 + 30 * 60) * 1_000_000
