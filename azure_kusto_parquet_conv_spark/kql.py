@@ -293,9 +293,11 @@ _TOKEN_RE = re.compile(r"""
     (?P<ws>\s+)
   | (?P<dt>\bdatetime\s*\([^)]*\))
   | (?P<timespan>\b\d+(?:\.\d+)?(?:ms|s|m|h|d)\b)
+  | (?P<hexnum>0[xX][0-9a-fA-F]+\b)
   | (?P<num>\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
   | (?P<str>'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
-  | (?P<nop>!(?:contains_cs|contains|has_cs|has|startswith_cs
+  | (?P<nop>!(?:contains_cs|contains|hasprefix_cs|hasprefix
+              |hassuffix_cs|hassuffix|has_cs|has|startswith_cs
               |startswith|endswith_cs|endswith)\b|!in~|!~)
   | (?P<inci>\bin~)
   | (?P<ident>\$?[A-Za-z_][A-Za-z0-9_.]*)
@@ -318,6 +320,11 @@ def _tokenize(s: str) -> list[Tok]:
         i = m.end()
         kind = m.lastgroup
         if kind == "ws":
+            continue
+        if kind == "hexnum":
+            # Kusto hex int literals (0x1f) — normalized to decimal
+            # at lex time so downstream SQL rendering stays uniform
+            out.append(Tok("num", str(int(m.group(), 16))))
             continue
         out.append(Tok(kind, m.group()))
     return out
@@ -517,7 +524,10 @@ class _ExprParser:
                 "startswith", "startswith_cs", "!startswith",
                 "!startswith_cs", "endswith", "endswith_cs",
                 "!endswith", "!endswith_cs", "has", "has_cs", "!has",
-                "!has_cs", "has_any", "has_all", "between", "matches"):
+                "!has_cs", "has_any", "has_all", "between", "matches",
+                "hasprefix", "hasprefix_cs", "!hasprefix",
+                "!hasprefix_cs", "hassuffix", "hassuffix_cs",
+                "!hassuffix", "!hassuffix_cs"):
             return 3
         if t.text in ("+", "-"):
             return 4
@@ -4378,6 +4388,24 @@ class _ExprParser:
             else:
                 expr = (f"array_contains(split(lower({lhs}), "
                         f"'[^a-z0-9]+'), lower({rhs}))")
+            return (f"(NOT {expr})" if low.startswith("!")
+                    else f"({expr})")
+        if base in ("hasprefix", "hasprefix_cs", "hassuffix",
+                    "hassuffix_cs"):
+            # term-prefix/suffix match: some TERM of lhs starts/ends
+            # with rhs (same term split as `has`)
+            lhs = _str_if_variant(lhs)
+            rhs = self.parse(bp + 1)
+            fn = ("startswith" if base.startswith("hasprefix")
+                  else "endswith")
+            if base.endswith("_cs"):
+                toks = f"split({lhs}, '[^a-zA-Z0-9]+')"
+                needle = rhs
+            else:
+                toks = f"split(lower({lhs}), '[^a-z0-9]+')"
+                needle = f"lower({rhs})"
+            expr = (f"exists({toks}, __hp_t -> "
+                    f"{fn}(__hp_t, {needle}))")
             return (f"(NOT {expr})" if low.startswith("!")
                     else f"({expr})")
         if low in ("has_any", "has_all"):

@@ -6790,3 +6790,25 @@ def test_bare_percentiles_autonames(spark, sf_dir):
       datatable(t:timespan) [2h, 30m] | summarize s = sum(t)
     """).collect()[0]
     assert t["s"] == (2 * 3600 + 30 * 60) * 1_000_000
+
+
+def test_hasprefix_hassuffix_and_hex_literals(spark, sf_dir):
+    """Probe finds: the hasprefix/hassuffix operator family
+    (term-prefix/suffix match over the same term split as `has`,
+    case-insensitive by default, _cs and negated forms) and Kusto hex
+    int literals (0x1f), normalized to decimal at lex time."""
+    r = kql(spark, sf_dir, """
+      print a = 'big NATION_7 end' hasprefix 'nat',
+            b = 'big NATION_7 end' hasprefix 'ation',
+            c = 'big NATION_7 end' hassuffix 'ion',
+            d = 'big NATION_7 end' hassuffix 'xyz',
+            e = 'x Nat y' hasprefix_cs 'nat',
+            f = 'x nat y' hasprefix_cs 'nat',
+            g = 'abc' !hasprefix 'ab',
+            h = 0x1F, i = 0xff + 1
+    """).collect()[0]
+    assert r["a"] is True and r["b"] is False
+    assert r["c"] is True and r["d"] is False
+    assert r["e"] is False and r["f"] is True
+    assert r["g"] is False
+    assert r["h"] == 31 and r["i"] == 256
