@@ -295,6 +295,7 @@ _TOKEN_RE = re.compile(r"""
   | (?P<timespan>\b\d+(?:\.\d+)?(?:ms|s|m|h|d)\b)
   | (?P<hexnum>0[xX][0-9a-fA-F]+\b)
   | (?P<num>\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
+  | (?P<vstr>@'(?:[^']|'')*'|@"(?:[^"]|"")*")
   | (?P<str>'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
   | (?P<nop>!(?:contains_cs|contains|hasprefix_cs|hasprefix
               |hassuffix_cs|hassuffix|has_cs|has|startswith_cs
@@ -325,6 +326,17 @@ def _tokenize(s: str) -> list[Tok]:
             # Kusto hex int literals (0x1f) — normalized to decimal
             # at lex time so downstream SQL rendering stays uniform
             out.append(Tok("num", str(int(m.group(), 16))))
+            continue
+        if kind == "vstr":
+            # Kusto verbatim strings (@'...'): backslashes are
+            # LITERAL, internal quotes double. Normalized to an
+            # equivalent escaped standard literal at lex time so the
+            # one string-rendering path serves both forms.
+            raw = m.group()
+            q = raw[1]
+            body = raw[2:-1].replace(q + q, q)
+            esc = body.replace("\\", "\\\\").replace(q, "\\" + q)
+            out.append(Tok("str", q + esc + q))
             continue
         out.append(Tok(kind, m.group()))
     return out
@@ -1202,10 +1214,54 @@ class _ExprParser:
                 raise ValueError("KQL: extract(regex, group, text)")
             return f"regexp_extract({args[2]}, {args[0]}, {args[1]})"
         if fname == "extract_all":
-            # extract_all(regex, text) -> array of all matches
-            if len(args) != 2:
-                raise ValueError("KQL: extract_all(regex, text)")
-            return f"regexp_extract_all({args[1]}, {args[0]}, 1)"
+            # extract_all(regex [, captureGroups], text) -> array of
+            # matches; with a groups array each match yields an array
+            # of its captures (one regexp_extract_all per group, bound
+            # ONCE via the struct hop, zipped by match index)
+            if len(args) == 2:
+                return f"regexp_extract_all({args[1]}, {args[0]}, 1)"
+            if len(args) != 3:
+                raise ValueError(
+                    "KQL: extract_all(regex [, captureGroups], text)")
+            import json as _json
+            # flat numeric dynamics compile to a native
+            # array(CAST(n AS BIGINT), ...) literal; nested ones to
+            # parse_json('...') — accept both compile-time forms
+            gs: list[int] = []
+            mg = re.fullmatch(r"parse_json\('(.*)'\)", args[1],
+                              re.DOTALL)
+            if mg:
+                try:
+                    gs = [int(g) for g in _json.loads(mg.group(1))]
+                except Exception:
+                    gs = []
+            elif re.fullmatch(
+                    r"array\((?:\s*CAST\(\d+ AS BIGINT\)\s*,?)+\)",
+                    args[1]):
+                gs = [int(g) for g in
+                      re.findall(r"CAST\((\d+) AS BIGINT\)", args[1])]
+            if not gs:
+                raise ValueError(
+                    "KQL: extract_all captureGroups must be a "
+                    "dynamic([...]) literal of group numbers")
+            if not gs:
+                raise ValueError("KQL: extract_all needs >= 1 group")
+            arrs = [f"regexp_extract_all({args[2]}, {args[0]}, {g})"
+                    for g in gs]
+            if len(arrs) == 1:
+                return arrs[0]
+            fields = ", ".join(f"'g{j}', {a}"
+                               for j, a in enumerate(arrs))
+            elems = ", ".join(
+                f"try_element_at(__ea_s.g{j}, __ea_i)"
+                for j in range(len(arrs)))
+            # sequence(1, 0) DESCENDS — zero matches must yield []
+            idx = (f"(CASE WHEN size(__ea_s.g0) >= 1 THEN "
+                   f"sequence(1, size(__ea_s.g0)) ELSE array() END)")
+            return (f"parse_json(to_json(element_at(transform(array("
+                    f"named_struct({fields})), __ea_s -> "
+                    f"transform({idx}, "
+                    f"__ea_i -> array({elems}))), 1)))")
         if fname in ("series_sum", "series_avg", "series_max",
                      "series_min", "series_product"):
             # fold over the make-series value array, JVM-side

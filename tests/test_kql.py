@@ -6812,3 +6812,25 @@ def test_hasprefix_hassuffix_and_hex_literals(spark, sf_dir):
     assert r["e"] is False and r["f"] is True
     assert r["g"] is False
     assert r["h"] == 31 and r["i"] == 256
+
+
+def test_verbatim_strings_and_extract_all_groups(spark, sf_dir):
+    """Verbatim string literals (@'...': literal backslashes, doubled
+    internal quotes) and extract_all's captureGroups form (array of
+    per-match capture arrays, bound once per group — zero matches
+    yield [])."""
+    import json
+    r = kql(spark, sf_dir, r"""
+      print p = @'c:\path\file',
+            q = @'it''s',
+            e = tostring(extract_all('(\\w)(\\d)',
+                  dynamic([1, 2]), 'a1 b2 c3')),
+            f = extract_all('(\\d+)', dynamic([1]), 'x9 y88'),
+            z = tostring(extract_all('(\\d+)', dynamic([1, 1]),
+                  'nodigits'))
+    """).collect()[0]
+    assert r["p"] == "c:\\path\\file"
+    assert r["q"] == "it's"
+    assert json.loads(r["e"]) == [["a", "1"], ["b", "2"], ["c", "3"]]
+    assert r["f"] == ["9", "88"]
+    assert json.loads(r["z"]) == []
