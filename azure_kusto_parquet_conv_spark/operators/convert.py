@@ -171,7 +171,11 @@ def convert(spark: SparkSession, src: str, out_path: str | None = None,
     df = read_parquet(spark, src, options.columns)
     if options.csv:
         rendered = render_csv_cells(df, options)
-        sink_opts = {"lineSep": "\r", "nullValue": "", "emptyValue": "\"\""}
+        # escape == quote char => embedded quotes are DOUBLED (RFC 4180),
+        # matching the reference's csv::Writer (converter.rs:151-156);
+        # Spark's default escape '\' would emit \" instead.
+        sink_opts = {"lineSep": "\r", "nullValue": "", "emptyValue": "\"\"",
+                     "escape": "\""}
         fmt = "csv"
     else:
         rendered = render_json_lines(df, options)

@@ -397,6 +397,51 @@ def convert_decimal(spark, sf_dir):
                     C.decimal_string("price").alias("price_str"))
 
 
+@query("convert_csv_nested", """
+SELECT CAST(r_regionkey AS VARCHAR) AS rk,
+       '{"k":' || CAST(r_regionkey AS VARCHAR) || ',"name":"'
+           || r_name || '"}' AS s,
+       '{"a":' || CAST(r_regionkey AS VARCHAR) || ',"b":'
+           || CAST(r_regionkey * 2 AS VARCHAR) || '}' AS m,
+       '[' || COALESCE(array_to_string(
+           list_transform(range(1, length(r_name) + 1),
+                          i -> CAST(ascii(substr(r_name, i, 1)) AS VARCHAR)),
+           ','), '') || ']' AS b,
+       '[' || COALESCE(array_to_string(
+           list_transform(range(1, CAST(r_regionkey AS INT) + 1),
+                          x -> CAST(x AS VARCHAR)),
+           ','), '') || ']' AS arr
+FROM region
+""")
+def convert_csv_nested(spark, sf_dir):
+    """O5/O6 nested-type CSV parity certificate (r11 verdict #6): one
+    row carrying a struct, a map, a binary and a (possibly empty) array
+    through ``render_csv_cells`` at once. The reference renders nested
+    values as embedded JSON text inside the CSV cell (converter.rs:
+    159-168 via 214-281) and binary as a JSON array of byte numbers
+    (converter.rs:283-289) — NOT base64. The DuckDB twin reconstructs
+    each cell's exact text by hand: struct/map as concatenated JSON
+    (Spark's to_json is compact, key order = construction order), bytes
+    from per-character codepoints (region names are ASCII so codepoint
+    == byte), and the r_regionkey=0 row pins the empty-array rendering
+    ``[]``. The `\\r` record terminator + quoting interaction is pinned
+    by the golden-line test (tests/test_convert_golden.py), which a
+    cell-level oracle cannot see."""
+    r = load_table(spark, sf_dir, "region")
+    rk = F.col("r_regionkey").cast("long")
+    df = r.select(
+        rk.alias("rk"),
+        F.struct(rk.alias("k"), F.col("r_name").alias("name")).alias("s"),
+        F.map_from_arrays(
+            F.array(F.lit("a"), F.lit("b")),
+            F.array(rk, (rk * 2).cast("long"))).alias("m"),
+        F.encode("r_name", "UTF-8").alias("b"),
+        F.slice(F.array(F.lit(1), F.lit(2), F.lit(3), F.lit(4)), 1,
+                F.col("r_regionkey").cast("int")).alias("arr"),
+    )
+    return render_csv_cells(df)
+
+
 @query("rowgroups_lineitem")  # footer introspection: no SQL equivalent
 def rowgroups_lineitem(spark, sf_dir):
     """O9 row-group metadata (schema.rs:118-143); rows-only check — the
@@ -9776,47 +9821,46 @@ DRIVER_WINDOW = [
     "convert_jsonl_region", "convert_csv_lineitem",
     "q_missing_column_fill", "csl_schema_lineitem", "q_schema_lineitem",
     "q_convert_binary", "rowgroups_lineitem", "q_filter_projection",
-    # ---- round-11 rotation. Priority queue (the policy
+    # ---- round-12 rotation. Priority queue (the policy
     # test_attestation_rotation_is_priority_ordered enforces from the
     # banked CORRECTNESS files, not from this comment):
-    #   1. never-checked entries (first driver contact; these 14 were
-    #      deferred once in r10 and may not be deferred twice),
-    #   2. oldest outstanding vintage (r4), oldest-first; within the
-    #      vintage, entries whose CODE changed since their last
-    #      attestation first (the r10 portable-rounding sweep touched
-    #      17 of them; q_kql_percentiles' oracle was rewritten too).
-    # the full never-checked set (14 — every r10 post-freeze entry):
-    "q_collapse_repeats", "q_chunk_documents", "q_chunk_pack",
-    "q_kql_ipv6", "q_kql_geohash", "q_geo_bucket_join",
-    "q_kql_has_ipv4", "q_kql_has_ipv6", "q_cut_dup_spans",
-    "q_kql_bin_auto", "q_table_profile", "q_kql_count_distinct",
-    "q_kql_geo_polygon", "q_kql_datetime_part",
-    # r4 vintage, r10-swept plans first (17 + the rewritten-oracle
-    # q_kql_percentiles = 18 changed-since-attestation entries):
-    "q10_returned_items", "q14_promo_revenue",
-    "q17_small_quantity_revenue", "q18_large_orders",
-    "q19_disjunctive_join", "q7_nation_trade", "q_grouping_sets",
-    "q_hopping_window", "q_knn_bruteforce", "q_kql_bin_events",
-    "q_kql_lookup", "q_kql_summarize", "q_kql_top_nested",
-    "q_kql_union_sources", "q_stats_agg", "q_unpivot",
-    "q_window_running", "q_kql_percentiles",
-    # r4 vintage, code unchanged since r4 (2 — back-fills the r10
-    # ledger promised "first in line for r11"; q_asof_join,
-    # q_sessionize and q_window_lag_lead were displaced to
-    # DEFERRED_OLDEST by the three new-in-r11 entries below per the
-    # hygiene rule; q_dedup_exact and q_dedup_jaccard — the last two
-    # unchanged-code back-fills — were displaced later in r11 by
-    # q_kql_replace_tools / q_kql_ipv4_compare and likewise moved to
-    # DEFERRED_OLDEST; the third late entry, q_kql_geo_measures,
-    # sits in DEFERRED_NEVER_CHECKED rather than displace a
-    # changed-since-attestation r4 slot):
-    # new-in-r11 entries (hygiene rule: staged the round they land):
-    "q_kql_convert_units", "q_kql_array_ops", "q_rrf_fusion",
-    "q_kql_replace_tools", "q_kql_ipv4_compare",
+    #   1. never-checked entries: q_kql_geo_measures (deferred once in
+    #      r11 via DEFERRED_NEVER_CHECKED — not deferrable again) and
+    #      convert_csv_nested (new this round; hygiene rule),
+    "q_kql_geo_measures", "convert_csv_nested",
+    #   2. the full r4 oldest vintage — all 19 DEFERRED_OLDEST members
+    #      from r11, mandatory this round by the staleness ceiling
+    #      (attested <= newest-7). Seating all of them clears the r4
+    #      vintage completely:
+    "q13_order_count_distribution", "q2_min_cost_supplier",
+    "q_decontaminate", "q_dedup_minhash", "q_histogram",
+    "q_kql_arg_max", "q_kql_dcount_users", "q_kql_make_series",
+    "q_kql_mv_expand_terms", "q_kql_parse", "q_multimodal_features",
+    "q_snapshot_diff", "q_stratified_sample", "q_text_stats",
+    "q_sessionize", "q_asof_join", "q_window_lag_lead",
+    "q_dedup_exact", "q_dedup_jaccard",
+    #   3. the r11-verdict item-6 refresh: convert_decimal's CSV
+    #      decimal parity re-attested next to the new nested-CSV
+    #      certificate (one deliberate young slot; DEFERRED_OLDEST is
+    #      empty this round so no vintage is starved by it),
+    "convert_decimal",
+    #   4. remaining slots -> r5 vintage (next-oldest), changed-code
+    #      first: these 15 were all touched by the r10
+    #      portable-rounding sweep (b8aeae8) or later after their r5
+    #      attestation (verified per-function via git log -L).
+    #      The 22 unchanged r5 members move to DEFERRED_OLDEST the
+    #      moment CORRECTNESS_r12 banks (they become the oldest
+    #      vintage then) and are first in line for r13:
+    "q11_value_concentration", "q15_top_supplier",
+    "q22_dormant_rich_customers", "q6_forecast_revenue",
+    "q_cohort_retention", "q_cross_join", "q_kql_case_tiers",
+    "q_kql_cond_aggs", "q_kql_datatable_join", "q_kql_extractjson",
+    "q_kql_let_pipeline", "q_kql_text_stats", "q_kql_top_orders",
+    "q_sequence_pack", "q_weighted_sample",
 ]
 
-# Rotation ledger: r1-r10 windows are banked driver-green in
-# CORRECTNESS_r{01..10}.json. ROTATION ARITHMETIC: the window is 50
+# Rotation ledger: r1-r11 windows are banked driver-green in
+# CORRECTNESS_r{01..11}.json. ROTATION ARITHMETIC: the window is 50
 # rows, 13 are permanent parity slots, so 37 entries refresh per round
 # against ~258 rotating entries — a 7-round steady-state cycle.
 #
@@ -9832,37 +9876,42 @@ DRIVER_WINDOW = [
 #      changed-code entries first; members that do not fit are named
 #      in tests' DEFERRED_OLDEST and are FORCED into the next window
 #      by the hard staleness ceiling (attested <= newest-7 rounds
-#      must hold a slot — at r12 the deferred r4 entries hit it).
+#      must hold a slot).
 #
-# The r11 window: all 14 never-checked (the r10 post-freeze batch,
-# deferred once — not deferrable again) + 23 of the 37 r4-vintage
-# entries (the 18 changed-since-attestation ones + the 4 promised
-# back-fills + q_asof_join). The 14 r4 members left over are listed
-# in DEFERRED_OLDEST (tests/test_queries_oracle.py) with unchanged
-# code since r4 and local replica coverage; they are first in line
-# for r12, where the ceiling makes them mandatory.
+# The r12 window (this round): q_kql_geo_measures (deferred once in
+# r11, mandatory now) + convert_csv_nested (new-this-round nested
+# struct/map/binary CSV certificate, r11 verdict #6; hygiene rule) +
+# ALL 19 r4 DEFERRED_OLDEST members (staleness ceiling — the r4
+# vintage clears entirely) + convert_decimal (r11 verdict #6 refresh;
+# one deliberate young slot, harmless because DEFERRED_OLDEST is empty
+# at HEAD so rule 3 cannot be starved) + 15 r5-vintage entries, all
+# changed-code-since-attestation (the b8aeae8 portable-rounding sweep
+# and later; verified per-function with git log -L).
+# 22 + 19 + 1 = 37 rotating slots exactly; both deferral ledgers in
+# tests/test_queries_oracle.py are EMPTY at HEAD.
+#
+# r13 planner (written now so the obligation is explicit): the moment
+# CORRECTNESS_r12 banks, the oldest vintage becomes r5 with exactly
+# the 22 unchanged members not seated this round
+# (q_basket_pairs q_exists_subquery q_funnel q_fuzzy_prefix_pairs
+#  q_inverted_index q_kql_bag_unpack q_kql_bin_at q_kql_dynamic
+#  q_kql_extract_first_word q_kql_has_any q_kql_mv_apply
+#  q_kql_parse_where q_kql_prev_diff q_kql_range_sum q_kql_render
+#  q_kql_row_number q_kql_top_hitters q_make_series q_redact_pii
+#  q_session_window q_trailing_wau q_train_test_split) — the
+# rotation meta-test will fail at that point by design until the r13
+# window seats them (all 22 fit in one window with 15 slots spare).
 #
 # HYGIENE RULE (r7 verdict #8, enforced by
 # tests/test_queries_oracle.py::test_driver_window_is_first_and_covers_families):
 # every catalog entry with no driver CORRECTNESS row yet MUST occupy a
 # window slot in the round it lands, while rotating slots remain — the
 # attestation gap can never exceed one round's additions. An entry
-# added mid-r11 displaces the current TAIL slot in the same commit
-# (displacement order, last out first: q_asof_join, q_sessionize,
-# q_window_lag_lead, q_dedup_jaccard, q_dedup_exact — each displaced
-# name moves to DEFERRED_OLDEST).
-#
-# Third r11 session (driver restart #2): NO window or catalog changes
-# — the rotation budget was already spent (5 new entries seated, 19
-# DEFERRED_OLDEST + q_kql_geo_measures mandatory for r12), so the
-# session's entire surface (S2/geo/H3 families, scalar batch 4, the
-# preview/schema_merge/diffpatterns_text/infer_storage_schema
-# plugins, table-reference functions, shufflekey hints, hilbert
-# layout, FLAC/MP3/BMP/MP4 headers, query CLI) is pytest-pinned only.
-# r12 planner: seat the 19 DEFERRED_OLDEST + q_kql_geo_measures
-# first (20 slots), then the remaining oldest vintage; if any of this
-# session's surface later earns a catalog entry it must bring its own
-# displacement per the hygiene rule.
+# added mid-r12 displaces the current TAIL slot in the same commit
+# (displacement order, last out first: the r5 changed-code entries in
+# reverse listing order, then convert_decimal — never a never-checked
+# or r4 slot; each displaced r5 name joins the r13 obligation list
+# above).
 
 
 

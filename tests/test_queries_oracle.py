@@ -157,6 +157,11 @@ ROWS_ONLY_ROTATED_R7 = {
     # rows-only-by-nature sketches rotate back in so their driver
     # attestation ages with the rest of the catalog
     "q_approx_distinct", "q_text_rolling_fp",
+    # r12 staleness-ceiling refresh: seeded-LSH near-dedup is rows-only
+    # by nature (its hard certificate is q_dedup_minhash_exact, oracled
+    # and attested r7); the base entry rotates back in because its r4
+    # attestation hit the ceiling, same protocol as its r4 rows-only row
+    "q_dedup_minhash",
 }
 
 
@@ -190,12 +195,10 @@ def test_driver_window_is_first_and_covers_families():
 # window obligation, with the reason, and is first in line next round.
 # An entry may live here at most ONE round (the r10 post-freeze batch
 # was deferred once and fully took the r11 window).
-# r11: q_kql_geo_measures (late-r11 entry) yields its slot to the 18
-# changed-since-attestation r4 refreshes — the two lower-priority
-# unchanged back-fills were already displaced by q_kql_replace_tools /
-# q_kql_ipv4_compare, and displacing a changed-code r4 slot would
-# invert the priority policy. First in line for r12.
-DEFERRED_NEVER_CHECKED: set[str] = {"q_kql_geo_measures"}
+# r12: EMPTY — q_kql_geo_measures (deferred once in r11) holds a slot,
+# and the round's one new entry (convert_csv_nested) was seated the
+# commit it landed per the hygiene rule.
+DEFERRED_NEVER_CHECKED: set[str] = set()
 
 # Oldest-vintage members that do NOT fit the current window after the
 # higher-priority never-checked obligation is met (rotation priority
@@ -204,21 +207,13 @@ DEFERRED_NEVER_CHECKED: set[str] = {"q_kql_geo_measures"}
 # code UNCHANGED since its last attestation, stays replica-covered
 # (test_oracle_match), and is forced into the next window by the
 # staleness ceiling below.
-# r11: 19 of the 37 r4-vintage entries (the 18 taken are the
-# changed-since-attestation ones; q_asof_join, q_sessionize and
-# q_window_lag_lead were displaced by the three new-in-r11 entries
-# q_kql_convert_units / q_kql_array_ops / q_rrf_fusion, and the two
-# unchanged back-fills q_dedup_exact / q_dedup_jaccard by the late
-# entries q_kql_replace_tools / q_kql_ipv4_compare, per the hygiene
-# rule).
-DEFERRED_OLDEST = {
-    "q13_order_count_distribution", "q2_min_cost_supplier",
-    "q_decontaminate", "q_dedup_minhash", "q_histogram",
-    "q_kql_arg_max", "q_kql_dcount_users", "q_kql_make_series",
-    "q_kql_mv_expand_terms", "q_kql_parse", "q_multimodal_features",
-    "q_snapshot_diff", "q_stratified_sample", "q_text_stats",
-    "q_sessionize", "q_asof_join", "q_window_lag_lead",
-    "q_dedup_exact", "q_dedup_jaccard"}
+# r12: EMPTY — all 19 r4 stragglers hold window slots (the r4 vintage
+# clears entirely when CORRECTNESS_r12 banks). The moment it banks,
+# the oldest vintage becomes r5 with the 22 unchanged-code members not
+# seated this round; the rotation meta-test will then fail by design
+# until the r13 window seats them (see the r13-planner note above
+# DRIVER_WINDOW in queries.py for the exact list).
+DEFERRED_OLDEST: set[str] = set()
 
 
 def test_driver_window_covers_every_never_checked_entry():
