@@ -11082,6 +11082,143 @@ class KqlCompiler:
         self._order_sql = sqls
         return cols
 
+    def _summarize_percentilew_fast(self, df: DataFrame,
+                                    agg_groups: list[list["Tok"]],
+                                    key_toks: list["Tok"]):
+        """Scale-safe default plan for ``summarize percentilew(...)``
+        (r11 verdict #2): when EVERY aggregate in the stage is a
+        top-level percentilew / percentilesw call over one shared
+        (value, weight) pair with literal percentiles, compile to the
+        percentilew_exact pre-agg + cumulative-window plan instead of
+        the collect_list fold — per-(group, DISTINCT value) weight
+        sums are map-side combinable and the running sum spreads
+        across executors, so a skewed group never lands its whole
+        (value, weight) pair list on one task. Returns None when the
+        shape doesn't fit (mixed aggregates, differing (v, w) pairs,
+        expression percentiles, nested use) — those keep the fold,
+        whose single-expression form composes anywhere.
+
+        Weight contract: identical to ``evaluate percentilew_exact``
+        (kql.py header) — raw-invalid weights (null / <= 0) drop, then
+        weights land on the 1e-4 integer grid so cumulative sums are
+        order-independent exact integers (hash-portable under any
+        partitioning; the fold's sorted raw-double accumulation only
+        coincides for grid-exact weights). Groups whose every weight
+        is invalid keep their row with a NULL percentile (spine join),
+        matching the fold's empty-pairs -> null."""
+        specs: list[tuple[str, float]] = []
+        vw: tuple[str, str] | None = None
+
+        def parse_call(body, n_fixed):
+            # -> (v_sql, w_sql, [p floats]) or None
+            if not (body and body[0].kind == "ident"
+                    and len(body) >= 4 and body[1].text == "("
+                    and body[-1].text == ")"):
+                return None
+            arggroups = _split_top_commas(body[2:-1])
+            if len(arggroups) < n_fixed + 1:
+                return None
+            try:
+                ps = [float("".join(t.text for t in g))
+                      for g in arggroups[n_fixed:]]
+            except ValueError:
+                return None
+            v_sql = _compile_expr_tokens(arggroups[0], df)
+            w_sql = _compile_expr_tokens(arggroups[1], df)
+            return v_sql, w_sql, ps
+
+        for i, g in enumerate(agg_groups):
+            if g and g[0].text == "(":
+                # tuple assignment: (n1, n2) = percentilesw(v, w, p..)
+                depth, j, names = 0, 0, []
+                for j, t in enumerate(g):
+                    if t.text == "(":
+                        depth += 1
+                    elif t.text == ")":
+                        depth -= 1
+                        if depth == 0:
+                            break
+                    elif depth == 1 and t.kind == "ident":
+                        names.append(t.text)
+                if (not names or j + 2 >= len(g) or g[j + 1].text != "="
+                        or g[j + 2].text.lower()
+                        not in ("percentilesw", "percentilesw_array")):
+                    return None
+                parsed = parse_call(g[j + 2:], 2)
+                if parsed is None or len(parsed[2]) != len(names):
+                    return None
+                pairs = list(zip(names, parsed[2]))
+            elif (g and g[0].kind == "ident"
+                    and g[0].text.lower() == "percentilesw"
+                    and len(g) >= 2 and g[1].text == "("):
+                # bare plural form: Kusto auto-names per percentile
+                parsed = parse_call(g, 2)
+                if parsed is None:
+                    return None
+                col = (g[2].text
+                       if g[3].text == "," and g[2].kind == "ident"
+                       else "value")
+                pairs = [(f"percentile_{col}_"
+                          + re.sub(r"[^0-9]+", "_", f"{p:g}").strip("_"),
+                          p) for p in parsed[2]]
+            else:
+                if len(g) >= 2 and g[0].kind == "ident" \
+                        and g[1].text == "=":
+                    name, body = g[0].text, g[2:]
+                else:
+                    name, body = None, g
+                if not (body and body[0].kind == "ident"
+                        and body[0].text.lower() == "percentilew"):
+                    return None
+                parsed = parse_call(body, 2)
+                if parsed is None or len(parsed[2]) != 1:
+                    return None
+                pairs = [(name if name is not None else f"agg{i}",
+                          parsed[2][0])]
+            if vw is None:
+                vw = (parsed[0], parsed[1])
+            elif vw != (parsed[0], parsed[1]):
+                return None
+            specs.extend(pairs)
+        if vw is None:
+            return None
+
+        from pyspark.sql import Window as _W
+        keys = []
+        for i, g in enumerate(_split_top_commas(key_toks)):
+            name, sql = _named_expr(g, df, f"key{i}")
+            keys.append((name, sql))
+        bynames = [n for n, _ in keys]
+        base = df.select(
+            *[F.expr(s).alias(n) for n, s in keys],
+            F.expr(vw[0]).cast("double").alias("__pwv"),
+            F.expr(vw[1]).cast("double").alias("__pww"))
+        valid = base.where(
+            F.col("__pwv").isNotNull() & F.col("__pww").isNotNull()
+            & (F.col("__pww") > 0))
+        wgt = F.floor(F.col("__pww") * F.lit(10000.0) + F.lit(0.5)) \
+               .cast("long")
+        pre = valid.groupBy(*bynames, "__pwv").agg(F.sum(wgt).alias("__pws"))
+        win = _W.partitionBy(*bynames).orderBy("__pwv") \
+                .rowsBetween(_W.unboundedPreceding, 0)
+        cum = (pre.withColumn("__pwc", F.sum("__pws").over(win))
+                  .withColumn("__pwt", F.sum("__pws").over(
+                      _W.partitionBy(*bynames))))
+        out = cum.groupBy(*bynames).agg(*[
+            F.min(F.when(
+                F.col("__pwc") >= F.lit(p / 100.0) * F.col("__pwt"),
+                F.col("__pwv"))).alias(name)
+            for name, p in specs])
+        if not bynames:
+            return out
+        # groups whose rows ALL failed the weight filter still exist in
+        # Kusto's output (fold over empty pairs -> null); restore them
+        # with a key spine — both sides are pre-aggregated on the same
+        # keys, so the join is exchange-reusing / AQE-broadcastable
+        spine = base.groupBy(*bynames).agg(
+            F.count(F.lit(1)).alias("__pwn")).drop("__pwn")
+        return spine.join(out, bynames, "left")
+
     def _summarize(self, df: DataFrame, rest: str):
         # hint.shufflekey=col: pre-partition on the hinted key so the
         # aggregation exchange reuses it (Kusto's shuffle strategy hint)
@@ -11106,6 +11243,10 @@ class KqlCompiler:
                 break
         agg_toks = toks[:by_idx] if by_idx is not None else toks
         key_toks = toks[by_idx + 1:] if by_idx is not None else []
+        fast = self._summarize_percentilew_fast(
+            df, _split_top_commas(agg_toks), key_toks)
+        if fast is not None:
+            return fast
         aggs = []
         post = []  # (tuple_names, array_alias) for tuple assignments
         for i, g in enumerate(_split_top_commas(agg_toks)):

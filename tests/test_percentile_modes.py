@@ -203,3 +203,72 @@ def test_rolling_percentile_plan_is_bounded(spark, sf_dir):
     """).collect()
     keys = [(r["event_type"], r["bin"]) for r in rows]
     assert len(keys) == len(set(keys)) and keys
+
+
+def test_summarize_percentilew_default_is_collect_list_free(spark, sf_dir):
+    """r11 verdict #2: the summarize form of percentilew()/
+    percentilesw() compiles to the percentilew_exact pre-agg +
+    cumulative-window plan by default — no per-group (value, weight)
+    array ever materializes (a skewed group at 100 TB would land its
+    whole pair list on one task under the old collect_list fold)."""
+    df = kql(spark, sf_dir, """
+      lineitem
+        | summarize p50 = percentilew(l_extendedprice, l_quantity, 50),
+                    p90 = percentilew(l_extendedprice, l_quantity, 90)
+            by l_returnflag
+    """)
+    plan = df._jdf.queryExecution().analyzed().toString()
+    assert "collect_list" not in plan and "sort_array" not in plan
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in phys
+    # value parity with the evaluate percentilew_exact plugin (same
+    # plan family, same weight contract)
+    want = {(r["l_returnflag"], r["p50"]) for r in kql(spark, sf_dir, """
+      lineitem
+        | evaluate percentilew_exact(l_extendedprice, l_quantity, 50,
+                                     l_returnflag)
+    """).collect()}
+    got = {(r["l_returnflag"], r["p50"]) for r in df.collect()}
+    assert got == want
+
+
+def test_summarize_percentilesw_tuple_takes_fast_path(spark, sf_dir):
+    """Tuple and bare plural forms ride the same window plan; split
+    columns match the single-percentile aggregates."""
+    df = kql(spark, sf_dir, """
+      lineitem
+        | summarize (a, b) = percentilesw(l_extendedprice, l_quantity,
+                                          50, 90)
+            by l_returnflag
+    """)
+    assert "collect_list" not in df._jdf.queryExecution().analyzed().toString()
+    singles = kql(spark, sf_dir, """
+      lineitem
+        | summarize a = percentilew(l_extendedprice, l_quantity, 50),
+                    b = percentilew(l_extendedprice, l_quantity, 90)
+            by l_returnflag
+    """)
+    assert sorted(map(tuple, df.collect())) == \
+        sorted(map(tuple, singles.collect()))
+
+
+def test_summarize_percentilew_fast_path_edge_semantics(spark, sf_dir):
+    """Fold-parity edges: a group whose every weight is invalid
+    (null / <= 0) still emits its row with a NULL percentile, and
+    mixed aggregates fall back to the fold (single expression form
+    composes with other aggs)."""
+    rows = {r["k"]: r["p"] for r in kql(spark, sf_dir, """
+      datatable (k:string, v:real, w:real) [
+        "a", 1.0, 1.0,  "a", 2.0, 1.0,  "a", 3.0, 2.0,
+        "b", 5.0, 0.0,  "b", 6.0, -1.0 ]
+        | summarize p = percentilew(v, w, 50) by k
+    """).collect()}
+    assert rows == {"a": 2.0, "b": None}
+    mixed = kql(spark, sf_dir, """
+      datatable (k:string, v:real, w:real) [
+        "a", 1.0, 1.0,  "a", 2.0, 1.0,  "a", 3.0, 2.0 ]
+        | summarize n = count(), p = percentilew(v, w, 50) by k
+    """)
+    assert "collect_list" in mixed._jdf.queryExecution().analyzed().toString()
+    r = mixed.collect()[0]
+    assert (r["k"], r["n"], r["p"]) == ("a", 3, 2.0)
