@@ -324,8 +324,19 @@ def _tokenize(s: str) -> list[Tok]:
             continue
         if kind == "hexnum":
             # Kusto hex int literals (0x1f) — normalized to decimal
-            # at lex time so downstream SQL rendering stays uniform
-            out.append(Tok("num", str(int(m.group(), 16))))
+            # at lex time so downstream SQL rendering stays uniform.
+            # Kusto's carrier is long: 64-bit patterns wrap to signed
+            # two's-complement (0xFFFFFFFFFFFFFFFF -> -1) instead of
+            # silently widening to DECIMAL(20,0); wider literals are a
+            # clear lex error, never a silent type change (r11 advice)
+            hv = int(m.group(), 16)
+            if hv >= 1 << 64:
+                raise ValueError(
+                    f"KQL: hex literal {m.group()} overflows long "
+                    f"(64 bits)")
+            if hv > (1 << 63) - 1:
+                hv -= 1 << 64
+            out.append(Tok("num", str(hv)))
             continue
         if kind == "vstr":
             # Kusto verbatim strings (@'...'): backslashes are
@@ -2875,7 +2886,13 @@ class _ExprParser:
             if len(args) == 2:
                 return f"(instr({args[0]}, {args[1]}) - 1)"
             text, look = args[0], args[1]
-            start = f"CAST({args[2]} AS INT)"
+            # negative start: offset from the END by abs(start)
+            # (Kusto; r11 advice — locate() with a non-positive
+            # position returns 0, which read as a silent miss)
+            start0 = f"CAST({args[2]} AS INT)"
+            start = (f"(CASE WHEN {start0} < 0 THEN "
+                     f"greatest(0, CAST(length({text}) AS INT) "
+                     f"+ {start0}) ELSE {start0} END)")
             if len(args) >= 4:
                 ln = f"CAST({args[3]} AS INT)"
                 window = (f"(CASE WHEN {ln} = -1 THEN {text} ELSE "
@@ -3223,11 +3240,21 @@ class _ExprParser:
                   f"map('mode', 'PERMISSIVE'))")
             ent = (f"filter(transform({ks}, (__bz_k, __bz_i) -> "
                    f"struct(__bz_k AS key, try_element_at({vs}, "
-                   f"__bz_i + 1) AS value)), __bz_e -> "
+                   f"__bz_i + 1) AS value, __bz_i AS idx)), __bz_e -> "
                    f"__bz_e.key IS NOT NULL)")
+            # duplicate keys: LAST wins (Kusto bag semantics) — keep
+            # only each key's max-index entry, or Spark's EXCEPTION
+            # map-key dedup policy aborts the job at runtime on valid
+            # Kusto input (r11 advice). Bags are tiny; the quadratic
+            # per-row filter stays inside one codegen expression.
+            ded = (f"filter({ent}, __bz_d -> __bz_d.idx = "
+                   f"array_max(transform(filter({ent}, __bz_s -> "
+                   f"__bz_s.key = __bz_d.key), __bz_m -> __bz_m.idx)))")
+            fin = (f"transform({ded}, __bz_f -> struct("
+                   f"__bz_f.key AS key, __bz_f.value AS value))")
             return (f"(CASE WHEN {ks} IS NULL OR {vs} IS NULL "
                     f"THEN NULL ELSE "
-                    f"parse_json(to_json(map_from_entries({ent}), "
+                    f"parse_json(to_json(map_from_entries({fin}), "
                     f"map('ignoreNullFields', 'false'))) END)")
         if fname == "stdev":
             return f"stddev_samp({args[0]})"
@@ -10895,11 +10922,15 @@ class KqlCompiler:
         if df is None:
             df = others.pop(0)
             first_label = label(0, parts.pop(0))
+            off = 1  # operand 0 became the left side
         else:
             first_label = "$input"
+            off = 0  # piped form: subpipelines stay union_arg0.. (r11
+            # advice — the source-position offset had leaked in and
+            # shifted existing queries' labels)
         if src:
             df = df.withColumn(src, F.lit(first_label))
-            others = [o.withColumn(src, F.lit(label(i + 1, p)))
+            others = [o.withColumn(src, F.lit(label(i + off, p)))
                       for i, (o, p) in enumerate(zip(others, parts))]
         if kind == "inner":
             common = [c for c in df.columns

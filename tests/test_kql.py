@@ -6834,3 +6834,64 @@ def test_verbatim_strings_and_extract_all_groups(spark, sf_dir):
     assert json.loads(r["e"]) == [["a", "1"], ["b", "2"], ["c", "3"]]
     assert r["f"] == ["9", "88"]
     assert json.loads(r["z"]) == []
+
+
+def test_bag_zip_duplicate_keys_last_wins(spark, sf_dir):
+    """r11 advice: duplicate keys in bag_zip's key array must yield a
+    bag (last key wins, Kusto semantics) — not abort the stage with
+    Spark's DUPLICATED_MAP_KEY runtime error."""
+    r = kql(spark, sf_dir, """
+      print b = tostring(bag_zip(dynamic(["k","k","j"]),
+                                 dynamic([1, 2, 3])))
+    """).collect()[0]
+    import json
+    assert json.loads(r["b"]) == {"k": 2, "j": 3}
+
+
+def test_indexof_negative_start_offsets_from_end(spark, sf_dir):
+    """r11 advice: a negative start is an offset from the END by
+    abs(start) (Kusto), not a silent -1."""
+    r = kql(spark, sf_dir, """
+      print a = indexof('hello world hello', 'hello', -5),
+            b = indexof('hello world', 'o', -4),
+            c = indexof('hello', 'h', -99),
+            d = indexof('hello', 'zz', -3)
+    """).collect()[0]
+    assert (r["a"], r["b"], r["c"], r["d"]) == (12, 7, 0, -1)
+
+
+def test_hex_literal_long_semantics(spark, sf_dir):
+    """r11 advice: 64-bit hex patterns wrap to signed two's-complement
+    long (never a silent DECIMAL(20,0) literal); wider literals are a
+    lex error."""
+    import pytest
+
+    r = kql(spark, sf_dir, """
+      print a = 0xFFFFFFFFFFFFFFFF, b = 0x7FFFFFFFFFFFFFFF,
+            c = 0x8000000000000000
+    """).collect()[0]
+    assert (r["a"], r["b"], r["c"]) == (-1, 2**63 - 1, -2**63)
+    # small literals keep the compiler's integer literal carrier
+    # (int/bigint — same as decimal literals), never DECIMAL
+    df = kql(spark, sf_dir, "print t = 0xFF")
+    assert dict(df.dtypes)["t"] in ("int", "bigint")
+    with pytest.raises(ValueError, match="overflows long"):
+        kql(spark, sf_dir, "print x = 0x1FFFFFFFFFFFFFFFF")
+
+
+def test_union_withsource_piped_labels_start_at_arg0(spark, sf_dir):
+    """r11 advice: piped `T | union withsource=s (...)` labels its
+    subpipeline operands union_arg0.. (the source-position offset must
+    not leak into the piped form)."""
+    got = {r["s"] for r in kql(spark, sf_dir, """
+      region | union withsource=s (nation | take 1), (nation | take 1)
+             | summarize n = count() by s
+    """).collect()}
+    assert got == {"$input", "union_arg0", "union_arg1"}
+    # source position: operand 0 is the left side and keeps its own
+    # name; subpipelines number from where they sit
+    got2 = {r["s"] for r in kql(spark, sf_dir, """
+      union withsource=s region, (nation | take 1)
+        | summarize n = count() by s
+    """).collect()}
+    assert got2 == {"region", "union_arg1"}
