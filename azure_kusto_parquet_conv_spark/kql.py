@@ -281,6 +281,7 @@ import re
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
 
 from azure_kusto_parquet_conv_spark.session import prepare_session
 from azure_kusto_parquet_conv_spark.sources.parquet import TABLES, load_table
@@ -659,6 +660,45 @@ class _ExprParser:
                    "double": "DOUBLE", "bool": "BOOLEAN",
                    "string": "STRING", "decimal": "DECIMAL(38,18)",
                    "timespan": "BIGINT", "guid": "STRING"}
+
+    def _lift_arr(self, sql: str, elem: str) -> str:
+        """Array-operand coercion for the series/array families (r12,
+        generalizing the r10 JSON-lift pattern): a NATIVE array operand
+        passes through untouched (no per-row JSON round-trip on the
+        make-series hot path — the compile-time schema probe below is
+        what keeps this free), while a dynamic (VARIANT) operand — the
+        type every parse_json/todynamic/dynamic() column carries —
+        lifts through from_json(to_json(x)) in PERMISSIVE mode instead
+        of failing analysis with DATATYPE_MISMATCH. ``elem`` picks the
+        element carrier: 'double' for numeric series math (Kusto
+        series semantics), 'variant' for order-free structural ops
+        where element types must survive. Sorting/set ops stay on the
+        documented typed-cast-first contract (VARIANT defines neither
+        ordering nor equality)."""
+        probe = self.df
+        if probe is None:
+            # `print` bodies compile without a source frame; literal
+            # operands still resolve against a dummy one-row relation
+            s = SparkSession.getActiveSession()
+            probe = s.range(1) if s is not None else None
+        if probe is not None:
+            try:
+                dt = probe.selectExpr(sql).schema[0].dataType
+                if isinstance(dt, T.ArrayType):
+                    return sql
+            except Exception:
+                # unresolvable here (lambda vars, later-stage columns):
+                # fall through to the unconditional lift, which is
+                # analysis-valid for every operand type
+                pass
+        return (f"from_json(to_json({sql}), 'array<{elem}>', "
+                f"map('mode', 'PERMISSIVE'))")
+
+    def _series_arg(self, sql: str) -> str:
+        return self._lift_arr(sql, "double")
+
+    def _dyn_arr_arg(self, sql: str) -> str:
+        return self._lift_arr(sql, "variant")
 
     def _render_call(self, fname: str, args: list[str]) -> str:
         if fname in self._TYPED_NULL and len(args) == 1 \
@@ -1278,7 +1318,7 @@ class _ExprParser:
             # fold over the make-series value array, JVM-side
             if len(args) != 1:
                 raise ValueError(f"KQL: {fname}(series) takes 1 arg")
-            arr = args[0]
+            arr = self._series_arg(args[0])
             total = (f"aggregate({arr}, CAST(0 AS DOUBLE), "
                      f"(a, v) -> a + CAST(v AS DOUBLE))")
             if fname == "series_sum":
@@ -1287,7 +1327,11 @@ class _ExprParser:
                 return (f"aggregate({arr}, CAST(1 AS DOUBLE), "
                         f"(a, v) -> a * CAST(v AS DOUBLE))")
             if fname == "series_avg":
-                return f"({total} / size({arr}))"
+                # empty-series guard: ANSI mode turns the /size division
+                # into a runtime DIVIDE_BY_ZERO crash (r12 registry
+                # property find) — Kusto yields null
+                return (f"(CASE WHEN size({arr}) = 0 THEN NULL "
+                        f"ELSE {total} / size({arr}) END)")
             fn = "array_max" if fname == "series_max" else "array_min"
             return f"CAST({fn}({arr}) AS DOUBLE)"
         if fname in ("isnan", "isinf", "isfinite"):
@@ -1762,7 +1806,7 @@ class _ExprParser:
             # so an empty cond array must short-circuit.
             if len(args) != 3:
                 raise ValueError(f"KQL: {fname}(cond_arr, a, b)")
-            c, a, b = args
+            c, a, b = [self._dyn_arr_arg(x) for x in args]
             return (f"(CASE WHEN size({c}) <= 0 THEN array() ELSE "
                     f"transform(sequence(1, size({c})), __ai_i -> "
                     f"IF(CAST(try_element_at({c}, __ai_i) AS BOOLEAN), "
@@ -1771,7 +1815,7 @@ class _ExprParser:
         if fname in ("array_rotate_left", "array_rotate_right"):
             if len(args) != 2:
                 raise ValueError(f"KQL: {fname}(arr, n)")
-            arr, n = args
+            arr, n = self._dyn_arr_arg(args[0]), args[1]
             # normalize the shift into [0, size) (negative n rotates
             # the other way, like Kusto)
             k = (f"CAST(pmod({'-' if fname.endswith('right') else ''}"
@@ -1785,7 +1829,7 @@ class _ExprParser:
             # negative n shifts the other way
             if len(args) not in (2, 3):
                 raise ValueError(f"KQL: {fname}(arr, n[, fill])")
-            arr, n = args[0], args[1]
+            arr, n = self._dyn_arr_arg(args[0]), args[1]
             fill = args[2] if len(args) == 3 else "NULL"
             if fname == "array_shift_right":
                 n = f"(-({n}))"
@@ -1991,7 +2035,7 @@ class _ExprParser:
             # index-aware transform + slice keep it JVM-side
             if len(args) != 2:
                 raise ValueError("KQL: series_fir(series, k)")
-            arr, k = args
+            arr, k = self._series_arg(args[0]), args[1]
             return (f"transform({arr}, (__fir_v, __fir_i) -> "
                     f"aggregate(slice({arr}, "
                     f"greatest(__fir_i + 2 - {k}, 1), "
@@ -2002,7 +2046,7 @@ class _ExprParser:
         if fname == "series_fill_const":
             if len(args) != 2:
                 raise ValueError("KQL: series_fill_const(series, value)")
-            return (f"transform({args[0]}, v -> coalesce("
+            return (f"transform({self._series_arg(args[0])}, v -> coalesce("
                     f"CAST(v AS DOUBLE), CAST({args[1]} AS DOUBLE)))")
         if fname in ("series_fill_forward", "series_fill_backward"):
             # O(n) fold building the filled array; try_element_at(acc, -1)
@@ -2010,7 +2054,7 @@ class _ExprParser:
             # trailing) nulls stay null — Kusto's edge behavior
             if len(args) != 1:
                 raise ValueError(f"KQL: {fname}(series) takes 1 arg")
-            arr = args[0]
+            arr = self._series_arg(args[0])
             if fname == "series_fill_backward":
                 arr = f"reverse({arr})"
             ff = (f"aggregate({arr}, CAST(array() AS ARRAY<DOUBLE>), "
@@ -2025,7 +2069,7 @@ class _ExprParser:
             # the SERIES length (calendar-bounded), zero Python.
             if len(args) != 1:
                 raise ValueError("KQL: series_fill_linear(series) takes 1 arg")
-            arr = args[0]
+            arr = self._series_arg(args[0])
             # lambda vars carry a __sfl_ prefix so they can never shadow
             # a user column referenced from the inlined array expression
             wi = (f"zip_with({arr}, sequence(1, size({arr})), "
@@ -2058,7 +2102,7 @@ class _ExprParser:
             # oracle can reproduce them bit-for-bit.
             if len(args) != 1:
                 raise ValueError("KQL: series_outliers(series) takes 1 arg")
-            arr = args[0]
+            arr = self._series_arg(args[0])
             # __so_ lambda-var prefix: the series expression is inlined
             # INSIDE the outer lambda body, so plain names could shadow
             # the user's column
@@ -2085,7 +2129,7 @@ class _ExprParser:
             # population stdev of the non-null points (E[x²] − E[x]²)
             if len(args) != 1:
                 raise ValueError("KQL: series_stdev(series) takes 1 arg")
-            arr = args[0]
+            arr = self._series_arg(args[0])
             nn = (f"filter(transform({arr}, __sd_x -> "
                   f"CAST(__sd_x AS DOUBLE)), __sd_x -> "
                   f"__sd_x IS NOT NULL)")
@@ -2106,7 +2150,7 @@ class _ExprParser:
             # series length, zero shuffles.
             if len(args) != 2:
                 raise ValueError("KQL: series_seasonal(series, period)")
-            arr, p = args
+            arr, p = self._series_arg(args[0]), args[1]
             wi = (f"zip_with({arr}, sequence(1, size({arr})), "
                   f"(__ss_v, __ss_i) -> struct(CAST(__ss_v AS DOUBLE) "
                   f"AS v, __ss_i AS i))")
@@ -2136,7 +2180,7 @@ class _ExprParser:
             if len(args) != 2:
                 raise ValueError(
                     "KQL: series_pearson_correlation(series1, series2)")
-            a, b = args
+            a, b = self._series_arg(args[0]), self._series_arg(args[1])
             pairs = (f"filter(zip_with({a}, {b}, (__pc_x, __pc_y) -> "
                      f"struct(CAST(__pc_x AS DOUBLE) AS x, "
                      f"CAST(__pc_y AS DOUBLE) AS y)), "
@@ -2164,7 +2208,7 @@ class _ExprParser:
             # form is handled by extend's multi-assign.
             if len(args) != 1:
                 raise ValueError(f"KQL: {fname}(series)")
-            arr = args[0]
+            arr = self._series_arg(args[0])
             nn = (f"filter(transform({arr}, __st_x -> "
                   f"CAST(__st_x AS DOUBLE)), "
                   f"__st_x -> __st_x IS NOT NULL)")
@@ -2281,7 +2325,7 @@ class _ExprParser:
             if len(args) != 1:
                 raise ValueError(f"KQL: {fname}(series) takes 1 arg")
             fn = fname.removeprefix("series_")
-            return (f"transform({args[0]}, __su_v -> "
+            return (f"transform({self._series_arg(args[0])}, __su_v -> "
                     f"CAST({fn}(CAST(__su_v AS DOUBLE)) AS DOUBLE))")
         if fname in ("series_equals", "series_not_equals",
                      "series_greater", "series_greater_equals",
@@ -2296,13 +2340,14 @@ class _ExprParser:
                       "series_greater_equals": ">=",
                       "series_less": "<",
                       "series_less_equals": "<="}[fname]
-            return (f"zip_with({args[0]}, {args[1]}, "
+            return (f"zip_with({self._series_arg(args[0])}, "
+                    f"{self._series_arg(args[1])}, "
                     f"(__sc_x, __sc_y) -> CAST(__sc_x AS DOUBLE) "
                     f"{op_sym} CAST(__sc_y AS DOUBLE))")
         if fname == "series_pow":
             if len(args) != 2:
                 raise ValueError("KQL: series_pow(series, exponent)")
-            return (f"transform({args[0]}, __su_v -> "
+            return (f"transform({self._series_arg(args[0])}, __su_v -> "
                     f"pow(CAST(__su_v AS DOUBLE), {args[1]}))")
         if fname in ("series_add", "series_subtract", "series_multiply",
                      "series_divide"):
@@ -2310,7 +2355,7 @@ class _ExprParser:
             # codegen); divide-by-zero yields null (Kusto real null)
             if len(args) != 2:
                 raise ValueError(f"KQL: {fname}(series1, series2)")
-            a, b = args
+            a, b = self._series_arg(args[0]), self._series_arg(args[1])
             op_sym = {"series_add": "+", "series_subtract": "-",
                       "series_multiply": "*"}.get(fname)
             if op_sym:
@@ -2326,7 +2371,7 @@ class _ExprParser:
             # higher-order SQL folds, zero shuffles — the in-row twin
             # of regr_slope/regr_intercept. __fl_ lambda-var prefix so
             # inlined series expressions can't be shadowed.
-            arr = args[0]
+            arr = self._series_arg(args[0])
             wi = (f"zip_with({arr}, sequence(0, size({arr}) - 1), "
                   f"(__fl_v, __fl_i) -> struct("
                   f"CAST(__fl_v AS DOUBLE) AS v, "
@@ -2371,7 +2416,11 @@ class _ExprParser:
                        f"'rvariance', {ssres} / {n}, "
                        f"'interception', {icept}, "
                        f"'line_fit', {line})")
-                return f"parse_json(to_json({obj}))"
+                # zero-point guard: with no non-null points the moment
+                # divisions hit ANSI DIVIDE_BY_ZERO (r12 registry
+                # property find) — Kusto yields null for the whole bag
+                return (f"(CASE WHEN {n} = 0 THEN NULL "
+                        f"ELSE parse_json(to_json({obj})) END)")
             # series_decompose_forecast(series, points[, seasonality]):
             # linear-trend forecast extended `points` past the observed
             # range; with a seasonality period the zero-sum per-phase
@@ -3081,14 +3130,18 @@ class _ExprParser:
             # compiles to VARIANT directly.
             return f"array({', '.join(args)})"
         if fname == "array_length":
-            return f"CAST(size({args[0]}) AS BIGINT)"
+            return f"CAST(size({self._dyn_arr_arg(args[0])}) AS BIGINT)"
         if fname == "array_concat":
-            return f"concat({', '.join(args)})"
+            # lift each operand: concat() over VARIANTs silently does
+            # STRING concatenation ('[]' || '[]' -> '[][]') — caught by
+            # the r12 registry property test
+            return (f"concat("
+                    f"{', '.join(self._dyn_arr_arg(a) for a in args)})")
         if fname == "array_slice":
             # Kusto: 0-based inclusive [start, end]
             if len(args) != 3:
                 raise ValueError("KQL: array_slice(arr, start, end)")
-            a, s, e = args
+            a, s, e = self._dyn_arr_arg(args[0]), args[1], args[2]
             return f"slice({a}, ({s}) + 1, ({e}) - ({s}) + 1)"
         if fname in ("array_sort_asc", "array_sort_desc"):
             desc = fname.endswith("desc")

@@ -6895,3 +6895,102 @@ def test_union_withsource_piped_labels_start_at_arg0(spark, sf_dir):
         | summarize n = count() by s
     """).collect()}
     assert got2 == {"region", "union_arg1"}
+
+
+def test_array_fn_registry_empty_and_null_element_property(spark, sf_dir):
+    """r11 verdict #5: the sequence(1, size(x)) bug class (Spark's
+    sequence(1, 0) DESCENDS, so an unguarded index scaffold turns []
+    into 2-element garbage) stays dead across the WHOLE array-fn
+    registry — and (r12) the registry accepts dynamic (VARIANT)
+    operands, the type every parse_json/dynamic() column carries.
+    Property: over [] every element-wise/structural op yields []/null,
+    over [null] at most one element; reductions evaluate clean. Ops
+    needing element ordering/equality (sort, set ops) run over native
+    typed arrays — VARIANT defines neither, the documented contract."""
+    import json
+
+    lifted = [
+        "series_abs(a)", "series_acos(a)", "series_asin(a)",
+        "series_atan(a)", "series_ceiling(a)", "series_cos(a)",
+        "series_exp(a)", "series_floor(a)", "series_log(a)",
+        "series_sign(a)", "series_sin(a)", "series_sqrt(a)",
+        "series_tan(a)",
+        "series_add(a, a)", "series_subtract(a, a)",
+        "series_multiply(a, a)", "series_divide(a, a)",
+        "series_pow(a, 2.0)", "series_greater(a, a)",
+        "series_greater_equals(a, a)", "series_less(a, a)",
+        "series_less_equals(a, a)", "series_equals(a, a)",
+        "series_not_equals(a, a)",
+        "array_rotate_left(a, 1)", "array_rotate_right(a, 1)",
+        "array_shift_left(a, 1)", "array_shift_right(a, 1)",
+        "array_iff(a, a, a)", "array_slice(a, 0, 1)",
+        "array_reverse(a)", "array_concat(a, a)", "zip(a, a)",
+        "series_fill_const(a, 0.0)", "series_fill_forward(a)",
+        "series_fill_backward(a)", "series_fill_linear(a)",
+        "series_seasonal(a, 2)", "series_outliers(a)",
+        "series_fir(a, 2)", "array_split(a, 1)",
+    ]
+    native_only = [
+        "array_sort_asc(a)", "array_sort_desc(a)",
+        "set_union(a, a)", "set_intersect(a, a)",
+        "set_difference(a, a)",
+    ]
+    scalar = [
+        "array_length(a)", "array_sum(a)", "array_avg(a)",
+        "array_index_of(a, 1)", "series_sum(a)", "series_avg(a)",
+        "series_min(a)", "series_max(a)", "series_stdev(a)",
+        "series_product(a)", "series_magnitude(a)",
+        "series_dot_product(a, a)",
+        "series_pearson_correlation(a, a)",
+        "series_stats_dynamic(a)", "series_fit_line_dynamic(a)",
+    ]
+
+    def check(rows_by_tag, batch):
+        for n, e, tier in batch:
+            if tier != "A":
+                continue
+            ve = rows_by_tag["empty"][n]
+            # array_split over [] yields [[]] in Kusto terms; accept
+            # any result whose FLATTENED element count is 0
+            if ve not in (None, ""):
+                parsed = json.loads(ve)
+                if isinstance(parsed, list):
+                    flat = [x for el in parsed
+                            for x in (el if isinstance(el, list)
+                                      else [el])]
+                    assert len(flat) == 0, (e, "over [] gave", ve)
+            vn = rows_by_tag["nullelem"][n]
+            if vn not in (None, ""):
+                parsed = json.loads(vn)
+                if isinstance(parsed, list):
+                    flat = [x for el in parsed
+                            for x in (el if isinstance(el, list)
+                                      else [el])]
+                    assert len(flat) <= 2, (e, "over [null] gave", vn)
+
+    exprs = [(f"r{i}", e, "A") for i, e in enumerate(lifted)] + \
+            [(f"s{i}", e, "B") for i, e in enumerate(scalar)]
+    for lo in range(0, len(exprs), 18):
+        batch = exprs[lo:lo + 18]
+        ext = ", ".join(f"{n} = tostring({e})" for n, e, _ in batch)
+        rows = kql(spark, sf_dir, f"""
+          datatable (tag:string, a:dynamic) [
+            "empty", dynamic([]), "nullelem", dynamic([null]) ]
+            | extend {ext}
+        """).collect()
+        check({r["tag"]: r for r in rows}, batch)
+    # native typed arrays for the ordering/equality family — and the
+    # whole lifted family must behave identically on native arrays
+    nat = [(f"n{i}", e, "A")
+           for i, e in enumerate(native_only + lifted)]
+    for lo in range(0, len(nat), 18):
+        batch = nat[lo:lo + 18]
+        ext = ", ".join(f"{n} = tostring({e})" for n, e, _ in batch)
+        rows = kql(spark, sf_dir, f"""
+          datatable (tag:string) [ "empty", "nullelem" ]
+            | extend a = iff(tag == "empty",
+                             array_slice(pack_array(1.0), 1, 0),
+                             pack_array(real(null)))
+            | extend {ext}
+        """).collect()
+        check({r["tag"]: r for r in rows}, batch)
