@@ -321,6 +321,12 @@ def dedup_clusters(ids: DataFrame, pairs: DataFrame,
     round (the standard Spark iterative-algorithm pattern); the
     convergence check is the per-round action that would otherwise be a
     wasted extra job.
+
+    The end-to-end pipeline this stage sits in (signatures -> pairs ->
+    clusters -> canonical keep), its per-stage shuffle count, its skew
+    behavior, and the diameter threshold at which to swap this loop for
+    the large-star/small-star algorithm are documented in PLANS.md
+    ("The dedup end-to-end pipeline at 100 TB").
     """
     labels = ids.select(F.col(id_col).alias("__id"),
                         F.col(id_col).alias("__label"))
