@@ -730,6 +730,24 @@ class _ExprParser:
         if fname == "todouble":
             return f"try_cast({args[0]} AS DOUBLE)"
         if fname == "tostring":
+            # Kusto tostring over a dynamic renders JSON. VARIANT's
+            # string cast already does; a NATIVE array/map/struct
+            # operand (parse_csv, split, pack_array pipelines) must
+            # route through to_json or Spark's display rendering leaks
+            # ('[a, b,c, d]' — r12 probe find). Compile-time type
+            # probe; unresolvable operands keep the plain cast.
+            probe = self.df
+            if probe is None:
+                s = SparkSession.getActiveSession()
+                probe = s.range(1) if s is not None else None
+            if probe is not None:
+                try:
+                    dt = probe.selectExpr(args[0]).schema[0].dataType
+                    if isinstance(dt, (T.ArrayType, T.MapType,
+                                       T.StructType)):
+                        return f"to_json({args[0]})"
+                except Exception:
+                    pass
             return f"CAST({args[0]} AS STRING)"
         if fname == "count":
             return "count(*)" if not args or args == ["*"] else \

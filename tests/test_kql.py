@@ -4743,7 +4743,9 @@ def test_make_list_with_nulls_and_count_distinct(spark, sf_dir):
       | order by g asc
     """).collect()
     got = [(r["g"], r["n"], r["ni"], r["lst_s"]) for r in rows]
-    assert got == [("a", 2, 1, "[1, null, 2]"), ("b", 1, 1, "[1, 1]")]
+    # r12: tostring over a native array renders JSON (Kusto), not
+    # Spark's spaced display form
+    assert got == [("a", 2, 1, "[1,null,2]"), ("b", 1, 1, "[1,1]")]
 
 
 def test_series_magnitude_isascii_base64_fromarray(spark, sf_dir):
@@ -6994,3 +6996,20 @@ def test_array_fn_registry_empty_and_null_element_property(spark, sf_dir):
             | extend {ext}
         """).collect()
         check({r["tag"]: r for r in rows}, batch)
+
+
+def test_tostring_native_complex_renders_json(spark, sf_dir):
+    """Kusto tostring over a dynamic renders JSON text; a NATIVE
+    array/map operand (parse_csv, split, pack_array) must route
+    through to_json — Spark's display cast leaked '[a, b,c, d]'
+    (r12 probe find)."""
+    r = kql(spark, sf_dir, """
+      print a = tostring(parse_csv('a,"b,c",d')),
+            b = tostring(pack_array(1, 2)),
+            c = tostring(split('x,y', ',')),
+            d = tostring('plain'), e = tostring(123)
+    """).collect()[0]
+    assert r["a"] == '["a","b,c","d"]'
+    assert r["b"] == "[1,2]"
+    assert r["c"] == '["x","y"]'
+    assert (r["d"], r["e"]) == ("plain", "123")
