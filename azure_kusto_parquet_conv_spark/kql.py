@@ -300,10 +300,10 @@ _TOKEN_RE = re.compile(r"""
   | (?P<str>'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
   | (?P<nop>!(?:contains_cs|contains|hasprefix_cs|hasprefix
               |hassuffix_cs|hassuffix|has_cs|has|startswith_cs
-              |startswith|endswith_cs|endswith)\b|!in~|!~)
+              |startswith|endswith_cs|endswith|between)\b|!in~|!~)
   | (?P<inci>\bin~)
   | (?P<ident>\$?[A-Za-z_][A-Za-z0-9_.]*)
-  | (?P<op>==|!=|=~|<=|>=|!in\b|<|>|\(|\)|\[|\]|\{|\}|:|,|\+|-|\*|/|%|=|\.)
+  | (?P<op>==|!=|=~|<=|>=|!in\b|<|>|\(|\)|\[|\]|\{|\}|:|,|\+|-|\*|/|%|=|\.|\|)
 """, re.VERBOSE)
 
 
@@ -384,6 +384,12 @@ _PERCENTILE_MODE = "exact"
 #: compile().
 _BIN_AUTO_SIZE: str | None = None
 _BIN_AUTO_MIN: str | None = None
+
+# The compiler whose compile() frame is innermost — lets the expression
+# parser reach operand resolution for tabular in() subqueries. Saved
+# and restored per compile() like the mode flags above.
+_ACTIVE_COMPILER = None
+_INQ_SEQ = [0]
 
 _FN_RENAME = {
     "strlen": "length",
@@ -551,7 +557,7 @@ class _ExprParser:
                 "!has_cs", "has_any", "has_all", "between", "matches",
                 "hasprefix", "hasprefix_cs", "!hasprefix",
                 "!hasprefix_cs", "hassuffix", "hassuffix_cs",
-                "!hassuffix", "!hassuffix_cs"):
+                "!hassuffix", "!hassuffix_cs", "!between"):
             return 3
         if t.text in ("+", "-"):
             return 4
@@ -660,6 +666,65 @@ class _ExprParser:
                    "double": "DOUBLE", "bool": "BOOLEAN",
                    "string": "STRING", "decimal": "DECIMAL(38,18)",
                    "timespan": "BIGINT", "guid": "STRING"}
+
+    def _tabular_in(self, lhs: str, low: str) -> str | None:
+        """Kusto's tabular membership: ``col in (T)`` / ``col in ((T |
+        where ...))`` — the right side is a TABLE EXPRESSION whose
+        FIRST column is the value set (r12 probe find). Compiles to a
+        Spark IN-subquery over a temp view, which Catalyst rewrites to
+        a (broadcast-able) left-semi join — scale-safe with no 1M-value
+        cap, unlike real Kusto. Called with the cursor just past the
+        opening '('; consumes through the matching ')' ONLY when the
+        span is tabular-shaped, else restores and returns None (the
+        scalar list path parses it). Detection: no top-level comma, and
+        the span either contains a '|' (pipelines only — KQL has no
+        bitwise-or operator token) or is a single identifier that is
+        not a column of the current frame but resolves as a table/let
+        operand."""
+        comp = _ACTIVE_COMPILER
+        if comp is None:
+            return None
+        j, depth, top_comma, has_pipe = self.i, 0, False, False
+        while j < len(self.toks):
+            t = self.toks[j].text
+            if t in ("(", "[", "{"):
+                depth += 1
+            elif t in (")", "]", "}"):
+                if depth == 0:
+                    break
+                depth -= 1
+            elif t == "," and depth == 0:
+                top_comma = True
+            elif t == "|":
+                has_pipe = True
+            j += 1
+        if j >= len(self.toks) or top_comma:
+            return None
+        span = self.toks[self.i:j]
+        single_ident = (len(span) == 1 and span[0].kind == "ident"
+                        and not span[0].text.startswith("$"))
+        if single_ident and self.df is not None \
+                and span[0].text in self.df.columns:
+            return None
+        if not (has_pipe or single_ident
+                or (span and span[0].text == "(")):
+            return None
+        text = " ".join(t.text for t in span)
+        try:
+            sub = comp._operand(text)
+        except Exception:
+            return None  # not tabular after all — scalar path retries
+        self.i = j
+        self.expect(")")
+        col = sub.columns[0]
+        _INQ_SEQ[0] += 1
+        view = f"__kql_inq_{_INQ_SEQ[0]}"
+        sub.select(F.col(col).alias("__v")).createOrReplaceTempView(view)
+        neg = "NOT " if low.startswith("!") else ""
+        if low.endswith("~"):
+            return (f"(lower({_str_if_variant(lhs)}) {neg}IN "
+                    f"(SELECT lower(__v) FROM {view}))")
+        return f"({lhs} {neg}IN (SELECT __v FROM {view}))"
 
     def _lift_arr(self, sql: str, elem: str) -> str:
         """Array-operand coercion for the series/array families (r12,
@@ -4495,6 +4560,9 @@ class _ExprParser:
             return f"({_str_if_variant(lhs)} RLIKE {rhs})"
         if low in ("in", "!in", "in~", "!in~"):
             self.expect("(")
+            tab = self._tabular_in(lhs, low)
+            if tab is not None:
+                return tab
             items = [self.parse(0)]
             while self.peek() is not None and self.peek().text == ",":
                 self.next()
@@ -4510,8 +4578,9 @@ class _ExprParser:
                 # (same loose-compare coercion as binary comparisons)
                 lhs, _ = _coerce_variant_cmp(lhs, items[0], self.df)
             return f"({lhs} {neg}IN ({', '.join(items)}))"
-        if low == "between":
-            # KQL range: x between (lo .. hi), inclusive both ends
+        if low in ("between", "!between"):
+            # KQL range: x between (lo .. hi), inclusive both ends;
+            # !between is the negated form (r12 probe find)
             self.expect("(")
             lo = self.parse(0)
             self.expect(".")
@@ -4519,7 +4588,8 @@ class _ExprParser:
             hi = self.parse(0)
             self.expect(")")
             lhs, _ = _coerce_variant_cmp(lhs, lo, self.df)
-            return f"({lhs} BETWEEN {lo} AND {hi})"
+            neg = "NOT " if low.startswith("!") else ""
+            return f"({neg}{lhs} BETWEEN {lo} AND {hi})"
         base = low.lstrip("!")
         if base in ("contains", "contains_cs", "startswith",
                     "startswith_cs", "endswith", "endswith_cs"):
@@ -6784,11 +6854,15 @@ class KqlCompiler:
         oracle; the save/restore keeps toscalar sub-compiles from
         leaking the option across queries."""
         global _PERCENTILE_MODE, _BIN_AUTO_SIZE, _BIN_AUTO_MIN
+        global _ACTIVE_COMPILER
         prev = (_PERCENTILE_MODE, _BIN_AUTO_SIZE, _BIN_AUTO_MIN)
+        prev_comp = _ACTIVE_COMPILER
+        _ACTIVE_COMPILER = self
         try:
             return self._compile_stmts(query)
         finally:
             _PERCENTILE_MODE, _BIN_AUTO_SIZE, _BIN_AUTO_MIN = prev
+            _ACTIVE_COMPILER = prev_comp
 
     def _compile_stmts(self, query: str) -> DataFrame:
         stmts = _split_top_semis(query)
@@ -7007,6 +7081,12 @@ class KqlCompiler:
         ``print`` row, or a stored table name."""
         if text in self._lets:
             return self._lets[text]
+        if text.startswith("(") and text.endswith(")"):
+            # parenthesized subpipeline in source position — the shape
+            # a PARAMETERIZED TABULAR function-let expands to when
+            # called as a source (`let f = (lo:long) { range ... };
+            # f(5) | ...`, r12 probe find)
+            return self.compile(text[1:-1].strip())
         if re.match(r"datatable\s*\(", text):
             return self._datatable(text)
         if re.match(r"print\b", text):
@@ -7125,11 +7205,35 @@ class KqlCompiler:
         inclusive upper bound preserved)."""
         m = re.match(r"range\s+(\w+)\s+from\s+(-?\d+)\s+to\s+(-?\d+)"
                      r"\s+step\s+(-?\d+)\s*$", text)
-        if not m:
-            raise ValueError("KQL: range name from a to b step s "
-                             "(integer bounds)")
-        name, a, b, s = (m.group(1), int(m.group(2)), int(m.group(3)),
-                         int(m.group(4)))
+        if m:
+            name, a, b, s = (m.group(1), int(m.group(2)),
+                             int(m.group(3)), int(m.group(4)))
+        else:
+            # expression bounds (Kusto allows them; a parameterized
+            # tabular let substitutes call args here — r12 probe find):
+            # constant-fold on a one-row frame, then spark.range as
+            # usual. The bounds must still be integral constants after
+            # folding — data-dependent bounds have no table analogue.
+            me = re.match(r"range\s+(\w+)\s+from\s+(.*?)\s+to\s+(.*?)"
+                          r"\s+step\s+(.+?)\s*$", text, re.DOTALL)
+            if not me:
+                raise ValueError("KQL: range name from a to b step s")
+            name = me.group(1)
+            try:
+                sqls = [_parse_expr(_tokenize(g))
+                        for g in (me.group(2), me.group(3),
+                                  me.group(4))]
+                row = self.spark.sql(
+                    "SELECT " + ", ".join(
+                        f"CAST({s_} AS BIGINT)" for s_ in sqls)
+                ).collect()[0]
+                a, b, s = row[0], row[1], row[2]
+            except Exception as exc:
+                raise ValueError(
+                    f"KQL: range bounds must fold to integers "
+                    f"({text[:60]!r})") from exc
+            if a is None or b is None or s is None:
+                raise ValueError("KQL: range bounds must be non-null")
         if s == 0:
             raise ValueError("KQL: range step must be nonzero")
         end = b + (1 if s > 0 else -1)  # Kusto's bound is inclusive
@@ -7194,8 +7298,21 @@ class KqlCompiler:
             rest_cols = [c for c in df.columns if c not in set(first)]
             return df.select(*first, *rest_cols)
         if op == "serialize":
-            # order-freeze marker; row order is whatever the preceding
-            # sort established — tabularly a no-op here
+            # order-freeze marker: with a preceding sort the order is
+            # already serialized (no-op). WITHOUT one (Kusto lets
+            # row_number()/prev() run on arrival order), materialize a
+            # per-row serial — monotonically_increasing_id is
+            # partition-ordered, so the frozen order is the scan order,
+            # matching Kusto's "current order" contract as closely as a
+            # distributed engine can (r12 probe find). The helper
+            # column is dropped at pipeline end.
+            if self._order is None:
+                # unmaterialized: a helper COLUMN would leak into
+                # getschema / distinct * / project wildcards; the bare
+                # expression orders windows identically (partition
+                # index, then row position) without touching the schema
+                self._order = [F.monotonically_increasing_id().asc()]
+                self._order_sql = ["monotonically_increasing_id() ASC"]
             return df
         if op == "partition":
             return self._partition_by(df, rest)
@@ -11430,6 +11547,34 @@ class KqlCompiler:
                     f"{fn}(struct({cols}), {rank_sql})").alias(alias))
                 post.append((["*"], alias))
                 continue
+            bare_multi = (not star and len(g) >= 4 and g[0].kind == "ident"
+                          and g[0].text.lower() in ("arg_max", "arg_min")
+                          and g[1].text == "(" and g[-1].text == ")")
+            if bare_multi:
+                arggroups = _split_top_commas(g[2:-1])
+                if len(arggroups) >= 2:
+                    # bare `arg_max(rank, r1[, r2...])`: Kusto outputs
+                    # the maximized expression AND every return column
+                    # (r12 probe find — the named form `x = arg_max(a,
+                    # b)` stays the scalar max_by). One max_by over a
+                    # struct, field-expanded after the aggregate.
+                    fn = ("max_by" if g[0].text.lower() == "arg_max"
+                          else "min_by")
+                    items = []
+                    for j, ag in enumerate(arggroups):
+                        nm = (ag[0].text
+                              if len(ag) == 1 and ag[0].kind == "ident"
+                              else f"{g[0].text.lower()}_arg{j}")
+                        items.append((nm, _compile_expr_tokens(ag, df)))
+                    rank_sql = items[0][1]
+                    struct_sql = ", ".join(
+                        f"({s}) AS `{n}`" for n, s in items)
+                    alias = f"__argmulti{i}"
+                    aggs.append(F.expr(
+                        f"{fn}(struct({struct_sql}), {rank_sql})")
+                        .alias(alias))
+                    post.append((["**"], alias))
+                    continue
             name, sql = _named_expr(g, df, f"agg{i}")
             aggs.append(F.expr(sql).alias(name))
         if not aggs:
@@ -11448,6 +11593,13 @@ class KqlCompiler:
                 for c in df.columns:
                     if c not in taken:
                         out = out.withColumn(c, F.col(f"{alias}.{c}"))
+            elif names == ["**"]:
+                # bare multi-column arg_max/arg_min: expand the winning
+                # struct's own fields under their Kusto output names
+                taken = set(out.columns) - {alias}
+                for c in out.schema[alias].dataType.names:
+                    if c not in taken:
+                        out = out.withColumn(c, F.col(f"`{alias}`.`{c}`"))
             else:
                 for k, nm in enumerate(names):
                     out = out.withColumn(

@@ -7013,3 +7013,110 @@ def test_tostring_native_complex_renders_json(spark, sf_dir):
     assert r["b"] == "[1,2]"
     assert r["c"] == '["x","y"]'
     assert (r["d"], r["e"]) == ("plain", "123")
+
+
+def test_not_between(spark, sf_dir):
+    """!between — the negated range operator (r12 probe find)."""
+    r = kql(spark, sf_dir, """
+      datatable (x:long) [1, 5, 9] | where x !between (3 .. 7)
+        | summarize n = count(), s = sum(x)
+    """).collect()[0]
+    assert (r["n"], r["s"]) == (2, 10)
+
+
+def test_arg_max_multi_column(spark, sf_dir):
+    """Bare `arg_max(rank, r1, r2)` outputs the maximized expression
+    AND every return column (Kusto); the named scalar form
+    `x = arg_max(a, b)` keeps the single max_by value (r12 probe
+    find)."""
+    rows = kql(spark, sf_dir, """
+      datatable (k:string, v:long, w:string, z:long)
+        ['a',1,'x',10, 'a',2,'y',20, 'b',5,'q',50]
+        | summarize arg_max(v, w, z) by k | order by k asc
+    """).collect()
+    assert [tuple(r) for r in rows] == [("a", 2, "y", 20),
+                                        ("b", 5, "q", 50)]
+    rows2 = kql(spark, sf_dir, """
+      datatable (k:string, v:long) ['a',1,'a',2]
+        | summarize arg_min(v, k)
+    """).collect()
+    assert [tuple(r) for r in rows2] == [(1, "a")]
+    named = kql(spark, sf_dir, """
+      datatable (k:string, v:long) ['a',1,'b',2]
+        | summarize top = arg_max(v, k)
+    """).collect()[0]
+    assert named["top"] == "b" and len(named) == 1
+
+
+def test_in_tabular_membership(spark, sf_dir):
+    """Kusto tabular in(): the right side is a table expression whose
+    FIRST column is the value set — compiles to an IN-subquery that
+    Catalyst rewrites to a left-semi join (scale-safe, no 1M-value
+    cap). Scalar lists, let-bound tables, in~ and predicates combined
+    with AND all keep working (r12 probe find)."""
+    g = lambda q: kql(spark, sf_dir, q).collect()[0][0]
+    assert g("nation | where n_regionkey in ((region "
+             "| where r_name == 'ASIA' | project r_regionkey)) "
+             "| count") == 5
+    assert g("nation | where n_regionkey !in ((region "
+             "| where r_regionkey < 2 | project r_regionkey)) "
+             "| count") == 15
+    assert g("let picks = region | where r_regionkey < 2 "
+             "| project r_regionkey; "
+             "nation | where n_regionkey in (picks) | count") == 10
+    assert g("nation | where n_regionkey in ((region "
+             "| project r_regionkey)) and n_nationkey < 5 | count") == 5
+    assert g("datatable (s:string) ['A','b'] | where s in~ "
+             "((datatable (x:string) ['a'])) | count") == 1
+    # scalar forms unaffected; a column name on the right stays scalar
+    assert g("datatable (k:long) [1,2,3] | where k in (2, 3) "
+             "| count") == 2
+    assert g("datatable (k:long) [1,2] | where k in (k) | count") == 2
+    # semi-join plan, not a collected literal list
+    df = kql(spark, sf_dir, """
+      nation | where n_regionkey in ((region | project r_regionkey))
+    """)
+    assert "SemiJoin" in df._jdf.queryExecution().executedPlan() \
+        .toString().replace("LeftSemi", "SemiJoin") or "LeftSemi" in \
+        df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_serialize_enables_row_functions(spark, sf_dir):
+    """`serialize` freezes the CURRENT order (Kusto): row_number /
+    prev / row_rank_dense / row_cumsum work without a preceding sort,
+    ordered by arrival (partition index, then row position); the
+    frozen-order expression is unmaterialized so getschema /
+    distinct * never see a helper column (r12 probe find)."""
+    g = lambda q: kql(spark, sf_dir, q).collect()[0][0]
+    assert g("datatable (x:long) [5,6] | serialize "
+             "| extend r = row_number() | summarize m = max(r)") == 2
+    assert g("datatable (x:long) [10,20,30] | serialize "
+             "| extend p = prev(x) | where isnotnull(p) "
+             "| summarize s = sum(p)") == 30
+    assert g("datatable (x:long) [5] | serialize "
+             "| extend r = row_number() | getschema | count") == 2
+    assert g("datatable (x:long) [1,1] | serialize | distinct * "
+             "| count") == 1
+    import pytest
+    with pytest.raises(ValueError, match="sort by"):
+        kql(spark, sf_dir,
+            "datatable (x:long) [1] | extend r = row_number()")
+
+
+def test_parameterized_tabular_let(spark, sf_dir):
+    """`let f = (lo:long) { range ... }; f(5) | ...` — a parameterized
+    TABULAR function called as a source: the macro expansion lands as
+    a parenthesized subpipeline, and range accepts expression bounds
+    that fold to integer constants (r12 probe finds)."""
+    g = lambda q: kql(spark, sf_dir, q).collect()[0][0]
+    assert g("let f = (lo:long) { range i from lo to lo + 1 step 1 }; "
+             "f(5) | count") == 2
+    assert g("let f = (lo:long) { range i from lo to lo + 2 step 1 }; "
+             "f(1) | summarize s = sum(i)") == 6
+    import pytest
+    # data-dependent bounds cannot fold: a clean ValueError either from
+    # the range folder or the scalar-list fallback parse, never a
+    # silent wrong answer
+    with pytest.raises(ValueError):
+        kql(spark, sf_dir, "region | where r_regionkey in "
+                           "((range i from r_name to 3 step 1))")
