@@ -313,6 +313,30 @@ class Tok:
     text: str
 
 
+def _kql_str_value(lit: str) -> str:
+    """Decode a lexed KQL string literal token (quotes included,
+    verbatim forms already normalized at lex time) to its Python
+    value."""
+    body = lit[1:-1]
+    out, i = [], 0
+    esc = {"n": "\n", "t": "\t", "r": "\r", "0": "\0",
+           "a": "\a", "b": "\b", "f": "\f", "v": "\v"}
+    while i < len(body):
+        c = body[i]
+        if c == "\\" and i + 1 < len(body):
+            n = body[i + 1]
+            if n == "u" and i + 5 < len(body):
+                out.append(chr(int(body[i + 2:i + 6], 16)))
+                i += 6
+                continue
+            out.append(esc.get(n, n))
+            i += 2
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
 def _tokenize(s: str) -> list[Tok]:
     out, i = [], 0
     while i < len(s):
@@ -1343,10 +1367,32 @@ class _ExprParser:
                         f"({args[1]}) / 100.0, 10000)")
             return f"percentile({args[0]}, ({args[1]}) / 100.0)"
         if fname == "extract":
-            # extract(regex, capture_group, text) -> regexp_extract
-            if len(args) != 3:
-                raise ValueError("KQL: extract(regex, group, text)")
-            return f"regexp_extract({args[2]}, {args[0]}, {args[1]})"
+            # extract(regex, capture_group, text [, typeof(T)]) ->
+            # regexp_extract; the 4-arg form CONVERTS the capture
+            # (failed conversion / no match -> null, Kusto contract —
+            # r12 probe find)
+            if len(args) not in (3, 4):
+                raise ValueError(
+                    "KQL: extract(regex, group, text[, typeof(T)])")
+            base = f"regexp_extract({args[2]}, {args[0]}, {args[1]})"
+            if len(args) == 3:
+                return base
+            mt = re.fullmatch(r"typeof\(\s*`?(\w+)`?\s*\)",
+                              args[3].strip())
+            sqlt = mt and {"long": "BIGINT", "int": "INT",
+                           "real": "DOUBLE", "double": "DOUBLE",
+                           "bool": "BOOLEAN", "datetime": "TIMESTAMP",
+                           "string": "STRING", "guid": "STRING",
+                           "decimal": "DECIMAL(38,18)",
+                           "timespan": "BIGINT"}.get(
+                               mt.group(1).lower())
+            if not sqlt:
+                raise ValueError(
+                    f"KQL: extract 4th arg must be typeof(<type>), "
+                    f"got {args[3]!r}")
+            if sqlt == "STRING":
+                return base
+            return f"try_cast(nullif({base}, '') AS {sqlt})"
         if fname == "extract_all":
             # extract_all(regex [, captureGroups], text) -> array of
             # matches; with a groups array each match yields an array
@@ -4482,7 +4528,14 @@ class _ExprParser:
                 depth -= 1
                 if depth == 0:
                     break
-            parts.append(t.text)
+            if t.kind == "str":
+                # Kusto accepts ITS string literals inside dynamic()
+                # bodies — single-quoted, KQL escapes (r12 probe find;
+                # dynamic(['a']) is valid Kusto but not valid JSON).
+                # Decode the KQL literal and re-emit as a JSON string.
+                parts.append(_json.dumps(_kql_str_value(t.text)))
+            else:
+                parts.append(t.text)
         body = "".join(parts)
         try:
             val = _json.loads(body)
@@ -4688,7 +4741,15 @@ def _explodable(df: DataFrame, sql: str):
     except Exception:
         return c
     if dtype == "variant":
-        return F.expr(f"CAST(({sql}) AS ARRAY<VARIANT>)")
+        # arrays cast straight through; a property BAG expands to one
+        # single-property bag per entry (Kusto's mv-expand over an
+        # object — r12 probe find). try_cast picks the branch at
+        # runtime without erroring on either shape.
+        return F.expr(
+            f"coalesce(try_cast(({sql}) AS ARRAY<VARIANT>), "
+            f"transform(map_entries(try_cast(({sql}) AS "
+            f"MAP<STRING, VARIANT>)), __mvb_e -> "
+            f"parse_json(to_json(map_from_entries(array(__mvb_e))))))")
     return c
 
 
@@ -11545,6 +11606,20 @@ class KqlCompiler:
                 alias = f"__argstar{i}"
                 aggs.append(F.expr(
                     f"{fn}(struct({cols}), {rank_sql})").alias(alias))
+                post.append((["*"], alias))
+                continue
+            any_star = (len(g) == 4 and g[0].kind == "ident"
+                        and g[0].text.lower() == "take_any"
+                        and g[1].text == "(" and g[2].text == "*"
+                        and g[3].text == ")")
+            if any_star:
+                # `take_any(*)`: one arbitrary whole row per group
+                # (Kusto; r12 probe find) — any_value over a struct of
+                # every column, expanded like arg_max(expr, *)
+                cols = ", ".join(f"`{c}`" for c in df.columns)
+                alias = f"__anystar{i}"
+                aggs.append(F.expr(f"any_value(struct({cols}))")
+                            .alias(alias))
                 post.append((["*"], alias))
                 continue
             bare_multi = (not star and len(g) >= 4 and g[0].kind == "ident"

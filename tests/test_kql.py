@@ -7120,3 +7120,52 @@ def test_parameterized_tabular_let(spark, sf_dir):
     with pytest.raises(ValueError):
         kql(spark, sf_dir, "region | where r_regionkey in "
                            "((range i from r_name to 3 step 1))")
+
+
+def test_dynamic_literal_kql_string_quotes(spark, sf_dir):
+    """dynamic() bodies accept KQL string literals — single-quoted,
+    KQL escapes — not just strict JSON (r12 probe find): the lexer's
+    string tokens re-emit as JSON strings before parsing."""
+    r = kql(spark, sf_dir, """
+      print a = strcat_array(dynamic(['x','y']), '-'),
+            b = tostring(dynamic(['it\\'s'])),
+            c = tostring(dynamic({'k': 'v'})),
+            d = tostring(dynamic(["j"]))
+    """).collect()[0]
+    assert r["a"] == "x-y"
+    assert r["b"] == '["it\'s"]'
+    assert r["c"] == '{"k":"v"}'
+    assert r["d"] == '["j"]'
+
+
+def test_extract_typed_fourth_arg(spark, sf_dir):
+    """extract(regex, group, text, typeof(T)) converts the capture;
+    no match / failed conversion -> null (r12 probe find)."""
+    r = kql(spark, sf_dir, """
+      print a = extract('([0-9]+)', 1, 'ab 42 cd', typeof(long)) + 1,
+            b = extract('([0-9]+)', 1, 'none', typeof(long)),
+            c = extract('([a-z]+)', 1, 'ab 42', typeof(string)),
+            d = extract('([0-9.]+)', 1, 'pi 3.5', typeof(real))
+    """).collect()[0]
+    assert (r["a"], r["b"], r["c"], r["d"]) == (43, None, "ab", 3.5)
+
+
+def test_mv_expand_property_bag(spark, sf_dir):
+    """mv-expand over an OBJECT dynamic expands to one single-property
+    bag per entry (Kusto); arrays are untouched (r12 probe find —
+    the old array cast crashed with INVALID_VARIANT_CAST)."""
+    rows = kql(spark, sf_dir, """
+      datatable (d:dynamic) [dynamic({'a':1,'b':2})]
+        | mv-expand d | extend s = tostring(d) | order by s asc
+    """).collect()
+    assert [r["s"] for r in rows] == ['{"a":1}', '{"b":2}']
+
+
+def test_take_any_star(spark, sf_dir):
+    """take_any(*): one arbitrary whole row per group (r12 probe
+    find)."""
+    r = kql(spark, sf_dir, """
+      datatable (k:string, x:long, y:string) ['g',7,'q']
+        | summarize take_any(*) by k
+    """).collect()[0]
+    assert (r["k"], r["x"], r["y"]) == ("g", 7, "q")
