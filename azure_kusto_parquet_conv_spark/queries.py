@@ -9801,6 +9801,37 @@ def q_collapse_repeats(spark, sf_dir):
         F.concat_ws(" ", F.slice("coll", 1, 10)).alias("collapsed_head"))
 
 
+@query(_portable("q_kql_in_tabular"), f"""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       {osum("o_totalprice")} AS sum_price
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer
+                    WHERE c_mktsegment = 'BUILDING')
+GROUP BY o_orderpriority
+""")
+def q_kql_in_tabular(spark, sf_dir):
+    """KQL tabular membership (r12): ``col in ((T | ...))`` — the
+    right side is a table expression whose first column is the value
+    set. Compiles to a Spark IN-subquery that Catalyst rewrites to a
+    left-semi join on the FACT side (orders), so the membership probe
+    shuffles/broadcasts the small filtered dimension instead of
+    collecting a value list — scale-safe with no 1M-value cap, unlike
+    real Kusto's literal-list limit. Revenue uses the portable-rounded
+    sum (r10 scheme) so the group aggregates hash-match under any
+    partitioning."""
+    from azure_kusto_parquet_conv_spark.kql import kql
+    return kql(spark, sf_dir, f"""
+      orders
+        | where o_custkey in ((customer
+            | where c_mktsegment == 'BUILDING'
+            | project c_custkey))
+        | summarize n_orders = count(),
+                    sum_price = {ksum("o_totalprice")}
+            by o_orderpriority
+    """)
+
+
 # =======================================================================
 # Catalog ordering: the correctness driver hash-compares the FIRST 50
 # insertion-ordered entries against their oracles. Registration above is
@@ -9826,8 +9857,11 @@ DRIVER_WINDOW = [
     # banked CORRECTNESS files, not from this comment):
     #   1. never-checked entries: q_kql_geo_measures (deferred once in
     #      r11 via DEFERRED_NEVER_CHECKED — not deferrable again) and
-    #      convert_csv_nested (new this round; hygiene rule),
-    "q_kql_geo_measures", "convert_csv_nested",
+    #      the two new-this-round entries (hygiene rule; each displaced
+    #      the then-tail slot in its own commit — q_kql_in_tabular
+    #      displaced q_weighted_sample, which re-joins the r13
+    #      obligation below),
+    "q_kql_geo_measures", "convert_csv_nested", "q_kql_in_tabular",
     #   2. the full r4 oldest vintage — all 19 DEFERRED_OLDEST members
     #      from r11, mandatory this round by the staleness ceiling
     #      (attested <= newest-7). Seating all of them clears the r4
@@ -9856,7 +9890,7 @@ DRIVER_WINDOW = [
     "q_cohort_retention", "q_cross_join", "q_kql_case_tiers",
     "q_kql_cond_aggs", "q_kql_datatable_join", "q_kql_extractjson",
     "q_kql_let_pipeline", "q_kql_text_stats", "q_kql_top_orders",
-    "q_sequence_pack", "q_weighted_sample",
+    "q_sequence_pack",
 ]
 
 # Rotation ledger: r1-r11 windows are banked driver-green in
@@ -9892,15 +9926,17 @@ DRIVER_WINDOW = [
 #
 # r13 planner (written now so the obligation is explicit): the moment
 # CORRECTNESS_r12 banks, the oldest vintage becomes r5 with exactly
-# the 22 unchanged members not seated this round
+# the 23 members not seated this round — the 22 unchanged ones
 # (q_basket_pairs q_exists_subquery q_funnel q_fuzzy_prefix_pairs
 #  q_inverted_index q_kql_bag_unpack q_kql_bin_at q_kql_dynamic
 #  q_kql_extract_first_word q_kql_has_any q_kql_mv_apply
 #  q_kql_parse_where q_kql_prev_diff q_kql_range_sum q_kql_render
 #  q_kql_row_number q_kql_top_hitters q_make_series q_redact_pii
-#  q_session_window q_trailing_wau q_train_test_split) — the
-# rotation meta-test will fail at that point by design until the r13
-# window seats them (all 22 fit in one window with 15 slots spare).
+#  q_session_window q_trailing_wau q_train_test_split) plus
+# q_weighted_sample (changed-code, displaced by q_kql_in_tabular per
+# the hygiene rule) — the rotation meta-test will fail at that point
+# by design until the r13 window seats them (all 23 fit in one window
+# with 14 slots spare).
 #
 # HYGIENE RULE (r7 verdict #8, enforced by
 # tests/test_queries_oracle.py::test_driver_window_is_first_and_covers_families):
