@@ -810,12 +810,34 @@ class _ExprParser:
             if len(args) == 3:
                 return f"substr({s}, ({start}) + 1, {args[2]})"
             return f"substr({s}, ({start}) + 1)"
-        if fname == "toint":
+        if fname in ("toint", "tolong"):
             # Kusto to*() conversions return NULL on unconvertible
-            # input; plain CAST under Spark ANSI mode would error
-            return f"try_cast({args[0]} AS INT)"
-        if fname == "tolong":
-            return f"try_cast({args[0]} AS BIGINT)"
+            # input; plain CAST under Spark ANSI mode would error.
+            # STRING operands also accept hex text ('0xff' -> 255,
+            # Kusto contract — r12 probe find); the extended form is
+            # type-probed in so numeric hot paths (every portable-
+            # rounded aggregate rides tolong) keep the bare try_cast.
+            sqlt = "INT" if fname == "toint" else "BIGINT"
+            x = args[0]
+            plain = f"try_cast({x} AS {sqlt})"
+            probe = self.df
+            if probe is None:
+                s = SparkSession.getActiveSession()
+                probe = s.range(1) if s is not None else None
+            is_str = False
+            if probe is not None:
+                try:
+                    is_str = isinstance(
+                        probe.selectExpr(x).schema[0].dataType,
+                        T.StringType)
+                except Exception:
+                    pass
+            if not is_str:
+                return plain
+            return (f"coalesce({plain}, CASE WHEN {x} RLIKE "
+                    f"'^0[xX][0-9a-fA-F]{{1,16}}$' THEN "
+                    f"try_cast(conv(substring({x}, 3), 16, 10) "
+                    f"AS {sqlt}) END)")
         if fname == "todouble":
             return f"try_cast({args[0]} AS DOUBLE)"
         if fname == "tostring":

@@ -7169,3 +7169,21 @@ def test_take_any_star(spark, sf_dir):
         | summarize take_any(*) by k
     """).collect()[0]
     assert (r["k"], r["x"], r["y"]) == ("g", 7, "q")
+
+
+def test_tolong_toint_hex_strings(spark, sf_dir):
+    """tolong/toint over STRING operands accept hex text ('0xff' ->
+    255, Kusto); numeric operands keep the bare try_cast (type-probed,
+    so portable-rounded aggregate hot paths pay nothing) (r12 probe
+    find)."""
+    r = kql(spark, sf_dir, """
+      print a = tolong('0xff'), b = toint('0x10'),
+            c = tolong('42'), d = tolong('zz'), e = tolong(3.7)
+    """).collect()[0]
+    assert (r["a"], r["b"], r["c"], r["d"], r["e"]) == \
+        (255, 16, 42, None, 3)
+    got = kql(spark, sf_dir, """
+      datatable (s:string) ['0xFF', '7']
+        | extend r = tolong(s) | summarize m = sum(r)
+    """).collect()[0]["m"]
+    assert got == 262
