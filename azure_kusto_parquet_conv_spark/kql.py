@@ -750,6 +750,34 @@ class _ExprParser:
                     f"(SELECT lower(__v) FROM {view}))")
         return f"({lhs} {neg}IN (SELECT __v FROM {view}))"
 
+    def _probe_dtype(self, sql: str):
+        """Compile-time operand type, or None when unresolvable.
+        Bare column references resolve PYTHON-SIDE from the frame's
+        cached schema (zero JVM round-trips — the common case for
+        series ops over named columns); only composite expressions pay
+        a selectExpr analysis. In df-less contexts (print bodies) a
+        dummy one-row relation resolves literals."""
+        probe = self.df
+        if probe is None:
+            s = SparkSession.getActiveSession()
+            probe = s.range(1) if s is not None else None
+        if probe is None:
+            return None
+        m = re.fullmatch(r"\s*(?:`([^`]+)`|([A-Za-z_]\w*))\s*", sql)
+        if m:
+            nm = m.group(1) or m.group(2)
+            try:
+                for f_ in probe.schema.fields:
+                    if f_.name == nm:
+                        return f_.dataType
+            except Exception:
+                pass
+            return None
+        try:
+            return probe.selectExpr(sql).schema[0].dataType
+        except Exception:
+            return None
+
     def _lift_arr(self, sql: str, elem: str) -> str:
         """Array-operand coercion for the series/array families (r12,
         generalizing the r10 JSON-lift pattern): a NATIVE array operand
@@ -764,22 +792,10 @@ class _ExprParser:
         where element types must survive. Sorting/set ops stay on the
         documented typed-cast-first contract (VARIANT defines neither
         ordering nor equality)."""
-        probe = self.df
-        if probe is None:
-            # `print` bodies compile without a source frame; literal
-            # operands still resolve against a dummy one-row relation
-            s = SparkSession.getActiveSession()
-            probe = s.range(1) if s is not None else None
-        if probe is not None:
-            try:
-                dt = probe.selectExpr(sql).schema[0].dataType
-                if isinstance(dt, T.ArrayType):
-                    return sql
-            except Exception:
-                # unresolvable here (lambda vars, later-stage columns):
-                # fall through to the unconditional lift, which is
-                # analysis-valid for every operand type
-                pass
+        if isinstance(self._probe_dtype(sql), T.ArrayType):
+            return sql
+        # unresolvable (lambda vars, later-stage columns) or non-array:
+        # the unconditional lift is analysis-valid for every operand
         return (f"from_json(to_json({sql}), 'array<{elem}>', "
                 f"map('mode', 'PERMISSIVE'))")
 
@@ -820,18 +836,13 @@ class _ExprParser:
             sqlt = "INT" if fname == "toint" else "BIGINT"
             x = args[0]
             plain = f"try_cast({x} AS {sqlt})"
-            probe = self.df
-            if probe is None:
-                s = SparkSession.getActiveSession()
-                probe = s.range(1) if s is not None else None
-            is_str = False
-            if probe is not None:
-                try:
-                    is_str = isinstance(
-                        probe.selectExpr(x).schema[0].dataType,
-                        T.StringType)
-                except Exception:
-                    pass
+            xs = x.strip()
+            if xs.startswith("'"):
+                is_str = True  # string literal, no probe needed
+            elif re.fullmatch(r"[0-9.eE+-]+", xs):
+                is_str = False  # numeric literal
+            else:
+                is_str = isinstance(self._probe_dtype(x), T.StringType)
             if not is_str:
                 return plain
             return (f"coalesce({plain}, CASE WHEN {x} RLIKE "
@@ -847,18 +858,9 @@ class _ExprParser:
             # route through to_json or Spark's display rendering leaks
             # ('[a, b,c, d]' — r12 probe find). Compile-time type
             # probe; unresolvable operands keep the plain cast.
-            probe = self.df
-            if probe is None:
-                s = SparkSession.getActiveSession()
-                probe = s.range(1) if s is not None else None
-            if probe is not None:
-                try:
-                    dt = probe.selectExpr(args[0]).schema[0].dataType
-                    if isinstance(dt, (T.ArrayType, T.MapType,
-                                       T.StructType)):
-                        return f"to_json({args[0]})"
-                except Exception:
-                    pass
+            if isinstance(self._probe_dtype(args[0]),
+                          (T.ArrayType, T.MapType, T.StructType)):
+                return f"to_json({args[0]})"
             return f"CAST({args[0]} AS STRING)"
         if fname == "count":
             return "count(*)" if not args or args == ["*"] else \
