@@ -313,6 +313,22 @@ class Tok:
     text: str
 
 
+def _parens_balanced_span(text: str) -> bool:
+    """True when the opening '(' at position 0 matches the CLOSING
+    paren at the last position — i.e. stripping one layer is safe.
+    '(A) | union (B)' starts and ends with parens but its first paren
+    closes early; stripping would mis-parse (r12 review)."""
+    depth = 0
+    for i, ch in enumerate(text):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return i == len(text) - 1
+    return False
+
+
 def _kql_str_value(lit: str) -> str:
     """Decode a lexed KQL string literal token (quotes included,
     verbatim forms already normalized at lex time) to its Python
@@ -737,13 +753,25 @@ class _ExprParser:
         try:
             sub = comp._operand(text)
         except Exception:
-            return None  # not tabular after all — scalar path retries
+            if not has_pipe:
+                return None  # not tabular — scalar path retries
+            try:
+                # compound pipelines like (A) | union (B) are not
+                # single operands; the full compiler handles them
+                sub = comp.compile(text)
+            except Exception:
+                return None
         self.i = j
         self.expect(")")
         col = sub.columns[0]
         _INQ_SEQ[0] += 1
         view = f"__kql_inq_{_INQ_SEQ[0]}"
-        sub.select(F.col(col).alias("__v")).createOrReplaceTempView(view)
+        # nulls never match membership in Kusto; under SQL three-valued
+        # logic a single NULL in the set turns NOT IN into an empty
+        # result (r12 review) — drop them from the value set
+        sub.select(F.col(col).alias("__v")) \
+           .where(F.col(col).isNotNull()) \
+           .createOrReplaceTempView(view)
         neg = "NOT " if low.startswith("!") else ""
         if low.endswith("~"):
             return (f"(lower({_str_if_variant(lhs)}) {neg}IN "
@@ -839,15 +867,19 @@ class _ExprParser:
             xs = x.strip()
             if xs.startswith("'"):
                 is_str = True  # string literal, no probe needed
-            elif re.fullmatch(r"[0-9.eE+-]+", xs):
-                is_str = False  # numeric literal
+            elif re.fullmatch(r"[+-]?[0-9][0-9.eE+-]*", xs):
+                is_str = False  # numeric literal (a column named 'e'
+                # must NOT match — r12 review)
             else:
                 is_str = isinstance(self._probe_dtype(x), T.StringType)
             if not is_str:
                 return plain
+            # conv to base -10 = SIGNED two's-complement, matching the
+            # hex-literal lexer's wrap (r12 review: the unsigned form
+            # gave -1 as a literal but null as a string conversion)
             return (f"coalesce({plain}, CASE WHEN {x} RLIKE "
                     f"'^0[xX][0-9a-fA-F]{{1,16}}$' THEN "
-                    f"try_cast(conv(substring({x}, 3), 16, 10) "
+                    f"try_cast(conv(substring({x}, 3), 16, -10) "
                     f"AS {sqlt}) END)")
         if fname == "todouble":
             return f"try_cast({args[0]} AS DOUBLE)"
@@ -4240,13 +4272,21 @@ class _ExprParser:
         sorted (value, weight) pairs; the threshold and the pairs bind
         ONCE through a single-element transform scope — embedding the
         total in the fold's lambda body would re-evaluate it per
-        element (O(n^2); measured hang on 20k-row groups)."""
+        element (O(n^2); measured hang on 20k-row groups).
+
+        Weights ride the SAME 1e-4 integer grid as the scale path
+        (percentilew_exact / the summarize fast plan), so the fold and
+        the window plan agree on every input and the accumulation is
+        an exact long sum — adding an unrelated sibling aggregate
+        (which flips summarize between the two plans) can never change
+        the answer (r12 review)."""
         pairs = (f"array_sort(collect_list(IF({v} IS NULL "
                  f"OR {w} IS NULL OR CAST({w} AS DOUBLE) <= 0, "
                  f"NULL, named_struct("
                  f"'v', CAST({v} AS DOUBLE), "
-                 f"'w', CAST({w} AS DOUBLE)))))")
-        tot = (f"aggregate({pairs}, CAST(0 AS DOUBLE), "
+                 f"'w', CAST(FLOOR(CAST({w} AS DOUBLE) * 10000.0e0 "
+                 f"+ 0.5e0) AS BIGINT)))))")
+        tot = (f"aggregate({pairs}, CAST(0 AS BIGINT), "
                f"(__pw_a, __pw_x) -> __pw_a + __pw_x.w)")
         step = (f"(__pw_c, __pw_x) -> IF(__pw_c.ans IS NOT NULL, "
                 f"__pw_c, named_struct("
@@ -4769,11 +4809,18 @@ def _explodable(df: DataFrame, sql: str):
         # single-property bag per entry (Kusto's mv-expand over an
         # object — r12 probe find). try_cast picks the branch at
         # runtime without erroring on either shape.
+        # scalar dynamics expand to their single value (Kusto); a null
+        # dynamic expands to nothing (the outer CASE keeps explode's
+        # null-drop) — r12 review: the 2-branch coalesce silently
+        # dropped scalar rows
         return F.expr(
+            f"CASE WHEN ({sql}) IS NULL "
+            f"OR is_variant_null({sql}) THEN NULL ELSE "
             f"coalesce(try_cast(({sql}) AS ARRAY<VARIANT>), "
             f"transform(map_entries(try_cast(({sql}) AS "
             f"MAP<STRING, VARIANT>)), __mvb_e -> "
-            f"parse_json(to_json(map_from_entries(array(__mvb_e))))))")
+            f"parse_json(to_json(map_from_entries(array(__mvb_e))))), "
+            f"array(({sql}))) END")
     return c
 
 
@@ -7308,17 +7355,46 @@ class KqlCompiler:
                 sqls = [_parse_expr(_tokenize(g))
                         for g in (me.group(2), me.group(3),
                                   me.group(4))]
+                shape = self.spark.sql("SELECT " + ", ".join(
+                    f"({s_}) AS c{i}" for i, s_ in enumerate(sqls)))
+                dts = [f.dataType.typeName()
+                       for f in shape.schema.fields]
+                if any(t.startswith("decimal") or t in
+                       ("double", "float") for t in dts):
+                    raise ValueError(
+                        "KQL: range supports integer and datetime "
+                        "bounds (fractional steps are not "
+                        "implemented)")
+                # datetime bounds fold to MICROSECONDS so the
+                # timespan-literal step (bigint µs) lines up; the
+                # output column converts back (r12 review — a bare
+                # BIGINT cast read epoch SECONDS against a µs step
+                # and silently produced garbage rows)
+                is_dt = [t.startswith("timestamp") for t in dts]
+                if is_dt[2] or (is_dt[0] != is_dt[1]):
+                    raise ValueError(
+                        "KQL: range needs both bounds datetime (step "
+                        "a timespan) or both integers")
+                sel = [(f"unix_micros(CAST(({s_}) AS TIMESTAMP))"
+                        if d else f"CAST(({s_}) AS BIGINT)")
+                       for s_, d in zip(sqls, is_dt)]
                 row = self.spark.sql(
-                    "SELECT " + ", ".join(
-                        f"CAST({s_} AS BIGINT)" for s_ in sqls)
-                ).collect()[0]
+                    "SELECT " + ", ".join(sel)).collect()[0]
                 a, b, s = row[0], row[1], row[2]
+            except ValueError:
+                raise
             except Exception as exc:
                 raise ValueError(
                     f"KQL: range bounds must fold to integers "
                     f"({text[:60]!r})") from exc
             if a is None or b is None or s is None:
                 raise ValueError("KQL: range bounds must be non-null")
+            if is_dt[0]:
+                if s == 0:
+                    raise ValueError("KQL: range step must be nonzero")
+                end = b + (1 if s > 0 else -1)
+                return self.spark.range(a, end, s).select(
+                    F.timestamp_micros(F.col("id")).alias(name))
         if s == 0:
             raise ValueError("KQL: range step must be nonzero")
         end = b + (1 if s > 0 else -1)  # Kusto's bound is inclusive
@@ -7860,7 +7936,8 @@ class KqlCompiler:
         """A tabular operand: ``(sub-pipeline)``, an inline datatable,
         or a bare table."""
         text = text.strip()
-        if text.startswith("(") and text.endswith(")"):
+        if text.startswith("(") and text.endswith(")") \
+                and _parens_balanced_span(text):
             return self.compile(text[1:-1].strip())
         if re.match(r"datatable\s*\(", text):
             return self._datatable(text)
@@ -11518,10 +11595,18 @@ class KqlCompiler:
         # groups whose rows ALL failed the weight filter still exist in
         # Kusto's output (fold over empty pairs -> null); restore them
         # with a key spine — both sides are pre-aggregated on the same
-        # keys, so the join is exchange-reusing / AQE-broadcastable
+        # keys, so the join is exchange-reusing / AQE-broadcastable.
+        # NULL-SAFE keys: a null group key must match its own computed
+        # row (plain EqualTo would null out its percentile — r12 review)
         spine = base.groupBy(*bynames).agg(
             F.count(F.lit(1)).alias("__pwn")).drop("__pwn")
-        return spine.join(out, bynames, "left")
+        cond = None
+        for k in bynames:
+            c = spine[k].eqNullSafe(out[k])
+            cond = c if cond is None else (cond & c)
+        joined = spine.join(out, cond, "left")
+        return joined.select(*[spine[k] for k in bynames],
+                             *[out[n] for n, _ in specs])
 
     def _summarize(self, df: DataFrame, rest: str):
         # hint.shufflekey=col: pre-partition on the hinted key so the

@@ -9918,11 +9918,12 @@ DRIVER_WINDOW = [
 # ALL 19 r4 DEFERRED_OLDEST members (staleness ceiling — the r4
 # vintage clears entirely) + convert_decimal (r11 verdict #6 refresh;
 # one deliberate young slot, harmless because DEFERRED_OLDEST is empty
-# at HEAD so rule 3 cannot be starved) + 15 r5-vintage entries, all
+# at HEAD so rule 3 cannot be starved) + 14 r5-vintage entries, all
 # changed-code-since-attestation (the b8aeae8 portable-rounding sweep
-# and later; verified per-function with git log -L).
-# 22 + 19 + 1 = 37 rotating slots exactly; both deferral ledgers in
-# tests/test_queries_oracle.py are EMPTY at HEAD.
+# and later; verified per-function with git log -L; the 15th,
+# q_weighted_sample, was displaced by q_kql_in_tabular).
+# 3 + 19 + 1 + 14 = 37 rotating slots exactly; both deferral ledgers
+# in tests/test_queries_oracle.py are EMPTY at HEAD.
 #
 # r13 planner (written now so the obligation is explicit): the moment
 # CORRECTNESS_r12 banks, the oldest vintage becomes r5 with exactly

@@ -7187,3 +7187,45 @@ def test_tolong_toint_hex_strings(spark, sf_dir):
         | extend r = tolong(s) | summarize m = sum(r)
     """).collect()[0]["m"]
     assert got == 262
+
+
+def test_r12_review_fixes(spark, sf_dir):
+    """Regression pins for the r12 code-review findings: null group
+    keys keep their percentilew on the fast path; a NULL in a tabular
+    !in member set cannot empty the result (three-valued NOT IN);
+    range accepts datetime bounds with a timespan step; hex strings
+    >= 2^63 wrap signed like hex literals; mv-expand over a scalar
+    dynamic emits its one row and over dynamic(null) emits none;
+    compound parenthesized pipelines work as tabular in() operands;
+    fold and fast percentilew plans agree (same 1e-4 weight grid), so
+    a sibling aggregate cannot change the answer."""
+    g = lambda q: kql(spark, sf_dir, q).collect()[0][0]
+    assert g("datatable (x:long) [1,2,3] | where x !in "
+             "((datatable (c:long) [2, long(null)])) | count") == 2
+    assert g("range t from datetime(2020-01-01) to "
+             "datetime(2020-01-01 01:00:00) step 10m | count") == 7
+    assert g("print r = tolong('0xFFFFFFFFFFFFFFFF')") == -1
+    assert g("print r = tolong('0x7FFFFFFFFFFFFFFF')") == 2**63 - 1
+    assert g("datatable (d:dynamic) [dynamic(5)] | mv-expand d "
+             "| count") == 1
+    assert g("datatable (d:dynamic) [dynamic(null)] | mv-expand d "
+             "| count") == 0
+    assert g("datatable (x:long) [0,1,2,3] | where x in "
+             "(((region | where r_regionkey < 1 | project r_regionkey)"
+             " | union (region | where r_regionkey == 2 "
+             "| project r_regionkey))) | count") == 2
+    assert g("datatable (e:string) ['0xff'] | extend r = tolong(e) "
+             "| project r") == 255
+    both = [g("datatable (v:real, w:real) [1.0,2.0, 5.0,1.0] "
+              "| summarize p = percentilew(v, w, 50)" + tail +
+              " | project p")
+            for tail in ("", ", n = count()")]
+    assert both[0] == both[1] == 1.0
+    # null-key group keeps its computed percentile (null-safe spine)
+    rows = kql(spark, sf_dir, """
+      datatable (k:string, v:real, w:real)
+        ['a',1.0,1.0, 'a',9.0,1.0]
+        | extend k2 = iff(k == 'zz', k, tostring(split('', 'q')[5]))
+        | summarize p = percentilew(v, w, 50) by k2
+    """).collect()
+    assert len(rows) == 1 and rows[0]["p"] == 1.0
