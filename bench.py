@@ -150,6 +150,12 @@ HEADLINE = [
     "q_kql_replace_tools",
     "q_kql_ipv4_compare",
     "q_kql_geo_measures",
+    # round-12 additions, tracked from day one: the semi-join tabular
+    # membership over the orders fact (IN-subquery -> LeftSemi — the
+    # scale-safe form of Kusto's 1M-capped in()) and the nested
+    # struct/map/binary CSV render (per-row to_json assembly cost).
+    "q_kql_in_tabular",
+    "convert_csv_nested",
 ]
 
 
