@@ -9852,45 +9852,40 @@ DRIVER_WINDOW = [
     "convert_jsonl_region", "convert_csv_lineitem",
     "q_missing_column_fill", "csl_schema_lineitem", "q_schema_lineitem",
     "q_convert_binary", "rowgroups_lineitem", "q_filter_projection",
-    # ---- round-12 rotation. Priority queue (the policy
+    # ---- round-13 rotation. Priority queue (the policy
     # test_attestation_rotation_is_priority_ordered enforces from the
     # banked CORRECTNESS files, not from this comment):
-    #   1. never-checked entries: q_kql_geo_measures (deferred once in
-    #      r11 via DEFERRED_NEVER_CHECKED — not deferrable again) and
-    #      the two new-this-round entries (hygiene rule; each displaced
-    #      the then-tail slot in its own commit — q_kql_in_tabular
-    #      displaced q_weighted_sample, which re-joins the r13
-    #      obligation below),
-    "q_kql_geo_measures", "convert_csv_nested", "q_kql_in_tabular",
-    #   2. the full r4 oldest vintage — all 19 DEFERRED_OLDEST members
-    #      from r11, mandatory this round by the staleness ceiling
-    #      (attested <= newest-7). Seating all of them clears the r4
-    #      vintage completely:
-    "q13_order_count_distribution", "q2_min_cost_supplier",
-    "q_decontaminate", "q_dedup_minhash", "q_histogram",
-    "q_kql_arg_max", "q_kql_dcount_users", "q_kql_make_series",
-    "q_kql_mv_expand_terms", "q_kql_parse", "q_multimodal_features",
-    "q_snapshot_diff", "q_stratified_sample", "q_text_stats",
-    "q_sessionize", "q_asof_join", "q_window_lag_lead",
-    "q_dedup_exact", "q_dedup_jaccard",
-    #   3. the r11-verdict item-6 refresh: convert_decimal's CSV
-    #      decimal parity re-attested next to the new nested-CSV
-    #      certificate (one deliberate young slot; DEFERRED_OLDEST is
-    #      empty this round so no vintage is starved by it),
-    "convert_decimal",
-    #   4. remaining slots -> r5 vintage (next-oldest), changed-code
-    #      first: these 15 were all touched by the r10
-    #      portable-rounding sweep (b8aeae8) or later after their r5
-    #      attestation (verified per-function via git log -L).
-    #      The 22 unchanged r5 members move to DEFERRED_OLDEST the
-    #      moment CORRECTNESS_r12 banks (they become the oldest
-    #      vintage then) and are first in line for r13:
-    "q11_value_concentration", "q15_top_supplier",
-    "q22_dormant_rich_customers", "q6_forecast_revenue",
-    "q_cohort_retention", "q_cross_join", "q_kql_case_tiers",
-    "q_kql_cond_aggs", "q_kql_datatable_join", "q_kql_extractjson",
-    "q_kql_let_pipeline", "q_kql_text_stats", "q_kql_top_orders",
-    "q_sequence_pack",
+    #   1. the full r5 oldest vintage — all 23 members outstanding the
+    #      moment CORRECTNESS_r12 banked: the 22 unchanged-code members
+    #      named in the r12 planner note plus q_weighted_sample
+    #      (changed-code, displaced from the r12 window by
+    #      q_kql_in_tabular per the hygiene rule and owed this slot).
+    #      Seating all of them clears the r5 vintage completely:
+    "q_basket_pairs", "q_exists_subquery", "q_funnel",
+    "q_fuzzy_prefix_pairs", "q_inverted_index", "q_kql_bag_unpack",
+    "q_kql_bin_at", "q_kql_dynamic", "q_kql_extract_first_word",
+    "q_kql_has_any", "q_kql_mv_apply", "q_kql_parse_where",
+    "q_kql_prev_diff", "q_kql_range_sum", "q_kql_render",
+    "q_kql_row_number", "q_kql_top_hitters", "q_make_series",
+    "q_redact_pii", "q_session_window", "q_trailing_wau",
+    "q_train_test_split", "q_weighted_sample",
+    #   2. remaining slots -> r6 vintage (next-oldest), changed-code
+    #      first: these were all touched after their r6 attestation
+    #      (verified per-function via git log -L 3301384..HEAD — 18 of
+    #      the 37 r6 members changed; the 14 seated here are the first
+    #      in listing order; the rest of the r6 vintage moves to
+    #      DEFERRED_OLDEST when CORRECTNESS_r13 banks and is first in
+    #      line for r14 — see the r14 planner note below). New
+    #      entries added mid-r13 displace the TAIL slot here in the
+    #      same commit (hygiene rule; displaced r6 fills simply rejoin
+    #      the r14 obligation — they carry no displacement debt, only
+    #      oracled rotating entries with a banked attestation do):
+    "q_anomaly_outliers", "q_bigram_logprob", "q_corr_price_qty",
+    "q_events_heatmap", "q_gopher_rules", "q_kql_diffpatterns",
+    "q_kql_partition_prev", "q_kql_row_cumsum",
+    "q_kql_series_anomalies", "q_kql_series_corr", "q_kql_series_fill",
+    "q_kql_series_outliers", "q_kql_series_seasonal",
+    "q_kql_series_smooth",
 ]
 
 # Rotation ledger: r1-r11 windows are banked driver-green in
@@ -9912,43 +9907,47 @@ DRIVER_WINDOW = [
 #      by the hard staleness ceiling (attested <= newest-7 rounds
 #      must hold a slot).
 #
-# The r12 window (this round): q_kql_geo_measures (deferred once in
-# r11, mandatory now) + convert_csv_nested (new-this-round nested
-# struct/map/binary CSV certificate, r11 verdict #6; hygiene rule) +
-# ALL 19 r4 DEFERRED_OLDEST members (staleness ceiling — the r4
-# vintage clears entirely) + convert_decimal (r11 verdict #6 refresh;
-# one deliberate young slot, harmless because DEFERRED_OLDEST is empty
-# at HEAD so rule 3 cannot be starved) + 14 r5-vintage entries, all
-# changed-code-since-attestation (the b8aeae8 portable-rounding sweep
-# and later; verified per-function with git log -L; the 15th,
-# q_weighted_sample, was displaced by q_kql_in_tabular).
-# 3 + 19 + 1 + 14 = 37 rotating slots exactly; both deferral ledgers
-# in tests/test_queries_oracle.py are EMPTY at HEAD.
+# The r13 window (this round): ALL 23 r5-vintage members — the 22
+# unchanged-code stragglers named in the r12 planner note plus
+# q_weighted_sample (displaced once in r12 by q_kql_in_tabular, owed
+# this slot; r12 verdict #1 demanded exactly this seating) + 14
+# r6-vintage entries, all changed-code-since-attestation (verified
+# per-function with git log -L 3301384..HEAD). 23 + 14 = 37 rotating
+# slots exactly; both deferral ledgers in tests/test_queries_oracle.py
+# are EMPTY at HEAD, so the rotation meta-test is green with
+# CORRECTNESS_r12 as the newest banked file.
 #
-# r13 planner (written now so the obligation is explicit): the moment
-# CORRECTNESS_r12 banks, the oldest vintage becomes r5 with exactly
-# the 23 members not seated this round — the 22 unchanged ones
-# (q_basket_pairs q_exists_subquery q_funnel q_fuzzy_prefix_pairs
-#  q_inverted_index q_kql_bag_unpack q_kql_bin_at q_kql_dynamic
-#  q_kql_extract_first_word q_kql_has_any q_kql_mv_apply
-#  q_kql_parse_where q_kql_prev_diff q_kql_range_sum q_kql_render
-#  q_kql_row_number q_kql_top_hitters q_make_series q_redact_pii
-#  q_session_window q_trailing_wau q_train_test_split) plus
-# q_weighted_sample (changed-code, displaced by q_kql_in_tabular per
-# the hygiene rule) — the rotation meta-test will fail at that point
-# by design until the r13 window seats them (all 23 fit in one window
-# with 14 slots spare).
+# r14 planner (written now so the obligation is explicit): the moment
+# CORRECTNESS_r13 banks, the oldest vintage becomes r6 with the 23
+# members not seated this round (q_dedup_canonical q_doc_chunks
+#  q_doc_repetition q_domain_cap q_embed_mrl q_interarrival_dist
+#  q_key_skew q_knn_ivf_exact q_kql_autocluster q_kql_evaluate_pivot
+#  q_kql_parse_url q_kql_search q_kql_udf_threshold q_mad_robust_stats
+#  q_mode q_multimodal_header_decode q_profile q_quality_filter
+#  q_unigram_logprob q_url_dedup q_window_distribution
+#  q_window_time_range q_zorder_key — plus any of the tail r6 fills
+# displaced mid-round by new entries) — the rotation meta-test will
+# fail at that point by design until the r14 window seats them (they
+# fit in one window with slots spare).
 #
 # HYGIENE RULE (r7 verdict #8, enforced by
 # tests/test_queries_oracle.py::test_driver_window_is_first_and_covers_families):
 # every catalog entry with no driver CORRECTNESS row yet MUST occupy a
 # window slot in the round it lands, while rotating slots remain — the
 # attestation gap can never exceed one round's additions. An entry
-# added mid-r12 displaces the current TAIL slot in the same commit
-# (displacement order, last out first: the r5 changed-code entries in
-# reverse listing order, then convert_decimal — never a never-checked
-# or r4 slot; each displaced r5 name joins the r13 obligation list
-# above).
+# added mid-r13 displaces the current TAIL slot in the same commit
+# (displacement order, last out first: the r6 changed-code fills in
+# reverse listing order — never an r5-obligation slot; a displaced r6
+# fill simply rejoins the r14 obligation).
+#
+# DISPLACEMENT CAP (r12 verdict #6, enforced by
+# tests/test_queries_oracle.py::test_displacement_happens_at_most_once):
+# an already-attested oracled entry may be displaced from a window it
+# was owed AT MOST ONCE — the displaced name must hold a slot in the
+# very next round's window (q_weighted_sample is the precedent:
+# displaced r12, seated r13). Window pressure can never silently age
+# an oracled entry twice. DISPLACED_ONCE in tests/test_queries_oracle.py
+# is the ledger.
 
 
 

@@ -195,10 +195,46 @@ def test_driver_window_is_first_and_covers_families():
 # window obligation, with the reason, and is first in line next round.
 # An entry may live here at most ONE round (the r10 post-freeze batch
 # was deferred once and fully took the r11 window).
-# r12: EMPTY — q_kql_geo_measures (deferred once in r11) holds a slot,
-# and the round's one new entry (convert_csv_nested) was seated the
-# commit it landed per the hygiene rule.
+# r13: EMPTY — every new-this-round entry is seated the commit it
+# lands per the hygiene rule (new entries displace tail r6 fills; 14
+# fill slots give plenty of room).
 DEFERRED_NEVER_CHECKED: set[str] = set()
+
+# DISPLACEMENT CAP ledger (r12 verdict #6): an already-attested
+# oracled entry displaced from a window it was owed must be seated in
+# the VERY NEXT round's window — at most one displacement, ever, per
+# entry. Map: name -> (round it was displaced in, round it must be
+# seated in). q_weighted_sample is the precedent: displaced from the
+# r12 window by q_kql_in_tabular, seated in r13. Entries stay in the
+# ledger permanently so a second displacement of the same name is a
+# loud diff, not a silent ageing.
+DISPLACED_ONCE: dict[str, tuple[int, int]] = {
+    "q_weighted_sample": (12, 13),
+}
+
+
+def test_displacement_happens_at_most_once():
+    """r12 verdict #6: window pressure may never age an oracled,
+    already-attested entry twice. Every ledgered displacement must (a)
+    be owed exactly the round after the displacement, and (b) once the
+    displacement round's CORRECTNESS file is banked, the entry must
+    hold a DRIVER_WINDOW slot until its owed attestation is banked."""
+    latest, newest = _attestation_vintages()
+    for name, (displaced_in, owed_in) in DISPLACED_ONCE.items():
+        assert owed_in == displaced_in + 1, (
+            f"{name}: a displaced entry is owed the very next window, "
+            f"not r{owed_in}")
+        assert name in QUERIES, f"{name}: ledgered but not in catalog"
+        if displaced_in <= newest < owed_in:
+            assert name in DRIVER_WINDOW, (
+                f"{name}: displaced in r{displaced_in}, owed a "
+                f"r{owed_in} slot, but absent from DRIVER_WINDOW — "
+                f"that would be a second displacement")
+        if newest >= owed_in:
+            assert latest.get(name, 0) >= owed_in, (
+                f"{name}: owed a r{owed_in} attestation but the newest "
+                f"banked row is r{latest.get(name, 0)} — the debt was "
+                f"never paid")
 
 # Oldest-vintage members that do NOT fit the current window after the
 # higher-priority never-checked obligation is met (rotation priority
@@ -207,12 +243,12 @@ DEFERRED_NEVER_CHECKED: set[str] = set()
 # code UNCHANGED since its last attestation, stays replica-covered
 # (test_oracle_match), and is forced into the next window by the
 # staleness ceiling below.
-# r12: EMPTY — all 19 r4 stragglers hold window slots (the r4 vintage
-# clears entirely when CORRECTNESS_r12 banks). The moment it banks,
-# the oldest vintage becomes r5 with the 22 unchanged-code members not
-# seated this round; the rotation meta-test will then fail by design
-# until the r13 window seats them (see the r13-planner note above
-# DRIVER_WINDOW in queries.py for the exact list).
+# r13: EMPTY — all 23 r5 stragglers hold window slots (the r5 vintage
+# clears entirely when CORRECTNESS_r13 banks). The moment it banks,
+# the oldest vintage becomes r6 with the 23 members not seated this
+# round; the rotation meta-test will then fail by design until the
+# r14 window seats them (see the r14-planner note above DRIVER_WINDOW
+# in queries.py for the exact list).
 DEFERRED_OLDEST: set[str] = set()
 
 
