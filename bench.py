@@ -186,10 +186,15 @@ def main() -> None:
         best = float("inf")
         kept = attempts = 0
         while kept < n_samples and attempts < n_samples + max_extra:
-            loaded = os.getloadavg()[0] > load_limit
+            load_before = os.getloadavg()[0]
             t0 = time.perf_counter()
             run(name)
             dt = time.perf_counter() - t0
+            # r12 verdict #2: a co-tenant spike that STARTS mid-sample
+            # passes a before-only gate (the banked 9.45s
+            # q_knn_ivfpq_indexed outlier) — check load on both sides
+            # and discard if either exceeds the limit.
+            loaded = max(load_before, os.getloadavg()[0]) > load_limit
             attempts += 1
             if loaded and attempts < n_samples + max_extra:
                 retried += 1  # contaminated sample: discard and retry
