@@ -430,6 +430,12 @@ _BIN_AUTO_MIN: str | None = None
 # and restored per compile() like the mode flags above.
 _ACTIVE_COMPILER = None
 _INQ_SEQ = [0]
+# Temp views backing tabular in() subqueries, pending cleanup. Each
+# compile() frame drops the views it created on exit (r12 verdict #3:
+# they are consumed at ANALYSIS time — DataFrame construction is eager
+# — so by the time compile() returns, the resolved plan no longer
+# references the view and a long-lived session's catalog stays clean).
+_INQ_VIEWS: list = []
 
 _FN_RENAME = {
     "strlen": "length",
@@ -772,6 +778,7 @@ class _ExprParser:
         sub.select(F.col(col).alias("__v")) \
            .where(F.col(col).isNotNull()) \
            .createOrReplaceTempView(view)
+        _INQ_VIEWS.append((view, sub.sparkSession))
         neg = "NOT " if low.startswith("!") else ""
         if low.endswith("~"):
             return (f"(lower({_str_if_variant(lhs)}) {neg}IN "
@@ -6990,11 +6997,22 @@ class KqlCompiler:
         prev = (_PERCENTILE_MODE, _BIN_AUTO_SIZE, _BIN_AUTO_MIN)
         prev_comp = _ACTIVE_COMPILER
         _ACTIVE_COMPILER = self
+        inq_mark = len(_INQ_VIEWS)
         try:
             return self._compile_stmts(query)
         finally:
             _PERCENTILE_MODE, _BIN_AUTO_SIZE, _BIN_AUTO_MIN = prev
             _ACTIVE_COMPILER = prev_comp
+            # drop tabular-in() temp views created in THIS frame: the
+            # returned DataFrame's plan was analyzed eagerly, so the
+            # view reference is already resolved away (nested toscalar
+            # compiles clean their own slice the same way)
+            for view, sess in _INQ_VIEWS[inq_mark:]:
+                try:
+                    sess.catalog.dropTempView(view)
+                except Exception:
+                    pass
+            del _INQ_VIEWS[inq_mark:]
 
     def _compile_stmts(self, query: str) -> DataFrame:
         stmts = _split_top_semis(query)

@@ -7081,6 +7081,41 @@ def test_in_tabular_membership(spark, sf_dir):
         df._jdf.queryExecution().executedPlan().toString()
 
 
+def test_in_tabular_leaves_no_temp_views(spark, sf_dir):
+    """r12 verdict #3: each tabular in() compile used to leave a
+    __kql_inq_N temp view behind — unbounded catalog growth in a
+    long-lived session. The views are consumed at analysis time
+    (DataFrame construction is eager), so compile() drops its own on
+    exit; N compiles leave the catalog exactly as it was."""
+    before = {t.name for t in spark.catalog.listTables()}
+    for _ in range(3):
+        df = kql(spark, sf_dir, """
+          nation
+            | where n_regionkey in ((region | where r_regionkey < 3
+                                            | project r_regionkey))
+            | summarize n = count()
+        """)
+        assert df.collect()[0][0] == 15  # plan still executes post-drop
+    after = {t.name for t in spark.catalog.listTables()}
+    assert after == before, after - before
+    assert not any(n.startswith("__kql_inq_") for n in after)
+
+
+def test_in_tabular_beyond_filter_context(spark, sf_dir):
+    """Spark 4.1 accepts IN-subqueries outside Filter, so tabular in()
+    also works in extend/project and nested under OR — contexts valid
+    in Kusto that a Filter-only engine would reject (r12 advisory).
+    Views are still cleaned up on these paths."""
+    g = lambda q: kql(spark, sf_dir, q).collect()[0][0]
+    assert g("nation | extend hit = n_regionkey in ((region "
+             "| where r_name == 'ASIA' | project r_regionkey)) "
+             "| summarize n = countif(hit)") == 5
+    assert g("nation | where n_name == 'NATION_0' or n_regionkey !in "
+             "((region | project r_regionkey)) | count") == 1
+    assert not any(t.name.startswith("__kql_inq_")
+                   for t in spark.catalog.listTables())
+
+
 def test_serialize_enables_row_functions(spark, sf_dir):
     """`serialize` freezes the CURRENT order (Kusto): row_number /
     prev / row_rank_dense / row_cumsum work without a preceding sort,
