@@ -4301,7 +4301,7 @@ class _ExprParser:
                 f"'ans', IF(__pw_c.c + __pw_x.w >= __pw_s.t, "
                 f"__pw_x.v, CAST(NULL AS DOUBLE))))")
         fold = (f"aggregate(__pw_s.arr, named_struct("
-                f"'c', CAST(0 AS DOUBLE), "
+                f"'c', CAST(0 AS BIGINT), "
                 f"'ans', CAST(NULL AS DOUBLE)), {step}, "
                 f"__pw_f -> __pw_f.ans)")
         return (f"element_at(transform(array(named_struct("
@@ -11509,7 +11509,11 @@ class KqlCompiler:
         vw: tuple[str, str] | None = None
 
         def parse_call(body, n_fixed):
-            # -> (v_sql, w_sql, [p floats]) or None
+            # -> (v_sql, w_sql, [p floats], [p raw texts]) or None;
+            # raw texts feed the bare-form auto-names so the fast plan
+            # and the fold name non-canonical literals identically
+            # (r12 advisory: `50.0` must yield percentile_v_50_0 on
+            # BOTH paths, never depend on which plan is chosen)
             if not (body and body[0].kind == "ident"
                     and len(body) >= 4 and body[1].text == "("
                     and body[-1].text == ")"):
@@ -11517,14 +11521,15 @@ class KqlCompiler:
             arggroups = _split_top_commas(body[2:-1])
             if len(arggroups) < n_fixed + 1:
                 return None
+            raws = ["".join(t.text for t in g)
+                    for g in arggroups[n_fixed:]]
             try:
-                ps = [float("".join(t.text for t in g))
-                      for g in arggroups[n_fixed:]]
+                ps = [float(r) for r in raws]
             except ValueError:
                 return None
             v_sql = _compile_expr_tokens(arggroups[0], df)
             w_sql = _compile_expr_tokens(arggroups[1], df)
-            return v_sql, w_sql, ps
+            return v_sql, w_sql, ps, raws
 
         for i, g in enumerate(agg_groups):
             if g and g[0].text == "(":
@@ -11558,8 +11563,8 @@ class KqlCompiler:
                        if g[3].text == "," and g[2].kind == "ident"
                        else "value")
                 pairs = [(f"percentile_{col}_"
-                          + re.sub(r"[^0-9]+", "_", f"{p:g}").strip("_"),
-                          p) for p in parsed[2]]
+                          + re.sub(r"[^0-9]+", "_", raw).strip("_"),
+                          p) for p, raw in zip(parsed[2], parsed[3])]
             else:
                 if len(g) >= 2 and g[0].kind == "ident" \
                         and g[1].text == "=":

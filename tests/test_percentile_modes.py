@@ -272,3 +272,40 @@ def test_summarize_percentilew_fast_path_edge_semantics(spark, sf_dir):
     assert "collect_list" in mixed._jdf.queryExecution().analyzed().toString()
     r = mixed.collect()[0]
     assert (r["k"], r["n"], r["p"]) == ("a", 3, 2.0)
+
+
+def test_bare_percentilesw_auto_names_agree_across_plans(spark, sf_dir):
+    """r12 advisory: bare `percentilesw(v, w, P...)` auto-names derive
+    from the RAW percentile token text on BOTH plans — adding an
+    unrelated sibling aggregate (which flips summarize from the fast
+    window plan to the fold) must never change an output column name,
+    even for non-canonical literals like `50.0`."""
+    fast = kql(spark, sf_dir, """
+      datatable (k:string, v:real, w:real) [
+        "a", 1.0, 1.0,  "a", 2.0, 1.0,  "a", 3.0, 2.0 ]
+        | summarize percentilesw(v, w, 50.0, 99.9) by k
+    """)
+    assert "collect_list" not in \
+        fast._jdf.queryExecution().analyzed().toString()
+    fold = kql(spark, sf_dir, """
+      datatable (k:string, v:real, w:real) [
+        "a", 1.0, 1.0,  "a", 2.0, 1.0,  "a", 3.0, 2.0 ]
+        | summarize n = count(), percentilesw(v, w, 50.0, 99.9) by k
+    """)
+    assert "collect_list" in \
+        fold._jdf.queryExecution().analyzed().toString()
+    assert [c for c in fast.columns if c.startswith("percentile_")] \
+        == [c for c in fold.columns if c.startswith("percentile_")] \
+        == ["percentile_v_50_0", "percentile_v_99_9"]
+    # canonical integer literals keep the classic Kusto name
+    canon = kql(spark, sf_dir, """
+      datatable (k:string, v:real, w:real) [ "a", 1.0, 1.0 ]
+        | summarize percentilesw(v, w, 50) by k
+    """)
+    assert "percentile_v_50" in canon.columns
+    # values agree too (the fold's long accumulator matches the window
+    # plan's long cumulative sum on the shared 1e-4 grid)
+    f = fast.collect()[0]
+    g = fold.collect()[0]
+    assert (f["percentile_v_50_0"], f["percentile_v_99_9"]) \
+        == (g["percentile_v_50_0"], g["percentile_v_99_9"]) == (2.0, 3.0)
