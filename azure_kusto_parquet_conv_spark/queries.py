@@ -6756,6 +6756,48 @@ def q_kql_scan_funnel(spark, sf_dir):
     """)
 
 
+@query("q_kql_scan_funnel_exact", """
+SELECT CAST(a.u AS BIGINT) AS u, s.step AS step,
+       CAST(s.n AS BIGINT) AS n, CAST(s.mn AS BIGINT) AS mn,
+       CAST(s.mx AS BIGINT) AS mx
+FROM (SELECT unnest(range(0, 10)) AS u) a
+CROSS JOIN (VALUES ('s1', 8, 1, 36), ('s2', 8, 2, 37),
+                   ('s3', 16, 3, 39)) s(step, n, mn, mx)
+""")
+def q_kql_scan_funnel_exact(spark, sf_dir):
+    """Hash-matched certificate for the scan funnel automaton (r12
+    verdict #4 — the q_kql_sequence_detect_exact protocol applied to
+    `scan`): 10 users each see 8 periods of the planted cycle
+    click, signup, click, purchase, purchase. The latest-start
+    automaton's trajectory is then closed-form — the leading click
+    is skipped at empty state (step1 is signup-only), signup RESTARTS
+    at the completed state, click/purchase ADVANCE, and the second
+    purchase EXTENDS the completed match (re-match of the last step,
+    same match) — so per user the per-step (count, first j, last j)
+    is exactly s1=(8,1,36), s2=(8,2,37), s3=(16,3,39). The DuckDB twin
+    is that literal closed form (no automaton); a drift in any of the
+    advance > extend > restart priorities or the skip rule moves a
+    count or an endpoint and fails the hash. Exercises every automaton
+    transition the rows-only base entry (q_kql_scan_funnel) relies on."""
+    from azure_kusto_parquet_conv_spark.kql import kql
+    return kql(spark, sf_dir, """
+      range i from 0 to 399 step 1
+        | extend u = i % 10
+        | extend j = tolong((i - u) / 10)
+        | extend e = case(j % 5 == 0, 'click',
+                          j % 5 == 1, 'signup',
+                          j % 5 == 2, 'click',
+                          j % 5 == 3, 'purchase', 'purchase')
+        | partition by u (
+            sort by j asc
+            | scan with (step s1: e == 'signup';
+                         step s2: e == 'click';
+                         step s3: e == 'purchase';)
+          )
+        | summarize n = count(), mn = min(j), mx = max(j) by u, step
+    """)
+
+
 @query(_portable("q_kql_series_forecast"), f"""
 WITH e AS (SELECT user_id % 3 AS b,
                   epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
@@ -9885,7 +9927,11 @@ DRIVER_WINDOW = [
     "q_kql_partition_prev", "q_kql_row_cumsum",
     "q_kql_series_anomalies", "q_kql_series_corr", "q_kql_series_fill",
     "q_kql_series_outliers", "q_kql_series_seasonal",
-    "q_kql_series_smooth",
+    #   3. new-this-round entries (hygiene rule: seated the commit they
+    #      land, each displacing the then-tail r6 fill above — the
+    #      displaced fills rejoin the r14 obligation):
+    #      q_kql_scan_funnel_exact displaced q_kql_series_smooth.
+    "q_kql_scan_funnel_exact",
 ]
 
 # Rotation ledger: r1-r11 windows are banked driver-green in

@@ -156,6 +156,10 @@ HEADLINE = [
     # struct/map/binary CSV render (per-row to_json assembly cost).
     "q_kql_in_tabular",
     "convert_csv_nested",
+    # round-13 addition: the scan-automaton certificate (per-user
+    # Arrow-batched kernel over a planted 4k-row trajectory — tracks
+    # the serialized scan path's constant overhead)
+    "q_kql_scan_funnel_exact",
 ]
 
 
