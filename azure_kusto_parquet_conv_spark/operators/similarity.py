@@ -498,7 +498,9 @@ def write_ivfpq_index(corpus: DataFrame, path: str,
     corpus at the source (PartitionFilters, no data read outside the
     probed lists). Build is one narrow pass (ivfpq_index) plus the
     partitioned write's shuffle-free fan-out; at scale this runs once
-    and every query batch amortizes it."""
+    and every query batch amortizes it. Lifecycle (build → append →
+    recall probe → rebuild trigger): PLANS.md 'The ANN index lifecycle
+    at 100 TB'."""
     (ivfpq_index(corpus, centroids, codebooks, vec_col, id_col)
      .write.mode(mode).partitionBy("list_id").parquet(path))
 
@@ -515,7 +517,9 @@ def append_ivfpq_index(new_rows: DataFrame, path: str,
     layout. A 100 TB pipeline ingests continuously; rebuilding the
     whole index per batch would be O(corpus) while this is O(batch).
     Drift is the price of frozen codebooks — measure it with
-    :func:`ivfpq_index_recall` and rebuild when recall decays."""
+    :func:`ivfpq_index_recall` and rebuild when recall decays. The
+    full loop and its cost table: PLANS.md 'The ANN index lifecycle
+    at 100 TB'."""
     write_ivfpq_index(new_rows, path, centroids, codebooks,
                       vec_col, id_col, mode="append")
 
@@ -532,7 +536,9 @@ def ivfpq_index_recall(spark, index_path: str, corpus: DataFrame,
     health metric that tells an append-heavy pipeline when frozen
     codebooks have drifted from the data and the index needs a
     rebuild. Returns a 1-row DataFrame (n_queries, hits, recall);
-    everything stays distributed (semi-join + count aggregates)."""
+    everything stays distributed (semi-join + count aggregates).
+    When and how to act on the number (alert floor, rebuild + path
+    swap): PLANS.md 'The ANN index lifecycle at 100 TB'."""
     qs = _det_sample(corpus, [id_col], sample_n, seed)
     truth = knn_bruteforce(qs, corpus, k=k, query_id=id_col,
                            corpus_id=id_col, query_vec=vec_col,
