@@ -621,6 +621,9 @@ class _ExprParser:
             return f"(NOT {self.parse(3)})"
         if text == "-":
             return f"(- {self.parse(6)})"
+        if text == "+":
+            # unary plus (Kusto accepts it, e.g. real(+inf))
+            return self.parse(6)
         if text == "(":
             inner = self.parse(0)
             self.expect(")")
@@ -840,12 +843,88 @@ class _ExprParser:
     def _dyn_arr_arg(self, sql: str) -> str:
         return self._lift_arr(sql, "variant")
 
+    def _decompose_period_sql(self, arr: str, per: str,
+                              thr: str) -> str:
+        """Resolve a decompose-family period argument: -1 (Kusto's
+        default auto-detect) becomes the top ACF peak from the
+        series_periods_detect machinery, accepted only when its score
+        clears the seasonality threshold (else 0 = no seasonal
+        component). Literal -1 is recognized textually; any other
+        expression passes through as scalar SQL."""
+        if not re.fullmatch(r"[\s()]*-\s*1(?:\.0)?[\s()]*", per):
+            return per
+        a = self._series_arg(arr)
+        bag = self._render_call(
+            "series_periods_detect_dynamic",
+            [arr, "2", f"CAST(size({a}) / 2 AS INT)", "1"])
+        p0 = f"try_cast(variant_get({bag}, '$.periods[0]') AS DOUBLE)"
+        s0 = f"try_cast(variant_get({bag}, '$.scores[0]') AS DOUBLE)"
+        return (f"(CASE WHEN {s0} >= CAST({thr} AS DOUBLE) "
+                f"THEN CAST({p0} AS INT) ELSE 0 END)")
+
+    def _decompose_seasonal_sql(self, arr: str, per: str) -> str:
+        """Seasonal component with a runtime-guarded period: period
+        <= 0 (explicit 0 or a rejected auto-detect) yields an all-zero
+        seasonal array instead of series_seasonal's pmod-by-zero."""
+        a = self._series_arg(arr)
+        seas = self._render_call("series_seasonal", [arr, per])
+        return (f"(CASE WHEN ({per}) <= 0 THEN transform({a}, "
+                f"__dz_v -> CAST(0 AS DOUBLE)) ELSE {seas} END)")
+
+    def _decompose_trend_sql(self, arr: str, per: str,
+                             mode: str | None) -> str:
+        """Trend component for the decompose family. mode None keeps
+        the engine's documented default (trailing FIR of the period
+        width; overall mean when the period is <= 0); the Kusto
+        literals 'avg' / 'linefit' / 'none' select the overall mean,
+        the least-squares line, or zeros."""
+        a = self._series_arg(arr)
+        if mode is not None:
+            m = re.fullmatch(r"\s*'((?:[^'\\]|\\.)*)'\s*", mode)
+            if not m or m.group(1) not in ("avg", "linefit", "none"):
+                raise ValueError(
+                    "KQL: decompose trend must be the literal 'avg', "
+                    "'linefit' or 'none'")
+            kind = m.group(1)
+        else:
+            kind = None
+        nn = (f"filter(transform({a}, __dt_x -> "
+              f"CAST(__dt_x AS DOUBLE)), __dt_x -> "
+              f"__dt_x IS NOT NULL)")
+        mean = (f"(CASE WHEN size({nn}) = 0 THEN NULL ELSE "
+                f"aggregate({nn}, CAST(0 AS DOUBLE), "
+                f"(__dt_s, __dt_v) -> __dt_s + __dt_v) "
+                f"/ size({nn}) END)")
+        avg_arr = f"transform({a}, __dt_v -> {mean})"
+        if kind == "avg":
+            return avg_arr
+        if kind == "none":
+            return f"transform({a}, __dt_v -> CAST(0 AS DOUBLE))"
+        if kind == "linefit":
+            fit = self._render_call("series_fit_line_dynamic", [arr])
+            return self._series_arg(
+                f"variant_get({fit}, '$.line_fit')")
+        fir = self._render_call("series_fir", [arr, f"({per})"])
+        return f"(CASE WHEN ({per}) <= 0 THEN {avg_arr} ELSE {fir} END)"
+
     def _render_call(self, fname: str, args: list[str]) -> str:
         if fname in self._TYPED_NULL and len(args) == 1 \
                 and args[0].strip().upper() == "NULL":
             # Kusto typed null literals: long(null), real(null), ...
             # (datetime(null) lexes as one datetime token upstream)
             return f"CAST(NULL AS {self._TYPED_NULL[fname]})"
+        if fname == "real" and len(args) == 1:
+            # Kusto non-finite real literals: real(+inf) / real(-inf) /
+            # real(nan) (r13 probe sweep). The operand reaches here as
+            # compiled SQL — a bare `inf`/`nan` identifier or a unary
+            # minus around it.
+            m = re.fullmatch(r"\s*\(?\s*(-)?\s*`?(inf|nan)`?\s*\)?\s*",
+                             args[0], re.IGNORECASE)
+            if m:
+                if m.group(2).lower() == "nan":
+                    return "CAST('NaN' AS DOUBLE)"
+                return (f"CAST('{'-' if m.group(1) else ''}Infinity' "
+                        f"AS DOUBLE)")
         if fname == "bin":
             # bin() is intercepted token-level (schema-aware timespan
             # handling) before parsing ever reaches here.
@@ -2223,30 +2302,94 @@ class _ExprParser:
         if fname in self._UNIT_TABLES or fname == "convert_temperature":
             return self._convert_unit(fname, args)
         if fname == "series_fir":
-            # trailing moving average of width k over the series array;
-            # index-aware transform + slice keep it JVM-side
-            if len(args) != 2:
-                raise ValueError("KQL: series_fir(series, k)")
-            arr, k = self._series_arg(args[0]), args[1]
-            return (f"transform({arr}, (__fir_v, __fir_i) -> "
-                    f"aggregate(slice({arr}, "
-                    f"greatest(__fir_i + 2 - {k}, 1), "
-                    f"least(__fir_i + 1, {k})), CAST(0 AS DOUBLE), "
-                    f"(__fir_a, __fir_x) -> "
-                    f"__fir_a + CAST(__fir_x AS DOUBLE)) "
-                    f"/ least(__fir_i + 1, {k}))")
+            # Two forms (r13 probe sweep). Kusto's documented
+            # signature: series_fir(series, filter[, normalize[,
+            # center]]) — finite-impulse-response convolution with a
+            # coefficient ARRAY; out-of-range taps read 0
+            # (zero-padding), normalize divides by sum(filter)
+            # (default: yes iff no coefficient is negative — Kusto
+            # errors there; this engine's omitted-arg default is the
+            # same rule evaluated at runtime), center=true centers the
+            # window on the current point (shift floor(m/2)).
+            # ENGINE EXTENSION kept for decompose internals and
+            # banked oracles: a NUMERIC second arg is a trailing
+            # moving average of that width, averaging over the ACTUAL
+            # (partial at the left edge) window.
+            if len(args) not in (2, 3, 4):
+                raise ValueError(
+                    "KQL: series_fir(series, filter[, normalize"
+                    "[, center]])")
+            arr = self._series_arg(args[0])
+            dt = self._probe_dtype(args[1])
+            is_arr = (dt is not None
+                      and dt.typeName() in ("array", "variant")) \
+                or re.match(r"\s*(?:array\s*\(|parse_json\s*\()",
+                            args[1])
+            if len(args) == 2 and not is_arr:
+                k = args[1]
+                return (f"transform({arr}, (__fir_v, __fir_i) -> "
+                        f"aggregate(slice({arr}, "
+                        f"greatest(__fir_i + 2 - {k}, 1), "
+                        f"least(__fir_i + 1, {k})), CAST(0 AS DOUBLE), "
+                        f"(__fir_a, __fir_x) -> "
+                        f"__fir_a + CAST(__fir_x AS DOUBLE)) "
+                        f"/ least(__fir_i + 1, {k}))")
+            fl = (f"transform(try_cast({args[1]} AS ARRAY<DOUBLE>), "
+                  f"__fir_c -> CAST(__fir_c AS DOUBLE))")
+            m = f"size({fl})"
+            if len(args) >= 3:
+                denom = (f"(CASE WHEN CAST({args[2]} AS BOOLEAN) "
+                         f"THEN aggregate({fl}, CAST(0 AS DOUBLE), "
+                         f"(__fir_a, __fir_c) -> __fir_a + __fir_c) "
+                         f"ELSE 1.0 END)")
+            else:
+                denom = (f"(CASE WHEN array_min({fl}) >= 0 "
+                         f"THEN aggregate({fl}, CAST(0 AS DOUBLE), "
+                         f"(__fir_a, __fir_c) -> __fir_a + __fir_c) "
+                         f"ELSE 1.0 END)")
+            shift = (f"CAST(floor({m} / 2) AS INT)"
+                     if len(args) == 4 else "0")
+            shift = (f"(CASE WHEN CAST({args[3]} AS BOOLEAN) "
+                     f"THEN {shift} ELSE 0 END)"
+                     if len(args) == 4 else "0")
+            xs = (f"transform({arr}, __fir_x -> "
+                  f"CAST(__fir_x AS DOUBLE))")
+            return (
+                f"(CASE WHEN {m} IS NULL OR {m} <= 0 OR {denom} = 0 "
+                f"THEN NULL ELSE "
+                f"transform({xs}, (__fir_v, __fir_i) -> "
+                f"aggregate(sequence(1, {m}), CAST(0 AS DOUBLE), "
+                f"(__fir_a, __fir_j) -> __fir_a "
+                f"+ element_at({fl}, __fir_j) "
+                f"* coalesce(CASE WHEN __fir_i + 2 - __fir_j "
+                f"+ {shift} >= 1 THEN try_element_at({xs}, "
+                f"__fir_i + 2 - __fir_j + {shift}) END, 0.0)) "
+                f"/ {denom}) END)")
         if fname == "series_fill_const":
-            if len(args) != 2:
-                raise ValueError("KQL: series_fill_const(series, value)")
+            # Kusto: series_fill_const(series[, constant_value]) —
+            # constant defaults to 0 (r13 probe sweep)
+            if len(args) not in (1, 2):
+                raise ValueError(
+                    "KQL: series_fill_const(series[, value])")
+            const = args[1] if len(args) == 2 else "0.0"
             return (f"transform({self._series_arg(args[0])}, v -> coalesce("
-                    f"CAST(v AS DOUBLE), CAST({args[1]} AS DOUBLE)))")
+                    f"CAST(v AS DOUBLE), CAST({const} AS DOUBLE)))")
         if fname in ("series_fill_forward", "series_fill_backward"):
             # O(n) fold building the filled array; try_element_at(acc, -1)
             # is null on the empty accumulator, so leading (resp.
-            # trailing) nulls stay null — Kusto's edge behavior
-            if len(args) != 1:
-                raise ValueError(f"KQL: {fname}(series) takes 1 arg")
+            # trailing) nulls stay null — Kusto's edge behavior.
+            # Optional missing_value_placeholder (r13 probe sweep):
+            # points equal to it count as missing too (make-series
+            # grids filled with a sentinel default).
+            if len(args) not in (1, 2):
+                raise ValueError(
+                    f"KQL: {fname}(series[, missing_value_placeholder])")
             arr = self._series_arg(args[0])
+            if len(args) == 2:
+                arr = (f"transform({arr}, __sfp_v -> CASE WHEN "
+                       f"CAST(__sfp_v AS DOUBLE) <=> "
+                       f"CAST({args[1]} AS DOUBLE) THEN NULL "
+                       f"ELSE CAST(__sfp_v AS DOUBLE) END)")
             if fname == "series_fill_backward":
                 arr = f"reverse({arr})"
             ff = (f"aggregate({arr}, CAST(array() AS ARRAY<DOUBLE>), "
@@ -2259,9 +2402,26 @@ class _ExprParser:
             # Pure higher-order SQL: per position, the prev/next anchor
             # is found by filtering the (value, index) pairs — O(n²) in
             # the SERIES length (calendar-bounded), zero Python.
-            if len(args) != 1:
-                raise ValueError("KQL: series_fill_linear(series) takes 1 arg")
+            # Full Kusto signature (r13 probe sweep):
+            # series_fill_linear(series[, missing_value_placeholder
+            # [, fill_edges[, constant_value]]]) — points equal to the
+            # placeholder count as missing; fill_edges=false leaves
+            # edge gaps at constant_value (default null) instead of
+            # the nearest anchor.
+            if len(args) not in (1, 2, 3, 4):
+                raise ValueError(
+                    "KQL: series_fill_linear(series[, "
+                    "missing_value_placeholder[, fill_edges"
+                    "[, constant_value]]])")
             arr = self._series_arg(args[0])
+            if len(args) >= 2 and args[1].upper().strip() not in (
+                    "NULL", "CAST(NULL AS DOUBLE)"):
+                arr = (f"transform({arr}, __sfp_v -> CASE WHEN "
+                       f"CAST(__sfp_v AS DOUBLE) <=> "
+                       f"CAST({args[1]} AS DOUBLE) THEN NULL "
+                       f"ELSE CAST(__sfp_v AS DOUBLE) END)")
+            edge_const = args[3] if len(args) == 4 else "NULL"
+            fill_edges = args[2] if len(args) >= 3 else "true"
             # lambda vars carry a __sfl_ prefix so they can never shadow
             # a user column referenced from the inlined array expression
             wi = (f"zip_with({arr}, sequence(1, size({arr})), "
@@ -2275,42 +2435,85 @@ class _ExprParser:
             # empty-input guard: sequence(1, 0) DESCENDS (round-5
             # gotcha) and zip_with pads to the LONGER side, so an
             # empty series would yield 2 garbage elements
+            edge = (f"CAST({edge_const} AS DOUBLE)"
+                    if len(args) >= 3 else "__sfl_edge_anchor")
+            near_p = (f"(CASE WHEN CAST({fill_edges} AS BOOLEAN) "
+                      f"THEN {prev}.v ELSE {edge} END)"
+                      if len(args) >= 3 else f"{prev}.v")
+            near_n = (f"(CASE WHEN CAST({fill_edges} AS BOOLEAN) "
+                      f"THEN {nxt}.v ELSE {edge} END)"
+                      if len(args) >= 3 else f"{nxt}.v")
             return (
                 f"(CASE WHEN size({arr}) <= 0 "
                 f"THEN CAST(array() AS ARRAY<DOUBLE>) ELSE "
                 f"transform({wi}, __sfl_s -> "
                 f"CASE WHEN __sfl_s.v IS NOT NULL THEN __sfl_s.v "
                 f"WHEN {prev} IS NULL AND {nxt} IS NULL THEN NULL "
-                f"WHEN {prev} IS NULL THEN {nxt}.v "
-                f"WHEN {nxt} IS NULL THEN {prev}.v "
+                f"WHEN {prev} IS NULL THEN {near_n} "
+                f"WHEN {nxt} IS NULL THEN {near_p} "
                 f"ELSE {prev}.v + ({nxt}.v - {prev}.v) "
                 f"* (__sfl_s.i - {prev}.i) / ({nxt}.i - {prev}.i) END) "
                 f"END)")
         if fname == "series_outliers":
-            # Tukey-fence anomaly score (series_outliers semantics):
-            # 0 inside [q1-1.5·iqr, q3+1.5·iqr], else signed distance
-            # past the fence in IQR units. Quartiles use the nearest-rank
-            # (ceil) method over the sorted non-null values so the DuckDB
-            # oracle can reproduce them bit-for-bit.
-            if len(args) != 1:
-                raise ValueError("KQL: series_outliers(series) takes 1 arg")
+            # Tukey-fence anomaly score, full Kusto signature (r13
+            # probe sweep): series_outliers(series [, kind [,
+            # ignore_val [, min_percentile [, max_percentile]]]]).
+            # kind (string LITERAL): 'ctukey' (DEFAULT, like Kusto) =
+            # custom percentile range, default 10-90; 'tukey' = the
+            # classic 25-75 quartiles. Score is 0 inside
+            # [q_lo - 1.5·range, q_hi + 1.5·range], else signed
+            # distance past the fence in range units. Percentiles use
+            # the nearest-rank (ceil) method over the sorted non-null
+            # values so the DuckDB oracle reproduces them bit-for-bit
+            # (documented deviation: Kusto's own quantile estimator is
+            # unpublished). Points equal to ignore_val are treated as
+            # missing (excluded from the percentiles, scored null).
+            if len(args) not in (1, 2, 3, 4, 5):
+                raise ValueError(
+                    "KQL: series_outliers(series[, kind[, ignore_val"
+                    "[, min_percentile[, max_percentile]]]])")
             arr = self._series_arg(args[0])
+            kind = "ctukey"
+            if len(args) >= 2:
+                km = re.fullmatch(r"\s*'((?:[^'\\]|\\.)*)'\s*", args[1])
+                if not km or km.group(1) not in ("tukey", "ctukey"):
+                    raise ValueError(
+                        "KQL: series_outliers kind must be the "
+                        "literal 'tukey' or 'ctukey'")
+                kind = km.group(1)
+            ign = args[2] if len(args) >= 3 else "NULL"
+            if kind == "tukey":
+                plo, phi = "0.25", "0.75"
+                if len(args) > 3:
+                    raise ValueError(
+                        "KQL: series_outliers percentiles apply to "
+                        "kind 'ctukey' only")
+            else:
+                plo = (f"(CAST({args[3]} AS DOUBLE) / 100.0)"
+                       if len(args) >= 4 else "0.10")
+                phi = (f"(CAST({args[4]} AS DOUBLE) / 100.0)"
+                       if len(args) == 5 else "0.90")
             # __so_ lambda-var prefix: the series expression is inlined
             # INSIDE the outer lambda body, so plain names could shadow
             # the user's column
+            miss = (f"(__so_x IS NULL OR ({ign}) IS NOT NULL "
+                    f"AND __so_x <=> CAST({ign} AS DOUBLE))")
             srt = (f"array_sort(filter(transform({arr}, "
                    f"__so_x -> CAST(__so_x AS DOUBLE)), "
-                   f"__so_x -> __so_x IS NOT NULL))")
+                   f"__so_x -> NOT {miss}))")
             q1 = (f"element_at({srt}, greatest(CAST(ceil("
-                  f"size({srt}) * 0.25) AS INT), 1))")
+                  f"size({srt}) * {plo}) AS INT), 1))")
             q3 = (f"element_at({srt}, greatest(CAST(ceil("
-                  f"size({srt}) * 0.75) AS INT), 1))")
+                  f"size({srt}) * {phi}) AS INT), 1))")
             iqr = f"({q3} - {q1})"
             hi = f"({q3} + 1.5 * {iqr})"
             lo = f"({q1} - 1.5 * {iqr})"
+            vmiss = (f"(__so_v IS NULL OR ({ign}) IS NOT NULL "
+                     f"AND CAST(__so_v AS DOUBLE) "
+                     f"<=> CAST({ign} AS DOUBLE))")
             return (
                 f"transform({arr}, __so_v -> "
-                f"CASE WHEN __so_v IS NULL THEN NULL "
+                f"CASE WHEN {vmiss} THEN NULL "
                 f"WHEN size({srt}) = 0 OR {iqr} <= 0 THEN 0.0 "
                 f"WHEN CAST(__so_v AS DOUBLE) > {hi} "
                 f"THEN (CAST(__so_v AS DOUBLE) - {hi}) / {iqr} "
@@ -2397,10 +2600,22 @@ class _ExprParser:
             # max/max_idx/avg/variance/stdev (population, matching
             # series_stdev; 0-based indexes of the FIRST extreme).
             # The non-dynamic spelling is the same bag — Kusto's tuple
-            # form is handled by extend's multi-assign.
-            if len(args) != 1:
-                raise ValueError(f"KQL: {fname}(series)")
+            # form is handled by extend's multi-assign. Optional
+            # ignore_nonfinite (r13 probe sweep): true drops NaN/±Inf
+            # points before the stats.
+            if len(args) not in (1, 2):
+                raise ValueError(
+                    f"KQL: {fname}(series[, ignore_nonfinite])")
             arr = self._series_arg(args[0])
+            if len(args) == 2:
+                # non-finite -> null (not dropped) so min_idx/max_idx
+                # keep referring to ORIGINAL series positions
+                arr = (f"transform({arr}, __snf_x -> CASE WHEN "
+                       f"CAST({args[1]} AS BOOLEAN) "
+                       f"AND (isnan(CAST(__snf_x AS DOUBLE)) "
+                       f"OR abs(CAST(__snf_x AS DOUBLE)) = "
+                       f"CAST('Infinity' AS DOUBLE)) THEN NULL "
+                       f"ELSE CAST(__snf_x AS DOUBLE) END)")
             nn = (f"filter(transform({arr}, __st_x -> "
                   f"CAST(__st_x AS DOUBLE)), "
                   f"__st_x -> __st_x IS NOT NULL)")
@@ -2536,26 +2751,46 @@ class _ExprParser:
                     f"{self._series_arg(args[1])}, "
                     f"(__sc_x, __sc_y) -> CAST(__sc_x AS DOUBLE) "
                     f"{op_sym} CAST(__sc_y AS DOUBLE))")
-        if fname == "series_pow":
-            if len(args) != 2:
-                raise ValueError("KQL: series_pow(series, exponent)")
-            return (f"transform({self._series_arg(args[0])}, __su_v -> "
-                    f"pow(CAST(__su_v AS DOUBLE), {args[1]}))")
         if fname in ("series_add", "series_subtract", "series_multiply",
-                     "series_divide"):
-            # element-wise arithmetic over two parallel series (zip_with,
-            # codegen); divide-by-zero yields null (Kusto real null)
+                     "series_divide", "series_pow"):
+            # element-wise arithmetic over two parallel series
+            # (zip_with, codegen); divide-by-zero yields null (Kusto
+            # real null). Either operand may be a NUMERIC SCALAR
+            # (Kusto broadcasts it across the other series — r13
+            # probe sweep); an unresolvable operand type is assumed
+            # to be a series, the historic behavior.
             if len(args) != 2:
                 raise ValueError(f"KQL: {fname}(series1, series2)")
+
+            def is_scalar(raw: str) -> bool:
+                dt = self._probe_dtype(raw)
+                return dt is not None and dt.typeName() in (
+                    "long", "integer", "short", "byte", "double",
+                    "float", "decimal")
+            ops = {"series_add": "({x} + {y})",
+                   "series_subtract": "({x} - {y})",
+                   "series_multiply": "({x} * {y})",
+                   "series_pow": "pow({x}, {y})",
+                   "series_divide": ("CASE WHEN {y} = 0.0 THEN NULL "
+                                     "ELSE {x} / {y} END")}[fname]
+            a_sc, b_sc = is_scalar(args[0]), is_scalar(args[1])
+            if a_sc and b_sc:
+                raise ValueError(
+                    f"KQL: {fname} needs at least one series operand")
+            if b_sc:
+                body = ops.format(x="CAST(__sb_v AS DOUBLE)",
+                                  y=f"CAST({args[1]} AS DOUBLE)")
+                return (f"transform({self._series_arg(args[0])}, "
+                        f"__sb_v -> {body})")
+            if a_sc:
+                body = ops.format(x=f"CAST({args[0]} AS DOUBLE)",
+                                  y="CAST(__sb_v AS DOUBLE)")
+                return (f"transform({self._series_arg(args[1])}, "
+                        f"__sb_v -> {body})")
             a, b = self._series_arg(args[0]), self._series_arg(args[1])
-            op_sym = {"series_add": "+", "series_subtract": "-",
-                      "series_multiply": "*"}.get(fname)
-            if op_sym:
-                return (f"zip_with({a}, {b}, (x, y) -> "
-                        f"CAST(x AS DOUBLE) {op_sym} CAST(y AS DOUBLE))")
-            return (f"zip_with({a}, {b}, (x, y) -> CASE "
-                    f"WHEN CAST(y AS DOUBLE) = 0.0 THEN NULL "
-                    f"ELSE CAST(x AS DOUBLE) / CAST(y AS DOUBLE) END)")
+            body = ops.format(x="CAST(x AS DOUBLE)",
+                              y="CAST(y AS DOUBLE)")
+            return f"zip_with({a}, {b}, (x, y) -> {body})"
         if fname in ("series_fit_line_dynamic",
                      "series_decompose_forecast"):
             # Shared least-squares machinery over the in-row series
@@ -2613,23 +2848,41 @@ class _ExprParser:
                 # property find) — Kusto yields null for the whole bag
                 return (f"(CASE WHEN {n} = 0 THEN NULL "
                         f"ELSE parse_json(to_json({obj})) END)")
-            # series_decompose_forecast(series, points[, seasonality]):
-            # linear-trend forecast extended `points` past the observed
-            # range; with a seasonality period the zero-sum per-phase
-            # mean component (series_seasonal's convention) is added
-            # periodically. Documented subset of Kusto's plugin: trend
-            # = least-squares line, seasonal = periodic phase means —
-            # exactly oracle-able, unlike the reference's unpublished
-            # STL variant.
-            if len(args) not in (2, 3):
+            # series_decompose_forecast(series, points[, period
+            # [, trend[, seasonality_threshold]]]): linear-trend
+            # forecast extended `points` past the observed range; with
+            # a seasonality period the zero-sum per-phase mean
+            # component (series_seasonal's convention) is added
+            # periodically. Kusto's default trend IS 'linefit' — this
+            # engine's default matches; 'avg' and 'none' select the
+            # overall mean / zero trend (r13 probe sweep). Period -1
+            # auto-detects like series_decompose. Documented subset:
+            # seasonal = periodic phase means — exactly oracle-able,
+            # unlike the reference's unpublished STL variant.
+            if len(args) not in (2, 3, 4, 5):
                 raise ValueError(
                     "KQL: series_decompose_forecast(series, points"
-                    "[, seasonality])")
+                    "[, period[, trend[, seasonality_threshold]]]])")
             pts = args[1]
+            if len(args) >= 4:
+                tm = re.fullmatch(r"\s*'((?:[^'\\]|\\.)*)'\s*",
+                                  args[3])
+                if not tm or tm.group(1) not in ("avg", "linefit",
+                                                 "none"):
+                    raise ValueError(
+                        "KQL: forecast trend must be the literal "
+                        "'avg', 'linefit' or 'none'")
+                if tm.group(1) == "avg":
+                    slope, icept = "0.0", f"({sy} / {n})"
+                elif tm.group(1) == "none":
+                    slope, icept = "0.0", "0.0"
             total = f"(size({arr}) + CAST({pts} AS INT))"
             trend = f"({icept} + {slope} * CAST(__df_i AS DOUBLE))"
-            if len(args) == 3:
-                p = args[2]
+            if len(args) >= 3 and args[2].strip() not in ("0", "(0)"):
+                p = self._decompose_period_sql(
+                    args[0], args[2],
+                    args[4] if len(args) == 5 else "0.7")
+                p = f"greatest(({p}), 1)"
                 phase = (f"filter({pairs}, __df_q -> "
                          f"pmod(CAST(__df_q.i AS INT), {p}) "
                          f"= pmod(__df_i, {p}))")
@@ -2651,20 +2904,42 @@ class _ExprParser:
             return self._render_call("series_decompose_dynamic", args)
         if fname == "series_decompose_dynamic":
             # Full additive decomposition bag over the in-row series:
-            # seasonal (zero-sum periodic phase means), trend (trailing
-            # FIR of the period width), baseline = seasonal + trend,
-            # residual = series - baseline — the same composition the
-            # anomalies entry verifies piecewise, bundled Kusto-style.
-            # (Kusto's own trend default is lowess; this engine's
-            # documented decomposition is FIR — identical shape to the
-            # series_decompose_anomalies pipeline.)
-            if len(args) not in (1, 2):
+            # seasonal (zero-sum periodic phase means), trend, baseline
+            # = seasonal + trend, residual = series - baseline — the
+            # same composition the anomalies entry verifies piecewise,
+            # bundled Kusto-style. Full signature (r13 probe sweep):
+            # series_decompose(series[, period[, trend[, test_points
+            # [, seasonality_threshold]]]]) — period -1 auto-detects
+            # via the ACF peak-picker (accepted when its score clears
+            # seasonality_threshold, default 0.7; else no seasonal),
+            # period 0 disables the seasonal component; trend is the
+            # string LITERAL 'avg' (overall mean), 'linefit'
+            # (least-squares line) or 'none'. (Documented deviation:
+            # Kusto's own trend default is lowess; this engine's
+            # OMITTED-trend default is the trailing FIR of the period
+            # width — the pre-r13 contract the banked oracles pin.
+            # test_points is accepted at its default 0 only.)
+            if len(args) not in (1, 2, 3, 4, 5):
                 raise ValueError(
-                    "KQL: series_decompose(series[, period])")
+                    "KQL: series_decompose(series[, period[, trend"
+                    "[, test_points[, seasonality_threshold]]]])")
             arr = args[0]
-            per = args[1] if len(args) == 2 else "7"
-            seasonal = self._render_call("series_seasonal", [arr, per])
-            trend = self._render_call("series_fir", [arr, per])
+            per = args[1] if len(args) >= 2 else "7"
+            thr = args[4] if len(args) == 5 else "0.7"
+            if len(args) >= 4 and args[3].strip() not in ("0", "(0)"):
+                raise ValueError(
+                    "KQL: series_decompose test_points is supported "
+                    "at its default 0 only")
+            per_sql = self._decompose_period_sql(arr, per, thr)
+            # bind the resolved period ONCE (__dp0 hop): the
+            # auto-detect expression embeds the whole ACF machinery,
+            # and the period is spliced into every component's lambdas
+            # — textual composition would explode the Catalyst tree
+            # (same OOM class as the anomalies bind, below)
+            per = "__dp0.p"
+            trend = self._decompose_trend_sql(
+                arr, per, args[2] if len(args) >= 3 else None)
+            seasonal = self._decompose_seasonal_sql(arr, per)
             baseline = self._render_call("series_add",
                                          [seasonal, trend])
             resid = self._render_call("series_subtract",
@@ -2672,7 +2947,10 @@ class _ExprParser:
             obj = (f"named_struct('baseline', {baseline}, "
                    f"'seasonal', {seasonal}, 'trend', {trend}, "
                    f"'residual', {resid})")
-            return f"parse_json(to_json({obj}))"
+            nested = (f"element_at(transform(array(named_struct("
+                      f"'p', CAST({per_sql} AS INT))), "
+                      f"__dp0 -> {obj}), 1)")
+            return f"parse_json(to_json({nested}))"
         if fname == "series_decompose_anomalies":
             return self._render_call(
                 "series_decompose_anomalies_dynamic", args)
@@ -2680,32 +2958,66 @@ class _ExprParser:
             # Kusto's canonical anomaly pipeline bundled by name: the
             # exact composition the q_kql_series_anomalies entry
             # verifies piecewise — decompose (zero-sum seasonal +
-            # trailing-FIR trend), Tukey-fence scores on the residual,
-            # flags at +/-threshold (default 1.5). Returns the
-            # Kusto-shaped bag {ad_flag, ad_score, baseline};
-            # tuple-assign order via _MULTI_ASSIGN.
-            if len(args) not in (1, 2, 3):
+            # trend), Tukey-fence scores on the residual, flags at
+            # +/-threshold (default 1.5). Full signature (r13 probe
+            # sweep): series_decompose_anomalies(series[, threshold
+            # [, period[, trend[, test_points[, ad_method
+            # [, seasonality_threshold]]]]]]) — period -1/0 and the
+            # trend literals behave as in series_decompose (omitted
+            # trend keeps the engine's FIR default the banked oracles
+            # pin); ad_method is series_outliers' kind ('ctukey'
+            # default, like Kusto). Returns the Kusto-shaped bag
+            # {ad_flag, ad_score, baseline}; tuple-assign order via
+            # _MULTI_ASSIGN.
+            if len(args) not in (1, 2, 3, 4, 5, 6, 7):
                 raise ValueError(
-                    "KQL: series_decompose_anomalies(series"
-                    "[, threshold[, period]])")
+                    "KQL: series_decompose_anomalies(series[, "
+                    "threshold[, period[, trend[, test_points[, "
+                    "ad_method[, seasonality_threshold]]]]]])")
             arr = args[0]
             thr = args[1] if len(args) >= 2 else "1.5"
-            per = args[2] if len(args) == 3 else "7"
-            seasonal = self._render_call("series_seasonal", [arr, per])
-            trend = self._render_call("series_fir", [arr, per])
+            per = args[2] if len(args) >= 3 else "7"
+            if len(args) >= 5 and args[4].strip() not in ("0", "(0)"):
+                raise ValueError(
+                    "KQL: series_decompose_anomalies test_points is "
+                    "supported at its default 0 only")
+            sthr = args[6] if len(args) == 7 else "0.7"
+            per_sql = self._decompose_period_sql(arr, per, sthr)
+            per = "__dp0.p"  # bound once in the outermost hop below
+            trend = self._decompose_trend_sql(
+                arr, per, args[3] if len(args) >= 4 else None)
+            seasonal = self._decompose_seasonal_sql(arr, per)
             baseline = self._render_call("series_add",
                                          [seasonal, trend])
+            # bind-once struct hops: series_outliers splices its input
+            # ~10x textually — composing it directly over resid (which
+            # itself contains baseline/trend) multiplies the expression
+            # tree into a Catalyst OOM for the heavier trend modes
+            # (measured with 'linefit'). Each big component is bound
+            # exactly once; the single-element transform evaluates its
+            # body once (the established bind-once idiom).
             resid = self._render_call("series_subtract",
-                                      [arr, baseline])
-            score = self._render_call("series_outliers", [resid])
-            flag = (f"transform({score}, __sda_s -> "
+                                      [arr, "__an1.b"])
+            score = self._render_call(
+                "series_outliers",
+                ["__an2.r"] + ([args[5]] if len(args) >= 6 else []))
+            flag = (f"transform(__an3.sc, __sda_s -> "
                     f"CASE WHEN __sda_s IS NULL THEN NULL "
                     f"WHEN __sda_s > ({thr}) THEN 1 "
                     f"WHEN __sda_s < -({thr}) THEN -1 "
                     f"ELSE 0 END)")
             obj = (f"named_struct('ad_flag', {flag}, "
-                   f"'ad_score', {score}, 'baseline', {baseline})")
-            return f"parse_json(to_json({obj}))"
+                   f"'ad_score', __an3.sc, 'baseline', __an1.b)")
+            nested = (
+                f"element_at(transform(array(named_struct("
+                f"'p', CAST({per_sql} AS INT))), __dp0 -> "
+                f"element_at(transform(array(named_struct("
+                f"'b', {baseline})), __an1 -> "
+                f"element_at(transform(array(named_struct("
+                f"'r', {resid})), __an2 -> "
+                f"element_at(transform(array(named_struct("
+                f"'sc', {score})), __an3 -> {obj}), 1)), 1)), 1)), 1)")
+            return f"parse_json(to_json({nested}))"
         if fname == "series_periods_detect":
             return self._render_call("series_periods_detect_dynamic",
                                      args)
@@ -8024,10 +8336,50 @@ class KqlCompiler:
         merge, tiny result), (2) the projection adds one variant_get per
         discovered key, typed when the merged schema gives a scalar type
         and left dynamic otherwise."""
+        # Kusto's optional output-schema clause (r13 probe sweep):
+        # ``evaluate plugin(args) : (name:type, ...)`` — the declared
+        # schema is applied AFTER the plugin as a typed projection
+        # (missing columns become typed nulls, like Kusto's
+        # schema-bound evaluate; extras are dropped).
+        out_schema = None
+        sm = re.match(r"(.*\))\s*:\s*\(([^)]*)\)\s*$", rest, re.DOTALL)
+        if sm:
+            rest = sm.group(1)
+            out_schema = []
+            for part in sm.group(2).split(","):
+                nm, _, ty = part.partition(":")
+                if not nm.strip() or not ty.strip():
+                    raise ValueError(
+                        "KQL: evaluate output schema must be "
+                        "(name:type, ...)")
+                out_schema.append((nm.strip(), ty.strip().lower()))
         m = re.match(r"(\w+)\s*\((.*)\)\s*$", rest, re.DOTALL)
         if not m:
             raise ValueError("KQL: evaluate plugin(args)")
         plugin, argtext = m.group(1).lower(), m.group(2).strip()
+        if out_schema is not None:
+            out = self._evaluate(df, rest)
+            cols = []
+            for nm, ty in out_schema:
+                sqlt = {"string": "STRING", "long": "BIGINT",
+                        "int": "INT", "real": "DOUBLE",
+                        "double": "DOUBLE", "bool": "BOOLEAN",
+                        "boolean": "BOOLEAN", "datetime": "TIMESTAMP",
+                        "decimal": "DECIMAL(38,18)",
+                        "guid": "STRING"}.get(ty)
+                if ty == "dynamic":
+                    c = (F.col(nm) if nm in out.columns
+                         else F.expr("parse_json('null')"))
+                elif sqlt is None:
+                    raise ValueError(
+                        f"KQL: evaluate output schema: unsupported "
+                        f"type {ty!r}")
+                elif nm in out.columns:
+                    c = F.expr(f"try_cast(`{nm}` AS {sqlt})")
+                else:
+                    c = F.expr(f"CAST(NULL AS {sqlt})")
+                cols.append(c.alias(nm))
+            return out.select(*cols)
         if plugin == "pivot":
             return self._pivot(df, argtext)
         if plugin == "autocluster":
@@ -8334,6 +8686,9 @@ class KqlCompiler:
         "series_periods_detect": ("series_periods_detect_dynamic",
                                   [("periods", True),
                                    ("scores", True)]),
+        "series_periods_validate": ("series_periods_validate_dynamic",
+                                    [("periods", True),
+                                     ("scores", True)]),
         "series_fit_2lines": ("series_fit_2lines_dynamic",
                               [("rsquare", False), ("split_idx", False),
                                ("variance", False),

@@ -5899,8 +5899,8 @@ g AS (SELECT bs.b, days.day, COALESCE(du.n, 0) AS n
 st AS (SELECT b, list(CAST(n AS DOUBLE) ORDER BY n) AS l, COUNT(*) AS c
        FROM g GROUP BY b),
 qs AS (SELECT b,
-              l[greatest(CAST(ceil(c * 0.25) AS INT), 1)] AS q1,
-              l[greatest(CAST(ceil(c * 0.75) AS INT), 1)] AS q3
+              l[greatest(CAST(ceil(c * 0.10) AS INT), 1)] AS q1,
+              l[greatest(CAST(ceil(c * 0.90) AS INT), 1)] AS q3
        FROM st)
 SELECT CAST(g.b AS BIGINT) AS b, CAST(g.day AS BIGINT) AS day,
        CAST(g.n AS BIGINT) AS n,
@@ -5914,9 +5914,11 @@ FROM g JOIN qs ON g.b = qs.b
 """)
 def q_kql_series_outliers(spark, sf_dir):
     """KQL series_outliers: Tukey-fence anomaly score over each group's
-    daily count series (0 inside [q1-1.5·IQR, q3+1.5·IQR], signed
-    IQR-unit distance outside). Quartiles use the nearest-rank (ceil)
-    method so the DuckDB list-indexing twin reproduces them exactly.
+    daily count series (0 inside [q_lo-1.5·range, q_hi+1.5·range],
+    signed range-unit distance outside; Kusto's default kind 'ctukey'
+    = the 10th-90th percentile range since r13). Percentiles use the
+    nearest-rank (ceil) method so the DuckDB list-indexing twin
+    reproduces them exactly.
     The score is computed inside the series array — per group, one row,
     no extra shuffle — then exploded for the hash compare."""
     from azure_kusto_parquet_conv_spark.kql import kql
@@ -6251,8 +6253,8 @@ r AS (SELECT b, day, n, n - sm - (ph - ov) AS resid FROM s),
 st AS (SELECT b, list(resid ORDER BY resid) AS l, COUNT(*) AS c
        FROM r GROUP BY b),
 qs AS (SELECT b,
-              l[greatest(CAST(ceil(c * 0.25) AS INT), 1)] AS q1,
-              l[greatest(CAST(ceil(c * 0.75) AS INT), 1)] AS q3
+              l[greatest(CAST(ceil(c * 0.10) AS INT), 1)] AS q1,
+              l[greatest(CAST(ceil(c * 0.90) AS INT), 1)] AS q3
        FROM st)
 SELECT CAST(r.b AS BIGINT) AS b, CAST(r.day AS BIGINT) AS day,
        CAST(r.n AS BIGINT) AS n, {oround("r.resid", 4)} AS resid,

@@ -1090,8 +1090,11 @@ def test_series_fill_edges_stay_null_for_directional_fills(spark, sf_dir):
 
 
 def test_series_outliers_tukey(spark, sf_dir):
-    """Tukey-fence score: 0 inside the fences, signed IQR-units past
-    them, null passthrough for null points."""
+    """Tukey-fence score: 0 inside the fences, signed range-units past
+    them, null passthrough for null points. Kusto's default kind is
+    'ctukey' (10th-90th percentile range, r13 probe sweep); the
+    explicit 'tukey' kind gives the classic 25-75 quartiles, and
+    ctukey's percentiles are overridable."""
     row = kql(spark, sf_dir, """
       datatable (ts:datetime, v:real) [
         datetime(2024-01-01), 2.0,
@@ -1101,13 +1104,37 @@ def test_series_outliers_tukey(spark, sf_dir):
         datetime(2024-01-06), 3.0
       ]
       | make-series s=avg(v) default=null on ts step 1d
-      | extend o=series_outliers(s)
+      | extend o=series_outliers(s, 'tukey')
     """).collect()[0]
     # sorted non-null = [2,3,4,5,100]; nearest-rank q1=ceil(1.25)=2 -> 3,
     # q3=ceil(3.75)=4 -> 5; iqr=2; fences [0, 8]; 100 -> (100-8)/2 = 46
     assert row["o"][:4] == [0.0, 0.0, 0.0, 46.0]
     assert row["o"][4] is None  # the empty 01-05 bin (default=null)
     assert row["o"][5] == 0.0
+    # default = ctukey 10-90: q_lo=ceil(0.5)=1 -> 2, q_hi=ceil(4.5)=5
+    # -> 100; range=98; fences [-145, 247] swallow everything
+    d = kql(spark, sf_dir, """
+      print s = pack_array(2.0, 4.0, 5.0, 100.0, 3.0)
+        | extend o = series_outliers(s)
+    """).collect()[0]
+    assert d["o"] == [0.0, 0.0, 0.0, 0.0, 0.0]
+    # ctukey with custom 25-75 percentiles == explicit tukey
+    c = kql(spark, sf_dir, """
+      print s = pack_array(2.0, 4.0, 5.0, 100.0, 3.0)
+        | extend o = series_outliers(s, 'ctukey', 0.0, 25, 75)
+    """).collect()[0]
+    assert c["o"] == [0.0, 0.0, 0.0, 46.0, 0.0]
+    # ignore_val points are treated as missing: excluded from the
+    # percentiles and scored null
+    g = kql(spark, sf_dir, """
+      print s = pack_array(2.0, 4.0, -1.0, 5.0, 100.0, 3.0)
+        | extend o = series_outliers(s, 'tukey', -1.0)
+    """).collect()[0]
+    assert g["o"] == [0.0, 0.0, None, 0.0, 46.0, 0.0]
+    import pytest
+    with pytest.raises(ValueError, match="tukey"):
+        kql(spark, sf_dir, "print s = pack_array(1.0) "
+                           "| extend o = series_outliers(s, 'mad')")
 
 
 def test_series_arithmetic_zip(spark, sf_dir):
@@ -2714,7 +2741,9 @@ def test_series_decompose_anomalies(spark, sf_dir):
     tuple-assign form exposes Kusto's (ad_flag, ad_score, baseline)
     order."""
     base = [1, 2, 3, 4, 5, 6, 7] * 3
-    base[9] = 100
+    # spike sized for the r13 ctukey default (10th-90th percentile
+    # range): a 100 plant scores 1.45 — just under the 1.5 flag line
+    base[9] = 1000
     arr = ", ".join(str(v) for v in base)
     import json
 
@@ -7264,3 +7293,154 @@ def test_r12_review_fixes(spark, sf_dir):
         | summarize p = percentilew(v, w, 50) by k2
     """).collect()
     assert len(rows) == 1 and rows[0]["p"] == 1.0
+
+
+def test_series_fir_kusto_filter_forms(spark, sf_dir):
+    """r13 probe sweep: series_fir's documented signature takes a
+    coefficient ARRAY (zero-padded convolution, normalize default =
+    all-coefficients-non-negative, center shifts the window) — the
+    numeric-width trailing average stays as the engine extension the
+    decompose internals and banked oracles use."""
+    g = lambda q: kql(spark, sf_dir, q).collect()[0]["f"]
+    # the Kusto doc example: 5-tap normalized MA over a step
+    assert g("print s = pack_array(0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0,"
+             "0.0,10.0,10.0,10.0,0.0,0.0,0.0,0.0) "
+             "| extend f = series_fir(s, dynamic([1,1,1,1,1]))") == \
+        [0.0]*9 + [2.0, 4.0, 6.0, 6.0, 6.0, 4.0, 2.0]
+    # centered, unnormalized 3-tap box
+    assert g("print s = pack_array(0.0, 0.0, 10.0, 0.0, 0.0) "
+             "| extend f = series_fir(s, dynamic([1,1,1]), false, "
+             "true)") == [0.0, 10.0, 10.0, 10.0, 0.0]
+    # negative coefficient + omitted normalize -> unnormalized diff
+    assert g("print s = pack_array(1.0, 3.0, 6.0, 10.0) "
+             "| extend f = series_fir(s, dynamic([1, -1]))") == \
+        [1.0, 2.0, 3.0, 4.0]
+    # legacy numeric width: trailing average over the ACTUAL window
+    assert g("print s = pack_array(2.0, 4.0, 6.0) "
+             "| extend f = series_fir(s, 2)") == [2.0, 3.0, 5.0]
+
+
+def test_series_fill_extended_args(spark, sf_dir):
+    """r13 probe sweep: the fill family's optional arguments —
+    constant default 0, missing-value placeholders, and
+    series_fill_linear's fill_edges/constant_value."""
+    r = kql(spark, sf_dir, """
+      print s = pack_array(null, 2.0, null, 4.0, null)
+        | extend c0 = series_fill_const(s),
+                 lin = series_fill_linear(s),
+                 lo = series_fill_linear(s, real(null), false),
+                 lc = series_fill_linear(s, real(null), false, -9.0)
+    """).collect()[0]
+    assert r["c0"] == [0.0, 2.0, 0.0, 4.0, 0.0]
+    assert r["lin"] == [2.0, 2.0, 3.0, 4.0, 4.0]
+    assert r["lo"] == [None, 2.0, 3.0, 4.0, None]
+    assert r["lc"] == [-9.0, 2.0, 3.0, 4.0, -9.0]
+    # sentinel placeholder counts as missing for the directional fills
+    p = kql(spark, sf_dir, """
+      print s = pack_array(1.0, -1.0, 3.0)
+        | extend ff = series_fill_forward(s, -1.0),
+                 bf = series_fill_backward(s, -1.0),
+                 lp = series_fill_linear(s, -1.0)
+    """).collect()[0]
+    assert p["ff"] == [1.0, 1.0, 3.0]
+    assert p["bf"] == [1.0, 3.0, 3.0]
+    assert p["lp"] == [1.0, 2.0, 3.0]
+
+
+def test_series_decompose_extended_args(spark, sf_dir):
+    """r13 probe sweep: decompose-family trend modes ('avg'/'linefit'/
+    'none'), period 0 (no seasonal) and -1 (ACF auto-detect gated by
+    the seasonality threshold), anomalies ad_method, forecast trend."""
+    import json
+    r = kql(spark, sf_dir, """
+      print s = pack_array(1.0, 2.0, 3.0, 4.0, 5.0, 6.0)
+        | extend (b1, se1, t1) = series_decompose(s, 0, 'avg'),
+                 (b2, se2, t2) = series_decompose(s, 0, 'linefit'),
+                 (b3, se3, t3) = series_decompose(s, 0, 'none')
+        | project t1 = tostring(t1), t2 = tostring(t2),
+                  t3 = tostring(t3), se1 = tostring(se1)
+    """).collect()[0]
+    assert json.loads(r["t1"]) == [3.5] * 6        # overall mean
+    assert [round(v, 9) for v in json.loads(r["t2"])] == \
+        [1.0, 2.0, 3.0, 4.0, 5.0, 6.0]             # perfect line
+    assert json.loads(r["t3"]) == [0] * 6
+    assert json.loads(r["se1"]) == [0] * 6         # period 0: no seasonal
+    # period -1 auto-detects the planted period 3 (threshold met)
+    a = kql(spark, sf_dir, """
+      print s = pack_array(1.0, 5.0, 9.0, 1.0, 5.0, 9.0,
+                           1.0, 5.0, 9.0, 1.0, 5.0, 9.0)
+        | extend (pd, sc) = series_periods_detect(s, 2, 6, 1)
+        | extend (b, se, tr, rs) = series_decompose(s, -1, 'avg')
+        | project pd = tostring(pd), rs = tostring(rs)
+    """).collect()[0]
+    assert json.loads(a["pd"])[0] == 3.0
+    # with trend 'avg' and a detected period 3, seasonal+trend
+    # reproduces the series exactly away from edges: residual ~ 0
+    assert all(abs(v) < 1e-9 for v in json.loads(a["rs"]))
+    # anomalies: explicit ad_method + linefit trend compile and flag
+    f = kql(spark, sf_dir, """
+      print s = pack_array(1.0, 2.0, 3.0, 4.0, 100.0, 6.0, 7.0, 8.0)
+        | extend (fl, sc, b) = series_decompose_anomalies(
+            s, 1.5, 0, 'linefit', 0, 'tukey')
+        | project fl = tostring(fl)
+    """).collect()[0]
+    import json
+    assert json.loads(f["fl"])[4] == 1
+    # forecast trend modes
+    fc = kql(spark, sf_dir, """
+      print s = pack_array(2.0, 2.0, 2.0, 2.0)
+        | extend f1 = series_decompose_forecast(s, 2, 0, 'avg'),
+                 f0 = series_decompose_forecast(s, 2, 0, 'none')
+    """).collect()[0]
+    assert fc["f1"] == [2.0] * 6
+    assert fc["f0"] == [0.0] * 6
+
+
+def test_series_scalar_broadcast_and_stats_nonfinite(spark, sf_dir):
+    """r13 probe sweep: binary series arithmetic broadcasts a numeric
+    scalar operand (either side); series_stats(s, true) ignores
+    non-finite points while keeping original indexes."""
+    r = kql(spark, sf_dir, """
+      print s = pack_array(1.0, 2.0, 4.0)
+        | extend m = series_multiply(s, 10),
+                 d = series_divide(100, s),
+                 p = series_pow(s, 2),
+                 q = series_pow(2, s)
+    """).collect()[0]
+    assert r["m"] == [10.0, 20.0, 40.0]
+    assert r["d"] == [100.0, 50.0, 25.0]
+    assert r["p"] == [1.0, 4.0, 16.0]
+    assert r["q"] == [2.0, 4.0, 16.0]
+    st = kql(spark, sf_dir, """
+      print s = pack_array(5.0, real(inf), 1.0)
+        | extend (mn, mnidx, mx, mxidx) = series_stats(s, true)
+    """).collect()[0]
+    assert (st["mn"], st["mnidx"], st["mx"], st["mxidx"]) == \
+        (1.0, 2, 5.0, 0)
+    # periods_validate joins the tuple-assign surface
+    import json
+    pv = kql(spark, sf_dir, """
+      print s = pack_array(1.0, 5.0, 9.0, 1.0, 5.0, 9.0, 1.0, 5.0, 9.0)
+        | extend (pd, sc) = series_periods_validate(s, 3, 4)
+        | project pd = tostring(pd), sc = tostring(sc)
+    """).collect()[0]
+    assert json.loads(pv["pd"]) == [3.0, 4.0]
+    sc = json.loads(pv["sc"])
+    assert sc[0] > sc[1]
+
+
+def test_evaluate_output_schema_clause(spark, sf_dir):
+    """r13 probe sweep: ``evaluate plugin(...) : (name:type, ...)`` —
+    the declared schema applies as a typed projection after the
+    plugin (missing columns -> typed nulls, extras dropped)."""
+    row = kql(spark, sf_dir, """
+      datatable (k:string) ['a']
+        | extend b = dynamic({"x": 1, "y": "s"})
+        | evaluate bag_unpack(b) : (k:string, x:long, y:string, z:real)
+    """).collect()[0]
+    assert (row["k"], row["x"], row["y"], row["z"]) == ("a", 1, "s", None)
+    import pytest
+    with pytest.raises(ValueError, match="unsupported type"):
+        kql(spark, sf_dir, "datatable (k:string) ['a'] "
+            "| extend b = dynamic({\"x\": 1}) "
+            "| evaluate bag_unpack(b) : (x:frobnicate)")
