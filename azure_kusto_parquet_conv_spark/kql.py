@@ -2252,7 +2252,8 @@ class _ExprParser:
         if fname in ("parse_ipv4", "parse_ipv4_mask", "ipv4_is_private",
                      "ipv4_is_in_range", "format_ipv4",
                      "format_ipv4_mask", "ipv4_netmask_suffix",
-                     "ipv4_compare", "ipv4_is_match"):
+                     "ipv4_compare", "ipv4_is_match",
+                     "ipv4_range_to_cidr_list"):
             return self._ipv4_fn(fname, args)
         if fname in ("has_ipv4", "has_any_ipv4", "has_ipv4_prefix",
                      "has_any_ipv4_prefix", "ipv4_is_in_any_range"):
@@ -3870,6 +3871,45 @@ class _ExprParser:
                       f"32 - ({pfx})) - 1))")
             return (f"(CASE WHEN {valid} AND ({pfx}) BETWEEN 0 AND 32 "
                     f"THEN {masked} ELSE NULL END)")
+        if fname == "ipv4_range_to_cidr_list":
+            # Kusto: the minimal CIDR list covering [start_ip, end_ip]
+            # (r13 probe sweep). Classic greedy: at each step take the
+            # largest power-of-two block that is BOTH aligned at the
+            # cursor (cur & -cur) and fits in the remainder; an IPv4
+            # range needs at most 64 blocks, so a bounded fold over
+            # sequence(1, 64) is exact — pure JVM integer/bit codegen,
+            # zero Python. Invalid addresses or start > end -> null.
+            if len(args) != 2:
+                raise ValueError(
+                    "KQL: ipv4_range_to_cidr_list(start_ip, end_ip)")
+            sv, sn = self._ipv4_num(f"CAST({args[0]} AS STRING)")
+            ev, en = self._ipv4_num(f"CAST({args[1]} AS STRING)")
+            low = (f"(CASE WHEN __cr_s.c = 0 THEN 4294967296 "
+                   f"ELSE __cr_s.c & -__cr_s.c END)")
+            blk = (f"least({low}, shiftleft(CAST(1 AS BIGINT), "
+                   f"CAST(floor(log2(CAST(__cr_s.e - __cr_s.c + 1 "
+                   f"AS DOUBLE)) + 1e-9) AS INT)))")
+            quad = (f"concat_ws('.', "
+                    f"shiftright(__cr_s.c, 24) & 255, "
+                    f"shiftright(__cr_s.c, 16) & 255, "
+                    f"shiftright(__cr_s.c, 8) & 255, "
+                    f"__cr_s.c & 255)")
+            pfx = (f"(32 - CAST(floor(log2(CAST(__cr_b AS DOUBLE)) "
+                   f"+ 0.5) AS INT))")
+            step = (
+                f"(__cr_s, __cr_i) -> CASE WHEN __cr_s.c > __cr_s.e "
+                f"THEN __cr_s ELSE element_at(transform(array({blk}), "
+                f"__cr_b -> named_struct("
+                f"'c', __cr_s.c + __cr_b, 'e', __cr_s.e, "
+                f"'a', array_append(__cr_s.a, "
+                f"concat({quad}, '/', {pfx})))), 1) END")
+            fold = (f"aggregate(sequence(1, 64), named_struct("
+                    f"'c', {sn}, 'e', {en}, "
+                    f"'a', CAST(array() AS ARRAY<STRING>)), {step}, "
+                    f"__cr_f -> __cr_f.a)")
+            return (f"(CASE WHEN {sv} AND {ev} AND {sn} <= {en} "
+                    f"THEN parse_json(to_json({fold})) "
+                    f"ELSE NULL END)")
         if fname in ("format_ipv4", "format_ipv4_mask"):
             # render a numeric OR dotted-quad input back to a dotted
             # quad, masked to `prefix` (2nd arg; else the input's own

@@ -7444,3 +7444,32 @@ def test_evaluate_output_schema_clause(spark, sf_dir):
         kql(spark, sf_dir, "datatable (k:string) ['a'] "
             "| extend b = dynamic({\"x\": 1}) "
             "| evaluate bag_unpack(b) : (x:frobnicate)")
+
+
+def test_ipv4_range_to_cidr_list(spark, sf_dir):
+    """r13 probe sweep: the minimal CIDR cover of an inclusive IPv4
+    range — greedy largest aligned block, bounded 64-step fold, pure
+    integer codegen. Invalid input or start > end yields null."""
+    import json
+    g = lambda q: kql(spark, sf_dir, q).collect()[0]["c"]
+    r = g("print c = tostring(ipv4_range_to_cidr_list("
+          "'192.168.1.0', '192.168.1.255'))")
+    assert json.loads(r) == ["192.168.1.0/24"]
+    # the classic awkward range: 10.0.0.5 - 10.0.0.16
+    r = g("print c = tostring(ipv4_range_to_cidr_list("
+          "'10.0.0.5', '10.0.0.16'))")
+    assert json.loads(r) == ["10.0.0.5/32", "10.0.0.6/31",
+                             "10.0.0.8/29", "10.0.0.16/32"]
+    # single address; full space alignment at 0
+    assert json.loads(g("print c = tostring(ipv4_range_to_cidr_list("
+                        "'1.2.3.4', '1.2.3.4'))")) == ["1.2.3.4/32"]
+    assert json.loads(g("print c = tostring(ipv4_range_to_cidr_list("
+                        "'0.0.0.0', '255.255.255.255'))")) == \
+        ["0.0.0.0/0"]
+    # invalid / reversed -> null
+    row = kql(spark, sf_dir, """
+      print a = ipv4_range_to_cidr_list('bogus', '1.2.3.4'),
+            b = ipv4_range_to_cidr_list('2.0.0.0', '1.0.0.0')
+        | project a = tostring(a), b = tostring(b)
+    """).collect()[0]
+    assert row["a"] in ("", None) and row["b"] in ("", None)
