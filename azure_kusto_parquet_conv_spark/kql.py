@@ -5850,6 +5850,9 @@ _JOIN_KINDS = {
     "inner": "inner", "left": "left", "leftouter": "left",
     "right": "right", "rightouter": "right", "fullouter": "outer",
     "leftsemi": "left_semi", "leftanti": "left_anti",
+    # Kusto's documented aliases (r13 probe sweep)
+    "anti": "left_anti", "leftantisemi": "left_anti",
+    "semi": "left_semi",
 }
 
 def _register_series_fft_udfs(spark: SparkSession) -> None:
@@ -7599,6 +7602,30 @@ class KqlCompiler:
             return self._externaldata(text)
         if re.match(r"find\b", text):
             return self._find(text)
+        if re.match(r"search\b", text):
+            # source-position search (r13 probe sweep):
+            # `search [kind=...] [in (T1, T2, ...)] 'term'` — the
+            # in-list unions by name like find, then the piped search
+            # operator's OR-of-Contains predicate applies
+            ms = re.match(r"search\s+(?P<kind>kind\s*=\s*\w+\s+)?"
+                          r"(?:in\s*\((?P<tabs>[^)]*)\)\s*)?"
+                          r"(?P<term>.+)$", text, re.DOTALL)
+            if ms and ms.group("tabs"):
+                names = [t.strip() for t in ms.group("tabs").split(",")
+                         if t.strip()]
+                out = None
+                for n in names:
+                    t = (self._lets[n] if n in self._lets
+                         else self.table(n))
+                    t = t.withColumn("source_", F.lit(n))
+                    out = t if out is None else out.unionByName(
+                        t, allowMissingColumns=True)
+                return self._apply(
+                    out, f"search {ms.group('kind') or ''}"
+                         f"{ms.group('term').strip()}")
+            raise ValueError(
+                "KQL: source-position search needs in (T1, ...) — "
+                "pipe a table into `| search 'term'` otherwise")
         if re.match(r"union\b", text):
             # Kusto's source-position union: `union T1, T2 | ...`
             return self._union(None, text[len("union"):].strip())
@@ -7661,7 +7688,25 @@ class KqlCompiler:
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p, allowMissingColumns=True)
-        sql = _compile_expr_tokens(_tokenize(m.group("pred")), out)
+        pred = m.group("pred").strip()
+        pm = re.fullmatch(
+            r"\*\s+(?P<op>has|has_cs|contains|contains_cs|hasprefix|"
+            r"hassuffix|startswith|endswith)\s+"
+            r"(?P<lit>'(?:[^'\\]|\\.)*'|\"(?:[^\"\\]|\\.)*\")\s*",
+            pred, re.DOTALL)
+        if pm:
+            # Kusto's canonical `where * has 'term'` form (r13 probe
+            # sweep): the wildcard expands to an OR over every string
+            # column of the union (identifier-safe names; the same
+            # column scope the piped search operator uses)
+            cols = [f.name for f in out.schema.fields
+                    if f.dataType.typeName() == "string"
+                    and re.fullmatch(r"[A-Za-z_]\w*", f.name)]
+            if not cols:
+                raise ValueError("KQL: find * found no string columns")
+            pred = " or ".join(
+                f"{c} {pm.group('op')} {pm.group('lit')}" for c in cols)
+        sql = _compile_expr_tokens(_tokenize(pred), out)
         return out.where(F.expr(sql))
 
     def _externaldata(self, text: str) -> DataFrame:
@@ -7844,6 +7889,11 @@ class KqlCompiler:
                 # index, then row position) without touching the schema
                 self._order = [F.monotonically_increasing_id().asc()]
                 self._order_sql = ["monotonically_increasing_id() ASC"]
+            if rest.strip():
+                # Kusto: `serialize name = expr, ...` — the operator
+                # takes extend-style assignments evaluated AFTER the
+                # order freezes (r13 probe sweep)
+                return self._apply(df, f"extend {rest}")
             return df
         if op == "partition":
             return self._partition_by(df, rest)
@@ -8102,6 +8152,16 @@ class KqlCompiler:
                         return g[:j], ct
                 return g, None
 
+            # `kind=array|bag` prefix (r13 probe sweep): array is the
+            # default expansion; bag expands an object dynamic into
+            # single-property bags — exactly what the expansion branch
+            # below already does for object inputs, so both spellings
+            # dispatch to the same code path
+            mk = re.match(r"(?:kind\s*=\s*(array|bag)\s+"
+                          r"|bagexpansion\s*=\s*(array|bag)\s+)(.*)$",
+                          rest, re.DOTALL)
+            if mk:
+                rest = mk.group(3)
             # `with_itemindex=name` prefix: emit the 0-based element
             # position (posexplode / the shared zip position)
             idx_col = None
@@ -10435,6 +10495,20 @@ class KqlCompiler:
         if not m:
             raise ValueError("KQL: mv-apply col = expr on ( ... )")
         head = m.group("head")
+        # `with_itemindex = name` prefix: emit the 0-based element
+        # index alongside each expanded element (r13 probe sweep)
+        idx_name = None
+        mi = re.match(r"with_itemindex\s*=\s*([A-Za-z_]\w*)\s+(.*)$",
+                      head, re.DOTALL)
+        if mi:
+            idx_name, head = mi.group(1), mi.group(2)
+        # trailing `limit N`: keep only the first N elements per
+        # record BEFORE the subquery runs (r13 probe sweep)
+        lim = None
+        ml = re.search(r"\s+limit\s+(\d+)\s*$", head)
+        if ml:
+            lim = int(ml.group(1))
+            head = head[:ml.start()]
         # `to typeof(t)`: cast each expanded element (the standard Kusto
         # idiom for typing dynamic-array elements)
         mt = re.search(r"\s+to\s+typeof\s*\(\s*(\w+)\s*\)\s*$", head)
@@ -10468,8 +10542,26 @@ class KqlCompiler:
                      r"Deduplicate|Distinct|Intersect|Except)\b", plan):
             df = df.localCheckpoint(eager=True)
         name, sql = _named_expr(groups[0], df, "value")
-        out = (df.withColumn(rid, F.monotonically_increasing_id())
-                 .withColumn(name, F.explode(_explodable(df, sql))))
+        base = df.withColumn(rid, F.monotonically_increasing_id())
+        if idx_name is not None or lim is not None:
+            # positional explode path: the element index feeds
+            # with_itemindex and/or the per-record limit
+            out = base.select(
+                "*", F.posexplode(_explodable(df, sql))
+                      .alias("__mv_pos", "__mv_val"))
+            if lim is not None:
+                out = out.where(F.col("__mv_pos") < lim)
+            # bare `mv-apply a on ...` rebinds the source column to
+            # the element (drop is a no-op when the name is new)
+            out = out.drop(name).withColumnRenamed("__mv_val", name)
+            if idx_name is not None:
+                out = out.withColumnRenamed("__mv_pos", idx_name) \
+                         .withColumn(idx_name,
+                                     F.col(idx_name).cast("long"))
+            else:
+                out = out.drop("__mv_pos")
+        else:
+            out = base.withColumn(name, F.explode(_explodable(df, sql)))
         if cast_t:
             out = out.withColumn(name, F.col(name).cast(cast_t))
         for stage in _split_pipes(m.group("sub")):
@@ -10540,20 +10632,30 @@ class KqlCompiler:
         from pyspark.sql import Window
 
         levels = []
-        for part in re.split(r",\s*top-nested\s+", rest.strip()):
-            m = re.match(r"(\d+)\s+of\s+([A-Za-z_]\w*)"
+        for i, part in enumerate(re.split(r",\s*top-nested\s+",
+                                          rest.strip())):
+            m = re.match(r"(\d+)\s+of\s+(?P<of>.+?)"
                          r"(?:\s+with\s+others\s*=\s*"
                          r"(?P<oth>'[^']*'|\"[^\"]*\"))?"
                          r"\s+by\s+(.*)$",
                          part, re.DOTALL)
             if not m:
                 raise ValueError(
-                    "KQL: top-nested N of <col> [with others = 'label'] "
-                    "by <agg> [, top-nested ...]")
+                    "KQL: top-nested N of <col|name = expr> [with "
+                    "others = 'label'] by <agg> [, top-nested ...]")
+            # `of` accepts a named or bare EXPRESSION, not just a
+            # column (r13 probe sweep) — computed keys materialize as
+            # columns before the level aggregates group on them
+            of_toks = _tokenize(m.group("of"))
+            if len(of_toks) == 1 and of_toks[0].kind == "ident":
+                col = of_toks[0].text
+            else:
+                col, csql = _named_expr(of_toks, df, f"level{i}")
+                df = df.withColumn(col, F.expr(csql))
             name, sql = _named_expr(_tokenize(m.group(4)), df,
-                                    f"aggregated_{m.group(2)}")
+                                    f"aggregated_{col}")
             oth = m.group("oth")
-            levels.append((int(m.group(1)), m.group(2), name, sql,
+            levels.append((int(m.group(1)), col, name, sql,
                            oth[1:-1] if oth else None))
         if any(lab is not None for *_, lab in levels[:-1]):
             raise ValueError(
@@ -11722,7 +11824,29 @@ class KqlCompiler:
         if kind is None:
             raise ValueError(f"KQL: unsupported lookup kind {m.group(1)!r}")
         right = self.compile(m.group("sub").strip())
-        keys = [k.strip() for k in m.group("on").split(",")]
+        on_text = m.group("on").strip()
+        if "$left" in on_text:
+            # qualified form: on $left.x == $right.y [and ...]
+            # (r13 probe sweep) — differing key names join like the
+            # join operator's qualified clause; the right key column
+            # is dropped afterwards, matching the bare-key output
+            pairs = []
+            for part in re.split(r"\band\b", on_text,
+                                 flags=re.IGNORECASE):
+                m2 = re.fullmatch(
+                    r"\s*\$left\.(\w+)\s*==\s*\$right\.(\w+)\s*", part)
+                if not m2:
+                    raise ValueError(
+                        f"KQL: bad lookup condition {part!r}")
+                pairs.append((m2.group(1), m2.group(2)))
+            right = F.broadcast(right)
+            conds = None
+            for lk, rk in pairs:
+                c = df[lk] == right[rk]
+                conds = c if conds is None else (conds & c)
+            out = df.join(right, conds, kind)
+            return out.drop(*[right[rk] for _, rk in pairs])
+        keys = [k.strip() for k in on_text.split(",")]
         return df.join(F.broadcast(right), keys, kind)
 
     def _make_series(self, df: DataFrame, rest: str) -> DataFrame:
@@ -11740,8 +11864,8 @@ class KqlCompiler:
                      r"(?:\s+default\s*=\s*(?P<dflt>real\s*\(\s*null\s*\)"
                      r"|null|-?\d+(?:\.\d+)?))?"
                      r"\s+on\s+(?P<ts>\w+)"
-                     r"(?:\s+from\s+(?P<from>datetime\s*\([^)]*\)|\S+)"
-                     r"\s+to\s+(?P<to>datetime\s*\([^)]*\)|\S+))?"
+                     r"(?:\s+from\s+(?P<from>datetime\s*\([^)]*\)|\S+))?"
+                     r"(?:\s+to\s+(?P<to>datetime\s*\([^)]*\)|\S+))?"
                      r"\s+step\s+"
                      r"(?P<step>\S+)(?:\s+by\s+(?P<by>.+))?$",
                      rest, re.DOTALL)
@@ -11766,19 +11890,27 @@ class KqlCompiler:
             aggs[-1] = (*aggs[-1][:2], m.group("dflt"))
         step_us = _timespan_to_us(m.group("step"))
         ts_name = m.group("ts")
-        if m.group("from"):
-            # explicit range: bins anchor at `from` (bin_at semantics),
-            # rows outside [from, to) are excluded, and the grid comes
-            # from a constant-folded sequence — no second pass over the
-            # pre-aggregate to discover the range
-            start = _compile_expr_tokens(_tokenize(m.group("from")), df)
-            end = _compile_expr_tokens(_tokenize(m.group("to")), df)
+        start = (_compile_expr_tokens(_tokenize(m.group("from")), df)
+                 if m.group("from") else None)
+        end = (_compile_expr_tokens(_tokenize(m.group("to")), df)
+               if m.group("to") else None)
+        if start is not None:
+            # explicit start: bins anchor at `from` (bin_at semantics)
+            # and rows before it are excluded
             bin_col = F.expr(
                 f"timestamp_micros(unix_micros({start}) + "
                 f"((unix_micros(`{ts_name}`) - unix_micros({start})) "
                 f"div {step_us}) * {step_us})")
-            df = df.where(F.expr(
-                f"`{ts_name}` >= {start} AND `{ts_name}` < {end}"))
+            df = df.where(F.expr(f"`{ts_name}` >= {start}"))
+        else:
+            bin_col = F.expr(
+                f"timestamp_micros((unix_micros(`{ts_name}`)"
+                f" div {step_us}) * {step_us})")
+        if end is not None:
+            df = df.where(F.expr(f"`{ts_name}` < {end}"))
+        if start is not None and end is not None:
+            # both bounds: the grid is a constant-folded sequence — no
+            # second pass over the pre-aggregate to discover the range
             last = (f"timestamp_micros(unix_micros({start}) + "
                     f"((unix_micros({end}) - unix_micros({start}) - 1) "
                     f"div {step_us}) * {step_us})")
@@ -11788,14 +11920,23 @@ class KqlCompiler:
             bins = (self.spark.range(1)
                     .select(F.explode(F.expr(bins_expr)).alias("__bin")))
         else:
-            bin_col = F.expr(
-                f"timestamp_micros((unix_micros(`{ts_name}`)"
-                f" div {step_us}) * {step_us})")
+            # from-only / to-only (r13 probe sweep): the open side of
+            # the grid comes from the observed data, the bounded side
+            # from the bound itself (handled in the range row below)
             bins = None
         keys = []
         if m.group("by"):
-            keys = [g[0].text
-                    for g in _split_top_commas(_tokenize(m.group("by")))]
+            # `by` accepts named/bare expressions, not just columns
+            # (r13 probe sweep): computed keys materialize as columns
+            # before the pre-aggregate
+            for i, g in enumerate(
+                    _split_top_commas(_tokenize(m.group("by")))):
+                if len(g) == 1 and g[0].kind == "ident":
+                    keys.append(g[0].text)
+                    continue
+                kname, ksql = _named_expr(g, df, f"key{i}")
+                df = df.withColumn(kname, F.expr(ksql))
+                keys.append(kname)
         pre = (df.withColumn("__bin", bin_col)
                  .groupBy(*keys, "__bin")
                  .agg(*[F.expr(sql).alias(f"__v{i}")
@@ -11805,9 +11946,26 @@ class KqlCompiler:
         # series_fill_* interpolation family); the range row is a
         # single-row agg, the exploded grid is calendar-sized
         if bins is None:
-            bins = (pre.agg(F.min("__bin").alias("__mn"),
-                            F.max("__bin").alias("__mx"))
-                       .where(F.col("__mn").isNotNull())
+            rng = pre.agg(F.min("__bin").alias("__mn"),
+                          F.max("__bin").alias("__mx"))
+            if start is not None:
+                # from-only: the grid starts at the anchor even when
+                # the first observed bin is later
+                rng = rng.select(
+                    F.expr(f"CAST({start} AS TIMESTAMP)").alias("__mn"),
+                    F.col("__mx"))
+            if end is not None:
+                # to-only: the grid runs through the last bin before
+                # `to` even when the data stops earlier
+                anchor = f"unix_micros({start})" if start is not None \
+                    else "CAST(0 AS BIGINT)"
+                rng = rng.select(
+                    F.col("__mn"),
+                    F.expr(f"timestamp_micros({anchor} + "
+                           f"((unix_micros({end}) - {anchor} - 1) "
+                           f"div {step_us}) * {step_us})").alias("__mx"))
+            bins = (rng.where("__mn IS NOT NULL AND __mx IS NOT NULL "
+                              "AND __mx >= __mn")
                        .select(F.explode(F.expr(
                            f"sequence(__mn, __mx, interval {step_us} "
                            f"microsecond)")).alias("__bin")))
@@ -12793,6 +12951,8 @@ class KqlCompiler:
             # join keys (one arbitrary row per key) before an inner join
             df = df.dropDuplicates([lk for lk, _ in pairs])
             kindraw = "inner"
+        if kindraw == "rightantisemi":
+            kindraw = "rightanti"  # Kusto alias (r13 probe sweep)
         if kindraw in ("rightsemi", "rightanti"):
             # Spark only has left-side semi/anti: swap sides (output
             # columns are the right operand's, per Kusto)

@@ -7473,3 +7473,70 @@ def test_ipv4_range_to_cidr_list(spark, sf_dir):
         | project a = tostring(a), b = tostring(b)
     """).collect()[0]
     assert row["a"] in ("", None) and row["b"] in ("", None)
+
+
+def test_make_series_open_range_and_by_expr(spark, sf_dir):
+    """r13 probe sweep: make-series with only `from` or only `to`
+    (the open side comes from the data, the bounded side from the
+    bound), and computed/named `by` keys."""
+    base = ("datatable (ts:datetime, u:long) ["
+            "datetime(2024-01-02), 0, datetime(2024-01-03), 1, "
+            "datetime(2024-01-04), 0]")
+    r = kql(spark, sf_dir, base + """
+      | make-series n = count() on ts from datetime(2024-01-01) step 1d
+    """).collect()[0]
+    assert [v for v in r["n"]] == [0, 1, 1, 1]  # grid starts at `from`
+    r = kql(spark, sf_dir, base + """
+      | make-series n = count() on ts to datetime(2024-01-07) step 1d
+    """).collect()[0]
+    assert [v for v in r["n"]] == [1, 1, 1, 0, 0]  # runs through 01-06
+    rows = {r["b"]: list(r["n"]) for r in kql(spark, sf_dir, base + """
+      | make-series n = count() on ts step 1d by b = u % 2
+    """).collect()}
+    assert rows == {0: [1, 0, 1], 1: [0, 1, 0]}
+
+
+def test_mv_apply_itemindex_and_limit(spark, sf_dir):
+    """r13 probe sweep: mv-apply's with_itemindex and per-record
+    limit (applied BEFORE the subquery)."""
+    r = kql(spark, sf_dir, """
+      datatable (k:string, a:dynamic) ['x', dynamic([7, 8, 9])]
+        | mv-apply with_itemindex = i a to typeof(long) on (
+            summarize mx = max(i), s = sum(a))
+    """).collect()[0]
+    assert (r["mx"], r["s"]) == (2, 24)
+    r = kql(spark, sf_dir, """
+      datatable (k:string, a:dynamic) ['x', dynamic([1, 2, 3, 4])]
+        | mv-apply a to typeof(long) limit 2 on (
+            summarize n = count(), s = sum(a))
+    """).collect()[0]
+    assert (r["n"], r["s"]) == (2, 3)
+
+
+def test_probe_sweep_r13_operator_forms(spark, sf_dir):
+    """r13 probe sweep batch 2: join kind aliases, serialize
+    assignments, qualified lookup keys, mv-expand kind=, top-nested
+    expression operands, find `* has`, source-position search."""
+    g = lambda q: kql(spark, sf_dir, q).collect()[0][0]
+    assert g("nation | join kind=leftantisemi (region | where "
+             "r_regionkey < 2) on $left.n_regionkey == "
+             "$right.r_regionkey | count") == 15
+    assert g("nation | serialize rn = row_number() "
+             "| summarize m = max(rn)") == 25
+    assert g("nation | lookup (region | project r_regionkey, r_name) "
+             "on $left.n_regionkey == $right.r_regionkey "
+             "| where isnotempty(r_name) | count") == 25
+    assert g("datatable (d:dynamic) [dynamic({\"x\":1,\"y\":2})] "
+             "| mv-expand kind=bag d | count") == 2
+    assert g("datatable (d:dynamic) [dynamic([1,2])] "
+             "| mv-expand kind=array d | count") == 2
+    rows = kql(spark, sf_dir, """
+      events
+        | top-nested 1 of event_type by count(),
+          top-nested 2 of b = tolong(user_id % 2) by n = count()
+    """).collect()
+    assert len(rows) == 2 and {r["b"] for r in rows} <= {0, 1}
+    assert g("find in (nation, region) where * has 'ASIA' | count") == 1
+    assert g("search in (region) 'ASIA' | count") == 1
+    assert g("search in (nation, region) kind=case_sensitive 'ASIA' "
+             "| count") == 1
