@@ -4988,6 +4988,10 @@ class _ExprParser:
             items = ", ".join("'" + v.replace("'", "''") + "'"
                               for v in val)
             return f"array({items})"
+        if val is None:
+            # Kusto: dynamic(null) IS null — isnull() must see a SQL
+            # NULL, not a variant holding JSON null (r13 probe sweep)
+            return "CAST(NULL AS VARIANT)"
         esc = body.replace("\\", "\\\\").replace("'", "''")
         return f"parse_json('{esc}')"
 
@@ -5121,8 +5125,57 @@ class _ExprParser:
                                 for t in terms)
             return f"({parts})"
         if t.text in ("+", "-", "*", "/", "%"):
-            return f"({lhs} {t.text} {self.parse(bp + 1)})"
+            nxt = self.peek()
+            rhs_ts_lit = nxt is not None and nxt.kind == "timespan"
+            rhs = self.parse(bp + 1)
+            if t.text in ("+", "-"):
+                out = self._dt_arith(lhs, t.text, rhs, rhs_ts_lit)
+                if out is not None:
+                    return out
+            return f"({lhs} {t.text} {rhs})"
         raise ValueError(f"KQL: unexpected operator {t.text!r}")
+
+    def _dt_arith(self, lhs: str, op: str, rhs: str,
+                  rhs_ts_lit: bool) -> str | None:
+        """Kusto raw datetime arithmetic (r13 probe sweep — the gap
+        documented since r7): ``ts ± timespan -> timestamp``,
+        ``ts - ts -> timespan`` (this engine's µs BIGINT carrier, so
+        the result composes with timespan literals/comparisons), and
+        ``timespan + ts -> timestamp``. Returns None for plain numeric
+        arithmetic. Type detection is text-first (TIMESTAMP literals,
+        now()/timestamp_micros renders) with a schema probe only for
+        bare columns or when the other operand is timespan/timestamp
+        shaped — composite numeric expressions never pay an analysis
+        round-trip."""
+        def ts_text(s: str) -> bool:
+            return bool(re.match(
+                r"\s*\(*\s*(TIMESTAMP '|current_timestamp\s*\("
+                r"|timestamp_micros\s*\(|timestampadd\s*\()", s))
+
+        def bare(s: str) -> bool:
+            return bool(re.fullmatch(
+                r"\s*\(*\s*(?:`[^`]+`|[A-Za-z_]\w*)\s*\)*\s*", s))
+
+        def is_ts(s: str, allow_probe: bool) -> bool:
+            if ts_text(s):
+                return True
+            if allow_probe or bare(s):
+                d = self._probe_dtype(s)
+                return (d is not None
+                        and d.typeName().startswith("timestamp"))
+            return False
+        l_ts = is_ts(lhs, rhs_ts_lit or ts_text(rhs))
+        if not l_ts:
+            if op == "+" and is_ts(rhs, False):
+                return (f"timestamp_micros(CAST({lhs} AS BIGINT) "
+                        f"+ unix_micros({rhs}))")
+            return None
+        if is_ts(rhs, True):
+            if op == "-":
+                return f"(unix_micros({lhs}) - unix_micros({rhs}))"
+            raise ValueError("KQL: cannot add two datetimes")
+        return (f"timestamp_micros(unix_micros({lhs}) {op} "
+                f"CAST({rhs} AS BIGINT))")
 
 
 def _parse_expr(toks: list[Tok]) -> str:

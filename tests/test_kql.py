@@ -7540,3 +7540,46 @@ def test_probe_sweep_r13_operator_forms(spark, sf_dir):
     assert g("search in (region) 'ASIA' | count") == 1
     assert g("search in (nation, region) kind=case_sensitive 'ASIA' "
              "| count") == 1
+
+
+def test_datetime_raw_arithmetic(spark, sf_dir):
+    """r13 probe sweep: raw datetime arithmetic (the gap documented
+    since r7) — ts ± timespan -> timestamp, ts - ts -> the µs BIGINT
+    timespan carrier (composes with timespan literals), timespan + ts,
+    now()/ago() operands; plain numeric arithmetic is untouched."""
+    import datetime as dt
+    g = lambda q: kql(spark, sf_dir, q).collect()[0][0]
+    assert g("print d = datetime(2024-01-01) + 1d") == \
+        dt.datetime(2024, 1, 2)
+    assert g("print d = datetime(2024-01-02) - 1h") == \
+        dt.datetime(2024, 1, 1, 23)
+    assert g("print t = datetime(2024-01-02) - datetime(2024-01-01)") \
+        == 86400000000
+    assert g("print b = (datetime(2024-01-02) - datetime(2024-01-01))"
+             " == 1d") is True
+    assert g("print d = 1d + datetime(2024-01-01)") == \
+        dt.datetime(2024, 1, 2)
+    assert g("print b = now() - 1d < now()") is True
+    assert g("datatable (ts:datetime) [datetime(2024-01-01)] "
+             "| extend e = ts + 12h | project e") == \
+        dt.datetime(2024, 1, 1, 12)
+    assert g("datatable (a:datetime, b:datetime) "
+             "[datetime(2024-01-03), datetime(2024-01-01)] "
+             "| extend t = a - b | where t > 1d | count") == 1
+    assert g("print n = 2 + 3") == 5
+    import pytest
+    with pytest.raises(ValueError, match="add two datetimes"):
+        kql(spark, sf_dir,
+            "print x = datetime(2024-01-01) + datetime(2024-01-02)")
+
+
+def test_dynamic_null_is_sql_null(spark, sf_dir):
+    """r13 probe sweep: dynamic(null) IS null — isnull() sees a SQL
+    NULL, not a variant holding JSON null."""
+    r = kql(spark, sf_dir, """
+      print v = isnull(dynamic(null)), w = isnotnull(dynamic([1]))
+    """).collect()[0]
+    assert (r["v"], r["w"]) == (True, True)
+    assert kql(spark, sf_dir,
+               "datatable (d:dynamic) [dynamic(null), dynamic([1])] "
+               "| where isnull(d) | count").collect()[0][0] == 1
