@@ -9241,6 +9241,68 @@ def q_kql_datetime_math(spark, sf_dir):
     """)
 
 
+@query("q_kql_dt_arith", """
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(ts AS TIMESTAMP) + INTERVAL 36 HOUR AS plus36h,
+       CAST(ts AS TIMESTAMP) - INTERVAL 90 MINUTE AS minus90m,
+       CAST(epoch_us(CAST(ts AS TIMESTAMP))
+            - epoch_us(TIMESTAMP '2024-01-01') AS BIGINT) AS age_us
+FROM events
+WHERE event_id % 41 = 0
+  AND epoch_us(CAST(ts AS TIMESTAMP))
+      - epoch_us(TIMESTAMP '2024-01-01') > 7 * 86400000000
+""")
+def q_kql_dt_arith(spark, sf_dir):
+    """RAW Kusto datetime arithmetic (r13: the gap documented since
+    r7, now closed): ``ts + 36h``, ``ts - 90m``, and ``ts -
+    datetime(...)`` yielding the engine's µs BIGINT timespan carrier
+    that composes with timespan literals in the where clause. The
+    DuckDB twin uses INTERVAL arithmetic and raw epoch subtraction —
+    an independent spelling of the same instants. Everything is
+    per-row codegen; the filter pushes to the scan."""
+    from azure_kusto_parquet_conv_spark.kql import kql
+    return kql(spark, sf_dir, """
+      events
+        | where event_id % 41 == 0
+        | extend age_us = ts - datetime(2024-01-01)
+        | where age_us > 7d
+        | project event_id,
+                  plus36h = ts + 36h,
+                  minus90m = ts - 90m,
+                  age_us
+    """)
+
+
+@query("q_kql_ipv4_cidr", """
+WITH r(lo, hi) AS (VALUES ('10.0.0.5', '10.0.0.16'),
+                          ('192.168.1.0', '192.168.1.255'),
+                          ('172.16.3.7', '172.16.3.7')),
+c(lo, cidrs) AS (VALUES
+  ('10.0.0.5', '["10.0.0.5/32","10.0.0.6/31","10.0.0.8/29",'
+               || '"10.0.0.16/32"]'),
+  ('192.168.1.0', '["192.168.1.0/24"]'),
+  ('172.16.3.7', '["172.16.3.7/32"]'))
+SELECT r.lo, r.hi, c.cidrs FROM r JOIN c ON r.lo = c.lo
+""")
+def q_kql_ipv4_cidr(spark, sf_dir):
+    """ipv4_range_to_cidr_list (r13): the minimal CIDR cover of an
+    inclusive IPv4 range — greedy largest aligned block as a bounded
+    64-step fold, pure integer/bit codegen. The oracle is the
+    closed-form cover (hand-derived per the greedy invariant: each
+    block is the largest power of two both aligned at the cursor and
+    fitting the remainder), so any drift in the alignment or size
+    logic fails the hash."""
+    from azure_kusto_parquet_conv_spark.kql import kql
+    return kql(spark, sf_dir, """
+      datatable (lo:string, hi:string) [
+        '10.0.0.5', '10.0.0.16',
+        '192.168.1.0', '192.168.1.255',
+        '172.16.3.7', '172.16.3.7'
+      ]
+        | extend cidrs = tostring(ipv4_range_to_cidr_list(lo, hi))
+    """)
+
+
 @query("q_kql_split_version", """
 WITH v(s) AS (VALUES ('1.2.3.4'), ('10.0'), ('2.0.0'), ('0.9.1'),
                      ('7'), ('1.x'), ('') ),
@@ -9928,12 +9990,20 @@ DRIVER_WINDOW = [
     "q_events_heatmap", "q_gopher_rules", "q_kql_diffpatterns",
     "q_kql_partition_prev", "q_kql_row_cumsum",
     "q_kql_series_anomalies", "q_kql_series_corr", "q_kql_series_fill",
-    "q_kql_series_outliers", "q_kql_series_seasonal",
+    "q_kql_series_outliers",
     #   3. new-this-round entries (hygiene rule: seated the commit they
     #      land, each displacing the then-tail r6 fill above — the
     #      displaced fills rejoin the r14 obligation):
-    #      q_kql_scan_funnel_exact displaced q_kql_series_smooth.
-    "q_kql_scan_funnel_exact",
+    #      q_kql_scan_funnel_exact displaced q_kql_series_smooth;
+    #      q_kql_dt_arith displaced q_kql_series_seasonal.
+    #      The round's THIRD new entry (q_kql_ipv4_cidr) is NOT seated:
+    #      displacing the next fill in reverse order would evict
+    #      q_kql_series_outliers, whose code AND oracle changed this
+    #      round (the ctukey default switch) and whose re-attestation
+    #      therefore outranks a first attestation of a self-contained
+    #      datatable certificate. It sits in DEFERRED_NEVER_CHECKED
+    #      (one round max) and is first in line for r14.
+    "q_kql_scan_funnel_exact", "q_kql_dt_arith",
 ]
 
 # Rotation ledger: r1-r11 windows are banked driver-green in

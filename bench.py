@@ -160,6 +160,8 @@ HEADLINE = [
     # Arrow-batched kernel over a planted 4k-row trajectory — tracks
     # the serialized scan path's constant overhead)
     "q_kql_scan_funnel_exact",
+    "q_kql_dt_arith",
+    "q_kql_ipv4_cidr",
 ]
 
 

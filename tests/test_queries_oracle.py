@@ -195,10 +195,13 @@ def test_driver_window_is_first_and_covers_families():
 # window obligation, with the reason, and is first in line next round.
 # An entry may live here at most ONE round (the r10 post-freeze batch
 # was deferred once and fully took the r11 window).
-# r13: EMPTY — every new-this-round entry is seated the commit it
-# lands per the hygiene rule (new entries displace tail r6 fills; 14
-# fill slots give plenty of room).
-DEFERRED_NEVER_CHECKED: set[str] = set()
+# r13: q_kql_ipv4_cidr yields its first-attestation slot —
+# displacing the next r6 fill in reverse order would evict
+# q_kql_series_outliers, whose code AND oracle changed this round
+# (the ctukey 10-90 default switch) and whose re-attestation
+# outranks a first attestation of a self-contained datatable
+# certificate. Oracled, replica-covered, first in line for r14.
+DEFERRED_NEVER_CHECKED: set[str] = {"q_kql_ipv4_cidr"}
 
 # DISPLACEMENT CAP ledger (r12 verdict #6): an already-attested
 # oracled entry displaced from a window it was owed must be seated in
