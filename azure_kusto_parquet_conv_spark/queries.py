@@ -9259,7 +9259,10 @@ def q_kql_dt_arith(spark, sf_dir):
     that composes with timespan literals in the where clause. The
     DuckDB twin uses INTERVAL arithmetic and raw epoch subtraction —
     an independent spelling of the same instants. Everything is
-    per-row codegen; the filter pushes to the scan."""
+    per-row codegen in a single stage — zero exchanges in the
+    executed plan; the scan carries the IsNotNull pushdowns (the
+    modulo and computed-age predicates are not source-pushable and
+    evaluate in the same stage)."""
     from azure_kusto_parquet_conv_spark.kql import kql
     return kql(spark, sf_dir, """
       events
