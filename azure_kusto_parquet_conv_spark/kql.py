@@ -684,6 +684,38 @@ class _ExprParser:
         return self._render_call(fname, args)
 
     @staticmethod
+    def _regex_literal_group_count(sql: str) -> int | None:
+        """Capture-group count of a regex passed as a SQL STRING
+        LITERAL, or None when the operand is not a literal (the count
+        is then unknowable at compile time). Counts plain ``(...)``
+        and named ``(?<name>...)`` groups; skips non-capturing /
+        lookaround constructs, escaped parens, and parens inside
+        character classes."""
+        m = re.fullmatch(r"\s*'((?:[^']|'')*)'\s*", sql, re.DOTALL)
+        if not m:
+            return None
+        pat = m.group(1).replace("''", "'")
+        n, i, in_class = 0, 0, False
+        while i < len(pat):
+            c = pat[i]
+            if c == "\\":
+                i += 2
+                continue
+            if in_class:
+                if c == "]":
+                    in_class = False
+            elif c == "[":
+                in_class = True
+            elif c == "(":
+                if pat[i + 1:i + 2] != "?":
+                    n += 1
+                elif (pat[i + 2:i + 3] == "<"
+                        and pat[i + 3:i + 4] not in ("=", "!")):
+                    n += 1  # named group — Java numbers these too
+            i += 1
+        return n
+
+    @staticmethod
     def _acf_sql(arr: str) -> str:
         """Biased mean-centered autocorrelation at lag ``__spd_p``
         (free variable — splice inside a transform/filter lambda over
@@ -1518,7 +1550,11 @@ class _ExprParser:
                     "KQL: extract(regex, group, text[, typeof(T)])")
             base = f"regexp_extract({args[2]}, {args[0]}, {args[1]})"
             if len(args) == 3:
-                return base
+                # Kusto: no match -> NULL (regexp_extract alone yields
+                # '' — indistinguishable from a legit empty capture, so
+                # guard with an RLIKE probe; r13 probe sweep)
+                return (f"(CASE WHEN {args[2]} RLIKE {args[0]} "
+                        f"THEN {base} ELSE NULL END)")
             mt = re.fullmatch(r"typeof\(\s*`?(\w+)`?\s*\)",
                               args[3].strip())
             sqlt = mt and {"long": "BIGINT", "int": "INT",
@@ -1537,38 +1573,51 @@ class _ExprParser:
             return f"try_cast(nullif({base}, '') AS {sqlt})"
         if fname == "extract_all":
             # extract_all(regex [, captureGroups], text) -> array of
-            # matches; with a groups array each match yields an array
-            # of its captures (one regexp_extract_all per group, bound
-            # ONCE via the struct hop, zipped by match index)
+            # matches; with a groups array (or a LITERAL regex carrying
+            # more than one capture group — Kusto's 2-arg contract,
+            # r13 probe sweep) each match yields an array of its
+            # captures (one regexp_extract_all per group, bound ONCE
+            # via the struct hop, zipped by match index)
             if len(args) == 2:
-                return f"regexp_extract_all({args[1]}, {args[0]}, 1)"
-            if len(args) != 3:
+                n = self._regex_literal_group_count(args[0])
+                if n == 0:
+                    # no capture groups: whole matches (Kusto)
+                    return (f"regexp_extract_all({args[1]}, "
+                            f"{args[0]}, 0)")
+                if n is None or n == 1:
+                    # non-literal regex: group 1 (documented narrowing
+                    # — the group count is unknowable at compile time)
+                    return (f"regexp_extract_all({args[1]}, "
+                            f"{args[0]}, 1)")
+                gs, text = list(range(1, n + 1)), args[1]
+            elif len(args) == 3:
+                import json as _json
+                # flat numeric dynamics compile to a native
+                # array(CAST(n AS BIGINT), ...) literal; nested ones to
+                # parse_json('...') — accept both compile-time forms
+                gs = []
+                mg = re.fullmatch(r"parse_json\('(.*)'\)", args[1],
+                                  re.DOTALL)
+                if mg:
+                    try:
+                        gs = [int(g) for g in _json.loads(mg.group(1))]
+                    except Exception:
+                        gs = []
+                elif re.fullmatch(
+                        r"array\((?:\s*CAST\(\d+ AS BIGINT\)\s*,?)+\)",
+                        args[1]):
+                    gs = [int(g) for g in
+                          re.findall(r"CAST\((\d+) AS BIGINT\)",
+                                     args[1])]
+                if not gs:
+                    raise ValueError(
+                        "KQL: extract_all captureGroups must be a "
+                        "dynamic([...]) literal of group numbers")
+                text = args[2]
+            else:
                 raise ValueError(
                     "KQL: extract_all(regex [, captureGroups], text)")
-            import json as _json
-            # flat numeric dynamics compile to a native
-            # array(CAST(n AS BIGINT), ...) literal; nested ones to
-            # parse_json('...') — accept both compile-time forms
-            gs: list[int] = []
-            mg = re.fullmatch(r"parse_json\('(.*)'\)", args[1],
-                              re.DOTALL)
-            if mg:
-                try:
-                    gs = [int(g) for g in _json.loads(mg.group(1))]
-                except Exception:
-                    gs = []
-            elif re.fullmatch(
-                    r"array\((?:\s*CAST\(\d+ AS BIGINT\)\s*,?)+\)",
-                    args[1]):
-                gs = [int(g) for g in
-                      re.findall(r"CAST\((\d+) AS BIGINT\)", args[1])]
-            if not gs:
-                raise ValueError(
-                    "KQL: extract_all captureGroups must be a "
-                    "dynamic([...]) literal of group numbers")
-            if not gs:
-                raise ValueError("KQL: extract_all needs >= 1 group")
-            arrs = [f"regexp_extract_all({args[2]}, {args[0]}, {g})"
+            arrs = [f"regexp_extract_all({text}, {args[0]}, {g})"
                     for g in gs]
             if len(arrs) == 1:
                 return arrs[0]
@@ -3588,8 +3637,13 @@ class _ExprParser:
                 raise ValueError(f"KQL: {fname}(v1, v2, ...)")
             return f"xxhash64({', '.join(args)})"
         if fname == "strrep":
-            if len(args) != 2:
-                raise ValueError("KQL: strrep(text, n)")
+            # strrep(text, n [, delimiter]) — the 3-arg form joins the
+            # repeats with the delimiter (r13 probe sweep)
+            if len(args) not in (2, 3):
+                raise ValueError("KQL: strrep(text, n[, delimiter])")
+            if len(args) == 3:
+                return (f"array_join(array_repeat({args[0]}, "
+                        f"CAST({args[1]} AS INT)), {args[2]})")
             return f"repeat({args[0]}, {args[1]})"
         if fname in ("getyear", "getmonth", "dayofmonth", "hourofday",
                      "monthofyear", "dayofyear", "week_of_year"):

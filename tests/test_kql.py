@@ -150,8 +150,11 @@ def test_row_number_requires_sort(spark, sf_dir):
 
 
 def test_extract_renders_regexp_extract():
+    # no-match must be NULL (Kusto), so the render carries an RLIKE
+    # guard around the regexp_extract (r13 probe sweep)
     assert _parse_expr(_tokenize("extract('(\\\\d+)', 1, s)")) == \
-        "regexp_extract(`s`, '(\\\\d+)', 1)"
+        ("(CASE WHEN `s` RLIKE '(\\\\d+)' "
+         "THEN regexp_extract(`s`, '(\\\\d+)', 1) ELSE NULL END)")
 
 
 def test_numeric_bin(spark, sf_dir):
@@ -7583,3 +7586,28 @@ def test_dynamic_null_is_sql_null(spark, sf_dir):
     assert kql(spark, sf_dir,
                "datatable (d:dynamic) [dynamic(null), dynamic([1])] "
                "| where isnull(d) | count").collect()[0][0] == 1
+
+
+def test_extract_family_r13_fixes(spark, sf_dir):
+    """r13 probe sweep: extract no-match -> null (not ''); 2-arg
+    extract_all over a literal multi-group regex yields arrays of
+    capture arrays (Kusto contract), zero groups yields whole matches;
+    strrep's 3-arg delimiter form."""
+    import json
+    g = lambda q: kql(spark, sf_dir, q).collect()[0][0]
+    assert g("print e = extract('x=(\\\\d+)', 1, 'no match')") is None
+    assert g("print e = extract('x=(\\\\d+)', 1, 'x=42')") == "42"
+    assert json.loads(g(
+        "print a = tostring(extract_all('(\\\\d+)-(\\\\d+)', "
+        "'a 1-2 b 3-4'))")) == [["1", "2"], ["3", "4"]]
+    assert json.loads(g(
+        "print a = tostring(extract_all('(\\\\d+)', '1 and 22'))")) \
+        == ["1", "22"]
+    assert json.loads(g(
+        "print a = tostring(extract_all('\\\\d+', '1 and 22'))")) \
+        == ["1", "22"]
+    # named groups count like Java numbers them
+    assert json.loads(g(
+        "print a = tostring(extract_all('(?<a>\\\\d)(?:x)(\\\\d)', "
+        "'1x2 3x4'))")) == [["1", "2"], ["3", "4"]]
+    assert g("print s = strrep('ab', 3, '-')") == "ab-ab-ab"
