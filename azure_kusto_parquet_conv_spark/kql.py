@@ -11952,7 +11952,9 @@ class KqlCompiler:
                 c = df[lk] == right[rk]
                 conds = c if conds is None else (conds & c)
             out = df.join(right, conds, kind)
-            return out.drop(*[right[rk] for _, rk in pairs])
+            for _, rk in pairs:  # one drop per Column object
+                out = out.drop(right[rk])
+            return out
         keys = [k.strip() for k in on_text.split(",")]
         return df.join(F.broadcast(right), keys, kind)
 

@@ -120,6 +120,16 @@ def test_sessionize_multi_batch_state(spark, sf_dir, tmp_path):
     d.mkdir()
     pq.write_table(t.slice(0, half), str(d / "a_first.parquet"))
     pq.write_table(t.slice(half), str(d / "b_second.parquet"))
+    # FileStreamSource orders pending files by MODIFICATION TIME: under
+    # load both writes can land in the same mtime tick and the second
+    # half may be picked up FIRST, splitting straddling sessions (the
+    # suite-context flake this guards). Pin strictly increasing mtimes
+    # so batch order matches event-time order deterministically.
+    import os as _os
+    import time as _time
+    now = _time.time()
+    _os.utime(d / "a_first.parquet", (now - 120, now - 120))
+    _os.utime(d / "b_second.parquet", (now - 60, now - 60))
 
     from azure_kusto_parquet_conv_spark.session import prepare_session
     from azure_kusto_parquet_conv_spark.streaming.events import (
