@@ -7841,9 +7841,15 @@ class KqlCompiler:
         fmt = opts.get("format", "csv").lower()
         schema = ", ".join(f"`{n}` {t}" for n, t in cols)
         reader = self.spark.read.schema(schema)
-        if fmt == "csv":
-            header = opts.get("ignoreFirstRecord", "false").lower() == "true"
-            return reader.option("header", header).csv(uris)
+        header = opts.get("ignoreFirstRecord", "false").lower() == "true"
+        # Kusto's delimited-text family maps to the csv reader with the
+        # format's separator (r13 probe sweep): tsv tab, psv pipe,
+        # scsv semicolon, sohsv SOH (0x01)
+        seps = {"csv": ",", "tsv": "\t", "psv": "|", "scsv": ";",
+                "sohsv": "\x01"}
+        if fmt in seps:
+            return (reader.option("header", header)
+                          .option("sep", seps[fmt]).csv(uris))
         if fmt in ("json", "multijson"):
             return reader.json(uris)
         if fmt == "parquet":

@@ -7611,3 +7611,22 @@ def test_extract_family_r13_fixes(spark, sf_dir):
         "print a = tostring(extract_all('(?<a>\\\\d)(?:x)(\\\\d)', "
         "'1x2 3x4'))")) == [["1", "2"], ["3", "4"]]
     assert g("print s = strrep('ab', 3, '-')") == "ab-ab-ab"
+
+
+def test_externaldata_delimited_formats(spark, sf_dir, tmp_path):
+    """r13 probe sweep: Kusto's delimited-text externaldata formats —
+    tsv / psv / scsv map to the csv reader with the format's
+    separator; ignoreFirstRecord still applies."""
+    (tmp_path / "t.tsv").write_text("a\t1\nb\t2\n")
+    (tmp_path / "t.psv").write_text("k|v\na|1\n")
+    (tmp_path / "t.scsv").write_text("a;1\n")
+    g = lambda q: kql(spark, sf_dir, q).collect()
+    rows = g(f"externaldata (k:string, v:long) ['{tmp_path}/t.tsv'] "
+             f"with (format='tsv') | order by k asc")
+    assert [(r["k"], r["v"]) for r in rows] == [("a", 1), ("b", 2)]
+    rows = g(f"externaldata (k:string, v:long) ['{tmp_path}/t.psv'] "
+             f"with (format='psv', ignoreFirstRecord=true)")
+    assert [(r["k"], r["v"]) for r in rows] == [("a", 1)]
+    rows = g(f"externaldata (k:string, v:long) ['{tmp_path}/t.scsv'] "
+             f"with (format='scsv')")
+    assert [(r["k"], r["v"]) for r in rows] == [("a", 1)]
