@@ -7630,3 +7630,27 @@ def test_externaldata_delimited_formats(spark, sf_dir, tmp_path):
     rows = g(f"externaldata (k:string, v:long) ['{tmp_path}/t.scsv'] "
              f"with (format='scsv')")
     assert [(r["k"], r["v"]) for r in rows] == [("a", 1)]
+
+
+def test_ipv4_cidr_cover_matches_stdlib(spark, sf_dir):
+    """Differential referee for ipv4_range_to_cidr_list: Python's
+    ipaddress.summarize_address_range implements the same minimal-cover
+    contract independently — 40 deterministic pseudo-random ranges
+    (golden-ratio hashing, no RNG state) must match it exactly."""
+    import ipaddress
+    import json
+    cases = []
+    for i in range(40):
+        a = (i * 2654435761) % (1 << 32)
+        b = min((1 << 32) - 1, a + ((i * 40503) % 70000))
+        cases.append((str(ipaddress.IPv4Address(a)),
+                      str(ipaddress.IPv4Address(b))))
+    rows = ", ".join(f"'{lo}', '{hi}'" for lo, hi in cases)
+    got = {r["lo"]: json.loads(r["c"]) for r in kql(spark, sf_dir, f"""
+      datatable (lo:string, hi:string) [ {rows} ]
+        | extend c = tostring(ipv4_range_to_cidr_list(lo, hi))
+    """).collect()}
+    for lo, hi in cases:
+        want = [str(n) for n in ipaddress.summarize_address_range(
+            ipaddress.IPv4Address(lo), ipaddress.IPv4Address(hi))]
+        assert got[lo] == want, (lo, hi, got[lo], want)
