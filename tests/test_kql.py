@@ -7654,3 +7654,53 @@ def test_ipv4_cidr_cover_matches_stdlib(spark, sf_dir):
         want = [str(n) for n in ipaddress.summarize_address_range(
             ipaddress.IPv4Address(lo), ipaddress.IPv4Address(hi))]
         assert got[lo] == want, (lo, hi, got[lo], want)
+
+
+def test_series_r13_invariants(spark, sf_dir):
+    """Structural invariants of the r13 series extensions: a single
+    normalized FIR tap is the identity; forward-then-backward fill
+    leaves no nulls when any anchor exists; ctukey with 25/75 equals
+    tukey on every input probed; decompose components always re-add to
+    the series (baseline + residual == original) regardless of trend
+    mode."""
+    rows = kql(spark, sf_dir, """
+      datatable (s:dynamic) [
+        dynamic([3.0, null, 7.0, 1.0]),
+        dynamic([null, null, 5.0]),
+        dynamic([2.0, 2.0, 2.0, 9.0, 2.0, 2.0])
+      ]
+        | extend ident = series_fir(s, dynamic([1])),
+                 filled = series_fill_backward(series_fill_forward(s)),
+                 o1 = series_outliers(s, 'tukey'),
+                 o2 = series_outliers(s, 'ctukey', real(null), 25, 75)
+        | project s = tostring(s), ident = tostring(ident),
+                  filled = tostring(filled),
+                  o1 = tostring(o1), o2 = tostring(o2)
+    """).collect()
+    import json
+    for r in rows:
+        s = json.loads(r["s"])
+        ident = json.loads(r["ident"])
+        for a, b in zip(s, ident):
+            # null taps read 0 under zero-padding; non-null points are
+            # reproduced exactly by the single normalized tap
+            if a is not None:
+                assert abs(a - b) < 1e-12
+        assert None not in json.loads(r["filled"])
+        assert json.loads(r["o1"]) == json.loads(r["o2"])
+    comp = kql(spark, sf_dir, """
+      datatable (s:dynamic) [dynamic([1.0, 9.0, 2.0, 8.0, 3.0, 7.0])]
+        | extend (b1, se1, t1, r1) = series_decompose(s, 2, 'avg'),
+                 (b2, se2, t2, r2) = series_decompose(s, 2, 'linefit'),
+                 (b3, se3, t3, r3) = series_decompose(s, 3, 'none')
+        | project s = tostring(s),
+                  b1 = tostring(b1), r1 = tostring(r1),
+                  b2 = tostring(b2), r2 = tostring(r2),
+                  b3 = tostring(b3), r3 = tostring(r3)
+    """).collect()[0]
+    s = json.loads(comp["s"])
+    for k in ("1", "2", "3"):
+        b = json.loads(comp[f"b{k}"])
+        r = json.loads(comp[f"r{k}"])
+        for orig, bb, rr in zip(s, b, r):
+            assert abs(orig - (bb + rr)) < 1e-9
