@@ -8136,8 +8136,9 @@ class KqlCompiler:
                     df = self._row_window_session(df, name,
                                                   mws.group(1))
                     continue
-                mrn = re.fullmatch(r"row_number\(\s*(\d+)?\s*\)",
-                                   sql.strip())
+                mrn = re.fullmatch(r"row_number\(\s*(\d+)?\s*"
+                                   r"(?:,(?P<restart>.+))?\)",
+                                   sql.strip(), re.DOTALL)
                 if mrn or mcs:
                     what = "row_cumsum()" if mcs else "row_number()"
                     if self._order is None:
@@ -8199,13 +8200,36 @@ class KqlCompiler:
                                 name,
                                 F.sum(F.expr(parts[0])).over(wrun))
                     else:
-                        # row_number(StartingIndex): Kusto offsets
-                        # the first row to the given index
+                        # row_number(StartingIndex [, Restart]): Kusto
+                        # offsets the first row to the given index;
+                        # the 2-arg form RESTARTS numbering at every
+                        # row where the boolean is true (r13 probe
+                        # sweep — run id = running count of restarts,
+                        # the row_cumsum restart shape)
                         base = (int(mrn.group(1)) - 1
                                 if mrn.group(1) else 0)
-                        df = df.withColumn(
-                            name, (F.row_number().over(w)
-                                   + F.lit(base)).cast("long"))
+                        if mrn.group("restart"):
+                            from pyspark.sql import Window as _W
+                            wrun = w.rowsBetween(
+                                _W.unboundedPreceding, _W.currentRow)
+                            df = df.withColumn(
+                                "__rn_run",
+                                F.sum(F.expr(
+                                    f"IF({mrn.group('restart')}, "
+                                    f"1, 0)")).over(wrun))
+                            w2 = _W.partitionBy(
+                                *(list(self._partition or [])
+                                  + [F.col("__rn_run")])) \
+                                .orderBy(*self._order)
+                            df = (df.withColumn(
+                                      name,
+                                      (F.row_number().over(w2)
+                                       + F.lit(base)).cast("long"))
+                                    .drop("__rn_run"))
+                        else:
+                            df = df.withColumn(
+                                name, (F.row_number().over(w)
+                                       + F.lit(base)).cast("long"))
                     continue
                 df = df.withColumn(name, F.expr(sql))
             return df

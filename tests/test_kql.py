@@ -7704,3 +7704,21 @@ def test_series_r13_invariants(spark, sf_dir):
         r = json.loads(comp[f"r{k}"])
         for orig, bb, rr in zip(s, b, r):
             assert abs(orig - (bb + rr)) < 1e-9
+
+
+def test_row_number_restart(spark, sf_dir):
+    """r13 probe sweep: row_number(StartingIndex, Restart) resets the
+    numbering to StartingIndex at every row where Restart is true
+    (the row_cumsum restart shape — run id = running restart count)."""
+    rows = kql(spark, sf_dir, """
+      datatable (x:long, g:bool)
+        [10, true, 20, false, 30, true, 40, false]
+        | serialize | extend r = row_number(1, g) | project x, r
+    """).collect()
+    assert [(r["x"], r["r"]) for r in rows] == \
+        [(10, 1), (20, 2), (30, 1), (40, 2)]
+    rows = kql(spark, sf_dir, """
+      datatable (x:long, g:bool) [10, true, 20, false] | serialize
+        | extend r = row_number(100, g) | project r
+    """).collect()
+    assert [r["r"] for r in rows] == [100, 101]
