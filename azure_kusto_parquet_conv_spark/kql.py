@@ -694,7 +694,25 @@ class _ExprParser:
         m = re.fullmatch(r"\s*'((?:[^']|'')*)'\s*", sql, re.DOTALL)
         if not m:
             return None
-        pat = m.group(1).replace("''", "'")
+        raw = m.group(1).replace("''", "'")
+        # The operand is SQL literal TEXT: Spark's string parser
+        # consumes backslash escapes, so the regex `\(` arrives here
+        # as the two characters `\\(` and scanning the escaped text
+        # directly would count the trailing `(` as a capture group
+        # (r13 advice). Decode the SQL escapes first (`\x` -> x, with
+        # the n/t/r control forms) to recover the actual regex text.
+        buf, i = [], 0
+        while i < len(raw):
+            c = raw[i]
+            if c == "\\" and i + 1 < len(raw):
+                nxt = raw[i + 1]
+                buf.append({"n": "\n", "t": "\t",
+                            "r": "\r"}.get(nxt, nxt))
+                i += 2
+                continue
+            buf.append(c)
+            i += 1
+        pat = "".join(buf)
         n, i, in_class = 0, 0, False
         while i < len(pat):
             c = pat[i]
@@ -5202,9 +5220,18 @@ class _ExprParser:
         shaped — composite numeric expressions never pay an analysis
         round-trip."""
         def ts_text(s: str) -> bool:
+            # prefix forms: literals, now(), unixtime_*, ago(), plus
+            # the datetime-returning renders date_trunc (startof*/
+            # endof*/bin over datetimes) and make_timestamp
+            # (make_datetime) — r13 advice: `startofday(a) - b` must
+            # probe as ts-ts, not fall through to plain `-`. Suffix
+            # form: an outermost (try_)cast to TIMESTAMP
+            # (todatetime renders), modulo wrapping parens.
             return bool(re.match(
                 r"\s*\(*\s*(TIMESTAMP '|current_timestamp\s*\("
-                r"|timestamp_micros\s*\(|timestampadd\s*\()", s))
+                r"|timestamp_micros\s*\(|timestampadd\s*\("
+                r"|date_trunc\s*\(|make_timestamp\s*\()", s)
+                or re.search(r"AS TIMESTAMP\s*\)\s*\)*\s*$", s))
 
         def bare(s: str) -> bool:
             return bool(re.fullmatch(
@@ -5261,10 +5288,15 @@ def _render_bin(df: DataFrame, arg_sql: str, size_tok: Tok) -> str:
 # Pipeline splitter / compiler
 # ----------------------------------------------------------------------
 
-def _explodable(df: DataFrame, sql: str):
+def _explodable(df: DataFrame, sql: str, bag_kind: str = "bag"):
     """Column for explode(): a dynamic (VARIANT) array casts to
     array<variant> first — Kusto's mv-expand over dynamic — while native
-    arrays pass through untouched. Schema probe only, no job."""
+    arrays pass through untouched. Schema probe only, no job.
+    ``bag_kind`` controls the OBJECT-dynamic shape (mv-expand
+    kind=/bagexpansion=): 'bag' (default) yields one single-property
+    bag per entry, 'array' yields one [key, value] two-element array
+    per entry (r13 advice: kind=array silently produced the bag
+    shape)."""
     c = F.expr(sql)
     try:
         dtype = df.select(c).schema.fields[0].dataType.typeName()
@@ -5273,19 +5305,24 @@ def _explodable(df: DataFrame, sql: str):
     if dtype == "variant":
         # arrays cast straight through; a property BAG expands to one
         # single-property bag per entry (Kusto's mv-expand over an
-        # object — r12 probe find). try_cast picks the branch at
+        # object — r12 probe find) or one [key, value] array under
+        # kind=array. try_cast picks the branch at
         # runtime without erroring on either shape.
         # scalar dynamics expand to their single value (Kusto); a null
         # dynamic expands to nothing (the outer CASE keeps explode's
         # null-drop) — r12 review: the 2-branch coalesce silently
         # dropped scalar rows
+        bag_entry = (
+            "parse_json(to_json(array(cast(__mvb_e.key AS VARIANT), "
+            "__mvb_e.value)))" if bag_kind == "array" else
+            "parse_json(to_json(map_from_entries(array(__mvb_e))))")
         return F.expr(
             f"CASE WHEN ({sql}) IS NULL "
             f"OR is_variant_null({sql}) THEN NULL ELSE "
             f"coalesce(try_cast(({sql}) AS ARRAY<VARIANT>), "
             f"transform(map_entries(try_cast(({sql}) AS "
             f"MAP<STRING, VARIANT>)), __mvb_e -> "
-            f"parse_json(to_json(map_from_entries(array(__mvb_e))))), "
+            f"{bag_entry}), "
             f"array(({sql}))) END")
     return c
 
@@ -7803,16 +7840,29 @@ class KqlCompiler:
             pred, re.DOTALL)
         if pm:
             # Kusto's canonical `where * has 'term'` form (r13 probe
-            # sweep): the wildcard expands to an OR over every string
-            # column of the union (identifier-safe names; the same
-            # column scope the piped search operator uses)
+            # sweep): the wildcard expands to an OR over EVERY string
+            # column of the union. Column names that are not bare
+            # identifiers cannot be spelled in KQL predicate text, so
+            # the operator semantics are compiled ONCE against a
+            # placeholder identifier and the backtick-quoted real name
+            # is substituted into the SQL per column (r13 advice:
+            # filtering such columns out silently missed their rows).
             cols = [f.name for f in out.schema.fields
-                    if f.dataType.typeName() == "string"
-                    and re.fullmatch(r"[A-Za-z_]\w*", f.name)]
+                    if f.dataType.typeName() == "string"]
             if not cols:
                 raise ValueError("KQL: find * found no string columns")
-            pred = " or ".join(
-                f"{c} {pm.group('op')} {pm.group('lit')}" for c in cols)
+            ph = "__kql_find_star_col"
+            tmpl = _compile_expr_tokens(_tokenize(
+                f"{ph} {pm.group('op')} {pm.group('lit')}"), out)
+            # the compiler may render the placeholder backticked or
+            # bare depending on the operator path — normalize to bare
+            # first, then substitute the quoted real name
+            tmpl = tmpl.replace(f"`{ph}`", ph)
+            sql = " OR ".join(
+                "(" + tmpl.replace(
+                    ph, f"`{c.replace('`', '``')}`") + ")"
+                for c in cols)
+            return out.where(F.expr(sql))
         sql = _compile_expr_tokens(_tokenize(pred), out)
         return out.where(F.expr(sql))
 
@@ -8289,15 +8339,18 @@ class KqlCompiler:
                         return g[:j], ct
                 return g, None
 
-            # `kind=array|bag` prefix (r13 probe sweep): array is the
-            # default expansion; bag expands an object dynamic into
-            # single-property bags — exactly what the expansion branch
-            # below already does for object inputs, so both spellings
-            # dispatch to the same code path
+            # `kind=array|bag` prefix (r13 probe sweep, shape fixed per
+            # r13 advice): both kinds expand ARRAY dynamics one element
+            # per row; they differ on OBJECT dynamics — kind=bag (the
+            # default) yields one single-property bag per entry,
+            # kind=array yields one [key, value] two-element array per
+            # entry (Kusto's documented bagexpansion=array shape)
+            bag_kind = "bag"
             mk = re.match(r"(?:kind\s*=\s*(array|bag)\s+"
                           r"|bagexpansion\s*=\s*(array|bag)\s+)(.*)$",
                           rest, re.DOTALL)
             if mk:
+                bag_kind = mk.group(1) or mk.group(2)
                 rest = mk.group(3)
             # `with_itemindex=name` prefix: emit the 0-based element
             # position (posexplode / the shared zip position)
@@ -8323,7 +8376,8 @@ class KqlCompiler:
                 g0, cast_t = split_typeof(g[0])
                 name, sql = _named_expr(g0, df, "value")
                 if idx_col:
-                    ex = F.posexplode(capped(_explodable(df, sql)))
+                    ex = F.posexplode(capped(
+                        _explodable(df, sql, bag_kind)))
                     other = [c for c in df.columns if c != name]
                     out = df.select(*other, ex.alias(idx_col, name)) \
                         .withColumn(idx_col,
@@ -8331,7 +8385,8 @@ class KqlCompiler:
                 else:
                     out = df.withColumn(
                         name,
-                        F.explode(capped(_explodable(df, sql))))
+                        F.explode(capped(
+                            _explodable(df, sql, bag_kind))))
                 if cast_t:
                     out = out.withColumn(name, F.col(name).cast(cast_t))
                 return out
@@ -8339,7 +8394,8 @@ class KqlCompiler:
             pairs = [_named_expr(gi, df, f"value{i}")
                      for i, (gi, _) in enumerate(parts)]
             casts = [ct for _, ct in parts]
-            arrs = [capped(_explodable(df, sql)) for _, sql in pairs]
+            arrs = [capped(_explodable(df, sql, bag_kind))
+                    for _, sql in pairs]
             longest = F.greatest(*[F.size(a) for a in arrs]) \
                 if len(arrs) > 1 else F.size(arrs[0])
             # guard: sequence(1, 0) DESCENDS to [1, 0] in Spark; when

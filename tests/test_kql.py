@@ -7722,3 +7722,80 @@ def test_row_number_restart(spark, sf_dir):
         | extend r = row_number(100, g) | project r
     """).collect()
     assert [r["r"] for r in rows] == [100, 101]
+
+
+def test_extract_all_escaped_paren_group_count(spark, sf_dir):
+    """r13 advice (medium): the literal-regex group counter must
+    decode the SQL string escapes before scanning — a regex-level
+    ``\\(`` arrives in the SQL literal as the two characters ``\\\\(``
+    and the naive scan counted the trailing paren as a capture group,
+    so 2-arg extract_all over ``\\((\\d+)\\)`` asked Spark for group 2
+    of a 1-group regex (runtime error)."""
+    import json
+    r = kql(spark, sf_dir, r"""
+      print s = 'a(12) b(34)'
+      | extend m = tostring(extract_all(@'\((\d+)\)', s)),
+               n = tostring(extract_all(@'\((\w+)=(\w+)\)',
+                                        '(k=v) (a=b)'))
+    """).collect()[0]
+    assert json.loads(r["m"]) == ["12", "34"]
+    assert json.loads(r["n"]) == [["k", "v"], ["a", "b"]]
+
+
+def test_dt_arith_composite_datetime_lhs(spark, sf_dir):
+    """r13 advice: datetime-returning renders (startofday/endof* via
+    date_trunc, make_datetime, todatetime) on one side of +/- with a
+    bare datetime column on the other must compile as Kusto datetime
+    arithmetic (µs BIGINT timespan for ts-ts), not Spark's
+    DayTimeInterval fallthrough."""
+    r = kql(spark, sf_dir, """
+      events | take 1
+      | extend d1 = startofday(ts) - ts,
+               d2 = ts - startofday(ts),
+               d3 = todatetime(tostring(ts)) - ts
+      | project ok1 = d1 <= 0m, ok2 = d2 >= 0m and d2 < 1d,
+                ok3 = d3 == 0m
+    """).collect()[0]
+    assert (r["ok1"], r["ok2"], r["ok3"]) == (True, True, True)
+
+
+def test_mv_expand_kind_array_bag_shape(spark, sf_dir):
+    """r13 advice: mv-expand kind=array over an OBJECT dynamic yields
+    [key, value] two-element arrays (Kusto's bagexpansion=array
+    shape); kind=bag (and the default) yields single-property bags."""
+    import json
+    base = """
+      print b = dynamic({"x": 1, "y": "z"})
+      | mv-expand KIND b
+      | project t = tostring(b)
+    """
+    arr = [json.loads(r["t"]) for r in kql(
+        spark, sf_dir, base.replace("KIND", "kind=array")).collect()]
+    assert arr == [["x", 1], ["y", "z"]]
+    bag = [json.loads(r["t"]) for r in kql(
+        spark, sf_dir, base.replace("KIND", "kind=bag")).collect()]
+    assert bag == [{"x": 1}, {"y": "z"}]
+    dflt = [json.loads(r["t"]) for r in kql(
+        spark, sf_dir, base.replace("KIND ", "")).collect()]
+    assert dflt == bag
+    # kind=array over a plain ARRAY dynamic is unchanged element-wise
+    plain = [r["t"] for r in kql(spark, sf_dir, """
+      print b = dynamic([7, 8])
+      | mv-expand kind=array b
+      | project t = tostring(b)
+    """).collect()]
+    assert plain == ["7", "8"]
+
+
+def test_find_star_has_quotes_nonidentifier_columns(spark, sf_dir):
+    """r13 advice: ``find ... where * has`` must cover string columns
+    whose names are not bare identifiers (they are backtick-quoted in
+    the generated OR predicate, not silently skipped)."""
+    rows = kql(spark, sf_dir, """
+      let T = datatable (['weird col']:string, ok:string) [
+        'hello world', 'nope', 'xx', 'hello there'
+      ];
+      find in (T) where * has 'hello'
+    """).collect()
+    assert len(rows) == 2
+    assert {r["ok"] for r in rows} == {"nope", "hello there"}
