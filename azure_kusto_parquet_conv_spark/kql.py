@@ -406,6 +406,24 @@ def _timespan_to_us(text: str) -> int:
     return int(float(m.group(1)) * _TIMESPAN_US[m.group(2)])
 
 
+def _timespan_us_to_text(us: int) -> str:
+    """Kusto timespan text ``[-][d.]hh:mm:ss[.fffffff]`` for a µs
+    value (the Python twin of _ExprParser._timespan_text_sql, used
+    for compile-time literal folding). The 7th fractional digit is
+    always '0' — the carrier is microseconds, not 100 ns ticks
+    (documented deviation)."""
+    sign = "-" if us < 0 else ""
+    a = abs(us)
+    d, rem = divmod(a, 86_400_000_000)
+    h, rem = divmod(rem, 3_600_000_000)
+    mi, rem = divmod(rem, 60_000_000)
+    s, frac = divmod(rem, 1_000_000)
+    out = f"{sign}{str(d) + '.' if d else ''}{h:02d}:{mi:02d}:{s:02d}"
+    if frac:
+        out += f".{frac:06d}0"
+    return out
+
+
 # ----------------------------------------------------------------------
 # Pratt expression parser → Spark SQL text
 # ----------------------------------------------------------------------
@@ -661,6 +679,18 @@ class _ExprParser:
 
     def _call(self, fname: str) -> str:
         self.expect("(")
+        # tostring(<timespan literal>) folds to the Kusto timespan
+        # text at compile time — the literal's token kind is the only
+        # place its timespan-ness is still visible (compiled it is a
+        # bare µs integer, indistinguishable from a number)
+        if (fname == "tostring" and self.peek() is not None
+                and self.peek().kind == "timespan"
+                and self.i + 1 < len(self.toks)
+                and self.toks[self.i + 1].text == ")"):
+            us = _timespan_to_us(self.next().text)
+            self.expect(")")
+            txt = _timespan_us_to_text(us)
+            return "'" + txt + "'"
         args: list[str] = []
         if self.peek() is not None and self.peek().text != ")":
             # special-case: count(*) and count()
@@ -682,6 +712,61 @@ class _ExprParser:
                 break
         self.expect(")")
         return self._render_call(fname, args)
+
+    @staticmethod
+    def _timespan_sql(s: str) -> bool:
+        """Heuristic: does compiled SQL text ``s`` denote this
+        engine's µs-BIGINT timespan carrier? Timespans ride plain
+        BIGINT, so the type system cannot answer; instead this
+        recognizes the compiler's own timespan-producing renders,
+        ANCHORED so arithmetic-wrapped forms (``dayofweek(x) / 1d``
+        is a number) stay numeric: the ts-ts difference, totimespan,
+        make_timespan, and bare dayofweek. A timespan that crossed a
+        column boundary (extend alias, summarize output) is not
+        recognizable — documented carrier limitation; tostring then
+        renders the µs integer."""
+        t = s.strip()
+        return bool(
+            re.fullmatch(r"\(unix_micros\(.*\) - unix_micros\(.*\)\)",
+                         t, re.DOTALL)
+            or (t.startswith("(CASE WHEN ltrim('-',")
+                and "* 86400000000 +" in t)            # totimespan
+            or (t.startswith("(((CAST(")
+                and "* 60000000 + CAST(CAST(" in t
+                and t.endswith("* 1000000 AS BIGINT))"))  # make_timespan
+            or bool(re.fullmatch(
+                r"\(CAST\(dayofweek\(.*\) - 1 AS BIGINT\) "
+                r"\* 86400000000\)", t, re.DOTALL)))
+
+    @staticmethod
+    def _timespan_text_sql(t: str) -> str:
+        """Kusto timespan text ``[-][d.]hh:mm:ss[.fffffff]`` from the
+        µs BIGINT carrier (r13 verdict #3: tostring(timespan) used to
+        leak the raw µs integer). The days part appears only when
+        |t| >= 1d; the fractional part only when nonzero, always 7
+        digits — the 7th (100 ns) digit is always '0' because the
+        carrier is microseconds (documented deviation, probe-pinned).
+        The operand is bound ONCE via the transform hop (the r13
+        OOM lesson for spliced sub-expressions); BIGINT min (which
+        ANSI abs() rejects) renders null via nullif."""
+        v = "__tst_v"
+        a = f"abs({v})"
+        body = (
+            f"concat("
+            f"CASE WHEN {v} < 0 THEN '-' ELSE '' END, "
+            f"CASE WHEN {a} >= 86400000000 THEN "
+            f"concat(CAST({a} div 86400000000 AS STRING), '.') "
+            f"ELSE '' END, "
+            f"lpad(CAST(({a} div 3600000000) % 24 AS STRING), 2, '0'),"
+            f" ':', "
+            f"lpad(CAST(({a} div 60000000) % 60 AS STRING), 2, '0'),"
+            f" ':', "
+            f"lpad(CAST(({a} div 1000000) % 60 AS STRING), 2, '0'), "
+            f"CASE WHEN {a} % 1000000 > 0 THEN "
+            f"concat('.', lpad(CAST({a} % 1000000 AS STRING), 6, "
+            f"'0'), '0') ELSE '' END)")
+        return (f"element_at(transform(array(nullif(CAST({t} AS "
+                f"BIGINT), -9223372036854775808)), {v} -> {body}), 1)")
 
     @staticmethod
     def _regex_literal_group_count(sql: str) -> int | None:
@@ -1020,6 +1105,12 @@ class _ExprParser:
         if fname == "todouble":
             return f"try_cast({args[0]} AS DOUBLE)"
         if fname == "tostring":
+            # Kusto tostring over a TIMESPAN renders the
+            # [-][d.]hh:mm:ss[.fffffff] text (r13 verdict #3) — the
+            # carrier is BIGINT so the check is the compiler's own
+            # timespan-render recognizer, not a type probe.
+            if self._timespan_sql(args[0]):
+                return self._timespan_text_sql(args[0])
             # Kusto tostring over a dynamic renders JSON. VARIANT's
             # string cast already does; a NATIVE array/map/struct
             # operand (parse_csv, split, pack_array pipelines) must
@@ -11321,15 +11412,22 @@ class KqlCompiler:
         additionally makes all named node variables pairwise
         distinct (segment-interior nodes exempt — documented).
 
-        Supported subset (documented): directed ``-[e]->`` and
-        ``<-[e]-`` edges; chains and comma-separated patterns sharing
+        Supported subset (documented): directed ``-[e]->`` /
+        ``<-[e]-`` and undirected ``-[e]-`` edges (r13 verdict #5:
+        an undirected pattern edge is one alias over the
+        two-orientation union of the edge table — each physical edge
+        matches in both directions, Kusto/Cypher semantics, still one
+        narrow union + equi-join per edge); chains and comma-separated
+        patterns sharing
         node variables (patterns must be CONNECTED — a disconnected
         pattern would be a cartesian product and is rejected);
         ``project`` is required. ``where``/``project`` reference
         node/edge variables as ``var.column`` (a bare node var is its
         node id); with derived nodes (no ``with ... on``) only bare
-        node vars are available. Kusto's all_* path aggregates and
-        undirected edges are not supported."""
+        node vars are available. Kusto's all_* path aggregates are
+        not supported; with cycles=unique_edges the two orientations
+        of one undirected edge count as distinct edges (same
+        documented subset as make-graph ``--``)."""
         if not getattr(self, "_graph", None):
             raise ValueError("KQL: graph-match needs a preceding "
                              "make-graph stage")
@@ -11364,6 +11462,9 @@ class KqlCompiler:
         rev_re = re.compile(
             r"<-\[\s*([A-Za-z_]\w*)?\s*"
             r"(?:\*\s*(\d+)\s*\.\.\s*(\d+)\s*)?\]-")
+        undir_re = re.compile(
+            r"-\[\s*([A-Za-z_]\w*)?\s*"
+            r"(?:\*\s*(\d+)\s*\.\.\s*(\d+)\s*)?\]-(?!>)")
         edges_spec = []
 
         def parse_chain(text):
@@ -11376,7 +11477,9 @@ class KqlCompiler:
             while pos < len(text):
                 fm2 = fwd_re.match(text, pos)
                 rm2 = rev_re.match(text, pos)
-                em = fm2 or rm2
+                um2 = None if (fm2 or rm2) else undir_re.match(text,
+                                                               pos)
+                em = fm2 or rm2 or um2
                 if not em:
                     raise ValueError(f"KQL: graph-match bad edge at "
                                      f"{text[pos:pos + 20]!r}")
@@ -11399,10 +11502,11 @@ class KqlCompiler:
                         raise ValueError(
                             f"KQL: graph-match hop range must satisfy "
                             f"1 <= lo <= hi <= {self._GRAPH_MAX_HOPS}")
-                a, b = (cur_var, nxt) if fm2 else (nxt, cur_var)
+                a, b = (nxt, cur_var) if rm2 else (cur_var, nxt)
                 edges_spec.append((a, evar, b,
                                    lo if lo is not None else None,
-                                   hi if hi is not None else None))
+                                   hi if hi is not None else None,
+                                   um2 is not None))
                 cur_var = nxt
 
         for chain in _split_top_commas_text(pat_text):
@@ -11423,15 +11527,25 @@ class KqlCompiler:
         e_src, e_dst = g["src"], g["dst"]
         edges_df, nodes_df = g["edges"], g["nodes"]
 
-        def segment_frame(lo2, hi2, pref):
+        def both_orient(ed):
+            """Two-orientation union for an UNDIRECTED pattern edge:
+            endpoints swap, every edge property rides along — one
+            narrow union, no shuffle (same shape as make-graph --)."""
+            swapped = ed.select(
+                *[F.col(e_dst).alias(e_src) if c == e_src
+                  else F.col(e_src).alias(e_dst) if c == e_dst
+                  else F.col(c) for c in ed.columns])
+            return ed.unionByName(swapped)
+
+        def segment_frame(lo2, hi2, pref, base_df):
             """(entry, exit, count-of-paths) for lo..hi hops."""
             if cycles == "all":
                 # count-BFS recurrence: paths_{ln+1}(a,c) =
                 # sum_b paths_ln(a,b) * edges(b,c) — one equi-join +
                 # one map-side-combined groupBy per level, every level
                 # bounded by |V|^2 pairs regardless of path count
-                step = edges_df.select(F.col(e_src).alias("__sg_s"),
-                                       F.col(e_dst).alias("__sg_d"))
+                step = base_df.select(F.col(e_src).alias("__sg_s"),
+                                      F.col(e_dst).alias("__sg_d"))
                 lvl = (step.groupBy(F.col("__sg_s").alias("__sg_a"),
                                     F.col("__sg_d").alias("__sg_b"))
                            .agg(F.count("*").cast("long")
@@ -11461,7 +11575,7 @@ class KqlCompiler:
                     cur2, prefs = None, []
                     for j in range(ln):
                         p = f"{pref}l{ln}_{j}_"
-                        e = edges_df.select(
+                        e = base_df.select(
                             F.col(e_src).alias(p + "s"),
                             F.col(e_dst).alias(p + "d"))
                         if cur2 is None:
@@ -11511,20 +11625,22 @@ class KqlCompiler:
                         "(a cartesian product at scale) — share a "
                         "node variable between patterns")
                 progress = False
-                for k, (a, ev, b, lo2, hi2) in enumerate(pending):
+                for k, (a, ev, b, lo2, hi2, undir) \
+                        in enumerate(pending):
                     if cur is not None and a not in bound \
                             and b not in bound:
                         continue
                     pref = f"__ge_{idx}_"
                     idx += 1
+                    base = both_orient(edges_df) if undir else edges_df
                     if lo2 is not None:
-                        e = segment_frame(lo2, hi2, pref)
+                        e = segment_frame(lo2, hi2, pref, base)
                         scol, dcol = pref + "s", pref + "d"
                         cnt_cols.append(pref + "cnt")
                     else:
-                        e = edges_df.select(
+                        e = base.select(
                             *[F.col(c).alias(pref + c)
-                              for c in edges_df.columns])
+                              for c in base.columns])
                         scol, dcol = pref + e_src, pref + e_dst
                         fixed_prefs.append(pref)
                     if ev:

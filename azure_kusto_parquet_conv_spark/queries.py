@@ -9120,6 +9120,39 @@ def q_kql_graph_match(spark, sf_dir):
     """)
 
 
+@query("q_kql_graph_undirected", """
+SELECT n.n_name AS nation_name, s.s_name AS supplier_name
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE n.n_name LIKE 'NATION\_%' ESCAPE '\\'
+""")
+def q_kql_graph_undirected(spark, sf_dir):
+    """UNDIRECTED graph-match edges ``-[e]-`` (r13 verdict #5): the
+    membership edges are stored supplier->nation only, and the match
+    anchors on the NATION side — so every returned row is reached
+    through the swapped orientation, proving the two-orientation
+    union compiles (a directed ``-[e]->`` here returns zero rows).
+    One narrow union + one equi-join per pattern edge, same
+    shuffle-on-key shape as the directed case at 100 TB. DuckDB twin:
+    the plain relational join, which never sees the graph encoding."""
+    from azure_kusto_parquet_conv_spark.kql import kql
+    return kql(spark, sf_dir, """
+      let SN = supplier
+        | project src = strcat('S', tostring(s_suppkey)),
+                  dst = strcat('N', tostring(s_nationkey));
+      let V = supplier
+        | project id = strcat('S', tostring(s_suppkey)), name = s_name
+        | union (nation | project id = strcat('N',
+                                              tostring(n_nationkey)),
+                                   name = n_name);
+      SN
+      | make-graph src --> dst with V on id
+      | graph-match (n)-[e]-(s)
+          where n.name startswith 'NATION_'
+          project nation_name = n.name, supplier_name = s.name
+    """)
+
+
 @query("q_kql_graph_reachability", """
 WITH e(src, dst) AS (VALUES
   ('a','b'), ('a','c'), ('b','d'), ('c','d'), ('d','e')),
@@ -9273,6 +9306,59 @@ def q_kql_dt_arith(spark, sf_dir):
                   plus36h = ts + 36h,
                   minus90m = ts - 90m,
                   age_us
+    """)
+
+
+@query("q_kql_timespan_text", """
+WITH v AS (
+  SELECT CAST(event_id AS BIGINT) AS event_id,
+         epoch_us(CAST(ts AS TIMESTAMP))
+           - epoch_us(date_trunc('day', CAST(ts AS TIMESTAMP)))
+           AS v1,
+         epoch_us(CAST(ts AS TIMESTAMP))
+           - epoch_us(TIMESTAMP '2024-06-01') AS v2
+  FROM events WHERE event_id % 37 = 0)
+SELECT event_id,
+  CASE WHEN v1 < 0 THEN '-' ELSE '' END ||
+  CASE WHEN abs(v1) >= 86400000000
+       THEN CAST(abs(v1) // 86400000000 AS VARCHAR) || '.'
+       ELSE '' END ||
+  printf('%02d:%02d:%02d', (abs(v1) // 3600000000) % 24,
+         (abs(v1) // 60000000) % 60, (abs(v1) // 1000000) % 60) ||
+  CASE WHEN abs(v1) % 1000000 > 0
+       THEN printf('.%06d0', abs(v1) % 1000000) ELSE '' END
+  AS intraday_text,
+  CASE WHEN v2 < 0 THEN '-' ELSE '' END ||
+  CASE WHEN abs(v2) >= 86400000000
+       THEN CAST(abs(v2) // 86400000000 AS VARCHAR) || '.'
+       ELSE '' END ||
+  printf('%02d:%02d:%02d', (abs(v2) // 3600000000) % 24,
+         (abs(v2) // 60000000) % 60, (abs(v2) // 1000000) % 60) ||
+  CASE WHEN abs(v2) % 1000000 > 0
+       THEN printf('.%06d0', abs(v2) % 1000000) ELSE '' END
+  AS from_june_text
+FROM v
+""")
+def q_kql_timespan_text(spark, sf_dir):
+    """Kusto timespan TEXT rendering (r13 verdict #3): tostring over
+    a timespan-valued expression emits ``[-][d.]hh:mm:ss[.fffffff]``
+    instead of leaking the engine's µs BIGINT carrier. Covers the
+    intra-day offset (ts - startofday(ts): hh:mm:ss with fractional
+    tail) and a signed multi-day difference (ts - datetime(...):
+    days part, '-' sign). The 7th fractional digit is always '0'
+    (µs carrier, not 100 ns ticks — documented deviation,
+    probe-pinned in tests). The DuckDB twin rebuilds the same text
+    with printf over epoch-µs arithmetic — an independent spelling.
+    Pure per-row codegen, zero exchanges; the timespan-ness is
+    recognized at compile time from the compiler's own renders, so
+    no runtime type dispatch exists at any scale."""
+    from azure_kusto_parquet_conv_spark.kql import kql
+    return kql(spark, sf_dir, """
+      events
+        | where event_id % 37 == 0
+        | project event_id,
+                  intraday_text = tostring(ts - startofday(ts)),
+                  from_june_text = tostring(ts - datetime(2024-06-01))
     """)
 
 
@@ -9961,52 +10047,42 @@ DRIVER_WINDOW = [
     "convert_jsonl_region", "convert_csv_lineitem",
     "q_missing_column_fill", "csl_schema_lineitem", "q_schema_lineitem",
     "q_convert_binary", "rowgroups_lineitem", "q_filter_projection",
-    # ---- round-13 rotation. Priority queue (the policy
-    # test_attestation_rotation_is_priority_ordered enforces from the
-    # banked CORRECTNESS files, not from this comment):
-    #   1. the full r5 oldest vintage — all 23 members outstanding the
-    #      moment CORRECTNESS_r12 banked: the 22 unchanged-code members
-    #      named in the r12 planner note plus q_weighted_sample
-    #      (changed-code, displaced from the r12 window by
-    #      q_kql_in_tabular per the hygiene rule and owed this slot).
-    #      Seating all of them clears the r5 vintage completely:
-    "q_basket_pairs", "q_exists_subquery", "q_funnel",
-    "q_fuzzy_prefix_pairs", "q_inverted_index", "q_kql_bag_unpack",
-    "q_kql_bin_at", "q_kql_dynamic", "q_kql_extract_first_word",
-    "q_kql_has_any", "q_kql_mv_apply", "q_kql_parse_where",
-    "q_kql_prev_diff", "q_kql_range_sum", "q_kql_render",
-    "q_kql_row_number", "q_kql_top_hitters", "q_make_series",
-    "q_redact_pii", "q_session_window", "q_trailing_wau",
-    "q_train_test_split", "q_weighted_sample",
-    #   2. remaining slots -> r6 vintage (next-oldest), changed-code
-    #      first: these were all touched after their r6 attestation
-    #      (verified per-function via git log -L 3301384..HEAD — 18 of
-    #      the 37 r6 members changed; the 14 seated here are the first
-    #      in listing order; the rest of the r6 vintage moves to
-    #      DEFERRED_OLDEST when CORRECTNESS_r13 banks and is first in
-    #      line for r14 — see the r14 planner note below). New
-    #      entries added mid-r13 displace the TAIL slot here in the
-    #      same commit (hygiene rule; displaced r6 fills simply rejoin
-    #      the r14 obligation — they carry no displacement debt, only
-    #      oracled rotating entries with a banked attestation do):
-    "q_anomaly_outliers", "q_bigram_logprob", "q_corr_price_qty",
-    "q_events_heatmap", "q_gopher_rules", "q_kql_diffpatterns",
-    "q_kql_partition_prev", "q_kql_row_cumsum",
-    "q_kql_series_anomalies", "q_kql_series_corr", "q_kql_series_fill",
-    "q_kql_series_outliers",
-    #   3. new-this-round entries (hygiene rule: seated the commit they
-    #      land, each displacing the then-tail r6 fill above — the
-    #      displaced fills rejoin the r14 obligation):
-    #      q_kql_scan_funnel_exact displaced q_kql_series_smooth;
-    #      q_kql_dt_arith displaced q_kql_series_seasonal.
-    #      The round's THIRD new entry (q_kql_ipv4_cidr) is NOT seated:
-    #      displacing the next fill in reverse order would evict
-    #      q_kql_series_outliers, whose code AND oracle changed this
-    #      round (the ctukey default switch) and whose re-attestation
-    #      therefore outranks a first attestation of a self-contained
-    #      datatable certificate. It sits in DEFERRED_NEVER_CHECKED
-    #      (one round max) and is first in line for r14.
-    "q_kql_scan_funnel_exact", "q_kql_dt_arith",
+    # ---- round-14 rotation. Priority queue (enforced from the banked
+    # CORRECTNESS files by
+    # test_attestation_rotation_is_priority_ordered, never from this
+    # comment):
+    #   1. the never-checked obligation: q_kql_ipv4_cidr yielded its
+    #      first-attestation slot in r13 (DEFERRED_NEVER_CHECKED, one
+    #      round max) and is seated first, as owed:
+    "q_kql_ipv4_cidr",
+    #   2. the full r6 oldest vintage — all 25 members outstanding the
+    #      moment CORRECTNESS_r13 banked (the 23 named in the r13
+    #      planner note plus the two tail fills displaced mid-r13 by
+    #      new entries, q_kql_series_smooth / q_kql_series_seasonal).
+    #      Seating all of them clears the r6 vintage completely:
+    "q_dedup_canonical", "q_doc_chunks", "q_doc_repetition",
+    "q_domain_cap", "q_embed_mrl", "q_interarrival_dist", "q_key_skew",
+    "q_knn_ivf_exact", "q_kql_autocluster", "q_kql_evaluate_pivot",
+    "q_kql_parse_url", "q_kql_search", "q_kql_series_seasonal",
+    "q_kql_series_smooth", "q_kql_udf_threshold", "q_mad_robust_stats",
+    "q_mode", "q_multimodal_header_decode", "q_profile",
+    "q_quality_filter", "q_unigram_logprob", "q_url_dedup",
+    "q_window_distribution", "q_window_time_range", "q_zorder_key",
+    #   3. remaining 11 slots -> r7 vintage (next-oldest), changed-code
+    #      first: all are KQL-compiled entries and kql.py changed this
+    #      round (ADVICE fixes: extract-literal group counting, dt_arith
+    #      composite-lhs probing, find `* has` column quoting, mv-expand
+    #      kind=array shape), with q_kql_datetime_math and q_kql_find
+    #      sitting directly on the fixed code paths. New entries added
+    #      mid-r14 displace the TAIL slot here in the same commit
+    #      (hygiene rule; displaced r7 fills rejoin the r15 obligation):
+    "q_kql_datetime_math", "q_kql_find", "q_kql_facet",
+    "q_kql_parse_kv", "q_kql_series_forecast", "q_kql_series_periods",
+    "q_kql_geo", "q_kql_ipv4", "q_kql_bag_ops",
+    # tail fills displaced by new r14 entries (displaced fills rejoin
+    # the r15 obligation): q_kql_timespan_text displaced q_kql_reduce;
+    # q_kql_graph_undirected displaced q_kql_fork.
+    "q_kql_timespan_text", "q_kql_graph_undirected",
 ]
 
 # Rotation ledger: r1-r11 windows are banked driver-green in
@@ -10028,38 +10104,41 @@ DRIVER_WINDOW = [
 #      by the hard staleness ceiling (attested <= newest-7 rounds
 #      must hold a slot).
 #
-# The r13 window (this round): ALL 23 r5-vintage members — the 22
-# unchanged-code stragglers named in the r12 planner note plus
-# q_weighted_sample (displaced once in r12 by q_kql_in_tabular, owed
-# this slot; r12 verdict #1 demanded exactly this seating) + 14
-# r6-vintage entries, all changed-code-since-attestation (verified
-# per-function with git log -L 3301384..HEAD). 23 + 14 = 37 rotating
-# slots exactly; both deferral ledgers in tests/test_queries_oracle.py
-# are EMPTY at HEAD, so the rotation meta-test is green with
-# CORRECTNESS_r12 as the newest banked file.
+# The r14 window (this round): the never-checked obligation first
+# (q_kql_ipv4_cidr, deferred exactly one round in r13 per
+# DEFERRED_NEVER_CHECKED, seated as owed), then ALL 25 r6-vintage
+# members — the 23 named in the r13 planner note plus the two tail
+# fills displaced mid-r13 (q_kql_series_smooth, q_kql_series_seasonal)
+# — clearing the r6 vintage completely, then 11 r7-vintage fills
+# (changed-code first: all KQL-compiled, and kql.py carries this
+# round's ADVICE fixes). 1 + 25 + 11 = 37 rotating slots exactly;
+# both deferral ledgers in tests/test_queries_oracle.py are EMPTY at
+# HEAD, so the rotation meta-test is green with CORRECTNESS_r13 as
+# the newest banked file.
 #
-# r14 planner (written now so the obligation is explicit): the moment
-# CORRECTNESS_r13 banks, the oldest vintage becomes r6 with the 23
-# members not seated this round (q_dedup_canonical q_doc_chunks
-#  q_doc_repetition q_domain_cap q_embed_mrl q_interarrival_dist
-#  q_key_skew q_knn_ivf_exact q_kql_autocluster q_kql_evaluate_pivot
-#  q_kql_parse_url q_kql_search q_kql_udf_threshold q_mad_robust_stats
-#  q_mode q_multimodal_header_decode q_profile q_quality_filter
-#  q_unigram_logprob q_url_dedup q_window_distribution
-#  q_window_time_range q_zorder_key — plus any of the tail r6 fills
-# displaced mid-round by new entries) — the rotation meta-test will
-# fail at that point by design until the r14 window seats them (they
-# fit in one window with slots spare).
+# r15 planner (written now so the obligation is explicit): the moment
+# CORRECTNESS_r14 banks, the oldest vintage becomes r7 with the
+# members not seated this round (q_approx_percentiles q_bm25
+#  q_date_parts q_dedup_clusters q_dedup_embedding q_dedup_incremental
+#  q_dedup_minhash_exact q_dedup_simhash q_freq_items q_group_concat
+#  q_knn_hamming q_knn_ivf q_knn_ivfpq q_knn_lsh q_knn_pq
+#  q_kql_hll_reagg q_kql_narrow q_kql_reduce q_kql_fork q_kql_fit_line
+#  q_kql_row_rank q_kql_scan_funnel q_kql_sequence_detect
+#  q_kql_split_version q_media_real_headers q_multimodal_frames
+#  q_sample_by q_url_dedup_real — plus any tail r7 fills displaced
+# mid-r14 by new entries) — 28 members, they fit in one window with
+# slots spare; the rotation meta-test will fail once CORRECTNESS_r14
+# banks until the r15 window seats them.
 #
 # HYGIENE RULE (r7 verdict #8, enforced by
 # tests/test_queries_oracle.py::test_driver_window_is_first_and_covers_families):
 # every catalog entry with no driver CORRECTNESS row yet MUST occupy a
 # window slot in the round it lands, while rotating slots remain — the
 # attestation gap can never exceed one round's additions. An entry
-# added mid-r13 displaces the current TAIL slot in the same commit
-# (displacement order, last out first: the r6 changed-code fills in
-# reverse listing order — never an r5-obligation slot; a displaced r6
-# fill simply rejoins the r14 obligation).
+# added mid-r14 displaces the current TAIL slot in the same commit
+# (displacement order, last out first: the r7 changed-code fills in
+# reverse listing order — never an r6-obligation or never-checked
+# slot; a displaced r7 fill simply rejoins the r15 obligation).
 #
 # DISPLACEMENT CAP (r12 verdict #6, enforced by
 # tests/test_queries_oracle.py::test_displacement_happens_at_most_once):

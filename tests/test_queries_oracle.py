@@ -195,13 +195,11 @@ def test_driver_window_is_first_and_covers_families():
 # window obligation, with the reason, and is first in line next round.
 # An entry may live here at most ONE round (the r10 post-freeze batch
 # was deferred once and fully took the r11 window).
-# r13: q_kql_ipv4_cidr yields its first-attestation slot —
-# displacing the next r6 fill in reverse order would evict
-# q_kql_series_outliers, whose code AND oracle changed this round
-# (the ctukey 10-90 default switch) and whose re-attestation
-# outranks a first attestation of a self-contained datatable
-# certificate. Oracled, replica-covered, first in line for r14.
-DEFERRED_NEVER_CHECKED: set[str] = {"q_kql_ipv4_cidr"}
+# r13: q_kql_ipv4_cidr yielded its first-attestation slot to the
+# q_kql_series_outliers re-attestation (code AND oracle changed that
+# round). r14: EMPTY — q_kql_ipv4_cidr is seated first in the r14
+# window, as owed; no entry defers this round.
+DEFERRED_NEVER_CHECKED: set[str] = set()
 
 # DISPLACEMENT CAP ledger (r12 verdict #6): an already-attested
 # oracled entry displaced from a window it was owed must be seated in
@@ -246,11 +244,11 @@ def test_displacement_happens_at_most_once():
 # code UNCHANGED since its last attestation, stays replica-covered
 # (test_oracle_match), and is forced into the next window by the
 # staleness ceiling below.
-# r13: EMPTY — all 23 r5 stragglers hold window slots (the r5 vintage
-# clears entirely when CORRECTNESS_r13 banks). The moment it banks,
-# the oldest vintage becomes r6 with the 23 members not seated this
+# r14: EMPTY — all 25 r6 stragglers hold window slots (the r6 vintage
+# clears entirely when CORRECTNESS_r14 banks). The moment it banks,
+# the oldest vintage becomes r7 with the members not seated this
 # round; the rotation meta-test will then fail by design until the
-# r14 window seats them (see the r14-planner note above DRIVER_WINDOW
+# r15 window seats them (see the r15-planner note above DRIVER_WINDOW
 # in queries.py for the exact list).
 DEFERRED_OLDEST: set[str] = set()
 
