@@ -18,6 +18,12 @@ def schema_text(path: str) -> str:
     """O7 — full Parquet + file metadata dump (schema.rs:18-35)."""
     f = pq.ParquetFile(path)
     md = f.metadata
+    # pyarrow's str(ParquetSchema) leads with the object repr
+    # ('<pyarrow._parquet.ParquetSchema object at 0x...>') — a
+    # run-nondeterministic artifact line the reference's printer does
+    # not have; drop it so the dump is deterministic and oracle-able.
+    schema_lines = [l for l in str(f.schema).split("\n")
+                    if not l.startswith("<pyarrow._parquet.")]
     lines = [
         "File metadata:",
         f"  version: {md.format_version}",
@@ -25,7 +31,7 @@ def schema_text(path: str) -> str:
         f"  num_row_groups: {md.num_row_groups}",
         f"  created_by: {md.created_by}",
         "Schema:",
-        str(f.schema),
+        "\n".join(schema_lines),
     ]
     return "\n".join(lines)
 
