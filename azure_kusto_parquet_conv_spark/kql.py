@@ -3083,22 +3083,104 @@ class _ExprParser:
                     "KQL: series_decompose(series[, period[, trend"
                     "[, test_points[, seasonality_threshold]]]])")
             arr = args[0]
-            per = args[1] if len(args) >= 2 else "7"
+            per_arg = args[1] if len(args) >= 2 else "7"
             thr = args[4] if len(args) == 5 else "0.7"
-            if len(args) >= 4 and args[3].strip() not in ("0", "(0)"):
-                raise ValueError(
-                    "KQL: series_decompose test_points is supported "
-                    "at its default 0 only")
-            per_sql = self._decompose_period_sql(arr, per, thr)
+            tp = 0
+            if len(args) >= 4:
+                tpm = re.fullmatch(r"[\s()]*(\d+)[\s()]*", args[3])
+                if not tpm:
+                    raise ValueError(
+                        "KQL: series_decompose test_points must be a "
+                        "non-negative integer literal")
+                tp = int(tpm.group(1))
             # bind the resolved period ONCE (__dp0 hop): the
             # auto-detect expression embeds the whole ACF machinery,
             # and the period is spliced into every component's lambdas
             # — textual composition would explode the Catalyst tree
             # (same OOM class as the anomalies bind, below)
             per = "__dp0.p"
-            trend = self._decompose_trend_sql(
-                arr, per, args[2] if len(args) >= 3 else None)
-            seasonal = self._decompose_seasonal_sql(arr, per)
+            if tp == 0:
+                per_sql = self._decompose_period_sql(arr, per_arg,
+                                                     thr)
+                trend = self._decompose_trend_sql(
+                    arr, per, args[2] if len(args) >= 3 else None)
+                seasonal = self._decompose_seasonal_sql(arr, per)
+            else:
+                # test_points > 0 (r14 — documented non-fix through
+                # r13): the LAST tp points are excluded from learning
+                # (Kusto's validation holdout) — period auto-detect,
+                # trend fit, and seasonal phase means all run on the
+                # training prefix, then evaluate over the FULL length
+                # (trend extrapolates by index; the zero-sum phase
+                # means repeat periodically). The engine's
+                # trailing-FIR default trend has no separable
+                # learning window, so an explicit trend literal is
+                # required. Scalars and the train-length seasonal
+                # array are bound ONCE via struct hops (the r9/r13
+                # per-element-recompute lesson).
+                # test_points is positionally AFTER trend, so an
+                # explicit trend literal is always present here (the
+                # engine's trailing-FIR default — which has no
+                # separable learning window — is unreachable with a
+                # holdout, by construction)
+                mode = args[2]
+                tm = re.fullmatch(r"\s*'((?:[^'\\]|\\.)*)'\s*", mode)
+                if not tm or tm.group(1) not in ("avg", "linefit",
+                                                 "none"):
+                    raise ValueError(
+                        "KQL: decompose trend must be the literal "
+                        "'avg', 'linefit' or 'none'")
+                kind = tm.group(1)
+                a_full = self._series_arg(arr)
+                train = (f"slice({a_full}, 1, "
+                         f"greatest(size({a_full}) - {tp}, 0))")
+                per_sql = self._decompose_period_sql(train, per_arg,
+                                                     thr)
+                if kind == "none":
+                    trend = (f"transform({a_full}, "
+                             f"__dtp_v -> CAST(0 AS DOUBLE))")
+                elif kind == "avg":
+                    nn = (f"filter({train}, "
+                          f"__dtp_x -> __dtp_x IS NOT NULL)")
+                    mean = (f"(CASE WHEN size({nn}) = 0 THEN NULL "
+                            f"ELSE aggregate({nn}, "
+                            f"CAST(0 AS DOUBLE), (__dtp_s, __dtp_v) "
+                            f"-> __dtp_s + __dtp_v) / size({nn}) "
+                            f"END)")
+                    trend = (f"element_at(transform(array("
+                             f"named_struct('mu', {mean})), __dtp_b "
+                             f"-> transform({a_full}, "
+                             f"__dtp_v -> __dtp_b.mu)), 1)")
+                else:  # linefit
+                    fit = self._render_call(
+                        "series_fit_line_dynamic", [train])
+                    slope = (f"try_cast(variant_get({fit}, "
+                             f"'$.slope') AS DOUBLE)")
+                    icept = (f"try_cast(variant_get({fit}, "
+                             f"'$.interception') AS DOUBLE)")
+                    trend = (
+                        f"(CASE WHEN size({a_full}) = 0 THEN "
+                        f"CAST(array() AS ARRAY<DOUBLE>) ELSE "
+                        f"element_at(transform(array(named_struct("
+                        f"'sl', {slope}, 'ic', {icept})), __dtp_b -> "
+                        f"zip_with({a_full}, sequence(0, "
+                        f"greatest(size({a_full}) - 1, 0)), "
+                        f"(__dtp_v, __dtp_i) -> __dtp_b.ic + "
+                        f"__dtp_b.sl * CAST(__dtp_i AS DOUBLE))), 1) "
+                        f"END)")
+                seas_train = self._decompose_seasonal_sql(train, per)
+                seasonal = (
+                    f"(CASE WHEN size({a_full}) = 0 THEN "
+                    f"CAST(array() AS ARRAY<DOUBLE>) ELSE "
+                    f"element_at(transform(array(named_struct("
+                    f"'se', {seas_train})), __dtp_b -> "
+                    f"zip_with({a_full}, sequence(0, "
+                    f"greatest(size({a_full}) - 1, 0)), "
+                    f"(__dtp_v, __dtp_i) -> CASE WHEN ({per}) <= 0 "
+                    f"THEN CAST(0 AS DOUBLE) ELSE "
+                    f"coalesce(try_element_at(__dtp_b.se, "
+                    f"pmod(__dtp_i, ({per})) + 1), "
+                    f"CAST(0 AS DOUBLE)) END)), 1) END)")
             baseline = self._render_call("series_add",
                                          [seasonal, trend])
             resid = self._render_call("series_subtract",
@@ -5883,7 +5965,7 @@ def _warn_global_serialize(what: str, df: DataFrame | None = None) -> None:
         f"'spark.kql.globalSerialize.allow', 'true').")
 
 
-def _compile_expr_tokens(toks: list[Tok], df: DataFrame,
+def _compile_expr_tokens(toks: list[Tok], df: DataFrame | None,
                          order_sql: list[str] | None = None,
                          partition_sql: list[str] | None = None) -> str:
     """Expression compile with schema-aware bin() and serialized-order
@@ -5954,6 +6036,10 @@ def _compile_expr_tokens(toks: list[Tok], df: DataFrame,
                 raise ValueError(
                     "KQL: pack_all([ignore_null_empty]) takes at most "
                     "one boolean literal")
+            if df is None:
+                raise ValueError(
+                    "KQL: pack_all needs a table context "
+                    "(extend/project over a table, not print)")
             pairs = ", ".join(f"'{c}', `{c}`" for c in df.columns)
             base = (f"to_json(named_struct({pairs}), "
                     f"map('ignoreNullFields', 'false'))")
@@ -8079,7 +8165,12 @@ class KqlCompiler:
                 name, body = g[0].text, g[2:]
             else:
                 name, body = f"print_{i}" if i else "print_0", g
-            cols.append(f"{_parse_expr(body)} AS `{name}`")
+            # r14: print bodies route through the token-level
+            # interceptions too, so bin()/bin_at()/bin_auto() work in
+            # pure-text contexts (documented non-fix since r10);
+            # df=None — schema-dependent forms raise cleanly.
+            cols.append(
+                f"{_compile_expr_tokens(body, None)} AS `{name}`")
         if not cols:
             raise ValueError("KQL: print needs at least one expression")
         return self.spark.sql("SELECT " + ", ".join(cols))
@@ -11009,22 +11100,18 @@ class KqlCompiler:
         Python). Columns between literals capture lazily, a trailing
         column captures to end-of-string; non-matching rows yield null
         (try_cast keeps Kusto's null-on-miss under ANSI mode)."""
-        # optional `kind=simple|regex [flags=ims]` prefix: regex kind
-        # passes quoted fragments through as raw regex (Kusto's escape
-        # hatch for patterns `parse` literals can't express); flags map
-        # to inline (?ims). kind=relaxed (per-column partial typing) is
-        # rejected explicitly rather than silently approximated.
+        # optional `kind=simple|regex|relaxed [flags=ims]` prefix:
+        # regex kind passes quoted fragments through as raw regex
+        # (Kusto's escape hatch for patterns `parse` literals can't
+        # express); flags map to inline (?ims); relaxed compiles
+        # progressive nested-optional groups (r14 — was a documented
+        # non-fix through r13).
         kind, rx_flags = "simple", ""
         km = re.match(r"kind\s*=\s*(\w+)(?:\s+flags\s*=\s*(\w+))?\s+(.*)$",
                       rest, re.DOTALL)
         if km:
             kind, rest = km.group(1).lower(), km.group(3)
-            if kind == "relaxed":
-                raise ValueError(
-                    "KQL: parse kind=relaxed is not supported (simple "
-                    "and regex are; relaxed's per-column partial "
-                    "typing has no single-regex equivalent)")
-            if kind not in ("simple", "regex"):
+            if kind not in ("simple", "regex", "relaxed"):
                 raise ValueError(f"KQL: parse kind {kind!r}")
             for fl in (km.group(2) or ""):
                 if fl not in "ims":
@@ -11073,10 +11160,49 @@ class KqlCompiler:
                 group += 1
                 pieces.append(None)  # placeholder; greediness set below
                 cols.append((pm.group("name"), typ, group, len(pieces) - 1))
-        for name, typ, gi, pos in cols:
-            # lazy between literals, greedy to end-of-string when last
-            pieces[pos] = "(.*)" if pos == len(pieces) - 1 else "(.*?)"
-        pattern = rx_flags + "".join(pieces)
+        if kind == "relaxed":
+            # Kusto's relaxed mode: every extended column is optional
+            # PROGRESSIVELY — the row matches as far as the prefix
+            # holds and later columns go unmatched. One regex still:
+            # each column opens a nested optional group that contains
+            # the capture AND everything after it, so a failed unit
+            # fails all later units. Typed columns use TYPED
+            # subpatterns (a non-numeric token breaks the chain there,
+            # like Kusto); try_cast of the unmatched group's '' yields
+            # the null. Documented deviation: an UNMATCHED string
+            # column renders '' (Spark's regexp_extract cannot
+            # distinguish a non-participating group from a
+            # matched-empty one), where Kusto renders null.
+            # Typed captures self-delimit, so their trailing literal
+            # is optional too (the unit closes right after the
+            # capture and the remainder nests one level deeper:
+            # 'slices=7' with no trailing text still extracts 7, and
+            # a failed typed capture nulls everything after it —
+            # Kusto's propagation). A lazy STRING capture has no
+            # boundary of its own, so its following literal stays
+            # mandatory inside its group.
+            n_opt = 0
+            for name, typ, gi, pos in cols:
+                if typ in ("long", "int"):
+                    cap = r"(?:([-+]?\d+)(?:"
+                    n_opt += 2
+                elif typ in ("real", "double"):
+                    cap = (r"(?:([-+]?\d+(?:\.\d+)?"
+                           r"(?:[eE][+-]?\d+)?)(?:")
+                    n_opt += 2
+                else:
+                    cap = ("(?:(.*)" if pos == len(pieces) - 1
+                           else "(?:(.*?)")
+                    n_opt += 1
+                pieces[pos] = cap
+            pattern = rx_flags + "".join(pieces) + ")?" * n_opt
+        else:
+            for name, typ, gi, pos in cols:
+                # lazy between literals, greedy to end-of-string when
+                # last
+                pieces[pos] = ("(.*)" if pos == len(pieces) - 1
+                               else "(.*?)")
+            pattern = rx_flags + "".join(pieces)
         # Kusto null semantics: null only on pattern NON-match. A string
         # column that matches with an empty capture is an empty string
         # (the old nullif() folded it to null); typed columns get null

@@ -5357,7 +5357,7 @@ def test_row_cumsum_restart(spark, sf_dir):
 def test_parse_kind_regex_and_flags(spark, sf_dir):
     """parse kind=regex treats quoted fragments as raw regex;
     flags=i case-folds; kind=simple stays literal (special chars
-    escaped); kind=relaxed rejects explicitly."""
+    escaped); kind=relaxed works since r14 (own test above)."""
     rows = kql(spark, sf_dir, """
       datatable (s:string) [
         "ERROR code=17 at stage-4",
@@ -5380,10 +5380,12 @@ def test_parse_kind_regex_and_flags(spark, sf_dir):
       print s = "aXb=5" | parse s with "a.b=" v:long
     """).collect()[0]
     assert r2["v"] is None
+    # relaxed is a supported kind since r14; an unknown kind is the
+    # clean error now
     import pytest as _pytest
-    with _pytest.raises(ValueError, match="relaxed"):
+    with _pytest.raises(ValueError, match="parse kind"):
         kql(spark, sf_dir,
-            'print s = "x" | parse kind=relaxed s with "x" v:long')
+            'print s = "x" | parse kind=bogus s with "x" v:long')
 
 
 def test_array_index_of_extended(spark, sf_dir):
@@ -7887,3 +7889,92 @@ def test_graph_match_undirected_edges(spark, sf_dir):
             where s == 'b' project s, t
     """).collect()
     assert rows == []
+
+
+def test_parse_kind_relaxed(spark, sf_dir):
+    """r14 (documented non-fix through r13): parse kind=relaxed —
+    progressive partial matching. Columns extract as far as the
+    prefix holds; a failed TYPED capture nulls itself and everything
+    after it; a typed capture needs no trailing literal (it
+    self-delimits); the mandatory leading literal still gates the
+    whole row. Documented deviation: an unmatched STRING column
+    renders '' (not Kusto's null)."""
+    rows = kql(spark, sf_dir, """
+      let T = datatable (line:string) [
+        'name=alpha, slices=12, took=3.5s',
+        'name=beta, slices=xx, took=9.1s',
+        'name=gamma, slices=7',
+        'garbled'
+      ];
+      T | parse kind=relaxed line with 'name=' nm ', slices='
+            n:long ', took=' secs:real 's'
+        | project line, nm, n, secs
+    """).collect()
+    got = {r["line"]: (r["nm"], r["n"], r["secs"]) for r in rows}
+    assert got['name=alpha, slices=12, took=3.5s'] == ('alpha', 12, 3.5)
+    assert got['name=beta, slices=xx, took=9.1s'] == ('beta', None, None)
+    assert got['name=gamma, slices=7'] == ('gamma', 7, None)
+    assert got['garbled'] == (None, None, None)
+    # parse-where kind=relaxed keeps matching rows
+    rows = kql(spark, sf_dir, """
+      let T = datatable (line:string) [ 'a=1 b=two', 'zzz' ];
+      T | parse-where kind=relaxed line with 'a=' a:long ' b=' b
+        | project a, b
+    """).collect()
+    assert [(r["a"], r["b"]) for r in rows] == [(1, "two")]
+
+
+def test_bin_family_in_print(spark, sf_dir):
+    """r14 (documented non-fix since r10): print bodies route through
+    the token-level interceptions, so bin()/bin_at() work in
+    pure-text contexts — datetime bins via timespan sizes, numeric
+    bins, anchored bins."""
+    import datetime as _dt
+    r = kql(spark, sf_dir, """
+      print a = bin(datetime(2024-03-05 10:47:12), 1h),
+            b = bin(7.7, 0.5),
+            c = bin_at(datetime(2024-03-05 10:47:12), 1d,
+                       datetime(2024-01-01 06:00)),
+            d = bin_at(23, 10, 5)
+    """).collect()[0]
+    assert r["a"] == _dt.datetime(2024, 3, 5, 10, 0)
+    assert r["b"] == 7.5
+    assert r["c"] == _dt.datetime(2024, 3, 5, 6, 0)
+    assert r["d"] == 15
+    # pack_all in print: clean error naming the table-context need
+    import pytest as _pt
+    with _pt.raises(Exception, match="table context"):
+        kql(spark, sf_dir, "print x = pack_all()")
+
+
+def test_series_decompose_test_points_holdout(spark, sf_dir):
+    """r14 (documented non-fix through r13): series_decompose
+    test_points > 0 excludes the LAST N points from learning (trend
+    fit, seasonal phase means, period auto-detect all run on the
+    training prefix) while the components still cover the full
+    length — trend extrapolates by index, the zero-sum phase means
+    repeat periodically. The corrupted holdout (99s) must not leak
+    into the fit."""
+    import json
+    r = kql(spark, sf_dir, """
+      print s = dynamic([10, 0, 0, 0, 14, 4, 4, 4, 18, 8, 8, 8,
+                         99, 99, 99, 99])
+      | extend d = series_decompose(s, 4, 'linefit', 4)
+      | project t = tostring(d.trend), se = tostring(d.seasonal)
+    """).collect()[0]
+    se = json.loads(r["se"])
+    t = json.loads(r["t"])
+    assert len(se) == len(t) == 16
+    # zero-sum phase means of the TRAIN prefix: +7.5 at phase 0,
+    # -2.5 elsewhere — repeated over the holdout too
+    assert [round(x, 6) for x in se] == [7.5, -2.5, -2.5, -2.5] * 4
+    # the 99s did not leak: the fitted trend stays far below them
+    assert max(t) < 20
+    # a non-literal trend with a holdout is still a clean error
+    import pytest as _pt
+    with _pt.raises(Exception, match="trend must be the literal"):
+        kql(spark, sf_dir, """
+          print s = dynamic([1,2,3,4])
+          | extend d = series_decompose(s, 0, 4, 2)
+          | project t = tostring(d.trend)
+        """).collect()
