@@ -559,13 +559,42 @@ def _coerce_variant_cmp(lhs: str, rhs: str,
             return f"CAST({var_side} AS STRING)"
         return f"CAST({var_side} AS DOUBLE)"
 
-    is_l = lhs.lstrip("(").startswith("variant_get(")
-    is_r = rhs.lstrip("(").startswith("variant_get(")
+    is_l = _variant_sql_text(lhs, df)
+    is_r = _variant_sql_text(rhs, df)
+    if is_l and is_r:
+        # BOTH sides dynamic (r14 probe find — used to be an
+        # AnalysisException): deep equality via canonical JSON text.
+        # Documented deviations: bag key ORDER is significant, and
+        # numerically-equal different spellings (2 vs 2.0) differ —
+        # Kusto's loose numeric equality is not reproduced here.
+        return f"to_json({lhs})", f"to_json({rhs})"
     if is_l and not is_r:
         lhs = fix(lhs, rhs)
     elif is_r and not is_l:
         rhs = fix(rhs, lhs)
     return lhs, rhs
+
+
+def _variant_sql_text(s: str, df: DataFrame | None = None) -> bool:
+    """Is compiled SQL ``s`` variant-typed? Textual prefixes catch the
+    compiler's own dynamic renders (variant_get paths, parse_json
+    literals); a bare column name resolves python-side against the
+    frame's cached schema (no JVM round-trip)."""
+    t = s.lstrip("( ")
+    if t.startswith(("variant_get(", "parse_json(",
+                     "try_parse_json(")):
+        return True
+    m = re.fullmatch(r"\s*\(*\s*(?:`([^`]+)`|([A-Za-z_]\w*))"
+                     r"\s*\)*\s*", s)
+    if m and df is not None:
+        nm = m.group(1) or m.group(2)
+        try:
+            for f_ in df.schema.fields:
+                if f_.name == nm:
+                    return f_.dataType.typeName() == "variant"
+        except Exception:
+            pass
+    return False
 
 
 class _ExprParser:
@@ -629,6 +658,15 @@ class _ExprParser:
             return 5
         if t.text == "[":
             return 7  # postfix indexer binds tightest
+        if t.text == ".":
+            # postfix member access on a rendered expression
+            # (arr[0].prop, todynamic(s).key — r14 probe find); binds
+            # only when an identifier follows, so `between (1 .. 5)`'s
+            # bare dots still reach their expect('.') consumers
+            nxt = self.toks[self.i + 1] if self.i + 1 < len(self.toks) \
+                else None
+            return 7 if nxt is not None and nxt.kind == "ident" \
+                else None
         return None
 
     def _prefix(self) -> str:
@@ -5242,6 +5280,20 @@ class _ExprParser:
 
     def _infix(self, lhs: str, t: Tok, bp: int) -> str:
         low = t.text.lower()
+        if t.text == ".":
+            # postfix member access AFTER a rendered expression —
+            # d.a.b[0].c / todynamic(s).key (r14 probe find; a plain
+            # dotted chain lexes as ONE ident token, so this infix
+            # only fires after ']' or ')'). The universal named_struct
+            # lift keeps it analysis-valid for every lhs type; the
+            # trailing ident may itself be a dotted chain.
+            nxt = self.next()
+            if nxt.kind != "ident":
+                raise ValueError(
+                    "KQL: expected a property name after '.'")
+            path = nxt.text
+            return (f"variant_get(parse_json(to_json(named_struct("
+                    f"'x', {lhs}))), '$.x.{path}')")
         if t.text == "[":
             # postfix indexer: arr[i] (0-based; negatives count from
             # the end, Spark element_at semantics) or bag['key']. The
@@ -5377,6 +5429,16 @@ class _ExprParser:
                 out = self._dt_arith(lhs, t.text, rhs, rhs_ts_lit)
                 if out is not None:
                     return out
+            # Kusto arithmetic over dynamics (r14 probe find — used
+            # to be an AnalysisException): a variant operand coerces
+            # to DOUBLE (null on a non-numeric dynamic via try_cast).
+            # Documented deviation: the result is real even when both
+            # dynamics hold longs (Spark cannot branch the result
+            # type on the runtime variant type).
+            if _variant_sql_text(lhs, self.df):
+                lhs = f"try_cast({lhs} AS DOUBLE)"
+            if _variant_sql_text(rhs, self.df):
+                rhs = f"try_cast({rhs} AS DOUBLE)"
             return f"({lhs} {t.text} {rhs})"
         raise ValueError(f"KQL: unexpected operator {t.text!r}")
 

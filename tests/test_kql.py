@@ -7978,3 +7978,32 @@ def test_series_decompose_test_points_holdout(spark, sf_dir):
           | extend d = series_decompose(s, 0, 4, 2)
           | project t = tostring(d.trend)
         """).collect()
+
+
+def test_dynamic_coercion_probe_fixes(spark, sf_dir):
+    """r14 probe batch 7 (dynamic/VARIANT coercion): arithmetic over
+    dynamics coerces to DOUBLE (was an AnalysisException); dynamic
+    literals compare against native literals and against each other
+    (canonical-JSON deep equality); postfix member access works after
+    an indexer or a function call (d.a.b[0].c, todynamic(s).key)."""
+    r = kql(spark, sf_dir, """
+      print x = dynamic(2) + 1, y = dynamic(2.5) * 2,
+            a = dynamic('a') == 'a', b = dynamic(2) == 2,
+            c = dynamic([1,2]) == dynamic([1,2]),
+            d = dynamic({'x':1}) == dynamic({'x':1}),
+            e = dynamic({'x':1}) == dynamic({'x':2})
+    """).collect()[0]
+    assert (r["x"], r["y"]) == (3.0, 5.0)
+    assert (r["a"], r["b"], r["c"], r["d"], r["e"]) == (
+        True, True, True, True, False)
+    r = kql(spark, sf_dir, """
+      print d = dynamic({'a': {'b': [ {'c': 42} ]}})
+      | extend x = tolong(d.a.b[0].c),
+               y = tolong(todynamic('{"k": 7}').k)
+    """).collect()[0]
+    assert (r["x"], r["y"]) == (42, 7)
+    # between's bare-dot range still parses (the '.' infix must bind
+    # only before an identifier)
+    r = kql(spark, sf_dir,
+            "print b = 3 between (1 .. 5)").collect()[0]
+    assert r["b"] is True
