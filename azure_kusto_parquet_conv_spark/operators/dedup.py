@@ -496,18 +496,22 @@ def embedding_near_dup(df: DataFrame, vec_col: str = "embedding",
     rnd = random.Random(seed)
     if dim is None:
         dim = _peek_vector_dim(df, vec_col)
-    tables = []
-    for t in range(2):
+    keys = []
+    for _t in range(2):
         plane_lits = [F.array(*[F.lit(rnd.gauss(0, 1)) for _ in range(dim)])
                       for _ in range(planes)]
         bits = [ (V.dot(F.col(vec_col), p) > 0).cast("int") for p in plane_lits ]
         key = bits[0]
         for b in bits[1:]:
             key = key * 2 + b
-        tables.append(df.select(F.col(id_col), F.col(vec_col),
-                                key.alias("bucket"),
-                                F.lit(t).alias("table")))
-    bucketed = tables[0].unionByName(tables[1]).select(id_col, "bucket", "table")
+        keys.append(key)
+    # one projection + posexplode instead of a two-way union: the union
+    # shape scanned and projected the corpus once per rotation (guide
+    # §2.4); posexplode's 0-based position is the old lit(t) table id,
+    # so the (table, bucket) candidate space is unchanged.
+    bucketed = df.select(F.col(id_col),
+                         F.posexplode(F.array(*keys))
+                          .alias("table", "bucket"))
     cand = (bucketed.alias("a")
             .join(bucketed.alias("b"),
                   (F.col("a.table") == F.col("b.table"))

@@ -181,13 +181,17 @@ def knn_ivf(queries: DataFrame, corpus: DataFrame, k: int = 5,
     if centroids is None:
         centroids = train_ivf_centroids(corpus, corpus_vec, n_lists,
                                         seed=seed)
+    # bind_once=False on both sides: the assignment / probe pandas
+    # UDFs consume these columns, and a PythonUDF over the bound-struct
+    # unit hop intermittently fails UDF extraction (vectors.unit doc).
     c = assign_ivf_list(
         rebalance(corpus, rows_per_task=_ROWS_PER_TASK).select(F.col(corpus_id).alias("neighbor_id"),
-                                 V.unit(corpus_vec).alias("__v")),
+                                 V.unit(corpus_vec, bind_once=False)
+                                  .alias("__v")),
         centroids)
     probes = _probe_lists_udf(centroids, n_probe)
     q = (queries.select(F.col(query_id).alias("query_id"),
-                        V.unit(query_vec).alias("__qv"))
+                        V.unit(query_vec, bind_once=False).alias("__qv"))
          .withColumn("list_id", F.explode(probes(F.col("__qv")))))
     cand = c.join(broadcast(q), "list_id")
     if not include_self:
@@ -236,31 +240,36 @@ def knn_lsh(queries: DataFrame, corpus: DataFrame, k: int = 5,
 
     def bucketize(df, id_alias, idc, vecc):
         # unit vectors: hyperplane sign bits are scale-invariant, and the
-        # exact re-rank then needs only a dot product per candidate
+        # exact re-rank then needs only a dot product per candidate.
+        # One projection + posexplode over the per-table keys instead of
+        # a ``tables``-way union: the union shape re-scanned the corpus
+        # and re-evaluated the L2 normalization once PER TABLE (guide
+        # §2.4 — do the work once, fan out rows cheaply); posexplode's
+        # 0-based position is exactly the old ``lit(t)`` table id, so
+        # the (table, bucket) candidate space is unchanged.
         keys = _bucket_keys(vecc, dim, planes, tables, seed)
-        per_table = [
-            df.select(F.col(idc).alias(id_alias),
-                      V.unit(vecc).alias(f"__{id_alias}_v"),
-                      F.lit(t).alias("table"),
-                      key.alias("bucket"))
-            for t, key in enumerate(keys)
-        ]
-        out = per_table[0]
-        for p in per_table[1:]:
-            out = out.unionByName(p)
-        return out
+        return df.select(F.col(idc).alias(id_alias),
+                         V.unit(vecc).alias(f"__{id_alias}_v"),
+                         F.posexplode(F.array(*keys))
+                          .alias("table", "bucket"))
 
     qb = bucketize(queries, "query_id", query_id, query_vec)
     cb = bucketize(rebalance(corpus, rows_per_task=_ROWS_PER_TASK), "neighbor_id", corpus_id, corpus_vec)
+    # Dot BEFORE the collision dedup, dedup on the scalar id pair: the
+    # old shape ran DISTINCT over the two 64-dim vector columns, and
+    # array group keys force the slow sort-based aggregate and shuffle
+    # the vectors themselves (guide §2.3 — shuffle keys, not payloads).
+    # A pair's dot is identical across its <= ``tables`` collision
+    # duplicates, so MIN over the id pair returns the same value and
+    # the shuffle carries three scalars per candidate.
     cand = (cb.join(broadcast(qb), ["table", "bucket"])
-              .select("query_id", "neighbor_id", "__query_id_v",
-                      "__neighbor_id_v")
-              .distinct())
+              .select("query_id", "neighbor_id",
+                      V.dot("__query_id_v", "__neighbor_id_v")
+                       .alias("__sim")))
     if not include_self:
         cand = cand.where(F.col("query_id") != F.col("neighbor_id"))
-    sims = cand.select(
-        "query_id", "neighbor_id",
-        V.dot("__query_id_v", "__neighbor_id_v").alias("__sim"))
+    sims = (cand.groupBy("query_id", "neighbor_id")
+                .agg(F.min("__sim").alias("__sim")))
     w = Window.partitionBy("query_id").orderBy(
         F.col("__sim").desc(), F.col("neighbor_id").asc())
     return (sims.withColumn("rank", F.row_number().over(w))
@@ -425,8 +434,11 @@ def knn_pq(queries: DataFrame, corpus: DataFrame, k: int = 5,
     if codes is None:
         codes = pq_encode(corpus, codebooks, corpus_vec, corpus_id)
     dtables = _adc_tables_udf(codebooks)
+    # bind_once=False: __qv shares a projection with the dtables pandas
+    # UDF (and probes consumes it in the IVF variants) — keep the
+    # UDF-extraction-safe shape (vectors.unit doc).
     q = queries.select(F.col(query_id).alias("query_id"),
-                       V.unit(query_vec).alias("__qv"),
+                       V.unit(query_vec, bind_once=False).alias("__qv"),
                        dtables(F.col(query_vec)).alias("__tables"))
     pairs = codes.crossJoin(broadcast(q))
     return _adc_rerank(pairs, corpus, len(codebooks), k, rerank,
@@ -469,7 +481,7 @@ def knn_ivfpq(queries: DataFrame, corpus: DataFrame, k: int = 5,
     dtables = _adc_tables_udf(codebooks)
     probes = _probe_lists_udf(centroids, n_probe)
     q = (queries.select(F.col(query_id).alias("query_id"),
-                        V.unit(query_vec).alias("__qv"),
+                        V.unit(query_vec, bind_once=False).alias("__qv"),
                         dtables(F.col(query_vec)).alias("__tables"))
          .withColumn("list_id", F.explode(probes(F.col("__qv")))))
     pairs = index.join(broadcast(q), "list_id")
@@ -591,7 +603,7 @@ def knn_ivfpq_indexed(spark, queries: DataFrame, index_path: str,
     dtables = _adc_tables_udf(codebooks)
     probes = _probe_lists_udf(centroids, n_probe)
     q = (queries.select(F.col(query_id).alias("query_id"),
-                        V.unit(query_vec).alias("__qv"),
+                        V.unit(query_vec, bind_once=False).alias("__qv"),
                         dtables(F.col(query_vec)).alias("__tables"))
          .withColumn("list_id", F.explode(probes(F.col("__qv")))))
     # bounded driver materialization: <= n_lists ints, query side only

@@ -269,3 +269,25 @@ def test_ivfpq_append_and_recall_probe(spark, sf_dir, tmp_path):
     assert r["n_pairs"] == 16 * 3
     assert 0.0 <= r["recall"] <= 1.0
     assert r["recall"] >= 0.3  # ANN on its own corpus finds most truth
+
+
+def test_knn_ivf_stable_across_reruns(spark, sf_dir):
+    """r14 regression pin (the r9 PythonUDF-extraction gotcha, vector
+    edition): a pandas UDF whose argument inlines the bind-once
+    element_at(transform(array(named_struct(...)))) unit hop
+    intermittently fails UDF extraction and dies with INTERNAL_ERROR
+    "Cannot evaluate expression: PythonUDF" on executions AFTER a
+    session's first. The IVF paths therefore normalize with
+    unit(bind_once=False) on every column a pandas UDF consumes
+    (vectors.unit docstring); this pin re-executes the same IVF query
+    three times and requires identical results each time."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 10)
+    cents = S.train_ivf_centroids(e, n_lists=8, seed=42)
+    first = None
+    for _ in range(3):
+        got = sorted(map(tuple, S.knn_ivf(
+            q, e, k=3, n_lists=8, n_probe=2, centroids=cents).collect()))
+        if first is None:
+            first = got
+        assert got == first
