@@ -180,12 +180,20 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
 
 
 def _band_hashes(sig_len: int, bands: int) -> list[Column]:
+    """One xxhash64 per band over (band index, the band's r signature
+    longs) — numeric multi-arg tuple hash, no per-element string cast /
+    concat (the old text form allocated r 19-digit strings per band per
+    row; at 100 TB banding runs over every corpus signature). Candidate
+    semantics are unchanged: two docs share a band iff their r
+    signature values are equal, under either hashing, up to the same
+    2^-64 collision class; verified output-identical at sf0.001/0.01/
+    0.1 (exact verification filters candidates either way)."""
     rows = sig_len // bands
     cols = []
     for b in range(bands):
-        parts = [F.element_at("signature", b * rows + i + 1).cast("string")
+        parts = [F.element_at("signature", b * rows + i + 1)
                  for i in range(rows)]
-        cols.append(F.xxhash64(F.concat_ws(",", F.lit(str(b)), *parts)))
+        cols.append(F.xxhash64(F.lit(b), *parts))
     return cols
 
 
@@ -284,11 +292,20 @@ def minhash_dedup_incremental(new_df: DataFrame, corpus_sigs: DataFrame,
             F.explode(F.array(*_band_hashes(num_hashes, bands)))
              .alias("band_hash"))
 
+    # Materialize the candidate pairs ONCE: cand feeds BOTH the
+    # corpus-text semi-join (via its broadcast build below) and the
+    # verification join, and without the checkpoint the whole
+    # corpus-sized band join + distinct ran twice per invocation (the
+    # two subtrees group by different keys, so exchange reuse never
+    # fires — plan evidence in plans/r14/q_dedup_incremental_*.txt).
+    # Candidates are bounded by the batch's LSH collisions, so the
+    # checkpoint is tiny; no .distinct() before the semi join — a semi
+    # join ignores build-side duplicates.
     cand = (banded(corpus_sigs, "corpus_id")
             .join(F.broadcast(banded(new_sigs, "new_id")), "band_hash")
-            .select("new_id", "corpus_id").distinct())
-    corpus_hit_ids = cand.select(F.col("corpus_id").alias(id_col)) \
-                         .distinct()
+            .select("new_id", "corpus_id").distinct()
+            .localCheckpoint())
+    corpus_hit_ids = cand.select(F.col("corpus_id").alias(id_col))
     corpus_sh = (shingle_hash_sets(
                      corpus_text.join(F.broadcast(corpus_hit_ids),
                                       id_col, "left_semi"),
