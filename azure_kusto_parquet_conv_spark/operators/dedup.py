@@ -163,20 +163,24 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
         F.pmod(F.col("__s"), F.lit(1 << 31)).alias("__h"),
     )
     a31s = [a % (1 << 31) for a, _ in coeffs]
-    h = F.col("__h")
     # empty shingle set (explode_outer null) -> sentinel MERSENNE, matching
-    # the fold identity so short docs still get a well-defined signature
-    aggs = [
-        F.coalesce(
-            F.min(F.pmod(F.lit(a31) * h + F.lit(b), F.lit(_MERSENNE))),
-            F.lit(_MERSENNE).cast("long"),
-        ).alias(f"__m{i}")
-        for i, (a31, (_, b)) in enumerate(zip(a31s, coeffs))
-    ]
-    return (hashed.groupBy(id_col).agg(*aggs)
-            .select(F.col(id_col),
-                    F.array(*[F.col(f"__m{i}") for i in range(len(coeffs))])
-                     .alias("signature")))
+    # the fold identity so short docs still get a well-defined signature.
+    # Expressions are composed as SQL TEXT (one py4j round trip each, not
+    # ~12 per hash function for the Column-algebra form): the 64-wide agg
+    # list alone was ~800 driver RPCs ≈ 1.2 s PER QUERY BUILD (cProfile,
+    # guide §7.3 driver-side planning cost). Spark parses the text to the
+    # exact same expression tree, so results are bit-identical.
+    mins = ", ".join(
+        f"coalesce(min(pmod({a31} * __h + {b}, {_MERSENNE})), "
+        f"CAST({_MERSENNE} AS BIGINT))"
+        for a31, (_, b) in zip(a31s, coeffs))
+    # one array-of-aggregates expression: physical planning extracts the
+    # 64 min() aggregate functions exactly as the aliased-column form
+    # does (partial/map-side aggregation unchanged) and assembles the
+    # array in the aggregate's result projection — one parsed text
+    # instead of 64+1 driver round trips.
+    return hashed.groupBy(id_col).agg(
+        F.expr(f"array({mins})").alias("signature"))
 
 
 def _band_hashes(sig_len: int, bands: int) -> list[Column]:
@@ -191,9 +195,12 @@ def _band_hashes(sig_len: int, bands: int) -> list[Column]:
     rows = sig_len // bands
     cols = []
     for b in range(bands):
-        parts = [F.element_at("signature", b * rows + i + 1)
-                 for i in range(rows)]
-        cols.append(F.xxhash64(F.lit(b), *parts))
+        parts = ", ".join(f"signature[{b * rows + i}]"
+                          for i in range(rows))
+        # SQL text (1 RPC per band, not rows+2): signature[i] is
+        # 0-based GetArrayItem — same expression element_at(sig, i+1)
+        # resolves to for a positive literal index.
+        cols.append(F.expr(f"xxhash64({b}, {parts})"))
     return cols
 
 

@@ -132,6 +132,50 @@ def read_parquet_arrow(spark: SparkSession, path: str,
     ])
 
 
+def _relation_cache(spark: SparkSession) -> dict:
+    """Per-SparkSession relation (catalog) cache: base-scan DataFrames
+    keyed on the file's stat signature. ``spark.read.parquet`` re-lists
+    the path and re-reads footers for schema inference ON THE DRIVER on
+    every call (~100 ms even warm at sf0.1) — metadata work a catalog/
+    metastore does once per table, not once per query build (guide §6:
+    file-listing/metadata caches; §7.3: driver-side planning cost is
+    real). The cached object is the IMMUTABLE lazy plan of the base
+    scan — no rows are materialized and every action still scans the
+    parquet data from disk; only the driver-side listing + schema
+    inference is reused. Stored ON the session object so it dies with
+    the session (id()-keyed module dicts resurrect across GC; see
+    session._ship_package)."""
+    cache = getattr(spark, "_akpcs_relations", None)
+    if cache is None:
+        cache = {}
+        try:
+            spark._akpcs_relations = cache
+        except Exception:
+            pass
+    return cache
+
+
+def _stat_key(path: str):
+    import os
+    try:
+        st = os.stat(path)
+        return (path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        return (path, None, None)
+
+
+def _base_scan(spark: SparkSession, path: str) -> DataFrame:
+    """JVM parquet scan of ``path`` with the relation cache applied."""
+    cache = _relation_cache(spark)
+    key = _stat_key(path)
+    df = cache.get(key)
+    if df is None:
+        df = cache[key] = spark.read.parquet(path)
+        if len(cache) > 1024:  # bound driver memory on wide lakes
+            cache.pop(next(iter(cache)))
+    return df
+
+
 def read_parquet(spark: SparkSession, path: str,
                  columns: list[str] | None = None) -> DataFrame:
     """Scan with optional projection and missing-column reconciliation.
@@ -148,7 +192,7 @@ def read_parquet(spark: SparkSession, path: str,
     prepare_session(spark)
     if _jvm_unreadable_codecs(path):
         return read_parquet_arrow(spark, path, columns)
-    df = spark.read.parquet(path)
+    df = _base_scan(spark, path)
     dtypes = dict(df.dtypes)
     for c in _nanos_columns(path):
         if dtypes.get(c) == "bigint":
@@ -173,13 +217,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     prepare_session(spark)
     path = f"{sf_dir}/{name}.parquet"
+    # The normalized table is itself cached per (session, stat sig):
+    # the events ts handling below costs an analysis pass (df.dtypes),
+    # paid once per file state instead of once per query build.
+    cache = _relation_cache(spark)
+    key = ("load_table", *_stat_key(path))
+    hit = cache.get(key)
+    if hit is not None:
+        return hit
     # Fixture tables inherit the same codec fallback as the conversion
     # path: a brotli-compressed regeneration routes through the
     # distributed pyarrow scan instead of dying on a JVM codec error.
     if _jvm_unreadable_codecs(path):
         df = read_parquet_arrow(spark, path)
     else:
-        df = spark.read.parquet(path)
+        df = _base_scan(spark, path)
     if name == "events":
         dt = dict(df.dtypes).get("ts")
         if dt == "bigint":
@@ -187,6 +239,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                     .withColumn("ts", nanos_long_to_timestamp("ts_ns")))
         elif dt is not None and dt.startswith("timestamp"):
             df = df.withColumn("ts_ns", F.unix_micros("ts") * F.lit(1000))
+    cache[key] = df
     return df
 
 
@@ -242,10 +295,16 @@ def rebalance(df: DataFrame, min_partitions: int | None = None,
         row_groups = n_bytes = n_rows = 0
         for fp in sample:
             p = fp.removeprefix("file:")
-            meta = pq.ParquetFile(p).metadata
-            row_groups += meta.num_row_groups
-            n_rows += meta.num_rows
-            n_bytes += os.path.getsize(p)
+            skey = ("rebalance", *_stat_key(p))
+            hit = _FOOTER_CACHE.get(skey)
+            if hit is None:  # footer facts change only with the file
+                meta = pq.ParquetFile(p).metadata
+                hit = _FOOTER_CACHE[skey] = (
+                    meta.num_row_groups, meta.num_rows,
+                    os.path.getsize(p))
+            row_groups += hit[0]
+            n_rows += hit[1]
+            n_bytes += hit[2]
         if len(files) > 64:  # sampled: scale the estimates
             row_groups = row_groups * len(files) // 64
             n_bytes = n_bytes * len(files) // 64
