@@ -148,7 +148,16 @@ def assign_ivf_list(df: DataFrame, centroids: list[list[float]],
         dots = _stack(v) @ C
         return pd.Series(np.argmax(dots, axis=1) + 1).astype("int32")
 
-    return df.withColumn("list_id", nearest(F.col(vec_col)))
+    # Guide §4.4: the list_id equi-join downstream generates an
+    # isnotnull(list_id) predicate which filter-pushdown copies BELOW
+    # the rebalance exchange, re-evaluating the whole assignment UDF
+    # (plus its inlined O(dim) normalize argument) a second time — on
+    # the UNREPARTITIONED scan. Marking the UDF non-deterministic
+    # forbids the duplication; the function itself is deterministic,
+    # so results are unchanged (plan pin: one ArrowEvalPython
+    # [nearest] in tests/test_plans.py).
+    return df.withColumn("list_id",
+                         nearest.asNondeterministic()(F.col(vec_col)))
 
 
 def _probe_lists_udf(centroids: list[list[float]], n_probe: int):
