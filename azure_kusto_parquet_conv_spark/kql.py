@@ -507,6 +507,50 @@ _CMP = {"==": "=", "!=": "<>", "<": "<", "<=": "<=", ">": ">", ">=": ">="}
 _NUM_LIT_RE = re.compile(r"-?\s*\d+(?:\.\d+)?(?:[eE][+-]?\d+)?$")
 
 
+def _unwrap_parse_json(sql: str) -> str | None:
+    """If ``sql`` is exactly ``parse_json(X)`` (one call spanning the
+    whole text, string-literal-aware paren balance), return ``X``;
+    else None. Lets compilers that immediately re-serialize a dynamic
+    (from_json(to_json(...)) lifts) skip the VARIANT round trip when
+    the operand is a pack()/dynamic() render."""
+    s = sql.strip()
+    while s.startswith("(") and s.endswith(")"):
+        inner = s[1:-1].strip()
+        if _balanced_sql(inner):
+            s = inner
+        else:
+            break
+    if not s.startswith("parse_json(") or not s.endswith(")"):
+        return None
+    body = s[len("parse_json("):-1]
+    return body if _balanced_sql(body) else None
+
+
+def _balanced_sql(s: str) -> bool:
+    """Paren balance over SQL text, skipping '...' string literals
+    (with '' escapes); False if depth ever goes negative."""
+    depth, i, n = 0, 0, len(s)
+    while i < n:
+        ch = s[i]
+        if ch == "'":
+            i += 1
+            while i < n:
+                if s[i] == "'":
+                    if i + 1 < n and s[i + 1] == "'":
+                        i += 2
+                        continue
+                    break
+                i += 1
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth < 0:
+                return False
+        i += 1
+    return depth == 0
+
+
 _STRINGY_FN_RE = re.compile(
     r"\b(strcat|substring|substr|tostring|toupper|tolower|trim|trim_start"
     r"|trim_end|replace_string|extract|concat)\s*\(", re.IGNORECASE)
@@ -4582,27 +4626,57 @@ class _ExprParser:
         local equirectangular frame (fine for small shapes; no
         antimeridian handling, same policy as geo_point_in_polygon).
         Degenerate geometry (wrong type, <2 line points, zero-area
-        ring) yields null, Kusto's error-free convention."""
+        ring) yields null, Kusto's error-free convention.
+
+        Every branch binds its from_json(to_json(...)) parse ONCE per
+        row through the named_struct/transform hop: the parse text was
+        previously SPLICED into each fold-step reference, so each
+        coordinate access re-serialized and re-parsed the whole
+        geometry (measured 2.5x on the geo-measures scan at sf0.1 —
+        the r9 bind-once gotcha, JSON edition). Same values, computed
+        once."""
         R = self._GEO_R
+
+        def bind(raw: str, body: str, var: str,
+                 extra: dict[str, str] | None = None) -> str:
+            fields = [f"'g', {raw}"]
+            for k, v in (extra or {}).items():
+                fields.append(f"'{k}', {v}")
+            return (f"element_at(transform(array(named_struct("
+                    f"{', '.join(fields)})), {var} -> {body}), 1)")
+
+        def parsed(arg: str, schema: str) -> str:
+            """from_json text for a GeoJSON argument. The generic form
+            from_json(to_json(arg)) accepts any dynamic; when the arg
+            is ITSELF a parse_json(X) render (every pack()/dynamic()
+            literal compiles to one), read from_json(X) directly —
+            same parsed values, minus one VARIANT parse and one
+            re-serialization PER ROW (the geo-measures scan spends
+            most of its time in exactly that round trip)."""
+            inner = _unwrap_parse_json(arg)
+            src = inner if inner is not None else f"to_json({arg})"
+            return f"from_json({src}, '{schema}')"
+
         if fname == "geo_line_length":
             if len(args) != 1:
                 raise ValueError("KQL: geo_line_length(lineString)")
-            ls = (f"from_json(to_json({args[0]}), 'struct<"
-                  f"type:string,coordinates:array<array<double>>>')")
+            raw = parsed(args[0], "struct<type:string,coordinates:array<array<double>>>")
+            ls = "__gll_b.g"
             pts = f"({ls}).coordinates"
             seg = self._geo_hav(f"element_at({pts}, __gl_i)",
                                 f"element_at({pts}, __gl_i + 1)")
             total = (f"aggregate(sequence(1, size({pts}) - 1), "
                      f"CAST(0 AS DOUBLE), "
                      f"(__gl_a, __gl_i) -> __gl_a + {seg})")
-            return (f"(CASE WHEN ({ls}).type = 'LineString' "
-                    f"AND size({pts}) >= 2 THEN {total} "
-                    f"ELSE NULL END)")
+            return bind(raw,
+                        f"(CASE WHEN ({ls}).type = 'LineString' "
+                        f"AND size({pts}) >= 2 THEN {total} "
+                        f"ELSE NULL END)", "__gll_b")
         if fname in ("geo_polygon_area", "geo_polygon_centroid"):
             if len(args) != 1:
                 raise ValueError(f"KQL: {fname}(polygon)")
-            pg = (f"from_json(to_json({args[0]}), 'struct<type:string,"
-                  f"coordinates:array<array<array<double>>>>')")
+            raw = parsed(args[0], "struct<type:string,coordinates:array<array<array<double>>>>")
+            pg = "__gpa_b.g"
             rings = f"({pg}).coordinates"
             # EVERY ring needs >= 4 points: a short hole would feed
             # sequence(1, size-1 <= 0), which DESCENDS through index 0
@@ -4635,9 +4709,10 @@ class _ExprParser:
                          f"aggregate(sequence(2, size({rings})), "
                          f"CAST(0 AS DOUBLE), (__gh_a, __gh_k) -> "
                          f"__gh_a + {hole}) ELSE 0.0 END)")
-                return (f"(CASE WHEN {ok} THEN "
-                        f"greatest({outer} - {holes}, 0.0) "
-                        f"ELSE NULL END)")
+                return bind(raw,
+                            f"(CASE WHEN {ok} THEN "
+                            f"greatest({outer} - {holes}, 0.0) "
+                            f"ELSE NULL END)", "__gpa_b")
             # centroid: planar shoelace over the outer ring, returned
             # as a GeoJSON Point dynamic
             o = f"element_at({rings}, 1)"
@@ -4658,8 +4733,10 @@ class _ExprParser:
             cy = f"({fold(f'({yi} + {yj}) * {cross}')} / (3 * {a2}))"
             pt = (f"named_struct('type', 'Point', 'coordinates', "
                   f"array({cx}, {cy}))")
-            return (f"(CASE WHEN {ok} AND {a2} != 0 THEN "
-                    f"parse_json(to_json({pt})) ELSE NULL END)")
+            return bind(raw,
+                        f"(CASE WHEN {ok} AND {a2} != 0 THEN "
+                        f"parse_json(to_json({pt})) ELSE NULL END)",
+                        "__gpa_b")
         if fname == "geo_polygon_perimeter":
             # total boundary length in meters: haversine edge sum over
             # EVERY ring (outer + holes), matching Kusto's perimeter
@@ -4667,8 +4744,8 @@ class _ExprParser:
             # the edge fold needs no closing term
             if len(args) != 1:
                 raise ValueError("KQL: geo_polygon_perimeter(polygon)")
-            pg = (f"from_json(to_json({args[0]}), 'struct<type:string,"
-                  f"coordinates:array<array<array<double>>>>')")
+            raw = parsed(args[0], "struct<type:string,coordinates:array<array<array<double>>>>")
+            pg = "__gpp_b.g"
             rings = f"({pg}).coordinates"
             ok = (f"(({pg}).type = 'Polygon' AND size({rings}) >= 1 "
                   f"AND forall({rings}, __pk_r -> "
@@ -4682,7 +4759,9 @@ class _ExprParser:
             total = (f"aggregate(sequence(1, size({rings})), "
                      f"CAST(0 AS DOUBLE), (__pq_a, __pq_k) -> "
                      f"__pq_a + {ring_len})")
-            return f"(CASE WHEN {ok} THEN {total} ELSE NULL END)"
+            return bind(raw,
+                        f"(CASE WHEN {ok} THEN {total} ELSE NULL END)",
+                        "__gpp_b")
         if fname == "geo_line_centroid":
             # length-weighted centroid of the line's segments
             # (haversine weights, raw-degree midpoints — documented
@@ -4691,8 +4770,8 @@ class _ExprParser:
             # point; wrong type / <2 points -> null.
             if len(args) != 1:
                 raise ValueError("KQL: geo_line_centroid(lineString)")
-            ls = (f"from_json(to_json({args[0]}), 'struct<"
-                  f"type:string,coordinates:array<array<double>>>')")
+            raw = parsed(args[0], "struct<type:string,coordinates:array<array<double>>>")
+            ls = "__glc_b.g"
             pts = f"({ls}).coordinates"
 
             def fold(pfx, term):
@@ -4717,12 +4796,13 @@ class _ExprParser:
             degen = (f"named_struct('type', 'Point', 'coordinates', "
                      f"array(element_at({first}, 1), "
                      f"element_at({first}, 2)))")
-            return (f"(CASE WHEN ({ls}).type = 'LineString' "
-                    f"AND size({pts}) >= 2 THEN "
-                    f"(CASE WHEN {sumw} > 0 THEN "
-                    f"parse_json(to_json({pt})) "
-                    f"ELSE parse_json(to_json({degen})) END) "
-                    f"ELSE NULL END)")
+            return bind(raw,
+                        f"(CASE WHEN ({ls}).type = 'LineString' "
+                        f"AND size({pts}) >= 2 THEN "
+                        f"(CASE WHEN {sumw} > 0 THEN "
+                        f"parse_json(to_json({pt})) "
+                        f"ELSE parse_json(to_json({degen})) END) "
+                        f"ELSE NULL END)", "__glc_b")
         if fname == "geo_distance_point_to_polygon":
             # 0 when the point is inside (even-odd parity across ALL
             # rings — a hole flips parity back to outside), else the
@@ -4733,10 +4813,10 @@ class _ExprParser:
             if len(args) != 3:
                 raise ValueError("KQL: geo_distance_point_to_polygon("
                                  "lon, lat, polygon)")
-            lon0 = f"CAST({args[0]} AS DOUBLE)"
-            lat0 = f"CAST({args[1]} AS DOUBLE)"
-            pg = (f"from_json(to_json({args[2]}), 'struct<type:string,"
-                  f"coordinates:array<array<array<double>>>>')")
+            raw_x = f"CAST({args[0]} AS DOUBLE)"
+            raw_y = f"CAST({args[1]} AS DOUBLE)"
+            raw = parsed(args[2], "struct<type:string,coordinates:array<array<array<double>>>>")
+            lon0, lat0, pg = "__gdp_b.x", "__gdp_b.y", "__gdp_b.g"
             rings = f"({pg}).coordinates"
             ok = (f"(({pg}).type = 'Polygon' AND size({rings}) >= 1 "
                   f"AND forall({rings}, __pj_r -> size(__pj_r) >= 4) "
@@ -4785,19 +4865,21 @@ class _ExprParser:
                         f"0, (__pf_a, __pf_i) -> __pf_a + {crossing})")
             cnt = (f"aggregate(sequence(1, size({rings})), 0, "
                    f"(__pg_a, __pg_k) -> __pg_a + {ring_cnt})")
-            return (f"(CASE WHEN {ok} THEN (CASE WHEN "
-                    f"pmod({cnt}, 2) = 1 THEN 0.0 ELSE {best} END) "
-                    f"ELSE NULL END)")
+            return bind(raw,
+                        f"(CASE WHEN {ok} THEN (CASE WHEN "
+                        f"pmod({cnt}, 2) = 1 THEN 0.0 ELSE {best} END) "
+                        f"ELSE NULL END)", "__gdp_b",
+                        extra={"x": raw_x, "y": raw_y})
         # geo_distance_point_to_line(lon, lat, line): min planar
         # point-to-segment distance in a local equirectangular frame
         # centered on the point (meters)
         if len(args) != 3:
             raise ValueError(
                 "KQL: geo_distance_point_to_line(lon, lat, line)")
-        lon0, lat0 = f"CAST({args[0]} AS DOUBLE)", \
+        raw_x, raw_y = f"CAST({args[0]} AS DOUBLE)", \
             f"CAST({args[1]} AS DOUBLE)"
-        ls = (f"from_json(to_json({args[2]}), 'struct<"
-              f"type:string,coordinates:array<array<double>>>')")
+        raw = parsed(args[2], "struct<type:string,coordinates:array<array<double>>>")
+        lon0, lat0, ls = "__gdl_b.x", "__gdl_b.y", "__gdl_b.g"
         pts = f"({ls}).coordinates"
 
         def px(i):
@@ -4819,11 +4901,13 @@ class _ExprParser:
         best = (f"aggregate(sequence(1, size({pts}) - 1), "
                 f"CAST('Infinity' AS DOUBLE), "
                 f"(__gd_a, __gd_i) -> least(__gd_a, {dist}))")
-        return (f"(CASE WHEN ({ls}).type = 'LineString' "
-                f"AND size({pts}) >= 2 "
-                f"AND {lon0} BETWEEN -180 AND 180 "
-                f"AND {lat0} BETWEEN -90 AND 90 "
-                f"THEN {best} ELSE NULL END)")
+        return bind(raw,
+                    f"(CASE WHEN ({ls}).type = 'LineString' "
+                    f"AND size({pts}) >= 2 "
+                    f"AND {lon0} BETWEEN -180 AND 180 "
+                    f"AND {lat0} BETWEEN -90 AND 90 "
+                    f"THEN {best} ELSE NULL END)", "__gdl_b",
+                    extra={"x": raw_x, "y": raw_y})
 
     def _geo_point_in_polygon(self, args: list[str]) -> str:
         """geo_point_in_polygon(lon, lat, polygon) — the polygon must
