@@ -4153,19 +4153,38 @@ class _ExprParser:
         return f"{mapped}({', '.join(args)})"
 
     @staticmethod
+    def _bind1(fields: dict[str, str], var: str, body: str) -> str:
+        """Bind-once hop: evaluate each field expression ONCE per row
+        and expose it to ``body`` as ``{var}.{name}`` — the repo's
+        named_struct/transform scope. Spliced SQL text is re-evaluated
+        at every reference; any sub-expression a compiled function
+        references more than once (or references inside a fold) must
+        ride through here (the r9 gotcha; the ipv4/geo families each
+        measured >2x on it)."""
+        fs = ", ".join(f"'{k}', {v}" for k, v in fields.items())
+        return (f"element_at(transform(array(named_struct({fs})), "
+                f"{var} -> {body}), 1)")
+
+    @staticmethod
     def _ipv4_num(ip: str) -> tuple[str, str]:
         """(validity predicate, numeric value) for a dotted-quad string
-        expression (the part BEFORE any '/prefix' suffix)."""
+        expression (the part BEFORE any '/prefix' suffix). Both texts
+        bind the split-parts array once internally, so a reference
+        costs one split, not one per octet."""
         addr = f"split_part({ip}, '/', 1)"
         parts = f"split({addr}, '\\\\.')"
 
         def o(i):
-            return (f"CAST(coalesce(try_cast(try_element_at({parts}, "
-                    f"{i}) AS INT), 0) AS BIGINT)")
-        valid = (f"(size({parts}) = 4 AND forall({parts}, __ip_x -> "
-                 f"try_cast(__ip_x AS INT) BETWEEN 0 AND 255))")
-        num = (f"((({o(1)} * 256 + {o(2)}) * 256 + {o(3)}) * 256 "
-               f"+ {o(4)})")
+            return (f"CAST(coalesce(try_cast(try_element_at("
+                    f"__ipn_s.p, {i}) AS INT), 0) AS BIGINT)")
+        valid = _ExprParser._bind1(
+            {"p": parts}, "__ipv_s",
+            "(size(__ipv_s.p) = 4 AND forall(__ipv_s.p, __ip_x -> "
+            "try_cast(__ip_x AS INT) BETWEEN 0 AND 255))")
+        num = _ExprParser._bind1(
+            {"p": parts}, "__ipn_s",
+            f"((({o(1)} * 256 + {o(2)}) * 256 + {o(3)}) * 256 "
+            f"+ {o(4)})")
         return valid, num
 
     def _ipv4_fn(self, fname: str, args: list[str]) -> str:
@@ -4185,19 +4204,23 @@ class _ExprParser:
             pfx = (f"(CASE WHEN nullif(split_part({ip}, '/', 2), '') "
                    f"IS NULL THEN 32 ELSE try_cast("
                    f"split_part({ip}, '/', 2) AS INT) END)")
-            masked = (f"({num} & ~(shiftleft(CAST(1 AS BIGINT), "
-                      f"32 - {pfx}) - 1))")
-            return (f"(CASE WHEN {valid} AND {pfx} BETWEEN 0 AND 32 "
-                    f"THEN {masked} ELSE NULL END)")
+            masked = (f"(__ip4_s.n & ~(shiftleft(CAST(1 AS BIGINT), "
+                      f"32 - __ip4_s.x) - 1))")
+            return self._bind1(
+                {"n": num, "x": pfx, "v": valid}, "__ip4_s",
+                f"(CASE WHEN __ip4_s.v AND __ip4_s.x BETWEEN 0 AND 32 "
+                f"THEN {masked} ELSE NULL END)")
         if fname == "parse_ipv4_mask":
             if len(args) != 2:
                 raise ValueError("KQL: parse_ipv4_mask(ip, prefix)")
             ip, pfx = args
             valid, num = self._ipv4_num(ip)
-            masked = (f"({num} & ~(shiftleft(CAST(1 AS BIGINT), "
-                      f"32 - ({pfx})) - 1))")
-            return (f"(CASE WHEN {valid} AND ({pfx}) BETWEEN 0 AND 32 "
-                    f"THEN {masked} ELSE NULL END)")
+            masked = (f"(__ipm_s.n & ~(shiftleft(CAST(1 AS BIGINT), "
+                      f"32 - __ipm_s.x) - 1))")
+            return self._bind1(
+                {"n": num, "x": f"({pfx})", "v": valid}, "__ipm_s",
+                f"(CASE WHEN __ipm_s.v AND __ipm_s.x BETWEEN 0 AND 32 "
+                f"THEN {masked} ELSE NULL END)")
         if fname == "ipv4_range_to_cidr_list":
             # Kusto: the minimal CIDR list covering [start_ip, end_ip]
             # (r13 probe sweep). Classic greedy: at each step take the
@@ -4253,18 +4276,20 @@ class _ExprParser:
             n = (f"(CASE WHEN {s} RLIKE '^[0-9]+$' "
                  f"THEN try_cast({s} AS BIGINT) "
                  f"WHEN {valid} THEN {num} ELSE NULL END)")
-            masked = (f"({n} & ~(shiftleft(CAST(1 AS BIGINT), "
-                      f"32 - {pfx}) - 1))")
+            masked = (f"(__ipf_s.n & ~(shiftleft(CAST(1 AS BIGINT), "
+                      f"32 - __ipf_s.x) - 1))")
             quad = (f"concat_ws('.', "
                     f"shiftright({masked}, 24) & 255, "
                     f"shiftright({masked}, 16) & 255, "
                     f"shiftright({masked}, 8) & 255, "
                     f"{masked} & 255)")
             out = (quad if fname == "format_ipv4"
-                   else f"concat({quad}, '/', {pfx})")
-            return (f"(CASE WHEN {n} BETWEEN 0 AND 4294967295 "
-                    f"AND {pfx} BETWEEN 0 AND 32 THEN {out} "
-                    f"ELSE NULL END)")
+                   else f"concat({quad}, '/', __ipf_s.x)")
+            return self._bind1(
+                {"n": n, "x": pfx}, "__ipf_s",
+                f"(CASE WHEN __ipf_s.n BETWEEN 0 AND 4294967295 "
+                f"AND __ipf_s.x BETWEEN 0 AND 32 THEN {out} "
+                f"ELSE NULL END)")
         if fname == "ipv4_netmask_suffix":
             # the '/suffix' as a long; 32 when absent; null when the
             # address or suffix is invalid
@@ -4282,11 +4307,13 @@ class _ExprParser:
                 raise ValueError("KQL: ipv4_is_private(ip)")
             valid, num = self._ipv4_num(args[0])
             # 10.0.0.0/8, 172.16.0.0/12, 192.168.0.0/16
-            return (f"(CASE WHEN {valid} THEN "
-                    f"({num} BETWEEN 167772160 AND 184549375) "
-                    f"OR ({num} BETWEEN 2886729728 AND 2887778303) "
-                    f"OR ({num} BETWEEN 3232235520 AND 3232301055) "
-                    f"ELSE NULL END)")
+            return self._bind1(
+                {"n": num, "v": valid}, "__ipp_s",
+                "(CASE WHEN __ipp_s.v THEN "
+                "(__ipp_s.n BETWEEN 167772160 AND 184549375) "
+                "OR (__ipp_s.n BETWEEN 2886729728 AND 2887778303) "
+                "OR (__ipp_s.n BETWEEN 3232235520 AND 3232301055) "
+                "ELSE NULL END)")
         if fname in ("ipv4_compare", "ipv4_is_match"):
             # ipv4_compare(a, b[, prefix]) -> -1/0/1 comparing the two
             # addresses masked to the EFFECTIVE prefix = min(a's
@@ -4306,18 +4333,25 @@ class _ExprParser:
                         f"split_part({ip}, '/', 2) AS INT) END)")
             parg = (f"CAST({args[2]} AS INT)" if len(args) == 3
                     else "32")
-            pfx = f"least({sfx(a)}, {sfx(b)}, {parg})"
-            ma = f"shiftright({na}, 32 - {pfx})"
-            mb = f"shiftright({nb}, 32 - {pfx})"
+            # bind every shared sub-expression once: na/nb each cost a
+            # split and were previously re-spliced into both mask
+            # references on both compare branches
+            pfx = "least(__ipc_s.sa, __ipc_s.sb, __ipc_s.pq)"
+            ma = f"shiftright(__ipc_s.na, 32 - {pfx})"
+            mb = f"shiftright(__ipc_s.nb, 32 - {pfx})"
             cmp_ = (f"(CASE WHEN {ma} < {mb} THEN -1 "
                     f"WHEN {ma} > {mb} THEN 1 ELSE 0 END)")
             body = (cmp_ if fname == "ipv4_compare"
                     else f"({ma} = {mb})")
             typ = "BIGINT" if fname == "ipv4_compare" else "BOOLEAN"
-            return (f"(CASE WHEN {va} AND {vb} AND {sfx(a)} BETWEEN 0 "
-                    f"AND 32 AND {sfx(b)} BETWEEN 0 AND 32 "
-                    f"AND {pfx} BETWEEN 0 AND 32 "
-                    f"THEN CAST({body} AS {typ}) ELSE NULL END)")
+            return self._bind1(
+                {"na": na, "nb": nb, "sa": sfx(a), "sb": sfx(b),
+                 "pq": parg, "va": va, "vb": vb}, "__ipc_s",
+                f"(CASE WHEN __ipc_s.va AND __ipc_s.vb "
+                f"AND __ipc_s.sa BETWEEN 0 AND 32 "
+                f"AND __ipc_s.sb BETWEEN 0 AND 32 "
+                f"AND {pfx} BETWEEN 0 AND 32 "
+                f"THEN CAST({body} AS {typ}) ELSE NULL END)")
         # ipv4_is_in_range(ip, 'net/prefix' | exact ip)
         if len(args) != 2:
             raise ValueError("KQL: ipv4_is_in_range(ip, range)")
@@ -4327,9 +4361,14 @@ class _ExprParser:
         pfx = (f"(CASE WHEN nullif(split_part({rng}, '/', 2), '') "
                f"IS NULL THEN 32 ELSE try_cast("
                f"split_part({rng}, '/', 2) AS INT) END)")
-        return (f"(CASE WHEN {v1} AND {v2} AND {pfx} BETWEEN 0 AND 32 "
-                f"THEN shiftright({n1}, 32 - {pfx}) "
-                f"= shiftright({n2}, 32 - {pfx}) ELSE NULL END)")
+        return self._bind1(
+            {"n1": n1, "n2": n2, "x": pfx, "v1": v1, "v2": v2},
+            "__ipr_s",
+            "(CASE WHEN __ipr_s.v1 AND __ipr_s.v2 "
+            "AND __ipr_s.x BETWEEN 0 AND 32 "
+            "THEN shiftright(__ipr_s.n1, 32 - __ipr_s.x) "
+            "= shiftright(__ipr_s.n2, 32 - __ipr_s.x) "
+            "ELSE NULL END)")
 
     # candidate dotted-quads properly delimited by non-alphanumeric,
     # non-dot characters (lookarounds: Java regex only — the DuckDB
