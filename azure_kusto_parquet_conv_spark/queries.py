@@ -2836,8 +2836,17 @@ def q_tfidf(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
     toks = d.select("doc_id", F.explode(X.tokens("text")).alias("tok"))
     tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
-    dfreq = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
-    n = toks.agg(F.countDistinct("doc_id").alias("n_docs"))
+    # df and N derive from tf, not from fresh tokenize passes: tf rows
+    # are distinct (doc, tok), so COUNT(*) per tok == the old
+    # countDistinct(doc_id) over raw tokens, and countDistinct(doc_id)
+    # over tf == docs with >= 1 token, exactly what the old aggregate
+    # over toks counted. The shared (doc,tok) exchange subtree is
+    # deduped by ReuseExchange, so the corpus is tokenized ONCE per run
+    # instead of three times (guide §1.2: remove redundant passes —
+    # at 100 TB each pass is a full corpus scan). Output is
+    # value-identical (oracle unchanged, replayed green).
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    n = tf.agg(F.countDistinct("doc_id").alias("n_docs"))
     scored = (tf.join(dfreq, "tok")
                 .crossJoin(F.broadcast(n))
                 .select("doc_id", "tok",
