@@ -12772,39 +12772,37 @@ class KqlCompiler:
             *[F.expr(s).alias(n) for n, s in keys],
             F.expr(vw[0]).cast("double").alias("__pwv"),
             F.expr(vw[1]).cast("double").alias("__pww"))
-        valid = base.where(
-            F.col("__pwv").isNotNull() & F.col("__pww").isNotNull()
-            & (F.col("__pww") > 0))
+        # Single-pass spine (r14 optimization): rows failing the weight
+        # filter previously required a SECOND full input scan (key
+        # spine) outer-joined back so groups whose every weight is
+        # invalid keep their row with a NULL percentile. Instead,
+        # invalid rows collapse into ONE zero-weight NULL-value row
+        # per group inside the same pre-aggregation: sorted first
+        # (asc_nulls_first), weight 0, they shift no cumulative sum
+        # and no total, min(when(...)) ignores the NULL value, and an
+        # all-invalid group yields exactly the old spine-join NULL row
+        # (tot = 0, the 0 >= 0 crossing selects the NULL value).
+        # Verified output-identical incl. null group keys (which now
+        # flow through groupBy instead of the eqNullSafe join).
+        pred = (F.col("__pwv").isNotNull() & F.col("__pww").isNotNull()
+                & (F.col("__pww") > 0))
         wgt = F.floor(F.col("__pww") * F.lit(10000.0) + F.lit(0.5)) \
                .cast("long")
-        pre = valid.groupBy(*bynames, "__pwv").agg(F.sum(wgt).alias("__pws"))
-        win = _W.partitionBy(*bynames).orderBy("__pwv") \
+        pre = (base.groupBy(*bynames,
+                            F.when(pred, F.col("__pwv")).alias("__pwv"))
+                   .agg(F.sum(F.when(pred, wgt).otherwise(F.lit(0)))
+                         .alias("__pws")))
+        win = _W.partitionBy(*bynames) \
+                .orderBy(F.col("__pwv").asc_nulls_first()) \
                 .rowsBetween(_W.unboundedPreceding, 0)
         cum = (pre.withColumn("__pwc", F.sum("__pws").over(win))
                   .withColumn("__pwt", F.sum("__pws").over(
                       _W.partitionBy(*bynames))))
-        out = cum.groupBy(*bynames).agg(*[
+        return cum.groupBy(*bynames).agg(*[
             F.min(F.when(
                 F.col("__pwc") >= F.lit(p / 100.0) * F.col("__pwt"),
                 F.col("__pwv"))).alias(name)
             for name, p in specs])
-        if not bynames:
-            return out
-        # groups whose rows ALL failed the weight filter still exist in
-        # Kusto's output (fold over empty pairs -> null); restore them
-        # with a key spine — both sides are pre-aggregated on the same
-        # keys, so the join is exchange-reusing / AQE-broadcastable.
-        # NULL-SAFE keys: a null group key must match its own computed
-        # row (plain EqualTo would null out its percentile — r12 review)
-        spine = base.groupBy(*bynames).agg(
-            F.count(F.lit(1)).alias("__pwn")).drop("__pwn")
-        cond = None
-        for k in bynames:
-            c = spine[k].eqNullSafe(out[k])
-            cond = c if cond is None else (cond & c)
-        joined = spine.join(out, cond, "left")
-        return joined.select(*[spine[k] for k in bynames],
-                             *[out[n] for n, _ in specs])
 
     def _summarize(self, df: DataFrame, rest: str):
         # hint.shufflekey=col: pre-partition on the hinted key so the
