@@ -352,12 +352,25 @@ def dedup_clusters(ids: DataFrame, pairs: DataFrame,
     the large-star/small-star algorithm are documented in PLANS.md
     ("The dedup end-to-end pipeline at 100 TB").
     """
-    labels = ids.select(F.col(id_col).alias("__id"),
-                        F.col(id_col).alias("__label"))
     e = pairs.select(F.col("id_a").alias("__src"), F.col("id_b").alias("__dst"))
     edges = (e.unionByName(e.select(F.col("__dst").alias("__src"),
                                     F.col("__src").alias("__dst")))
              .distinct().localCheckpoint())
+    # Only nodes with at least one dup edge can ever change labels —
+    # an isolated node's min reachable id is itself. Restrict the
+    # iterative joins to the edge endpoints (dup pairs are a small
+    # fraction of any real corpus) and attach the untouched majority
+    # once at the end with label = id; output is identical, but each
+    # round's two shuffles carry |endpoints| rows instead of |corpus|
+    # (r14 optimization; guide §2.3 — shuffle fewer bytes).
+    # semi-join on ids: an endpoint outside ``ids`` held no label row
+    # under the old full-corpus loop (it neither propagated nor
+    # appeared in the output) — keep that contract exactly
+    labels = (edges.select(F.col("__src").alias("__id")).distinct()
+              .join(ids.select(F.col(id_col).alias("__id")), "__id",
+                    "left_semi")
+              .withColumn("__label", F.col("__id"))
+              .localCheckpoint())
     for _ in range(max_iter):
         nbr = (edges.join(labels, edges["__src"] == labels["__id"])
                .groupBy("__dst").agg(F.min("__label").alias("__nbr")))
@@ -372,8 +385,11 @@ def dedup_clusters(ids: DataFrame, pairs: DataFrame,
         labels = merged.drop("__old")
         if changed == 0:
             break
-    return labels.select(F.col("__id").alias(id_col),
-                         F.col("__label").alias("cluster_id"))
+    return (ids.select(F.col(id_col))
+            .join(labels, ids[id_col] == labels["__id"], "left")
+            .select(F.col(id_col),
+                    F.coalesce(F.col("__label"), F.col(id_col))
+                     .alias("cluster_id")))
 
 
 def canonical_keep(docs: DataFrame, clusters: DataFrame,
