@@ -10117,43 +10117,38 @@ DRIVER_WINDOW = [
     "convert_jsonl_region", "convert_csv_lineitem",
     "q_missing_column_fill", "csl_schema_lineitem", "q_schema_lineitem",
     "q_convert_binary", "rowgroups_lineitem", "q_filter_projection",
-    # ---- round-14 rotation. Priority queue (enforced from the banked
+    # ---- round-15 rotation. Priority queue (enforced from the banked
     # CORRECTNESS files by
     # test_attestation_rotation_is_priority_ordered, never from this
     # comment):
-    #   1. the never-checked obligation: q_kql_ipv4_cidr yielded its
-    #      first-attestation slot in r13 (DEFERRED_NEVER_CHECKED, one
-    #      round max) and is seated first, as owed:
-    "q_kql_ipv4_cidr",
-    #   2. the full r6 oldest vintage — all 25 members outstanding the
-    #      moment CORRECTNESS_r13 banked (the 23 named in the r13
-    #      planner note plus the two tail fills displaced mid-r13 by
-    #      new entries, q_kql_series_smooth / q_kql_series_seasonal).
-    #      Seating all of them clears the r6 vintage completely:
-    "q_dedup_canonical", "q_doc_chunks", "q_doc_repetition",
-    "q_domain_cap", "q_embed_mrl", "q_interarrival_dist", "q_key_skew",
-    "q_knn_ivf_exact", "q_kql_autocluster", "q_kql_evaluate_pivot",
-    "q_kql_parse_url", "q_kql_search", "q_kql_series_seasonal",
-    "q_kql_series_smooth", "q_kql_udf_threshold", "q_mad_robust_stats",
-    "q_mode", "q_multimodal_header_decode", "q_profile",
-    "q_quality_filter", "q_unigram_logprob", "q_url_dedup",
-    "q_window_distribution", "q_window_time_range", "q_zorder_key",
-    #   3. remaining 11 slots -> r7 vintage (next-oldest), changed-code
-    #      first: all are KQL-compiled entries and kql.py changed this
-    #      round (ADVICE fixes: extract-literal group counting, dt_arith
-    #      composite-lhs probing, find `* has` column quoting, mv-expand
-    #      kind=array shape), with q_kql_datetime_math and q_kql_find
-    #      sitting directly on the fixed code paths. New entries added
-    #      mid-r14 displace the TAIL slot here in the same commit
-    #      (hygiene rule; displaced r7 fills rejoin the r15 obligation):
-    "q_kql_datetime_math", "q_kql_find", "q_kql_facet",
-    "q_kql_parse_kv", "q_kql_series_forecast", "q_kql_series_periods",
-    "q_kql_geo", "q_kql_ipv4",
-    # tail fills displaced by new r14 entries (displaced fills rejoin
-    # the r15 obligation): q_kql_timespan_text displaced q_kql_reduce;
-    # q_kql_graph_undirected displaced q_kql_fork; rowgroups_exact
-    # (the O9 hash certificate) displaced q_kql_bag_ops.
-    "q_kql_timespan_text", "q_kql_graph_undirected", "rowgroups_exact",
+    #   1. never-checked obligation: none — no new entries this round
+    #      (optimization round; DEFERRED_NEVER_CHECKED stays empty).
+    #   2. the full r7 oldest vintage — all 29 members outstanding the
+    #      moment CORRECTNESS_r14 banked (the 28 named in the r14
+    #      planner note plus the third tail fill displaced mid-r14,
+    #      q_kql_bag_ops). Seating all of them clears the r7 vintage
+    #      completely, with slots to spare:
+    "q_approx_percentiles", "q_bm25", "q_date_parts",
+    "q_dedup_clusters", "q_dedup_embedding", "q_dedup_incremental",
+    "q_dedup_minhash_exact", "q_dedup_simhash", "q_freq_items",
+    "q_group_concat", "q_knn_hamming", "q_knn_ivf", "q_knn_ivfpq",
+    "q_knn_lsh", "q_knn_pq", "q_kql_bag_ops", "q_kql_fit_line",
+    "q_kql_fork", "q_kql_hll_reagg", "q_kql_narrow", "q_kql_reduce",
+    "q_kql_row_rank", "q_kql_scan_funnel", "q_kql_sequence_detect",
+    "q_kql_split_version", "q_media_real_headers",
+    "q_multimodal_frames", "q_sample_by", "q_url_dedup_real",
+    #   3. remaining 8 slots -> changed-code entries (r14 verdict #8:
+    #      the r14 optimizations' targets were all outside the r14
+    #      sample — q_tfidf (single-tokenize rewrite), q_kql_percentilew
+    #      (single-pass spine), q_kql_geo_measures / q_kql_ipv4_compare
+    #      (bind-once families) — plus this round's own touched paths:
+    #      the partition-scoped serialized kernels (q_kql_scan_declare,
+    #      q_kql_scan_funnel_exact, q_kql_row_window_session) and the
+    #      q_dedup_exact record the r14 verdict flagged (#3):
+    "q_tfidf", "q_kql_percentilew", "q_kql_geo_measures",
+    "q_kql_ipv4_compare", "q_kql_scan_declare",
+    "q_kql_scan_funnel_exact", "q_kql_row_window_session",
+    "q_dedup_exact",
 ]
 
 # Rotation ledger: r1-r11 windows are banked driver-green in
@@ -10175,31 +10170,26 @@ DRIVER_WINDOW = [
 #      by the hard staleness ceiling (attested <= newest-7 rounds
 #      must hold a slot).
 #
-# The r14 window (this round): the never-checked obligation first
-# (q_kql_ipv4_cidr, deferred exactly one round in r13 per
-# DEFERRED_NEVER_CHECKED, seated as owed), then ALL 25 r6-vintage
-# members — the 23 named in the r13 planner note plus the two tail
-# fills displaced mid-r13 (q_kql_series_smooth, q_kql_series_seasonal)
-# — clearing the r6 vintage completely, then 11 r7-vintage fills
-# (changed-code first: all KQL-compiled, and kql.py carries this
-# round's ADVICE fixes). 1 + 25 + 11 = 37 rotating slots exactly;
-# both deferral ledgers in tests/test_queries_oracle.py are EMPTY at
-# HEAD, so the rotation meta-test is green with CORRECTNESS_r13 as
-# the newest banked file.
+# The r15 window (this round): no never-checked obligation (an
+# optimization round adds no entries), then ALL 29 r7-vintage members
+# — the 28 named in the r14 planner note plus q_kql_bag_ops (the third
+# tail fill displaced mid-r14) — clearing the r7 vintage completely,
+# then 8 changed-code fills per the r14 verdict #8: the four entries
+# the r14 optimizations touched that sat outside the r14 sample
+# (q_tfidf, q_kql_percentilew, q_kql_geo_measures,
+# q_kql_ipv4_compare), the three partition-scoped serialized kernels
+# this round's scoped-layout fix re-plans (q_kql_scan_declare,
+# q_kql_scan_funnel_exact, q_kql_row_window_session), and
+# q_dedup_exact (the r14 verdict #3 record under investigation).
+# 29 + 8 = 37 rotating slots exactly; both deferral ledgers in
+# tests/test_queries_oracle.py are EMPTY at HEAD, so the rotation
+# meta-test is green with CORRECTNESS_r14 as the newest banked file.
 #
-# r15 planner (written now so the obligation is explicit): the moment
-# CORRECTNESS_r14 banks, the oldest vintage becomes r7 with the
-# members not seated this round (q_approx_percentiles q_bm25
-#  q_date_parts q_dedup_clusters q_dedup_embedding q_dedup_incremental
-#  q_dedup_minhash_exact q_dedup_simhash q_freq_items q_group_concat
-#  q_knn_hamming q_knn_ivf q_knn_ivfpq q_knn_lsh q_knn_pq
-#  q_kql_hll_reagg q_kql_narrow q_kql_reduce q_kql_fork q_kql_fit_line
-#  q_kql_row_rank q_kql_scan_funnel q_kql_sequence_detect
-#  q_kql_split_version q_media_real_headers q_multimodal_frames
-#  q_sample_by q_url_dedup_real — plus any tail r7 fills displaced
-# mid-r14 by new entries) — 28 members, they fit in one window with
-# slots spare; the rotation meta-test will fail once CORRECTNESS_r14
-# banks until the r15 window seats them.
+# r16 planner (written now so the obligation is explicit): the moment
+# CORRECTNESS_r15 banks, the oldest vintage becomes r8; its
+# outstanding members are the r8-attested entries not re-seated since
+# (derive them from the banked files as always — the meta-test is the
+# source of truth, this comment is not).
 #
 # HYGIENE RULE (r7 verdict #8, enforced by
 # tests/test_queries_oracle.py::test_driver_window_is_first_and_covers_families):
