@@ -244,18 +244,31 @@ def main() -> None:
     load_limit = float(os.environ.get("BENCH_LOAD_LIMIT", "4"))
     exo_limit = float(os.environ.get("BENCH_EXO_LIMIT", "0.20"))
     n_samples = int(os.environ.get("BENCH_SAMPLES", "5"))
-    max_extra = 4  # retry budget for contaminated samples
+    # r14 verdict #1: a gated-out sample must NEVER be published. The
+    # old loop kept the final attempt even when its gate tripped, so a
+    # noisy box banked inflated minima (r14's 143-retry run). Now every
+    # contaminated sample is discarded; the retry budget is raised
+    # (min-of-fewer clean samples beats min-of-5 with dirty ones), and
+    # a query that gets ZERO clean samples publishes the best dirty
+    # time with an explicit `contaminated` marker instead of silently
+    # pretending the number is clean.
+    max_extra = int(os.environ.get("BENCH_MAX_EXTRA", "10"))
     hz = os.sysconf("SC_CLK_TCK")
     ncpu = os.cpu_count() or 1
 
     timings: dict[str, float] = {}
     cpu_secs: dict[str, float] = {}
     exo_fracs: dict[str, float] = {}
+    kept_counts: dict[str, int] = {}
+    retry_counts: dict[str, int] = {}
+    contaminated: list[str] = []
     retried = 0
     for name in HEADLINE:
         run(name)  # warm-up: plan + codegen + JIT, untimed
         best = float("inf")
         best_cpu = best_exo = 0.0
+        dirty_best = float("inf")
+        dirty_cpu = dirty_exo = 0.0
         kept = attempts = 0
         while kept < n_samples and attempts < n_samples + max_extra:
             load_before = os.getloadavg()[0]
@@ -272,15 +285,24 @@ def main() -> None:
             loaded = (max(load_before, os.getloadavg()[0]) > load_limit
                       or exo_frac > exo_limit)
             attempts += 1
-            if loaded and attempts < n_samples + max_extra:
-                retried += 1  # contaminated sample: discard and retry
+            if loaded:
+                retried += 1  # contaminated sample: discard, retry
+                if dt < dirty_best:
+                    dirty_best, dirty_cpu, dirty_exo = dt, cpu, exo_frac
                 continue
             kept += 1
             if dt < best:
                 best, best_cpu, best_exo = dt, cpu, exo_frac
+        if kept == 0:
+            # every sample gated out: publish the least-dirty time,
+            # loudly marked, rather than nothing (or a silent lie)
+            contaminated.append(name)
+            best, best_cpu, best_exo = dirty_best, dirty_cpu, dirty_exo
         timings[name] = round(best, 3)
         cpu_secs[name] = round(best_cpu, 3)
         exo_fracs[name] = round(best_exo, 3)
+        kept_counts[name] = kept
+        retry_counts[name] = attempts - kept
 
     total = round(sum(timings.values()), 3)
     baseline33 = HEADLINE[:33]  # the r1-recorded subset (BASELINE 19.54s)
@@ -302,17 +324,33 @@ def main() -> None:
         # co-tenant contention, not a code regression.
         "cpu_sec": cpu_secs,
         "exo_frac": exo_fracs,
+        "kept_samples": kept_counts,
+        "retries": retry_counts,
+        "contaminated": contaminated,
+        "cpus": ncpu,
         "sf": sf,
         "load_retries": retried,
         "protocol": ("steady-state: per-query warm-up, min of "
                      f"{n_samples} samples gated on exogenous CPU "
                      f"(limit {exo_limit}) + loadavg (limit "
-                     f"{load_limit})"),
+                     f"{load_limit}); gated-out samples never kept"),
     }
     print(json.dumps(full), file=sys.stderr)
+    # r14 verdict #2: the full detail goes to a run-stamped path so a
+    # later run (e.g. the driver's low-core companion) cannot clobber
+    # the committed record of an earlier one. BENCH_FULL.json (stable
+    # name) is still written for the at-HEAD banked copy.
+    repo = os.path.dirname(os.path.abspath(__file__))
+    stamp = f"c{ncpu}_{int(time.time())}"
+    full_path = os.path.join("bench_runs", f"BENCH_FULL_{stamp}.json")
     try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_FULL.json"), "w") as f:
+        os.makedirs(os.path.join(repo, "bench_runs"), exist_ok=True)
+        with open(os.path.join(repo, full_path), "w") as f:
+            json.dump(full, f, indent=1)
+    except OSError:
+        full_path = "BENCH_FULL.json"
+    try:
+        with open(os.path.join(repo, "BENCH_FULL.json"), "w") as f:
             json.dump(full, f, indent=1)
     except OSError:
         pass
@@ -325,14 +363,32 @@ def main() -> None:
         "baseline33_sec": baseline33_total,
         "baseline33_vs_r1_19.54": round(baseline33_total / 19.54, 3),
         "queries": {n: timings[n] for n in baseline33},
+        # r14 verdict #1: contamination evidence rides the contract
+        # line itself. exo = kept-best-sample exogenous CPU fraction
+        # (nonzero entries only; a clean run prints {}), retries =
+        # per-query discarded samples (nonzero only), contaminated =
+        # queries whose EVERY sample gated out (timing is the least-
+        # dirty one, not a clean number).
+        "exo": {n: round(exo_fracs[n], 2) for n in baseline33
+                if exo_fracs[n] >= 0.005},
+        "retries": {n: retry_counts[n] for n in baseline33
+                    if retry_counts[n]},
+        "contaminated": contaminated,
         "sf": sf,
         "load_retries": retried,
         "protocol": (f"warmup+min{n_samples},exogate{exo_limit},"
-                     f"loadgate{load_limit}"),
-        "full_detail": "BENCH_FULL.json",
+                     f"loadgate{load_limit},nokeepdirty"),
+        "full_detail": full_path,
     }
     line = json.dumps(compact)
-    # belt-and-braces: never exceed the driver's 2000-char tail buffer
+    # belt-and-braces: never exceed the driver's 2000-char tail buffer.
+    # Trim the diagnostic dicts before touching the queries dict.
+    while len(line) > 1900 and (compact["exo"] or compact["retries"]):
+        for key in ("retries", "exo"):
+            if compact[key]:
+                compact[key].pop(next(iter(compact[key])))
+                break
+        line = json.dumps(compact)
     while len(line) > 1900 and compact["queries"]:
         drop = min(compact["queries"], key=compact["queries"].get)
         del compact["queries"][drop]
