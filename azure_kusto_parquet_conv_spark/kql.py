@@ -7809,6 +7809,19 @@ class KqlCompiler:
         # to key-partitioned windows instead of a global sort.
         self._partition: list | None = None
         self._partition_sql: list[str] | None = None
+        # True while the current scoped pipeline's rows are ALREADY
+        # hash-partitioned by the `partition by` keys and sorted
+        # (keys, serialized order) within partitions — i.e. right
+        # after the scoped `sort by` stage and through any
+        # order/partition-preserving narrow stage. The serialized
+        # kernels (scan, row_window_session) consume it to skip their
+        # own repartition + sortWithinPartitions: an explicit
+        # REPARTITION_BY_COL exchange can never be elided by Catalyst,
+        # so without this flag every scoped kernel paid a second
+        # shuffle + sort of data already laid out correctly
+        # (guide §2.4 — share one exchange between operations keyed
+        # the same way).
+        self._scoped_sorted = False
         # let-statement bindings: tabular -> DataFrame, scalar -> KQL
         # text, function -> (params, body) expanded macro-style
         self._lets: dict[str, DataFrame] = {}
@@ -8535,6 +8548,10 @@ class KqlCompiler:
                     if mrr.group(1) == "dense":
                         df = df.withColumn(name, dense)
                     else:
+                        # the run-id window repartitions on
+                        # (keys, run): scope-key rows may now span
+                        # partitions — scoped layout no longer holds
+                        self._scoped_sorted = False
                         df = df.withColumn("__rr_run", dense) \
                                .withColumn("__rr_rn",
                                            F.row_number().over(w))
@@ -8595,6 +8612,9 @@ class KqlCompiler:
                             Window.unboundedPreceding,
                             Window.currentRow)
                         if len(parts) == 2:
+                            # (keys, run) window repartitions — scoped
+                            # layout no longer holds past this stage
+                            self._scoped_sorted = False
                             df = df.withColumn(
                                 "__rc_run",
                                 F.sum(F.expr(
@@ -8626,6 +8646,9 @@ class KqlCompiler:
                         base = (int(mrn.group(1)) - 1
                                 if mrn.group(1) else 0)
                         if mrn.group("restart"):
+                            # (keys, run) window repartitions — scoped
+                            # layout no longer holds past this stage
+                            self._scoped_sorted = False
                             from pyspark.sql import Window as _W
                             wrun = w.rowsBetween(
                                 _W.unboundedPreceding, _W.currentRow)
@@ -13017,10 +13040,22 @@ class KqlCompiler:
                     f"KQL: partition key {key!r} not in input")
         key_cols = [F.col(k) for k in keys]
         saved = (self._partition, self._partition_sql,
-                 self._order, self._order_sql)
+                 self._order, self._order_sql, self._scoped_sorted)
         self._partition = key_cols
         self._partition_sql = [f"`{k}`" for k in keys]
         self._order = self._order_sql = None
+        self._scoped_sorted = False
+        # stages that keep rows hash-partitioned by the scope keys and
+        # sorted within partitions: filters, projections, parsers, and
+        # the serialized kernels themselves (they emit rows in input
+        # order and mapInPandas is narrow). Anything else (distinct,
+        # mv-expand, evaluate plugins, summarize, take/top windows)
+        # conservatively invalidates the layout.
+        _LAYOUT_PRESERVING = {"where", "extend", "project",
+                              "project-away", "project-keep",
+                              "project-rename", "project-reorder",
+                              "parse", "parse-where", "parse-kv",
+                              "serialize", "scan"}
         try:
             out = df
             for stage in _split_pipes(sub):
@@ -13035,6 +13070,8 @@ class KqlCompiler:
                     # evaluate plugins that honor serialized/partition
                     # scope (rows_near, sequence_detect, scan-family)
                     # read self._partition/_order like any stage
+                    if sop not in _LAYOUT_PRESERVING:
+                        self._scoped_sorted = False
                     out = self._apply(out, stage)
                 elif sop in ("sort", "order"):
                     cols = self._sort_cols(
@@ -13043,7 +13080,9 @@ class KqlCompiler:
                     # per-key serialized order, never a global sort
                     out = (out.repartition(*key_cols)
                               .sortWithinPartitions(*key_cols, *cols))
+                    self._scoped_sorted = True
                 elif sop in ("take", "limit"):
+                    self._scoped_sorted = False
                     n = int(srest)
                     order = self._order or [F.monotonically_increasing_id()]
                     w = Window.partitionBy(*key_cols).orderBy(*order)
@@ -13052,6 +13091,7 @@ class KqlCompiler:
                               .where(F.col("__p_rn") <= n)
                               .drop("__p_rn"))
                 elif sop == "top":
+                    self._scoped_sorted = False
                     m2 = re.match(r"(\d+)\s+by\s+(.*)", srest, re.DOTALL)
                     if not m2:
                         raise ValueError("KQL: top N by expr")
@@ -13063,6 +13103,7 @@ class KqlCompiler:
                               .where(F.col("__p_rn") <= int(m2.group(1)))
                               .drop("__p_rn"))
                 elif sop == "summarize":
+                    self._scoped_sorted = False
                     # every partition key is implicitly a grouping column
                     stripped = _STR_LIT_RE.sub("", srest)
                     add = list(keys)
@@ -13085,7 +13126,7 @@ class KqlCompiler:
             return out
         finally:
             (self._partition, self._partition_sql,
-             self._order, self._order_sql) = saved
+             self._order, self._order_sql, self._scoped_sorted) = saved
 
     def _scan(self, df: DataFrame, rest: str) -> DataFrame:
         """``scan [with_match_id=name] [declare (v:type = init, ...)]
@@ -13305,8 +13346,16 @@ class KqlCompiler:
         sort_cols = [F.col(c).asc() for c in group_cols]
         for nm, asc in zip(order_names, asc_flags):
             sort_cols.append(F.col(nm).asc() if asc else F.col(nm).desc())
-        part = (work.repartition(*[F.col(c) for c in group_cols])
-                    .sortWithinPartitions(*sort_cols))
+        if self._partition_sql and self._scoped_sorted:
+            # the scoped `sort by` already hash-partitioned on the scope
+            # keys and sorted (keys, order) within partitions, and only
+            # layout-preserving narrow stages ran since — the kernel's
+            # own repartition+sort would be a redundant second
+            # Exchange+Sort of identically laid-out rows (guide §2.4)
+            part = work
+        else:
+            part = (work.repartition(*[F.col(c) for c in group_cols])
+                        .sortWithinPartitions(*sort_cols))
 
         init_st = dict(decl_inits)
 
@@ -13458,8 +13507,14 @@ class KqlCompiler:
         for nm, asc in zip(order_names, asc_flags):
             sort_cols.append(F.col(nm).asc() if asc
                              else F.col(nm).desc())
-        part = (work.repartition(*[F.col(c) for c in group_cols])
-                    .sortWithinPartitions(*sort_cols))
+        if self._partition_sql and self._scoped_sorted:
+            # input already partitioned by the scope keys and sorted
+            # (keys, serialized order) by the scoped `sort by` — skip
+            # the kernel's redundant Exchange+Sort (guide §2.4)
+            part = work
+        else:
+            part = (work.repartition(*[F.col(c) for c in group_cols])
+                        .sortWithinPartitions(*sort_cols))
 
         def kernel(batches):
             state_key = object()

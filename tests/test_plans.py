@@ -631,3 +631,25 @@ def test_relation_cache_reuses_and_invalidates(spark, tmp_path):
     os.utime(p)
     df3 = read_parquet(spark, p)
     assert df3.count() == 7 and "b" in df3.columns
+
+
+def test_scoped_serialized_kernels_share_the_scope_exchange(spark,
+                                                            sf_dir):
+    """r15 optimization pin (guide §2.4): inside ``partition by key
+    ( sort by ... | <kernel> )`` the scan / row_window_session kernels
+    must reuse the scoped sort's hash exchange instead of issuing
+    their own repartition — exactly ONE Exchange in the plan. The
+    kernel-side repartition is an explicit REPARTITION_BY_COL that
+    Catalyst can never elide, so the compiler tracks the scoped
+    layout itself."""
+    # expected Exchange counts: the scope shuffle itself, plus (for
+    # scan_funnel_exact) the downstream summarize aggregation's — the
+    # kernels themselves contribute none
+    for name, want in (("q_kql_row_window_session", 1),
+                       ("q_kql_scan_declare", 1),
+                       ("q_kql_scan_funnel_exact", 2)):
+        df = QUERIES[name](spark, sf_dir)
+        plan = executed_plan(df)
+        n_exchanges = plan.count("+- Exchange") + plan.count(
+            ":- Exchange")
+        assert n_exchanges == want, (name, plan[:2500])
