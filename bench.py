@@ -8,13 +8,17 @@ Each query is forced end-to-end through the `noop` sink (full
 materialization, no Catalyst shortcut via count()). Timing protocol
 (r8 verdict #2): one untimed warm-up run per query (Catalyst planning
 + whole-stage codegen compile + JIT), then the min of 5 timed runs.
-A sample is DISCARDED and retried (bounded retry budget) when either
-gate trips: (a) exogenous CPU — machine-wide busy jiffies minus this
-process tree's own — exceeds BENCH_EXO_LIMIT (default 20%) of machine
-capacity over the sample window (r13 verdict #2: the direct
-instrument; loadavg is a trailing average and missed sub-minute
-co-tenant bursts two rounds running), or (b) the 1-min load average
-exceeds BENCH_LOAD_LIMIT (default 4) on either side of the sample.
+A sample is DISCARDED and retried (bounded retry budget) when the
+exogenous-CPU gate trips: machine-wide busy jiffies minus this process
+tree's own exceed BENCH_EXO_LIMIT (default 20%) of machine capacity
+over the sample window (r13 verdict #2: the direct instrument; loadavg
+is a trailing average that missed sub-minute co-tenant bursts two
+rounds running AND — the r15 finding — false-trips on the bench's own
+decaying load). A gated-out sample is never published (r14 verdict
+#1); a query whose every sample gates out publishes its least-dirty
+time with an explicit `contaminated` marker. The optional
+loadavg-excess gate (BENCH_LOAD_LIMIT, default 0 = off) compares
+max(loadavg) minus this tree's own measured cores.
 At real scale a query runs for minutes and compile cost amortizes to
 zero, so steady state is the number that predicts 100 TB throughput;
 single-shot local timings mostly measure the JIT, and the gated min
@@ -241,7 +245,21 @@ def main() -> None:
     # sample when exogenous CPU exceeds BENCH_EXO_LIMIT (default 20%)
     # of the machine's capacity over the sample window. The loadavg
     # check stays as a secondary gate with the limit dropped 8 -> 4.
-    load_limit = float(os.environ.get("BENCH_LOAD_LIMIT", "4"))
+    # r15 measurement fix (evidence: bench_runs/BENCH_FULL_c32_
+    # 1787037621.json): the 1-min loadavg gate trips on the BENCH'S OWN
+    # load — a 32-core stage pushes loadavg well past 4 and the average
+    # decays over minutes, so mid-run a block of 15 consecutive queries
+    # had EVERY sample discarded by loadavg alone while the direct
+    # exogenous-CPU instrument read ~0.00 (other tenants idle). The
+    # loadavg gate measured the bench itself, manufacturing false
+    # `contaminated` markers and burning the retry budget (it also
+    # inflated r14's 143-retry count). The exo-CPU gate measures
+    # exactly what loadavg tried to proxy — machine-wide busy CPU
+    # minus this process tree — so loadavg is demoted to a recorded
+    # diagnostic: BENCH_LOAD_LIMIT defaults to 0 (off); when set > 0
+    # it gates on the EXCESS load beyond our own measured cores during
+    # the sample (max(load) - ours_cores), not raw loadavg.
+    load_limit = float(os.environ.get("BENCH_LOAD_LIMIT", "0"))
     exo_limit = float(os.environ.get("BENCH_EXO_LIMIT", "0.20"))
     n_samples = int(os.environ.get("BENCH_SAMPLES", "5"))
     # r14 verdict #1: a gated-out sample must NEVER be published. The
@@ -282,8 +300,11 @@ def main() -> None:
             # fraction of the machine's CPU capacity other tenants
             # burned while this sample ran
             exo_frac = exo / (ncpu * dt) if dt > 0 else 0.0
-            loaded = (max(load_before, os.getloadavg()[0]) > load_limit
-                      or exo_frac > exo_limit)
+            ours_cores = ((ours1 - ours0) / hz / dt) if dt > 0 else 0.0
+            load_excess = (max(load_before, os.getloadavg()[0])
+                           - ours_cores)
+            loaded = (exo_frac > exo_limit
+                      or (load_limit > 0 and load_excess > load_limit))
             attempts += 1
             if loaded:
                 retried += 1  # contaminated sample: discard, retry
@@ -332,8 +353,9 @@ def main() -> None:
         "load_retries": retried,
         "protocol": ("steady-state: per-query warm-up, min of "
                      f"{n_samples} samples gated on exogenous CPU "
-                     f"(limit {exo_limit}) + loadavg (limit "
-                     f"{load_limit}); gated-out samples never kept"),
+                     f"(limit {exo_limit}); loadavg-excess gate "
+                     f"{'off' if load_limit <= 0 else load_limit}; "
+                     "gated-out samples never kept"),
     }
     print(json.dumps(full), file=sys.stderr)
     # r14 verdict #2: the full detail goes to a run-stamped path so a
@@ -377,7 +399,8 @@ def main() -> None:
         "sf": sf,
         "load_retries": retried,
         "protocol": (f"warmup+min{n_samples},exogate{exo_limit},"
-                     f"loadgate{load_limit},nokeepdirty"),
+                     f"loadgate{'off' if load_limit <= 0 else load_limit},"
+                     "nokeepdirty"),
         "full_detail": full_path,
     }
     line = json.dumps(compact)
