@@ -10696,53 +10696,54 @@ class KqlCompiler:
             raise ValueError("KQL: funnel sequence and windows must "
                              "have the same nonzero length")
 
-        base = df.select(
-            F.expr(id_sql).alias("__fc_id"),
-            F.expr(f"unix_micros(CAST({tl_sql} AS TIMESTAMP))")
-             .alias("__fc_t"),
-            F.expr(state_sql).alias("__fc_s"),
-        ).where(F.col("__fc_t").isNotNull())
-        start_us_col = F.expr(
-            f"unix_micros(CAST({start_sql} AS TIMESTAMP))")
-        end_us_col = F.expr(
-            f"unix_micros(CAST({end_sql} AS TIMESTAMP))")
-        base = (base.withColumn("__fc_lo", start_us_col)
-                    .withColumn("__fc_hi", end_us_col)
-                    .where((F.col("__fc_t") >= F.col("__fc_lo"))
-                           & (F.col("__fc_t") < F.col("__fc_hi"))))
+        # SQL-text batching (r15, guide §7.3): every projection,
+        # filter and aggregate below compiles as text — one py4j round
+        # trip per DataFrame op instead of 2-4 per Column — the same
+        # trick as the minhash 64-agg composition. The parsed trees
+        # are identical to the old Column-algebra forms (`/` on longs
+        # is double division and CAST(double AS BIGINT) truncates
+        # toward zero in both APIs), so results are bit-identical.
+        def _sq(s):
+            return ("'" + s.replace("\\", "\\\\").replace("'", "\\'")
+                    + "'")
+
+        base = df.selectExpr(
+            f"({id_sql}) AS __fc_id",
+            f"unix_micros(CAST({tl_sql} AS TIMESTAMP)) AS __fc_t",
+            f"({state_sql}) AS __fc_s",
+            f"unix_micros(CAST({start_sql} AS TIMESTAMP)) AS __fc_lo",
+            f"unix_micros(CAST({end_sql} AS TIMESTAMP)) AS __fc_hi",
+        ).where("__fc_t IS NOT NULL AND __fc_t >= __fc_lo "
+                "AND __fc_t < __fc_hi")
         # t0: first step-1 event per id -> the id's cohort period
-        cur = (base.where(F.col("__fc_s") == states[0])
+        cur = (base.where(f"__fc_s = {_sq(states[0])}")
                    .groupBy("__fc_id")
-                   .agg(F.min("__fc_t").alias("__fc_t0"),
-                        F.first("__fc_lo").alias("__fc_lo")))
-        cur = cur.withColumn(
-            "period",
-            F.timestamp_micros(
-                F.col("__fc_lo")
-                + ((F.col("__fc_t0") - F.col("__fc_lo"))
-                   / step_us).cast("long") * step_us))
+                   .agg(F.expr("min(__fc_t) AS __fc_t0"),
+                        F.expr("first(__fc_lo) AS __fc_lo")))
+        cur = cur.withColumn("period", F.expr(
+            f"timestamp_micros(__fc_lo + CAST((__fc_t0 - __fc_lo) "
+            f"/ {step_us} AS BIGINT) * {step_us})"))
         out_rows = []
         prev_col = "__fc_t0"
         for k in range(len(states)):
             if k > 0:
-                ev_k = base.where(F.col("__fc_s") == states[k]) \
-                           .select(F.col("__fc_id"),
-                                   F.col("__fc_t").alias("__fc_ek"))
+                ev_k = (base.where(f"__fc_s = {_sq(states[k])}")
+                            .selectExpr("__fc_id",
+                                        "__fc_t AS __fc_ek"))
                 cur = (cur.join(ev_k, "__fc_id")
-                          .where(F.col("__fc_ek") > F.col(prev_col))
+                          .where(f"__fc_ek > {prev_col}")
                           .groupBy("__fc_id", "__fc_t0", "period")
-                          .agg(F.min("__fc_ek").alias(f"__fc_t{k}")))
+                          .agg(F.expr(f"min(__fc_ek) AS __fc_t{k}")))
                 prev_col = f"__fc_t{k}"
-            done = cur.where(
-                F.col(prev_col) - F.col("__fc_t0") <= wins[k])
+            done = cur.where(f"{prev_col} - __fc_t0 <= {wins[k]}")
             prefix = " -> ".join(states[:k + 1])
             out_rows.append(
                 done.groupBy("period")
-                    .agg(F.countDistinct("__fc_id").alias("n_ids"))
-                    .select("period",
-                            F.lit(k + 1).cast("long")
-                             .alias("prefix_len"),
-                            F.lit(prefix).alias("prefix"), "n_ids"))
+                    .agg(F.expr("count(DISTINCT __fc_id) AS n_ids"))
+                    .selectExpr("period",
+                                f"CAST({k + 1} AS BIGINT) "
+                                f"AS prefix_len",
+                                f"{_sq(prefix)} AS prefix", "n_ids"))
         out = out_rows[0]
         for o in out_rows[1:]:
             out = out.unionByName(o)
@@ -11861,14 +11862,20 @@ class KqlCompiler:
         e_src, e_dst = g["src"], g["dst"]
         edges_df, nodes_df = g["edges"], g["nodes"]
 
+        def _bq(c):
+            return "`" + c.replace("`", "``") + "`"
+
         def both_orient(ed):
             """Two-orientation union for an UNDIRECTED pattern edge:
             endpoints swap, every edge property rides along — one
-            narrow union, no shuffle (same shape as make-graph --)."""
-            swapped = ed.select(
-                *[F.col(e_dst).alias(e_src) if c == e_src
-                  else F.col(e_src).alias(e_dst) if c == e_dst
-                  else F.col(c) for c in ed.columns])
+            narrow union, no shuffle (same shape as make-graph --).
+            selectExpr strings, not Column algebra: one py4j round
+            trip instead of ~3 per column (r15; guide §7.3
+            driver-side build cost)."""
+            swapped = ed.selectExpr(
+                *[f"{_bq(e_dst)} AS {_bq(e_src)}" if c == e_src
+                  else f"{_bq(e_src)} AS {_bq(e_dst)}" if c == e_dst
+                  else _bq(c) for c in ed.columns])
             return ed.unionByName(swapped)
 
         def segment_frame(lo2, hi2, pref, base_df):
@@ -11909,23 +11916,26 @@ class KqlCompiler:
                     cur2, prefs = None, []
                     for j in range(ln):
                         p = f"{pref}l{ln}_{j}_"
-                        e = base_df.select(
-                            F.col(e_src).alias(p + "s"),
-                            F.col(e_dst).alias(p + "d"))
+                        e = base_df.selectExpr(
+                            f"{_bq(e_src)} AS {_bq(p + 's')}",
+                            f"{_bq(e_dst)} AS {_bq(p + 'd')}")
                         if cur2 is None:
                             cur2 = e
                         else:
                             cur2 = cur2.join(
-                                e, F.col(prefs[-1] + "d")
-                                == F.col(p + "s"), "inner")
+                                e, F.expr(
+                                    f"{_bq(prefs[-1] + 'd')} = "
+                                    f"{_bq(p + 's')}"), "inner")
                         prefs.append(p)
-                    for x in range(ln):
-                        for y in range(x + 1, ln):
-                            cur2 = cur2.where(~(
-                                F.col(prefs[x] + "s").eqNullSafe(
-                                    F.col(prefs[y] + "s"))
-                                & F.col(prefs[x] + "d").eqNullSafe(
-                                    F.col(prefs[y] + "d"))))
+                    # all pairwise edge-distinct predicates as ONE
+                    # compiled text (O(ln^2) where() round trips -> 1)
+                    pw = [f"NOT ({_bq(prefs[x] + 's')} <=> "
+                          f"{_bq(prefs[y] + 's')} AND "
+                          f"{_bq(prefs[x] + 'd')} <=> "
+                          f"{_bq(prefs[y] + 'd')})"
+                          for x in range(ln) for y in range(x + 1, ln)]
+                    if pw:
+                        cur2 = cur2.where(" AND ".join(pw))
                     frames.append(
                         cur2.groupBy(
                             F.col(prefs[0] + "s").alias("__sg_a"),
@@ -11972,8 +11982,8 @@ class KqlCompiler:
                         scol, dcol = pref + "s", pref + "d"
                         cnt_cols.append(pref + "cnt")
                     else:
-                        e = base.select(
-                            *[F.col(c).alias(pref + c)
+                        e = base.selectExpr(
+                            *[f"{_bq(c)} AS {_bq(pref + c)}"
                               for c in base.columns])
                         scol, dcol = pref + e_src, pref + e_dst
                         fixed_prefs.append(pref)
@@ -11988,15 +11998,13 @@ class KqlCompiler:
                     else:
                         conds = []
                         if a in bound:
-                            conds.append(F.col(bound[a])
-                                         == F.col(scol))
+                            conds.append(f"{_bq(bound[a])} = "
+                                         f"{_bq(scol)}")
                         if b in bound:
-                            conds.append(F.col(bound[b])
-                                         == F.col(dcol))
-                        cond = conds[0]
-                        for c2 in conds[1:]:
-                            cond = cond & c2
-                        cur = cur.join(e, cond, "inner")
+                            conds.append(f"{_bq(bound[b])} = "
+                                         f"{_bq(dcol)}")
+                        cur = cur.join(e, F.expr(" AND ".join(conds)),
+                                       "inner")
                     if a not in bound:
                         bound[a] = scol
                     if b not in bound:
@@ -12009,33 +12017,39 @@ class KqlCompiler:
                 # pairwise-distinct (src, dst) over the fixed edge
                 # aliases (uniqueness across a collapsed segment
                 # boundary is not enforced; documented subset)
+                pw = []
                 for x in range(len(fixed_prefs)):
                     for y in range(x + 1, len(fixed_prefs)):
                         px, py = fixed_prefs[x], fixed_prefs[y]
-                        cur = cur.where(~(
-                            F.col(px + e_src).eqNullSafe(
-                                F.col(py + e_src))
-                            & F.col(px + e_dst).eqNullSafe(
-                                F.col(py + e_dst))))
+                        pw.append(
+                            f"NOT ({_bq(px + e_src)} <=> "
+                            f"{_bq(py + e_src)} AND "
+                            f"{_bq(px + e_dst)} <=> "
+                            f"{_bq(py + e_dst)})")
+                if pw:
+                    # one compiled predicate text, not O(n^2) where()s
+                    cur = cur.where(" AND ".join(pw))
             # node-property joins (real node vars only)
             node_prefs: dict[str, str] = {}
             if nodes_df is not None:
                 for v, idc in bound.items():
                     npref = f"__gn_{v}_"
-                    n = nodes_df.select(
-                        *[F.col(c).alias(npref + c)
+                    n = nodes_df.selectExpr(
+                        *[f"{_bq(c)} AS {_bq(npref + c)}"
                           for c in nodes_df.columns])
                     cur = cur.join(
-                        n, F.col(idc) == F.col(npref + g["nid"]),
+                        n, F.expr(f"{_bq(idc)} = "
+                                  f"{_bq(npref + g['nid'])}"),
                         "inner")
                     node_prefs[v] = npref
             if cycles == "none":
                 real = list(bound)
-                for x in range(len(real)):
-                    for y in range(x + 1, len(real)):
-                        cur = cur.where(
-                            ~F.col(bound[real[x]]).eqNullSafe(
-                                F.col(bound[real[y]])))
+                pw2 = [f"NOT ({_bq(bound[real[x]])} <=> "
+                       f"{_bq(bound[real[y]])})"
+                       for x in range(len(real))
+                       for y in range(x + 1, len(real))]
+                if pw2:
+                    cur = cur.where(" AND ".join(pw2))
             return cur, bound, evars, node_prefs, cnt_cols
 
         def rewrite(toks, bound, evars, node_prefs):
@@ -12090,21 +12104,19 @@ class KqlCompiler:
                     name = f"col{i2}"
             body = rewrite(body, bound, evars, node_prefs)
             sql = _compile_expr_tokens(body, cur)
-            cols.append(F.expr(sql).alias(name))
+            cols.append(f"({sql}) AS {_bq(name)}")
         if not cnt_cols:
-            return cur.select(*cols)
+            return cur.selectExpr(*cols)
         # one output row per MATCHED PATH (Kusto's contract): the
         # collapsed segments carried their path counts through the
         # joins; ONE explode at the very end restores the exact
         # per-path multiplicity without ever materializing the paths
-        mult = F.col(cnt_cols[0])
-        for c in cnt_cols[1:]:
-            mult = mult * F.col(c)
-        return (cur.select(*cols, mult.alias("__gm_mult"))
-                   .withColumn("__gm_i",
-                               F.explode(F.sequence(
-                                   F.lit(1).cast("long"),
-                                   F.col("__gm_mult"))))
+        mult = " * ".join(_bq(c) for c in cnt_cols)
+        return (cur.selectExpr(*cols, f"({mult}) AS __gm_mult")
+                   .selectExpr(
+                       "*",
+                       "explode(sequence(CAST(1 AS BIGINT), "
+                       "__gm_mult)) AS __gm_i")
                    .drop("__gm_mult", "__gm_i"))
 
     def _graph_to_table(self, df: DataFrame, rest: str) -> DataFrame:
@@ -13300,25 +13312,29 @@ class KqlCompiler:
                 "KQL: scan needs a preceding 'sort by' (serialized order)")
         mid_name = m.group("mid") or "match_id"
         # order keys -> materialized columns + ascending flags (pandas
-        # sorts inside each group; Spark does not guarantee group order)
+        # sorts inside each group; Spark does not guarantee group
+        # order). All materialized columns ride ONE selectExpr (r15:
+        # each withColumn was 2-4 py4j round trips + a full analysis
+        # pass; guide §7.3 driver-side build cost).
         order_names, asc_flags = [], []
-        work = df
+        new_cols = []
         for i, osql in enumerate(self._order_sql):
             expr_sql, direction = osql.rsplit(" ", 1)
             order_names.append(f"__scan_o{i}")
             asc_flags.append(direction.upper() != "DESC")
-            work = work.withColumn(f"__scan_o{i}", F.expr(expr_sql))
+            new_cols.append(f"({expr_sql}) AS __scan_o{i}")
         for i, (_, psql) in enumerate(steps):
-            work = work.withColumn(
-                f"__scan_p{i}",
-                F.expr(psql).cast("boolean") if psql is not None
-                else F.lit(None).cast("boolean"))
+            new_cols.append(
+                f"CAST(({psql}) AS BOOLEAN) AS __scan_p{i}"
+                if psql is not None
+                else f"CAST(NULL AS BOOLEAN) AS __scan_p{i}")
         if self._partition_sql:
             group_cols = [s.strip("`") for s in self._partition_sql]
         else:
             _warn_global_serialize("scan", df)
-            work = work.withColumn("__scan_g", F.lit(1))
+            new_cols.append("1 AS __scan_g")
             group_cols = ["__scan_g"]
+        work = df.selectExpr("*", *new_cols)
         keep = [c for c in df.columns]
         step_names = [n for n, _ in steps]
         n_steps = len(steps)
@@ -13476,31 +13492,35 @@ class KqlCompiler:
         max_first = us_of(mf_sql, "max_from_first")
         max_between = us_of(mb_sql, "max_between")
 
-        work = df.withColumn("__rws_orig", F.expr(expr_sql))
-        vtype = work.schema["__rws_orig"].dataType
+        # all materialized columns ride ONE selectExpr (r15: each
+        # withColumn was 2-4 py4j round trips + an analysis pass);
+        # the Expr type probe analyzes a one-column projection first
+        vtype = df.selectExpr(
+            f"({expr_sql}) AS __rws_orig").schema[0].dataType
+        new_cols = [f"({expr_sql}) AS __rws_orig"]
         if vtype.typeName() in ("timestamp", "timestamp_ntz"):
-            work = work.withColumn(
-                "__rws_v", F.unix_micros(F.col("__rws_orig")
-                                         .cast("timestamp")))
+            new_cols.append(
+                f"unix_micros(CAST(({expr_sql}) AS TIMESTAMP)) "
+                "AS __rws_v")
         else:
-            work = work.withColumn(
-                "__rws_v", F.col("__rws_orig").cast("double"))
-        work = work.withColumn(
-            "__rws_r",
-            F.expr(restart_sql).cast("boolean") if restart_sql
-            else F.lit(False))
+            new_cols.append(
+                f"CAST(({expr_sql}) AS DOUBLE) AS __rws_v")
+        new_cols.append(
+            f"CAST(({restart_sql}) AS BOOLEAN) AS __rws_r"
+            if restart_sql else "false AS __rws_r")
         order_names, asc_flags = [], []
         for i, osql in enumerate(self._order_sql):
             e_sql, direction = osql.rsplit(" ", 1)
             order_names.append(f"__rws_o{i}")
             asc_flags.append(direction.upper() != "DESC")
-            work = work.withColumn(f"__rws_o{i}", F.expr(e_sql))
+            new_cols.append(f"({e_sql}) AS __rws_o{i}")
         if self._partition_sql:
             group_cols = [s.strip("`") for s in self._partition_sql]
         else:
             _warn_global_serialize("row_window_session()", df)
-            work = work.withColumn("__rws_g", F.lit(1))
+            new_cols.append("1 AS __rws_g")
             group_cols = ["__rws_g"]
+        work = df.selectExpr("*", *new_cols)
         keep = list(df.columns)
         out_schema = work.select(*keep).schema.add(name, vtype)
         sort_cols = [F.col(c).asc() for c in group_cols]

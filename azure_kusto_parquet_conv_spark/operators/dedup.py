@@ -352,9 +352,18 @@ def dedup_clusters(ids: DataFrame, pairs: DataFrame,
     the large-star/small-star algorithm are documented in PLANS.md
     ("The dedup end-to-end pipeline at 100 TB").
     """
-    e = pairs.select(F.col("id_a").alias("__src"), F.col("id_b").alias("__dst"))
-    edges = (e.unionByName(e.select(F.col("__dst").alias("__src"),
-                                    F.col("__src").alias("__dst")))
+    # both orientations via ONE explode, not a self-union: the union
+    # form re-executes the whole candidate-generation + verification
+    # subtree once per branch (pairs is not persisted — at 100 TB
+    # that is a second full LSH bucket join), the explode emits the
+    # swapped twin from the same pass (r15; guide §2.4, same shape as
+    # embedding_near_dup's posexplode rewrite)
+    e = pairs.select(F.explode(F.array(
+        F.struct(F.col("id_a").alias("__src"),
+                 F.col("id_b").alias("__dst")),
+        F.struct(F.col("id_b").alias("__src"),
+                 F.col("id_a").alias("__dst")))).alias("__e"))
+    edges = (e.select("__e.__src", "__e.__dst")
              .distinct().localCheckpoint())
     # Only nodes with at least one dup edge can ever change labels —
     # an isolated node's min reachable id is itself. Restrict the

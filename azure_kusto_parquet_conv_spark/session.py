@@ -98,13 +98,26 @@ def _ship_package(spark: SparkSession) -> None:
 
 
 def prepare_session(spark: SparkSession) -> SparkSession:
-    """Apply runtime-settable normalization confs; idempotent."""
+    """Apply runtime-settable normalization confs; idempotent.
+
+    Marked on the session object after the first application: every
+    KqlCompiler construction calls this, and the ~7 conf.set py4j
+    round trips per compile were a measurable slice of every KQL
+    query build (r15 cProfile; guide §7.3 driver-side cost). A
+    session prepared once stays prepared — these confs are only ever
+    set to these exact values by this engine."""
+    if getattr(spark, "_aks_prepared", False):
+        return spark
     for k, v in _RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
         except Exception:
             pass  # conf not settable on this session build; keep going
     _ship_package(spark)
+    try:
+        spark._aks_prepared = True
+    except Exception:
+        pass
     return spark
 
 
