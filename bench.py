@@ -272,7 +272,11 @@ def main() -> None:
     # pretending the number is clean.
     max_extra = int(os.environ.get("BENCH_MAX_EXTRA", "10"))
     hz = os.sysconf("SC_CLK_TCK")
+    # ncpu = MACHINE capacity (the exo_frac denominator: other
+    # tenants burn machine cores, not Spark-master cores);
+    # bench_cpus = the contract's core count, used for labeling
     ncpu = os.cpu_count() or 1
+    bench_cpus = int(os.environ.get("SPARK_GRAFT_CPUS", ncpu))
 
     timings: dict[str, float] = {}
     cpu_secs: dict[str, float] = {}
@@ -348,7 +352,8 @@ def main() -> None:
         "kept_samples": kept_counts,
         "retries": retry_counts,
         "contaminated": contaminated,
-        "cpus": ncpu,
+        "cpus": bench_cpus,
+        "machine_cpus": ncpu,
         "sf": sf,
         "load_retries": retried,
         "protocol": ("steady-state: per-query warm-up, min of "
@@ -363,7 +368,7 @@ def main() -> None:
     # the committed record of an earlier one. BENCH_FULL.json (stable
     # name) is still written for the at-HEAD banked copy.
     repo = os.path.dirname(os.path.abspath(__file__))
-    stamp = f"c{ncpu}_{int(time.time())}"
+    stamp = f"c{bench_cpus}_{int(time.time())}"
     full_path = os.path.join("bench_runs", f"BENCH_FULL_{stamp}.json")
     try:
         os.makedirs(os.path.join(repo, "bench_runs"), exist_ok=True)
