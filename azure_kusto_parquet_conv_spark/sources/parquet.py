@@ -156,18 +156,25 @@ def _relation_cache(spark: SparkSession) -> dict:
 
 
 def _stat_key(path: str):
+    """(path, mtime_ns, size) stat signature, or None when the path is
+    not os.stat-able (remote URIs: s3://, abfss://, hdfs://). A None
+    key means DO NOT CACHE — the old constant (path, None, None) key
+    would have served a stale relation for the life of the session
+    after a remote rewrite (r14 ADVICE item 1)."""
     import os
     try:
         st = os.stat(path)
         return (path, st.st_mtime_ns, st.st_size)
     except OSError:
-        return (path, None, None)
+        return None
 
 
 def _base_scan(spark: SparkSession, path: str) -> DataFrame:
     """JVM parquet scan of ``path`` with the relation cache applied."""
-    cache = _relation_cache(spark)
     key = _stat_key(path)
+    if key is None:  # non-statable path: bypass the cache entirely
+        return spark.read.parquet(path)
+    cache = _relation_cache(spark)
     df = cache.get(key)
     if df is None:
         df = cache[key] = spark.read.parquet(path)
@@ -221,8 +228,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # the events ts handling below costs an analysis pass (df.dtypes),
     # paid once per file state instead of once per query build.
     cache = _relation_cache(spark)
-    key = ("load_table", *_stat_key(path))
-    hit = cache.get(key)
+    sig = _stat_key(path)
+    key = ("load_table", sig)
+    hit = cache.get(key) if sig is not None else None
     if hit is not None:
         return hit
     # Fixture tables inherit the same codec fallback as the conversion
@@ -295,13 +303,20 @@ def rebalance(df: DataFrame, min_partitions: int | None = None,
         row_groups = n_bytes = n_rows = 0
         for fp in sample:
             p = fp.removeprefix("file:")
-            skey = ("rebalance", *_stat_key(p))
-            hit = _FOOTER_CACHE.get(skey)
+            sig = _stat_key(p)
+            skey = ("rebalance", sig)
+            hit = _FOOTER_CACHE.get(skey) if sig is not None else None
             if hit is None:  # footer facts change only with the file
                 meta = pq.ParquetFile(p).metadata
-                hit = _FOOTER_CACHE[skey] = (
-                    meta.num_row_groups, meta.num_rows,
-                    os.path.getsize(p))
+                hit = (meta.num_row_groups, meta.num_rows,
+                       os.path.getsize(p))
+                if sig is not None:
+                    _FOOTER_CACHE[skey] = hit
+                    # same bound as _footer_probe's insertions — this
+                    # call site previously grew the module cache
+                    # without limit (r14 ADVICE item 3)
+                    while len(_FOOTER_CACHE) > 4096:
+                        _FOOTER_CACHE.pop(next(iter(_FOOTER_CACHE)))
             row_groups += hit[0]
             n_rows += hit[1]
             n_bytes += hit[2]

@@ -535,3 +535,16 @@ def test_resilient_read_partitioned_and_schema_drift(spark, sf_dir,
     assert res.count() == 2 * n
     assert res.where("pt = 1 AND added_late = 'x'").count() == n
     assert res.where("pt = 0").count() == n
+
+
+def test_stat_key_is_none_for_non_statable_paths():
+    """r15 ADVICE fix: a non-statable path (remote URI) must yield a
+    None stat signature so the relation/footer caches BYPASS it — the
+    old constant (path, None, None) key would have served a stale
+    cached relation for the life of the session after a remote
+    rewrite."""
+    from azure_kusto_parquet_conv_spark.sources.parquet import _stat_key
+
+    assert _stat_key("s3://bucket/table.parquet") is None
+    assert _stat_key("abfss://c@a.dfs.core.windows.net/t") is None
+    assert _stat_key(__file__) is not None
